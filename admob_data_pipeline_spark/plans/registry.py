@@ -1,0 +1,27 @@
+"""Aggregate query/oracle registry — one import point for __spark_entry__.
+
+Each domain module contributes ``QUERIES`` (name → (spark, sf_dir) →
+DataFrame) and ``ORACLES`` (name → DuckDB SQL). Names are unique across
+modules; a query without an oracle gets the driver's weaker rows-only
+check (reserved for genuinely non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from admob_data_pipeline_spark.plans import relational
+
+_MODULES = [relational]
+
+
+def _merged(attr: str) -> dict:
+    out: dict = {}
+    for mod in _MODULES:
+        for name, v in getattr(mod, attr, {}).items():
+            if name in out:
+                raise ValueError(f"duplicate query name: {name}")
+            out[name] = v
+    return out
+
+
+QUERIES = _merged("QUERIES")
+ORACLES = _merged("ORACLES")

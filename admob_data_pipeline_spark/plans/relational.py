@@ -1,0 +1,530 @@
+"""Core relational query registry (SURVEY.md §2.2–§2.8 inventory).
+
+Each query is one named entry in ``QUERIES`` (a callable
+``(spark, sf_dir) -> DataFrame``) with a matching DuckDB oracle in
+``ORACLES``. Together they cover every relational operator the reference
+implements or pushes to BigQuery: group-agg (A1), ratio-of-sums (A2),
+global agg (A3), DISTINCT (A4), collect-by-group (A5), broadcast equi-join
+(J1), anti-join (J2), IN-list/date-range/threshold predicates (P7–P12),
+sorts (O1/O2), bag union (O3), scalar functions (F1–F12), and the alert
+family (W1/W2) — mapped onto the driver testdata tables per FIXTURES.md §4.
+
+Float discipline (critical for bit-identical oracle hashes): raw DOUBLE
+measures are scaled to integers per-row (``FLOOR(x * 10^k)``) *before* any
+SUM, so aggregation is exact integer arithmetic — order-independent across
+partitions and engines. Ratios divide the exact integer sums; identical
+inputs → identical IEEE doubles in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.functions.scalars import safe_divide
+from admob_data_pipeline_spark.operators import alerts
+from admob_data_pipeline_spark.sources import chunks as chunks_mod
+from admob_data_pipeline_spark.sources.report_spec import ReportSpec, compile_report
+from admob_data_pipeline_spark.sources.tables import load_table
+
+
+def _cents(col: str) -> F.Column:
+    return F.floor(F.col(col) * 100).cast("long")
+
+
+# --- A1/A2/F2: pricing summary (TPC-H Q1 shape; reference A1 at
+# native_CTR_alerts.py:228-241, A2 at :232) -------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.floor("l_quantity").cast("long").alias("qty_i"),
+            _cents("l_extendedprice").alias("price_c"),
+            _cents("l_discount").alias("disc_c"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty_i").alias("sum_qty"),
+            F.sum("price_c").alias("sum_price_cents"),
+            F.sum("disc_c").alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(safe_divide(F.sum("price_c"), F.count(F.lit(1))), 4).alias(
+                "avg_price_cents"
+            ),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(SUM(CAST(FLOOR(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       COUNT(*) AS count_order,
+       ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / COUNT(*), 4) AS avg_price_cents
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- A3/F5: global aggregate + micros→USD display conversion
+# (README.md:213-221) ------------------------------------------------------
+def q_global_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    micros = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6).cast(
+        "long"
+    )
+    return li.select(micros.alias("rev_micros")).agg(
+        F.sum("rev_micros").alias("revenue_micros"),
+        F.round(F.sum("rev_micros") / F.lit(1_000_000.0), 2).alias("revenue_usd"),
+    )
+
+
+_ORACLE_GLOBAL_REVENUE = """
+SELECT CAST(SUM(m) AS BIGINT) AS revenue_micros,
+       ROUND(CAST(SUM(m) AS DOUBLE) / 1000000.0, 2) AS revenue_usd
+FROM (
+    SELECT CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT) AS m
+    FROM lineitem
+)
+"""
+
+
+# --- A4: DISTINCT (native_CTR_alerts.py:287-294) --------------------------
+def q_distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderpriority").distinct().orderBy("o_orderpriority")
+
+
+_ORACLE_DISTINCT = """
+SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
+"""
+
+
+# --- A5/F12: group-collect for message formatting
+# (native_CTR_alerts.py:273-282) ------------------------------------------
+def q_collect_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_ORACLE_COLLECT = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# --- J1/P7/P12: broadcast dimension join + IN-list filter
+# (native_CTR_alerts.py:260-262; save_CSV.py:121-131) ----------------------
+def q_dim_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # dims are tiny → broadcast both; the fact (customer) never shuffles.
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name").isin("ASIA", "EUROPE"))
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_cents("c_acctbal")).alias("acctbal_cents"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_ORACLE_DIM_JOIN = """
+SELECT r_name, n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# --- J2: anti-join (native_CTR_alerts.py:298-302) -------------------------
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    missing = c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    )
+    return (
+        missing.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_missing"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_ORACLE_ANTI_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_missing
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- P8/P9/P10/F4: trailing date-range scan
+# (native_CTR_alerts.py:236-238) ------------------------------------------
+def q_trailing_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.floor("l_quantity").cast("long").alias("qty_i"),
+    )
+    bounds = li.agg(F.max("ship_date").alias("dmax"))
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .where(
+            F.col("ship_date").between(
+                F.date_sub(F.col("dmax"), 7), F.date_sub(F.col("dmax"), 1)
+            )
+        )
+        .groupBy("ship_date")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum("qty_i").alias("sum_qty"))
+        .orderBy("ship_date")
+    )
+
+
+_ORACLE_TRAILING = """
+WITH li AS (
+    SELECT CAST(l_shipdate AS DATE) AS ship_date,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_i
+    FROM lineitem
+),
+bounds AS (SELECT MAX(ship_date) AS dmax FROM li)
+SELECT ship_date, COUNT(*) AS n_items, CAST(SUM(qty_i) AS BIGINT) AS sum_qty
+FROM li, bounds
+WHERE ship_date BETWEEN dmax - INTERVAL 7 DAY AND dmax - INTERVAL 1 DAY
+GROUP BY ship_date
+ORDER BY ship_date
+"""
+
+
+# --- O3: bag union with schema alignment (main.py:146;
+# unionByName allowMissingColumns) ----------------------------------------
+def q_union_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", _cents("o_totalprice").alias("price_cents")
+    )
+    b = o.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority")
+    )
+    unioned = a.unionByName(b, allowMissingColumns=True)
+    return (
+        unioned.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_cents").alias("sum_price_cents"),
+            F.count("priority").alias("n_with_priority"),
+        )
+    )
+
+
+_ORACLE_UNION = """
+WITH u AS (
+    SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+           NULL AS priority
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_orderpriority AS priority
+    FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+       COUNT(priority) AS n_with_priority
+FROM u
+"""
+
+
+# --- F1–F10: scalar function showcase ------------------------------------
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            safe_divide(
+                _cents("o_totalprice"), (F.col("o_custkey") % 5).cast("long")
+            ).alias("per_bucket"),  # F1: NULL when o_custkey%5 == 0
+            F.round(F.col("o_totalprice") / F.lit(1000.0), 2).alias("price_k"),  # F2
+            F.abs(F.col("o_custkey") - 750).cast("long").alias("dist_mid"),  # F3
+            F.date_sub(d, 7).alias("week_before"),  # F4
+            F.element_at(F.split("o_orderpriority", "-"), -1).alias("prio_word"),  # F9
+            F.date_format(d, "yyyyMMdd").alias("ymd"),  # F10
+            F.date_format(d, "yyyy-MM").alias("month"),  # calendar rollup dim
+            F.date_trunc("week", d).cast("date").alias("week_start"),
+            F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("tag"),  # F7/F12
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_ORACLE_SCALARS = """
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+           / NULLIF(o_custkey % 5, 0) AS per_bucket,
+       ROUND(o_totalprice / 1000.0, 2) AS price_k,
+       CAST(ABS(o_custkey - 750) AS BIGINT) AS dist_mid,
+       CAST(o_orderdate AS DATE) - 7 AS week_before,
+       string_split(o_orderpriority, '-')[-1] AS prio_word,
+       strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS ymd,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+       CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week_start,
+       concat_ws('|', o_orderstatus, o_orderpriority) AS tag
+FROM orders
+WHERE o_orderkey % 7 = 0
+ORDER BY o_orderkey
+"""
+
+
+# --- P1–P6/S10: nested chunk flatten kernel ------------------------------
+def q_chunk_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    chunks = chunks_mod.synthesize_chunks_from_lineitem(li)
+    flat = chunks_mod.flatten_chunks(
+        chunks,
+        dims=[
+            chunks_mod.DimSpec("DATE", "date", "date"),
+            chunks_mod.DimSpec("APP", "app_name"),
+        ],
+        metrics=[
+            chunks_mod.MetricSpec("CLICKS", "clicks", "int"),
+            chunks_mod.MetricSpec("ESTIMATED_EARNINGS", "earnings_micros", "int"),
+            chunks_mod.MetricSpec("IMPRESSION_CTR", "ctr", "float"),
+            chunks_mod.MetricSpec("QUANTITY", "quantity", "int"),
+        ],
+    )
+    return (
+        flat.groupBy("date", "app_name")
+        .agg(
+            F.sum("clicks").alias("clicks"),
+            F.sum("earnings_micros").alias("earnings_micros"),
+            F.sum(F.floor(F.col("ctr") * 10000).cast("long")).alias("ctr_bps"),
+            F.sum("quantity").alias("quantity"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("date", "app_name")
+    )
+
+
+_ORACLE_CHUNK_FLATTEN = """
+WITH flat AS (
+    SELECT CASE WHEN l_orderkey % 50 = 0 THEN NULL
+                ELSE CAST(l_shipdate AS DATE) END AS date,
+           CASE WHEN l_partkey % 5 = 0 THEN l_returnflag
+                ELSE 'App-' || l_returnflag END AS app_name,
+           CAST(l_linenumber AS BIGINT) AS clicks,
+           CASE WHEN l_suppkey % 10 = 0 THEN 0
+                ELSE CAST(FLOOR(l_extendedprice * 1e6) AS BIGINT) END AS earnings_micros,
+           l_discount AS ctr,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS quantity
+    FROM lineitem
+    WHERE l_orderkey % 20 <> 0
+)
+SELECT date, app_name,
+       CAST(SUM(clicks) AS BIGINT) AS clicks,
+       CAST(SUM(earnings_micros) AS BIGINT) AS earnings_micros,
+       CAST(SUM(CAST(FLOOR(ctr * 10000) AS BIGINT)) AS BIGINT) AS ctr_bps,
+       CAST(SUM(quantity) AS BIGINT) AS quantity,
+       COUNT(*) AS n_rows
+FROM flat
+GROUP BY date, app_name
+ORDER BY date, app_name
+"""
+
+
+# --- S1/S2/P7/P8/O1: report-spec compiler over the events fact ------------
+def q_report_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    fact = alerts.daily_fact(events)
+    spec = ReportSpec(
+        date_range=("2024-01-05", "2024-01-12"),
+        dimensions=("DATE", "APP"),
+        metrics=("CLICKS", "IMPRESSIONS"),
+        dimension_filters={"APP": ("click", "view", "purchase")},
+        sort_conditions=(("DATE", "ASCENDING"), ("APP", "ASCENDING")),
+    )
+    return compile_report(
+        fact,
+        spec,
+        dim_cols={"APP": "app_name", "UNIT": "ad_unit_name"},
+        metric_cols={"CLICKS": "clicks", "IMPRESSIONS": "impressions"},
+    )
+
+
+_ORACLE_REPORT_SPEC = """
+WITH fact AS (
+    SELECT CAST(ts AS DATE) AS date,
+           event_type AS app_name,
+           CAST(FLOOR(value * 1000) AS BIGINT) AS clicks,
+           CAST(1 AS BIGINT) AS impressions
+    FROM events
+)
+SELECT date, app_name AS app,
+       CAST(SUM(clicks) AS BIGINT) AS clicks,
+       CAST(SUM(impressions) AS BIGINT) AS impressions
+FROM fact
+WHERE date BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'
+  AND app_name IN ('click', 'view', 'purchase')
+GROUP BY date, app_name
+ORDER BY date, app
+"""
+
+
+# --- W1/W2 alert family ---------------------------------------------------
+_ORACLE_ANOMALY_QUIRK = """
+WITH fact AS (
+    SELECT CAST(ts AS DATE) AS date,
+           event_type AS app_name,
+           'u' || CAST(user_id % 8 AS VARCHAR) AS ad_unit_name,
+           CAST(FLOOR(value * 1000) AS BIGINT) AS clicks,
+           CAST(1 AS BIGINT) AS impressions
+    FROM events
+),
+bounds AS (SELECT MAX(date) AS report_date FROM fact),
+last7 AS (
+    SELECT ad_unit_name,
+           CAST(SUM(clicks) AS DOUBLE) / NULLIF(SUM(impressions), 0) AS avg_ctr_7d
+    FROM fact, bounds
+    WHERE date BETWEEN report_date - INTERVAL 7 DAY AND report_date - INTERVAL 1 DAY
+    GROUP BY app_name, ad_unit_name
+),
+today AS (
+    SELECT app_name, ad_unit_name,
+           CAST(SUM(clicks) AS DOUBLE) / NULLIF(SUM(impressions), 0) AS today_ctr
+    FROM fact, bounds
+    WHERE date = report_date
+    GROUP BY app_name, ad_unit_name
+)
+SELECT t.app_name, t.ad_unit_name,
+       ROUND(t.today_ctr, 6) AS today_ctr,
+       ROUND(l.avg_ctr_7d, 6) AS avg_ctr_7d,
+       ROUND((t.today_ctr - l.avg_ctr_7d) / NULLIF(l.avg_ctr_7d, 0) * 100, 4)
+           AS pct_change,
+       ABS(ROUND((t.today_ctr - l.avg_ctr_7d) / NULLIF(l.avg_ctr_7d, 0) * 100, 4))
+           > 25.0 AS is_alert
+FROM today t
+JOIN last7 l ON t.ad_unit_name = l.ad_unit_name
+ORDER BY pct_change DESC, t.app_name, t.ad_unit_name
+"""
+
+_ORACLE_ANOMALY_WINDOW = """
+WITH fact AS (
+    SELECT CAST(ts AS DATE) AS date,
+           event_type AS app_name,
+           'u' || CAST(user_id % 8 AS VARCHAR) AS ad_unit_name,
+           CAST(FLOOR(value * 1000) AS BIGINT) AS clicks,
+           CAST(1 AS BIGINT) AS impressions
+    FROM events
+),
+bounds AS (SELECT MAX(date) AS report_date FROM fact),
+last7 AS (
+    SELECT app_name, ad_unit_name,
+           SUM(clicks) AS clicks_7d, SUM(impressions) AS impr_7d
+    FROM fact, bounds
+    WHERE date BETWEEN report_date - INTERVAL 7 DAY AND report_date - INTERVAL 1 DAY
+    GROUP BY app_name, ad_unit_name
+),
+today AS (
+    SELECT app_name, ad_unit_name,
+           SUM(clicks) AS clicks, SUM(impressions) AS impressions
+    FROM fact, bounds
+    WHERE date = report_date
+    GROUP BY app_name, ad_unit_name
+)
+SELECT t.app_name, t.ad_unit_name,
+       ROUND(CAST(t.clicks AS DOUBLE) / NULLIF(t.impressions, 0), 6) AS today_ctr,
+       ROUND(CAST(l.clicks_7d AS DOUBLE) / NULLIF(l.impr_7d, 0), 6) AS avg_ctr_7d,
+       ROUND((CAST(t.clicks AS DOUBLE) / NULLIF(t.impressions, 0)
+              - CAST(l.clicks_7d AS DOUBLE) / NULLIF(l.impr_7d, 0))
+             / NULLIF(CAST(l.clicks_7d AS DOUBLE) / NULLIF(l.impr_7d, 0), 0) * 100, 4)
+           AS pct_change,
+       ABS(ROUND((CAST(t.clicks AS DOUBLE) / NULLIF(t.impressions, 0)
+              - CAST(l.clicks_7d AS DOUBLE) / NULLIF(l.impr_7d, 0))
+             / NULLIF(CAST(l.clicks_7d AS DOUBLE) / NULLIF(l.impr_7d, 0), 0) * 100, 4))
+           > 25.0 AS is_alert
+FROM today t
+JOIN last7 l ON t.app_name = l.app_name AND t.ad_unit_name = l.ad_unit_name
+ORDER BY pct_change DESC, t.app_name, t.ad_unit_name
+"""
+
+
+def q_ctr_anomaly_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return alerts.ctr_anomaly_sql(spark, sf_dir)
+
+
+def q_ctr_anomaly_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return alerts.ctr_anomaly_df(load_table(spark, sf_dir, "events"))
+
+
+def q_ctr_anomaly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return alerts.ctr_anomaly_window(load_table(spark, sf_dir, "events"))
+
+
+def q_alert_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    alerts_df = alerts.ctr_anomaly_df(load_table(spark, sf_dir, "events"), threshold=2.0)
+    return alerts.format_alert_messages(alerts_df)
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "global_revenue": q_global_revenue,
+    "distinct_priorities": q_distinct_priorities,
+    "collect_by_group": q_collect_by_group,
+    "dim_join_filter": q_dim_join_filter,
+    "customers_without_orders": q_customers_without_orders,
+    "trailing_date_range": q_trailing_date_range,
+    "union_reports": q_union_reports,
+    "scalar_functions": q_scalar_functions,
+    "chunk_flatten": q_chunk_flatten,
+    "report_spec": q_report_spec,
+    "ctr_anomaly_sql": q_ctr_anomaly_sql,
+    "ctr_anomaly_df": q_ctr_anomaly_df,
+    "ctr_anomaly_window": q_ctr_anomaly_window,
+}
+
+ORACLES = {
+    "pricing_summary": _ORACLE_PRICING,
+    "global_revenue": _ORACLE_GLOBAL_REVENUE,
+    "distinct_priorities": _ORACLE_DISTINCT,
+    "collect_by_group": _ORACLE_COLLECT,
+    "dim_join_filter": _ORACLE_DIM_JOIN,
+    "customers_without_orders": _ORACLE_ANTI_JOIN,
+    "trailing_date_range": _ORACLE_TRAILING,
+    "union_reports": _ORACLE_UNION,
+    "scalar_functions": _ORACLE_SCALARS,
+    "chunk_flatten": _ORACLE_CHUNK_FLATTEN,
+    "report_spec": _ORACLE_REPORT_SPEC,
+    "ctr_anomaly_sql": _ORACLE_ANOMALY_QUIRK,
+    "ctr_anomaly_df": _ORACLE_ANOMALY_QUIRK,
+    "ctr_anomaly_window": _ORACLE_ANOMALY_WINDOW,
+}

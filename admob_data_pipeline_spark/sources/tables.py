@@ -1,0 +1,52 @@
+"""Parquet table catalog over the driver testdata layout.
+
+``load_table(spark, sf_dir, name)`` reads one parquet table; ``register_views``
+exposes them as temp views for the SQL entry points. At production scale the
+same call reads a date-partitioned parquet/Delta layout — partition pruning
+and column pruning come from Catalyst, nothing manual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = _read_parquet_nanosafe(spark, f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) parquet read as long nanos — normalize back to a
+        # real timestamp. Integer `div` keeps full precision (a double
+        # division would lose bits above 2^53).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, tolerating TIMESTAMP(NANOS) columns (the driver
+    testdata's ``events.ts``), which Spark rejects unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set. Set it up front so the
+    first read never throws (a failed read logs executor ERRORs)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # unmodifiable in this session — fall through and hope
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
