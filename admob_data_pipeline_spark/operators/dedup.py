@@ -1,0 +1,438 @@
+"""Deduplication operators over ``documents`` (BASELINE.json north-star:
+exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Spark-first scale design — the whole point of these operators is avoiding
+the O(n²) pair space at 100 TB:
+
+- **exact**: hash-groupBy on md5(text) — one shuffle of (hash, id), no
+  text movement; canonical = min(doc_id) per group.
+- **n-gram Jaccard**: pairs generated only through a shared-shingle
+  equi-join (docs with no common shingle never meet). Hot shingles are
+  capped (shingles occurring in > max_df docs are dropped — the standard
+  stop-shingle trick) so one viral shingle can't produce a quadratic
+  blow-up; the cap is part of the operator contract and mirrored in the
+  oracle.
+- **MinHash+LSH**: banded signatures → candidates only for docs sharing a
+  band bucket (shuffle O(n·bands), never O(n²)); candidates are then
+  verified with exact Jaccard, so precision is 1.0 and recall is the LSH
+  probability 1-(1-s^r)^b.
+- **SimHash**: 16-bit signatures; candidate pairs via 4-bit band join
+  (docs agreeing on ≥1 nibble), verified by Hamming distance.
+
+Every hash is md5 (bit-identical in Spark and DuckDB) so each operator
+keeps a full value-checked oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.operators.text import shingles, tokens
+from admob_data_pipeline_spark.sources.tables import load_table
+
+# LSH parameters: 8 hashes, 4 bands × 2 rows (candidate prob ≈ 0.68 at
+# Jaccard 0.5, ≈ 0.97 at 0.8).
+N_HASHES = 8
+BAND_ROWS = 2
+N_BANDS = N_HASHES // BAND_ROWS
+JACCARD_THRESHOLD = 0.5
+MAX_DF = 400  # stop-shingle cap (docs per shingle) at test scale
+SIMHASH_BITS = 16
+HAMMING_MAX = 3
+
+
+def doc_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    return (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("shingle")
+        )
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct content,
+    canonical doc = min(doc_id), n_dups = group size."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _capped_shingles(docs: DataFrame, k: int, max_df: int) -> DataFrame:
+    sh = doc_shingles(docs, k)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    # broadcast the (small) hot-shingle list; anti-join drops them
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_DF,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold, generated through a
+    shared-shingle join (never a cross join)."""
+    sh = _capped_shingles(docs, k, max_df).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.try_divide(
+                    F.col("n_inter"), F.col("n_a") + F.col("n_b") - F.col("n_inter")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("a", "b")
+    )
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, i, minhash_i) — hash family h_i(s) = md5(i || '|' || s),
+    min taken lexicographically over hex digests (deterministic and
+    engine-portable, unlike integer-mod families)."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("i")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws("|", F.col("i").cast("string"), F.col("shingle")))
+            ).alias("mh")
+        )
+    )
+
+
+def lsh_band_keys(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
+    """(doc_id, band, band_key): band_key = md5 of the band's minhashes in
+    seed order."""
+    banded = sig.withColumn("band", (F.col("i") / band_rows).cast("int"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda s: s.getField("mh")
+    )
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(F.md5(F.array_join(ordered, "|")).alias("band_key"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_DF,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, LSH-candidate-generated and
+    exact-Jaccard-verified (precision 1, recall = banding probability)."""
+    sh = _capped_shingles(docs, k, max_df).cache()
+    bands = lsh_band_keys(minhash_signatures(sh))
+    ba = bands.select(F.col("doc_id").alias("a"), "band", "band_key")
+    bb = bands.select(F.col("doc_id").alias("b"), "band", "band_key")
+    candidates = (
+        ba.join(bb, ["band", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        candidates.join(a_sh, "a")
+        .join(b_sh, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.try_divide(
+                    F.col("n_inter"), F.col("n_a") + F.col("n_b") - F.col("n_inter")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("a", "b")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over distinct tokens: token hash = first 4 hex digits
+    of md5(token); bit_j majority-voted across tokens (+1/−1), ties → 1."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    # digit value of hex char at 1-based position p: instr-based parse
+    def digit(p: int) -> Column:
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1
+
+    bit_cols = []
+    for j in range(SIMHASH_BITS):
+        d = digit(j // 4 + 1)
+        bit = F.floor(d / F.lit(2 ** (3 - j % 4))).cast("long") % 2
+        bit_cols.append((bit * 2 - 1).alias(f"v{j}"))
+    votes = tok.select("doc_id", *bit_cols)
+    agg = votes.groupBy("doc_id").agg(
+        *[F.sum(f"v{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit_val = F.when(F.col(f"s{j}") >= 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit_val * F.lit(2 ** (SIMHASH_BITS - 1 - j))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share ≥1 of 4 nibble bands,
+    verified by Hamming distance ≤ hamming_max."""
+    s = simhash(docs)
+    nibbles = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("simhash"), (3 - b) * 4) % 16
+                        ).alias("nib"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bn"),
+    ).select("doc_id", "simhash", F.col("bn.band").alias("band"), F.col("bn.nib").alias("nib"))
+    a = nibbles.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a"), "band", "nib"
+    )
+    b = nibbles.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b"), "band", "nib"
+    )
+    cand = (
+        a.join(b, ["band", "nib"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.select("a", "b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= hamming_max)
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the corpus has no full-text dups — dedup on the first 2 tokens
+    # ("document prefix") to exercise group sizes > 1 as well
+    docs = load_table(spark, sf_dir, "documents")
+    prefixed = docs.select(
+        "doc_id",
+        F.array_join(F.slice(tokens(F.col("text")), 1, 2), " ").alias("text"),
+    )
+    return (
+        exact_duplicates(prefixed)
+        .orderBy("content_hash")
+    )
+
+
+_ORACLE_EXACT = """
+WITH p AS (
+    SELECT doc_id,
+           array_to_string(string_split(lower(text), ' ')[1:2], ' ') AS prefix
+    FROM documents
+)
+SELECT md5(prefix) AS content_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_docs
+FROM p
+GROUP BY md5(prefix)
+ORDER BY content_hash
+"""
+
+_DUCK_SHINGLES = """
+t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh0 AS (
+    SELECT doc_id, unnest(list_distinct(
+        [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
+    )) AS shingle
+    FROM t
+),
+hot AS (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > {max_df}
+),
+sh AS (
+    SELECT doc_id, shingle FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+)
+"""
+
+
+def _oracle_jaccard_tail(pair_source: str) -> str:
+    return f"""
+inter AS (
+    SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+    FROM {pair_source}
+    GROUP BY sa.doc_id, sb.doc_id
+)
+SELECT i.a, i.b,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / NULLIF(za.n_sh + zb.n_sh - i.n_inter, 0), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+            / NULLIF(za.n_sh + zb.n_sh - i.n_inter, 0), 6) >= {JACCARD_THRESHOLD}
+ORDER BY i.a, i.b
+"""
+
+
+_ORACLE_NGRAM_JACCARD = (
+    "WITH " + _DUCK_SHINGLES.format(max_df=MAX_DF) + ","
+    + _oracle_jaccard_tail(
+        "sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id"
+    )
+)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_MINHASH = (
+    "WITH "
+    + _DUCK_SHINGLES.format(max_df=MAX_DF)
+    + f""",
+sig AS (
+    SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS mh
+    FROM sh, generate_series(0, {N_HASHES - 1}) AS g(i)
+    GROUP BY doc_id, i
+),
+bands AS (
+    SELECT doc_id, CAST(i / {BAND_ROWS} AS INT) AS band,
+           md5(string_agg(mh, '|' ORDER BY i)) AS band_key
+    FROM sig
+    GROUP BY doc_id, CAST(i / {BAND_ROWS} AS INT)
+),
+cand AS (
+    SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+    FROM bands ba JOIN bands bb
+      ON ba.band = bb.band AND ba.band_key = bb.band_key
+     AND ba.doc_id < bb.doc_id
+),
+"""
+    + _oracle_jaccard_tail(
+        "cand c JOIN sh sa ON sa.doc_id = c.a "
+        "JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle"
+    )
+)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_SIM_DIGIT = "strpos('0123456789abcdef', substr(md5(tok), {pos}, 1)) - 1"
+_SIM_VOTES = ",\n".join(
+    "           SUM((FLOOR(({d}) / {p}) % 2) * 2 - 1) AS s{j}".format(
+        d=_SIM_DIGIT.format(pos=j // 4 + 1), p=2 ** (3 - j % 4), j=j
+    )
+    for j in range(SIMHASH_BITS)
+)
+_SIM_VALUE = " + ".join(
+    f"(CASE WHEN s{j} >= 0 THEN 1 ELSE 0 END) * {2 ** (SIMHASH_BITS - 1 - j)}"
+    for j in range(SIMHASH_BITS)
+)
+
+_ORACLE_SIMHASH_PAIRS = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+    FROM documents
+),
+votes AS (
+    SELECT doc_id,
+{_SIM_VOTES}
+    FROM tok
+    GROUP BY doc_id
+),
+sim AS (
+    SELECT doc_id, CAST({_SIM_VALUE} AS BIGINT) AS simhash FROM votes
+),
+nib AS (
+    SELECT doc_id, simhash, g.band,
+           (simhash >> ((3 - g.band) * 4)) & 15 AS nib
+    FROM sim, generate_series(0, 3) AS g(band)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+           a.simhash AS sim_a, b.simhash AS sim_b
+    FROM nib a JOIN nib b
+      ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
+ORDER BY a, b
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "dedup_exact": q_exact_dedup,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_simhash": q_simhash_pairs,
+}
+
+ORACLES = {
+    "dedup_exact": _ORACLE_EXACT,
+    "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": _ORACLE_MINHASH,
+    "dedup_simhash": _ORACLE_SIMHASH_PAIRS,
+}

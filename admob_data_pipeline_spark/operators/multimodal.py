@@ -1,0 +1,185 @@
+"""Multimodal column plumbing (BASELINE.json north-star: image/audio/video
+as opaque binary columns with typed metadata).
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(deterministic fake dims derived from the bytes, or NotImplementedError
+for real codec paths) — but everything Spark-side is real and tested:
+
+- the schema contract: ``media BINARY`` + ``media_meta STRUCT<media_type,
+  byte_len, checksum>`` (opaque payload, typed envelope);
+- ``extract_metadata`` runs through ``mapInPandas`` — Arrow-batched
+  iterator-of-DataFrames, the shape a real decoder (PIL/ffmpeg) plugs
+  into; one partition = a stream of record batches, no per-row Python;
+- ``frame_sample`` (the video path) is pure column expressions: fixed-size
+  byte windows exploded to frames — no Python at all, scales as a map-only
+  stage.
+
+At 100 TB: binary payloads dominate storage — they are carried as parquet
+binary (never shuffled except by explicit repartition), metadata extraction
+is map-only, and any real decode is Arrow-batched so Python cost is
+per-batch, not per-row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.sources.tables import load_table
+
+FRAME_BYTES = 256
+
+META_SCHEMA = (
+    "doc_id bigint, media_type string, byte_len bigint, checksum string, "
+    "width int, height int"
+)
+
+
+def pack_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixture generator: wrap each document's UTF-8 bytes as an opaque
+    media blob with a typed metadata envelope (production path ingests real
+    image/audio bytes with the same schema)."""
+    blob = F.encode(F.col(text_col), "utf-8")
+    return docs.select(
+        "doc_id",
+        blob.alias("media"),
+        F.struct(
+            F.lit("image/fake").alias("media_type"),
+            F.octet_length(blob).cast("long").alias("byte_len"),
+            F.md5(blob).alias("checksum"),
+        ).alias("media_meta"),
+    )
+
+
+def fake_decode_dims(byte_len: int) -> tuple[int, int]:
+    """Deterministic stand-in for a codec's (width, height). A real decoder
+    (PIL.Image.open etc.) replaces this function only — the Spark plumbing
+    (batching, schema, partitioning) is unchanged."""
+    return 64 + byte_len % 576, 64 + (byte_len * 7) % 416
+
+
+def extract_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction via mapInPandas.
+
+    The UDF receives an iterator of pandas DataFrames (one per Arrow batch)
+    and yields transformed batches — the canonical shape for plugging in a
+    real decoder while keeping Python overhead per-batch.
+    """
+
+    # NOTE: the closure must be self-contained (stdlib/pandas only). A
+    # reference to any module-global here would make cloudpickle serialize
+    # it by module name, and Spark's Python workers don't have this repo on
+    # their sys.path when the driver runs from elsewhere.
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            blobs = pdf["media"]
+            byte_len = blobs.map(len)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_meta"].map(lambda m: m["media_type"]),
+                    "byte_len": byte_len,
+                    "checksum": blobs.map(
+                        lambda b: _hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    # keep in sync with fake_decode_dims (pinned by
+                    # tests/test_multimodal.py::test_extract_metadata_roundtrip)
+                    "width": byte_len.map(lambda n: 64 + n % 576),
+                    "height": byte_len.map(lambda n: 64 + (n * 7) % 416),
+                }
+            )
+
+    return media.mapInPandas(process, schema=META_SCHEMA)
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """Real codec path — gated on the library actually being present."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "image decode requires PIL; container provides no codecs — "
+            "use extract_metadata (stub decode) instead"
+        ) from exc
+    raise NotImplementedError("real decode not implemented in this environment")
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame:
+    """Video-style frame sampling: fixed-size byte windows → one row per
+    frame, pure column expressions (no Python)."""
+    n_frames = F.ceil(F.col("media_meta.byte_len") / F.lit(frame_bytes)).cast("int")
+    frames = media.select(
+        "doc_id",
+        "media",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    )
+    frame = F.expr(f"substring(media, frame_idx * {frame_bytes} + 1, {frame_bytes})")
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(frame).alias("frame_md5"),
+        F.octet_length(frame).cast("int").alias("frame_bytes"),
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = pack_binary(load_table(spark, sf_dir, "documents"))
+    return extract_metadata(media).orderBy("doc_id")
+
+
+_ORACLE_METADATA = """
+SELECT doc_id,
+       'image/fake' AS media_type,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+       md5(text) AS checksum,
+       CAST(64 + octet_length(CAST(text AS BLOB)) % 576 AS INT) AS width,
+       CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 416 AS INT) AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = pack_binary(load_table(spark, sf_dir, "documents"))
+    return frame_sample(media).orderBy("doc_id", "frame_idx")
+
+
+_ORACLE_FRAMES = f"""
+WITH d AS (
+    SELECT doc_id, text, CAST(CEIL(octet_length(CAST(text AS BLOB)) / {FRAME_BYTES}.0)
+           AS INT) AS n_frames
+    FROM documents
+),
+f AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0, n_frames - 1)) AS frame_idx
+    FROM d
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       md5(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5,
+       CAST(octet_length(CAST(substr(text, frame_idx * {FRAME_BYTES} + 1,
+            {FRAME_BYTES}) AS BLOB)) AS INT) AS frame_bytes
+FROM f
+ORDER BY doc_id, frame_idx
+"""
+
+
+QUERIES = {
+    "multimodal_metadata": q_multimodal_metadata,
+    "multimodal_frames": q_multimodal_frames,
+}
+
+ORACLES = {
+    "multimodal_metadata": _ORACLE_METADATA,
+    "multimodal_frames": _ORACLE_FRAMES,
+}

@@ -1,0 +1,239 @@
+"""Similarity search over the ``embeddings`` table (BASELINE.json
+north-star: brute-force cosine top-k baseline + LSH-bucketed scale path +
+embedding-cosine near-dup).
+
+Scale design:
+
+- vectors are cast to double and the dot product is a JVM-side
+  ``zip_with`` + ``aggregate`` fold — no Python, no UDF, codegen'd;
+- norms are computed once per vector (map-only) and carried, so cosine
+  costs one dot product per pair;
+- **brute force** is the exactness baseline: O(|Q|·N) via a broadcast of
+  the (small) query set against the (huge) candidate table — the big side
+  never shuffles; per-query top-k is a window over qid.
+- **sign-LSH** buckets vectors by the sign pattern of the first
+  ``n_planes`` coordinates (deterministic random hyperplanes would use a
+  seeded projection matrix; coordinate signs keep the oracle portable).
+  Candidates are bucket-mates only → candidate count drops ~2^n_planes;
+  recall < 1 by design and is measured against the brute-force baseline
+  in tests.
+- **near-dup** joins bucket-mates only (same trick as MinHash-LSH for
+  text) — never the full O(N²) pair space. For oracle-checkability the
+  registry query uses the exact pair join at test scale with the
+  LSH-candidates variant tested for recall in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.sources.tables import load_table
+
+N_PLANES = 8
+DEFAULT_K = 5
+NEARDUP_THRESHOLD = 0.3  # synthetic embeddings are near-orthogonal (max ~0.48)
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential fold — deterministic order, bit-identical to DuckDB's
+    list_dot_product on the same doubles (verified empirically)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(v: Column) -> Column:
+    return F.sqrt(dot(v, v))
+
+
+def with_vec(df: DataFrame) -> DataFrame:
+    v = as_double(F.col("embedding"))
+    return df.select("vec_id", v.alias("v"), norm(v).alias("nrm"))
+
+
+def cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    return F.round(F.try_divide(dot(va, vb), na * nb), 6)
+
+
+def topk_bruteforce(
+    emb: DataFrame, query_ids: list[int], k: int = DEFAULT_K
+) -> DataFrame:
+    """Exact top-k: broadcast queries × all candidates."""
+    base = with_vec(emb)
+    q = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    pairs = base.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid", "vec_id", cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")).alias("cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+def sign_bucket(v: Column, n_planes: int = N_PLANES) -> Column:
+    """Bucket id = sign bits of the first n_planes coordinates."""
+    bits = [
+        F.when(F.element_at(v, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_planes)
+    ]
+    return F.concat(*bits)
+
+
+def topk_lsh(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket."""
+    base = with_vec(emb).withColumn("bucket", sign_bucket(F.col("v"), n_planes))
+    q = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    pairs = base.join(F.broadcast(q), "bucket").where(F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid", "vec_id", cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")).alias("cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+def neardup_pairs(
+    emb: DataFrame, threshold: float = NEARDUP_THRESHOLD, lsh: bool = False
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. ``lsh=True`` restricts to sign-bucket
+    mates (the 100 TB path); exact mode is the oracle baseline."""
+    base = with_vec(emb)
+    if lsh:
+        base = base.withColumn("bucket", sign_bucket(F.col("v")))
+    a = base.select(
+        *[F.col(c).alias(f"{c}_a") for c in base.columns]
+    )
+    b = base.select(*[F.col(c).alias(f"{c}_b") for c in base.columns])
+    cond = F.col("vec_id_a") < F.col("vec_id_b")
+    if lsh:
+        joined = a.join(b, F.col("bucket_a") == F.col("bucket_b")).where(cond)
+    else:
+        joined = a.crossJoin(b).where(cond)
+    return (
+        joined.select(
+            F.col("vec_id_a").alias("a"),
+            F.col("vec_id_b").alias("b"),
+            cosine(
+                F.col("v_a"), F.col("v_b"), F.col("nrm_a"), F.col("nrm_b")
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+QUERY_IDS = list(range(8))
+
+_DUCK_BASE = """
+base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+)
+"""
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_bruteforce(load_table(spark, sf_dir, "embeddings"), QUERY_IDS)
+
+
+_ORACLE_ANN_BRUTE = f"""
+WITH {_DUCK_BASE},
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base WHERE vec_id < 8),
+scored AS (
+    SELECT q.qid, b.vec_id,
+           ROUND(list_dot_product(q.qv, b.v) / NULLIF(q.qn * b.nrm, 0), 6) AS cos_sim
+    FROM base b, q WHERE b.vec_id <> q.qid
+),
+ranked AS (
+    SELECT qid, vec_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT qid, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {DEFAULT_K}
+ORDER BY qid, rank
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_lsh(load_table(spark, sf_dir, "embeddings"), QUERY_IDS)
+
+
+_SIGN_BITS = " || ".join(
+    f"(CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(N_PLANES)
+)
+
+_ORACLE_ANN_LSH = f"""
+WITH {_DUCK_BASE},
+bucketed AS (SELECT vec_id, v, nrm, {_SIGN_BITS} AS bucket FROM base),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM bucketed WHERE vec_id < 8),
+scored AS (
+    SELECT q.qid, b.vec_id,
+           ROUND(list_dot_product(q.qv, b.v) / NULLIF(q.qn * b.nrm, 0), 6) AS cos_sim
+    FROM bucketed b JOIN q ON b.bucket = q.bucket
+    WHERE b.vec_id <> q.qid
+),
+ranked AS (
+    SELECT qid, vec_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT qid, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {DEFAULT_K}
+ORDER BY qid, rank
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+_ORACLE_NEARDUP = f"""
+WITH {_DUCK_BASE}
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6) AS cos_sim
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6)
+      >= {NEARDUP_THRESHOLD}
+ORDER BY a, b
+"""
+
+
+QUERIES = {
+    "ann_bruteforce_topk": q_ann_bruteforce,
+    "ann_lsh_topk": q_ann_lsh,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+ORACLES = {
+    "ann_bruteforce_topk": _ORACLE_ANN_BRUTE,
+    "ann_lsh_topk": _ORACLE_ANN_LSH,
+    "embedding_neardup": _ORACLE_NEARDUP,
+}

@@ -1,0 +1,263 @@
+"""Text-analysis operators over the ``documents`` table (BASELINE.json
+north-star: language-ID, quality scoring, token counting, fingerprinting).
+
+Not reference-derived (the reference has no text ops) — these are the
+training-data-pipeline extensions, designed Spark-first:
+
+- all tokenization/scoring is built-in column expressions (split/filter/
+  transform lambdas) — JVM-side, codegen'd, no Python UDFs;
+- fingerprints use md5 (identical in Spark and DuckDB → oracle-checkable);
+- at 100 TB these are embarrassingly parallel map-only stages: no shuffle
+  at all until the final aggregate, so they scale linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.sources.tables import load_table
+
+# Stopword marker sets for the n-gram/stopword language heuristic. The
+# synthetic corpus shares one vocabulary, so marker hits are sparse — the
+# classifier machinery is what matters (deterministic argmax w/ tiebreak).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "zh": ("de0", "le0", "shi0", "bu0", "wo0"),  # pinyin-ish markers
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the corpus is space-delimited; a regex
+    tokenizer drops in here for real corpora)."""
+    return F.split(F.lower(text), " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish sub-word proxy
+    (4-char windows, ~chars/4 rounded up) + distinct-token ratio."""
+    t = tokens(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.ceil(F.length(text_col) / F.lit(4)).cast("long").alias("n_bpe_est"),
+        F.round(
+            F.try_divide(F.size(F.array_distinct(t)), F.size(t)), 6
+        ).alias("ttr"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, mean token length, stopword ratio,
+    non-alpha ratio — the standard pre-training quality heuristics."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    alpha_only = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")
+    return df.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(F.try_divide(F.length(text_col) - n_tok + 1, n_tok), 6).alias(
+            "mean_token_len"
+        ),
+        F.round(F.try_divide(stop_hits, n_tok), 6).alias("stopword_ratio"),
+        F.round(
+            F.try_divide(
+                F.length(text_col) - F.length(alpha_only), F.length(text_col)
+            ),
+            6,
+        ).alias("non_alpha_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: score = |tokens ∩ markers(lang)|,
+    predicted = argmax score (ties → lexicographically first lang, 'und'
+    when no marker hits)."""
+    t = tokens(F.col(text_col))
+
+    def marker_filter(markers: tuple[str, ...]):
+        return lambda x: x.isin(*markers)
+
+    scores = [
+        F.struct(
+            F.size(F.filter(t, marker_filter(markers))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    # array_max on struct(score, lang) orders by score then lang — we want
+    # max score, ties broken by FIRST lang, so invert: sort desc score,
+    # asc lang via (score, negated-rank) — simplest: reduce with greatest
+    # semantics expressed as sort_array on (score desc → use -score asc).
+    best = F.sort_array(
+        F.array(*[
+            F.struct(
+                (-s.getField("score")).alias("neg"),
+                s.getField("lang").alias("lang"),
+                s.getField("score").alias("score"),
+            )
+            for s in scores
+        ])
+    ).getItem(0)
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("lang_meta"),
+        F.when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        best.getField("score").cast("long").alias("marker_hits"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Document fingerprinting: full-text md5 + min-shingle fingerprint
+    (the 1-hash MinHash — a content-defined rolling fingerprint)."""
+    t = tokens(F.col(text_col))
+    sh = shingles(t, k)
+    return df.select(
+        "doc_id",
+        F.md5(F.lower(F.col(text_col))).alias("fp_md5"),
+        F.array_min(F.transform(sh, F.md5)).alias("fp_min_shingle"),
+        F.size(sh).alias("n_shingles"),
+    )
+
+
+def shingles(tok: Column, k: int = 3) -> Column:
+    """k-token shingles as strings; empty array when fewer than k tokens.
+
+    Guarded: Spark's ``sequence(1, n)`` DESCENDS when n < 1, so short
+    documents must short-circuit to an empty array.
+    """
+    n = F.size(tok)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.array_join(F.slice(tok, i, k), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------- queries
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_ORACLE_TOKEN_STATS = """
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks, len(text) AS n_chars
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       CAST(CEIL(n_chars / 4.0) AS BIGINT) AS n_bpe_est,
+       ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / NULLIF(len(toks), 0), 6) AS ttr
+FROM t
+ORDER BY doc_id
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_ORACLE_QUALITY = f"""
+WITH t AS (
+    SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
+           len(text) AS n_chars
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS INT) AS n_chars,
+       CAST(len(toks) AS INT) AS n_tokens,
+       ROUND(CAST(n_chars - len(toks) + 1 AS DOUBLE) / NULLIF(len(toks), 0), 6)
+           AS mean_token_len,
+       ROUND(CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS DOUBLE)
+             / NULLIF(len(toks), 0), 6) AS stopword_ratio,
+       ROUND(CAST(n_chars - len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                  AS DOUBLE) / NULLIF(n_chars, 0), 6) AS non_alpha_ratio
+FROM t
+ORDER BY doc_id
+"""
+
+_MARKER_CASES = "\n".join(
+    f"           CAST(len(list_filter(toks, x -> x IN {markers!r})) AS BIGINT) AS s_{lang},"
+    for lang, markers in sorted(LANG_MARKERS.items())
+)
+
+_ORACLE_LANG_ID = f"""
+WITH t AS (
+    SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
+),
+s AS (
+    SELECT doc_id, lang,
+{_MARKER_CASES}
+    FROM t
+),
+ranked AS (
+    SELECT doc_id, lang AS lang_meta, u.lang AS cand, u.score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY u.score DESC, u.lang) AS rn
+    FROM s, UNNEST([
+        {{'lang': 'de', 'score': s_de}}, {{'lang': 'en', 'score': s_en}},
+        {{'lang': 'es', 'score': s_es}}, {{'lang': 'fr', 'score': s_fr}},
+        {{'lang': 'zh', 'score': s_zh}}
+    ]) AS un(u)
+)
+SELECT doc_id, lang_meta,
+       CASE WHEN score > 0 THEN cand ELSE 'und' END AS lang_pred,
+       score AS marker_hits
+FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_ORACLE_FINGERPRINTS = """
+WITH t AS (
+    SELECT doc_id, lower(text) AS lt, string_split(lower(text), ' ') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, lt,
+           [array_to_string(toks[i:i+2], ' ')
+            FOR i IN generate_series(1, len(toks) - 2)] AS shingles
+    FROM t
+)
+SELECT doc_id,
+       md5(lt) AS fp_md5,
+       list_min(list_transform(shingles, s -> md5(s))) AS fp_min_shingle,
+       CAST(len(shingles) AS INT) AS n_shingles
+FROM sh
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_stats": q_token_stats,
+    "text_quality_scores": q_quality_scores,
+    "text_language_id": q_language_id,
+    "text_fingerprints": q_fingerprints,
+}
+
+ORACLES = {
+    "text_token_stats": _ORACLE_TOKEN_STATS,
+    "text_quality_scores": _ORACLE_QUALITY,
+    "text_language_id": _ORACLE_LANG_ID,
+    "text_fingerprints": _ORACLE_FINGERPRINTS,
+}

@@ -8,9 +8,10 @@ check (reserved for genuinely non-SQL-expressible ops).
 
 from __future__ import annotations
 
+from admob_data_pipeline_spark.operators import dedup, multimodal, similarity, text
 from admob_data_pipeline_spark.plans import relational
 
-_MODULES = [relational]
+_MODULES = [relational, text, dedup, similarity, multimodal]
 
 
 def _merged(attr: str) -> dict:

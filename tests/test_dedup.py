@@ -1,0 +1,64 @@
+"""Behavioral tests for dedup operators (beyond the oracle equivalence
+checks in test_queries_oracle.py): recall/precision properties that the
+oracles can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from admob_data_pipeline_spark.operators import dedup
+from admob_data_pipeline_spark.sources.tables import load_table
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_duplicates_grouping(spark):
+    d = _docs(spark, ["a b c", "a b c", "x y z", "a b c"])
+    got = {
+        r.canonical_doc_id: r.n_docs
+        for r in dedup.exact_duplicates(d).collect()
+    }
+    assert got == {0: 3, 2: 1}
+
+
+def test_jaccard_identical_docs_is_one(spark):
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    d = _docs(spark, [base, base, "q r s t u v w x y z"])
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.99)
+    got = [(r.a, r.b, r.jaccard) for r in pairs.collect()]
+    assert got == [(0, 1, 1.0)]
+
+
+def test_minhash_lsh_precision_and_high_sim_recall(spark, sf_dir):
+    """LSH output must be a subset of true Jaccard pairs (precision 1 —
+    candidates are exact-verified), and catch all high-similarity pairs
+    (banding prob ≈ 0.97 at s=0.8 — on this corpus, all ≥0.8 pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {(r.a, r.b): r.jaccard for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert set(lsh) <= set(truth)
+    high = {p for p, j in truth.items() if j >= 0.8}
+    assert high <= set(lsh)
+
+
+def test_simhash_banding_is_exhaustive_for_hamming_le_3(spark):
+    """≤3 differing bits cannot touch all 4 nibbles → nibble banding has
+    100% recall at the hamming≤3 verification threshold."""
+    texts = [f"tok{i} tok{i+1} tok{i+2} shared0 shared1 shared2" for i in range(12)]
+    d = _docs(spark, texts)
+    sim = {r.doc_id: r.simhash for r in dedup.simhash(d).collect()}
+    expected = {
+        (a, b)
+        for a in sim
+        for b in sim
+        if a < b and bin(sim[a] ^ sim[b]).count("1") <= dedup.HAMMING_MAX
+    }
+    got = {(r.a, r.b) for r in dedup.simhash_pairs(d).collect()}
+    assert got == expected

@@ -1,0 +1,50 @@
+"""Text-operator edge cases the oracles don't exercise."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.operators import text as T
+
+
+def _docs(spark, texts, langs=None):
+    langs = langs or ["en"] * len(texts)
+    return spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang=l, source="s", n_chars=len(t))
+            for i, (t, l) in enumerate(zip(texts, langs))
+        ]
+    )
+
+
+def test_shingles_short_doc_guard(spark):
+    """Spark sequence() descends for n<1 — the guard must yield empty."""
+    d = _docs(spark, ["one two", "one", "a b c d"])
+    sh = d.select(
+        "doc_id", F.size(T.shingles(T.tokens(F.col("text")), 3)).alias("n")
+    )
+    got = {r.doc_id: r.n for r in sh.collect()}
+    assert got == {0: 0, 1: 0, 2: 2}
+
+
+def test_quality_scores_crafted(spark):
+    d = _docs(spark, ["the cat and the hat"])
+    r = T.quality_scores(d).first()
+    assert r.n_tokens == 5
+    assert r.stopword_ratio == 0.6  # the, and, the
+    assert r.non_alpha_ratio == round(4 / 19, 6)  # 4 spaces
+
+
+def test_language_id_markers_and_und(spark):
+    d = _docs(spark, ["der hund und die katze", "qqq zzz"], ["de", "en"])
+    got = {r.doc_id: r.lang_pred for r in T.language_id(d).collect()}
+    assert got[0] == "de"
+    assert got[1] == "und"  # no marker hits
+
+
+def test_fingerprint_stability(spark):
+    d = _docs(spark, ["a b c d e", "a b c d e"])
+    rows = T.fingerprints(d).collect()
+    assert rows[0].fp_md5 == rows[1].fp_md5
+    assert rows[0].fp_min_shingle == rows[1].fp_min_shingle
