@@ -115,31 +115,41 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, i, minhash_i) — hash family h_i(s) = md5(i || '|' || s),
-    min taken lexicographically over hex digests (deterministic and
-    engine-portable, unlike integer-mod families)."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("i")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .groupBy("doc_id", "i")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws("|", F.col("i").cast("string"), F.col("shingle")))
-            ).alias("mh")
-        )
-    )
+    """(doc_id, m0..m{n-1}) — hash family h_i(s) = md5(i || '|' || s), min
+    taken lexicographically over hex digests (deterministic and
+    engine-portable, unlike integer-mod families).
+
+    All n mins are computed in ONE groupBy as n aggregate columns — a
+    single shuffle of pre-aggregated (doc, m0..m7) rows thanks to map-side
+    partial min, instead of exploding n seed copies of every shingle."""
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_band_keys(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
+def lsh_band_keys(
+    sig: DataFrame, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS
+) -> DataFrame:
     """(doc_id, band, band_key): band_key = md5 of the band's minhashes in
-    seed order."""
-    banded = sig.withColumn("band", (F.col("i") / band_rows).cast("int"))
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda s: s.getField("mh")
+    seed order; bands exploded from the wide signature row (no shuffle)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"m{i}") for i in range(b * band_rows, (b + 1) * band_rows)],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_hashes // band_rows)
+        ]
     )
-    return (
-        banded.groupBy("doc_id", "band")
-        .agg(F.md5(F.array_join(ordered, "|")).alias("band_key"))
+    return sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
 
 

@@ -39,6 +39,18 @@ def test_lsh_is_subset_with_measured_recall(spark, sf_dir):
     assert recall > 0, f"sign-LSH recall collapsed: {recall}"
 
 
+def test_neardup_blocked_bit_identical_to_rowwise(spark, sf_dir):
+    """The blocked numpy formulation must reproduce the row-wise fold plan
+    exactly (same per-dimension summation order → same doubles)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rowwise = {(r.a, r.b): r.cos_sim for r in similarity.neardup_pairs(emb).collect()}
+    blocked = {
+        (r.a, r.b): r.cos_sim
+        for r in similarity.neardup_pairs_blocked(emb).collect()
+    }
+    assert rowwise == blocked
+
+
 def test_neardup_lsh_subset_of_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = {(r.a, r.b) for r in similarity.neardup_pairs(emb).collect()}
