@@ -76,7 +76,17 @@ def ctr_anomaly_df(
     events: DataFrame, threshold: float = DEFAULT_THRESHOLD
 ) -> DataFrame:
     """DataFrame translation of native_CTR_alerts.py:226-268 (CTE+join form)."""
-    fact = _with_report_date(daily_fact(events))
+    return ctr_anomaly_from_fact(daily_fact(events), threshold)
+
+
+def ctr_anomaly_from_fact(
+    daily: DataFrame, threshold: float = DEFAULT_THRESHOLD
+) -> DataFrame:
+    """Core W1 logic over any daily fact with columns
+    (date, app_name, ad_unit_name, clicks, impressions) — used both by the
+    events-derived analogue and by the report-table alert job
+    (pipelines.ctr_alert_job)."""
+    fact = _with_report_date(daily)
 
     last7 = (
         fact.where(

@@ -1,0 +1,132 @@
+"""Sinks (SURVEY.md §2.1 S4–S10, §2.8 D1) — the reference's output half.
+
+The reference stages CSV/JSONL objects to GCS, bulk-loads them into
+BigQuery (append or per-date DELETE+append), and POSTs alerts to Slack.
+Here every sink is a Spark writer over one declarative plan:
+
+- S4 CSV sink  → ``write_csv`` (header, optional single-object staging)
+- S5 JSONL     → ``write_jsonl`` (spark json writer IS NDJSON)
+- S6 GCS       → a path scheme: pass ``gs://bucket/...`` with the GCS
+  connector on the classpath; locally a staging dir. No code difference.
+- S7 BQ append → ``append_to_table`` (date-partitioned parquet; swap
+  ``format('parquet')`` for ``format('bigquery')`` with the connector)
+- S8/D1 idempotent per-date reload → ``overwrite_date_partitions``:
+  dynamic partition overwrite replaces exactly the dates present in the
+  incoming frame — the DELETE WHERE date + append pair
+  (native_CTR_alerts.py:182-212; save_network_CSV.py:178-211) as one
+  atomic-per-partition write, no read-modify-write race.
+- S9 Slack     → ``SlackSink`` (driver-side POST after collect; transport
+  injectable — the container has no network)
+- S10 empty guard → ``write_if_nonempty`` (main.py:147-149)
+
+Scale notes: daily exports are small relative to the fact table, so the
+reference's single-object staging maps to ``coalesce(1)`` on the export
+only — the partitioned table write keeps full parallelism and writes one
+file set per date partition (partition pruning on read for free).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S4 — header CSV. ``single_file`` mirrors the reference's one staged
+    object per run (save_CSV.py:141-186): only for small exports."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S5 — NDJSON; Spark's json writer emits one JSON object per line,
+    exactly the reference's ``"\\n".join(json.dumps(r))`` (main.py:89-95)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
+def append_to_table(df: DataFrame, path: str, partition_col: str = "date") -> None:
+    """S7 — WRITE_APPEND + CREATE_IF_NEEDED semantics (main.py:97-109)."""
+    df.write.mode("append").partitionBy(partition_col).parquet(path)
+
+
+def overwrite_date_partitions(
+    df: DataFrame, path: str, partition_col: str = "date"
+) -> None:
+    """S8/D1 — idempotent per-date reload.
+
+    Dynamic partition overwrite replaces ONLY the partitions present in
+    ``df`` and leaves every other date untouched — the pure-Spark
+    equivalent of the reference's DELETE WHERE date='d' + append
+    (native_CTR_alerts.py:182-212), minus the non-atomic window between
+    the two BigQuery jobs.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_if_nonempty(df: DataFrame, writer: Callable[[DataFrame], None]) -> bool:
+    """S10 — skip sinks on an empty day (main.py:147-149,
+    fetch_mediation_report.py:146-148). Returns True if written."""
+    if df.isEmpty():
+        return False
+    writer(df)
+    return True
+
+
+def _default_transport(url: str, payload: bytes, timeout: float) -> int:
+    req = urllib.request.Request(
+        url, data=payload, headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:  # pragma: no cover
+        return resp.status
+
+
+class SlackSink:
+    """S9 — webhook alert sink (native_CTR_alerts.py:309-329).
+
+    POSTs ``{"text": ...}`` per message with the reference's 10 s timeout;
+    non-200 is logged, not raised (parity with :324-329). The HTTP
+    transport is injectable — tests (and this offline container) pass a
+    fake; production uses the urllib default.
+    """
+
+    def __init__(
+        self,
+        webhook_url: str,
+        timeout: float = 10.0,
+        transport: Callable[[str, bytes, float], int] | None = None,
+    ) -> None:
+        self.webhook_url = webhook_url
+        self.timeout = timeout
+        self.transport = transport or _default_transport
+        self.sent: int = 0
+        self.failed: int = 0
+
+    def post_text(self, text: str) -> bool:
+        payload = json.dumps({"text": text}).encode("utf-8")
+        try:
+            status = self.transport(self.webhook_url, payload, self.timeout)
+        except Exception:
+            status = -1
+        ok = status == 200
+        self.sent += ok
+        self.failed += not ok
+        return ok
+
+    def post_messages(self, messages: DataFrame, text_col: str = "message") -> int:
+        """Driver-side action after the (distributed) formatting query —
+        the only part of the alert pipeline that leaves the cluster."""
+        n = 0
+        for row in messages.select(text_col).toLocalIterator():
+            n += self.post_text(row[text_col])
+        return n

@@ -1,0 +1,183 @@
+"""Structured Streaming rendition of the alert pipeline (SURVEY.md §2.9).
+
+The reference has no streaming engine — its "streaming" is a twice-daily
+cron re-running a batch query (Native CTR Alerts.yaml:4-6) with per-date
+idempotent reload. The streaming-native equivalent expresses the same
+computation over the ``events`` stream:
+
+- :func:`daily_rates_stream` — tumbling 1-day event-time windows per
+  app (event_type): the daily clicks/impressions fact the alert query
+  consumes, maintained incrementally with ``withWatermark`` bounding
+  state for late data.
+- :func:`sessionize_stream` — gap-based ``session_window`` sessionization
+  (the canonical custom stateful-op example; the built-in session window
+  subsumes an ``applyInPandasWithState`` implementation for this shape).
+
+Both run as ``trigger(availableNow=True)`` over the parquet-backed event
+log, which is exactly how a production backfill replays the stream — the
+same code serves continuous and catch-up execution. Complete output mode
+is used for the finite-replay queries so every window is emitted
+(append-mode + watermark late-data semantics are pinned separately in
+tests/test_streaming.py).
+
+Scale: state is keyed by (window, app) / (session, user) — partitioned
+across executors by key; watermarks bound state size; parquet source
+splits files across tasks.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.functions.scalars import safe_divide
+from admob_data_pipeline_spark.sources.tables import load_table
+
+SESSION_GAP = "2 hours"
+WATERMARK = "2 days"
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the parquet event log.
+
+    A streaming source cannot infer schema, so it is taken from the RAW
+    batch read (pre-normalization — the testdata's TIMESTAMP(NANOS) column
+    surfaces as bigint nanos) and the same ts normalization as
+    ``load_table`` is applied on the stream."""
+    from admob_data_pipeline_spark.sources.tables import _read_parquet_nanosafe
+
+    raw = _read_parquet_nanosafe(spark, f"{sf_dir}/events.parquet")
+    # the streaming file source requires a directory — point it at sf_dir
+    # and glob-filter to the event log
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def daily_rates_stream(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Tumbling 1-day windows per app: incremental version of the alert
+    query's daily fact (clicks int-scaled exactly as the batch plan)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type").alias("app_name"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("clicks"),
+            F.count(F.lit(1)).alias("impressions"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("date"),
+            "app_name",
+            "clicks",
+            "impressions",
+            F.round(safe_divide(F.col("clicks"), F.col("impressions")), 6).alias("rate"),
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Gap-based sessionization with the built-in session_window: events
+    within ``gap`` of each other (per user) merge into one session."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_milli"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start_epoch"),
+            "n_events",
+            "value_milli",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a finite replay of a streaming plan into a memory sink and
+    return the materialized result as a (static) DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------- queries
+
+def q_streaming_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_available_now(daily_rates_stream(_event_stream(spark, sf_dir)))
+    return out.orderBy("date", "app_name")
+
+
+_ORACLE_DAILY_RATES = """
+SELECT CAST(ts AS DATE) AS date,
+       event_type AS app_name,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS clicks,
+       COUNT(*) AS impressions,
+       ROUND(CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS DOUBLE)
+             / NULLIF(COUNT(*), 0), 6) AS rate
+FROM events
+GROUP BY 1, 2
+ORDER BY date, app_name
+"""
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_available_now(sessionize_stream(_event_stream(spark, sf_dir)))
+    return out.orderBy("user_id", "session_start_epoch")
+
+
+# Gap-sessionization in SQL: a new session starts when the gap to the
+# previous event (per user) exceeds SESSION_GAP; session id = running count
+# of session starts; session start = min(ts) per (user, session id).
+_ORACLE_SESSIONIZE = """
+WITH e AS (
+    SELECT user_id, ts, CAST(FLOOR(value * 1000) AS BIGINT) AS vm,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 2 HOUR
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+s AS (
+    SELECT user_id, ts, vm,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+    FROM e
+)
+SELECT user_id,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(vm) AS BIGINT) AS value_milli
+FROM s
+GROUP BY user_id, sess
+ORDER BY user_id, session_start_epoch
+"""
+
+
+QUERIES = {
+    "streaming_daily_rates": q_streaming_daily_rates,
+    "streaming_sessionize": q_streaming_sessionize,
+}
+
+ORACLES = {
+    "streaming_daily_rates": _ORACLE_DAILY_RATES,
+    "streaming_sessionize": _ORACLE_SESSIONIZE,
+}

@@ -1,0 +1,90 @@
+"""Sink semantics: S4–S10 + the S8 idempotency contract."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.sinks import writers
+
+
+def _day_rows(spark, day: str, values):
+    return spark.createDataFrame(
+        [
+            Row(date=datetime.date.fromisoformat(day), unit=f"u{i}", clicks=v)
+            for i, v in enumerate(values)
+        ]
+    )
+
+
+def test_csv_single_file_with_header(spark, tmp_path):
+    p = str(tmp_path / "csv")
+    writers.write_csv(_day_rows(spark, "2024-01-01", [1, 2]), p, single_file=True)
+    parts = [f for f in os.listdir(p) if f.startswith("part-")]
+    assert len(parts) == 1
+    lines = open(os.path.join(p, parts[0])).read().strip().split("\n")
+    assert lines[0] == "date,unit,clicks"
+    assert len(lines) == 3
+
+
+def test_jsonl_is_ndjson(spark, tmp_path):
+    p = str(tmp_path / "jsonl")
+    writers.write_jsonl(_day_rows(spark, "2024-01-01", [5]), p, single_file=True)
+    parts = [f for f in os.listdir(p) if f.startswith("part-")]
+    rec = json.loads(open(os.path.join(p, parts[0])).readline())
+    assert rec["unit"] == "u0" and rec["clicks"] == 5
+
+
+def test_partition_overwrite_is_idempotent_and_isolated(spark, tmp_path):
+    """Re-running one date must replace exactly that date (S8): the
+    reference's DELETE+append contract (native_CTR_alerts.py:182-212)."""
+    p = str(tmp_path / "table")
+    writers.append_to_table(_day_rows(spark, "2024-01-01", [1, 2]), p)
+    writers.append_to_table(_day_rows(spark, "2024-01-02", [3]), p)
+
+    # re-run day 2 with corrected data — twice (idempotency)
+    for _ in range(2):
+        writers.overwrite_date_partitions(_day_rows(spark, "2024-01-02", [30, 40]), p)
+
+    got = spark.read.parquet(p)
+    by_day = {
+        str(r.date): r.n
+        for r in got.groupBy("date").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_day == {"2024-01-01": 2, "2024-01-02": 2}
+    day2 = sorted(r.clicks for r in got.where(F.col("date") == "2024-01-02").collect())
+    assert day2 == [30, 40]
+    # the overwrite must not have flipped the session's global conf
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") is not None
+    )
+
+
+def test_empty_guard_skips_writer(spark, tmp_path):
+    p = str(tmp_path / "never")
+    df = _day_rows(spark, "2024-01-01", [1]).where(F.lit(False))
+    written = writers.write_if_nonempty(df, lambda d: writers.write_csv(d, p))
+    assert written is False
+    assert not os.path.exists(p)
+
+
+def test_slack_sink_transport_and_failure_logging(spark):
+    calls = []
+
+    def fake_transport(url, payload, timeout):
+        calls.append((url, json.loads(payload), timeout))
+        return 200 if len(calls) == 1 else 500
+
+    sink = writers.SlackSink("https://hooks.example/T/B/X", transport=fake_transport)
+    msgs = spark.createDataFrame(
+        [Row(app_name="a", message="alert A"), Row(app_name="b", message="alert B")]
+    )
+    ok = sink.post_messages(msgs)
+    assert ok == 1 and sink.sent == 1 and sink.failed == 1
+    assert calls[0][0] == "https://hooks.example/T/B/X"
+    assert calls[0][1] == {"text": "alert A"}
+    assert calls[0][2] == 10.0  # reference timeout (native_CTR_alerts.py:310)
