@@ -229,8 +229,12 @@ def format_alert_messages(alerts: DataFrame) -> DataFrame:
     deterministic ``array_sort`` — formatting stays distributed; only the
     final Slack POST is a driver action.
     """
+    # pct is printed at the SAME precision it was rounded to (4): a second
+    # rounding (e.g. %.2f of a 4-decimal value like -64.585) is a decimal
+    # tie that Java (shortest-repr HALF_UP) and C printf (binary nearest)
+    # resolve differently. Printing at the rounding precision has no tie.
     line = F.format_string(
-        "- %s: today %.6f vs 7d avg %.6f (%+.2f%%)",
+        "- %s: today %.6f vs 7d avg %.6f (%+.4f%%)",
         F.col("ad_unit_name"),
         F.col("today_ctr"),
         F.col("avg_ctr_7d"),

@@ -478,6 +478,127 @@ ORDER BY pct_change DESC, t.app_name, t.ad_unit_name
 """
 
 
+# --- calendar rollup (generalizes main.py:127-130's precomputed MONTH/WEEK
+# dims to grouping sets) ---------------------------------------------------
+def q_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.select(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month"),
+        "o_orderstatus",
+        _cents("o_totalprice").alias("price_c"),
+    )
+    return (
+        monthly.rollup("month", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("price_c").alias("sum_price_cents"))
+        .orderBy("month", "o_orderstatus")
+    )
+
+
+_ORACLE_ROLLUP = """
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+       o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM orders
+GROUP BY ROLLUP (month, o_orderstatus)
+ORDER BY month, o_orderstatus
+"""
+
+
+# --- F11: JSON extraction from the events props column --------------------
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("k_bucket")
+    )
+
+
+_ORACLE_PROPS_JSON = """
+WITH e AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT k % 10 AS k_bucket, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+FROM e
+GROUP BY k % 10
+ORDER BY k_bucket
+"""
+
+
+# --- O2+limit: deterministic top-k ---------------------------------------
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", _cents("o_totalprice").alias("price_cents"))
+        .orderBy(F.desc("price_cents"), "o_orderkey")
+        .limit(10)
+    )
+
+
+_ORACLE_TOP_ORDERS = """
+SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders
+ORDER BY price_cents DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- A5/F12: distributed alert message formatting -------------------------
+def q_alert_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = alerts.ctr_anomaly_df(load_table(spark, sf_dir, "events"), threshold=2.0)
+    return alerts.format_alert_messages(scored)
+
+
+_ORACLE_ALERT_MESSAGES = """
+WITH fact AS (
+    SELECT CAST(ts AS DATE) AS date,
+           event_type AS app_name,
+           'u' || CAST(user_id % 8 AS VARCHAR) AS ad_unit_name,
+           CAST(FLOOR(value * 1000) AS BIGINT) AS clicks,
+           CAST(1 AS BIGINT) AS impressions
+    FROM events
+),
+bounds AS (SELECT MAX(date) AS report_date FROM fact),
+last7 AS (
+    SELECT ad_unit_name,
+           CAST(SUM(clicks) AS DOUBLE) / NULLIF(SUM(impressions), 0) AS avg_ctr_7d
+    FROM fact, bounds
+    WHERE date BETWEEN report_date - INTERVAL 7 DAY AND report_date - INTERVAL 1 DAY
+    GROUP BY app_name, ad_unit_name
+),
+today AS (
+    SELECT app_name, ad_unit_name,
+           CAST(SUM(clicks) AS DOUBLE) / NULLIF(SUM(impressions), 0) AS today_ctr
+    FROM fact, bounds
+    WHERE date = report_date
+    GROUP BY app_name, ad_unit_name
+),
+scored AS (
+    SELECT t.app_name, t.ad_unit_name,
+           ROUND(t.today_ctr, 6) AS today_ctr,
+           ROUND(l.avg_ctr_7d, 6) AS avg_ctr_7d,
+           ROUND((t.today_ctr - l.avg_ctr_7d) / NULLIF(l.avg_ctr_7d, 0) * 100, 4)
+               AS pct_change
+    FROM today t JOIN last7 l ON t.ad_unit_name = l.ad_unit_name
+),
+lines AS (
+    SELECT app_name,
+           printf('- %s: today %.6f vs 7d avg %.6f (%+.4f%%)',
+                  ad_unit_name, today_ctr, avg_ctr_7d, pct_change) AS line
+    FROM scored
+    WHERE ABS(pct_change) > 2.0
+)
+SELECT app_name, string_agg(line, chr(10) ORDER BY line) AS message
+FROM lines
+GROUP BY app_name
+ORDER BY app_name
+"""
+
+
 def q_ctr_anomaly_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alerts.ctr_anomaly_sql(spark, sf_dir)
 
@@ -488,11 +609,6 @@ def q_ctr_anomaly_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ctr_anomaly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alerts.ctr_anomaly_window(load_table(spark, sf_dir, "events"))
-
-
-def q_alert_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    alerts_df = alerts.ctr_anomaly_df(load_table(spark, sf_dir, "events"), threshold=2.0)
-    return alerts.format_alert_messages(alerts_df)
 
 
 QUERIES = {
@@ -510,9 +626,17 @@ QUERIES = {
     "ctr_anomaly_sql": q_ctr_anomaly_sql,
     "ctr_anomaly_df": q_ctr_anomaly_df,
     "ctr_anomaly_window": q_ctr_anomaly_window,
+    "calendar_rollup": q_calendar_rollup,
+    "props_json": q_props_json,
+    "top_orders": q_top_orders,
+    "alert_messages": q_alert_messages,
 }
 
 ORACLES = {
+    "calendar_rollup": _ORACLE_ROLLUP,
+    "props_json": _ORACLE_PROPS_JSON,
+    "top_orders": _ORACLE_TOP_ORDERS,
+    "alert_messages": _ORACLE_ALERT_MESSAGES,
     "pricing_summary": _ORACLE_PRICING,
     "global_revenue": _ORACLE_GLOBAL_REVENUE,
     "distinct_priorities": _ORACLE_DISTINCT,

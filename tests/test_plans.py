@@ -1,0 +1,64 @@
+"""Physical-plan pins: the properties that make these plans survive a
+100× scale-up (SURVEY.md §4). A regression here is a performance bug even
+when results stay correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.plans import explain, relational
+from admob_data_pipeline_spark.sources.tables import load_table
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark, sf_dir):
+    df = relational.q_pricing_summary(spark, sf_dir)
+    pushed = explain.pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    schemas = explain.scan_read_schemas(df)
+    # scan must read only the 5 referenced columns, not all 11
+    assert len(schemas) == 1
+    for col in ("l_returnflag", "l_linestatus", "l_quantity"):
+        assert col in schemas[0]
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_tax"):
+        assert col not in schemas[0], schemas[0]
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    """partial (map-side) + final HashAggregate — one shuffle of pre-agg'd
+    rows, never raw rows."""
+    df = relational.q_pricing_summary(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "Partial" in plan
+
+
+def test_dim_join_is_broadcast_not_shuffle(spark, sf_dir):
+    df = relational.q_dim_join_filter(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fact side must not shuffle for the join
+
+
+def test_alert_join_is_broadcast(spark, sf_dir):
+    df = relational.q_ctr_anomaly_df(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_in_list_filter_reaches_scan(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey")
+    )
+    pushed = explain.pushed_filters(df)
+    assert any("c_mktsegment" in p and "In" in p for p in pushed), pushed
+
+
+def test_topk_uses_limit_not_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject — a
+    per-partition top-k + merge, not a full global sort."""
+    df = relational.q_top_orders(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
