@@ -114,19 +114,29 @@ def ngram_jaccard_pairs(
     )
 
 
+MERSENNE_61 = (1 << 61) - 1
+
+
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, m0..m{n-1}) — hash family h_i(s) = md5(i || '|' || s), min
-    taken lexicographically over hex digests (deterministic and
-    engine-portable, unlike integer-mod families).
+    """(doc_id, m0..m{n-1}) — Kirsch-Mitzenmacher family
+    h_i(s) = (h1(s) + i*h2(s)) mod (2^61-1), with h1/h2 = two 60-bit
+    halves of ONE md5 per shingle. One hash invocation instead of n; pure
+    64-bit arithmetic after that (no overflow: h < 2^60, i*h2 < 2^63).
 
     All n mins are computed in ONE groupBy as n aggregate columns — a
     single shuffle of pre-aggregated (doc, m0..m7) rows thanks to map-side
     partial min, instead of exploding n seed copies of every shingle."""
+    h = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 17, 15), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"m{i}")
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MERSENNE_61)).alias(
+            f"m{i}"
+        )
         for i in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_keys(
@@ -356,16 +366,22 @@ _ORACLE_MINHASH = (
     "WITH "
     + _DUCK_SHINGLES.format(max_df=MAX_DF)
     + f""",
+hashed AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h1,
+           CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT) AS h2
+    FROM sh
+),
 sig AS (
-    SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS mh
-    FROM sh, generate_series(0, {N_HASHES - 1}) AS g(i)
-    GROUP BY doc_id, i
+    SELECT doc_id,
+           {", ".join(f"MIN((h1 + {i} * h2) % {MERSENNE_61}) AS m{i}" for i in range(N_HASHES))}
+    FROM hashed
+    GROUP BY doc_id
 ),
 bands AS (
-    SELECT doc_id, CAST(i / {BAND_ROWS} AS INT) AS band,
-           md5(string_agg(mh, '|' ORDER BY i)) AS band_key
-    FROM sig
-    GROUP BY doc_id, CAST(i / {BAND_ROWS} AS INT)
+    SELECT doc_id, g.band,
+           {"CASE " + " ".join(f"WHEN g.band = {b} THEN md5(CAST(m{b * BAND_ROWS} AS VARCHAR) || '|' || CAST(m{b * BAND_ROWS + 1} AS VARCHAR))" for b in range(N_BANDS)) + " END"} AS band_key
+    FROM sig, generate_series(0, {N_BANDS - 1}) AS g(band)
 ),
 cand AS (
     SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b

@@ -119,14 +119,20 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprints(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Document fingerprinting: full-text md5 + min-shingle fingerprint
-    (the 1-hash MinHash — a content-defined rolling fingerprint)."""
-    t = tokens(F.col(text_col))
-    sh = shingles(t, k)
-    return df.select(
+    (the 1-hash MinHash — a content-defined rolling fingerprint).
+
+    Staged through an intermediate select so the shingle array is built
+    once per row, not re-derived per output expression."""
+    staged = df.select(
         "doc_id",
-        F.md5(F.lower(F.col(text_col))).alias("fp_md5"),
-        F.array_min(F.transform(sh, F.md5)).alias("fp_min_shingle"),
-        F.size(sh).alias("n_shingles"),
+        F.lower(F.col(text_col)).alias("lt"),
+        shingles(tokens(F.col(text_col)), k).alias("sh"),
+    )
+    return staged.select(
+        "doc_id",
+        F.md5(F.col("lt")).alias("fp_md5"),
+        F.array_min(F.transform(F.col("sh"), F.md5)).alias("fp_min_shingle"),
+        F.size(F.col("sh")).alias("n_shingles"),
     )
 
 

@@ -400,6 +400,74 @@ ORDER BY date, app
 """
 
 
+# --- skew mitigation: salted aggregation / replicated join ---------------
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage SUM over l_returnflag (3 hot values carrying all
+    rows) — results must be salt-invariant and equal the plain GROUP BY."""
+    from admob_data_pipeline_spark.operators.skew import salted_group_agg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _cents("l_extendedprice").alias("price_c")
+    )
+    return salted_group_agg(li, ["l_returnflag"], {"sum_price_cents": "price_c"}).orderBy(
+        "l_returnflag"
+    )
+
+
+_ORACLE_SALTED_AGG = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicated-salt join of orders (5 hot o_orderpriority values) to a
+    tiny priority-rank dim — equal to the plain join."""
+    from admob_data_pipeline_spark.operators.skew import replicated_skew_join
+
+    o = load_table(spark, sf_dir, "orders")
+    dim = (
+        o.select("o_orderpriority")
+        .distinct()
+        .select(
+            "o_orderpriority",
+            F.element_at(F.split("o_orderpriority", "-"), 1)
+            .cast("int")
+            .alias("priority_rank"),
+        )
+    )
+    joined = replicated_skew_join(o, dim, "o_orderpriority")
+    return (
+        joined.groupBy("priority_rank")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("sum_price_cents"),
+        )
+        .orderBy("priority_rank")
+    )
+
+
+_ORACLE_SALTED_JOIN = """
+WITH dim AS (
+    SELECT DISTINCT o_orderpriority,
+           CAST(string_split(o_orderpriority, '-')[1] AS INT) AS priority_rank
+    FROM orders
+)
+SELECT d.priority_rank,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM orders o JOIN dim d ON o.o_orderpriority = d.o_orderpriority
+GROUP BY d.priority_rank
+ORDER BY d.priority_rank
+"""
+
+
 # --- W1/W2 alert family ---------------------------------------------------
 _ORACLE_ANOMALY_QUIRK = """
 WITH fact AS (
@@ -630,9 +698,13 @@ QUERIES = {
     "props_json": q_props_json,
     "top_orders": q_top_orders,
     "alert_messages": q_alert_messages,
+    "salted_agg": q_salted_agg,
+    "salted_join": q_salted_join,
 }
 
 ORACLES = {
+    "salted_agg": _ORACLE_SALTED_AGG,
+    "salted_join": _ORACLE_SALTED_JOIN,
     "calendar_rollup": _ORACLE_ROLLUP,
     "props_json": _ORACLE_PROPS_JSON,
     "top_orders": _ORACLE_TOP_ORDERS,
