@@ -65,7 +65,10 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _capped_shingles(docs: DataFrame, k: int, max_df: int) -> DataFrame:
-    sh = doc_shingles(docs, k)
+    # cache the exploded shingles: they feed BOTH the hot-shingle census
+    # and the anti-join input — without the cache the (expensive) tokenize/
+    # shingle/explode pipeline runs twice
+    sh = doc_shingles(docs, k).cache()
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -279,6 +282,64 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     )
 
 
+def duplicate_clusters(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_DF,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → duplicate
+    clusters (cluster id = min doc_id in the component; singletons are
+    their own cluster).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(component
+    diameter) rounds. The per-round frames are cached and materialized so
+    lineage stays flat (at 100 TB: checkpoint instead of cache, same loop).
+    This is the engine's 'iterative algorithm' shape — still fully
+    deterministic, so it keeps a (recursive-CTE) oracle.
+    """
+    pairs = ngram_jaccard_pairs(docs, k, threshold, max_df).select("a", "b").cache()
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).cache()
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("a", "doc_id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    comp = labels.withColumnRenamed("label", "cluster_id")
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------- queries
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,14 +510,54 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_clusters(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _DUCK_SHINGLES.format(max_df=MAX_DF)
+    + f""",
+inter AS (
+    SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+    FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    GROUP BY sa.doc_id, sb.doc_id
+),
+pairs AS (
+    SELECT i.a, i.b
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+                / NULLIF(za.n_sh + zb.n_sh - i.n_inter, 0), 6)
+          >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b AS node, r.lbl
+    FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, cs.cluster_size
+FROM comp c JOIN csize cs USING (cluster_id)
+ORDER BY c.doc_id
+"""
+)
+
+
 QUERIES = {
     "dedup_exact": q_exact_dedup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash_pairs,
+    "dedup_clusters": q_duplicate_clusters,
 }
 
 ORACLES = {
+    "dedup_clusters": _ORACLE_CLUSTERS,
     "dedup_exact": _ORACLE_EXACT,
     "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _ORACLE_MINHASH,

@@ -248,6 +248,112 @@ def neardup_pairs_blocked(
     )
 
 
+def topk_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    centroid_mod: int = 25,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: vectors are assigned to their nearest
+    centroid; a query probes only its ``nprobe`` nearest centroids' lists.
+
+    Centroids here are a deterministic sample (``vec_id % centroid_mod ==
+    0``) so the operator is oracle-checkable; a k-means trainer slots into
+    the centroid frame without touching the search plan. At scale the
+    inverted lists are the partitioning: assignment is a broadcast argmax
+    (map-only), and each query touches |probes|/|centroids| of the data.
+    """
+    base, dim = with_vec(emb)
+    cents = base.where(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    # nearest centroid per vector (broadcast argmax, ties → smaller cid)
+    sim_to_cent = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cid",
+        cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cn"), dim).alias("csim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.col("cid"))
+    assigned = (
+        sim_to_cent.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", F.col("cid").alias("list_id"))
+    )
+    # query probes: nprobe nearest centroids per query
+    q = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    q_cent = q.crossJoin(F.broadcast(cents)).select(
+        "qid",
+        "qv",
+        "qn",
+        "cid",
+        cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim).alias("csim"),
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("csim"), F.col("cid"))
+    probes = (
+        q_cent.withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= nprobe)
+        .select("qid", "qv", "qn", F.col("cid").alias("list_id"))
+    )
+    # search only the probed inverted lists
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"), dim).alias(
+                "cos_sim"
+            ),
+        )
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+def quantize_int8(emb: DataFrame) -> DataFrame:
+    """Asymmetric int8 quantization of the embedding column — the storage
+    compression step of a vector pipeline (4 bytes→1 byte per dim).
+
+    Floor quantization (not round-half) keeps cross-engine determinism;
+    reconstruction error is reported as an exact integer micro-sum so it
+    is partition-order-independent.
+    """
+    base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    amax = F.array_max(F.transform(F.col("v"), F.abs))
+    scale = amax / F.lit(127.0)
+    qarr = F.transform(F.col("v"), lambda x: F.floor(x / scale).cast("int"))
+    err = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("q"),
+            lambda x, qi: F.floor(F.abs(x - qi.cast("double") * F.col("scale")) * 1e6).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    staged = base.select("vec_id", "v", scale.alias("scale"), qarr.alias("q"))
+    return staged.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.md5(
+            F.array_join(F.transform(F.col("q"), lambda x: x.cast("string")), ",")
+        ).alias("q_checksum"),
+        err.alias("err_micro"),
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------- queries
 
 QUERY_IDS = list(range(8))
@@ -331,14 +437,91 @@ ORDER BY a, b
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_ivf(load_table(spark, sf_dir, "embeddings"), QUERY_IDS)
+
+
+_ORACLE_ANN_IVF = f"""
+WITH {_DUCK_BASE},
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM base WHERE vec_id % 25 = 0),
+assigned AS (
+    SELECT vec_id, v, nrm, cid AS list_id FROM (
+        SELECT b.vec_id, b.v, b.nrm, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY ROUND(list_dot_product(b.v, c.cv)
+                                  / NULLIF(b.nrm * c.cn, 0), 6) DESC, c.cid
+               ) AS rn
+        FROM base b, cents c
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base WHERE vec_id < 8),
+probes AS (
+    SELECT qid, qv, qn, cid AS list_id FROM (
+        SELECT q.qid, q.qv, q.qn, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND(list_dot_product(q.qv, c.cv)
+                                  / NULLIF(q.qn * c.cn, 0), 6) DESC, c.cid
+               ) AS rn
+        FROM q, cents c
+    ) WHERE rn <= 4
+),
+scored AS (
+    SELECT DISTINCT p.qid, a.vec_id,
+           ROUND(list_dot_product(p.qv, a.v) / NULLIF(p.qn * a.nrm, 0), 6) AS cos_sim
+    FROM probes p JOIN assigned a ON a.list_id = p.list_id
+    WHERE a.vec_id <> p.qid
+),
+ranked AS (
+    SELECT qid, vec_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT qid, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {DEFAULT_K}
+ORDER BY qid, rank
+"""
+
+
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+_ORACLE_QUANTIZE = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+    FROM base
+),
+qd AS (
+    SELECT vec_id, v, scale,
+           list_transform(v, x -> CAST(FLOOR(x / scale) AS INT)) AS q
+    FROM s
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale_r,
+       md5(array_to_string(q, ',')) AS q_checksum,
+       CAST(list_sum([CAST(FLOOR(ABS(v[i] - q[i] * scale) * 1e6) AS BIGINT)
+                      FOR i IN generate_series(1, len(v))]) AS BIGINT) AS err_micro
+FROM qd
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
+    "ann_ivf_topk": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_quantize_int8": q_quantize_int8,
 }
 
 ORACLES = {
     "ann_bruteforce_topk": _ORACLE_ANN_BRUTE,
     "ann_lsh_topk": _ORACLE_ANN_LSH,
+    "ann_ivf_topk": _ORACLE_ANN_IVF,
     "embedding_neardup": _ORACLE_NEARDUP,
+    "embedding_quantize_int8": _ORACLE_QUANTIZE,
 }
