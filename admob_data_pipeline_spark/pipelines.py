@@ -101,10 +101,12 @@ def dual_report_export_job(
     )
     med = chunks_mod.flatten_chunks(
         source.fetch(spark, "mediation", spec),
-        dims=chunks_mod.NETWORK_DIMS,
-        metrics=chunks_mod.NETWORK_METRICS,
+        dims=chunks_mod.MEDIATION_DIMS,
+        metrics=chunks_mod.MEDIATION_METRICS,
     )
-    unioned = net.unionByName(med, allowMissingColumns=True)  # O3
+    # O3 — schemas deliberately differ (mediation carries ad-source dims +
+    # observed_ecpm; network carries format/rpm): align by name, NULL-fill
+    unioned = net.unionByName(med, allowMissingColumns=True)
     out_path = f"{cfg.staging_dir}/admob_{cfg.effective_date:%Y%m%d}.jsonl"
     if not writers.write_if_nonempty(
         unioned, lambda df: writers.write_jsonl(df, out_path, single_file=True)

@@ -275,7 +275,14 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             safe_divide(
                 _cents("o_totalprice"), (F.col("o_custkey") % 5).cast("long")
             ).alias("per_bucket"),  # F1: NULL when o_custkey%5 == 0
-            F.round(F.col("o_totalprice") / F.lit(1000.0), 2).alias("price_k"),  # F2
+            # F2 ROUND with integer-domain HALF_UP: rounding a raw double
+            # near a .xx5 tie diverges across engines (Spark rounds the
+            # shortest decimal repr, DuckDB the binary value) — found at
+            # sf0.1. Exact cents in, deterministic ties.
+            (
+                F.floor((_cents("o_totalprice") + 500) / 1000).cast("double")
+                / F.lit(100.0)
+            ).alias("price_k"),
             F.abs(F.col("o_custkey") - 750).cast("long").alias("dist_mid"),  # F3
             F.date_sub(d, 7).alias("week_before"),  # F4
             F.element_at(F.split("o_orderpriority", "-"), -1).alias("prio_word"),  # F9
@@ -292,7 +299,8 @@ _ORACLE_SCALARS = """
 SELECT o_orderkey,
        CAST(FLOOR(o_totalprice * 100) AS BIGINT)
            / NULLIF(o_custkey % 5, 0) AS per_bucket,
-       ROUND(o_totalprice / 1000.0, 2) AS price_k,
+       FLOOR((CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 500) / 1000.0) / 100.0
+           AS price_k,
        CAST(ABS(o_custkey - 750) AS BIGINT) AS dist_mid,
        CAST(o_orderdate AS DATE) - 7 AS week_before,
        string_split(o_orderpriority, '-')[-1] AS prio_word,

@@ -97,6 +97,29 @@ NETWORK_METRICS = [
 ]
 
 
+MEDIATION_DIMS = [
+    DimSpec("DATE", "date", "date"),
+    DimSpec("APP", "app_name"),
+    DimSpec("AD_UNIT", "ad_unit_name"),
+    DimSpec("AD_SOURCE", "ad_source_name"),
+    DimSpec("AD_SOURCE_INSTANCE", "ad_source_instance_name"),
+    DimSpec("MEDIATION_GROUP", "mediation_group_name"),
+    DimSpec("COUNTRY", "country"),
+]
+
+MEDIATION_METRICS = [
+    MetricSpec("AD_REQUESTS", "ad_requests", "int"),
+    MetricSpec("CLICKS", "clicks", "int"),
+    MetricSpec("ESTIMATED_EARNINGS", "estimated_earnings_micros", "int"),
+    MetricSpec("IMPRESSIONS", "impressions", "int"),
+    MetricSpec("IMPRESSION_CTR", "impression_ctr", "float"),
+    MetricSpec("MATCHED_REQUESTS", "matched_requests", "int"),
+    MetricSpec("MATCH_RATE", "match_rate", "float"),
+    # mediation-only money metric (save_CSV.py:148-151,185)
+    MetricSpec("OBSERVED_ECPM", "observed_ecpm_micros", "int"),
+]
+
+
 def synthesize_chunks_from_lineitem(lineitem: DataFrame) -> DataFrame:
     """Deterministic nested-chunk fixture derived from ``lineitem``.
 

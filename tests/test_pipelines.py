@@ -57,6 +57,13 @@ def test_dual_report_export_writes_jsonl(spark, sf_dir, cfg):
     assert os.path.isdir(path)
     # union kept both scans: mediation is the even-orderkey half
     assert out.count() > load_table(spark, sf_dir, "lineitem").count() * 0.9
+    # O3 schema alignment: network-only and mediation-only columns coexist,
+    # NULL-filled on the other side
+    assert "impression_rpm" in out.columns  # network-only
+    assert "observed_ecpm_micros" in out.columns  # mediation-only
+    net_rows = out.where(F.col("observed_ecpm_micros").isNull())
+    med_rows = out.where(F.col("impression_rpm").isNull())
+    assert net_rows.count() > 0 and med_rows.count() > 0
 
 
 def test_alert_job_end_to_end(spark, sf_dir, cfg, tmp_path):
