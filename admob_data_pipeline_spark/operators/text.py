@@ -150,6 +150,44 @@ def shingles(tok: Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def corpus_filter(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 10_000,
+    min_stopword_ratio: float = 0.0,
+    max_non_alpha: float = 0.5,
+) -> DataFrame:
+    """Composite pre-training corpus filter: quality gates + exact-dup
+    canonicalization in one pass, emitting keep/drop with the FIRST failing
+    rule as the reason (the standard pipeline audit trail).
+
+    All gates are column expressions over one scan + one hash-groupBy for
+    the dup check — the filter stays a two-shuffle job at any corpus size.
+    """
+    q = quality_scores(docs)
+    # exact-dup canonical: first doc_id per content hash keeps
+    hashes = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+    canon = hashes.groupBy("h").agg(F.min("doc_id").alias("canon_id"))
+    dedup = hashes.join(canon, "h").select(
+        "doc_id", (F.col("doc_id") == F.col("canon_id")).alias("is_canonical")
+    )
+    joined = q.join(dedup, "doc_id")
+    reason = (
+        F.when(~F.col("is_canonical"), F.lit("duplicate"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(F.col("stopword_ratio") < min_stopword_ratio, F.lit("low_stopword"))
+        .when(F.col("non_alpha_ratio") > max_non_alpha, F.lit("non_alpha"))
+        .otherwise(F.lit("ok"))
+    )
+    return joined.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+        "n_tokens",
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------- queries
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,7 +292,48 @@ ORDER BY doc_id
 """
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_filter(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_CORPUS_FILTER = f"""
+WITH t AS (
+    SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
+           len(text) AS n_chars, md5(text) AS h
+    FROM documents
+),
+q AS (
+    SELECT doc_id, h,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS DOUBLE)
+               / NULLIF(len(toks), 0) AS stop_r,
+           CAST(n_chars - len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                AS DOUBLE) / NULLIF(n_chars, 0) AS na_r
+    FROM t
+),
+canon AS (SELECT h, MIN(doc_id) AS canon_id FROM q GROUP BY h),
+j AS (
+    SELECT q.*, (q.doc_id = c.canon_id) AS is_canonical
+    FROM q JOIN canon c USING (h)
+),
+r AS (
+    SELECT doc_id, n_tokens,
+           CASE WHEN NOT is_canonical THEN 'duplicate'
+                WHEN n_tokens < 20 THEN 'too_short'
+                WHEN n_tokens > 10000 THEN 'too_long'
+                WHEN ROUND(stop_r, 6) < 0.0 THEN 'low_stopword'
+                WHEN ROUND(na_r, 6) > 0.5 THEN 'non_alpha'
+                ELSE 'ok' END AS reason
+    FROM j
+)
+SELECT doc_id, reason, reason = 'ok' AS keep, n_tokens
+FROM r
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_corpus_filter": q_corpus_filter,
     "text_token_stats": q_token_stats,
     "text_quality_scores": q_quality_scores,
     "text_language_id": q_language_id,
@@ -262,6 +341,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_corpus_filter": _ORACLE_CORPUS_FILTER,
     "text_token_stats": _ORACLE_TOKEN_STATS,
     "text_quality_scores": _ORACLE_QUALITY,
     "text_language_id": _ORACLE_LANG_ID,

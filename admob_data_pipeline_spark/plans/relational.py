@@ -18,7 +18,7 @@ inputs → identical IEEE doubles in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.functions.scalars import safe_divide
@@ -408,6 +408,54 @@ ORDER BY date, app
 """
 
 
+# --- as-of join: each click enriched with the latest prior purchase ------
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from admob_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000).cast("long")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", vm.alias("vm")
+    )
+    right0 = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", vm.alias("pvm"), F.col("event_id").alias("pid")
+    )
+    # dedupe to one purchase per (user, ts): keep max pid — removes order
+    # ambiguity for both engines
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("pid"))
+    right = right0.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    ).drop("_rn")
+    joined = asof_join(left, right, on="user_id", ts="ts", payload_cols=["pvm", "pid"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "vm",
+        F.col("pvm_asof"),
+        F.col("pid_asof"),
+    ).orderBy("event_id")
+
+
+_ORACLE_ASOF = """
+WITH l AS (
+    SELECT event_id, user_id, ts, CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+    FROM events WHERE event_type = 'click'
+),
+r AS (
+    SELECT user_id, ts, CAST(FLOOR(value * 1000) AS BIGINT) AS pvm,
+           event_id AS pid
+    FROM events WHERE event_type = 'purchase'
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT l.event_id, l.user_id,
+       CAST(FLOOR(epoch(l.ts)) AS BIGINT) AS ts_epoch, l.vm,
+       r.pvm AS pvm_asof, r.pid AS pid_asof
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
 # --- skew mitigation: salted aggregation / replicated join ---------------
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage SUM over l_returnflag (3 hot values carrying all
@@ -708,9 +756,11 @@ QUERIES = {
     "alert_messages": q_alert_messages,
     "salted_agg": q_salted_agg,
     "salted_join": q_salted_join,
+    "asof_join": q_asof_join,
 }
 
 ORACLES = {
+    "asof_join": _ORACLE_ASOF,
     "salted_agg": _ORACLE_SALTED_AGG,
     "salted_join": _ORACLE_SALTED_JOIN,
     "calendar_rollup": _ORACLE_ROLLUP,

@@ -74,6 +74,29 @@ def overwrite_date_partitions(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def compact_partitions(
+    spark_df_reader,
+    path: str,
+    dates: list[str],
+    partition_col: str = "date",
+    target_files: int = 1,
+) -> None:
+    """Small-files compaction for a date-partitioned table — the daily
+    maintenance job a 100 TB table needs (streaming/append writers leave
+    many small files per partition; scans pay per-file overhead).
+
+    Rewrites ONLY the named date partitions (dynamic partition overwrite),
+    coalesced to ``target_files`` files each. ``spark_df_reader`` is the
+    SparkSession to read with (kept explicit for testability).
+    """
+    df = (
+        spark_df_reader.read.parquet(path)
+        .where(F.col(partition_col).isin(dates))
+        .coalesce(target_files)
+    )
+    overwrite_date_partitions(df, path, partition_col)
+
+
 def write_if_nonempty(df: DataFrame, writer: Callable[[DataFrame], None]) -> bool:
     """S10 — skip sinks on an empty day (main.py:147-149,
     fetch_mediation_report.py:146-148). Returns True if written."""

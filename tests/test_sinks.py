@@ -64,6 +64,26 @@ def test_partition_overwrite_is_idempotent_and_isolated(spark, tmp_path):
     )
 
 
+def test_compaction_rewrites_only_target_partition(spark, tmp_path):
+    import glob
+
+    p = str(tmp_path / "frag")
+    # fragment day 1 into many files; day 2 untouched
+    frag = _day_rows(spark, "2024-01-01", list(range(20))).repartition(10)
+    writers.append_to_table(frag, p)
+    writers.append_to_table(_day_rows(spark, "2024-01-02", [1, 2]), p)
+    before_d2 = sorted(glob.glob(f"{p}/date=2024-01-02/part-*"))
+
+    writers.compact_partitions(spark, p, ["2024-01-01"])
+
+    after_d1 = glob.glob(f"{p}/date=2024-01-01/part-*")
+    assert len(after_d1) == 1  # compacted
+    assert sorted(glob.glob(f"{p}/date=2024-01-02/part-*")) == before_d2  # untouched
+    got = spark.read.parquet(p)
+    assert got.where(F.col("date") == "2024-01-01").count() == 20
+    assert got.count() == 22
+
+
 def test_empty_guard_skips_writer(spark, tmp_path):
     p = str(tmp_path / "never")
     df = _day_rows(spark, "2024-01-01", [1]).where(F.lit(False))
