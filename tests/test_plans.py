@@ -56,6 +56,23 @@ def test_in_list_filter_reaches_scan(spark, sf_dir):
     assert any("c_mktsegment" in p and "In" in p for p in pushed), pushed
 
 
+def test_dedup_operators_never_cartesian(spark, sf_dir):
+    """The whole point of LSH/banding: candidate generation must be an
+    equi-join on bucket keys — a CartesianProduct (or broadcast NL join)
+    anywhere means the O(N²) pair space leaked back in."""
+    from admob_data_pipeline_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (
+        dedup.ngram_jaccard_pairs(docs),
+        dedup.minhash_lsh_pairs(docs),
+        dedup.simhash_pairs(docs),
+    ):
+        plan = explain.formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_topk_uses_limit_not_global_sort(spark, sf_dir):
     """ORDER BY + LIMIT must compile to TakeOrderedAndProject — a
     per-partition top-k + merge, not a full global sort."""
