@@ -408,6 +408,108 @@ ORDER BY date, app
 """
 
 
+# --- analytic window family (generalizes W1: lag/delta/moving/cumulative) -
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000).cast("long")
+    base = ev.select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ts_epoch"), vm.alias("vm")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id")
+    w3 = w.rowsBetween(-2, 0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return base.select(
+        "event_id",
+        "user_id",
+        "vm",
+        F.row_number().over(w).alias("rn"),
+        F.lag("vm").over(w).alias("prev_vm"),
+        (F.col("vm") - F.lag("vm").over(w)).alias("delta_vm"),
+        F.sum("vm").over(w3).alias("moving3_vm"),
+        F.sum("vm").over(wcum).alias("cum_vm"),
+    ).orderBy("event_id")
+
+
+_ORACLE_WINDOW = """
+WITH base AS (
+    SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch,
+           CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+    FROM events
+)
+SELECT event_id, user_id, vm,
+       CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+       LAG(vm) OVER w AS prev_vm,
+       vm - LAG(vm) OVER w AS delta_vm,
+       CAST(SUM(vm) OVER (PARTITION BY user_id ORDER BY ts_epoch, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS moving3_vm,
+       CAST(SUM(vm) OVER (PARTITION BY user_id ORDER BY ts_epoch, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vm
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch, event_id)
+ORDER BY event_id
+"""
+
+
+# --- histogram / binning --------------------------------------------------
+def q_revenue_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(_cents("l_extendedprice") / F.lit(500_000)).cast("int")
+    return (
+        li.select(bucket.alias("bucket"), _cents("l_extendedprice").alias("cents"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+        .orderBy("bucket")
+    )
+
+
+_ORACLE_HISTOGRAM = """
+WITH b AS (
+    SELECT CAST(FLOOR(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) / 500000.0)
+                AS INT) AS bucket,
+           CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem
+)
+SELECT bucket, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+# --- exact quantiles (distribution stats per group) ----------------------
+def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _cents("l_extendedprice").alias("c")
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(c, 0.25)").alias("p25"),
+            F.expr("percentile(c, 0.5)").alias("p50"),
+            F.expr("percentile(c, 0.9)").alias("p90"),
+            F.expr("percentile(c, 0.99)").alias("p99"),
+            F.min("c").alias("cmin"),
+            F.max("c").alias("cmax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_QUANTILES = """
+WITH b AS (
+    SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c
+    FROM lineitem
+)
+SELECT l_returnflag,
+       quantile_cont(c, 0.25) AS p25,
+       quantile_cont(c, 0.5) AS p50,
+       quantile_cont(c, 0.9) AS p90,
+       quantile_cont(c, 0.99) AS p99,
+       MIN(c) AS cmin,
+       MAX(c) AS cmax
+FROM b GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # --- as-of join: each click enriched with the latest prior purchase ------
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from admob_data_pipeline_spark.operators.asof import asof_join
@@ -757,10 +859,16 @@ QUERIES = {
     "salted_agg": q_salted_agg,
     "salted_join": q_salted_join,
     "asof_join": q_asof_join,
+    "window_analytics": q_window_analytics,
+    "revenue_histogram": q_revenue_histogram,
+    "quantile_stats": q_quantile_stats,
 }
 
 ORACLES = {
+    "quantile_stats": _ORACLE_QUANTILES,
     "asof_join": _ORACLE_ASOF,
+    "window_analytics": _ORACLE_WINDOW,
+    "revenue_histogram": _ORACLE_HISTOGRAM,
     "salted_agg": _ORACLE_SALTED_AGG,
     "salted_join": _ORACLE_SALTED_JOIN,
     "calendar_rollup": _ORACLE_ROLLUP,
