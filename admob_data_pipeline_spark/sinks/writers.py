@@ -97,6 +97,31 @@ def compact_partitions(
     overwrite_date_partitions(df, path, partition_col)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(key) at WRITE time
+    so repeated joins/aggregations on ``key`` skip their shuffle entirely
+    (plan shows no Exchange on the bucketed side — pinned in
+    tests/test_bucketing.py).
+
+    This is the 100 TB answer for a fact table joined on the same key by
+    every downstream query: pay one shuffle at ingest, never again. Pair
+    with ``spark.conf spark.sql.sources.bucketing.enabled`` (default on)
+    and equal bucket counts on both join sides.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def write_if_nonempty(df: DataFrame, writer: Callable[[DataFrame], None]) -> bool:
     """S10 — skip sinks on an empty day (main.py:147-149,
     fetch_mediation_report.py:146-148). Returns True if written."""
