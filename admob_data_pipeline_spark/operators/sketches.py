@@ -1,0 +1,82 @@
+"""Mergeable sketches expressed as DataFrame plans.
+
+KMV (k-minimum-values) distinct-count sketch: hash every value to a
+uniform fraction in (0,1); keep the k smallest hashes per group; estimate
+``NDV ≈ (k-1) / h_k`` where ``h_k`` is the k-th smallest fraction.
+
+Why KMV and not HyperLogLog here: Spark's and DuckDB's builtin
+``approx_count_distinct`` use different HLL implementations, so their
+estimates can't cross-check. KMV over md5 is *deterministic and
+engine-identical*, giving a sketch whose exact output (not just its error
+bound) has an oracle — while keeping the real sketch properties:
+fixed-size state, mergeable, one-pass.
+
+The two-stage plan IS the mergeable-sketch pattern in DataFrame algebra:
+
+  stage 1 (partial): per (group, salt) keep the k smallest hashes;
+  stage 2 (merge):   union the partials' arrays, re-take the k smallest.
+
+The merge of k-smallest sets equals the global k-smallest, so the result
+is identical to a single global rank — but only k doubles per partial
+group cross the merge shuffle. (The in-memory partial still materializes
+its slice's distinct set via collect_set; capping THAT at k too takes a
+custom TypedImperativeAggregate — the shuffle-bounding two-stage shape is
+the part DataFrame algebra can express.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_K = 64
+_SALTS = 16
+
+
+def _hash_fraction(value: Column) -> Column:
+    """md5 → uniform fraction in (0,1): first 13 hex digits / 16^13.
+    13 hex digits = 52 bits — exactly representable in a double, so the
+    division is exact and identical in every engine."""
+    return F.conv(F.substring(F.md5(value), 1, 13), 16, 10).cast("double") / F.lit(
+        float(16**13)
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Per-group distinct-count estimate via a two-stage KMV sketch.
+
+    Output: (group, ndv_est DOUBLE, exact-when-small flag). When a group
+    has fewer than k distinct hashes the sketch IS the distinct set and
+    the estimate is exact.
+    """
+    h = _hash_fraction(F.col(value_col))
+    hashed = df.select(
+        F.col(group_col), h.alias("h"), (F.spark_partition_id() % _SALTS).alias("_salt")
+    )
+    partial = (
+        hashed.groupBy(group_col, "_salt")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("mins"))
+    )
+    merged = (
+        partial.groupBy(group_col)
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))), 1, k
+            ).alias("mins")
+        )
+    )
+    n = F.size("mins")
+    kth = F.element_at("mins", k)
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.round((F.lit(k - 1) / kth), 4)
+    )
+    return merged.select(
+        group_col,
+        est.alias("ndv_est"),
+        (n < k).alias("is_exact"),
+    )

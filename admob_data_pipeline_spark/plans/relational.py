@@ -475,6 +475,39 @@ FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
+# --- KMV distinct sketch (deterministic, engine-identical) ----------------
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from admob_data_pipeline_spark.operators.sketches import kmv_distinct
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_custkey").cast("string").alias("ck")
+    )
+    return kmv_distinct(o, "o_orderpriority", "ck").orderBy("o_orderpriority")
+
+
+_ORACLE_KMV = """
+WITH h AS (
+    SELECT DISTINCT o_orderpriority AS g,
+           CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13) AS BIGINT)
+               / POWER(16, 13) AS h
+    FROM orders
+),
+ranked AS (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM h
+),
+agg AS (
+    SELECT g, COUNT(*) AS n_mins, MAX(CASE WHEN rn = 64 THEN h END) AS h64
+    FROM ranked WHERE rn <= 64 GROUP BY g
+)
+SELECT g AS o_orderpriority,
+       CASE WHEN n_mins < 64 THEN CAST(n_mins AS DOUBLE)
+            ELSE ROUND(63.0 / h64, 4) END AS ndv_est,
+       n_mins < 64 AS is_exact
+FROM agg
+ORDER BY o_orderpriority
+"""
+
+
 # --- exact quantiles (distribution stats per group) ----------------------
 def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -862,10 +895,12 @@ QUERIES = {
     "window_analytics": q_window_analytics,
     "revenue_histogram": q_revenue_histogram,
     "quantile_stats": q_quantile_stats,
+    "kmv_distinct": q_kmv_distinct,
 }
 
 ORACLES = {
     "quantile_stats": _ORACLE_QUANTILES,
+    "kmv_distinct": _ORACLE_KMV,
     "asof_join": _ORACLE_ASOF,
     "window_analytics": _ORACLE_WINDOW,
     "revenue_histogram": _ORACLE_HISTOGRAM,

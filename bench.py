@@ -38,6 +38,12 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "embedding_neardup",
     "multimodal_frames",
+    "asof_join",
+    "window_analytics",
+    "text_corpus_filter",
+    "ann_ivf_topk",
+    "salted_agg",
+    "kmv_distinct",
 ]
 
 
