@@ -188,6 +188,48 @@ def corpus_filter(
     ).orderBy("doc_id")
 
 
+def dataset_split(
+    docs: DataFrame,
+    seed: str = "split-seed-1",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash:
+    split(doc) = f(md5(seed || doc_id)) — reproducible across runs,
+    clusters, and engines; changing the seed re-shuffles assignments
+    without touching data. The standard leakage-safe split for training
+    corpora (hash the ID, never random())."""
+    frac = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.col("doc_id").cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16**13))
+    split = (
+        F.when(frac < val_frac, F.lit("val"))
+        .when(frac < val_frac + test_frac, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+def vocabulary(docs: DataFrame, top_n: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: document frequency + occurrence count per token,
+    top-N by (df desc, token) — the vocab/BPE-prep pass of a text
+    pipeline. One explode + one groupBy; top-N via TakeOrderedAndProject."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("occurrences"),
+        )
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(top_n)
+    )
+
+
 # ---------------------------------------------------------------- queries
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,7 +374,55 @@ ORDER BY doc_id
 """
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dataset_split(load_table(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("split")
+    )
+
+
+_ORACLE_SPLIT = """
+WITH f AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5('split-seed-1' || '|' || CAST(doc_id AS VARCHAR)),
+                               1, 13) AS BIGINT) / POWER(16, 13) AS frac
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           CASE WHEN frac < 0.1 THEN 'val'
+                WHEN frac < 0.2 THEN 'test'
+                ELSE 'train' END AS split
+    FROM f
+)
+SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocabulary(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_VOCAB = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+)
+SELECT token,
+       COUNT(DISTINCT doc_id) AS doc_freq,
+       COUNT(*) AS occurrences
+FROM tok
+GROUP BY token
+ORDER BY doc_freq DESC, token
+LIMIT 100
+"""
+
+
 QUERIES = {
+    "text_dataset_split": q_dataset_split,
+    "text_vocabulary": q_vocabulary,
     "text_corpus_filter": q_corpus_filter,
     "text_token_stats": q_token_stats,
     "text_quality_scores": q_quality_scores,
@@ -341,6 +431,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_dataset_split": _ORACLE_SPLIT,
+    "text_vocabulary": _ORACLE_VOCAB,
     "text_corpus_filter": _ORACLE_CORPUS_FILTER,
     "text_token_stats": _ORACLE_TOKEN_STATS,
     "text_quality_scores": _ORACLE_QUALITY,
