@@ -230,6 +230,52 @@ def vocabulary(docs: DataFrame, top_n: int = 100, text_col: str = "text") -> Dat
     )
 
 
+def hashing_vectorizer(
+    docs: DataFrame, dim: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """Feature-hashing vectorizer: token t lands in bucket md5(t) mod dim,
+    vector[i] = count of tokens in bucket i — the classic trick that turns
+    unbounded vocab into fixed-width features with no vocabulary table
+    (and thus no shuffle to build one).
+
+    One explode + one groupBy; the dense vector assembles from the sparse
+    (bucket, count) map per doc. Output also carries the l2 norm so the
+    vector can flow straight into the similarity operators.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 13), 16, 10).cast("long")
+        % dim
+    ).cast("int")
+    counts = (
+        docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+        .select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m"))
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("m").getItem(i.cast("int")), F.lit(0).cast("long")),
+    )
+    staged = counts.select("doc_id", vec.alias("vec"))
+    l2 = F.sqrt(
+        F.aggregate(
+            F.col("vec"),
+            F.lit(0.0),
+            lambda acc, x: acc + (x * x).cast("double"),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        F.md5(F.array_join(F.transform(F.col("vec"), lambda x: x.cast("string")), ","))
+        .alias("vec_checksum"),
+        F.element_at("vec", 1).alias("v0"),
+        F.element_at("vec", dim).alias(f"v{dim - 1}"),
+        F.round(l2, 6).alias("l2_norm"),
+    )
+
+
 # ---------------------------------------------------------------- queries
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,6 +420,43 @@ ORDER BY doc_id
 """
 
 
+def q_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hashing_vectorizer(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_ORACLE_VECTORIZER = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+bucketed AS (
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(token), 1, 13) AS BIGINT) % 32 AS INT) AS b
+    FROM tok
+),
+counts AS (
+    SELECT doc_id, b, COUNT(*) AS c FROM bucketed GROUP BY doc_id, b
+),
+maps AS (
+    SELECT doc_id, MAP(array_agg(b), array_agg(c)) AS m
+    FROM counts GROUP BY doc_id
+),
+vecs AS (
+    SELECT doc_id,
+           [COALESCE(map_extract(m, CAST(i AS INT))[1], 0)
+            FOR i IN generate_series(0, 31)] AS vec
+    FROM maps
+)
+SELECT doc_id,
+       md5(array_to_string(vec, ',')) AS vec_checksum,
+       vec[1] AS v0,
+       vec[32] AS v31,
+       ROUND(sqrt(list_sum(list_transform(vec, x -> CAST(x*x AS DOUBLE)))), 6)
+           AS l2_norm
+FROM vecs
+ORDER BY doc_id
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dataset_split(load_table(spark, sf_dir, "documents"))
     return (
@@ -421,6 +504,7 @@ LIMIT 100
 
 
 QUERIES = {
+    "text_hashing_vectorizer": q_hashing_vectorizer,
     "text_dataset_split": q_dataset_split,
     "text_vocabulary": q_vocabulary,
     "text_corpus_filter": q_corpus_filter,
@@ -431,6 +515,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_hashing_vectorizer": _ORACLE_VECTORIZER,
     "text_dataset_split": _ORACLE_SPLIT,
     "text_vocabulary": _ORACLE_VOCAB,
     "text_corpus_filter": _ORACLE_CORPUS_FILTER,
