@@ -591,6 +591,51 @@ ORDER BY l.event_id
 """
 
 
+# --- range join: events ∈ weekly campaign windows -------------------------
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from admob_data_pipeline_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", F.floor(F.col("value") * 1000).cast("long").alias("vm")
+    )
+    bounds = ev.agg(
+        F.date_trunc("week", F.min("ts")).alias("w0"), F.max("ts").alias("tmax")
+    )
+    campaigns = bounds.select(
+        F.explode(
+            F.sequence(F.col("w0"), F.col("tmax"), F.expr("interval 7 days"))
+        ).alias("start_ts")
+    ).select(
+        "start_ts", (F.col("start_ts") + F.expr("interval 3 days")).alias("end_ts")
+    )
+    joined = range_join(ev, campaigns, "ts", "start_ts", "end_ts")
+    return (
+        joined.groupBy(F.col("start_ts").cast("long").alias("campaign_start_epoch"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("vm").alias("value_milli"))
+        .orderBy("campaign_start_epoch")
+    )
+
+
+_ORACLE_RANGE_JOIN = """
+WITH ev AS (
+    SELECT event_id, ts, CAST(FLOOR(value * 1000) AS BIGINT) AS vm FROM events
+),
+bounds AS (
+    SELECT date_trunc('week', MIN(ts)) AS w0, MAX(ts) AS tmax FROM ev
+),
+campaigns AS (
+    SELECT unnest(generate_series(w0, tmax, INTERVAL 7 DAY)) AS start_ts FROM bounds
+),
+c2 AS (SELECT start_ts, start_ts + INTERVAL 3 DAY AS end_ts FROM campaigns)
+SELECT CAST(FLOOR(epoch(c2.start_ts)) AS BIGINT) AS campaign_start_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(ev.vm) AS BIGINT) AS value_milli
+FROM ev JOIN c2 ON ev.ts >= c2.start_ts AND ev.ts <= c2.end_ts
+GROUP BY c2.start_ts
+ORDER BY campaign_start_epoch
+"""
+
+
 # --- skew mitigation: salted aggregation / replicated join ---------------
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage SUM over l_returnflag (3 hot values carrying all
@@ -991,9 +1036,11 @@ QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "shipping_priority": q_shipping_priority,
     "regional_revenue": q_regional_revenue,
+    "range_join": q_range_join,
 }
 
 ORACLES = {
+    "range_join": _ORACLE_RANGE_JOIN,
     "shipping_priority": _ORACLE_Q3,
     "regional_revenue": _ORACLE_Q5,
     "quantile_stats": _ORACLE_QUANTILES,
