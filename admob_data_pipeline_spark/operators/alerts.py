@@ -40,15 +40,6 @@ from admob_data_pipeline_spark.sources.tables import load_table
 
 DEFAULT_THRESHOLD = 25.0
 
-_OUT_COLS = (
-    "app_name",
-    "ad_unit_name",
-    "today_ctr",
-    "avg_ctr_7d",
-    "pct_change",
-    "is_alert",
-)
-
 
 def daily_fact(events: DataFrame) -> DataFrame:
     """events → daily per-(app, unit) fact at the reference report grain.
