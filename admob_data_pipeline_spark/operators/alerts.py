@@ -116,7 +116,8 @@ def ctr_anomaly_sql(
 ) -> DataFrame:
     """spark.sql ANSI translation of the reference query (SAFE_DIVIDE →
     NULLIF-guarded division; BigQuery DATE_SUB INTERVAL → date_sub)."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    # scoped view name: never clobber a caller-owned "events" view
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("admob_events_src")
     return spark.sql(
         f"""
         WITH fact AS (
@@ -125,7 +126,7 @@ def ctr_anomaly_sql(
                    CONCAT('u', CAST(user_id % 8 AS STRING)) AS ad_unit_name,
                    CAST(FLOOR(value * 1000) AS BIGINT) AS clicks,
                    CAST(1 AS BIGINT) AS impressions
-            FROM events
+            FROM admob_events_src
         ),
         bounds AS (SELECT MAX(date) AS report_date FROM fact),
         last7 AS (
