@@ -248,50 +248,122 @@ def neardup_pairs_blocked(
     )
 
 
+def train_kmeans_centroids(emb: DataFrame, n_clusters: int, seed: int = 7) -> DataFrame:
+    """Train IVF centroids with Spark MLlib k-means (Lloyd's, distributed).
+
+    Returns a ``(cid, cv)`` frame that drops straight into
+    :func:`topk_ivf`'s ``centroids`` parameter. Not oracle-checkable
+    (k-means init/iteration order is engine-specific), so the registry
+    query keeps the deterministic sampled centroids; this trainer is
+    covered by a recall-vs-bruteforce pytest instead.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = emb.select(
+        "vec_id", array_to_vector(as_double(F.col("embedding"))).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(feats)
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid bigint, cv array<double>",
+    )
+    return cents
+
+
+def assign_lists(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as a **map-only vectorized pass**: the
+    centroid matrix is collected (small by construction: k centroids) and
+    shipped to every task; each Arrow batch computes all N×C cosines as
+    C-loop numpy outer products and emits one ``list_id`` per vector.
+
+    This is the 100 TB-scale formulation — no N×C row materialization, no
+    shuffle; cost is a dense matmul per input split. Float parity: scores
+    and norms accumulate per-dimension left-to-right, the same summation
+    order as the JVM ``aggregate`` fold and DuckDB ``list_dot_product``,
+    so the argmax (raw cosine DESC, cid ASC on exact ties) is bit-identical
+    to the SQL oracle's ROW_NUMBER ordering.
+    """
+    cent_rows = cents.orderBy("cid").collect()
+    cent_ids = [int(r["cid"]) for r in cent_rows]
+    cent_mat = [list(r["cv"]) for r in cent_rows]
+
+    def assign(batches):
+        import numpy as np
+
+        C = np.asarray(cent_mat, dtype=np.float64)  # (c, d)
+        ids = np.asarray(cent_ids, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf["v"].to_numpy()).astype(np.float64)  # (n, d)
+            d = X.shape[1]
+            S = np.zeros((X.shape[0], C.shape[0]))
+            nx = np.zeros(X.shape[0])
+            nc = np.zeros(C.shape[0])
+            for i in range(d):  # left-to-right accumulation = fold order
+                S += np.outer(X[:, i], C[:, i])
+                nx += X[:, i] * X[:, i]
+                nc += C[:, i] * C[:, i]
+            denom = np.outer(np.sqrt(nx), np.sqrt(nc))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, -np.inf, S / denom)
+            # argmax returns the FIRST max → smallest cid on exact ties,
+            # matching ORDER BY cos DESC, cid ASC
+            pdf = pdf.assign(list_id=ids[np.argmax(cos, axis=1)])
+            yield pdf[["vec_id", "v", "nrm", "list_id"]]
+
+    return base.mapInPandas(
+        assign, schema="vec_id bigint, v array<double>, nrm double, list_id bigint"
+    )
+
+
 def topk_ivf(
     emb: DataFrame,
     query_ids: list[int],
     k: int = DEFAULT_K,
     centroid_mod: int = 25,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: vectors are assigned to their nearest
     centroid; a query probes only its ``nprobe`` nearest centroids' lists.
 
-    Centroids here are a deterministic sample (``vec_id % centroid_mod ==
-    0``) so the operator is oracle-checkable; a k-means trainer slots into
-    the centroid frame without touching the search plan. At scale the
-    inverted lists are the partitioning: assignment is a broadcast argmax
-    (map-only), and each query touches |probes|/|centroids| of the data.
+    Default centroids are a deterministic sample (``vec_id % centroid_mod
+    == 0``) so the operator is oracle-checkable; pass
+    ``centroids=train_kmeans_centroids(...)`` for trained lists — the
+    search plan is identical. At scale the inverted lists are the
+    partitioning: assignment is a map-only vectorized argmax
+    (:func:`assign_lists`), and each query touches ~nprobe/|centroids|
+    of the data via a broadcast join on ``list_id``.
+
+    Assignment and probe selection order by the RAW cosine (bit-identical
+    across Spark/numpy/DuckDB — see ROUND_NOTES playbook); only the
+    displayed ``cos_sim`` is rounded.
     """
     base, dim = with_vec(emb)
-    cents = base.where(F.col("vec_id") % centroid_mod == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
-    # nearest centroid per vector (broadcast argmax, ties → smaller cid)
-    sim_to_cent = base.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        "nrm",
-        "cid",
-        cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cn"), dim).alias("csim"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.col("cid"))
-    assigned = (
-        sim_to_cent.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", F.col("cid").alias("list_id"))
-    )
-    # query probes: nprobe nearest centroids per query
+    if centroids is None:
+        cents = base.where(F.col("vec_id") % centroid_mod == 0).select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    else:
+        cv = as_double(F.col("cv"))
+        cents = centroids.select(
+            F.col("cid").cast("bigint").alias("cid"),
+            cv.alias("cv"),
+            norm(cv, dim).alias("cn"),
+        )
+    assigned = assign_lists(base, cents.select("cid", "cv"))
+    # query probes: nprobe nearest centroids per query (tiny: |Q|×|C|)
     q = base.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
+    raw_q_cos = F.try_divide(dot(F.col("qv"), F.col("cv"), dim), F.col("qn") * F.col("cn"))
     q_cent = q.crossJoin(F.broadcast(cents)).select(
-        "qid",
-        "qv",
-        "qn",
-        "cid",
-        cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim).alias("csim"),
+        "qid", "qv", "qn", "cid", raw_q_cos.alias("csim")
     )
     w_probe = Window.partitionBy("qid").orderBy(F.desc("csim"), F.col("cid"))
     probes = (
@@ -449,8 +521,8 @@ assigned AS (
         SELECT b.vec_id, b.v, b.nrm, c.cid,
                ROW_NUMBER() OVER (
                    PARTITION BY b.vec_id
-                   ORDER BY ROUND(list_dot_product(b.v, c.cv)
-                                  / NULLIF(b.nrm * c.cn, 0), 6) DESC, c.cid
+                   ORDER BY list_dot_product(b.v, c.cv)
+                            / NULLIF(b.nrm * c.cn, 0) DESC, c.cid
                ) AS rn
         FROM base b, cents c
     ) WHERE rn = 1
@@ -461,8 +533,8 @@ probes AS (
         SELECT q.qid, q.qv, q.qn, c.cid,
                ROW_NUMBER() OVER (
                    PARTITION BY q.qid
-                   ORDER BY ROUND(list_dot_product(q.qv, c.cv)
-                                  / NULLIF(q.qn * c.cn, 0), 6) DESC, c.cid
+                   ORDER BY list_dot_product(q.qv, c.cv)
+                            / NULLIF(q.qn * c.cn, 0) DESC, c.cid
                ) AS rn
         FROM q, cents c
     ) WHERE rn <= 4
