@@ -18,10 +18,10 @@ The two-stage plan IS the mergeable-sketch pattern in DataFrame algebra:
 
 The merge of k-smallest sets equals the global k-smallest, so the result
 is identical to a single global rank — but only k doubles per partial
-group cross the merge shuffle. (The in-memory partial still materializes
-its slice's distinct set via collect_set; capping THAT at k too takes a
-custom TypedImperativeAggregate — the shuffle-bounding two-stage shape is
-the part DataFrame algebra can express.)
+group cross the merge shuffle. The partial is a ``mapInPandas`` pass that
+keeps at most k distinct hashes per group per Arrow batch, so executor
+state is bounded by groups-per-batch × k regardless of input cardinality
+(the role a TypedImperativeAggregate would play JVM-side).
 """
 
 from __future__ import annotations
@@ -30,7 +30,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_K = 64
-_SALTS = 16
 
 
 def _hash_fraction(value: Column) -> Column:
@@ -55,13 +54,25 @@ def kmv_distinct(
     the estimate is exact.
     """
     h = _hash_fraction(F.col(value_col))
-    hashed = df.select(
-        F.col(group_col), h.alias("h"), (F.spark_partition_id() % _SALTS).alias("_salt")
-    )
-    partial = (
-        hashed.groupBy(group_col, "_salt")
-        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("mins"))
-    )
+    hashed = df.select(F.col(group_col).alias("g"), h.alias("h"))
+
+    def partial_kmins(batches):
+        # Self-contained closure (workers don't share the driver's sys.path).
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [
+                {"g": g, "mins": sorted(set(grp["h"]))[:k]}
+                for g, grp in pdf.groupby("g", sort=False)
+            ]
+            yield pd.DataFrame(rows)
+
+    g_type = hashed.schema["g"].dataType.simpleString()
+    partial = hashed.mapInPandas(
+        partial_kmins, schema=f"g {g_type}, mins array<double>"
+    ).withColumnRenamed("g", group_col)
     merged = (
         partial.groupBy(group_col)
         .agg(
