@@ -26,6 +26,8 @@ keeps a full value-checked oracle.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from admob_data_pipeline_spark.operators.util import widen_if_narrow
 from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.operators.text import shingles, tokens
@@ -43,7 +45,10 @@ HAMMING_MAX = 3
 
 
 def doc_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) distinct pairs."""
+    """(doc_id, shingle) distinct pairs. Widened first: the tokenize/
+    shingle/explode kernel is CPU-bound and must not inherit a small
+    file's single-split parallelism (no-op on real multi-split scans)."""
+    docs = widen_if_narrow(docs)
     return (
         docs.select(
             "doc_id", F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("shingle")
@@ -216,7 +221,7 @@ def minhash_lsh_pairs(
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash over distinct tokens: token hash = first 4 hex digits
     of md5(token); bit_j majority-voted across tokens (+1/−1), ties → 1."""
-    tok = docs.select(
+    tok = widen_if_narrow(docs).select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     )
     h = F.md5(F.col("tok"))

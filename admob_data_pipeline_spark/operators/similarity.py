@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from admob_data_pipeline_spark.operators.util import widen_if_narrow
 from admob_data_pipeline_spark.sources.tables import load_table
 
 N_PLANES = 8
@@ -65,6 +66,9 @@ def infer_dim(df: DataFrame) -> int:
 def with_vec(df: DataFrame) -> DataFrame:
     dim = infer_dim(df)
     v = as_double(F.col("embedding"))
+    # per-vector fold arithmetic is CPU-bound: don't inherit a small
+    # file's single split (no-op on real multi-split scans)
+    df = widen_if_narrow(df)
     return df.select("vec_id", v.alias("v"), norm(v, dim).alias("nrm")), dim
 
 

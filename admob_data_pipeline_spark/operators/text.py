@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from admob_data_pipeline_spark.operators.util import widen_if_narrow
 from admob_data_pipeline_spark.sources.tables import load_table
 
 # Stopword marker sets for the n-gram/stopword language heuristic. The
@@ -41,6 +42,7 @@ def tokens(text: Column) -> Column:
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish sub-word proxy
     (4-char windows, ~chars/4 rounded up) + distinct-token ratio."""
+    df = widen_if_narrow(df)
     t = tokens(F.col(text_col))
     return df.select(
         "doc_id",
@@ -56,6 +58,7 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality scoring: length, mean token length, stopword ratio,
     non-alpha ratio — the standard pre-training quality heuristics."""
+    df = widen_if_narrow(df)
     t = tokens(F.col(text_col))
     n_tok = F.size(t)
     stop_hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
@@ -81,6 +84,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language heuristic: score = |tokens ∩ markers(lang)|,
     predicted = argmax score (ties → lexicographically first lang, 'und'
     when no marker hits)."""
+    df = widen_if_narrow(df)
     t = tokens(F.col(text_col))
 
     def marker_filter(markers: tuple[str, ...]):
@@ -123,6 +127,7 @@ def fingerprints(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame
 
     Staged through an intermediate select so the shingle array is built
     once per row, not re-derived per output expression."""
+    df = widen_if_narrow(df)
     staged = df.select(
         "doc_id",
         F.lower(F.col(text_col)).alias("lt"),
@@ -216,7 +221,7 @@ def vocabulary(docs: DataFrame, top_n: int = 100, text_col: str = "text") -> Dat
     """Corpus vocabulary: document frequency + occurrence count per token,
     top-N by (df desc, token) — the vocab/BPE-prep pass of a text
     pipeline. One explode + one groupBy; top-N via TakeOrderedAndProject."""
-    tok = docs.select(
+    tok = widen_if_narrow(docs.select("doc_id", F.col(text_col))).select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
     )
     return (
@@ -247,7 +252,8 @@ def hashing_vectorizer(
         % dim
     ).cast("int")
     counts = (
-        docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+        widen_if_narrow(docs.select("doc_id", F.col(text_col)))
+        .select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
         .select("doc_id", bucket.alias("b"))
         .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("c"))

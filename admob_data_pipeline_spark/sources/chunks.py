@@ -133,6 +133,11 @@ def synthesize_chunks_from_lineitem(lineitem: DataFrame) -> DataFrame:
     production path reads real API chunk JSON via ``spark.read.json`` with
     the same nested schema and the same :func:`flatten_chunks` kernel.
     """
+    # nested map/struct construction is CPU-bound — don't inherit the
+    # scan's (few) splits at test scale; no-op on multi-split inputs
+    from admob_data_pipeline_spark.operators.util import widen_if_narrow
+
+    lineitem = widen_if_narrow(lineitem)
     date_dim = F.struct(
         F.date_format(F.col("l_shipdate"), "yyyyMMdd").alias("value"),
         F.lit(None).cast("string").alias("displayLabel"),
