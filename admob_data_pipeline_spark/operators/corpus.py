@@ -1,0 +1,248 @@
+"""Corpus-curation operators for LLM training-data pipelines (BASELINE.json
+north-star extensions; no reference analogue — the reference's only text
+processing is report-label coalescing, native_CTR_alerts.py:104-106).
+
+Three ops every large-scale pre-training pipeline runs:
+
+- **decontamination** — drop/flag training docs that share n-grams with an
+  evaluation benchmark. Scale shape: the benchmark is tiny relative to the
+  corpus, so its distinct n-gram set broadcasts; the corpus side is a
+  map-side semi-match + one shuffle of only the matching (doc, gram) pairs
+  for the per-doc count. The 100 TB side never shuffles unmatched rows.
+- **repetition scoring** — fraction of duplicate n-grams inside each doc
+  (the Gopher/C4 repetition gate). Pure per-row column arithmetic: no
+  shuffle at all, whole pass is map-only over the scan.
+- **TF-IDF top terms** — classic term weighting; tf and df via two
+  hash aggregations, df joined back broadcast (token vocabulary ≪ corpus).
+  Scores are floor-scaled to integers so ln() last-ulp differences between
+  engines cannot flip a rank (cross-engine determinism playbook).
+
+n-gram width is corpus-calibrated (the synthetic corpus draws ~30 distinct
+tokens, so 3-grams already discriminate; real pipelines use 8-13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.operators.text import shingles, tokens
+from admob_data_pipeline_spark.operators.util import widen_if_narrow
+from admob_data_pipeline_spark.sources.tables import load_table
+
+DECONTAM_N = 3
+BENCH_MOD = 100  # doc_id % BENCH_MOD == 0 → benchmark member (fixture rule)
+REPEAT_N = 2
+REPEAT_MAX_DUP_FRAC = 0.2
+TFIDF_TOP = 3
+TFIDF_SCALE = 10_000
+
+
+def _doc_ngrams(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """(doc_id, gram) DISTINCT pairs — distinct-per-doc before the explode
+    leaves the row, so downstream joins/aggs never see within-doc dups."""
+    return widen_if_narrow(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("gram"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECONTAM_N,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per training doc: how many distinct n-grams it shares with the
+    benchmark, and the contamination verdict.
+
+    The benchmark's distinct gram set is broadcast — the training side is
+    scanned once, matched map-side, and only hits shuffle for the count.
+    Docs with zero overlap are reported too (n_shared = 0, clean), so the
+    output is a full audit table, not just the kill list.
+    """
+    train_grams = _doc_ngrams(docs, n, text_col)
+    bench_grams = _doc_ngrams(benchmark, n, text_col).select("gram").distinct()
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared_ngrams"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def repetition_scores(
+    docs: DataFrame,
+    n: int = REPEAT_N,
+    max_dup_frac: float = REPEAT_MAX_DUP_FRAC,
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repeated-n-gram fraction (Gopher-style repetition
+    gate): dup_frac = 1 - distinct/total over the doc's n-grams; docs above
+    ``max_dup_frac`` fail. Map-only — both counts are array expressions on
+    the already-built shingle array, no explode and no shuffle."""
+    staged = widen_if_narrow(docs).select(
+        "doc_id", shingles(tokens(F.col(text_col)), n).alias("g")
+    )
+    total = F.size("g")
+    distinct = F.size(F.array_distinct("g"))
+    dup_frac = F.round(F.try_divide(total - distinct, total), 6)
+    return staged.select(
+        "doc_id",
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct"),
+        dup_frac.alias("dup_frac"),
+        F.coalesce(dup_frac <= max_dup_frac, F.lit(True)).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top: int = TFIDF_TOP,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top`` TF-IDF terms per document.
+
+    score = tf · ln(N/df), floor-scaled to an integer at 1e4 so the
+    transcendental's last ulp can never flip an ordering across engines.
+    df is a token-vocabulary aggregate (tiny) joined back broadcast; per-doc
+    ranking is a window over the (doc, token) tf table.
+    """
+    tok = widen_if_narrow(docs).select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # one tiny job; a literal keeps the plan join-free
+    score = F.floor(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * TFIDF_SCALE
+    ).cast("long")
+    scored = tf.join(F.broadcast(df_tab), "token").select(
+        "doc_id", "token", "tf", "df", score.alias("score_scaled")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_scaled"), F.col("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= top)
+        .orderBy("doc_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    train = docs.where(F.col("doc_id") % BENCH_MOD != 0)
+    return decontaminate(train, bench)
+
+
+_DUCK_GRAMS = """
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+{span}], ' ')
+                          FOR i IN generate_series(1, len(toks) - {gap})]) AS grams
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents {where})
+"""
+
+
+def _grams_cte(n: int, where: str) -> str:
+    return _DUCK_GRAMS.format(span=n - 1, gap=n - 1, where=where)
+
+
+_ORACLE_DECONTAM = f"""
+WITH train AS ({_grams_cte(DECONTAM_N, f"WHERE doc_id % {BENCH_MOD} <> 0")}),
+bench AS (
+    SELECT DISTINCT unnest(grams) AS gram
+    FROM ({_grams_cte(DECONTAM_N, f"WHERE doc_id % {BENCH_MOD} = 0")})
+),
+hits AS (
+    SELECT t.doc_id, COUNT(*) AS n_shared
+    FROM (SELECT doc_id, unnest(grams) AS gram FROM train) t
+    JOIN bench USING (gram)
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+       COALESCE(h.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {BENCH_MOD} <> 0
+ORDER BY d.doc_id
+"""
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_REPETITION = f"""
+WITH g AS (
+    SELECT doc_id,
+           [array_to_string(toks[i:i+{REPEAT_N - 1}], ' ')
+            FOR i IN generate_series(1, len(toks) - {REPEAT_N - 1})] AS grams
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+)
+SELECT doc_id,
+       CAST(len(grams) AS INT) AS n_ngrams,
+       CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+       ROUND(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+             / NULLIF(len(grams), 0), 6) AS dup_frac,
+       COALESCE(ROUND(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+             / NULLIF(len(grams), 0), 6) <= {REPEAT_MAX_DUP_FRAC}, TRUE) AS keep
+FROM g
+ORDER BY doc_id
+"""
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_TFIDF = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           CAST(FLOOR(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                      * {TFIDF_SCALE}) AS BIGINT) AS score_scaled
+    FROM tf JOIN df USING (token), n
+),
+ranked AS (
+    SELECT doc_id, token, tf, df, score_scaled,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score_scaled DESC, token
+           ) AS INT) AS rnk
+    FROM scored
+)
+SELECT doc_id, token, tf, df, score_scaled, rnk
+FROM ranked WHERE rnk <= {TFIDF_TOP}
+ORDER BY doc_id, rnk
+"""
+
+
+QUERIES = {
+    "text_decontaminate": q_decontaminate,
+    "text_repetition": q_repetition,
+    "text_tfidf": q_tfidf,
+}
+
+ORACLES = {
+    "text_decontaminate": _ORACLE_DECONTAM,
+    "text_repetition": _ORACLE_REPETITION,
+    "text_tfidf": _ORACLE_TFIDF,
+}

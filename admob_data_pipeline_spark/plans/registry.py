@@ -8,11 +8,11 @@ check (reserved for genuinely non-SQL-expressible ops).
 
 from __future__ import annotations
 
-from admob_data_pipeline_spark.operators import dedup, multimodal, similarity, text
+from admob_data_pipeline_spark.operators import corpus, dedup, multimodal, similarity, text
 from admob_data_pipeline_spark.plans import relational
 from admob_data_pipeline_spark.streaming import alerts as streaming_alerts
 
-_MODULES = [relational, text, dedup, similarity, multimodal, streaming_alerts]
+_MODULES = [relational, text, corpus, dedup, similarity, multimodal, streaming_alerts]
 
 
 def _merged(attr: str) -> dict:

@@ -44,6 +44,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "salted_agg",
     "kmv_distinct",
+    "text_decontaminate",
+    "text_tfidf",
 ]
 
 

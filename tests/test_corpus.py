@@ -1,0 +1,65 @@
+"""Corpus-curation operator semantics: decontamination overlap counting,
+repetition gate boundaries, TF-IDF ranking invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from admob_data_pipeline_spark.operators import corpus
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="t", n_chars=len(t)) for i, t in enumerate(texts)]
+    )
+
+
+def test_decontaminate_flags_exact_and_partial_overlap(spark):
+    bench = _docs(spark, ["alpha beta gamma delta"])
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="alpha beta gamma delta"),      # full copy
+            Row(doc_id=11, text="x y alpha beta gamma z"),      # one shared 3-gram
+            Row(doc_id=12, text="p q r s t u"),                 # clean
+        ]
+    )
+    out = {r.doc_id: r for r in corpus.decontaminate(train, bench).collect()}
+    # full copy shares both distinct 3-grams of the benchmark doc
+    assert out[10].contaminated and out[10].n_shared_ngrams == 2
+    assert out[11].contaminated and out[11].n_shared_ngrams == 1
+    assert not out[12].contaminated and out[12].n_shared_ngrams == 0
+
+
+def test_repetition_gate_boundaries(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b a b a"),   # 2-grams: ab ba ab ba → dup 0.5
+            Row(doc_id=1, text="a b c d e"),   # all distinct → dup 0.0
+            Row(doc_id=2, text="a"),           # no grams → keep by default
+        ]
+    )
+    out = {r.doc_id: r for r in corpus.repetition_scores(docs).collect()}
+    assert out[0].dup_frac == 0.5 and not out[0].keep
+    assert out[1].dup_frac == 0.0 and out[1].keep
+    assert out[2].n_ngrams == 0 and out[2].keep
+
+
+def test_tfidf_ubiquitous_token_scores_zero(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="common rare0 rare0 rare0"),
+            Row(doc_id=1, text="common rare1"),
+            Row(doc_id=2, text="common other"),
+        ]
+    )
+    out = corpus.tfidf_top_terms(docs, top=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # df('common') == N → ln(1) = 0 → can never beat a doc-specific term
+    assert by_doc[0][0].token == "rare0" and by_doc[0][0].score_scaled > 0
+    for rows in by_doc.values():
+        assert [r.rnk for r in rows] == sorted(r.rnk for r in rows)
+        for r in rows:
+            if r.token == "common":
+                assert r.score_scaled == 0
