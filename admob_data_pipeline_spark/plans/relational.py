@@ -944,6 +944,46 @@ LIMIT 10
 """
 
 
+# --- pivot: wide-format conditional aggregation ---------------------------
+def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue (cents) by order priority pivoted across order years.
+
+    Pivot values are DECLARED, not discovered: Spark's pivot without an
+    explicit value list runs a distinct-scan of the pivot column first —
+    an extra full pass at 100 TB. With the list, the pivot compiles to one
+    hash aggregation of conditional sums (same plan as the CASE oracle).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    years = ["1995", "1996", "1997"]
+    wide = (
+        o.withColumn("yr", F.year("o_orderdate").cast("string"))
+        .where(F.col("yr").isin(years))
+        .groupBy("o_orderpriority")
+        .pivot("yr", years)
+        .agg(F.sum(_cents("o_totalprice")))
+        .orderBy("o_orderpriority")
+    )
+    # column "1995" → "y1995": digits-only names break unquoted SQL refs
+    for y in years:
+        wide = wide.withColumnRenamed(y, f"y{y}")
+    return wide
+
+
+_ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN year(o_orderdate) = 1995
+                THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) AS y1995,
+       SUM(CASE WHEN year(o_orderdate) = 1996
+                THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) AS y1996,
+       SUM(CASE WHEN year(o_orderdate) = 1997
+                THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) AS y1997
+FROM orders
+WHERE year(o_orderdate) IN (1995, 1996, 1997)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # --- A5/F12: distributed alert message formatting -------------------------
 def q_alert_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = alerts.ctr_anomaly_df(load_table(spark, sf_dir, "events"), threshold=2.0)
@@ -1037,10 +1077,12 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "regional_revenue": q_regional_revenue,
     "range_join": q_range_join,
+    "pivot_revenue": q_pivot_revenue,
 }
 
 ORACLES = {
     "range_join": _ORACLE_RANGE_JOIN,
+    "pivot_revenue": _ORACLE_PIVOT,
     "shipping_priority": _ORACLE_Q3,
     "regional_revenue": _ORACLE_Q5,
     "quantile_stats": _ORACLE_QUANTILES,

@@ -134,10 +134,17 @@ def synthesize_chunks_from_lineitem(lineitem: DataFrame) -> DataFrame:
     the same nested schema and the same :func:`flatten_chunks` kernel.
     """
     # nested map/struct construction is CPU-bound — don't inherit the
-    # scan's (few) splits at test scale; no-op on multi-split inputs
+    # scan's (few) splits at test scale; no-op on multi-split inputs.
+    # Project to the consumed columns FIRST so the (conditional) shuffle
+    # never carries the table's full width.
     from admob_data_pipeline_spark.operators.util import widen_if_narrow
 
-    lineitem = widen_if_narrow(lineitem)
+    lineitem = widen_if_narrow(
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate",
+        )
+    )
     date_dim = F.struct(
         F.date_format(F.col("l_shipdate"), "yyyyMMdd").alias("value"),
         F.lit(None).cast("string").alias("displayLabel"),

@@ -119,7 +119,41 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> Da
     return stream_df.sparkSession.table(name)
 
 
+def dedup_stream(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Streaming deduplication: first event per (user, event_type, day),
+    keyed on the projected columns so the surviving-row ambiguity of
+    dropDuplicates never reaches the output (any winner yields the same
+    row). The watermark bounds the dedup state: keys older than the
+    watermark are evicted instead of accumulating forever — the property
+    that makes streaming dedup viable on an unbounded 100 TB/day feed."""
+    keyed = events.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("ts"),
+        F.col("ts").cast("date").alias("day"),
+    )
+    return (
+        keyed.withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "event_type", "day"])
+        .select("user_id", "event_type", "day")
+    )
+
+
 # ---------------------------------------------------------------- queries
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_available_now(
+        dedup_stream(_event_stream(spark, sf_dir)), output_mode="append"
+    )
+    return out.orderBy("user_id", "event_type", "day")
+
+
+_ORACLE_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
+FROM events
+ORDER BY user_id, event_type, day
+"""
+
 
 def q_streaming_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(daily_rates_stream(_event_stream(spark, sf_dir)))
@@ -173,11 +207,13 @@ ORDER BY user_id, session_start_epoch
 
 
 QUERIES = {
+    "streaming_dedup": q_streaming_dedup,
     "streaming_daily_rates": q_streaming_daily_rates,
     "streaming_sessionize": q_streaming_sessionize,
 }
 
 ORACLES = {
+    "streaming_dedup": _ORACLE_STREAM_DEDUP,
     "streaming_daily_rates": _ORACLE_DAILY_RATES,
     "streaming_sessionize": _ORACLE_SESSIONIZE,
 }

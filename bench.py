@@ -63,17 +63,16 @@ def main() -> None:
     spark = get_spark("bench", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JIT/codegen warm-up: run every headline query once at the smallest
-    # scale factor (untimed) so the timed pass measures the engine, not
-    # JVM compilation. Standard benchmark practice; disable with
+    # JIT/codegen warm-up: run every headline query once at the TARGET
+    # scale factor (untimed) so the timed pass measures steady-state engine
+    # throughput, not JVM compilation — AQE picks different physical plans
+    # per data size, so warming at a smaller SF leaves the real plans
+    # cold-compiled. Standard benchmark practice; disable with
     # SPARK_GRAFT_BENCH_WARMUP=0.
     if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
-        warm_dir = "/root/testdata/sf0.001"
-        if not os.path.isdir(warm_dir):
-            warm_dir = SF_DIR
         for name in HEADLINE:
             try:
-                materialize(registry.QUERIES[name](spark, warm_dir))
+                materialize(registry.QUERIES[name](spark, SF_DIR))
             except Exception:
                 pass
 
