@@ -235,13 +235,80 @@ ORDER BY doc_id, rnk
 """
 
 
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
+SAMPLE_SEED = "stratified-seed-1"
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float] | None = None,
+    seed: str = SAMPLE_SEED,
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: doc kept iff
+    md5(seed|doc_id)-fraction < rate(stratum). Downsampling dominant
+    strata (here: English) while keeping the tail is the standard
+    rebalancing move in corpus assembly. Map-only, reproducible across
+    runs/engines (same md5 → same sample), no shuffle.
+
+    Rate lookup is a literal CASE chain — strata are a small closed set;
+    at scale an unbounded stratum set would join a broadcast rates table
+    instead."""
+    rates = rates or SAMPLE_RATES
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**13))
+    )
+    rate = F.lit(None).cast("double")
+    expr = None
+    for stratum, r in sorted(rates.items()):
+        cond = F.col(stratum_col) == stratum
+        expr = F.when(cond, F.lit(r)) if expr is None else expr.when(cond, F.lit(r))
+    rate = expr.otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id", F.col(stratum_col).alias("stratum"))
+        .where(frac < rate)
+        .orderBy("doc_id")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+_SAMPLE_CASE = " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items())
+)
+
+_ORACLE_SAMPLE = f"""
+SELECT doc_id, lang AS stratum
+FROM documents
+WHERE CAST('0x' || substr(md5('{SAMPLE_SEED}' || '|' || CAST(doc_id AS VARCHAR)), 1, 13)
+           AS BIGINT) / {float(16**13)!r}
+      < CASE lang {_SAMPLE_CASE} ELSE 0.0 END
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "stratified_sample": q_stratified_sample,
     "text_decontaminate": q_decontaminate,
     "text_repetition": q_repetition,
     "text_tfidf": q_tfidf,
 }
 
 ORACLES = {
+    "stratified_sample": _ORACLE_SAMPLE,
     "text_decontaminate": _ORACLE_DECONTAM,
     "text_repetition": _ORACLE_REPETITION,
     "text_tfidf": _ORACLE_TFIDF,

@@ -430,6 +430,63 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
     ).orderBy("vec_id")
 
 
+
+def class_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label centroid of the embedding column, emitted flat as
+    (label, dim, n_vecs, c_mean) — the class-prototype computation used
+    for dataset auditing and nearest-class-mean classification.
+
+    Determinism: each coordinate is int-scaled per row (FLOOR(x·1e6))
+    BEFORE summing, so the aggregation is exact integer arithmetic —
+    partition-order-independent and engine-identical; the mean divides the
+    exact sums once at the end (playbook rule 1). posexplode keys the
+    shuffle by (label, dim): 10 labels × 64 dims = 640 groups, partial
+    aggregation map-side, constant-size state per group.
+    """
+    exploded = widen_if_narrow(emb).select(
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+    )
+    scaled = exploded.select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x") * 1e6).cast("long").alias("x_micro"),
+    )
+    return (
+        scaled.groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("x_micro").alias("s_micro"))
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            # no ROUND: the exact-quotient double is already bit-identical
+            # across engines; rounding would re-introduce decimal-tie drift
+            (F.col("s_micro") / (F.col("n_vecs") * F.lit(1e6))).alias("c_mean"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+def q_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return class_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+_ORACLE_CENTROIDS = """
+WITH p AS (
+    SELECT label,
+           [{'dim': i,
+             'x_micro': CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)}
+            FOR i IN generate_series(1, len(embedding))] AS pairs
+    FROM embeddings
+),
+x AS (SELECT label, unnest(pairs, recursive := true) FROM p)
+SELECT label, CAST(dim AS INT) AS dim, COUNT(*) AS n_vecs,
+       CAST(SUM(x_micro) AS DOUBLE) / (COUNT(*) * 1e6) AS c_mean
+FROM x
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
 # ---------------------------------------------------------------- queries
 
 QUERY_IDS = list(range(8))
@@ -592,6 +649,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
     "embedding_quantize_int8": q_quantize_int8,
+    "embedding_class_centroids": q_class_centroids,
 }
 
 ORACLES = {
@@ -600,4 +658,5 @@ ORACLES = {
     "ann_ivf_topk": _ORACLE_ANN_IVF,
     "embedding_neardup": _ORACLE_NEARDUP,
     "embedding_quantize_int8": _ORACLE_QUANTIZE,
+    "embedding_class_centroids": _ORACLE_CENTROIDS,
 }

@@ -984,6 +984,86 @@ ORDER BY o_orderpriority
 """
 
 
+# --- semi join: EXISTS-style filtering without fan-out --------------------
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one 1995 order, counted per segment.
+
+    left_semi never duplicates the probe side (a customer with 40 orders
+    appears once) and ships only the join key of the build side — the
+    right way to express EXISTS at scale, vs. inner-join + distinct which
+    shuffles the fan-out then pays a second agg to undo it.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == 1995
+    )
+    hit = c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    )
+    return (
+        hit.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_ORACLE_SEMI_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- full outer join: coverage reconciliation ------------------------------
+def q_full_outer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer vs supplier counts via FULL OUTER join of two
+    aggregates — the reconciliation shape (which keys exist on only one
+    side?). Both inputs are post-aggregation (one row per nation), so the
+    outer join is tiny regardless of fact-table size: aggregate first,
+    then join — never outer-join raw fact tables."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    by_c = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    by_s = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        by_c.join(by_s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            (F.col("n_customers").isNotNull() & F.col("n_suppliers").isNotNull()).alias(
+                "both_sides"
+            ),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_ORACLE_FULL_OUTER = """
+WITH by_c AS (
+    SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+),
+by_s AS (
+    SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+    FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(by_c.nationkey, by_s.nationkey) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers,
+       n_customers IS NOT NULL AND n_suppliers IS NOT NULL AS both_sides
+FROM by_c FULL OUTER JOIN by_s ON by_c.nationkey = by_s.nationkey
+ORDER BY nationkey
+"""
+
+
 # --- A5/F12: distributed alert message formatting -------------------------
 def q_alert_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = alerts.ctr_anomaly_df(load_table(spark, sf_dir, "events"), threshold=2.0)
@@ -1078,11 +1158,15 @@ QUERIES = {
     "regional_revenue": q_regional_revenue,
     "range_join": q_range_join,
     "pivot_revenue": q_pivot_revenue,
+    "semi_join": q_semi_join,
+    "full_outer_coverage": q_full_outer_coverage,
 }
 
 ORACLES = {
     "range_join": _ORACLE_RANGE_JOIN,
     "pivot_revenue": _ORACLE_PIVOT,
+    "semi_join": _ORACLE_SEMI_JOIN,
+    "full_outer_coverage": _ORACLE_FULL_OUTER,
     "shipping_priority": _ORACLE_Q3,
     "regional_revenue": _ORACLE_Q5,
     "quantile_stats": _ORACLE_QUANTILES,
