@@ -79,3 +79,55 @@ def test_topk_uses_limit_not_global_sort(spark, sf_dir):
     df = relational.q_top_orders(spark, sf_dir)
     plan = explain.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pivot_is_single_aggregation_no_distinct_prepass(spark, sf_dir):
+    """Declared pivot values must compile to ONE conditional-sum hash
+    aggregation; an undeclared pivot runs a distinct-scan of the pivot
+    column first (an extra full pass over the fact table at scale)."""
+    df = relational.q_pivot_revenue(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    # one parquet scan only: an undeclared pivot value list adds a second
+    # scan (the distinct pre-pass). Spark's declared pivot is a two-phase
+    # aggregation — (key, yr) pre-agg then pivot-first — both over the
+    # same single scan, which is the shape we want at scale.
+    # formatted output names each node twice (tree + details): 2 mentions
+    # per physical scan, so one scan == exactly 2
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_semi_join_no_fanout_operators(spark, sf_dir):
+    """left_semi must stay a semi join (no fan-out + dedup recovery)."""
+    df = relational.q_semi_join(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram set must broadcast — the training side of a
+    decontamination pass must never shuffle for the match."""
+    from admob_data_pipeline_spark.operators import corpus
+
+    df = corpus.q_decontaminate(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_assignment_is_map_only(spark, sf_dir):
+    """Centroid assignment must not materialize the N×C pair space: no
+    join/cross-product may appear between the scan and the mapInPandas
+    assignment stage (probe/search joins later in the plan are fine and
+    must be broadcast)."""
+    from admob_data_pipeline_spark.operators import similarity
+    from admob_data_pipeline_spark.sources.tables import load_table as lt
+
+    emb = lt(spark, sf_dir, "embeddings")
+    assigned = similarity.assign_lists(
+        similarity.with_vec(emb)[0],
+        similarity.with_vec(emb)[0]
+        .where(F.col("vec_id") % 25 == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")),
+    )
+    plan = explain.formatted_plan(assigned)
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
