@@ -984,6 +984,52 @@ ORDER BY o_orderpriority
 """
 
 
+# --- cube: multi-dimensional aggregate with grouping flags ----------------
+def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts/revenue cubed over (status, priority): all four
+    grouping combinations in ONE pass (Spark expands the cube map-side
+    into partial aggregates — the fact table is still scanned once).
+    GROUPING() flags distinguish 'aggregated-out' NULLs from data NULLs,
+    which is what makes cube output joinable/filterable downstream.
+
+    Generalizes the reference's precomputed month/week rollup dims
+    (main.py:127-130): calendar_rollup covers the derived-column form,
+    this covers the grouping-set form.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            # grouping() must be computed with the cube aggregate itself
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "revenue_cents",
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+_ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
 # --- semi join: EXISTS-style filtering without fan-out --------------------
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with at least one 1995 order, counted per segment.
@@ -1160,6 +1206,7 @@ QUERIES = {
     "pivot_revenue": q_pivot_revenue,
     "semi_join": q_semi_join,
     "full_outer_coverage": q_full_outer_coverage,
+    "cube_summary": q_cube_summary,
 }
 
 ORACLES = {
@@ -1167,6 +1214,7 @@ ORACLES = {
     "pivot_revenue": _ORACLE_PIVOT,
     "semi_join": _ORACLE_SEMI_JOIN,
     "full_outer_coverage": _ORACLE_FULL_OUTER,
+    "cube_summary": _ORACLE_CUBE,
     "shipping_priority": _ORACLE_Q3,
     "regional_revenue": _ORACLE_Q5,
     "quantile_stats": _ORACLE_QUANTILES,

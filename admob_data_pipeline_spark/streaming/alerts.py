@@ -139,7 +139,117 @@ def dedup_stream(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
     )
 
 
+def sessionize_batch(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Batch mirror of :func:`sessionize_stream` via window functions:
+    a session starts when the per-user gap to the previous event exceeds
+    ``gap``; session id = running count of starts. Same output schema and
+    values as the streaming session_window plan — the two are
+    cross-checked against the SAME oracle, pinning batch/streaming parity
+    (the property that lets a backfill and the live stream share code)."""
+    from pyspark.sql import Window as W
+
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    e = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+    ).withColumn(
+        "is_new",
+        (
+            F.col("ts").cast("timestamp")
+            - F.lag("ts").over(w_lag).cast("timestamp")
+            > gap_expr
+        )
+        | F.lag("ts").over(w_lag).isNull(),
+    )
+    s = e.withColumn("sess", F.sum(F.col("is_new").cast("int")).over(w_run))
+    return (
+        s.groupBy("user_id", "sess")
+        .agg(
+            F.floor(F.min("ts").cast("double")).cast("long").alias(
+                "session_start_epoch"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vm").alias("value_milli"),
+        )
+        .select("user_id", "session_start_epoch", "n_events", "value_milli")
+        .orderBy("user_id", "session_start_epoch")
+    )
+
+
+ATTRIBUTION_WINDOW = "30 minutes"
+
+
+def attribution_stream(
+    events: DataFrame, window: str = ATTRIBUTION_WINDOW
+) -> DataFrame:
+    """Stream-stream inner join: each click joins the same user's view
+    events from the preceding ``window`` (last-touch attribution).
+
+    Both sides carry watermarks and the join predicate bounds view_ts to a
+    finite interval around click_ts, so each side's buffered state is
+    evicted once the watermark passes — the constraint that makes a
+    stream-stream join runnable on an unbounded feed. Output is the raw
+    (click, view) pair table; append mode."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", WATERMARK)
+    )
+    return clicks.join(
+        views,
+        F.expr(
+            f"""
+            c_user = v_user AND
+            view_ts >= click_ts - INTERVAL {window} AND
+            view_ts < click_ts
+            """
+        ),
+    ).select("click_id", "view_id", F.col("c_user").alias("user_id"))
+
+
 # ---------------------------------------------------------------- queries
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize_batch(load_table(spark, sf_dir, "events"))
+
+
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_available_now(
+        attribution_stream(_event_stream(spark, sf_dir)), output_mode="append"
+    )
+    return out.orderBy("click_id", "view_id")
+
+
+_ORACLE_ATTRIBUTION = """
+SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+FROM events c
+JOIN events v
+  ON v.user_id = c.user_id
+ AND v.ts >= c.ts - INTERVAL 30 MINUTE
+ AND v.ts < c.ts
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+ORDER BY click_id, view_id
+"""
+
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
@@ -207,12 +317,16 @@ ORDER BY user_id, session_start_epoch
 
 
 QUERIES = {
+    "sessionize_batch": q_sessionize_batch,
+    "streaming_attribution": q_streaming_attribution,
     "streaming_dedup": q_streaming_dedup,
     "streaming_daily_rates": q_streaming_daily_rates,
     "streaming_sessionize": q_streaming_sessionize,
 }
 
 ORACLES = {
+    "sessionize_batch": _ORACLE_SESSIONIZE,
+    "streaming_attribution": _ORACLE_ATTRIBUTION,
     "streaming_dedup": _ORACLE_STREAM_DEDUP,
     "streaming_daily_rates": _ORACLE_DAILY_RATES,
     "streaming_sessionize": _ORACLE_SESSIONIZE,
