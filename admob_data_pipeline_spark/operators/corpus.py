@@ -300,7 +300,100 @@ ORDER BY doc_id
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 3
+BM25_SCALE = 10_000
+
+
+def bm25_top_terms(
+    docs: DataFrame,
+    top: int = BM25_TOP,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top`` Okapi BM25 terms per document.
+
+    idf = ln(1 + (N-df+0.5)/(df+0.5)); tf normalized by document length
+    against the corpus mean. Corpus scalars (N, avgdl) attach as a
+    broadcast one-row cross join — no driver-side collect, the plan stays
+    fully declarative and cluster-executable. Scores floor-scale to
+    integers before ranking (transcendental ulp discipline, as tfidf).
+    """
+    tok = widen_if_narrow(docs).select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(df_tab), "token")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    score = F.floor(idf * tf_norm * BM25_SCALE).cast("long")
+    ranked = scored.select(
+        "doc_id", "token", "tf", "df", "dl", score.alias("score_scaled")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_scaled"), F.col("token"))
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= top)
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_BM25 = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, df.df, dl.dl,
+           CAST(FLOOR(
+               ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1))
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+               * {BM25_SCALE}
+           ) AS BIGINT) AS score_scaled
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+),
+ranked AS (
+    SELECT doc_id, token, tf, df, dl, score_scaled,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score_scaled DESC, token
+           ) AS INT) AS rnk
+    FROM scored
+)
+SELECT doc_id, token, tf, df, dl, score_scaled, rnk
+FROM ranked WHERE rnk <= {BM25_TOP}
+ORDER BY doc_id, rnk
+"""
+
+
 QUERIES = {
+    "text_bm25": q_bm25,
     "stratified_sample": q_stratified_sample,
     "text_decontaminate": q_decontaminate,
     "text_repetition": q_repetition,
@@ -308,6 +401,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bm25": _ORACLE_BM25,
     "stratified_sample": _ORACLE_SAMPLE,
     "text_decontaminate": _ORACLE_DECONTAM,
     "text_repetition": _ORACLE_REPETITION,

@@ -984,6 +984,95 @@ ORDER BY o_orderpriority
 """
 
 
+# --- data-quality profile: per-column stats in ONE pass -------------------
+_PROFILE_COLS = [
+    ("o_orderkey", "key"),
+    ("o_custkey", "key"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "date"),
+]
+
+
+def _profile_bounds(col: str, kind: str) -> tuple[F.Column, F.Column]:
+    """min/max rendered to strings deterministically per type: doubles go
+    through FLOOR-cents (floor is monotone, so it commutes with min/max),
+    timestamps through DATE — never raw double/timestamp repr, which
+    differs between engines."""
+    c = F.col(col)
+    if kind == "money":
+        c = F.floor(c * 100).cast("long")
+    elif kind == "date":
+        c = c.cast("date")
+    return F.min(c).cast("string"), F.max(c).cast("string")
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile of ``orders``: null count,
+    exact distinct count, min/max — the audit every ingestion pipeline
+    runs before trusting a partition.
+
+    ONE aggregation pass produces every stat (count-distincts expand into
+    grouping-set partials inside the same job); the per-column rows are
+    then exploded from the single result row — no per-column rescans, so
+    profiling cost is one table scan regardless of column count.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, kind in _PROFILE_COLS:
+        mn, mx = _profile_bounds(col, kind)
+        aggs += [
+            F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__nulls"),
+            F.count_distinct(F.col(col)).alias(f"{col}__ndv"),
+            mn.alias(f"{col}__min"),
+            mx.alias(f"{col}__max"),
+        ]
+    row = o.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("column"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{col}__nulls").alias("n_nulls"),
+                F.col(f"{col}__ndv").alias("n_distinct"),
+                F.col(f"{col}__min").alias("min_repr"),
+                F.col(f"{col}__max").alias("max_repr"),
+            )
+            for col, _ in _PROFILE_COLS
+        ]
+    )
+    return (
+        row.select(F.explode(entries).alias("e"))
+        .select("e.*")
+        .orderBy("column")
+    )
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "money":
+            expr = f"CAST(FLOOR({col} * 100) AS BIGINT)"
+        elif kind == "date":
+            expr = f"CAST({col} AS DATE)"
+        else:
+            expr = col
+        parts.append(
+            f"""
+    SELECT '{col}' AS "column",
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT {col}) AS n_distinct,
+           CAST(MIN({expr}) AS VARCHAR) AS min_repr,
+           CAST(MAX({expr}) AS VARCHAR) AS max_repr
+    FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts) + '\nORDER BY "column"'
+
+
+_ORACLE_PROFILE = _profile_oracle()
+
+
 # --- cube: multi-dimensional aggregate with grouping flags ----------------
 def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order counts/revenue cubed over (status, priority): all four
@@ -1207,6 +1296,7 @@ QUERIES = {
     "semi_join": q_semi_join,
     "full_outer_coverage": q_full_outer_coverage,
     "cube_summary": q_cube_summary,
+    "profile_orders": q_profile_orders,
 }
 
 ORACLES = {
@@ -1215,6 +1305,7 @@ ORACLES = {
     "semi_join": _ORACLE_SEMI_JOIN,
     "full_outer_coverage": _ORACLE_FULL_OUTER,
     "cube_summary": _ORACLE_CUBE,
+    "profile_orders": _ORACLE_PROFILE,
     "shipping_priority": _ORACLE_Q3,
     "regional_revenue": _ORACLE_Q5,
     "quantile_stats": _ORACLE_QUANTILES,
