@@ -182,6 +182,40 @@ def sessionize_batch(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
     )
 
 
+def stream_to_partitioned_table(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_col: str = "date",
+    output_mode: str = "complete",
+) -> None:
+    """foreachBatch sink with S8 semantics on a stream: every micro-batch
+    REPLACES exactly the date partitions it contains (dynamic partition
+    overwrite) instead of appending.
+
+    This is the streaming rendition of the reference's idempotent per-date
+    reload (native_CTR_alerts.py:182-212 DELETE+append): a re-delivered or
+    re-run batch rewrites the same partitions, so end-to-end the sink is
+    idempotent — the at-least-once delivery of foreachBatch composes to
+    exactly-once table state. Checkpointing makes restarts resume from the
+    last committed source offsets."""
+    from admob_data_pipeline_spark.sinks.writers import overwrite_date_partitions
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        overwrite_date_partitions(batch_df, path, partition_col=partition_col)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 ATTRIBUTION_WINDOW = "30 minutes"
 
 
