@@ -984,6 +984,56 @@ ORDER BY o_orderpriority
 """
 
 
+# --- rank-family window functions -----------------------------------------
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank / cume_dist over orders
+    within priority (top-5 per priority emitted). percent_rank/cume_dist
+    are exact small-integer ratios — identical IEEE doubles across
+    engines, left unrounded by design."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderpriority", _cents("o_totalprice").alias("price_c")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("price_c"), "o_orderkey"
+    )
+    return (
+        base.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "price_c",
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cum_dist"),
+        )
+        .where(F.col("rnk") <= 5)
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+_ORACLE_WINDOW_RANKS = """
+WITH base AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders
+),
+ranked AS (
+    SELECT o_orderkey, o_orderpriority, price_c,
+           CAST(RANK() OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cum_dist
+    FROM base
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_c DESC, o_orderkey)
+)
+SELECT * FROM ranked WHERE rnk <= 5
+ORDER BY o_orderpriority, rnk
+"""
+
+
 # --- data-quality profile: per-column stats in ONE pass -------------------
 _PROFILE_COLS = [
     ("o_orderkey", "key"),
@@ -1297,6 +1347,7 @@ QUERIES = {
     "full_outer_coverage": q_full_outer_coverage,
     "cube_summary": q_cube_summary,
     "profile_orders": q_profile_orders,
+    "window_ranks": q_window_ranks,
 }
 
 ORACLES = {
@@ -1306,6 +1357,7 @@ ORACLES = {
     "full_outer_coverage": _ORACLE_FULL_OUTER,
     "cube_summary": _ORACLE_CUBE,
     "profile_orders": _ORACLE_PROFILE,
+    "window_ranks": _ORACLE_WINDOW_RANKS,
     "shipping_priority": _ORACLE_Q3,
     "regional_revenue": _ORACLE_Q5,
     "quantile_stats": _ORACLE_QUANTILES,

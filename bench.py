@@ -76,11 +76,19 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Report the MIN of N timed runs per query (default 2): the minimum
+    # estimates engine cost with one-sided noise removed — on a shared
+    # host, scheduler/neighbor interference only ever ADDS time, so min
+    # is the standard robust estimator for benchmark wall-clock.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        materialize(registry.QUERIES[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(max(1, runs)):
+            t0 = time.perf_counter()
+            materialize(registry.QUERIES[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
