@@ -130,6 +130,34 @@ def frame_sample(media: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame:
     )
 
 
+def frame_dedup(media: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame:
+    """Content-defined chunk dedup across media blobs: identical fixed-size
+    frames (by md5) are storage-dedup candidates — the move that collapses
+    re-encoded/copied video segments in a 100 TB media lake.
+
+    One groupBy on the frame hash; only the 16-byte hash + (doc, idx)
+    coordinates shuffle, never the frame bytes. Canonical copy = lowest
+    (doc_id, frame_idx)."""
+    frames = frame_sample(media, frame_bytes)
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min(F.struct("doc_id", "frame_idx")).alias("canon"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select(
+            "frame_md5",
+            "n_copies",
+            "n_docs",
+            F.col("canon.doc_id").alias("canon_doc_id"),
+            F.col("canon.frame_idx").alias("canon_frame_idx"),
+        )
+        .orderBy("frame_md5")
+    )
+
+
 # ---------------------------------------------------------------- queries
 
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,12 +202,46 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = pack_binary(load_table(spark, sf_dir, "documents"))
+    return frame_dedup(media)
+
+
+_ORACLE_FRAME_DEDUP = f"""
+WITH d AS (
+    SELECT doc_id, text, CAST(CEIL(octet_length(CAST(text AS BLOB)) / {FRAME_BYTES}.0)
+           AS INT) AS n_frames
+    FROM documents
+),
+f AS (
+    SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx, text FROM d
+),
+h AS (
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+    FROM f
+)
+SELECT frame_md5,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS canon_doc_id,
+       CAST(MIN(frame_idx) FILTER (WHERE doc_id = (SELECT MIN(doc_id) FROM h h2
+            WHERE h2.frame_md5 = h.frame_md5)) AS INT) AS canon_frame_idx
+FROM h
+GROUP BY frame_md5
+HAVING COUNT(*) > 1
+ORDER BY frame_md5
+"""
+
+
 QUERIES = {
+    "multimodal_frame_dedup": q_multimodal_frame_dedup,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES = {
+    "multimodal_frame_dedup": _ORACLE_FRAME_DEDUP,
     "multimodal_metadata": _ORACLE_METADATA,
     "multimodal_frames": _ORACLE_FRAMES,
 }
