@@ -984,6 +984,70 @@ ORDER BY o_orderpriority
 """
 
 
+# --- correlation from exact integer moments -------------------------------
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs price per return flag, computed
+    from EXACT integer moment sums (Σx, Σy, Σx², Σy², Σxy as longs) with
+    the closed form evaluated in doubles at the end.
+
+    The built-in corr() accumulates doubles in partition order — its last
+    bits differ per partitioning AND per engine, so it can never
+    hash-match an oracle. Integer moments are associative/exact, and the
+    final expression is a fixed sequence of IEEE ops on identical inputs.
+    Values are floored to dollars so squared sums stay within int64 at
+    100 TB row counts (1e10 per row-pair × rows ≪ 2^63)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.floor("l_quantity").cast("long")
+    y = F.floor("l_extendedprice").cast("long")
+    base = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    m = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        "l_returnflag", "n", "sx", "sy", corr.alias("qty_price_corr")
+    ).orderBy("l_returnflag")
+
+
+_ORACLE_CORR = """
+WITH m AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+           CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                    * CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+           CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                    * CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                    * CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, sx, sy,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           AS qty_price_corr
+FROM m
+ORDER BY l_returnflag
+"""
+
+
 # --- rank-family window functions -----------------------------------------
 def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / ntile / percent_rank / cume_dist over orders
@@ -1348,6 +1412,7 @@ QUERIES = {
     "cube_summary": q_cube_summary,
     "profile_orders": q_profile_orders,
     "window_ranks": q_window_ranks,
+    "corr_stats": q_corr_stats,
 }
 
 ORACLES = {
@@ -1358,6 +1423,7 @@ ORACLES = {
     "cube_summary": _ORACLE_CUBE,
     "profile_orders": _ORACLE_PROFILE,
     "window_ranks": _ORACLE_WINDOW_RANKS,
+    "corr_stats": _ORACLE_CORR,
     "shipping_priority": _ORACLE_Q3,
     "regional_revenue": _ORACLE_Q5,
     "quantile_stats": _ORACLE_QUANTILES,
