@@ -984,6 +984,59 @@ ORDER BY o_orderpriority
 """
 
 
+# --- Q18 shape: HAVING-filtered agg joined back to facts ------------------
+Q18_QTY_THRESHOLD = 200
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, joined back to customer, top-20 by order value.
+
+    The HAVING-filtered aggregate shrinks lineitem to a short orderkey
+    list — broadcast it so neither orders nor customer shuffles for the
+    join; final top-k compiles to TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.floor("l_quantity").cast("long")).alias("qty_sum"))
+        .where(F.col("qty_sum") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+            _cents("o_totalprice").alias("price_cents"),
+            "qty_sum",
+        )
+        .orderBy(F.desc("price_cents"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_ORACLE_Q18 = f"""
+WITH big AS (
+    SELECT l_orderkey, CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > {Q18_QTY_THRESHOLD}
+)
+SELECT c_name, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+       qty_sum
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY price_cents DESC, o_orderkey
+LIMIT 20
+"""
+
+
 # --- correlation from exact integer moments -------------------------------
 def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation of quantity vs price per return flag, computed
@@ -1413,6 +1466,7 @@ QUERIES = {
     "profile_orders": q_profile_orders,
     "window_ranks": q_window_ranks,
     "corr_stats": q_corr_stats,
+    "large_volume_customers": q_large_volume_customers,
 }
 
 ORACLES = {
@@ -1424,6 +1478,7 @@ ORACLES = {
     "profile_orders": _ORACLE_PROFILE,
     "window_ranks": _ORACLE_WINDOW_RANKS,
     "corr_stats": _ORACLE_CORR,
+    "large_volume_customers": _ORACLE_Q18,
     "shipping_priority": _ORACLE_Q3,
     "regional_revenue": _ORACLE_Q5,
     "quantile_stats": _ORACLE_QUANTILES,
