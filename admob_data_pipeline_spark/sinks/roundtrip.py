@@ -1,0 +1,149 @@
+"""Sink round-trip queries: S4/S5/S8 as ORACLE-CHECKED operators.
+
+The sink family (CSV S4, JSONL S5, idempotent partition overwrite S8 —
+reference sites save_CSV.py:141-186, main.py:89-95,
+native_CTR_alerts.py:182-212) is exercised here end-to-end: each query
+WRITES through the production sink into a scratch directory, READS the
+result back with schema enforcement, and returns the read-back frame.
+The DuckDB oracle computes the same result straight from the source
+table — so a hash match proves the sink+source pair is lossless
+(delimiters, quoting, header handling, type round-trip) and, for S8,
+that a re-run REPLACES its partitions instead of appending (an append
+bug doubles every count and fails the hash).
+
+Scratch space is a fresh tempdir per invocation; values are longs and
+strings only, so the round-trip is exact by construction (doubles are
+int-scaled BEFORE the write, per the repo-wide float discipline).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.sinks.writers import (
+    overwrite_date_partitions,
+    write_csv,
+    write_jsonl,
+)
+from admob_data_pipeline_spark.sources.tables import load_table
+
+_FACT_SCHEMA = "o_orderpriority string, n_orders bigint, revenue_cents bigint"
+
+
+def _order_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+_ORACLE_FACT = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="sink_csv_")
+    try:
+        write_csv(_order_fact(spark, sf_dir), out)
+        back = (
+            spark.read.schema(_FACT_SCHEMA)
+            .option("header", True)
+            .csv(out)
+            .orderBy("o_orderpriority")
+        )
+        # materialize before the scratch dir disappears
+        rows = back.collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _FACT_SCHEMA)
+
+
+def q_sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="sink_jsonl_")
+    try:
+        write_jsonl(_order_fact(spark, sf_dir), out)
+        back = (
+            spark.read.schema(_FACT_SCHEMA).json(out).orderBy("o_orderpriority")
+        )
+        rows = back.collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _FACT_SCHEMA)
+
+
+_DAILY_SCHEMA = "app_name string, clicks bigint, impressions bigint, date date"
+
+
+def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 end-to-end: write the daily fact date-partitioned, then RE-RUN
+    the write for the latest date (the reference's twice-daily alert
+    reload). Dynamic partition overwrite must leave the table equal to a
+    single clean build — if the re-run appended, every latest-date count
+    would double and the oracle hash would fail."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("event_type").alias("app_name"),
+            F.col("ts").cast("date").alias("date"),
+            F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        .groupBy("app_name", "date")
+        .agg(
+            F.sum("vm").alias("clicks"),
+            F.count(F.lit(1)).alias("impressions"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="sink_part_")
+    try:
+        overwrite_date_partitions(daily, out)
+        latest = daily.agg(F.max("date").alias("d")).collect()[0]["d"]
+        # idempotent re-run of the latest partition (S8 semantics)
+        overwrite_date_partitions(daily.where(F.col("date") == F.lit(latest)), out)
+        back = spark.read.parquet(out).orderBy("date", "app_name")
+        rows = [
+            (r["app_name"], r["clicks"], r["impressions"], r["date"])
+            for r in back.collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _DAILY_SCHEMA).orderBy("date", "app_name")
+
+
+_ORACLE_PARTITION = """
+SELECT event_type AS app_name,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS clicks,
+       COUNT(*) AS impressions,
+       CAST(ts AS DATE) AS date
+FROM events
+GROUP BY app_name, CAST(ts AS DATE)
+ORDER BY date, app_name
+"""
+
+
+QUERIES = {
+    "sink_csv_roundtrip": q_sink_csv_roundtrip,
+    "sink_jsonl_roundtrip": q_sink_jsonl_roundtrip,
+    "sink_partition_overwrite": q_sink_partition_overwrite,
+}
+
+ORACLES = {
+    "sink_csv_roundtrip": _ORACLE_FACT,
+    "sink_jsonl_roundtrip": _ORACLE_FACT,
+    "sink_partition_overwrite": _ORACLE_PARTITION,
+}
