@@ -63,3 +63,40 @@ def test_tfidf_ubiquitous_token_scores_zero(spark):
         for r in rows:
             if r.token == "common":
                 assert r.score_scaled == 0
+
+
+def test_corpus_invariants_on_random_docs(spark):
+    """Structural invariants over a batch of pseudo-random docs (one Spark
+    job, not per-example roundtrips): n-gram counts, dup_frac bounds,
+    self-decontamination totality, stratified-sample monotonicity."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en") for i, t in enumerate(texts)]
+    )
+
+    rep = {r.doc_id: r for r in corpus.repetition_scores(docs).collect()}
+    for i, t in enumerate(texts):
+        n_tok = len(t.split(" ")) if t else 1  # split('') → ['']
+        assert rep[i].n_ngrams == max(0, n_tok - corpus.REPEAT_N + 1)
+        if rep[i].n_ngrams:
+            assert 0.0 <= rep[i].dup_frac <= 1.0
+            assert rep[i].n_distinct <= rep[i].n_ngrams
+
+    # every doc with >= n tokens shares all its grams with itself
+    decon = corpus.decontaminate(docs, docs)
+    for r in decon.collect():
+        n_tok = len(texts[r.doc_id].split(" ")) if texts[r.doc_id] else 1
+        if n_tok >= corpus.DECONTAM_N:
+            assert r.contaminated, r
+
+    # a higher rate can only grow the (deterministic) sample
+    low = {r.doc_id for r in corpus.stratified_sample(docs, {"en": 0.3}).collect()}
+    high = {r.doc_id for r in corpus.stratified_sample(docs, {"en": 0.8}).collect()}
+    assert low <= high and len(high) > len(low)
