@@ -111,3 +111,20 @@ def test_multi_account_fanout(cfg):
     assert set(results) == set(cfg.accounts)
     assert {s.normalized_publisher for s in seen} == {"pub-1", "pub-2"}
     assert all("pub-" in s.staging_dir for s in seen)
+
+
+def test_cli_runs_jobs_end_to_end(spark, sf_dir, tmp_path):
+    """The __main__ CLI wires config, source, and jobs (X2/X3 surface)."""
+    from admob_data_pipeline_spark.__main__ import main
+
+    common = [
+        "--sf-dir", sf_dir,
+        "--staging-dir", str(tmp_path / "stage"),
+        "--table-dir", str(tmp_path / "tables"),
+        "--date", "1998-09-01",
+    ]
+    assert main(["--job", "export", *common], spark=spark) == 0
+    assert os.path.isdir(str(tmp_path / "stage" / "admob_19980901.jsonl"))
+    assert main(["--job", "network_reload", *common], spark=spark) == 0
+    assert os.path.isdir(str(tmp_path / "tables" / "network_report"))
+    assert main(["--job", "alerts", *common, "--threshold", "0.0"], spark=spark) == 0
