@@ -285,6 +285,34 @@ ORDER BY click_id, view_id
 """
 
 
+def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) under finite
+    replay: the event log is ONE file, so availableNow delivers ONE
+    micro-batch and the per-key lifetime counters are deterministic
+    (batch == cumulative) — which makes even the custom-state escape
+    hatch oracle-checkable here. Multi-batch incremental behavior is
+    pinned separately in tests/test_stateful_streaming.py."""
+    from admob_data_pipeline_spark.streaming.stateful import cumulative_rates_stream
+
+    out = run_available_now(
+        cumulative_rates_stream(_event_stream(spark, sf_dir)), output_mode="update"
+    )
+    return out.orderBy("app_name")
+
+
+_ORACLE_STATEFUL = """
+SELECT event_type AS app_name,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS batch_clicks,
+       COUNT(*) AS batch_impressions,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS cum_clicks,
+       COUNT(*) AS cum_impressions,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS DOUBLE) / COUNT(*) AS cum_rate
+FROM events
+GROUP BY event_type
+ORDER BY app_name
+"""
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         dedup_stream(_event_stream(spark, sf_dir)), output_mode="append"
@@ -351,6 +379,7 @@ ORDER BY user_id, session_start_epoch
 
 
 QUERIES = {
+    "streaming_stateful_rates": q_streaming_stateful,
     "sessionize_batch": q_sessionize_batch,
     "streaming_attribution": q_streaming_attribution,
     "streaming_dedup": q_streaming_dedup,
@@ -359,6 +388,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_stateful_rates": _ORACLE_STATEFUL,
     "sessionize_batch": _ORACLE_SESSIONIZE,
     "streaming_attribution": _ORACLE_ATTRIBUTION,
     "streaming_dedup": _ORACLE_STREAM_DEDUP,
