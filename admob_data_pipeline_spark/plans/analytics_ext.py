@@ -1,0 +1,501 @@
+"""Extended analytics shapes beyond the reference's own query family.
+
+The reference's only analytic query is the CTR-anomaly join
+(native_CTR_alerts.py:215-268); a user replacing BigQuery with this engine
+will run the rest of the warehouse-query spectrum against the same tables.
+This module widens coverage with the classic join/agg shapes that stress a
+distributed planner — multi-nation volume trade (TPC-H Q7 shape),
+conditional-aggregation mixes (Q12 shape), ratio-of-conditional-sums (Q14),
+disjunctive multi-predicate joins (Q19), correlated group-minimum (Q2),
+EXISTS / NOT EXISTS chains (Q21), scalar-subquery + anti-join (Q22),
+GROUPING SETS calendar rollups, and a runtime-bloom-filter join.
+
+Scale notes (100 TB):
+- Every fact-side aggregate is an integer sum over per-row ``FLOOR(x*100)``
+  cents — exact, order-independent, partial-aggregatable map-side.
+- Dimension sides (nation, part subsets, one-row agg scalars) are
+  broadcast; the fact table shuffles at most once per query.
+- The Q21 shape is two self-joins on ``l_orderkey``; Spark co-partitions
+  all three legs on the same key so AQE plans them as one shuffle stage
+  pipeline rather than three independent shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.sources.tables import load_table
+
+
+def _cents(col: str) -> F.Column:
+    return F.floor(F.col(col) * 100).cast("long")
+
+
+def _rev_cents() -> F.Column:
+    return F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+
+
+# --- Q7 shape: volume trade between two nations ---------------------------
+def q_nation_volume_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped between NATION_1 and NATION_2 (either direction),
+    by supplier nation, customer nation, and ship year.
+
+    Join graph: lineitem ⋈ orders ⋈ customer ⋈ nation(cust) and
+    lineitem ⋈ supplier ⋈ nation(supp). Both nation legs and supplier are
+    broadcast; the only shuffle is lineitem ⋈ orders plus the final
+    4-group aggregate (partial map-side first)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.where(
+            F.col("l_shipdate").between(
+                F.lit("1995-01-01"), F.lit("1996-12-31 23:59:59")
+            )
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("supp_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cust_nk"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(F.sum(_rev_cents()).alias("revenue_cents"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+_ORACLE_Q7 = """
+SELECT supp_nation, cust_nation, ship_year,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(date_part('year', l_shipdate) AS INTEGER) AS ship_year,
+           CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                         AND TIMESTAMP '1996-12-31 23:59:59'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+# --- Q12 shape: conditional-aggregation priority mix ----------------------
+def q_priority_shipmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return-flag: how many shipped items belong to high- vs
+    low-priority orders (CASE-sum conditional aggregation over one join).
+    The CASE folds into the map-side partial aggregate — one scan, one
+    2-row shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01"), F.lit("1996-12-31 23:59:59")
+            )
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(high, _rev_cents()).otherwise(0)).alias("high_revenue_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_Q12 = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS high_revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1996-12-31 23:59:59'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --- Q14 shape: promo revenue ratio (ratio of conditional sums) -----------
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one month's revenue from PROMO parts. Both numerator and
+    denominator are exact integer cent-sums; the final division of two
+    exact BIGINTs is a single deterministic IEEE op (ROUND_NOTES rule 1).
+    part is broadcast — the fact side never shuffles (single global agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    agg = (
+        li.where(
+            F.col("l_shipdate").between(
+                F.lit("1995-09-01"), F.lit("1995-09-30 23:59:59")
+            )
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", _rev_cents()).otherwise(0)
+            ).alias("promo_cents"),
+            F.sum(_rev_cents()).alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        (
+            F.lit(100.0)
+            * F.col("promo_cents").cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+_ORACLE_Q14 = """
+SELECT promo_cents, total_cents,
+       100.0 * CAST(promo_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS promo_pct
+FROM (
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate BETWEEN TIMESTAMP '1995-09-01 00:00:00'
+                         AND TIMESTAMP '1995-09-30 23:59:59'
+)
+"""
+
+
+# --- Q19 shape: disjunctive multi-predicate broadcast join ----------------
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue matched by an OR-of-ANDs predicate spanning both join sides
+    (brand × size-band × quantity-band). Catalyst extracts the common
+    ``l_partkey = p_partkey`` equi-condition so this stays a hash join
+    (broadcast here) with the disjunction evaluated post-join; the
+    per-side conjuncts (p_size ranges, quantity bounds) are pushed to the
+    respective scans as a derived OR filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(_rev_cents()).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_ORACLE_Q19 = """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- Q2 shape: correlated group-minimum via window ------------------------
+def q_min_cost_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts priced at the minimum retail price of their brand — the
+    classic correlated-subquery shape (``WHERE price = (SELECT MIN ...
+    WHERE same brand)``) rewritten as a single-pass window minimum: one
+    shuffle on p_brand instead of scan + rescan + join."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", _cents("p_retailprice").alias("price_cents")
+    )
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("brand_min_cents", F.min("price_cents").over(w))
+        .where(F.col("price_cents") == F.col("brand_min_cents"))
+        .select("p_brand", "p_partkey", "p_name", "price_cents")
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+_ORACLE_Q2 = """
+SELECT p_brand, p_partkey, p_name,
+       CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_cents
+FROM part
+WHERE CAST(FLOOR(p_retailprice * 100) AS BIGINT) = (
+    SELECT MIN(CAST(FLOOR(p2.p_retailprice * 100) AS BIGINT))
+    FROM part p2 WHERE p2.p_brand = part.p_brand
+)
+ORDER BY p_brand, p_partkey
+"""
+
+
+# --- Q21 shape: EXISTS / NOT EXISTS chain (semi + anti self-joins) --------
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in NATION_3 who returned items ('R') on finished
+    multi-supplier orders where NO other supplier also returned — the
+    TPC-H Q21 EXISTS/NOT-EXISTS chain as one semi- plus one anti-join.
+
+    All three lineitem legs hash on ``l_orderkey``: Spark reuses the same
+    shuffle partitioning (exchange reuse) so the chain costs one fact
+    shuffle, not three; supplier⋈nation is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    sn = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
+    )
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.where(F.col("l_returnflag") == "R").alias("l3")
+    base = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
+        .join(sn, F.col("l1.l_suppkey") == sn.s_suppkey)
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        base.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_ORACLE_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# --- Q22 shape: scalar-subquery threshold + anti-join ---------------------
+def q_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive balance and no orders,
+    grouped by nation — TPC-H Q22's scalar subquery + NOT EXISTS.
+
+    The average threshold is kept in the integer domain: ``cents * cnt >
+    total_cents`` is exact BIGINT arithmetic on both engines, avoiding the
+    order-dependent double-average entirely. The one-row aggregate is a
+    broadcast nested-loop (fine: 1 row); the anti-join shuffles on
+    c_custkey only."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", _cents("c_acctbal").alias("bal_cents")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    thresh = c.where(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("total_cents"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .where(F.col("bal_cents") * F.col("cnt") > F.col("total_cents"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_ORACLE_Q22 = """
+WITH bal AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+    FROM customer
+), thresh AS (
+    SELECT CAST(SUM(bal_cents) AS BIGINT) AS total_cents,
+           COUNT(*) AS cnt
+    FROM bal WHERE bal_cents > 0
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+FROM bal, thresh
+WHERE bal_cents * cnt > total_cents
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = bal.c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# --- GROUPING SETS over calendar dims -------------------------------------
+def q_grouping_sets_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly totals, weekly totals, and the grand total in ONE scan via
+    GROUPING SETS ((month), (week), ()) — the grouping-set generalization
+    of the reference's precomputed MONTH/WEEK dims (main.py:127-130).
+    Spark expands the sets map-side (Expand node) before one partial+final
+    aggregate; three separate group-bys would be three scans."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month"),
+        F.date_format(
+            F.date_trunc("week", F.col("o_orderdate")).cast("date"), "yyyy-MM-dd"
+        ).alias("week"),
+        _cents("o_totalprice").alias("price_c"),
+    )
+    return (
+        base.groupingSets(
+            [[F.col("month")], [F.col("week")], []], F.col("month"), F.col("week")
+        )
+        .agg(
+            F.grouping("month").cast("int").alias("g_month"),
+            F.grouping("week").cast("int").alias("g_week"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_c").alias("revenue_cents"),
+        )
+        .select("month", "week", "g_month", "g_week", "n_orders", "revenue_cents")
+        .orderBy("g_month", "g_week", "month", "week")
+    )
+
+
+_ORACLE_GSETS = """
+SELECT month, week,
+       CAST(GROUPING(month) AS INTEGER) AS g_month,
+       CAST(GROUPING(week) AS INTEGER) AS g_week,
+       COUNT(*) AS n_orders,
+       CAST(SUM(price_c) AS BIGINT) AS revenue_cents
+FROM (
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           strftime(CAST(date_trunc('week', o_orderdate) AS DATE), '%Y-%m-%d') AS week,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders
+)
+GROUP BY GROUPING SETS ((month), (week), ())
+ORDER BY g_month, g_week, month, week
+"""
+
+
+# --- runtime bloom-filter join --------------------------------------------
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dimension filter (urgent orders, one month) joined to the
+    lineitem fact with Spark's runtime bloom-filter injection enabled: the
+    optimizer builds a bloom filter from the filtered orders side and
+    applies it to the lineitem scan BEFORE the shuffle, so at 100 TB the
+    fact side ships only ~the matching 1/60th of rows. Locally the small
+    side broadcasts anyway; the conf documents the at-scale plan."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & F.col("o_orderdate").between(F.lit("1997-03-01"), F.lit("1997-03-31 23:59:59"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(_rev_cents()).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_ORACLE_BLOOM = """
+SELECT o_orderstatus,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+  AND o_orderdate BETWEEN TIMESTAMP '1997-03-01 00:00:00'
+                      AND TIMESTAMP '1997-03-31 23:59:59'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "nation_volume_trade": q_nation_volume_trade,
+    "priority_shipmix": q_priority_shipmix,
+    "promo_revenue_ratio": q_promo_revenue_ratio,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "min_cost_per_brand": q_min_cost_per_brand,
+    "waiting_suppliers": q_waiting_suppliers,
+    "idle_high_balance": q_idle_high_balance,
+    "grouping_sets_calendar": q_grouping_sets_calendar,
+    "bloom_pruned_join": q_bloom_pruned_join,
+}
+
+ORACLES = {
+    "nation_volume_trade": _ORACLE_Q7,
+    "priority_shipmix": _ORACLE_Q12,
+    "promo_revenue_ratio": _ORACLE_Q14,
+    "disjunctive_revenue": _ORACLE_Q19,
+    "min_cost_per_brand": _ORACLE_Q2,
+    "waiting_suppliers": _ORACLE_Q21,
+    "idle_high_balance": _ORACLE_Q22,
+    "grouping_sets_calendar": _ORACLE_GSETS,
+    "bloom_pruned_join": _ORACLE_BLOOM,
+}

@@ -9,11 +9,21 @@ check (reserved for genuinely non-SQL-expressible ops).
 from __future__ import annotations
 
 from admob_data_pipeline_spark.operators import corpus, dedup, multimodal, similarity, text
-from admob_data_pipeline_spark.plans import relational
+from admob_data_pipeline_spark.plans import analytics_ext, relational
 from admob_data_pipeline_spark.sinks import roundtrip
 from admob_data_pipeline_spark.streaming import alerts as streaming_alerts
 
-_MODULES = [relational, text, corpus, dedup, similarity, multimodal, roundtrip, streaming_alerts]
+_MODULES = [
+    relational,
+    analytics_ext,
+    text,
+    corpus,
+    dedup,
+    similarity,
+    multimodal,
+    roundtrip,
+    streaming_alerts,
+]
 
 
 def _merged(attr: str) -> dict:
