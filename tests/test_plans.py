@@ -114,6 +114,88 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_volume_trade_broadcasts_all_dims(spark, sf_dir):
+    """Q7 shape: every dimension leg (nation ×2, supplier, customer) must
+    broadcast — the only allowed shuffle is lineitem⋈orders plus the final
+    aggregate. A SortMergeJoin against nation would shuffle 100 TB of fact
+    rows for a 25-row table."""
+    from admob_data_pipeline_spark.plans import analytics_ext
+
+    df = analytics_ext.q_nation_volume_trade(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_waiting_suppliers_semi_anti_no_fanout(spark, sf_dir):
+    """Q21 shape: the EXISTS/NOT-EXISTS chain must compile to semi + anti
+    joins — a fan-out join + distinct recovery would explode on
+    multi-supplier orders at scale."""
+    from admob_data_pipeline_spark.plans import analytics_ext
+
+    df = analytics_ext.q_waiting_suppliers(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_scan_expand(spark, sf_dir):
+    """GROUPING SETS must be one scan + Expand + one partial/final
+    aggregate — not three separate scans of the fact table."""
+    from admob_data_pipeline_spark.plans import analytics_ext
+
+    df = analytics_ext.q_grouping_sets_calendar(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "Expand" in plan
+    # formatted output names each physical scan twice (tree + details)
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_promo_ratio_prunes_part_scan(spark, sf_dir):
+    """The part side must broadcast and its scan must read only
+    (p_partkey, p_type) — 2 of 6 columns."""
+    from admob_data_pipeline_spark.plans import analytics_ext
+
+    df = analytics_ext.q_promo_revenue_ratio(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    part_schemas = [s for s in explain.scan_read_schemas(df) if "p_partkey" in s]
+    assert part_schemas and all(
+        "p_name" not in s and "p_retailprice" not in s for s in part_schemas
+    ), part_schemas
+
+
+def test_min_cost_per_brand_single_pass_window(spark, sf_dir):
+    """The correlated-minimum rewrite must be one scan + one window — the
+    naive form (scan + agg + self-join) scans the table twice."""
+    from admob_data_pipeline_spark.plans import analytics_ext
+
+    df = analytics_ext.q_min_cost_per_brand(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "Window" in plan
+    assert plan.count("Scan parquet") == 2, plan  # one scan (named twice)
+
+
+def test_idle_high_balance_anti_join(spark, sf_dir):
+    from admob_data_pipeline_spark.plans import analytics_ext
+
+    df = analytics_ext.q_idle_high_balance(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_join_filter_reaches_dim_scan(spark, sf_dir):
+    """The selective priority/date predicate must reach the orders scan as
+    a pushed filter — that's what the runtime bloom filter is built from."""
+    from admob_data_pipeline_spark.plans import analytics_ext
+
+    df = analytics_ext.q_bloom_pruned_join(spark, sf_dir)
+    pushed = explain.pushed_filters(df)
+    assert any("o_orderpriority" in p for p in pushed), pushed
+
+
 def test_ivf_assignment_is_map_only(spark, sf_dir):
     """Centroid assignment must not materialize the N×C pair space: no
     join/cross-product may appear between the scan and the mapInPandas
