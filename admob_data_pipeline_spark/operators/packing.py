@@ -1,0 +1,180 @@
+"""Sequence chunking and packing for LLM training-data preparation.
+
+Not reference-derived (the reference has no text surface) — these are the
+two standard shape-transformations between a document corpus and a
+fixed-context training set:
+
+- **Chunking**: split each document's token stream into fixed-size windows
+  with a stride (overlap) — one doc → ceil(n/stride) training rows.
+- **Packing**: concatenate consecutive short documents into fixed-capacity
+  packs (context-length bins) so training batches waste no pad tokens.
+
+Both are deterministic and engine-portable, so they carry full DuckDB
+oracles — the chunk windows are pure per-row array ops, and the packing
+uses an integer cumulative sum with an explicit tie-break ordering.
+
+Scale notes (100 TB):
+- Chunking is map-only (explode of per-row generated windows): zero
+  shuffle, scales linearly with executors. Output fan-out is bounded by
+  ceil(n_tokens/stride) per doc.
+- Packing shuffles once on the bucket key. Buckets are the parallelism
+  unit (at scale: one bucket ≈ one output shard ≈ 256–1024 MB); the
+  window cumulative-sum within a bucket is a single-pass sort aggregate.
+  Packing quality (fill ratio) is per-bucket greedy-contiguous: a doc
+  joins the pack its cumulative offset starts in, so a pack overflows by
+  at most one document — the standard streaming-packing trade-off that
+  avoids the O(n²) bin-packing global optimum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.operators.text import tokens
+from admob_data_pipeline_spark.operators.util import widen_if_narrow
+from admob_data_pipeline_spark.sources.tables import load_table
+
+CHUNK_SIZE = 32  # tokens per training window
+CHUNK_STRIDE = 24  # window start step (CHUNK_SIZE - overlap)
+PACK_CAPACITY = 256  # tokens per pack
+N_BUCKETS = 8  # packing parallelism unit
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Fixed-size sliding windows over each document's tokens.
+
+    Window starts at 0, stride, 2·stride, … while start < n_tokens; the
+    final window may be short. Map-only: sequence() generates the start
+    offsets per row and explode fans them out — no shuffle, no UDF."""
+    df = widen_if_narrow(df)
+    t = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(t) - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        df.select("doc_id", t.alias("toks"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            "start",
+            F.slice(F.col("toks"), F.col("start") + 1, size).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+        )
+    )
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs).orderBy("doc_id", "start")
+
+
+_ORACLE_CHUNKING = f"""
+SELECT doc_id, start,
+       CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM (
+    SELECT doc_id, start,
+           list_slice(toks, start + 1, start + {CHUNK_SIZE}) AS chunk
+    FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, GREATEST(len(toks) - 1, 0),
+                                      {CHUNK_STRIDE})) AS start
+        FROM (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents
+        )
+    )
+)
+ORDER BY doc_id, start
+"""
+
+
+def pack_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    capacity: int = PACK_CAPACITY,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Greedy-contiguous packing: within a bucket (docs ordered by
+    doc_id), a document joins the pack its cumulative token offset falls
+    in — ``pack_id = floor(offset_before_doc / capacity)``. Exact integer
+    arithmetic end-to-end (ROUND_NOTES rule 1), one shuffle on bucket."""
+    df = widen_if_narrow(df)
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = df.select(
+        "doc_id",
+        (F.col("doc_id") % n_buckets).cast("long").alias("bucket"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    return (
+        sized.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(capacity)).cast(
+                "long"
+            ),
+        )
+        .groupBy("bucket", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bucket", "pack_id")
+    )
+
+
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents(docs)
+
+
+_ORACLE_PACKING = f"""
+WITH sized AS (
+    SELECT doc_id,
+           CAST(doc_id % {N_BUCKETS} AS BIGINT) AS bucket,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), packed AS (
+    SELECT bucket, doc_id, n_tokens,
+           CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens AS DOUBLE) / {PACK_CAPACITY}) AS BIGINT) AS pack_id
+    FROM sized
+)
+SELECT bucket, pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY bucket, pack_id
+ORDER BY bucket, pack_id
+"""
+
+
+QUERIES = {
+    "doc_chunking": q_doc_chunking,
+    "doc_packing": q_doc_packing,
+}
+
+ORACLES = {
+    "doc_chunking": _ORACLE_CHUNKING,
+    "doc_packing": _ORACLE_PACKING,
+}

@@ -8,7 +8,15 @@ check (reserved for genuinely non-SQL-expressible ops).
 
 from __future__ import annotations
 
-from admob_data_pipeline_spark.operators import corpus, dedup, multimodal, similarity, text
+from admob_data_pipeline_spark.operators import (
+    cdc,
+    corpus,
+    dedup,
+    multimodal,
+    packing,
+    similarity,
+    text,
+)
 from admob_data_pipeline_spark.plans import analytics_ext, relational
 from admob_data_pipeline_spark.sinks import roundtrip
 from admob_data_pipeline_spark.streaming import alerts as streaming_alerts
@@ -21,6 +29,8 @@ _MODULES = [
     dedup,
     similarity,
     multimodal,
+    packing,
+    cdc,
     roundtrip,
     streaming_alerts,
 ]
