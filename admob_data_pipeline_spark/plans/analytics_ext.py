@@ -476,6 +476,83 @@ ORDER BY o_orderstatus
 """
 
 
+# --- heavy hitters (frequent items) ---------------------------------------
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users contributing more than 1/200th of all events — the exact
+    frequent-items analytic. The support threshold stays in the integer
+    domain (``n·200 > total``: exact BIGINT on both engines). One keyed
+    aggregate (map-side partial) + a broadcast one-row total; at 100 TB a
+    Misra-Gries per-partition pre-filter drops in front of the same plan
+    to bound the keyed shuffle, with this exact form as the verifier."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = per_user.agg(F.sum("n_events").alias("total"))
+    return (
+        per_user.crossJoin(F.broadcast(total))
+        .where(F.col("n_events") * 200 > F.col("total"))
+        .select("user_id", "n_events")
+        .orderBy(F.desc("n_events"), "user_id")
+    )
+
+
+_ORACLE_HEAVY = """
+WITH per_user AS (
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+), t AS (
+    SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM per_user
+)
+SELECT user_id, n_events
+FROM per_user, t
+WHERE n_events * 200 > total
+ORDER BY n_events DESC, user_id
+"""
+
+
+# --- incremental rollup maintenance ---------------------------------------
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a monthly revenue rollup kept as
+    base (history) + delta (new arrivals), merged by re-aggregating the
+    two partial states — never rescanning history at raw grain.
+
+    Correct because the aggregate state (count, integer cent-sum) is
+    associative/commutative; the oracle is the from-scratch full-range
+    aggregate, so the test pins merge ≡ recompute. At 100 TB this is the
+    daily-close pattern: the base rollup is a few thousand rows, the delta
+    scan touches only the new date partitions (partition pruning)."""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month")
+    cutoff = F.lit("1997-06-01")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+        )
+
+    base = rollup(o.where(F.col("o_orderdate") < cutoff))
+    delta = rollup(o.where(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+        .orderBy("month")
+    )
+
+
+_ORACLE_INCR_ROLLUP = """
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+GROUP BY month
+ORDER BY month
+"""
+
+
 QUERIES = {
     "nation_volume_trade": q_nation_volume_trade,
     "priority_shipmix": q_priority_shipmix,
@@ -486,6 +563,8 @@ QUERIES = {
     "idle_high_balance": q_idle_high_balance,
     "grouping_sets_calendar": q_grouping_sets_calendar,
     "bloom_pruned_join": q_bloom_pruned_join,
+    "heavy_hitters": q_heavy_hitters,
+    "incremental_rollup": q_incremental_rollup,
 }
 
 ORACLES = {
@@ -498,4 +577,6 @@ ORACLES = {
     "idle_high_balance": _ORACLE_Q22,
     "grouping_sets_calendar": _ORACLE_GSETS,
     "bloom_pruned_join": _ORACLE_BLOOM,
+    "heavy_hitters": _ORACLE_HEAVY,
+    "incremental_rollup": _ORACLE_INCR_ROLLUP,
 }
