@@ -28,6 +28,7 @@ from admob_data_pipeline_spark.sinks.writers import (
     overwrite_date_partitions,
     write_csv,
     write_jsonl,
+    write_sorted_layout,
 )
 from admob_data_pipeline_spark.sources.tables import load_table
 
@@ -136,14 +137,52 @@ ORDER BY date, app_name
 """
 
 
+def q_sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-layout write + selective read-back: cluster the customer
+    table by c_custkey (zone-map layout), then answer a point-range query
+    from the written files. A hash match proves the rewrite is lossless;
+    the row-group pruning property itself is pinned in test_sinks.py."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    out = tempfile.mkdtemp(prefix="sink_sorted_")
+    try:
+        write_sorted_layout(c, out, ["c_custkey"], files_per_partition=4)
+        back = (
+            spark.read.parquet(out)
+            .where(F.col("c_custkey").between(100, 199))
+            .orderBy("c_custkey")
+        )
+        rows = [(r.c_custkey, r.c_nationkey, r.bal_cents) for r in back.collect()]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_custkey bigint, c_nationkey bigint, bal_cents bigint"
+    ).orderBy("c_custkey")
+
+
+_ORACLE_SORTED = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+FROM customer
+WHERE c_custkey BETWEEN 100 AND 199
+ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
+    "sink_sorted_layout": q_sink_sorted_layout,
     "sink_jsonl_roundtrip": q_sink_jsonl_roundtrip,
     "sink_partition_overwrite": q_sink_partition_overwrite,
 }
 
 ORACLES = {
     "sink_csv_roundtrip": _ORACLE_FACT,
+    "sink_sorted_layout": _ORACLE_SORTED,
     "sink_jsonl_roundtrip": _ORACLE_FACT,
     "sink_partition_overwrite": _ORACLE_PARTITION,
 }

@@ -108,3 +108,34 @@ def test_slack_sink_transport_and_failure_logging(spark):
     assert calls[0][0] == "https://hooks.example/T/B/X"
     assert calls[0][1] == {"text": "alert A"}
     assert calls[0][2] == 10.0  # reference timeout (native_CTR_alerts.py:310)
+
+
+def test_sorted_layout_files_are_internally_sorted(spark, tmp_path):
+    """Every output file must be internally sorted on the sort column —
+    the property that makes parquet row-group min/max stats selective
+    (zone-map pruning at scan time)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "sorted")
+    writers.write_sorted_layout(df, out, ["k"], files_per_partition=4)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 2
+    total = 0
+    for f in files:
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        total += len(ks)
+        assert ks == sorted(ks), f
+        # sorted file ⇒ row-group [min,max] ranges are non-overlapping
+        md = pq.ParquetFile(f).metadata
+        prev_max = None
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(0).statistics
+            if prev_max is not None:
+                assert st.min >= prev_max
+            prev_max = st.max
+    assert total == 10_000
