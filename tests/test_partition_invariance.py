@@ -1,0 +1,38 @@
+"""Partition-count invariance: results must be bit-identical whether a
+query runs over 2 or 32 shuffle partitions.
+
+This is the local proxy for "same answer on 8 cores and 1000 executors".
+It holds only because of the repo-wide float discipline (integer-domain
+sums, exact-quotient ratios, floor-scaled scores) — a raw double SUM
+would fail it by accumulation-order drift. The picked queries exercise
+the riskiest machinery: sketch merge (KMV), transcendental-scaled ranking
+(TF-IDF), window cumsum binning (packing), and vectorized numpy partials
+(class centroids)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SENSITIVE = [
+    "kmv_distinct",
+    "text_tfidf",
+    "doc_packing",
+    "embedding_class_centroids",
+    "pricing_summary",
+]
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_independent_of_shuffle_partitions(spark, sf_dir, name):
+    fn = entry_mod.queries()[name]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        few = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        many = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert few == many
