@@ -277,9 +277,13 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier orders where NO other supplier also returned — the
     TPC-H Q21 EXISTS/NOT-EXISTS chain as one semi- plus one anti-join.
 
-    All three lineitem legs hash on ``l_orderkey``: Spark reuses the same
-    shuffle partitioning (exchange reuse) so the chain costs one fact
-    shuffle, not three; supplier⋈nation is broadcast."""
+    All three lineitem legs hash-partition on ``l_orderkey``, so at scale
+    the semi and anti joins co-partition with the base leg (no extra
+    repartitioning between them); each leg ships only its 3-column
+    projection of the fact, and the l1 leg is pre-filtered to 'R' rows.
+    supplier⋈nation is broadcast. Locally all legs broadcast (small
+    data); the per-leg scans column-prune to (orderkey, suppkey,
+    returnflag)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
