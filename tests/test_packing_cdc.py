@@ -87,3 +87,36 @@ def test_latest_by_key_deterministic_tiebreak(spark):
     )
     got = {(r.user_id, r.event_type): r.event_id for r in snap.collect()}
     assert got == {(10, "click"): 2, (10, "view"): 3}
+
+
+def test_packing_matches_pure_python_reference(spark):
+    """Seeded random corpus: the distributed pack assignment must equal a
+    sequential pure-Python implementation of the same greedy-contiguous
+    rule, bucket by bucket."""
+    import random
+
+    rng = random.Random(42)
+    rows = [(i, "w " * rng.randint(0, 80) + "w") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.bucket, r.pack_id): (r.n_docs, r.pack_tokens, r.first_doc, r.last_doc)
+        for r in packing.pack_documents(df).collect()
+    }
+
+    # sequential reference
+    want: dict = {}
+    by_bucket: dict = {}
+    for doc_id, text in rows:
+        by_bucket.setdefault(doc_id % packing.N_BUCKETS, []).append(
+            (doc_id, len(text.lower().split(" ")))
+        )
+    for bucket, docs_in in by_bucket.items():
+        cum = 0
+        for doc_id, n in sorted(docs_in):
+            pack_id = (cum) // packing.PACK_CAPACITY
+            cum += n
+            key = (bucket, pack_id)
+            nd, pt, fd, ld = want.get(key, (0, 0, doc_id, doc_id))
+            want[key] = (nd + 1, pt + n, min(fd, doc_id), max(ld, doc_id))
+    assert got == want
