@@ -300,17 +300,21 @@ def duplicate_clusters(
 
     Iterative min-label propagation: each round every node takes the min
     of its own label and its neighbors' labels; converges in O(component
-    diameter) rounds. The per-round frames are cached and materialized so
-    lineage stays flat (at 100 TB: checkpoint instead of cache, same loop).
-    This is the engine's 'iterative algorithm' shape — still fully
-    deterministic, so it keeps a (recursive-CTE) oracle.
+    diameter) rounds. Each round's labels are ``localCheckpoint``ed:
+    unlike ``cache()`` (which only short-circuits execution), checkpoint
+    TRUNCATES the lineage, so the plan stays O(1) per round instead of
+    growing by one join per iteration — without it, iteration N's plan
+    embeds all N-1 prior rounds and a failure/recompute at scale replays
+    the entire history (at 100 TB: ``checkpoint()`` to reliable storage,
+    same loop). This is the engine's 'iterative algorithm' shape — still
+    fully deterministic, so it keeps a (recursive-CTE) oracle.
     """
-    pairs = ngram_jaccard_pairs(docs, k, threshold, max_df).select("a", "b").cache()
-    edges = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).cache()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).cache()
-    labels.count()
+    pairs = ngram_jaccard_pairs(docs, k, threshold, max_df).select("a", "b")
+    edges = (
+        pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
@@ -326,7 +330,7 @@ def duplicate_clusters(
                     "label"
                 ),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -334,7 +338,6 @@ def duplicate_clusters(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
