@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.operators.sketches import kmv_distinct
 
@@ -32,3 +33,35 @@ def test_result_is_partitioning_invariant(spark):
     e1 = kmv_distinct(df1, "g", "v").first().ndv_est
     e2 = kmv_distinct(df2, "g", "v").first().ndv_est
     assert e1 == e2  # merge of k-smallest == global k-smallest
+
+
+def test_builtin_approx_percentile_rank_error_bound(spark, sf_dir):
+    """Spark's approx_percentile(accuracy=a) guarantees rank error
+    ≤ n/a. Pin the guarantee against the exact percentile ranks on
+    o_totalprice — this is the built-in t-digest-style path; the exact
+    group quantiles live in quantile_stats."""
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    n = o.count()
+    accuracy = 1000
+    approx = o.agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.95], accuracy).alias("p")
+    ).first().p
+    values = sorted(r.o_totalprice for r in o.collect())
+    import bisect
+
+    for q, est in zip([0.5, 0.95], approx):
+        rank = bisect.bisect_left(values, est)
+        assert abs(rank - q * n) <= n / accuracy + 1, (q, est, rank)
+
+
+def test_builtin_approx_count_distinct_error_bound(spark, sf_dir):
+    """approx_count_distinct(rsd=0.05): HLL++ estimate within 4·rsd of the
+    exact distinct count on a real key column."""
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    exact = o.select("o_custkey").distinct().count()
+    est = o.agg(F.approx_count_distinct("o_custkey", 0.05).alias("e")).first().e
+    assert abs(est - exact) / exact < 0.2, (est, exact)
