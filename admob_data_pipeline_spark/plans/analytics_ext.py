@@ -557,6 +557,58 @@ ORDER BY month
 """
 
 
+# --- time-series gap filling (calendar densification) ---------------------
+def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: daily event counts with missing days filled as 0
+    over the type's own [min, max] date range — resample/gap-fill, the
+    prerequisite for any rolling-window metric over sparse activity.
+
+    The calendar is generated from the aggregate (sequence + explode of
+    per-type day spans), never driver-side: the dense frame is
+    |types| × |days| rows built map-side from a |types|-row input, then a
+    broadcast left join attaches the sparse counts. No shuffle touches
+    the dense side at all when |types| is dimension-sized."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    )
+    counts = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n_events"))
+    spans = counts.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = spans.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    return (
+        calendar.join(F.broadcast(counts), ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_ORACLE_RESAMPLE = """
+WITH counts AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+), spans AS (
+    SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+    FROM counts GROUP BY event_type
+), calendar AS (
+    SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM spans
+)
+SELECT c.event_type, c.day,
+       CAST(COALESCE(n.n_events, 0) AS BIGINT) AS n_events
+FROM calendar c
+LEFT JOIN counts n ON c.event_type = n.event_type AND c.day = n.day
+ORDER BY c.event_type, c.day
+"""
+
+
 QUERIES = {
     "nation_volume_trade": q_nation_volume_trade,
     "priority_shipmix": q_priority_shipmix,
@@ -569,6 +621,7 @@ QUERIES = {
     "bloom_pruned_join": q_bloom_pruned_join,
     "heavy_hitters": q_heavy_hitters,
     "incremental_rollup": q_incremental_rollup,
+    "resample_daily": q_resample_daily,
 }
 
 ORACLES = {
@@ -583,4 +636,5 @@ ORACLES = {
     "bloom_pruned_join": _ORACLE_BLOOM,
     "heavy_hitters": _ORACLE_HEAVY,
     "incremental_rollup": _ORACLE_INCR_ROLLUP,
+    "resample_daily": _ORACLE_RESAMPLE,
 }
