@@ -75,10 +75,58 @@ ORDER BY user_id, event_type
 """
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history: each event's value is current from its own
+    timestamp until the key's next event — ``lead()`` over the same
+    deterministic (ts, event_id) order as the snapshot, open-ended for
+    the latest record (valid_to NULL). One shuffle on the key; the
+    interval build is a single-pass window, no self-join.
+
+    This is the other half of CDC: ``merge_latest`` answers "what is
+    current", this answers "what was true at time T" (join on
+    ``valid_from_sec <= T < valid_to_sec``)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts"),
+        F.floor(F.col("value") * 10000).cast("long").alias("value_e4"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("next_ts", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.floor(F.col("ts").cast("double")).cast("long").alias("valid_from_sec"),
+            F.floor(F.col("next_ts").cast("double")).cast("long").alias("valid_to_sec"),
+            "value_e4",
+        )
+        .orderBy("user_id", "event_type", "valid_from_sec", "event_id")
+    )
+
+
+_ORACLE_SCD2 = """
+SELECT user_id, event_type, event_id,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from_sec,
+       CAST(FLOOR(epoch(LEAD(ts) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts ASC, event_id ASC)))
+            AS BIGINT) AS valid_to_sec,
+       CAST(FLOOR(value * 10000) AS BIGINT) AS value_e4
+FROM events
+ORDER BY user_id, event_type, valid_from_sec, event_id
+"""
+
+
 QUERIES = {
     "merge_latest": q_merge_latest,
+    "scd2_intervals": q_scd2_intervals,
 }
 
 ORACLES = {
     "merge_latest": _ORACLE_MERGE_LATEST,
+    "scd2_intervals": _ORACLE_SCD2,
 }
