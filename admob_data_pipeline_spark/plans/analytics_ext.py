@@ -557,6 +557,86 @@ ORDER BY month
 """
 
 
+# --- cohort retention ------------------------------------------------------
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention matrix: users grouped by first-activity day
+    (cohort), counted by how many days after that first day they were
+    active. Two keyed aggregates + one join co-partitioned on user_id —
+    the first-day frame re-shuffles on the same key the activity frame
+    already hashes on, so AQE plans the join without an extra exchange
+    of the (larger) activity side."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    activity = ev.distinct()
+    first = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(first, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("offset_days"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+_ORACLE_COHORT = """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT cohort_day,
+       CAST(day - cohort_day AS INTEGER) AS offset_days,
+       COUNT(*) AS n_users
+FROM activity JOIN first USING (user_id)
+GROUP BY cohort_day, offset_days
+ORDER BY cohort_day, offset_days
+"""
+
+
+# --- funnel conversion -----------------------------------------------------
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel: per user, did signup → view → purchase occur
+    in timestamp order? One conditional aggregate computes each user's
+    first time per step (three min-CASEs in a single groupBy — one scan,
+    one shuffle, no per-step self-joins), then a one-row summary counts
+    completion of each prefix. Ordering ties are broken strictly: a later
+    step must be strictly after the previous step's first occurrence."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t2"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t3"),
+    )
+    s1 = F.col("t1").isNotNull()
+    s2 = s1 & F.col("t2").isNotNull() & (F.col("t2") > F.col("t1"))
+    s3 = s2 & F.col("t3").isNotNull() & (F.col("t3") > F.col("t2"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(s1.cast("long")).alias("n_signup"),
+        F.sum(s2.cast("long")).alias("n_signup_view"),
+        F.sum(s3.cast("long")).alias("n_signup_view_purchase"),
+    )
+
+
+_ORACLE_FUNNEL = """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+    FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view,
+       CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+                      AND t3 IS NOT NULL AND t3 > t2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view_purchase
+FROM per_user
+"""
+
+
 # --- time-series gap filling (calendar densification) ---------------------
 def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event type: daily event counts with missing days filled as 0
@@ -622,6 +702,8 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "incremental_rollup": q_incremental_rollup,
     "resample_daily": q_resample_daily,
+    "cohort_retention": q_cohort_retention,
+    "funnel_conversion": q_funnel_conversion,
 }
 
 ORACLES = {
@@ -637,4 +719,6 @@ ORACLES = {
     "heavy_hitters": _ORACLE_HEAVY,
     "incremental_rollup": _ORACLE_INCR_ROLLUP,
     "resample_daily": _ORACLE_RESAMPLE,
+    "cohort_retention": _ORACLE_COHORT,
+    "funnel_conversion": _ORACLE_FUNNEL,
 }
