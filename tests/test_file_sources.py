@@ -97,3 +97,29 @@ def test_partitioned_table_prunes_partitions(spark, tmp_path):
     plan = explain.formatted_plan(q)
     assert "PartitionFilters" in plan and "date" in plan.split("PartitionFilters", 1)[1][:200]
     assert [r.unit for r in q.collect()] == ["u3"]
+
+
+def test_schema_evolution_merge_across_partitions(spark, tmp_path):
+    """A long-lived table accumulates partitions written at different
+    schema versions (the reference's autodetect-append S7 would silently
+    fork schemas — SURVEY §1.4). mergeSchema must reconcile: old
+    partitions surface the new column as NULL, and a reader pinned to an
+    explicit schema gets the declared shape regardless of file version."""
+    out = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v1.write.parquet(out + "/date=2024-01-01")
+    v2 = spark.createDataFrame(
+        [(2, "b", 99)], "id long, name string, score long"
+    )
+    v2.write.parquet(out + "/date=2024-01-02")
+
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {"id", "name", "score", "date"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: 99}
+
+    # explicit schema pins the data columns; the partition-dir column is
+    # still appended by partition discovery
+    pinned = spark.read.schema("id long, score long").parquet(out)
+    assert pinned.columns == ["id", "score", "date"]
+    assert {(r.id, r.score) for r in pinned.collect()} == {(1, None), (2, 99)}
