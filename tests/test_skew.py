@@ -40,3 +40,35 @@ def test_replicated_join_equals_plain(spark):
     assert got == {"hot": 500, "cold": 1}
     plan = explain.formatted_plan(joined)
     assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_splits_skewed_sortmerge_join(spark):
+    """AQE's automatic skew-join split must engage on a hot-key join once
+    partition sizes cross the skew threshold — the zero-code complement to
+    manual salting (at 100 TB both apply: salting for aggregations, AQE
+    for joins). Pinned on the EXECUTED adaptive plan: the final
+    SortMergeJoin must be marked skew=true."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 270_100
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
