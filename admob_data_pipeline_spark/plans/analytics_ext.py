@@ -557,6 +557,119 @@ ORDER BY month
 """
 
 
+# --- Q6 shape: pure filter + global aggregate ------------------------------
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue delta from a discount band in one year (TPC-H Q6): the
+    canonical scan-bound query — all three predicates push to the parquet
+    scan, no join, no keyed shuffle, single partial+final aggregate.
+    At 100 TB this is bandwidth-limited; anything else in the plan is
+    overhead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            F.col("l_shipdate").between(F.lit("1996-01-01"), F.lit("1996-12-31 23:59:59"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_ORACLE_Q6 = """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1996-12-31 23:59:59'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- Q13 shape: distribution of per-key counts (left join + double agg) ----
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed exactly N orders, including N=0 — the
+    left-join + two-level aggregation shape (TPC-H Q13). The first
+    aggregate shuffles on c_custkey (the join key, so the left join and
+    count share one partitioning); the second shuffles a tiny
+    |distinct N| frame."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_ORACLE_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_custkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- Q17 shape: aggregate-join-back threshold ------------------------------
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from Brand#12 line items whose quantity is below 20% of
+    that part's average order quantity — the correlated-aggregate shape
+    (TPC-H Q17) as aggregate + join back: per-part sums computed once,
+    broadcast to the filtered fact, threshold held in exact integers
+    (``qty·5·cnt < sum_qty`` avoids the double-average entirely)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12").select(
+        "p_partkey"
+    )
+    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    per_part = branded.groupBy("l_partkey").agg(
+        F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        branded.join(F.broadcast(per_part), "l_partkey")
+        .where(F.floor("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.sum(_cents("l_extendedprice")).alias("price_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_ORACLE_Q17 = """
+WITH branded AS (
+    SELECT l_partkey, l_quantity, l_extendedprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#12'
+), per_part AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM branded GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents,
+       COUNT(*) AS n_items
+FROM branded JOIN per_part USING (l_partkey)
+WHERE CAST(FLOOR(l_quantity) AS BIGINT) * 5 * cnt < sum_qty
+"""
+
+
 # --- cohort retention ------------------------------------------------------
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic retention matrix: users grouped by first-activity day
@@ -704,6 +817,9 @@ QUERIES = {
     "resample_daily": q_resample_daily,
     "cohort_retention": q_cohort_retention,
     "funnel_conversion": q_funnel_conversion,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "order_count_distribution": q_order_count_distribution,
+    "small_quantity_revenue": q_small_quantity_revenue,
 }
 
 ORACLES = {
@@ -721,4 +837,7 @@ ORACLES = {
     "resample_daily": _ORACLE_RESAMPLE,
     "cohort_retention": _ORACLE_COHORT,
     "funnel_conversion": _ORACLE_FUNNEL,
+    "forecast_revenue_change": _ORACLE_Q6,
+    "order_count_distribution": _ORACLE_Q13,
+    "small_quantity_revenue": _ORACLE_Q17,
 }
