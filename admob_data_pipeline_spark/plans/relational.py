@@ -992,12 +992,15 @@ def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_PIVOT = """
 SELECT o_orderpriority,
-       SUM(CASE WHEN year(o_orderdate) = 1995
-                THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) AS y1995,
-       SUM(CASE WHEN year(o_orderdate) = 1996
-                THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) AS y1996,
-       SUM(CASE WHEN year(o_orderdate) = 1997
-                THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) AS y1997
+       CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+                     THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS y1995,
+       CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                     THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS y1996,
+       CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+                     THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS y1997
 FROM orders
 WHERE year(o_orderdate) IN (1995, 1996, 1997)
 GROUP BY o_orderpriority

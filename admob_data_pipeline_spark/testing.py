@@ -38,11 +38,23 @@ def diff_vs_oracle(spark_df, con, oracle: str) -> list[str]:
     """Return a list of human-readable problems; empty list == match."""
     spark_cols = spark_df.columns
     spark_rows = [tuple(r) for r in spark_df.collect()]
-    res = con.execute(oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    rel = con.sql(oracle)
+    duck_cols = list(rel.columns)
+    duck_types = [str(t).upper() for t in rel.types]
+    duck_rows = rel.fetchall()
 
     problems: list[str] = []
+    # Spark has no 128-bit integer type, so an oracle column that comes back
+    # HUGEINT (e.g. DuckDB SUM over BIGINT) is guaranteed to diverge from the
+    # Spark side under the driver's type-tagged hash even when every value is
+    # equal. Flag it here so the local mirror catches what the value
+    # comparison below cannot.
+    for c, t in zip(duck_cols, duck_types):
+        if t in ("HUGEINT", "UHUGEINT", "INT128", "UINT128"):
+            problems.append(
+                f"oracle col {c!r} is {t} (no Spark equivalent); "
+                "wrap the aggregate in CAST(... AS BIGINT)"
+            )
     if len(spark_rows) != len(duck_rows):
         problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
     if sorted(spark_cols) != sorted(duck_cols):
