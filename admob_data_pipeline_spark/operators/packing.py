@@ -124,10 +124,10 @@ def pack_documents(
     return (
         sized.withColumn("cum", F.sum("n_tokens").over(w))
         .withColumn(
+            # integer DIV, not floor(x / y): `/` promotes to double and
+            # loses exactness past 2^53 cumulative tokens per bucket
             "pack_id",
-            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(capacity)).cast(
-                "long"
-            ),
+            F.expr(f"(cum - n_tokens) DIV CAST({capacity} AS BIGINT)"),
         )
         .groupBy("bucket", "pack_id")
         .agg(
@@ -153,9 +153,9 @@ WITH sized AS (
     FROM documents
 ), packed AS (
     SELECT bucket, doc_id, n_tokens,
-           CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+           CAST((SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                - n_tokens AS DOUBLE) / {PACK_CAPACITY}) AS BIGINT) AS pack_id
+                - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS pack_id
     FROM sized
 )
 SELECT bucket, pack_id,

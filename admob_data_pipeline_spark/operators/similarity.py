@@ -570,6 +570,27 @@ ORDER BY a, b
 """
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sign-bucket LSH near-dup — the registered 100 TB path: candidate
+    # pairs are bucket-mates only (~N²/2^n_planes work, a bucketed shuffle
+    # join), vs the exact blocked form's full O(N²). Recall vs the exact
+    # form is pinned in tests/test_similarity.py.
+    return neardup_pairs(load_table(spark, sf_dir, "embeddings"), lsh=True)
+
+
+_ORACLE_NEARDUP_LSH = f"""
+WITH {_DUCK_BASE},
+bucketed AS (SELECT vec_id, v, nrm, {_SIGN_BITS} AS bucket FROM base)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6) AS cos_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6)
+      >= {NEARDUP_THRESHOLD}
+ORDER BY a, b
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf(load_table(spark, sf_dir, "embeddings"), QUERY_IDS)
 
@@ -648,6 +669,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "embedding_quantize_int8": q_quantize_int8,
     "embedding_class_centroids": q_class_centroids,
 }
@@ -657,6 +679,7 @@ ORACLES = {
     "ann_lsh_topk": _ORACLE_ANN_LSH,
     "ann_ivf_topk": _ORACLE_ANN_IVF,
     "embedding_neardup": _ORACLE_NEARDUP,
+    "embedding_neardup_lsh": _ORACLE_NEARDUP_LSH,
     "embedding_quantize_int8": _ORACLE_QUANTIZE,
     "embedding_class_centroids": _ORACLE_CENTROIDS,
 }

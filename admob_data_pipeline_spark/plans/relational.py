@@ -326,14 +326,30 @@ def _chunk_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
     import tempfile
+    import uuid
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # cache key includes a fingerprint of the source file (mtime+size) so a
+    # regenerated sf_dir invalidates the cache instead of serving stale rows
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_chunks_{key}.parquet")
     if not os.path.isdir(path):
         li = load_table(spark, sf_dir, "lineitem")
+        # write to a unique scratch dir, then atomically rename into place:
+        # a concurrent run either sees the complete directory or none at all
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         chunks_mod.synthesize_chunks_from_lineitem(li).write.mode(
             "overwrite"
-        ).parquet(path)
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost the race: another run renamed first
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
 

@@ -150,7 +150,9 @@ def sessionize_batch(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
 
     gap_expr = F.expr(f"INTERVAL {gap}")
     w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
-    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # same total order as w_lag: with ts-only ordering, two same-timestamp
+    # events where one starts a session would make assignment nondeterministic
+    w_run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     e = events.select(
@@ -355,7 +357,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of session starts; session start = min(ts) per (user, session id).
 _ORACLE_SESSIONIZE = """
 WITH e AS (
-    SELECT user_id, ts, CAST(FLOOR(value * 1000) AS BIGINT) AS vm,
+    SELECT user_id, ts, event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS vm,
            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > INTERVAL 2 HOUR
                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -364,7 +366,7 @@ WITH e AS (
 ),
 s AS (
     SELECT user_id, ts, vm,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sess
     FROM e
 )
