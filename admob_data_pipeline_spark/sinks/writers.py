@@ -54,6 +54,50 @@ def append_to_table(df: DataFrame, path: str, partition_col: str = "date") -> No
     df.write.mode("append").partitionBy(partition_col).parquet(path)
 
 
+def bigquery_writer_options(
+    table: str,
+    temporary_gcs_bucket: str | None = None,
+    write_method: str = "indirect",
+    partition_field: str | None = "date",
+) -> dict[str, str]:
+    """S7 cloud form — option assembly for the public spark-bigquery
+    connector, split out pure so it is unit-testable offline.
+
+    ``indirect`` stages parquet in GCS then issues one BigQuery load job —
+    the reference's GCS→`load_table_from_uri` pipeline (main.py:97-109) as
+    a single writer; ``direct`` uses the BigQuery Storage Write API and
+    needs no staging bucket.
+    """
+    if write_method not in ("direct", "indirect"):
+        raise ValueError(f"write_method must be direct|indirect: {write_method!r}")
+    if write_method == "indirect" and not temporary_gcs_bucket:
+        raise ValueError("indirect BigQuery writes need temporary_gcs_bucket")
+    opts = {"table": table, "writeMethod": write_method}
+    if temporary_gcs_bucket:
+        opts["temporaryGcsBucket"] = temporary_gcs_bucket
+    if partition_field:
+        opts["partitionField"] = partition_field
+        opts["partitionType"] = "DAY"
+    return opts
+
+
+def write_bigquery(
+    df: DataFrame,
+    table: str,
+    temporary_gcs_bucket: str | None = None,
+    write_method: str = "indirect",
+    partition_col: str = "date",
+) -> None:
+    """S7 live — ``format('bigquery')`` append with the same call shape as
+    :func:`append_to_table`; requires the connector on the classpath
+    (session.cloud_conf / SPARK_GRAFT_CLOUD=1). Not reachable offline —
+    the parquet stand-in carries the oracle-checked semantics."""
+    opts = bigquery_writer_options(
+        table, temporary_gcs_bucket, write_method, partition_col
+    )
+    df.write.format("bigquery").options(**opts).mode("append").save()
+
+
 def overwrite_date_partitions(
     df: DataFrame, path: str, partition_col: str = "date"
 ) -> None:
