@@ -268,6 +268,61 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(load_table(spark, sf_dir, "events"))
 
 
+def q_streaming_sessionize_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through the PRODUCTION sink path: the streaming plan
+    runs via :func:`stream_to_partitioned_table` (foreachBatch + dynamic
+    partition overwrite, streaming S8) and the query result is the TABLE
+    READ BACK from disk — so the oracle checks the full write/read cycle,
+    not a memory-sink shortcut.
+
+    The partition date derives from the session-start epoch with
+    ``date_from_unix_date`` (pure day arithmetic, session-TZ-independent —
+    the driver compares on a vanilla session whose TZ we don't control).
+    """
+    sessions = sessionize_stream(_event_stream(spark, sf_dir)).withColumn(
+        "date",
+        F.expr("date_from_unix_date(CAST(session_start_epoch DIV 86400 AS INT))"),
+    )
+    table_path = tempfile.mkdtemp(prefix="sess_table_")
+    checkpoint = tempfile.mkdtemp(prefix="sess_ckpt_")
+    stream_to_partitioned_table(sessions, table_path, checkpoint)
+    out = spark.read.parquet(table_path)
+    return out.select(
+        "user_id",
+        "session_start_epoch",
+        "n_events",
+        "value_milli",
+        F.col("date").cast("date").alias("date"),
+    ).orderBy("user_id", "session_start_epoch")
+
+
+_ORACLE_SESSIONIZE_SINK = """
+WITH e AS (
+    SELECT user_id, ts, event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS vm,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 2 HOUR
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+s AS (
+    SELECT user_id, ts, vm,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+    FROM e
+)
+SELECT user_id,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(vm) AS BIGINT) AS value_milli,
+       DATE '1970-01-01'
+           + CAST(CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) // 86400 AS INT) AS date
+FROM s
+GROUP BY user_id, sess
+ORDER BY user_id, session_start_epoch
+"""
+
+
 def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         attribution_stream(_event_stream(spark, sf_dir)), output_mode="append"
@@ -383,6 +438,7 @@ ORDER BY user_id, session_start_epoch
 QUERIES = {
     "streaming_stateful_rates": q_streaming_stateful,
     "sessionize_batch": q_sessionize_batch,
+    "streaming_sessionize_sink": q_streaming_sessionize_sink,
     "streaming_attribution": q_streaming_attribution,
     "streaming_dedup": q_streaming_dedup,
     "streaming_daily_rates": q_streaming_daily_rates,
@@ -392,6 +448,7 @@ QUERIES = {
 ORACLES = {
     "streaming_stateful_rates": _ORACLE_STATEFUL,
     "sessionize_batch": _ORACLE_SESSIONIZE,
+    "streaming_sessionize_sink": _ORACLE_SESSIONIZE_SINK,
     "streaming_attribution": _ORACLE_ATTRIBUTION,
     "streaming_dedup": _ORACLE_STREAM_DEDUP,
     "streaming_daily_rates": _ORACLE_DAILY_RATES,
