@@ -802,6 +802,93 @@ ORDER BY c.event_type, c.day
 """
 
 
+# --- report-domain ROLLUP --------------------------------------------------
+def q_report_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (app, unit) over the reference's report grain: per-unit
+    rows, per-app subtotals, and the network grand total in ONE scan —
+    the hierarchy drill-up a report UI issues against the daily fact
+    (native_CTR_alerts.py materializes only the leaf grain; the rollup is
+    what BigQuery computed for it upstream).
+
+    Scale: Expand + single partial/final hash aggregate; the fact never
+    shuffles more than once, grouping keys are low-cardinality."""
+    from admob_data_pipeline_spark.operators import alerts
+
+    fact = alerts.daily_fact(load_table(spark, sf_dir, "events"))
+    return (
+        fact.rollup("app_name", "ad_unit_name")
+        .agg(
+            F.grouping("app_name").cast("int").alias("g_app"),
+            F.grouping("ad_unit_name").cast("int").alias("g_unit"),
+            F.count(F.lit(1)).alias("impressions"),
+            F.sum("clicks").alias("clicks"),
+        )
+        .select("app_name", "ad_unit_name", "g_app", "g_unit", "impressions", "clicks")
+        .orderBy("g_app", "g_unit", "app_name", "ad_unit_name")
+    )
+
+
+_ORACLE_REPORT_ROLLUP = """
+SELECT app_name, ad_unit_name,
+       CAST(GROUPING(app_name) AS INTEGER) AS g_app,
+       CAST(GROUPING(ad_unit_name) AS INTEGER) AS g_unit,
+       COUNT(*) AS impressions,
+       CAST(SUM(clicks) AS BIGINT) AS clicks
+FROM (
+    SELECT event_type AS app_name,
+           'u' || CAST(user_id % 8 AS VARCHAR) AS ad_unit_name,
+           CAST(FLOOR(value * 1000) AS BIGINT) AS clicks
+    FROM events
+)
+GROUP BY ROLLUP (app_name, ad_unit_name)
+ORDER BY g_app, g_unit, app_name, ad_unit_name
+"""
+
+
+# --- shuffle-skew stress join ----------------------------------------------
+def q_skew_stress_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberate heavy-skew shuffle join: ~90% of lineitem rows are routed
+    to ONE order key, then joined to orders (both sides large → sort-merge)
+    and aggregated per priority. Correctness must be partition-layout-
+    independent while AQE's skew-join splitting keeps the hot key from
+    serializing one task — the executed-plan property is pinned in
+    tests/test_skew.py, and this query keeps the END RESULT oracle-checked
+    at every sf (salting changes plans, never answers)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    routed = li.select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .cast("long")
+        .alias("route_key"),
+        _rev_cents().alias("rev_c"),
+    )
+    joined = routed.join(o, routed.route_key == o.o_orderkey)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("rev_c").alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_SKEW_STRESS = """
+WITH routed AS (
+    SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE l_orderkey END AS route_key,
+           CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c
+    FROM lineitem
+)
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(r.rev_c) AS BIGINT) AS revenue_cents
+FROM routed r JOIN orders o ON r.route_key = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
 QUERIES = {
     "nation_volume_trade": q_nation_volume_trade,
     "priority_shipmix": q_priority_shipmix,
@@ -820,6 +907,8 @@ QUERIES = {
     "forecast_revenue_change": q_forecast_revenue_change,
     "order_count_distribution": q_order_count_distribution,
     "small_quantity_revenue": q_small_quantity_revenue,
+    "report_rollup": q_report_rollup,
+    "skew_stress_join": q_skew_stress_join,
 }
 
 ORACLES = {
@@ -840,4 +929,6 @@ ORACLES = {
     "forecast_revenue_change": _ORACLE_Q6,
     "order_count_distribution": _ORACLE_Q13,
     "small_quantity_revenue": _ORACLE_Q17,
+    "report_rollup": _ORACLE_REPORT_ROLLUP,
+    "skew_stress_join": _ORACLE_SKEW_STRESS,
 }

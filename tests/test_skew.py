@@ -72,3 +72,34 @@ def test_aqe_splits_skewed_sortmerge_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_skew_stress_join_splits_without_broadcast(spark):
+    """The registered skew_stress_join picks broadcast at test scale (the
+    right plan: orders fits the threshold). At 100 TB the dim side won't
+    broadcast — pin that under a forced shuffle join AQE still splits the
+    hot route_key, so the query survives the scale-up unchanged."""
+    from admob_data_pipeline_spark.plans.analytics_ext import q_skew_stress_join
+    from tests.conftest import SF001
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # the join feeds an aggregation, so splitting the hot partition
+        # costs one extra shuffle — worth it when the hot key dominates;
+        # without force, AQE declines any split that adds a shuffle
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q_skew_stress_join(spark, SF001)
+        assert len(df.collect()) == 5  # one row per priority
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
