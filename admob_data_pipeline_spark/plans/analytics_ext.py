@@ -854,14 +854,22 @@ def q_skew_stress_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     serializing one task — the executed-plan property is pinned in
     tests/test_skew.py, and this query keeps the END RESULT oracle-checked
     at every sf (salting changes plans, never answers)."""
+    from admob_data_pipeline_spark.operators.util import widen_if_narrow
+
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    routed = li.select(
-        F.when(F.col("l_orderkey") % 10 < 9, F.lit(1))
-        .otherwise(F.col("l_orderkey"))
-        .cast("long")
-        .alias("route_key"),
-        _rev_cents().alias("rev_c"),
+    # widen_if_narrow: AQE's skew split works at map-chunk granularity, so a
+    # single-mapper local read leaves the hot partition unsplittable (the
+    # rule logs `skewed partitions: 0` however large the key). A cluster
+    # read has thousands of mappers — this is a no-op there.
+    routed = widen_if_narrow(
+        li.select(
+            F.when(F.col("l_orderkey") % 10 < 9, F.lit(1))
+            .otherwise(F.col("l_orderkey"))
+            .cast("long")
+            .alias("route_key"),
+            _rev_cents().alias("rev_c"),
+        )
     )
     joined = routed.join(o, routed.route_key == o.o_orderkey)
     return (
@@ -889,6 +897,330 @@ ORDER BY o.o_orderpriority
 """
 
 
+# --- Q4 shape: order-priority checking (EXISTS semi-join) ------------------
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority that had at least one late-shipping line item
+    (shipped >60 days after the order date) in 1996 Q1 — TPC-H Q4 with the
+    commit/receipt predicate adapted to this schema's shipdate.
+
+    Scale: LEFT SEMI join on ``l_orderkey`` with the non-equi lateness
+    predicate evaluated inside the join — one shuffle per side, no fan-out
+    (semi join emits each order at most once); the quarter filter is pushed
+    to the orders scan."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- Q8 shape: national market share ---------------------------------------
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_3's share of AMERICA-region PROMO-part revenue per order year
+    (TPC-H Q8). Numerator and denominator are exact integer cents; the
+    share is their quotient (identical BIGINT→DOUBLE division on both
+    engines, so cross-engine-stable without rounding).
+
+    Scale: part (filtered), customer, supplier, nation×2, region are all
+    broadcast; lineitem ⋈ orders is the single big shuffle, then a 1-key
+    aggregate. A conditional-sum ratio instead of two passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    n_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_regionkey").alias("cust_rk")
+    )
+    n_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), c.c_nationkey == F.col("cust_nk"))
+        .join(F.broadcast(r), F.col("cust_rk") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), s.s_nationkey == F.col("supp_nk"))
+        .where(F.year("o_orderdate").between(1995, 1996))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", _rev_cents()).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_cents"),
+            F.sum(_rev_cents()).alias("total_cents"),
+        )
+        .withColumn(
+            "mkt_share", F.col("nation_cents") / F.col("total_cents")
+        )
+        .orderBy("o_year")
+    )
+
+
+_ORACLE_Q8 = """
+WITH j AS (
+    SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+           n2.n_name AS supp_nation,
+           CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE date_part('year', o_orderdate) BETWEEN 1995 AND 1996
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS BIGINT)
+           AS nation_cents,
+       CAST(SUM(rev) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS BIGINT)
+           / CAST(SUM(rev) AS BIGINT) AS mkt_share
+FROM j
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# --- Q9 shape: product-type profit -----------------------------------------
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on 'widget' parts by supplier nation and order year (TPC-H
+    Q9). This schema has no partsupp table, so unit supply cost is the
+    documented stand-in 60% of ``p_retailprice``; both cost and revenue are
+    floored to integer cents PER ROW before summing, keeping the aggregate
+    exact and order-independent.
+
+    Scale: part (name-filtered), supplier, nation broadcast; lineitem ⋈
+    orders is the only big shuffle; profit is map-side arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    profit_c = _rev_cents() - F.floor(
+        F.col("p_retailprice") * F.col("l_quantity") * 60
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == F.col("supp_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(profit_c).alias("profit_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", F.desc("o_year"))
+    )
+
+
+_ORACLE_Q9 = """
+SELECT n_name AS supp_nation,
+       CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+              - CAST(FLOOR(p_retailprice * l_quantity * 60) AS BIGINT)) AS BIGINT)
+           AS profit_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY supp_nation, o_year
+ORDER BY supp_nation, o_year DESC
+"""
+
+
+# --- Q10 shape: returned-item reporting ------------------------------------
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue lost to returns (``l_returnflag = 'R'``)
+    for orders placed in 1997 Q1, with their nation (TPC-H Q10).
+
+    Scale: the quarter filter prunes orders at the scan; customer and
+    nation broadcast; lineitem ⋈ orders shuffles once; TakeOrderedAndProject
+    caps the result driver-side at 20 rows — no full sort."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(F.sum(_rev_cents()).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+_ORACLE_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+       CAST(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- Q11 shape: important supplier stock (HAVING > scalar subquery) --------
+def q_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose shipped-goods value exceeds 0.1% of the network
+    total — TPC-H Q11's HAVING-above-global-fraction shape, computed over
+    lineitem value since this schema has no partsupp.
+
+    Scale: one per-supplier aggregate, then the global total re-aggregated
+    from the (tiny) per-supplier result and broadcast back as a one-row
+    scalar — the fact table is scanned once, never twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(_cents("l_extendedprice")).alias("value_cents")
+    )
+    total = per_supp.agg(
+        F.sum("value_cents").alias("total_cents")
+    )  # one row — broadcast scalar, no collect
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") > F.col("total_cents") * 0.001)
+        .select("l_suppkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "l_suppkey")
+    )
+
+
+_ORACLE_Q11 = """
+WITH per_supp AS (
+    SELECT l_suppkey,
+           CAST(SUM(FLOOR(l_extendedprice * 100)) AS BIGINT) AS value_cents
+    FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, value_cents
+FROM per_supp
+WHERE value_cents > (SELECT SUM(value_cents) * 0.001 FROM per_supp)
+ORDER BY value_cents DESC, l_suppkey
+"""
+
+
+# --- Q15 shape: top supplier (scalar-subquery max) -------------------------
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum revenue in 1996 Q1 (TPC-H Q15: view +
+    scalar-subquery max, tolerating ties).
+
+    Scale: one per-supplier aggregate over the quarter-pruned fact, the max
+    re-aggregated from that small result as a broadcast one-row scalar,
+    supplier dim broadcast for the name lookup."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_cents()).alias("total_rev_cents"))
+    mx = rev.agg(F.max("total_rev_cents").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev_cents") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+_ORACLE_Q15 = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)
+               AS total_rev_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_cents
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_cents = (SELECT MAX(total_rev_cents) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --- Q16 shape: supplier variety per part group ----------------------------
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, type, size) among actually-shipped
+    parts, excluding one brand and restricted to eight sizes — TPC-H Q16
+    computed from lineitem's part-supplier pairs (no partsupp table).
+
+    Scale: part is broadcast with both filters applied first; the
+    distinct-pair reduction and the count-distinct run as two partial
+    aggregates on the same grouping keys (one shuffle each, second input
+    already tiny)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 11, 20, 28, 37, 42, 49)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_ORACLE_Q16 = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 11, 20, 28, 37, 42, 49)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
 QUERIES = {
     "nation_volume_trade": q_nation_volume_trade,
     "priority_shipmix": q_priority_shipmix,
@@ -909,6 +1241,13 @@ QUERIES = {
     "small_quantity_revenue": q_small_quantity_revenue,
     "report_rollup": q_report_rollup,
     "skew_stress_join": q_skew_stress_join,
+    "order_priority_check": q_order_priority_check,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
+    "returned_items": q_returned_items,
+    "supplier_share": q_supplier_share,
+    "top_supplier": q_top_supplier,
+    "supplier_variety": q_supplier_variety,
 }
 
 ORACLES = {
@@ -931,4 +1270,11 @@ ORACLES = {
     "small_quantity_revenue": _ORACLE_Q17,
     "report_rollup": _ORACLE_REPORT_ROLLUP,
     "skew_stress_join": _ORACLE_SKEW_STRESS,
+    "order_priority_check": _ORACLE_Q4,
+    "market_share": _ORACLE_Q8,
+    "product_profit": _ORACLE_Q9,
+    "returned_items": _ORACLE_Q10,
+    "supplier_share": _ORACLE_Q11,
+    "top_supplier": _ORACLE_Q15,
+    "supplier_variety": _ORACLE_Q16,
 }

@@ -21,9 +21,14 @@ from admob_data_pipeline_spark.plans import analytics_ext, relational
 from admob_data_pipeline_spark.sinks import roundtrip
 from admob_data_pipeline_spark.streaming import alerts as streaming_alerts
 
+# Order matters for the driver's 50-query correctness window (see
+# DRIVER_GREEN below): within the "fresh" group, modules earlier in this
+# list are checked first. relational (pivot_revenue's fixed oracle) and the
+# LLM-pipeline operators are the never-driver-checked surface, so they lead;
+# analytics_ext's latest additions queue behind them for next round's
+# rotation.
 _MODULES = [
     relational,
-    analytics_ext,
     text,
     corpus,
     dedup,
@@ -33,6 +38,7 @@ _MODULES = [
     cdc,
     roundtrip,
     streaming_alerts,
+    analytics_ext,
 ]
 
 

@@ -85,6 +85,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.session.timeZone", "UTC")
+        # Naive parquet timestamps (isAdjustedToUTC=false, how the test
+        # tables store ``ts``) must read as plain TIMESTAMP under the UTC
+        # session zone, not TIMESTAMP_NTZ: NTZ forbids the epoch casts the
+        # event-time operators rely on, and DuckDB's epoch() of the same
+        # naive value agrees with the UTC interpretation bit-for-bit.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -39,11 +39,22 @@ def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
     """Read parquet, tolerating TIMESTAMP(NANOS) columns (the driver
     testdata's ``events.ts``), which Spark rejects unless
     ``spark.sql.legacy.parquet.nanosAsLong`` is set. Set it up front so the
-    first read never throws (a failed read logs executor ERRORs)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # unmodifiable in this session — fall through and hope
+    first read never throws (a failed read logs executor ERRORs).
+
+    Also force naive parquet timestamps (isAdjustedToUTC=false, how the
+    testdata stores ``ts``) to read as plain TIMESTAMP instead of
+    TIMESTAMP_NTZ: NTZ forbids the epoch casts the event-time operators
+    rely on, and DuckDB's epoch() of the same naive value agrees with the
+    UTC-session interpretation bit-for-bit. Runtime-set here, not only in
+    get_spark(), because the driver calls queries() on a vanilla session."""
+    for conf, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(conf, value)
+        except Exception:
+            pass  # unmodifiable in this session — fall through and hope
     return spark.read.parquet(path)
 
 
