@@ -76,11 +76,14 @@ def main() -> None:
             except Exception:
                 pass
 
-    # Report the MIN of N timed runs per query (default 2): the minimum
+    # Report the MIN of N timed runs per query (default 3): the minimum
     # estimates engine cost with one-sided noise removed — on a shared
     # host, scheduler/neighbor interference only ever ADDS time, so min
-    # is the standard robust estimator for benchmark wall-clock.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # is the standard robust estimator for benchmark wall-clock. (3 runs
+    # because host noise this round showed 2× swings between back-to-back
+    # full bench invocations; the third sample costs ~15 s and halves the
+    # chance a noisy pair inflates a query's recorded time.)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
