@@ -392,8 +392,82 @@ ORDER BY doc_id, rnk
 """
 
 
+# --- unigram-LM quality score ----------------------------------------------
+LM_SCALE = 10_000  # per-token NLL floor-scaled to integers (playbook #14:
+                   # ln() differs in the last ulp across engines; ints sum
+                   # exactly and order-independently)
+
+
+def lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document negative log-likelihood under an add-one-smoothed
+    unigram LM fit on the corpus itself — the cheap perplexity-style
+    quality gate (high NLL ⇒ rare-token-heavy / atypical text).
+
+    p(t) = (count(t) + 1) / (N + V). Each token's −ln p is floor-scaled
+    to an integer BEFORE summing, so the per-doc sum is exact and
+    order-independent; the average is the quotient of two bigints
+    (identical across engines).
+
+    Scale shape: one explode + token-count aggregate builds the LM (the
+    vocab table is ≪ corpus — low millions of rows at 100 TB — and
+    broadcasts); the scoring side is a broadcast map-side join + one
+    per-doc aggregate. The corpus shuffles only (doc_id, token-hash)
+    pairs, never text."""
+    docs = widen_if_narrow(docs)
+    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )  # one row — broadcast scalar
+    nll_scaled = F.floor(
+        -F.log((F.col("c") + 1) / (F.col("n_total") + F.col("v_size"))) * LM_SCALE
+    ).cast("long")
+    scored = (
+        tok.join(F.broadcast(counts), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", nll_scaled.alias("nll_e4"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll_e4").alias("nll_sum_e4"),
+        )
+        .withColumn("avg_nll_e4", F.col("nll_sum_e4") / F.col("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_score(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_LM = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+stats AS (SELECT SUM(c) AS n_total, COUNT(*) AS v_size FROM counts),
+scored AS (
+    SELECT t.doc_id,
+           CAST(FLOOR(-ln((c + 1) / CAST(n_total + v_size AS DOUBLE))
+                      * {LM_SCALE}) AS BIGINT) AS nll_e4
+    FROM tok t JOIN counts USING (token), stats
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(nll_e4) AS BIGINT) AS nll_sum_e4,
+       CAST(SUM(nll_e4) AS BIGINT) / COUNT(*) AS avg_nll_e4
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_bm25": q_bm25,
+    "text_lm_score": q_lm_score,
     "stratified_sample": q_stratified_sample,
     "text_decontaminate": q_decontaminate,
     "text_repetition": q_repetition,
@@ -402,6 +476,7 @@ QUERIES = {
 
 ORACLES = {
     "text_bm25": _ORACLE_BM25,
+    "text_lm_score": _ORACLE_LM,
     "stratified_sample": _ORACLE_SAMPLE,
     "text_decontaminate": _ORACLE_DECONTAM,
     "text_repetition": _ORACLE_REPETITION,

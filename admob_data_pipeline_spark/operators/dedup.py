@@ -556,8 +556,89 @@ ORDER BY c.doc_id
 )
 
 
+# --- paragraph-level dedup --------------------------------------------------
+PARA_TOKENS = 32  # fixed-size token segments stand in for paragraphs
+                  # (the synthetic corpus has no newlines; a real corpus
+                  # swaps this for split-on-blank-line)
+
+
+def paragraph_dedup(
+    docs: DataFrame, seg_tokens: int = PARA_TOKENS, text_col: str = "text"
+) -> DataFrame:
+    """Sub-document (paragraph-granular) dedup: segment each doc into
+    fixed-size token windows, hash each segment, and report per doc how
+    many of its segments also occur in at least one OTHER doc — the
+    gate that catches boilerplate/chunk-level duplication that doc-level
+    hashing misses.
+
+    Scale: explode is O(total segments), the per-hash aggregate counts
+    DISTINCT docs per segment hash (one shuffle on the 16-byte hash, not
+    the text), and the verdict joins back on hash. Nothing ever pairs
+    docs directly, so there is no quadratic blow-up."""
+    docs = widen_if_narrow(docs)
+    t = tokens(F.col(text_col))
+    n_seg = F.ceil(F.size(t) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice(t, i * seg_tokens + 1, seg_tokens), " ")
+        ),
+    )
+    seg_rows = docs.select("doc_id", F.explode(segs).alias("h"))
+    # distinct-doc count per segment hash; within-doc repeats count once
+    hash_df = seg_rows.distinct().groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        seg_rows.distinct()
+        .join(hash_df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_shared_segments"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_segments",
+        "n_shared_segments",
+        F.round(F.try_divide(F.col("n_shared_segments"), F.col("n_segments")), 6).alias(
+            "shared_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return paragraph_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_PARAGRAPH = f"""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+segs AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(
+               toks[i * {PARA_TOKENS} + 1 : (i + 1) * {PARA_TOKENS}], ' ')) AS h
+    FROM t, UNNEST(generate_series(
+            0, CAST(CEIL(len(toks) / {PARA_TOKENS}.0) AS INT) - 1)) AS g(i)
+),
+hash_df AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM segs GROUP BY h)
+SELECT s.doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN hd.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_segments,
+       ROUND(CAST(SUM(CASE WHEN hd.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(COUNT(*), 0), 6) AS shared_ratio
+FROM segs s JOIN hash_df hd USING (h)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_exact_dedup,
+    "dedup_paragraph": q_paragraph_dedup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash_pairs,
@@ -565,6 +646,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_paragraph": _ORACLE_PARAGRAPH,
     "dedup_clusters": _ORACLE_CLUSTERS,
     "dedup_exact": _ORACLE_EXACT,
     "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,

@@ -282,6 +282,89 @@ def hashing_vectorizer(
     )
 
 
+# PII patterns chosen from the RE2 ∩ Java-regex common subset (no
+# lookaround, no backrefs) so the Spark operator and the DuckDB oracle
+# compile the same automaton. Order matters: emails first (an address
+# contains dots a later pattern could nibble), then phones, then IPv4.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing: replace emails / phone numbers / IPv4 addresses with
+    typed placeholder tags and report per-category hit counts — the
+    standard pre-training privacy pass.
+
+    Pure column expressions (regexp_count + chained regexp_replace), so the
+    scrub is a map-only stage at any corpus size: no shuffle, no Python.
+    Counts are taken BEFORE redaction; replacements are applied in
+    PII_PATTERNS order."""
+    df = widen_if_narrow(df)
+    redacted = F.col(text_col)
+    counts = []
+    for name, pattern, tag in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pattern)).alias(f"n_{name}s")
+        )
+        redacted = F.regexp_replace(redacted, pattern, tag)
+    return df.select(
+        "doc_id",
+        *counts,
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def length_bucket_sample(
+    docs: DataFrame,
+    seed: str = "lenbucket-seed-1",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-length-stratified downsampling: bucket documents by token
+    count, keep each doc with a per-bucket rate via the same
+    content-stable md5 fraction as ``dataset_split`` — the standard move
+    for reshaping a corpus's length distribution (long docs are rarer but
+    each costs more tokens, so they get higher keep rates... or lower,
+    per the rate table) without a shuffle and reproducibly across engines.
+
+    Map-only until the final tiny per-bucket aggregate."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    bucket = (
+        F.when(n_tok < 32, F.lit("len_lt_32"))
+        .when(n_tok < 64, F.lit("len_32_63"))
+        .when(n_tok < 96, F.lit("len_64_95"))
+        .otherwise(F.lit("len_ge_96"))
+    )
+    rate = (
+        F.when(n_tok < 32, F.lit(1.0))
+        .when(n_tok < 64, F.lit(0.5))
+        .when(n_tok < 96, F.lit(0.25))
+        .otherwise(F.lit(0.125))
+    )
+    frac = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col("doc_id").cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16**13))
+    staged = widen_if_narrow(docs).select(
+        "doc_id", bucket.alias("bucket"), (frac < rate).alias("keep")
+    )
+    return (
+        staged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.min(F.when(F.col("keep"), F.col("doc_id"))).alias("first_kept"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------- queries
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,6 +592,100 @@ LIMIT 100
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus carries no organic PII, so the query enriches
+    each doc with deterministic contact strings derived from (source,
+    doc_id) — same expression on both engines — then runs the generic
+    scrubber over the enriched text. What's verified: the regex automata
+    agree cross-engine, counts land per category, and the redacted text
+    (hashed) is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("source"),
+            F.lit(".user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com phone 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 64).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 32).cast("string"),
+        ).alias("text"),
+    )
+    return pii_redact(enriched).orderBy("doc_id")
+
+
+_ORACLE_PII = r"""
+WITH enriched AS (
+    SELECT doc_id,
+           text || ' contact ' || source || '.user' || CAST(doc_id AS VARCHAR)
+                || '@example.com phone 555-'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST(doc_id % 64 AS VARCHAR)
+                || '.' || CAST(doc_id % 32 AS VARCHAR) AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text,
+            '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+       md5(regexp_replace(
+           regexp_replace(
+               regexp_replace(text,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+FROM enriched
+ORDER BY doc_id
+"""
+
+
+def q_length_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_bucket_sample(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_LENBUCKET = """
+WITH t AS (
+    SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tok FROM documents
+),
+b AS (
+    SELECT doc_id,
+           CASE WHEN n_tok < 32 THEN 'len_lt_32'
+                WHEN n_tok < 64 THEN 'len_32_63'
+                WHEN n_tok < 96 THEN 'len_64_95'
+                ELSE 'len_ge_96' END AS bucket,
+           CASE WHEN n_tok < 32 THEN 1.0
+                WHEN n_tok < 64 THEN 0.5
+                WHEN n_tok < 96 THEN 0.25
+                ELSE 0.125 END AS rate,
+           CAST('0x' || substr(md5('lenbucket-seed-1' || '|'
+                || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+               / POWER(16, 13) AS frac
+    FROM t
+)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN frac < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       MIN(CASE WHEN frac < rate THEN doc_id END) AS first_kept
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "text_hashing_vectorizer": q_hashing_vectorizer,
     "text_dataset_split": q_dataset_split,
@@ -518,9 +695,13 @@ QUERIES = {
     "text_quality_scores": q_quality_scores,
     "text_language_id": q_language_id,
     "text_fingerprints": q_fingerprints,
+    "text_pii_redact": q_pii_redact,
+    "length_bucket_sample": q_length_bucket_sample,
 }
 
 ORACLES = {
+    "text_pii_redact": _ORACLE_PII,
+    "length_bucket_sample": _ORACLE_LENBUCKET,
     "text_hashing_vectorizer": _ORACLE_VECTORIZER,
     "text_dataset_split": _ORACLE_SPLIT,
     "text_vocabulary": _ORACLE_VOCAB,

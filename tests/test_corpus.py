@@ -100,3 +100,22 @@ def test_corpus_invariants_on_random_docs(spark):
     low = {r.doc_id for r in corpus.stratified_sample(docs, {"en": 0.3}).collect()}
     high = {r.doc_id for r in corpus.stratified_sample(docs, {"en": 0.8}).collect()}
     assert low <= high and len(high) > len(low)
+
+
+def test_lm_score_rare_tokens_score_higher(spark):
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators.corpus import lm_score
+
+    # 9 docs of common tokens + 1 doc of singletons: the rare-token doc
+    # must have the highest average NLL under the corpus-fit unigram LM.
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="the cat sat on the mat") for i in range(9)]
+        + [Row(doc_id=9, text="zyx wvu tsr qpo nml kji")]
+    )
+    rows = {r.doc_id: r for r in lm_score(docs).collect()}
+    common_avg = max(rows[i].avg_nll_e4 for i in range(9))
+    assert rows[9].avg_nll_e4 > common_avg
+    # exactness: sum of per-token ints equals n_tokens * per-token value
+    # for the uniform-rare doc (all six tokens have count 1)
+    assert rows[9].nll_sum_e4 % rows[9].n_tokens == 0

@@ -62,3 +62,23 @@ def test_simhash_banding_is_exhaustive_for_hamming_le_3(spark):
     }
     got = {(r.a, r.b) for r in dedup.simhash_pairs(d).collect()}
     assert got == expected
+
+
+def test_paragraph_dedup_detects_shared_segment(spark):
+    from pyspark.sql import Row
+
+    # docs 0 and 1 share an identical 32-token opening segment; doc 2 is
+    # disjoint. Shared segments must be flagged for BOTH sharers only.
+    seg = " ".join(f"tok{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=seg + " tail0 one two"),
+            Row(doc_id=1, text=seg + " tail1 three four"),
+            Row(doc_id=2, text=" ".join(f"other{i}" for i in range(40))),
+        ]
+    )
+    got = {r.doc_id: r for r in dedup.paragraph_dedup(docs).collect()}
+    assert got[0].n_segments == 2 and got[0].n_shared_segments == 1
+    assert got[1].n_segments == 2 and got[1].n_shared_segments == 1
+    assert got[2].n_shared_segments == 0
+    assert got[0].shared_ratio == 0.5

@@ -48,3 +48,45 @@ def test_fingerprint_stability(spark):
     rows = T.fingerprints(d).collect()
     assert rows[0].fp_md5 == rows[1].fp_md5
     assert rows[0].fp_min_shingle == rows[1].fp_min_shingle
+
+
+def test_pii_redact_crafted(spark):
+    d = _docs(
+        spark,
+        [
+            "mail me at jo.doe+x@test-site.org or 555-123-4567 from 10.0.0.1",
+            "no pii here at all",
+        ],
+    )
+    got = {r.doc_id: r for r in T.pii_redact(d).collect()}
+    assert (got[0].n_emails, got[0].n_phones, got[0].n_ips) == (1, 1, 1)
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ips) == (0, 0, 0)
+    # redaction replaces every match: re-scrubbing redacted text finds none
+    redacted = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), T.PII_PATTERNS[0][1], "<EMAIL>"),
+                T.PII_PATTERNS[1][1],
+                "<PHONE>",
+            ),
+            T.PII_PATTERNS[2][1],
+            "<IP>",
+        ).alias("text"),
+    )
+    rescrub = {r.doc_id: r for r in T.pii_redact(redacted).collect()}
+    assert rescrub[0].n_emails == rescrub[0].n_phones == rescrub[0].n_ips == 0
+    # and the hash of independently-redacted text matches the operator's
+    assert got[0].redacted_md5 == {
+        r.doc_id: r for r in redacted.select(
+            "doc_id", F.md5("text").alias("m")
+        ).collect()
+    }[0].m
+
+
+def test_length_bucket_sample_full_rate_bucket(spark):
+    # 10 tiny docs land in len_lt_32 whose rate is 1.0 — all kept
+    d = _docs(spark, [f"w{i} x y" for i in range(10)])
+    row = {r.bucket: r for r in T.length_bucket_sample(d).collect()}["len_lt_32"]
+    assert (row.n_docs, row.n_kept) == (10, 10)
+    assert row.first_kept == 0
