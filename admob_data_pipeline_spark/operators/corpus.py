@@ -114,13 +114,28 @@ def tfidf_top_terms(
 
     score = tf · ln(N/df), floor-scaled to an integer at 1e4 so the
     transcendental's last ulp can never flip an ordering across engines.
-    df is a token-vocabulary aggregate (tiny) joined back broadcast; per-doc
-    ranking is a window over the (doc, token) tf table.
+
+    Plan shape — the tf table feeds both the df aggregate and the scoring
+    join, and Spark will NOT exchange-reuse a self-derived branch (the
+    optimizer prunes the two copies differently, so their canonical plans
+    diverge and the corpus is scanned + exploded twice — measured in the
+    plan audit). A token-partitioned WINDOW would reuse one pass but puts
+    a hot token's entire doc-frequency in one task — unbounded skew at
+    100 TB. The scale-safe answer is explicit materialization:
+    ``localCheckpoint(eager=False)`` computes tf once and lets both
+    consumers read it, keeping df a partial-aggregated (skew-immune)
+    groupBy. At cluster scale this is the standard recompute-vs-
+    materialize call for a reused intermediate (``checkpoint()`` to
+    storage if executor memory is tight).
     """
     tok = widen_if_narrow(docs).select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # one tiny job; a literal keeps the plan join-free
     score = F.floor(
@@ -320,20 +335,34 @@ def bm25_top_terms(
     broadcast one-row cross join — no driver-side collect, the plan stays
     fully declarative and cluster-executable. Scores floor-scale to
     integers before ranking (transcendental ulp discipline, as tfidf).
+
+    Plan shape: tf is computed ONCE and materialized
+    (``localCheckpoint(eager=False)`` — see tfidf_top_terms for why
+    exchange reuse can't do this and why a token-partitioned window
+    would skew); df, dl, and the corpus scalars all derive from the
+    checkpointed tf table. dl is a doc-partitioned window (bounded
+    partitions — a doc has bounded length, unlike a token's corpus-wide
+    frequency), df stays a partial-aggregated groupBy broadcast back,
+    and (n_docs, avgdl) re-aggregate tf in one tiny job. Net: the corpus
+    is scanned + exploded exactly once, and every aggregate is
+    skew-immune.
     """
     tok = widen_if_narrow(docs).select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    stats = tf.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
     )
     scored = (
-        tf.join(F.broadcast(df_tab), "token")
-        .join(F.broadcast(dl), "doc_id")
+        tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+        .join(F.broadcast(df_tab), "token")
         .crossJoin(F.broadcast(stats))
     )
     idf = F.log(
@@ -412,10 +441,18 @@ def lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     vocab table is ≪ corpus — low millions of rows at 100 TB — and
     broadcasts); the scoring side is a broadcast map-side join + one
     per-doc aggregate. The corpus shuffles only (doc_id, token-hash)
-    pairs, never text."""
+    pairs, never text. The vocab table is materialized
+    (``localCheckpoint``) because both the scoring join and the (N, V)
+    scalars read it — a tiny table, cheap to pin; the exploded corpus
+    itself is deliberately NOT materialized (recomputing one explode
+    beats spilling a corpus-sized intermediate at 100 TB)."""
     docs = widen_if_narrow(docs)
     tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    counts = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     stats = counts.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
     )  # one row — broadcast scalar

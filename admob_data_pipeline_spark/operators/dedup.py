@@ -574,7 +574,12 @@ def paragraph_dedup(
     Scale: explode is O(total segments), the per-hash aggregate counts
     DISTINCT docs per segment hash (one shuffle on the 16-byte hash, not
     the text), and the verdict joins back on hash. Nothing ever pairs
-    docs directly, so there is no quadratic blow-up."""
+    docs directly, so there is no quadratic blow-up. The distinct
+    (doc, hash) table is materialized (``localCheckpoint``) because both
+    the per-hash aggregate and the verdict join read it — it is 48 bytes
+    a row regardless of paragraph size, so pinning it beats re-exploding
+    the corpus (exchange reuse cannot deduplicate self-derived branches;
+    see tfidf_top_terms)."""
     docs = widen_if_narrow(docs)
     t = tokens(F.col(text_col))
     n_seg = F.ceil(F.size(t) / F.lit(seg_tokens)).cast("int")
@@ -584,14 +589,15 @@ def paragraph_dedup(
             F.array_join(F.slice(t, i * seg_tokens + 1, seg_tokens), " ")
         ),
     )
-    seg_rows = docs.select("doc_id", F.explode(segs).alias("h"))
-    # distinct-doc count per segment hash; within-doc repeats count once
-    hash_df = seg_rows.distinct().groupBy("h").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+    # distinct: within-doc repeats count once
+    seg_rows = (
+        docs.select("doc_id", F.explode(segs).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
+    hash_df = seg_rows.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
     per_doc = (
-        seg_rows.distinct()
-        .join(hash_df, "h")
+        seg_rows.join(hash_df, "h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
