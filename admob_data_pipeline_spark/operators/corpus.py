@@ -122,7 +122,7 @@ def tfidf_top_terms(
     plan audit). A token-partitioned WINDOW would reuse one pass but puts
     a hot token's entire doc-frequency in one task — unbounded skew at
     100 TB. The scale-safe answer is explicit materialization:
-    ``localCheckpoint(eager=False)`` computes tf once and lets both
+    ``localCheckpoint`` computes tf once and lets both
     consumers read it, keeping df a partial-aggregated (skew-immune)
     groupBy. At cluster scale this is the standard recompute-vs-
     materialize call for a reused intermediate (``checkpoint()`` to
@@ -134,7 +134,7 @@ def tfidf_top_terms(
     tf = (
         tok.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # one tiny job; a literal keeps the plan join-free
@@ -337,7 +337,7 @@ def bm25_top_terms(
     integers before ranking (transcendental ulp discipline, as tfidf).
 
     Plan shape: tf is computed ONCE and materialized
-    (``localCheckpoint(eager=False)`` — see tfidf_top_terms for why
+    (``localCheckpoint`` — see tfidf_top_terms for why
     exchange reuse can't do this and why a token-partitioned window
     would skew); df, dl, and the corpus scalars all derive from the
     checkpointed tf table. dl is a doc-partitioned window (bounded
@@ -353,7 +353,7 @@ def bm25_top_terms(
     tf = (
         tok.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = tf.agg(
@@ -451,7 +451,7 @@ def lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     counts = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     stats = counts.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")

@@ -70,10 +70,17 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _capped_shingles(docs: DataFrame, k: int, max_df: int) -> DataFrame:
-    # cache the exploded shingles: they feed BOTH the hot-shingle census
-    # and the anti-join input — without the cache the (expensive) tokenize/
-    # shingle/explode pipeline runs twice
-    sh = doc_shingles(docs, k).cache()
+    # materialize the exploded shingles: they feed BOTH the hot-shingle
+    # census and the anti-join input. cache() is NOT enough — its plan-
+    # equality lookup misses here (the widen repartition defeats
+    # sameResult), so the executed plan re-ran the tokenize/shingle/
+    # explode pipeline per consumer (18 parquet scans measured for the
+    # LSH query). An eager localCheckpoint pins the (doc_id, shingle) rows
+    # once; every downstream leg reads the materialized partitions. Eager,
+    # not lazy: lazily-checkpointed plans report SQL-metric accumulators
+    # after their query execution is gone, flooding the driver log with
+    # DAGScheduler accumulator errors.
+    sh = doc_shingles(docs, k).localCheckpoint()
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -92,7 +99,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold, generated through a
     shared-shingle join (never a cross join)."""
-    sh = _capped_shingles(docs, k, max_df).cache()
+    # the capped shingle table feeds sizes + both join legs → materialize
+    # (see _capped_shingles for why cache() misses here)
+    sh = _capped_shingles(docs, k, max_df).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -179,7 +188,9 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, LSH-candidate-generated and
     exact-Jaccard-verified (precision 1, recall = banding probability)."""
-    sh = _capped_shingles(docs, k, max_df).cache()
+    # shingles feed signatures + sizes + both verify legs → materialize
+    # (see _capped_shingles for why cache() misses here)
+    sh = _capped_shingles(docs, k, max_df).localCheckpoint()
     bands = lsh_band_keys(minhash_signatures(sh))
     ba = bands.select(F.col("doc_id").alias("a"), "band", "band_key")
     bb = bands.select(F.col("doc_id").alias("b"), "band", "band_key")
@@ -593,7 +604,7 @@ def paragraph_dedup(
     seg_rows = (
         docs.select("doc_id", F.explode(segs).alias("h"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     hash_df = seg_rows.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
     per_doc = (
