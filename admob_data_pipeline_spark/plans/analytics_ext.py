@@ -1221,8 +1221,73 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 
+# --- event-transition matrix (Markov chain over user journeys) -------------
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences: for
+    each (from_type, to_type) pair, how often one follows the other and
+    the within-from probability — the product-analytics "user journey"
+    aggregate (no reference analogue; the events table is this engine's
+    behavioral log).
+
+    Scale: one window pass per user (lead over (ts, event_id) — total
+    order, so partition-layout-independent) + one small aggregate; the
+    probability is a quotient of two exact bigints."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            (F.col("n_transitions") / F.col("n_from")).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_ORACLE_TRANSITIONS = """
+WITH seq AS (
+    SELECT user_id, event_type AS from_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_type
+    FROM events
+),
+pairs AS (
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+totals AS (
+    SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+    FROM pairs GROUP BY from_type
+)
+SELECT p.from_type, p.to_type, p.n_transitions,
+       p.n_transitions / n_from AS prob
+FROM pairs p JOIN totals USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "nation_volume_trade": q_nation_volume_trade,
+    "event_transitions": q_event_transitions,
     "priority_shipmix": q_priority_shipmix,
     "promo_revenue_ratio": q_promo_revenue_ratio,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -1252,6 +1317,7 @@ QUERIES = {
 
 ORACLES = {
     "nation_volume_trade": _ORACLE_Q7,
+    "event_transitions": _ORACLE_TRANSITIONS,
     "priority_shipmix": _ORACLE_Q12,
     "promo_revenue_ratio": _ORACLE_Q14,
     "disjunctive_revenue": _ORACLE_Q19,

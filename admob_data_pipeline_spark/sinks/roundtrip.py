@@ -28,6 +28,7 @@ from admob_data_pipeline_spark.sinks.writers import (
     overwrite_date_partitions,
     write_csv,
     write_jsonl,
+    write_orc,
     write_sorted_layout,
 )
 from admob_data_pipeline_spark.sources.tables import load_table
@@ -82,6 +83,17 @@ def q_sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = (
             spark.read.schema(_FACT_SCHEMA).json(out).orderBy("o_orderpriority")
         )
+        rows = back.collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _FACT_SCHEMA)
+
+
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="sink_orc_")
+    try:
+        write_orc(_order_fact(spark, sf_dir), out)
+        back = spark.read.schema(_FACT_SCHEMA).orc(out).orderBy("o_orderpriority")
         rows = back.collect()
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -177,6 +189,7 @@ QUERIES = {
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
     "sink_sorted_layout": q_sink_sorted_layout,
     "sink_jsonl_roundtrip": q_sink_jsonl_roundtrip,
+    "sink_orc_roundtrip": q_sink_orc_roundtrip,
     "sink_partition_overwrite": q_sink_partition_overwrite,
 }
 
@@ -184,5 +197,6 @@ ORACLES = {
     "sink_csv_roundtrip": _ORACLE_FACT,
     "sink_sorted_layout": _ORACLE_SORTED,
     "sink_jsonl_roundtrip": _ORACLE_FACT,
+    "sink_orc_roundtrip": _ORACLE_FACT,
     "sink_partition_overwrite": _ORACLE_PARTITION,
 }

@@ -49,6 +49,14 @@ def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").json(path)
 
 
+def write_orc(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Columnar export in ORC — the second warehouse-native format Spark
+    ships a vectorized reader/writer for; rounds out the sink family for
+    consumers whose lake standardizes on ORC instead of parquet."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").orc(path)
+
+
 def append_to_table(df: DataFrame, path: str, partition_col: str = "date") -> None:
     """S7 — WRITE_APPEND + CREATE_IF_NEEDED semantics (main.py:97-109)."""
     df.write.mode("append").partitionBy(partition_col).parquet(path)

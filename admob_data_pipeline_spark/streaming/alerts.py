@@ -218,6 +218,38 @@ def stream_to_partitioned_table(
     q.awaitTermination()
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-STATIC join + windowless aggregate: each event is enriched
+    with its user's market segment from a static dimension table, then
+    rolled up per segment — the lookup-enrichment shape every production
+    stream runs (the reference's account-metadata lookup, main.py:59-63,
+    done stream-side).
+
+    The static side is broadcast: a stream-static join never buffers
+    stream state for the static table, and the broadcast keeps the join
+    map-side on every micro-batch — at cluster scale the dim refreshes
+    per batch from its source, which is exactly the semantics a slowly-
+    changing lookup wants. Complete-mode aggregate (finite replay)."""
+    d = dim.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        events.join(F.broadcast(d), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_milli"),
+            # exact count-distinct is not allowed on a stream (only
+            # approx_count_distinct, whose HLL estimate an exact oracle
+            # can't mirror) — last-seen epoch keeps a second, orderable
+            # aggregate in the check instead
+            F.floor(F.max("ts").cast("double")).cast("long").alias(
+                "last_event_epoch"
+            ),
+        )
+    )
+
+
 ATTRIBUTION_WINDOW = "30 minutes"
 
 
@@ -384,6 +416,26 @@ ORDER BY user_id, event_type, day
 """
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_available_now(
+        enrich_stream(
+            _event_stream(spark, sf_dir), load_table(spark, sf_dir, "customer")
+        )
+    )
+    return out.orderBy("segment")
+
+
+_ORACLE_ENRICH = """
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_event_epoch
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY segment
+ORDER BY segment
+"""
+
+
 def q_streaming_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(daily_rates_stream(_event_stream(spark, sf_dir)))
     return out.orderBy("date", "app_name")
@@ -443,6 +495,7 @@ QUERIES = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_daily_rates": q_streaming_daily_rates,
     "streaming_sessionize": q_streaming_sessionize,
+    "streaming_enrich": q_streaming_enrich,
 }
 
 ORACLES = {
@@ -453,4 +506,5 @@ ORACLES = {
     "streaming_dedup": _ORACLE_STREAM_DEDUP,
     "streaming_daily_rates": _ORACLE_DAILY_RATES,
     "streaming_sessionize": _ORACLE_SESSIONIZE,
+    "streaming_enrich": _ORACLE_ENRICH,
 }
