@@ -1285,9 +1285,139 @@ ORDER BY from_type, to_type
 """
 
 
+# --- sliding event-time windows --------------------------------------------
+def q_sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day metrics recomputed every day via Spark's built-in
+    sliding ``window`` (duration 7d, slide 1d) — the moving-average shape
+    a reporting UI plots, produced in ONE pass (each event lands in 7
+    windows through the generator, no 7-way self-join).
+
+    Scale: the window expansion is map-side (×7 row fan-out of a narrow
+    projection), then a single hash aggregate on (window, type). Epoch-
+    aligned starts make the result engine-checkable: window_start =
+    (day - k)·86400 for k ∈ 0..6."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "7 days", "1 day").alias("w"),
+            F.col("event_type").alias("app_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_milli"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start_epoch"),
+            "app_name",
+            "n_events",
+            "value_milli",
+        )
+        .orderBy("window_start_epoch", "app_name")
+    )
+
+
+_ORACLE_SLIDING = """
+WITH e AS (
+    SELECT event_type AS app_name,
+           CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+    FROM events
+),
+expanded AS (
+    SELECT app_name, day, vm, k
+    FROM e, UNNEST(generate_series(0, 6)) AS g(k)
+)
+SELECT (day - k) * 86400 AS window_start_epoch,
+       app_name,
+       COUNT(*) AS n_events,
+       CAST(SUM(vm) AS BIGINT) AS value_milli
+FROM expanded
+GROUP BY window_start_epoch, app_name
+ORDER BY window_start_epoch, app_name
+"""
+
+
+# --- user RFM segmentation --------------------------------------------------
+def q_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency / Frequency / Monetary segmentation per user: days since
+    last event (vs the corpus max timestamp), event count, and purchase
+    value, each cut into quartiles with NTILE — the standard audience-
+    segmentation rollup of a behavioral log.
+
+    Scale: one per-user aggregate; the corpus max attaches as a broadcast
+    one-row scalar (no collect); NTILE runs over the per-user rollup
+    (rows = users ≪ events) with (metric, user_id) orderings so ties are
+    deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.floor(F.max("ts").cast("double")).cast("long").alias("last_epoch"),
+        F.count(F.lit(1)).alias("f_events"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1000).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("m_milli"),
+    )
+    mx = ev.agg(F.floor(F.max("ts").cast("double")).cast("long").alias("max_epoch"))
+    rfm = per_user.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        ((F.col("max_epoch") - F.col("last_epoch")) / F.lit(86400))
+        .cast("long")
+        .alias("r_days"),
+        "f_events",
+        "m_milli",
+    )
+    return rfm.select(
+        "user_id",
+        "r_days",
+        "f_events",
+        "m_milli",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("r_days"), F.col("user_id")))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("f_events"), F.col("user_id")))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("m_milli"), F.col("user_id")))
+        .alias("m_quartile"),
+    ).orderBy("user_id")
+
+
+_ORACLE_RFM = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_epoch,
+           COUNT(*) AS f_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(FLOOR(value * 1000) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS m_milli
+    FROM events GROUP BY user_id
+),
+mx AS (SELECT CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS max_epoch FROM events),
+rfm AS (
+    SELECT user_id,
+           CAST((max_epoch - last_epoch) // 86400 AS BIGINT) AS r_days,
+           f_events, m_milli
+    FROM per_user, mx
+)
+SELECT user_id, r_days, f_events, m_milli,
+       CAST(NTILE(4) OVER (ORDER BY r_days, user_id) AS INT) AS r_quartile,
+       CAST(NTILE(4) OVER (ORDER BY f_events DESC, user_id) AS INT) AS f_quartile,
+       CAST(NTILE(4) OVER (ORDER BY m_milli DESC, user_id) AS INT) AS m_quartile
+FROM rfm
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "nation_volume_trade": q_nation_volume_trade,
     "event_transitions": q_event_transitions,
+    "sliding_window_rates": q_sliding_window_rates,
+    "user_rfm": q_user_rfm,
     "priority_shipmix": q_priority_shipmix,
     "promo_revenue_ratio": q_promo_revenue_ratio,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -1318,6 +1448,8 @@ QUERIES = {
 ORACLES = {
     "nation_volume_trade": _ORACLE_Q7,
     "event_transitions": _ORACLE_TRANSITIONS,
+    "sliding_window_rates": _ORACLE_SLIDING,
+    "user_rfm": _ORACLE_RFM,
     "priority_shipmix": _ORACLE_Q12,
     "promo_revenue_ratio": _ORACLE_Q14,
     "disjunctive_revenue": _ORACLE_Q19,
