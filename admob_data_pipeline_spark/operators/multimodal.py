@@ -158,6 +158,99 @@ def frame_dedup(media: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, new_width int, new_height int"
+)
+TARGET_W = 224
+TARGET_H = 224
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, byte_len bigint, h0 bigint, h1 bigint, h2 bigint, "
+    "h3 bigint, mean_byte_milli bigint"
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = TARGET_W, target_h: int = TARGET_H
+) -> DataFrame:
+    """Aspect-preserving resize planning via mapInPandas: compute each
+    image's fitted (new_width, new_height) inside a target box. The pixel
+    resample itself is the codec-gated step (PIL.thumbnail et al.); the
+    dimension arithmetic — the part that decides shuffle volume and batch
+    shapes downstream — is exact INTEGER math (cross-multiplied aspect
+    comparison, floor division), so the whole planning pass is
+    deterministic and oracle-checkable without codecs.
+
+    Scale: map-only Arrow batches; nothing shuffles."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        tw, th = target_w, target_h
+
+        for pdf in batches:
+            byte_len = pdf["media"].map(len)
+            w = byte_len.map(lambda n: 64 + n % 576)
+            h = byte_len.map(lambda n: 64 + (n * 7) % 416)
+            # fit into (tw, th): scale = min(tw/w, th/h), integer-exact
+            wide = tw * h <= th * w  # limiting side is width
+            new_w = _pd.Series(
+                [tw if wd else (ww * th) // hh for wd, ww, hh in zip(wide, w, h)],
+                index=pdf.index,
+            )
+            new_h = _pd.Series(
+                [(hh * tw) // ww if wd else th for wd, ww, hh in zip(wide, w, h)],
+                index=pdf.index,
+            )
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "new_width": new_w,
+                    "new_height": new_h,
+                }
+            )
+
+    return media.mapInPandas(process, schema=RESIZE_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-blob feature extraction via mapInPandas: a 4-bucket byte
+    histogram (byte >> 6) and the int-scaled mean byte value — the
+    deterministic stand-in for an embedding/feature model, with the real
+    Arrow batch plumbing a model server would plug into (numpy over
+    ``frombuffer``, vectorized per batch, no per-row Python).
+
+    Scale: map-only; features are 5 ints per blob, so the output shuffles
+    cheaply wherever it feeds (clustering, dedup, stats)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                arr = _np.frombuffer(bytes(blob), dtype=_np.uint8)
+                hist = _np.bincount(arr >> 6, minlength=4)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "byte_len": len(arr),
+                        "h0": int(hist[0]),
+                        "h1": int(hist[1]),
+                        "h2": int(hist[2]),
+                        "h3": int(hist[3]),
+                        # mean in milli-units as exact integer division
+                        "mean_byte_milli": int(arr.sum()) * 1000 // len(arr),
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
 # ---------------------------------------------------------------- queries
 
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,14 +327,65 @@ ORDER BY frame_md5
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = pack_binary(load_table(spark, sf_dir, "documents"))
+    return resize_images(media).orderBy("doc_id")
+
+
+_ORACLE_RESIZE = f"""
+WITH d AS (
+    SELECT doc_id,
+           64 + octet_length(CAST(text AS BLOB)) % 576 AS w,
+           64 + (octet_length(CAST(text AS BLOB)) * 7) % 416 AS h
+    FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(CASE WHEN {TARGET_W} * h <= {TARGET_H} * w
+                 THEN {TARGET_W} ELSE (w * {TARGET_H}) // h END AS INT) AS new_width,
+       CAST(CASE WHEN {TARGET_W} * h <= {TARGET_H} * w
+                 THEN (h * {TARGET_W}) // w ELSE {TARGET_H} END AS INT) AS new_height
+FROM d
+ORDER BY doc_id
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = pack_binary(load_table(spark, sf_dir, "documents"))
+    return extract_features(media).orderBy("doc_id")
+
+
+_ORACLE_FEATURES = """
+WITH chars AS (
+    SELECT doc_id, ascii(unnest(string_split(text, ''))) AS code
+    FROM documents
+)
+SELECT doc_id,
+       COUNT(*) AS byte_len,
+       CAST(SUM(CASE WHEN code // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+       CAST(SUM(CASE WHEN code // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+       CAST(SUM(CASE WHEN code // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+       CAST(SUM(CASE WHEN code // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+       CAST(SUM(code) * 1000 // COUNT(*) AS BIGINT) AS mean_byte_milli
+FROM chars
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_frame_dedup": q_multimodal_frame_dedup,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES = {
     "multimodal_frame_dedup": _ORACLE_FRAME_DEDUP,
     "multimodal_metadata": _ORACLE_METADATA,
     "multimodal_frames": _ORACLE_FRAMES,
+    "multimodal_resize": _ORACLE_RESIZE,
+    "multimodal_features": _ORACLE_FEATURES,
 }
