@@ -121,12 +121,97 @@ ORDER BY user_id, event_type, valid_from_sec, event_id
 """
 
 
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str = "date",
+) -> DataFrame:
+    """MERGE INTO semantics (update matched keys, insert new ones) as a
+    pure-Spark plan, restricted to the partitions the update batch
+    touches — the no-table-format rendition of Delta/BigQuery MERGE.
+
+    Plan: the update batch's partition list is broadcast; target rows
+    OUTSIDE those partitions never enter the job (semi-join prunes them
+    at the scan at real scale via partition pruning on the read path).
+    Within affected partitions, kept = target anti-join updates on the
+    key, result = kept ∪ updates. Writing the result with dynamic
+    partition overwrite (``overwrite_date_partitions``) completes the
+    upsert atomically per partition — composing the reference's S8
+    idempotent reload into key-granular MERGE."""
+    affected = updates.select(partition_col).distinct()
+    in_scope = target.join(F.broadcast(affected), partition_col, "left_semi")
+    kept = in_scope.join(updates, keys, "left_anti")
+    return kept.unionByName(updates)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MERGE check entirely inside the plan: target = daily
+    (date, user, type) rollup of even-numbered events; updates = the same
+    rollup of a 'correction' batch (odd event ids of users 0-49, plus
+    their new dates). Matched (date,user,type) rows must take the update
+    value, unmatched keep the target, and partitions untouched by the
+    batch must pass through byte-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = lambda df: (  # noqa: E731 - local shorthand
+        df.groupBy(
+            F.col("ts").cast("date").alias("date"),
+            "user_id",
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("vm"),
+        )
+    )
+    target = daily(ev.where(F.col("event_id") % 2 == 0))
+    updates = daily(
+        ev.where((F.col("event_id") % 2 == 1) & (F.col("user_id") < 50))
+    )
+    return merge_upsert(target, updates, ["date", "user_id", "event_type"]).orderBy(
+        "date", "user_id", "event_type"
+    )
+
+
+_ORACLE_MERGE_UPSERT = """
+WITH daily_t AS (
+    SELECT CAST(ts AS DATE) AS date, user_id, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS vm
+    FROM events WHERE event_id % 2 = 0
+    GROUP BY 1, 2, 3
+),
+daily_u AS (
+    SELECT CAST(ts AS DATE) AS date, user_id, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS vm
+    FROM events WHERE event_id % 2 = 1 AND user_id < 50
+    GROUP BY 1, 2, 3
+),
+affected AS (SELECT DISTINCT date FROM daily_u),
+kept AS (
+    SELECT t.* FROM daily_t t
+    JOIN affected a USING (date)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM daily_u u
+        WHERE u.date = t.date AND u.user_id = t.user_id
+          AND u.event_type = t.event_type
+    )
+)
+SELECT * FROM kept
+UNION ALL
+SELECT * FROM daily_u
+ORDER BY date, user_id, event_type
+"""
+
+
 QUERIES = {
     "merge_latest": q_merge_latest,
     "scd2_intervals": q_scd2_intervals,
+    "merge_upsert": q_merge_upsert,
 }
 
 ORACLES = {
     "merge_latest": _ORACLE_MERGE_LATEST,
     "scd2_intervals": _ORACLE_SCD2,
+    "merge_upsert": _ORACLE_MERGE_UPSERT,
 }

@@ -25,6 +25,54 @@ TABLES = (
 )
 
 
+# Canonical column types per table. The driver regenerates the testdata
+# between rounds and has already changed physical types once (events.ts
+# went TIMESTAMP(NANOS) → naive TIMESTAMP(MICROS)); every operator
+# downstream assumes these logical types, so load_table casts any drifted
+# column back instead of letting 100 queries break at once. Casts are
+# no-ops when the type already matches; unknown/extra columns pass
+# through untouched.
+_CANONICAL_TYPES: dict[str, dict[str, str]] = {
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {"vec_id": "bigint", "label": "string"},
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_shipdate": "timestamp",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+    },
+    "customer": {"c_custkey": "bigint", "c_nationkey": "bigint", "c_acctbal": "double"},
+    "supplier": {"s_suppkey": "bigint", "s_nationkey": "bigint", "s_acctbal": "double"},
+    "part": {"p_partkey": "bigint", "p_size": "int", "p_retailprice": "double"},
+    "nation": {"n_nationkey": "bigint", "n_regionkey": "bigint"},
+    "region": {"r_regionkey": "bigint"},
+}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _read_parquet_nanosafe(spark, f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -32,6 +80,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # real timestamp. Integer `div` keeps full precision (a double
         # division would lose bits above 2^53).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dtypes = dict(df.dtypes)
+    drifted = {
+        col: want
+        for col, want in _CANONICAL_TYPES.get(name, {}).items()
+        if col in dtypes and dtypes[col] != want
+    }
+    if drifted:
+        df = df.withColumns({c: F.col(c).cast(t) for c, t in drifted.items()})
     return df
 
 
