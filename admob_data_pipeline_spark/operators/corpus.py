@@ -502,9 +502,87 @@ ORDER BY doc_id
 """
 
 
+# --- per-source distribution divergence ------------------------------------
+KL_SCALE = 10_000
+
+
+def source_divergence(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """KL divergence of each source's token distribution from the corpus
+    distribution — the drift/quality audit that flags a crawl shard whose
+    language suddenly shifts. Add-one smoothing on both sides; each
+    token's contribution p·ln(p/q) is floor-scaled to an integer before
+    summing (transcendental ulp discipline), so the aggregate is exact.
+
+    Scale: token counts per (source, token) — one shuffle; the corpus
+    vocabulary aggregate derives from the checkpointed per-source counts
+    (≪ corpus); scalars broadcast. The corpus is scanned once."""
+    docs = widen_if_narrow(docs)
+    st = (
+        docs.select("source", F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .localCheckpoint()
+    )
+    tot_s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    corpus = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    stats = corpus.agg(
+        F.sum("c_t").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    joined = (
+        st.join(F.broadcast(tot_s), "source")
+        .join(F.broadcast(corpus), "token")
+        .crossJoin(F.broadcast(stats))
+    )
+    p = (F.col("c_st") + 1) / (F.col("n_s") + F.col("v_size"))
+    q = (F.col("c_t") + 1) / (F.col("n_total") + F.col("v_size"))
+    contrib = F.floor(p * F.log(p / q) * KL_SCALE).cast("long")
+    return (
+        joined.select("source", contrib.alias("kl_e4"))
+        .groupBy("source")
+        .agg(F.sum("kl_e4").alias("kl_sum_e4"), F.count(F.lit(1)).alias("n_terms"))
+        .orderBy("source")
+    )
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_divergence(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_DIVERGENCE = f"""
+WITH st AS (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+),
+counts AS (
+    SELECT source, token, COUNT(*) AS c_st FROM st GROUP BY source, token
+),
+tot_s AS (SELECT source, SUM(c_st) AS n_s FROM counts GROUP BY source),
+corpus AS (SELECT token, SUM(c_st) AS c_t FROM counts GROUP BY token),
+stats AS (SELECT SUM(c_t) AS n_total, COUNT(*) AS v_size FROM corpus),
+contrib AS (
+    SELECT c.source,
+           CAST(FLOOR(
+               ((c.c_st + 1) / CAST(t.n_s + s.v_size AS DOUBLE))
+               * ln(((c.c_st + 1) / CAST(t.n_s + s.v_size AS DOUBLE))
+                    / ((co.c_t + 1) / CAST(s.n_total + s.v_size AS DOUBLE)))
+               * {KL_SCALE}) AS BIGINT) AS kl_e4
+    FROM counts c
+    JOIN tot_s t USING (source)
+    JOIN corpus co USING (token), stats s
+)
+SELECT source,
+       CAST(SUM(kl_e4) AS BIGINT) AS kl_sum_e4,
+       COUNT(*) AS n_terms
+FROM contrib
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_bm25": q_bm25,
     "text_lm_score": q_lm_score,
+    "source_divergence": q_source_divergence,
     "stratified_sample": q_stratified_sample,
     "text_decontaminate": q_decontaminate,
     "text_repetition": q_repetition,
@@ -514,6 +592,7 @@ QUERIES = {
 ORACLES = {
     "text_bm25": _ORACLE_BM25,
     "text_lm_score": _ORACLE_LM,
+    "source_divergence": _ORACLE_DIVERGENCE,
     "stratified_sample": _ORACLE_SAMPLE,
     "text_decontaminate": _ORACLE_DECONTAM,
     "text_repetition": _ORACLE_REPETITION,

@@ -1413,11 +1413,83 @@ ORDER BY user_id
 """
 
 
+# --- referential-integrity audit -------------------------------------------
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row data-quality audit over the order graph: orphan lineitems
+    (no parent order), orders with a dangling customer key, childless
+    orders, and the row counts they're judged against — the pre-load
+    validation a warehouse runs before trusting a batch.
+
+    Scale: three anti/semi joins, each shuffling only the key column;
+    counts union into one row via a single aggregate per leg (no
+    crossJoin of big sides — each leg reduces to one row first)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    orphan_li = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("orphan_lineitems").alias("metric"), "v")
+    )
+    dangling_cust = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("orders_dangling_custkey").alias("metric"), "v")
+    )
+    childless = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("childless_orders").alias("metric"), "v")
+    )
+    totals = (
+        li.agg(F.count(F.lit(1)).alias("n_li"))
+        .crossJoin(o.agg(F.count(F.lit(1)).alias("n_o")))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("lineitem_rows").alias("metric"), F.col("n_li").alias("v")),
+                    F.struct(F.lit("order_rows").alias("metric"), F.col("n_o").alias("v")),
+                )
+            ).alias("m")
+        )
+        .select("m.metric", "m.v")
+    )
+    return (
+        orphan_li.unionByName(dangling_cust)
+        .unionByName(childless)
+        .unionByName(totals)
+        .orderBy("metric")
+    )
+
+
+_ORACLE_FK_AUDIT = """
+SELECT * FROM (
+    SELECT 'orphan_lineitems' AS metric,
+           (SELECT COUNT(*) FROM lineitem
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS v
+    UNION ALL
+    SELECT 'orders_dangling_custkey',
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+    UNION ALL
+    SELECT 'childless_orders',
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey))
+    UNION ALL
+    SELECT 'lineitem_rows', (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'order_rows', (SELECT COUNT(*) FROM orders)
+)
+ORDER BY metric
+"""
+
+
 QUERIES = {
     "nation_volume_trade": q_nation_volume_trade,
     "event_transitions": q_event_transitions,
     "sliding_window_rates": q_sliding_window_rates,
     "user_rfm": q_user_rfm,
+    "fk_integrity_audit": q_fk_integrity_audit,
     "priority_shipmix": q_priority_shipmix,
     "promo_revenue_ratio": q_promo_revenue_ratio,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -1450,6 +1522,7 @@ ORACLES = {
     "event_transitions": _ORACLE_TRANSITIONS,
     "sliding_window_rates": _ORACLE_SLIDING,
     "user_rfm": _ORACLE_RFM,
+    "fk_integrity_audit": _ORACLE_FK_AUDIT,
     "priority_shipmix": _ORACLE_Q12,
     "promo_revenue_ratio": _ORACLE_Q14,
     "disjunctive_revenue": _ORACLE_Q19,

@@ -48,7 +48,12 @@ _CANONICAL_TYPES: dict[str, dict[str, str]] = {
         "source": "string",
         "n_chars": "bigint",
     },
-    "embeddings": {"vec_id": "bigint", "label": "string"},
+    # embeddings.label deliberately NOT canonicalized: the driver's oracle
+    # reads the raw parquet type, and every operator treats label as an
+    # opaque grouping key — forcing a type here would diverge from the
+    # oracle whenever the generator changes the label's physical type
+    # (it moved string→int64 this round).
+    "embeddings": {"vec_id": "bigint"},
     "lineitem": {
         "l_orderkey": "bigint",
         "l_partkey": "bigint",
