@@ -1413,6 +1413,43 @@ ORDER BY user_id
 """
 
 
+# --- market-basket co-purchase pairs ----------------------------------------
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs bought together in the same order, with support ≥ 2
+    orders — the pairwise core of market-basket / frequent-itemset mining.
+
+    Scale: the pair space is generated through a SELF-JOIN ON THE ORDER
+    KEY, so candidate pairs are bounded by Σ(basket_size²) — baskets are
+    small and bounded (an order has a handful of lines), never N². The
+    distinct (order, part) projection collapses duplicate lines before
+    pairing; one shuffle on the order key, one on the pair for the count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.countDistinct("ok").alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "pa", "pb")
+    )
+
+
+_ORACLE_COPURCHASE = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+       COUNT(DISTINCT a.l_orderkey) AS n_orders
+FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+WHERE a.l_partkey < b.l_partkey
+GROUP BY pa, pb
+HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+ORDER BY n_orders DESC, pa, pb
+"""
+
+
 # --- referential-integrity audit -------------------------------------------
 def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row data-quality audit over the order graph: orphan lineitems
@@ -1490,6 +1527,7 @@ QUERIES = {
     "sliding_window_rates": q_sliding_window_rates,
     "user_rfm": q_user_rfm,
     "fk_integrity_audit": q_fk_integrity_audit,
+    "copurchase_pairs": q_copurchase_pairs,
     "priority_shipmix": q_priority_shipmix,
     "promo_revenue_ratio": q_promo_revenue_ratio,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -1523,6 +1561,7 @@ ORACLES = {
     "sliding_window_rates": _ORACLE_SLIDING,
     "user_rfm": _ORACLE_RFM,
     "fk_integrity_audit": _ORACLE_FK_AUDIT,
+    "copurchase_pairs": _ORACLE_COPURCHASE,
     "priority_shipmix": _ORACLE_Q12,
     "promo_revenue_ratio": _ORACLE_Q14,
     "disjunctive_revenue": _ORACLE_Q19,

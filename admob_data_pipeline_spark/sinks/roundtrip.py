@@ -30,6 +30,7 @@ from admob_data_pipeline_spark.sinks.writers import (
     write_jsonl,
     write_orc,
     write_sorted_layout,
+    write_zorder_layout,
 )
 from admob_data_pipeline_spark.sources.tables import load_table
 
@@ -185,8 +186,49 @@ ORDER BY c_custkey
 """
 
 
+def q_sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order write + 2D box read-back: cluster orders along the Morton
+    curve of (custkey, price-band), then answer a two-dimensional range
+    query from the written files. Hash match proves the rewrite is
+    lossless; the per-file clustering property is pinned in
+    test_sinks.py."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_band"),
+    )
+    out = tempfile.mkdtemp(prefix="sink_zorder_")
+    try:
+        write_zorder_layout(o, out, "o_custkey", "price_band")
+        back = (
+            spark.read.parquet(out)
+            .where(
+                F.col("o_custkey").between(100, 399)
+                & F.col("price_band").between(50, 150)
+            )
+            .orderBy("o_orderkey")
+        )
+        rows = [(r.o_orderkey, r.o_custkey, r.price_band) for r in back.collect()]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, price_band bigint"
+    ).orderBy("o_orderkey")
+
+
+_ORACLE_ZORDER = """
+SELECT o_orderkey, o_custkey,
+       CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_band
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 399
+  AND CAST(FLOOR(o_totalprice / 1000) AS BIGINT) BETWEEN 50 AND 150
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
+    "sink_zorder_layout": q_sink_zorder_layout,
     "sink_sorted_layout": q_sink_sorted_layout,
     "sink_jsonl_roundtrip": q_sink_jsonl_roundtrip,
     "sink_orc_roundtrip": q_sink_orc_roundtrip,
@@ -195,6 +237,7 @@ QUERIES = {
 
 ORACLES = {
     "sink_csv_roundtrip": _ORACLE_FACT,
+    "sink_zorder_layout": _ORACLE_ZORDER,
     "sink_sorted_layout": _ORACLE_SORTED,
     "sink_jsonl_roundtrip": _ORACLE_FACT,
     "sink_orc_roundtrip": _ORACLE_FACT,

@@ -203,6 +203,53 @@ def write_sorted_layout(
     writer.save(path)
 
 
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` of two
+    non-negative integer columns — a pure column expression (JVM-side,
+    codegen'd), no UDF. Bit i of a lands at position 2i, bit i of b at
+    2i+1."""
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    z = F.lit(0).cast("long")
+    for i in range(bits):  # bits is a plan-time constant → unrolled exprs
+        z = z + F.shiftleft(
+            F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i
+        )
+        z = z + F.shiftleft(
+            F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1
+        )
+    return z
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    files: int = 8,
+) -> None:
+    """Z-order data layout: cluster rows along the Morton curve of two
+    integer columns so parquet row-group min/max stats prune for
+    predicates on EITHER (or both) dimensions — the multi-column
+    generalization of :func:`write_sorted_layout`, same mechanism as
+    Delta/Iceberg OPTIMIZE ZORDER BY expressed on plain parquet.
+
+    ``repartitionByRange`` on the z-key gives each output file a disjoint
+    curve segment (a bounded 2D region), ``sortWithinPartitions`` orders
+    rows inside it; the z-key itself is dropped before writing — it is a
+    layout decision, not data. One range-exchange at write time buys
+    every future 2D box query its pruning."""
+    zcol = "_z"
+    out = (
+        df.withColumn(zcol, zorder_key(col_a, col_b, bits))
+        .repartitionByRange(files, zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
+    )
+    out.write.mode("overwrite").parquet(path)
+
+
 def write_if_nonempty(df: DataFrame, writer: Callable[[DataFrame], None]) -> bool:
     """S10 — skip sinks on an empty day (main.py:147-149,
     fetch_mediation_report.py:146-148). Returns True if written."""

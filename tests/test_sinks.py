@@ -139,3 +139,51 @@ def test_sorted_layout_files_are_internally_sorted(spark, tmp_path):
                 assert st.min >= prev_max
             prev_max = st.max
     assert total == 10_000
+
+
+def test_zorder_layout_files_cluster_both_dims(spark, tmp_path):
+    """Z-ordered files must cluster BOTH dimensions: each output file's
+    (min,max) box in either column covers only a fraction of the full
+    domain, so a 2D box predicate skips most files via footer stats —
+    the property a 1D sort only provides for its leading column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 1 << 12
+    df = spark.range(0, n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("v"),
+    )
+    out = str(tmp_path / "zorder")
+    writers.write_zorder_layout(df, out, "x", "y", bits=6, files=8)
+    files = [f for f in glob.glob(out + "/*.parquet") if "_SUCCESS" not in f]
+    assert len(files) >= 4
+    total = 0
+    spans_x, spans_y = [], []
+    for f in files:
+        t = pq.read_table(f, columns=["x", "y"])
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        if not xs:
+            continue
+        total += len(xs)
+        spans_x.append((max(xs) - min(xs) + 1) / 64)
+        spans_y.append((max(ys) - min(ys) + 1) / 64)
+    assert total == n
+    # average per-file box must be a strict subset of the domain in BOTH
+    # dims (a 1D custkey sort would leave one dim spanning ~100%)
+    assert sum(spans_x) / len(spans_x) < 0.8
+    assert sum(spans_y) / len(spans_y) < 0.8
+
+
+def test_zorder_key_interleaves_bits(spark):
+    row = (
+        spark.range(1)
+        .select(
+            writers.zorder_key(F.lit(0b101), F.lit(0b011), bits=3).alias("z")
+        )
+        .first()
+    )
+    # a=101, b=011 → z bits (b2 a2 b1 a1 b0 a0) = 0 1 1 0 1 1 = 27
+    assert row.z == 0b011011
