@@ -653,8 +653,133 @@ ORDER BY s.doc_id
 """
 
 
+# --- prefix-filtering set-similarity join (PPJoin-style) --------------------
+PREFIX_THRESHOLD = 0.5
+
+
+def prefix_filter_pairs(
+    docs: DataFrame, threshold: float = PREFIX_THRESHOLD, text_col: str = "text"
+) -> DataFrame:
+    """Token-set Jaccard join via PREFIX FILTERING (the PPJoin family):
+    order each doc's tokens rarest-first (global df asc, token asc) and
+    index only the first ⌊|set|·(1−t)⌋+1 tokens — the pigeonhole
+    guarantee is that any pair with Jaccard ≥ t must share at least one
+    PREFIX token, so the candidate join touches a small, rare slice of
+    the inverted index instead of every posting. The exact-Jaccard
+    verify then keeps precision at 1.
+
+    Complements MinHash-LSH: prefix filtering is EXACT (recall 1 at the
+    threshold, no banding probability) and its candidate volume is
+    driven by rare-token selectivity rather than signature collisions —
+    on skewed vocabularies it probes far less of the index.
+
+    Scale: df table is a partial-agg groupBy (skew-immune, broadcast
+    back); per-doc ordering is a doc-partitioned window (bounded);
+    candidates join only prefix postings; the verify legs reuse the
+    materialized token table."""
+    tok = (
+        widen_if_narrow(docs)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+        )
+        .localCheckpoint()
+    )
+    df_tab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(F.broadcast(df_tab), "token").select(
+        "doc_id",
+        "token",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("df", "token"))
+        .alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_tok"),
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.floor(F.col("n_tok") * (1 - threshold)).cast("int") + 1
+    ).select("doc_id", "token")
+    pa = prefix.select(F.col("doc_id").alias("a"), "token")
+    pb = prefix.select(F.col("doc_id").alias("b"), "token")
+    candidates = (
+        pa.join(pb, "token").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = tok.select(F.col("doc_id").alias("a"), "token")
+    tb = tok.select(F.col("doc_id").alias("b"), "token")
+    inter = (
+        candidates.join(ta, "a")
+        .join(tb, ["b", "token"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.try_divide(
+                    F.col("n_inter"), F.col("n_a") + F.col("n_b") - F.col("n_inter")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("a", "b")
+    )
+
+
+def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prefix_filter_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_PREFIX = f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' ')))
+           AS token
+    FROM documents
+),
+df_tab AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+ranked AS (
+    SELECT t.doc_id, t.token,
+           ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS pos,
+           COUNT(*) OVER (PARTITION BY t.doc_id) AS n_tok
+    FROM tok t JOIN df_tab d USING (token)
+),
+prefix AS (
+    SELECT doc_id, token FROM ranked
+    WHERE pos <= CAST(FLOOR(n_tok * (1 - {PREFIX_THRESHOLD})) AS INT) + 1
+),
+cand AS (
+    SELECT DISTINCT pa.doc_id AS a, pb.doc_id AS b
+    FROM prefix pa JOIN prefix pb USING (token)
+    WHERE pa.doc_id < pb.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+    SELECT c.a, c.b, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN tok ta ON ta.doc_id = c.a
+    JOIN tok tb ON tb.doc_id = c.b AND tb.token = ta.token
+    GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / NULLIF(sa.n + sb.n - i.n_inter, 0), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+            / NULLIF(sa.n + sb.n - i.n_inter, 0), 6) >= {PREFIX_THRESHOLD}
+ORDER BY a, b
+"""
+
+
 QUERIES = {
     "dedup_exact": q_exact_dedup,
+    "dedup_prefix_filter": q_prefix_filter_pairs,
     "dedup_paragraph": q_paragraph_dedup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,
@@ -663,6 +788,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_prefix_filter": _ORACLE_PREFIX,
     "dedup_paragraph": _ORACLE_PARAGRAPH,
     "dedup_clusters": _ORACLE_CLUSTERS,
     "dedup_exact": _ORACLE_EXACT,

@@ -82,3 +82,35 @@ def test_paragraph_dedup_detects_shared_segment(spark):
     assert got[1].n_segments == 2 and got[1].n_shared_segments == 1
     assert got[2].n_shared_segments == 0
     assert got[0].shared_ratio == 0.5
+
+
+def test_prefix_filter_equals_bruteforce(spark):
+    """Prefix filtering is EXACT at the threshold: its output must equal
+    the all-pairs token-set Jaccard join (recall 1, precision 1)."""
+    from itertools import combinations
+
+    from pyspark.sql import Row
+
+    texts = [
+        "alpha beta gamma delta",
+        "alpha beta gamma epsilon",
+        "zeta eta theta iota",
+        "zeta eta theta iota kappa",
+        "alpha zeta unique1 unique2",
+        "solo tokens only here",
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.prefix_filter_pairs(docs, threshold=0.5).collect()
+    }
+    sets = {i: set(t.split()) for i, t in enumerate(texts)}
+    want = {}
+    for a, b in combinations(sets, 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / len(sets[a] | sets[b])
+        if j >= 0.5:
+            want[(a, b)] = round(j, 6)
+    assert got == want and want  # non-empty: the crafted pairs must hit
