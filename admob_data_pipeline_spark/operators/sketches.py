@@ -41,18 +41,16 @@ def _hash_fraction(value: Column) -> Column:
     )
 
 
-def kmv_distinct(
+def kmv_synopsis(
     df: DataFrame,
     group_col: str,
     value_col: str,
     k: int = DEFAULT_K,
 ) -> DataFrame:
-    """Per-group distinct-count estimate via a two-stage KMV sketch.
-
-    Output: (group, ndv_est DOUBLE, exact-when-small flag). When a group
-    has fewer than k distinct hashes the sketch IS the distinct set and
-    the estimate is exact.
-    """
+    """Per-group KMV synopsis: the k smallest md5 hash fractions of the
+    group's values, as a sorted array — the mergeable fixed-size state
+    every KMV estimator (distinct count, union, intersection, Jaccard)
+    consumes."""
     h = _hash_fraction(F.col(value_col))
     hashed = df.select(F.col(group_col).alias("g"), h.alias("h"))
 
@@ -73,21 +71,89 @@ def kmv_distinct(
     partial = hashed.mapInPandas(
         partial_kmins, schema=f"g {g_type}, mins array<double>"
     ).withColumnRenamed("g", group_col)
-    merged = (
-        partial.groupBy(group_col)
-        .agg(
-            F.slice(
-                F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))), 1, k
-            ).alias("mins")
-        )
+    return partial.groupBy(group_col).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))), 1, k
+        ).alias("mins")
     )
-    n = F.size("mins")
-    kth = F.element_at("mins", k)
-    est = F.when(n < k, n.cast("double")).otherwise(
-        F.round((F.lit(k - 1) / kth), 4)
+
+
+def _kmv_estimate(mins, k: int):
+    """NDV estimate from a synopsis array: exact when the sketch holds
+    fewer than k hashes (it IS the distinct set), else (k-1)/h_k."""
+    n = F.size(mins)
+    kth = F.element_at(mins, k)
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.round(F.lit(k - 1) / kth, 4)
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Per-group distinct-count estimate via a two-stage KMV sketch.
+
+    Output: (group, ndv_est DOUBLE, exact-when-small flag). When a group
+    has fewer than k distinct hashes the sketch IS the distinct set and
+    the estimate is exact.
+    """
+    merged = kmv_synopsis(df, group_col, value_col, k)
     return merged.select(
         group_col,
-        est.alias("ndv_est"),
-        (n < k).alias("is_exact"),
+        _kmv_estimate(F.col("mins"), k).alias("ndv_est"),
+        (F.size("mins") < k).alias("is_exact"),
+    )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    set_a,
+    set_b,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Set-algebra on KMV synopses: estimate the union size, Jaccard, and
+    intersection size of two groups' value sets WITHOUT touching the raw
+    values again — the sketch property that lets 100 TB daily synopses
+    answer any-pair overlap questions at interactive cost.
+
+    Union synopsis = k smallest of the two synopses' union (exactly the
+    synopsis the union stream would have produced); Jaccard ≈ fraction of
+    union-synopsis hashes present in BOTH input synopses; intersection ≈
+    jaccard · union_est. Deterministic md5 hashing makes the exact sketch
+    outputs oracle-checkable, not just their error bounds."""
+    syn = kmv_synopsis(
+        df.where(F.col(group_col).isin([set_a, set_b])), group_col, value_col, k
+    )
+    a = syn.where(F.col(group_col) == set_a).select(F.col("mins").alias("a_mins"))
+    b = syn.where(F.col(group_col) == set_b).select(F.col("mins").alias("b_mins"))
+    joined = a.crossJoin(F.broadcast(b))  # two one-row synopses
+    union_syn = F.slice(
+        F.array_sort(F.array_distinct(F.concat("a_mins", "b_mins"))), 1, k
+    )
+    staged = joined.select(
+        F.lit(str(set_a)).alias("set_a"),
+        F.lit(str(set_b)).alias("set_b"),
+        "a_mins",
+        "b_mins",
+        union_syn.alias("u_mins"),
+    )
+    in_both = F.size(
+        F.filter(
+            "u_mins",
+            lambda x: F.array_contains("a_mins", x) & F.array_contains("b_mins", x),
+        )
+    )
+    union_est = _kmv_estimate(F.col("u_mins"), k)
+    jac = F.round(in_both / F.size("u_mins"), 6)
+    return staged.select(
+        "set_a",
+        "set_b",
+        union_est.alias("union_est"),
+        jac.alias("jaccard_est"),
+        F.round(union_est * in_both / F.size("u_mins"), 4).alias("intersect_est"),
     )

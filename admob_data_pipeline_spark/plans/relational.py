@@ -545,6 +545,49 @@ ORDER BY o_orderpriority
 """
 
 
+# --- KMV set algebra: union / Jaccard / intersection from synopses --------
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from admob_data_pipeline_spark.operators.sketches import kmv_overlap
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    return kmv_overlap(ev, "event_type", "uid", "click", "view")
+
+
+_ORACLE_KMV_OVERLAP = """
+WITH h AS (
+    SELECT DISTINCT event_type AS g,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT)
+               / POWER(16, 13) AS h
+    FROM events WHERE event_type IN ('click', 'view')
+),
+syn AS (
+    SELECT g, (list_sort(list(h)))[1:64] AS mins FROM h GROUP BY g
+),
+j AS (
+    SELECT a.mins AS a_mins, b.mins AS b_mins,
+           (list_sort(list_distinct(a.mins || b.mins)))[1:64] AS u_mins
+    FROM (SELECT mins FROM syn WHERE g = 'click') a,
+         (SELECT mins FROM syn WHERE g = 'view') b
+),
+est AS (
+    SELECT a_mins, b_mins, u_mins,
+           CASE WHEN len(u_mins) < 64 THEN CAST(len(u_mins) AS DOUBLE)
+                ELSE ROUND(63.0 / u_mins[64], 4) END AS union_est,
+           len(list_filter(u_mins,
+               x -> list_contains(a_mins, x) AND list_contains(b_mins, x)))
+               AS in_both
+    FROM j
+)
+SELECT 'click' AS set_a, 'view' AS set_b,
+       union_est,
+       ROUND(CAST(in_both AS DOUBLE) / len(u_mins), 6) AS jaccard_est,
+       ROUND(union_est * in_both / len(u_mins), 4) AS intersect_est
+FROM est
+"""
+
+
 # --- exact quantiles (distribution stats per group) ----------------------
 def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1496,6 +1539,7 @@ QUERIES = {
     "revenue_histogram": q_revenue_histogram,
     "quantile_stats": q_quantile_stats,
     "kmv_distinct": q_kmv_distinct,
+    "kmv_overlap": q_kmv_overlap,
     "shipping_priority": q_shipping_priority,
     "regional_revenue": q_regional_revenue,
     "range_join": q_range_join,
@@ -1524,6 +1568,7 @@ ORACLES = {
     "quantile_stats": _ORACLE_QUANTILES,
     "kmv_distinct": _ORACLE_KMV,
     "asof_join": _ORACLE_ASOF,
+    "kmv_overlap": _ORACLE_KMV_OVERLAP,
     "window_analytics": _ORACLE_WINDOW,
     "revenue_histogram": _ORACLE_HISTOGRAM,
     "salted_agg": _ORACLE_SALTED_AGG,
