@@ -108,6 +108,75 @@ def kmv_distinct(
     )
 
 
+CM_DEPTH = 4
+CM_WIDTH = 64
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Count-Min sketch as a (row, col, count) table: each value
+    increments one counter per hash row — built with a single explode +
+    groupBy (map-side partial aggregation collapses hot values before
+    the shuffle, so a skewed key costs nothing extra). The table is the
+    MERGEABLE state: sketches of two partitions/days add counter-wise
+    (a groupBy SUM on (row, col)).
+
+    md5(salt || value) keeps every counter deterministic and
+    engine-identical — the exact sketch contents have an oracle, not
+    just the ε-δ bound."""
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("r").cast("string"), F.col("v"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        df.select(F.col(value_col).cast("string").alias("v"))
+        .select(F.explode(rows).alias("r"), "v")
+        .select("r", bucket.alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, width: int = CM_WIDTH
+) -> DataFrame:
+    """Point-frequency estimates: est(key) = min over rows of the key's
+    counter — the classic one-sided (over-)estimate. The sketch is tiny
+    (depth×width rows) and broadcast; keys never rescan the raw data."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("r").cast("string"), F.col("k"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    probes = (
+        keys.select(F.col(key_col).cast("string").alias("k"))
+        .distinct()
+        .crossJoin(F.broadcast(sketch.select("r").distinct()))
+        .select("k", "r", bucket.alias("c"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("k")
+        .agg(F.min("n").alias("freq_est"))
+    )
+
+
 def kmv_overlap(
     df: DataFrame,
     group_col: str,

@@ -1450,6 +1450,57 @@ ORDER BY n_orders DESC, pa, pb
 """
 
 
+# --- triangle counting over the co-purchase graph ---------------------------
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the co-purchase graph (parts bought together in ≥ 2
+    orders) — the fundamental graph-analytics kernel (clustering
+    coefficient, community density).
+
+    Scale: edges are stored ONCE in canonical (u < v) orientation; a
+    wedge join on the shared low vertex then a single edge-existence
+    join counts every triangle exactly once (a < b < c), which is the
+    degree-bounded distributed formulation — intermediate wedges are
+    Σ deg², never edges². Two shuffles on vertex keys."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.countDistinct("ok").alias("w"))
+        .where(F.col("w") >= 2)
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+    )
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y1"))
+    e2 = edges.select(F.col("u").alias("x"), F.col("v").alias("y2"))
+    wedges = e1.join(e2, "x").where(F.col("y1") < F.col("y2"))
+    closing = edges.select(F.col("u").alias("y1"), F.col("v").alias("y2"))
+    tri = wedges.join(closing, ["y1", "y2"])
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+    ).crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
+
+
+_ORACLE_TRIANGLES = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY u, v
+    HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+)
+SELECT (SELECT COUNT(*)
+        FROM edges e1
+        JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles,
+       (SELECT COUNT(*) FROM edges) AS n_edges
+"""
+
+
 # --- referential-integrity audit -------------------------------------------
 def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row data-quality audit over the order graph: orphan lineitems
@@ -1528,6 +1579,7 @@ QUERIES = {
     "user_rfm": q_user_rfm,
     "fk_integrity_audit": q_fk_integrity_audit,
     "copurchase_pairs": q_copurchase_pairs,
+    "triangle_count": q_triangle_count,
     "priority_shipmix": q_priority_shipmix,
     "promo_revenue_ratio": q_promo_revenue_ratio,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -1562,6 +1614,7 @@ ORACLES = {
     "user_rfm": _ORACLE_RFM,
     "fk_integrity_audit": _ORACLE_FK_AUDIT,
     "copurchase_pairs": _ORACLE_COPURCHASE,
+    "triangle_count": _ORACLE_TRIANGLES,
     "priority_shipmix": _ORACLE_Q12,
     "promo_revenue_ratio": _ORACLE_Q14,
     "disjunctive_revenue": _ORACLE_Q19,

@@ -588,6 +588,58 @@ FROM est
 """
 
 
+# --- Count-Min sketch: frequency estimates with exact comparison ----------
+def q_cm_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from admob_data_pipeline_spark.operators.sketches import cm_estimate, cm_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cm_sketch(ev, "user_id")
+    est = cm_estimate(sketch, ev.select("user_id"), "user_id")
+    exact = ev.groupBy(F.col("user_id").cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("freq_exact")
+    )
+    return (
+        est.join(exact, "k")
+        .select(
+            F.col("k").cast("bigint").alias("user_id"),
+            "freq_est",
+            "freq_exact",
+            (F.col("freq_est") >= F.col("freq_exact")).alias("one_sided_ok"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_CM = """
+WITH v AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+cells AS (
+    SELECT r, CAST(CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '#' || v), 1, 13)
+                   AS BIGINT) % 64 AS BIGINT) AS c
+    FROM v, UNNEST(generate_series(0, 3)) AS g(r)
+),
+sketch AS (SELECT r, c, COUNT(*) AS n FROM cells GROUP BY r, c),
+keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events),
+probes AS (
+    SELECT k, r, CAST(CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '#' || k), 1, 13)
+                      AS BIGINT) % 64 AS BIGINT) AS c
+    FROM keys, UNNEST(generate_series(0, 3)) AS g(r)
+),
+est AS (
+    SELECT p.k, MIN(s.n) AS freq_est
+    FROM probes p JOIN sketch s USING (r, c) GROUP BY p.k
+),
+exact AS (
+    SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS freq_exact
+    FROM events GROUP BY k
+)
+SELECT CAST(e.k AS BIGINT) AS user_id,
+       e.freq_est, x.freq_exact,
+       e.freq_est >= x.freq_exact AS one_sided_ok
+FROM est e JOIN exact x USING (k)
+ORDER BY user_id
+"""
+
+
 # --- exact quantiles (distribution stats per group) ----------------------
 def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1540,6 +1592,7 @@ QUERIES = {
     "quantile_stats": q_quantile_stats,
     "kmv_distinct": q_kmv_distinct,
     "kmv_overlap": q_kmv_overlap,
+    "cm_sketch_freq": q_cm_sketch_freq,
     "shipping_priority": q_shipping_priority,
     "regional_revenue": q_regional_revenue,
     "range_join": q_range_join,
@@ -1569,6 +1622,7 @@ ORACLES = {
     "kmv_distinct": _ORACLE_KMV,
     "asof_join": _ORACLE_ASOF,
     "kmv_overlap": _ORACLE_KMV_OVERLAP,
+    "cm_sketch_freq": _ORACLE_CM,
     "window_analytics": _ORACLE_WINDOW,
     "revenue_histogram": _ORACLE_HISTOGRAM,
     "salted_agg": _ORACLE_SALTED_AGG,
