@@ -1466,6 +1466,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    # edges feed the two wedge legs AND the closing-edge join — materialize
+    # once (self-derived branches are never exchange-reused; this subtree
+    # contains a basket self-join, so replanning it 3x tripled the scans)
     edges = (
         a.join(b, "ok")
         .where(F.col("pa") < F.col("pb"))
@@ -1473,6 +1476,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("ok").alias("w"))
         .where(F.col("w") >= 2)
         .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .localCheckpoint()
     )
     e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y1"))
     e2 = edges.select(F.col("u").alias("x"), F.col("v").alias("y2"))
