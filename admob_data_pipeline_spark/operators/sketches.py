@@ -108,6 +108,78 @@ def kmv_distinct(
     )
 
 
+HLL_M = 64  # registers (p=6)
+HLL_ALPHA = 0.709  # bias constant for m=64
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, value_col: str, m: int = HLL_M
+) -> DataFrame:
+    """HyperLogLog register table, deterministic by construction: bucket =
+    first 8 md5 bits mod m; rho = leading-zero rank of the next 52 bits,
+    computed in INTEGER domain (binary-string length, no log2 float) so
+    both engines agree bit-for-bit. Registers merge with MAX — the
+    partial-aggregated groupBy IS the sketch union, map-side combined."""
+    h = F.md5(F.col(value_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % m
+    x = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")  # 52 bits
+    # rho = 1 + leading zeros of the 52-bit field = 53 - bit_length(x);
+    # bit_length via base-2 string length (exact integers end-to-end)
+    rho = F.when(x == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.conv(x.cast("string"), 10, 2))
+    )
+    return (
+        df.select(F.col(group_col).alias("g"), bucket.alias("b"), rho.alias("rho"))
+        .groupBy("g", "b")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: str, m: int = HLL_M
+) -> DataFrame:
+    """Per-group HLL distinct estimate from the register table. The
+    harmonic sum folds registers in bucket order over a collected sorted
+    array — a fixed association order, so the float result is identical
+    across engines; small-range correction (linear counting) applies the
+    standard rule. Output keeps the register checksum so the driver
+    oracle pins the sketch STATE as well as the estimate."""
+    regs = hll_registers(df, group_col, value_col, m)
+    packed = regs.groupBy("g").agg(
+        F.array_sort(F.collect_list(F.struct("b", "r"))).alias("br"),
+    )
+    # harmonic denominator: sum over ALL m buckets of 2^-r (absent → r=0,
+    # contributing 1.0 each); folded in bucket order for determinism
+    present = F.aggregate(
+        F.col("br"),
+        F.lit(0.0),
+        lambda acc, s: acc + F.pow(F.lit(2.0), -s.getField("r").cast("double")),
+    )
+    n_present = F.size("br")
+    denom = present + (F.lit(m) - n_present).cast("double")
+    raw = F.lit(HLL_ALPHA * m * m) / denom
+    zeros = (F.lit(m) - n_present).cast("double")
+    est = F.when(
+        (raw < 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return packed.select(
+        F.col("g").alias(group_col),
+        F.round(est, 4).alias("ndv_est"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    "br",
+                    lambda s: F.concat_ws(
+                        ":", s.getField("b").cast("string"), s.getField("r").cast("string")
+                    ),
+                ),
+                ",",
+            )
+        ).alias("register_md5"),
+    )
+
+
 CM_DEPTH = 4
 CM_WIDTH = 64
 

@@ -1450,6 +1450,89 @@ ORDER BY n_orders DESC, pa, pb
 """
 
 
+# --- view→purchase conversion latency ---------------------------------------
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for each user, the gap between their
+    first view and the first purchase AT OR AFTER it, banded into
+    operational buckets (plus a no-conversion band) — the time-dimension
+    complement of the ordered-step funnel.
+
+    Scale: two per-user min-aggregates and one broadcastable join on
+    user_id; latency math is exact integer epochs."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.floor(F.col("ts").cast("double")).cast("long")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(epoch).alias("first_view"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", epoch.alias("p_epoch")
+    )
+    conv = (
+        fv.join(p, "user_id", "left")
+        .groupBy("user_id", "first_view")
+        .agg(
+            # conditional min, NOT a pre-filter: a user whose purchases
+            # all precede the first view must still land in no_conversion
+            F.min(
+                F.when(F.col("p_epoch") >= F.col("first_view"), F.col("p_epoch"))
+            ).alias("first_purchase")
+        )
+    )
+    lat = F.col("first_purchase") - F.col("first_view")
+    band = (
+        F.when(F.col("first_purchase").isNull(), F.lit("4_no_conversion"))
+        .when(lat < 3600, F.lit("0_under_1h"))
+        .when(lat < 86400, F.lit("1_under_1d"))
+        .when(lat < 7 * 86400, F.lit("2_under_7d"))
+        .otherwise(F.lit("3_over_7d"))
+    )
+    return (
+        conv.select("user_id", band.alias("band"), lat.alias("lat"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("lat").alias("total_latency_sec"),
+        )
+        .orderBy("band")
+    )
+
+
+_ORACLE_CONVERSION = """
+WITH fv AS (
+    SELECT user_id, MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS first_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+conv AS (
+    SELECT f.user_id, f.first_view,
+           MIN(CASE WHEN p.p_epoch >= f.first_view THEN p.p_epoch END)
+               AS first_purchase
+    FROM fv f
+    LEFT JOIN (
+        SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS p_epoch
+        FROM events WHERE event_type = 'purchase'
+    ) p USING (user_id)
+    GROUP BY f.user_id, f.first_view
+),
+banded AS (
+    SELECT user_id,
+           first_purchase - first_view AS lat,
+           CASE WHEN first_purchase IS NULL THEN '4_no_conversion'
+                WHEN first_purchase - first_view < 3600 THEN '0_under_1h'
+                WHEN first_purchase - first_view < 86400 THEN '1_under_1d'
+                WHEN first_purchase - first_view < 7 * 86400 THEN '2_under_7d'
+                ELSE '3_over_7d' END AS band
+    FROM conv
+)
+SELECT band, COUNT(*) AS n_users,
+       CAST(SUM(lat) AS BIGINT) AS total_latency_sec
+FROM banded
+GROUP BY band
+ORDER BY band
+"""
+
+
 # --- triangle counting over the co-purchase graph ---------------------------
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles in the co-purchase graph (parts bought together in ≥ 2
@@ -1584,6 +1667,7 @@ QUERIES = {
     "fk_integrity_audit": q_fk_integrity_audit,
     "copurchase_pairs": q_copurchase_pairs,
     "triangle_count": q_triangle_count,
+    "conversion_latency": q_conversion_latency,
     "priority_shipmix": q_priority_shipmix,
     "promo_revenue_ratio": q_promo_revenue_ratio,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -1619,6 +1703,7 @@ ORACLES = {
     "fk_integrity_audit": _ORACLE_FK_AUDIT,
     "copurchase_pairs": _ORACLE_COPURCHASE,
     "triangle_count": _ORACLE_TRIANGLES,
+    "conversion_latency": _ORACLE_CONVERSION,
     "priority_shipmix": _ORACLE_Q12,
     "promo_revenue_ratio": _ORACLE_Q14,
     "disjunctive_revenue": _ORACLE_Q19,

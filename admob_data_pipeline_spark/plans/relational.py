@@ -588,6 +588,63 @@ FROM est
 """
 
 
+# --- deterministic HLL: register state + estimate, oracle-pinned ----------
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from admob_data_pipeline_spark.operators.sketches import hll_distinct
+
+    o = load_table(spark, sf_dir, "orders")
+    return hll_distinct(o, "o_orderpriority", "o_custkey").orderBy(
+        "o_orderpriority"
+    )
+
+
+_ORACLE_HLL = """
+WITH h AS (
+    SELECT o_orderpriority AS g, md5(CAST(o_custkey AS VARCHAR)) AS hx
+    FROM orders
+),
+br AS (
+    SELECT g,
+           CAST(CAST('0x' || substr(hx, 1, 2) AS BIGINT) % 64 AS BIGINT) AS b,
+           CASE WHEN CAST('0x' || substr(hx, 3, 13) AS BIGINT) = 0 THEN 53
+                ELSE 53 - len(bin(CAST('0x' || substr(hx, 3, 13) AS BIGINT)))
+           END AS rho
+    FROM h
+),
+regs AS (SELECT g, b, MAX(rho) AS r FROM br GROUP BY g, b),
+packed AS (
+    SELECT g,
+           list_sort(list({'b': b, 'r': r})) AS br_list,
+           COUNT(*) AS n_present
+    FROM regs GROUP BY g
+),
+summed AS (
+    -- fold in bucket order (same association order as the Spark side's
+    -- aggregate over the sorted array — float sums are order-sensitive)
+    SELECT g, br_list, n_present,
+           list_sum(list_transform(br_list, s -> POWER(2.0, -s.r)))
+               AS present_sum
+    FROM packed
+),
+est AS (
+    SELECT g, n_present,
+           0.709 * 64 * 64 / (present_sum + (64 - n_present)) AS raw,
+           CAST(64 - n_present AS DOUBLE) AS zeros,
+           md5(array_to_string(
+               list_transform(br_list,
+                   s -> CAST(s.b AS VARCHAR) || ':' || CAST(s.r AS VARCHAR)),
+               ',')) AS register_md5
+    FROM summed
+)
+SELECT g AS o_orderpriority,
+       ROUND(CASE WHEN raw < 2.5 * 64 AND zeros > 0
+                  THEN 64 * ln(64 / zeros) ELSE raw END, 4) AS ndv_est,
+       register_md5
+FROM est
+ORDER BY o_orderpriority
+"""
+
+
 # --- Count-Min sketch: frequency estimates with exact comparison ----------
 def q_cm_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from admob_data_pipeline_spark.operators.sketches import cm_estimate, cm_sketch
@@ -1593,6 +1650,7 @@ QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "kmv_overlap": q_kmv_overlap,
     "cm_sketch_freq": q_cm_sketch_freq,
+    "hll_distinct": q_hll_distinct,
     "shipping_priority": q_shipping_priority,
     "regional_revenue": q_regional_revenue,
     "range_join": q_range_join,
@@ -1623,6 +1681,7 @@ ORACLES = {
     "asof_join": _ORACLE_ASOF,
     "kmv_overlap": _ORACLE_KMV_OVERLAP,
     "cm_sketch_freq": _ORACLE_CM,
+    "hll_distinct": _ORACLE_HLL,
     "window_analytics": _ORACLE_WINDOW,
     "revenue_histogram": _ORACLE_HISTOGRAM,
     "salted_agg": _ORACLE_SALTED_AGG,

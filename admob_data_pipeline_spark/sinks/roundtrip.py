@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.sinks.writers import (
+    compact_partitions,
     overwrite_date_partitions,
     write_csv,
     write_jsonl,
@@ -186,6 +187,54 @@ ORDER BY c_custkey
 """
 
 
+def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction end-to-end: write the daily fact
+    deliberately fragmented (8 files per date partition), compact two
+    dates to one file each, and return the FULL table read back — the
+    oracle proves compaction is content-lossless while test_sinks pins
+    the file-count mechanics."""
+    import glob
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("date"),
+        F.col("event_type").alias("app_name"),
+    ).agg(
+        F.count(F.lit(1)).alias("impressions"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("clicks"),
+    )
+    out = tempfile.mkdtemp(prefix="sink_compact_")
+    try:
+        daily.repartition(8).write.mode("overwrite").partitionBy("date").parquet(out)
+        dates = sorted(
+            d.rsplit("=", 1)[1] for d in glob.glob(out + "/date=*")
+        )[:2]
+        compact_partitions(spark, out, dates)
+        back = spark.read.parquet(out).select(
+            F.col("date").cast("string").alias("date"),
+            "app_name",
+            "impressions",
+            "clicks",
+        )
+        rows = [(r.date, r.app_name, r.impressions, r.clicks) for r in back.collect()]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "date string, app_name string, impressions bigint, clicks bigint"
+    ).orderBy("date", "app_name")
+
+
+_ORACLE_COMPACTION = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+       event_type AS app_name,
+       COUNT(*) AS impressions,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS clicks
+FROM events
+GROUP BY date, app_name
+ORDER BY date, app_name
+"""
+
+
 def q_sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order write + 2D box read-back: cluster orders along the Morton
     curve of (custkey, price-band), then answer a two-dimensional range
@@ -229,6 +278,7 @@ ORDER BY o_orderkey
 QUERIES = {
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
     "sink_zorder_layout": q_sink_zorder_layout,
+    "sink_compaction": q_sink_compaction,
     "sink_sorted_layout": q_sink_sorted_layout,
     "sink_jsonl_roundtrip": q_sink_jsonl_roundtrip,
     "sink_orc_roundtrip": q_sink_orc_roundtrip,
@@ -238,6 +288,7 @@ QUERIES = {
 ORACLES = {
     "sink_csv_roundtrip": _ORACLE_FACT,
     "sink_zorder_layout": _ORACLE_ZORDER,
+    "sink_compaction": _ORACLE_COMPACTION,
     "sink_sorted_layout": _ORACLE_SORTED,
     "sink_jsonl_roundtrip": _ORACLE_FACT,
     "sink_orc_roundtrip": _ORACLE_FACT,
