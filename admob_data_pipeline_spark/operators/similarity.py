@@ -396,6 +396,79 @@ def topk_ivf(
     )
 
 
+PQ_SLOTS = 4
+PQ_CODES = 8
+PQ_MOD = 25  # deterministic codebook sampling rule (vec_id % PQ_MOD == slot)
+
+
+def pq_quantize(emb: DataFrame, m: int = PQ_SLOTS, kc: int = PQ_CODES) -> DataFrame:
+    """Product quantization: split each vector into ``m`` subvectors and
+    replace each with the id of its nearest codebook entry — the standard
+    high-ratio vector compression (64 dims → m bytes) behind IVF-PQ
+    indexes. Codebooks are deterministically sampled (first ``kc`` vectors
+    with ``vec_id % PQ_MOD == slot``) so the exact codes AND the
+    reconstruction error are oracle-checkable; a trained k-means codebook
+    drops into the same kernel.
+
+    Scale: codebooks are tiny (m·kc subvectors) and ship broadcast inside
+    an Arrow-batched mapInPandas kernel — assignment is a map-only dense
+    matmul per batch, no shuffle, no N×codes row materialization (same
+    shape as IVF's assign_lists). Distances use the dot-product identity
+    ((x·x − 2x·c) + c·c) with per-dimension left-to-right accumulation,
+    bit-identical to DuckDB's list_dot_product folds."""
+    base, dim = with_vec(emb)
+    sub = dim // m
+    cb_rows = (
+        base.where((F.col("vec_id") % PQ_MOD) < m)
+        .select("vec_id", (F.col("vec_id") % PQ_MOD).alias("s"), "v")
+        .orderBy("s", "vec_id")
+        .collect()
+    )
+    books: dict[int, list[list[float]]] = {s: [] for s in range(m)}
+    for r in cb_rows:
+        s = int(r["s"])
+        if len(books[s]) < kc:
+            books[s].append(list(r["v"])[s * sub : (s + 1) * sub])
+    book_mats = [books[s] for s in range(m)]
+
+    def assign(batches):
+        import numpy as np
+
+        Cs = [np.asarray(bm, dtype=np.float64) for bm in book_mats]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            codes = []
+            err = None
+            for s, C in enumerate(Cs):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                S = np.zeros((Xs.shape[0], C.shape[0]))
+                nx = np.zeros(Xs.shape[0])
+                nc = np.zeros(C.shape[0])
+                for i in range(sub):  # fold order = list_dot_product
+                    S += np.outer(Xs[:, i], C[:, i])
+                    nx += Xs[:, i] * Xs[:, i]
+                    nc += C[:, i] * C[:, i]
+                dist = (nx[:, None] - 2 * S) + nc[None, :]
+                code = np.argmin(dist, axis=1)  # first min = smallest code
+                codes.append(code)
+                d_best = dist[np.arange(len(code)), code]
+                err = d_best if err is None else err + d_best
+            out = pdf[["vec_id"]].copy()
+            for s, code in enumerate(codes):
+                out[f"c{s}"] = code.astype("int64")
+            out["err_e6"] = np.floor(err * 1e6).astype("int64")
+            yield out
+
+    schema = "vec_id bigint, " + ", ".join(
+        f"c{s} bigint" for s in range(m)
+    ) + ", err_e6 bigint"
+    return base.select("vec_id", "v").mapInPandas(assign, schema=schema).orderBy(
+        "vec_id"
+    )
+
+
 def quantize_int8(emb: DataFrame) -> DataFrame:
     """Asymmetric int8 quantization of the embedding column — the storage
     compression step of a vector pipeline (4 bytes→1 byte per dim).
@@ -664,8 +737,58 @@ ORDER BY vec_id
 """
 
 
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_quantize(load_table(spark, sf_dir, "embeddings"))
+
+
+_ORACLE_PQ = f"""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cb AS (
+    SELECT s, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
+           v[s * 16 + 1 : (s + 1) * 16] AS cv
+    FROM base, UNNEST(generate_series(0, {PQ_SLOTS - 1})) AS g(s)
+    WHERE vec_id % {PQ_MOD} = s
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) <= {PQ_CODES}
+),
+slots AS (
+    SELECT vec_id, s, v[s * 16 + 1 : (s + 1) * 16] AS sv
+    FROM base, UNNEST(generate_series(0, {PQ_SLOTS - 1})) AS g(s)
+),
+dists AS (
+    SELECT sl.vec_id, sl.s, cb.code,
+           (list_dot_product(sl.sv, sl.sv)
+            - 2 * list_dot_product(sl.sv, cb.cv))
+           + list_dot_product(cb.cv, cb.cv) AS dist
+    FROM slots sl JOIN cb USING (s)
+),
+best AS (
+    SELECT vec_id, s, code, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, code) AS rn
+    FROM dists
+)
+SELECT vec_id,
+       MAX(CASE WHEN s = 0 THEN code END) AS c0,
+       MAX(CASE WHEN s = 1 THEN code END) AS c1,
+       MAX(CASE WHEN s = 2 THEN code END) AS c2,
+       MAX(CASE WHEN s = 3 THEN code END) AS c3,
+       CAST(FLOOR((MAX(CASE WHEN s = 0 THEN dist END)
+                   + MAX(CASE WHEN s = 1 THEN dist END)
+                   + MAX(CASE WHEN s = 2 THEN dist END)
+                   + MAX(CASE WHEN s = 3 THEN dist END)) * 1e6) AS BIGINT)
+           AS err_e6
+FROM best WHERE rn = 1
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
+    "embedding_pq": q_pq_quantize,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
@@ -681,5 +804,6 @@ ORACLES = {
     "embedding_neardup": _ORACLE_NEARDUP,
     "embedding_neardup_lsh": _ORACLE_NEARDUP_LSH,
     "embedding_quantize_int8": _ORACLE_QUANTIZE,
+    "embedding_pq": _ORACLE_PQ,
     "embedding_class_centroids": _ORACLE_CENTROIDS,
 }

@@ -436,6 +436,100 @@ ORDER BY segment
 """
 
 
+def q_streaming_kmv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance on a stream: every micro-batch
+    computes per-group KMV partials and MERGES them into a persistent
+    synopsis table via foreachBatch (read-merge-overwrite) — the pattern
+    that keeps a 100 TB/day feed's distinct-count sketches current
+    without ever rescanning history.
+
+    Because the k-smallest merge is associative and the hash is
+    deterministic md5, the final synopsis equals the batch sketch of the
+    whole log — so the streamed, incrementally-merged estimate is
+    oracle-checked EXACTLY against the from-scratch SQL computation."""
+    import shutil
+
+    from admob_data_pipeline_spark.operators.sketches import (
+        _kmv_estimate,
+        kmv_synopsis,
+    )
+
+    events = _event_stream(spark, sf_dir).select(
+        F.col("event_type"), F.col("user_id").cast("string").alias("uid")
+    )
+    table = tempfile.mkdtemp(prefix="kmv_table_")
+    checkpoint = tempfile.mkdtemp(prefix="kmv_ckpt_")
+    k = 64
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        partial = kmv_synopsis(batch_df, "event_type", "uid", k)
+        try:
+            prev = sp.read.parquet(table)
+            partial = partial.unionByName(prev)
+        except Exception:
+            pass  # first batch — no synopsis table yet
+        merged = partial.groupBy("event_type").agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))),
+                1,
+                k,
+            ).alias("mins")
+        )
+        # collect-then-rewrite: the synopsis table is k doubles per group
+        rows = merged.collect()
+        sp.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
+            table
+        )
+
+    try:
+        q = (
+            events.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        syn = spark.read.parquet(table)
+        out = syn.select(
+            "event_type",
+            _kmv_estimate(F.col("mins"), k).alias("ndv_est"),
+            (F.size("mins") < k).alias("is_exact"),
+        ).orderBy("event_type")
+        rows = out.collect()
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, ndv_est double, is_exact boolean"
+    ).orderBy("event_type")
+
+
+_ORACLE_STREAM_KMV = """
+WITH h AS (
+    SELECT DISTINCT event_type AS g,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT)
+               / POWER(16, 13) AS h
+    FROM events
+),
+ranked AS (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM h
+),
+agg AS (
+    SELECT g, COUNT(*) AS n_mins, MAX(CASE WHEN rn = 64 THEN h END) AS h64
+    FROM ranked WHERE rn <= 64 GROUP BY g
+)
+SELECT g AS event_type,
+       CASE WHEN n_mins < 64 THEN CAST(n_mins AS DOUBLE)
+            ELSE ROUND(63.0 / h64, 4) END AS ndv_est,
+       n_mins < 64 AS is_exact
+FROM agg
+ORDER BY event_type
+"""
+
+
 def q_streaming_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(daily_rates_stream(_event_stream(spark, sf_dir)))
     return out.orderBy("date", "app_name")
@@ -496,6 +590,7 @@ QUERIES = {
     "streaming_daily_rates": q_streaming_daily_rates,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_enrich": q_streaming_enrich,
+    "streaming_kmv_sink": q_streaming_kmv_sink,
 }
 
 ORACLES = {
@@ -507,4 +602,5 @@ ORACLES = {
     "streaming_daily_rates": _ORACLE_DAILY_RATES,
     "streaming_sessionize": _ORACLE_SESSIONIZE,
     "streaming_enrich": _ORACLE_ENRICH,
+    "streaming_kmv_sink": _ORACLE_STREAM_KMV,
 }
