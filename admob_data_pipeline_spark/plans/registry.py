@@ -115,10 +115,65 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 )
 
 
+# Round-1-era queries that have NEVER had a driver verdict (two rounds
+# outstanding) — they outrank this round's newer additions for the 50
+# slots of the correctness window. Names absent from the registry are
+# ignored, so this list never breaks when queries are renamed.
+FRESH_FIRST: tuple[str, ...] = (
+    "pivot_revenue",
+    "text_hashing_vectorizer",
+    "text_dataset_split",
+    "text_vocabulary",
+    "text_corpus_filter",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprints",
+    "text_bm25",
+    "stratified_sample",
+    "text_decontaminate",
+    "text_repetition",
+    "text_tfidf",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_neardup",
+    "embedding_neardup_lsh",
+    "embedding_quantize_int8",
+    "embedding_class_centroids",
+    "multimodal_frame_dedup",
+    "multimodal_metadata",
+    "multimodal_frames",
+    "doc_chunking",
+    "doc_packing",
+    "merge_latest",
+    "scd2_intervals",
+    "sink_csv_roundtrip",
+    "sink_sorted_layout",
+    "sink_jsonl_roundtrip",
+    "sink_partition_overwrite",
+    "streaming_stateful_rates",
+    "sessionize_batch",
+    "streaming_sessionize_sink",
+    "streaming_attribution",
+    "streaming_dedup",
+    "streaming_daily_rates",
+    "streaming_sessionize",
+)
+
+
 def _prioritized(d: dict) -> dict:
-    fresh = {k: v for k, v in d.items() if k not in DRIVER_GREEN}
+    first = {k: d[k] for k in FRESH_FIRST if k in d and k not in DRIVER_GREEN}
+    fresh = {
+        k: v for k, v in d.items() if k not in DRIVER_GREEN and k not in first
+    }
     green = {k: v for k, v in d.items() if k in DRIVER_GREEN}
-    return {**fresh, **green}
+    return {**first, **fresh, **green}
 
 
 QUERIES = _prioritized(_merged("QUERIES"))
