@@ -213,3 +213,56 @@ def test_ivf_assignment_is_map_only(spark, sf_dir):
     )
     plan = explain.formatted_plan(assigned)
     assert "Join" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_market_share_broadcasts_all_dims(spark, sf_dir):
+    """Q8 shape: part/customer/supplier/nation x2/region all broadcast —
+    lineitem join orders must be the only big shuffle."""
+    from admob_data_pipeline_spark.plans import analytics_ext
+
+    df = analytics_ext.q_market_share(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_order_priority_check_is_semi_join(spark, sf_dir):
+    """Q4's EXISTS must compile to LeftSemi (one row per order, no
+    fan-out + dedup recovery)."""
+    from admob_data_pipeline_spark.plans import analytics_ext
+
+    df = analytics_ext.q_order_priority_check(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_items_topk_no_full_sort(spark, sf_dir):
+    """Q10's LIMIT 20 must be TakeOrderedAndProject, never a global
+    sort of the whole aggregate."""
+    from admob_data_pipeline_spark.plans import analytics_ext
+
+    df = analytics_ext.q_returned_items(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    """The PII scrub must not shuffle: pure projection over the scan."""
+    from admob_data_pipeline_spark.operators import text as text_ops
+
+    df = text_ops.q_pii_redact(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    # the only exchange allowed is the widen repartition + final sort
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_sliding_window_single_aggregate(spark, sf_dir):
+    """The 7d/1d sliding window must be ONE expand + one aggregate —
+    not a self-join per offset."""
+    from admob_data_pipeline_spark.plans import analytics_ext
+
+    df = analytics_ext.q_sliding_window_rates(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert plan.count("Scan parquet") == 2  # one scan (counted twice)
+    assert "Join" not in plan, plan
