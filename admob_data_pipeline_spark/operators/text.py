@@ -592,6 +592,63 @@ LIMIT 100
 """
 
 
+WSAMPLE_K = 50
+WSAMPLE_SCALE = 1_000_000_000
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col,
+    k: int = WSAMPLE_K,
+    seed: str = "wsample-seed-1",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis): each
+    row draws u = md5-fraction and keeps key = ln(u)/w; the top-k keys
+    ARE a weight-proportional sample — one map pass + a top-k, no
+    per-row state, deterministic and reproducible across engines/runs.
+    This is how a quality-weighted training-data subsample is drawn at
+    100 TB (weight = quality score, length, dedup count…).
+
+    The key is floor-scaled to an integer BEFORE ranking (ln() ulp
+    discipline), ties broken by doc_id; top-k via TakeOrderedAndProject,
+    never a full sort."""
+    w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col("doc_id").cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16**13))
+    key_scaled = F.floor(F.log(u) / w * WSAMPLE_SCALE).cast("long")
+    return (
+        docs.select("doc_id", w.cast("long").alias("weight"), key_scaled.alias("es_key_e9"))
+        .orderBy(F.desc("es_key_e9"), "doc_id")
+        .limit(k)
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample(load_table(spark, sf_dir, "documents"), "n_chars")
+
+
+_ORACLE_WSAMPLE = f"""
+WITH keyed AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CAST(FLOOR(
+               ln(CAST('0x' || substr(md5('wsample-seed-1' || '|'
+                       || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                  / POWER(16, 13))
+               / n_chars * {WSAMPLE_SCALE}) AS BIGINT) AS es_key_e9
+    FROM documents
+)
+SELECT doc_id, weight, es_key_e9
+FROM keyed
+ORDER BY es_key_e9 DESC, doc_id
+LIMIT {WSAMPLE_K}
+"""
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic corpus carries no organic PII, so the query enriches
     each doc with deterministic contact strings derived from (source,
@@ -696,11 +753,13 @@ QUERIES = {
     "text_language_id": q_language_id,
     "text_fingerprints": q_fingerprints,
     "text_pii_redact": q_pii_redact,
+    "weighted_sample": q_weighted_sample,
     "length_bucket_sample": q_length_bucket_sample,
 }
 
 ORACLES = {
     "text_pii_redact": _ORACLE_PII,
+    "weighted_sample": _ORACLE_WSAMPLE,
     "length_bucket_sample": _ORACLE_LENBUCKET,
     "text_hashing_vectorizer": _ORACLE_VECTORIZER,
     "text_dataset_split": _ORACLE_SPLIT,

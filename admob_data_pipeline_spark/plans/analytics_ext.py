@@ -1413,6 +1413,105 @@ ORDER BY user_id
 """
 
 
+# --- snapshot diff (table reconciliation) -----------------------------------
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two versions of the daily fact — the data-ops "what
+    changed between yesterday's build and today's" audit. Old = evens-only
+    events, new = all events: every key is classified added / removed /
+    changed / unchanged via one FULL OUTER join on the grain, and the
+    verdict rolls up to counts (the detail table is the same plan minus
+    the final aggregate).
+
+    Scale: both sides aggregate to the fact grain first (partial
+    map-side), so the join moves grain-sized tables, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("ts").cast("date").alias("date"),
+            F.col("event_type").alias("app_name"),
+        ).agg(F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("vm"))
+
+    old = daily(ev.where(F.col("event_id") % 2 == 0)).select(
+        "date", "app_name", F.col("vm").alias("vm_old")
+    )
+    new = daily(ev).select("date", "app_name", F.col("vm").alias("vm_new"))
+    status = (
+        F.when(F.col("vm_old").isNull(), F.lit("added"))
+        .when(F.col("vm_new").isNull(), F.lit("removed"))
+        .when(F.col("vm_old") != F.col("vm_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        old.join(new, ["date", "app_name"], "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("status")
+    )
+
+
+_ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+    SELECT CAST(ts AS DATE) AS date, event_type AS app_name,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS vm_old
+    FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
+),
+new AS (
+    SELECT CAST(ts AS DATE) AS date, event_type AS app_name,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS vm_new
+    FROM events GROUP BY 1, 2
+),
+j AS (
+    SELECT CASE WHEN vm_old IS NULL THEN 'added'
+                WHEN vm_new IS NULL THEN 'removed'
+                WHEN vm_old <> vm_new THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old FULL OUTER JOIN new USING (date, app_name)
+)
+SELECT status, COUNT(*) AS n_keys FROM j GROUP BY status ORDER BY status
+"""
+
+
+# --- sliding-window distinct users -------------------------------------------
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the DAU/WAU family):
+    exact countDistinct over the same one-pass sliding-window expansion
+    as ``sliding_window_rates`` — distinct-over-sliding-windows is the
+    shape that usually forces either a 7-way self-join or an approximate
+    sketch; the window generator keeps it one expand + one aggregate.
+
+    Scale: the expansion is ×7 of a (window, user) projection; the
+    count-distinct is Spark's two-phase expand aggregate (partial
+    de-dup map-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start_epoch"),
+            "n_users",
+        )
+        .orderBy("window_start_epoch")
+    )
+
+
+_ORACLE_SLIDING_DISTINCT = """
+WITH e AS (
+    SELECT user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+    FROM events
+),
+expanded AS (
+    SELECT user_id, (day - k) * 86400 AS window_start_epoch
+    FROM e, UNNEST(generate_series(0, 6)) AS g(k)
+)
+SELECT window_start_epoch, COUNT(DISTINCT user_id) AS n_users
+FROM expanded
+GROUP BY window_start_epoch
+ORDER BY window_start_epoch
+"""
+
+
 # --- market-basket co-purchase pairs ----------------------------------------
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part pairs bought together in the same order, with support ≥ 2
@@ -1668,6 +1767,8 @@ QUERIES = {
     "copurchase_pairs": q_copurchase_pairs,
     "triangle_count": q_triangle_count,
     "conversion_latency": q_conversion_latency,
+    "snapshot_diff": q_snapshot_diff,
+    "sliding_distinct_users": q_sliding_distinct_users,
     "priority_shipmix": q_priority_shipmix,
     "promo_revenue_ratio": q_promo_revenue_ratio,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -1704,6 +1805,8 @@ ORACLES = {
     "copurchase_pairs": _ORACLE_COPURCHASE,
     "triangle_count": _ORACLE_TRIANGLES,
     "conversion_latency": _ORACLE_CONVERSION,
+    "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
+    "sliding_distinct_users": _ORACLE_SLIDING_DISTINCT,
     "priority_shipmix": _ORACLE_Q12,
     "promo_revenue_ratio": _ORACLE_Q14,
     "disjunctive_revenue": _ORACLE_Q19,
