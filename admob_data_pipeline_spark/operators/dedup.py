@@ -99,9 +99,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold, generated through a
     shared-shingle join (never a cross join)."""
-    # the capped shingle table feeds sizes + both join legs → materialize
-    # (see _capped_shingles for why cache() misses here)
-    sh = _capped_shingles(docs, k, max_df).localCheckpoint()
+    # _capped_shingles already materializes the expensive explode; its
+    # broadcast anti-join is map-side-cheap to recompute per consumer, so
+    # a second checkpoint here would only add a materialization pass
+    sh = _capped_shingles(docs, k, max_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -188,9 +189,9 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, LSH-candidate-generated and
     exact-Jaccard-verified (precision 1, recall = banding probability)."""
-    # shingles feed signatures + sizes + both verify legs → materialize
-    # (see _capped_shingles for why cache() misses here)
-    sh = _capped_shingles(docs, k, max_df).localCheckpoint()
+    # _capped_shingles already materializes the expensive explode; the
+    # anti-join on top is map-side-cheap to recompute per consumer
+    sh = _capped_shingles(docs, k, max_df)
     bands = lsh_band_keys(minhash_signatures(sh))
     ba = bands.select(F.col("doc_id").alias("a"), "band", "band_key")
     bb = bands.select(F.col("doc_id").alias("b"), "band", "band_key")
