@@ -204,14 +204,59 @@ ORDER BY date, user_id, event_type
 """
 
 
+AS_OF_T = "2024-01-15 00:00:00"  # mid-range point-in-time for the snapshot
+
+
+def q_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time query over the SCD2 history: the value of every
+    (user, event_type) key AS OF a fixed timestamp T — the "what did the
+    table say last Tuesday" read that the intervalized history exists to
+    answer. One filter over the interval table: valid_from ≤ T < valid_to
+    (open-ended current rows use NULL valid_to).
+
+    Scale: the interval build is the scd2 single-pass window; the as-of
+    read is a pure filter — no join, no shuffle beyond the history's
+    own."""
+    hist = q_scd2_intervals(spark, sf_dir)
+    t = F.unix_timestamp(F.lit(AS_OF_T), "yyyy-MM-dd HH:mm:ss")
+    return (
+        hist.where(
+            (F.col("valid_from_sec") <= t)
+            & (F.col("valid_to_sec").isNull() | (F.col("valid_to_sec") > t))
+        )
+        .select("user_id", "event_type", "event_id", "valid_from_sec", "value_e4")
+        .orderBy("user_id", "event_type")
+    )
+
+
+_ORACLE_AS_OF = f"""
+WITH hist AS (
+    SELECT user_id, event_type, event_id,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from_sec,
+           CAST(FLOOR(epoch(LEAD(ts) OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts ASC, event_id ASC)))
+                AS BIGINT) AS valid_to_sec,
+           CAST(FLOOR(value * 10000) AS BIGINT) AS value_e4
+    FROM events
+)
+SELECT user_id, event_type, event_id, valid_from_sec, value_e4
+FROM hist
+WHERE valid_from_sec <= epoch(TIMESTAMP '{AS_OF_T}')
+  AND (valid_to_sec IS NULL OR valid_to_sec > epoch(TIMESTAMP '{AS_OF_T}'))
+ORDER BY user_id, event_type
+"""
+
+
 QUERIES = {
     "merge_latest": q_merge_latest,
     "scd2_intervals": q_scd2_intervals,
     "merge_upsert": q_merge_upsert,
+    "as_of_snapshot": q_as_of_snapshot,
 }
 
 ORACLES = {
     "merge_latest": _ORACLE_MERGE_LATEST,
     "scd2_intervals": _ORACLE_SCD2,
     "merge_upsert": _ORACLE_MERGE_UPSERT,
+    "as_of_snapshot": _ORACLE_AS_OF,
 }

@@ -169,12 +169,86 @@ ORDER BY bucket, pack_id
 """
 
 
+def packing_efficiency(
+    df: DataFrame, capacity: int = PACK_CAPACITY, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Pack-utilization audit over :func:`pack_documents`: per bucket, how
+    many packs, the mean docs per pack, total vs wasted token budget, and
+    the fill ratio — the metric that tells a training pipeline whether its
+    packing capacity matches the document length distribution (waste =
+    padding = wasted FLOPs).
+
+    Waste is counted against CLOSED packs only (per-pack shortfall is
+    capacity − pack_tokens... except overflow packs, whose last doc spills
+    past capacity — those clamp to 0), all in exact integer arithmetic;
+    the fill ratio is the one derived double."""
+    packs = pack_documents(df, capacity=capacity, n_buckets=n_buckets)
+    waste = F.greatest(F.lit(0).cast("long"), F.lit(capacity) - F.col("pack_tokens"))
+    return (
+        packs.select("bucket", "pack_tokens", waste.alias("waste"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("pack_tokens").alias("total_tokens"),
+            F.sum("waste").alias("wasted_tokens"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(
+                F.col("total_tokens")
+                / (F.col("total_tokens") + F.col("wasted_tokens")),
+                6,
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing_efficiency(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_PACK_EFF = f"""
+WITH sized AS (
+    SELECT doc_id,
+           CAST(doc_id % {N_BUCKETS} AS BIGINT) AS bucket,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), packed AS (
+    SELECT bucket, doc_id, n_tokens,
+           CAST((SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS pack_id
+    FROM sized
+), packs AS (
+    SELECT bucket, pack_id, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY bucket, pack_id
+), audited AS (
+    SELECT bucket, pack_tokens,
+           GREATEST(0, {PACK_CAPACITY} - pack_tokens) AS waste
+    FROM packs
+)
+SELECT bucket,
+       COUNT(*) AS n_packs,
+       CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(waste) AS BIGINT) AS wasted_tokens,
+       ROUND(CAST(SUM(pack_tokens) AS BIGINT)
+             / (CAST(SUM(pack_tokens) AS BIGINT)
+                + CAST(SUM(waste) AS BIGINT)), 6) AS fill_ratio
+FROM audited
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "doc_chunking": q_doc_chunking,
     "doc_packing": q_doc_packing,
+    "packing_efficiency": q_packing_efficiency,
 }
 
 ORACLES = {
     "doc_chunking": _ORACLE_CHUNKING,
     "doc_packing": _ORACLE_PACKING,
+    "packing_efficiency": _ORACLE_PACK_EFF,
 }
