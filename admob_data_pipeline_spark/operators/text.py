@@ -592,6 +592,52 @@ LIMIT 100
 """
 
 
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pre-tokenization text normalization: lowercase, strip control
+    characters, collapse whitespace runs, and trim — the canonical first
+    pass of every text pipeline, as pure column expressions (map-only, no
+    shuffle; a Unicode NFC step slots in here via the same regexp chain
+    when the corpus needs it).
+
+    Output keeps before/after lengths and a content hash so downstream
+    dedup keys can be compared pre/post normalization."""
+    raw = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), r"[\x00-\x1f]", " "), r"\s+", " "
+        )
+    )
+    return widen_if_narrow(df).select(
+        "doc_id",
+        F.length(raw).alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+        (F.md5(norm) == F.md5(raw)).alias("unchanged"),
+    )
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_text(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_ORACLE_NORMALIZE = r"""
+WITH n AS (
+    SELECT doc_id, text,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
+               '\s+', ' ', 'g')) AS norm
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(text) AS INT) AS n_chars_raw,
+       CAST(len(norm) AS INT) AS n_chars_norm,
+       md5(norm) AS norm_md5,
+       md5(norm) = md5(text) AS unchanged
+FROM n
+ORDER BY doc_id
+"""
+
+
 WSAMPLE_K = 50
 WSAMPLE_SCALE = 1_000_000_000
 
@@ -754,12 +800,14 @@ QUERIES = {
     "text_fingerprints": q_fingerprints,
     "text_pii_redact": q_pii_redact,
     "weighted_sample": q_weighted_sample,
+    "text_normalize": q_normalize_text,
     "length_bucket_sample": q_length_bucket_sample,
 }
 
 ORACLES = {
     "text_pii_redact": _ORACLE_PII,
     "weighted_sample": _ORACLE_WSAMPLE,
+    "text_normalize": _ORACLE_NORMALIZE,
     "length_bucket_sample": _ORACLE_LENBUCKET,
     "text_hashing_vectorizer": _ORACLE_VECTORIZER,
     "text_dataset_split": _ORACLE_SPLIT,

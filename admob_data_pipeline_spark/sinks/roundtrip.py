@@ -29,6 +29,7 @@ from admob_data_pipeline_spark.sinks.writers import (
     overwrite_date_partitions,
     write_csv,
     write_jsonl,
+    write_global_sort,
     write_orc,
     write_sorted_layout,
     write_zorder_layout,
@@ -235,6 +236,38 @@ ORDER BY date, app_name
 """
 
 
+def q_sink_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-sorted export round-trip: orders written totally ordered
+    by (priority, orderkey) across range-partitioned files; reading back
+    in partition order must reproduce the exact global ORDER BY (the
+    per-file disjointness property is pinned in test_sinks.py)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    out = tempfile.mkdtemp(prefix="sink_gsort_")
+    try:
+        write_global_sort(o, out, ["o_orderpriority", "o_orderkey"])
+        back = spark.read.parquet(out).orderBy("o_orderpriority", "o_orderkey")
+        rows = [
+            (r.o_orderpriority, r.o_orderkey, r.price_cents) for r in back.collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, o_orderkey bigint, price_cents bigint"
+    ).orderBy("o_orderpriority", "o_orderkey")
+
+
+_ORACLE_GLOBAL_SORT = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders
+ORDER BY o_orderpriority, o_orderkey
+"""
+
+
 def q_sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order write + 2D box read-back: cluster orders along the Morton
     curve of (custkey, price-band), then answer a two-dimensional range
@@ -279,6 +312,7 @@ QUERIES = {
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
     "sink_zorder_layout": q_sink_zorder_layout,
     "sink_compaction": q_sink_compaction,
+    "sink_global_sort": q_sink_global_sort,
     "sink_sorted_layout": q_sink_sorted_layout,
     "sink_jsonl_roundtrip": q_sink_jsonl_roundtrip,
     "sink_orc_roundtrip": q_sink_orc_roundtrip,
@@ -289,6 +323,7 @@ ORACLES = {
     "sink_csv_roundtrip": _ORACLE_FACT,
     "sink_zorder_layout": _ORACLE_ZORDER,
     "sink_compaction": _ORACLE_COMPACTION,
+    "sink_global_sort": _ORACLE_GLOBAL_SORT,
     "sink_sorted_layout": _ORACLE_SORTED,
     "sink_jsonl_roundtrip": _ORACLE_FACT,
     "sink_orc_roundtrip": _ORACLE_FACT,

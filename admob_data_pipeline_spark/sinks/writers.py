@@ -250,6 +250,20 @@ def write_zorder_layout(
     out.write.mode("overwrite").parquet(path)
 
 
+def write_global_sort(
+    df: DataFrame, path: str, sort_cols: list[str], files: int = 8
+) -> None:
+    """Globally-sorted export: ``repartitionByRange`` gives each output
+    file a disjoint key range (file N's max < file N+1's min) and
+    ``sortWithinPartitions`` orders rows inside — together a TOTAL order
+    across the file set without funneling data through one task, which is
+    how a 100 TB ORDER BY export actually runs (the range exchange
+    samples key quantiles to balance files). Consumers that need global
+    order read files in partition-id order."""
+    out = df.repartitionByRange(files, *sort_cols).sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(path)
+
+
 def write_if_nonempty(df: DataFrame, writer: Callable[[DataFrame], None]) -> bool:
     """S10 — skip sinks on an empty day (main.py:147-149,
     fetch_mediation_report.py:146-148). Returns True if written."""

@@ -187,3 +187,30 @@ def test_zorder_key_interleaves_bits(spark):
     )
     # a=101, b=011 → z bits (b2 a2 b1 a1 b0 a0) = 0 1 1 0 1 1 = 27
     assert row.z == 0b011011
+
+
+def test_global_sort_files_are_disjoint_and_ordered(spark, tmp_path):
+    """Range-partitioned export: file key ranges must be disjoint so that
+    reading files in partition order reproduces a global ORDER BY."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 2654435761 % 5000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "gsort")
+    writers.write_global_sort(df, out, ["k"], files=6)
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= 2
+    prev_max, total = None, 0
+    for f in files:  # part file names sort by partition id
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        if not ks:
+            continue
+        total += len(ks)
+        assert ks == sorted(ks), f
+        if prev_max is not None:
+            assert ks[0] >= prev_max
+        prev_max = ks[-1]
+    assert total == 5000
