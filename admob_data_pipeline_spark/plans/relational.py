@@ -894,6 +894,124 @@ ORDER BY d.priority_rank
 
 
 # --- W1/W2 alert family ---------------------------------------------------
+def q_ctr_anomaly_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 backfill end-to-end: the alert pipeline re-run AS OF a past
+    date — the fact is truncated at the backfill anchor, so report_date
+    resolves to that day and the 7-day trailing window precedes it,
+    exactly what the reference's backfill date parameter does
+    (main.py:111-120 passing an explicit report date). Same quirk join
+    and thresholds as the live run."""
+    from admob_data_pipeline_spark.operators import alerts
+
+    events = load_table(spark, sf_dir, "events")
+    fact = alerts.daily_fact(events).where(
+        F.col("date") <= F.lit("2024-01-20")
+    )
+    return alerts.ctr_anomaly_from_fact(fact)
+
+
+_ORACLE_ANOMALY_BACKFILL = """
+WITH fact AS (
+    SELECT CAST(ts AS DATE) AS date,
+           event_type AS app_name,
+           'u' || CAST(user_id % 8 AS VARCHAR) AS ad_unit_name,
+           CAST(FLOOR(value * 1000) AS BIGINT) AS clicks,
+           CAST(1 AS BIGINT) AS impressions
+    FROM events
+    WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
+),
+bounds AS (SELECT MAX(date) AS report_date FROM fact),
+last7 AS (
+    SELECT ad_unit_name,
+           CAST(SUM(clicks) AS DOUBLE) / NULLIF(SUM(impressions), 0) AS avg_ctr_7d
+    FROM fact, bounds
+    WHERE date BETWEEN report_date - INTERVAL 7 DAY AND report_date - INTERVAL 1 DAY
+    GROUP BY app_name, ad_unit_name
+),
+today AS (
+    SELECT app_name, ad_unit_name,
+           CAST(SUM(clicks) AS DOUBLE) / NULLIF(SUM(impressions), 0) AS today_ctr
+    FROM fact, bounds
+    WHERE date = report_date
+    GROUP BY app_name, ad_unit_name
+)
+SELECT t.app_name, t.ad_unit_name,
+       ROUND(t.today_ctr, 6) AS today_ctr,
+       ROUND(l.avg_ctr_7d, 6) AS avg_ctr_7d,
+       ROUND((t.today_ctr - l.avg_ctr_7d) / NULLIF(l.avg_ctr_7d, 0) * 100, 4)
+           AS pct_change,
+       ABS(ROUND((t.today_ctr - l.avg_ctr_7d) / NULLIF(l.avg_ctr_7d, 0) * 100, 4))
+           > 25.0 AS is_alert
+FROM today t
+JOIN last7 l ON t.ad_unit_name = l.ad_unit_name
+ORDER BY pct_change DESC, t.app_name, t.ad_unit_name
+"""
+
+
+def q_report_spec_mediation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — the mediation report through the SAME spec compiler, entered
+    via the reference's verbatim JSON shape (``ReportSpec.from_dict``,
+    main.py:122-136): mediation dim set (AD_SOURCE), earnings in exact
+    integer micros, a metric DESC sort, and an IN-list filter."""
+    events = load_table(spark, sf_dir, "events")
+    fact = events.select(
+        F.col("ts").cast("date").alias("date"),
+        F.col("event_type").alias("app_name"),
+        F.concat(F.lit("src"), (F.col("user_id") % 4).cast("string")).alias(
+            "ad_source_name"
+        ),
+        F.floor(F.col("value") * 1e6).cast("long").alias("earn_micros"),
+        F.lit(1).cast("long").alias("impressions"),
+    )
+    spec = ReportSpec.from_dict(
+        {
+            "dateRange": {
+                "startDate": {"year": 2024, "month": 1, "day": 3},
+                "endDate": {"year": 2024, "month": 1, "day": 17},
+            },
+            "dimensions": ["DATE", "AD_SOURCE"],
+            "metrics": ["ESTIMATED_EARNINGS", "IMPRESSIONS"],
+            "dimensionFilters": [
+                {
+                    "dimension": "AD_SOURCE",
+                    "matchesAny": {"values": ["src0", "src1", "src3"]},
+                }
+            ],
+            "sortConditions": [
+                {"dimension": "DATE", "order": "ASCENDING"},
+                {"metric": "ESTIMATED_EARNINGS", "order": "DESCENDING"},
+            ],
+        }
+    )
+    return compile_report(
+        fact,
+        spec,
+        dim_cols={"AD_SOURCE": "ad_source_name", "APP": "app_name"},
+        metric_cols={
+            "ESTIMATED_EARNINGS": "earn_micros",
+            "IMPRESSIONS": "impressions",
+        },
+    )
+
+
+_ORACLE_REPORT_MEDIATION = """
+WITH fact AS (
+    SELECT CAST(ts AS DATE) AS date,
+           'src' || CAST(user_id % 4 AS VARCHAR) AS ad_source,
+           CAST(FLOOR(value * 1e6) AS BIGINT) AS earn_micros
+    FROM events
+)
+SELECT date, ad_source,
+       CAST(SUM(earn_micros) AS BIGINT) AS estimated_earnings,
+       COUNT(*) AS impressions
+FROM fact
+WHERE date BETWEEN DATE '2024-01-03' AND DATE '2024-01-17'
+  AND ad_source IN ('src0', 'src1', 'src3')
+GROUP BY date, ad_source
+ORDER BY date, estimated_earnings DESC
+"""
+
+
 _ORACLE_ANOMALY_QUIRK = """
 WITH fact AS (
     SELECT CAST(ts AS DATE) AS date,
@@ -1636,6 +1754,8 @@ QUERIES = {
     "report_spec": q_report_spec,
     "ctr_anomaly_sql": q_ctr_anomaly_sql,
     "ctr_anomaly_df": q_ctr_anomaly_df,
+    "ctr_anomaly_backfill": q_ctr_anomaly_backfill,
+    "report_spec_mediation": q_report_spec_mediation,
     "ctr_anomaly_window": q_ctr_anomaly_window,
     "calendar_rollup": q_calendar_rollup,
     "props_json": q_props_json,
@@ -1703,5 +1823,7 @@ ORACLES = {
     "report_spec": _ORACLE_REPORT_SPEC,
     "ctr_anomaly_sql": _ORACLE_ANOMALY_QUIRK,
     "ctr_anomaly_df": _ORACLE_ANOMALY_QUIRK,
+    "ctr_anomaly_backfill": _ORACLE_ANOMALY_BACKFILL,
+    "report_spec_mediation": _ORACLE_REPORT_MEDIATION,
     "ctr_anomaly_window": _ORACLE_ANOMALY_WINDOW,
 }
