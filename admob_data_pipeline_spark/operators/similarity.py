@@ -737,6 +737,64 @@ ORDER BY vec_id
 """
 
 
+def topk_mips(
+    emb: DataFrame, query_ids: list[int], k: int = DEFAULT_K
+) -> DataFrame:
+    """Maximum-inner-product top-k (UNNORMALIZED dot): the retrieval
+    scoring used when vector norms carry signal (recommender item
+    popularity, learned importance) — cosine's norm-division would erase
+    it. Same broadcast-queries plan as the cosine baseline; ranking by
+    the raw fold-ordered dot (bit-identical across engines), display
+    value floor-scaled to micros."""
+    base, dim = with_vec(emb)
+    q = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    pairs = base.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        dot(F.col("qv"), F.col("v"), dim).alias("ip"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("ip"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            "vec_id",
+            F.floor(F.col("ip") * 1e6).cast("long").alias("ip_micro"),
+            "rank",
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+def q_ann_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_mips(load_table(spark, sf_dir, "embeddings"), QUERY_IDS)
+
+
+_ORACLE_MIPS = f"""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id IN {tuple(QUERY_IDS)}),
+scored AS (
+    SELECT q.qid, b.vec_id, list_dot_product(q.qv, b.v) AS ip
+    FROM base b, q WHERE b.vec_id <> q.qid
+),
+ranked AS (
+    SELECT qid, vec_id, ip,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id)
+                AS INT) AS rank
+    FROM scored
+)
+SELECT qid, vec_id, CAST(FLOOR(ip * 1e6) AS BIGINT) AS ip_micro, rank
+FROM ranked WHERE rank <= {DEFAULT_K}
+ORDER BY qid, rank
+"""
+
+
 def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_quantize(load_table(spark, sf_dir, "embeddings"))
 
@@ -789,6 +847,7 @@ ORDER BY vec_id
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "embedding_pq": q_pq_quantize,
+    "ann_mips_topk": q_ann_mips,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
@@ -805,5 +864,6 @@ ORACLES = {
     "embedding_neardup_lsh": _ORACLE_NEARDUP_LSH,
     "embedding_quantize_int8": _ORACLE_QUANTIZE,
     "embedding_pq": _ORACLE_PQ,
+    "ann_mips_topk": _ORACLE_MIPS,
     "embedding_class_centroids": _ORACLE_CENTROIDS,
 }
