@@ -1413,6 +1413,151 @@ ORDER BY user_id
 """
 
 
+# --- day-of-week seasonality baseline ---------------------------------------
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal baseline per app: each (app, dow) cell carries
+    its historical event count and value, plus the deviation of the last
+    observed week's same-dow figure from that baseline — the seasonality
+    adjustment the naive trailing-7d alert (W1) lacks (a Sunday dip is
+    not an anomaly if Sundays always dip).
+
+    Exact integer sums; the deviation ratio is the one derived double
+    (identical BIGINT division on both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("app_name"),
+        F.col("ts").cast("date").alias("date"),
+        F.dayofweek("ts").alias("dow"),
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    hist = base.groupBy("app_name", "dow").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("vm").alias("value_milli"),
+        F.countDistinct("date").alias("n_days"),
+    )
+    last_date = base.agg(F.max("date").alias("mx"))
+    last_week = (
+        base.crossJoin(F.broadcast(last_date))
+        .where(F.col("date") > F.date_sub(F.col("mx"), 7))
+        .groupBy("app_name", "dow")
+        .agg(F.count(F.lit(1)).alias("lw_events"))
+    )
+    return (
+        hist.join(last_week, ["app_name", "dow"], "left")
+        .select(
+            "app_name",
+            "dow",
+            "n_events",
+            "value_milli",
+            "n_days",
+            F.coalesce("lw_events", F.lit(0)).alias("lw_events"),
+            (
+                F.coalesce("lw_events", F.lit(0))
+                * F.col("n_days")
+                / F.col("n_events")
+            ).alias("lw_vs_baseline"),
+        )
+        .orderBy("app_name", "dow")
+    )
+
+
+_ORACLE_DOW = """
+WITH base AS (
+    SELECT event_type AS app_name,
+           CAST(ts AS DATE) AS date,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,  -- DuckDB 0=Sun; Spark 1=Sun
+           CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+    FROM events
+),
+hist AS (
+    SELECT app_name, dow, COUNT(*) AS n_events,
+           CAST(SUM(vm) AS BIGINT) AS value_milli,
+           COUNT(DISTINCT date) AS n_days
+    FROM base GROUP BY app_name, dow
+),
+mx AS (SELECT MAX(date) AS mx FROM base),
+last_week AS (
+    SELECT app_name, dow, COUNT(*) AS lw_events
+    FROM base, mx WHERE date > mx - INTERVAL 7 DAY
+    GROUP BY app_name, dow
+)
+SELECT h.app_name, h.dow, h.n_events, h.value_milli, h.n_days,
+       COALESCE(lw.lw_events, 0) AS lw_events,
+       COALESCE(lw.lw_events, 0) * h.n_days / h.n_events AS lw_vs_baseline
+FROM hist h LEFT JOIN last_week lw USING (app_name, dow)
+ORDER BY app_name, dow
+"""
+
+
+# --- Pareto / revenue-concentration curve -----------------------------------
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: customers ranked by spend, bucketed into
+    deciles, with each decile's share of total revenue and the cumulative
+    share — the 80/20 curve every revenue team draws.
+
+    Scale: the per-customer aggregate shrinks the fact first; NTILE runs
+    over customers (≪ fact rows); shares are quotients of exact bigints
+    against a broadcast one-row total."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    )
+    decile = F.ntile(10).over(
+        Window.orderBy(F.desc("rev_c"), F.col("o_custkey"))
+    )
+    by_decile = (
+        per_cust.select("o_custkey", "rev_c", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev_c").alias("decile_rev_c"),
+        )
+    )
+    total = per_cust.agg(F.sum("rev_c").alias("total_c"))
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        by_decile.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_rev_c",
+            (F.col("decile_rev_c") / F.col("total_c")).alias("rev_share"),
+            (F.sum("decile_rev_c").over(w_cum) / F.col("total_c")).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+_ORACLE_PARETO = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT o_custkey, rev_c,
+           NTILE(10) OVER (ORDER BY rev_c DESC, o_custkey) AS decile
+    FROM per_cust
+),
+by_decile AS (
+    SELECT decile, COUNT(*) AS n_customers,
+           CAST(SUM(rev_c) AS BIGINT) AS decile_rev_c
+    FROM ranked GROUP BY decile
+),
+total AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS total_c FROM per_cust)
+SELECT CAST(decile AS INT) AS decile, n_customers, decile_rev_c,
+       decile_rev_c / total_c AS rev_share,
+       CAST(SUM(decile_rev_c) OVER (ORDER BY decile
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) / total_c AS cum_share
+FROM by_decile, total
+ORDER BY decile
+"""
+
+
 # --- snapshot diff (table reconciliation) -----------------------------------
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconcile two versions of the daily fact — the data-ops "what
@@ -1768,6 +1913,8 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "conversion_latency": q_conversion_latency,
     "snapshot_diff": q_snapshot_diff,
+    "dow_seasonality": q_dow_seasonality,
+    "revenue_pareto": q_revenue_pareto,
     "sliding_distinct_users": q_sliding_distinct_users,
     "priority_shipmix": q_priority_shipmix,
     "promo_revenue_ratio": q_promo_revenue_ratio,
@@ -1806,6 +1953,8 @@ ORACLES = {
     "triangle_count": _ORACLE_TRIANGLES,
     "conversion_latency": _ORACLE_CONVERSION,
     "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
+    "dow_seasonality": _ORACLE_DOW,
+    "revenue_pareto": _ORACLE_PARETO,
     "sliding_distinct_users": _ORACLE_SLIDING_DISTINCT,
     "priority_shipmix": _ORACLE_Q12,
     "promo_revenue_ratio": _ORACLE_Q14,
