@@ -150,8 +150,12 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (date, user, type) rollup of even-numbered events; updates = the same
     rollup of a 'correction' batch (odd event ids of users 0-49, plus
     their new dates). Matched (date,user,type) rows must take the update
-    value, unmatched keep the target, and partitions untouched by the
-    batch must pass through byte-identical."""
+    value and unmatched rows within an affected partition keep the
+    target. The result is partition-scoped: only partitions touched by
+    the batch appear (merge_upsert semi-joins to the affected set —
+    untouched partitions are never read or rewritten, which is the
+    idempotent-overwrite contract, but their pass-through is therefore
+    not exercised by this query; the oracle mirrors the same scope)."""
     ev = load_table(spark, sf_dir, "events")
     daily = lambda df: (  # noqa: E731 - local shorthand
         df.groupBy(

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.operators.text import shingles, tokens
-from admob_data_pipeline_spark.operators.util import widen_if_narrow
+from admob_data_pipeline_spark.operators.util import join_small, widen_if_narrow
 from admob_data_pipeline_spark.sources.tables import load_table
 
 DECONTAM_N = 3
@@ -64,7 +64,7 @@ def decontaminate(
     train_grams = _doc_ngrams(docs, n, text_col)
     bench_grams = _doc_ngrams(benchmark, n, text_col).select("gram").distinct()
     hits = (
-        train_grams.join(F.broadcast(bench_grams), "gram")
+        join_small(train_grams, bench_grams, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -141,7 +141,7 @@ def tfidf_top_terms(
     score = F.floor(
         F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * TFIDF_SCALE
     ).cast("long")
-    scored = tf.join(F.broadcast(df_tab), "token").select(
+    scored = join_small(tf, df_tab, "token").select(
         "doc_id", "token", "tf", "df", score.alias("score_scaled")
     )
     w = Window.partitionBy("doc_id").orderBy(
@@ -360,11 +360,11 @@ def bm25_top_terms(
         F.countDistinct("doc_id").alias("n_docs"),
         (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
     )
-    scored = (
-        tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
-        .join(F.broadcast(df_tab), "token")
-        .crossJoin(F.broadcast(stats))
-    )
+    scored = join_small(
+        tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id"))),
+        df_tab,
+        "token",
+    ).crossJoin(F.broadcast(stats))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -460,7 +460,7 @@ def lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         -F.log((F.col("c") + 1) / (F.col("n_total") + F.col("v_size"))) * LM_SCALE
     ).cast("long")
     scored = (
-        tok.join(F.broadcast(counts), "token")
+        join_small(tok, counts, "token")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", nll_scaled.alias("nll_e4"))
     )
@@ -528,11 +528,9 @@ def source_divergence(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stats = corpus.agg(
         F.sum("c_t").alias("n_total"), F.count(F.lit(1)).alias("v_size")
     )
-    joined = (
-        st.join(F.broadcast(tot_s), "source")
-        .join(F.broadcast(corpus), "token")
-        .crossJoin(F.broadcast(stats))
-    )
+    joined = join_small(
+        st.join(F.broadcast(tot_s), "source"), corpus, "token"
+    ).crossJoin(F.broadcast(stats))
     p = (F.col("c_st") + 1) / (F.col("n_s") + F.col("v_size"))
     q = (F.col("c_t") + 1) / (F.col("n_total") + F.col("v_size"))
     contrib = F.floor(p * F.log(p / q) * KL_SCALE).cast("long")

@@ -114,20 +114,22 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
+    # Threshold in exact integer domain (n_inter * 1e6 >= t*1e6 * union):
+    # thresholding the ROUNDED quotient admits pairs with true Jaccard in
+    # [t - 5e-7, t), and a ROUND on a decimal-tie quotient can itself
+    # diverge between engines (playbook #2). The rounded value is
+    # display-only.
+    _t_scaled = int(round(threshold * 1_000_000))
+    _union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     return (
         inter.join(sa, "a")
         .join(sb, "b")
+        .where(F.col("n_inter") * F.lit(1_000_000) >= F.lit(_t_scaled) * _union)
         .select(
             "a",
             "b",
-            F.round(
-                F.try_divide(
-                    F.col("n_inter"), F.col("n_a") + F.col("n_b") - F.col("n_inter")
-                ),
-                6,
-            ).alias("jaccard"),
+            F.round(F.try_divide(F.col("n_inter"), _union), 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
         .orderBy("a", "b")
     )
 
@@ -212,20 +214,22 @@ def minhash_lsh_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
+    # Threshold in exact integer domain (n_inter * 1e6 >= t*1e6 * union):
+    # thresholding the ROUNDED quotient admits pairs with true Jaccard in
+    # [t - 5e-7, t), and a ROUND on a decimal-tie quotient can itself
+    # diverge between engines (playbook #2). The rounded value is
+    # display-only.
+    _t_scaled = int(round(threshold * 1_000_000))
+    _union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     return (
         inter.join(sa, "a")
         .join(sb, "b")
+        .where(F.col("n_inter") * F.lit(1_000_000) >= F.lit(_t_scaled) * _union)
         .select(
             "a",
             "b",
-            F.round(
-                F.try_divide(
-                    F.col("n_inter"), F.col("n_a") + F.col("n_b") - F.col("n_inter")
-                ),
-                6,
-            ).alias("jaccard"),
+            F.round(F.try_divide(F.col("n_inter"), _union), 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
         .orderBy("a", "b")
     )
 
@@ -425,8 +429,9 @@ SELECT i.a, i.b,
 FROM inter i
 JOIN sizes za ON za.doc_id = i.a
 JOIN sizes zb ON zb.doc_id = i.b
-WHERE ROUND(CAST(i.n_inter AS DOUBLE)
-            / NULLIF(za.n_sh + zb.n_sh - i.n_inter, 0), 6) >= {JACCARD_THRESHOLD}
+WHERE i.n_inter * 1000000
+      >= {int(round(JACCARD_THRESHOLD * 1_000_000))}
+         * (za.n_sh + zb.n_sh - i.n_inter)
 ORDER BY i.a, i.b
 """
 
@@ -548,9 +553,9 @@ pairs AS (
     FROM inter i
     JOIN sizes za ON za.doc_id = i.a
     JOIN sizes zb ON zb.doc_id = i.b
-    WHERE ROUND(CAST(i.n_inter AS DOUBLE)
-                / NULLIF(za.n_sh + zb.n_sh - i.n_inter, 0), 6)
-          >= {JACCARD_THRESHOLD}
+    WHERE i.n_inter * 1000000
+          >= {int(round(JACCARD_THRESHOLD * 1_000_000))}
+             * (za.n_sh + zb.n_sh - i.n_inter)
 ),
 edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
 reach(node, lbl) AS (
@@ -594,7 +599,14 @@ def paragraph_dedup(
     see tfidf_top_terms)."""
     docs = widen_if_narrow(docs)
     t = tokens(F.col(text_col))
-    n_seg = F.ceil(F.size(t) / F.lit(seg_tokens)).cast("int")
+    # greatest(..., 1): F.sequence(0, -1) would produce a DESCENDING
+    # [0, -1] when n_seg = 0 (Spark picks step -1 when start > stop),
+    # emitting two bogus md5('') segments while DuckDB's
+    # generate_series(0, -1) is empty. Unreachable today (split('')
+    # returns ['']) but pinned on both sides anyway.
+    n_seg = F.greatest(
+        F.ceil(F.size(t) / F.lit(seg_tokens)).cast("int"), F.lit(1)
+    )
     segs = F.transform(
         F.sequence(F.lit(0), n_seg - 1),
         lambda i: F.md5(
@@ -639,7 +651,8 @@ segs AS (
            md5(array_to_string(
                toks[i * {PARA_TOKENS} + 1 : (i + 1) * {PARA_TOKENS}], ' ')) AS h
     FROM t, UNNEST(generate_series(
-            0, CAST(CEIL(len(toks) / {PARA_TOKENS}.0) AS INT) - 1)) AS g(i)
+            0, GREATEST(CAST(CEIL(len(toks) / {PARA_TOKENS}.0) AS INT), 1)
+               - 1)) AS g(i)
 ),
 hash_df AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM segs GROUP BY h)
 SELECT s.doc_id,
@@ -714,20 +727,22 @@ def prefix_filter_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("n_b"))
+    # Threshold in exact integer domain (n_inter * 1e6 >= t*1e6 * union):
+    # thresholding the ROUNDED quotient admits pairs with true Jaccard in
+    # [t - 5e-7, t), and a ROUND on a decimal-tie quotient can itself
+    # diverge between engines (playbook #2). The rounded value is
+    # display-only.
+    _t_scaled = int(round(threshold * 1_000_000))
+    _union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     return (
         inter.join(sa, "a")
         .join(sb, "b")
+        .where(F.col("n_inter") * F.lit(1_000_000) >= F.lit(_t_scaled) * _union)
         .select(
             "a",
             "b",
-            F.round(
-                F.try_divide(
-                    F.col("n_inter"), F.col("n_a") + F.col("n_b") - F.col("n_inter")
-                ),
-                6,
-            ).alias("jaccard"),
+            F.round(F.try_divide(F.col("n_inter"), _union), 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
         .orderBy("a", "b")
     )
 
@@ -772,8 +787,9 @@ SELECT i.a, i.b,
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.a
 JOIN sizes sb ON sb.doc_id = i.b
-WHERE ROUND(CAST(i.n_inter AS DOUBLE)
-            / NULLIF(sa.n + sb.n - i.n_inter, 0), 6) >= {PREFIX_THRESHOLD}
+WHERE i.n_inter * 1000000
+      >= {int(round(PREFIX_THRESHOLD * 1_000_000))}
+         * (sa.n + sb.n - i.n_inter)
 ORDER BY a, b
 """
 

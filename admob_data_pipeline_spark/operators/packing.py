@@ -180,8 +180,9 @@ def packing_efficiency(
 
     Waste is counted against CLOSED packs only (per-pack shortfall is
     capacity − pack_tokens... except overflow packs, whose last doc spills
-    past capacity — those clamp to 0), all in exact integer arithmetic;
-    the fill ratio is the one derived double."""
+    past capacity — those clamp to 0), all in exact integer arithmetic —
+    including the fill ratio, reported as floor-divided parts-per-million
+    so no double ever enters the result."""
     packs = pack_documents(df, capacity=capacity, n_buckets=n_buckets)
     waste = F.greatest(F.lit(0).cast("long"), F.lit(capacity) - F.col("pack_tokens"))
     return (
@@ -193,11 +194,13 @@ def packing_efficiency(
             F.sum("waste").alias("wasted_tokens"),
         )
         .withColumn(
-            "fill_ratio",
-            F.round(
-                F.col("total_tokens")
-                / (F.col("total_tokens") + F.col("wasted_tokens")),
-                6,
+            # parts-per-million via BIGINT floor division — no double
+            # quotient, no ROUND decimal-tie risk (playbook #2); exact in
+            # both engines up to ~9e12 total tokens per bucket
+            "fill_ratio_ppm",
+            F.expr(
+                "CAST(total_tokens * 1000000"
+                " DIV (total_tokens + wasted_tokens) AS BIGINT)"
             ),
         )
         .orderBy("bucket")
@@ -232,9 +235,8 @@ SELECT bucket,
        COUNT(*) AS n_packs,
        CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
        CAST(SUM(waste) AS BIGINT) AS wasted_tokens,
-       ROUND(CAST(SUM(pack_tokens) AS BIGINT)
-             / (CAST(SUM(pack_tokens) AS BIGINT)
-                + CAST(SUM(waste) AS BIGINT)), 6) AS fill_ratio
+       CAST(SUM(pack_tokens) * 1000000
+            // (SUM(pack_tokens) + SUM(waste)) AS BIGINT) AS fill_ratio_ppm
 FROM audited
 GROUP BY bucket
 ORDER BY bucket

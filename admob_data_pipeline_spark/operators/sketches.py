@@ -18,10 +18,13 @@ The two-stage plan IS the mergeable-sketch pattern in DataFrame algebra:
 
 The merge of k-smallest sets equals the global k-smallest, so the result
 is identical to a single global rank — but only k doubles per partial
-group cross the merge shuffle. The partial is a ``mapInPandas`` pass that
-keeps at most k distinct hashes per group per Arrow batch, so executor
-state is bounded by groups-per-batch × k regardless of input cardinality
-(the role a TypedImperativeAggregate would play JVM-side).
+group cross the merge shuffle. The partial stage is pure JVM (salted
+``collect_set`` → ``array_sort`` → ``slice``): map-side partial
+aggregation keeps per-mapper state, salting bounds any one partial
+group's distinct-set to ~NDV/n_salts, and ObjectHashAggregate's
+sort-based fallback spills if a partial still outgrows memory — the role
+a TypedImperativeAggregate would play, without leaving whole-stage
+codegen for a Python round-trip.
 """
 
 from __future__ import annotations
@@ -53,28 +56,25 @@ def kmv_synopsis(
     consumes."""
     h = _hash_fraction(F.col(value_col))
     hashed = df.select(F.col(group_col).alias("g"), h.alias("h"))
-
-    def partial_kmins(batches):
-        # Self-contained closure (workers don't share the driver's sys.path).
-        import pandas as pd
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            rows = [
-                {"g": g, "mins": sorted(set(grp["h"]))[:k]}
-                for g, grp in pdf.groupby("g", sort=False)
-            ]
-            yield pd.DataFrame(rows)
-
-    g_type = hashed.schema["g"].dataType.simpleString()
-    partial = hashed.mapInPandas(
-        partial_kmins, schema=f"g {g_type}, mins array<double>"
-    ).withColumnRenamed("g", group_col)
+    # Stage 1 entirely JVM-side (no Python round-trip): salt the group so
+    # each (g, salt) partial holds ~NDV_g/n_salts distinct hashes, take
+    # that partial's k smallest via collect_set → sort → slice. collect_set
+    # partial-aggregates map-side (ObjectHashAggregate, with sort-based
+    # spill fallback), so no executor ever materializes a group's full
+    # distinct set. Merging per-salt k-mins then re-taking the k smallest
+    # equals the global k smallest.
+    n_salts = max(df.sparkSession.sparkContext.defaultParallelism, 32)
+    topk = lambda c: F.slice(F.array_sort(c), 1, k)  # noqa: E731
+    partial = (
+        hashed.withColumn(
+            "salt", F.pmod(F.hash("h"), F.lit(n_salts))
+        )
+        .groupBy("g", "salt")
+        .agg(topk(F.collect_set("h")).alias("mins"))
+        .withColumnRenamed("g", group_col)
+    )
     return partial.groupBy(group_col).agg(
-        F.slice(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))), 1, k
-        ).alias("mins")
+        topk(F.array_distinct(F.flatten(F.collect_list("mins")))).alias("mins")
     )
 
 
@@ -163,9 +163,13 @@ def hll_distinct(
         (raw < 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
+    # Floor-scale to an integer (playbook #14): the linear-counting branch
+    # is a transcendental (ln), and ROUND near a 1e-4 boundary can flip
+    # between engines' rounding algorithms; FLOOR of the bit-identical
+    # double cannot.
     return packed.select(
         F.col("g").alias(group_col),
-        F.round(est, 4).alias("ndv_est"),
+        F.floor(est * F.lit(1e4)).cast("long").alias("ndv_est_e4"),
         F.md5(
             F.array_join(
                 F.transform(

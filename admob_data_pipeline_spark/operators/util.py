@@ -16,7 +16,10 @@ per-row work.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def widen_if_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -25,3 +28,34 @@ def widen_if_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFra
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+# Rows above which a "small" build side stops being broadcast-safe. A
+# token→df vocabulary is tiny on test corpora but web-scale text can push
+# it past executor/driver broadcast limits; the guard costs one count()
+# job over an (already materialized) aggregate and buys immunity from
+# broadcast OOM. Tunable per deployment.
+BROADCAST_ROW_LIMIT = int(os.environ.get("SPARK_GRAFT_BROADCAST_ROWS", "2000000"))
+
+
+def join_small(
+    big: DataFrame,
+    small: DataFrame,
+    on,
+    how: str = "inner",
+    max_rows: int | None = None,
+) -> DataFrame:
+    """Join ``big`` against a build side that is *usually* small enough to
+    broadcast (vocabulary/df tables, benchmark gram sets) — but only
+    broadcast when a row count proves it. Above the threshold the join is
+    left plain, so Catalyst/AQE picks a shuffle strategy (and splits skewed
+    partitions at runtime) instead of OOM-ing on a forced broadcast.
+
+    The count() is one extra job; call this with ``small`` already
+    aggregated/materialized (localCheckpoint'd upstream) so the job is
+    cheap relative to the corpus scan it guards.
+    """
+    limit = BROADCAST_ROW_LIMIT if max_rows is None else max_rows
+    if small.count() <= limit:
+        return big.join(F.broadcast(small), on, how)
+    return big.join(small, on, how)

@@ -59,58 +59,109 @@ def _merged(attr: str) -> dict:
 # fresh queries into the checked window until every entry has a record.
 DRIVER_GREEN: frozenset[str] = frozenset(
     {
-        "pricing_summary",
-        "global_revenue",
-        "distinct_priorities",
-        "collect_by_group",
-        "dim_join_filter",
-        "customers_without_orders",
-        "trailing_date_range",
-        "union_reports",
-        "scalar_functions",
-        "chunk_flatten",
-        "report_spec",
-        "ctr_anomaly_sql",
-        "ctr_anomaly_df",
-        "ctr_anomaly_window",
-        "calendar_rollup",
-        "props_json",
-        "top_orders",
+        # r01 + r02 driver-green rows (CORRECTNESS_r01/r02); appending
+        # each round rotates still-unchecked queries into the 50-slot
+        # window. pivot_revenue failed r01 (HUGEINT hash) but is green
+        # in r02.
         "alert_messages",
+        "ann_bruteforce_topk",
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+        "asof_join",
+        "bloom_pruned_join",
+        "calendar_rollup",
+        "chunk_flatten",
+        "cm_sketch_freq",
+        "cohort_retention",
+        "collect_by_group",
+        "corr_stats",
+        "ctr_anomaly_backfill",
+        "ctr_anomaly_df",
+        "ctr_anomaly_sql",
+        "ctr_anomaly_window",
+        "cube_summary",
+        "customers_without_orders",
+        "dedup_clusters",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dim_join_filter",
+        "disjunctive_revenue",
+        "distinct_priorities",
+        "doc_chunking",
+        "doc_packing",
+        "embedding_class_centroids",
+        "embedding_neardup",
+        "embedding_neardup_lsh",
+        "embedding_quantize_int8",
+        "full_outer_coverage",
+        "funnel_conversion",
+        "global_revenue",
+        "grouping_sets_calendar",
+        "heavy_hitters",
+        "hll_distinct",
+        "idle_high_balance",
+        "incremental_rollup",
+        "kmv_distinct",
+        "kmv_overlap",
+        "large_volume_customers",
+        "merge_latest",
+        "min_cost_per_brand",
+        "multimodal_frame_dedup",
+        "multimodal_frames",
+        "multimodal_metadata",
+        "nation_volume_trade",
+        "pivot_revenue",
+        "pricing_summary",
+        "priority_shipmix",
+        "profile_orders",
+        "promo_revenue_ratio",
+        "props_json",
+        "quantile_stats",
+        "range_join",
+        "regional_revenue",
+        "report_spec",
+        "report_spec_mediation",
+        "resample_daily",
+        "revenue_histogram",
         "salted_agg",
         "salted_join",
-        "asof_join",
-        "window_analytics",
-        "revenue_histogram",
-        "quantile_stats",
-        "kmv_distinct",
-        "shipping_priority",
-        "regional_revenue",
-        "range_join",
-        # pivot_revenue: rows+schema matched but hash failed in r01 (HUGEINT
-        # oracle type) — kept OUT of this set so the fixed oracle re-enters
-        # the checked window.
+        "scalar_functions",
+        "scd2_intervals",
         "semi_join",
-        "full_outer_coverage",
-        "cube_summary",
-        "profile_orders",
-        "window_ranks",
-        "corr_stats",
-        "large_volume_customers",
-        "nation_volume_trade",
-        "priority_shipmix",
-        "promo_revenue_ratio",
-        "disjunctive_revenue",
-        "min_cost_per_brand",
+        "sessionize_batch",
+        "shipping_priority",
+        "sink_csv_roundtrip",
+        "sink_jsonl_roundtrip",
+        "sink_partition_overwrite",
+        "sink_sorted_layout",
+        "stratified_sample",
+        "streaming_attribution",
+        "streaming_daily_rates",
+        "streaming_dedup",
+        "streaming_sessionize",
+        "streaming_sessionize_sink",
+        "streaming_stateful_rates",
+        "text_bm25",
+        "text_corpus_filter",
+        "text_dataset_split",
+        "text_decontaminate",
+        "text_fingerprints",
+        "text_hashing_vectorizer",
+        "text_language_id",
+        "text_pii_redact",
+        "text_quality_scores",
+        "text_repetition",
+        "text_tfidf",
+        "text_token_stats",
+        "text_vocabulary",
+        "top_orders",
+        "trailing_date_range",
+        "union_reports",
         "waiting_suppliers",
-        "idle_high_balance",
-        "grouping_sets_calendar",
-        "bloom_pruned_join",
-        "heavy_hitters",
-        "incremental_rollup",
-        "resample_daily",
-        "cohort_retention",
-        "funnel_conversion",
+        "window_analytics",
+        "window_ranks",
     }
 )
 
@@ -120,50 +171,50 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 # slots of the correctness window. Names absent from the registry are
 # ignored, so this list never breaks when queries are renamed.
 FRESH_FIRST: tuple[str, ...] = (
-    "pivot_revenue",
-    "text_hashing_vectorizer",
-    "text_dataset_split",
-    "text_vocabulary",
-    "text_corpus_filter",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_language_id",
-    "text_fingerprints",
-    "text_bm25",
-    "stratified_sample",
-    "text_decontaminate",
-    "text_repetition",
-    "text_tfidf",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_neardup",
-    "embedding_neardup_lsh",
-    "embedding_quantize_int8",
-    "embedding_class_centroids",
-    "multimodal_frame_dedup",
-    "multimodal_metadata",
-    "multimodal_frames",
-    "doc_chunking",
-    "doc_packing",
-    "merge_latest",
-    "scd2_intervals",
-    "sink_csv_roundtrip",
-    "sink_sorted_layout",
-    "sink_jsonl_roundtrip",
-    "sink_partition_overwrite",
-    "streaming_stateful_rates",
-    "sessionize_batch",
-    "streaming_sessionize_sink",
-    "streaming_attribution",
-    "streaming_dedup",
-    "streaming_daily_rates",
-    "streaming_sessionize",
+    "text_normalize",
+    "text_lm_score",
+    "text_pii_redact",
+    "weighted_sample",
+    "length_bucket_sample",
+    "source_divergence",
+    "dedup_paragraph",
+    "dedup_prefix_filter",
+    "ann_mips_topk",
+    "embedding_pq",
+    "multimodal_features",
+    "multimodal_resize",
+    "packing_efficiency",
+    "merge_upsert",
+    "snapshot_diff",
+    "as_of_snapshot",
+    "sink_compaction",
+    "sink_global_sort",
+    "sink_orc_roundtrip",
+    "sink_zorder_layout",
+    "streaming_enrich",
+    "streaming_kmv_sink",
+    "conversion_latency",
+    "copurchase_pairs",
+    "triangle_count",
+    "event_transitions",
+    "sliding_distinct_users",
+    "sliding_window_rates",
+    "dow_seasonality",
+    "revenue_pareto",
+    "user_rfm",
+    "skew_stress_join",
+    "fk_integrity_audit",
+    "forecast_revenue_change",
+    "market_share",
+    "order_count_distribution",
+    "order_priority_check",
+    "product_profit",
+    "report_rollup",
+    "returned_items",
+    "small_quantity_revenue",
+    "supplier_share",
+    "supplier_variety",
+    "top_supplier",
 )
 
 

@@ -637,8 +637,9 @@ est AS (
     FROM summed
 )
 SELECT g AS o_orderpriority,
-       ROUND(CASE WHEN raw < 2.5 * 64 AND zeros > 0
-                  THEN 64 * ln(64 / zeros) ELSE raw END, 4) AS ndv_est,
+       CAST(FLOOR((CASE WHEN raw < 2.5 * 64 AND zeros > 0
+                        THEN 64 * ln(64 / zeros) ELSE raw END) * 1e4)
+            AS BIGINT) AS ndv_est_e4,
        register_md5
 FROM est
 ORDER BY o_orderpriority

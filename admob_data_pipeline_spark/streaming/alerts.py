@@ -27,6 +27,7 @@ splits files across tasks.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -466,11 +467,16 @@ def q_streaming_kmv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         sp = batch_df.sparkSession
         partial = kmv_synopsis(batch_df, "event_type", "uid", k)
-        try:
+        # Merge prior state only when the synopsis table actually exists:
+        # a blanket except would treat a transient/corrupt read on batch N
+        # as "first batch" and silently discard the accumulated sketch —
+        # any real read error must fail the stream.
+        if any(
+            f.name.endswith(".parquet") or f.name == "_SUCCESS"
+            for f in os.scandir(table)
+        ):
             prev = sp.read.parquet(table)
             partial = partial.unionByName(prev)
-        except Exception:
-            pass  # first batch — no synopsis table yet
         merged = partial.groupBy("event_type").agg(
             F.slice(
                 F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))),

@@ -119,3 +119,22 @@ def test_lm_score_rare_tokens_score_higher(spark):
     # exactness: sum of per-token ints equals n_tokens * per-token value
     # for the uniform-rare doc (all six tokens have count 1)
     assert rows[9].nll_sum_e4 % rows[9].n_tokens == 0
+
+
+def test_join_small_flips_strategy_at_threshold(spark):
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators.util import join_small
+
+    big = spark.createDataFrame([Row(k=i % 10, x=i) for i in range(100)])
+    small = spark.createDataFrame([Row(k=i, y=i * 2) for i in range(10)])
+
+    under = join_small(big, small, "k", max_rows=1000)
+    over = join_small(big, small, "k", max_rows=5)
+    assert "BroadcastHashJoin" in under._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in over._jdf.queryExecution().executedPlan().toString()
+
+    # strategy must not change results
+    a = sorted(map(tuple, under.collect()))
+    b = sorted(map(tuple, over.collect()))
+    assert a == b and len(a) == 100
