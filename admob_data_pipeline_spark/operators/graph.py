@@ -1,0 +1,265 @@
+"""Iterative graph analytics over the co-purchase graph (PageRank,
+connected components).
+
+The reference has no graph engine (its pipeline ends at BigQuery
+aggregates); these extend the repo's graph family (copurchase_pairs,
+triangle_count in plans/analytics_ext.py) with the two canonical
+ITERATIVE kernels a training-data/feature pipeline runs on an item graph:
+importance scores and community labels.
+
+Cross-engine determinism: float PageRank is a trap — the per-node
+contribution sum is order-sensitive in doubles, and no shuffle order is
+reproducible across engines. Both kernels therefore run ENTIRELY in
+BIGINT arithmetic:
+
+- ranks live at scale 1e12 (``PR_SCALE``); a node's out-contribution is
+  ``rank DIV degree`` (integer floor division, identical in Spark ``DIV``
+  and DuckDB ``//`` for non-negative operands); the damped update is
+  ``teleport + (85 * Σ contrib) DIV 100``. Integer addition is exactly
+  associative, so any shuffle order and either engine produce the same
+  bits.
+- components propagate ``min(label)`` — min is order-insensitive.
+
+Iteration strategy (the 100 TB design): each round is one join + one
+aggregate, with ``localCheckpoint`` per round to truncate lineage —
+without it, round k's plan re-executes rounds 1..k-1 (the dedup_clusters
+r1 bug: a 1900-scan plan). A fixed, small iteration count is part of the
+operator contract (PageRank converges geometrically; 4 damped rounds
+ranks a product graph), which also keeps the oracle an unrolled CTE
+chain instead of an engine-specific recursive aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.sources.tables import load_table
+
+PR_SCALE = 10**12
+PR_ITERS = 4
+PR_DAMP_PCT = 85  # damping 0.85, in integer percent
+MIN_SUPPORT = 2  # co-purchase edge threshold (matches copurchase_pairs)
+
+
+def copurchase_edges(li: DataFrame, min_support: int = MIN_SUPPORT) -> DataFrame:
+    """Canonical (u < v) co-purchase edges with support ≥ min_support.
+    Same contract as q_copurchase_pairs (plans/analytics_ext.py): pair
+    space bounded by Σ basket_size², generated via a self-join on the
+    order key, never N²."""
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.countDistinct("ok").alias("w"))
+        .where(F.col("w") >= min_support)
+        .select("u", "v")
+    )
+
+
+def _adjacency(edges: DataFrame) -> DataFrame:
+    """Undirected edge list → directed adjacency (src, dst), both ways."""
+    return edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damp_pct: int = PR_DAMP_PCT,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Integer-domain PageRank over an undirected edge list.
+
+    r_0 = scale DIV N for every edge-touched node;
+    r_{i+1}(v) = teleport + (damp_pct · Σ_{u→v} (r_i(u) DIV deg(u))) DIV 100
+    with teleport = ((100 − damp_pct) · (scale DIV N)) DIV 100.
+
+    Every quantity is BIGINT, so the result is bit-identical across
+    engines and shuffle orders. Undirected adjacency has no dangling
+    nodes (every node has degree ≥ 1), so no dangling-mass term.
+
+    Scale: per iteration one shuffle to join ranks onto adjacency (both
+    partitioned by the vertex key — AQE keeps the exchange reused across
+    rounds where sizes allow) and one partial-aggregated groupBy SUM;
+    per-round ``localCheckpoint`` truncates lineage so round k's plan
+    does not replay rounds 1..k-1."""
+    adj = _adjacency(edges)
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # adjacency+degree feeds every round: materialize once
+    adj_deg = adj.join(deg, "src").localCheckpoint()
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint()
+    n = nodes.count()
+    base = scale // n
+    teleport = (100 - damp_pct) * base // 100
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = adj_deg.join(
+            ranks, adj_deg.src == ranks.node
+        ).select(F.col("dst"), F.expr("r DIV deg").alias("c"))
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, nodes.node == summed.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"{damp_pct} * coalesce(s, 0L) DIV 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("node"), F.col("r").alias("rank_e12")).orderBy(
+        F.desc("rank_e12"), "node"
+    )
+
+
+def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Min-label propagation to fixpoint: every node's label converges to
+    the smallest node id in its component. Converges in O(diameter)
+    rounds; iteration stops as soon as a round changes nothing (one
+    tiny count per round on an already-materialized diff).
+
+    Scale: identical round shape to pagerank (join on vertex key +
+    min-aggregate, lineage truncated per round); min() is
+    order-insensitive so no float discipline is needed."""
+    adj = _adjacency(edges).localCheckpoint()
+    labels = adj.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            adj.join(labels, adj.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return pagerank(edges)
+
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node"))
+        .select(
+            F.col("lbl").alias("component"),
+            "n_nodes",
+        )
+        .orderBy(F.desc("n_nodes"), "component")
+    )
+
+
+_EDGE_CTES = f"""
+lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY u, v
+    HAVING COUNT(DISTINCT a.l_orderkey) >= {MIN_SUPPORT}
+),
+adj AS (
+    SELECT u AS src, v AS dst FROM edges
+    UNION ALL
+    SELECT v AS src, u AS dst FROM edges
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+nodes AS (SELECT src AS node FROM deg),
+c AS (SELECT {PR_SCALE} // COUNT(*) AS base FROM nodes)
+"""
+
+
+def _pagerank_oracle(iters: int = PR_ITERS, damp_pct: int = PR_DAMP_PCT) -> str:
+    """Unrolled iteration chain — one (sum, update) CTE pair per round,
+    mirroring the Spark loop exactly in BIGINT arithmetic."""
+    parts = [
+        "WITH " + _EDGE_CTES.strip().rstrip(","),
+        ",\nr0 AS (SELECT node, (SELECT base FROM c) AS r FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+s{i + 1} AS (
+    SELECT a.dst AS node, SUM(r{i}.r // d.deg) AS s
+    FROM adj a
+    JOIN r{i} ON r{i}.node = a.src
+    JOIN deg d ON d.src = a.src
+    GROUP BY a.dst
+),
+r{i + 1} AS (
+    SELECT n.node,
+           (100 - {damp_pct}) * (SELECT base FROM c) // 100
+           + {damp_pct} * COALESCE(s.s, 0) // 100 AS r
+    FROM nodes n LEFT JOIN s{i + 1} s ON s.node = n.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(r AS BIGINT) AS rank_e12
+FROM r{iters}
+ORDER BY rank_e12 DESC, node
+"""
+    )
+    return "".join(parts)
+
+
+_ORACLE_PAGERANK = _pagerank_oracle()
+
+_ORACLE_COMPONENTS = (
+    "WITH RECURSIVE "
+    + _EDGE_CTES.strip().rstrip(",").replace("WITH ", "", 1)
+    + """,
+reach(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT a.dst AS node, r.lbl
+    FROM reach r JOIN adj a ON a.src = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+SELECT lbl AS component, COUNT(*) AS n_nodes
+FROM comp
+GROUP BY lbl
+ORDER BY n_nodes DESC, component
+"""
+)
+
+
+QUERIES = {
+    "graph_pagerank": q_graph_pagerank,
+    "graph_components": q_graph_components,
+}
+
+ORACLES = {
+    "graph_pagerank": _ORACLE_PAGERANK,
+    "graph_components": _ORACLE_COMPONENTS,
+}

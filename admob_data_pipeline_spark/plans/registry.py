@@ -12,6 +12,7 @@ from admob_data_pipeline_spark.operators import (
     cdc,
     corpus,
     dedup,
+    graph,
     multimodal,
     packing,
     similarity,
@@ -35,6 +36,7 @@ _MODULES = [
     similarity,
     multimodal,
     packing,
+    graph,
     cdc,
     roundtrip,
     streaming_alerts,

@@ -102,6 +102,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # measurement protocol, recorded so cross-round comparisons
+                # are interpretable: each per-query value is the MIN of n
+                # timed materializations after an untimed target-SF warmup
+                "n": max(1, runs),
+                "warmup": os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")
+                != "0",
             }
         )
     )
