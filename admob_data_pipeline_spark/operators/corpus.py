@@ -577,7 +577,107 @@ ORDER BY source
 """
 
 
+def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document NLL under an add-one-smoothed BIGRAM LM fit on the
+    corpus — the context-sensitive upgrade of :func:`lm_score` (a doc of
+    common words in an uncommon ORDER now scores high, which unigrams
+    can't see; this is the fluency axis of quality filtering).
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c1(w1) + V), −ln floor-scaled to an
+    integer per bigram before summing (playbook #14), so sums are exact.
+
+    Scale shape: bigrams are built map-side from the token array (an
+    array transform — no self-join, no positional shuffle); bigram counts
+    are one partial-aggregated groupBy. Both model tables join back via
+    ``join_small`` — a bigram vocabulary grows faster than unigram, so the
+    broadcast guard (shuffle fallback above the row threshold) matters
+    here first. Docs need ≥ 2 tokens to have a bigram; shorter docs are
+    excluded by construction (mirrored in the oracle)."""
+    docs = widen_if_narrow(docs)
+    t = tokens(F.col(text_col))
+    # guard sequence(1, size-1) against size < 2 (Spark emits a DESCENDING
+    # [1, 0] when start > stop) by filtering short docs first
+    with_bg = (
+        docs.select("doc_id", t.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bg = with_bg.localCheckpoint()
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # unigram context counts + V from the full token stream (ALL positions,
+    # standard conditional-LM denominator)
+    tok = docs.select("doc_id", F.explode(t).alias("token"))
+    c1 = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c1")).localCheckpoint()
+    v_size = F.lit(c1.count()).cast("long")
+    nll = F.floor(
+        -F.log((F.col("c12") + 1) / (F.col("c1") + v_size)) * LM_SCALE
+    ).cast("long")
+    scored = join_small(
+        join_small(bg, c12, ["w1", "w2"]),
+        c1.withColumnRenamed("token", "w1"),
+        "w1",
+    ).select("doc_id", nll.alias("nll_e4"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_e4").alias("nll_sum_e4"),
+        )
+        .withColumn("avg_nll_e4", F.col("nll_sum_e4") / F.col("n_bigrams"))
+        .orderBy("doc_id")
+    )
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_BIGRAM_LM = f"""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+bg AS (
+    SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+    FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+    WHERE len(toks) >= 2
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+),
+c1 AS (SELECT token, COUNT(*) AS c1 FROM tok GROUP BY token),
+v AS (SELECT COUNT(*) AS v_size FROM c1),
+scored AS (
+    SELECT b.doc_id,
+           CAST(FLOOR(-ln((c.c12 + 1) / CAST(u.c1 + v.v_size AS DOUBLE))
+                      * {LM_SCALE}) AS BIGINT) AS nll_e4
+    FROM bg b
+    JOIN c12 c ON c.w1 = b.w1 AND c.w2 = b.w2
+    JOIN c1 u ON u.token = b.w1
+    CROSS JOIN v
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(nll_e4) AS BIGINT) AS nll_sum_e4,
+       CAST(SUM(nll_e4) AS BIGINT) / COUNT(*) AS avg_nll_e4
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_bigram_lm": q_bigram_lm,
     "text_bm25": q_bm25,
     "text_lm_score": q_lm_score,
     "source_divergence": q_source_divergence,
@@ -588,6 +688,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bigram_lm": _ORACLE_BIGRAM_LM,
     "text_bm25": _ORACLE_BM25,
     "text_lm_score": _ORACLE_LM,
     "source_divergence": _ORACLE_DIVERGENCE,

@@ -844,7 +844,138 @@ ORDER BY vec_id
 """
 
 
+def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup CLUSTERS: sign-LSH candidate pairs
+    verified by exact cosine (``neardup_pairs(lsh=True)``) become edges;
+    min-label connected components group transitively-similar vectors into
+    clusters — the "keep one per cluster" unit a training pipeline actually
+    deletes on, composed from the two registered scale paths (bucketed
+    candidate join + per-round-checkpointed label propagation). Output is
+    the cluster audit: id (min vec_id), size."""
+    from admob_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = neardup_pairs(load_table(spark, sf_dir, "embeddings"), lsh=True)
+    edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select(F.col("lbl").alias("cluster"), "n_vecs")
+        .orderBy(F.desc("n_vecs"), "cluster")
+    )
+
+
+_ORACLE_SEMANTIC_CLUSTERS = f"""
+WITH RECURSIVE {_DUCK_BASE.strip()},
+bucketed AS (SELECT vec_id, v, nrm, {_SIGN_BITS} AS bucket FROM base),
+pairs AS (
+    SELECT a.vec_id AS u, b.vec_id AS v
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6)
+          >= {NEARDUP_THRESHOLD}
+),
+adj AS (
+    SELECT u AS src, v AS dst FROM pairs
+    UNION ALL
+    SELECT v AS src, u AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM adj),
+reach(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT a.dst AS node, r.lbl
+    FROM reach r JOIN adj a ON a.src = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+SELECT lbl AS cluster, COUNT(*) AS n_vecs
+FROM comp
+GROUP BY lbl
+ORDER BY n_vecs DESC, cluster
+"""
+
+
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH index against the exact baseline, per query —
+    the audit every ANN deployment needs before trusting the fast path
+    (bucketing trades recall for the ~2^planes candidate cut; this query
+    MEASURES the trade instead of assuming it). Exact integer output
+    (hits, recall in ppm via BIGINT division), so the audit itself is
+    engine-deterministic.
+
+    Scale: two registered-scale-path plans (broadcast-probe brute force,
+    bucket-join LSH) + a semi-join on (query, neighbor) — no new shuffle
+    shape beyond the indexes being audited."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = topk_bruteforce(emb, QUERY_IDS).select("qid", "vec_id")
+    lsh = topk_lsh(emb, QUERY_IDS).select("qid", "vec_id")
+    n_exact = brute.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        brute.join(lsh, ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_exact.join(hits, "qid", "left")
+        .select(
+            "qid",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                "CAST(coalesce(n_hits, 0) * 1000000 DIV n_exact AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+_ORACLE_RECALL = f"""
+WITH {_DUCK_BASE},
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base WHERE vec_id < 8),
+brute AS (
+    SELECT qid, vec_id FROM (
+        SELECT q.qid, b.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND(list_dot_product(q.qv, b.v)
+                                  / NULLIF(q.qn * b.nrm, 0), 6) DESC, b.vec_id
+               ) AS rank
+        FROM base b, q WHERE b.vec_id <> q.qid
+    ) WHERE rank <= {DEFAULT_K}
+),
+bucketed AS (SELECT vec_id, v, nrm, {_SIGN_BITS} AS bucket FROM base),
+qb AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket
+       FROM bucketed WHERE vec_id < 8),
+lsh AS (
+    SELECT qid, vec_id FROM (
+        SELECT qb.qid, b.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qb.qid
+                   ORDER BY ROUND(list_dot_product(qb.qv, b.v)
+                                  / NULLIF(qb.qn * b.nrm, 0), 6) DESC, b.vec_id
+               ) AS rank
+        FROM bucketed b JOIN qb ON b.bucket = qb.bucket
+        WHERE b.vec_id <> qb.qid
+    ) WHERE rank <= {DEFAULT_K}
+),
+n_exact AS (SELECT qid, COUNT(*) AS n_exact FROM brute GROUP BY qid),
+hits AS (
+    SELECT b.qid, COUNT(*) AS n_hits
+    FROM brute b JOIN lsh l ON l.qid = b.qid AND l.vec_id = b.vec_id
+    GROUP BY b.qid
+)
+SELECT e.qid, e.n_exact,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) * 1000000 // e.n_exact AS BIGINT)
+           AS recall_ppm
+FROM n_exact e LEFT JOIN hits h ON h.qid = e.qid
+ORDER BY e.qid
+"""
+
+
 QUERIES = {
+    "ann_recall_audit": q_ann_recall_audit,
+    "dedup_semantic_clusters": q_dedup_semantic_clusters,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "embedding_pq": q_pq_quantize,
     "ann_mips_topk": q_ann_mips,
@@ -857,6 +988,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_recall_audit": _ORACLE_RECALL,
+    "dedup_semantic_clusters": _ORACLE_SEMANTIC_CLUSTERS,
     "ann_bruteforce_topk": _ORACLE_ANN_BRUTE,
     "ann_lsh_topk": _ORACLE_ANN_LSH,
     "ann_ivf_topk": _ORACLE_ANN_IVF,

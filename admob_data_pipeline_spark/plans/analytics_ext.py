@@ -1903,7 +1903,76 @@ ORDER BY metric
 """
 
 
+# --- deterministic hash-sampled quantile profile ----------------------------
+SAMPLE_RATE = 0.1
+
+
+def q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-distribution profile over a DETERMINISTIC hash sample: keep a
+    row iff md5(orderkey:linenumber) maps below the rate, then take exact
+    quantiles of the sample — the mergeable, reproducible alternative to
+    rand()-sampling for dataset profiling (same rows selected on every
+    engine, every run, any partitioning; playbook #4's 13-hex-digit
+    fraction is exactly representable so the comparison is bit-exact).
+
+    Scale: the sample predicate is map-side (no shuffle, prunes ~90 % of
+    rows at the scan); the exact-percentile aggregate buffers only the
+    sampled values — the sample rate IS the memory contract, which is the
+    point of sampling before profiling at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", _cents("l_extendedprice").alias("c")
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**13))
+    )
+    s = li.where(frac < SAMPLE_RATE)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.expr("percentile(c, 0.25)").alias("p25"),
+        F.expr("percentile(c, 0.5)").alias("p50"),
+        F.expr("percentile(c, 0.9)").alias("p90"),
+        F.expr("percentile(c, 0.99)").alias("p99"),
+        F.min("c").alias("cmin"),
+        F.max("c").alias("cmax"),
+    )
+
+
+_ORACLE_SAMPLED_QUANTILES = f"""
+WITH s AS (
+    SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c
+    FROM lineitem
+    WHERE CAST(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                   || CAST(l_linenumber AS VARCHAR)), 1, 13) AS BIGINT)
+               AS DOUBLE) / {float(16 ** 13)!r} < {SAMPLE_RATE}
+)
+SELECT COUNT(*) AS n_sampled,
+       quantile_cont(c, 0.25) AS p25,
+       quantile_cont(c, 0.5) AS p50,
+       quantile_cont(c, 0.9) AS p90,
+       quantile_cont(c, 0.99) AS p99,
+       MIN(c) AS cmin,
+       MAX(c) AS cmax
+FROM s
+"""
+
+
 QUERIES = {
+    "sampled_quantiles": q_sampled_quantiles,
     "nation_volume_trade": q_nation_volume_trade,
     "event_transitions": q_event_transitions,
     "sliding_window_rates": q_sliding_window_rates,
@@ -1981,4 +2050,5 @@ ORACLES = {
     "supplier_share": _ORACLE_Q11,
     "top_supplier": _ORACLE_Q15,
     "supplier_variety": _ORACLE_Q16,
+    "sampled_quantiles": _ORACLE_SAMPLED_QUANTILES,
 }

@@ -31,7 +31,7 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.functions.scalars import safe_divide
@@ -587,7 +587,87 @@ ORDER BY user_id, session_start_epoch
 """
 
 
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance on a stream: each micro-batch's
+    per-(app, user) counts MERGE additively into a persistent counts
+    table via foreachBatch (read-merge-overwrite, same idempotent sink
+    pattern as the KMV synopsis), and the final read ranks the top 3
+    users per app. Count merge is associative, so the streamed result is
+    oracle-checked EXACTLY against the from-scratch batch ranking.
+
+    Scale: state is the (app, user, n) table — partial-aggregated per
+    batch before the merge read, so a micro-batch shuffles only its own
+    distinct keys; ranking happens once at read time, not per batch."""
+    import shutil
+    import tempfile
+
+    events = _event_stream(spark, sf_dir).select("event_type", "user_id")
+    table = tempfile.mkdtemp(prefix="topk_table_")
+    checkpoint = tempfile.mkdtemp(prefix="topk_ckpt_")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        partial = batch_df.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        if any(
+            f.name.endswith(".parquet") or f.name == "_SUCCESS"
+            for f in os.scandir(table)
+        ):
+            partial = partial.unionByName(sp.read.parquet(table))
+        merged = partial.groupBy("event_type", "user_id").agg(
+            F.sum("n").alias("n")
+        )
+        rows = merged.collect()  # state table: |apps × active users| rows
+        sp.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
+            table
+        )
+
+    try:
+        q = (
+            events.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state = spark.read.parquet(table)
+        w = Window.partitionBy("event_type").orderBy(F.desc("n"), "user_id")
+        out = (
+            state.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 3)
+            .orderBy("event_type", "rank")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, user_id long, n long, rank int"
+    ).orderBy("event_type", "rank")
+
+
+_ORACLE_STREAM_TOPK = """
+WITH c AS (
+    SELECT event_type, user_id, COUNT(*) AS n
+    FROM events GROUP BY event_type, user_id
+),
+r AS (
+    SELECT event_type, user_id, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY n DESC, user_id) AS rank
+    FROM c
+)
+SELECT event_type, user_id, CAST(n AS BIGINT) AS n, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+ORDER BY event_type, rank
+"""
+
+
 QUERIES = {
+    "streaming_topk": q_streaming_topk,
     "streaming_stateful_rates": q_streaming_stateful,
     "sessionize_batch": q_sessionize_batch,
     "streaming_sessionize_sink": q_streaming_sessionize_sink,
@@ -600,6 +680,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_topk": _ORACLE_STREAM_TOPK,
     "streaming_stateful_rates": _ORACLE_STATEFUL,
     "sessionize_batch": _ORACLE_SESSIONIZE,
     "streaming_sessionize_sink": _ORACLE_SESSIONIZE_SINK,

@@ -138,3 +138,22 @@ def test_join_small_flips_strategy_at_threshold(spark):
     a = sorted(map(tuple, under.collect()))
     b = sorted(map(tuple, over.collect()))
     assert a == b and len(a) == 100
+
+
+def test_bigram_lm_detects_scrambled_order(spark):
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators.corpus import bigram_lm_score
+
+    # same unigram distribution, different order: the scrambled doc must
+    # score higher under the bigram LM (unigram LM cannot separate them)
+    common = ["the cat sat on the mat"] * 8
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(common)]
+        + [Row(doc_id=8, text="mat the on sat cat the")]
+    )
+    rows = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    assert rows[8].avg_nll_e4 > max(rows[i].avg_nll_e4 for i in range(8))
+    # single-token docs are excluded by construction
+    docs2 = spark.createDataFrame([Row(doc_id=0, text="one"), Row(doc_id=1, text="a b")])
+    assert [r.doc_id for r in bigram_lm_score(docs2).collect()] == [1]

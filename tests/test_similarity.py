@@ -79,3 +79,13 @@ def test_neardup_lsh_subset_of_exact(spark, sf_dir):
     exact = {(r.a, r.b) for r in similarity.neardup_pairs(emb).collect()}
     approx = {(r.a, r.b) for r in similarity.neardup_pairs(emb, lsh=True).collect()}
     assert approx <= exact
+
+
+def test_ann_recall_audit_bounds(spark, sf_dir):
+    from admob_data_pipeline_spark.operators.similarity import q_ann_recall_audit
+
+    rows = q_ann_recall_audit(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_exact
+        assert r.recall_ppm == r.n_hits * 1_000_000 // r.n_exact
