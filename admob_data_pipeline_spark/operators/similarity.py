@@ -59,12 +59,18 @@ def norm(v: Column, dim: int | None = None) -> Column:
 
 
 def infer_dim(df: DataFrame) -> int:
+    """Embedding width from one row — a driver job; call only when a plan
+    genuinely needs the width ahead of execution (none of the registered
+    ops do: the fold-based dot/norm and the numpy kernels all take the
+    width from the data itself)."""
     row = df.select(F.size("embedding").alias("d")).first()
     return int(row.d) if row else EMBED_DIM
 
 
 def with_vec(df: DataFrame) -> DataFrame:
-    dim = infer_dim(df)
+    # EMBED_DIM is advisory: every consumer of the returned dim ignores it
+    # at execution time, so no per-query infer_dim() driver job is spent
+    dim = EMBED_DIM
     v = as_double(F.col("embedding"))
     # per-vector fold arithmetic is CPU-bound: don't inherit a small
     # file's single split (no-op on real multi-split scans)
@@ -907,8 +913,11 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-join LSH) + a semi-join on (query, neighbor) — no new shuffle
     shape beyond the indexes being audited."""
     emb = load_table(spark, sf_dir, "embeddings")
-    brute = topk_bruteforce(emb, QUERY_IDS).select("qid", "vec_id")
-    lsh = topk_lsh(emb, QUERY_IDS).select("qid", "vec_id")
+    # each top-k result is |Q|·k rows and feeds two consumers (n_exact +
+    # hits); materialize so the audit doesn't re-run the index scans
+    # (self-derived branches are never exchange-reused)
+    brute = topk_bruteforce(emb, QUERY_IDS).select("qid", "vec_id").localCheckpoint()
+    lsh = topk_lsh(emb, QUERY_IDS).select("qid", "vec_id").localCheckpoint()
     n_exact = brute.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
     hits = (
         brute.join(lsh, ["qid", "vec_id"], "left_semi")

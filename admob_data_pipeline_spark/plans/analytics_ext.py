@@ -22,7 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.sources.tables import load_table
@@ -1903,6 +1903,156 @@ ORDER BY metric
 """
 
 
+# --- rolling z-score anomaly detection --------------------------------------
+ZSCORE_WINDOW_DAYS = 28
+ZSCORE_SCALE = 10_000
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score per (app, day): today's daily value vs the mean/std
+    of the previous 28 days — the W1/W2 family generalized from a fixed
+    threshold to a variance-normalized score (the standard ops-metric
+    anomaly detector).
+
+    Exactness: per-day sums are int-scaled; the window carries only the
+    BIGINT triplet (n, Σx, Σx²), so z = (x·n − Σx) / sqrt(n·Σx² − (Σx)²)
+    has an exactly-computed integer numerator and radicand — one IEEE
+    sqrt + one division at the end (correctly rounded, engine-identical),
+    floor-scaled for the oracle. Days with < 2 trailing days or zero
+    variance yield NULL.
+
+    Scale: one partial-aggregated daily rollup, then a range window
+    partitioned by app — the partition key bounds the group (|days| rows
+    per app), which is the documented safe side of the window-skew rule.
+    BIGINT headroom: Σx² over 28 days caps at ~3×10¹⁷ for daily sums up
+    to 10⁸ milli-units; beyond that, drop the per-row scale a digit."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("date"),
+        F.col("event_type").alias("app_name"),
+    ).agg(F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("vm"))
+    day = F.col("date").cast("timestamp").cast("long") / 86400
+    w = (
+        Window.partitionBy("app_name")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-ZSCORE_WINDOW_DAYS, -1)
+    )
+    stats = daily.select(
+        "date",
+        "app_name",
+        "vm",
+        F.count("vm").over(w).alias("n"),
+        F.sum("vm").over(w).alias("s"),
+        F.sum(F.col("vm") * F.col("vm")).over(w).alias("q"),
+    )
+    radicand = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    z = (F.col("vm") * F.col("n") - F.col("s")) / F.sqrt(radicand.cast("double"))
+    return stats.select(
+        "date",
+        "app_name",
+        "vm",
+        F.col("n").cast("long").alias("n_days"),
+        F.when((F.col("n") >= 2) & (radicand > 0), F.floor(z * ZSCORE_SCALE))
+        .cast("long")
+        .alias("z_e4"),
+    ).orderBy("date", "app_name")
+
+
+_ORACLE_ZSCORE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS date, event_type AS app_name,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS vm
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT date, app_name, vm,
+           COUNT(vm) OVER w AS n, SUM(vm) OVER w AS s,
+           SUM(vm * vm) OVER w AS q
+    FROM daily
+    WINDOW w AS (PARTITION BY app_name
+                 ORDER BY CAST(epoch(CAST(date AS TIMESTAMP)) // 86400 AS BIGINT)
+                 RANGE BETWEEN {ZSCORE_WINDOW_DAYS} PRECEDING AND 1 PRECEDING)
+)
+SELECT date, app_name, vm,
+       CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n >= 2 AND n * q - s * s > 0
+            THEN CAST(FLOOR((vm * n - s)
+                            / sqrt(CAST(n * q - s * s AS DOUBLE))
+                            * {ZSCORE_SCALE}) AS BIGINT)
+       END AS z_e4
+FROM stats
+ORDER BY date, app_name
+"""
+
+
+# --- quantile binning (decile features, broadcast thresholds) ---------------
+N_BINS = 10
+
+
+def q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-bucket features for order totals, computed the scale-safe
+    way: exact decile THRESHOLDS via a distributed percentile aggregate
+    (never a global NTILE — that is a single-task total sort), broadcast
+    back as one row, bucket assigned map-side as 1 + Σ(value > tᵢ).
+    Output is the per-bucket audit (count, min, max).
+
+    Boundary semantics are pinned by the shared formula, so Spark and the
+    oracle agree bucket-for-bucket (percentile interpolation is the same
+    p·(n−1) definition in both engines, on exact integer cents)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("c")
+    )
+    pcts = [i / N_BINS for i in range(1, N_BINS)]
+    thresholds = o.agg(
+        *[
+            F.expr(f"percentile(c, {p!r})").alias(f"t{i}")
+            for i, p in enumerate(pcts, start=1)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(1, N_BINS):
+        bucket = bucket + (F.col("c") > F.col(f"t{i}")).cast("int")
+    binned = o.crossJoin(F.broadcast(thresholds)).select(
+        "c", bucket.cast("int").alias("bucket")
+    )
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ORACLE_BINNING = f"""
+WITH o AS (
+    SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c
+    FROM orders
+),
+t AS (
+    SELECT {", ".join(
+        f"quantile_cont(c, {i / N_BINS!r}) AS t{i}" for i in range(1, N_BINS)
+    )}
+    FROM o
+),
+binned AS (
+    SELECT c,
+           CAST(1 {" ".join(
+               f"+ (CASE WHEN c > t{i} THEN 1 ELSE 0 END)"
+               for i in range(1, N_BINS)
+           )} AS INT) AS bucket
+    FROM o, t
+)
+SELECT bucket, COUNT(*) AS n_orders,
+       MIN(c) AS min_cents, MAX(c) AS max_cents
+FROM binned
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 # --- deterministic hash-sampled quantile profile ----------------------------
 SAMPLE_RATE = 0.1
 
@@ -1973,6 +2123,8 @@ FROM s
 
 QUERIES = {
     "sampled_quantiles": q_sampled_quantiles,
+    "rolling_zscore": q_rolling_zscore,
+    "quantile_binning": q_quantile_binning,
     "nation_volume_trade": q_nation_volume_trade,
     "event_transitions": q_event_transitions,
     "sliding_window_rates": q_sliding_window_rates,
@@ -2051,4 +2203,6 @@ ORACLES = {
     "top_supplier": _ORACLE_Q15,
     "supplier_variety": _ORACLE_Q16,
     "sampled_quantiles": _ORACLE_SAMPLED_QUANTILES,
+    "rolling_zscore": _ORACLE_ZSCORE,
+    "quantile_binning": _ORACLE_BINNING,
 }

@@ -43,3 +43,44 @@ def test_components_chain_converges_past_one_hop(spark):
     e = _edges(spark, [(i, i + 1) for i in range(5)])
     lbl = {r.node: r.lbl for r in graph.connected_components(e).collect()}
     assert set(lbl.values()) == {0}
+
+
+def test_rolling_zscore_known_values(spark, sf_dir):
+    import math
+
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        ZSCORE_SCALE,
+        q_rolling_zscore,
+    )
+
+    rows = q_rolling_zscore(spark, sf_dir).collect()
+    assert rows, "no output"
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.app_name, []).append(r)
+    for app, rs in by_key.items():
+        rs.sort(key=lambda r: r.date)
+        # first day has no trailing history → NULL z
+        assert rs[0].z_e4 is None
+        # recompute one mid-series z from the raw daily values
+        if len(rs) > 3:
+            i = 3
+            window = [x.vm for x in rs[max(0, i - 28):i]]
+            n, s, q = len(window), sum(window), sum(v * v for v in window)
+            rad = n * q - s * s
+            if n >= 2 and rad > 0:
+                z = (rs[i].vm * n - s) / math.sqrt(rad)
+                assert rs[i].z_e4 == math.floor(z * ZSCORE_SCALE)
+
+
+def test_quantile_binning_partitions_all_orders(spark, sf_dir):
+    from admob_data_pipeline_spark.plans.analytics_ext import q_quantile_binning
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    rows = q_quantile_binning(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == total  # every order binned once
+    assert [r.bucket for r in rows] == sorted(r.bucket for r in rows)
+    # bucket ranges must not overlap
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_cents <= b.min_cents
