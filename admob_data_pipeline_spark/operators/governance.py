@@ -1,0 +1,239 @@
+"""Data-governance operators: k-anonymity auditing, right-to-erasure
+(GDPR-style) verification, and vocabulary typo clustering.
+
+The reference pipeline ships personal-adjacent reporting data into a
+warehouse daily; these are the governance checks that workflow needs at
+scale (none exist in the reference — its only guard is an empty-result
+check, main.py:60-66). All three are pure DataFrame algebra with exact
+integer outputs, so each carries a full value-hash oracle.
+
+Scale notes:
+- k-anonymity is one partial-aggregated groupBy over the quasi-identifier
+  tuple (shuffles |distinct tuples|, not rows);
+- erasure audit is two anti/semi joins shipping only the key column;
+- typo pairs use DELETION-NEIGHBORHOOD blocking: a token of length L
+  emits L+1 variant keys, candidate pairs share a key (O(Σ L) expansion,
+  never |V|² — the standard spell-cluster trick), then exact levenshtein
+  (integer, engine-identical builtin in both Spark and DuckDB) verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.operators.text import tokens
+from admob_data_pipeline_spark.sources.tables import load_table
+
+K_THRESHOLD = 5
+ERASE_MOD = 97  # synthetic "forgotten users" selector: user_id % 97 == 0
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = K_THRESHOLD
+) -> DataFrame:
+    """Per quasi-identifier combination: group size and whether it meets
+    the k-anonymity bar. Groups smaller than k are re-identification
+    risks a release process must suppress or generalize."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .withColumn("meets_k", F.col("group_size") >= k)
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer release audit on the (nation, market-segment) quasi-pair."""
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    return k_anonymity(c, ["c_nationkey", "c_mktsegment"]).orderBy(
+        "c_nationkey", "c_mktsegment"
+    )
+
+
+_ORACLE_K_ANON = f"""
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS group_size,
+       COUNT(*) >= {K_THRESHOLD} AS meets_k
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+def erasure_audit(
+    events: DataFrame, forgotten: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Right-to-erasure verification: how many rows the erasure batch
+    removes, how many remain, and an order-independent BIT_XOR checksum of md5
+    key fragments over the SURVIVING rows, so a re-run after deletion can
+    prove absence without scanning payloads. One row out.
+
+    Scale: the forgotten-key set is semi/anti-join build side (keys
+    only); BIT_XOR is associative/commutative with NO overflow at any
+    row count (a SUM of 52-bit fragments would wrap int64 past ~2k rows
+    per bit of headroom) — partial-aggregated map-side."""
+    erased = events.join(F.broadcast(forgotten), key, "left_semi")
+    kept = events.join(F.broadcast(forgotten), key, "left_anti").withColumn(
+        "frag",
+        F.conv(
+            F.substring(F.md5(F.col(key).cast("string")), 1, 13), 16, 10
+        ).cast("long"),
+    )
+    n_erased = erased.agg(F.count(F.lit(1)).alias("v"))
+    kept_stats = kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr("bit_xor(frag)").alias("kept_key_checksum"),
+    )
+    return n_erased.crossJoin(kept_stats).select(
+        F.col("v").alias("n_erased"), "n_kept", "kept_key_checksum"
+    )
+
+
+def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    forgotten = (
+        ev.select("user_id").distinct().where(F.col("user_id") % ERASE_MOD == 0)
+    )
+    return erasure_audit(ev, forgotten)
+
+
+_ORACLE_ERASURE = f"""
+WITH f AS (
+    SELECT DISTINCT user_id FROM events WHERE user_id % {ERASE_MOD} = 0
+),
+kept AS (
+    SELECT user_id FROM events WHERE user_id NOT IN (SELECT user_id FROM f)
+)
+SELECT (SELECT COUNT(*) FROM events WHERE user_id IN (SELECT user_id FROM f))
+           AS n_erased,
+       (SELECT COUNT(*) FROM kept) AS n_kept,
+       (SELECT CAST(BIT_XOR(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                       1, 13) AS BIGINT)) AS BIGINT)
+        FROM kept) AS kept_key_checksum
+"""
+
+
+TYPO_MAX_DIST = 2
+
+
+def typo_pairs(
+    docs: DataFrame, max_dist: int = TYPO_MAX_DIST, text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary token pairs within edit distance ``max_dist`` — the
+    typo/variant clusters a corpus-normalization pass merges before
+    counting vocabulary.
+
+    Candidates come from radius-2 DELETION-NEIGHBORHOOD blocking: each
+    token emits every string reachable by deleting ≤ 2 characters
+    (O(L²) variants per token); two tokens within edit distance 2 always
+    share such a variant (delete the edited positions from each side), so
+    recall is 1 without an all-pairs join. The exact integer
+    ``levenshtein`` builtin (identical in Spark and DuckDB) then
+    verifies, keeping precision 1."""
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint()
+    )
+    # del(s, i) inlined; v2 re-deletes every v1 string. A zero-length v1
+    # string would hit the sequence(1, 0) descending trap, but it can only
+    # produce '' entries that array_distinct collapses into the '' already
+    # contributed by v1, so both engines end with identical variant sets.
+    variants = vocab.select(
+        "tok",
+        F.explode(
+            F.expr(
+                """
+                array_distinct(concat(
+                    array(tok),
+                    transform(sequence(1, length(tok)),
+                        i -> concat(substring(tok, 1, i - 1),
+                                    substring(tok, i + 1, length(tok)))),
+                    flatten(transform(
+                        transform(sequence(1, length(tok)),
+                            i -> concat(substring(tok, 1, i - 1),
+                                        substring(tok, i + 1, length(tok)))),
+                        s -> transform(sequence(1, length(s)),
+                            j -> concat(substring(s, 1, j - 1),
+                                        substring(s, j + 1, length(s))))))
+                ))
+                """
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(F.col("tok").alias("a"), "variant")
+    b = variants.select(F.col("tok").alias("b"), "variant")
+    cand = (
+        a.join(b, "variant")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    verified = cand.select(
+        "a", "b", F.levenshtein(F.col("a"), F.col("b")).alias("dist")
+    ).where(F.col("dist") <= max_dist)
+    da = vocab.select(F.col("tok").alias("a"), F.col("df").alias("df_a"))
+    db = vocab.select(F.col("tok").alias("b"), F.col("df").alias("df_b"))
+    return (
+        verified.join(da, "a")
+        .join(db, "b")
+        .select("a", "b", "dist", "df_a", "df_b")
+        .orderBy("a", "b")
+    )
+
+
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return typo_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_TYPO = f"""
+WITH vocab AS (
+    SELECT tok, COUNT(*) AS df FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ) GROUP BY tok
+),
+v1 AS (
+    SELECT tok,
+           [substr(tok, 1, i - 1) || substr(tok, i + 1)
+            FOR i IN generate_series(1, len(tok))] AS dels
+    FROM vocab
+),
+variants AS (
+    SELECT tok,
+           unnest(list_distinct(list_concat(
+               list_concat([tok], dels),
+               flatten([[substr(s, 1, j - 1) || substr(s, j + 1)
+                         FOR j IN generate_series(1, len(s))]
+                        FOR s IN dels])
+           ))) AS variant
+    FROM v1
+),
+cand AS (
+    SELECT DISTINCT va.tok AS a, vb.tok AS b
+    FROM variants va JOIN variants vb USING (variant)
+    WHERE va.tok < vb.tok
+),
+verified AS (
+    SELECT a, b, levenshtein(a, b) AS dist FROM cand
+    WHERE levenshtein(a, b) <= {TYPO_MAX_DIST}
+)
+SELECT v.a, v.b, CAST(v.dist AS INT) AS dist, da.df AS df_a, db.df AS df_b
+FROM verified v
+JOIN vocab da ON da.tok = v.a
+JOIN vocab db ON db.tok = v.b
+ORDER BY v.a, v.b
+"""
+
+
+QUERIES = {
+    "k_anonymity_audit": q_k_anonymity,
+    "erasure_audit": q_erasure_audit,
+    "typo_pairs": q_typo_pairs,
+}
+
+ORACLES = {
+    "k_anonymity_audit": _ORACLE_K_ANON,
+    "erasure_audit": _ORACLE_ERASURE,
+    "typo_pairs": _ORACLE_TYPO,
+}

@@ -12,6 +12,7 @@ from admob_data_pipeline_spark.operators import (
     cdc,
     corpus,
     dedup,
+    governance,
     graph,
     multimodal,
     packing,
@@ -37,6 +38,7 @@ _MODULES = [
     multimodal,
     packing,
     graph,
+    governance,
     cdc,
     roundtrip,
     streaming_alerts,

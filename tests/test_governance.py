@@ -1,0 +1,70 @@
+"""Governance ops: k-anonymity, erasure audit, typo clustering."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.operators import governance
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    rows = [Row(qa="x", qb="m")] * 6 + [Row(qa="y", qb="m")] * 2
+    out = {
+        (r.qa, r.qb): (r.group_size, r.meets_k)
+        for r in governance.k_anonymity(
+            spark.createDataFrame(rows), ["qa", "qb"]
+        ).collect()
+    }
+    assert out == {("x", "m"): (6, True), ("y", "m"): (2, False)}
+
+
+def test_erasure_audit_checksum_proves_absence(spark):
+    ev = spark.createDataFrame([Row(user_id=i, v=i * 2) for i in range(20)])
+    forgotten = spark.createDataFrame([Row(user_id=3), Row(user_id=7)])
+    before = governance.erasure_audit(ev, forgotten).first()
+    assert before.n_erased == 2 and before.n_kept == 18
+
+    # after actually deleting, the audit must report 0 erased and the SAME
+    # surviving checksum — that equality is the absence proof
+    wiped = ev.join(forgotten, "user_id", "left_anti")
+    after = governance.erasure_audit(wiped, forgotten).first()
+    assert after.n_erased == 0
+    assert after.n_kept == 18
+    assert after.kept_key_checksum == before.kept_key_checksum
+
+
+def test_typo_pairs_blocking_has_full_recall(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="color colour colr kolor banana"),
+            Row(doc_id=1, text="color grape"),
+        ]
+    )
+    got = {(r.a, r.b): r.dist for r in governance.typo_pairs(docs).collect()}
+    # brute-force ground truth at distance <= 2
+    vocab = [
+        r.tok
+        for r in docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .distinct()
+        .collect()
+    ]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    expect = {
+        (a, b): lev(a, b)
+        for a in vocab
+        for b in vocab
+        if a < b and lev(a, b) <= 2
+    }
+    assert got == expect
+    assert ("color", "colour") in got and got[("color", "colr")] == 1
