@@ -134,6 +134,65 @@ def ngram_jaccard_pairs(
     )
 
 
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_df: int = MAX_DF,
+) -> DataFrame:
+    """Directed containment pairs: C(src→dst) = |S(src) ∩ S(dst)| / |S(src)|
+    ≥ threshold — the asymmetric cousin of Jaccard that catches a short
+    document quoted/embedded inside a longer one (Jaccard misses these
+    because the big doc's shingle count swamps the union). The standard
+    sub-document/quote dedup signal in corpus curation.
+
+    Scale: identical shape to ``ngram_jaccard_pairs`` — one shared-shingle
+    equi-join with the stop-shingle cap, intersections grouped once on the
+    UNDIRECTED (a<b) pair, then both directions emitted by a map-side
+    union (no second shuffle). Threshold in exact integer domain
+    (n_inter·1e6 ≥ t·1e6·n_src); the quotient is display-only."""
+    sh = _capped_shingles(docs, k, max_df)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
+    both = inter.join(sa, "a").join(sb, "b")
+    directed = both.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "n_inter",
+        F.col("n_a").alias("n_src"),
+    ).unionByName(
+        both.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "n_inter",
+            F.col("n_b").alias("n_src"),
+        )
+    )
+    t_scaled = int(round(threshold * 1_000_000))
+    return (
+        directed.where(
+            F.col("n_inter") * F.lit(1_000_000) >= F.lit(t_scaled) * F.col("n_src")
+        )
+        .select(
+            "src",
+            "dst",
+            F.col("n_inter").alias("n_inter"),
+            F.round(F.try_divide(F.col("n_inter"), F.col("n_src")), 6).alias(
+                "containment"
+            ),
+        )
+        .orderBy("src", "dst")
+    )
+
+
 MERSENNE_61 = (1 << 61) - 1
 
 
@@ -446,6 +505,38 @@ _ORACLE_NGRAM_JACCARD = (
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_CONTAINMENT = (
+    "WITH " + _DUCK_SHINGLES.format(max_df=MAX_DF)
+    + f""",
+inter AS (
+    SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+    FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    GROUP BY sa.doc_id, sb.doc_id
+),
+pairsized AS (
+    SELECT i.a, i.b, i.n_inter, za.n_sh AS n_a, zb.n_sh AS n_b
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+),
+directed AS (
+    SELECT a AS src, b AS dst, n_inter, n_a AS n_src FROM pairsized
+    UNION ALL
+    SELECT b AS src, a AS dst, n_inter, n_b AS n_src FROM pairsized
+)
+SELECT src, dst, n_inter,
+       ROUND(CAST(n_inter AS DOUBLE) / NULLIF(n_src, 0), 6) AS containment
+FROM directed
+WHERE n_inter * 1000000 >= {int(round(CONTAINMENT_THRESHOLD * 1_000_000))} * n_src
+ORDER BY src, dst
+"""
+)
 
 
 _ORACLE_MINHASH = (
@@ -799,6 +890,7 @@ QUERIES = {
     "dedup_prefix_filter": q_prefix_filter_pairs,
     "dedup_paragraph": q_paragraph_dedup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_containment": q_containment,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash_pairs,
     "dedup_clusters": q_duplicate_clusters,
@@ -810,6 +902,7 @@ ORACLES = {
     "dedup_clusters": _ORACLE_CLUSTERS,
     "dedup_exact": _ORACLE_EXACT,
     "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+    "dedup_containment": _ORACLE_CONTAINMENT,
     "dedup_minhash_lsh": _ORACLE_MINHASH,
     "dedup_simhash": _ORACLE_SIMHASH_PAIRS,
 }

@@ -407,7 +407,33 @@ PQ_CODES = 8
 PQ_MOD = 25  # deterministic codebook sampling rule (vec_id % PQ_MOD == slot)
 
 
-def pq_quantize(emb: DataFrame, m: int = PQ_SLOTS, kc: int = PQ_CODES) -> DataFrame:
+def _pq_codebooks(
+    base: DataFrame, sub: int, m: int = PQ_SLOTS, kc: int = PQ_CODES
+) -> list[list[list[float]]]:
+    """Deterministically-sampled PQ codebooks (first ``kc`` vectors with
+    ``vec_id % PQ_MOD == slot`` donate their slot-subvector). One bounded
+    driver collect of m·kc rows — shared by the quantizer and the ADC
+    searcher so both see the identical codebook."""
+    cb_rows = (
+        base.where((F.col("vec_id") % PQ_MOD) < m)
+        .select("vec_id", (F.col("vec_id") % PQ_MOD).alias("s"), "v")
+        .orderBy("s", "vec_id")
+        .collect()
+    )
+    books: dict[int, list[list[float]]] = {s: [] for s in range(m)}
+    for r in cb_rows:
+        s = int(r["s"])
+        if len(books[s]) < kc:
+            books[s].append(list(r["v"])[s * sub : (s + 1) * sub])
+    return [books[s] for s in range(m)]
+
+
+def pq_quantize(
+    emb: DataFrame,
+    m: int = PQ_SLOTS,
+    kc: int = PQ_CODES,
+    book_mats: list[list[list[float]]] | None = None,
+) -> DataFrame:
     """Product quantization: split each vector into ``m`` subvectors and
     replace each with the id of its nearest codebook entry — the standard
     high-ratio vector compression (64 dims → m bytes) behind IVF-PQ
@@ -424,18 +450,8 @@ def pq_quantize(emb: DataFrame, m: int = PQ_SLOTS, kc: int = PQ_CODES) -> DataFr
     bit-identical to DuckDB's list_dot_product folds."""
     base, dim = with_vec(emb)
     sub = dim // m
-    cb_rows = (
-        base.where((F.col("vec_id") % PQ_MOD) < m)
-        .select("vec_id", (F.col("vec_id") % PQ_MOD).alias("s"), "v")
-        .orderBy("s", "vec_id")
-        .collect()
-    )
-    books: dict[int, list[list[float]]] = {s: [] for s in range(m)}
-    for r in cb_rows:
-        s = int(r["s"])
-        if len(books[s]) < kc:
-            books[s].append(list(r["v"])[s * sub : (s + 1) * sub])
-    book_mats = [books[s] for s in range(m)]
+    if book_mats is None:
+        book_mats = _pq_codebooks(base, sub, m, kc)
 
     def assign(batches):
         import numpy as np
@@ -472,6 +488,98 @@ def pq_quantize(emb: DataFrame, m: int = PQ_SLOTS, kc: int = PQ_CODES) -> DataFr
     ) + ", err_e6 bigint"
     return base.select("vec_id", "v").mapInPandas(assign, schema=schema).orderBy(
         "vec_id"
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    m: int = PQ_SLOTS,
+    kc: int = PQ_CODES,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half of
+    an IVF-PQ index: database vectors are stored only as ``m`` code bytes,
+    queries stay full-precision, and each query precomputes a tiny
+    (m × kc) lookup table of subvector distances; a candidate's distance
+    is then just ``m`` table lookups + adds, never a full dot product.
+
+    Scale: the LUT is |Q|·m·kc rows (a few KB) and ships as a broadcast
+    join against the unpivoted code table — map-side only; the single
+    shuffle is the per-(qid, vec_id) integer sum + per-qid top-k window.
+    The code table itself is the compressed representation a 100 TB corpus
+    would actually store (m bytes/vector vs 4·dim), so the scan side is
+    ~64× smaller than brute force.
+
+    Determinism: each LUT cell is floor-scaled to integer micro-units
+    BEFORE the per-candidate sum, so the ADC total is an exact BIGINT sum
+    in any partitioning/engine; ranking ties break on vec_id."""
+    base, dim = with_vec(emb)
+    sub = dim // m
+    book_mats = _pq_codebooks(base, sub, m, kc)
+    codes = pq_quantize(emb, m, kc, book_mats=book_mats)
+
+    spark = emb.sparkSession
+    cb_df = spark.createDataFrame(
+        [(s, c, book_mats[s][c]) for s in range(m) for c in range(len(book_mats[s]))],
+        "s int, code int, cv array<double>",
+    )
+    qslots = (
+        base.where(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice("v", s * sub + 1, sub).alias("qsv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("qid", "e.s", "e.qsv")
+    )
+    # same (x·x − 2x·c) + c·c expression and fold order as the quantizer's
+    # numpy kernel / DuckDB's list_dot_product — bit-identical doubles
+    lut = qslots.join(F.broadcast(cb_df), "s").select(
+        "qid",
+        "s",
+        "code",
+        F.floor(
+            (
+                (dot(F.col("qsv"), F.col("qsv")) - 2 * dot(F.col("qsv"), F.col("cv")))
+                + dot(F.col("cv"), F.col("cv"))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("d_e6"),
+    )
+    code_long = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("s"), F.col(f"c{s}").cast("int").alias("code"))
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.s", "e.code")
+    adc = (
+        code_long.join(F.broadcast(lut), ["s", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d_e6").alias("adc_e6"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_e6"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
     )
 
 
@@ -850,6 +958,71 @@ ORDER BY vec_id
 """
 
 
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS)
+
+
+_ORACLE_PQ_ADC = f"""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cb AS (
+    SELECT s, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
+           v[s * 16 + 1 : (s + 1) * 16] AS cv
+    FROM base, UNNEST(generate_series(0, {PQ_SLOTS - 1})) AS g(s)
+    WHERE vec_id % {PQ_MOD} = s
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) <= {PQ_CODES}
+),
+slots AS (
+    SELECT vec_id, s, v[s * 16 + 1 : (s + 1) * 16] AS sv
+    FROM base, UNNEST(generate_series(0, {PQ_SLOTS - 1})) AS g(s)
+),
+dists AS (
+    SELECT sl.vec_id, sl.s, cb.code,
+           (list_dot_product(sl.sv, sl.sv)
+            - 2 * list_dot_product(sl.sv, cb.cv))
+           + list_dot_product(cb.cv, cb.cv) AS dist
+    FROM slots sl JOIN cb USING (s)
+),
+codes AS (
+    SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, code) AS rn
+        FROM dists
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v FROM base WHERE vec_id < 8),
+qslots AS (
+    SELECT qid, s, v[s * 16 + 1 : (s + 1) * 16] AS qsv
+    FROM q, UNNEST(generate_series(0, {PQ_SLOTS - 1})) AS g(s)
+),
+lut AS (
+    SELECT qid, s, code,
+           CAST(FLOOR(((list_dot_product(qsv, qsv)
+                        - 2 * list_dot_product(qsv, cb.cv))
+                       + list_dot_product(cb.cv, cb.cv)) * 1e6) AS BIGINT)
+               AS d_e6
+    FROM qslots JOIN cb USING (s)
+),
+adc AS (
+    SELECT qid, c.vec_id, CAST(SUM(d_e6) AS BIGINT) AS adc_e6
+    FROM codes c JOIN lut USING (s, code)
+    WHERE c.vec_id <> qid
+    GROUP BY qid, c.vec_id
+),
+ranked AS (
+    SELECT qid, vec_id, adc_e6,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rank
+    FROM adc
+)
+SELECT qid, vec_id, adc_e6, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {DEFAULT_K}
+ORDER BY qid, rank
+"""
+
+
 def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) dedup CLUSTERS: sign-LSH candidate pairs
     verified by exact cosine (``neardup_pairs(lsh=True)``) become edges;
@@ -984,6 +1157,7 @@ ORDER BY e.qid
 
 QUERIES = {
     "ann_recall_audit": q_ann_recall_audit,
+    "ann_pq_adc_topk": q_ann_pq_adc,
     "dedup_semantic_clusters": q_dedup_semantic_clusters,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "embedding_pq": q_pq_quantize,
@@ -998,6 +1172,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_recall_audit": _ORACLE_RECALL,
+    "ann_pq_adc_topk": _ORACLE_PQ_ADC,
     "dedup_semantic_clusters": _ORACLE_SEMANTIC_CLUSTERS,
     "ann_bruteforce_topk": _ORACLE_ANN_BRUTE,
     "ann_lsh_topk": _ORACLE_ANN_LSH,

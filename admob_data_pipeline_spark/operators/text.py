@@ -13,7 +13,7 @@ training-data-pipeline extensions, designed Spark-first:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.operators.util import widen_if_narrow
@@ -592,6 +592,140 @@ LIMIT 100
 """
 
 
+def bpe_merge_pairs(
+    docs: DataFrame, top_n: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """First BPE tokenizer-training iteration: count adjacent character
+    pairs across the corpus, weighted by word frequency — the pair with
+    the highest count is the first merge a byte-pair-encoding tokenizer
+    would learn. Running this repeatedly (re-tokenizing after each merge)
+    is exactly BPE training; one iteration is the expensive distributed
+    part, and is fully expressible as two aggregations.
+
+    Scale: the corpus collapses to its word-frequency table first (one
+    shuffle on word — vocabulary-sized, not corpus-sized), so the char-pair
+    explode runs over distinct words only; the final pair count is a
+    second vocabulary-sized aggregation. No Python, all codegen.
+
+    Words shorter than 2 chars are filtered BEFORE building the pair index
+    (playbook #21: Spark's sequence(1, n) descends when n < 1)."""
+    w = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = w.select(
+        "wf",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("n_merge"))
+        .orderBy(F.desc("n_merge"), "pair")
+        .limit(top_n)
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    sizes: tuple[int, ...] = (100, 500, 2000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-occurrence coverage of a top-V vocabulary — the curve a
+    tokenizer/vocab designer reads to pick V (what share of the corpus
+    stream is covered by the V most frequent tokens; the remainder becomes
+    <unk> or byte-fallback).
+
+    Scale: the corpus reduces to its token-frequency table (one shuffle,
+    map-side partial agg); the global frequency ranking is a window over
+    that vocabulary-sized table, not the corpus. Coverage is an exact
+    integer ppm (BIGINT·1e6 DIV total) — engine/partitioning independent."""
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = counts.withColumn("rnk", F.row_number().over(w)).localCheckpoint()
+    sizes_df = docs.sparkSession.createDataFrame(
+        [(v,) for v in sizes], "vocab_size int"
+    )
+    covered = (
+        ranked.crossJoin(F.broadcast(sizes_df))
+        .where(F.col("rnk") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.sum("n").alias("covered"))
+    )
+    total = ranked.agg(F.sum("n").alias("total"))
+    return (
+        covered.crossJoin(total)
+        .select(
+            "vocab_size",
+            "covered",
+            "total",
+            F.expr("CAST(covered * 1000000 DIV total AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merge_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_BPE = """
+WITH w AS (
+    SELECT w, COUNT(*) AS wf FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ) GROUP BY w HAVING length(w) >= 2
+),
+pairs AS (
+    SELECT wf,
+           unnest([substring(w, i, 2) FOR i IN generate_series(1, length(w) - 1)])
+               AS pair
+    FROM w
+)
+SELECT pair, CAST(SUM(wf) AS BIGINT) AS n_merge
+FROM pairs
+GROUP BY pair
+ORDER BY n_merge DESC, pair
+LIMIT 50
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_VOCAB_COVERAGE = """
+WITH counts AS (
+    SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ) GROUP BY token
+),
+ranked AS (
+    SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+    FROM counts
+),
+sizes AS (SELECT unnest([100, 500, 2000]) AS vocab_size),
+covered AS (
+    SELECT s.vocab_size, CAST(SUM(r.n) AS BIGINT) AS covered
+    FROM ranked r JOIN sizes s ON r.rnk <= s.vocab_size
+    GROUP BY s.vocab_size
+),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+SELECT c.vocab_size, c.covered, t.total,
+       CAST(c.covered * 1000000 // t.total AS BIGINT) AS coverage_ppm
+FROM covered c, total t
+ORDER BY c.vocab_size
+"""
+
+
 def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Pre-tokenization text normalization: lowercase, strip control
     characters, collapse whitespace runs, and trim — the canonical first
@@ -802,6 +936,8 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "text_normalize": q_normalize_text,
     "length_bucket_sample": q_length_bucket_sample,
+    "text_bpe_merge_pairs": q_bpe_merge_pairs,
+    "text_vocab_coverage": q_vocab_coverage,
 }
 
 ORACLES = {
@@ -817,4 +953,6 @@ ORACLES = {
     "text_quality_scores": _ORACLE_QUALITY,
     "text_language_id": _ORACLE_LANG_ID,
     "text_fingerprints": _ORACLE_FINGERPRINTS,
+    "text_bpe_merge_pairs": _ORACLE_BPE,
+    "text_vocab_coverage": _ORACLE_VOCAB_COVERAGE,
 }

@@ -114,3 +114,14 @@ def test_prefix_filter_equals_bruteforce(spark):
         if j >= 0.5:
             want[(a, b)] = round(j, 6)
     assert got == want and want  # non-empty: the crafted pairs must hit
+
+
+def test_containment_detects_embedded_doc(spark):
+    """A short doc fully embedded in a long one: containment(short→long)=1
+    while the symmetric Jaccard stays below threshold."""
+    short = "w0 w1 w2 w3 w4"
+    long = short + " " + " ".join(f"z{i}" for i in range(30))
+    d = _docs(spark, [short, long])
+    got = {(r.src, r.dst): r.containment for r in dedup.containment_pairs(d).collect()}
+    assert got == {(0, 1): 1.0}
+    assert dedup.ngram_jaccard_pairs(d).count() == 0

@@ -81,6 +81,26 @@ def test_neardup_lsh_subset_of_exact(spark, sf_dir):
     assert approx <= exact
 
 
+def test_pq_adc_consistent_with_codes(spark, sf_dir):
+    """ADC search must rank by the SAME distances the quantizer reports:
+    a candidate's ADC distance to itself-as-query equals its own
+    reconstruction error (the LUT rows its codes select are exactly the
+    per-slot best distances summed)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = similarity.pq_adc_topk(emb, similarity.QUERY_IDS).collect()
+    assert len(got) == len(similarity.QUERY_IDS) * similarity.DEFAULT_K
+    by_q = {}
+    for r in got:
+        assert r.vec_id != r.qid
+        by_q.setdefault(r.qid, []).append((r.rank, r.adc_e6))
+    for q, rows in by_q.items():
+        rows.sort()
+        ranks = [r for r, _ in rows]
+        dists = [d for _, d in rows]
+        assert ranks == list(range(1, similarity.DEFAULT_K + 1))
+        assert dists == sorted(dists), f"ADC ranks out of distance order for qid={q}"
+
+
 def test_ann_recall_audit_bounds(spark, sf_dir):
     from admob_data_pipeline_spark.operators.similarity import q_ann_recall_audit
 

@@ -90,3 +90,25 @@ def test_length_bucket_sample_full_rate_bucket(spark):
     row = {r.bucket: r for r in T.length_bucket_sample(d).collect()}["len_lt_32"]
     assert (row.n_docs, row.n_kept) == (10, 10)
     assert row.first_kept == 0
+
+
+def test_bpe_merge_pairs_crafted(spark):
+    """'aaab aaab ab' → pair 'aa' appears 2 per 'aaab' occurrence (wf=2),
+    'ab' once per word; 1-char words are excluded from the pair index."""
+    d = _docs(spark, ["aaab aaab ab", "x"])
+    got = {r.pair: r.n_merge for r in T.bpe_merge_pairs(d).collect()}
+    assert got == {"aa": 4, "ab": 3}
+    assert "x" not in got
+
+
+def test_vocab_coverage_monotone_and_exact(spark, sf_dir):
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = T.vocab_coverage(docs).collect()
+    assert [r.vocab_size for r in rows] == [100, 500, 2000]
+    cov = [r.coverage_ppm for r in rows]
+    assert cov == sorted(cov), "coverage must grow with vocab size"
+    for r in rows:
+        assert 0 < r.covered <= r.total
+        assert r.coverage_ppm == r.covered * 1_000_000 // r.total
