@@ -293,6 +293,65 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_lsh_pairs(
+    docs: DataFrame,
+    batch_mod: int = 5,
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_DF,
+) -> DataFrame:
+    """Incremental ingest dedup: near-dup pairs between a NEW BATCH
+    (doc_id % batch_mod == 0 stands in for "this ingest") and the EXISTING
+    INDEX (all other docs) — the check a training pipeline runs on every
+    ingest instead of re-deduping the whole corpus. Asymmetric by
+    construction: a batch doc is reported against each index doc it
+    duplicates; batch-internal and index-internal pairs are NOT emitted
+    (the index was already deduped, the batch self-dedup is the ordinary
+    ``minhash_lsh_pairs`` over the batch alone).
+
+    Scale: the index side's band keys are computed once and persist as the
+    stored index (here derived in-plan from the same table); an ingest
+    computes signatures only for the batch and probes with an equi-join on
+    (band, band_key) — shuffle O(batch·bands + matching index buckets),
+    never O(index). Verification joins shingles only for candidate pairs."""
+    sh = _capped_shingles(docs, k, max_df)
+    bands = lsh_band_keys(minhash_signatures(sh))
+    is_batch = (F.col("doc_id") % batch_mod) == 0
+    ba = bands.where(is_batch).select(
+        F.col("doc_id").alias("batch_doc"), "band", "band_key"
+    )
+    bi = bands.where(~is_batch).select(
+        F.col("doc_id").alias("index_doc"), "band", "band_key"
+    )
+    candidates = (
+        ba.join(bi, ["band", "band_key"]).select("batch_doc", "index_doc").distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("batch_doc"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("index_doc"), "shingle")
+    inter = (
+        candidates.join(a_sh, "batch_doc")
+        .join(b_sh, ["index_doc", "shingle"])
+        .groupBy("batch_doc", "index_doc")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("batch_doc"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("index_doc"), F.col("n_sh").alias("n_b"))
+    _t_scaled = int(round(threshold * 1_000_000))
+    _union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        inter.join(sa, "batch_doc")
+        .join(sb, "index_doc")
+        .where(F.col("n_inter") * F.lit(1_000_000) >= F.lit(_t_scaled) * _union)
+        .select(
+            "batch_doc",
+            "index_doc",
+            F.round(F.try_divide(F.col("n_inter"), _union), 6).alias("jaccard"),
+        )
+        .orderBy("batch_doc", "index_doc")
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash over distinct tokens: token hash = first 4 hex digits
     of md5(token); bit_j majority-voted across tokens (+1/−1), ties → 1."""
@@ -576,6 +635,57 @@ cand AS (
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incremental_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_INCREMENTAL = (
+    "WITH "
+    + _DUCK_SHINGLES.format(max_df=MAX_DF)
+    + f""",
+hashed AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h1,
+           CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT) AS h2
+    FROM sh
+),
+sig AS (
+    SELECT doc_id,
+           {", ".join(f"MIN((h1 + {i} * h2) % {MERSENNE_61}) AS m{i}" for i in range(N_HASHES))}
+    FROM hashed
+    GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, g.band,
+           {"CASE " + " ".join(f"WHEN g.band = {b} THEN md5(CAST(m{b * BAND_ROWS} AS VARCHAR) || '|' || CAST(m{b * BAND_ROWS + 1} AS VARCHAR))" for b in range(N_BANDS)) + " END"} AS band_key
+    FROM sig, generate_series(0, {N_BANDS - 1}) AS g(band)
+),
+cand AS (
+    SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+    FROM bands ba JOIN bands bb
+      ON ba.band = bb.band AND ba.band_key = bb.band_key
+    WHERE ba.doc_id % 5 = 0 AND bb.doc_id % 5 <> 0
+),
+inter AS (
+    SELECT c.a, c.b, COUNT(*) AS n_inter
+    FROM cand c JOIN sh sa ON sa.doc_id = c.a
+    JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+    GROUP BY c.a, c.b
+)
+SELECT i.a AS batch_doc, i.b AS index_doc,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / NULLIF(za.n_sh + zb.n_sh - i.n_inter, 0), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+WHERE i.n_inter * 1000000
+      >= {int(round(JACCARD_THRESHOLD * 1_000_000))}
+         * (za.n_sh + zb.n_sh - i.n_inter)
+ORDER BY batch_doc, index_doc
+"""
+)
 
 
 _SIM_DIGIT = "strpos('0123456789abcdef', substr(md5(tok), {pos}, 1)) - 1"
@@ -892,6 +1002,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_containment": q_containment,
     "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_incremental": q_incremental_lsh,
     "dedup_simhash": q_simhash_pairs,
     "dedup_clusters": q_duplicate_clusters,
 }
@@ -904,5 +1015,6 @@ ORACLES = {
     "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_containment": _ORACLE_CONTAINMENT,
     "dedup_minhash_lsh": _ORACLE_MINHASH,
+    "dedup_incremental": _ORACLE_INCREMENTAL,
     "dedup_simhash": _ORACLE_SIMHASH_PAIRS,
 }

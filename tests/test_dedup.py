@@ -125,3 +125,19 @@ def test_containment_detects_embedded_doc(spark):
     got = {(r.src, r.dst): r.containment for r in dedup.containment_pairs(d).collect()}
     assert got == {(0, 1): 1.0}
     assert dedup.ngram_jaccard_pairs(d).count() == 0
+
+
+def test_incremental_lsh_batch_vs_index_only(spark):
+    """doc 0/5/10 are the 'batch' (id%5==0). A batch doc duplicating an
+    index doc is reported; two identical BATCH docs are not (batch-internal
+    pairs are out of scope), nor are index-internal dups."""
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    texts = {0: base, 5: base, 10: "q r s t u v w x y z",
+             1: base, 2: "m n o p q r s t u v", 3: "m n o p q r s t u v"}
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in sorted(texts.items())]
+    )
+    got = {(r.batch_doc, r.index_doc) for r in dedup.incremental_lsh_pairs(d).collect()}
+    assert (0, 1) in got and (5, 1) in got     # batch dup of index doc
+    assert (0, 5) not in got and (5, 0) not in got  # batch-internal
+    assert (2, 3) not in got and (3, 2) not in got  # index-internal
