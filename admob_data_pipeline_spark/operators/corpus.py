@@ -676,7 +676,71 @@ ORDER BY doc_id
 """
 
 
+def mixture_weights(
+    docs: DataFrame, budget: int = 100_000, temperature_sqrt: bool = True
+) -> DataFrame:
+    """Domain-mixing weights for training-set composition: each source's
+    sampling share under temperature-scaled sampling (α = 0.5, i.e.
+    weight ∝ √count — the standard flattening that keeps small domains
+    from vanishing and large domains from dominating), plus the document
+    quota each source gets out of a sampling ``budget``.
+
+    Determinism: IEEE-754 sqrt is correctly rounded (bit-identical on any
+    engine), and each weight is floor-scaled to integer micro-units BEFORE
+    the cross-source total, so the normalization is an exact BIGINT sum in
+    any partition/engine order; shares are integer ppm.
+
+    Scale: one map-side-combined groupBy on source (the corpus collapses
+    to |sources| rows), then a scalar cross join — nothing else moves."""
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        F.floor(F.sqrt(F.col("n_docs")) * 1e6).cast("long")
+        if temperature_sqrt
+        else (F.col("n_docs") * F.lit(1_000_000)).cast("long")
+    )
+    weighted = counts.select("source", "n_docs", w.alias("weight_e6"))
+    total = weighted.agg(F.sum("weight_e6").alias("total_e6"))
+    return (
+        weighted.crossJoin(total)
+        .select(
+            "source",
+            "n_docs",
+            "weight_e6",
+            F.expr("CAST(weight_e6 * 1000000 DIV total_e6 AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                f"CAST({budget} * weight_e6 DIV total_e6 AS BIGINT)"
+            ).alias("quota_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_MIXTURE = """
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+weighted AS (
+    SELECT source, n_docs,
+           CAST(FLOOR(sqrt(n_docs) * 1e6) AS BIGINT) AS weight_e6
+    FROM counts
+),
+total AS (SELECT CAST(SUM(weight_e6) AS BIGINT) AS total_e6 FROM weighted)
+SELECT w.source, w.n_docs, w.weight_e6,
+       CAST(w.weight_e6 * 1000000 // t.total_e6 AS BIGINT) AS share_ppm,
+       CAST(100000 * w.weight_e6 // t.total_e6 AS BIGINT) AS quota_docs
+FROM weighted w, total t
+ORDER BY w.source
+"""
+
+
 QUERIES = {
+    "mixture_weights": q_mixture_weights,
     "text_bigram_lm": q_bigram_lm,
     "text_bm25": q_bm25,
     "text_lm_score": q_lm_score,
@@ -688,6 +752,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mixture_weights": _ORACLE_MIXTURE,
     "text_bigram_lm": _ORACLE_BIGRAM_LM,
     "text_bm25": _ORACLE_BM25,
     "text_lm_score": _ORACLE_LM,

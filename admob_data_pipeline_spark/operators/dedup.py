@@ -774,6 +774,82 @@ ORDER BY c.doc_id
 )
 
 
+def keep_best_per_cluster(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_DF,
+) -> DataFrame:
+    """Canonical selection — the step after clustering that decides WHICH
+    duplicate survives: per cluster keep the longest document (most
+    complete copy; the standard curation rule), ties broken by min doc_id.
+    Output is the per-cluster audit a deletion job consumes: the kept doc
+    and how many rows the dedup will drop.
+
+    Scale: one broadcast-sized window over the cluster assignment (the
+    partition key bounds the group — per-cluster, never global), joined
+    map-side to the doc-length column; no new shuffle shape beyond
+    ``duplicate_clusters`` itself."""
+    clusters = duplicate_clusters(docs, k, threshold, max_df)
+    enriched = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        enriched.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc"),
+            F.col("n_chars").alias("keep_n_chars"),
+            F.col("cluster_size").alias("n_docs"),
+            (F.col("cluster_size") - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keep_best_per_cluster(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_KEEP_BEST = (
+    "WITH RECURSIVE "
+    + _DUCK_SHINGLES.format(max_df=MAX_DF)
+    + f""",
+inter AS (
+    SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+    FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    GROUP BY sa.doc_id, sb.doc_id
+),
+pairs AS (
+    SELECT i.a, i.b
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE i.n_inter * 1000000
+          >= {int(round(JACCARD_THRESHOLD * 1_000_000))}
+             * (za.n_sh + zb.n_sh - i.n_inter)
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b AS node, r.lbl
+    FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.cluster_id, d.doc_id AS keep_doc, d.n_chars AS keep_n_chars,
+       cs.cluster_size AS n_docs, cs.cluster_size - 1 AS n_dropped
+FROM comp c
+JOIN csize cs USING (cluster_id)
+JOIN documents d ON d.doc_id = c.doc_id
+QUALIFY ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                           ORDER BY d.n_chars DESC, d.doc_id) = 1
+ORDER BY c.cluster_id
+"""
+)
+
+
 # --- paragraph-level dedup --------------------------------------------------
 PARA_TOKENS = 32  # fixed-size token segments stand in for paragraphs
                   # (the synthetic corpus has no newlines; a real corpus
@@ -1003,6 +1079,7 @@ QUERIES = {
     "dedup_containment": q_containment,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_incremental": q_incremental_lsh,
+    "dedup_keep_best": q_keep_best,
     "dedup_simhash": q_simhash_pairs,
     "dedup_clusters": q_duplicate_clusters,
 }
@@ -1016,5 +1093,6 @@ ORACLES = {
     "dedup_containment": _ORACLE_CONTAINMENT,
     "dedup_minhash_lsh": _ORACLE_MINHASH,
     "dedup_incremental": _ORACLE_INCREMENTAL,
+    "dedup_keep_best": _ORACLE_KEEP_BEST,
     "dedup_simhash": _ORACLE_SIMHASH_PAIRS,
 }

@@ -157,3 +157,18 @@ def test_bigram_lm_detects_scrambled_order(spark):
     # single-token docs are excluded by construction
     docs2 = spark.createDataFrame([Row(doc_id=0, text="one"), Row(doc_id=1, text="a b")])
     assert [r.doc_id for r in bigram_lm_score(docs2).collect()] == [1]
+
+
+def test_mixture_weights_flattens_domains(spark):
+    """√-temperature: a 100× bigger source gets only 10× the weight; shares
+    sum to ≤ 1e6 ppm (floor rounding) and quotas to ≤ budget."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="t", lang="en", source=("big" if i < 400 else "small"),
+             n_chars=1) for i in range(404)]
+    )
+    rows = {r.source: r for r in corpus.mixture_weights(docs, budget=1000).collect()}
+    assert rows["big"].n_docs == 400 and rows["small"].n_docs == 4
+    # raw ratio 100×, sqrt ratio 10×
+    assert rows["big"].weight_e6 == 10 * rows["small"].weight_e6
+    assert sum(r.share_ppm for r in rows.values()) <= 1_000_000
+    assert sum(r.quota_docs for r in rows.values()) <= 1000

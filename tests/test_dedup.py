@@ -141,3 +141,16 @@ def test_incremental_lsh_batch_vs_index_only(spark):
     assert (0, 1) in got and (5, 1) in got     # batch dup of index doc
     assert (0, 5) not in got and (5, 0) not in got  # batch-internal
     assert (2, 3) not in got and (3, 2) not in got  # index-internal
+
+
+def test_keep_best_prefers_longest_then_min_id(spark):
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    longer = base + " extra tail tokens here"
+    d = spark.createDataFrame(
+        [Row(doc_id=0, text=base, n_chars=len(base)),
+         Row(doc_id=1, text=longer, n_chars=len(longer)),
+         Row(doc_id=2, text="q r s t u v w x y z", n_chars=19)]
+    )
+    got = {r.cluster_id: r for r in dedup.keep_best_per_cluster(d).collect()}
+    assert got[0].keep_doc == 1 and got[0].n_docs == 2 and got[0].n_dropped == 1
+    assert got[2].keep_doc == 2 and got[2].n_dropped == 0
