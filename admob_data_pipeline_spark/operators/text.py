@@ -193,6 +193,58 @@ def corpus_filter(
     ).orderBy("doc_id")
 
 
+FUNNEL_STAGES = ["duplicate", "too_short", "too_long", "low_stopword", "non_alpha"]
+
+
+def curation_funnel(docs: DataFrame, **filter_kwargs) -> DataFrame:
+    """Filter-cascade accounting: for each curation stage, how many docs
+    entered, how many it dropped, and the drop rate — the funnel report a
+    data-curation team reads to see WHERE the corpus is shrinking (C4/
+    RefinedWeb-style pipeline accounting). Stage semantics come from
+    ``corpus_filter`` (reason = first failing gate), so drops attribute to
+    the earliest stage exactly as a sequential pipeline would.
+
+    Scale: one corpus-sized aggregation (reason tallies); the funnel
+    arithmetic runs over |stages| rows. Drop rates are integer ppm."""
+    cf = corpus_filter(docs, **filter_kwargs)
+    drops = cf.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+    stages = docs.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(FUNNEL_STAGES)],
+        "stage_idx int, stage string",
+    )
+    tot = cf.agg(F.count(F.lit(1)).alias("n_raw"))
+    f = (
+        stages.join(F.broadcast(drops), stages.stage == drops.reason, "left")
+        .select(
+            "stage_idx", "stage", F.coalesce("n", F.lit(0)).cast("long").alias("n_dropped")
+        )
+    )
+    w = Window.orderBy("stage_idx").rowsBetween(Window.unboundedPreceding, -1)
+    cum = f.crossJoin(tot).select(
+        "stage_idx",
+        "stage",
+        (F.col("n_raw") - F.coalesce(F.sum("n_dropped").over(w), F.lit(0))).alias(
+            "n_in"
+        ),
+        "n_dropped",
+    )
+    return cum.select(
+        "stage_idx",
+        "stage",
+        F.col("n_in").cast("long").alias("n_in"),
+        "n_dropped",
+        (F.col("n_in") - F.col("n_dropped")).cast("long").alias("n_out"),
+        F.expr(
+            "CAST(CASE WHEN n_in = 0 THEN 0 "
+            "ELSE n_dropped * 1000000 DIV n_in END AS BIGINT)"
+        ).alias("drop_ppm"),
+    ).orderBy("stage_idx")
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_funnel(load_table(spark, sf_dir, "documents"))
+
+
 def dataset_split(
     docs: DataFrame,
     seed: str = "split-seed-1",
@@ -506,6 +558,64 @@ r AS (
 SELECT doc_id, reason, reason = 'ok' AS keep, n_tokens
 FROM r
 ORDER BY doc_id
+"""
+
+_ORACLE_FUNNEL = f"""
+WITH t AS (
+    SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
+           len(text) AS n_chars, md5(text) AS h
+    FROM documents
+),
+q AS (
+    SELECT doc_id, h,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS DOUBLE)
+               / NULLIF(len(toks), 0) AS stop_r,
+           CAST(n_chars - len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                AS DOUBLE) / NULLIF(n_chars, 0) AS na_r
+    FROM t
+),
+canon AS (SELECT h, MIN(doc_id) AS canon_id FROM q GROUP BY h),
+j AS (
+    SELECT q.*, (q.doc_id = c.canon_id) AS is_canonical
+    FROM q JOIN canon c USING (h)
+),
+r AS (
+    SELECT doc_id,
+           CASE WHEN NOT is_canonical THEN 'duplicate'
+                WHEN n_tokens < 20 THEN 'too_short'
+                WHEN n_tokens > 10000 THEN 'too_long'
+                WHEN ROUND(stop_r, 6) < 0.0 THEN 'low_stopword'
+                WHEN ROUND(na_r, 6) > 0.5 THEN 'non_alpha'
+                ELSE 'ok' END AS reason
+    FROM j
+),
+drops AS (SELECT reason, COUNT(*) AS n FROM r GROUP BY reason),
+stages AS (
+    SELECT * FROM (VALUES (1, 'duplicate'), (2, 'too_short'), (3, 'too_long'),
+                          (4, 'low_stopword'), (5, 'non_alpha'))
+        AS v(stage_idx, stage)
+),
+tot AS (SELECT COUNT(*) AS n_raw FROM r),
+f AS (
+    SELECT s.stage_idx, s.stage, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_dropped
+    FROM stages s LEFT JOIN drops d ON d.reason = s.stage
+),
+cum AS (
+    SELECT stage_idx, stage, n_dropped,
+           t.n_raw - COALESCE(SUM(n_dropped) OVER (
+               ORDER BY stage_idx ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_in
+    FROM f, tot t
+)
+SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+       CAST(n_in AS BIGINT) AS n_in,
+       n_dropped,
+       CAST(n_in - n_dropped AS BIGINT) AS n_out,
+       CAST(CASE WHEN n_in = 0 THEN 0
+            ELSE n_dropped * 1000000 // n_in END AS BIGINT) AS drop_ppm
+FROM cum
+ORDER BY stage_idx
 """
 
 
@@ -938,6 +1048,7 @@ QUERIES = {
     "length_bucket_sample": q_length_bucket_sample,
     "text_bpe_merge_pairs": q_bpe_merge_pairs,
     "text_vocab_coverage": q_vocab_coverage,
+    "curation_funnel": q_curation_funnel,
 }
 
 ORACLES = {
@@ -955,4 +1066,5 @@ ORACLES = {
     "text_fingerprints": _ORACLE_FINGERPRINTS,
     "text_bpe_merge_pairs": _ORACLE_BPE,
     "text_vocab_coverage": _ORACLE_VOCAB_COVERAGE,
+    "curation_funnel": _ORACLE_FUNNEL,
 }

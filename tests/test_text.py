@@ -112,3 +112,16 @@ def test_vocab_coverage_monotone_and_exact(spark, sf_dir):
     for r in rows:
         assert 0 < r.covered <= r.total
         assert r.coverage_ppm == r.covered * 1_000_000 // r.total
+
+
+def test_curation_funnel_accounting(spark):
+    """3 docs: one exact dup (dropped at stage 1), one too-short survivor
+    of stage 1 dropped at stage 2. n_in chains: 3 → 2 → 1 → 1 → 1."""
+    long_ok = " ".join(f"tok{i}" for i in range(25))
+    d = _docs(spark, [long_ok, long_ok, "short doc"])
+    rows = {r.stage: r for r in T.curation_funnel(d).collect()}
+    assert rows["duplicate"].n_in == 3 and rows["duplicate"].n_dropped == 1
+    assert rows["too_short"].n_in == 2 and rows["too_short"].n_dropped == 1
+    assert rows["non_alpha"].n_out == 1
+    for r in rows.values():
+        assert r.n_out == r.n_in - r.n_dropped
