@@ -352,6 +352,57 @@ def incremental_lsh_pairs(
     )
 
 
+def dedup_recall_audit(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_DF,
+) -> DataFrame:
+    """Recall of the MinHash-LSH dedup path against the exact shared-
+    shingle baseline — the audit that quantifies what the banding
+    probability 1-(1-s^r)^b actually costs on THIS corpus before anyone
+    trusts the fast path to delete data. Precision is 1.0 by construction
+    (LSH candidates are exact-verified) and is asserted, not assumed.
+
+    Output is one summary row in exact integers (counts + recall ppm).
+
+    Scale: runs the two registered plans being audited plus a pair-key
+    semi-join; both pair sets are checkpointed once since each feeds two
+    consumers (count + intersection)."""
+    exact = (
+        ngram_jaccard_pairs(docs, k, threshold, max_df)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    lsh = (
+        minhash_lsh_pairs(docs, k, threshold, max_df)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    nh = lsh.join(exact, ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return ne.crossJoin(nl).crossJoin(nh).select(
+        "n_exact",
+        "n_lsh",
+        "n_hits",
+        F.expr(
+            "CAST(CASE WHEN n_exact = 0 THEN 0 "
+            "ELSE n_hits * 1000000 DIV n_exact END AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_lsh = 0 THEN 1000000 "
+            "ELSE n_hits * 1000000 DIV n_lsh END AS BIGINT)"
+        ).alias("precision_ppm"),
+    )
+
+
+def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_recall_audit(load_table(spark, sf_dir, "documents"))
+
+
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash over distinct tokens: token hash = first 4 hex digits
     of md5(token); bit_j majority-voted across tokens (+1/−1), ties → 1."""
@@ -732,6 +783,76 @@ ORDER BY a, b
 """
 
 
+_ORACLE_DEDUP_RECALL = (
+    "WITH "
+    + _DUCK_SHINGLES.format(max_df=MAX_DF)
+    + f""",
+exact AS (
+    SELECT i.a, i.b FROM (
+        SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+        FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+        GROUP BY 1, 2
+    ) i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE i.n_inter * 1000000
+          >= {int(round(JACCARD_THRESHOLD * 1_000_000))}
+             * (za.n_sh + zb.n_sh - i.n_inter)
+),
+hashed AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h1,
+           CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT) AS h2
+    FROM sh
+),
+sig AS (
+    SELECT doc_id,
+           {", ".join(f"MIN((h1 + {i} * h2) % {MERSENNE_61}) AS m{i}" for i in range(N_HASHES))}
+    FROM hashed
+    GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, g.band,
+           {"CASE " + " ".join(f"WHEN g.band = {b} THEN md5(CAST(m{b * BAND_ROWS} AS VARCHAR) || '|' || CAST(m{b * BAND_ROWS + 1} AS VARCHAR))" for b in range(N_BANDS)) + " END"} AS band_key
+    FROM sig, generate_series(0, {N_BANDS - 1}) AS g(band)
+),
+cand AS (
+    SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+    FROM bands ba JOIN bands bb
+      ON ba.band = bb.band AND ba.band_key = bb.band_key
+     AND ba.doc_id < bb.doc_id
+),
+lshpairs AS (
+    SELECT i.a, i.b FROM (
+        SELECT c.a, c.b, COUNT(*) AS n_inter
+        FROM cand c JOIN sh sa ON sa.doc_id = c.a
+        JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ) i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE i.n_inter * 1000000
+          >= {int(round(JACCARD_THRESHOLD * 1_000_000))}
+             * (za.n_sh + zb.n_sh - i.n_inter)
+),
+ne AS (SELECT COUNT(*) AS n_exact FROM exact),
+nl AS (SELECT COUNT(*) AS n_lsh FROM lshpairs),
+nh AS (
+    SELECT COUNT(*) AS n_hits
+    FROM lshpairs l JOIN exact e ON e.a = l.a AND e.b = l.b
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_lsh AS BIGINT) AS n_lsh,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(CASE WHEN n_exact = 0 THEN 0
+            ELSE n_hits * 1000000 // n_exact END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN n_lsh = 0 THEN 1000000
+            ELSE n_hits * 1000000 // n_lsh END AS BIGINT) AS precision_ppm
+FROM ne, nl, nh
+"""
+)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -1080,6 +1201,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_incremental": q_incremental_lsh,
     "dedup_keep_best": q_keep_best,
+    "dedup_recall_audit": q_dedup_recall_audit,
     "dedup_simhash": q_simhash_pairs,
     "dedup_clusters": q_duplicate_clusters,
 }
@@ -1094,5 +1216,6 @@ ORACLES = {
     "dedup_minhash_lsh": _ORACLE_MINHASH,
     "dedup_incremental": _ORACLE_INCREMENTAL,
     "dedup_keep_best": _ORACLE_KEEP_BEST,
+    "dedup_recall_audit": _ORACLE_DEDUP_RECALL,
     "dedup_simhash": _ORACLE_SIMHASH_PAIRS,
 }

@@ -207,12 +207,16 @@ def curation_funnel(docs: DataFrame, **filter_kwargs) -> DataFrame:
     Scale: one corpus-sized aggregation (reason tallies); the funnel
     arithmetic runs over |stages| rows. Drop rates are integer ppm."""
     cf = corpus_filter(docs, **filter_kwargs)
-    drops = cf.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+    # one corpus pass: the reason tally (≤ |stages|+1 rows) is checkpointed
+    # and the raw total derived from it, instead of re-scanning for a count
+    drops = (
+        cf.groupBy("reason").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    )
     stages = docs.sparkSession.createDataFrame(
         [(i + 1, s) for i, s in enumerate(FUNNEL_STAGES)],
         "stage_idx int, stage string",
     )
-    tot = cf.agg(F.count(F.lit(1)).alias("n_raw"))
+    tot = drops.agg(F.sum("n").alias("n_raw"))
     f = (
         stages.join(F.broadcast(drops), stages.stage == drops.reason, "left")
         .select(
