@@ -352,6 +352,68 @@ def incremental_lsh_pairs(
     )
 
 
+def streaming_dedup_index(
+    doc_stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    k: int = 3,
+):
+    """Streaming ingest dedup: maintain a persistent MinHash band-key
+    index and, for every arriving micro-batch of documents, emit candidate
+    near-dup pairs against everything ingested BEFORE it — then append the
+    batch's own keys to the index. This is ``incremental_lsh_pairs`` as a
+    continuously-running service: the index only ever grows by O(batch ×
+    bands) rows per trigger and history is never rescanned (the probe is
+    an equi-join on (band, band_key)).
+
+    Batch-internal pairs are intentionally not emitted (they belong to the
+    batch's own self-dedup pass); candidates are UNVERIFIED band
+    collisions — the exact-Jaccard verification joins shingle sets, which
+    a deployment keeps in a sibling table keyed by doc_id.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    foreachBatch is at-least-once: the index append is keyed by
+    (doc_id, band), so replays overwrite idempotently at the file level
+    only if the caller points ``index_dir`` at a transactional table; with
+    plain parquet a replayed batch double-appends — acceptable for an
+    index probed with DISTINCT, and documented here."""
+    import os
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        keys = lsh_band_keys(minhash_signatures(doc_shingles(batch_df, k)))
+        keys = keys.localCheckpoint()  # probe + append both consume it
+        has_index = os.path.isdir(index_dir) and any(
+            f.name.endswith(".parquet") or f.name == "_SUCCESS"
+            for f in os.scandir(index_dir)
+        )
+        if has_index:
+            idx = sp.read.parquet(index_dir)
+            cand = (
+                keys.select(F.col("doc_id").alias("batch_doc"), "band", "band_key")
+                .join(
+                    idx.select(
+                        F.col("doc_id").alias("index_doc"), "band", "band_key"
+                    ),
+                    ["band", "band_key"],
+                )
+                .select("batch_doc", "index_doc")
+                .distinct()
+            )
+            cand.write.mode("append").parquet(pairs_dir)
+        keys.write.mode("append").parquet(index_dir)
+
+    return (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_recall_audit(
     docs: DataFrame,
     k: int = 3,

@@ -249,6 +249,60 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(load_table(spark, sf_dir, "documents"))
 
 
+def tokenizer_fertility(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility by language: subword-pieces per whitespace word
+    (here the BPE-proxy estimate from ``token_stats``) — the fairness
+    audit that shows which languages pay more tokens per word under a
+    given tokenizer (fertility ≫ 1 → that language gets less effective
+    context and costs more to train on). Exact integer ppm output.
+
+    Scale: map-only per-doc arithmetic + one small groupBy on lang."""
+    stats = token_stats(docs, text_col)
+    per_doc = stats.join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_words"),
+            F.sum("n_bpe_est").alias("n_pieces"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            F.expr(
+                "CAST(CASE WHEN n_words = 0 THEN 0 "
+                "ELSE n_pieces * 1000000 DIV n_words END AS BIGINT)"
+            ).alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenizer_fertility(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_FERTILITY = """
+WITH s AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(CEIL(len(text) / 4.0) AS BIGINT) AS n_bpe_est
+    FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_words,
+       CAST(SUM(n_bpe_est) AS BIGINT) AS n_pieces,
+       CAST(CASE WHEN SUM(n_tokens) = 0 THEN 0
+            ELSE SUM(n_bpe_est) * 1000000 // SUM(n_tokens) END AS BIGINT)
+           AS fertility_ppm
+FROM s
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def dataset_split(
     docs: DataFrame,
     seed: str = "split-seed-1",
@@ -1053,6 +1107,7 @@ QUERIES = {
     "text_bpe_merge_pairs": q_bpe_merge_pairs,
     "text_vocab_coverage": q_vocab_coverage,
     "curation_funnel": q_curation_funnel,
+    "tokenizer_fertility": q_tokenizer_fertility,
 }
 
 ORACLES = {
@@ -1071,4 +1126,5 @@ ORACLES = {
     "text_bpe_merge_pairs": _ORACLE_BPE,
     "text_vocab_coverage": _ORACLE_VOCAB_COVERAGE,
     "curation_funnel": _ORACLE_FUNNEL,
+    "tokenizer_fertility": _ORACLE_FERTILITY,
 }
