@@ -2121,7 +2121,105 @@ FROM s
 """
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (winsorized) per-group price statistics: clamp each value to
+    the group's exact [P10, P90] order statistics, then compare the robust
+    mean against the raw mean — the outlier-resistant summary a metrics
+    pipeline publishes when a few extreme rows would otherwise move the
+    needle. Thresholds are EXACT order statistics at integer ranks
+    (ceil(n/10) = (n+9) DIV 10 — integer arithmetic, no float percentile
+    boundary to diverge between engines), values are cent-scaled BIGINTs,
+    and means are exact integer micro-cents.
+
+    Scale: one per-group sort (the same shuffle an exact quantile costs),
+    thresholds reduce to 2 rows per group and broadcast back; the clamp +
+    final agg is map-side partial. All JVM."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _cents("l_extendedprice").alias("c")
+    )
+    sizes = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy("c")
+    ranked = li.withColumn("rn", F.row_number().over(w)).join(
+        F.broadcast(sizes), "l_returnflag"
+    )
+    th = (
+        ranked.where(
+            (F.col("rn") == F.expr("(n + 9) DIV 10"))
+            | (F.col("rn") == F.expr("(9 * n + 9) DIV 10"))
+        )
+        .groupBy("l_returnflag")
+        .agg(F.min("c").alias("lo_c"), F.max("c").alias("hi_c"))
+    )
+    clamped = li.join(F.broadcast(th), "l_returnflag").select(
+        "l_returnflag",
+        "lo_c",
+        "hi_c",
+        "c",
+        F.greatest(F.col("lo_c"), F.least(F.col("hi_c"), F.col("c"))).alias("cw"),
+    )
+    return (
+        clamped.groupBy("l_returnflag", "lo_c", "hi_c")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sum_c"),
+            F.sum("cw").alias("sum_cw"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "lo_c",
+            "hi_c",
+            # (sum DIV n)*1e6 + (sum % n)*1e6 DIV n == sum*1e6 DIV n, but
+            # never exceeds int64 (sum*1e6 would overflow a BIGINT at
+            # large SF; DuckDB silently widens to HUGEINT, Spark wraps)
+            F.expr(
+                "CAST((sum_c DIV n) * 1000000 + (sum_c % n) * 1000000 DIV n"
+                " AS BIGINT)"
+            ).alias("raw_mean_microcents"),
+            F.expr(
+                "CAST((sum_cw DIV n) * 1000000 + (sum_cw % n) * 1000000 DIV n"
+                " AS BIGINT)"
+            ).alias("wins_mean_microcents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_WINSORIZED = """
+WITH b AS (
+    SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c
+    FROM lineitem
+),
+s AS (SELECT l_returnflag, COUNT(*) AS n FROM b GROUP BY 1),
+r AS (
+    SELECT b.l_returnflag, b.c,
+           ROW_NUMBER() OVER (PARTITION BY b.l_returnflag ORDER BY b.c) AS rn
+    FROM b
+),
+th AS (
+    SELECT r.l_returnflag, MIN(r.c) AS lo_c, MAX(r.c) AS hi_c
+    FROM r JOIN s USING (l_returnflag)
+    WHERE r.rn = (s.n + 9) // 10 OR r.rn = (9 * s.n + 9) // 10
+    GROUP BY r.l_returnflag
+)
+SELECT l_returnflag, n, lo_c, hi_c,
+       CAST((sum_c // n) * 1000000 + (sum_c % n) * 1000000 // n AS BIGINT)
+           AS raw_mean_microcents,
+       CAST((sum_cw // n) * 1000000 + (sum_cw % n) * 1000000 // n AS BIGINT)
+           AS wins_mean_microcents
+FROM (
+    SELECT b.l_returnflag, COUNT(*) AS n, t.lo_c, t.hi_c,
+           CAST(SUM(b.c) AS BIGINT) AS sum_c,
+           CAST(SUM(GREATEST(t.lo_c, LEAST(t.hi_c, b.c))) AS BIGINT) AS sum_cw
+    FROM b JOIN th t USING (l_returnflag)
+    GROUP BY b.l_returnflag, t.lo_c, t.hi_c
+)
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "winsorized_stats": q_winsorized_stats,
     "sampled_quantiles": q_sampled_quantiles,
     "rolling_zscore": q_rolling_zscore,
     "quantile_binning": q_quantile_binning,
@@ -2165,6 +2263,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "winsorized_stats": _ORACLE_WINSORIZED,
     "nation_volume_trade": _ORACLE_Q7,
     "event_transitions": _ORACLE_TRANSITIONS,
     "sliding_window_rates": _ORACLE_SLIDING,
