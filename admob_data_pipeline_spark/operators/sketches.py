@@ -112,15 +112,12 @@ HLL_M = 64  # registers (p=6)
 HLL_ALPHA = 0.709  # bias constant for m=64
 
 
-def hll_registers(
-    df: DataFrame, group_col: str, value_col: str, m: int = HLL_M
-) -> DataFrame:
-    """HyperLogLog register table, deterministic by construction: bucket =
-    first 8 md5 bits mod m; rho = leading-zero rank of the next 52 bits,
-    computed in INTEGER domain (binary-string length, no log2 float) so
-    both engines agree bit-for-bit. Registers merge with MAX — the
-    partial-aggregated groupBy IS the sketch union, map-side combined."""
-    h = F.md5(F.col(value_col).cast("string"))
+def _hll_bucket_rho(value: Column, m: int = HLL_M) -> tuple[Column, Column]:
+    """(bucket, rho) columns for one value — bucket = first 8 md5 bits mod
+    m; rho = leading-zero rank of the next 52 bits, computed in INTEGER
+    domain (binary-string length, no log2 float) so both engines agree
+    bit-for-bit."""
+    h = F.md5(value.cast("string"))
     bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % m
     x = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")  # 52 bits
     # rho = 1 + leading zeros of the 52-bit field = 53 - bit_length(x);
@@ -128,11 +125,97 @@ def hll_registers(
     rho = F.when(x == 0, F.lit(53)).otherwise(
         F.lit(53) - F.length(F.conv(x.cast("string"), 10, 2))
     )
+    return bucket, rho
+
+
+def _hll_est_exprs(m: int = HLL_M) -> tuple[Column, Column]:
+    """(ndv_est_e4, register_md5) expressions over a packed sorted ``br``
+    array column of (b, r) structs — the harmonic fold in bucket order
+    (fixed association → identical floats across engines), linear-counting
+    small-range branch, floor-scaled to an integer estimate."""
+    present = F.aggregate(
+        F.col("br"),
+        F.lit(0.0),
+        lambda acc, s: acc + F.pow(F.lit(2.0), -s.getField("r").cast("double")),
+    )
+    n_present = F.size("br")
+    denom = present + (F.lit(m) - n_present).cast("double")
+    raw = F.lit(HLL_ALPHA * m * m) / denom
+    zeros = (F.lit(m) - n_present).cast("double")
+    est = F.when(
+        (raw < 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    md5c = F.md5(
+        F.array_join(
+            F.transform(
+                "br",
+                lambda s: F.concat_ws(
+                    ":", s.getField("b").cast("string"), s.getField("r").cast("string")
+                ),
+            ),
+            ",",
+        )
+    )
+    return (
+        F.floor(est * F.lit(1e4)).cast("long").alias("ndv_est_e4"),
+        md5c.alias("register_md5"),
+    )
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, value_col: str, m: int = HLL_M
+) -> DataFrame:
+    """HyperLogLog register table (see ``_hll_bucket_rho``). Registers
+    merge with MAX — the partial-aggregated groupBy IS the sketch union,
+    map-side combined."""
+    bucket, rho = _hll_bucket_rho(F.col(value_col), m)
     return (
         df.select(F.col(group_col).alias("g"), bucket.alias("b"), rho.alias("rho"))
         .groupBy("g", "b")
         .agg(F.max("rho").alias("r"))
     )
+
+
+def hll_rollup(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    m: int = HLL_M,
+) -> DataFrame:
+    """Time-hierarchy sketch rollup — the reason sketches exist at 100 TB:
+    DAILY register partials are maintained incrementally, and any coarser
+    window (here ISO-agnostic 7-day buckets of the epoch-day) is answered
+    by MAX-merging the stored partials, never rescanning raw history. The
+    register MAX-merge is associative, so the rolled-up weekly sketch is
+    bit-identical to computing registers directly on weekly groups — which
+    is exactly what the DuckDB oracle does, making the query a cross-engine
+    PROOF of merge-equivalence, not just an estimate check."""
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    bucket, rho = _hll_bucket_rho(F.col(value_col), m)
+    daily = (
+        events.select(
+            F.col(group_col).alias("g"),
+            day.alias("day"),
+            bucket.alias("b"),
+            rho.alias("rho"),
+        )
+        .groupBy("g", "day", "b")
+        .agg(F.max("rho").alias("r"))
+    )
+    weekly = (
+        daily.select("g", F.expr("day DIV 7").alias("wk"), "b", "r")
+        .groupBy("g", "wk", "b")
+        .agg(F.max("r").alias("r"))
+    )
+    packed = weekly.groupBy("g", "wk").agg(
+        F.array_sort(F.collect_list(F.struct("b", "r"))).alias("br")
+    )
+    est, md5c = _hll_est_exprs(m)
+    return packed.select(
+        F.col("g").alias(group_col), F.col("wk").cast("int").alias("wk"), est, md5c
+    ).orderBy(group_col, "wk")
 
 
 def hll_distinct(
@@ -148,40 +231,12 @@ def hll_distinct(
     packed = regs.groupBy("g").agg(
         F.array_sort(F.collect_list(F.struct("b", "r"))).alias("br"),
     )
-    # harmonic denominator: sum over ALL m buckets of 2^-r (absent → r=0,
-    # contributing 1.0 each); folded in bucket order for determinism
-    present = F.aggregate(
-        F.col("br"),
-        F.lit(0.0),
-        lambda acc, s: acc + F.pow(F.lit(2.0), -s.getField("r").cast("double")),
-    )
-    n_present = F.size("br")
-    denom = present + (F.lit(m) - n_present).cast("double")
-    raw = F.lit(HLL_ALPHA * m * m) / denom
-    zeros = (F.lit(m) - n_present).cast("double")
-    est = F.when(
-        (raw < 2.5 * m) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
-    ).otherwise(raw)
     # Floor-scale to an integer (playbook #14): the linear-counting branch
     # is a transcendental (ln), and ROUND near a 1e-4 boundary can flip
     # between engines' rounding algorithms; FLOOR of the bit-identical
     # double cannot.
-    return packed.select(
-        F.col("g").alias(group_col),
-        F.floor(est * F.lit(1e4)).cast("long").alias("ndv_est_e4"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    "br",
-                    lambda s: F.concat_ws(
-                        ":", s.getField("b").cast("string"), s.getField("r").cast("string")
-                    ),
-                ),
-                ",",
-            )
-        ).alias("register_md5"),
-    )
+    est, md5c = _hll_est_exprs(m)
+    return packed.select(F.col("g").alias(group_col), est, md5c)
 
 
 CM_DEPTH = 4

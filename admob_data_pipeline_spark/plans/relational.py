@@ -646,6 +646,63 @@ ORDER BY o_orderpriority
 """
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from admob_data_pipeline_spark.operators.sketches import hll_rollup
+
+    return hll_rollup(load_table(spark, sf_dir, "events"))
+
+
+# The oracle computes weekly registers DIRECTLY from the raw events; the
+# Spark plan MAX-merges stored daily partials. Hash equality of the
+# register state proves the rollup merge is lossless.
+_ORACLE_HLL_ROLLUP = """
+WITH h AS (
+    SELECT event_type AS g,
+           (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk,
+           md5(CAST(user_id AS VARCHAR)) AS hx
+    FROM events
+),
+br AS (
+    SELECT g, wk,
+           CAST(CAST('0x' || substr(hx, 1, 2) AS BIGINT) % 64 AS BIGINT) AS b,
+           CASE WHEN CAST('0x' || substr(hx, 3, 13) AS BIGINT) = 0 THEN 53
+                ELSE 53 - len(bin(CAST('0x' || substr(hx, 3, 13) AS BIGINT)))
+           END AS rho
+    FROM h
+),
+regs AS (SELECT g, wk, b, MAX(rho) AS r FROM br GROUP BY g, wk, b),
+packed AS (
+    SELECT g, wk,
+           list_sort(list({'b': b, 'r': r})) AS br_list,
+           COUNT(*) AS n_present
+    FROM regs GROUP BY g, wk
+),
+summed AS (
+    SELECT g, wk, br_list, n_present,
+           list_sum(list_transform(br_list, s -> POWER(2.0, -s.r)))
+               AS present_sum
+    FROM packed
+),
+est AS (
+    SELECT g, wk, n_present,
+           0.709 * 64 * 64 / (present_sum + (64 - n_present)) AS raw,
+           CAST(64 - n_present AS DOUBLE) AS zeros,
+           md5(array_to_string(
+               list_transform(br_list,
+                   s -> CAST(s.b AS VARCHAR) || ':' || CAST(s.r AS VARCHAR)),
+               ',')) AS register_md5
+    FROM summed
+)
+SELECT g AS event_type, CAST(wk AS INT) AS wk,
+       CAST(FLOOR((CASE WHEN raw < 2.5 * 64 AND zeros > 0
+                        THEN 64 * ln(64 / zeros) ELSE raw END) * 1e4)
+            AS BIGINT) AS ndv_est_e4,
+       register_md5
+FROM est
+ORDER BY event_type, wk
+"""
+
+
 # --- Count-Min sketch: frequency estimates with exact comparison ----------
 def q_cm_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from admob_data_pipeline_spark.operators.sketches import cm_estimate, cm_sketch
@@ -1772,6 +1829,7 @@ QUERIES = {
     "kmv_overlap": q_kmv_overlap,
     "cm_sketch_freq": q_cm_sketch_freq,
     "hll_distinct": q_hll_distinct,
+    "hll_rollup": q_hll_rollup,
     "shipping_priority": q_shipping_priority,
     "regional_revenue": q_regional_revenue,
     "range_join": q_range_join,
@@ -1803,6 +1861,7 @@ ORACLES = {
     "kmv_overlap": _ORACLE_KMV_OVERLAP,
     "cm_sketch_freq": _ORACLE_CM,
     "hll_distinct": _ORACLE_HLL,
+    "hll_rollup": _ORACLE_HLL_ROLLUP,
     "window_analytics": _ORACLE_WINDOW,
     "revenue_histogram": _ORACLE_HISTOGRAM,
     "salted_agg": _ORACLE_SALTED_AGG,

@@ -65,3 +65,36 @@ def test_builtin_approx_count_distinct_error_bound(spark, sf_dir):
     exact = o.select("o_custkey").distinct().count()
     est = o.agg(F.approx_count_distinct("o_custkey", 0.05).alias("e")).first().e
     assert abs(est - exact) / exact < 0.2, (est, exact)
+
+
+def test_hll_rollup_merge_equals_direct(spark, sf_dir):
+    """MAX-merging daily register partials into weeks must equal computing
+    weekly registers directly (associativity of the register merge)."""
+    from pyspark.sql import functions as F
+
+    from admob_data_pipeline_spark.operators.sketches import (
+        hll_distinct,
+        hll_rollup,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rolled = {
+        (r.event_type, r.wk): (r.ndv_est_e4, r.register_md5)
+        for r in hll_rollup(ev).collect()
+    }
+    direct_in = ev.select(
+        F.concat_ws(
+            "|",
+            "event_type",
+            F.expr(
+                "CAST(datediff(to_date(ts), DATE '1970-01-01') DIV 7 AS STRING)"
+            ),
+        ).alias("gw"),
+        "user_id",
+    )
+    direct = {
+        tuple(r.gw.rsplit("|", 1)): (r.ndv_est_e4, r.register_md5)
+        for r in hll_distinct(direct_in, "gw", "user_id").collect()
+    }
+    assert rolled == {(g, int(w)): v for (g, w), v in direct.items()}
