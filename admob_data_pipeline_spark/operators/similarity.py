@@ -583,6 +583,125 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    centroid_mod: int = 25,
+    nprobe: int = 4,
+    m: int = PQ_SLOTS,
+    kc: int = PQ_CODES,
+) -> DataFrame:
+    """The full IVF-PQ index — the composition production ANN systems
+    (FAISS-style) actually deploy at billion-vector scale: a coarse
+    inverted-file quantizer restricts each query to its ``nprobe``
+    nearest centroids' lists, and within those lists candidates are
+    ranked by PQ asymmetric distance over the m-byte code table instead
+    of full-precision vectors.
+
+    Scale: combines the two registered scale paths without adding a new
+    shuffle shape — assignment is the map-only vectorized kernel
+    (:func:`assign_lists`), probes and the per-query LUT broadcast, the
+    candidate cut is ~nprobe/|C| of the data, and the scan side is the
+    64×-compressed code table. One shuffle for the per-(query, candidate)
+    integer ADC sum + the per-query top-k window.
+
+    Determinism: list assignment/probing order by the RAW cosine
+    (bit-identical across numpy/JVM/DuckDB); every LUT cell is
+    floor-scaled to BIGINT before the candidate sum."""
+    base, dim = with_vec(emb)
+    sub = dim // m
+    cents = base.where(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    assigned = assign_lists(base, cents.select("cid", "cv"))
+    book_mats = _pq_codebooks(base, sub, m, kc)
+    codes = pq_quantize(emb, m, kc, book_mats=book_mats)
+
+    q = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    raw_q_cos = F.try_divide(dot(F.col("qv"), F.col("cv"), dim), F.col("qn") * F.col("cn"))
+    q_cent = q.crossJoin(F.broadcast(cents)).select(
+        "qid", "qv", "cid", raw_q_cos.alias("csim")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("csim"), F.col("cid"))
+    probes = (
+        q_cent.withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= nprobe)
+        .select("qid", F.col("cid").alias("list_id"))
+    )
+    cand = (
+        assigned.select("vec_id", "list_id")
+        .join(F.broadcast(probes), "list_id")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+
+    spark = emb.sparkSession
+    cb_df = spark.createDataFrame(
+        [(s, c, book_mats[s][c]) for s in range(m) for c in range(len(book_mats[s]))],
+        "s int, code int, cv array<double>",
+    )
+    qslots = (
+        q.select(
+            "qid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice("qv", s * sub + 1, sub).alias("qsv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("qid", "e.s", "e.qsv")
+    )
+    lut = qslots.join(F.broadcast(cb_df), "s").select(
+        "qid",
+        "s",
+        "code",
+        F.floor(
+            (
+                (dot(F.col("qsv"), F.col("qsv")) - 2 * dot(F.col("qsv"), F.col("cv")))
+                + dot(F.col("cv"), F.col("cv"))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("d_e6"),
+    )
+    code_long = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("s"), F.col(f"c{s}").cast("int").alias("code"))
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.s", "e.code")
+    adc = (
+        cand.join(code_long, "vec_id")
+        .join(F.broadcast(lut), ["qid", "s", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d_e6").alias("adc_e6"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_e6"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
 def quantize_int8(emb: DataFrame) -> DataFrame:
     """Asymmetric int8 quantization of the embedding column — the storage
     compression step of a vector pipeline (4 bytes→1 byte per dim).
@@ -1023,6 +1142,98 @@ ORDER BY qid, rank
 """
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivfpq_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS)
+
+
+_ORACLE_IVFPQ = f"""
+WITH {_DUCK_BASE},
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM base WHERE vec_id % 25 = 0),
+assigned AS (
+    SELECT vec_id, cid AS list_id FROM (
+        SELECT b.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.v, c.cv)
+                            / NULLIF(b.nrm * c.cn, 0) DESC, c.cid
+               ) AS rn
+        FROM base b, cents c
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base WHERE vec_id < 8),
+probes AS (
+    SELECT qid, cid AS list_id FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_dot_product(q.qv, c.cv)
+                            / NULLIF(q.qn * c.cn, 0) DESC, c.cid
+               ) AS rn
+        FROM q, cents c
+    ) WHERE rn <= 4
+),
+cand AS (
+    SELECT DISTINCT p.qid, a.vec_id
+    FROM probes p JOIN assigned a USING (list_id)
+    WHERE a.vec_id <> p.qid
+),
+cb AS (
+    SELECT s, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
+           v[s * 16 + 1 : (s + 1) * 16] AS cv
+    FROM base, UNNEST(generate_series(0, {PQ_SLOTS - 1})) AS g(s)
+    WHERE vec_id % {PQ_MOD} = s
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) <= {PQ_CODES}
+),
+slots AS (
+    SELECT vec_id, s, v[s * 16 + 1 : (s + 1) * 16] AS sv
+    FROM base, UNNEST(generate_series(0, {PQ_SLOTS - 1})) AS g(s)
+),
+dists AS (
+    SELECT sl.vec_id, sl.s, cb.code,
+           (list_dot_product(sl.sv, sl.sv)
+            - 2 * list_dot_product(sl.sv, cb.cv))
+           + list_dot_product(cb.cv, cb.cv) AS dist
+    FROM slots sl JOIN cb USING (s)
+),
+codes AS (
+    SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, code) AS rn
+        FROM dists
+    ) WHERE rn = 1
+),
+qslots AS (
+    SELECT qid, s, qv[s * 16 + 1 : (s + 1) * 16] AS qsv
+    FROM q, UNNEST(generate_series(0, {PQ_SLOTS - 1})) AS g(s)
+),
+lut AS (
+    SELECT qid, s, code,
+           CAST(FLOOR(((list_dot_product(qsv, qsv)
+                        - 2 * list_dot_product(qsv, cb.cv))
+                       + list_dot_product(cb.cv, cb.cv)) * 1e6) AS BIGINT)
+               AS d_e6
+    FROM qslots JOIN cb USING (s)
+),
+adc AS (
+    SELECT c.qid, c.vec_id, CAST(SUM(l.d_e6) AS BIGINT) AS adc_e6
+    FROM cand c
+    JOIN codes k ON k.vec_id = c.vec_id
+    JOIN lut l ON l.qid = c.qid AND l.s = k.s AND l.code = k.code
+    GROUP BY c.qid, c.vec_id
+),
+ranked AS (
+    SELECT qid, vec_id, adc_e6,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rank
+    FROM adc
+)
+SELECT qid, vec_id, adc_e6, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {DEFAULT_K}
+ORDER BY qid, rank
+"""
+
+
 def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) dedup CLUSTERS: sign-LSH candidate pairs
     verified by exact cosine (``neardup_pairs(lsh=True)``) become edges;
@@ -1158,6 +1369,7 @@ ORDER BY e.qid
 QUERIES = {
     "ann_recall_audit": q_ann_recall_audit,
     "ann_pq_adc_topk": q_ann_pq_adc,
+    "ann_ivfpq_topk": q_ann_ivfpq,
     "dedup_semantic_clusters": q_dedup_semantic_clusters,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "embedding_pq": q_pq_quantize,
@@ -1173,6 +1385,7 @@ QUERIES = {
 ORACLES = {
     "ann_recall_audit": _ORACLE_RECALL,
     "ann_pq_adc_topk": _ORACLE_PQ_ADC,
+    "ann_ivfpq_topk": _ORACLE_IVFPQ,
     "dedup_semantic_clusters": _ORACLE_SEMANTIC_CLUSTERS,
     "ann_bruteforce_topk": _ORACLE_ANN_BRUTE,
     "ann_lsh_topk": _ORACLE_ANN_LSH,

@@ -109,3 +109,26 @@ def test_ann_recall_audit_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_hits <= r.n_exact
         assert r.recall_ppm == r.n_hits * 1_000_000 // r.n_exact
+
+
+def test_ivfpq_is_adc_restricted_to_probed_lists(spark, sf_dir):
+    """IVF-PQ results must be a per-query prefix of full-corpus ADC
+    ranking restricted to the probed candidate set: every returned
+    neighbor's ADC distance appears in the full ADC table with the same
+    value, and ranks are 1..k in distance order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = similarity.QUERY_IDS
+    full = {
+        (r.qid, r.vec_id): r.adc_e6
+        for r in similarity.pq_adc_topk(emb, qids, k=10**6).collect()
+    }
+    got = similarity.ivfpq_topk(emb, qids).collect()
+    assert len(got) == len(qids) * similarity.DEFAULT_K
+    for r in got:
+        assert full[(r.qid, r.vec_id)] == r.adc_e6
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.rank, r.adc_e6))
+    for rows in by_q.values():
+        rows.sort()
+        assert [d for _, d in rows] == sorted(d for _, d in rows)
