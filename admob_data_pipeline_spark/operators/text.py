@@ -271,9 +271,13 @@ def tokenizer_fertility(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "n_docs",
             "n_words",
             "n_pieces",
+            # two-stage ×1000 scaling (see vocab_coverage): piece counts at
+            # corpus scale would overflow BIGINT when multiplied by 1e6
             F.expr(
                 "CAST(CASE WHEN n_words = 0 THEN 0 "
-                "ELSE n_pieces * 1000000 DIV n_words END AS BIGINT)"
+                "ELSE (n_pieces * 1000 DIV n_words) * 1000 "
+                "+ (n_pieces * 1000 % n_words) * 1000 DIV n_words "
+                "END AS BIGINT)"
             ).alias("fertility_ppm"),
         )
         .orderBy("lang")
@@ -295,7 +299,9 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_words,
        CAST(SUM(n_bpe_est) AS BIGINT) AS n_pieces,
        CAST(CASE WHEN SUM(n_tokens) = 0 THEN 0
-            ELSE SUM(n_bpe_est) * 1000000 // SUM(n_tokens) END AS BIGINT)
+            ELSE (SUM(n_bpe_est) * 1000 // SUM(n_tokens)) * 1000
+                 + (SUM(n_bpe_est) * 1000 % SUM(n_tokens)) * 1000
+                   // SUM(n_tokens) END AS BIGINT)
            AS fertility_ppm
 FROM s
 GROUP BY lang
@@ -834,9 +840,14 @@ def vocab_coverage(
             "vocab_size",
             "covered",
             "total",
-            F.expr("CAST(covered * 1000000 DIV total AS BIGINT)").alias(
-                "coverage_ppm"
-            ),
+            # two-stage ×1000 scaling: covered*1e6 would overflow BIGINT at
+            # real corpus token counts (~2.5e13 at 100 TB); q*1000 +
+            # (r*1000 DIV t) with (q, r) = divmod(covered*1000, t) is the
+            # exact same quotient with every intermediate < 2^63
+            F.expr(
+                "CAST((covered * 1000 DIV total) * 1000"
+                " + (covered * 1000 % total) * 1000 DIV total AS BIGINT)"
+            ).alias("coverage_ppm"),
         )
         .orderBy("vocab_size")
     )
@@ -888,7 +899,9 @@ covered AS (
 ),
 total AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
 SELECT c.vocab_size, c.covered, t.total,
-       CAST(c.covered * 1000000 // t.total AS BIGINT) AS coverage_ppm
+       CAST((c.covered * 1000 // t.total) * 1000
+            + (c.covered * 1000 % t.total) * 1000 // t.total AS BIGINT)
+           AS coverage_ppm
 FROM covered c, total t
 ORDER BY c.vocab_size
 """
