@@ -739,7 +739,138 @@ ORDER BY w.source
 """
 
 
+# --- DSIR-style hashed-n-gram importance weights ----------------------------
+DSIR_BUCKETS = 1024
+DSIR_SCALE = 10_000
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al., 2023):
+    score each doc by how much its hashed-unigram profile looks like a
+    target distribution vs the raw corpus. Both distributions live over
+    ``n_buckets`` hash buckets (md5 → bucket), add-1 smoothed; a doc's
+    weight is Σ_tokens [ln p_target(b) − ln p_raw(b)]. Docs with high
+    weight are up-sampled toward the target domain — here the target is
+    the ``lang = target_lang`` slice, i.e. "select docs that look like
+    English" from a mixed-language crawl.
+
+    Cross-engine determinism: each bucket's log-ratio is floor-scaled to
+    an e4 integer BEFORE the per-doc sum (transcendental-ulp playbook
+    #14), so the aggregate is an exact integer sum in any engine or
+    partitioning.
+
+    Scale: one corpus scan explodes tokens→buckets (materialized once,
+    eager localCheckpoint); bucket counts for target and raw come from
+    ONE aggregation with a conditional sum (no second corpus pass); the
+    n_buckets-row ratio table broadcasts back. Shuffles: one on bucket
+    (bounded at n_buckets), one per-doc rollup on doc_id.
+    """
+    docs = widen_if_narrow(docs)
+    tb = (
+        docs.select(
+            "doc_id",
+            (F.col("lang") == target_lang).alias("is_tgt"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .select(
+            "doc_id",
+            "is_tgt",
+            (
+                F.conv(F.substring(F.md5(F.col("token")), 1, 12), 16, 10).cast("long")
+                % n_buckets
+            ).alias("bucket"),
+        )
+        .localCheckpoint()
+    )
+    counts = tb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    stats = counts.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    p_tgt = (F.col("c_tgt") + 1) / (F.col("n_tgt") + n_buckets)
+    p_raw = (F.col("c_raw") + 1) / (F.col("n_raw") + n_buckets)
+    lr = (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "bucket",
+            F.floor((F.log(p_tgt) - F.log(p_raw)) * DSIR_SCALE)
+            .cast("long")
+            .alias("lr_e4"),
+        )
+        .localCheckpoint()
+    )
+    per_doc = (
+        join_small(tb.select("doc_id", "bucket"), lr, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_e4").alias("iw_sum_e4"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("iw_sum_e4", F.lit(0)).cast("long").alias("iw_sum_e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return importance_weights(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_DSIR = f"""
+WITH tok AS (
+    SELECT doc_id, lang = 'en' AS is_tgt,
+           unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+),
+tb AS (
+    SELECT doc_id, is_tgt,
+           CAST('0x' || substr(md5(token), 1, 12) AS BIGINT) % {DSIR_BUCKETS} AS bucket
+    FROM tok
+),
+counts AS (
+    SELECT bucket, COUNT(*) AS c_raw,
+           SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt
+    FROM tb GROUP BY bucket
+),
+stats AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM counts),
+lr AS (
+    SELECT bucket,
+           CAST(FLOOR((ln((c_tgt + 1) / CAST(n_tgt + {DSIR_BUCKETS} AS DOUBLE))
+                       - ln((c_raw + 1) / CAST(n_raw + {DSIR_BUCKETS} AS DOUBLE)))
+                      * {DSIR_SCALE}) AS BIGINT) AS lr_e4
+    FROM counts, stats
+),
+per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_tokens, SUM(lr_e4) AS iw_sum_e4
+    FROM tb JOIN lr USING (bucket)
+    GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.iw_sum_e4, 0) AS BIGINT) AS iw_sum_e4
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
+    "importance_weights": q_importance_weights,
     "mixture_weights": q_mixture_weights,
     "text_bigram_lm": q_bigram_lm,
     "text_bm25": q_bm25,
@@ -752,6 +883,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "importance_weights": _ORACLE_DSIR,
     "mixture_weights": _ORACLE_MIXTURE,
     "text_bigram_lm": _ORACLE_BIGRAM_LM,
     "text_bm25": _ORACLE_BM25,

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
-from admob_data_pipeline_spark.operators.util import widen_if_narrow
+from admob_data_pipeline_spark.operators.util import join_small, widen_if_narrow
 from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.operators.text import shingles, tokens
@@ -1254,6 +1254,197 @@ ORDER BY a, b
 """
 
 
+# --- cross-split leakage audit ---------------------------------------------
+
+
+def cross_split_leakage(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_DF,
+) -> DataFrame:
+    """Near-duplicate pairs that straddle a train/val/test boundary — the
+    contamination a hash-based split cannot prevent (near-identical content
+    under DIFFERENT doc_ids lands in different splits). Run before
+    training; any row here is eval leakage. Composes the exact-Jaccard
+    pair generator with the content-stable split assignment
+    (operators/text.py dataset_split). No reference analogue —
+    LLM-pipeline surface.
+
+    Scale: the pair set is already bounded by the shared-shingle join and
+    is tiny relative to the corpus; the split table is corpus-sized, so
+    the two lookups join the pair side against it on doc_id — AQE
+    broadcasts the pair side when it proves small. The corpus text is
+    never re-scanned.
+    """
+    from admob_data_pipeline_spark.operators.text import dataset_split
+
+    pairs = ngram_jaccard_pairs(docs, k, threshold, max_df)
+    s = dataset_split(docs)
+    sa = s.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a"))
+    sb = s.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("a", "b", "split_a", "split_b", "jaccard")
+        .orderBy("a", "b")
+    )
+
+
+def q_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cross_split_leakage(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_SPLIT_LEAKAGE = (
+    "WITH " + _DUCK_SHINGLES.format(max_df=MAX_DF)
+    + f""",
+inter AS (
+    SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+    FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    GROUP BY sa.doc_id, sb.doc_id
+),
+pairs AS (
+    SELECT i.a, i.b,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / NULLIF(za.n_sh + zb.n_sh - i.n_inter, 0), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE i.n_inter * 1000000
+          >= {int(round(JACCARD_THRESHOLD * 1_000_000))}
+             * (za.n_sh + zb.n_sh - i.n_inter)
+),
+spl AS (
+    SELECT doc_id,
+           CASE WHEN frac < 0.1 THEN 'val'
+                WHEN frac < 0.2 THEN 'test'
+                ELSE 'train' END AS split
+    FROM (SELECT doc_id,
+                 CAST('0x' || substr(md5('split-seed-1' || '|' || CAST(doc_id AS VARCHAR)),
+                                     1, 13) AS BIGINT) / POWER(16, 13) AS frac
+          FROM documents)
+)
+SELECT p.a, p.b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+FROM pairs p
+JOIN spl sa ON sa.doc_id = p.a
+JOIN spl sb ON sb.doc_id = p.b
+WHERE sa.split <> sb.split
+ORDER BY p.a, p.b
+"""
+)
+
+
+# --- exact-substring duplication (window-granular) --------------------------
+SUBSTR_K = 5
+
+
+def substring_dup_stats(
+    docs: DataFrame, k: int = SUBSTR_K, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc fraction of positional k-token windows whose gram also
+    occurs in at least one OTHER document — the window-granular form of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", 2021). A high fraction flags a doc assembled
+    from cross-corpus boilerplate even when no whole-doc near-dup exists;
+    whole-doc measures (Jaccard, MinHash) miss exactly this case.
+
+    Unlike ``ngram_jaccard_pairs`` the windows are POSITIONAL (not
+    distinct-per-doc): a boilerplate paragraph repeated 10× inside a doc
+    counts 10× against it, matching the span-removal semantics of
+    suffix-array dedup at k-gram granularity.
+
+    Scale: windows shuffle once on gram for the distinct-doc census; the
+    duplicated-gram set (grams in ≥2 docs) joins back via join_small
+    (broadcast only when proven small, else shuffle + AQE skew handling).
+    Window rows are materialized once (eager localCheckpoint — cache()
+    misses on widened plans, playbook #17) and feed both the census and
+    the per-doc rollup.
+    """
+    docs = widen_if_narrow(docs)
+    g = docs.select(
+        "doc_id", F.explode(shingles(tokens(F.col(text_col)), k)).alias("gram")
+    ).localCheckpoint()
+    dup_grams = (
+        g.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs_g"))
+        .where(F.col("n_docs_g") >= 2)
+        .select("gram")
+        .localCheckpoint()
+    )
+    n_win = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    n_dup = (
+        join_small(g, dup_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    # per-doc ppm: n_dup_windows ≤ n_windows ≤ doc length, so the e6
+    # scale cannot overflow per doc (two-stage ppm is for corpus-scale
+    # sums — playbook #23); integer DIV keeps both engines exact.
+    return (
+        docs.select("doc_id")
+        .join(n_win, "doc_id", "left")
+        .join(n_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.when(
+                F.col("n_windows") > 0,
+                F.expr("n_dup_windows * 1000000 DIV n_windows"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dup_stats(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_SUBSTRING = f"""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+g AS (
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i+{SUBSTR_K - 1}], ' ')
+                   FOR i IN generate_series(1, len(toks) - {SUBSTR_K - 1})]) AS gram
+    FROM t
+),
+census AS (
+    SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+    GROUP BY gram HAVING COUNT(*) >= 2
+),
+wins AS (SELECT doc_id, COUNT(*) AS n_windows FROM g GROUP BY doc_id),
+dups AS (
+    SELECT doc_id, COUNT(*) AS n_dup_windows
+    FROM g WHERE gram IN (SELECT gram FROM census)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(w.n_windows, 0) AS n_windows,
+       COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+       CASE WHEN COALESCE(w.n_windows, 0) > 0
+            THEN COALESCE(p.n_dup_windows, 0) * 1000000 // w.n_windows
+            ELSE 0 END AS dup_ppm
+FROM documents d
+LEFT JOIN wins w USING (doc_id)
+LEFT JOIN dups p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_exact_dedup,
     "dedup_prefix_filter": q_prefix_filter_pairs,
@@ -1266,9 +1457,13 @@ QUERIES = {
     "dedup_recall_audit": q_dedup_recall_audit,
     "dedup_simhash": q_simhash_pairs,
     "dedup_clusters": q_duplicate_clusters,
+    "dedup_split_leakage": q_cross_split_leakage,
+    "dedup_substring": q_substring_dup,
 }
 
 ORACLES = {
+    "dedup_split_leakage": _ORACLE_SPLIT_LEAKAGE,
+    "dedup_substring": _ORACLE_SUBSTRING,
     "dedup_prefix_filter": _ORACLE_PREFIX,
     "dedup_paragraph": _ORACLE_PARAGRAPH,
     "dedup_clusters": _ORACLE_CLUSTERS,

@@ -172,3 +172,29 @@ def test_mixture_weights_flattens_domains(spark):
     assert rows["big"].weight_e6 == 10 * rows["small"].weight_e6
     assert sum(r.share_ppm for r in rows.values()) <= 1_000_000
     assert sum(r.quota_docs for r in rows.values()) <= 1000
+
+
+def test_importance_weights_token_counts_and_smoothing(spark):
+    d = spark.createDataFrame(
+        [
+            Row(doc_id=0, lang="en", text="a b c"),
+            Row(doc_id=1, lang="de", text="x y"),
+        ]
+    )
+    rows = {r.doc_id: r for r in corpus.importance_weights(d).collect()}
+    assert rows[0].n_tokens == 3 and rows[1].n_tokens == 2
+    # target tokens score strictly higher than non-target under add-1
+    # smoothing (each bucket here holds one distinct token)
+    assert rows[0].iw_sum_e4 / 3 > rows[1].iw_sum_e4 / 2
+
+
+def test_importance_weights_separates_target_language(spark, sf_dir):
+    """DSIR recall property: per-token importance of target-lang docs
+    exceeds the non-target average on the mixed-language corpus."""
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    rows = corpus.importance_weights(load_table(spark, sf_dir, "documents")).collect()
+    en = [r.iw_sum_e4 / r.n_tokens for r in rows if r.lang == "en" and r.n_tokens]
+    other = [r.iw_sum_e4 / r.n_tokens for r in rows if r.lang != "en" and r.n_tokens]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)

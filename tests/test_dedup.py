@@ -198,3 +198,44 @@ def test_streaming_dedup_index_multibatch(spark, tmp_path):
     # no pair may point forward in arrival order
     order = {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
     assert all(order[b] > order[i] for b, i in got)
+
+
+def test_substring_dup_counts_cross_doc_windows_only(spark):
+    # doc0 shares its first 5-gram with doc1; doc2 is too short for any
+    # window; doc3 repeats a 5-gram WITHIN itself only (no cross-doc
+    # occurrence) — positional windows count, but only cross-doc grams
+    # mark them duplicated.
+    d = _docs(
+        spark,
+        [
+            "a b c d e f",
+            "a b c d e z1 z2 z3",
+            "s t u",
+            "r1 r2 r3 r4 r5 r1 r2 r3 r4 r5",
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_ppm)
+        for r in dedup.substring_dup_stats(d).collect()
+    }
+    assert got == {
+        0: (2, 1, 500_000),
+        1: (4, 1, 250_000),
+        2: (0, 0, 0),
+        3: (6, 0, 0),
+    }
+
+
+def test_cross_split_leakage_is_cross_split_subset_of_pairs(spark, sf_dir):
+    """Leakage audit = exactly the near-dup pairs whose members fall in
+    different splits; same-split near-dups are excluded."""
+    from admob_data_pipeline_spark.operators.text import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = {(r.a, r.b) for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    splits = {r.doc_id: r.split for r in dataset_split(docs).collect()}
+    want = {(a, b) for a, b in pairs if splits[a] != splits[b]}
+    leaks = dedup.cross_split_leakage(docs).collect()
+    assert {(r.a, r.b) for r in leaks} == want
+    assert all(r.split_a != r.split_b for r in leaks)
+    assert all(r.split_a == splits[r.a] and r.split_b == splits[r.b] for r in leaks)
