@@ -739,6 +739,55 @@ ORDER BY w.source
 """
 
 
+# --- per-source document cap -------------------------------------------------
+CAP_PER_SOURCE = 15
+
+
+def source_cap_sample(docs: DataFrame, cap: int = CAP_PER_SOURCE) -> DataFrame:
+    """Per-domain document cap: keep at most ``cap`` docs per source,
+    chosen by a content-stable hash rank — the max-pages-per-domain rule
+    every web-corpus pipeline applies so one crawl-heavy site cannot
+    dominate the training mix. Hash rank (md5 of seed|doc_id), not
+    random(), so the kept set is reproducible across runs and engines;
+    changing the seed redraws the sample without touching data.
+
+    Scale: one shuffle partitioned by source; row_number's per-group
+    state is O(1) and the cap bounds the output per group. A pathological
+    hot source makes one fat partition — at that point swap in the
+    groupBy+slice form (collect_list capped) or pre-filter with an
+    approximate per-source count; the hash-rank semantics stay identical.
+    """
+    rk = F.md5(
+        F.concat_ws("|", F.lit("cap-seed-1"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(rk.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+        .where(F.col("rank_in_source") <= cap)
+        .orderBy("source", "rank_in_source")
+    )
+
+
+def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_cap_sample(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_SOURCE_CAP = f"""
+WITH r AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap-seed-1' || '|' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rank_in_source
+    FROM documents
+)
+SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source
+FROM r WHERE rank_in_source <= {CAP_PER_SOURCE}
+ORDER BY source, rank_in_source
+"""
+
+
 # --- DSIR-style hashed-n-gram importance weights ----------------------------
 DSIR_BUCKETS = 1024
 DSIR_SCALE = 10_000
@@ -870,6 +919,7 @@ ORDER BY d.doc_id
 
 
 QUERIES = {
+    "source_cap_sample": q_source_cap_sample,
     "importance_weights": q_importance_weights,
     "mixture_weights": q_mixture_weights,
     "text_bigram_lm": q_bigram_lm,
@@ -883,6 +933,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_cap_sample": _ORACLE_SOURCE_CAP,
     "importance_weights": _ORACLE_DSIR,
     "mixture_weights": _ORACLE_MIXTURE,
     "text_bigram_lm": _ORACLE_BIGRAM_LM,

@@ -226,14 +226,124 @@ ORDER BY v.a, v.b
 """
 
 
+# --- declarative data-quality constraint suite ------------------------------
+
+
+def dq_constraints(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Deequ-style verification suite: a declarative set of constraints
+    (completeness, uniqueness, accepted values, ranges, referential
+    integrity, minimum size) evaluated in bulk, emitting one
+    (constraint, violations, passed) row each — the quality gate a
+    warehouse load runs before publishing a partition.
+
+    ``o_orderstatus_no_partial`` is expected to FAIL on this dataset
+    ('P' rows exist): the suite must prove it can report violations, not
+    just echo green.
+
+    Scale: all single-table constraints collapse into ONE aggregation per
+    table (a single corpus pass each, map-side partial agg); referential
+    integrity is a key-only anti-join. The per-constraint rows come from
+    stack() over the three 1-row aggregate frames — no extra scans.
+    """
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("nulls"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dups"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("badstatus"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("partial"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("negprice"),
+    )
+    li = lineitem.agg(
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+            .otherwise(0)
+        ).alias("baddisc"),
+    )
+    orphans = (
+        lineitem.select("l_orderkey")
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    return (
+        o.crossJoin(li)
+        .crossJoin(orphans)
+        .select(
+            F.expr(
+                "stack(7,"
+                " 'l_discount_range', baddisc,"
+                " 'l_orderkey_ref_integrity', n_orphans,"
+                " 'o_custkey_complete', nulls,"
+                " 'o_orderkey_unique', dups,"
+                " 'o_orderstatus_accepted', badstatus,"
+                " 'o_orderstatus_no_partial', partial,"
+                " 'o_totalprice_nonneg', negprice"
+                ") AS (constraint, violations)"
+            )
+        )
+        .select(
+            "constraint",
+            F.col("violations").cast("long").alias("violations"),
+            (F.col("violations") == 0).alias("passed"),
+        )
+        .orderBy("constraint")
+    )
+
+
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_constraints(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+_ORACLE_DQ = """
+WITH o AS (
+    SELECT COUNT(*) AS n_orders,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS dups,
+           SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS badstatus,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS partial,
+           SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS negprice
+    FROM orders
+),
+li AS (
+    SELECT SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS baddisc
+    FROM lineitem
+),
+orph AS (
+    SELECT COUNT(*) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IS NULL
+),
+m AS (
+    SELECT 'l_discount_range' AS "constraint", CAST(baddisc AS BIGINT) AS violations FROM li
+    UNION ALL SELECT 'l_orderkey_ref_integrity', CAST(n_orphans AS BIGINT) FROM orph
+    UNION ALL SELECT 'o_custkey_complete', CAST(nulls AS BIGINT) FROM o
+    UNION ALL SELECT 'o_orderkey_unique', CAST(dups AS BIGINT) FROM o
+    UNION ALL SELECT 'o_orderstatus_accepted', CAST(badstatus AS BIGINT) FROM o
+    UNION ALL SELECT 'o_orderstatus_no_partial', CAST(partial AS BIGINT) FROM o
+    UNION ALL SELECT 'o_totalprice_nonneg', CAST(negprice AS BIGINT) FROM o
+)
+SELECT "constraint", violations, violations = 0 AS passed
+FROM m ORDER BY "constraint"
+"""
+
+
 QUERIES = {
     "k_anonymity_audit": q_k_anonymity,
     "erasure_audit": q_erasure_audit,
     "typo_pairs": q_typo_pairs,
+    "dq_constraints": q_dq_constraints,
 }
 
 ORACLES = {
     "k_anonymity_audit": _ORACLE_K_ANON,
     "erasure_audit": _ORACLE_ERASURE,
     "typo_pairs": _ORACLE_TYPO,
+    "dq_constraints": _ORACLE_DQ,
 }

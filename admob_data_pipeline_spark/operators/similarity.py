@@ -1366,7 +1366,86 @@ ORDER BY e.qid
 """
 
 
+# --- per-dimension embedding health audit -----------------------------------
+
+
+def dim_stats(emb: DataFrame) -> DataFrame:
+    """Per-dimension health audit of the embedding column: n, mean,
+    E[x²] (variance = E[x²] − mean² derivable), min/max, and near-zero
+    count — the check that catches dead dimensions (all ~0), collapsed
+    encoders (variance → 0), and un-normalized batches (|x| blow-ups)
+    before an index build.
+
+    Determinism: means come from per-row int-scaled sums (FLOOR(x·1e6),
+    playbook rule 1); the second moment squares the e3-scaled integer so
+    per-element state is ≤1e6 and the BIGINT sum holds to ~1e17 rows.
+    MIN/MAX compare raw doubles (no arithmetic — engine-identical).
+
+    Scale: posexplode keys the shuffle by dim (constant group count),
+    partial aggregation map-side; one corpus pass.
+    """
+    exploded = widen_if_narrow(emb).select(
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+    )
+    scaled = exploded.select(
+        (F.col("pos") + 1).alias("dim"),
+        "x",
+        F.floor(F.col("x") * 1e6).cast("long").alias("x_micro"),
+        F.floor(F.col("x") * 1e3).cast("long").alias("x_milli"),
+    )
+    return (
+        scaled.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x_micro").alias("s_micro"),
+            F.sum(F.col("x_milli") * F.col("x_milli")).alias("ss_milli2"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.sum(F.when(F.abs(F.col("x")) < 1e-6, 1).otherwise(0)).alias("n_zero"),
+        )
+        .select(
+            "dim",
+            "n",
+            # exact-quotient doubles (no ROUND — playbook #2)
+            (F.col("s_micro") / (F.col("n") * F.lit(1e6))).alias("mean"),
+            (F.col("ss_milli2") / (F.col("n") * F.lit(1e6))).alias("ex2"),
+            "x_min",
+            "x_max",
+            "n_zero",
+        )
+        .orderBy("dim")
+    )
+
+
+def q_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dim_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+_ORACLE_DIM_STATS = """
+WITH p AS (
+    SELECT [{'dim': i, 'x': CAST(embedding[i] AS DOUBLE)}
+            FOR i IN generate_series(1, len(embedding))] AS pairs
+    FROM embeddings
+),
+x AS (SELECT unnest(pairs, recursive := true) FROM p),
+s AS (
+    SELECT dim, COUNT(*) AS n,
+           SUM(CAST(FLOOR(x * 1e6) AS BIGINT)) AS s_micro,
+           SUM(CAST(FLOOR(x * 1e3) AS BIGINT) * CAST(FLOOR(x * 1e3) AS BIGINT)) AS ss_milli2,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           SUM(CASE WHEN abs(x) < 1e-6 THEN 1 ELSE 0 END) AS n_zero
+    FROM x GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim, n,
+       CAST(s_micro AS DOUBLE) / (n * 1e6) AS mean,
+       CAST(ss_milli2 AS DOUBLE) / (n * 1e6) AS ex2,
+       x_min, x_max, CAST(n_zero AS BIGINT) AS n_zero
+FROM s ORDER BY dim
+"""
+
+
 QUERIES = {
+    "embedding_dim_stats": q_dim_stats,
     "ann_recall_audit": q_ann_recall_audit,
     "ann_pq_adc_topk": q_ann_pq_adc,
     "ann_ivfpq_topk": q_ann_ivfpq,
@@ -1383,6 +1462,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_dim_stats": _ORACLE_DIM_STATS,
     "ann_recall_audit": _ORACLE_RECALL,
     "ann_pq_adc_topk": _ORACLE_PQ_ADC,
     "ann_ivfpq_topk": _ORACLE_IVFPQ,

@@ -198,3 +198,20 @@ def test_importance_weights_separates_target_language(spark, sf_dir):
     other = [r.iw_sum_e4 / r.n_tokens for r in rows if r.lang != "en" and r.n_tokens]
     assert en and other
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_source_cap_sample_caps_every_source(spark, sf_dir):
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = corpus.source_cap_sample(docs, cap=5).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r.rank_in_source)
+    totals = {r.source: r.n for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) == min(5, totals[src])
+    # deterministic: same seed → identical kept set
+    again = {(r.doc_id, r.source) for r in corpus.source_cap_sample(docs, cap=5).collect()}
+    assert again == {(r.doc_id, r.source) for r in kept}

@@ -68,3 +68,22 @@ def test_typo_pairs_blocking_has_full_recall(spark):
     }
     assert got == expect
     assert ("color", "colour") in got and got[("color", "colr")] == 1
+
+
+def test_dq_constraints_reports_failures_and_passes(spark, sf_dir):
+    from admob_data_pipeline_spark.operators.governance import dq_constraints
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    rows = {
+        r.constraint: r
+        for r in dq_constraints(
+            load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+        ).collect()
+    }
+    assert len(rows) == 7
+    # the suite must be able to FAIL: partial orders exist in the data
+    assert not rows["o_orderstatus_no_partial"].passed
+    assert rows["o_orderstatus_no_partial"].violations > 0
+    # structural invariants of the dataset hold
+    for name in ("o_custkey_complete", "o_orderkey_unique", "l_orderkey_ref_integrity"):
+        assert rows[name].passed and rows[name].violations == 0

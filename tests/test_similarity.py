@@ -132,3 +132,20 @@ def test_ivfpq_is_adc_restricted_to_probed_lists(spark, sf_dir):
     for rows in by_q.values():
         rows.sort()
         assert [d for _, d in rows] == sorted(d for _, d in rows)
+
+
+def test_dim_stats_flags_dead_dimension(spark):
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators.similarity import dim_stats
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.5], label=0),
+            Row(vec_id=1, embedding=[-1.0, 0.0, 0.5], label=0),
+        ]
+    )
+    rows = {r.dim: r for r in dim_stats(emb).collect()}
+    assert rows[2].n_zero == 2 and rows[2].mean == 0.0 and rows[2].ex2 == 0.0
+    assert rows[1].mean == 0.0 and rows[1].ex2 > 0  # alive: variance survives
+    assert rows[3].x_min == 0.5 and rows[3].x_max == 0.5
