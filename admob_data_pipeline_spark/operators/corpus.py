@@ -739,6 +739,74 @@ ORDER BY w.source
 """
 
 
+# --- categorical mutual information ----------------------------------------
+MI_SCALE = 1_000_000
+
+
+def mutual_information(
+    docs: DataFrame, col_a: str = "lang", col_b: str = "source"
+) -> DataFrame:
+    """Pointwise mutual-information audit between two categorical columns:
+    each (a, b) cell contributes p(a,b)·ln(p(a,b)/(p(a)p(b))); the sum is
+    the columns' mutual information. Used to detect feature leakage
+    (a "random" shard assignment that actually correlates with language)
+    and to validate that a stratification key carries signal.
+
+    Determinism: the probability ratio is computed as
+    (n/n_a)·(n_tot/n_b) — two correctly-rounded quotients and one product,
+    written identically in both engines — and each cell's contribution is
+    floor-scaled to an e6 integer before any summation (playbook #14).
+    This form also never overflows: n·n_tot as integers would pass 2^63
+    at corpus scale, the quotient form stays in double range.
+
+    Scale: one scan → one groupBy on the (a,b) cell (category-bounded);
+    margins and totals derive from the checkpointed cell table and
+    broadcast back. No window functions.
+    """
+    cells = (
+        docs.groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    ma = cells.groupBy(col_a).agg(F.sum("n").alias("n_a"))
+    mb = cells.groupBy(col_b).agg(F.sum("n").alias("n_b"))
+    tot = cells.agg(F.sum("n").alias("n_tot"))
+    j = (
+        cells.join(F.broadcast(ma), col_a)
+        .join(F.broadcast(mb), col_b)
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("n") / F.col("n_tot")
+    ratio = (F.col("n") / F.col("n_a")) * (F.col("n_tot") / F.col("n_b"))
+    return j.select(
+        col_a,
+        col_b,
+        F.col("n").cast("long").alias("n"),
+        F.floor(p * F.log(ratio) * MI_SCALE).cast("long").alias("mi_e6"),
+    ).orderBy(col_a, col_b)
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mutual_information(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_MI = f"""
+WITH cells AS (
+    SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+),
+ma AS (SELECT lang, SUM(n) AS n_a FROM cells GROUP BY lang),
+mb AS (SELECT source, SUM(n) AS n_b FROM cells GROUP BY source),
+tot AS (SELECT SUM(n) AS n_tot FROM cells)
+SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n,
+       CAST(FLOOR((CAST(c.n AS DOUBLE) / n_tot)
+                  * ln((CAST(c.n AS DOUBLE) / n_a)
+                       * (CAST(n_tot AS DOUBLE) / n_b))
+                  * {MI_SCALE}) AS BIGINT) AS mi_e6
+FROM cells c JOIN ma USING (lang) JOIN mb USING (source), tot
+ORDER BY c.lang, c.source
+"""
+
+
 # --- per-source document cap -------------------------------------------------
 CAP_PER_SOURCE = 15
 
@@ -919,6 +987,7 @@ ORDER BY d.doc_id
 
 
 QUERIES = {
+    "mutual_information": q_mutual_information,
     "source_cap_sample": q_source_cap_sample,
     "importance_weights": q_importance_weights,
     "mixture_weights": q_mixture_weights,
@@ -933,6 +1002,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mutual_information": _ORACLE_MI,
     "source_cap_sample": _ORACLE_SOURCE_CAP,
     "importance_weights": _ORACLE_DSIR,
     "mixture_weights": _ORACLE_MIXTURE,

@@ -2218,7 +2218,91 @@ ORDER BY l_returnflag
 """
 
 
+# --- population-stability drift audit ---------------------------------------
+PSI_SCALE = 1_000_000
+PSI_BASE_DAYS = 7
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type: the first
+    ``PSI_BASE_DAYS`` days of traffic are the baseline window, everything
+    after is current; each category contributes (p_cur − p_base)·
+    ln(p_cur/p_base) — the standard production drift monitor for a
+    categorical feature (PSI > 0.2 total ⇒ investigate).
+
+    The window boundary anchors to min(ts) (no hard-coded dates — the
+    testdata regenerates), add-1 smoothing keeps empty categories finite,
+    and each contribution is floor-scaled to an e6 integer so the
+    engine-side ln ulp cannot flip the aggregate (playbook #14).
+
+    Scale: one scan, one groupBy on event_type (category-bounded), the
+    1-row min(ts) and category-count scalars broadcast. No window
+    functions, no per-row Python.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    counts = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            "event_type",
+            (
+                F.datediff(F.col("ts").cast("date"), F.col("d0")) < PSI_BASE_DAYS
+            ).alias("is_base"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("n_base"),
+            F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).alias("n_cur"),
+        )
+        .localCheckpoint()
+    )
+    stats = counts.agg(
+        F.sum("n_base").alias("t_base"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = counts.crossJoin(F.broadcast(stats))
+    p_base = (F.col("n_base") + 1) / (F.col("t_base") + F.col("k"))
+    p_cur = (F.col("n_cur") + 1) / (F.col("t_cur") + F.col("k"))
+    return j.select(
+        "event_type",
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.floor((p_cur - p_base) * F.log(p_cur / p_base) * PSI_SCALE)
+        .cast("long")
+        .alias("psi_e6"),
+    ).orderBy("event_type")
+
+
+_ORACLE_PSI = f"""
+WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+counts AS (
+    SELECT event_type,
+           SUM(CASE WHEN datediff('day', d0, CAST(ts AS DATE)) < {PSI_BASE_DAYS}
+                    THEN 1 ELSE 0 END) AS n_base,
+           SUM(CASE WHEN datediff('day', d0, CAST(ts AS DATE)) < {PSI_BASE_DAYS}
+                    THEN 0 ELSE 1 END) AS n_cur
+    FROM events, d0
+    GROUP BY event_type
+),
+stats AS (
+    SELECT SUM(n_base) AS t_base, SUM(n_cur) AS t_cur, COUNT(*) AS k FROM counts
+)
+SELECT event_type,
+       CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(FLOOR(((n_cur + 1) / CAST(t_cur + k AS DOUBLE)
+                   - (n_base + 1) / CAST(t_base + k AS DOUBLE))
+                  * ln(((n_cur + 1) / CAST(t_cur + k AS DOUBLE))
+                       / ((n_base + 1) / CAST(t_base + k AS DOUBLE)))
+                  * {PSI_SCALE}) AS BIGINT) AS psi_e6
+FROM counts, stats
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "drift_psi": q_drift_psi,
     "winsorized_stats": q_winsorized_stats,
     "sampled_quantiles": q_sampled_quantiles,
     "rolling_zscore": q_rolling_zscore,
@@ -2263,6 +2347,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "drift_psi": _ORACLE_PSI,
     "winsorized_stats": _ORACLE_WINSORIZED,
     "nation_volume_trade": _ORACLE_Q7,
     "event_transitions": _ORACLE_TRANSITIONS,

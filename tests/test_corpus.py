@@ -215,3 +215,19 @@ def test_source_cap_sample_caps_every_source(spark, sf_dir):
     # deterministic: same seed → identical kept set
     again = {(r.doc_id, r.source) for r in corpus.source_cap_sample(docs, cap=5).collect()}
     assert again == {(r.doc_id, r.source) for r in kept}
+
+
+def test_mutual_information_dependence_and_independence(spark):
+    dep = spark.createDataFrame(
+        [Row(doc_id=i, lang=("en" if i % 2 else "de"), source=("en" if i % 2 else "de"))
+         for i in range(20)]
+    )
+    rows = corpus.mutual_information(dep).collect()
+    # perfectly dependent uniform pair: total MI = ln(2) (scaled e6)
+    assert sum(r.mi_e6 for r in rows) in (693146, 693147)  # floor of 2×½·ln2
+    ind = spark.createDataFrame(
+        [Row(doc_id=i, lang=("en" if i % 2 else "de"), source=("s1" if i < 10 else "s2"))
+         for i in range(20)]
+    )
+    rows = corpus.mutual_information(ind).collect()
+    assert all(-1 <= r.mi_e6 <= 0 for r in rows)  # independent → ~0 (floor may hit -1)

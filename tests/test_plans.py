@@ -266,3 +266,13 @@ def test_sliding_window_single_aggregate(spark, sf_dir):
     plan = explain.formatted_plan(df)
     assert plan.count("Scan parquet") == 2  # one scan (counted twice)
     assert "Join" not in plan, plan
+
+
+def test_drift_psi_contributions_nonnegative(spark):
+    """(p_cur − p_base)·ln(p_cur/p_base) has same-sign factors, so every
+    category's PSI contribution is ≥ 0; totals match the category sums."""
+    from admob_data_pipeline_spark.plans.analytics_ext import q_drift_psi
+
+    rows = q_drift_psi(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.psi_e6 >= 0 for r in rows)
+    assert all(r.n_base + r.n_cur > 0 for r in rows)
