@@ -803,6 +803,140 @@ def bpe_merge_pairs(
     )
 
 
+BPE_TRAIN_ITERS = 3
+
+
+def bpe_train(
+    docs: DataFrame, n_iters: int = BPE_TRAIN_ITERS, text_col: str = "text"
+) -> DataFrame:
+    """Full distributed BPE training loop, ``n_iters`` merges: count
+    adjacent token pairs over the word-frequency table, adopt the most
+    frequent pair as a merge, RE-SEGMENT every word, and repeat —
+    the Sennrich et al. (2016) trainer, where ``bpe_merge_pairs`` is a
+    single iteration. Output: one row per learned merge (rank, the
+    bracketed pair, corpus count at adoption time).
+
+    Segmentations are encoded as bracketed strings — "low" →
+    "(l)(o)(w)" — so applying a merge is a plain string replace:
+    the pattern "(a)(b)" starts with '(' and ends with ')', so matches
+    can never overlap or share characters, which makes the replace
+    order-independent (identical in any engine) AND exactly the greedy
+    left-to-right merge: back-to-back pairs "(x)(y)(x)(y)" collapse to
+    "(xy)(xy)" in one pass, and "(a)(a)(a)" → "(aa)(a)" like real BPE.
+
+    Scale: the corpus shuffles ONCE (word count); every iteration after
+    that runs on the vocabulary-sized word table (the reason production
+    BPE trainers keep a word-freq table, not the raw corpus). Each
+    iteration: one vocabulary-sized pair aggregation + a top-1
+    (TakeOrdered, no full sort materialization) + a broadcast of the
+    1-row merge. Per-iteration localCheckpoint truncates lineage
+    (playbook: cache() misses on these plans).
+
+    Words are restricted to ^[a-z0-9]{2,}$ (standard pre-tokenization;
+    also guarantees '(' / ')' never occur inside a token).
+    """
+    w = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w").rlike("^[a-z0-9]{2,}$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .select(
+            F.expr("concat('(', array_join(split(w, ''), ')('), ')')").alias("s"),
+            "wf",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(1, n_iters + 1):
+        pair_counts = (
+            w.select("wf", F.expr(r"split(substring(s, 2, length(s) - 2), '\\)\\(')").alias("t"))
+            .where(F.size("t") >= 2)  # fully-merged words: sequence(1,0) trap
+            .select(
+                "wf",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1),"
+                        " j -> concat('(', element_at(t, j), ')(',"
+                        " element_at(t, j + 1), ')'))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("wf").alias("n_merge"))
+        )
+        best = (
+            pair_counts.orderBy(F.desc("n_merge"), F.asc("pair"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        merges.append(
+            best.select(
+                F.lit(rank).alias("merge_rank"), F.col("pair"), F.col("n_merge")
+            )
+        )
+        if rank < n_iters:
+            w = (
+                w.crossJoin(F.broadcast(best.select(F.col("pair").alias("bp"))))
+                .select(
+                    F.expr("replace(s, bp, replace(bp, ')(', ''))").alias("s"),
+                    "wf",
+                )
+                .localCheckpoint()
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_oracle(n_iters: int = BPE_TRAIN_ITERS) -> str:
+    ctes = [
+        """w1 AS (
+    SELECT concat('(', array_to_string(string_split(w, ''), ')('), ')') AS s, wf
+    FROM (
+        SELECT w, COUNT(*) AS wf
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        WHERE regexp_matches(w, '^[a-z0-9]{2,}$')
+        GROUP BY w
+    )
+)"""
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"""p{i} AS (
+    SELECT pair, SUM(wf) AS n_merge FROM (
+        SELECT wf,
+               unnest(['(' || t[j] || ')(' || t[j+1] || ')'
+                       FOR j IN generate_series(1, len(t) - 1)]) AS pair
+        FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS t, wf
+              FROM w{i})
+        WHERE len(t) >= 2
+    ) GROUP BY pair
+),
+b{i} AS (SELECT pair, n_merge FROM p{i} ORDER BY n_merge DESC, pair LIMIT 1)"""
+        )
+        if i < n_iters:
+            ctes.append(
+                f"""w{i+1} AS (
+    SELECT replace(s, (SELECT pair FROM b{i}),
+                   replace((SELECT pair FROM b{i}), ')(', '')) AS s, wf
+    FROM w{i}
+)"""
+            )
+    selects = "\nUNION ALL ".join(
+        f"SELECT {i} AS merge_rank, pair, CAST(n_merge AS BIGINT) AS n_merge FROM b{i}"
+        for i in range(1, n_iters + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY merge_rank"
+
+
+_ORACLE_BPE_TRAIN = _bpe_oracle()
+
+
 def vocab_coverage(
     docs: DataFrame,
     sizes: tuple[int, ...] = (100, 500, 2000),
@@ -1118,6 +1252,7 @@ QUERIES = {
     "text_normalize": q_normalize_text,
     "length_bucket_sample": q_length_bucket_sample,
     "text_bpe_merge_pairs": q_bpe_merge_pairs,
+    "text_bpe_train": q_bpe_train,
     "text_vocab_coverage": q_vocab_coverage,
     "curation_funnel": q_curation_funnel,
     "tokenizer_fertility": q_tokenizer_fertility,
@@ -1137,6 +1272,7 @@ ORACLES = {
     "text_language_id": _ORACLE_LANG_ID,
     "text_fingerprints": _ORACLE_FINGERPRINTS,
     "text_bpe_merge_pairs": _ORACLE_BPE,
+    "text_bpe_train": _ORACLE_BPE_TRAIN,
     "text_vocab_coverage": _ORACLE_VOCAB_COVERAGE,
     "curation_funnel": _ORACLE_FUNNEL,
     "tokenizer_fertility": _ORACLE_FERTILITY,

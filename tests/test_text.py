@@ -125,3 +125,22 @@ def test_curation_funnel_accounting(spark):
     assert rows["non_alpha"].n_out == 1
     for r in rows.values():
         assert r.n_out == r.n_in - r.n_dropped
+
+
+def test_bpe_train_feeds_merges_forward(spark):
+    """Merge 2 must be built FROM merge 1's token ('ab' + 'c'), proving
+    the trainer re-segments between iterations instead of re-counting
+    raw char pairs three times."""
+    d = _docs(spark, ["abc"] * 10 + ["abd"] * 6)
+    got = [(r.merge_rank, r.pair, r.n_merge) for r in T.bpe_train(d).collect()]
+    assert got == [(1, "(a)(b)", 16), (2, "(ab)(c)", 10), (3, "(ab)(d)", 6)]
+
+
+def test_bpe_train_greedy_adjacent_runs(spark):
+    """Back-to-back and self-adjacent pairs merge like greedy BPE:
+    'aaaa' under merge (a)(a) becomes (aa)(aa), not (a)(aaa)."""
+    d = _docs(spark, ["aaaa"] * 3)
+    got = [(r.merge_rank, r.pair, r.n_merge) for r in T.bpe_train(d, n_iters=2).collect()]
+    # iter1: pairs (a)(a) ×3 per word ×3 docs = 9; resegment → (aa)(aa)
+    # iter2: (aa)(aa) ×1 per word ×3 docs = 3
+    assert got == [(1, "(a)(a)", 9), (2, "(aa)(aa)", 3)]
