@@ -1366,6 +1366,98 @@ ORDER BY e.qid
 """
 
 
+# --- hard-negative mining for contrastive training --------------------------
+HARD_NEG_K = 5
+
+
+def hard_negatives(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = HARD_NEG_K,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Hard-negative mining: for each anchor, the ``k`` most-similar
+    vectors with a DIFFERENT label — the pairs a contrastive loss learns
+    the most from (easy negatives are already far; near-identical
+    same-label vectors are positives). Candidates are restricted to the
+    anchor's sign-LSH bucket, which is exactly where hard negatives live
+    (high cosine ⇒ high probability of sharing sign bits).
+
+    Ranking is by the RAW cosine quotient (playbook #12 — rounding can
+    flip ties); the rounded value is display-only.
+
+    Scale: anchors broadcast; the corpus side is scanned once and only
+    bucket-mates survive the join (~N/2^planes candidates per anchor);
+    per-anchor top-k via bounded window.
+    """
+    df = widen_if_narrow(emb)
+    v = as_double(F.col("embedding"))
+    base = df.select(
+        "vec_id", "label", v.alias("v"), norm(v).alias("nrm")
+    ).withColumn("bucket", sign_bucket(F.col("v"), n_planes))
+    q = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    raw = F.try_divide(dot(F.col("qv"), F.col("v")), F.col("qn") * F.col("nrm"))
+    pairs = (
+        base.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .where((F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("qlabel")))
+        .select("qid", "vec_id", "label", raw.alias("raw_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("raw_sim"), F.col("vec_id"))
+    return (
+        pairs.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("neg_rank") <= k)
+        .select(
+            "qid",
+            "neg_rank",
+            "vec_id",
+            "label",
+            F.round("raw_sim", 6).alias("cos_sim"),
+        )
+        .orderBy("qid", "neg_rank")
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hard_negatives(load_table(spark, sf_dir, "embeddings"), QUERY_IDS)
+
+
+_ORACLE_HARD_NEG = f"""
+WITH base2 AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+bucketed AS (SELECT *, {_SIGN_BITS} AS bucket FROM base2),
+q AS (
+    SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qn, bucket AS qbucket
+    FROM bucketed WHERE vec_id < 8
+),
+scored AS (
+    SELECT q.qid, b.vec_id, b.label,
+           list_dot_product(q.qv, b.v) / NULLIF(q.qn * b.nrm, 0) AS raw_sim
+    FROM bucketed b JOIN q ON b.bucket = q.qbucket
+    WHERE b.vec_id <> q.qid AND b.label <> q.qlabel
+),
+ranked AS (
+    SELECT qid, vec_id, label, raw_sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY raw_sim DESC, vec_id)
+               AS neg_rank
+    FROM scored
+)
+SELECT qid, CAST(neg_rank AS BIGINT) AS neg_rank, vec_id, label,
+       ROUND(raw_sim, 6) AS cos_sim
+FROM ranked WHERE neg_rank <= {HARD_NEG_K}
+ORDER BY qid, neg_rank
+"""
+
+
 # --- per-dimension embedding health audit -----------------------------------
 
 
@@ -1446,6 +1538,7 @@ FROM s ORDER BY dim
 
 QUERIES = {
     "embedding_dim_stats": q_dim_stats,
+    "contrastive_negatives": q_hard_negatives,
     "ann_recall_audit": q_ann_recall_audit,
     "ann_pq_adc_topk": q_ann_pq_adc,
     "ann_ivfpq_topk": q_ann_ivfpq,
@@ -1463,6 +1556,7 @@ QUERIES = {
 
 ORACLES = {
     "embedding_dim_stats": _ORACLE_DIM_STATS,
+    "contrastive_negatives": _ORACLE_HARD_NEG,
     "ann_recall_audit": _ORACLE_RECALL,
     "ann_pq_adc_topk": _ORACLE_PQ_ADC,
     "ann_ivfpq_topk": _ORACLE_IVFPQ,

@@ -835,6 +835,16 @@ def bpe_train(
     Words are restricted to ^[a-z0-9]{2,}$ (standard pre-tokenization;
     also guarantees '(' / ')' never occur inside a token).
     """
+    merges, _ = _bpe_loop(docs, n_iters, text_col)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_loop(docs: DataFrame, n_iters: int, text_col: str):
+    """Shared BPE trainer loop: returns ([per-merge 1-row frames], the
+    word table AFTER all merges are applied)."""
     w = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .where(F.col("w").rlike("^[a-z0-9]{2,}$"))
@@ -874,26 +884,60 @@ def bpe_train(
                 F.lit(rank).alias("merge_rank"), F.col("pair"), F.col("n_merge")
             )
         )
-        if rank < n_iters:
-            w = (
-                w.crossJoin(F.broadcast(best.select(F.col("pair").alias("bp"))))
-                .select(
-                    F.expr("replace(s, bp, replace(bp, ')(', ''))").alias("s"),
-                    "wf",
-                )
-                .localCheckpoint()
+        w = (
+            w.crossJoin(F.broadcast(best.select(F.col("pair").alias("bp"))))
+            .select(
+                F.expr("replace(s, bp, replace(bp, ')(', ''))").alias("s"),
+                "wf",
             )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("merge_rank")
+            .localCheckpoint()
+        )
+    return merges, w
+
+
+BPE_ENCODE_TOP = 50
+
+
+def bpe_encode(
+    docs: DataFrame,
+    n_iters: int = BPE_TRAIN_ITERS,
+    top_n: int = BPE_ENCODE_TOP,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer INFERENCE with the merges ``bpe_train`` learns: apply
+    all merges to the word table and count the resulting pieces over the
+    corpus (occurrences weighted by word frequency) — the piece-frequency
+    table a tokenizer build step publishes. Multi-char pieces in the
+    output are exactly the learned merges reaching the corpus.
+
+    Scale: identical to the trainer (corpus shuffles once into the word
+    table; everything else is vocabulary-sized); the final piece count is
+    one more vocabulary-sized aggregation.
+    """
+    _, w = _bpe_loop(docs, n_iters, text_col)
+    return (
+        w.select(
+            "wf",
+            F.explode(
+                F.expr(r"split(substring(s, 2, length(s) - 2), '\\)\\(')")
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("wf").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("piece"))
+        .limit(top_n)
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_encode(load_table(spark, sf_dir, "documents"))
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(load_table(spark, sf_dir, "documents"))
 
 
-def _bpe_oracle(n_iters: int = BPE_TRAIN_ITERS) -> str:
+def _bpe_oracle(n_iters: int = BPE_TRAIN_ITERS, mode: str = "train") -> str:
     ctes = [
         """w1 AS (
     SELECT concat('(', array_to_string(string_split(w, ''), ')('), ')') AS s, wf
@@ -919,7 +963,7 @@ def _bpe_oracle(n_iters: int = BPE_TRAIN_ITERS) -> str:
 ),
 b{i} AS (SELECT pair, n_merge FROM p{i} ORDER BY n_merge DESC, pair LIMIT 1)"""
         )
-        if i < n_iters:
+        if i < n_iters or mode == "encode":
             ctes.append(
                 f"""w{i+1} AS (
     SELECT replace(s, (SELECT pair FROM b{i}),
@@ -927,6 +971,12 @@ b{i} AS (SELECT pair, n_merge FROM p{i} ORDER BY n_merge DESC, pair LIMIT 1)"""
     FROM w{i}
 )"""
             )
+    if mode == "encode":
+        final = f"""SELECT piece, CAST(SUM(wf) AS BIGINT) AS n_occ FROM (
+    SELECT wf, unnest(string_split(substr(s, 2, length(s) - 2), ')(')) AS piece
+    FROM w{n_iters + 1}
+) GROUP BY piece ORDER BY n_occ DESC, piece LIMIT {BPE_ENCODE_TOP}"""
+        return "WITH " + ",\n".join(ctes) + "\n" + final
     selects = "\nUNION ALL ".join(
         f"SELECT {i} AS merge_rank, pair, CAST(n_merge AS BIGINT) AS n_merge FROM b{i}"
         for i in range(1, n_iters + 1)
@@ -935,6 +985,7 @@ b{i} AS (SELECT pair, n_merge FROM p{i} ORDER BY n_merge DESC, pair LIMIT 1)"""
 
 
 _ORACLE_BPE_TRAIN = _bpe_oracle()
+_ORACLE_BPE_ENCODE = _bpe_oracle(mode="encode")
 
 
 def vocab_coverage(
@@ -1253,6 +1304,7 @@ QUERIES = {
     "length_bucket_sample": q_length_bucket_sample,
     "text_bpe_merge_pairs": q_bpe_merge_pairs,
     "text_bpe_train": q_bpe_train,
+    "text_bpe_encode": q_bpe_encode,
     "text_vocab_coverage": q_vocab_coverage,
     "curation_funnel": q_curation_funnel,
     "tokenizer_fertility": q_tokenizer_fertility,
@@ -1273,6 +1325,7 @@ ORACLES = {
     "text_fingerprints": _ORACLE_FINGERPRINTS,
     "text_bpe_merge_pairs": _ORACLE_BPE,
     "text_bpe_train": _ORACLE_BPE_TRAIN,
+    "text_bpe_encode": _ORACLE_BPE_ENCODE,
     "text_vocab_coverage": _ORACLE_VOCAB_COVERAGE,
     "curation_funnel": _ORACLE_FUNNEL,
     "tokenizer_fertility": _ORACLE_FERTILITY,

@@ -149,3 +149,25 @@ def test_dim_stats_flags_dead_dimension(spark):
     assert rows[2].n_zero == 2 and rows[2].mean == 0.0 and rows[2].ex2 == 0.0
     assert rows[1].mean == 0.0 and rows[1].ex2 > 0  # alive: variance survives
     assert rows[3].x_min == 0.5 and rows[3].x_max == 0.5
+
+
+def test_hard_negatives_are_cross_label_and_ranked(spark, sf_dir):
+    from admob_data_pipeline_spark.operators.similarity import (
+        QUERY_IDS,
+        hard_negatives,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = hard_negatives(emb, QUERY_IDS).collect()
+    assert rows
+    by_anchor = {}
+    for r in rows:
+        assert r.label != labels[r.qid]        # negatives only
+        assert r.vec_id != r.qid
+        by_anchor.setdefault(r.qid, []).append(r)
+    for qid, rs in by_anchor.items():
+        assert [r.neg_rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)  # hardest first

@@ -144,3 +144,11 @@ def test_bpe_train_greedy_adjacent_runs(spark):
     # iter1: pairs (a)(a) ×3 per word ×3 docs = 9; resegment → (aa)(aa)
     # iter2: (aa)(aa) ×1 per word ×3 docs = 3
     assert got == [(1, "(a)(a)", 9), (2, "(aa)(aa)", 3)]
+
+
+def test_bpe_encode_applies_all_merges(spark):
+    """After 3 merges on the abc/abd corpus the words are single pieces —
+    encode must surface the merged pieces with corpus-weighted counts."""
+    d = _docs(spark, ["abc"] * 10 + ["abd"] * 6)
+    got = {r.piece: r.n_occ for r in T.bpe_encode(d).collect()}
+    assert got == {"abc": 10, "abd": 6}
