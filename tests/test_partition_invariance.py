@@ -21,6 +21,15 @@ SENSITIVE = [
     "doc_packing",
     "embedding_class_centroids",
     "pricing_summary",
+    # round-3 additions exercising new risky machinery: iterative merge
+    # adoption (argmax tiebreak per round), hashed-bucket log-ratios,
+    # second-moment integer sums, and PSI/MI transcendental scaling
+    "text_bpe_train",
+    "importance_weights",
+    "embedding_dim_stats",
+    "drift_psi",
+    "mutual_information",
+    "dedup_substring",
 ]
 
 
