@@ -1254,6 +1254,78 @@ ORDER BY a, b
 """
 
 
+# --- corpus dedup accounting ------------------------------------------------
+
+
+def cluster_stats(docs: DataFrame) -> DataFrame:
+    """Dedup accounting over the near-dup cluster assignment: how many
+    clusters exist at each size, how many docs they hold, and how many
+    docs a keep-one-per-cluster pass would remove — the headline numbers
+    a dedup run reports ("N% of the corpus was near-duplicate").
+
+    Scale: one aggregation over the cluster assignment (itself the
+    iterative label-prop output); the histogram is |distinct sizes| rows.
+    """
+    c = duplicate_clusters(docs)
+    return (
+        c.groupBy("cluster_size")
+        .agg(F.countDistinct("cluster_id").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_stats(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_CLUSTER_STATS = (
+    "WITH RECURSIVE "
+    + _DUCK_SHINGLES.format(max_df=MAX_DF)
+    + f""",
+inter AS (
+    SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+    FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    GROUP BY sa.doc_id, sb.doc_id
+),
+pairs AS (
+    SELECT i.a, i.b
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE i.n_inter * 1000000
+          >= {int(round(JACCARD_THRESHOLD * 1_000_000))}
+             * (za.n_sh + zb.n_sh - i.n_inter)
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b AS node, r.lbl
+    FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+FROM csize
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+)
+
+
 # --- cross-split leakage audit ---------------------------------------------
 
 
@@ -1459,9 +1531,11 @@ QUERIES = {
     "dedup_clusters": q_duplicate_clusters,
     "dedup_split_leakage": q_cross_split_leakage,
     "dedup_substring": q_substring_dup,
+    "dedup_cluster_stats": q_cluster_stats,
 }
 
 ORACLES = {
+    "dedup_cluster_stats": _ORACLE_CLUSTER_STATS,
     "dedup_split_leakage": _ORACLE_SPLIT_LEAKAGE,
     "dedup_substring": _ORACLE_SUBSTRING,
     "dedup_prefix_filter": _ORACLE_PREFIX,

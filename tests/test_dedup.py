@@ -239,3 +239,11 @@ def test_cross_split_leakage_is_cross_split_subset_of_pairs(spark, sf_dir):
     assert {(r.a, r.b) for r in leaks} == want
     assert all(r.split_a != r.split_b for r in leaks)
     assert all(r.split_a == splits[r.a] and r.split_b == splits[r.b] for r in leaks)
+
+
+def test_cluster_stats_accounting(spark):
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    d = _docs(spark, [base, base, base, "q r s t u v w x y z"])
+    got = {r.cluster_size: (r.n_clusters, r.n_docs, r.n_removable)
+           for r in dedup.cluster_stats(d).collect()}
+    assert got == {1: (1, 1, 0), 3: (1, 3, 2)}
