@@ -2256,6 +2256,13 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    return psi_from_counts(counts)
+
+
+def psi_from_counts(counts: DataFrame) -> DataFrame:
+    """PSI scoring over a (event_type, n_base, n_cur) counts table —
+    shared by the batch query and the streaming incremental monitor
+    (count merge is associative, so both feed identical counts here)."""
     stats = counts.agg(
         F.sum("n_base").alias("t_base"),
         F.sum("n_cur").alias("t_cur"),

@@ -666,7 +666,80 @@ ORDER BY event_type, rank
 """
 
 
+def q_streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: each micro-batch's per-(event_type,
+    window) counts MERGE additively into a persistent counts table via
+    foreachBatch (read-merge-overwrite, the KMV-synopsis sink pattern);
+    PSI is computed once at read time from the merged counts
+    (plans/analytics_ext.psi_from_counts). Count merge is associative,
+    so the streamed PSI is oracle-checked EXACTLY against the batch
+    ``drift_psi`` — same oracle SQL.
+
+    The baseline boundary (first PSI_BASE_DAYS days) is resolved from
+    the static table at query build: in production the baseline window
+    is fixed config, not something a stream discovers.
+
+    Scale: state is |event types| rows; each micro-batch shuffles only
+    its own partial counts before the tiny merge."""
+    import shutil
+
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        PSI_BASE_DAYS,
+        psi_from_counts,
+    )
+
+    static = load_table(spark, sf_dir, "events")
+    d0 = static.agg(F.min(F.col("ts").cast("date")).alias("d0")).collect()[0].d0
+    events = _event_stream(spark, sf_dir).select(
+        "event_type",
+        (F.datediff(F.col("ts").cast("date"), F.lit(d0)) < PSI_BASE_DAYS).alias(
+            "is_base"
+        ),
+    )
+    table = tempfile.mkdtemp(prefix="psi_table_")
+    checkpoint = tempfile.mkdtemp(prefix="psi_ckpt_")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        partial = batch_df.groupBy("event_type").agg(
+            F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("n_base"),
+            F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).alias("n_cur"),
+        )
+        if any(
+            f.name.endswith(".parquet") or f.name == "_SUCCESS"
+            for f in os.scandir(table)
+        ):
+            partial = partial.unionByName(sp.read.parquet(table))
+        merged = partial.groupBy("event_type").agg(
+            F.sum("n_base").alias("n_base"), F.sum("n_cur").alias("n_cur")
+        )
+        rows = merged.collect()  # state table: |event types| rows
+        sp.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
+            table
+        )
+
+    try:
+        q = (
+            events.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = psi_from_counts(spark.read.parquet(table))
+        rows = out.collect()
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_base long, n_cur long, psi_e6 long"
+    ).orderBy("event_type")
+
+
 QUERIES = {
+    "streaming_drift_psi": q_streaming_drift_psi,
     "streaming_topk": q_streaming_topk,
     "streaming_stateful_rates": q_streaming_stateful,
     "sessionize_batch": q_sessionize_batch,
@@ -679,7 +752,14 @@ QUERIES = {
     "streaming_kmv_sink": q_streaming_kmv_sink,
 }
 
+def _psi_oracle() -> str:
+    from admob_data_pipeline_spark.plans import analytics_ext
+
+    return analytics_ext._ORACLE_PSI
+
+
 ORACLES = {
+    "streaming_drift_psi": _psi_oracle(),
     "streaming_topk": _ORACLE_STREAM_TOPK,
     "streaming_stateful_rates": _ORACLE_STATEFUL,
     "sessionize_batch": _ORACLE_SESSIONIZE,
