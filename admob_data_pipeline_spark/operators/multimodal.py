@@ -374,7 +374,83 @@ ORDER BY doc_id
 """
 
 
+# --- media shard packing -----------------------------------------------------
+SHARD_BYTES = 4096  # test-scale shard capacity (production: ~1 GB tar shards)
+SHARD_BUCKETS = 8
+
+
+def pack_media_shards(
+    media: DataFrame,
+    capacity: int = SHARD_BYTES,
+    n_buckets: int = SHARD_BUCKETS,
+) -> DataFrame:
+    """WebDataset-style shard planning: assign media files to fixed-byte
+    output shards (greedy-contiguous by doc_id within a bucket), emitting
+    the shard manifest a downstream tar-writer consumes. Same exact
+    integer cumsum/DIV machinery as sequence packing (packing.py), keyed
+    on byte_len instead of token count.
+
+    Scale: one shuffle on bucket; the window's cumulative sum carries one
+    BIGINT per row; buckets bound the window partitions (|corpus|/n_buckets
+    rows each — at 100 TB pick n_buckets ≈ number of output shards/1e3).
+    """
+    from pyspark.sql import Window
+
+    sized = media.select(
+        "doc_id",
+        (F.col("doc_id") % n_buckets).cast("long").alias("bucket"),
+        F.col("media_meta.byte_len").alias("n_bytes"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum", F.sum("n_bytes").over(w))
+        .withColumn(
+            "shard_id", F.expr(f"(cum - n_bytes) DIV CAST({capacity} AS BIGINT)")
+        )
+        .groupBy("bucket", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_bytes").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bucket", "shard_id")
+    )
+
+
+def q_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_media_shards(pack_binary(docs))
+
+
+_ORACLE_MEDIA_PACKING = f"""
+WITH sized AS (
+    SELECT doc_id, doc_id % {SHARD_BUCKETS} AS bucket,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+    FROM documents
+),
+cums AS (
+    SELECT doc_id, bucket, n_bytes,
+           SUM(n_bytes) OVER (PARTITION BY bucket ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+    FROM sized
+)
+SELECT bucket, CAST((cum - n_bytes) // {SHARD_BYTES} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_files,
+       CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM cums
+GROUP BY bucket, CAST((cum - n_bytes) // {SHARD_BYTES} AS BIGINT)
+ORDER BY bucket, shard_id
+"""
+
+
 QUERIES = {
+    "multimodal_packing": q_multimodal_packing,
     "multimodal_frame_dedup": q_multimodal_frame_dedup,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_frames": q_multimodal_frames,
@@ -383,6 +459,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_packing": _ORACLE_MEDIA_PACKING,
     "multimodal_frame_dedup": _ORACLE_FRAME_DEDUP,
     "multimodal_metadata": _ORACLE_METADATA,
     "multimodal_frames": _ORACLE_FRAMES,

@@ -46,3 +46,27 @@ def test_decode_image_stub_raises(spark):
     media = multimodal.pack_binary(_docs(spark, ["x"]))
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(media)
+
+
+def test_media_shard_packing_capacity_and_order(spark):
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators.multimodal import (
+        pack_binary,
+        pack_media_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="x" * 100) for i in range(10)]
+    )
+    # capacity 250, single bucket: shards of 2-3 files each (100B files —
+    # a file goes to the shard its cumulative offset falls in)
+    shards = pack_media_shards(pack_binary(docs), capacity=250, n_buckets=1).collect()
+    assert sum(r.n_files for r in shards) == 10
+    assert sum(r.shard_bytes for r in shards) == 1000
+    for r in shards:
+        assert r.first_doc <= r.last_doc
+    # contiguity: shard ranges don't interleave within the bucket
+    ordered = sorted(shards, key=lambda r: r.shard_id)
+    for prev, nxt in zip(ordered, ordered[1:]):
+        assert prev.last_doc < nxt.first_doc
