@@ -739,6 +739,99 @@ ORDER BY w.source
 """
 
 
+# --- per-source novelty ------------------------------------------------------
+NOVELTY_N = 3
+
+
+def ngram_novelty(docs: DataFrame, k: int = NOVELTY_N) -> DataFrame:
+    """Per-source novel-content contribution: of each source's distinct
+    k-grams, what fraction appears in NO other source. The
+    acquisition-prioritization metric — a crawl source whose novelty is
+    near zero adds volume but no new content, and is the first candidate
+    to drop when balancing a mixture.
+
+    Scale: one corpus scan → distinct (source, gram) pairs (one shuffle
+    on the pair); the gram→source-count census aggregates those pairs
+    (vocabulary-of-grams-sized); the unique-gram set joins back via
+    join_small. The corpus text is touched once.
+    """
+    docs = widen_if_narrow(docs)
+    sg = (
+        docs.select(
+            "source",
+            F.explode(F.array_distinct(shingles(tokens(F.col("text")), k))).alias(
+                "gram"
+            ),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    uniq = (
+        sg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_sources"))
+        .where(F.col("n_sources") == 1)
+        .select("gram")
+        .localCheckpoint()
+    )
+    n_grams = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    n_unique = (
+        join_small(sg, uniq, "gram")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return (
+        n_grams.join(n_unique, "source", "left")
+        .select(
+            "source",
+            "n_grams",
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_unique",
+            # per-source counts are corpus-fraction-sized; e6 scale is safe
+            # per group (two-stage ppm is for corpus-scale sums)
+            F.expr("n_unique * 1000000 DIV n_grams").alias("novelty_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_NOVELTY = f"""
+WITH t AS (
+    SELECT source, string_split(lower(text), ' ') AS toks FROM documents
+),
+sg AS (
+    SELECT DISTINCT source,
+           unnest(list_distinct(
+               [array_to_string(toks[i:i+{NOVELTY_N - 1}], ' ')
+                FOR i IN generate_series(1, len(toks) - {NOVELTY_N - 1})]
+           )) AS gram
+    FROM t
+),
+uniq AS (
+    SELECT gram FROM sg GROUP BY gram HAVING COUNT(*) = 1
+),
+g AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY source),
+u AS (
+    SELECT source, COUNT(*) AS n_unique
+    FROM sg WHERE gram IN (SELECT gram FROM uniq)
+    GROUP BY source
+)
+SELECT g.source, g.n_grams,
+       CAST(COALESCE(u.n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(COALESCE(u.n_unique, 0) * 1000000 // g.n_grams AS BIGINT)
+           AS novelty_ppm
+FROM g LEFT JOIN u USING (source)
+ORDER BY g.source
+"""
+
+
 # --- categorical mutual information ----------------------------------------
 MI_SCALE = 1_000_000
 
@@ -987,6 +1080,7 @@ ORDER BY d.doc_id
 
 
 QUERIES = {
+    "ngram_novelty": q_ngram_novelty,
     "mutual_information": q_mutual_information,
     "source_cap_sample": q_source_cap_sample,
     "importance_weights": q_importance_weights,
@@ -1002,6 +1096,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ngram_novelty": _ORACLE_NOVELTY,
     "mutual_information": _ORACLE_MI,
     "source_cap_sample": _ORACLE_SOURCE_CAP,
     "importance_weights": _ORACLE_DSIR,

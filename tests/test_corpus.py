@@ -231,3 +231,17 @@ def test_mutual_information_dependence_and_independence(spark):
     )
     rows = corpus.mutual_information(ind).collect()
     assert all(-1 <= r.mi_e6 <= 0 for r in rows)  # independent → ~0 (floor may hit -1)
+
+
+def test_ngram_novelty_unique_vs_shared_sources(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, source="s1", text="a b c d e"),
+            Row(doc_id=1, source="s2", text="a b c d e"),   # fully shared with s1
+            Row(doc_id=2, source="s3", text="p q r s t"),   # fully novel
+        ]
+    )
+    got = {r.source: (r.n_grams, r.n_unique, r.novelty_ppm)
+           for r in corpus.ngram_novelty(docs).collect()}
+    assert got["s3"] == (3, 3, 1_000_000)
+    assert got["s1"] == (3, 0, 0) and got["s2"] == (3, 0, 0)
