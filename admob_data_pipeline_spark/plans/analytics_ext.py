@@ -2218,6 +2218,60 @@ ORDER BY l_returnflag
 """
 
 
+# --- per-user silence-gap audit ----------------------------------------------
+GAP_LONG_US = 3_600 * 1_000_000  # 1 hour
+
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-gap audit: the longest silence between
+    consecutive events and how many gaps exceed one hour — the
+    engagement/outage detector a telemetry pipeline runs per entity.
+
+    Exactness: gaps are integer microseconds (unix_micros both sides —
+    no float time math); the lag window orders by (ts, event_id) so
+    same-timestamp ties are deterministic. Single-event users emit
+    max_gap_us = 0.
+
+    Scale: one window partitioned by user_id (the partition key bounds
+    the group — per-user event counts, the documented safe side of the
+    window-skew rule) + one partial-aggregated rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select("user_id", "ts", "event_id").withColumn(
+        "gap_us", F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    )
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(F.max("gap_us"), F.lit(0)).cast("long").alias("max_gap_us"),
+            F.sum(F.when(F.col("gap_us") > GAP_LONG_US, 1).otherwise(0))
+            .cast("long")
+            .alias("n_long_gaps"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# CAST(ts AS TIMESTAMP) truncates a TIMESTAMP_NS parquet read to micros —
+# matching load_table's `ts div 1000` normalization if nanos testdata returns
+_ORACLE_EVENT_GAPS = f"""
+WITH g AS (
+    SELECT user_id,
+           epoch_us(CAST(ts AS TIMESTAMP))
+           - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(COALESCE(MAX(gap_us), 0) AS BIGINT) AS max_gap_us,
+       CAST(SUM(CASE WHEN gap_us > {GAP_LONG_US} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_long_gaps
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --- population-stability drift audit ---------------------------------------
 PSI_SCALE = 1_000_000
 PSI_BASE_DAYS = 7
@@ -2309,6 +2363,7 @@ ORDER BY event_type
 
 
 QUERIES = {
+    "event_gaps": q_event_gaps,
     "drift_psi": q_drift_psi,
     "winsorized_stats": q_winsorized_stats,
     "sampled_quantiles": q_sampled_quantiles,
@@ -2354,6 +2409,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_gaps": _ORACLE_EVENT_GAPS,
     "drift_psi": _ORACLE_PSI,
     "winsorized_stats": _ORACLE_WINSORIZED,
     "nation_volume_trade": _ORACLE_Q7,

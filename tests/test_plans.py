@@ -276,3 +276,15 @@ def test_drift_psi_contributions_nonnegative(spark):
     rows = q_drift_psi(spark, "/root/testdata/sf0.001").collect()
     assert rows and all(r.psi_e6 >= 0 for r in rows)
     assert all(r.n_base + r.n_cur > 0 for r in rows)
+
+
+def test_event_gaps_invariants(spark):
+    from admob_data_pipeline_spark.plans.analytics_ext import q_event_gaps
+
+    rows = q_event_gaps(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.max_gap_us >= 0
+        assert 0 <= r.n_long_gaps <= max(r.n_events - 1, 0)
+        if r.n_events == 1:
+            assert r.max_gap_us == 0 and r.n_long_gaps == 0
