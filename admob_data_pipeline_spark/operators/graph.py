@@ -254,12 +254,91 @@ ORDER BY n_nodes DESC, component
 )
 
 
+# --- link prediction ---------------------------------------------------------
+LINK_TOP = 20
+
+
+def link_prediction(edges: DataFrame, top_n: int = LINK_TOP) -> DataFrame:
+    """Common-neighbor link prediction over an undirected graph: for every
+    NON-adjacent node pair that shares at least one neighbor, the shared
+    count and neighborhood Jaccard — the classic features behind
+    "customers also bought" candidate generation and graph-completion
+    training labels.
+
+    Scale: candidate pairs exist only through the shared-neighbor
+    equi-join (the n-gram-Jaccard shape applied to adjacency — never
+    all-pairs); existing edges drop via anti-join; Jaccard is exact
+    integer cross-multiplication, ppm for display.
+    """
+    adj = _adjacency(edges).localCheckpoint()
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    a = adj.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    b = adj.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    common = (
+        a.join(b, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cand = common.join(edges, ["u", "v"], "left_anti")
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.col("deg_u").cast("long").alias("deg_u"),
+            F.col("deg_v").cast("long").alias("deg_v"),
+            F.expr("n_common * 1000000 DIV (deg_u + deg_v - n_common)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("n_common"), F.desc("jaccard_ppm"), "u", "v")
+        .limit(top_n)
+    )
+
+
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return link_prediction(copurchase_edges(li))
+
+
+_ORACLE_LINK_PRED = (
+    "WITH "
+    + _EDGE_CTES.strip().rstrip(",")
+    + f""",
+common AS (
+    SELECT a.src AS u, b.src AS v, COUNT(*) AS n_common
+    FROM adj a JOIN adj b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src
+),
+cand AS (
+    SELECT c.u, c.v, c.n_common
+    FROM common c LEFT JOIN edges e ON e.u = c.u AND e.v = c.v
+    WHERE e.u IS NULL
+)
+SELECT c.u, c.v, CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(du.deg AS BIGINT) AS deg_u, CAST(dv.deg AS BIGINT) AS deg_v,
+       CAST(c.n_common * 1000000 // (du.deg + dv.deg - c.n_common) AS BIGINT)
+           AS jaccard_ppm
+FROM cand c JOIN deg du ON du.src = c.u JOIN deg dv ON dv.src = c.v
+ORDER BY n_common DESC, jaccard_ppm DESC, u, v
+LIMIT {LINK_TOP}
+"""
+)
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_components": q_graph_components,
+    "graph_link_prediction": q_graph_link_prediction,
 }
 
 ORACLES = {
     "graph_pagerank": _ORACLE_PAGERANK,
     "graph_components": _ORACLE_COMPONENTS,
+    "graph_link_prediction": _ORACLE_LINK_PRED,
 }

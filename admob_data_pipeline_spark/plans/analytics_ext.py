@@ -2218,6 +2218,77 @@ ORDER BY l_returnflag
 """
 
 
+# --- Benford first-digit audit -----------------------------------------------
+import math as _math
+
+# expected Benford proportions, floor-scaled ppm — computed ONCE in Python
+# and inlined as literals on BOTH engines (no query-time transcendental)
+BENFORD_PPM: dict[int, int] = {
+    d: int(_math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)
+}
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law fraud/integrity audit on order totals: the observed
+    first-significant-digit distribution vs the Benford expectation
+    (P(d) = log10(1 + 1/d)) — the classic forensic screen for fabricated
+    monetary values.
+
+    Exactness: the first digit comes from the INTEGER part's decimal
+    string (floor → BIGINT → substring — identical in both engines; no
+    double formatting); observed shares are integer ppm; the expected
+    constants are Python-computed literals, so no query-time
+    transcendental can diverge.
+
+    Scale: map-only digit extraction, one 9-group aggregation.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor("o_totalprice").cast("long").alias("units")
+    )
+    digits = o.where(F.col("units") >= 1).select(
+        F.substring(F.col("units").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    expected = spark.createDataFrame(
+        [(d, ppm) for d, ppm in BENFORD_PPM.items()], "digit int, expected_ppm long"
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(expected), "digit")
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 DIV t").alias("observed_ppm"),
+            "expected_ppm",
+            (F.expr("n * 1000000 DIV t") - F.col("expected_ppm")).alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+_ORACLE_BENFORD = (
+    """
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                AS INT) AS digit
+    FROM orders WHERE FLOOR(o_totalprice) >= 1
+),
+counts AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts),
+expected(digit, expected_ppm) AS (VALUES """
+    + ", ".join(f"({d}, {ppm})" for d, ppm in BENFORD_PPM.items())
+    + """)
+SELECT c.digit, c.n,
+       CAST(c.n * 1000000 // t AS BIGINT) AS observed_ppm,
+       CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+       CAST(c.n * 1000000 // t - e.expected_ppm AS BIGINT) AS dev_ppm
+FROM counts c, total JOIN expected e ON e.digit = c.digit
+ORDER BY c.digit
+"""
+)
+
+
 # --- per-user silence-gap audit ----------------------------------------------
 GAP_LONG_US = 3_600 * 1_000_000  # 1 hour
 
@@ -2363,6 +2434,7 @@ ORDER BY event_type
 
 
 QUERIES = {
+    "benford_audit": q_benford_audit,
     "event_gaps": q_event_gaps,
     "drift_psi": q_drift_psi,
     "winsorized_stats": q_winsorized_stats,
@@ -2409,6 +2481,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "benford_audit": _ORACLE_BENFORD,
     "event_gaps": _ORACLE_EVENT_GAPS,
     "drift_psi": _ORACLE_PSI,
     "winsorized_stats": _ORACLE_WINSORIZED,

@@ -84,3 +84,19 @@ def test_quantile_binning_partitions_all_orders(spark, sf_dir):
     # bucket ranges must not overlap
     for a, b in zip(rows, rows[1:]):
         assert a.max_cents <= b.min_cents
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators.graph import link_prediction
+
+    # path graph 1-2-3-4: candidates are the distance-2 pairs (1,3), (2,4)
+    edges = spark.createDataFrame(
+        [Row(u=1, v=2), Row(u=2, v=3), Row(u=3, v=4)]
+    )
+    got = {(r.u, r.v): (r.n_common, r.jaccard_ppm) for r in link_prediction(edges).collect()}
+    assert set(got) == {(1, 3), (2, 4)}
+    # (1,3): common={2}, deg 1 and 2 → jaccard 1/(1+2-1) = 0.5
+    assert got[(1, 3)] == (1, 500_000)
+    assert got[(2, 4)] == (1, 500_000)

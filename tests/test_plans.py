@@ -288,3 +288,17 @@ def test_event_gaps_invariants(spark):
         assert 0 <= r.n_long_gaps <= max(r.n_events - 1, 0)
         if r.n_events == 1:
             assert r.max_gap_us == 0 and r.n_long_gaps == 0
+
+
+def test_benford_audit_shares_sum_to_one(spark):
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        BENFORD_PPM,
+        q_benford_audit,
+    )
+
+    rows = q_benford_audit(spark, "/root/testdata/sf0.001").collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert sum(r.observed_ppm for r in rows) <= 1_000_000  # floor-div shares
+    for r in rows:
+        assert r.expected_ppm == BENFORD_PPM[r.digit]
+        assert r.dev_ppm == r.observed_ppm - r.expected_ppm
