@@ -1458,6 +1458,140 @@ ORDER BY qid, neg_rank
 """
 
 
+# --- label-noise detection ---------------------------------------------------
+NOISE_K = 3
+
+
+def label_noise_audit(
+    emb: DataFrame, k: int = NOISE_K, n_planes: int = N_PLANES
+) -> DataFrame:
+    """Confident-learning-style label QA: flag vectors whose k nearest
+    same-bucket neighbors vote for a DIFFERENT label (strict majority).
+    The standard screen for mislabeled training examples before a
+    classifier run; the LSH bucket bounds the neighbor search exactly as
+    in the ANN path (no all-pairs).
+
+    Determinism: neighbors rank by RAW cosine (ties → vec_id); the
+    majority vote ranks (count desc, label asc). Vectors alone in their
+    bucket are still reported (n_neighbors = 0, never flagged) so the
+    output is a full audit table.
+
+    Scale: one self-join bounded by bucket (~N/2^planes per side), one
+    per-anchor top-k window, one vote aggregation — the
+    embedding-neardup-LSH shuffle shape with a vote on top.
+    """
+    df = widen_if_narrow(emb)
+    v = as_double(F.col("embedding"))
+    base = df.select(
+        "vec_id", "label", v.alias("v"), norm(v).alias("nrm")
+    ).withColumn("bucket", sign_bucket(F.col("v"), n_planes)).localCheckpoint()
+    a = base.select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+        "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+        "bucket",
+    )
+    raw = F.try_divide(dot(F.col("av"), F.col("nv")), F.col("an") * F.col("nn"))
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("aid") != F.col("nid"))
+        .select("aid", "alabel", "nid", "nlabel", raw.alias("raw_sim"))
+    )
+    w = Window.partitionBy("aid").orderBy(F.desc("raw_sim"), F.col("nid"))
+    knn = pairs.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+    votes = knn.groupBy("aid", "alabel", "nlabel").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("aid").orderBy(F.desc("n_votes"), F.col("nlabel"))
+    top_vote = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "aid",
+            F.col("nlabel").alias("majority_label"),
+            F.col("n_votes").alias("n_majority"),
+        )
+    )
+    n_nb = knn.groupBy("aid").agg(F.count(F.lit(1)).alias("n_neighbors"))
+    return (
+        base.select(F.col("vec_id"), "label")
+        .join(n_nb.withColumnRenamed("aid", "vec_id"), "vec_id", "left")
+        .join(top_vote.withColumnRenamed("aid", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("n_neighbors", F.lit(0)).cast("long").alias("n_neighbors"),
+            "majority_label",
+            F.coalesce("n_majority", F.lit(0)).cast("long").alias("n_majority"),
+            F.coalesce(
+                (F.col("majority_label") != F.col("label"))
+                & (F.col("n_majority") * 2 > F.coalesce("n_neighbors", F.lit(0))),
+                F.lit(False),
+            ).alias("flagged"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_noise_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+_ORACLE_LABEL_NOISE = f"""
+WITH base2 AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+bucketed AS (SELECT *, {_SIGN_BITS} AS bucket FROM base2),
+pairs AS (
+    SELECT a.vec_id AS aid, a.label AS alabel, b.vec_id AS nid, b.label AS nlabel,
+           list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0) AS raw_sim
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+knn AS (
+    SELECT aid, alabel, nid, nlabel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY aid
+                                     ORDER BY raw_sim DESC, nid) AS rnk
+        FROM pairs
+    ) WHERE rnk <= {NOISE_K}
+),
+votes AS (
+    SELECT aid, alabel, nlabel, COUNT(*) AS n_votes
+    FROM knn GROUP BY aid, alabel, nlabel
+),
+top_vote AS (
+    SELECT aid, nlabel AS majority_label, n_votes AS n_majority FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY aid
+                                     ORDER BY n_votes DESC, nlabel) AS vr
+        FROM votes
+    ) WHERE vr = 1
+),
+n_nb AS (SELECT aid, COUNT(*) AS n_neighbors FROM knn GROUP BY aid)
+SELECT e.vec_id, e.label,
+       CAST(COALESCE(n.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+       t.majority_label,
+       CAST(COALESCE(t.n_majority, 0) AS BIGINT) AS n_majority,
+       COALESCE(t.majority_label <> e.label
+                AND t.n_majority * 2 > COALESCE(n.n_neighbors, 0), FALSE)
+           AS flagged
+FROM embeddings e
+LEFT JOIN n_nb n ON n.aid = e.vec_id
+LEFT JOIN top_vote t ON t.aid = e.vec_id
+ORDER BY e.vec_id
+"""
+
+
 # --- per-dimension embedding health audit -----------------------------------
 
 
@@ -1539,6 +1673,7 @@ FROM s ORDER BY dim
 QUERIES = {
     "embedding_dim_stats": q_dim_stats,
     "contrastive_negatives": q_hard_negatives,
+    "label_noise_audit": q_label_noise,
     "ann_recall_audit": q_ann_recall_audit,
     "ann_pq_adc_topk": q_ann_pq_adc,
     "ann_ivfpq_topk": q_ann_ivfpq,
@@ -1557,6 +1692,7 @@ QUERIES = {
 ORACLES = {
     "embedding_dim_stats": _ORACLE_DIM_STATS,
     "contrastive_negatives": _ORACLE_HARD_NEG,
+    "label_noise_audit": _ORACLE_LABEL_NOISE,
     "ann_recall_audit": _ORACLE_RECALL,
     "ann_pq_adc_topk": _ORACLE_PQ_ADC,
     "ann_ivfpq_topk": _ORACLE_IVFPQ,

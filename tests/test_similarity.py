@@ -171,3 +171,29 @@ def test_hard_negatives_are_cross_label_and_ranked(spark, sf_dir):
         assert [r.neg_rank for r in rs] == list(range(1, len(rs) + 1))
         sims = [r.cos_sim for r in rs]
         assert sims == sorted(sims, reverse=True)  # hardest first
+
+
+def test_label_noise_flags_planted_mislabel(spark):
+    """Three tight same-label clusters + one vector mislabeled inside a
+    cluster: the audit must flag exactly the planted one."""
+    import math
+
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators.similarity import label_noise_audit
+
+    def vec(base, eps):
+        v = [x + eps for x in base]
+        return v
+
+    rows = []
+    a, b = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    for i in range(4):
+        rows.append(Row(vec_id=i, embedding=vec(a, i * 0.01), label=0))
+    for i in range(4, 8):
+        rows.append(Row(vec_id=i, embedding=vec(b, (i - 4) * 0.01), label=1))
+    rows.append(Row(vec_id=8, embedding=vec(a, 0.02), label=1))  # planted noise
+    emb = spark.createDataFrame(rows)
+    got = {r.vec_id: r for r in label_noise_audit(emb, n_planes=2).collect()}
+    assert got[8].flagged and got[8].majority_label == 0
+    assert not any(got[i].flagged for i in range(8))
