@@ -803,6 +803,79 @@ def bpe_merge_pairs(
     )
 
 
+# --- deterministic augmentation ----------------------------------------------
+DROPOUT_PPM = 150_000  # drop ~15% of tokens
+
+
+def word_dropout(
+    docs: DataFrame,
+    seed: str = "aug-seed-1",
+    drop_ppm: int = DROPOUT_PPM,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic token-dropout augmentation: token i of doc d drops
+    iff md5(seed|d|i) falls below the drop threshold — the augmentation a
+    robustness-training pass applies, made reproducible (same seed →
+    byte-identical corpus on any engine/cluster/run; new seed → fresh
+    draw). Emits the kept-token fingerprint, not the text, so the audit
+    row stays narrow.
+
+    Scale: map-only (per-row array ops); no shuffle until the final sort.
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    frac = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(seed), F.col("doc_id").cast("string"), i.cast("string")
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16**13))
+    kept_idx = F.filter(idx, lambda i: frac(i) >= drop_ppm / 1_000_000)
+    kept = F.transform(kept_idx, lambda i: F.element_at(t, i))
+    staged = widen_if_narrow(docs).select(
+        "doc_id", n.alias("n_tokens"), kept.alias("kept")
+    )
+    return staged.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size("kept").cast("long").alias("n_kept"),
+        F.md5(F.array_join(F.col("kept"), " ")).alias("aug_fingerprint"),
+    ).orderBy("doc_id")
+
+
+def q_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return word_dropout(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_DROPOUT = f"""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+k AS (
+    SELECT doc_id, len(toks) AS n_tokens,
+           [toks[i] FOR i IN generate_series(1, len(toks))
+            IF CAST('0x' || substr(md5('aug-seed-1' || '|' || CAST(doc_id AS VARCHAR)
+                                       || '|' || CAST(i AS VARCHAR)), 1, 13) AS BIGINT)
+               / POWER(16, 13) >= {DROPOUT_PPM / 1_000_000}] AS kept
+    FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       md5(array_to_string(kept, ' ')) AS aug_fingerprint
+FROM k ORDER BY doc_id
+"""
+
+
 BPE_TRAIN_ITERS = 3
 
 
@@ -1305,6 +1378,7 @@ QUERIES = {
     "text_bpe_merge_pairs": q_bpe_merge_pairs,
     "text_bpe_train": q_bpe_train,
     "text_bpe_encode": q_bpe_encode,
+    "text_word_dropout": q_word_dropout,
     "text_vocab_coverage": q_vocab_coverage,
     "curation_funnel": q_curation_funnel,
     "tokenizer_fertility": q_tokenizer_fertility,
@@ -1326,6 +1400,7 @@ ORACLES = {
     "text_bpe_merge_pairs": _ORACLE_BPE,
     "text_bpe_train": _ORACLE_BPE_TRAIN,
     "text_bpe_encode": _ORACLE_BPE_ENCODE,
+    "text_word_dropout": _ORACLE_DROPOUT,
     "text_vocab_coverage": _ORACLE_VOCAB_COVERAGE,
     "curation_funnel": _ORACLE_FUNNEL,
     "tokenizer_fertility": _ORACLE_FERTILITY,

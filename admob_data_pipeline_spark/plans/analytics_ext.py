@@ -2218,6 +2218,74 @@ ORDER BY l_returnflag
 """
 
 
+# --- jackknife replicates ----------------------------------------------------
+JK_GROUPS = 10
+
+
+def q_jackknife_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife over order totals: rows hash into
+    ``JK_GROUPS`` groups (content-stable md5, not random()), and each
+    replicate's leave-one-group-out mean estimates the statistic's
+    sampling variability — the distributed way to put an error bar on a
+    corpus mean without a second pass or RNG state.
+
+    Exactness: per-group state is the (Σ cents, n) BIGINT pair; each
+    leave-one-out mean is a single exact-quotient division of exact
+    integers (identical in any engine); variance across the 10 replicate
+    doubles is the consumer's one-line follow-up.
+
+    Scale: one map-side-combined aggregation into JK_GROUPS groups — the
+    cost of a global mean, replicated error bar for free.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("jk-seed-1"), F.col("o_orderkey").cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % JK_GROUPS
+        ).alias("g"),
+    )
+    per = o.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("cents").alias("s_g")
+    )
+    tot = per.agg(F.sum("n_g").alias("n"), F.sum("s_g").alias("s"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "g",
+            F.col("n_g").cast("long").alias("n_g"),
+            # exact-quotient double over exact BIGINTs (no ROUND)
+            ((F.col("s") - F.col("s_g")) / (F.col("n") - F.col("n_g"))).alias(
+                "loo_mean_cents"
+            ),
+        )
+        .orderBy("g")
+    )
+
+
+_ORACLE_JACKKNIFE = f"""
+WITH o AS (
+    SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST('0x' || substr(md5('jk-seed-1' || '|' || CAST(o_orderkey AS VARCHAR)),
+                               1, 13) AS BIGINT) % {JK_GROUPS} AS g
+    FROM orders
+),
+per AS (SELECT g, COUNT(*) AS n_g, CAST(SUM(cents) AS BIGINT) AS s_g FROM o GROUP BY g),
+tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s FROM per)
+SELECT g, n_g,
+       CAST(s - s_g AS DOUBLE) / (n - n_g) AS loo_mean_cents
+FROM per, tot
+ORDER BY g
+"""
+
+
 # --- Benford first-digit audit -----------------------------------------------
 import math as _math
 
@@ -2434,6 +2502,7 @@ ORDER BY event_type
 
 
 QUERIES = {
+    "jackknife_replicates": q_jackknife_replicates,
     "benford_audit": q_benford_audit,
     "event_gaps": q_event_gaps,
     "drift_psi": q_drift_psi,
@@ -2481,6 +2550,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "jackknife_replicates": _ORACLE_JACKKNIFE,
     "benford_audit": _ORACLE_BENFORD,
     "event_gaps": _ORACLE_EVENT_GAPS,
     "drift_psi": _ORACLE_PSI,

@@ -302,3 +302,19 @@ def test_benford_audit_shares_sum_to_one(spark):
     for r in rows:
         assert r.expected_ppm == BENFORD_PPM[r.digit]
         assert r.dev_ppm == r.observed_ppm - r.expected_ppm
+
+
+def test_jackknife_replicates_bracket_global_mean(spark):
+    from admob_data_pipeline_spark.plans.analytics_ext import q_jackknife_replicates
+    from admob_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    reps = q_jackknife_replicates(spark, "/root/testdata/sf0.001").collect()
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    stats = o.select(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    mean = stats.s / stats.n
+    assert sum(r.n_g for r in reps) == stats.n
+    assert min(r.loo_mean_cents for r in reps) <= mean <= max(r.loo_mean_cents for r in reps)

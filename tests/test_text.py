@@ -152,3 +152,14 @@ def test_bpe_encode_applies_all_merges(spark):
     d = _docs(spark, ["abc"] * 10 + ["abd"] * 6)
     got = {r.piece: r.n_occ for r in T.bpe_encode(d).collect()}
     assert got == {"abc": 10, "abd": 6}
+
+
+def test_word_dropout_deterministic_and_bounded(spark):
+    d = _docs(spark, ["a b c d e f g h i j " * 5])
+    r1 = T.word_dropout(d).collect()[0]
+    r2 = T.word_dropout(d).collect()[0]
+    assert (r1.n_kept, r1.aug_fingerprint) == (r2.n_kept, r2.aug_fingerprint)
+    assert 0 < r1.n_kept <= r1.n_tokens
+    # a different seed redraws the mask
+    r3 = T.word_dropout(d, seed="aug-seed-2").collect()[0]
+    assert r3.aug_fingerprint != r1.aug_fingerprint
