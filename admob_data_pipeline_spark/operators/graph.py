@@ -254,6 +254,86 @@ ORDER BY n_nodes DESC, component
 )
 
 
+# --- frequent triples (A-priori level 3) -------------------------------------
+TRIPLE_TOP = 50
+
+
+def frequent_triples(
+    li: DataFrame, min_support: int = MIN_SUPPORT, top_n: int = TRIPLE_TOP
+) -> DataFrame:
+    """Frequent 3-itemsets over order baskets with the A-priori prune:
+    a triple is only COUNTED if all three of its 2-subsets are already
+    frequent — the level-wise candidate cut that makes distributed
+    frequent-itemset mining feasible (naive triple enumeration is
+    Σ basket³; the prune bounds it by the frequent-pair graph).
+
+    Scale: basket items self-join twice (bounded by basket size, never
+    catalog²); the three semi-joins against the frequent-pair edge set
+    ship keys only; support is one countDistinct aggregation.
+    """
+    edges = copurchase_edges(li, min_support).localCheckpoint()
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    c = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("c"))
+    triples = (
+        a.join(b, "ok")
+        .where(F.col("a") < F.col("b"))
+        .join(c, "ok")
+        .where(F.col("b") < F.col("c"))
+    )
+    # A-priori: every 2-subset must be frequent
+    e_ab = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e_bc = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e_ac = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    pruned = (
+        triples.join(e_ab, ["a", "b"], "left_semi")
+        .join(e_bc, ["b", "c"], "left_semi")
+        .join(e_ac, ["a", "c"], "left_semi")
+    )
+    return (
+        pruned.groupBy("a", "b", "c")
+        .agg(F.countDistinct("ok").alias("support"))
+        .where(F.col("support") >= min_support)
+        .orderBy(F.desc("support"), "a", "b", "c")
+        .limit(top_n)
+    )
+
+
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frequent_triples(load_table(spark, sf_dir, "lineitem"))
+
+
+_ORACLE_TRIPLES_L3 = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY u, v
+    HAVING COUNT(DISTINCT a.l_orderkey) >= {MIN_SUPPORT}
+),
+tri AS (
+    SELECT x.l_orderkey AS ok, x.l_partkey AS a, y.l_partkey AS b, z.l_partkey AS c
+    FROM lp x
+    JOIN lp y ON y.l_orderkey = x.l_orderkey AND x.l_partkey < y.l_partkey
+    JOIN lp z ON z.l_orderkey = x.l_orderkey AND y.l_partkey < z.l_partkey
+),
+pruned AS (
+    SELECT t.* FROM tri t
+    WHERE EXISTS (SELECT 1 FROM edges e WHERE e.u = t.a AND e.v = t.b)
+      AND EXISTS (SELECT 1 FROM edges e WHERE e.u = t.b AND e.v = t.c)
+      AND EXISTS (SELECT 1 FROM edges e WHERE e.u = t.a AND e.v = t.c)
+)
+SELECT a, b, c, CAST(COUNT(DISTINCT ok) AS BIGINT) AS support
+FROM pruned
+GROUP BY a, b, c
+HAVING COUNT(DISTINCT ok) >= {MIN_SUPPORT}
+ORDER BY support DESC, a, b, c
+LIMIT {TRIPLE_TOP}
+"""
+
+
 # --- link prediction ---------------------------------------------------------
 LINK_TOP = 20
 
@@ -335,10 +415,12 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_components": q_graph_components,
     "graph_link_prediction": q_graph_link_prediction,
+    "frequent_triples": q_frequent_triples,
 }
 
 ORACLES = {
     "graph_pagerank": _ORACLE_PAGERANK,
     "graph_components": _ORACLE_COMPONENTS,
     "graph_link_prediction": _ORACLE_LINK_PRED,
+    "frequent_triples": _ORACLE_TRIPLES_L3,
 }

@@ -100,3 +100,20 @@ def test_link_prediction_excludes_existing_edges(spark):
     # (1,3): common={2}, deg 1 and 2 → jaccard 1/(1+2-1) = 0.5
     assert got[(1, 3)] == (1, 500_000)
     assert got[(2, 4)] == (1, 500_000)
+
+
+def test_frequent_triples_apriori_consistency(spark, sf_dir):
+    """Every reported triple's support ≥ threshold and all its 2-subsets
+    are frequent edges (the A-priori invariant the prune relies on)."""
+    from admob_data_pipeline_spark.operators.graph import (
+        MIN_SUPPORT,
+        copurchase_edges,
+        frequent_triples,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = {(r.u, r.v) for r in copurchase_edges(li).collect()}
+    for r in frequent_triples(li).collect():
+        assert r.support >= MIN_SUPPORT
+        assert (r.a, r.b) in edges and (r.b, r.c) in edges and (r.a, r.c) in edges
