@@ -308,7 +308,89 @@ ORDER BY o_orderkey
 """
 
 
+def q_sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-with-manifest: write the daily fact date-partitioned, then
+    compute the partition manifest FROM THE WRITTEN FILES — per-partition
+    row count and an order-independent BIT_XOR content checksum (the
+    integrity sidecar a data-lake publish step emits next to _SUCCESS).
+    The oracle computes identical stats straight from the source table,
+    so a hash match proves the published bytes carry exactly the source
+    content and the checksum machinery itself is engine-reproducible.
+
+    BIT_XOR over 52-bit md5 fragments is associative/commutative with no
+    overflow at any row count (same discipline as the erasure audit).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("event_type").alias("app_name"),
+            F.col("ts").cast("date").alias("date"),
+            F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        .groupBy("app_name", "date")
+        .agg(
+            F.sum("vm").alias("clicks"),
+            F.count(F.lit(1)).alias("impressions"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="sink_manifest_")
+    try:
+        overwrite_date_partitions(daily, out)
+        back = spark.read.parquet(out)
+        frag = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("app_name"),
+                        F.col("clicks").cast("string"),
+                        F.col("impressions").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        manifest = (
+            back.select(F.col("date").cast("date").alias("date"), frag.alias("frag"))
+            .groupBy("date")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("bit_xor(frag)").alias("content_checksum"),
+            )
+            .orderBy("date")
+        )
+        rows = [(r["date"], r["n_rows"], r["content_checksum"]) for r in manifest.collect()]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "date date, n_rows bigint, content_checksum bigint"
+    ).orderBy("date")
+
+
+_ORACLE_MANIFEST = """
+WITH daily AS (
+    SELECT event_type AS app_name, CAST(ts AS DATE) AS date,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS clicks,
+           COUNT(*) AS impressions
+    FROM events
+    GROUP BY app_name, CAST(ts AS DATE)
+)
+SELECT date, COUNT(*) AS n_rows,
+       CAST(BIT_XOR(CAST('0x' || substr(md5(app_name || '|' || CAST(clicks AS VARCHAR)
+                                        || '|' || CAST(impressions AS VARCHAR)),
+                                        1, 13) AS BIGINT)) AS BIGINT)
+           AS content_checksum
+FROM daily
+GROUP BY date
+ORDER BY date
+"""
+
+
 QUERIES = {
+    "sink_manifest": q_sink_manifest,
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
     "sink_zorder_layout": q_sink_zorder_layout,
     "sink_compaction": q_sink_compaction,
@@ -320,6 +402,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_manifest": _ORACLE_MANIFEST,
     "sink_csv_roundtrip": _ORACLE_FACT,
     "sink_zorder_layout": _ORACLE_ZORDER,
     "sink_compaction": _ORACLE_COMPACTION,
