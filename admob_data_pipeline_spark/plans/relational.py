@@ -1291,6 +1291,104 @@ ORDER BY k_bucket
 """
 
 
+# --- VARIANT-typed semi-structured extraction ------------------------------
+def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` → ``variant_get`` with a TYPED path (the modern
+    replacement for string-typed get_json_object; shredded storage makes
+    this the 100 TB semi-structured path). Also probes a missing path —
+    variant_get on an absent key must yield NULL, counted per group to
+    pin the null-safety semantics.
+
+    Scale: map-only parse+extract over the scan, one small aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+        F.expr("variant_get(parse_json(props), '$.absent', 'long')").alias("zz"),
+    )
+    return (
+        staged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null_k"),
+            F.sum(F.when(F.col("zz").isNull(), 1).otherwise(0)).alias("n_null_absent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_PROPS_VARIANT = """
+WITH e AS (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.absent') AS BIGINT) AS zz
+    FROM events
+)
+SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+       CAST(SUM(CASE WHEN zz IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_absent
+FROM e
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- native recursive CTE ---------------------------------------------------
+REACH_MAX_DEPTH = 3
+
+
+def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over the co-purchase graph through Spark 4's NATIVE
+    ``WITH RECURSIVE`` — min hop distance from the smallest frequent part
+    within 3 hops. The same recursion the dedup-clusters oracle runs in
+    DuckDB now executes Spark-side too, so iterative reachability needs
+    no hand-written driver loop for bounded depths (the unrolled-loop
+    form in operators/graph.py remains the unbounded-diameter path).
+
+    Scale: depth is capped, so the working set is bounded by
+    Σ degree^depth from the seed — a frontier query, not a full
+    traversal; each recursion step is one equi-join on the vertex key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_rec")
+    return spark.sql(
+        _RECURSIVE_SQL.format(table="li_rec", depth=REACH_MAX_DEPTH)
+    )
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE
+lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM {table}),
+edges AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+),
+adj AS (
+    SELECT u AS src, v AS dst FROM edges
+    UNION ALL
+    SELECT v AS src, u AS dst FROM edges
+),
+seed AS (SELECT MIN(u) AS node FROM edges),
+r(node, depth) AS (
+    SELECT node, 0 FROM seed
+    UNION ALL
+    SELECT a.dst, r.depth + 1
+    FROM r JOIN adj a ON a.src = r.node
+    WHERE r.depth < {depth}
+)
+SELECT node, MIN(depth) AS min_depth
+FROM r GROUP BY node ORDER BY node
+"""
+
+_ORACLE_RECURSIVE = _RECURSIVE_SQL.format(table="lineitem", depth=REACH_MAX_DEPTH)
+
+
 # --- O2+limit: deterministic top-k ---------------------------------------
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -1817,6 +1915,8 @@ QUERIES = {
     "ctr_anomaly_window": q_ctr_anomaly_window,
     "calendar_rollup": q_calendar_rollup,
     "props_json": q_props_json,
+    "props_variant": q_props_variant,
+    "recursive_reachability": q_recursive_reachability,
     "top_orders": q_top_orders,
     "alert_messages": q_alert_messages,
     "salted_agg": q_salted_agg,
@@ -1868,6 +1968,8 @@ ORACLES = {
     "salted_join": _ORACLE_SALTED_JOIN,
     "calendar_rollup": _ORACLE_ROLLUP,
     "props_json": _ORACLE_PROPS_JSON,
+    "props_variant": _ORACLE_PROPS_VARIANT,
+    "recursive_reachability": _ORACLE_RECURSIVE,
     "top_orders": _ORACLE_TOP_ORDERS,
     "alert_messages": _ORACLE_ALERT_MESSAGES,
     "pricing_summary": _ORACLE_PRICING,
