@@ -91,3 +91,70 @@ def cumulative_rates_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def cumulative_rates_tws(events: DataFrame) -> DataFrame:
+    """Same lifetime-counter semantics through Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    applyInPandasWithState (typed state handles, timers, TTL support).
+
+    ENVIRONMENT-BLOCKED in this container: the TWS driver worker needs
+    the ``google.protobuf`` Python package (state-server protocol), which
+    is not installed — the stream start fails with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE (probed; also requires
+    the RocksDB state-store provider, set here). The operator is kept as
+    the migration path off the legacy API and is covered by an
+    importorskip pytest that activates the moment protobuf appears; it is
+    NOT in the oracle registry until it can execute.
+
+    The processor class is self-contained (imports inside methods):
+    executors don't share the driver's sys.path.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    prepared = events.select(
+        F.col("event_type").alias("app_name"),
+        F.floor(F.col("value") * 1000).cast("long").alias("clicks"),
+    )
+
+    class CumRateProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "cum", "clicks BIGINT, impressions BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            batch_clicks = 0
+            batch_impr = 0
+            for pdf in rows:
+                batch_clicks += int(pdf["clicks"].sum())
+                batch_impr += len(pdf)
+            if self._state.exists():
+                cum_clicks, cum_impr = self._state.get()
+            else:
+                cum_clicks, cum_impr = 0, 0
+            cum_clicks += batch_clicks
+            cum_impr += batch_impr
+            self._state.update((cum_clicks, cum_impr))
+            yield pd.DataFrame(
+                {
+                    "app_name": [key[0]],
+                    "batch_clicks": [batch_clicks],
+                    "batch_impressions": [batch_impr],
+                    "cum_clicks": [cum_clicks],
+                    "cum_impressions": [cum_impr],
+                    "cum_rate": [cum_clicks / cum_impr if cum_impr else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return prepared.groupBy("app_name").transformWithStateInPandas(
+        statefulProcessor=CumRateProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -65,3 +65,33 @@ def test_state_accumulates_across_microbatches(spark, sf_dir, tmp_path):
         for r in rs:
             run += r.batch_impressions
             assert r.cum_impressions == run
+
+
+def test_tws_matches_legacy_api_when_protobuf_available(spark, sf_dir):
+    """transformWithStateInPandas needs google.protobuf (absent in this
+    container — the TWS driver worker speaks a protobuf state protocol).
+    Auto-activates when the dependency appears; until then the legacy
+    applyInPandasWithState form is the registered operator."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from admob_data_pipeline_spark.streaming.alerts import (
+        _event_stream,
+        run_available_now,
+    )
+    from admob_data_pipeline_spark.streaming.stateful import (
+        cumulative_rates_stream,
+        cumulative_rates_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    new = run_available_now(
+        cumulative_rates_tws(_event_stream(spark, sf_dir)), output_mode="update"
+    )
+    old = run_available_now(
+        cumulative_rates_stream(_event_stream(spark, sf_dir)), output_mode="update"
+    )
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
