@@ -2218,6 +2218,144 @@ ORDER BY l_returnflag
 """
 
 
+# --- robust trend + changepoint ----------------------------------------------
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend over daily revenue: the median of all
+    pairwise day-to-day slopes — immune to outlier days that wreck an
+    OLS fit. Pair space is days², not rows² (the corpus collapses to the
+    daily rollup first), so the estimator stays cheap at any event
+    volume.
+
+    Exactness: each slope is FLOOR(dy·1e6 / dx). dy·1e6 stays under 2^53
+    so the double quotient is correctly rounded, and a non-integer
+    rational p/q sits ≥ 1/q from any integer — far beyond one ulp — so
+    the floor is exact on both engines (integer DIV is avoided because
+    Spark truncates negatives toward zero while DuckDB floors). The
+    median is the lower order statistic — pure row_number.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("vm"))
+        .localCheckpoint()
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("vm").alias("v1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("vm").alias("v2"))
+    slopes = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(
+            F.floor(
+                (F.col("v2") - F.col("v1")).cast("double")
+                * 1_000_000
+                / F.datediff(F.col("d2"), F.col("d1"))
+            )
+            .cast("long")
+            .alias("slope_e6")
+        )
+    )
+    w = Window.orderBy("slope_e6")
+    ranked = slopes.withColumn("rn", F.row_number().over(w))
+    stats = ranked.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        ranked.crossJoin(F.broadcast(stats))
+        .where(F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select("n_pairs", F.col("slope_e6").alias("slope_med_e6"))
+    )
+
+
+_ORACLE_THEIL_SEN = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS vm
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+slopes AS (
+    SELECT CAST(FLOOR(CAST(b.vm - a.vm AS DOUBLE) * 1000000
+                      / datediff('day', a.d, b.d)) AS BIGINT) AS slope_e6
+    FROM daily a JOIN daily b ON a.d < b.d
+),
+ranked AS (
+    SELECT slope_e6, ROW_NUMBER() OVER (ORDER BY slope_e6) AS rn FROM slopes
+),
+stats AS (SELECT COUNT(*) AS n_pairs FROM ranked)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(slope_e6 AS BIGINT) AS slope_med_e6
+FROM ranked, stats
+WHERE rn = CAST(FLOOR((n_pairs + 1) / 2.0) AS BIGINT)
+"""
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint over daily revenue: the day k maximizing
+    |n·S_k − k·total| (the cross-multiplied form of |S_k − k·mean| —
+    division-free, so the whole detector is exact BIGINT). Flags where
+    the revenue level shifted; ties resolve to the earliest day.
+
+    Scale: daily rollup (one shuffle) + one bounded window over |days|
+    rows. n·S_k stays far under 2^63 for any realistic day count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("vm")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wk = Window.orderBy("d")
+    cum = daily.select(
+        "d",
+        F.sum("vm").over(w).alias("s_k"),
+        F.row_number().over(wk).cast("long").alias("k"),
+    )
+    stats = cum.agg(
+        F.max("k").alias("n_days"), F.max("s_k").alias("total")
+    )  # last cumsum == total because the window is cumulative over all rows
+    scored = cum.crossJoin(F.broadcast(stats)).select(
+        "d",
+        "k",
+        "n_days",
+        F.abs(F.col("n_days") * F.col("s_k") - F.col("k") * F.col("total")).alias(
+            "score"
+        ),
+    )
+    pick = Window.orderBy(F.desc("score"), F.asc("k"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(pick))
+        .where(F.col("rnk") == 1)
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("k").alias("cp_index"),
+            F.col("d").alias("cp_date"),
+            F.col("score").cast("long").alias("score_max"),
+        )
+    )
+
+
+_ORACLE_CUSUM = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS vm
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+cum AS (
+    SELECT d,
+           CAST(SUM(vm) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_k,
+           CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS k
+    FROM daily
+),
+stats AS (SELECT MAX(k) AS n_days, MAX(s_k) AS total FROM cum),
+scored AS (
+    SELECT d, k, n_days, ABS(n_days * s_k - k * total) AS score
+    FROM cum, stats
+)
+SELECT CAST(n_days AS BIGINT) AS n_days, k AS cp_index, d AS cp_date,
+       CAST(score AS BIGINT) AS score_max
+FROM scored
+ORDER BY score DESC, k
+LIMIT 1
+"""
+
+
 # --- jackknife replicates ----------------------------------------------------
 JK_GROUPS = 10
 
@@ -2502,6 +2640,8 @@ ORDER BY event_type
 
 
 QUERIES = {
+    "theil_sen_trend": q_theil_sen_trend,
+    "cusum_changepoint": q_cusum_changepoint,
     "jackknife_replicates": q_jackknife_replicates,
     "benford_audit": q_benford_audit,
     "event_gaps": q_event_gaps,
@@ -2550,6 +2690,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "theil_sen_trend": _ORACLE_THEIL_SEN,
+    "cusum_changepoint": _ORACLE_CUSUM,
     "jackknife_replicates": _ORACLE_JACKKNIFE,
     "benford_audit": _ORACLE_BENFORD,
     "event_gaps": _ORACLE_EVENT_GAPS,

