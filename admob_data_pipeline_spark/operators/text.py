@@ -803,6 +803,67 @@ def bpe_merge_pairs(
     )
 
 
+# --- character entropy --------------------------------------------------------
+ENTROPY_SCALE = 1_000_000
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc character-level Shannon entropy (nats) — the
+    compressibility proxy quality filters use: machine-generated or
+    repetitive junk sits far below natural text. Each character class's
+    contribution −p·ln(p) is floor-scaled to an e6 integer BEFORE the
+    per-doc sum (transcendental ulp discipline), so the score is an
+    exact integer in any engine.
+
+    Scale: one explode + one (doc_id, char) aggregation — the per-doc
+    key bounds every group; map-side partials absorb the fan-out.
+    """
+    docs = widen_if_narrow(docs)
+    cc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower(F.col(text_col)), "")).alias("ch")
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    tot = cc.groupBy("doc_id").agg(F.sum("n_c").alias("n"))
+    p = F.col("n_c") / F.col("n")
+    contrib = F.floor(-p * F.log(p) * ENTROPY_SCALE).cast("long")
+    return (
+        cc.join(tot, "doc_id")
+        .select("doc_id", "n", contrib.alias("h_e6"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_chars"),
+            F.sum("h_e6").alias("entropy_e6"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_ENTROPY = f"""
+WITH cc AS (
+    SELECT doc_id, ch, COUNT(*) AS n_c FROM (
+        SELECT doc_id, unnest(string_split(lower(text), '')) AS ch FROM documents
+    ) GROUP BY doc_id, ch
+),
+tot AS (SELECT doc_id, CAST(SUM(n_c) AS BIGINT) AS n FROM cc GROUP BY doc_id)
+SELECT c.doc_id, MAX(t.n) AS n_chars,
+       CAST(SUM(CAST(FLOOR(-(n_c / CAST(n AS DOUBLE))
+                           * ln(n_c / CAST(n AS DOUBLE)) * {ENTROPY_SCALE})
+                     AS BIGINT)) AS BIGINT) AS entropy_e6,
+       COUNT(*) AS n_distinct_chars
+FROM cc c JOIN tot t ON t.doc_id = c.doc_id
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
 # --- deterministic augmentation ----------------------------------------------
 DROPOUT_PPM = 150_000  # drop ~15% of tokens
 
@@ -1379,6 +1440,7 @@ QUERIES = {
     "text_bpe_train": q_bpe_train,
     "text_bpe_encode": q_bpe_encode,
     "text_word_dropout": q_word_dropout,
+    "text_char_entropy": q_char_entropy,
     "text_vocab_coverage": q_vocab_coverage,
     "curation_funnel": q_curation_funnel,
     "tokenizer_fertility": q_tokenizer_fertility,
@@ -1401,6 +1463,7 @@ ORACLES = {
     "text_bpe_train": _ORACLE_BPE_TRAIN,
     "text_bpe_encode": _ORACLE_BPE_ENCODE,
     "text_word_dropout": _ORACLE_DROPOUT,
+    "text_char_entropy": _ORACLE_ENTROPY,
     "text_vocab_coverage": _ORACLE_VOCAB_COVERAGE,
     "curation_funnel": _ORACLE_FUNNEL,
     "tokenizer_fertility": _ORACLE_FERTILITY,

@@ -2218,6 +2218,81 @@ ORDER BY l_returnflag
 """
 
 
+# --- revenue concentration (Gini) --------------------------------------------
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the single-number
+    concentration audit behind the Pareto view: 0 = revenue spread
+    evenly, →1 = a handful of customers carry everything.
+
+    Exact integer end-to-end: with revenues sorted ascending,
+    G = Σ(2i − n − 1)·x_i / (n·Σx); numerator and denominator are BIGINT
+    (safe to ~1e5 customers × 1e12-cent totals; past that, lift the two
+    sums to DECIMAL(38)), and the ppm quotient uses two-stage ×1000
+    scaling (playbook #23) because num·1e6 would overflow where the
+    plain sums do not.
+
+    Scale: one aggregation to per-customer revenue, one rank window over
+    |customers| rows, two scalar sums.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = per.withColumn("i", F.row_number().over(w).cast("long"))
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total"),
+        F.sum((F.lit(2) * F.col("i") - F.lit(1)) * F.col("cents")).alias("wsum"),
+    )
+    # Σ(2i−n−1)x = Σ(2i−1)x − n·Σx  (wsum carries the (2i−1) weights)
+    num = F.col("wsum") - F.col("n") * F.col("total")
+    den = F.col("n") * F.col("total")
+    t1 = F.expr("num * 1000 DIV den")
+    t2 = F.expr("(num * 1000 % den) * 1000 DIV den")
+    return (
+        stats.select(
+            F.col("n").alias("n_customers"),
+            F.col("total").alias("total_cents"),
+            num.alias("num"),
+            den.alias("den"),
+        )
+        .select(
+            "n_customers",
+            "total_cents",
+            (t1 * 1000 + t2).cast("long").alias("gini_ppm"),
+        )
+    )
+
+
+_ORACLE_GINI = """
+WITH per AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+    FROM per
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total,
+           CAST(SUM((2 * i - 1) * cents) AS BIGINT) AS wsum
+    FROM ranked
+),
+nd AS (
+    SELECT n, total, wsum - n * total AS num, n * total AS den FROM stats
+)
+SELECT n AS n_customers, total AS total_cents,
+       CAST((num * 1000 // den) * 1000 + (num * 1000 % den) * 1000 // den AS BIGINT)
+           AS gini_ppm
+FROM nd
+"""
+
+
 # --- robust trend + changepoint ----------------------------------------------
 
 
@@ -2640,6 +2715,7 @@ ORDER BY event_type
 
 
 QUERIES = {
+    "revenue_gini": q_revenue_gini,
     "theil_sen_trend": q_theil_sen_trend,
     "cusum_changepoint": q_cusum_changepoint,
     "jackknife_replicates": q_jackknife_replicates,
@@ -2690,6 +2766,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "revenue_gini": _ORACLE_GINI,
     "theil_sen_trend": _ORACLE_THEIL_SEN,
     "cusum_changepoint": _ORACLE_CUSUM,
     "jackknife_replicates": _ORACLE_JACKKNIFE,

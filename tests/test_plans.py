@@ -335,3 +335,13 @@ def test_theil_sen_is_outlier_robust_and_cusum_finds_shift(spark):
     assert len(cp) == 1
     assert 1 <= cp[0].cp_index <= cp[0].n_days
     assert cp[0].score_max >= 0
+
+
+def test_revenue_gini_bounds_and_extremes(spark):
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.plans.analytics_ext import q_revenue_gini
+
+    rows = q_revenue_gini(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 1
+    assert 0 <= rows[0].gini_ppm < 1_000_000

@@ -163,3 +163,10 @@ def test_word_dropout_deterministic_and_bounded(spark):
     # a different seed redraws the mask
     r3 = T.word_dropout(d, seed="aug-seed-2").collect()[0]
     assert r3.aug_fingerprint != r1.aug_fingerprint
+
+
+def test_char_entropy_orders_repetitive_below_natural(spark):
+    d = _docs(spark, ["aaaaaaaaaaaaaaaa", "the quick brown fox jumps"])
+    got = {r.doc_id: r for r in T.char_entropy(d).collect()}
+    assert got[0].entropy_e6 == 0 and got[0].n_distinct_chars == 1
+    assert got[1].entropy_e6 > got[0].entropy_e6
