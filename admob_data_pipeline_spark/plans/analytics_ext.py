@@ -2218,6 +2218,144 @@ ORDER BY l_returnflag
 """
 
 
+# --- two-sample rank-sum test -------------------------------------------------
+RANK_SEGMENT = "BUILDING"
+
+
+def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney rank-sum comparison of order values between one
+    customer segment and the rest — the nonparametric A/B answer to
+    "does segment X spend differently?" that needs no normality
+    assumption.
+
+    Exact integers throughout: tied values get MIDRANKS, kept integral
+    by working at ×2 scale (midrank2 = 2·min_rank + tie_count − 1); the
+    U statistic stays ×2-scaled, and the effect size
+    AUC = U/(n1·n2) — P(random segment order > random other order) —
+    is a two-stage-ppm integer quotient. No floats anywhere.
+
+    Scale: one join to attach segments (broadcast dim), one global rank
+    window over order values, one aggregation.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_mktsegment") == RANK_SEGMENT).alias("in_seg"),
+    )
+    vals = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).join(F.broadcast(c), "o_custkey")
+    w_rank = Window.orderBy("cents")
+    w_tie = Window.partitionBy("cents")
+    ranked = vals.select(
+        "in_seg",
+        (
+            F.lit(2) * F.rank().over(w_rank).cast("long")
+            + F.count(F.lit(1)).over(w_tie)
+            - 1
+        ).alias("midrank2"),
+    )
+    stats = ranked.agg(
+        F.sum(F.when(F.col("in_seg"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("in_seg"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("in_seg"), F.col("midrank2")).otherwise(0)).alias("r2_seg"),
+    )
+    u2 = F.col("r2_seg") - F.col("n1") * (F.col("n1") + 1)  # ×2-scaled U
+    den = F.lit(2) * F.col("n1") * F.col("n2")
+    return stats.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        u2.cast("long").alias("u2_stat"),
+        (
+            F.expr("(r2_seg - n1 * (n1 + 1)) * 1000 DIV (2 * n1 * n2)") * 1000
+            + F.expr(
+                "((r2_seg - n1 * (n1 + 1)) * 1000 % (2 * n1 * n2)) * 1000"
+                " DIV (2 * n1 * n2)"
+            )
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )
+
+
+_ORACLE_RANK_SUM = f"""
+WITH vals AS (
+    SELECT CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents,
+           c.c_mktsegment = '{RANK_SEGMENT}' AS in_seg
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+ranked AS (
+    SELECT in_seg,
+           2 * CAST(RANK() OVER (ORDER BY cents) AS BIGINT)
+           + COUNT(*) OVER (PARTITION BY cents) - 1 AS midrank2
+    FROM vals
+),
+stats AS (
+    SELECT CAST(SUM(CASE WHEN in_seg THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN in_seg THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN in_seg THEN midrank2 ELSE 0 END) AS BIGINT) AS r2_seg
+    FROM ranked
+)
+SELECT n1, n2,
+       CAST(r2_seg - n1 * (n1 + 1) AS BIGINT) AS u2_stat,
+       CAST(((r2_seg - n1 * (n1 + 1)) * 1000 // (2 * n1 * n2)) * 1000
+            + ((r2_seg - n1 * (n1 + 1)) * 1000 % (2 * n1 * n2)) * 1000
+              // (2 * n1 * n2) AS BIGINT) AS auc_ppm
+FROM stats
+"""
+
+
+# --- user path mining ---------------------------------------------------------
+PATH_TOP = 20
+
+
+def q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event trigrams per user journey: consecutive 3-step
+    event-type sequences (ordered by time within user), counted across
+    all users — the path-mining view behind "what do users do right
+    before purchasing?".
+
+    Scale: one window per user (partition key bounds the group) emitting
+    lead-2 sequences map-side; one category-bounded aggregation; no
+    self-joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "e1", "e2", "e3")
+        .limit(PATH_TOP)
+    )
+
+
+_ORACLE_SEQUENCES = f"""
+WITH seq AS (
+    SELECT user_id, event_type AS e1,
+           LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+           LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+    FROM events
+)
+SELECT e1, e2, e3, COUNT(*) AS n_occurrences,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n_occurrences DESC, e1, e2, e3
+LIMIT {PATH_TOP}
+"""
+
+
 # --- revenue concentration (Gini) --------------------------------------------
 
 
@@ -2715,6 +2853,8 @@ ORDER BY event_type
 
 
 QUERIES = {
+    "rank_sum_test": q_rank_sum_test,
+    "event_sequences": q_event_sequences,
     "revenue_gini": q_revenue_gini,
     "theil_sen_trend": q_theil_sen_trend,
     "cusum_changepoint": q_cusum_changepoint,
@@ -2766,6 +2906,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rank_sum_test": _ORACLE_RANK_SUM,
+    "event_sequences": _ORACLE_SEQUENCES,
     "revenue_gini": _ORACLE_GINI,
     "theil_sen_trend": _ORACLE_THEIL_SEN,
     "cusum_changepoint": _ORACLE_CUSUM,

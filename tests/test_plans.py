@@ -345,3 +345,32 @@ def test_revenue_gini_bounds_and_extremes(spark):
     rows = q_revenue_gini(spark, "/root/testdata/sf0.001").collect()
     assert len(rows) == 1
     assert 0 <= rows[0].gini_ppm < 1_000_000
+
+
+def test_rank_sum_auc_bounds_and_symmetry(spark):
+    from admob_data_pipeline_spark.plans.analytics_ext import q_rank_sum_test
+
+    r = q_rank_sum_test(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n1 > 0 and r.n2 > 0
+    assert 0 <= r.auc_ppm <= 1_000_000  # AUC ∈ [0, 1]
+    assert 0 <= r.u2_stat <= 2 * r.n1 * r.n2  # U ∈ [0, n1·n2], ×2 scale
+
+
+def test_event_sequences_are_true_trigram_counts(spark):
+    from admob_data_pipeline_spark.plans.analytics_ext import q_event_sequences
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    rows = q_event_sequences(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").collect()
+    by_user = {}
+    for e in sorted(ev, key=lambda e: (e.ts, e.event_id)):
+        by_user.setdefault(e.user_id, []).append(e.event_type)
+    from collections import Counter
+
+    want = Counter()
+    for seq in by_user.values():
+        for i in range(len(seq) - 2):
+            want[tuple(seq[i : i + 3])] += 1
+    for r in rows:
+        assert want[(r.e1, r.e2, r.e3)] == r.n_occurrences
