@@ -2218,8 +2218,159 @@ ORDER BY l_returnflag
 """
 
 
-# --- two-sample rank-sum test -------------------------------------------------
+# --- two-sample Kolmogorov–Smirnov test ---------------------------------------
 RANK_SEGMENT = "BUILDING"
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between one customer
+    segment's order-value distribution and the rest — the
+    distribution-shape companion to the rank-sum test (location): KS
+    catches variance/shape shifts a median test misses.
+
+    Division-free: D = max|F1(x) − F2(x)| is evaluated as
+    max|cum1·n2 − cum2·n1| over the merged support (exact BIGINT; the
+    classic cross-multiplication), with the ppm quotient two-staged at
+    the end. No floats, no ties ambiguity (step function evaluated at
+    every distinct value).
+
+    Scale: one aggregation to per-value group counts, one cumulative
+    window over |distinct values| rows, one max.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_mktsegment") == RANK_SEGMENT).alias("in_seg"),
+    )
+    vals = o.select(
+        "o_custkey", F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).join(F.broadcast(c), "o_custkey")
+    per_val = vals.groupBy("cents").agg(
+        F.sum(F.when(F.col("in_seg"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(~F.col("in_seg"), 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cums = per_val.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    stats = per_val.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    d = cums.crossJoin(F.broadcast(stats)).agg(
+        F.max(
+            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        ).alias("d_scaled"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    return d.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("d_scaled").cast("long").alias("d_scaled"),
+        (
+            F.expr("d_scaled * 1000 DIV (n1 * n2)") * 1000
+            + F.expr("(d_scaled * 1000 % (n1 * n2)) * 1000 DIV (n1 * n2)")
+        )
+        .cast("long")
+        .alias("ks_ppm"),
+    )
+
+
+_ORACLE_KS = f"""
+WITH vals AS (
+    SELECT CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents,
+           c.c_mktsegment = '{RANK_SEGMENT}' AS in_seg
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+per_val AS (
+    SELECT cents,
+           CAST(SUM(CASE WHEN in_seg THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN in_seg THEN 0 ELSE 1 END) AS BIGINT) AS c2
+    FROM vals GROUP BY cents
+),
+cums AS (
+    SELECT CAST(SUM(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+           CAST(SUM(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+    FROM per_val
+),
+stats AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM per_val),
+dmax AS (
+    SELECT MAX(ABS(cum1 * n2 - cum2 * n1)) AS d_scaled, MAX(n1) AS n1, MAX(n2) AS n2
+    FROM cums, stats
+)
+SELECT n1, n2, CAST(d_scaled AS BIGINT) AS d_scaled,
+       CAST((d_scaled * 1000 // (n1 * n2)) * 1000
+            + (d_scaled * 1000 % (n1 * n2)) * 1000 // (n1 * n2) AS BIGINT) AS ks_ppm
+FROM dmax
+"""
+
+
+# --- chi-square independence ---------------------------------------------------
+CHI_SCALE = 10_000
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for lang × source — the
+    hypothesis-test companion to ``mutual_information``: Σ (O−E)²/E over
+    the contingency cells, each cell's term floor-scaled to an e4
+    integer before summing (E is an exact-quotient double of exact
+    BIGINT products, so the only engine-sensitive op is the final
+    floor — same discipline as every transcendental here).
+
+    Scale: one category-bounded aggregation; margins broadcast back.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    ma = cells.groupBy("lang").agg(F.sum("n").alias("n_a"))
+    mb = cells.groupBy("source").agg(F.sum("n").alias("n_b"))
+    tot = cells.agg(F.sum("n").alias("n_tot"))
+    j = (
+        cells.join(F.broadcast(ma), "lang")
+        .join(F.broadcast(mb), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (F.col("n_a") * F.col("n_b")) / F.col("n_tot")
+    term = F.floor((F.col("n") - e) * (F.col("n") - e) / e * CHI_SCALE).cast("long")
+    per_cell = j.select(term.alias("chi_e4"))
+    counts = j.agg(
+        F.countDistinct("lang").alias("nl"), F.countDistinct("source").alias("ns")
+    )
+    return (
+        per_cell.agg(F.sum("chi_e4").alias("chi2_e4"), F.count(F.lit(1)).alias("n_cells"))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "chi2_e4",
+            "n_cells",
+            ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("long").alias("dof"),
+        )
+    )
+
+
+_ORACLE_CHI = f"""
+WITH cells AS (
+    SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+),
+ma AS (SELECT lang, SUM(n) AS n_a FROM cells GROUP BY lang),
+mb AS (SELECT source, SUM(n) AS n_b FROM cells GROUP BY source),
+tot AS (SELECT SUM(n) AS n_tot FROM cells),
+j AS (
+    SELECT c.n, CAST(n_a * n_b AS DOUBLE) / n_tot AS e
+    FROM cells c JOIN ma USING (lang) JOIN mb USING (source), tot
+),
+counts AS (
+    SELECT COUNT(DISTINCT lang) AS nl, COUNT(DISTINCT source) AS ns FROM cells
+)
+SELECT CAST(SUM(CAST(FLOOR((n - e) * (n - e) / e * {CHI_SCALE}) AS BIGINT)) AS BIGINT)
+           AS chi2_e4,
+       COUNT(*) AS n_cells,
+       CAST((SELECT (nl - 1) * (ns - 1) FROM counts) AS BIGINT) AS dof
+FROM j
+"""
+
+
+# --- two-sample rank-sum test -------------------------------------------------
 
 
 def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2853,6 +3004,8 @@ ORDER BY event_type
 
 
 QUERIES = {
+    "ks_test": q_ks_test,
+    "chi_square": q_chi_square,
     "rank_sum_test": q_rank_sum_test,
     "event_sequences": q_event_sequences,
     "revenue_gini": q_revenue_gini,
@@ -2906,6 +3059,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ks_test": _ORACLE_KS,
+    "chi_square": _ORACLE_CHI,
     "rank_sum_test": _ORACLE_RANK_SUM,
     "event_sequences": _ORACLE_SEQUENCES,
     "revenue_gini": _ORACLE_GINI,

@@ -374,3 +374,17 @@ def test_event_sequences_are_true_trigram_counts(spark):
             want[tuple(seq[i : i + 3])] += 1
     for r in rows:
         assert want[(r.e1, r.e2, r.e3)] == r.n_occurrences
+
+
+def test_ks_and_chi_square_invariants(spark):
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        q_chi_square,
+        q_ks_test,
+    )
+
+    ks = q_ks_test(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 <= ks.ks_ppm <= 1_000_000
+    assert 0 <= ks.d_scaled <= ks.n1 * ks.n2
+    chi = q_chi_square(spark, "/root/testdata/sf0.001").collect()[0]
+    assert chi.chi2_e4 >= -chi.n_cells  # each floored term ≥ -1 only via ulp; sum ≥ -cells
+    assert chi.dof > 0 and chi.n_cells > chi.dof
