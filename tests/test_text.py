@@ -170,3 +170,52 @@ def test_char_entropy_orders_repetitive_below_natural(spark):
     got = {r.doc_id: r for r in T.char_entropy(d).collect()}
     assert got[0].entropy_e6 == 0 and got[0].n_distinct_chars == 1
     assert got[1].entropy_e6 > got[0].entropy_e6
+
+
+def _ref_bpe(word_freqs, n_iters):
+    """Independent pure-Python greedy BPE trainer (explicit left-to-right
+    merge scan) — the semantics the bracketed-replace encoding must equal."""
+    segs = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_iters):
+        counts = {}
+        for w, f in word_freqs.items():
+            t = segs[w]
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] = counts.get((t[i], t[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], f"({kv[0][0]})({kv[0][1]})")
+        )
+        merges.append((f"({a})({b})", n))
+        for w, t in segs.items():
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_bpe_train_equals_python_greedy_reference(spark):
+    """Adversarial fuzz over a 2-letter alphabet (maximal merge overlap:
+    runs like 'aaaa', alternations like 'abab') — the distributed
+    bracketed-replace trainer must match an explicit greedy scan."""
+    import random
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(2, 6)))
+        for _ in range(40)
+    ]
+    freqs = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    d = _docs(spark, [" ".join(words)])
+    got = [(r.pair, r.n_merge) for r in T.bpe_train(d, n_iters=4).collect()]
+    assert got == _ref_bpe(freqs, 4)
