@@ -2385,8 +2385,10 @@ def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     AUC = U/(n1·n2) — P(random segment order > random other order) —
     is a two-stage-ppm integer quotient. No floats anywhere.
 
-    Scale: one join to attach segments (broadcast dim), one global rank
-    window over order values, one aggregation.
+    Scale: one join to attach segments (broadcast dim); the fact rows
+    collapse to per-value counts BEFORE the global ordering window, so
+    the single-partition window scan is bounded by the price domain's
+    cardinality, never the row count.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select(
@@ -2398,20 +2400,31 @@ def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     ).join(F.broadcast(c), "o_custkey")
-    w_rank = Window.orderBy("cents")
-    w_tie = Window.partitionBy("cents")
-    ranked = vals.select(
-        "in_seg",
+    # 100 TB shape: collapse to per-VALUE counts first, so the global
+    # ordering window runs over the price domain (bounded), never the
+    # row count — a tie group of size m starting at rank s contributes
+    # c1·(2s + m − 1) to the segment's ×2 rank sum.
+    per_val = vals.groupBy("cents").agg(
+        F.sum(F.when(F.col("in_seg"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(~F.col("in_seg"), 1).otherwise(0)).alias("c2"),
+    )
+    w_prev = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per_val.select(
+        "c1",
+        "c2",
         (
-            F.lit(2) * F.rank().over(w_rank).cast("long")
-            + F.count(F.lit(1)).over(w_tie)
+            F.lit(2)
+            * (F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w_prev), F.lit(0)) + 1)
+            + (F.col("c1") + F.col("c2"))
             - 1
         ).alias("midrank2"),
     )
     stats = ranked.agg(
-        F.sum(F.when(F.col("in_seg"), 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(~F.col("in_seg"), 1).otherwise(0)).alias("n2"),
-        F.sum(F.when(F.col("in_seg"), F.col("midrank2")).otherwise(0)).alias("r2_seg"),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * F.col("midrank2")).alias("r2_seg"),
     )
     u2 = F.col("r2_seg") - F.col("n1") * (F.col("n1") + 1)  # ×2-scaled U
     den = F.lit(2) * F.col("n1") * F.col("n2")
@@ -2522,19 +2535,33 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaling (playbook #23) because num·1e6 would overflow where the
     plain sums do not.
 
-    Scale: one aggregation to per-customer revenue, one rank window over
-    |customers| rows, two scalar sums.
+    Scale: one aggregation to per-customer revenue, collapsed to DISTINCT
+    revenue values before the ordering window (a tie group of m values at
+    rank s contributes x·m·(2s+m−2)) — the single-partition window is
+    bounded by the value domain, not the customer count.
     """
     o = load_table(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = per.withColumn("i", F.row_number().over(w).cast("long"))
+    # 100 TB shape: Σ(2i−1)·x over a tie group of m equal values starting
+    # at rank s is x·m·(2s+m−2) — so the sort window runs over DISTINCT
+    # revenue values (bounded domain), not per-customer rows.
+    per_val = per.groupBy("cents").agg(F.count(F.lit(1)).alias("m"))
+    w_prev = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_val.select(
+        "cents",
+        "m",
+        (F.coalesce(F.sum("m").over(w_prev), F.lit(0)) + 1).alias("s"),
+    )
     stats = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("total"),
-        F.sum((F.lit(2) * F.col("i") - F.lit(1)) * F.col("cents")).alias("wsum"),
+        F.sum("m").alias("n"),
+        F.sum(F.col("cents") * F.col("m")).alias("total"),
+        F.sum(
+            F.col("cents")
+            * F.col("m")
+            * (F.lit(2) * F.col("s") + F.col("m") - 2)
+        ).alias("wsum"),
     )
     # Σ(2i−n−1)x = Σ(2i−1)x − n·Σx  (wsum carries the (2i−1) weights)
     num = F.col("wsum") - F.col("n") * F.col("total")
