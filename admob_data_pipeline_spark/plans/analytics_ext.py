@@ -1370,6 +1370,9 @@ def q_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_events",
         "m_milli",
     )
+    # NTILE here orders the per-user ROLLUP (|users|, ~1000× below fact
+    # rows); for fact-scale inputs use broadcast percentile thresholds
+    # instead (quantile_binning's pattern; playbook #27).
     return rfm.select(
         "user_id",
         "r_days",
@@ -1504,6 +1507,8 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
     )
+    # global NTILE over the per-customer ROLLUP (bounded well below fact
+    # rows); fact-scale alternative: threshold binning, playbook #27
     decile = F.ntile(10).over(
         Window.orderBy(F.desc("rev_c"), F.col("o_custkey"))
     )
