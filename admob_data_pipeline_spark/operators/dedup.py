@@ -1147,15 +1147,24 @@ def prefix_filter_pairs(
     driven by rare-token selectivity rather than signature collisions —
     on skewed vocabularies it probes far less of the index.
 
+    The set universe is 3-GRAM SHINGLES, not unigrams: prefix filtering
+    depends on set elements being rare, and a small-vocabulary corpus
+    makes every unigram common — measured at sf0.1, unigram sets
+    degenerated to a near-all-pairs candidate join (107 s vs <1 s with
+    shingles, identical machinery). Shingles are the discriminative
+    universe a near-dup pass uses anyway (same as ngram_jaccard).
+
     Scale: df table is a partial-agg groupBy (skew-immune, broadcast
     back); per-doc ordering is a doc-partitioned window (bounded);
     candidates join only prefix postings; the verify legs reuse the
-    materialized token table."""
+    materialized shingle table."""
     tok = (
         widen_if_narrow(docs)
         .select(
             "doc_id",
-            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+            F.explode(
+                F.array_distinct(shingles(tokens(F.col(text_col)), 3))
+            ).alias("token"),
         )
         .localCheckpoint()
     )
@@ -1213,9 +1222,11 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_PREFIX = f"""
 WITH tok AS (
-    SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' ')))
-           AS token
-    FROM documents
+    SELECT doc_id, unnest(list_distinct(
+        [array_to_string(toks[i:i+2], ' ')
+         FOR i IN generate_series(1, len(toks) - 2)]
+    )) AS token
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
 ),
 df_tab AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
 ranked AS (

@@ -86,18 +86,18 @@ def test_paragraph_dedup_detects_shared_segment(spark):
 
 def test_prefix_filter_equals_bruteforce(spark):
     """Prefix filtering is EXACT at the threshold: its output must equal
-    the all-pairs token-set Jaccard join (recall 1, precision 1)."""
+    the all-pairs shingle-set Jaccard join (recall 1, precision 1)."""
     from itertools import combinations
 
     from pyspark.sql import Row
 
     texts = [
-        "alpha beta gamma delta",
-        "alpha beta gamma epsilon",
-        "zeta eta theta iota",
-        "zeta eta theta iota kappa",
-        "alpha zeta unique1 unique2",
-        "solo tokens only here",
+        "a b c d e",
+        "a b c d f",  # shares 2 of 4 union shingles with doc0 → j = 0.5
+        "z y x w v",
+        "z y x w v",  # identical → j = 1.0
+        "a b q r s",
+        "completely different words here now",
     ]
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
@@ -106,13 +106,18 @@ def test_prefix_filter_equals_bruteforce(spark):
         (r.a, r.b): r.jaccard
         for r in dedup.prefix_filter_pairs(docs, threshold=0.5).collect()
     }
-    sets = {i: set(t.split()) for i, t in enumerate(texts)}
+
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh(t) for i, t in enumerate(texts)}
     want = {}
     for a, b in combinations(sets, 2):
         inter = len(sets[a] & sets[b])
-        j = inter / len(sets[a] | sets[b])
-        if j >= 0.5:
-            want[(a, b)] = round(j, 6)
+        union = len(sets[a] | sets[b])
+        if union and inter * 2 >= union:  # t = 0.5, integer cross-mult
+            want[(a, b)] = round(inter / union, 6)
     assert got == want and want  # non-empty: the crafted pairs must hit
 
 
