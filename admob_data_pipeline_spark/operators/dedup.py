@@ -1128,7 +1128,12 @@ ORDER BY s.doc_id
 
 
 # --- prefix-filtering set-similarity join (PPJoin-style) --------------------
-PREFIX_THRESHOLD = 0.5
+# 0.8, not 0.5: the prefix indexes ⌊|set|·(1−t)⌋+1 elements, so low
+# thresholds index most of every set and the candidate join fattens
+# toward all-pairs-sharing-an-element (measured 6 s vs 1.4 s for
+# MinHash-LSH at t=0.5 on sf0.1). High-t near-dup is what PPJoin is
+# for; the 0.5 regime belongs to LSH banding (dedup_minhash_lsh).
+PREFIX_THRESHOLD = 0.8
 
 
 def prefix_filter_pairs(

@@ -49,6 +49,20 @@ HEADLINE = [
 ]
 
 
+# Round-3 flagship additions, timed separately so "value" (the 21
+# headline queries) stays comparable across rounds. One representative
+# per new family: tokenizer training, substring dedup, DSIR scoring,
+# embedding label QA, drift monitoring, set-similarity join.
+EXTENDED = [
+    "text_bpe_train",
+    "dedup_substring",
+    "importance_weights",
+    "label_noise_audit",
+    "drift_psi",
+    "dedup_prefix_filter",
+]
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -70,7 +84,7 @@ def main() -> None:
     # cold-compiled. Standard benchmark practice; disable with
     # SPARK_GRAFT_BENCH_WARMUP=0.
     if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
-        for name in HEADLINE:
+        for name in HEADLINE + EXTENDED:
             try:
                 materialize(registry.QUERIES[name](spark, SF_DIR))
             except Exception:
@@ -84,14 +98,20 @@ def main() -> None:
     # full bench invocations; the third sample costs ~15 s and halves the
     # chance a noisy pair inflates a query's recorded time.)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(max(1, runs)):
-            t0 = time.perf_counter()
-            materialize(registry.QUERIES[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+
+    def time_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            best = float("inf")
+            for _ in range(max(1, runs)):
+                t0 = time.perf_counter()
+                materialize(registry.QUERIES[name](spark, SF_DIR))
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
+
+    timings = time_set(HEADLINE)
+    extended = time_set(EXTENDED)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -101,6 +121,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # round-3 family representatives — informational, NOT in
+                # "value" (keeps the headline total round-comparable)
+                "extended": extended,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # measurement protocol, recorded so cross-round comparisons
                 # are interpretable: each per-query value is the MIN of n
