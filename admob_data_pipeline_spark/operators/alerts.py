@@ -111,6 +111,87 @@ def ctr_anomaly_from_fact(
     return scored.orderBy(F.desc("pct_change"), "app_name", "ad_unit_name")
 
 
+def ctr_anomaly_bq_verbatim(
+    spark: SparkSession, sf_dir: str, threshold: int = 25
+) -> DataFrame:
+    """The reference's BigQuery SQL accepted VERBATIM: this function
+    builds the alert statement exactly the way
+    ``native_CTR_alerts.py:215-268`` does — backticked fully-qualified
+    table, quoted IN-list placeholder, ISO report-date literal,
+    SAFE_DIVIDE / DATE_SUB-INTERVAL dialect, trailing semicolon — and
+    executes it through :func:`functions.dialect.bq_sql_to_spark`, the
+    pre-parse shim SURVEY §4 prescribes instead of a Catalyst extension.
+
+    Unlike ``ctr_anomaly_sql`` (the hand-translated ANSI form, which
+    keeps every row with an is_alert flag), this reproduces the
+    reference's exact output contract: today's CTR read from the daily
+    report's precomputed ``impression_ctr`` column, the >threshold
+    filter applied, ROUND at 4/4/2, join fanning out on ad_unit_name.
+
+    The 1-row report_date collect mirrors the job's date PARAMETER
+    (X2 backfill arg), not a data-sized action.
+    """
+    from admob_data_pipeline_spark.functions.dialect import bq_sql_to_spark
+
+    daily = (
+        daily_fact(load_table(spark, sf_dir, "events"))
+        .groupBy("date", "app_name", "ad_unit_name")
+        .agg(F.sum("clicks").alias("clicks"), F.sum("impressions").alias("impressions"))
+        .withColumn(
+            "impression_ctr", safe_divide(F.col("clicks"), F.col("impressions"))
+        )
+    )
+    daily.createOrReplaceTempView("admob_daily_report")
+    report_date = daily.agg(F.max("date").alias("d")).collect()[0]["d"]
+    ad_units = [f"u{i}" for i in range(8)]
+    table_fq = "`demo-project.admob_exports.admob_daily_report`"
+    placeholder_list = ", ".join(f"'{au}'" for au in ad_units)
+    sql = f"""
+    WITH
+      last7 AS (
+        SELECT
+          app_name,
+          ad_unit_name,
+          SAFE_DIVIDE(SUM(clicks), SUM(impressions)) AS avg_ctr_7d
+        FROM {table_fq}
+        WHERE
+          ad_unit_name IN ({placeholder_list})
+          AND date BETWEEN
+            DATE_SUB('{report_date.isoformat()}', INTERVAL 7 DAY)
+            AND DATE_SUB('{report_date.isoformat()}', INTERVAL 1 DAY)
+        GROUP BY
+          app_name, ad_unit_name
+      ),
+      today AS (
+        SELECT
+          app_name,
+          ad_unit_name,
+          impression_ctr AS today_ctr
+        FROM {table_fq}
+        WHERE
+          ad_unit_name IN ({placeholder_list})
+          AND date = '{report_date.isoformat()}'
+      )
+    SELECT
+      t.app_name,
+      t.ad_unit_name,
+      ROUND(l.avg_ctr_7d, 4) AS avg_ctr_7d,
+      ROUND(t.today_ctr, 4)  AS today_ctr,
+      ROUND(
+        SAFE_DIVIDE(t.today_ctr - l.avg_ctr_7d, l.avg_ctr_7d) * 100
+      , 2)                    AS pct_change
+    FROM today AS t
+    JOIN last7 AS l
+      ON t.ad_unit_name = l.ad_unit_name
+    WHERE
+      ABS(
+        SAFE_DIVIDE(t.today_ctr - l.avg_ctr_7d, l.avg_ctr_7d) * 100
+      ) > {threshold}
+    ORDER BY pct_change DESC;
+    """
+    return spark.sql(bq_sql_to_spark(sql))
+
+
 def ctr_anomaly_sql(
     spark: SparkSession, sf_dir: str, threshold: float = DEFAULT_THRESHOLD
 ) -> DataFrame:

@@ -1106,6 +1106,52 @@ JOIN last7 l ON t.ad_unit_name = l.ad_unit_name
 ORDER BY pct_change DESC, t.app_name, t.ad_unit_name
 """
 
+def q_ctr_anomaly_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return alerts.ctr_anomaly_bq_verbatim(spark, sf_dir)
+
+
+_ORACLE_ANOMALY_BQ = """
+WITH fact AS (
+    SELECT CAST(ts AS DATE) AS date,
+           event_type AS app_name,
+           'u' || CAST(user_id % 8 AS VARCHAR) AS ad_unit_name,
+           CAST(FLOOR(value * 1000) AS BIGINT) AS clicks,
+           CAST(1 AS BIGINT) AS impressions
+    FROM events
+),
+daily AS (
+    SELECT date, app_name, ad_unit_name,
+           CAST(SUM(clicks) AS BIGINT) AS clicks,
+           CAST(SUM(impressions) AS BIGINT) AS impressions,
+           CAST(SUM(clicks) AS DOUBLE) / NULLIF(SUM(impressions), 0)
+               AS impression_ctr
+    FROM fact GROUP BY date, app_name, ad_unit_name
+),
+bounds AS (SELECT MAX(date) AS report_date FROM daily),
+last7 AS (
+    SELECT app_name, ad_unit_name,
+           CAST(SUM(clicks) AS DOUBLE) / NULLIF(SUM(impressions), 0) AS avg_ctr_7d
+    FROM daily, bounds
+    WHERE date BETWEEN report_date - INTERVAL 7 DAY AND report_date - INTERVAL 1 DAY
+    GROUP BY app_name, ad_unit_name
+),
+today AS (
+    SELECT app_name, ad_unit_name, impression_ctr AS today_ctr
+    FROM daily, bounds
+    WHERE date = report_date
+)
+SELECT t.app_name, t.ad_unit_name,
+       ROUND(l.avg_ctr_7d, 4) AS avg_ctr_7d,
+       ROUND(t.today_ctr, 4) AS today_ctr,
+       ROUND((t.today_ctr - l.avg_ctr_7d) / NULLIF(l.avg_ctr_7d, 0) * 100, 2)
+           AS pct_change
+FROM today t
+JOIN last7 l ON t.ad_unit_name = l.ad_unit_name
+WHERE ABS((t.today_ctr - l.avg_ctr_7d) / NULLIF(l.avg_ctr_7d, 0) * 100) > 25
+ORDER BY pct_change DESC
+"""
+
+
 _ORACLE_ANOMALY_WINDOW = """
 WITH fact AS (
     SELECT CAST(ts AS DATE) AS date,
@@ -1909,6 +1955,7 @@ QUERIES = {
     "chunk_flatten": q_chunk_flatten,
     "report_spec": q_report_spec,
     "ctr_anomaly_sql": q_ctr_anomaly_sql,
+    "ctr_anomaly_bq_verbatim": q_ctr_anomaly_bq,
     "ctr_anomaly_df": q_ctr_anomaly_df,
     "ctr_anomaly_backfill": q_ctr_anomaly_backfill,
     "report_spec_mediation": q_report_spec_mediation,
@@ -1984,6 +2031,7 @@ ORACLES = {
     "chunk_flatten": _ORACLE_CHUNK_FLATTEN,
     "report_spec": _ORACLE_REPORT_SPEC,
     "ctr_anomaly_sql": _ORACLE_ANOMALY_QUIRK,
+    "ctr_anomaly_bq_verbatim": _ORACLE_ANOMALY_BQ,
     "ctr_anomaly_df": _ORACLE_ANOMALY_QUIRK,
     "ctr_anomaly_backfill": _ORACLE_ANOMALY_BACKFILL,
     "report_spec_mediation": _ORACLE_REPORT_MEDIATION,

@@ -85,3 +85,35 @@ def test_missing_units_anti_join(spark):
     today = spark.createDataFrame([Row(ad_unit_name="u1", clicks=1)])
     missing = alerts.missing_units(configured, today).collect()
     assert [r.ad_unit_name for r in missing] == ["u9"]
+
+
+def test_bq_dialect_rewriter_tokens():
+    from admob_data_pipeline_spark.functions.dialect import bq_sql_to_spark
+
+    src = (
+        "SELECT SAFE_DIVIDE(a, b), DATE_SUB('2024-01-30', INTERVAL 7 DAY)\n"
+        "FROM `demo-project.admob_exports.daily` ;"
+    )
+    out = bq_sql_to_spark(src)
+    assert "try_divide(a, b)" in out
+    assert "date_sub('2024-01-30', 7)" in out
+    assert "`" not in out and "FROM daily" in out
+    assert not out.endswith(";")
+
+
+def test_bq_verbatim_matches_filtered_ansi_form(spark, sf_dir):
+    """The verbatim-dialect execution must agree with the hand-translated
+    ANSI form on which (app, unit) pairs alert (the reference's output is
+    the is_alert=true subset with today's CTR from the daily report)."""
+    from admob_data_pipeline_spark.operators.alerts import (
+        ctr_anomaly_bq_verbatim,
+        ctr_anomaly_sql,
+    )
+
+    bq = {(r.app_name, r.ad_unit_name) for r in ctr_anomaly_bq_verbatim(spark, sf_dir).collect()}
+    ansi = {
+        (r.app_name, r.ad_unit_name)
+        for r in ctr_anomaly_sql(spark, sf_dir).collect()
+        if r.is_alert
+    }
+    assert bq == ansi
