@@ -1398,29 +1398,25 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ degree^depth from the seed — a frontier query, not a full
     traversal; each recursion step is one equi-join on the vertex key.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("li_rec")
-    return spark.sql(
-        _RECURSIVE_SQL.format(table="li_rec", depth=REACH_MAX_DEPTH)
-    )
+    from admob_data_pipeline_spark.operators.graph import copurchase_edges
+
+    # Spark INLINES non-recursive CTEs into every recursion step, so an
+    # edges CTE inside the recursive statement re-runs the basket
+    # self-join + countDistinct per iteration (measured 14 s at sf0.1).
+    # Materialize the edge list once and let the recursion read it.
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem")).localCheckpoint()
+    edges.createOrReplaceTempView("rec_edges")
+    return spark.sql(_RECURSIVE_SQL.format(edges="rec_edges", depth=REACH_MAX_DEPTH))
 
 
 _RECURSIVE_SQL = """
 WITH RECURSIVE
-lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM {table}),
-edges AS (
-    SELECT a.l_partkey AS u, b.l_partkey AS v
-    FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
-    WHERE a.l_partkey < b.l_partkey
-    GROUP BY a.l_partkey, b.l_partkey
-    HAVING COUNT(DISTINCT a.l_orderkey) >= 2
-),
 adj AS (
-    SELECT u AS src, v AS dst FROM edges
+    SELECT u AS src, v AS dst FROM {edges}
     UNION ALL
-    SELECT v AS src, u AS dst FROM edges
+    SELECT v AS src, u AS dst FROM {edges}
 ),
-seed AS (SELECT MIN(u) AS node FROM edges),
+seed AS (SELECT MIN(u) AS node FROM {edges}),
 r(node, depth) AS (
     SELECT node, 0 FROM seed
     UNION ALL
@@ -1432,7 +1428,19 @@ SELECT node, MIN(depth) AS min_depth
 FROM r GROUP BY node ORDER BY node
 """
 
-_ORACLE_RECURSIVE = _RECURSIVE_SQL.format(table="lineitem", depth=REACH_MAX_DEPTH)
+_ORACLE_EDGES_CTE = """(
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+)"""
+
+_ORACLE_RECURSIVE = _RECURSIVE_SQL.format(
+    edges=_ORACLE_EDGES_CTE, depth=REACH_MAX_DEPTH
+)
 
 
 # --- O2+limit: deterministic top-k ---------------------------------------
