@@ -308,6 +308,56 @@ ORDER BY o_orderkey
 """
 
 
+def q_sink_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish end-to-end: the daily fact is staged, audited
+    on the STAGED read-back (null keys, negative counts, emptiness), and
+    only then promoted; the query returns the PUBLISHED table read back.
+    The oracle computes the same fact straight from the source, so a
+    hash match proves the gate passes clean data through byte-exact.
+    The rejection path (bad batch ⇒ no publish, quarantine kept) is
+    pinned in tests/test_sinks.py.
+    """
+    from admob_data_pipeline_spark.sinks.writers import write_audit_publish
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("event_type").alias("app_name"),
+            F.col("ts").cast("date").alias("date"),
+            F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        .groupBy("app_name", "date")
+        .agg(F.sum("vm").alias("clicks"), F.count(F.lit(1)).alias("impressions"))
+    )
+
+    def audit(staged: DataFrame) -> list[str]:
+        stats = staged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("app_name").isNull(), 1).otherwise(0)).alias("nulls"),
+            F.sum(F.when(F.col("impressions") <= 0, 1).otherwise(0)).alias("bad"),
+        ).collect()[0]
+        problems = []
+        if stats.n == 0:
+            problems.append("empty publish")
+        if stats.nulls:
+            problems.append(f"{stats.nulls} null app_name rows")
+        if stats.bad:
+            problems.append(f"{stats.bad} non-positive impression rows")
+        return problems
+
+    out = tempfile.mkdtemp(prefix="sink_wap_") + "/published"
+    try:
+        write_audit_publish(daily, out, audit)
+        back = spark.read.parquet(out)
+        rows = [
+            (r["app_name"], r["clicks"], r["impressions"], r["date"])
+            for r in back.collect()
+        ]
+    finally:
+        shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, _DAILY_SCHEMA).orderBy("date", "app_name")
+
+
 def q_sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Publish-with-manifest: write the daily fact date-partitioned, then
     compute the partition manifest FROM THE WRITTEN FILES — per-partition
@@ -390,6 +440,7 @@ ORDER BY date
 
 
 QUERIES = {
+    "sink_wap": q_sink_wap,
     "sink_manifest": q_sink_manifest,
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
     "sink_zorder_layout": q_sink_zorder_layout,
@@ -402,6 +453,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_wap": _ORACLE_PARTITION,
     "sink_manifest": _ORACLE_MANIFEST,
     "sink_csv_roundtrip": _ORACLE_FACT,
     "sink_zorder_layout": _ORACLE_ZORDER,

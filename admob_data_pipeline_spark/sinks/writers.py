@@ -264,6 +264,42 @@ def write_global_sort(
     out.write.mode("overwrite").parquet(path)
 
 
+def write_audit_publish(
+    df: DataFrame,
+    out_dir: str,
+    audit_fn: Callable[[DataFrame], list[str]],
+) -> None:
+    """Write-Audit-Publish: stage the frame to a sibling directory, run
+    ``audit_fn`` over the STAGED READ-BACK (what consumers will actually
+    see — catches writer-side corruption a pre-write check cannot), and
+    only then promote the staging directory to ``out_dir``. On audit
+    failure the staged files stay behind as a quarantine for diagnosis
+    and ``ValueError`` is raised — nothing is published.
+
+    The promote is a directory rename — atomic on a local/HDFS-style
+    filesystem when ``out_dir`` does not yet exist; replacing an
+    existing publish is remove-then-rename (a reader can race the gap —
+    a table format's atomic snapshot swap is the fix at that point, and
+    this staging flow is exactly what its commit protocol automates).
+    """
+    import os
+    import shutil
+    import uuid
+
+    stage = f"{out_dir}.staging-{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(stage)
+    staged = df.sparkSession.read.parquet(stage)
+    problems = audit_fn(staged)
+    if problems:
+        raise ValueError(
+            f"audit failed, publish aborted (quarantine: {stage}): "
+            + "; ".join(problems)
+        )
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.rename(stage, out_dir)
+
+
 def write_if_nonempty(df: DataFrame, writer: Callable[[DataFrame], None]) -> bool:
     """S10 — skip sinks on an empty day (main.py:147-149,
     fetch_mediation_report.py:146-148). Returns True if written."""

@@ -214,3 +214,31 @@ def test_global_sort_files_are_disjoint_and_ordered(spark, tmp_path):
             assert ks[0] >= prev_max
         prev_max = ks[-1]
     assert total == 5000
+
+
+def test_write_audit_publish_rejects_and_quarantines(spark, tmp_path):
+    import os
+
+    import pytest
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.sinks.writers import write_audit_publish
+
+    bad = spark.createDataFrame(
+        [Row(app_name=None, impressions=-1)], "app_name string, impressions long"
+    )
+    out = str(tmp_path / "published")
+
+    def audit(staged):
+        n = staged.where(staged.app_name.isNull()).count()
+        return [f"{n} null keys"] if n else []
+
+    with pytest.raises(ValueError, match="audit failed"):
+        write_audit_publish(bad, out, audit)
+    assert not os.path.exists(out)  # nothing published
+    quarantine = [d for d in os.listdir(tmp_path) if d.startswith("published.staging-")]
+    assert quarantine  # staged files kept for diagnosis
+
+    good = spark.createDataFrame([Row(app_name="a", impressions=3)])
+    write_audit_publish(good, out, audit)
+    assert spark.read.parquet(out).count() == 1
