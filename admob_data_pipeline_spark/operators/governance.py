@@ -226,6 +226,134 @@ ORDER BY v.a, v.b
 """
 
 
+# --- l-diversity / t-closeness ----------------------------------------------
+L_THRESHOLD = 3
+T_SCALE = 1_000_000
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's required companion: a group can
+    be large (k-safe) yet expose everyone's sensitive value if the group
+    is homogeneous. Per quasi-identifier group (nation), the count of
+    DISTINCT sensitive values (market segment) and the l-bar verdict.
+
+    Scale: one partial-aggregated groupBy over the quasi key.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("c_mktsegment").alias("n_sensitive"),
+        )
+        .withColumn("meets_l", F.col("n_sensitive") >= L_THRESHOLD)
+        .orderBy("c_nationkey")
+    )
+
+
+_ORACLE_L_DIVERSITY = f"""
+SELECT c_nationkey, COUNT(*) AS group_size,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+       COUNT(DISTINCT c_mktsegment) >= {L_THRESHOLD} AS meets_l
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the distribution-level privacy bar: even a
+    diverse group leaks if its sensitive-value distribution diverges from
+    the global one. Per quasi group (nation), the total-variation
+    distance ½·Σ_s |p_g(s) − p(s)| between the group's segment
+    distribution and the corpus distribution, fully division-free:
+    TV·(2·n_g·n) = Σ_s |c_gs·n − c_s·n_g| in exact BIGINT (segments
+    ABSENT from a group contribute c_s·n_g — accounted via the
+    complement of the group's covered global mass, no group×segment
+    cross join needed), with the ppm quotient two-staged at the end.
+
+    Scale: one (quasi, sensitive) cell aggregation; margins broadcast
+    back; n·c products stay in BIGINT to ~3e9 rows (lift to DECIMAL(38)
+    past that).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("c_gs"))
+        .localCheckpoint()
+    )
+    groups = cells.groupBy("c_nationkey").agg(F.sum("c_gs").alias("n_g"))
+    sens = cells.groupBy("c_mktsegment").agg(F.sum("c_gs").alias("c_s"))
+    tot = cells.agg(F.sum("c_gs").alias("n"))
+    j = (
+        cells.join(F.broadcast(sens), "c_mktsegment")
+        .join(F.broadcast(groups), "c_nationkey")
+        .crossJoin(F.broadcast(tot))
+    )
+    present = j.groupBy("c_nationkey").agg(
+        F.sum(F.abs(F.col("c_gs") * F.col("n") - F.col("c_s") * F.col("n_g"))).alias(
+            "present_part"
+        ),
+        F.sum(F.col("c_s")).alias("covered_mass"),
+        F.max("n_g").alias("n_g"),
+        F.max("n").alias("n"),
+    )
+    tv2 = F.col("present_part") + (F.col("n") - F.col("covered_mass")) * F.col("n_g")
+    den = F.lit(2) * F.col("n_g") * F.col("n")
+    return (
+        present.select(
+            "c_nationkey",
+            F.col("n_g").cast("long").alias("group_size"),
+            tv2.cast("long").alias("tv2_scaled"),
+            den.cast("long").alias("den"),
+        )
+        .select(
+            "c_nationkey",
+            "group_size",
+            "tv2_scaled",
+            (
+                F.expr("tv2_scaled * 1000 DIV den") * 1000
+                + F.expr("(tv2_scaled * 1000 % den) * 1000 DIV den")
+            )
+            .cast("long")
+            .alias("tv_ppm"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_ORACLE_T_CLOSENESS = """
+WITH cells AS (
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS c_gs
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+groups AS (SELECT c_nationkey, CAST(SUM(c_gs) AS BIGINT) AS n_g FROM cells GROUP BY c_nationkey),
+sens AS (SELECT c_mktsegment, CAST(SUM(c_gs) AS BIGINT) AS c_s FROM cells GROUP BY c_mktsegment),
+tot AS (SELECT CAST(SUM(c_gs) AS BIGINT) AS n FROM cells),
+present AS (
+    SELECT c.c_nationkey,
+           CAST(SUM(ABS(c.c_gs * n - s.c_s * g.n_g)) AS BIGINT) AS present_part,
+           CAST(SUM(s.c_s) AS BIGINT) AS covered_mass,
+           MAX(g.n_g) AS n_g, MAX(n) AS n
+    FROM cells c
+    JOIN sens s USING (c_mktsegment)
+    JOIN groups g USING (c_nationkey), tot
+    GROUP BY c.c_nationkey
+),
+scored AS (
+    SELECT c_nationkey, n_g AS group_size,
+           CAST(present_part + (n - covered_mass) * n_g AS BIGINT) AS tv2_scaled,
+           CAST(2 * n_g * n AS BIGINT) AS den
+    FROM present
+)
+SELECT c_nationkey, group_size, tv2_scaled,
+       CAST((tv2_scaled * 1000 // den) * 1000
+            + (tv2_scaled * 1000 % den) * 1000 // den AS BIGINT) AS tv_ppm
+FROM scored
+ORDER BY c_nationkey
+"""
+
+
 # --- declarative data-quality constraint suite ------------------------------
 
 
@@ -339,6 +467,8 @@ QUERIES = {
     "erasure_audit": q_erasure_audit,
     "typo_pairs": q_typo_pairs,
     "dq_constraints": q_dq_constraints,
+    "l_diversity_audit": q_l_diversity,
+    "t_closeness_audit": q_t_closeness,
 }
 
 ORACLES = {
@@ -346,4 +476,6 @@ ORACLES = {
     "erasure_audit": _ORACLE_ERASURE,
     "typo_pairs": _ORACLE_TYPO,
     "dq_constraints": _ORACLE_DQ,
+    "l_diversity_audit": _ORACLE_L_DIVERSITY,
+    "t_closeness_audit": _ORACLE_T_CLOSENESS,
 }

@@ -87,3 +87,19 @@ def test_dq_constraints_reports_failures_and_passes(spark, sf_dir):
     # structural invariants of the dataset hold
     for name in ("o_custkey_complete", "o_orderkey_unique", "l_orderkey_ref_integrity"):
         assert rows[name].passed and rows[name].violations == 0
+
+
+def test_t_closeness_bounds_and_homogeneous_group(spark):
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators.governance import (
+        q_l_diversity,
+        q_t_closeness,
+    )
+
+    rows = q_t_closeness(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.tv_ppm <= 1_000_000  # TV distance ∈ [0, 1]
+    ld = {r.c_nationkey: r for r in q_l_diversity(spark, "/root/testdata/sf0.001").collect()}
+    assert set(ld) == {r.c_nationkey for r in rows}
