@@ -2223,6 +2223,110 @@ ORDER BY l_returnflag
 """
 
 
+# --- approx-percentile contract audit -----------------------------------------
+APPROX_ACC = 1000  # percentile_approx accuracy ⇒ rank error ≤ n/ACC
+APPROX_QS = (250, 500, 750, 900)  # q·1000
+
+
+def q_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of Spark's own ``percentile_approx`` (Greenwald-Khanna
+    sketch) against its documented contract: the returned value's rank
+    must lie within ±n/accuracy of q·n. The check is pure integer
+    cross-multiplication over rank_lo/rank_hi (#{x<v} / #{x≤v}), so the
+    only approximate thing in the query is the operator UNDER audit —
+    the verdict booleans and exact order statistics are deterministic,
+    which is what makes an approximate operator oracle-checkable at all
+    (the oracle asserts the contract holds and supplies the exact
+    values; a sketch regression fails the hash loudly).
+
+    Scale: the value rollup bounds every window (playbook #27); the
+    sketch itself is the scalable path being audited.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    qs = [q / 1000 for q in APPROX_QS]
+    approx_row = o.agg(
+        F.percentile_approx("cents", qs, APPROX_ACC).alias("vals")
+    )
+    per_val = o.groupBy("cents").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # cum_lo(v) = #{x < v} = cum_hi(v) − m(v)
+    cums = per_val.select(
+        "cents",
+        F.sum("m").over(w).alias("cum_hi"),
+        (F.sum("m").over(w) - F.col("m")).alias("cum_lo"),
+    ).localCheckpoint()
+    n_row = per_val.agg(F.sum("m").alias("n"))
+    # (q, approx value) pairs: posexplode is 1-indexed via pos+1 against
+    # the APPROX_QS ordinal
+    probe = (
+        approx_row.select(F.posexplode("vals").alias("pos", "approx_v"))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(q) for q in APPROX_QS]), F.col("pos") + 1
+            ).alias("q_permille"),
+            "approx_v",
+        )
+    )
+    ranked = (
+        probe.crossJoin(F.broadcast(n_row))
+        .join(
+            F.broadcast(
+                cums.select(
+                    F.col("cents").alias("approx_v"), "cum_hi", "cum_lo"
+                )
+            ),
+            "approx_v",
+        )
+    )
+    # GK contract, integer domain: rank window [q·n − n/ACC, q·n + n/ACC]
+    # ⇔ ACC·1000·cum ⋛ (q_permille·ACC ∓ 1000)·n
+    in_bounds = (
+        F.lit(APPROX_ACC * 1000) * F.col("cum_hi")
+        >= (F.col("q_permille") * APPROX_ACC - 1000).cast("long") * F.col("n")
+    ) & (
+        F.lit(APPROX_ACC * 1000) * F.col("cum_lo")
+        <= (F.col("q_permille") * APPROX_ACC + 1000).cast("long") * F.col("n")
+    )
+    # exact order statistic at rank ceil(q·n/1000): first value with cum_hi ≥ r
+    qdf = spark.createDataFrame([(q,) for q in APPROX_QS], "q_permille int")
+    exact = (
+        qdf.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(cums))
+        .where(
+            F.col("cum_hi") * 1000 >= F.col("q_permille") * F.col("n")
+        )
+        .groupBy("q_permille")
+        .agg(F.min("cents").alias("exact_value"))
+    )
+    return (
+        ranked.select("q_permille", F.col("n").cast("long").alias("n"), in_bounds.alias("approx_in_bounds"))
+        .join(exact, "q_permille")
+        .select("q_permille", "n", "exact_value", "approx_in_bounds")
+        .orderBy("q_permille")
+    )
+
+
+_ORACLE_APPROX_QUANTILE = f"""
+WITH o AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+per_val AS (SELECT cents, COUNT(*) AS m FROM o GROUP BY cents),
+cums AS (
+    SELECT cents,
+           CAST(SUM(m) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hi
+    FROM per_val
+),
+n_row AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM per_val),
+qs(q_permille) AS (VALUES {", ".join(f"({q})" for q in APPROX_QS)})
+SELECT q.q_permille, n_row.n,
+       (SELECT MIN(cents) FROM cums, n_row
+        WHERE cum_hi * 1000 >= q.q_permille * n) AS exact_value,
+       TRUE AS approx_in_bounds
+FROM qs q, n_row
+ORDER BY q.q_permille
+"""
+
+
 # --- two-sample Kolmogorov–Smirnov test ---------------------------------------
 RANK_SEGMENT = "BUILDING"
 
@@ -3036,6 +3140,7 @@ ORDER BY event_type
 
 
 QUERIES = {
+    "approx_quantile_audit": q_approx_quantile_audit,
     "ks_test": q_ks_test,
     "chi_square": q_chi_square,
     "rank_sum_test": q_rank_sum_test,
@@ -3091,6 +3196,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "approx_quantile_audit": _ORACLE_APPROX_QUANTILE,
     "ks_test": _ORACLE_KS,
     "chi_square": _ORACLE_CHI,
     "rank_sum_test": _ORACLE_RANK_SUM,

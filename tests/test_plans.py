@@ -388,3 +388,21 @@ def test_ks_and_chi_square_invariants(spark):
     chi = q_chi_square(spark, "/root/testdata/sf0.001").collect()[0]
     assert chi.chi2_e4 >= -chi.n_cells  # each floored term ≥ -1 only via ulp; sum ≥ -cells
     assert chi.dof > 0 and chi.n_cells > chi.dof
+
+
+def test_approx_quantile_audit_bounds_hold_across_partitionings(spark):
+    from admob_data_pipeline_spark.plans.analytics_ext import q_approx_quantile_audit
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("2", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            rows = q_approx_quantile_audit(spark, "/root/testdata/sf0.001").collect()
+            assert len(rows) == 4
+            assert all(r.approx_in_bounds for r in rows)
+            # exact order statistics are partition-independent by construction
+            exacts = sorted((r.q_permille, r.exact_value) for r in rows)
+            vals = [v for _, v in exacts]
+            assert vals == sorted(vals)  # monotone in q
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
