@@ -1270,6 +1270,108 @@ ORDER BY a, b
 """
 
 
+# --- weighted (multiset) Jaccard ---------------------------------------------
+WEIGHTED_THRESHOLD = 0.5
+
+
+def weighted_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = WEIGHTED_THRESHOLD,
+    max_df: int = MAX_DF,
+    text_col: str = "text",
+) -> DataFrame:
+    """Multiset-Jaccard near-dup pairs: J_w = Σ min(c_a, c_b) / Σ max —
+    the repetition-aware variant of ``ngram_jaccard_pairs``. Set Jaccard
+    treats a boilerplate shingle repeated 50× the same as one occurrence;
+    the weighted form scores templated/spammy near-dups the set form
+    underrates. Σ max = S_a + S_b − Σ min, so only shared shingles join.
+
+    Scale: identical shape to the set form (shared-shingle equi-join,
+    stop-shingle cap, integer cross-mult threshold) with per-doc counts
+    riding along instead of a distinct explode.
+    """
+    sh = (
+        widen_if_narrow(docs)
+        .select(
+            "doc_id",
+            F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"),
+        )
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = capped.groupBy("doc_id").agg(F.sum("c").alias("s"))
+    a = capped.select(F.col("doc_id").alias("a"), "shingle", F.col("c").alias("ca"))
+    b = capped.select(F.col("doc_id").alias("b"), "shingle", F.col("c").alias("cb"))
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.least("ca", "cb")).alias("n_min"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("s").alias("s_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("s").alias("s_b"))
+    _t = int(round(threshold * 1_000_000))
+    _union = F.col("s_a") + F.col("s_b") - F.col("n_min")
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .where(F.col("n_min") * F.lit(1_000_000) >= F.lit(_t) * _union)
+        .select(
+            "a",
+            "b",
+            "n_min",
+            F.round(F.try_divide(F.col("n_min"), _union), 6).alias("w_jaccard"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_WEIGHTED_JACCARD = f"""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh0 AS (
+    SELECT doc_id, shingle, COUNT(*) AS c FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+2], ' ')
+                       FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+        FROM t
+    ) GROUP BY doc_id, shingle
+),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > {MAX_DF}),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS s FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS n_min
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a, i.b, i.n_min,
+       ROUND(CAST(i.n_min AS DOUBLE)
+             / NULLIF(sa.s + sb.s - i.n_min, 0), 6) AS w_jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.n_min * 1000000
+      >= {int(round(WEIGHTED_THRESHOLD * 1_000_000))} * (sa.s + sb.s - i.n_min)
+ORDER BY i.a, i.b
+"""
+
+
 # --- corpus dedup accounting ------------------------------------------------
 
 
@@ -1548,9 +1650,11 @@ QUERIES = {
     "dedup_split_leakage": q_cross_split_leakage,
     "dedup_substring": q_substring_dup,
     "dedup_cluster_stats": q_cluster_stats,
+    "dedup_weighted_jaccard": q_weighted_jaccard,
 }
 
 ORACLES = {
+    "dedup_weighted_jaccard": _ORACLE_WEIGHTED_JACCARD,
     "dedup_cluster_stats": _ORACLE_CLUSTER_STATS,
     "dedup_split_leakage": _ORACLE_SPLIT_LEAKAGE,
     "dedup_substring": _ORACLE_SUBSTRING,

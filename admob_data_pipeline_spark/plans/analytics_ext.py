@@ -2223,6 +2223,84 @@ ORDER BY l_returnflag
 """
 
 
+# --- cohort lifetime value -----------------------------------------------------
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value by signup cohort: users grouped by
+    first-seen month, value accumulated over account age — the LTV curve
+    behind every retention-economics decision (cohort_retention gives
+    the WHO, this gives the HOW MUCH).
+
+    Exactness: months are integer indices (year·12+month — no date
+    arithmetic ambiguity), value is per-row int-scaled milli-units, the
+    running sum is a cohort-partitioned window over the (cohort, age)
+    rollup (bounded groups), and LTV-per-user is integer DIV.
+
+    Scale: one shuffle to find each user's first month (partial-agg
+    min), one join back on user_id, one rollup + bounded window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    midx = F.year("ts") * 12 + F.month("ts")
+    base = ev.select(
+        "user_id", midx.alias("m"), F.floor(F.col("value") * 1000).cast("long").alias("vm")
+    )
+    first = base.groupBy("user_id").agg(F.min("m").alias("cohort_m"))
+    joined = base.join(first, "user_id").select(
+        "user_id", "cohort_m", (F.col("m") - F.col("cohort_m")).alias("age_months"), "vm"
+    )
+    sizes = first.groupBy("cohort_m").agg(F.countDistinct("user_id").alias("n_users"))
+    per_age = joined.groupBy("cohort_m", "age_months").agg(F.sum("vm").alias("v"))
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_age.withColumn("cum_value_milli", F.sum("v").over(w))
+        .join(F.broadcast(sizes), "cohort_m")
+        .select(
+            "cohort_m",
+            "age_months",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("cum_value_milli").cast("long").alias("cum_value_milli"),
+            F.expr("cum_value_milli DIV n_users").alias("ltv_per_user_milli"),
+        )
+        .orderBy("cohort_m", "age_months")
+    )
+
+
+_ORACLE_COHORT_LTV = """
+WITH base AS (
+    SELECT user_id,
+           CAST(year(ts) * 12 + month(ts) AS BIGINT) AS m,
+           CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+    FROM events
+),
+first AS (SELECT user_id, MIN(m) AS cohort_m FROM base GROUP BY user_id),
+joined AS (
+    SELECT b.user_id, f.cohort_m, b.m - f.cohort_m AS age_months, b.vm
+    FROM base b JOIN first f USING (user_id)
+),
+sizes AS (SELECT cohort_m, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM first GROUP BY cohort_m),
+per_age AS (
+    SELECT cohort_m, age_months, CAST(SUM(vm) AS BIGINT) AS v
+    FROM joined GROUP BY cohort_m, age_months
+),
+cum AS (
+    SELECT cohort_m, age_months,
+           CAST(SUM(v) OVER (PARTITION BY cohort_m ORDER BY age_months
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_milli
+    FROM per_age
+)
+SELECT c.cohort_m, c.age_months, s.n_users, c.cum_value_milli,
+       CAST(c.cum_value_milli // s.n_users AS BIGINT) AS ltv_per_user_milli
+FROM cum c JOIN sizes s USING (cohort_m)
+ORDER BY c.cohort_m, c.age_months
+"""
+
+
 # --- approx-percentile contract audit -----------------------------------------
 APPROX_ACC = 1000  # percentile_approx accuracy ⇒ rank error ≤ n/ACC
 APPROX_QS = (250, 500, 750, 900)  # q·1000
@@ -3140,6 +3218,7 @@ ORDER BY event_type
 
 
 QUERIES = {
+    "cohort_ltv": q_cohort_ltv,
     "approx_quantile_audit": q_approx_quantile_audit,
     "ks_test": q_ks_test,
     "chi_square": q_chi_square,
@@ -3196,6 +3275,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cohort_ltv": _ORACLE_COHORT_LTV,
     "approx_quantile_audit": _ORACLE_APPROX_QUANTILE,
     "ks_test": _ORACLE_KS,
     "chi_square": _ORACLE_CHI,

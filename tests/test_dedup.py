@@ -252,3 +252,14 @@ def test_cluster_stats_accounting(spark):
     got = {r.cluster_size: (r.n_clusters, r.n_docs, r.n_removable)
            for r in dedup.cluster_stats(d).collect()}
     assert got == {1: (1, 1, 0), 3: (1, 3, 2)}
+
+
+def test_weighted_jaccard_penalizes_repetition_asymmetry(spark):
+    """Set Jaccard sees these as identical (same distinct shingles);
+    weighted Jaccard must score the repetition-skewed pair below 1."""
+    base = "w0 w1 w2 w3 w4"
+    rep = base + " " + base + " " + base  # same shingle SET, 3x counts + seam shingles
+    d = _docs(spark, [base, base, rep])
+    got = {(r.a, r.b): r.w_jaccard for r in dedup.weighted_jaccard_pairs(d).collect()}
+    assert got[(0, 1)] == 1.0                     # identical docs: J_w = 1
+    assert all(v < 1.0 for k, v in got.items() if k != (0, 1))

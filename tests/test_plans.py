@@ -406,3 +406,17 @@ def test_approx_quantile_audit_bounds_hold_across_partitionings(spark):
             assert vals == sorted(vals)  # monotone in q
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_cohort_ltv_curves_are_monotone(spark):
+    from admob_data_pipeline_spark.plans.analytics_ext import q_cohort_ltv
+
+    rows = q_cohort_ltv(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_m, []).append((r.age_months, r.cum_value_milli))
+    for pts in by_cohort.values():
+        pts.sort()
+        vals = [v for _, v in pts]
+        assert vals == sorted(vals)  # cumulative LTV never decreases
