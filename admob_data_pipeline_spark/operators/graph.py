@@ -254,6 +254,101 @@ ORDER BY n_nodes DESC, component
 )
 
 
+# --- association rules ---------------------------------------------------------
+RULE_TOP = 40
+
+
+def association_rules(
+    li: DataFrame, min_support: int = MIN_SUPPORT, top_n: int = RULE_TOP
+) -> DataFrame:
+    """Directed association rules a→b over frequent co-purchase pairs:
+    confidence = supp(ab)/supp(a) and lift = confidence/P(b), the
+    ranking behind "customers who bought X also bought Y". Both ratios
+    are integer ppm (two-stage scaling for lift, whose numerator is a
+    triple product) — no float division anywhere.
+
+    Scale: item supports are one partial-agg groupBy; pair supports come
+    from the basket-bounded self-join (shared with copurchase_edges);
+    the rule table is |frequent pairs|·2 rows.
+    """
+    lp = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    n_orders = lp.select("l_orderkey").distinct().count()
+    item_supp = lp.groupBy("l_partkey").agg(F.countDistinct("l_orderkey").alias("s"))
+    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.countDistinct("ok").alias("s_ab"))
+        .where(F.col("s_ab") >= min_support)
+    )
+    # both directions: (u→v) and (v→u)
+    directed = pairs.select(
+        F.col("u").alias("ante"), F.col("v").alias("cons"), "s_ab"
+    ).unionByName(
+        pairs.select(F.col("v").alias("ante"), F.col("u").alias("cons"), "s_ab")
+    )
+    sa = item_supp.select(F.col("l_partkey").alias("ante"), F.col("s").alias("s_a"))
+    sc = item_supp.select(F.col("l_partkey").alias("cons"), F.col("s").alias("s_c"))
+    j = directed.join(sa, "ante").join(sc, "cons")
+    conf_ppm = F.expr("s_ab * 1000000 DIV s_a")
+    # lift = conf / (s_c/N) = (s_ab·N)/(s_a·s_c); two-stage ×1000
+    lift_e6 = (
+        F.expr("(s_ab * n_orders) * 1000 DIV (s_a * s_c)") * 1000
+        + F.expr("((s_ab * n_orders) * 1000 % (s_a * s_c)) * 1000 DIV (s_a * s_c)")
+    )
+    return (
+        j.withColumn("n_orders", F.lit(n_orders).cast("long"))
+        .select(
+            "ante",
+            "cons",
+            F.col("s_ab").cast("long").alias("support"),
+            conf_ppm.cast("long").alias("confidence_ppm"),
+            lift_e6.cast("long").alias("lift_e6"),
+        )
+        .orderBy(F.desc("lift_e6"), F.desc("confidence_ppm"), "ante", "cons")
+        .limit(top_n)
+    )
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return association_rules(load_table(spark, sf_dir, "lineitem"))
+
+
+_ORACLE_RULES = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_ord AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lp),
+item_supp AS (
+    SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS s
+    FROM lp GROUP BY l_partkey
+),
+pairs AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v,
+           CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS s_ab
+    FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY u, v
+    HAVING COUNT(DISTINCT a.l_orderkey) >= {MIN_SUPPORT}
+),
+directed AS (
+    SELECT u AS ante, v AS cons, s_ab FROM pairs
+    UNION ALL
+    SELECT v AS ante, u AS cons, s_ab FROM pairs
+)
+SELECT d.ante, d.cons, d.s_ab AS support,
+       CAST(d.s_ab * 1000000 // sa.s AS BIGINT) AS confidence_ppm,
+       CAST(((d.s_ab * n_orders) * 1000 // (sa.s * sc.s)) * 1000
+            + ((d.s_ab * n_orders) * 1000 % (sa.s * sc.s)) * 1000
+              // (sa.s * sc.s) AS BIGINT) AS lift_e6
+FROM directed d
+JOIN item_supp sa ON sa.l_partkey = d.ante
+JOIN item_supp sc ON sc.l_partkey = d.cons, n_ord
+ORDER BY lift_e6 DESC, confidence_ppm DESC, ante, cons
+LIMIT {RULE_TOP}
+"""
+
+
 # --- frequent triples (A-priori level 3) -------------------------------------
 TRIPLE_TOP = 50
 
@@ -416,6 +511,7 @@ QUERIES = {
     "graph_components": q_graph_components,
     "graph_link_prediction": q_graph_link_prediction,
     "frequent_triples": q_frequent_triples,
+    "association_rules": q_association_rules,
 }
 
 ORACLES = {
@@ -423,4 +519,5 @@ ORACLES = {
     "graph_components": _ORACLE_COMPONENTS,
     "graph_link_prediction": _ORACLE_LINK_PRED,
     "frequent_triples": _ORACLE_TRIPLES_L3,
+    "association_rules": _ORACLE_RULES,
 }

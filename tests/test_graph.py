@@ -117,3 +117,24 @@ def test_frequent_triples_apriori_consistency(spark, sf_dir):
     for r in frequent_triples(li).collect():
         assert r.support >= MIN_SUPPORT
         assert (r.a, r.b) in edges and (r.b, r.c) in edges and (r.a, r.c) in edges
+
+
+def test_association_rules_confidence_asymmetry(spark):
+    """Rules are directed: a rare antecedent gives high confidence toward
+    a common consequent but not vice versa."""
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators.graph import association_rules
+
+    # item 1 in 4 baskets, item 2 in 2 of them → conf(2→1)=1.0, conf(1→2)=0.5
+    rows = []
+    for ok in (1, 2, 3, 4):
+        rows.append(Row(l_orderkey=ok, l_partkey=1))
+    for ok in (1, 2):
+        rows.append(Row(l_orderkey=ok, l_partkey=2))
+    li = spark.createDataFrame(rows)
+    got = {(r.ante, r.cons): r for r in association_rules(li).collect()}
+    assert got[(2, 1)].confidence_ppm == 1_000_000
+    assert got[(1, 2)].confidence_ppm == 500_000
+    # lift symmetric: (2·4)/(4·2)=1 → 1e6
+    assert got[(2, 1)].lift_e6 == got[(1, 2)].lift_e6 == 1_000_000
