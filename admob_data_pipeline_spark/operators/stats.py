@@ -1,0 +1,486 @@
+"""Time-series / robust-statistics operators over the event stream.
+
+The reference's analytics end at ratio-of-sums CTR checks
+(native_CTR_alerts.py:52-96); a monitoring pipeline over the same data
+also needs trend estimation, robust outlier flags, series memory
+(autocorrelation) and a smoothed spike detector. These four extend the
+repo's statistical-audit family (theil_sen_trend / cusum_changepoint /
+rank_sum_test in plans/analytics_ext.py) with the remaining standard
+kernels, all under the cross-engine determinism playbook:
+
+- every metric is computed in BIGINT (values int-scaled at ingest,
+  quotients as two-stage ppm per playbook #23, signs split out before
+  integer division per playbook #26 — Spark ``DIV`` truncates negatives
+  toward zero while DuckDB ``//`` floors, so division only ever sees
+  non-negative operands);
+- order statistics run over per-VALUE rollups (playbook #27): the
+  ordering window is bounded by the value domain, never the row count,
+  and the ×2 trick (med2 = sum of the two middle order statistics)
+  keeps medians integer without a division.
+
+Scale design: every operator collapses the event stream to a
+(group, day) or (group, value) rollup FIRST — one partial-aggregated
+shuffle — and runs its window/join logic on the rollup, whose size is
+bounded by calendar × group cardinality (or the value domain), not by
+the 100 TB fact volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.sources.tables import load_table
+
+VALUE_SCALE = 1000  # event value → integer millis, repo-wide discipline
+
+
+def _vm(col: str = "value") -> Column:
+    return F.floor(F.col(col) * VALUE_SCALE).cast("long")
+
+
+def _signed_ppm_expr(num: str = "num", den: str = "den") -> Column:
+    """sign(num) · (|num|·1e6 DIV den) with two-stage ×1000 scaling
+    (playbook #23: |num|·1e6 can overflow where |num|·1000 cannot) and
+    the sign split out so integer division never sees a negative operand
+    (playbook #26: Spark DIV truncates negatives toward zero, DuckDB //
+    floors). Takes column NAMES — Spark's integer ``DIV`` is only
+    reachable through SQL expression text, and float division would lose
+    bits above 2^53."""
+    return F.expr(
+        f"CAST((CASE WHEN {num} < 0 THEN -1 ELSE 1 END)"
+        f" * ((ABS({num}) * 1000 DIV {den}) * 1000"
+        f"    + (ABS({num}) * 1000 % {den}) * 1000 DIV {den}) AS BIGINT)"
+    )
+
+
+# --- OLS trend per group ------------------------------------------------------
+
+
+def ols_trend(
+    ev: DataFrame, group_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Per-group ordinary-least-squares slope of daily revenue vs day
+    index: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), the complement of
+    the robust Theil–Sen estimator (analytics_ext.q_theil_sen_trend) —
+    OLS is the one a monitoring dashboard actually plots.
+
+    Exactness: x is the integer day offset from the group's first day, y
+    the int-scaled daily revenue; all four moments are exact BIGINT sums,
+    and the slope is a sign-split two-stage ppm. Groups with a single
+    day (den = 0) are dropped — no slope is defined.
+
+    Overflow headroom: n·Σxy ≤ days²·Σy; at 10 years of days (3 650) and
+    BIGINT daily revenue up to 1e12 the product stays under 2^63. Past
+    that, lift the moment sums to DECIMAL(38) — the shape is unchanged.
+
+    Scale: one partial-agg rollup to (group, day), one window-free
+    aggregation per group. Nothing downstream of the rollup sees fact
+    rows.
+    """
+    daily = ev.groupBy(
+        F.col(group_col).alias("g"), F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(_vm(value_col)).alias("y"))
+    first = daily.groupBy("g").agg(F.min("d").alias("d0"))
+    xy = daily.join(first, "g").select(
+        "g", F.datediff(F.col("d"), F.col("d0")).cast("long").alias("x"), "y"
+    )
+    mom = xy.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = mom.select(
+        "g",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    return (
+        nd.where(F.col("den") > 0)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").alias("n_days"),
+            _signed_ppm_expr().alias("slope_e6"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ols_trend(load_table(spark, sf_dir, "events"))
+
+
+_ORACLE_OLS = f"""
+WITH daily AS (
+    SELECT event_type AS g, CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(FLOOR(value * {VALUE_SCALE}) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY g, d
+),
+xy AS (
+    SELECT g, CAST(datediff('day', MIN(d) OVER (PARTITION BY g), d) AS BIGINT) AS x, y
+    FROM daily
+),
+mom AS (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM xy GROUP BY g
+),
+nd AS (
+    SELECT g, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM mom
+    WHERE n * sxx - sx * sx > 0
+)
+SELECT g AS event_type, n AS n_days,
+       CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+            * ((ABS(num) * 1000 // den) * 1000
+               + (ABS(num) * 1000 % den) * 1000 // den) AS BIGINT) AS slope_e6
+FROM nd
+ORDER BY event_type
+"""
+
+
+# --- robust outliers (median / MAD) -------------------------------------------
+
+MAD_K2 = 3  # flag |x - med| > 3·MAD, i.e. 2·dev2 > 3·mad4
+
+
+def _median2_of_rollup(cnt: DataFrame, key: str, val: str, m: str) -> DataFrame:
+    """Exact 2×median of a (key, value, multiplicity) rollup: the sum of
+    the two middle order statistics (equal for odd n), located by running
+    the cumulative count over DISTINCT values — the ordering window is
+    bounded by the value domain (playbook #27), never the row count, and
+    the ×2 form keeps the even-n midpoint integer without division.
+
+    Returns (key, n, med2)."""
+    w_prev = (
+        Window.partitionBy(key).orderBy(val).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cnt.select(
+        key,
+        val,
+        m,
+        F.coalesce(F.sum(m).over(w_prev), F.lit(0)).alias("cum_prev"),
+    )
+    tot = cnt.groupBy(key).agg(F.sum(m).alias("n"))
+    j = ranked.join(tot, key)
+    lo = F.expr("(n + 1) DIV 2")
+    hi = F.expr("n DIV 2 + 1")
+    in_row = lambda r: (F.col("cum_prev") < r) & (r <= F.col("cum_prev") + F.col(m))  # noqa: E731
+    return j.groupBy(key).agg(
+        F.max("n").alias("n"),
+        (
+            F.max(F.when(in_row(lo), F.col(val)))
+            + F.max(F.when(in_row(hi), F.col(val)))
+        ).cast("long").alias("med2"),
+    )
+
+
+def mad_outliers(
+    ev: DataFrame, group_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Per-group robust outlier census: median and MAD (median absolute
+    deviation) as exact integer order statistics, then the count of rows
+    with |x − median| > 3·MAD — the robust z-score filter that survives
+    the heavy-tailed value distributions a mean/stddev filter chokes on.
+
+    Integer encoding: med2 = 2·median, dev2 = |2x − med2| = 2·|x − med|,
+    mad4 = 2·median(dev2) = 4·MAD; the flag |x−med| > 3·MAD becomes the
+    BIGINT comparison 2·dev2 > 3·mad4. No division anywhere.
+
+    Scale: two (group, value) rollups (values, then deviations) — both
+    partial-aggregated; the order-statistic windows run over distinct
+    values per group, so a group's row count never concentrates in one
+    task.
+    """
+    v = ev.select(F.col(group_col).alias("g"), _vm(value_col).alias("vm"))
+    cnt = v.groupBy("g", "vm").agg(F.count(F.lit(1)).alias("m")).localCheckpoint()
+    med = _median2_of_rollup(cnt, "g", "vm", "m")
+    dev = (
+        cnt.join(med.select("g", "med2"), "g")
+        .select(
+            "g",
+            F.abs(F.lit(2) * F.col("vm") - F.col("med2")).alias("dev2"),
+            "m",
+        )
+        .groupBy("g", "dev2")
+        .agg(F.sum("m").alias("m"))
+    )
+    mad = _median2_of_rollup(dev, "g", "dev2", "m").select(
+        "g", F.col("med2").alias("mad4")
+    )
+    out = (
+        dev.join(mad, "g")
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("dev2") > F.lit(MAD_K2) * F.col("mad4"),
+                    F.col("m"),
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, "g")
+        .join(out, "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").cast("long").alias("n_rows"),
+            "med2",
+            "mad4",
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mad_outliers(load_table(spark, sf_dir, "events"))
+
+
+# Oracle computes the SAME statistics from row-level order statistics
+# (ROW_NUMBER over raw rows) — a hash match doubles as an equivalence
+# proof that the rollup-based Spark plan matches the textbook row form.
+_ORACLE_MAD = f"""
+WITH v AS (
+    SELECT event_type AS g, CAST(FLOOR(value * {VALUE_SCALE}) AS BIGINT) AS vm
+    FROM events
+),
+r AS (
+    SELECT g, vm, ROW_NUMBER() OVER (PARTITION BY g ORDER BY vm) AS rn,
+           COUNT(*) OVER (PARTITION BY g) AS n
+    FROM v
+),
+med AS (
+    SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN vm ELSE 0 END)
+                + SUM(CASE WHEN rn = n // 2 + 1 THEN vm ELSE 0 END) AS BIGINT)
+               AS med2
+    FROM r GROUP BY g
+),
+dev AS (
+    SELECT v.g, ABS(2 * v.vm - med.med2) AS dev2
+    FROM v JOIN med ON med.g = v.g
+),
+rd AS (
+    SELECT g, dev2, ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev2) AS rn,
+           COUNT(*) OVER (PARTITION BY g) AS n
+    FROM dev
+),
+mad AS (
+    SELECT g, CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN dev2 ELSE 0 END)
+                   + SUM(CASE WHEN rn = n // 2 + 1 THEN dev2 ELSE 0 END) AS BIGINT)
+               AS mad4
+    FROM rd GROUP BY g
+),
+outl AS (
+    SELECT d.g, CAST(SUM(CASE WHEN 2 * d.dev2 > {MAD_K2} * mad.mad4
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad ON mad.g = d.g
+    GROUP BY d.g
+)
+SELECT med.g AS event_type, med.n AS n_rows, med.med2, mad.mad4, outl.n_outliers
+FROM med JOIN mad ON mad.g = med.g JOIN outl ON outl.g = med.g
+ORDER BY event_type
+"""
+
+
+# --- lag-1 autocorrelation ----------------------------------------------------
+
+
+def autocorr_lag1(ev: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Per-group lag-1 autocorrelation of the daily event-count series —
+    the series-memory check behind seasonality/trend triage (r ≈ 0:
+    independent days; r → 1: strong persistence; r < 0: alternation).
+
+    Cross-multiplied to integers: with S = Σx over the n-day series,
+    num = Σ_t (n·x_t − S)(n·x_{t+1} − S)  (t = 1..n−1)
+    den = Σ_t (n·x_t − S)²                (t = 1..n)
+    — the n²-scaled centered moments, exact in BIGINT; r_e6 is the
+    sign-split two-stage ppm of num/den. Constant series (den = 0) are
+    dropped. Overflow headroom: (n·x)² ≤ (days·daily_count)²; at counts
+    beyond ~3e9·day the moment sums need DECIMAL(38) — shape unchanged.
+
+    Scale: fact rows collapse to the (group, day) rollup first; the lead
+    window and the centered sums run per group over ≤ calendar-days rows.
+    """
+    daily = ev.groupBy(
+        F.col(group_col).alias("g"), F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("g").orderBy("d")
+    w_all = Window.partitionBy("g")
+    t = daily.select(
+        "g",
+        "x",
+        F.lead("x").over(w).alias("x_next"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("s"),
+    )
+    cx = F.col("n") * F.col("x") - F.col("s")
+    cx_next = F.col("n") * F.col("x_next") - F.col("s")
+    mom = t.groupBy("g").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.sum(F.when(F.col("x_next").isNotNull(), cx * cx_next)).alias("num"),
+        F.sum(cx * cx).alias("den"),
+    )
+    return (
+        mom.where(F.col("den") > 0)
+        .select(
+            F.col("g").alias(group_col),
+            "n_days",
+            _signed_ppm_expr().alias("r1_e6"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return autocorr_lag1(load_table(spark, sf_dir, "events"))
+
+
+_ORACLE_AUTOCORR = """
+WITH daily AS (
+    SELECT event_type AS g, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY g, d
+),
+t AS (
+    SELECT g, x,
+           LEAD(x) OVER (PARTITION BY g ORDER BY d) AS x_next,
+           CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+           CAST(SUM(x) OVER (PARTITION BY g) AS BIGINT) AS s
+    FROM daily
+),
+mom AS (
+    SELECT g, MAX(n) AS n_days,
+           CAST(SUM(CASE WHEN x_next IS NOT NULL
+                         THEN (n * x - s) * (n * x_next - s) END) AS BIGINT) AS num,
+           CAST(SUM((n * x - s) * (n * x - s)) AS BIGINT) AS den
+    FROM t GROUP BY g
+)
+SELECT g AS event_type, n_days,
+       CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+            * ((ABS(num) * 1000 // den) * 1000
+               + (ABS(num) * 1000 % den) * 1000 // den) AS BIGINT) AS r1_e6
+FROM mom
+WHERE den > 0
+ORDER BY event_type
+"""
+
+
+# --- EWMA spike detector ------------------------------------------------------
+
+EWMA_W = 6  # trailing window length; weight on lag i is 2^(W-i)
+EWMA_DEN = (1 << EWMA_W) - 1  # Σ 2^(W-i), i = 1..W  (= 63)
+SPIKE_X = 2  # flag days at > 2× the trailing smoother
+
+
+def ewma_spikes(
+    ev: DataFrame, group_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Per-group EWMA spike detector over daily revenue: each day is
+    compared to an exponentially-weighted average of the PREVIOUS
+    ``EWMA_W`` days (decay ratio ½, truncated — weight on lag i is
+    2^(W−i), denominator 2^W − 1). Truncating the tail makes the
+    smoother a fixed integer linear combination of W lags: exact BIGINT
+    on any engine, no recursive float state (an untruncated EWMA is a
+    running float recurrence — order-sensitive and un-oracle-able).
+
+    A day is a spike when vm·(2^W−1) > 2·ewma_num, i.e. the day runs at
+    more than ``SPIKE_X``× its trailing smoother; ratio_ppm is the
+    two-stage integer ppm of vm/ewma. Only days with a full W-day
+    history qualify (partial windows would silently re-weight).
+
+    Scale: (group, day) rollup first; the W lag columns are one window
+    pass over calendar-bounded partitions.
+    """
+    daily = ev.groupBy(
+        F.col(group_col).alias("g"), F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(_vm(value_col)).alias("vm"))
+    w = Window.partitionBy("g").orderBy("d")
+    lags = [F.lag("vm", i).over(w).alias(f"l{i}") for i in range(1, EWMA_W + 1)]
+    t = daily.select("g", "d", "vm", *lags).where(
+        F.col(f"l{EWMA_W}").isNotNull()
+    )
+    ewma_num = sum(
+        (F.col(f"l{i}") * F.lit(1 << (EWMA_W - i)) for i in range(1, EWMA_W + 1)),
+        F.lit(0),
+    )
+    t = t.withColumn("ewma_num", ewma_num.cast("long"))
+    ratio = F.expr(
+        f"CAST((vm * {EWMA_DEN} * 1000 DIV ewma_num) * 1000"
+        f"     + (vm * {EWMA_DEN} * 1000 % ewma_num) * 1000 DIV ewma_num"
+        f" AS BIGINT)"
+    )
+    return (
+        t.where(F.col("ewma_num") > 0)
+        .select(
+            F.col("g").alias(group_col),
+            "d",
+            "vm",
+            "ewma_num",
+            ratio.alias("ratio_ppm"),
+            F.when(
+                F.col("vm") * F.lit(EWMA_DEN) > F.lit(SPIKE_X) * F.col("ewma_num"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_spike"),
+        )
+        .orderBy(group_col, "d")
+    )
+
+
+def q_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma_spikes(load_table(spark, sf_dir, "events"))
+
+
+_EWMA_LAGS = ",\n           ".join(
+    f"LAG(vm, {i}) OVER (PARTITION BY g ORDER BY d) AS l{i}"
+    for i in range(1, EWMA_W + 1)
+)
+_EWMA_SUM = " + ".join(f"l{i} * {1 << (EWMA_W - i)}" for i in range(1, EWMA_W + 1))
+
+_ORACLE_EWMA = f"""
+WITH daily AS (
+    SELECT event_type AS g, CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(FLOOR(value * {VALUE_SCALE}) AS BIGINT)) AS BIGINT) AS vm
+    FROM events GROUP BY g, d
+),
+t AS (
+    SELECT g, d, vm,
+           {_EWMA_LAGS}
+    FROM daily
+),
+e AS (
+    SELECT g, d, vm, CAST({_EWMA_SUM} AS BIGINT) AS ewma_num
+    FROM t WHERE l{EWMA_W} IS NOT NULL
+)
+SELECT g AS event_type, d, vm, ewma_num,
+       CAST((vm * {EWMA_DEN} * 1000 // ewma_num) * 1000
+            + (vm * {EWMA_DEN} * 1000 % ewma_num) * 1000 // ewma_num AS BIGINT)
+           AS ratio_ppm,
+       CAST(CASE WHEN vm * {EWMA_DEN} > {SPIKE_X} * ewma_num
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_spike
+FROM e
+WHERE ewma_num > 0
+ORDER BY event_type, d
+"""
+
+
+QUERIES = {
+    "ols_trend": q_ols_trend,
+    "mad_outliers": q_mad_outliers,
+    "autocorr_lag1": q_autocorr_lag1,
+    "ewma_spikes": q_ewma_spikes,
+}
+
+ORACLES = {
+    "ols_trend": _ORACLE_OLS,
+    "mad_outliers": _ORACLE_MAD,
+    "autocorr_lag1": _ORACLE_AUTOCORR,
+    "ewma_spikes": _ORACLE_EWMA,
+}

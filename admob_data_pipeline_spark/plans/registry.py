@@ -17,6 +17,7 @@ from admob_data_pipeline_spark.operators import (
     multimodal,
     packing,
     similarity,
+    stats,
     text,
 )
 from admob_data_pipeline_spark.plans import analytics_ext, relational
@@ -38,6 +39,7 @@ _MODULES = [
     multimodal,
     packing,
     graph,
+    stats,
     governance,
     cdc,
     roundtrip,

@@ -1,0 +1,124 @@
+"""Statistical operators: planted-signal recovery + partition invariance."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+
+from admob_data_pipeline_spark.operators.stats import (
+    autocorr_lag1,
+    ewma_spikes,
+    mad_outliers,
+    ols_trend,
+)
+
+
+def _ev(day: int, etype: str, value: float, uid: int = 1) -> Row:
+    return Row(
+        event_id=day * 1000 + uid,
+        ts=datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day, hours=uid),
+        user_id=uid,
+        event_type=etype,
+        value=value,
+        props="{}",
+    )
+
+
+def test_ols_recovers_exact_linear_slope(spark):
+    # y = 5 + 2.5·x (in value units) → slope_e6 of int-scaled millis:
+    # vm = 5000 + 2500·x → slope exactly 2_500 · 1e3 = 2.5e6/1000... the
+    # ppm is of millis/day: 2500 millis per day → 2500·1e6? No: slope is
+    # num/den in millis/day, scaled e6 → 2500·1e6 ppm units? slope_e6 =
+    # floor(2500 · 1e6 / 1) scaled: exact line → num/den = 2500, so
+    # slope_e6 = 2_500_000_000.
+    rows = [_ev(d, "a", 5.0 + 2.5 * d) for d in range(10)]
+    out = ols_trend(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    assert out[0].slope_e6 == 2500 * 1_000_000
+
+
+def test_ols_negative_slope_sign(spark):
+    rows = [_ev(d, "a", 100.0 - 3.0 * d) for d in range(8)]
+    out = ols_trend(spark.createDataFrame(rows)).first()
+    assert out.slope_e6 == -3000 * 1_000_000
+
+
+def test_ols_drops_single_day_groups(spark):
+    rows = [_ev(0, "only", 1.0), _ev(0, "only", 2.0)] + [
+        _ev(d, "ok", float(d)) for d in range(3)
+    ]
+    out = ols_trend(spark.createDataFrame(rows)).collect()
+    assert [r.event_type for r in out] == ["ok"]
+
+
+def test_mad_flags_planted_outliers(spark):
+    # 50 inliers at 10.0 ± 0.002, 3 gross outliers at 500 — MAD is tiny,
+    # outliers sit far beyond 3·MAD.
+    rows = [_ev(0, "a", 10.0 + 0.001 * (i % 5), uid=i) for i in range(50)]
+    rows += [_ev(1, "a", 500.0, uid=100 + i) for i in range(3)]
+    out = mad_outliers(spark.createDataFrame(rows)).first()
+    assert out.n_rows == 53
+    assert out.n_outliers == 3
+    assert out.med2 // 2 in range(10000, 10005)
+
+
+def test_mad_constant_group_has_zero_mad_and_outliers(spark):
+    rows = [_ev(0, "c", 7.0, uid=i) for i in range(9)]
+    out = mad_outliers(spark.createDataFrame(rows)).first()
+    assert out.mad4 == 0
+    assert out.n_outliers == 0
+    assert out.med2 == 2 * 7000
+
+
+def test_mad_even_count_midpoint(spark):
+    # values 1,2,3,4 → med2 = 2+3 = 5 (in millis: 5000)
+    rows = [_ev(0, "e", float(v), uid=v) for v in (1, 2, 3, 4)]
+    out = mad_outliers(spark.createDataFrame(rows)).first()
+    assert out.med2 == 2000 + 3000
+
+
+def test_autocorr_alternating_series_is_negative(spark):
+    # daily counts alternate 1,3,1,3,... → strong negative lag-1 memory
+    rows = []
+    for d in range(12):
+        n = 1 if d % 2 == 0 else 3
+        rows += [_ev(d, "alt", 1.0, uid=u) for u in range(n)]
+    out = autocorr_lag1(spark.createDataFrame(rows)).first()
+    assert out.r1_e6 < -800_000  # close to -1
+
+
+def test_autocorr_trend_series_is_positive(spark):
+    rows = []
+    for d in range(12):
+        rows += [_ev(d, "up", 1.0, uid=u) for u in range(d + 1)]
+    out = autocorr_lag1(spark.createDataFrame(rows)).first()
+    assert out.r1_e6 > 500_000
+
+
+def test_ewma_flags_spike_day_only(spark):
+    # 6 flat warmup days at 10, then a 10× day, then flat again
+    vals = [10.0] * 6 + [100.0] + [10.0] * 3
+    rows = [_ev(d, "s", v) for d, v in enumerate(vals)]
+    out = ewma_spikes(spark.createDataFrame(rows)).collect()
+    # only days 6..9 have full history
+    assert [r.is_spike for r in out] == [1, 0, 0, 0]
+    spike = out[0]
+    # flat smoother: ewma_num = 10000·63 → ratio = 10×
+    assert spike.ewma_num == 10000 * 63
+    assert spike.ratio_ppm == 10 * 1_000_000
+
+
+def test_ewma_requires_full_history(spark):
+    rows = [_ev(d, "w", 1.0) for d in range(5)]  # < W+1 days
+    assert ewma_spikes(spark.createDataFrame(rows)).count() == 0
+
+
+def test_stats_partition_invariance(spark):
+    rows = [
+        _ev(d % 17, "p", float((d * 7) % 23) + 0.5, uid=d % 11) for d in range(400)
+    ]
+    for op in (ols_trend, mad_outliers, autocorr_lag1, ewma_spikes):
+        a = op(spark.createDataFrame(rows).repartition(2)).collect()
+        b = op(spark.createDataFrame(rows).repartition(32)).collect()
+        assert a == b, op.__name__
