@@ -1635,6 +1635,146 @@ ORDER BY d.doc_id
 """
 
 
+# --- (w,k)-minimizer sampling dedup ------------------------------------------
+
+MINIMIZER_W = 4  # window: keep the min shingle-hash of every 4 consecutive
+
+
+def minimizer_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = MINIMIZER_W, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, minimizer) pairs under (w,k)-minimizer sampling: hash the
+    positional k-shingle sequence, keep the MINIMUM hash of every window
+    of ``w`` consecutive shingles, distinct per doc. The sketch keeps
+    ~2/(w+1) of the shingles while guaranteeing that any two documents
+    sharing a run of ≥ w+k-1 tokens share at least one minimizer — the
+    sampling used by genomics seed-matching (minimap) and
+    suffix-window text dedup, and the lever that cuts the candidate-join
+    shuffle volume ~(w+1)/2× vs full-shingle Jaccard at 100 TB.
+
+    Hashes are md5→BIGINT (13 hex chars, playbook #4), windows via a
+    higher-order transform over the hash array (JVM codegen, no Python);
+    docs shorter than one window fall back to their single global min so
+    every non-empty doc keeps ≥ 1 fingerprint.
+    """
+    docs = widen_if_narrow(docs)
+    with_hashes = docs.select(
+        "doc_id",
+        F.transform(
+            shingles(tokens(F.col(text_col)), k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long"),
+        ).alias("hs"),
+    )
+    mins = F.expr(
+        f"CASE WHEN size(hs) >= {w} THEN"
+        f"  transform(sequence(1, size(hs) - {w - 1}),"
+        f"            i -> array_min(slice(hs, i, {w})))"
+        f" WHEN size(hs) >= 1 THEN array(array_min(hs))"
+        f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    return with_hashes.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("mz")
+    )
+
+
+def minimizer_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = MINIMIZER_W,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_DF,
+) -> DataFrame:
+    """Near-dup pairs by Jaccard over the MINIMIZER sets (an unbiased
+    window-sample of the shingle space): candidates only through a
+    shared-minimizer equi-join, hot minimizers capped like hot shingles
+    (one viral phrase must not produce a quadratic candidate blow-up).
+    The threshold is exact integer cross-multiplication; the rounded
+    jaccard column is display-only (playbook #2)."""
+    mz = minimizer_fingerprints(docs, k, w).localCheckpoint()
+    hot = (
+        mz.groupBy("mz")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("mz")
+    )
+    mz = mz.join(F.broadcast(hot), "mz", "left_anti")
+    sizes = mz.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_mz"))
+    a = mz.select(F.col("doc_id").alias("a"), "mz")
+    b = mz.select(F.col("doc_id").alias("b"), "mz")
+    inter = (
+        a.join(b, "mz")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_mz").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_mz").alias("n_b"))
+    _t_scaled = int(round(threshold * 1_000_000))
+    _union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .where(F.col("n_inter") * F.lit(1_000_000) >= F.lit(_t_scaled) * _union)
+        .select(
+            "a",
+            "b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.round(F.try_divide(F.col("n_inter"), _union), 6).alias("jaccard_mz"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def q_minimizer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minimizer_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_MINIMIZER = f"""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+shl AS (
+    SELECT doc_id,
+           [array_to_string(toks[i:i+2], ' ')
+            FOR i IN generate_series(1, len(toks) - 2)] AS sh
+    FROM t
+),
+hsh AS (
+    SELECT doc_id,
+           [CAST('0x' || substr(md5(s), 1, 13) AS BIGINT) FOR s IN sh] AS hs
+    FROM shl
+),
+wins AS (
+    SELECT doc_id,
+           CASE WHEN len(hs) >= {MINIMIZER_W} THEN
+                    [list_min(hs[i:i+{MINIMIZER_W - 1}])
+                     FOR i IN generate_series(1, len(hs) - {MINIMIZER_W - 1})]
+                WHEN len(hs) >= 1 THEN [list_min(hs)]
+                ELSE CAST([] AS BIGINT[]) END AS mins
+    FROM hsh
+),
+mz0 AS (SELECT doc_id, unnest(list_distinct(mins)) AS mz FROM wins),
+hot AS (SELECT mz FROM mz0 GROUP BY mz HAVING COUNT(*) > {MAX_DF}),
+mz AS (SELECT doc_id, mz FROM mz0 WHERE mz NOT IN (SELECT mz FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_mz FROM mz GROUP BY doc_id),
+inter AS (
+    SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+    FROM mz sa JOIN mz sb ON sa.mz = sb.mz AND sa.doc_id < sb.doc_id
+    GROUP BY sa.doc_id, sb.doc_id
+)
+SELECT i.a, i.b, CAST(i.n_inter AS BIGINT) AS n_inter,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / NULLIF(za.n_mz + zb.n_mz - i.n_inter, 0), 6) AS jaccard_mz
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+WHERE i.n_inter * 1000000
+      >= {int(round(JACCARD_THRESHOLD * 1_000_000))}
+         * (za.n_mz + zb.n_mz - i.n_inter)
+ORDER BY i.a, i.b
+"""
+
+
 QUERIES = {
     "dedup_exact": q_exact_dedup,
     "dedup_prefix_filter": q_prefix_filter_pairs,
@@ -1651,9 +1791,11 @@ QUERIES = {
     "dedup_substring": q_substring_dup,
     "dedup_cluster_stats": q_cluster_stats,
     "dedup_weighted_jaccard": q_weighted_jaccard,
+    "dedup_minimizer": q_minimizer_pairs,
 }
 
 ORACLES = {
+    "dedup_minimizer": _ORACLE_MINIMIZER,
     "dedup_weighted_jaccard": _ORACLE_WEIGHTED_JACCARD,
     "dedup_cluster_stats": _ORACLE_CLUSTER_STATS,
     "dedup_split_leakage": _ORACLE_SPLIT_LEAKAGE,

@@ -263,3 +263,49 @@ def test_weighted_jaccard_penalizes_repetition_asymmetry(spark):
     got = {(r.a, r.b): r.w_jaccard for r in dedup.weighted_jaccard_pairs(d).collect()}
     assert got[(0, 1)] == 1.0                     # identical docs: J_w = 1
     assert all(v < 1.0 for k, v in got.items() if k != (0, 1))
+
+
+def test_minimizer_shared_run_guarantee(spark):
+    """Two docs sharing a run of >= w+k-1 tokens must share a minimizer:
+    the shared run spans a full shingle window, and window-min is a
+    function of the window content alone."""
+    run = " ".join(f"r{i}" for i in range(dedup.MINIMIZER_W + 3 - 1))
+    d = _docs(
+        spark,
+        [
+            "aa bb cc " + run + " dd ee ff",
+            "xx yy zz " + run + " qq ww",
+            "totally different text with no shared window at all here",
+        ],
+    )
+    from pyspark.sql import functions as F
+
+    mz = dedup.minimizer_fingerprints(d)
+    by_doc = {
+        r.doc_id: set(r.ms)
+        for r in mz.groupBy("doc_id")
+        .agg(F.collect_set("mz").alias("ms"))
+        .collect()
+    }
+    assert by_doc[0] & by_doc[1], "shared run must yield a shared minimizer"
+
+
+def test_minimizer_sketch_is_smaller_than_shingle_set(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_sh = dedup.doc_shingles(docs).count()
+    n_mz = dedup.minimizer_fingerprints(docs).count()
+    assert n_mz < n_sh / 1.5  # ~2/(w+1) = 0.4 expected
+
+
+def test_minimizer_identical_docs_pair(spark):
+    base = " ".join(f"t{i}" for i in range(30))
+    d = _docs(spark, [base, base, "a b c d e f g h i j k l m"])
+    got = [(r.a, r.b, r.jaccard_mz) for r in dedup.minimizer_pairs(d).collect()]
+    assert got == [(0, 1, 1.0)]
+
+
+def test_minimizer_partition_invariance(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = dedup.minimizer_pairs(docs.repartition(2)).collect()
+    b = dedup.minimizer_pairs(docs.repartition(32)).collect()
+    assert a == b
