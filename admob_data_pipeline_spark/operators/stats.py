@@ -471,11 +471,154 @@ ORDER BY event_type, d
 """
 
 
+# --- information-gain feature ranking ----------------------------------------
+
+IG_SCALE = 1_000_000
+
+
+def feature_info_gain(
+    df: DataFrame, label_col: str, features: dict[str, Column]
+) -> DataFrame:
+    """Information-gain ranking of candidate categorical features against
+    a label: IG(F) = H(label) − H(label | F) — the split criterion of
+    decision trees and the standard first-pass feature audit (which
+    columns carry signal about the target, which are noise).
+
+    Each entropy term is a sum of per-cell contributions floor-scaled to
+    e6 integers BEFORE summation (playbook #14 transcendental
+    discipline, same form as corpus.mutual_information): H(label) sums
+    −(c_l/N)·ln(c_l/N) over label margins, H(label|F) sums
+    (c_fl/N)·ln(c_f/c_fl) over (feature-value, label) cells — the
+    conditional form needs no per-feature-value inner normalization, so
+    every quotient is a single correctly-rounded double division.
+
+    Scale: the fact table is scanned once per feature (a stacked
+    union — Spark runs them as one multi-scan stage); everything after
+    the (feature, fval, label) rollup is category-bounded. No windows.
+    """
+    stacked = None
+    for name, expr in features.items():
+        part = df.select(
+            F.lit(name).alias("feature"),
+            expr.cast("string").alias("fval"),
+            F.col(label_col).alias("label"),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    cells = (
+        stacked.groupBy("feature", "fval", "label")
+        .agg(F.count(F.lit(1)).alias("c_fl"))
+        .localCheckpoint()
+    )
+    cf = cells.groupBy("feature", "fval").agg(F.sum("c_fl").alias("c_f"))
+    cl = cells.groupBy("feature", "label").agg(F.sum("c_fl").alias("c_l"))
+    n = cells.groupBy("feature").agg(F.sum("c_fl").alias("n"))
+    h_label = (
+        cl.join(n, "feature")
+        .select(
+            "feature",
+            F.floor(
+                -(F.col("c_l") / F.col("n"))
+                * F.log(F.col("c_l") / F.col("n"))
+                * IG_SCALE
+            ).cast("long").alias("h"),
+        )
+        .groupBy("feature")
+        .agg(F.sum("h").alias("h_label_e6"))
+    )
+    h_cond = (
+        cells.join(cf, ["feature", "fval"])
+        .join(n, "feature")
+        .select(
+            "feature",
+            F.floor(
+                (F.col("c_fl") / F.col("n"))
+                * F.log(F.col("c_f") / F.col("c_fl"))
+                * IG_SCALE
+            ).cast("long").alias("h"),
+        )
+        .groupBy("feature")
+        .agg(F.sum("h").alias("h_cond_e6"))
+    )
+    return (
+        h_label.join(h_cond, "feature")
+        .join(n, "feature")
+        .select(
+            "feature",
+            F.col("n").cast("long").alias("n_rows"),
+            "h_label_e6",
+            "h_cond_e6",
+            (F.col("h_label_e6") - F.col("h_cond_e6")).alias("info_gain_e6"),
+        )
+        .orderBy(F.desc("info_gain_e6"), "feature")
+    )
+
+
+def q_feature_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return feature_info_gain(
+        li,
+        "l_returnflag",
+        {
+            "linestatus": F.col("l_linestatus"),
+            "ship_month": F.month("l_shipdate"),
+            "qty_bucket": F.floor(F.col("l_quantity") / 10),
+        },
+    )
+
+
+_ORACLE_IG = f"""
+WITH stacked AS (
+    SELECT 'linestatus' AS feature, l_linestatus AS fval,
+           l_returnflag AS label
+    FROM lineitem
+    UNION ALL
+    SELECT 'ship_month', CAST(month(l_shipdate) AS VARCHAR), l_returnflag
+    FROM lineitem
+    UNION ALL
+    SELECT 'qty_bucket', CAST(CAST(FLOOR(l_quantity / 10) AS BIGINT) AS VARCHAR),
+           l_returnflag
+    FROM lineitem
+),
+cells AS (
+    SELECT feature, fval, label, COUNT(*) AS c_fl
+    FROM stacked GROUP BY feature, fval, label
+),
+cf AS (SELECT feature, fval, SUM(c_fl) AS c_f FROM cells GROUP BY feature, fval),
+cl AS (SELECT feature, label, SUM(c_fl) AS c_l FROM cells GROUP BY feature, label),
+n AS (SELECT feature, SUM(c_fl) AS n FROM cells GROUP BY feature),
+h_label AS (
+    SELECT cl.feature,
+           CAST(SUM(CAST(FLOOR(-(CAST(c_l AS DOUBLE) / n.n)
+                               * ln(CAST(c_l AS DOUBLE) / n.n)
+                               * {IG_SCALE}) AS BIGINT)) AS BIGINT) AS h_label_e6
+    FROM cl JOIN n ON n.feature = cl.feature
+    GROUP BY cl.feature
+),
+h_cond AS (
+    SELECT c.feature,
+           CAST(SUM(CAST(FLOOR((CAST(c.c_fl AS DOUBLE) / n.n)
+                               * ln(CAST(cf.c_f AS DOUBLE) / c.c_fl)
+                               * {IG_SCALE}) AS BIGINT)) AS BIGINT) AS h_cond_e6
+    FROM cells c
+    JOIN cf ON cf.feature = c.feature AND cf.fval = c.fval
+    JOIN n ON n.feature = c.feature
+    GROUP BY c.feature
+)
+SELECT hl.feature, CAST(n.n AS BIGINT) AS n_rows, hl.h_label_e6, hc.h_cond_e6,
+       CAST(hl.h_label_e6 - hc.h_cond_e6 AS BIGINT) AS info_gain_e6
+FROM h_label hl
+JOIN h_cond hc ON hc.feature = hl.feature
+JOIN n ON n.feature = hl.feature
+ORDER BY info_gain_e6 DESC, hl.feature
+"""
+
+
 QUERIES = {
     "ols_trend": q_ols_trend,
     "mad_outliers": q_mad_outliers,
     "autocorr_lag1": q_autocorr_lag1,
     "ewma_spikes": q_ewma_spikes,
+    "feature_info_gain": q_feature_info_gain,
 }
 
 ORACLES = {
@@ -483,4 +626,5 @@ ORACLES = {
     "mad_outliers": _ORACLE_MAD,
     "autocorr_lag1": _ORACLE_AUTOCORR,
     "ewma_spikes": _ORACLE_EWMA,
+    "feature_info_gain": _ORACLE_IG,
 }

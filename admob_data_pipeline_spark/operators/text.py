@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from admob_data_pipeline_spark.operators.util import widen_if_narrow
+from admob_data_pipeline_spark.operators.util import join_small, widen_if_narrow
 from admob_data_pipeline_spark.sources.tables import load_table
 
 # Stopword marker sets for the n-gram/stopword language heuristic. The
@@ -1423,6 +1423,120 @@ ORDER BY bucket
 """
 
 
+# --- PMI collocations ---------------------------------------------------------
+COLLOC_MIN_COUNT = 10
+COLLOC_TOP = 40
+COLLOC_SCALE = 10_000
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = COLLOC_MIN_COUNT,
+    top_n: int = COLLOC_TOP,
+) -> DataFrame:
+    """PMI-ranked adjacent-token collocations: bigrams whose observed
+    frequency most exceeds the independence expectation
+    p(ab)/(p(a)·p(b)) — the phrase-mining pass (new york, machine
+    learning) that feeds tokenizer merge hints and stop-phrase lists.
+
+    Ranking is by the association LIFT itself (monotone with PMI — no
+    ln needed), computed as ((c_ab/c_a)·(N_uni/c_b))·(N_uni/N_big): three
+    correctly-rounded double quotients/products in a FIXED association
+    order, written identically in both engines (the integer numerator
+    c_ab·N_uni² would overflow BIGINT at corpus scale — same reasoning as
+    corpus.mutual_information). Floor-scaled e4 for display/tie-breaks;
+    ties resolve on the bigram text.
+
+    Scale: two vocabulary-sized aggregations (unigrams, bigrams) off one
+    token stream; the unigram join uses join_small (playbook #22:
+    broadcast only below a proven row count). min_count bounds the
+    ranked set before the joins.
+    """
+    docs = widen_if_narrow(docs)
+    toks_col = tokens(F.col(text_col))
+    uni = (
+        docs.select(F.explode(toks_col).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    big0 = (
+        docs.select(F.explode(shingles(toks_col, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint()
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_big = big0.agg(F.sum("c_ab").alias("n_big"))
+    big = big0.where(F.col("c_ab") >= min_count).withColumn(
+        "wa", F.element_at(F.split(F.col("bigram"), " "), 1)
+    ).withColumn("wb", F.element_at(F.split(F.col("bigram"), " "), 2))
+    ca = uni.select(F.col("w").alias("wa"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("w").alias("wb"), F.col("c").alias("c_b"))
+    j = (
+        join_small(join_small(big, ca, "wa"), cb, "wb")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+    )
+    ratio = (
+        (F.col("c_ab") / F.col("c_a")) * (F.col("n_uni") / F.col("c_b"))
+    ) * (F.col("n_uni") / F.col("n_big"))
+    return (
+        j.select(
+            "bigram",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            F.floor(ratio * COLLOC_SCALE).cast("long").alias("lift_e4"),
+        )
+        .orderBy(F.desc("lift_e4"), "bigram")
+        .limit(top_n)
+    )
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return collocations(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_COLLOC = f"""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+uni AS (
+    SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(toks) AS w FROM t
+    ) GROUP BY w
+),
+big0 AS (
+    SELECT bigram, COUNT(*) AS c_ab FROM (
+        SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                       FOR i IN generate_series(1, len(toks) - 1)]) AS bigram
+        FROM t
+    ) GROUP BY bigram
+),
+n_u AS (SELECT SUM(c) AS n_uni FROM uni),
+n_b AS (SELECT SUM(c_ab) AS n_big FROM big0),
+big AS (
+    SELECT bigram, c_ab,
+           string_split(bigram, ' ')[1] AS wa,
+           string_split(bigram, ' ')[2] AS wb
+    FROM big0 WHERE c_ab >= {COLLOC_MIN_COUNT}
+)
+SELECT b.bigram, CAST(b.c_ab AS BIGINT) AS c_ab,
+       CAST(ca.c AS BIGINT) AS c_a, CAST(cb.c AS BIGINT) AS c_b,
+       CAST(FLOOR(((CAST(b.c_ab AS DOUBLE) / ca.c)
+                   * (CAST(n_uni AS DOUBLE) / cb.c))
+                  * (CAST(n_uni AS DOUBLE) / n_big)
+                  * {COLLOC_SCALE}) AS BIGINT) AS lift_e4
+FROM big b
+JOIN uni ca ON ca.w = b.wa
+JOIN uni cb ON cb.w = b.wb, n_u, n_b
+ORDER BY lift_e4 DESC, bigram
+LIMIT {COLLOC_TOP}
+"""
+
+
 QUERIES = {
     "text_hashing_vectorizer": q_hashing_vectorizer,
     "text_dataset_split": q_dataset_split,
@@ -1444,9 +1558,11 @@ QUERIES = {
     "text_vocab_coverage": q_vocab_coverage,
     "curation_funnel": q_curation_funnel,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "text_collocations": q_collocations,
 }
 
 ORACLES = {
+    "text_collocations": _ORACLE_COLLOC,
     "text_pii_redact": _ORACLE_PII,
     "weighted_sample": _ORACLE_WSAMPLE,
     "text_normalize": _ORACLE_NORMALIZE,

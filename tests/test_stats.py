@@ -26,12 +26,8 @@ def _ev(day: int, etype: str, value: float, uid: int = 1) -> Row:
 
 
 def test_ols_recovers_exact_linear_slope(spark):
-    # y = 5 + 2.5·x (in value units) → slope_e6 of int-scaled millis:
-    # vm = 5000 + 2500·x → slope exactly 2_500 · 1e3 = 2.5e6/1000... the
-    # ppm is of millis/day: 2500 millis per day → 2500·1e6? No: slope is
-    # num/den in millis/day, scaled e6 → 2500·1e6 ppm units? slope_e6 =
-    # floor(2500 · 1e6 / 1) scaled: exact line → num/den = 2500, so
-    # slope_e6 = 2_500_000_000.
+    # y = 5 + 2.5·x value units → int-scaled vm = 5000 + 2500·x millis, so
+    # the exact slope is 2500 millis/day and slope_e6 = 2500·1e6.
     rows = [_ev(d, "a", 5.0 + 2.5 * d) for d in range(10)]
     out = ols_trend(spark.createDataFrame(rows)).collect()
     assert len(out) == 1
@@ -122,3 +118,27 @@ def test_stats_partition_invariance(spark):
         a = op(spark.createDataFrame(rows).repartition(2)).collect()
         b = op(spark.createDataFrame(rows).repartition(32)).collect()
         assert a == b, op.__name__
+
+
+def test_info_gain_perfect_vs_useless_feature(spark):
+    # label == copy → IG = H(label); constant feature → IG = 0
+    rows = [
+        Row(l_returnflag=f, l_linestatus=f, l_quantity=1.0,
+            l_shipdate=datetime.datetime(2024, 1, 1))
+        for f in ["A", "N", "R"] * 30
+    ]
+    from admob_data_pipeline_spark.operators.stats import feature_info_gain
+    from pyspark.sql import functions as F
+
+    out = {
+        r.feature: r
+        for r in feature_info_gain(
+            spark.createDataFrame(rows),
+            "l_returnflag",
+            {"copy": F.col("l_linestatus"), "const": F.lit("x")},
+        ).collect()
+    }
+    assert out["const"].info_gain_e6 == 0
+    # perfect predictor: conditional entropy 0 → gain == H(label)
+    assert out["copy"].h_cond_e6 == 0
+    assert out["copy"].info_gain_e6 == out["copy"].h_label_e6 > 0

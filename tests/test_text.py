@@ -219,3 +219,17 @@ def test_bpe_train_equals_python_greedy_reference(spark):
     d = _docs(spark, [" ".join(words)])
     got = [(r.pair, r.n_merge) for r in T.bpe_train(d, n_iters=4).collect()]
     assert got == _ref_bpe(freqs, 4)
+
+
+def test_collocations_rank_fixed_phrase_first(spark):
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.text import collocations
+
+    # "aa bb" always adjacent (perfect collocation); "cc"/"dd" common but
+    # never adjacent to each other more than chance.
+    docs = [Row(doc_id=i, text="aa bb " + " ".join(["cc", "dd"] * 6)) for i in range(20)]
+    out = collocations(spark.createDataFrame(docs), min_count=5)
+    rows = out.collect()
+    top = rows[0]
+    assert top.bigram == "aa bb"
+    assert top.c_ab == 20 and top.c_a == 20 and top.c_b == 20
