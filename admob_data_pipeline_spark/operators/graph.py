@@ -506,12 +506,130 @@ LIMIT {LINK_TOP}
 )
 
 
+# --- HITS over the customer→part bipartite graph -----------------------------
+HITS_TOP = 20
+
+
+def hits_bipartite(edges: DataFrame, top_n: int = HITS_TOP) -> DataFrame:
+    """HITS hubs & authorities over the DIRECTED customer→part purchase
+    graph: authorities are parts bought by strong hubs, hubs are
+    customers who buy authoritative parts — the mutual-reinforcement
+    ranking behind "power user / flagship product" detection. (The
+    co-purchase graph is undirected, where HITS degenerates to repeated
+    neighbor-sums; the bipartite purchase relation is the directed form
+    the algorithm was built for.)
+
+    Determinism: the textbook per-step normalization divides by a global
+    positive scalar — which never changes the RANKING — so this
+    implementation simply omits it and keeps raw BIGINT mutual sums
+    (integer addition is exactly associative; any engine/shuffle order
+    produces the same bits). Two full iterations:
+    a1 = in-degree, h1 = Σ a1 over a customer's parts, a2 = Σ h1 over a
+    part's buyers, h2 = Σ a2. Growth is geometric in max-degree (≤ deg²
+    per iteration) — BIGINT holds to ~1e6-degree graphs at 2 iterations;
+    past that, lift scores to DECIMAL(38) — the plan shape is unchanged.
+
+    Scale: each half-step is one equi-join of the edge list onto a
+    vertex-keyed score table plus one partial-agg groupBy — the PageRank
+    round shape on a bipartite key set; the edge list is materialized
+    once and reused by all four half-steps.
+    """
+    e = edges.localCheckpoint()
+    a1 = e.groupBy("p").agg(F.count(F.lit(1)).alias("a1"))
+    h1 = e.join(a1, "p").groupBy("c").agg(F.sum("a1").alias("h1"))
+    a2 = e.join(h1, "c").groupBy("p").agg(F.sum("h1").alias("a2"))
+    h2 = e.join(a2, "p").groupBy("c").agg(F.sum("a2").alias("h2"))
+    auth = (
+        a2.join(a1, "p")
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("p").cast("long").alias("node"),
+            F.col("a1").cast("long").alias("score1"),
+            F.col("a2").cast("long").alias("score2"),
+        )
+        .orderBy(F.desc("score2"), "node")
+        .limit(top_n)
+    )
+    hub = (
+        h2.join(h1, "c")
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").cast("long").alias("node"),
+            F.col("h1").cast("long").alias("score1"),
+            F.col("h2").cast("long").alias("score2"),
+        )
+        .orderBy(F.desc("score2"), "node")
+        .limit(top_n)
+    )
+    return auth.unionByName(hub).orderBy("role", F.desc("score2"), "node")
+
+
+def purchase_edges(orders: DataFrame, li: DataFrame) -> DataFrame:
+    """Distinct customer→part edges through the order join."""
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_partkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hits_bipartite(
+        purchase_edges(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+        )
+    )
+
+
+_ORACLE_HITS = f"""
+WITH e AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS a1 FROM e GROUP BY p),
+h1 AS (
+    SELECT e.c, CAST(SUM(a1.a1) AS BIGINT) AS h1
+    FROM e JOIN a1 ON a1.p = e.p GROUP BY e.c
+),
+a2 AS (
+    SELECT e.p, CAST(SUM(h1.h1) AS BIGINT) AS a2
+    FROM e JOIN h1 ON h1.c = e.c GROUP BY e.p
+),
+h2 AS (
+    SELECT e.c, CAST(SUM(a2.a2) AS BIGINT) AS h2
+    FROM e JOIN a2 ON a2.p = e.p GROUP BY e.c
+),
+auth AS (
+    SELECT 'authority' AS role, CAST(a2.p AS BIGINT) AS node,
+           a1.a1 AS score1, a2.a2 AS score2
+    FROM a2 JOIN a1 ON a1.p = a2.p
+    ORDER BY score2 DESC, node
+    LIMIT {HITS_TOP}
+),
+hub AS (
+    SELECT 'hub' AS role, CAST(h2.c AS BIGINT) AS node,
+           h1.h1 AS score1, h2.h2 AS score2
+    FROM h2 JOIN h1 ON h1.c = h2.c
+    ORDER BY score2 DESC, node
+    LIMIT {HITS_TOP}
+)
+SELECT * FROM (
+    SELECT * FROM auth UNION ALL SELECT * FROM hub
+)
+ORDER BY role, score2 DESC, node
+"""
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_components": q_graph_components,
     "graph_link_prediction": q_graph_link_prediction,
     "frequent_triples": q_frequent_triples,
     "association_rules": q_association_rules,
+    "graph_hits": q_graph_hits,
 }
 
 ORACLES = {
@@ -520,4 +638,5 @@ ORACLES = {
     "graph_link_prediction": _ORACLE_LINK_PRED,
     "frequent_triples": _ORACLE_TRIPLES_L3,
     "association_rules": _ORACLE_RULES,
+    "graph_hits": _ORACLE_HITS,
 }

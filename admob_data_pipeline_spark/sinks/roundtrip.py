@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from admob_data_pipeline_spark.sinks.writers import (
     compact_partitions,
     overwrite_date_partitions,
+    write_bucketed,
     write_csv,
     write_jsonl,
     write_global_sort,
@@ -439,7 +440,69 @@ ORDER BY date
 """
 
 
+# --- bucketed layout round-trip ----------------------------------------------
+
+_BUCKET_SCHEMA = "c_mktsegment string, n_orders bigint, revenue_cents bigint"
+
+
+def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table round-trip: write orders and customer through
+    ``write_bucketed`` (hash-bucketed on the customer key, external
+    scratch location), then join the READ-BACK tables on that key and
+    aggregate per market segment. A hash match against the source-table
+    oracle proves the bucketed layout is lossless; the shuffle-free join
+    plan itself is pinned in tests/test_bucketing.py (no Exchange over
+    the bucketed scans — the 100 TB payoff: one ingest-time shuffle,
+    never again).
+    """
+    import os
+
+    out = tempfile.mkdtemp(prefix="sink_bucketed_")
+    t_o, t_c = "bkt_rt_orders", "bkt_rt_customer"
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+        write_bucketed(o, t_o, "o_custkey", n_buckets=8, path=os.path.join(out, "o"))
+        write_bucketed(c, t_c, "c_custkey", n_buckets=8, path=os.path.join(out, "c"))
+        res = (
+            spark.table(t_o)
+            .hint("merge")
+            .join(spark.table(t_c), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("revenue_cents"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        rows = res.collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _BUCKET_SCHEMA)
+
+
+_ORACLE_BUCKETED = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "sink_bucketed_join": q_sink_bucketed_join,
     "sink_wap": q_sink_wap,
     "sink_manifest": q_sink_manifest,
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
@@ -453,6 +516,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_bucketed_join": _ORACLE_BUCKETED,
     "sink_wap": _ORACLE_PARTITION,
     "sink_manifest": _ORACLE_MANIFEST,
     "sink_csv_roundtrip": _ORACLE_FACT,

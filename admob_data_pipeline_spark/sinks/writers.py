@@ -154,6 +154,7 @@ def write_bucketed(
     table: str,
     key: str,
     n_buckets: int = 32,
+    path: str | None = None,
 ) -> None:
     """Bucketed managed table: co-locates rows by hash(key) at WRITE time
     so repeated joins/aggregations on ``key`` skip their shuffle entirely
@@ -164,14 +165,20 @@ def write_bucketed(
     every downstream query: pay one shuffle at ingest, never again. Pair
     with ``spark.conf spark.sql.sources.bucketing.enabled`` (default on)
     and equal bucket counts on both join sides.
+
+    ``path`` makes the table EXTERNAL at that location (scratch runs,
+    or a lake layout outside the warehouse dir); default is a managed
+    warehouse table.
     """
-    (
+    w = (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, key)
         .sortBy(key)
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def write_sorted_layout(

@@ -138,3 +138,19 @@ def test_association_rules_confidence_asymmetry(spark):
     assert got[(1, 2)].confidence_ppm == 500_000
     # lift symmetric: (2·4)/(4·2)=1 → 1e6
     assert got[(2, 1)].lift_e6 == got[(1, 2)].lift_e6 == 1_000_000
+
+
+def test_hits_hand_computed_bipartite(spark):
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.graph import hits_bipartite
+
+    edges = spark.createDataFrame(
+        [Row(c=1, p=10), Row(c=1, p=11), Row(c=2, p=10), Row(c=2, p=11), Row(c=2, p=12)]
+    )
+    out = {(r.role, r.node): (r.score1, r.score2) for r in hits_bipartite(edges).collect()}
+    # a1: in-degrees (2,2,1); h1: c1=4, c2=5; a2: 9,9,5; h2: c1=18, c2=23
+    assert out[("authority", 10)] == (2, 9)
+    assert out[("authority", 11)] == (2, 9)
+    assert out[("authority", 12)] == (1, 5)
+    assert out[("hub", 1)] == (4, 18)
+    assert out[("hub", 2)] == (5, 23)
