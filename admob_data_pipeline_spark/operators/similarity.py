@@ -1670,7 +1670,100 @@ FROM s ORDER BY dim
 """
 
 
+# --- per-dimension standardization (whitening-lite) --------------------------
+
+STD_IN_SCALE = 100_000  # element → e5 integer before any sum
+STD_Z_SCALE = 10_000  # standardized z-score emitted as e4 integer
+
+
+def embedding_standardize(emb: DataFrame) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding column —
+    the whitening-lite preprocessing before distance-based indexing and
+    clustering (a high-variance dimension otherwise dominates every
+    metric; dim_stats finds the problem, this fixes it).
+
+    Exactness: with xs = FLOOR(x·1e5) and per-dim BIGINT moments
+    (n, μ_num = Σxs, var_num = n·Σxs² − μ_num²), the z-score
+    (x−μ)/σ cross-multiplies to (n·xs − μ_num)/√var_num — the n's
+    cancel, so the only non-integer steps are one correctly-rounded
+    IEEE sqrt of an integer and one correctly-rounded division:
+    bit-identical in any engine. Emitted floor-scaled e4. Zero-variance
+    dims standardize to 0 by convention.
+
+    Scale: one posexplode keyed by dim + a 64-row broadcast join back —
+    map-only besides the constant-cardinality dim rollup; the output is
+    one row per (vector, dim), written back to arrays by the caller if
+    needed (kept flat here so the audit surface stays narrow).
+    """
+    d = widen_if_narrow(emb).select(
+        "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x") * STD_IN_SCALE).cast("long").alias("xs"),
+    )
+    st = (
+        d.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xs").alias("mu_num"),
+            F.sum(F.col("xs") * F.col("xs")).alias("s2"),
+        )
+        .select(
+            "dim",
+            "n",
+            "mu_num",
+            (F.col("n") * F.col("s2") - F.col("mu_num") * F.col("mu_num")).alias(
+                "var_num"
+            ),
+        )
+    )
+    j = d.join(F.broadcast(st), "dim")
+    z = F.when(
+        F.col("var_num") > 0,
+        F.floor(
+            (F.col("n") * F.col("xs") - F.col("mu_num"))
+            * STD_Z_SCALE
+            / F.sqrt(F.col("var_num"))
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return j.select("vec_id", "dim", z.alias("z_e4")).orderBy("vec_id", "dim")
+
+
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_standardize(load_table(spark, sf_dir, "embeddings"))
+
+
+_ORACLE_STANDARDIZE = f"""
+WITH p AS (
+    SELECT vec_id,
+           [{{'dim': i, 'x': CAST(embedding[i] AS DOUBLE)}}
+            FOR i IN generate_series(1, len(embedding))] AS pairs
+    FROM embeddings
+),
+d AS (
+    SELECT vec_id, dim,
+           CAST(FLOOR(x * {STD_IN_SCALE}) AS BIGINT) AS xs
+    FROM (SELECT vec_id, unnest(pairs, recursive := true) FROM p)
+),
+st AS (
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(xs) AS BIGINT) AS mu_num,
+           CAST(COUNT(*) * SUM(xs * xs) - SUM(xs) * SUM(xs) AS BIGINT) AS var_num
+    FROM d GROUP BY dim
+)
+SELECT d.vec_id, CAST(d.dim AS INT) AS dim,
+       CASE WHEN st.var_num > 0
+            THEN CAST(FLOOR((st.n * d.xs - st.mu_num) * {STD_Z_SCALE}
+                            / sqrt(st.var_num)) AS BIGINT)
+            ELSE 0 END AS z_e4
+FROM d JOIN st ON st.dim = d.dim
+ORDER BY d.vec_id, d.dim
+"""
+
+
 QUERIES = {
+    "embedding_standardize": q_embedding_standardize,
     "embedding_dim_stats": q_dim_stats,
     "contrastive_negatives": q_hard_negatives,
     "label_noise_audit": q_label_noise,
@@ -1690,6 +1783,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_standardize": _ORACLE_STANDARDIZE,
     "embedding_dim_stats": _ORACLE_DIM_STATS,
     "contrastive_negatives": _ORACLE_HARD_NEG,
     "label_noise_audit": _ORACLE_LABEL_NOISE,

@@ -3,10 +3,11 @@
 The reference's analytics end at ratio-of-sums CTR checks
 (native_CTR_alerts.py:52-96); a monitoring pipeline over the same data
 also needs trend estimation, robust outlier flags, series memory
-(autocorrelation) and a smoothed spike detector. These four extend the
-repo's statistical-audit family (theil_sen_trend / cusum_changepoint /
-rank_sum_test in plans/analytics_ext.py) with the remaining standard
-kernels, all under the cross-engine determinism playbook:
+(autocorrelation), a smoothed spike detector, feature-signal ranking and
+a heavy-changer census. These extend the repo's statistical-audit family
+(theil_sen_trend / cusum_changepoint / rank_sum_test in
+plans/analytics_ext.py) with the remaining standard kernels, all under
+the cross-engine determinism playbook:
 
 - every metric is computed in BIGINT (values int-scaled at ingest,
   quotients as two-stage ppm per playbook #23, signs split out before
@@ -613,12 +614,107 @@ ORDER BY info_gain_e6 DESC, hl.feature
 """
 
 
+# --- heavy changers (frequency drift between halves) -------------------------
+
+CHANGER_TOP = 30
+
+
+def heavy_changers(li: DataFrame, top_n: int = CHANGER_TOP) -> DataFrame:
+    """Items whose RELATIVE frequency moved most between the first and
+    second half of the observation window — the heavy-CHANGER census
+    (Cormode & Muthukrishnan's companion to heavy hitters): psi/KL-style
+    drift audits say THAT the distribution moved, this names the items
+    that moved it.
+
+    The window splits at the midpoint of the shipdate range (integer
+    datediff halving — data-derived, no hard-coded dates; the driver
+    regenerates testdata per round). Change is scored division-free by
+    cross-multiplication: score = |c₂·N₁ − c₁·N₂| — items are ranked by
+    the normalized-frequency delta |c₂/N₂ − c₁/N₁| without ever forming
+    a quotient (·N₁N₂ is a global positive scalar). Exact BIGINT to
+    ~c·N < 2^63 (≈ 1e9 item count × 1e9 corpus — past that, DECIMAL(38)).
+
+    Scale: one scan → per-(item, half) partial-agg counts; totals are a
+    2-row broadcast. Top-N bounds the output.
+    """
+    rng = li.agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("d0"),
+        F.max(F.col("l_shipdate").cast("date")).alias("d1"),
+    )
+    d = li.select(
+        "l_partkey", F.col("l_shipdate").cast("date").alias("d")
+    ).crossJoin(F.broadcast(rng))
+    tagged = d.select(
+        "l_partkey",
+        F.when(
+            F.datediff(F.col("d"), F.col("d0")) * 2
+            <= F.datediff(F.col("d1"), F.col("d0")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(2))
+        .alias("half"),
+    )
+    cnt = tagged.groupBy("l_partkey").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    tot = cnt.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            F.col("c1").cast("long").alias("c1"),
+            F.col("c2").cast("long").alias("c2"),
+            F.abs(F.col("c2") * F.col("n1") - F.col("c1") * F.col("n2"))
+            .cast("long")
+            .alias("change_score"),
+        )
+        .orderBy(F.desc("change_score"), "l_partkey")
+        .limit(top_n)
+    )
+
+
+def q_heavy_changers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_changers(load_table(spark, sf_dir, "lineitem"))
+
+
+_ORACLE_CHANGERS = f"""
+WITH rng AS (
+    SELECT MIN(CAST(l_shipdate AS DATE)) AS d0,
+           MAX(CAST(l_shipdate AS DATE)) AS d1
+    FROM lineitem
+),
+tagged AS (
+    SELECT l_partkey,
+           CASE WHEN datediff('day', d0, CAST(l_shipdate AS DATE)) * 2
+                     <= datediff('day', d0, d1)
+                THEN 1 ELSE 2 END AS half
+    FROM lineitem, rng
+),
+cnt AS (
+    SELECT l_partkey,
+           CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+    FROM tagged GROUP BY l_partkey
+),
+tot AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM cnt
+)
+SELECT l_partkey, c1, c2,
+       CAST(ABS(c2 * n1 - c1 * n2) AS BIGINT) AS change_score
+FROM cnt, tot
+ORDER BY change_score DESC, l_partkey
+LIMIT {CHANGER_TOP}
+"""
+
+
 QUERIES = {
     "ols_trend": q_ols_trend,
     "mad_outliers": q_mad_outliers,
     "autocorr_lag1": q_autocorr_lag1,
     "ewma_spikes": q_ewma_spikes,
     "feature_info_gain": q_feature_info_gain,
+    "heavy_changers": q_heavy_changers,
 }
 
 ORACLES = {
@@ -627,4 +723,5 @@ ORACLES = {
     "autocorr_lag1": _ORACLE_AUTOCORR,
     "ewma_spikes": _ORACLE_EWMA,
     "feature_info_gain": _ORACLE_IG,
+    "heavy_changers": _ORACLE_CHANGERS,
 }

@@ -197,3 +197,29 @@ def test_label_noise_flags_planted_mislabel(spark):
     got = {r.vec_id: r for r in label_noise_audit(emb, n_planes=2).collect()}
     assert got[8].flagged and got[8].majority_label == 0
     assert not any(got[i].flagged for i in range(8))
+
+
+def test_standardize_zero_mean_unit_variance(spark):
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.similarity import embedding_standardize
+
+    # dim 1 spread, dim 2 constant (zero variance -> z = 0)
+    rows = [Row(vec_id=i, embedding=[float(i) / 10 - 0.25, 0.125], label=0) for i in range(6)]
+    out = embedding_standardize(spark.createDataFrame(rows)).collect()
+    d1 = [r.z_e4 for r in out if r.dim == 1]
+    d2 = [r.z_e4 for r in out if r.dim == 2]
+    assert all(z == 0 for z in d2)
+    # zero mean (floor-scaled sum within rounding of 0) and unit spread
+    assert abs(sum(d1)) <= len(d1)  # each floor loses < 1 ulp of e4
+    var = sum(z * z for z in d1) / len(d1)
+    assert 0.9 * 10_000**2 < var < 1.1 * 10_000**2
+
+
+def test_standardize_partition_invariance(spark, sf_dir):
+    from admob_data_pipeline_spark.sources.tables import load_table
+    from admob_data_pipeline_spark.operators.similarity import embedding_standardize
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    a = embedding_standardize(emb.repartition(2)).collect()
+    b = embedding_standardize(emb.repartition(32)).collect()
+    assert a == b
