@@ -400,6 +400,15 @@ def ewma_spikes(
     daily = ev.groupBy(
         F.col(group_col).alias("g"), F.col("ts").cast("date").alias("d")
     ).agg(F.sum(_vm(value_col)).alias("vm"))
+    return ewma_from_daily(daily, group_col)
+
+
+def ewma_from_daily(daily: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """EWMA finalization over an already-built (g, d, vm) daily rollup —
+    shared by the batch operator above and the streaming foreachBatch
+    merge (streaming/alerts.q_streaming_ewma_spikes): daily-sum merge is
+    associative, so a rollup accumulated across micro-batches finalizes
+    to the identical result."""
     w = Window.partitionBy("g").orderBy("d")
     lags = [F.lag("vm", i).over(w).alias(f"l{i}") for i in range(1, EWMA_W + 1)]
     t = daily.select("g", "d", "vm", *lags).where(
@@ -708,6 +717,156 @@ LIMIT {CHANGER_TOP}
 """
 
 
+# --- Kaplan–Meier survival curve ---------------------------------------------
+
+KM_SCALE = 1_000_000
+
+
+def survival_km(ev: DataFrame) -> DataFrame:
+    """Kaplan–Meier signup→purchase survival curve with right-censoring:
+    subjects enter at their first signup, convert at their first
+    subsequent purchase, and are censored at the end of the observation
+    window — the estimator behind conversion/retention curves that a
+    naive "conversion rate by day" silently biases (it drops censored
+    users instead of counting them at risk).
+
+    Exactness: S(t) = Π_{tᵢ ≤ t} (nᵢ − dᵢ)/nᵢ is a SEQUENTIAL product of
+    rationals — float products are order-sensitive, so the curve is
+    folded in integer ppm: s ← s·(nᵢ − dᵢ) DIV nᵢ along ascending event
+    times (a deterministic sequence; sequential folds are bit-identical
+    across engines, playbook #8). The Spark side folds with
+    ``aggregate(slice(...))`` over the sorted event-time array; the
+    oracle mirrors the identical recurrence as a recursive CTE.
+
+    Scale: subjects collapse to per-user first-event rows (two
+    partial-agg groupBys + one join); everything after is a rollup over
+    DISTINCT event times — calendar-bounded (≤ observation days), so the
+    single-partition sort/fold is bounded by the time domain, never the
+    user count (playbook #27).
+    """
+    s0 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .localCheckpoint()
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s0, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("te"))
+    )
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("dmax"))
+    subj = (
+        s0.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.when(
+                F.col("te").isNotNull(),
+                F.datediff(F.col("te").cast("date"), F.col("t0").cast("date")),
+            )
+            .otherwise(
+                F.datediff(F.col("dmax"), F.col("t0").cast("date"))
+            )
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("te").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("obs"),
+        )
+    )
+    per_t = subj.groupBy("t").agg(
+        F.sum("obs").alias("d"), F.count(F.lit(1)).alias("m")
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    ranked = per_t.select(
+        "t",
+        "d",
+        (
+            F.sum("m").over(w_all)
+            - F.coalesce(F.sum("m").over(w_prev), F.lit(0))
+        ).alias("n"),
+    )
+    ev_times = ranked.where(F.col("d") >= 1)
+    arr = ev_times.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "d", "n"))
+        ).alias("a")
+    )
+    km = arr.select(
+        F.explode(
+            F.expr(
+                f"""transform(sequence(1, size(a)), i -> named_struct(
+                    't_days', element_at(a, i).t,
+                    'n_events', element_at(a, i).d,
+                    'n_at_risk', element_at(a, i).n,
+                    's_ppm', aggregate(slice(a, 1, i),
+                                       CAST({KM_SCALE} AS BIGINT),
+                                       (acc, x) -> acc * (x.n - x.d) DIV x.n)))"""
+            )
+        ).alias("r")
+    )
+    return km.select("r.*").orderBy("t_days")
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return survival_km(load_table(spark, sf_dir, "events"))
+
+
+_ORACLE_KM = f"""
+WITH RECURSIVE s0 AS (
+    SELECT user_id, MIN(ts) AS t0 FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS te
+    FROM events e JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t0
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id
+),
+mx AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
+subj AS (
+    SELECT s0.user_id,
+           CAST(CASE WHEN p.te IS NOT NULL
+                     THEN datediff('day', CAST(s0.t0 AS DATE), CAST(p.te AS DATE))
+                     ELSE datediff('day', CAST(s0.t0 AS DATE), dmax) END
+                AS BIGINT) AS t,
+           CASE WHEN p.te IS NOT NULL THEN 1 ELSE 0 END AS obs
+    FROM s0 LEFT JOIN p ON p.user_id = s0.user_id, mx
+),
+per_t AS (
+    SELECT t, CAST(SUM(obs) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS m
+    FROM subj GROUP BY t
+),
+tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n_tot FROM per_t),
+ranked AS (
+    SELECT t, d,
+           n_tot - COALESCE(SUM(m) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS n
+    FROM per_t, tot
+),
+ev AS (
+    SELECT t, d, CAST(n AS BIGINT) AS n,
+           ROW_NUMBER() OVER (ORDER BY t) AS rn
+    FROM ranked WHERE d >= 1
+),
+km(rn, t, d, n, s_ppm) AS (
+    SELECT rn, t, d, n, {KM_SCALE} * (n - d) // n FROM ev WHERE rn = 1
+    UNION ALL
+    SELECT e.rn, e.t, e.d, e.n, k.s_ppm * (e.n - e.d) // e.n
+    FROM km k JOIN ev e ON e.rn = k.rn + 1
+)
+SELECT t AS t_days, d AS n_events, n AS n_at_risk,
+       CAST(s_ppm AS BIGINT) AS s_ppm
+FROM km
+ORDER BY t_days
+"""
+
+
 QUERIES = {
     "ols_trend": q_ols_trend,
     "mad_outliers": q_mad_outliers,
@@ -715,6 +874,7 @@ QUERIES = {
     "ewma_spikes": q_ewma_spikes,
     "feature_info_gain": q_feature_info_gain,
     "heavy_changers": q_heavy_changers,
+    "survival_km": q_survival_km,
 }
 
 ORACLES = {
@@ -724,4 +884,5 @@ ORACLES = {
     "ewma_spikes": _ORACLE_EWMA,
     "feature_info_gain": _ORACLE_IG,
     "heavy_changers": _ORACLE_CHANGERS,
+    "survival_km": _ORACLE_KM,
 }

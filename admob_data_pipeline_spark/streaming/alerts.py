@@ -738,7 +738,77 @@ def q_streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_streaming_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA spike detector: each micro-batch's per-(type, day)
+    int-scaled revenue sums MERGE additively into a persistent daily
+    rollup via foreachBatch (read-merge-overwrite, the KMV-synopsis sink
+    pattern); the truncated-EWMA finalization
+    (operators/stats.ewma_from_daily) runs once at read time. Daily-sum
+    merge is associative, so the streamed result is oracle-checked
+    EXACTLY against the batch ``ewma_spikes`` — same oracle SQL.
+
+    Scale: state is the (type, day) rollup — calendar-bounded; each
+    micro-batch shuffles only its own partial sums before the tiny
+    merge."""
+    import shutil
+
+    from admob_data_pipeline_spark.operators.stats import (
+        VALUE_SCALE,
+        ewma_from_daily,
+    )
+
+    events = _event_stream(spark, sf_dir).select(
+        F.col("event_type").alias("g"),
+        F.col("ts").cast("date").alias("d"),
+        F.floor(F.col("value") * VALUE_SCALE).cast("long").alias("vm"),
+    )
+    table = tempfile.mkdtemp(prefix="ewma_table_")
+    checkpoint = tempfile.mkdtemp(prefix="ewma_ckpt_")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        partial = batch_df.groupBy("g", "d").agg(F.sum("vm").alias("vm"))
+        if any(
+            f.name.endswith(".parquet") or f.name == "_SUCCESS"
+            for f in os.scandir(table)
+        ):
+            partial = partial.unionByName(sp.read.parquet(table))
+        merged = partial.groupBy("g", "d").agg(F.sum("vm").alias("vm"))
+        rows = merged.collect()  # state table: |types × days| rows
+        sp.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
+            table
+        )
+
+    try:
+        q = (
+            events.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = ewma_from_daily(spark.read.parquet(table))
+        rows = out.collect()
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, d date, vm long, ewma_num long,"
+        " ratio_ppm long, is_spike int",
+    ).orderBy("event_type", "d")
+
+
+def _ewma_oracle() -> str:
+    from admob_data_pipeline_spark.operators import stats
+
+    return stats._ORACLE_EWMA
+
+
 QUERIES = {
+    "streaming_ewma_spikes": q_streaming_ewma_spikes,
     "streaming_drift_psi": q_streaming_drift_psi,
     "streaming_topk": q_streaming_topk,
     "streaming_stateful_rates": q_streaming_stateful,
@@ -759,6 +829,7 @@ def _psi_oracle() -> str:
 
 
 ORACLES = {
+    "streaming_ewma_spikes": _ewma_oracle(),
     "streaming_drift_psi": _psi_oracle(),
     "streaming_topk": _ORACLE_STREAM_TOPK,
     "streaming_stateful_rates": _ORACLE_STATEFUL,

@@ -142,3 +142,34 @@ def test_info_gain_perfect_vs_useless_feature(spark):
     # perfect predictor: conditional entropy 0 → gain == H(label)
     assert out["copy"].h_cond_e6 == 0
     assert out["copy"].info_gain_e6 == out["copy"].h_label_e6 > 0
+
+
+def test_survival_km_hand_computed(spark):
+    from admob_data_pipeline_spark.operators.stats import survival_km
+
+    # all users sign up on day 0; A,B convert day 2, D converts day 5,
+    # C never converts (censored at the day-5 window end).
+    rows = []
+    for uid, name in enumerate("ABCD"):
+        rows.append(_ev(0, "signup", 1.0, uid=uid))
+    rows += [_ev(2, "purchase", 1.0, uid=0), _ev(2, "purchase", 1.0, uid=1)]
+    rows.append(_ev(5, "purchase", 1.0, uid=3))
+    out = [
+        (r.t_days, r.n_events, r.n_at_risk, r.s_ppm)
+        for r in survival_km(spark.createDataFrame(rows)).collect()
+    ]
+    # t=2: n=4, d=2 -> S=0.5; t=5: n=2 (C still at risk), d=1 -> S=0.25
+    assert out == [(2, 2, 4, 500_000), (5, 1, 2, 250_000)]
+
+
+def test_survival_km_monotone_nonincreasing(spark):
+    from admob_data_pipeline_spark.operators.stats import survival_km
+
+    rows = []
+    for uid in range(40):
+        rows.append(_ev(uid % 3, "signup", 1.0, uid=uid))
+        if uid % 4 != 0:
+            rows.append(_ev(uid % 3 + 1 + uid % 5, "purchase", 1.0, uid=uid))
+    curve = [r.s_ppm for r in survival_km(spark.createDataFrame(rows)).collect()]
+    assert all(a >= b for a, b in zip(curve, curve[1:]))
+    assert curve[0] <= 1_000_000
