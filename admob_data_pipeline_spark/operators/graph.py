@@ -31,7 +31,7 @@ chain instead of an engine-specific recursive aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.sources.tables import load_table
@@ -623,6 +623,197 @@ ORDER BY role, score2 DESC, node
 """
 
 
+# --- k-core decomposition (fixed-round peeling) ------------------------------
+
+KCORE_K = 3
+KCORE_ITERS = 6
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K, iters: int = KCORE_ITERS) -> DataFrame:
+    """k-core membership by iterative peeling: repeatedly drop nodes with
+    degree < k (degrees recomputed within the surviving subgraph) — the
+    standard dense-substructure filter for community seeds and spam/bot
+    rings. A FIXED peel count is part of the operator contract (mirroring
+    PR_ITERS): peeling cascades converge in a few rounds on co-purchase
+    graphs, extra rounds are no-ops once converged, and the fixed count
+    keeps the oracle an unrolled CTE chain. Emits each surviving node
+    with its degree as measured in the final peel.
+
+    Scale: each round is two semi-joins (edge endpoints against the
+    survivor set) + one partial-agg degree count, lineage truncated per
+    round with localCheckpoint — the PageRank round shape; no round ever
+    materializes more than the live edge list.
+    """
+    adj = _adjacency(edges).localCheckpoint()
+    nodes = adj.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    deg = None
+    for _ in range(iters):
+        surv = adj.join(
+            nodes.select(F.col("node").alias("src")), "src", "left_semi"
+        ).join(nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
+        deg = surv.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        nodes = (
+            deg.where(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint()
+        )
+    return (
+        deg.where(F.col("deg") >= k)
+        .select(F.col("src").alias("node"), F.col("deg").cast("long").alias("deg"))
+        .orderBy(F.desc("deg"), "node")
+    )
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kcore(copurchase_edges(load_table(spark, sf_dir, "lineitem")))
+
+
+def _kcore_oracle(k: int = KCORE_K, iters: int = KCORE_ITERS) -> str:
+    parts = [
+        "WITH "
+        + _EDGE_CTES.strip().rstrip(",")
+        + ",\nn0 AS (SELECT DISTINCT src AS node FROM adj)"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+d{i} AS (
+    SELECT a.src, COUNT(*) AS deg
+    FROM adj a
+    WHERE a.src IN (SELECT node FROM n{i - 1})
+      AND a.dst IN (SELECT node FROM n{i - 1})
+    GROUP BY a.src
+),
+n{i} AS (SELECT src AS node FROM d{i} WHERE deg >= {k})"""
+        )
+    parts.append(
+        f"""
+SELECT src AS node, CAST(deg AS BIGINT) AS deg
+FROM d{iters}
+WHERE deg >= {k}
+ORDER BY deg DESC, node
+"""
+    )
+    return "".join(parts)
+
+
+_ORACLE_KCORE = _kcore_oracle()
+
+
+# --- seeded negative sampling -------------------------------------------------
+
+NEG_K = 4
+NEG_SEED = "neg-seed-1"
+
+
+def negative_samples(
+    positives: DataFrame,
+    items: DataFrame,
+    k: int = NEG_K,
+    seed: str = NEG_SEED,
+) -> DataFrame:
+    """Deterministic negative sampling for recommendation / contrastive
+    training: for every user with at least one positive interaction, draw
+    ``k`` candidate items by content-stable hash (md5(seed|user|slot) mod
+    |items|) and drop draws that collide with a true positive — the
+    skip-gram-style negative generator, made reproducible (same seed →
+    byte-identical training pairs on any engine/cluster; new seed →
+    fresh draw). Collided slots are dropped, not redrawn (the standard
+    slight-undersampling tradeoff; redraw loops are not oracle-able).
+
+    ``positives`` = (c, p) interactions; ``items`` = the item dimension.
+
+    Scale: users×k explode is map-only; the item lookup joins on a dense
+    hash index built with one dimension-bounded window (items is a
+    dimension table, not the fact stream); the positive collision check
+    is one anti-join on (user, item).
+    """
+    users = positives.select("c").distinct()
+    idx = items.select(
+        F.col("p_partkey").alias("item"),
+        (
+            F.row_number().over(Window.orderBy("p_partkey")) - 1
+        ).cast("long").alias("idx"),
+    ).localCheckpoint()
+    n_items = idx.count()
+    cand = users.select(
+        "c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot")
+    ).select(
+        "c",
+        "slot",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(seed),
+                            F.col("c").cast("string"),
+                            F.col("slot").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_items
+        ).alias("idx"),
+    )
+    return (
+        cand.join(F.broadcast(idx), "idx")
+        .join(
+            positives.select("c", F.col("p").alias("item")),
+            ["c", "item"],
+            "left_anti",
+        )
+        .select(
+            F.col("c").cast("long").alias("user_id"),
+            F.col("slot").cast("int").alias("slot"),
+            F.col("item").cast("long").alias("neg_item"),
+        )
+        .orderBy("user_id", "slot")
+    )
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = purchase_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    return negative_samples(pos, load_table(spark, sf_dir, "part"))
+
+
+_ORACLE_NEG = f"""
+WITH pos AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+users AS (SELECT DISTINCT c FROM pos),
+idx AS (
+    SELECT p_partkey AS item,
+           CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS BIGINT) AS idx
+    FROM part
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM idx),
+cand AS (
+    SELECT u.c, s.slot,
+           CAST('0x' || substr(md5('{NEG_SEED}' || '|'
+                                   || CAST(u.c AS VARCHAR) || '|'
+                                   || CAST(s.slot AS VARCHAR)), 1, 13)
+                AS BIGINT) % n_items AS idx
+    FROM users u, generate_series(0, {NEG_K - 1}) AS s(slot), n
+)
+SELECT CAST(cand.c AS BIGINT) AS user_id, CAST(cand.slot AS INT) AS slot,
+       CAST(idx.item AS BIGINT) AS neg_item
+FROM cand
+JOIN idx ON idx.idx = cand.idx
+LEFT JOIN pos ON pos.c = cand.c AND pos.p = idx.item
+WHERE pos.c IS NULL
+ORDER BY user_id, slot
+"""
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_components": q_graph_components,
@@ -630,6 +821,8 @@ QUERIES = {
     "frequent_triples": q_frequent_triples,
     "association_rules": q_association_rules,
     "graph_hits": q_graph_hits,
+    "graph_kcore": q_graph_kcore,
+    "negative_samples": q_negative_samples,
 }
 
 ORACLES = {
@@ -639,4 +832,6 @@ ORACLES = {
     "frequent_triples": _ORACLE_TRIPLES_L3,
     "association_rules": _ORACLE_RULES,
     "graph_hits": _ORACLE_HITS,
+    "graph_kcore": _ORACLE_KCORE,
+    "negative_samples": _ORACLE_NEG,
 }

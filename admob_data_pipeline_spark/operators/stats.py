@@ -867,6 +867,122 @@ ORDER BY t_days
 """
 
 
+# --- sequential pattern mining (subsequence support) -------------------------
+
+SEQ_MIN_SUPPORT = 5
+SEQ_TOP = 40
+
+
+def sequence_patterns(
+    ev: DataFrame, min_support: int = SEQ_MIN_SUPPORT, top_n: int = SEQ_TOP
+) -> DataFrame:
+    """Frequent behavioral SUBSEQUENCES (PrefixSpan-style, lengths 2–3):
+    how many users ever did a …then… b (…then… c), with arbitrary gaps —
+    the complement of ``event_sequences`` (analytics_ext), which counts
+    strictly ADJACENT trigrams. Gap-tolerant support is what journey
+    mining actually needs: "signup → … → purchase" must count users with
+    clicks in between.
+
+    Containment is decided by the earliest-occurrence greedy (provably
+    complete: a subsequence embedding exists iff the greedy one does):
+    a→b iff any b after the FIRST a; a→b→c iff any c after the first b
+    that follows the first a. All comparisons are on raw timestamps — no
+    arithmetic, engine-identical.
+
+    Scale: per-user (type, first_ts, last_ts) profiles bound the pair
+    space at |types|² per user, never events²; the three-step chain adds
+    one events×profiles join that is linear in the event count. Support
+    is a countDistinct per pattern; min_support and top_n bound the
+    output.
+    """
+    e = ev.select("user_id", F.col("event_type").alias("t"), "ts").localCheckpoint()
+    prof = e.groupBy("user_id", "t").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    ).localCheckpoint()
+    fa = prof.select("user_id", F.col("t").alias("a"), F.col("first_ts").alias("fa"))
+    lb = prof.select("user_id", F.col("t").alias("b"), F.col("last_ts").alias("lb"))
+    pairs = (
+        fa.join(lb, "user_id")
+        .where(F.col("lb") > F.col("fa"))
+        .groupBy("a", "b")
+        .agg(F.countDistinct("user_id").alias("support"))
+        .where(F.col("support") >= min_support)
+        .select(
+            F.concat_ws(">", "a", "b").alias("pattern"),
+            F.lit(2).alias("length"),
+            F.col("support").cast("long").alias("support"),
+        )
+    )
+    # earliest b strictly after first a
+    tab = (
+        e.select("user_id", F.col("t").alias("b"), F.col("ts").alias("ts_b"))
+        .join(fa, "user_id")
+        .where(F.col("ts_b") > F.col("fa"))
+        .groupBy("user_id", "a", "b")
+        .agg(F.min("ts_b").alias("tab"))
+    )
+    lc = prof.select("user_id", F.col("t").alias("c"), F.col("last_ts").alias("lc"))
+    triples = (
+        tab.join(lc, "user_id")
+        .where(F.col("lc") > F.col("tab"))
+        .groupBy("a", "b", "c")
+        .agg(F.countDistinct("user_id").alias("support"))
+        .where(F.col("support") >= min_support)
+        .select(
+            F.concat_ws(">", "a", "b", "c").alias("pattern"),
+            F.lit(3).alias("length"),
+            F.col("support").cast("long").alias("support"),
+        )
+    )
+    return (
+        pairs.unionByName(triples)
+        .orderBy(F.desc("support"), "pattern")
+        .limit(top_n)
+    )
+
+
+def q_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequence_patterns(load_table(spark, sf_dir, "events"))
+
+
+_ORACLE_SEQ = f"""
+WITH prof AS (
+    SELECT user_id, event_type AS t, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY user_id, event_type
+),
+pairs AS (
+    SELECT fa.t AS a, lb.t AS b, CAST(COUNT(DISTINCT fa.user_id) AS BIGINT)
+               AS support
+    FROM prof fa JOIN prof lb ON lb.user_id = fa.user_id
+    WHERE lb.last_ts > fa.first_ts
+    GROUP BY fa.t, lb.t
+    HAVING COUNT(DISTINCT fa.user_id) >= {SEQ_MIN_SUPPORT}
+),
+tab AS (
+    SELECT e.user_id, fa.t AS a, e.event_type AS b, MIN(e.ts) AS tab
+    FROM events e JOIN prof fa ON fa.user_id = e.user_id
+    WHERE e.ts > fa.first_ts
+    GROUP BY e.user_id, fa.t, e.event_type
+),
+triples AS (
+    SELECT tab.a, tab.b, lc.t AS c,
+           CAST(COUNT(DISTINCT tab.user_id) AS BIGINT) AS support
+    FROM tab JOIN prof lc ON lc.user_id = tab.user_id
+    WHERE lc.last_ts > tab.tab
+    GROUP BY tab.a, tab.b, lc.t
+    HAVING COUNT(DISTINCT tab.user_id) >= {SEQ_MIN_SUPPORT}
+)
+SELECT * FROM (
+    SELECT a || '>' || b AS pattern, 2 AS length, support FROM pairs
+    UNION ALL
+    SELECT a || '>' || b || '>' || c AS pattern, 3 AS length, support
+    FROM triples
+)
+ORDER BY support DESC, pattern
+LIMIT {SEQ_TOP}
+"""
+
+
 QUERIES = {
     "ols_trend": q_ols_trend,
     "mad_outliers": q_mad_outliers,
@@ -875,6 +991,7 @@ QUERIES = {
     "feature_info_gain": q_feature_info_gain,
     "heavy_changers": q_heavy_changers,
     "survival_km": q_survival_km,
+    "sequence_patterns": q_sequence_patterns,
 }
 
 ORACLES = {
@@ -885,4 +1002,5 @@ ORACLES = {
     "feature_info_gain": _ORACLE_IG,
     "heavy_changers": _ORACLE_CHANGERS,
     "survival_km": _ORACLE_KM,
+    "sequence_patterns": _ORACLE_SEQ,
 }

@@ -154,3 +154,35 @@ def test_hits_hand_computed_bipartite(spark):
     assert out[("authority", 12)] == (1, 5)
     assert out[("hub", 1)] == (4, 18)
     assert out[("hub", 2)] == (5, 23)
+
+
+def test_kcore_peels_tail_nodes(spark):
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.graph import kcore
+
+    # K4 on {1,2,3,4} (every node degree 3) + pendant chain 4-5-6:
+    # 5 and 6 peel out at k=3, then the K4 survives intact.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame([Row(u=u, v=v) for u, v in edges])
+    out = {r.node: r.deg for r in kcore(df, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_negative_samples_exclude_positives_and_are_seeded(spark):
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.graph import negative_samples
+
+    pos = spark.createDataFrame([Row(c=1, p=10), Row(c=2, p=11)])
+    items = spark.createDataFrame([Row(p_partkey=i) for i in range(10, 18)])
+    out = negative_samples(pos, items, k=4)
+    rows = [(r.user_id, r.slot, r.neg_item) for r in out.collect()]
+    # no sampled negative equals the user's positive
+    assert all(not (u == 1 and it == 10) and not (u == 2 and it == 11)
+               for u, _, it in rows)
+    # deterministic: second run identical
+    assert rows == [(r.user_id, r.slot, r.neg_item)
+                    for r in negative_samples(pos, items, k=4).collect()]
+    # different seed -> different draw
+    other = [(r.user_id, r.slot, r.neg_item)
+             for r in negative_samples(pos, items, k=4, seed="other").collect()]
+    assert rows != other
