@@ -1670,6 +1670,91 @@ FROM s ORDER BY dim
 """
 
 
+# --- covariance matrix (PCA / whitening input) -------------------------------
+
+COV_SCALE = 10_000  # element → e4 integer; pairwise products stay BIGINT-safe
+
+
+def embedding_covariance(emb: DataFrame) -> DataFrame:
+    """Scaled second-moment (Gram) matrix of the embedding column — the
+    64×64 input every PCA / whitening / OPQ rotation starts from. Emits
+    the upper triangle as (i, j, n, sxy, sx, sy): the covariance
+    n·Σxᵢxⱼ − ΣxᵢΣxⱼ is derivable exactly downstream, and keeping raw
+    BIGINT moments instead of a divided covariance keeps the result
+    engine-exact (no float division at all).
+
+    Exactness: elements are floor-scaled to e4 integers, so every
+    pairwise product is an exact BIGINT (≤ ~2.8e7 per row-pair — the sum
+    holds to ~3e11 rows per dim pair); integer sums are associative, so
+    ANY aggregation order/engine matches. The explode emits D(D+1)/2
+    pairs per vector — at corpus scale swap in a mapInPandas int64
+    partial accumulator (identical integers, fewer rows in flight); the
+    aggregation tree is unchanged.
+
+    Scale: shuffle is keyed by the (i, j) pair — a constant 2 080 groups
+    for D = 64 — with map-side partial aggregation absorbing the fan-out.
+    """
+    d = widen_if_narrow(emb).select(
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+        F.col("vec_id"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("x") * COV_SCALE).cast("long").alias("xs"),
+    )
+    a = d.select("vec_id", F.col("i"), F.col("xs").alias("xi"))
+    b = d.select("vec_id", F.col("i").alias("j"), F.col("xs").alias("xj"))
+    pairs = a.join(b, "vec_id").where(F.col("i") <= F.col("j"))
+    return (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+            F.sum("xi").alias("sx"),
+            F.sum("xj").alias("sy"),
+        )
+        .select(
+            "i",
+            "j",
+            F.col("n").cast("long").alias("n"),
+            F.col("sxy").cast("long").alias("sxy"),
+            F.col("sx").cast("long").alias("sx"),
+            F.col("sy").cast("long").alias("sy"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_covariance(load_table(spark, sf_dir, "embeddings"))
+
+
+_ORACLE_COV = f"""
+WITH p AS (
+    SELECT vec_id,
+           [{{'dim': i, 'x': CAST(embedding[i] AS DOUBLE)}}
+            FOR i IN generate_series(1, len(embedding))] AS pairs
+    FROM embeddings
+),
+d AS (
+    SELECT vec_id, dim AS i, CAST(FLOOR(x * {COV_SCALE}) AS BIGINT) AS xs
+    FROM (SELECT vec_id, unnest(pairs, recursive := true) FROM p)
+),
+pr AS (
+    SELECT a.i, b.i AS j, a.xs AS xi, b.xs AS xj
+    FROM d a JOIN d b ON b.vec_id = a.vec_id AND a.i <= b.i
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(xi * xj) AS BIGINT) AS sxy,
+       CAST(SUM(xi) AS BIGINT) AS sx,
+       CAST(SUM(xj) AS BIGINT) AS sy
+FROM pr
+GROUP BY i, j
+ORDER BY i, j
+"""
+
+
 # --- per-dimension standardization (whitening-lite) --------------------------
 
 STD_IN_SCALE = 100_000  # element → e5 integer before any sum
@@ -1763,6 +1848,7 @@ ORDER BY d.vec_id, d.dim
 
 
 QUERIES = {
+    "embedding_covariance": q_embedding_covariance,
     "embedding_standardize": q_embedding_standardize,
     "embedding_dim_stats": q_dim_stats,
     "contrastive_negatives": q_hard_negatives,
@@ -1783,6 +1869,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_covariance": _ORACLE_COV,
     "embedding_standardize": _ORACLE_STANDARDIZE,
     "embedding_dim_stats": _ORACLE_DIM_STATS,
     "contrastive_negatives": _ORACLE_HARD_NEG,

@@ -60,6 +60,11 @@ EXTENDED = [
     "label_noise_audit",
     "drift_psi",
     "dedup_prefix_filter",
+    # later round-3 waves: minimizer sketch dedup, gap-tolerant sequence
+    # mining, Kaplan-Meier survival
+    "dedup_minimizer",
+    "sequence_patterns",
+    "survival_km",
 ]
 
 

@@ -223,3 +223,24 @@ def test_standardize_partition_invariance(spark, sf_dir):
     a = embedding_standardize(emb.repartition(2)).collect()
     b = embedding_standardize(emb.repartition(32)).collect()
     assert a == b
+
+
+def test_covariance_diagonal_matches_dim_moments(spark):
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.similarity import (
+        COV_SCALE,
+        embedding_covariance,
+    )
+
+    vecs = [[0.1, -0.2, 0.3], [0.0, 0.25, -0.1], [0.4, 0.1, 0.2]]
+    rows = [Row(vec_id=i, embedding=v, label=0) for i, v in enumerate(vecs)]
+    out = {(r.i, r.j): r for r in embedding_covariance(spark.createDataFrame(rows)).collect()}
+    import math
+
+    xs = [[math.floor(x * COV_SCALE) for x in v] for v in vecs]
+    # hand-check diagonal and one off-diagonal cell
+    assert out[(1, 1)].sxy == sum(v[0] * v[0] for v in xs)
+    assert out[(1, 2)].sxy == sum(v[0] * v[1] for v in xs)
+    assert out[(1, 2)].sx == sum(v[0] for v in xs)
+    assert out[(1, 2)].sy == sum(v[1] for v in xs)
+    assert len(out) == 6  # upper triangle of 3x3
