@@ -1755,6 +1755,114 @@ ORDER BY i, j
 """
 
 
+# --- seeded random projection (JL sketch) ------------------------------------
+
+RP_R = 8  # output dimensionality
+RP_SEED = "rp-seed-1"
+RP_SCALE = 10_000  # element → e4 integer before the signed sums
+
+
+def embedding_random_projection(
+    emb: DataFrame, r_dims: int = RP_R, seed: str = RP_SEED
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a SEEDED ±1
+    projection matrix: proj_r = Σ_d x_d·s(d,r), s(d,r) = ±1 from the
+    parity of md5(seed|d|r) — the dense sketch that front-ends
+    clustering / duplicate-blocking when 64 dims are still too many.
+    Content-stable signs mean the same seed reproduces the identical
+    sketch on any engine/cluster/run (the Achlioptas construction needs
+    only ±1 entries, so no float randomness is involved anywhere).
+
+    Exactness: elements floor-scale to e4 integers; each projection is an
+    exact signed BIGINT sum — associative, order-free.
+
+    Scale: one posexplode + a broadcast join against the D×R sign table
+    (built from the data's own dim range — 512 rows at D=64, R=8), then a
+    partial-aggregated (vec, r) groupBy. Map-only until the final
+    per-vector aggregation.
+    """
+    d = widen_if_narrow(emb).select(
+        "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("x") * RP_SCALE).cast("long").alias("xs"),
+    )
+    dims = d.select("i").distinct()
+    signs = dims.select(
+        "i", F.explode(F.sequence(F.lit(0), F.lit(r_dims - 1))).alias("r")
+    ).select(
+        "i",
+        "r",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(seed),
+                            F.col("i").cast("string"),
+                            F.col("r").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    return (
+        d.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "r")
+        .agg(F.sum(F.col("xs") * F.col("s")).alias("proj"))
+        .select(
+            "vec_id",
+            F.col("r").cast("int").alias("r"),
+            F.col("proj").cast("long").alias("proj"),
+        )
+        .orderBy("vec_id", "r")
+    )
+
+
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_random_projection(load_table(spark, sf_dir, "embeddings"))
+
+
+_ORACLE_RP = f"""
+WITH p AS (
+    SELECT vec_id,
+           [{{'dim': i, 'x': CAST(embedding[i] AS DOUBLE)}}
+            FOR i IN generate_series(1, len(embedding))] AS pairs
+    FROM embeddings
+),
+d AS (
+    SELECT vec_id, dim AS i, CAST(FLOOR(x * {RP_SCALE}) AS BIGINT) AS xs
+    FROM (SELECT vec_id, unnest(pairs, recursive := true) FROM p)
+),
+dims AS (SELECT DISTINCT i FROM d),
+signs AS (
+    SELECT i, t.r,
+           CASE WHEN CAST('0x' || substr(md5('{RP_SEED}' || '|'
+                              || CAST(i AS VARCHAR) || '|'
+                              || CAST(t.r AS VARCHAR)), 1, 1) AS BIGINT) % 2 = 0
+                THEN 1 ELSE -1 END AS s
+    FROM dims, generate_series(0, {RP_R - 1}) AS t(r)
+)
+SELECT d.vec_id, CAST(signs.r AS INT) AS r,
+       CAST(SUM(d.xs * signs.s) AS BIGINT) AS proj
+FROM d JOIN signs ON signs.i = d.i
+GROUP BY d.vec_id, signs.r
+ORDER BY d.vec_id, r
+"""
+
+
 # --- per-dimension standardization (whitening-lite) --------------------------
 
 STD_IN_SCALE = 100_000  # element → e5 integer before any sum
@@ -1848,6 +1956,7 @@ ORDER BY d.vec_id, d.dim
 
 
 QUERIES = {
+    "embedding_random_projection": q_embedding_random_projection,
     "embedding_covariance": q_embedding_covariance,
     "embedding_standardize": q_embedding_standardize,
     "embedding_dim_stats": q_dim_stats,
@@ -1869,6 +1978,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_random_projection": _ORACLE_RP,
     "embedding_covariance": _ORACLE_COV,
     "embedding_standardize": _ORACLE_STANDARDIZE,
     "embedding_dim_stats": _ORACLE_DIM_STATS,

@@ -983,6 +983,128 @@ LIMIT {SEQ_TOP}
 """
 
 
+# --- purged temporal split ----------------------------------------------------
+
+SPLIT_TRAIN_PCT = 70
+SPLIT_EMBARGO_PCT = 5
+
+
+def temporal_split(
+    ev: DataFrame,
+    train_pct: int = SPLIT_TRAIN_PCT,
+    embargo_pct: int = SPLIT_EMBARGO_PCT,
+) -> DataFrame:
+    """Time-ordered train/test split with a purge embargo: train takes
+    the first ``train_pct``% of the observation range, an
+    ``embargo_pct``% buffer is DROPPED, and test takes the remainder —
+    the leakage-safe protocol for forecasting/sequence models, where a
+    random row split lets near-boundary information bleed across (the
+    content-hash ``text_dataset_split`` covers i.i.d. corpora; this
+    covers temporally-dependent ones). Emits per-split row/user counts,
+    date bounds, and the count of users that appear in BOTH train and
+    test — the residual entity overlap an entity-disjoint split would
+    additionally have to remove.
+
+    Exactness: boundaries are integer-microsecond arithmetic
+    (tmin + range·pct DIV 100) on unix_micros — no timezone or float
+    involvement; comparisons are pure BIGINT.
+
+    Scale: one bounds aggregate broadcast back over the scan, one
+    partial-agg per-split rollup, one (user × split-membership) rollup
+    for the overlap count. No windows, no sort.
+    """
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(
+        F.min(us).alias("t0"), F.max(us).alias("t1")
+    )
+    b = bounds.select(
+        "t0",
+        F.expr(f"t0 + (t1 - t0) * {train_pct} DIV 100").alias("tr_end"),
+        F.expr(
+            f"t0 + (t1 - t0) * {train_pct + embargo_pct} DIV 100"
+        ).alias("em_end"),
+    )
+    tagged = ev.select(us.alias("us"), "user_id", F.col("ts").cast("date").alias("d")).crossJoin(
+        F.broadcast(b)
+    ).select(
+        "user_id",
+        "d",
+        F.when(F.col("us") <= F.col("tr_end"), F.lit("train"))
+        .when(F.col("us") <= F.col("em_end"), F.lit("embargo"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("d").alias("d_min"),
+        F.max("d").alias("d_max"),
+    )
+    membership = tagged.groupBy("user_id").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_tr"),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("in_te"),
+    )
+    overlap = membership.agg(
+        F.sum(F.col("in_tr") * F.col("in_te")).alias("n_users_in_train_and_test")
+    )
+    return (
+        per_split.crossJoin(F.broadcast(overlap))
+        .select(
+            "split",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_users").cast("long").alias("n_users"),
+            "d_min",
+            "d_max",
+            F.col("n_users_in_train_and_test").cast("long").alias(
+                "n_users_in_train_and_test"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal_split(load_table(spark, sf_dir, "events"))
+
+
+_ORACLE_TSPLIT = f"""
+WITH b AS (
+    SELECT MIN(epoch_us(ts)) AS t0,
+           MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
+               * {SPLIT_TRAIN_PCT} // 100 AS tr_end,
+           MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
+               * {SPLIT_TRAIN_PCT + SPLIT_EMBARGO_PCT} // 100 AS em_end
+    FROM events
+),
+tagged AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           CASE WHEN epoch_us(ts) <= tr_end THEN 'train'
+                WHEN epoch_us(ts) <= em_end THEN 'embargo'
+                ELSE 'test' END AS split
+    FROM events, b
+),
+per_split AS (
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(d) AS d_min, MAX(d) AS d_max
+    FROM tagged GROUP BY split
+),
+membership AS (
+    SELECT user_id,
+           MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_tr,
+           MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_te
+    FROM tagged GROUP BY user_id
+),
+overlap AS (
+    SELECT CAST(SUM(in_tr * in_te) AS BIGINT) AS n_users_in_train_and_test
+    FROM membership
+)
+SELECT split, n_rows, n_users, d_min, d_max, n_users_in_train_and_test
+FROM per_split, overlap
+ORDER BY split
+"""
+
+
 QUERIES = {
     "ols_trend": q_ols_trend,
     "mad_outliers": q_mad_outliers,
@@ -992,6 +1114,7 @@ QUERIES = {
     "heavy_changers": q_heavy_changers,
     "survival_km": q_survival_km,
     "sequence_patterns": q_sequence_patterns,
+    "temporal_split": q_temporal_split,
 }
 
 ORACLES = {
@@ -1003,4 +1126,5 @@ ORACLES = {
     "heavy_changers": _ORACLE_CHANGERS,
     "survival_km": _ORACLE_KM,
     "sequence_patterns": _ORACLE_SEQ,
+    "temporal_split": _ORACLE_TSPLIT,
 }

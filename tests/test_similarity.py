@@ -244,3 +244,26 @@ def test_covariance_diagonal_matches_dim_moments(spark):
     assert out[(1, 2)].sx == sum(v[0] for v in xs)
     assert out[(1, 2)].sy == sum(v[1] for v in xs)
     assert len(out) == 6  # upper triangle of 3x3
+
+
+def test_random_projection_seeded_and_linear(spark):
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.similarity import (
+        embedding_random_projection,
+    )
+
+    rows = [Row(vec_id=i, embedding=[0.1 * i, -0.2, 0.05 * i], label=0)
+            for i in range(5)]
+    df = spark.createDataFrame(rows)
+    a = [(r.vec_id, r.r, r.proj) for r in embedding_random_projection(df).collect()]
+    b = [(r.vec_id, r.r, r.proj) for r in embedding_random_projection(df).collect()]
+    assert a == b  # seeded determinism
+    # the zero vector projects to ~zero in every direction
+    z = embedding_random_projection(
+        spark.createDataFrame([Row(vec_id=0, embedding=[0.0, 0.0, 0.0], label=0)])
+    ).collect()
+    assert all(r.proj == 0 for r in z)
+    # different seed -> different sketch
+    c = [(r.vec_id, r.r, r.proj)
+         for r in embedding_random_projection(df, seed="other").collect()]
+    assert a != c

@@ -173,3 +173,17 @@ def test_survival_km_monotone_nonincreasing(spark):
     curve = [r.s_ppm for r in survival_km(spark.createDataFrame(rows)).collect()]
     assert all(a >= b for a, b in zip(curve, curve[1:]))
     assert curve[0] <= 1_000_000
+
+
+def test_temporal_split_order_and_no_future_leak(spark):
+    from admob_data_pipeline_spark.operators.stats import temporal_split
+
+    rows = [_ev(d, "t", 1.0, uid=d % 7) for d in range(100)]
+    out = {r.split: r for r in temporal_split(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {"train", "embargo", "test"}
+    # temporal ordering: train strictly precedes test date ranges
+    assert out["train"].d_max <= out["embargo"].d_min
+    assert out["embargo"].d_max <= out["test"].d_min
+    # ~70/5/25 row split of 100 days
+    assert 60 <= out["train"].n_rows <= 80
+    assert out["embargo"].n_rows <= 10
