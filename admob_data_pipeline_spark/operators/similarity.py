@@ -1755,6 +1755,138 @@ ORDER BY i, j
 """
 
 
+# --- k-center coreset selection ----------------------------------------------
+
+CORESET_K = 5
+CORESET_SCALE = 10_000
+
+
+def coreset_kcenter(emb: DataFrame, k: int = CORESET_K) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal): seed
+    with the smallest vec_id, then repeatedly add the point FARTHEST from
+    the selected set — the classic 2-approximation whose picks are the
+    diversity-maximizing exemplars used for data selection, active
+    labeling, and IVF seeding. Emits the selection order with each
+    pick's squared distance to the prior set (the k-center radius
+    sequence — its decay is the "how many exemplars do I need" curve).
+
+    Exactness: squared L2 on e4-scaled integers is an exact BIGINT, and
+    argmax ties break on vec_id — fully deterministic on any engine.
+
+    Scale: per round ONE distance pass against the single new center (a
+    D-row broadcast) folded into the running min via least() — O(k)
+    passes total, state checkpointed per round (iterative-loop lineage
+    discipline); the argmax is a driver-side first() on a 1-row result,
+    the same bounded-collect pattern as IVF's centroid pull.
+    """
+    d = (
+        widen_if_narrow(emb)
+        .select(
+            "vec_id",
+            F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+        )
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("i"),
+            F.floor(F.col("x") * CORESET_SCALE).cast("long").alias("xs"),
+        )
+        .localCheckpoint()
+    )
+    spark = emb.sparkSession
+
+    def center_dims(cid: int) -> DataFrame:
+        rows = d.where(F.col("vec_id") == cid).select("i", "xs").collect()
+        return spark.createDataFrame(
+            [(r.i, r.xs) for r in rows], "i int, cs long"
+        )
+
+    first_id = d.agg(F.min("vec_id")).collect()[0][0]
+    picks = [(1, first_id, 0)]
+    state = None
+    cur = first_id
+    for rank in range(2, k + 1):
+        dist_new = (
+            d.join(F.broadcast(center_dims(cur)), "i")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    (F.col("xs") - F.col("cs")) * (F.col("xs") - F.col("cs"))
+                ).alias("dn")
+            )
+        )
+        if state is None:
+            state = dist_new.select("vec_id", F.col("dn").alias("dmin"))
+        else:
+            state = state.join(dist_new, "vec_id").select(
+                "vec_id", F.least("dmin", "dn").alias("dmin")
+            )
+        state = state.localCheckpoint()
+        top = state.orderBy(F.desc("dmin"), F.asc("vec_id")).first()
+        picks.append((rank, top.vec_id, top.dmin))
+        cur = top.vec_id
+    return spark.createDataFrame(
+        picks, "sel_rank int, vec_id bigint, d2 bigint"
+    ).orderBy("sel_rank")
+
+
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return coreset_kcenter(load_table(spark, sf_dir, "embeddings"))
+
+
+def _coreset_oracle(k: int = CORESET_K) -> str:
+    parts = [
+        f"""
+WITH p AS (
+    SELECT vec_id,
+           [{{'dim': i, 'x': CAST(embedding[i] AS DOUBLE)}}
+            FOR i IN generate_series(1, len(embedding))] AS pairs
+    FROM embeddings
+),
+d AS (
+    SELECT vec_id, dim AS i, CAST(FLOOR(x * {CORESET_SCALE}) AS BIGINT) AS xs
+    FROM (SELECT vec_id, unnest(pairs, recursive := true) FROM p)
+),
+c1 AS (SELECT MIN(vec_id) AS cid FROM d)"""
+    ]
+    for i in range(1, k):
+        prev_dist = (
+            f"""
+nd{i} AS (
+    SELECT a.vec_id, CAST(SUM((a.xs - b.xs) * (a.xs - b.xs)) AS BIGINT) AS dn
+    FROM d a JOIN d b ON b.i = a.i AND b.vec_id = (SELECT cid FROM c{i})
+    GROUP BY a.vec_id
+),"""
+        )
+        if i == 1:
+            dist = f"dist1 AS (SELECT vec_id, dn AS dmin FROM nd1)"
+        else:
+            dist = (
+                f"dist{i} AS (SELECT p.vec_id, LEAST(p.dmin, n.dn) AS dmin"
+                f" FROM dist{i - 1} p JOIN nd{i} n ON n.vec_id = p.vec_id)"
+            )
+        parts.append(
+            "," + prev_dist + "\n" + dist + f""",
+c{i + 1} AS (
+    SELECT vec_id AS cid, dmin FROM dist{i}
+    ORDER BY dmin DESC, vec_id LIMIT 1
+)"""
+        )
+    selects = ["SELECT 1 AS sel_rank, (SELECT cid FROM c1) AS vec_id, CAST(0 AS BIGINT) AS d2"]
+    for i in range(2, k + 1):
+        selects.append(
+            f"SELECT {i}, cid, CAST(dmin AS BIGINT) FROM c{i}"
+        )
+    parts.append(
+        "\nSELECT CAST(sel_rank AS INT) AS sel_rank, vec_id, d2 FROM ("
+        + "\nUNION ALL\n".join(selects)
+        + ") ORDER BY sel_rank"
+    )
+    return "".join(parts)
+
+
+_ORACLE_CORESET = _coreset_oracle()
+
+
 # --- seeded random projection (JL sketch) ------------------------------------
 
 RP_R = 8  # output dimensionality
@@ -1956,6 +2088,7 @@ ORDER BY d.vec_id, d.dim
 
 
 QUERIES = {
+    "coreset_kcenter": q_coreset_kcenter,
     "embedding_random_projection": q_embedding_random_projection,
     "embedding_covariance": q_embedding_covariance,
     "embedding_standardize": q_embedding_standardize,
@@ -1978,6 +2111,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "coreset_kcenter": _ORACLE_CORESET,
     "embedding_random_projection": _ORACLE_RP,
     "embedding_covariance": _ORACLE_COV,
     "embedding_standardize": _ORACLE_STANDARDIZE,

@@ -1423,6 +1423,68 @@ ORDER BY bucket
 """
 
 
+# --- entity-disjoint group k-fold --------------------------------------------
+KFOLD_K = 5
+KFOLD_SEED = "fold-seed-1"
+
+
+def group_kfold(docs: DataFrame, k: int = KFOLD_K, seed: str = KFOLD_SEED) -> DataFrame:
+    """Entity-disjoint k-fold assignment: the fold is a content-stable
+    hash of the SOURCE (md5(seed|source) mod k), so every document of a
+    domain lands in the same fold — the grouped cross-validation protocol
+    that stops near-duplicate pages from one site straddling train and
+    eval (the row-level ``dataset_split`` cannot guarantee this). Same
+    seed → identical assignment on any engine/run; a new seed redraws.
+
+    Emits the per-fold census (docs, sources, chars); disjointness is
+    structural (fold is a function of source), pinned in pytest.
+
+    Scale: map-only fold tagging + one partial-agg rollup keyed by fold.
+    """
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col("source"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        % k
+    )
+    return (
+        docs.select(fold.alias("fold"), "source", "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("fold")
+    )
+
+
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return group_kfold(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_KFOLD = f"""
+SELECT CAST(CAST('0x' || substr(md5('{KFOLD_SEED}' || '|' || source), 1, 13)
+            AS BIGINT) % {KFOLD_K} AS INT) AS fold,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY fold
+ORDER BY fold
+"""
+
+
 # --- PMI collocations ---------------------------------------------------------
 COLLOC_MIN_COUNT = 10
 COLLOC_TOP = 40
@@ -1559,9 +1621,11 @@ QUERIES = {
     "curation_funnel": q_curation_funnel,
     "tokenizer_fertility": q_tokenizer_fertility,
     "text_collocations": q_collocations,
+    "group_kfold": q_group_kfold,
 }
 
 ORACLES = {
+    "group_kfold": _ORACLE_KFOLD,
     "text_collocations": _ORACLE_COLLOC,
     "text_pii_redact": _ORACLE_PII,
     "weighted_sample": _ORACLE_WSAMPLE,

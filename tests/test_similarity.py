@@ -267,3 +267,23 @@ def test_random_projection_seeded_and_linear(spark):
     c = [(r.vec_id, r.r, r.proj)
          for r in embedding_random_projection(df, seed="other").collect()]
     assert a != c
+
+
+def test_coreset_picks_extremes_first(spark):
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.similarity import coreset_kcenter
+
+    # three tight clusters; greedy must visit all three clusters within
+    # the first three picks (farthest-point guarantees cluster coverage)
+    vecs = (
+        [(i, [0.0, 0.0]) for i in range(5)]
+        + [(10 + i, [1.0, 1.0]) for i in range(5)]
+        + [(20 + i, [-1.0, 1.0]) for i in range(5)]
+    )
+    rows = [Row(vec_id=i, embedding=v, label=0) for i, v in vecs]
+    out = coreset_kcenter(spark.createDataFrame(rows), k=3).collect()
+    clusters = {r.vec_id // 10 for r in out}
+    assert clusters == {0, 1, 2}
+    # radius sequence is non-increasing after the seed
+    d2s = [r.d2 for r in out][1:]
+    assert all(a >= b for a, b in zip(d2s, d2s[1:]))

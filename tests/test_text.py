@@ -233,3 +233,16 @@ def test_collocations_rank_fixed_phrase_first(spark):
     top = rows[0]
     assert top.bigram == "aa bb"
     assert top.c_ab == 20 and top.c_a == 20 and top.c_b == 20
+
+
+def test_group_kfold_is_entity_disjoint(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from admob_data_pipeline_spark.operators.text import KFOLD_K, group_kfold
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = group_kfold(docs).collect()
+    # every source maps to exactly one fold (fold is a function of source)
+    assert sum(r.n_sources for r in out) == docs.select("source").distinct().count()
+    assert sum(r.n_docs for r in out) == docs.count()
+    assert all(0 <= r.fold < KFOLD_K for r in out)
