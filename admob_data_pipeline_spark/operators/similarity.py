@@ -1821,7 +1821,17 @@ def coreset_kcenter(emb: DataFrame, k: int = CORESET_K) -> DataFrame:
                 "vec_id", F.least("dmin", "dn").alias("dmin")
             )
         state = state.localCheckpoint()
-        top = state.orderBy(F.desc("dmin"), F.asc("vec_id")).first()
+        # exclude already-selected centers: when every remaining point is
+        # at distance 0 (duplicate vectors), the bare argmax would
+        # re-select a center instead of a new exemplar
+        chosen = [p[1] for p in picks]
+        top = (
+            state.where(~F.col("vec_id").isin(chosen))
+            .orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .first()
+        )
+        if top is None:  # fewer distinct points than k
+            break
         picks.append((rank, top.vec_id, top.dmin))
         cur = top.vec_id
     return spark.createDataFrame(
@@ -1864,10 +1874,14 @@ nd{i} AS (
                 f"dist{i} AS (SELECT p.vec_id, LEAST(p.dmin, n.dn) AS dmin"
                 f" FROM dist{i - 1} p JOIN nd{i} n ON n.vec_id = p.vec_id)"
             )
+        prior = " UNION ALL ".join(
+            f"SELECT cid FROM c{j}" for j in range(1, i + 1)
+        )
         parts.append(
             "," + prev_dist + "\n" + dist + f""",
 c{i + 1} AS (
     SELECT vec_id AS cid, dmin FROM dist{i}
+    WHERE vec_id NOT IN ({prior})
     ORDER BY dmin DESC, vec_id LIMIT 1
 )"""
         )

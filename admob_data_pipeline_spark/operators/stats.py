@@ -419,9 +419,12 @@ def ewma_from_daily(daily: DataFrame, group_col: str = "event_type") -> DataFram
         F.lit(0),
     )
     t = t.withColumn("ewma_num", ewma_num.cast("long"))
+    # sign-split (playbook #26): vm < 0 (refund/chargeback days) must not
+    # reach integer division — Spark DIV truncates, DuckDB // floors
     ratio = F.expr(
-        f"CAST((vm * {EWMA_DEN} * 1000 DIV ewma_num) * 1000"
-        f"     + (vm * {EWMA_DEN} * 1000 % ewma_num) * 1000 DIV ewma_num"
+        f"CAST((CASE WHEN vm < 0 THEN -1 ELSE 1 END)"
+        f" * ((ABS(vm) * {EWMA_DEN} * 1000 DIV ewma_num) * 1000"
+        f"    + (ABS(vm) * {EWMA_DEN} * 1000 % ewma_num) * 1000 DIV ewma_num)"
         f" AS BIGINT)"
     )
     return (
@@ -470,8 +473,10 @@ e AS (
     FROM t WHERE l{EWMA_W} IS NOT NULL
 )
 SELECT g AS event_type, d, vm, ewma_num,
-       CAST((vm * {EWMA_DEN} * 1000 // ewma_num) * 1000
-            + (vm * {EWMA_DEN} * 1000 % ewma_num) * 1000 // ewma_num AS BIGINT)
+       CAST((CASE WHEN vm < 0 THEN -1 ELSE 1 END)
+            * ((ABS(vm) * {EWMA_DEN} * 1000 // ewma_num) * 1000
+               + (ABS(vm) * {EWMA_DEN} * 1000 % ewma_num) * 1000 // ewma_num)
+            AS BIGINT)
            AS ratio_ppm,
        CAST(CASE WHEN vm * {EWMA_DEN} > {SPIKE_X} * ewma_num
                  THEN 1 ELSE 0 END AS INTEGER) AS is_spike

@@ -1441,10 +1441,19 @@ def group_kfold(docs: DataFrame, k: int = KFOLD_K, seed: str = KFOLD_SEED) -> Da
 
     Scale: map-only fold tagging + one partial-agg rollup keyed by fold.
     """
+    # coalesce NULL sources explicitly: Spark's concat_ws silently DROPS
+    # null args while SQL || propagates null — without this the two
+    # engines would fold null-source docs differently
     fold = (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws("|", F.lit(seed), F.col("source"))), 1, 13
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(seed), F.coalesce(F.col("source"), F.lit(""))
+                    )
+                ),
+                1,
+                13,
             ),
             16,
             10,
@@ -1474,7 +1483,8 @@ def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_KFOLD = f"""
-SELECT CAST(CAST('0x' || substr(md5('{KFOLD_SEED}' || '|' || source), 1, 13)
+SELECT CAST(CAST('0x' || substr(md5('{KFOLD_SEED}' || '|'
+                                || COALESCE(source, '')), 1, 13)
             AS BIGINT) % {KFOLD_K} AS INT) AS fold,
        COUNT(*) AS n_docs,
        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,

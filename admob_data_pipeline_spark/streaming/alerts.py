@@ -587,13 +587,56 @@ ORDER BY user_id, session_start_epoch
 """
 
 
+def _additive_merge_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    table: str,
+    checkpoint: str,
+) -> None:
+    """Shared read-merge-overwrite foreachBatch sink for ADDITIVE
+    rollups: each micro-batch is partial-aggregated on ``keys`` (SUM
+    over ``sum_cols``), unioned with the persistent parquet state,
+    re-summed and overwritten. SUM-merge is associative, so the
+    accumulated state equals the from-scratch batch rollup regardless
+    of batch boundaries or arrival order — which is what lets the
+    streaming top-k / PSI / EWMA queries share their batch oracles
+    verbatim. State stays rollup-sized by each caller's contract; a
+    micro-batch shuffles only its own distinct keys."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        aggs = [F.sum(c).alias(c) for c in sum_cols]
+        partial = batch_df.groupBy(*keys).agg(*aggs)
+        if any(
+            f.name.endswith(".parquet") or f.name == "_SUCCESS"
+            for f in os.scandir(table)
+        ):
+            partial = partial.unionByName(sp.read.parquet(table))
+        merged = partial.groupBy(*keys).agg(*aggs)
+        rows = merged.collect()  # rollup-sized by caller contract
+        sp.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
+            table
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental top-k maintenance on a stream: each micro-batch's
     per-(app, user) counts MERGE additively into a persistent counts
-    table via foreachBatch (read-merge-overwrite, same idempotent sink
-    pattern as the KMV synopsis), and the final read ranks the top 3
-    users per app. Count merge is associative, so the streamed result is
-    oracle-checked EXACTLY against the from-scratch batch ranking.
+    table (shared ``_additive_merge_stream`` sink), and the final read
+    ranks the top 3 users per app. Count merge is associative, so the
+    streamed result is oracle-checked EXACTLY against the from-scratch
+    batch ranking.
 
     Scale: state is the (app, user, n) table — partial-aggregated per
     batch before the merge read, so a micro-batch shuffles only its own
@@ -601,38 +644,16 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    events = _event_stream(spark, sf_dir).select("event_type", "user_id")
+    events = _event_stream(spark, sf_dir).select(
+        "event_type", "user_id", F.lit(1).cast("long").alias("n")
+    )
     table = tempfile.mkdtemp(prefix="topk_table_")
     checkpoint = tempfile.mkdtemp(prefix="topk_ckpt_")
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sp = batch_df.sparkSession
-        partial = batch_df.groupBy("event_type", "user_id").agg(
-            F.count(F.lit(1)).alias("n")
-        )
-        if any(
-            f.name.endswith(".parquet") or f.name == "_SUCCESS"
-            for f in os.scandir(table)
-        ):
-            partial = partial.unionByName(sp.read.parquet(table))
-        merged = partial.groupBy("event_type", "user_id").agg(
-            F.sum("n").alias("n")
-        )
-        rows = merged.collect()  # state table: |apps × active users| rows
-        sp.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
-            table
-        )
-
     try:
-        q = (
-            events.writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
+        _additive_merge_stream(
+            events, ["event_type", "user_id"], ["n"], table, checkpoint
         )
-        q.awaitTermination()
         state = spark.read.parquet(table)
         w = Window.partitionBy("event_type").orderBy(F.desc("n"), "user_id")
         out = (
@@ -690,44 +711,19 @@ def q_streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     static = load_table(spark, sf_dir, "events")
     d0 = static.agg(F.min(F.col("ts").cast("date")).alias("d0")).collect()[0].d0
+    is_base = F.datediff(F.col("ts").cast("date"), F.lit(d0)) < PSI_BASE_DAYS
     events = _event_stream(spark, sf_dir).select(
         "event_type",
-        (F.datediff(F.col("ts").cast("date"), F.lit(d0)) < PSI_BASE_DAYS).alias(
-            "is_base"
-        ),
+        F.when(is_base, 1).otherwise(0).cast("long").alias("n_base"),
+        F.when(~is_base, 1).otherwise(0).cast("long").alias("n_cur"),
     )
     table = tempfile.mkdtemp(prefix="psi_table_")
     checkpoint = tempfile.mkdtemp(prefix="psi_ckpt_")
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sp = batch_df.sparkSession
-        partial = batch_df.groupBy("event_type").agg(
-            F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("n_base"),
-            F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).alias("n_cur"),
-        )
-        if any(
-            f.name.endswith(".parquet") or f.name == "_SUCCESS"
-            for f in os.scandir(table)
-        ):
-            partial = partial.unionByName(sp.read.parquet(table))
-        merged = partial.groupBy("event_type").agg(
-            F.sum("n_base").alias("n_base"), F.sum("n_cur").alias("n_cur")
-        )
-        rows = merged.collect()  # state table: |event types| rows
-        sp.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
-            table
-        )
-
     try:
-        q = (
-            events.writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
+        _additive_merge_stream(
+            events, ["event_type"], ["n_base", "n_cur"], table, checkpoint
         )
-        q.awaitTermination()
         out = psi_from_counts(spark.read.parquet(table))
         rows = out.collect()
     finally:
@@ -765,30 +761,8 @@ def q_streaming_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = tempfile.mkdtemp(prefix="ewma_table_")
     checkpoint = tempfile.mkdtemp(prefix="ewma_ckpt_")
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sp = batch_df.sparkSession
-        partial = batch_df.groupBy("g", "d").agg(F.sum("vm").alias("vm"))
-        if any(
-            f.name.endswith(".parquet") or f.name == "_SUCCESS"
-            for f in os.scandir(table)
-        ):
-            partial = partial.unionByName(sp.read.parquet(table))
-        merged = partial.groupBy("g", "d").agg(F.sum("vm").alias("vm"))
-        rows = merged.collect()  # state table: |types × days| rows
-        sp.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
-            table
-        )
-
     try:
-        q = (
-            events.writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _additive_merge_stream(events, ["g", "d"], ["vm"], table, checkpoint)
         out = ewma_from_daily(spark.read.parquet(table))
         rows = out.collect()
     finally:

@@ -287,3 +287,16 @@ def test_coreset_picks_extremes_first(spark):
     # radius sequence is non-increasing after the seed
     d2s = [r.d2 for r in out][1:]
     assert all(a >= b for a, b in zip(d2s, d2s[1:]))
+
+
+def test_coreset_never_reselects_a_center(spark):
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.similarity import coreset_kcenter
+
+    # all-identical vectors: every post-seed dmin is 0; picks must still
+    # be DISTINCT points, not the seed repeated
+    rows = [Row(vec_id=i, embedding=[0.5, 0.5], label=0) for i in range(4)]
+    out = coreset_kcenter(spark.createDataFrame(rows), k=3).collect()
+    ids = [r.vec_id for r in out]
+    assert len(ids) == len(set(ids)) == 3
+    assert all(r.d2 == 0 for r in out[1:])
