@@ -623,6 +623,222 @@ ORDER BY role, score2 DESC, node
 """
 
 
+# --- recommender evaluation (hit-rate@k) -------------------------------------
+
+REC_TRAIN_PCT = 80
+REC_K = 5
+REC_MIN_SUPPORT = 2
+
+
+def recsys_hitrate(
+    orders: DataFrame,
+    li: DataFrame,
+    train_pct: int = REC_TRAIN_PCT,
+    k: int = REC_K,
+    min_support: int = REC_MIN_SUPPORT,
+) -> DataFrame:
+    """End-to-end offline evaluation of the co-purchase recommender:
+    split orders temporally (first ``train_pct``% of the date range),
+    mine directed association rules on TRAIN only, recommend each
+    user's top-k unseen items (best rule confidence among rules whose
+    antecedent the user already bought), and score hit-rate@k against
+    the NEW items the user actually buys in TEST — the leakage-safe
+    protocol (rules never see test orders; items the user already owns
+    are excluded from both recommendations and targets).
+
+    Exactness: the split boundary is integer-microsecond arithmetic;
+    confidence is integer ppm; hit-rate is a two-stage ppm. Per-user
+    ranking windows are bounded by the user's candidate count.
+
+    Scale: rule mining is the basket-bounded self-join (shared shape
+    with association_rules); candidate generation joins each user's
+    train items against the rule table on the antecedent key — output
+    bounded by Σ user_items × avg rules per item; everything aggregates
+    with map-side partials.
+    """
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    bounds = orders.agg(F.min(us).alias("t0"), F.max(us).alias("t1")).select(
+        F.expr(f"t0 + (t1 - t0) * {train_pct} DIV 100").alias("tr_end")
+    )
+    tagged = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        us.alias("us"),
+    ).crossJoin(F.broadcast(bounds))
+    train_orders = tagged.where(F.col("us") <= F.col("tr_end"))
+    test_orders = tagged.where(F.col("us") > F.col("tr_end"))
+    items = li.select("l_orderkey", "l_partkey")
+    train_ui = (
+        train_orders.join(items, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
+        .distinct()
+        .localCheckpoint()
+    )
+    test_ui = (
+        test_orders.join(items, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    # targets: NEW items only (not already bought in train)
+    targets = test_ui.join(train_ui, ["u", "item"], "left_anti").localCheckpoint()
+    # directed rules mined on train baskets only
+    to = train_orders.select("o_orderkey")
+    lp = items.join(to, items.l_orderkey == to.o_orderkey, "left_semi").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("x"))
+    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("y"))
+    pair_supp = (
+        a.join(b, "ok")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.countDistinct("ok").alias("s_ab"))
+        .where(F.col("s_ab") >= min_support)
+    )
+    item_supp = lp.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("s")
+    )
+    directed = pair_supp.select(
+        F.col("x").alias("ante"), F.col("y").alias("cons"), "s_ab"
+    ).unionByName(
+        pair_supp.select(F.col("y").alias("ante"), F.col("x").alias("cons"), "s_ab")
+    )
+    rules = directed.join(
+        item_supp.select(F.col("l_partkey").alias("ante"), F.col("s").alias("s_a")),
+        "ante",
+    ).select(
+        "ante", "cons", F.expr("s_ab * 1000000 DIV s_a").alias("conf_ppm")
+    ).localCheckpoint()
+    # candidates: best-confidence rule per (user, unseen cons)
+    cand = (
+        train_ui.join(rules, train_ui.item == rules.ante)
+        .groupBy("u", "cons")
+        .agg(F.max("conf_ppm").alias("conf_ppm"))
+        .join(
+            train_ui.select("u", F.col("item").alias("cons")),
+            ["u", "cons"],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("conf_ppm"), F.asc("cons"))
+    recs = cand.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    # evaluation universe: users with >=1 train item AND >=1 new test item
+    eval_users = train_ui.select("u").distinct().join(
+        targets.select("u").distinct(), "u", "left_semi"
+    )
+    hits = (
+        recs.join(targets, [recs.u == targets.u, recs.cons == targets.item])
+        .select(recs.u)
+        .distinct()
+    )
+    stats = eval_users.agg(F.count(F.lit(1)).alias("n_users")).crossJoin(
+        F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return stats.select(
+        F.lit(k).cast("int").alias("k"),
+        F.col("n_users").cast("long").alias("n_users_eval"),
+        F.col("n_hit").cast("long").alias("n_hit_users"),
+        F.expr(
+            "CAST((n_hit * 1000 DIV n_users) * 1000"
+            "     + (n_hit * 1000 % n_users) * 1000 DIV n_users AS BIGINT)"
+        ).alias("hitrate_ppm"),
+    )
+
+
+def q_recsys_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recsys_hitrate(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+_ORACLE_RECSYS = f"""
+WITH b AS (
+    SELECT MIN(epoch_us(o_orderdate)) + (MAX(epoch_us(o_orderdate))
+               - MIN(epoch_us(o_orderdate))) * {REC_TRAIN_PCT} // 100 AS tr_end
+    FROM orders
+),
+tr_o AS (SELECT o_orderkey, o_custkey FROM orders, b
+         WHERE epoch_us(o_orderdate) <= tr_end),
+te_o AS (SELECT o_orderkey, o_custkey FROM orders, b
+         WHERE epoch_us(o_orderdate) > tr_end),
+train_ui AS (
+    SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+    FROM tr_o o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+test_ui AS (
+    SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+    FROM te_o o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+targets AS (
+    SELECT t.u, t.item FROM test_ui t
+    LEFT JOIN train_ui tr ON tr.u = t.u AND tr.item = t.item
+    WHERE tr.u IS NULL
+),
+lp AS (
+    SELECT DISTINCT l.l_orderkey, l.l_partkey
+    FROM lineitem l JOIN tr_o o ON o.o_orderkey = l.l_orderkey
+),
+pair_supp AS (
+    SELECT a.l_partkey AS x, c.l_partkey AS y,
+           CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS s_ab
+    FROM lp a JOIN lp c ON c.l_orderkey = a.l_orderkey
+    WHERE a.l_partkey < c.l_partkey
+    GROUP BY x, y
+    HAVING COUNT(DISTINCT a.l_orderkey) >= {REC_MIN_SUPPORT}
+),
+item_supp AS (
+    SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS s
+    FROM lp GROUP BY l_partkey
+),
+directed AS (
+    SELECT x AS ante, y AS cons, s_ab FROM pair_supp
+    UNION ALL
+    SELECT y AS ante, x AS cons, s_ab FROM pair_supp
+),
+rules AS (
+    SELECT d.ante, d.cons,
+           CAST(d.s_ab * 1000000 // i.s AS BIGINT) AS conf_ppm
+    FROM directed d JOIN item_supp i ON i.l_partkey = d.ante
+),
+cand0 AS (
+    SELECT t.u, r.cons, MAX(r.conf_ppm) AS conf_ppm
+    FROM train_ui t JOIN rules r ON r.ante = t.item
+    GROUP BY t.u, r.cons
+),
+cand AS (
+    SELECT c.u, c.cons, c.conf_ppm FROM cand0 c
+    LEFT JOIN train_ui tr ON tr.u = c.u AND tr.item = c.cons
+    WHERE tr.u IS NULL
+),
+recs AS (
+    SELECT u, cons FROM (
+        SELECT u, cons,
+               ROW_NUMBER() OVER (PARTITION BY u
+                                  ORDER BY conf_ppm DESC, cons) AS rk
+        FROM cand
+    ) WHERE rk <= {REC_K}
+),
+eval_users AS (
+    SELECT DISTINCT t.u FROM train_ui t
+    WHERE t.u IN (SELECT u FROM targets)
+),
+hits AS (
+    SELECT DISTINCT r.u FROM recs r
+    JOIN targets t ON t.u = r.u AND t.item = r.cons
+),
+stats AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM eval_users) AS n_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hit
+)
+SELECT CAST({REC_K} AS INT) AS k,
+       n_users AS n_users_eval, n_hit AS n_hit_users,
+       CAST((n_hit * 1000 // n_users) * 1000
+            + (n_hit * 1000 % n_users) * 1000 // n_users AS BIGINT)
+           AS hitrate_ppm
+FROM stats
+"""
+
+
 # --- k-core decomposition (fixed-round peeling) ------------------------------
 
 KCORE_K = 3
@@ -823,6 +1039,7 @@ QUERIES = {
     "graph_hits": q_graph_hits,
     "graph_kcore": q_graph_kcore,
     "negative_samples": q_negative_samples,
+    "recsys_hitrate": q_recsys_hitrate,
 }
 
 ORACLES = {
@@ -834,4 +1051,5 @@ ORACLES = {
     "graph_hits": _ORACLE_HITS,
     "graph_kcore": _ORACLE_KCORE,
     "negative_samples": _ORACLE_NEG,
+    "recsys_hitrate": _ORACLE_RECSYS,
 }

@@ -186,3 +186,40 @@ def test_negative_samples_exclude_positives_and_are_seeded(spark):
     other = [(r.user_id, r.slot, r.neg_item)
              for r in negative_samples(pos, items, k=4, seed="other").collect()]
     assert rows != other
+
+
+def test_recsys_hitrate_recovers_planted_pattern(spark):
+    import datetime
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.graph import recsys_hitrate
+
+    # train period: many users buy {1,2} together; test period: user buys
+    # 2 after having bought only 1 in train -> the rule 1->2 must hit.
+    orders, items = [], []
+    d0 = datetime.datetime(2024, 1, 1)
+    ok = 0
+    for u in range(10):  # co-purchase evidence in train
+        ok += 1
+        orders.append(Row(o_orderkey=ok, o_custkey=100 + u,
+                          o_orderstatus="F", o_totalprice=1.0,
+                          o_orderdate=d0, o_orderpriority="1-URGENT"))
+        items += [Row(l_orderkey=ok, l_partkey=1), Row(l_orderkey=ok, l_partkey=2)]
+    ok += 1  # eval user buys item 1 in train...
+    orders.append(Row(o_orderkey=ok, o_custkey=999, o_orderstatus="F",
+                      o_totalprice=1.0, o_orderdate=d0 + datetime.timedelta(days=1),
+                      o_orderpriority="1-URGENT"))
+    items.append(Row(l_orderkey=ok, l_partkey=1))
+    ok += 1  # ...and item 2 in the test period
+    orders.append(Row(o_orderkey=ok, o_custkey=999, o_orderstatus="F",
+                      o_totalprice=1.0, o_orderdate=d0 + datetime.timedelta(days=100),
+                      o_orderpriority="1-URGENT"))
+    items.append(Row(l_orderkey=ok, l_partkey=2))
+    li_cols = dict(l_suppkey=1, l_linenumber=1, l_quantity=1.0,
+                   l_extendedprice=1.0, l_discount=0.0, l_tax=0.0,
+                   l_returnflag="N", l_linestatus="O",
+                   l_shipdate=d0)
+    li = spark.createDataFrame([Row(**{**r.asDict(), **li_cols}) for r in items])
+    out = recsys_hitrate(spark.createDataFrame(orders), li).first()
+    assert out.n_users_eval == 1
+    assert out.n_hit_users == 1
+    assert out.hitrate_ppm == 1_000_000
