@@ -1110,6 +1110,261 @@ ORDER BY split
 """
 
 
+# --- day-of-week adjusted spikes ---------------------------------------------
+
+DOW_LOOKBACK = 4  # compare against the previous 4 same-weekday days
+
+
+def dow_adjusted_spikes(
+    ev: DataFrame, group_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Seasonally-honest spike detection: each day is compared to the
+    average of the previous ``DOW_LOOKBACK`` SAME-WEEKDAY days — the
+    correction that stops every Monday from alerting on a weekday/weekend
+    cycle (the plain EWMA detector has no notion of weekly seasonality).
+
+    Division-free flag: vm·L > 2·Σ(last L same-dow) ⟺ day > 2× its
+    same-weekday baseline; the ratio is emitted as a sign-split two-stage
+    ppm. Weekday numbering is pinned to Monday=0 on BOTH engines (Spark
+    ``weekday()``, DuckDB ``isodow − 1`` — their default dayofweek
+    functions disagree on Sunday).
+
+    Scale: (group, day) rollup first; lags run per (group, weekday)
+    partition — calendar-bounded.
+    """
+    daily = ev.groupBy(
+        F.col(group_col).alias("g"), F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(_vm(value_col)).alias("vm"))
+    w = Window.partitionBy("g", "dow").orderBy("d")
+    lags = [F.lag("vm", i).over(w).alias(f"l{i}") for i in range(1, DOW_LOOKBACK + 1)]
+    t = daily.withColumn("dow", F.weekday("d")).select(
+        "g", "d", "dow", "vm", *lags
+    ).where(F.col(f"l{DOW_LOOKBACK}").isNotNull())
+    base = sum(
+        (F.col(f"l{i}") for i in range(2, DOW_LOOKBACK + 1)),
+        F.col("l1"),
+    )
+    t = t.withColumn("base_sum", base.cast("long")).where(F.col("base_sum") > 0)
+    ratio = F.expr(
+        f"CAST((CASE WHEN vm < 0 THEN -1 ELSE 1 END)"
+        f" * ((ABS(vm) * {DOW_LOOKBACK} * 1000 DIV base_sum) * 1000"
+        f"    + (ABS(vm) * {DOW_LOOKBACK} * 1000 % base_sum) * 1000 DIV base_sum)"
+        f" AS BIGINT)"
+    )
+    return t.select(
+        F.col("g").alias(group_col),
+        "d",
+        F.col("dow").cast("int").alias("dow"),
+        "vm",
+        "base_sum",
+        ratio.alias("ratio_ppm"),
+        F.when(F.col("vm") * DOW_LOOKBACK > 2 * F.col("base_sum"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_spike"),
+    ).orderBy(group_col, "d")
+
+
+def q_dow_adjusted_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dow_adjusted_spikes(load_table(spark, sf_dir, "events"))
+
+
+_DOW_LAGS = ",\n           ".join(
+    f"LAG(vm, {i}) OVER (PARTITION BY g, dow ORDER BY d) AS l{i}"
+    for i in range(1, DOW_LOOKBACK + 1)
+)
+_DOW_BASE = " + ".join(f"l{i}" for i in range(1, DOW_LOOKBACK + 1))
+
+_ORACLE_DOW_SPIKES = f"""
+WITH daily AS (
+    SELECT event_type AS g, CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(FLOOR(value * {VALUE_SCALE}) AS BIGINT)) AS BIGINT) AS vm
+    FROM events GROUP BY g, d
+),
+t AS (
+    SELECT g, d, isodow(d) - 1 AS dow, vm,
+           {_DOW_LAGS}
+    FROM (SELECT g, d, vm, isodow(d) - 1 AS dow FROM daily)
+),
+e AS (
+    SELECT g, d, dow, vm, CAST({_DOW_BASE} AS BIGINT) AS base_sum
+    FROM t WHERE l{DOW_LOOKBACK} IS NOT NULL
+)
+SELECT g AS event_type, d, CAST(dow AS INT) AS dow, vm, base_sum,
+       CAST((CASE WHEN vm < 0 THEN -1 ELSE 1 END)
+            * ((ABS(vm) * {DOW_LOOKBACK} * 1000 // base_sum) * 1000
+               + (ABS(vm) * {DOW_LOOKBACK} * 1000 % base_sum) * 1000
+                 // base_sum) AS BIGINT) AS ratio_ppm,
+       CAST(CASE WHEN vm * {DOW_LOOKBACK} > 2 * base_sum THEN 1 ELSE 0 END
+            AS INTEGER) AS is_spike
+FROM e
+WHERE base_sum > 0
+ORDER BY event_type, d
+"""
+
+
+# --- cross-series correlation matrix -----------------------------------------
+
+
+def series_correlation(ev: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Pearson correlation between every pair of daily event-count
+    series — the co-movement matrix behind metric-dependency discovery
+    ("errors spike with purchases") and redundancy pruning of monitoring
+    dashboards.
+
+    Determinism: all five moments are exact BIGINT over the inner-joined
+    day domain; r = num/√(dx·dy) evaluates √dx·√dy as two
+    correctly-rounded IEEE sqrts and one product — identical expression
+    text on both engines — and the floor-scaled e6 result orders pairs
+    stably. |num|·1e6 must stay under 2^53 for exact floor-scaling
+    (daily counts to ~3e4 over a decade of days); past that, DECIMAL
+    moments — shape unchanged.
+
+    Scale: the fact table collapses to (group, day) counts once; the
+    pair join is rollup×rollup on the day key (|groups|² × days rows),
+    constant-bounded.
+    """
+    daily = ev.groupBy(
+        F.col(group_col).alias("g"), F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x")).localCheckpoint()
+    a = daily.select(F.col("g").alias("ga"), "d", F.col("x").alias("xa"))
+    b = daily.select(F.col("g").alias("gb"), "d", F.col("x").alias("xb"))
+    j = a.join(b, "d").where(F.col("ga") < F.col("gb"))
+    mom = j.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+    )
+    nd = mom.select(
+        "ga",
+        "gb",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
+    ).where((F.col("dx") > 0) & (F.col("dy") > 0))
+    r = F.expr(
+        "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+        " * FLOOR(ABS(num) * 1000000 / (SQRT(dx) * SQRT(dy))) AS BIGINT)"
+    )
+    return nd.select(
+        "ga", "gb", F.col("n").cast("long").alias("n_days"), r.alias("r_e6")
+    ).orderBy("ga", "gb")
+
+
+def q_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return series_correlation(load_table(spark, sf_dir, "events"))
+
+
+_ORACLE_SERIES_CORR = """
+WITH daily AS (
+    SELECT event_type AS g, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY g, d
+),
+j AS (
+    SELECT a.g AS ga, b.g AS gb, a.x AS xa, b.x AS xb
+    FROM daily a JOIN daily b ON b.d = a.d AND a.g < b.g
+),
+mom AS (
+    SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+           CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+           CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+           CAST(SUM(xb * xb) AS BIGINT) AS syy
+    FROM j GROUP BY ga, gb
+),
+nd AS (
+    SELECT ga, gb, n,
+           n * sxy - sx * sy AS num,
+           n * sxx - sx * sx AS dx,
+           n * syy - sy * sy AS dy
+    FROM mom
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+)
+SELECT ga, gb, n AS n_days,
+       CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+            * FLOOR(ABS(num) * 1000000 / (SQRT(dx) * SQRT(dy))) AS BIGINT)
+           AS r_e6
+FROM nd
+ORDER BY ga, gb
+"""
+
+
+# --- lag feature table --------------------------------------------------------
+
+
+def lag_features(
+    ev: DataFrame, group_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Supervised-learning feature table over the daily revenue series:
+    per (group, day) the canonical autoregressive features — lag-1,
+    lag-7, day-over-day diff, and week-over-week change in sign-split
+    integer ppm — the deterministic feature-engineering step a
+    forecasting pipeline materializes before training. Only days with a
+    full 7-day history qualify (partial-history rows would silently mix
+    feature semantics).
+
+    Scale: one (group, day) rollup; the lag window runs per group over
+    calendar-bounded partitions. All arithmetic is BIGINT.
+    """
+    daily = ev.groupBy(
+        F.col(group_col).alias("g"), F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(_vm(value_col)).alias("vm"))
+    w = Window.partitionBy("g").orderBy("d")
+    t = daily.select(
+        "g",
+        "d",
+        "vm",
+        F.lag("vm", 1).over(w).alias("lag1"),
+        F.lag("vm", 7).over(w).alias("lag7"),
+    ).where(F.col("lag7").isNotNull() & (F.col("lag7") > 0))
+    t = t.withColumn("num", F.col("vm") - F.col("lag7")).withColumn(
+        "den", F.col("lag7")
+    )
+    return t.select(
+        F.col("g").alias(group_col),
+        "d",
+        "vm",
+        "lag1",
+        "lag7",
+        (F.col("vm") - F.col("lag1")).cast("long").alias("diff1"),
+        _signed_ppm_expr().alias("wow_ppm"),
+    ).orderBy(group_col, "d")
+
+
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lag_features(load_table(spark, sf_dir, "events"))
+
+
+_ORACLE_LAG_FEATURES = f"""
+WITH daily AS (
+    SELECT event_type AS g, CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(FLOOR(value * {VALUE_SCALE}) AS BIGINT)) AS BIGINT) AS vm
+    FROM events GROUP BY g, d
+),
+t AS (
+    SELECT g, d, vm,
+           LAG(vm, 1) OVER (PARTITION BY g ORDER BY d) AS lag1,
+           LAG(vm, 7) OVER (PARTITION BY g ORDER BY d) AS lag7
+    FROM daily
+),
+e AS (
+    SELECT g, d, vm, lag1, lag7, vm - lag7 AS num, lag7 AS den
+    FROM t WHERE lag7 IS NOT NULL AND lag7 > 0
+)
+SELECT g AS event_type, d, vm, lag1, lag7,
+       CAST(vm - lag1 AS BIGINT) AS diff1,
+       CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+            * ((ABS(num) * 1000 // den) * 1000
+               + (ABS(num) * 1000 % den) * 1000 // den) AS BIGINT) AS wow_ppm
+FROM e
+ORDER BY event_type, d
+"""
+
+
 QUERIES = {
     "ols_trend": q_ols_trend,
     "mad_outliers": q_mad_outliers,
@@ -1120,6 +1375,9 @@ QUERIES = {
     "survival_km": q_survival_km,
     "sequence_patterns": q_sequence_patterns,
     "temporal_split": q_temporal_split,
+    "dow_adjusted_spikes": q_dow_adjusted_spikes,
+    "series_correlation": q_series_correlation,
+    "lag_features": q_lag_features,
 }
 
 ORACLES = {
@@ -1132,4 +1390,7 @@ ORACLES = {
     "survival_km": _ORACLE_KM,
     "sequence_patterns": _ORACLE_SEQ,
     "temporal_split": _ORACLE_TSPLIT,
+    "dow_adjusted_spikes": _ORACLE_DOW_SPIKES,
+    "series_correlation": _ORACLE_SERIES_CORR,
+    "lag_features": _ORACLE_LAG_FEATURES,
 }

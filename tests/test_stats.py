@@ -187,3 +187,49 @@ def test_temporal_split_order_and_no_future_leak(spark):
     # ~70/5/25 row split of 100 days
     assert 60 <= out["train"].n_rows <= 80
     assert out["embargo"].n_rows <= 10
+
+
+def test_dow_spikes_weekly_pattern_not_flagged(spark):
+    from admob_data_pipeline_spark.operators.stats import dow_adjusted_spikes
+
+    # strong weekly cycle (weekend 10x weekday) repeated verbatim: no day
+    # deviates from its same-weekday baseline -> zero spikes
+    rows = []
+    for d in range(42):
+        v = 100.0 if d % 7 in (5, 6) else 10.0
+        rows.append(_ev(d, "wk", v))
+    out = dow_adjusted_spikes(spark.createDataFrame(rows)).collect()
+    assert len(out) > 0
+    assert all(r.is_spike == 0 for r in out)
+    # inject one 5x day -> exactly that day flags
+    rows.append(_ev(42, "wk", 50.0))  # day 42 is weekday (42%7==0), base 10
+    out2 = dow_adjusted_spikes(spark.createDataFrame(rows)).collect()
+    spikes = [r for r in out2 if r.is_spike == 1]
+    assert len(spikes) == 1 and spikes[0].ratio_ppm == 5_000_000
+
+
+def test_series_correlation_perfect_and_anti(spark):
+    from admob_data_pipeline_spark.operators.stats import series_correlation
+
+    rows = []
+    for d in range(10):
+        n = d + 1
+        rows += [_ev(d, "a", 1.0, uid=u) for u in range(n)]
+        rows += [_ev(d, "b", 1.0, uid=u) for u in range(n)]          # = a
+        rows += [_ev(d, "c", 1.0, uid=u) for u in range(11 - n)]     # anti
+    out = {(r.ga, r.gb): r.r_e6 for r in series_correlation(spark.createDataFrame(rows)).collect()}
+    assert out[("a", "b")] in (999_999, 1_000_000)
+    assert out[("a", "c")] in (-999_999, -1_000_000)
+
+
+def test_lag_features_values(spark):
+    from admob_data_pipeline_spark.operators.stats import lag_features
+
+    rows = [_ev(d, "x", float(10 + d)) for d in range(10)]
+    out = lag_features(spark.createDataFrame(rows)).collect()
+    # first qualifying day is day 7: vm=17000, lag1=16000, lag7=10000
+    first = out[0]
+    assert (first.vm, first.lag1, first.lag7, first.diff1) == (
+        17000, 16000, 10000, 1000
+    )
+    assert first.wow_ppm == 700_000  # (17000-10000)/10000
