@@ -1365,6 +1365,241 @@ ORDER BY event_type, d
 """
 
 
+# --- Pareto frontier (2D skyline) --------------------------------------------
+
+
+def pareto_frontier(part: DataFrame) -> DataFrame:
+    """2-objective skyline over the part catalog: parts not strictly
+    dominated on (minimize price, maximize size) — the multi-objective
+    shortlist query ("no cheaper part is at least as large"). A part is
+    dominated iff some part has (price <, size ≥) or (price ≤, size >);
+    equal-on-both pairs do not dominate each other, so exact duplicates
+    both survive.
+
+    The O(n²) dominance test collapses to two RANGE-frame window maxima
+    over the price ordering (strictly-cheaper max-size, and
+    cheaper-or-equal max-size) — integer cents ordering so the range
+    frame is exact on both engines.
+
+    Scale: one dimension-bounded window pass (part is a catalog, not the
+    fact stream); at a billion-row catalog the same algebra runs per
+    price-band partition with a band-boundary fix-up pass.
+    """
+    p = part.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w_lt = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_le = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    t = p.select(
+        "p_partkey",
+        "price_cents",
+        "size",
+        F.max("size").over(w_lt).alias("max_sz_lt"),
+        F.max("size").over(w_le).alias("max_sz_le"),
+    )
+    dominated = (
+        (F.col("max_sz_lt").isNotNull() & (F.col("max_sz_lt") >= F.col("size")))
+        | (F.col("max_sz_le") > F.col("size"))
+    )
+    return (
+        t.where(~dominated)
+        .select("p_partkey", "price_cents", "size")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pareto_frontier(load_table(spark, sf_dir, "part"))
+
+
+_ORACLE_PARETO = """
+WITH p AS (
+    SELECT p_partkey,
+           CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_cents,
+           CAST(p_size AS BIGINT) AS size
+    FROM part
+),
+t AS (
+    SELECT p_partkey, price_cents, size,
+           MAX(size) OVER (ORDER BY price_cents
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_sz_lt,
+           MAX(size) OVER (ORDER BY price_cents
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS max_sz_le
+    FROM p
+)
+SELECT p_partkey, price_cents, size
+FROM t
+WHERE NOT ((max_sz_lt IS NOT NULL AND max_sz_lt >= size)
+           OR max_sz_le > size)
+ORDER BY price_cents, p_partkey
+"""
+
+
+# --- churn labeling -----------------------------------------------------------
+
+CHURN_QUIET_PCT = 25  # inactive through the final 25% of the window = churned
+
+
+def churn_labels(ev: DataFrame, quiet_pct: int = CHURN_QUIET_PCT) -> DataFrame:
+    """Churn label + feature rollup per user: a user is labeled churned
+    when their LAST event precedes the final ``quiet_pct``% of the
+    observation window — the deterministic labeling pass that turns the
+    event log into a supervised training table (features: activity count,
+    active days, value sum, tenure and recency in days). Boundary
+    arithmetic is integer microseconds, consistent with temporal_split.
+
+    Scale: one per-user aggregation over the fact scan (partial-agg);
+    the boundary is a 1-row broadcast.
+    """
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(F.min(us).alias("t0"), F.max(us).alias("t1")).select(
+        "t0",
+        "t1",
+        F.expr(f"t1 - (t1 - t0) * {quiet_pct} DIV 100").alias("quiet_start"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_active_days"),
+        F.sum(_vm()).alias("value_milli"),
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_active_days").cast("long").alias("n_active_days"),
+            F.col("value_milli").cast("long").alias("value_milli"),
+            F.expr("(last_us - first_us) DIV 86400000000").cast("long").alias(
+                "tenure_days"
+            ),
+            F.expr("(t1 - last_us) DIV 86400000000").cast("long").alias(
+                "recency_days"
+            ),
+            F.when(F.col("last_us") < F.col("quiet_start"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("churned"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return churn_labels(load_table(spark, sf_dir, "events"))
+
+
+_ORACLE_CHURN = f"""
+WITH b AS (
+    SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1,
+           MAX(epoch_us(ts)) - (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
+               * {CHURN_QUIET_PCT} // 100 AS quiet_start
+    FROM events
+),
+per_user AS (
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+           CAST(SUM(CAST(FLOOR(value * {VALUE_SCALE}) AS BIGINT)) AS BIGINT)
+               AS value_milli,
+           MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+    FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, n_active_days, value_milli,
+       CAST((last_us - first_us) // 86400000000 AS BIGINT) AS tenure_days,
+       CAST((t1 - last_us) // 86400000000 AS BIGINT) AS recency_days,
+       CAST(CASE WHEN last_us < quiet_start THEN 1 ELSE 0 END AS INTEGER)
+           AS churned
+FROM per_user, b
+ORDER BY user_id
+"""
+
+
+# --- A/B assignment + sample-ratio-mismatch check -----------------------------
+
+AB_SEED = "ab-seed-1"
+AB_ARMS = 2
+SRM_SCALE = 1_000_000
+
+
+def ab_assignment_srm(ev: DataFrame, seed: str = AB_SEED, arms: int = AB_ARMS) -> DataFrame:
+    """Deterministic experiment assignment + sample-ratio-mismatch audit:
+    users hash into ``arms`` buckets (md5(seed|user) mod arms — stable
+    across engines/runs/sessions, the property a real assignment service
+    must have), and the per-arm census is scored with the SRM chi-square
+    statistic Σ (O−E)²/E against the uniform expectation — the first
+    check any experiment readout runs. Chi-square terms are floor-scaled
+    e6 integers over exact integer O and cross-multiplied E = n/arms
+    handled as (arms·O − n)²/(arms·n) to stay division-free until the
+    final scaling.
+
+    Scale: map-only assignment + an |arms|-row rollup.
+    """
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.lit(seed), F.col("user_id").cast("string"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % arms
+    )
+    users = ev.select("user_id").distinct().select("user_id", arm.alias("arm"))
+    per_arm = users.groupBy("arm").agg(F.count(F.lit(1)).alias("o"))
+    tot = per_arm.agg(F.sum("o").alias("n"))
+    # (O - n/arms)^2 / (n/arms) = (arms*O - n)^2 / (arms*n)
+    j = per_arm.crossJoin(F.broadcast(tot))
+    dev = arms * F.col("o") - F.col("n")
+    term = F.floor(dev * dev * SRM_SCALE / (arms * F.col("n"))).cast("long")
+    return (
+        j.select(
+            F.col("arm").cast("int").alias("arm"),
+            F.col("o").cast("long").alias("n_users"),
+            term.alias("srm_term_e6"),
+        )
+        .orderBy("arm")
+    )
+
+
+def q_ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ab_assignment_srm(load_table(spark, sf_dir, "events"))
+
+
+_ORACLE_AB_SRM = f"""
+WITH users AS (
+    SELECT DISTINCT user_id,
+           CAST('0x' || substr(md5('{AB_SEED}' || '|'
+                                   || CAST(user_id AS VARCHAR)), 1, 13)
+                AS BIGINT) % {AB_ARMS} AS arm
+    FROM events
+),
+per_arm AS (
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS o FROM users GROUP BY arm
+),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM per_arm)
+SELECT CAST(arm AS INT) AS arm, o AS n_users,
+       CAST(FLOOR(CAST(({AB_ARMS} * o - n) * ({AB_ARMS} * o - n) AS DOUBLE)
+                  * {SRM_SCALE} / ({AB_ARMS} * n)) AS BIGINT) AS srm_term_e6
+FROM per_arm, tot
+ORDER BY arm
+"""
+
+
 QUERIES = {
     "ols_trend": q_ols_trend,
     "mad_outliers": q_mad_outliers,
@@ -1378,6 +1613,9 @@ QUERIES = {
     "dow_adjusted_spikes": q_dow_adjusted_spikes,
     "series_correlation": q_series_correlation,
     "lag_features": q_lag_features,
+    "pareto_frontier": q_pareto_frontier,
+    "churn_labels": q_churn_labels,
+    "ab_assignment_srm": q_ab_assignment_srm,
 }
 
 ORACLES = {
@@ -1393,4 +1631,7 @@ ORACLES = {
     "dow_adjusted_spikes": _ORACLE_DOW_SPIKES,
     "series_correlation": _ORACLE_SERIES_CORR,
     "lag_features": _ORACLE_LAG_FEATURES,
+    "pareto_frontier": _ORACLE_PARETO,
+    "churn_labels": _ORACLE_CHURN,
+    "ab_assignment_srm": _ORACLE_AB_SRM,
 }

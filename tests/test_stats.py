@@ -233,3 +233,52 @@ def test_lag_features_values(spark):
         17000, 16000, 10000, 1000
     )
     assert first.wow_ppm == 700_000  # (17000-10000)/10000
+
+
+def test_pareto_frontier_brute_force_equivalence(spark):
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.stats import pareto_frontier
+
+    import itertools, random
+    rng = random.Random(7)
+    parts = [Row(p_partkey=i, p_name="", p_brand="", p_type="",
+                 p_size=rng.randint(1, 20),
+                 p_retailprice=float(rng.randint(100, 999)) / 10)
+             for i in range(60)]
+    got = {r.p_partkey for r in pareto_frontier(spark.createDataFrame(parts)).collect()}
+    pts = {p.p_partkey: (int(p.p_retailprice * 100), p.p_size) for p in parts}
+    def dominated(k):
+        pk, sk = pts[k]
+        return any((p < pk and s >= sk) or (p <= pk and s > sk)
+                   for o, (p, s) in pts.items() if o != k)
+    want = {k for k in pts if not dominated(k)}
+    assert got == want
+
+
+def test_churn_labels_flags_inactive_users(spark):
+    from admob_data_pipeline_spark.operators.stats import churn_labels
+
+    # user 1 active across the window; user 2 silent after day 10 of 100
+    rows = [_ev(d, "t", 1.0, uid=1) for d in range(0, 100, 5)]
+    rows += [_ev(d, "t", 1.0, uid=2) for d in range(0, 11, 5)]
+    out = {r.user_id: r for r in churn_labels(spark.createDataFrame(rows)).collect()}
+    assert out[1].churned == 0
+    assert out[2].churned == 1
+    assert out[2].recency_days >= 80
+
+
+def test_ab_assignment_balanced_and_deterministic(spark):
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.stats import ab_assignment_srm
+    import datetime
+
+    rows = [Row(event_id=i, ts=datetime.datetime(2024, 1, 1), user_id=i,
+                event_type="x", value=1.0, props="{}") for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    a = [(r.arm, r.n_users, r.srm_term_e6) for r in ab_assignment_srm(df).collect()]
+    b = [(r.arm, r.n_users, r.srm_term_e6) for r in ab_assignment_srm(df).collect()]
+    assert a == b and len(a) == 2
+    assert sum(n for _, n, _ in a) == 2000
+    # hash balance: chi-square total for 1 dof should be far below 10.83
+    # (p=0.001) for a uniform hash on 2000 users
+    assert sum(t for _, _, t in a) < int(10.83 * 1_000_000)
