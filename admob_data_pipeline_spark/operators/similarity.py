@@ -1755,6 +1755,179 @@ ORDER BY i, j
 """
 
 
+# --- integer-domain Lloyd's k-means ------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+KMEANS_SCALE = 10_000
+
+
+def kmeans_lloyd(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Distributed Lloyd's k-means run ENTIRELY in integer arithmetic:
+    elements floor-scale to e4 ints, distances are exact BIGINT squared
+    L2, assignment is argmin with (dist, cid) tie-break, and the
+    centroid update is a truncated integer mean (sign·(|Σ| DIV n) —
+    truncation written explicitly on both engines because Spark DIV
+    truncates negatives while DuckDB // floors). Float k-means is
+    run-to-run nondeterministic on a cluster (order-sensitive float
+    sums); this integer rendition is bit-exact under any partitioning —
+    the same discipline as the PageRank kernel, applied to the ML
+    pipeline's canonical clusterer. Seeds = the k smallest vec_ids;
+    emits per-cluster size and inertia after ``iters`` update rounds.
+
+    Scale: each round is one broadcast join against the k·D centroid
+    table + two partial-agg groupBys, lineage checkpointed per round;
+    nothing ever shuffles the vector corpus by anything but its own id.
+    (MLlib KMeans remains the trained-float path used by ann_ivf_topk;
+    this operator is the deterministic, oracle-checkable form.)
+    """
+    d = (
+        widen_if_narrow(emb)
+        .select(
+            "vec_id",
+            F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+        )
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("i"),
+            F.floor(F.col("x") * KMEANS_SCALE).cast("long").alias("xs"),
+        )
+        .localCheckpoint()
+    )
+    seed_ids = [
+        r.vec_id
+        for r in d.select("vec_id").distinct().orderBy("vec_id").limit(k).collect()
+    ]
+    cent = (
+        d.where(F.col("vec_id").isin(seed_ids))
+        .select(F.col("vec_id").alias("cid"), "i", F.col("xs").alias("cs"))
+        .localCheckpoint()
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        dist = (
+            d.join(F.broadcast(centroids), "i")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("xs") - F.col("cs")) * (F.col("xs") - F.col("cs"))
+                ).alias("dist")
+            )
+        )
+        return dist.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cid")).alias("m")
+        ).select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+
+    for _ in range(iters):
+        a = assign(cent)
+        cent = (
+            d.join(a.select("vec_id", "cid"), "vec_id")
+            .groupBy("cid", "i")
+            .agg(F.sum("xs").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cid",
+                "i",
+                F.expr(
+                    "CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)"
+                    " * (ABS(s) DIV n) AS BIGINT)"
+                ).alias("cs"),
+            )
+            .localCheckpoint()
+        )
+    final = assign(cent)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("inertia"),
+        )
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("inertia").cast("long").alias("inertia"),
+        )
+        .orderBy("cid")
+    )
+
+
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    head = f"""
+WITH p AS (
+    SELECT vec_id,
+           [{{'dim': i, 'x': CAST(embedding[i] AS DOUBLE)}}
+            FOR i IN generate_series(1, len(embedding))] AS pairs
+    FROM embeddings
+),
+d AS (
+    SELECT vec_id, dim AS i, CAST(FLOOR(x * {KMEANS_SCALE}) AS BIGINT) AS xs
+    FROM (SELECT vec_id, unnest(pairs, recursive := true) FROM p)
+),
+c0 AS (
+    SELECT vec_id AS cid, i, xs AS cs FROM d
+    WHERE vec_id IN (SELECT vec_id FROM (
+        SELECT DISTINCT vec_id FROM d ORDER BY vec_id LIMIT {k}))
+)"""
+    parts = [head]
+    for r in range(1, iters + 1):
+        parts.append(
+            f""",
+dist{r} AS (
+    SELECT d.vec_id, c.cid,
+           CAST(SUM((d.xs - c.cs) * (d.xs - c.cs)) AS BIGINT) AS dist
+    FROM d JOIN c{r - 1} c ON c.i = d.i
+    GROUP BY d.vec_id, c.cid
+),
+a{r} AS (
+    SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM dist{r}
+    ) WHERE rn = 1
+),
+c{r} AS (
+    SELECT a.cid, d.i,
+           CAST((CASE WHEN SUM(d.xs) < 0 THEN -1 ELSE 1 END)
+                * (ABS(SUM(d.xs)) // COUNT(*)) AS BIGINT) AS cs
+    FROM d JOIN a{r} a ON a.vec_id = d.vec_id
+    GROUP BY a.cid, d.i
+)"""
+        )
+    parts.append(
+        f""",
+distF AS (
+    SELECT d.vec_id, c.cid,
+           CAST(SUM((d.xs - c.cs) * (d.xs - c.cs)) AS BIGINT) AS dist
+    FROM d JOIN c{iters} c ON c.i = d.i
+    GROUP BY d.vec_id, c.cid
+),
+aF AS (
+    SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM distF
+    ) WHERE rn = 1
+)
+SELECT CAST(cid AS BIGINT) AS cid, COUNT(*) AS n_members,
+       CAST(SUM(dist) AS BIGINT) AS inertia
+FROM aF
+GROUP BY cid
+ORDER BY cid
+"""
+    )
+    return "".join(parts)
+
+
+_ORACLE_KMEANS = _kmeans_oracle()
+
+
 # --- k-center coreset selection ----------------------------------------------
 
 CORESET_K = 5
@@ -2102,6 +2275,7 @@ ORDER BY d.vec_id, d.dim
 
 
 QUERIES = {
+    "kmeans_lloyd": q_kmeans_lloyd,
     "coreset_kcenter": q_coreset_kcenter,
     "embedding_random_projection": q_embedding_random_projection,
     "embedding_covariance": q_embedding_covariance,
@@ -2125,6 +2299,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kmeans_lloyd": _ORACLE_KMEANS,
     "coreset_kcenter": _ORACLE_CORESET,
     "embedding_random_projection": _ORACLE_RP,
     "embedding_covariance": _ORACLE_COV,

@@ -1365,6 +1365,94 @@ ORDER BY event_type, d
 """
 
 
+# --- exact daily quantiles ----------------------------------------------------
+
+
+def daily_quantiles(
+    ev: DataFrame, group_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Exact per-(group, day) P50/P90 of the event value — the daily
+    latency/value-band fact a monitoring dashboard plots, computed as
+    true order statistics (the approx-percentile path is audited
+    separately in approx_quantile_audit; this is the exact daily fact).
+
+    med2 is the ×2-integer median (sum of the two middle order
+    statistics); p90 is the value at rank ⌈0.9·n⌉ — integers end to
+    end, no interpolation, engine-exact.
+
+    Scale: the ordering window runs over DISTINCT values per (group,
+    day) cell (playbook #27) with cumulative counts locating the target
+    ranks — never a per-row sort of the fact stream.
+    """
+    v = ev.select(
+        F.col(group_col).alias("g"),
+        F.col("ts").cast("date").alias("d"),
+        _vm(value_col).alias("vm"),
+    )
+    cnt = v.groupBy("g", "d", "vm").agg(F.count(F.lit(1)).alias("m"))
+    w_prev = (
+        Window.partitionBy("g", "d")
+        .orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("g", "d")
+    ranked = cnt.select(
+        "g",
+        "d",
+        "vm",
+        "m",
+        F.coalesce(F.sum("m").over(w_prev), F.lit(0)).alias("cum_prev"),
+        F.sum("m").over(w_all).alias("n"),
+    )
+    lo = F.expr("(n + 1) DIV 2")
+    hi = F.expr("n DIV 2 + 1")
+    p90r = F.expr("(9 * n + 9) DIV 10")
+    in_row = lambda r: (F.col("cum_prev") < r) & (r <= F.col("cum_prev") + F.col("m"))  # noqa: E731
+    return (
+        ranked.groupBy("g", "d")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            (
+                F.max(F.when(in_row(lo), F.col("vm")))
+                + F.max(F.when(in_row(hi), F.col("vm")))
+            ).cast("long").alias("med2"),
+            F.max(F.when(in_row(p90r), F.col("vm"))).cast("long").alias("p90"),
+        )
+        .select(
+            F.col("g").alias(group_col), "d", "n_rows", "med2", "p90"
+        )
+        .orderBy(group_col, "d")
+    )
+
+
+def q_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_quantiles(load_table(spark, sf_dir, "events"))
+
+
+_ORACLE_DAILY_Q = f"""
+WITH v AS (
+    SELECT event_type AS g, CAST(ts AS DATE) AS d,
+           CAST(FLOOR(value * {VALUE_SCALE}) AS BIGINT) AS vm
+    FROM events
+),
+r AS (
+    SELECT g, d, vm,
+           ROW_NUMBER() OVER (PARTITION BY g, d ORDER BY vm) AS rn,
+           COUNT(*) OVER (PARTITION BY g, d) AS n
+    FROM v
+)
+SELECT g AS event_type, d, CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN vm ELSE 0 END)
+            + SUM(CASE WHEN rn = n // 2 + 1 THEN vm ELSE 0 END) AS BIGINT)
+           AS med2,
+       CAST(SUM(CASE WHEN rn = (9 * n + 9) // 10 THEN vm ELSE 0 END) AS BIGINT)
+           AS p90
+FROM r
+GROUP BY g, d
+ORDER BY event_type, d
+"""
+
+
 # --- Pareto frontier (2D skyline) --------------------------------------------
 
 
@@ -1616,6 +1704,7 @@ QUERIES = {
     "pareto_frontier": q_pareto_frontier,
     "churn_labels": q_churn_labels,
     "ab_assignment_srm": q_ab_assignment_srm,
+    "daily_quantiles": q_daily_quantiles,
 }
 
 ORACLES = {
@@ -1634,4 +1723,5 @@ ORACLES = {
     "pareto_frontier": _ORACLE_PARETO,
     "churn_labels": _ORACLE_CHURN,
     "ab_assignment_srm": _ORACLE_AB_SRM,
+    "daily_quantiles": _ORACLE_DAILY_Q,
 }

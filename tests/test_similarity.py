@@ -300,3 +300,28 @@ def test_coreset_never_reselects_a_center(spark):
     ids = [r.vec_id for r in out]
     assert len(ids) == len(set(ids)) == 3
     assert all(r.d2 == 0 for r in out[1:])
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.similarity import kmeans_lloyd
+
+    # two tight planted clusters, k=2 -> memberships 10/10 and near-zero
+    # within-cluster inertia relative to the cluster separation
+    rows = [Row(vec_id=i, embedding=[0.01 * (i % 3), 0.0], label=0) for i in range(10)]
+    rows += [Row(vec_id=100 + i, embedding=[1.0 + 0.01 * (i % 3), 1.0], label=0)
+             for i in range(10)]
+    out = kmeans_lloyd(spark.createDataFrame(rows), k=2).collect()
+    assert sorted(r.n_members for r in out) == [10, 10]
+    # inertia per cluster is bounded by the tiny intra-cluster jitter
+    assert all(r.inertia < 10 * (3 * 100) ** 2 for r in out)
+
+
+def test_kmeans_partition_invariance(spark, sf_dir):
+    from admob_data_pipeline_spark.sources.tables import load_table
+    from admob_data_pipeline_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(120)
+    a = kmeans_lloyd(emb.repartition(2)).collect()
+    b = kmeans_lloyd(emb.repartition(32)).collect()
+    assert a == b

@@ -282,3 +282,14 @@ def test_ab_assignment_balanced_and_deterministic(spark):
     # hash balance: chi-square total for 1 dof should be far below 10.83
     # (p=0.001) for a uniform hash on 2000 users
     assert sum(t for _, _, t in a) < int(10.83 * 1_000_000)
+
+
+def test_daily_quantiles_exact_small_case(spark):
+    from admob_data_pipeline_spark.operators.stats import daily_quantiles
+
+    # one day, values 1..10 -> med2 = 5+6, p90 = value at rank 9
+    rows = [_ev(0, "q", float(v), uid=v) for v in range(1, 11)]
+    out = daily_quantiles(spark.createDataFrame(rows)).first()
+    assert out.n_rows == 10
+    assert out.med2 == 5000 + 6000
+    assert out.p90 == 9000
