@@ -1453,6 +1453,76 @@ ORDER BY event_type, d
 """
 
 
+# --- equi-depth histogram boundaries -----------------------------------------
+
+EQUIDEPTH_BUCKETS = 10
+
+
+def equidepth_histogram(
+    orders: DataFrame, n_buckets: int = EQUIDEPTH_BUCKETS
+) -> DataFrame:
+    """Exact equi-depth histogram of order value: bucket j's upper fence
+    is the value at rank ⌈j·n/B⌉ — the boundary set an optimizer stores
+    for selectivity estimation and a binning pass uses for balanced
+    stratification (equi-WIDTH histograms collapse under skew; depth
+    boundaries adapt to it).
+
+    Scale: the ordering window runs over DISTINCT cent values with
+    cumulative counts (playbook #27); each boundary is located by rank
+    containment — no per-row sort, no sampling, exact integers.
+    """
+    v = orders.select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    cnt = v.groupBy("cents").agg(F.count(F.lit(1)).alias("m"))
+    w_prev = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    ranked = cnt.select(
+        "cents",
+        "m",
+        F.coalesce(F.sum("m").over(w_prev), F.lit(0)).alias("cum_prev"),
+        F.sum("m").over(w_all).alias("n"),
+    )
+    j = F.explode(F.sequence(F.lit(1), F.lit(n_buckets))).alias("bucket")
+    expanded = ranked.select("cents", "m", "cum_prev", "n", j)
+    rank_j = F.expr(f"(bucket * n + {n_buckets - 1}) DIV {n_buckets}")
+    hit = (F.col("cum_prev") < rank_j) & (rank_j <= F.col("cum_prev") + F.col("m"))
+    return (
+        expanded.where(hit)
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("cents").alias("upper_cents"),
+            rank_j.cast("long").alias("rank_at"),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return equidepth_histogram(load_table(spark, sf_dir, "orders"))
+
+
+_ORACLE_EQUIDEPTH = f"""
+WITH v AS (
+    SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+r AS (
+    SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+           COUNT(*) OVER () AS n
+    FROM v
+),
+b AS (SELECT j.bucket FROM generate_series(1, {EQUIDEPTH_BUCKETS}) AS j(bucket))
+SELECT CAST(b.bucket AS INT) AS bucket, r.cents AS upper_cents,
+       CAST((b.bucket * r.n + {EQUIDEPTH_BUCKETS - 1}) // {EQUIDEPTH_BUCKETS}
+            AS BIGINT) AS rank_at,
+       CAST(r.n AS BIGINT) AS n_rows
+FROM b JOIN r
+  ON r.rn = (b.bucket * r.n + {EQUIDEPTH_BUCKETS - 1}) // {EQUIDEPTH_BUCKETS}
+ORDER BY bucket
+"""
+
+
 # --- Pareto frontier (2D skyline) --------------------------------------------
 
 
@@ -1705,6 +1775,7 @@ QUERIES = {
     "churn_labels": q_churn_labels,
     "ab_assignment_srm": q_ab_assignment_srm,
     "daily_quantiles": q_daily_quantiles,
+    "equidepth_histogram": q_equidepth_histogram,
 }
 
 ORACLES = {
@@ -1724,4 +1795,5 @@ ORACLES = {
     "churn_labels": _ORACLE_CHURN,
     "ab_assignment_srm": _ORACLE_AB_SRM,
     "daily_quantiles": _ORACLE_DAILY_Q,
+    "equidepth_histogram": _ORACLE_EQUIDEPTH,
 }

@@ -1495,6 +1495,58 @@ ORDER BY fold
 """
 
 
+# --- language-ID confusion matrix --------------------------------------------
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Evaluation of the n-gram language-ID heuristic against the
+    corpus's own ``lang`` metadata: the (true, predicted) confusion
+    census with per-true-language recall in integer ppm — the accuracy
+    readout that decides whether the cheap classifier is good enough to
+    gate the expensive one.
+
+    Scale: the classifier itself is map-only (marker-token scoring);
+    the confusion matrix is a |langs|² rollup.
+    """
+    pred = language_id(docs)
+    tot = pred.groupBy("lang_meta").agg(F.count(F.lit(1)).alias("n_true"))
+    cells = pred.groupBy("lang_meta", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cells.join(tot, "lang_meta")
+        .select(
+            "lang_meta",
+            "lang_pred",
+            F.col("n").cast("long").alias("n"),
+            F.expr("n * 1000000 DIV n_true").cast("long").alias("recall_ppm"),
+        )
+        .orderBy("lang_meta", "lang_pred")
+    )
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return langid_confusion(load_table(spark, sf_dir, "documents"))
+
+
+# reuse the language-ID oracle verbatim as the base CTE (drop its final
+# ORDER BY) so the confusion matrix is checked against the same
+# prediction logic
+def _confusion_oracle() -> str:
+    base = _ORACLE_LANG_ID.rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH base AS ({base}),
+tot AS (SELECT lang_meta, CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM base GROUP BY lang_meta),
+cells AS (SELECT lang_meta, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+          FROM base GROUP BY lang_meta, lang_pred)
+SELECT c.lang_meta, c.lang_pred, c.n,
+       CAST(c.n * 1000000 // t.n_true AS BIGINT) AS recall_ppm
+FROM cells c JOIN tot t ON t.lang_meta = c.lang_meta
+ORDER BY c.lang_meta, c.lang_pred
+"""
+
+
 # --- PMI collocations ---------------------------------------------------------
 COLLOC_MIN_COUNT = 10
 COLLOC_TOP = 40
@@ -1632,9 +1684,11 @@ QUERIES = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "text_collocations": q_collocations,
     "group_kfold": q_group_kfold,
+    "langid_confusion": q_langid_confusion,
 }
 
 ORACLES = {
+    "langid_confusion": _confusion_oracle(),
     "group_kfold": _ORACLE_KFOLD,
     "text_collocations": _ORACLE_COLLOC,
     "text_pii_redact": _ORACLE_PII,

@@ -293,3 +293,17 @@ def test_daily_quantiles_exact_small_case(spark):
     assert out.n_rows == 10
     assert out.med2 == 5000 + 6000
     assert out.p90 == 9000
+
+
+def test_equidepth_histogram_balanced_depths(spark):
+    from pyspark.sql import Row
+    import datetime
+    from admob_data_pipeline_spark.operators.stats import equidepth_histogram
+
+    rows = [Row(o_orderkey=i, o_custkey=1, o_orderstatus="F",
+                o_totalprice=float(i), o_orderdate=datetime.datetime(2024, 1, 1),
+                o_orderpriority="1") for i in range(1, 101)]
+    out = equidepth_histogram(spark.createDataFrame(rows)).collect()
+    # 100 uniform values, 10 buckets -> fences at 10,20,...,100 (cents x100)
+    assert [r.upper_cents for r in out] == [j * 10 * 100 for j in range(1, 11)]
+    assert all(r.n_rows == 100 for r in out)
