@@ -623,6 +623,165 @@ ORDER BY role, score2 DESC, node
 """
 
 
+# --- global clustering coefficient -------------------------------------------
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Global (transitivity) clustering coefficient of the co-purchase
+    graph: C = 3·triangles / wedges, with wedges = Σ_v deg_v·(deg_v−1)/2
+    — the one-number density summary that separates a clustered product
+    space from a random one. Complements the raw ``triangle_count``
+    query with the normalized statistic.
+
+    Exactness: triangles and wedges are exact BIGINT counts (deg·(deg−1)
+    is always even, so the /2 is exact integer DIV); the coefficient is
+    a two-stage ppm.
+
+    Scale: triangles via the canonical a<b<c wedge+closing-edge join
+    (intermediates Σ deg², never edges²); wedges from one degree rollup.
+    """
+    e = edges.localCheckpoint()
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y1"))
+    e2 = e.select(F.col("u").alias("x"), F.col("v").alias("y2"))
+    wedge_pairs = e1.join(e2, "x").where(F.col("y1") < F.col("y2"))
+    closing = e.select(F.col("u").alias("y1"), F.col("v").alias("y2"))
+    tri = wedge_pairs.join(closing, ["y1", "y2"]).agg(
+        F.count(F.lit(1)).alias("n_tri")
+    )
+    deg = _adjacency(e).groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).alias("n_wedges")
+    )
+    j = tri.crossJoin(F.broadcast(wedges)).select(
+        F.col("n_tri").cast("long").alias("n_triangles"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+    )
+    return j.select(
+        "n_triangles",
+        "n_wedges",
+        F.expr(
+            "CAST((3 * n_triangles * 1000 DIV n_wedges) * 1000"
+            "     + (3 * n_triangles * 1000 % n_wedges) * 1000 DIV n_wedges"
+            " AS BIGINT)"
+        ).alias("transitivity_ppm"),
+    )
+
+
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clustering_coefficient(
+        copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
+_ORACLE_CLUSTERING = (
+    "WITH "
+    + _EDGE_CTES.strip().rstrip(",")
+    + """,
+wedge_pairs AS (
+    SELECT e1.u AS x, e1.v AS y1, e2.v AS y2
+    FROM edges e1 JOIN edges e2 ON e2.u = e1.u AND e1.v < e2.v
+),
+tri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM wedge_pairs w JOIN edges c ON c.u = w.y1 AND c.v = w.y2
+),
+wedges AS (
+    SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT n_tri AS n_triangles, n_wedges,
+       CAST((3 * n_tri * 1000 // n_wedges) * 1000
+            + (3 * n_tri * 1000 % n_wedges) * 1000 // n_wedges AS BIGINT)
+           AS transitivity_ppm
+FROM tri, wedges
+"""
+)
+
+
+# --- degree assortativity -----------------------------------------------------
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over every directed edge — positive
+    means hubs link to hubs (assortative, social-network-like), negative
+    means hubs link to leaves (disassortative, catalog-like). The
+    standard one-number mixing summary next to transitivity.
+
+    Exactness: degree moments over the directed edge list are exact
+    BIGINT; r = num/(√dx·√dy) with two correctly-rounded sqrts and one
+    product, floor-scaled e6 with the sign split out — the
+    series_correlation discipline applied to edge-endpoint pairs.
+
+    Scale: one degree rollup + one join of the edge list against it on
+    each endpoint; all sums partial-aggregate.
+    """
+    adj = _adjacency(edges)
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("src").alias("src"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy"))
+    pairs = adj.join(du, "src").join(dv, "dst")
+    mom = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    nd = mom.select(
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx2"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy2"),
+    ).where((F.col("dx2") > 0) & (F.col("dy2") > 0))
+    r = F.expr(
+        "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+        " * FLOOR(ABS(num) * 1000000 / (SQRT(dx2) * SQRT(dy2))) AS BIGINT)"
+    )
+    return nd.select(
+        F.col("n").cast("long").alias("n_directed_edges"), r.alias("r_e6")
+    )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degree_assortativity(
+        copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
+_ORACLE_ASSORTATIVITY = (
+    "WITH "
+    + _EDGE_CTES.strip().rstrip(",")
+    + """,
+pairs AS (
+    SELECT du.deg AS dx, dv.deg AS dy
+    FROM adj
+    JOIN deg du ON du.src = adj.src
+    JOIN deg dv ON dv.src = adj.dst
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+           CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+           CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+           CAST(SUM(dy * dy) AS BIGINT) AS syy
+    FROM pairs
+),
+nd AS (
+    SELECT n, n * sxy - sx * sy AS num,
+           n * sxx - sx * sx AS dx2, n * syy - sy * sy AS dy2
+    FROM mom
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+)
+SELECT n AS n_directed_edges,
+       CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+            * FLOOR(ABS(num) * 1000000 / (SQRT(dx2) * SQRT(dy2))) AS BIGINT)
+           AS r_e6
+FROM nd
+"""
+)
+
+
 # --- recommender evaluation (hit-rate@k) -------------------------------------
 
 REC_TRAIN_PCT = 80
@@ -1040,6 +1199,8 @@ QUERIES = {
     "graph_kcore": q_graph_kcore,
     "negative_samples": q_negative_samples,
     "recsys_hitrate": q_recsys_hitrate,
+    "graph_clustering_coeff": q_clustering_coefficient,
+    "graph_assortativity": q_degree_assortativity,
 }
 
 ORACLES = {
@@ -1052,4 +1213,6 @@ ORACLES = {
     "graph_kcore": _ORACLE_KCORE,
     "negative_samples": _ORACLE_NEG,
     "recsys_hitrate": _ORACLE_RECSYS,
+    "graph_clustering_coeff": _ORACLE_CLUSTERING,
+    "graph_assortativity": _ORACLE_ASSORTATIVITY,
 }

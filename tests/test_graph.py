@@ -223,3 +223,34 @@ def test_recsys_hitrate_recovers_planted_pattern(spark):
     assert out.n_users_eval == 1
     assert out.n_hit_users == 1
     assert out.hitrate_ppm == 1_000_000
+
+
+def test_clustering_coefficient_complete_graph_is_one(spark):
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.graph import clustering_coefficient
+
+    # K4: 4 triangles, wedges = 4·C(3,2)=12 -> C = 3·4/12 = 1
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    out = clustering_coefficient(
+        spark.createDataFrame([Row(u=u, v=v) for u, v in k4])
+    ).first()
+    assert (out.n_triangles, out.n_wedges, out.transitivity_ppm) == (4, 12, 1_000_000)
+    # star graph: no triangles -> 0
+    star = [(1, 2), (1, 3), (1, 4)]
+    out2 = clustering_coefficient(
+        spark.createDataFrame([Row(u=u, v=v) for u, v in star])
+    ).first()
+    assert out2.n_triangles == 0 and out2.transitivity_ppm == 0
+
+
+def test_assortativity_sign_on_star_graph(spark):
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.graph import degree_assortativity
+
+    # star: hub degree 5 linked to leaves degree 1 -> perfectly
+    # disassortative (r = -1)
+    star = [(1, j) for j in range(2, 7)]
+    out = degree_assortativity(
+        spark.createDataFrame([Row(u=u, v=v) for u, v in star])
+    ).first()
+    assert out.r_e6 in (-1_000_000, -999_999)
