@@ -711,9 +711,10 @@ ORDER BY src, dst
 )
 
 
-_ORACLE_MINHASH = (
-    "WITH "
-    + _DUCK_SHINGLES.format(max_df=MAX_DF)
+# shared CTE prefix (shingles → signatures → band-bucket candidates):
+# reused by the verified-pair oracle AND the recall-sweep oracle
+_MINHASH_CAND_CTES = (
+    _DUCK_SHINGLES.format(max_df=MAX_DF)
     + f""",
 hashed AS (
     SELECT doc_id,
@@ -739,6 +740,11 @@ cand AS (
      AND ba.doc_id < bb.doc_id
 ),
 """
+)
+
+_ORACLE_MINHASH = (
+    "WITH "
+    + _MINHASH_CAND_CTES
     + _oracle_jaccard_tail(
         "cand c JOIN sh sa ON sa.doc_id = c.a "
         "JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle"
@@ -1635,6 +1641,130 @@ ORDER BY d.doc_id
 """
 
 
+# --- LSH recall sweep (threshold curve) --------------------------------------
+
+SWEEP_PCTS = (50, 60, 70, 80, 90)
+
+
+def lsh_recall_sweep(
+    docs: DataFrame, k: int = 3, max_df: int = MAX_DF
+) -> DataFrame:
+    """Recall curve of the RAW LSH candidate set across similarity
+    thresholds: for each τ ∈ {0.5..0.9}, how many true ≥τ-Jaccard pairs
+    the band-bucket join surfaces BEFORE verification — the empirical
+    banding-probability curve 1−(1−s^r)^b measured on THIS corpus, the
+    evidence behind choosing (bands, rows) for a production dedup run
+    (dedup_recall_audit scores one operating point; this sweeps the
+    curve).
+
+    Exactness: truth membership is integer cross-multiplication per
+    threshold (n_inter·100 ≥ pct·union); recall is integer ppm.
+
+    Scale: truth pairs exist only through the shared-shingle join,
+    candidates only through the band-bucket join — both already bounded;
+    the τ sweep is a 5-way explode over the tagged pair table, nothing
+    rescans the corpus.
+    """
+    sh = _capped_shingles(docs, k, max_df)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    allp = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    bands = lsh_band_keys(minhash_signatures(sh))
+    ba = bands.select(F.col("doc_id").alias("a"), "band", "band_key")
+    bb = bands.select(F.col("doc_id").alias("b"), "band", "band_key")
+    cand = (
+        ba.join(bb, ["band", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .withColumn("is_cand", F.lit(1))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
+    tagged = (
+        allp.join(sa, "a")
+        .join(sb, "b")
+        .join(cand, ["a", "b"], "left")
+        .select(
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+        )
+        .localCheckpoint()
+    )
+    swept = tagged.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(p) for p in SWEEP_PCTS])
+        ).alias("pct"),
+    )
+    truth = F.col("n_inter") * 100 >= F.col("pct") * (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    agg = swept.groupBy("pct").agg(
+        F.sum(F.when(truth, 1).otherwise(0)).alias("n_truth"),
+        F.sum(F.when(truth & (F.col("is_cand") == 1), 1).otherwise(0)).alias(
+            "n_hit"
+        ),
+    )
+    return agg.select(
+        F.col("pct").cast("int").alias("threshold_pct"),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.expr(
+            "CAST(CASE WHEN n_truth = 0 THEN 1000000"
+            " ELSE n_hit * 1000000 DIV n_truth END AS BIGINT)"
+        ).alias("recall_ppm"),
+    ).orderBy("threshold_pct")
+
+
+def q_lsh_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_recall_sweep(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_LSH_SWEEP = (
+    "WITH "
+    + _MINHASH_CAND_CTES
+    + f"""
+allp AS (
+    SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+    FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    GROUP BY sa.doc_id, sb.doc_id
+),
+tagged AS (
+    SELECT p.n_inter, za.n_sh AS n_a, zb.n_sh AS n_b,
+           CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+    FROM allp p
+    JOIN sizes za ON za.doc_id = p.a
+    JOIN sizes zb ON zb.doc_id = p.b
+    LEFT JOIN cand c ON c.a = p.a AND c.b = p.b
+),
+sweep AS (
+    SELECT t.pct,
+           CAST(SUM(CASE WHEN n_inter * 100 >= t.pct * (n_a + n_b - n_inter)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN n_inter * 100 >= t.pct * (n_a + n_b - n_inter)
+                          AND is_cand = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit
+    FROM tagged, generate_series(50, 90, 10) AS t(pct)
+    GROUP BY t.pct
+)
+SELECT CAST(pct AS INT) AS threshold_pct, n_truth, n_hit,
+       CAST(CASE WHEN n_truth = 0 THEN 1000000
+                 ELSE n_hit * 1000000 // n_truth END AS BIGINT) AS recall_ppm
+FROM sweep
+ORDER BY threshold_pct
+"""
+)
+
+
 # --- (w,k)-minimizer sampling dedup ------------------------------------------
 
 MINIMIZER_W = 4  # window: keep the min shingle-hash of every 4 consecutive
@@ -1792,9 +1922,11 @@ QUERIES = {
     "dedup_cluster_stats": q_cluster_stats,
     "dedup_weighted_jaccard": q_weighted_jaccard,
     "dedup_minimizer": q_minimizer_pairs,
+    "dedup_lsh_sweep": q_lsh_recall_sweep,
 }
 
 ORACLES = {
+    "dedup_lsh_sweep": _ORACLE_LSH_SWEEP,
     "dedup_minimizer": _ORACLE_MINIMIZER,
     "dedup_weighted_jaccard": _ORACLE_WEIGHTED_JACCARD,
     "dedup_cluster_stats": _ORACLE_CLUSTER_STATS,

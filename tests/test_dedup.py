@@ -309,3 +309,18 @@ def test_minimizer_partition_invariance(spark, sf_dir):
     a = dedup.minimizer_pairs(docs.repartition(2)).collect()
     b = dedup.minimizer_pairs(docs.repartition(32)).collect()
     assert a == b
+
+
+def test_lsh_sweep_recall_increases_with_threshold(spark, sf_dir):
+    """Banding probability 1-(1-s^r)^b is increasing in s, so measured
+    recall must be non-decreasing across the threshold sweep, reaching
+    ~1 at 0.9."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.lsh_recall_sweep(docs).collect()
+    assert [r.threshold_pct for r in out] == [50, 60, 70, 80, 90]
+    recalls = [r.recall_ppm for r in out]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] >= 900_000
+    # sanity: truth sets shrink as the threshold rises
+    truths = [r.n_truth for r in out]
+    assert all(a >= b for a, b in zip(truths, truths[1:]))
