@@ -445,6 +445,72 @@ ORDER BY date
 _BUCKET_SCHEMA = "c_mktsegment string, n_orders bigint, revenue_cents bigint"
 
 
+def q_sink_permissive_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input resilience end-to-end: write the order fact as
+    CSV, INJECT two corrupt lines into one part file (wrong arity,
+    non-numeric fields — what a real upstream feed delivers), and read
+    back in PERMISSIVE mode with a corrupt-record column. The returned
+    census proves the reader (a) recovers every valid row byte-exactly
+    (revenue matches the source-table oracle) and (b) quarantines
+    exactly the injected garbage instead of failing the job or silently
+    dropping rows — the posture a 100 TB ingest needs, where one bad
+    line must never kill a 6-hour load.
+
+    Spark quirk: a frame can't be FILTERED on the corrupt-record column
+    directly (analyzer restriction) — the census is computed from
+    collected rows, which these sink round-trips materialize anyway.
+    """
+    import glob
+
+    out = tempfile.mkdtemp(prefix="sink_perm_")
+    try:
+        write_csv(_order_fact(spark, sf_dir), out)
+        part = sorted(glob.glob(f"{out}/part-*.csv"))[0]
+        with open(part, "a") as f:
+            f.write("THIS IS NOT A ROW\n")
+            f.write("garbage,not_a_number,also_bad\n")
+        # drop the Hadoop .crc sidecar the local FS wrote for the clean
+        # file — the append invalidates it (a real upstream feed has no
+        # sidecars at all), and ChecksumException would mask the parse test
+        import os
+
+        crc = f"{out}/.{part.rsplit('/', 1)[1]}.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+        back = spark.read.schema(
+            _FACT_SCHEMA + ", _corrupt_record string"
+        ).option("header", True).option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        ).csv(out)
+        rows = back.collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    good = [r for r in rows if r._corrupt_record is None]
+    return spark.createDataFrame(
+        [
+            (
+                len(good),
+                len(rows) - len(good),
+                sum(r.revenue_cents for r in good),
+            )
+        ],
+        "n_good bigint, n_corrupt bigint, revenue_cents bigint",
+    )
+
+
+_ORACLE_PERMISSIVE = """
+SELECT COUNT(DISTINCT o_orderpriority) AS n_good,
+       CAST(2 AS BIGINT) AS n_corrupt,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM (
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY o_orderpriority
+)
+"""
+
+
 def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-table round-trip: write orders and customer through
     ``write_bucketed`` (hash-bucketed on the customer key, external
@@ -502,6 +568,7 @@ ORDER BY c_mktsegment
 
 
 QUERIES = {
+    "sink_permissive_csv": q_sink_permissive_csv,
     "sink_bucketed_join": q_sink_bucketed_join,
     "sink_wap": q_sink_wap,
     "sink_manifest": q_sink_manifest,
@@ -516,6 +583,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_permissive_csv": _ORACLE_PERMISSIVE,
     "sink_bucketed_join": _ORACLE_BUCKETED,
     "sink_wap": _ORACLE_PARTITION,
     "sink_manifest": _ORACLE_MANIFEST,
