@@ -168,59 +168,161 @@ DRIVER_GREEN: frozenset[str] = frozenset(
         "waiting_suppliers",
         "window_analytics",
         "window_ranks",
+        # r03 driver-green rows (CORRECTNESS_r03, 50/50 green).
+        "ann_mips_topk",
+        "as_of_snapshot",
+        "conversion_latency",
+        "copurchase_pairs",
+        "ctr_anomaly_bq_verbatim",
+        "dedup_paragraph",
+        "dedup_prefix_filter",
+        "dow_seasonality",
+        "embedding_pq",
+        "event_transitions",
+        "fk_integrity_audit",
+        "forecast_revenue_change",
+        "hll_rollup",
+        "length_bucket_sample",
+        "market_share",
+        "merge_upsert",
+        "multimodal_features",
+        "multimodal_resize",
+        "order_count_distribution",
+        "order_priority_check",
+        "packing_efficiency",
+        "product_profit",
+        "props_variant",
+        "recursive_reachability",
+        "report_rollup",
+        "returned_items",
+        "revenue_pareto",
+        "sink_compaction",
+        "sink_global_sort",
+        "sink_orc_roundtrip",
+        "sink_zorder_layout",
+        "skew_stress_join",
+        "sliding_distinct_users",
+        "sliding_window_rates",
+        "small_quantity_revenue",
+        "snapshot_diff",
+        "source_divergence",
+        "streaming_enrich",
+        "streaming_kmv_sink",
+        "supplier_share",
+        "supplier_variety",
+        "text_bpe_encode",
+        "text_bpe_merge_pairs",
+        "text_bpe_train",
+        "text_lm_score",
+        "text_normalize",
+        "top_supplier",
+        "triangle_count",
+        "user_rfm",
+        "weighted_sample",
     }
 )
 
 
-# Round-1-era queries that have NEVER had a driver verdict (two rounds
-# outstanding) — they outrank this round's newer additions for the 50
-# slots of the correctness window. Names absent from the registry are
-# ignored, so this list never breaks when queries are renamed.
+# Queries that have NEVER had a driver verdict (95 after r3; judge-verified
+# locally 95/95 at sf0.01 but no driver row yet). The first 50 fill round
+# 4's correctness window; the 45 remainder queue for round 5. Names absent
+# from the registry are ignored, so this list never breaks on renames.
 FRESH_FIRST: tuple[str, ...] = (
-    "text_normalize",
-    "text_lm_score",
-    "text_pii_redact",
-    "weighted_sample",
-    "length_bucket_sample",
-    "source_divergence",
-    "dedup_paragraph",
-    "dedup_prefix_filter",
-    "ann_mips_topk",
-    "embedding_pq",
-    "multimodal_features",
-    "multimodal_resize",
-    "packing_efficiency",
-    "merge_upsert",
-    "snapshot_diff",
-    "as_of_snapshot",
-    "sink_compaction",
-    "sink_global_sort",
-    "sink_orc_roundtrip",
-    "sink_zorder_layout",
-    "streaming_enrich",
-    "streaming_kmv_sink",
-    "conversion_latency",
-    "copurchase_pairs",
-    "triangle_count",
-    "event_transitions",
-    "sliding_distinct_users",
-    "sliding_window_rates",
-    "dow_seasonality",
-    "revenue_pareto",
-    "user_rfm",
-    "skew_stress_join",
-    "fk_integrity_audit",
-    "forecast_revenue_change",
-    "market_share",
-    "order_count_distribution",
-    "order_priority_check",
-    "product_profit",
-    "report_rollup",
-    "returned_items",
-    "small_quantity_revenue",
-    "supplier_share",
-    "supplier_variety",
-    "top_supplier",
+    "text_word_dropout",
+    "text_char_entropy",
+    "text_vocab_coverage",
+    "curation_funnel",
+    "tokenizer_fertility",
+    "text_collocations",
+    "group_kfold",
+    "langid_confusion",
+    "ngram_novelty",
+    "mutual_information",
+    "source_cap_sample",
+    "importance_weights",
+    "mixture_weights",
+    "text_bigram_lm",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "dedup_recall_audit",
+    "dedup_split_leakage",
+    "dedup_substring",
+    "dedup_cluster_stats",
+    "dedup_weighted_jaccard",
+    "dedup_minimizer",
+    "dedup_lsh_sweep",
+    "kmeans_lloyd",
+    "coreset_kcenter",
+    "embedding_random_projection",
+    "embedding_covariance",
+    "embedding_standardize",
+    "embedding_dim_stats",
+    "contrastive_negatives",
+    "label_noise_audit",
+    "ann_recall_audit",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "dedup_semantic_clusters",
+    "multimodal_packing",
+    "graph_pagerank",
+    "graph_components",
+    "graph_link_prediction",
+    "frequent_triples",
+    "association_rules",
+    "graph_hits",
+    "graph_kcore",
+    "negative_samples",
+    "recsys_hitrate",
+    "graph_clustering_coeff",
+    "graph_assortativity",
+    "ols_trend",
+    "mad_outliers",
+    "autocorr_lag1",
+    "ewma_spikes",
+    "feature_info_gain",
+    "heavy_changers",
+    "survival_km",
+    "sequence_patterns",
+    "temporal_split",
+    "dow_adjusted_spikes",
+    "series_correlation",
+    "lag_features",
+    "pareto_frontier",
+    "churn_labels",
+    "ab_assignment_srm",
+    "daily_quantiles",
+    "equidepth_histogram",
+    "k_anonymity_audit",
+    "erasure_audit",
+    "typo_pairs",
+    "dq_constraints",
+    "l_diversity_audit",
+    "t_closeness_audit",
+    "sink_permissive_csv",
+    "sink_bucketed_join",
+    "sink_wap",
+    "sink_manifest",
+    "streaming_ewma_spikes",
+    "streaming_drift_psi",
+    "streaming_topk",
+    "cohort_ltv",
+    "approx_quantile_audit",
+    "ks_test",
+    "chi_square",
+    "rank_sum_test",
+    "event_sequences",
+    "revenue_gini",
+    "theil_sen_trend",
+    "cusum_changepoint",
+    "jackknife_replicates",
+    "benford_audit",
+    "event_gaps",
+    "drift_psi",
+    "winsorized_stats",
+    "sampled_quantiles",
+    "rolling_zscore",
+    "quantile_binning",
 )
 
 
