@@ -1180,7 +1180,7 @@ def prefix_filter_pairs(
         .localCheckpoint()
     )
     df_tab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    ranked = tok.join(F.broadcast(df_tab), "token").select(
+    ranked = join_small(tok, df_tab, "token").select(
         "doc_id",
         "token",
         F.row_number()

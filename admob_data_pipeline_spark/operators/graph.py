@@ -659,10 +659,13 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     return j.select(
         "n_triangles",
         "n_wedges",
+        # Wedge-free graph (all degrees <= 1) → coefficient defined as 0;
+        # the guard also keeps ANSI mode from raising DivideByZeroError.
         F.expr(
+            "CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) ELSE "
             "CAST((3 * n_triangles * 1000 DIV n_wedges) * 1000"
             "     + (3 * n_triangles * 1000 % n_wedges) * 1000 DIV n_wedges"
-            " AS BIGINT)"
+            " AS BIGINT) END"
         ).alias("transitivity_ppm"),
     )
 
@@ -689,9 +692,10 @@ wedges AS (
     SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg
 )
 SELECT n_tri AS n_triangles, n_wedges,
+       CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) ELSE
        CAST((3 * n_tri * 1000 // n_wedges) * 1000
             + (3 * n_tri * 1000 % n_wedges) * 1000 // n_wedges AS BIGINT)
-           AS transitivity_ppm
+       END AS transitivity_ppm
 FROM tri, wedges
 """
 )
@@ -1012,7 +1016,10 @@ def kcore(edges: DataFrame, k: int = KCORE_K, iters: int = KCORE_ITERS) -> DataF
     PR_ITERS): peeling cascades converge in a few rounds on co-purchase
     graphs, extra rounds are no-ops once converged, and the fixed count
     keeps the oracle an unrolled CTE chain. Emits each surviving node
-    with its degree as measured in the final peel.
+    with its degree as measured in the final peel, plus a ``converged``
+    flag (1 iff the last two survivor sets are identical in size) so a
+    cascade deeper than the round budget is detectable instead of
+    silently returning an under-peeled "core".
 
     Scale: each round is two semi-joins (edge endpoints against the
     survivor set) + one partial-agg degree count, lineage truncated per
@@ -1022,7 +1029,9 @@ def kcore(edges: DataFrame, k: int = KCORE_K, iters: int = KCORE_ITERS) -> DataF
     adj = _adjacency(edges).localCheckpoint()
     nodes = adj.select(F.col("src").alias("node")).distinct().localCheckpoint()
     deg = None
+    prev_nodes = nodes
     for _ in range(iters):
+        prev_nodes = nodes
         surv = adj.join(
             nodes.select(F.col("node").alias("src")), "src", "left_semi"
         ).join(nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
@@ -1032,9 +1041,25 @@ def kcore(edges: DataFrame, k: int = KCORE_K, iters: int = KCORE_ITERS) -> DataF
             .select(F.col("src").alias("node"))
             .localCheckpoint()
         )
+    # Converged iff the last peel removed nothing: survivor-set sizes of
+    # rounds iters-1 and iters agree (peeling is monotone, so equal size
+    # == identical set). One-row broadcast scalar join, same shape as the
+    # clustering-coefficient normalizer.
+    n_prev = prev_nodes.agg(F.count(F.lit(1)).alias("n_prev"))
+    n_last = nodes.agg(F.count(F.lit(1)).alias("n_last"))
+    conv = (
+        n_prev.crossJoin(F.broadcast(n_last))
+        .select(
+            F.when(F.col("n_prev") == F.col("n_last"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("converged")
+        )
+    )
     return (
         deg.where(F.col("deg") >= k)
         .select(F.col("src").alias("node"), F.col("deg").cast("long").alias("deg"))
+        .crossJoin(F.broadcast(conv))
         .orderBy(F.desc("deg"), "node")
     )
 
@@ -1062,9 +1087,15 @@ d{i} AS (
 n{i} AS (SELECT src AS node FROM d{i} WHERE deg >= {k})"""
         )
     parts.append(
-        f"""
-SELECT src AS node, CAST(deg AS BIGINT) AS deg
-FROM d{iters}
+        f""",
+conv AS (
+    SELECT CASE WHEN (SELECT COUNT(*) FROM n{iters - 1})
+              = (SELECT COUNT(*) FROM n{iters})
+           THEN 1 ELSE 0 END AS converged
+)
+SELECT src AS node, CAST(deg AS BIGINT) AS deg,
+       CAST(conv.converged AS INT) AS converged
+FROM d{iters}, conv
 WHERE deg >= {k}
 ORDER BY deg DESC, node
 """

@@ -408,11 +408,31 @@ def ewma_from_daily(daily: DataFrame, group_col: str = "event_type") -> DataFram
     shared by the batch operator above and the streaming foreachBatch
     merge (streaming/alerts.q_streaming_ewma_spikes): daily-sum merge is
     associative, so a rollup accumulated across micro-batches finalizes
-    to the identical result."""
+    to the identical result.
+
+    Calendar-dense lags: the rollup is densified over each group's
+    [min(d), max(d)] span (zero-filled, observed-flagged) before the lag
+    window, so "the previous W days" means CALENDAR days — a gap in the
+    series contributes zero volume instead of silently stretching the
+    baseline onto older days. Only observed days are emitted; the first
+    W calendar days of each group are excluded as before (partial
+    windows would re-weight the smoother).
+    """
+    span = daily.groupBy("g").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select("g", F.explode(F.sequence("d0", "d1")).alias("d"))
+    obs_daily = daily.withColumnRenamed("vm", "vm_obs").withColumn(
+        "obs", F.lit(1)
+    )
+    dense = grid.join(obs_daily, ["g", "d"], "left").select(
+        "g",
+        "d",
+        F.coalesce("vm_obs", F.lit(0)).cast("long").alias("vm"),
+        F.coalesce("obs", F.lit(0)).alias("obs"),
+    )
     w = Window.partitionBy("g").orderBy("d")
     lags = [F.lag("vm", i).over(w).alias(f"l{i}") for i in range(1, EWMA_W + 1)]
-    t = daily.select("g", "d", "vm", *lags).where(
-        F.col(f"l{EWMA_W}").isNotNull()
+    t = dense.select("g", "d", "vm", "obs", *lags).where(
+        F.col(f"l{EWMA_W}").isNotNull() & (F.col("obs") == 1)
     )
     ewma_num = sum(
         (F.col(f"l{i}") * F.lit(1 << (EWMA_W - i)) for i in range(1, EWMA_W + 1)),
@@ -463,14 +483,25 @@ WITH daily AS (
            CAST(SUM(CAST(FLOOR(value * {VALUE_SCALE}) AS BIGINT)) AS BIGINT) AS vm
     FROM events GROUP BY g, d
 ),
+span AS (SELECT g, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY g),
+grid AS (
+    SELECT g, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+    FROM span
+),
+dense AS (
+    SELECT grid.g, grid.d,
+           CAST(COALESCE(daily.vm, 0) AS BIGINT) AS vm,
+           CASE WHEN daily.d IS NULL THEN 0 ELSE 1 END AS obs
+    FROM grid LEFT JOIN daily ON daily.g = grid.g AND daily.d = grid.d
+),
 t AS (
-    SELECT g, d, vm,
+    SELECT g, d, vm, obs,
            {_EWMA_LAGS}
-    FROM daily
+    FROM dense
 ),
 e AS (
     SELECT g, d, vm, CAST({_EWMA_SUM} AS BIGINT) AS ewma_num
-    FROM t WHERE l{EWMA_W} IS NOT NULL
+    FROM t WHERE l{EWMA_W} IS NOT NULL AND obs = 1
 )
 SELECT g AS event_type, d, vm, ewma_num,
        CAST((CASE WHEN vm < 0 THEN -1 ELSE 1 END)
@@ -1129,17 +1160,35 @@ def dow_adjusted_spikes(
     ``weekday()``, DuckDB ``isodow − 1`` — their default dayofweek
     functions disagree on Sunday).
 
+    Calendar-dense lags: the rollup is densified over each group's
+    [min(d), max(d)] span (zero-filled, observed-flagged) before the lag
+    window, so "the previous L same-weekday days" means CALENDAR weeks —
+    a skipped Monday contributes zero volume to later Mondays' baselines
+    instead of stretching them onto older weeks. Only observed days are
+    emitted.
+
     Scale: (group, day) rollup first; lags run per (group, weekday)
     partition — calendar-bounded.
     """
     daily = ev.groupBy(
         F.col(group_col).alias("g"), F.col("ts").cast("date").alias("d")
     ).agg(F.sum(_vm(value_col)).alias("vm"))
+    span = daily.groupBy("g").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select("g", F.explode(F.sequence("d0", "d1")).alias("d"))
+    obs_daily = daily.withColumnRenamed("vm", "vm_obs").withColumn(
+        "obs", F.lit(1)
+    )
+    dense = grid.join(obs_daily, ["g", "d"], "left").select(
+        "g",
+        "d",
+        F.coalesce("vm_obs", F.lit(0)).cast("long").alias("vm"),
+        F.coalesce("obs", F.lit(0)).alias("obs"),
+    )
     w = Window.partitionBy("g", "dow").orderBy("d")
     lags = [F.lag("vm", i).over(w).alias(f"l{i}") for i in range(1, DOW_LOOKBACK + 1)]
-    t = daily.withColumn("dow", F.weekday("d")).select(
-        "g", "d", "dow", "vm", *lags
-    ).where(F.col(f"l{DOW_LOOKBACK}").isNotNull())
+    t = dense.withColumn("dow", F.weekday("d")).select(
+        "g", "d", "dow", "vm", "obs", *lags
+    ).where(F.col(f"l{DOW_LOOKBACK}").isNotNull() & (F.col("obs") == 1))
     base = sum(
         (F.col(f"l{i}") for i in range(2, DOW_LOOKBACK + 1)),
         F.col("l1"),
@@ -1181,14 +1230,25 @@ WITH daily AS (
            CAST(SUM(CAST(FLOOR(value * {VALUE_SCALE}) AS BIGINT)) AS BIGINT) AS vm
     FROM events GROUP BY g, d
 ),
+span AS (SELECT g, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY g),
+grid AS (
+    SELECT g, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+    FROM span
+),
+dense AS (
+    SELECT grid.g, grid.d,
+           CAST(COALESCE(daily.vm, 0) AS BIGINT) AS vm,
+           CASE WHEN daily.d IS NULL THEN 0 ELSE 1 END AS obs
+    FROM grid LEFT JOIN daily ON daily.g = grid.g AND daily.d = grid.d
+),
 t AS (
-    SELECT g, d, isodow(d) - 1 AS dow, vm,
+    SELECT g, d, dow, vm, obs,
            {_DOW_LAGS}
-    FROM (SELECT g, d, vm, isodow(d) - 1 AS dow FROM daily)
+    FROM (SELECT g, d, vm, obs, isodow(d) - 1 AS dow FROM dense)
 ),
 e AS (
     SELECT g, d, dow, vm, CAST({_DOW_BASE} AS BIGINT) AS base_sum
-    FROM t WHERE l{DOW_LOOKBACK} IS NOT NULL
+    FROM t WHERE l{DOW_LOOKBACK} IS NOT NULL AND obs = 1
 )
 SELECT g AS event_type, d, CAST(dow AS INT) AS dow, vm, base_sum,
        CAST((CASE WHEN vm < 0 THEN -1 ELSE 1 END)
@@ -1723,7 +1783,13 @@ def ab_assignment_srm(ev: DataFrame, seed: str = AB_SEED, arms: int = AB_ARMS) -
     # (O - n/arms)^2 / (n/arms) = (arms*O - n)^2 / (arms*n)
     j = per_arm.crossJoin(F.broadcast(tot))
     dev = arms * F.col("o") - F.col("n")
-    term = F.floor(dev * dev * SRM_SCALE / (arms * F.col("n"))).cast("long")
+    # dev² stays in BIGINT but the ×SRM_SCALE hop goes through DOUBLE —
+    # mirrors the oracle's evaluation order, so the int64 ceiling moves
+    # from |dev| ≈ 3e3 (would ANSI-overflow) to the shared 2^53 double
+    # precision bound (|dev| ≈ 9.4e7 users of imbalance).
+    term = F.floor(
+        (dev * dev).cast("double") * SRM_SCALE / (arms * F.col("n"))
+    ).cast("long")
     return (
         j.select(
             F.col("arm").cast("int").alias("arm"),

@@ -164,8 +164,44 @@ def test_kcore_peels_tail_nodes(spark):
     # 5 and 6 peel out at k=3, then the K4 survives intact.
     edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
     df = spark.createDataFrame([Row(u=u, v=v) for u, v in edges])
-    out = {r.node: r.deg for r in kcore(df, k=3).collect()}
+    rows = kcore(df, k=3).collect()
+    out = {r.node: r.deg for r in rows}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert all(r.converged == 1 for r in rows)
+
+
+def test_kcore_flags_unconverged_deep_cascade(spark):
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.graph import kcore
+
+    # Pendant path 1-2-...-12 hanging off K4 {20,21,22,23} ∪ {12}: at
+    # k=2 the path peels one endpoint per round, so 3 rounds leave
+    # non-core path nodes in the emitted set — the converged flag must
+    # expose the truncation; enough rounds converge to the K4+12 core.
+    path = [(i, i + 1) for i in range(1, 12)]
+    k4 = [(20, 21), (20, 22), (20, 23), (21, 22), (21, 23), (22, 23)]
+    anchor = [(12, 20), (12, 21)]
+    df = spark.createDataFrame([Row(u=u, v=v) for u, v in path + k4 + anchor])
+
+    truncated = kcore(df, k=2, iters=3).collect()
+    assert truncated, "truncated run still emits a (super)set"
+    assert all(r.converged == 0 for r in truncated)
+    assert any(r.node < 10 for r in truncated), "under-peeled path nodes present"
+
+    done = kcore(df, k=2, iters=12).collect()
+    assert all(r.converged == 1 for r in done)
+    assert {r.node for r in done} == {12, 20, 21, 22, 23}
+
+
+def test_clustering_coefficient_wedge_free_graph(spark):
+    from pyspark.sql import Row
+    from admob_data_pipeline_spark.operators.graph import clustering_coefficient
+
+    # Perfect matching: every degree is 1, zero wedges — must emit a 0
+    # coefficient row, not raise ANSI DivideByZeroError.
+    df = spark.createDataFrame([Row(u=1, v=2), Row(u=3, v=4)])
+    [r] = clustering_coefficient(df).collect()
+    assert (r.n_triangles, r.n_wedges, r.transitivity_ppm) == (0, 0, 0)
 
 
 def test_negative_samples_exclude_positives_and_are_seeded(spark):

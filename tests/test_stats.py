@@ -110,6 +110,22 @@ def test_ewma_requires_full_history(spark):
     assert ewma_spikes(spark.createDataFrame(rows)).count() == 0
 
 
+def test_ewma_gap_days_count_as_zero_volume(spark):
+    # 6 warmup days at 10, a 5-day gap, then one day back at 10. The lag
+    # window is CALENDAR days: the post-gap day's baseline is
+    # (0,0,0,0,0,10) — only lag-6 (weight 2^0 = 1) observed — so a flat
+    # return-to-normal day scores 63× its smoother and flags as a spike.
+    # Before densification the gap silently stretched the window onto
+    # the warmup days and the day looked flat (ratio 1×).
+    rows = [_ev(d, "gap", 10.0) for d in range(6)] + [_ev(11, "gap", 10.0)]
+    out = ewma_spikes(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1  # unobserved gap days are not emitted
+    (r,) = out
+    assert r.ewma_num == 10_000  # 1 × lag-6 weight, gaps contribute 0
+    assert r.ratio_ppm == 63 * 1_000_000
+    assert r.is_spike == 1
+
+
 def test_stats_partition_invariance(spark):
     rows = [
         _ev(d % 17, "p", float((d * 7) % 23) + 0.5, uid=d % 11) for d in range(400)
