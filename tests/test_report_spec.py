@@ -65,3 +65,41 @@ def test_pre_aggregation_grain(spark, sf_dir):
     # one row per app, impressions == raw event count
     assert len(rows) == fact.select("app_name").distinct().count()
     assert sum(r.impressions for r in rows) == events.count()
+
+
+def test_date_range_prunes_warehouse_partitions(spark, sf_dir):
+    """P8 at warehouse scale: over the date-partitioned report warehouse
+    a spec's dateRange must become PARTITION pruning (directories never
+    read), and the IN-list must still push to the parquet row groups —
+    the layout contract that makes per-date idempotent reload + scan
+    efficiency hold at 100 TB."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        read_report_warehouse,
+        report_fact_from_events,
+    )
+
+    wh = read_report_warehouse(spark, sf_dir)
+    spec = ReportSpec(
+        date_range=("2024-01-05", "2024-01-12"),
+        dimensions=("DATE", "APP"),
+        metrics=("CLICKS", "IMPRESSIONS"),
+        dimension_filters={"APP": ("click", "view")},
+        sort_conditions=(("DATE", "ASCENDING"), ("APP", "ASCENDING")),
+    )
+    dims = {"APP": "app_name", "UNIT": "ad_unit_name"}
+    mets = {"CLICKS": "clicks", "IMPRESSIONS": "impressions"}
+    df = compile_report(wh, spec, dim_cols=dims, metric_cols=mets)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan, plan
+    assert "PartitionFilters" in plan and "date" in plan
+    # the date bounds must live in PartitionFilters, not the data filters
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "2024-01-05" in pf and "2024-01-12" in pf, pf
+    assert "PushedFilters" in plan and "app_name" in plan
+
+    # and the pruned scan computes the same report as the unpartitioned fact
+    fact = report_fact_from_events(load_table(spark, sf_dir, "events"))
+    expect = compile_report(fact, spec, dim_cols=dims, metric_cols=mets)
+    assert df.collect() == expect.collect()
