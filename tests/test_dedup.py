@@ -121,6 +121,35 @@ def test_prefix_filter_equals_bruteforce(spark):
     assert got == want and want  # non-empty: the crafted pairs must hit
 
 
+def test_prefix_filter_df_join_falls_back_above_broadcast_limit(
+    spark, monkeypatch
+):
+    """The token→df build side is broadcast only while a row count proves
+    it small (operators/util.join_small): above the limit, the plan must
+    fall back to a shuffle join — no forced vocabulary broadcast — and
+    the pairs must be identical either way."""
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators import util
+
+    texts = ["a b c d e", "a b c d f", "z y x w v", "z y x w v"]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    broadcast = dedup.prefix_filter_pairs(docs, threshold=0.5)
+    monkeypatch.setattr(util, "BROADCAST_ROW_LIMIT", 0)
+    fallback = dedup.prefix_filter_pairs(docs, threshold=0.5)
+
+    def n_broadcast_joins(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("BroadcastHashJoin")
+
+    assert n_broadcast_joins(fallback) < n_broadcast_joins(broadcast)
+    assert sorted(map(tuple, fallback.collect())) == sorted(
+        map(tuple, broadcast.collect())
+    )
+
+
 def test_containment_detects_embedded_doc(spark):
     """A short doc fully embedded in a long one: containment(short→long)=1
     while the symmetric Jaccard stays below threshold."""
