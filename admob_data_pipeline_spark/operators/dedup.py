@@ -1179,7 +1179,11 @@ def prefix_filter_pairs(
         )
         .localCheckpoint()
     )
-    df_tab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    df_tab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint()  # join_small counts it; materialize once
+    )
     ranked = join_small(tok, df_tab, "token").select(
         "doc_id",
         "token",
