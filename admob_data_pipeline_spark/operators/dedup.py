@@ -1179,12 +1179,16 @@ def prefix_filter_pairs(
         )
         .localCheckpoint()
     )
-    df_tab = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .localCheckpoint()  # join_small counts it; materialize once
-    )
-    ranked = join_small(tok, df_tab, "token").select(
+    df_tab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # No forced broadcast and no manual row-count guard: the df table is
+    # vocabulary-sized (shingle universe — unbounded at web scale), so the
+    # broadcast decision belongs to AQE, which sizes the build side from
+    # its actual runtime shuffle bytes: small vocab → runtime broadcast
+    # join, huge vocab → stays sort-merge, no OOM. Measured at sf0.1:
+    # join_small's count()+checkpoint cost +0.7 s (~25%) over this plan,
+    # while AQE's runtime conversion is within 0.2 s of a forced
+    # broadcast — tests/test_dedup.py pins both AQE behaviors.
+    ranked = tok.join(df_tab, "token").select(
         "doc_id",
         "token",
         F.row_number()

@@ -121,32 +121,42 @@ def test_prefix_filter_equals_bruteforce(spark):
     assert got == want and want  # non-empty: the crafted pairs must hit
 
 
-def test_prefix_filter_df_join_falls_back_above_broadcast_limit(
-    spark, monkeypatch
-):
-    """The token→df build side is broadcast only while a row count proves
-    it small (operators/util.join_small): above the limit, the plan must
-    fall back to a shuffle join — no forced vocabulary broadcast — and
-    the pairs must be identical either way."""
+def test_prefix_filter_df_join_is_aqe_sized_not_forced(spark):
+    """The token→df build side is vocabulary-sized (unbounded at web
+    scale), so prefix_filter_pairs must NOT force a broadcast: AQE sizes
+    the join from runtime shuffle bytes — broadcast when small, shuffle
+    join when the threshold says no — and the pairs are identical either
+    way."""
     from pyspark.sql import Row
-
-    from admob_data_pipeline_spark.operators import util
 
     texts = ["a b c d e", "a b c d f", "z y x w v", "z y x w v"]
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
     )
-    broadcast = dedup.prefix_filter_pairs(docs, threshold=0.5)
-    monkeypatch.setattr(util, "BROADCAST_ROW_LIMIT", 0)
-    fallback = dedup.prefix_filter_pairs(docs, threshold=0.5)
 
-    def n_broadcast_joins(df):
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        return plan.count("BroadcastHashJoin")
+    def final_plan(df):
+        df.collect()  # AQE finalizes plans only on execution
+        return df._jdf.queryExecution().executedPlan().toString()
 
-    assert n_broadcast_joins(fallback) < n_broadcast_joins(broadcast)
-    assert sorted(map(tuple, fallback.collect())) == sorted(
-        map(tuple, broadcast.collect())
+    small = dedup.prefix_filter_pairs(docs, threshold=0.5)
+    assert "BroadcastHashJoin" in final_plan(small)
+
+    confs = [
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    prev = {c: spark.conf.get(c, None) for c in confs}
+    for c in confs:  # models a build side too big to ship
+        spark.conf.set(c, "-1")
+    try:
+        no_bcast = dedup.prefix_filter_pairs(docs, threshold=0.5)
+        plan = final_plan(no_bcast)
+    finally:
+        for c, v in prev.items():
+            spark.conf.unset(c) if v is None else spark.conf.set(c, v)
+    assert "BroadcastHashJoin" not in plan  # no forced broadcast anywhere
+    assert sorted(map(tuple, no_bcast.collect())) == sorted(
+        map(tuple, small.collect())
     )
 
 
