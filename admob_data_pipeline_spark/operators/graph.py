@@ -654,7 +654,9 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     )
     j = tri.crossJoin(F.broadcast(wedges)).select(
         F.col("n_tri").cast("long").alias("n_triangles"),
-        F.col("n_wedges").cast("long").alias("n_wedges"),
+        # SUM over an empty deg rollup is NULL (edge-free graph): pin it
+        # to 0 so the zero-wedge guard below actually fires there too.
+        F.coalesce(F.col("n_wedges"), F.lit(0)).cast("long").alias("n_wedges"),
     )
     return j.select(
         "n_triangles",
@@ -689,7 +691,8 @@ tri AS (
     FROM wedge_pairs w JOIN edges c ON c.u = w.y1 AND c.v = w.y2
 ),
 wedges AS (
-    SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+    SELECT CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT) AS n_wedges
+    FROM deg
 )
 SELECT n_tri AS n_triangles, n_wedges,
        CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) ELSE
@@ -1019,17 +1022,21 @@ def kcore(edges: DataFrame, k: int = KCORE_K, iters: int = KCORE_ITERS) -> DataF
     with its degree as measured in the final peel, plus a ``converged``
     flag (1 iff the last two survivor sets are identical in size) so a
     cascade deeper than the round budget is detectable instead of
-    silently returning an under-peeled "core".
+    silently returning an under-peeled "core". ``converged = 0`` means
+    UNVERIFIED, not wrong: count-equality needs one witness no-op round,
+    so a cascade that reaches its fixed point exactly at round ``iters``
+    reports 0 on a correct core — one extra round upgrades it to 1.
 
     Scale: each round is two semi-joins (edge endpoints against the
     survivor set) + one partial-agg degree count, lineage truncated per
     round with localCheckpoint — the PageRank round shape; no round ever
     materializes more than the live edge list.
     """
+    if iters < 1:
+        raise ValueError("kcore needs at least one peel round")
     adj = _adjacency(edges).localCheckpoint()
     nodes = adj.select(F.col("src").alias("node")).distinct().localCheckpoint()
     deg = None
-    prev_nodes = nodes
     for _ in range(iters):
         prev_nodes = nodes
         surv = adj.join(

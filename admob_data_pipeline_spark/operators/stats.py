@@ -403,6 +403,62 @@ def ewma_spikes(
     return ewma_from_daily(daily, group_col)
 
 
+# Validity window for calendar densification. The dense grid explodes each
+# group's [min(d), max(d)] span, so ONE corrupt sentinel timestamp
+# (1970-01-01, 9999-12-31) would otherwise inflate a 30-day group to a
+# multi-thousand-row grid on both engines. Days outside the window are
+# quarantined (dropped before the span is measured), mirrored in the
+# oracle CTEs below. Wide enough to be policy-free for real ad data.
+DENSE_MIN_DATE = "1990-01-01"
+DENSE_MAX_DATE = "2099-12-31"
+
+
+def _densify_daily(daily: DataFrame) -> DataFrame:
+    """Zero-fill a (g, d, vm) rollup over each group's calendar span.
+
+    Returns (g, d, vm, obs): one row per group per CALENDAR day between
+    the group's observed min(d) and max(d) (within the sentinel-
+    quarantine validity window), vm = 0 and obs = 0 on unobserved days.
+    Shared by ewma_from_daily and dow_adjusted_spikes; the SQL mirror is
+    ``_dense_ctes`` — edit both together.
+    """
+    daily = daily.where(
+        F.col("d").between(F.lit(DENSE_MIN_DATE), F.lit(DENSE_MAX_DATE))
+    )
+    span = daily.groupBy("g").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select("g", F.explode(F.sequence("d0", "d1")).alias("d"))
+    obs_daily = daily.withColumnRenamed("vm", "vm_obs").withColumn(
+        "obs", F.lit(1)
+    )
+    return grid.join(obs_daily, ["g", "d"], "left").select(
+        "g",
+        "d",
+        F.coalesce("vm_obs", F.lit(0)).cast("long").alias("vm"),
+        F.coalesce("obs", F.lit(0)).alias("obs"),
+    )
+
+
+def _dense_ctes(daily_cte: str = "daily") -> str:
+    """DuckDB mirror of ``_densify_daily`` — span/grid/dense CTE chain
+    (without the leading WITH), reading from ``daily_cte``."""
+    return f"""
+valid AS (
+    SELECT * FROM {daily_cte}
+    WHERE d BETWEEN DATE '{DENSE_MIN_DATE}' AND DATE '{DENSE_MAX_DATE}'
+),
+span AS (SELECT g, MIN(d) AS d0, MAX(d) AS d1 FROM valid GROUP BY g),
+grid AS (
+    SELECT g, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+    FROM span
+),
+dense AS (
+    SELECT grid.g, grid.d,
+           CAST(COALESCE(valid.vm, 0) AS BIGINT) AS vm,
+           CASE WHEN valid.d IS NULL THEN 0 ELSE 1 END AS obs
+    FROM grid LEFT JOIN valid ON valid.g = grid.g AND valid.d = grid.d
+)"""
+
+
 def ewma_from_daily(daily: DataFrame, group_col: str = "event_type") -> DataFrame:
     """EWMA finalization over an already-built (g, d, vm) daily rollup —
     shared by the batch operator above and the streaming foreachBatch
@@ -410,25 +466,22 @@ def ewma_from_daily(daily: DataFrame, group_col: str = "event_type") -> DataFram
     associative, so a rollup accumulated across micro-batches finalizes
     to the identical result.
 
-    Calendar-dense lags: the rollup is densified over each group's
-    [min(d), max(d)] span (zero-filled, observed-flagged) before the lag
-    window, so "the previous W days" means CALENDAR days — a gap in the
-    series contributes zero volume instead of silently stretching the
-    baseline onto older days. Only observed days are emitted; the first
-    W calendar days of each group are excluded as before (partial
-    windows would re-weight the smoother).
+    Calendar-dense lags (``_densify_daily``): the rollup is zero-filled
+    over each group's [min(d), max(d)] span before the lag window, so
+    "the previous W days" means CALENDAR days — a gap in the series
+    contributes zero volume instead of silently stretching the baseline
+    onto older days. Only observed days are emitted; the first W
+    calendar days of each group are excluded as before (partial windows
+    would re-weight the smoother).
+
+    Gap contract: after an outage LONGER than W days the first day back
+    has an all-zero baseline (ewma_num = 0) and is NOT scored — no
+    baseline, no verdict; it becomes the seed of the next baseline and
+    scoring resumes the following day. An outage of 1..W days leaves a
+    partial baseline, so the return day IS scored (against the reduced
+    smoother — deliberately aggressive after a gap).
     """
-    span = daily.groupBy("g").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
-    grid = span.select("g", F.explode(F.sequence("d0", "d1")).alias("d"))
-    obs_daily = daily.withColumnRenamed("vm", "vm_obs").withColumn(
-        "obs", F.lit(1)
-    )
-    dense = grid.join(obs_daily, ["g", "d"], "left").select(
-        "g",
-        "d",
-        F.coalesce("vm_obs", F.lit(0)).cast("long").alias("vm"),
-        F.coalesce("obs", F.lit(0)).alias("obs"),
-    )
+    dense = _densify_daily(daily)
     w = Window.partitionBy("g").orderBy("d")
     lags = [F.lag("vm", i).over(w).alias(f"l{i}") for i in range(1, EWMA_W + 1)]
     t = dense.select("g", "d", "vm", "obs", *lags).where(
@@ -483,17 +536,7 @@ WITH daily AS (
            CAST(SUM(CAST(FLOOR(value * {VALUE_SCALE}) AS BIGINT)) AS BIGINT) AS vm
     FROM events GROUP BY g, d
 ),
-span AS (SELECT g, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY g),
-grid AS (
-    SELECT g, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
-    FROM span
-),
-dense AS (
-    SELECT grid.g, grid.d,
-           CAST(COALESCE(daily.vm, 0) AS BIGINT) AS vm,
-           CASE WHEN daily.d IS NULL THEN 0 ELSE 1 END AS obs
-    FROM grid LEFT JOIN daily ON daily.g = grid.g AND daily.d = grid.d
-),
+{_dense_ctes().strip()},
 t AS (
     SELECT g, d, vm, obs,
            {_EWMA_LAGS}
@@ -1160,12 +1203,14 @@ def dow_adjusted_spikes(
     ``weekday()``, DuckDB ``isodow − 1`` — their default dayofweek
     functions disagree on Sunday).
 
-    Calendar-dense lags: the rollup is densified over each group's
-    [min(d), max(d)] span (zero-filled, observed-flagged) before the lag
-    window, so "the previous L same-weekday days" means CALENDAR weeks —
-    a skipped Monday contributes zero volume to later Mondays' baselines
-    instead of stretching them onto older weeks. Only observed days are
-    emitted.
+    Calendar-dense lags (``_densify_daily``): the rollup is zero-filled
+    over each group's [min(d), max(d)] span before the lag window, so
+    "the previous L same-weekday days" means CALENDAR weeks — a skipped
+    Monday contributes zero volume to later Mondays' baselines instead
+    of stretching them onto older weeks. Only observed days are emitted;
+    the same gap contract as ewma_from_daily applies per weekday (all L
+    prior same-weekdays unobserved → base_sum = 0 → the day is not
+    scored).
 
     Scale: (group, day) rollup first; lags run per (group, weekday)
     partition — calendar-bounded.
@@ -1173,17 +1218,7 @@ def dow_adjusted_spikes(
     daily = ev.groupBy(
         F.col(group_col).alias("g"), F.col("ts").cast("date").alias("d")
     ).agg(F.sum(_vm(value_col)).alias("vm"))
-    span = daily.groupBy("g").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
-    grid = span.select("g", F.explode(F.sequence("d0", "d1")).alias("d"))
-    obs_daily = daily.withColumnRenamed("vm", "vm_obs").withColumn(
-        "obs", F.lit(1)
-    )
-    dense = grid.join(obs_daily, ["g", "d"], "left").select(
-        "g",
-        "d",
-        F.coalesce("vm_obs", F.lit(0)).cast("long").alias("vm"),
-        F.coalesce("obs", F.lit(0)).alias("obs"),
-    )
+    dense = _densify_daily(daily)
     w = Window.partitionBy("g", "dow").orderBy("d")
     lags = [F.lag("vm", i).over(w).alias(f"l{i}") for i in range(1, DOW_LOOKBACK + 1)]
     t = dense.withColumn("dow", F.weekday("d")).select(
@@ -1230,17 +1265,7 @@ WITH daily AS (
            CAST(SUM(CAST(FLOOR(value * {VALUE_SCALE}) AS BIGINT)) AS BIGINT) AS vm
     FROM events GROUP BY g, d
 ),
-span AS (SELECT g, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY g),
-grid AS (
-    SELECT g, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
-    FROM span
-),
-dense AS (
-    SELECT grid.g, grid.d,
-           CAST(COALESCE(daily.vm, 0) AS BIGINT) AS vm,
-           CASE WHEN daily.d IS NULL THEN 0 ELSE 1 END AS obs
-    FROM grid LEFT JOIN daily ON daily.g = grid.g AND daily.d = grid.d
-),
+{_dense_ctes().strip()},
 t AS (
     SELECT g, d, dow, vm, obs,
            {_DOW_LAGS}

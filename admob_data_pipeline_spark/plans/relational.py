@@ -323,33 +323,19 @@ def _chunk_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the flatten benchmark. The synthesis is deterministic, so the
     cached file is equivalent — and reading it exercises the REAL path:
     nested parquet scan → flatten kernel."""
-    import hashlib
     import os
-    import tempfile
-    import uuid
 
-    # cache key includes a fingerprint of the source file (mtime+size) so a
-    # regenerated sf_dir invalidates the cache instead of serving stale rows
-    src = os.path.join(sf_dir, "lineitem.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_chunks_{key}.parquet")
-    if not os.path.isdir(path):
+    from admob_data_pipeline_spark.sources.scratch import cached_parquet_dir
+
+    def write(tmp: str) -> None:
         li = load_table(spark, sf_dir, "lineitem")
-        # write to a unique scratch dir, then atomically rename into place:
-        # a concurrent run either sees the complete directory or none at all
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         chunks_mod.synthesize_chunks_from_lineitem(li).write.mode(
             "overwrite"
         ).parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:  # lost the race: another run renamed first
-            import shutil
 
-            shutil.rmtree(tmp, ignore_errors=True)
+    path = cached_parquet_dir(
+        "chunks", os.path.join(sf_dir, "lineitem.parquet"), write
+    )
     return spark.read.parquet(path)
 
 

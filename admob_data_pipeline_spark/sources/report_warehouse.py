@@ -18,14 +18,13 @@ pruning actually happens (tests/test_report_spec.py).
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
-import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.operators.stats import VALUE_SCALE
+from admob_data_pipeline_spark.sources.scratch import cached_parquet_dir
 
 
 def report_fact_from_events(events: DataFrame) -> DataFrame:
@@ -39,37 +38,29 @@ def report_fact_from_events(events: DataFrame) -> DataFrame:
         F.concat(F.lit("unit-"), (F.col("user_id") % 8).cast("string")).alias(
             "ad_unit_name"
         ),
-        F.floor(F.col("value") * 1000).cast("long").alias("clicks"),
+        F.floor(F.col("value") * VALUE_SCALE).cast("long").alias("clicks"),
         F.lit(1).cast("long").alias("impressions"),
     )
 
 
 def materialize_report_warehouse(spark: SparkSession, sf_dir: str) -> str:
     """Write (once) and return the path of the date-partitioned report
-    warehouse for ``sf_dir``. Atomic rename publish, fingerprint-keyed
-    cache — concurrent callers see a complete directory or none."""
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"report-wh|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_reportwh_{key}")
-    if not os.path.isdir(path):
+    warehouse for ``sf_dir`` (sources/scratch.py publish contract)."""
+
+    def write(tmp: str) -> None:
         from admob_data_pipeline_spark.sources.tables import load_table
 
         fact = report_fact_from_events(load_table(spark, sf_dir, "events"))
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         # One file per date partition: the fixture is small and a report
         # warehouse's partition grain (date) is the unit of idempotent
         # reload — matches sinks.writers.overwrite_partitions layout.
         fact.repartition("date").write.mode("overwrite").partitionBy(
             "date"
         ).parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:  # lost the publish race
-            shutil.rmtree(tmp, ignore_errors=True)
-    return path
+
+    return cached_parquet_dir(
+        "reportwh", os.path.join(sf_dir, "events.parquet"), write
+    )
 
 
 def read_report_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -126,6 +126,42 @@ def test_ewma_gap_days_count_as_zero_volume(spark):
     assert r.is_spike == 1
 
 
+def test_ewma_gap_longer_than_window_unscored_then_reseeds(spark):
+    # Outage LONGER than W: the return day's baseline is all zeros
+    # (ewma_num = 0) → not scored (no baseline, no verdict); the day
+    # after is scored against a baseline seeded by the return day alone.
+    rows = [_ev(d, "deep", 10.0) for d in range(6)] + [
+        _ev(14, "deep", 10.0),
+        _ev(15, "deep", 10.0),
+    ]
+    out = {r.d.day - 1: r for r in ewma_spikes(spark.createDataFrame(rows)).collect()}
+    assert 14 not in out  # return day has no baseline
+    assert 15 in out  # scored against the reseeded baseline
+    assert out[15].ewma_num == 10_000 * 32  # lag-1 weight 2^5, rest zero
+    assert out[15].is_spike == 0  # 63/32 ≈ 2× is NOT > SPIKE_X strictly
+
+
+def test_dow_spikes_skipped_weekday_counts_as_zero(spark):
+    # Five consecutive Mondays at 10, the middle one missing: the sixth
+    # Monday's 4-week baseline is (10, 10, 0, 10)·scale — the skipped
+    # week contributes zero instead of pulling in a fifth-oldest Monday.
+    from admob_data_pipeline_spark.operators.stats import dow_adjusted_spikes
+
+    import datetime
+
+    mondays = [0, 7, 14, 28, 35]  # day 21 skipped
+    rows = [_ev(d, "mon", 10.0) for d in mondays]
+    out = {
+        (r.d - datetime.date(2024, 1, 1)).days: r
+        for r in dow_adjusted_spikes(spark.createDataFrame(rows)).collect()
+    }
+    # day 28: lags are days 21(0-filled), 14, 7, 0 — and day 35: lags are
+    # days 28, 21(0-filled), 14, 7. Earlier days lack a full 4-lag history.
+    assert sorted(out) == [28, 35]
+    assert out[28].base_sum == 30_000 and out[35].base_sum == 30_000
+    assert out[35].is_spike == 0  # 10k·4 = 40k ≤ 2·30k
+
+
 def test_stats_partition_invariance(spark):
     rows = [
         _ev(d % 17, "p", float((d * 7) % 23) + 0.5, uid=d % 11) for d in range(400)
