@@ -904,9 +904,14 @@ def recsys_hitrate(
         F.lit(k).cast("int").alias("k"),
         F.col("n_users").cast("long").alias("n_users_eval"),
         F.col("n_hit").cast("long").alias("n_hit_users"),
+        # Degenerate split (no user holds both train and test items):
+        # hitrate defined as 0, guarded so ANSI mode cannot throw where
+        # the DuckDB oracle would return NULL.
         F.expr(
+            "CASE WHEN n_users = 0 THEN CAST(0 AS BIGINT) ELSE "
             "CAST((n_hit * 1000 DIV n_users) * 1000"
             "     + (n_hit * 1000 % n_users) * 1000 DIV n_users AS BIGINT)"
+            " END"
         ).alias("hitrate_ppm"),
     )
 
@@ -998,9 +1003,10 @@ stats AS (
 )
 SELECT CAST({REC_K} AS INT) AS k,
        n_users AS n_users_eval, n_hit AS n_hit_users,
+       CASE WHEN n_users = 0 THEN CAST(0 AS BIGINT) ELSE
        CAST((n_hit * 1000 // n_users) * 1000
             + (n_hit * 1000 % n_users) * 1000 // n_users AS BIGINT)
-           AS hitrate_ppm
+       END AS hitrate_ppm
 FROM stats
 """
 

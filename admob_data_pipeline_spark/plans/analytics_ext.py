@@ -2452,12 +2452,14 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
         F.col("d_scaled").cast("long").alias("d_scaled"),
-        (
-            F.expr("d_scaled * 1000 DIV (n1 * n2)") * 1000
-            + F.expr("(d_scaled * 1000 % (n1 * n2)) * 1000 DIV (n1 * n2)")
-        )
-        .cast("long")
-        .alias("ks_ppm"),
+        # One empty class (n1·n2 = 0) → the statistic is undefined: NULL,
+        # guarded so ANSI mode cannot throw where DuckDB's // returns NULL.
+        F.expr(
+            "CASE WHEN n1 * n2 = 0 THEN CAST(NULL AS BIGINT) ELSE "
+            "CAST((d_scaled * 1000 DIV (n1 * n2)) * 1000"
+            "     + (d_scaled * 1000 % (n1 * n2)) * 1000 DIV (n1 * n2)"
+            " AS BIGINT) END"
+        ).alias("ks_ppm"),
     )
 
 
@@ -2484,8 +2486,10 @@ dmax AS (
     FROM cums, stats
 )
 SELECT n1, n2, CAST(d_scaled AS BIGINT) AS d_scaled,
+       CASE WHEN n1 * n2 = 0 THEN CAST(NULL AS BIGINT) ELSE
        CAST((d_scaled * 1000 // (n1 * n2)) * 1000
-            + (d_scaled * 1000 % (n1 * n2)) * 1000 // (n1 * n2) AS BIGINT) AS ks_ppm
+            + (d_scaled * 1000 % (n1 * n2)) * 1000 // (n1 * n2) AS BIGINT)
+       END AS ks_ppm
 FROM dmax
 """
 
@@ -2619,15 +2623,14 @@ def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
         u2.cast("long").alias("u2_stat"),
-        (
-            F.expr("(r2_seg - n1 * (n1 + 1)) * 1000 DIV (2 * n1 * n2)") * 1000
-            + F.expr(
-                "((r2_seg - n1 * (n1 + 1)) * 1000 % (2 * n1 * n2)) * 1000"
-                " DIV (2 * n1 * n2)"
-            )
-        )
-        .cast("long")
-        .alias("auc_ppm"),
+        # One empty class (n1·n2 = 0) → AUC undefined: NULL, guarded so
+        # ANSI mode cannot throw where DuckDB's // returns NULL.
+        F.expr(
+            "CASE WHEN n1 * n2 = 0 THEN CAST(NULL AS BIGINT) ELSE "
+            "CAST(((r2_seg - n1 * (n1 + 1)) * 1000 DIV (2 * n1 * n2)) * 1000"
+            "     + ((r2_seg - n1 * (n1 + 1)) * 1000 % (2 * n1 * n2)) * 1000"
+            "       DIV (2 * n1 * n2) AS BIGINT) END"
+        ).alias("auc_ppm"),
     )
 
 
@@ -2651,9 +2654,11 @@ stats AS (
 )
 SELECT n1, n2,
        CAST(r2_seg - n1 * (n1 + 1) AS BIGINT) AS u2_stat,
+       CASE WHEN n1 * n2 = 0 THEN CAST(NULL AS BIGINT) ELSE
        CAST(((r2_seg - n1 * (n1 + 1)) * 1000 // (2 * n1 * n2)) * 1000
             + ((r2_seg - n1 * (n1 + 1)) * 1000 % (2 * n1 * n2)) * 1000
-              // (2 * n1 * n2) AS BIGINT) AS auc_ppm
+              // (2 * n1 * n2) AS BIGINT)
+       END AS auc_ppm
 FROM stats
 """
 
@@ -2753,8 +2758,6 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Σ(2i−n−1)x = Σ(2i−1)x − n·Σx  (wsum carries the (2i−1) weights)
     num = F.col("wsum") - F.col("n") * F.col("total")
     den = F.col("n") * F.col("total")
-    t1 = F.expr("num * 1000 DIV den")
-    t2 = F.expr("(num * 1000 % den) * 1000 DIV den")
     return (
         stats.select(
             F.col("n").alias("n_customers"),
@@ -2765,7 +2768,13 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_customers",
             "total_cents",
-            (t1 * 1000 + t2).cast("long").alias("gini_ppm"),
+            # All-zero revenue (den = 0) → Gini undefined: NULL, same
+            # ANSI-vs-DuckDB guard as ks/rank-sum.
+            F.expr(
+                "CASE WHEN den = 0 THEN CAST(NULL AS BIGINT) ELSE "
+                "CAST((num * 1000 DIV den) * 1000"
+                "     + (num * 1000 % den) * 1000 DIV den AS BIGINT) END"
+            ).alias("gini_ppm"),
         )
     )
 
@@ -2790,8 +2799,9 @@ nd AS (
     SELECT n, total, wsum - n * total AS num, n * total AS den FROM stats
 )
 SELECT n AS n_customers, total AS total_cents,
+       CASE WHEN den = 0 THEN CAST(NULL AS BIGINT) ELSE
        CAST((num * 1000 // den) * 1000 + (num * 1000 % den) * 1000 // den AS BIGINT)
-           AS gini_ppm
+       END AS gini_ppm
 FROM nd
 """
 

@@ -359,3 +359,46 @@ def test_equidepth_histogram_balanced_depths(spark):
     # 100 uniform values, 10 buckets -> fences at 10,20,...,100 (cents x100)
     assert [r.upper_cents for r in out] == [j * 10 * 100 for j in range(1, 11)]
     assert all(r.n_rows == 100 for r in out)
+
+
+def test_degenerate_denominators_emit_null_not_ansi_error(spark):
+    # One empty class (KS / rank-sum) or all-zero revenue (Gini): the
+    # statistic is undefined → NULL row, matching DuckDB's `x // 0 →
+    # NULL` instead of Spark ANSI's DivideByZeroError. Build inputs that
+    # drive each denominator to zero through the public query path.
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        q_ks_test,
+        q_rank_sum_test,
+        q_revenue_gini,
+    )
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="degen_sf_")
+    # every customer in one segment -> the non-segment class is empty
+    spark.createDataFrame(
+        [Row(c_custkey=i, c_mktsegment="BUILDING", c_nationkey=1) for i in (1, 2)]
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    # all order totals zero -> Gini den = n * total = 0
+    spark.createDataFrame(
+        [
+            Row(
+                o_orderkey=i,
+                o_custkey=i,
+                o_totalprice=0.0,
+                o_orderdate=datetime.date(2024, 1, i),
+                o_orderpriority="1-URGENT",
+                o_orderstatus="O",
+            )
+            for i in (1, 2)
+        ]
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+
+    [ks] = q_ks_test(spark, d).collect()
+    assert ks.ks_ppm is None and 0 in (ks.n1, ks.n2)
+    [rs] = q_rank_sum_test(spark, d).collect()
+    assert rs.auc_ppm is None
+    [g] = q_revenue_gini(spark, d).collect()
+    assert g.gini_ppm is None and g.total_cents == 0
