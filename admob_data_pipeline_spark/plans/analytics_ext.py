@@ -2419,7 +2419,11 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     max|cum1·n2 − cum2·n1| over the merged support (exact BIGINT; the
     classic cross-multiplication), with the ppm quotient two-staged at
     the end. No floats, no ties ambiguity (step function evaluated at
-    every distinct value).
+    every distinct value). Headroom: d_scaled ≤ n1·n2 and the final
+    stage multiplies by 1000, so exactness holds to n1·n2 < 2^63/1000 ≈
+    9.2e15 (both classes ~1e8 rows — two-sample tests beyond that
+    should run per-stratum or on a documented sample); identical bound
+    for the rank-sum AUC below.
 
     Scale: one aggregation to per-value group counts, one cumulative
     window over |distinct values| rows, one max.
