@@ -1143,16 +1143,17 @@ def negative_samples(
     ``positives`` = (c, p) interactions; ``items`` = the item dimension.
 
     Scale: users×k explode is map-only; the item lookup joins on a dense
-    hash index built with one dimension-bounded window (items is a
-    dimension table, not the fact stream); the positive collision check
-    is one anti-join on (user, item).
+    0..N−1 hash index built with two-phase distributed ranking
+    (util.dense_global_index — range-repartition + per-partition offsets),
+    so a web-scale item dimension never funnels through the
+    single-partition sort a bare global row_number would plan; the
+    positive collision check is one anti-join on (user, item).
     """
+    from admob_data_pipeline_spark.operators.util import dense_global_index
+
     users = positives.select("c").distinct()
-    idx = items.select(
-        F.col("p_partkey").alias("item"),
-        (
-            F.row_number().over(Window.orderBy("p_partkey")) - 1
-        ).cast("long").alias("idx"),
+    idx = dense_global_index(
+        items.select(F.col("p_partkey").alias("item")), ["item"]
     ).localCheckpoint()
     n_items = idx.count()
     cand = users.select(

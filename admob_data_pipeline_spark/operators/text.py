@@ -1133,16 +1133,22 @@ def vocab_coverage(
     <unk> or byte-fallback).
 
     Scale: the corpus reduces to its token-frequency table (one shuffle,
-    map-side partial agg); the global frequency ranking is a window over
-    that vocabulary-sized table, not the corpus. Coverage is an exact
-    integer ppm (BIGINT·1e6 DIV total) — engine/partitioning independent."""
+    map-side partial agg), and the ranking touches only the top
+    ``max(sizes)`` tokens via orderBy+limit — Spark's
+    TakeOrderedAndProject does per-partition partial top-K and merges K
+    rows, so NO vocabulary-wide single-partition sort exists in the plan
+    (a web-scale vocab would serialize one there; the only remaining
+    window runs over ≤ max(sizes) rows). Coverage is an exact integer
+    ppm (BIGINT·1e6 DIV total) — engine/partitioning independent."""
     counts = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # reused by the top-K scan and the total
     )
     w = Window.orderBy(F.desc("n"), F.asc("token"))
-    ranked = counts.withColumn("rnk", F.row_number().over(w)).localCheckpoint()
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(max(sizes))
+    ranked = top.withColumn("rnk", F.row_number().over(w))
     sizes_df = docs.sparkSession.createDataFrame(
         [(v,) for v in sizes], "vocab_size int"
     )
@@ -1152,7 +1158,7 @@ def vocab_coverage(
         .groupBy("vocab_size")
         .agg(F.sum("n").alias("covered"))
     )
-    total = ranked.agg(F.sum("n").alias("total"))
+    total = counts.agg(F.sum("n").alias("total"))
     return (
         covered.crossJoin(total)
         .select(

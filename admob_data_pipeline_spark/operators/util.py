@@ -59,3 +59,48 @@ def join_small(
     if small.count() <= limit:
         return big.join(F.broadcast(small), on, how)
     return big.join(small, on, how)
+
+
+def dense_global_index(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "idx",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """0-based dense index over a UNIQUE-key ordering, without the
+    single-partition sort a bare ``row_number() OVER (ORDER BY ...)``
+    plans (WindowExec moves every row to one task — serial and
+    OOM-prone once the table outgrows one executor, e.g. a web-scale
+    item dimension or vocabulary).
+
+    Two-phase distributed ranking instead: range-repartition on the key
+    (Spark's sampled RangePartitioner — ascending key ranges land on
+    ascending partition ids), rank WITHIN each partition, then add
+    per-partition row-count offsets (a window over n_parts rows,
+    broadcast back). Output values are identical to the global window
+    for unique keys regardless of where the sampled range boundaries
+    fall; ties would make within-partition order nondeterministic, so
+    callers must order by a key. Ascending order only.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = n_parts or spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # pin partition ids for the two consumers
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
+    within = part.withColumn("_rn", F.row_number().over(w_in))
+    sizes = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        within.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, (F.col("_rn") + F.col("_off") - 1).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )

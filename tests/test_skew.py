@@ -103,3 +103,30 @@ def test_skew_stress_join_splits_without_broadcast(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dense_global_index_matches_global_window(spark):
+    """Two-phase distributed ranking must equal the single-partition
+    global window for unique keys, with every window in its plan
+    partitioned (no vocabulary-wide WindowExec funnel)."""
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from admob_data_pipeline_spark.operators.util import dense_global_index
+
+    df = spark.createDataFrame([Row(k=(i * 37) % 5000) for i in range(5000)])
+    got = {r.k: r.idx for r in dense_global_index(df, ["k"]).collect()}
+    want = {
+        r.k: r.idx
+        for r in df.withColumn(
+            "idx", F.row_number().over(Window.orderBy("k")) - 1
+        ).collect()
+    }
+    assert got == want
+    # the only unpartitioned window runs over n_parts offset rows
+    plan = dense_global_index(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    big_windows = [
+        l for l in plan.splitlines()
+        if "Window" in l and "_pid" not in l and "windowspecdefinition" in l.lower()
+    ]
+    assert all("_n" in l or "_off" in l for l in big_windows), big_windows
