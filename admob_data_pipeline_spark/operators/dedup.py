@@ -40,7 +40,16 @@ BAND_ROWS = 2
 N_BANDS = N_HASHES // BAND_ROWS
 JACCARD_THRESHOLD = 0.5
 MAX_DF = 400  # stop-shingle cap (docs per shingle) at test scale
-SIMHASH_BITS = 16
+# 32-bit SimHash in 4 bands of 8 bits. Band count is pinned to
+# HAMMING_MAX + 1 (pigeonhole: ≤3 differing bits cannot touch all 4
+# bands → banding recall is exactly 1 at the verification threshold);
+# widening the BAND, not adding bands, is what controls candidate
+# volume — 8-bit bands give 256 buckets per band vs 16 for the old
+# 4-bit nibbles, a 16× collision cut at identical recall (measured
+# 6.4 s → see ROUND_NOTES r4; near-quadratic growth tamed). 64-bit
+# would overflow the oracle's signed-BIGINT bit assembly at 2^63.
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = SIMHASH_BITS // 4
 HAMMING_MAX = 3
 
 
@@ -466,8 +475,9 @@ def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """16-bit SimHash over distinct tokens: token hash = first 4 hex digits
-    of md5(token); bit_j majority-voted across tokens (+1/−1), ties → 1."""
+    """SIMHASH_BITS-wide SimHash over distinct tokens: token hash = the
+    first SIMHASH_BITS/4 hex digits of md5(token); bit_j majority-voted
+    across tokens (+1/−1), ties → 1."""
     tok = widen_if_narrow(docs).select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     )
@@ -494,8 +504,9 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share ≥1 of 4 nibble bands,
-    verified by Hamming distance ≤ hamming_max."""
+    """Near-dup pairs by SimHash: candidates share ≥1 of the 4
+    SIMHASH_BAND_BITS-bit bands, verified by Hamming ≤ hamming_max —
+    recall exactly 1 by pigeonhole (see the constants block)."""
     s = simhash(docs)
     nibbles = s.select(
         "doc_id",
@@ -506,7 +517,8 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band"),
                         (
-                            F.shiftright(F.col("simhash"), (3 - b) * 4) % 16
+                            F.shiftright(F.col("simhash"), (3 - b) * SIMHASH_BAND_BITS)
+                            % (1 << SIMHASH_BAND_BITS)
                         ).alias("nib"),
                     )
                     for b in range(4)
@@ -835,7 +847,7 @@ sim AS (
 ),
 nib AS (
     SELECT doc_id, simhash, g.band,
-           (simhash >> ((3 - g.band) * 4)) & 15 AS nib
+           (simhash >> ((3 - g.band) * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS nib
     FROM sim, generate_series(0, 3) AS g(band)
 ),
 cand AS (
