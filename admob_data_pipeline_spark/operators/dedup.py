@@ -40,15 +40,21 @@ BAND_ROWS = 2
 N_BANDS = N_HASHES // BAND_ROWS
 JACCARD_THRESHOLD = 0.5
 MAX_DF = 400  # stop-shingle cap (docs per shingle) at test scale
-# 32-bit SimHash in 4 bands of 8 bits. Band count is pinned to
+# 60-bit SimHash in 4 bands of 15 bits. Band count is pinned to
 # HAMMING_MAX + 1 (pigeonhole: ≤3 differing bits cannot touch all 4
 # bands → banding recall is exactly 1 at the verification threshold);
 # widening the BAND, not adding bands, is what controls candidate
-# volume — 8-bit bands give 256 buckets per band vs 16 for the old
-# 4-bit nibbles, a 16× collision cut at identical recall (measured
-# 6.4 s → see ROUND_NOTES r4; near-quadratic growth tamed). 64-bit
-# would overflow the oracle's signed-BIGINT bit assembly at 2^63.
-SIMHASH_BITS = 32
+# volume — 15-bit bands give 32768 buckets per band (vs 256 at 8-bit,
+# 16 at the original 4-bit nibbles: each widening round was measured,
+# see ROUND_NOTES r4). At N docs the expected band-join volume is
+# ~4·N²/2^band_bits, so 15-bit bands are a further 128× collision cut
+# over 8-bit at identical recall, and hamming ≤ 3 of 60 bits is a
+# tighter (more production-faithful) near-dup notion than 3 of 32.
+# 60 is the widest hex-digit-aligned width whose top bit weight
+# 2^(bits−1) = 2^59 keeps the assembled signature a NON-NEGATIVE
+# BIGINT on both engines — 64 would put bit 0 at 2^63 (overflow), and
+# signed signatures would break the sign-free shift/mod band math.
+SIMHASH_BITS = 60
 SIMHASH_BAND_BITS = SIMHASH_BITS // 4
 HAMMING_MAX = 3
 
@@ -476,20 +482,23 @@ def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """SIMHASH_BITS-wide SimHash over distinct tokens: token hash = the
-    first SIMHASH_BITS/4 hex digits of md5(token); bit_j majority-voted
-    across tokens (+1/−1), ties → 1."""
+    first SIMHASH_BITS/4 hex digits of md5(token) parsed ONCE into a
+    non-negative BIGINT (≤15 hex chars — playbook #4), each bit then a
+    shift-AND on that long; bit_j majority-voted across tokens (+1/−1),
+    ties → 1. The single conv() replaces SIMHASH_BITS per-token
+    substring/instr string parses — integer bit math is what keeps the
+    vote projection cheap at 60 columns (measured 11 s → see
+    ROUND_NOTES r4)."""
     tok = widen_if_narrow(docs).select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     )
-    h = F.md5(F.col("tok"))
-    # digit value of hex char at 1-based position p: instr-based parse
-    def digit(p: int) -> Column:
-        return F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1
-
+    hv = F.conv(
+        F.substring(F.md5(F.col("tok")), 1, SIMHASH_BITS // 4), 16, 10
+    ).cast("long")
+    tok = tok.select("doc_id", hv.alias("hv"))
     bit_cols = []
     for j in range(SIMHASH_BITS):
-        d = digit(j // 4 + 1)
-        bit = F.floor(d / F.lit(2 ** (3 - j % 4))).cast("long") % 2
+        bit = F.shiftright(F.col("hv"), SIMHASH_BITS - 1 - j).bitwiseAND(F.lit(1))
         bit_cols.append((bit * 2 - 1).alias(f"v{j}"))
     votes = tok.select("doc_id", *bit_cols)
     agg = votes.groupBy("doc_id").agg(
@@ -819,11 +828,10 @@ ORDER BY batch_doc, index_doc
 )
 
 
-_SIM_DIGIT = "strpos('0123456789abcdef', substr(md5(tok), {pos}, 1)) - 1"
+# One BIGINT parse of the 15-hex md5 prefix per token (playbook #4),
+# then shift-AND per bit — mirrors the Spark side's conv() exactly.
 _SIM_VOTES = ",\n".join(
-    "           SUM((FLOOR(({d}) / {p}) % 2) * 2 - 1) AS s{j}".format(
-        d=_SIM_DIGIT.format(pos=j // 4 + 1), p=2 ** (3 - j % 4), j=j
-    )
+    f"           SUM(((hv >> {SIMHASH_BITS - 1 - j}) & 1) * 2 - 1) AS s{j}"
     for j in range(SIMHASH_BITS)
 )
 _SIM_VALUE = " + ".join(
@@ -836,10 +844,15 @@ WITH tok AS (
     SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
     FROM documents
 ),
+tokh AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(tok), 1, {SIMHASH_BITS // 4}) AS BIGINT) AS hv
+    FROM tok
+),
 votes AS (
     SELECT doc_id,
 {_SIM_VOTES}
-    FROM tok
+    FROM tokh
     GROUP BY doc_id
 ),
 sim AS (
