@@ -541,16 +541,19 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     b = nibbles.select(
         F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b"), "band", "nib"
     )
-    cand = (
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # Verify BEFORE deduplicating: the hamming check is a map-side
+    # bit_count on rows the band join already co-located, so the
+    # distinct() — the only extra shuffle here — moves just the verified
+    # near-dup pairs, not every band collision. (hamming is functionally
+    # determined by (a, b), so distinct on the triple ≡ distinct on the
+    # pair.)
+    return (
         a.join(b, ["band", "nib"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sim_a", "sim_b")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        cand.select("a", "b", ham.cast("int").alias("hamming"))
+        .select("a", "b", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= hamming_max)
+        .distinct()
         .orderBy("a", "b")
     )
 

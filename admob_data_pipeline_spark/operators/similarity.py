@@ -16,7 +16,14 @@ Scale design:
   seeded projection matrix; coordinate signs keep the oracle portable).
   Candidates are bucket-mates only → candidate count drops ~2^n_planes;
   recall < 1 by design and is measured against the brute-force baseline
-  in tests.
+  in tests. Sizing rule at scale: pairwise consumers (near-dup) do
+  Θ(Σ bucket²) work, so ``n_planes`` must GROW with the corpus —
+  n_planes ≈ log2(N / target_bucket_rows) keeps bucket occupancy (and
+  thus per-bucket pair volume) constant as N scales; recall is then
+  recovered by multiprobe (flip the lowest-margin bits) rather than by
+  shrinking the bucket count. 8 planes is the test-scale setting, the
+  same band-width-controls-candidates rule measured for SimHash
+  (operators/dedup.py constants block).
 - **near-dup** joins bucket-mates only (same trick as MinHash-LSH for
   text) — never the full O(N²) pair space. For oracle-checkability the
   registry query uses the exact pair join at test scale with the

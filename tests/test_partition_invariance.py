@@ -30,6 +30,9 @@ SENSITIVE = [
     "drift_psi",
     "mutual_information",
     "dedup_substring",
+    # round-4: 60-wide integer vote aggregate + band self-join (the ±1
+    # vote sums are associative by construction; this pins it)
+    "dedup_simhash",
 ]
 
 

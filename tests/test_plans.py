@@ -73,6 +73,21 @@ def test_dedup_operators_never_cartesian(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_verifies_before_dedup_shuffle(spark, sf_dir):
+    """simhash_pairs must apply the hamming verification map-side and
+    only then dedup: the distinct's exchange partitions on the verified
+    (a, b, hamming) triple. An exchange carrying sim_a/sim_b means the
+    FULL band-collision candidate set is shuffling before the bit_count
+    filter — the shape that dies first at corpus scale."""
+    from admob_data_pipeline_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = explain.formatted_plan(dedup.simhash_pairs(docs))
+    shuffles = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert shuffles, plan
+    assert not any("sim_a" in l or "sim_b" in l for l in shuffles), shuffles
+
+
 def test_topk_uses_limit_not_global_sort(spark, sf_dir):
     """ORDER BY + LIMIT must compile to TakeOrderedAndProject — a
     per-partition top-k + merge, not a full global sort."""
