@@ -640,12 +640,16 @@ def ivfpq_topk(
         .where(F.col("rn") <= nprobe)
         .select("qid", F.col("cid").alias("list_id"))
     )
+    # No distinct: `assigned` holds exactly ONE list per vec_id (argmax
+    # assignment) and `probes` one row per (qid, list), so the join
+    # cannot produce duplicate (qid, vec_id) pairs — a dedup here would
+    # be a pure extra shuffle of the candidate set (ann_ivf_topk's
+    # scored join relies on the same invariant).
     cand = (
         assigned.select("vec_id", "list_id")
         .join(F.broadcast(probes), "list_id")
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
-        .distinct()
     )
 
     spark = emb.sparkSession
