@@ -16,8 +16,11 @@ the O(n²) pair space at 100 TB:
   band bucket (shuffle O(n·bands), never O(n²)); candidates are then
   verified with exact Jaccard, so precision is 1.0 and recall is the LSH
   probability 1-(1-s^r)^b.
-- **SimHash**: 16-bit signatures; candidate pairs via 4-bit band join
-  (docs agreeing on ≥1 nibble), verified by Hamming distance.
+- **SimHash**: 60-bit signatures; candidate pairs via 15-bit band join
+  (docs agreeing on ≥1 of 4 bands — pigeonhole-exact recall at the
+  hamming ≤ 3 verification threshold), verified map-side by Hamming
+  distance BEFORE the dedup shuffle. Band width is the candidate-volume
+  knob (see the constants block).
 
 Every hash is md5 (bit-identical in Spark and DuckDB) so each operator
 keeps a full value-checked oracle.
@@ -517,7 +520,7 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     SIMHASH_BAND_BITS-bit bands, verified by Hamming ≤ hamming_max —
     recall exactly 1 by pigeonhole (see the constants block)."""
     s = simhash(docs)
-    nibbles = s.select(
+    band_vals = s.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -528,18 +531,18 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
                         (
                             F.shiftright(F.col("simhash"), (3 - b) * SIMHASH_BAND_BITS)
                             % (1 << SIMHASH_BAND_BITS)
-                        ).alias("nib"),
+                        ).alias("band_val"),
                     )
                     for b in range(4)
                 ]
             )
         ).alias("bn"),
-    ).select("doc_id", "simhash", F.col("bn.band").alias("band"), F.col("bn.nib").alias("nib"))
-    a = nibbles.select(
-        F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a"), "band", "nib"
+    ).select("doc_id", "simhash", F.col("bn.band").alias("band"), F.col("bn.band_val").alias("band_val"))
+    a = band_vals.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a"), "band", "band_val"
     )
-    b = nibbles.select(
-        F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b"), "band", "nib"
+    b = band_vals.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b"), "band", "band_val"
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     # Verify BEFORE deduplicating: the hamming check is a map-side
@@ -549,7 +552,7 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     # determined by (a, b), so distinct on the triple ≡ distinct on the
     # pair.)
     return (
-        a.join(b, ["band", "nib"])
+        a.join(b, ["band", "band_val"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= hamming_max)
@@ -861,16 +864,16 @@ votes AS (
 sim AS (
     SELECT doc_id, CAST({_SIM_VALUE} AS BIGINT) AS simhash FROM votes
 ),
-nib AS (
+band_val AS (
     SELECT doc_id, simhash, g.band,
-           (simhash >> ((3 - g.band) * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS nib
+           (simhash >> ((3 - g.band) * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS bv
     FROM sim, generate_series(0, 3) AS g(band)
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
            a.simhash AS sim_a, b.simhash AS sim_b
-    FROM nib a JOIN nib b
-      ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+    FROM band_val a JOIN band_val b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
 )
 SELECT a, b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
 FROM cand

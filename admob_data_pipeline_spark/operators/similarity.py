@@ -399,7 +399,10 @@ def topk_ivf(
                 "cos_sim"
             ),
         )
-        .dropDuplicates(["qid", "vec_id"])
+        # No dedup needed: one list per vec_id (argmax assignment) ×
+        # one row per (qid, list) probe ⇒ (qid, vec_id) is already
+        # unique; a dropDuplicates here would shuffle every scored
+        # candidate once more before the top-k window.
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col("vec_id"))
     return (

@@ -49,8 +49,8 @@ def test_minhash_lsh_precision_and_high_sim_recall(spark, sf_dir):
 
 
 def test_simhash_banding_is_exhaustive_for_hamming_le_3(spark):
-    """≤3 differing bits cannot touch all 4 nibbles → nibble banding has
-    100% recall at the hamming≤3 verification threshold."""
+    """≤3 differing bits cannot touch all 4 fifteen-bit bands → band
+    joining has 100% recall at the hamming≤3 verification threshold."""
     texts = [f"tok{i} tok{i+1} tok{i+2} shared0 shared1 shared2" for i in range(12)]
     d = _docs(spark, texts)
     sim = {r.doc_id: r.simhash for r in dedup.simhash(d).collect()}
