@@ -1182,7 +1182,7 @@ def negative_samples(
         ).alias("idx"),
     )
     return (
-        cand.join(F.broadcast(idx), "idx")
+        cand.join(idx, "idx")
         .join(
             positives.select("c", F.col("p").alias("item")),
             ["c", "item"],

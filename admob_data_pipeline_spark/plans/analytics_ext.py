@@ -67,8 +67,8 @@ def q_nation_volume_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("supp_nk"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("cust_nk"))
         .where(pair)
@@ -156,7 +156,9 @@ def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share of one month's revenue from PROMO parts. Both numerator and
     denominator are exact integer cent-sums; the final division of two
     exact BIGINTs is a single deterministic IEEE op (ROUND_NOTES rule 1).
-    part is broadcast — the fact side never shuffles (single global agg)."""
+    part joins size-driven (Catalyst broadcasts it from its file-size
+    estimate at any SF where it fits; no forced hint — broadcast policy
+    tier 3, ARCHITECTURE.md) so the fact side never shuffles locally."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     agg = (
@@ -165,7 +167,7 @@ def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("1995-09-01"), F.lit("1995-09-30 23:59:59")
             )
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.sum(
                 F.when(F.col("p_type") == "PROMO", _rev_cents()).otherwise(0)
@@ -218,7 +220,7 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(
             F.sum(_rev_cents()).alias("revenue_cents"),
@@ -290,9 +292,7 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
-    sn = F.broadcast(
-        s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
-    )
+    sn = s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
     l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
     l2 = li.alias("l2")
     l3 = li.where(F.col("l_returnflag") == "R").alias("l3")
@@ -636,13 +636,13 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12").select(
         "p_partkey"
     )
-    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branded = li.join(p, li.l_partkey == p.p_partkey)
     per_part = branded.groupBy("l_partkey").agg(
         F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt"),
     )
     return (
-        branded.join(F.broadcast(per_part), "l_partkey")
+        branded.join(per_part, "l_partkey")
         .where(F.floor("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
             F.sum(_cents("l_extendedprice")).alias("price_cents"),
@@ -961,12 +961,12 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n_c), c.c_nationkey == F.col("cust_nk"))
         .join(F.broadcast(r), F.col("cust_rk") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n_s), s.s_nationkey == F.col("supp_nk"))
         .where(F.year("o_orderdate").between(1995, 1996))
     )
@@ -1035,8 +1035,8 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice") * F.col("l_quantity") * 60
     ).cast("long")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == F.col("supp_nk"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
@@ -1082,7 +1082,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
         .agg(F.sum(_rev_cents()).alias("revenue_cents"))
@@ -1152,7 +1152,8 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one per-supplier aggregate over the quarter-pruned fact, the max
     re-aggregated from that small result as a broadcast one-row scalar,
-    supplier dim broadcast for the name lookup."""
+    supplier joined size-driven for the name lookup (broadcast tier 3:
+    supplier scales with the data — no forced hint)."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
@@ -1163,7 +1164,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("total_rev_cents") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev_cents")
         .orderBy("s_suppkey")
     )
@@ -1202,7 +1203,7 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 11, 20, 28, 37, 42, 49)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -2435,7 +2436,7 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vals = o.select(
         "o_custkey", F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
-    ).join(F.broadcast(c), "o_custkey")
+    ).join(c, "o_custkey")
     per_val = vals.groupBy("cents").agg(
         F.sum(F.when(F.col("in_seg"), 1).otherwise(0)).alias("c1"),
         F.sum(F.when(~F.col("in_seg"), 1).otherwise(0)).alias("c2"),
@@ -2594,7 +2595,7 @@ def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    ).join(F.broadcast(c), "o_custkey")
+    ).join(c, "o_custkey")
     # 100 TB shape: collapse to per-VALUE counts first, so the global
     # ordering window runs over the price domain (bounded), never the
     # row count — a tie group of size m starting at rank s contributes

@@ -1192,7 +1192,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+        .join(c.where(F.col("c_mktsegment") == "BUILDING"),
               o.o_custkey == F.col("c_custkey"))
         .where(o.o_orderdate < F.lit("1995-03-15"))
         .where(li.l_shipdate > F.lit("1995-03-15"))
@@ -1246,7 +1246,7 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             o.o_orderdate.between(F.lit("1996-01-01"), F.lit("1996-12-31 23:59:59"))
         )
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(dims, c.c_nationkey == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.sum(rev).alias("revenue_cents"), F.count(F.lit(1)).alias("n_items"))
@@ -1510,7 +1510,7 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("qty_sum") > Q18_QTY_THRESHOLD)
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",

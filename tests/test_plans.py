@@ -131,9 +131,11 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
 
 def test_volume_trade_broadcasts_all_dims(spark, sf_dir):
     """Q7 shape: every dimension leg (nation ×2, supplier, customer) must
-    broadcast — the only allowed shuffle is lineitem⋈orders plus the final
-    aggregate. A SortMergeJoin against nation would shuffle 100 TB of fact
-    rows for a 25-row table."""
+    compile to a broadcast join at this SF — nation by forced hint
+    (schema-bounded), supplier/customer by Catalyst's size estimate with
+    NO hint (broadcast policy tier 3: they scale with the data, so the
+    optimizer must make the call). A SortMergeJoin against nation would
+    shuffle 100 TB of fact rows for a 25-row table."""
     from admob_data_pipeline_spark.plans import analytics_ext
 
     df = analytics_ext.q_nation_volume_trade(spark, sf_dir)
@@ -168,8 +170,9 @@ def test_grouping_sets_single_scan_expand(spark, sf_dir):
 
 
 def test_promo_ratio_prunes_part_scan(spark, sf_dir):
-    """The part side must broadcast and its scan must read only
-    (p_partkey, p_type) — 2 of 6 columns."""
+    """The part side must compile to a broadcast join (size-driven, no
+    hint) and its scan must read only (p_partkey, p_type) — 2 of 6
+    columns."""
     from admob_data_pipeline_spark.plans import analytics_ext
 
     df = analytics_ext.q_promo_revenue_ratio(spark, sf_dir)
@@ -231,8 +234,10 @@ def test_ivf_assignment_is_map_only(spark, sf_dir):
 
 
 def test_market_share_broadcasts_all_dims(spark, sf_dir):
-    """Q8 shape: part/customer/supplier/nation x2/region all broadcast —
-    lineitem join orders must be the only big shuffle."""
+    """Q8 shape: part/customer/supplier/nation x2/region all compile to
+    broadcast joins at this SF — nation/region forced (schema-bounded),
+    part/customer/supplier size-driven with no hint — so lineitem join
+    orders is the only big shuffle."""
     from admob_data_pipeline_spark.plans import analytics_ext
 
     df = analytics_ext.q_market_share(spark, sf_dir)
