@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.operators.text import tokens
+from admob_data_pipeline_spark.operators.util import join_small
 from admob_data_pipeline_spark.sources.tables import load_table
 
 K_THRESHOLD = 5
@@ -68,12 +69,17 @@ def erasure_audit(
     key fragments over the SURVIVING rows, so a re-run after deletion can
     prove absence without scanning payloads. One row out.
 
-    Scale: the forgotten-key set is semi/anti-join build side (keys
-    only); BIT_XOR is associative/commutative with NO overflow at any
-    row count (a SUM of 52-bit fragments would wrap int64 past ~2k rows
-    per bit of headroom) — partial-aggregated map-side."""
-    erased = events.join(F.broadcast(forgotten), key, "left_semi")
-    kept = events.join(F.broadcast(forgotten), key, "left_anti").withColumn(
+    Scale: the forgotten-key set is the semi/anti-join build side (keys
+    only, materialized once for both legs) under the join_small guard —
+    deletion batches are usually small but UNBOUNDED (a backfill erasing
+    millions of users must not force-broadcast; broadcast policy tier 2,
+    ARCHITECTURE.md). BIT_XOR is associative/commutative with NO
+    overflow at any row count (a SUM of 52-bit fragments would wrap
+    int64 past ~2k rows per bit of headroom) — partial-aggregated
+    map-side."""
+    fkeys = forgotten.select(key).distinct().localCheckpoint()
+    erased = join_small(events, fkeys, key, "left_semi")
+    kept = join_small(events, fkeys, key, "left_anti").withColumn(
         "frag",
         F.conv(
             F.substring(F.md5(F.col(key).cast("string")), 1, 13), 16, 10
