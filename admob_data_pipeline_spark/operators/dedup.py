@@ -105,8 +105,17 @@ def _capped_shingles(docs: DataFrame, k: int, max_df: int) -> DataFrame:
         .where(F.col("df") > max_df)
         .select("shingle")
     )
-    # broadcast the (small) hot-shingle list; anti-join drops them
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # Hot-shingle anti-join under the join_small guard (broadcast policy
+    # tier 2, NOT tier 3): "shingles in > max_df docs" is corpus-
+    # dependent — small under a Zipf head at test scale, potentially
+    # millions of entries at 100 TB if max_df is not raised with the
+    # corpus — so a forced broadcast can OOM. But a bare AQE-sized join
+    # is wrong too: the probe side is the corpus-scale exploded stream,
+    # and AQE's fallback materializes its shuffle map side before
+    # converting (measured 2.0 s → 8.9 s at sf0.1). Materializing the
+    # tiny hot list and counting it keeps the no-shuffle broadcast plan
+    # whenever the list is provably small.
+    return join_small(sh, hot.localCheckpoint(), "shingle", "left_anti")
 
 
 def ngram_jaccard_pairs(
@@ -1352,7 +1361,7 @@ def weighted_jaccard_pairs(
         .where(F.col("df") > max_df)
         .select("shingle")
     )
-    capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    capped = join_small(sh, hot.localCheckpoint(), "shingle", "left_anti")  # tier 2
     sizes = capped.groupBy("doc_id").agg(F.sum("c").alias("s"))
     a = capped.select(F.col("doc_id").alias("a"), "shingle", F.col("c").alias("ca"))
     b = capped.select(F.col("doc_id").alias("b"), "shingle", F.col("c").alias("cb"))
@@ -1866,7 +1875,7 @@ def minimizer_pairs(
         .where(F.col("df") > max_df)
         .select("mz")
     )
-    mz = mz.join(F.broadcast(hot), "mz", "left_anti")
+    mz = join_small(mz, hot.localCheckpoint(), "mz", "left_anti")  # tier 2
     sizes = mz.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_mz"))
     a = mz.select(F.col("doc_id").alias("a"), "mz")
     b = mz.select(F.col("doc_id").alias("b"), "mz")
