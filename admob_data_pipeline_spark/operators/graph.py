@@ -46,7 +46,15 @@ def copurchase_edges(li: DataFrame, min_support: int = MIN_SUPPORT) -> DataFrame
     """Canonical (u < v) co-purchase edges with support ≥ min_support.
     Same contract as q_copurchase_pairs (plans/analytics_ext.py): pair
     space bounded by Σ basket_size², generated via a self-join on the
-    order key, never N²."""
+    order key, never N².
+
+    Materialized eagerly: the edge list is compact (support-filtered
+    pairs ≪ lineitem) and every graph kernel references it through
+    multiple branches — _adjacency alone doubles it, degree rollups
+    reference it again — and Spark re-plans the whole
+    distinct→self-join→agg derivation per branch (degree_assortativity
+    measured 12 parquet scans of lineitem without this; playbook #17:
+    cache() would miss, only a checkpoint truncates)."""
     lp = li.select("l_orderkey", "l_partkey").distinct()
     a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
@@ -57,6 +65,7 @@ def copurchase_edges(li: DataFrame, min_support: int = MIN_SUPPORT) -> DataFrame
         .agg(F.countDistinct("ok").alias("w"))
         .where(F.col("w") >= min_support)
         .select("u", "v")
+        .localCheckpoint()
     )
 
 
