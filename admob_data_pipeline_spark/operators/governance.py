@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.operators.text import tokens
-from admob_data_pipeline_spark.operators.util import join_small
 from admob_data_pipeline_spark.sources.tables import load_table
 
 K_THRESHOLD = 5
@@ -70,7 +69,8 @@ def erasure_audit(
     prove absence without scanning payloads. One row out.
 
     Scale: the forgotten-key set is the semi/anti-join build side (keys
-    only, materialized once for both legs) under the join_small guard —
+    only, materialized once for both legs) under a single row-count
+    broadcast guard —
     deletion batches are usually small but UNBOUNDED (a backfill erasing
     millions of users must not force-broadcast; broadcast policy tier 2,
     ARCHITECTURE.md). BIT_XOR is associative/commutative with NO
@@ -78,8 +78,14 @@ def erasure_audit(
     int64 past ~2k rows per bit of headroom) — partial-aggregated
     map-side."""
     fkeys = forgotten.select(key).distinct().localCheckpoint()
-    erased = join_small(events, fkeys, key, "left_semi")
-    kept = join_small(events, fkeys, key, "left_anti").withColumn(
+    # One count decides BOTH legs (the semi and anti join can never
+    # legitimately want different strategies for the same build side) —
+    # join_small twice would launch the count job twice.
+    from admob_data_pipeline_spark.operators.util import BROADCAST_ROW_LIMIT
+
+    build = F.broadcast(fkeys) if fkeys.count() <= BROADCAST_ROW_LIMIT else fkeys
+    erased = events.join(build, key, "left_semi")
+    kept = events.join(build, key, "left_anti").withColumn(
         "frag",
         F.conv(
             F.substring(F.md5(F.col(key).cast("string")), 1, 13), 16, 10

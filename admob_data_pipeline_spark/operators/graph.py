@@ -375,7 +375,7 @@ def frequent_triples(
     catalog²); the three semi-joins against the frequent-pair edge set
     ship keys only; support is one countDistinct aggregation.
     """
-    edges = copurchase_edges(li, min_support).localCheckpoint()
+    edges = copurchase_edges(li, min_support)  # checkpointed internally
     lp = li.select("l_orderkey", "l_partkey").distinct()
     a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
     b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
@@ -1158,7 +1158,10 @@ def negative_samples(
     single-partition sort a bare global row_number would plan; the
     positive collision check is one anti-join on (user, item).
     """
-    from admob_data_pipeline_spark.operators.util import dense_global_index
+    from admob_data_pipeline_spark.operators.util import (
+        dense_global_index,
+        join_small,
+    )
 
     users = positives.select("c").distinct()
     idx = dense_global_index(
@@ -1191,7 +1194,7 @@ def negative_samples(
         ).alias("idx"),
     )
     return (
-        cand.join(idx, "idx")
+        join_small(cand, idx, "idx")
         .join(
             positives.select("c", F.col("p").alias("item")),
             ["c", "item"],

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from admob_data_pipeline_spark.operators.util import join_small
 from admob_data_pipeline_spark.sources.tables import load_table
 
 
@@ -283,7 +284,9 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the semi and anti joins co-partition with the base leg (no extra
     repartitioning between them); each leg ships only its 3-column
     projection of the fact, and the l1 leg is pre-filtered to 'R' rows.
-    supplier⋈nation is broadcast. Locally all legs broadcast (small
+    supplier⋈nation joins size-driven (tier 3 — a derived join's
+    static estimate cannot prove smallness; AQE recovers the broadcast
+    at runtime). Locally all legs broadcast (small
     data); the per-leg scans column-prune to (orderkey, suppkey,
     returnflag)."""
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -637,12 +640,18 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     branded = li.join(p, li.l_partkey == p.p_partkey)
+    # per_part is a DERIVED aggregate-over-join build side: tier-3's
+    # static file-size sizing can never prove it small (join estimates
+    # multiply), so a bare join regresses to SortMergeJoin and the
+    # lineitem-scale probe pays a shuffle map stage before AQE can
+    # convert. Materialize the compact per-part rollup and guard it
+    # (tier 2) instead.
     per_part = branded.groupBy("l_partkey").agg(
         F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt"),
-    )
+    ).localCheckpoint()
     return (
-        branded.join(per_part, "l_partkey")
+        join_small(branded, per_part, "l_partkey")
         .where(F.floor("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
             F.sum(_cents("l_extendedprice")).alias("price_cents"),

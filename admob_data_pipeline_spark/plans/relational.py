@@ -1390,7 +1390,7 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges CTE inside the recursive statement re-runs the basket
     # self-join + countDistinct per iteration (measured 14 s at sf0.1).
     # Materialize the edge list once and let the recursion read it.
-    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem")).localCheckpoint()
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))  # checkpointed internally
     edges.createOrReplaceTempView("rec_edges")
     return spark.sql(_RECURSIVE_SQL.format(edges="rec_edges", depth=REACH_MAX_DEPTH))
 
