@@ -363,3 +363,18 @@ def test_lsh_sweep_recall_increases_with_threshold(spark, sf_dir):
     # sanity: truth sets shrink as the threshold rises
     truths = [r.n_truth for r in out]
     assert all(a >= b for a, b in zip(truths, truths[1:]))
+
+
+def test_hot_cap_guard_fallback_preserves_results(spark, monkeypatch):
+    """Forcing the stop-shingle cap join past its broadcast threshold
+    (plain shuffle join instead of broadcast anti-join) must not change
+    the emitted pair set — the tier-2 guard is a strategy choice only."""
+    from admob_data_pipeline_spark.operators import util
+
+    base = "a b c d e f g h"
+    texts = [f"{base} tok{i}" for i in range(6)] + ["z y x w v u t s"]
+    d = _docs(spark, texts)
+    want = sorted(map(tuple, dedup.ngram_jaccard_pairs(d).collect()))
+    monkeypatch.setattr(util, "BROADCAST_ROW_LIMIT", 0)
+    got = sorted(map(tuple, dedup.ngram_jaccard_pairs(d).collect()))
+    assert got == want and want

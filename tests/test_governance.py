@@ -103,3 +103,15 @@ def test_t_closeness_bounds_and_homogeneous_group(spark):
         assert 0 <= r.tv_ppm <= 1_000_000  # TV distance ∈ [0, 1]
     ld = {r.c_nationkey: r for r in q_l_diversity(spark, "/root/testdata/sf0.001").collect()}
     assert set(ld) == {r.c_nationkey for r in rows}
+
+
+def test_erasure_guard_fallback_preserves_results(spark, sf_dir, monkeypatch):
+    """erasure_audit's one-count broadcast guard must produce identical
+    counts and checksum when forced onto the plain-join path."""
+    from admob_data_pipeline_spark.operators import governance, util
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    want = governance.q_erasure_audit(spark, sf_dir).collect()
+    monkeypatch.setattr(util, "BROADCAST_ROW_LIMIT", 0)
+    got = governance.q_erasure_audit(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
