@@ -28,7 +28,7 @@ keeps a full value-checked oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from admob_data_pipeline_spark.operators.util import join_small, widen_if_narrow
 from pyspark.sql import functions as F
