@@ -65,6 +65,9 @@ EXTENDED = [
     "dedup_minimizer",
     "sequence_patterns",
     "survival_km",
+    # round 4: SimHash rebuilt at 60 bits / 15-bit bands — tracked so a
+    # band-parameter regression shows up as a timing cliff here
+    "dedup_simhash",
 ]
 
 
