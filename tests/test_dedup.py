@@ -378,3 +378,29 @@ def test_hot_cap_guard_fallback_preserves_results(spark, monkeypatch):
     monkeypatch.setattr(util, "BROADCAST_ROW_LIMIT", 0)
     got = sorted(map(tuple, dedup.ngram_jaccard_pairs(d).collect()))
     assert got == want and want
+
+
+def test_simhash_matches_pure_python_reference(spark):
+    """Third-implementation pin: the 60-bit signature must equal a
+    hashlib-based reference (md5 15-hex prefix -> bits -> +/-1 majority
+    vote, ties -> 1) computed entirely outside both engines."""
+    import hashlib
+
+    texts = ["alpha beta gamma", "alpha beta delta", "epsilon zeta"]
+    d = _docs(spark, texts)
+    got = {r.doc_id: r.simhash for r in dedup.simhash(d).collect()}
+
+    def ref(text):
+        toks = sorted(set(text.lower().split()))
+        votes = [0] * dedup.SIMHASH_BITS
+        for t in toks:
+            hv = int(hashlib.md5(t.encode()).hexdigest()[: dedup.SIMHASH_BITS // 4], 16)
+            for j in range(dedup.SIMHASH_BITS):
+                bit = (hv >> (dedup.SIMHASH_BITS - 1 - j)) & 1
+                votes[j] += 1 if bit else -1
+        return sum(
+            (1 if votes[j] >= 0 else 0) << (dedup.SIMHASH_BITS - 1 - j)
+            for j in range(dedup.SIMHASH_BITS)
+        )
+
+    assert got == {i: ref(t) for i, t in enumerate(texts)}
