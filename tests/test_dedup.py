@@ -404,3 +404,33 @@ def test_simhash_matches_pure_python_reference(spark):
         )
 
     assert got == {i: ref(t) for i, t in enumerate(texts)}
+
+
+def test_minhash_signatures_match_pure_python_reference(spark):
+    """Third-implementation pin for the Kirsch-Mitzenmacher MinHash:
+    h_i(s) = (h1 + i*h2) mod 2^61-1 with h1/h2 = md5 hex[0:15]/[16:31]
+    of each distinct 3-token shingle, min per seed — computed with
+    hashlib only, outside both engines."""
+    import hashlib
+
+    texts = ["a b c d e f", "a b c d e g", "q r s t u v w"]
+    d = _docs(spark, texts)
+    sig = {
+        r.doc_id: tuple(r[f"m{i}"] for i in range(dedup.N_HASHES))
+        for r in dedup.minhash_signatures(dedup.doc_shingles(d)).collect()
+    }
+
+    def ref(text):
+        toks = text.lower().split(" ")
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        mins = [None] * dedup.N_HASHES
+        for s_ in sh:
+            hx = hashlib.md5(s_.encode()).hexdigest()
+            h1, h2 = int(hx[0:15], 16), int(hx[16:31], 16)
+            for i in range(dedup.N_HASHES):
+                v = (h1 + i * h2) % dedup.MERSENNE_61
+                if mins[i] is None or v < mins[i]:
+                    mins[i] = v
+        return tuple(mins)
+
+    assert sig == {i: ref(t) for i, t in enumerate(texts)}
