@@ -98,3 +98,31 @@ def test_hll_rollup_merge_equals_direct(spark, sf_dir):
         for r in hll_distinct(direct_in, "gw", "user_id").collect()
     }
     assert rolled == {(g, int(w)): v for (g, w), v in direct.items()}
+
+
+def test_hll_registers_match_pure_python_reference(spark):
+    """Third-implementation pin for the deterministic HLL registers:
+    bucket = first-byte-of-md5 mod m, rho = 53 - bit_length(next 52
+    bits) (53 when zero), register = max rho — recomputed with hashlib
+    only, outside both engines."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators import sketches
+
+    vals = [("g1", v) for v in [1, 2, 3, 97, 12345]] + [("g2", 7)]
+    df = spark.createDataFrame([Row(g=g, v=v) for g, v in vals])
+    got = {
+        (r.g, r.b): r.r
+        for r in sketches.hll_registers(df, "g", "v").collect()
+    }
+
+    expect = {}
+    for g, v in vals:
+        hx = hashlib.md5(str(v).encode()).hexdigest()
+        b = int(hx[0:2], 16) % sketches.HLL_M
+        x = int(hx[2:15], 16)
+        rho = 53 if x == 0 else 53 - x.bit_length()
+        expect[(g, b)] = max(expect.get((g, b), 0), rho)
+    assert got == expect
