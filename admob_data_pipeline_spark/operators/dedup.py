@@ -498,9 +498,10 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     non-negative BIGINT (≤15 hex chars — playbook #4), each bit then a
     shift-AND on that long; bit_j majority-voted across tokens (+1/−1),
     ties → 1. The single conv() replaces SIMHASH_BITS per-token
-    substring/instr string parses — integer bit math is what keeps the
-    vote projection cheap at 60 columns (measured 11 s → see
-    ROUND_NOTES r4)."""
+    substring/instr string parses with integer shift-ANDs — strictly
+    less per-token work. (The fresh-session cost of this operator is
+    dominated by one-time codegen of the 60-wide aggregate, not by the
+    per-token math — measured, see ROUND_NOTES r4 / ARCHITECTURE.md.)"""
     tok = widen_if_narrow(docs).select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     )
