@@ -368,15 +368,27 @@ def test_lsh_sweep_recall_increases_with_threshold(spark, sf_dir):
 def test_hot_cap_guard_fallback_preserves_results(spark, monkeypatch):
     """Forcing the stop-shingle cap join past its broadcast threshold
     (plain shuffle join instead of broadcast anti-join) must not change
-    the emitted pair set — the tier-2 guard is a strategy choice only."""
+    the emitted pair set — the tier-2 guard is a strategy choice only.
+
+    max_df=5 makes the shared-shingle hot list NON-empty (asserted): at
+    the default cap this corpus has zero hot shingles and `0 <= 0`
+    would still take the broadcast branch, pinning nothing."""
     from admob_data_pipeline_spark.operators import util
 
-    base = "a b c d e f g h"
-    texts = [f"{base} tok{i}" for i in range(6)] + ["z y x w v u t s"]
+    near = "a b c d e f g h"
+    hot = "x y z w v u t s"
+    # 3 docs sharing `near` shingles (df=3 <= 5: kept, near-dup pairs
+    # survive) + 7 docs sharing `hot` shingles (df=7 > 5: capped away).
+    texts = [f"{near} tok{i}" for i in range(3)] + [
+        f"{hot} other{i}" for i in range(7)
+    ]
     d = _docs(spark, texts)
-    want = sorted(map(tuple, dedup.ngram_jaccard_pairs(d).collect()))
+    capped = dedup._capped_shingles(d, 3, max_df=5)
+    n_all = dedup.doc_shingles(d, 3).count()
+    assert capped.count() < n_all  # the cap really dropped hot shingles
+    want = sorted(map(tuple, dedup.ngram_jaccard_pairs(d, max_df=5).collect()))
     monkeypatch.setattr(util, "BROADCAST_ROW_LIMIT", 0)
-    got = sorted(map(tuple, dedup.ngram_jaccard_pairs(d).collect()))
+    got = sorted(map(tuple, dedup.ngram_jaccard_pairs(d, max_df=5).collect()))
     assert got == want and want
 
 

@@ -109,7 +109,6 @@ def test_erasure_guard_fallback_preserves_results(spark, sf_dir, monkeypatch):
     """erasure_audit's one-count broadcast guard must produce identical
     counts and checksum when forced onto the plain-join path."""
     from admob_data_pipeline_spark.operators import governance, util
-    from admob_data_pipeline_spark.sources.tables import load_table
 
     want = governance.q_erasure_audit(spark, sf_dir).collect()
     monkeypatch.setattr(util, "BROADCAST_ROW_LIMIT", 0)
