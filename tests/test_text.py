@@ -246,3 +246,34 @@ def test_group_kfold_is_entity_disjoint(spark, sf_dir):
     assert sum(r.n_sources for r in out) == docs.select("source").distinct().count()
     assert sum(r.n_docs for r in out) == docs.count()
     assert all(0 <= r.fold < KFOLD_K for r in out)
+
+
+def test_fingerprints_match_pure_python_reference(spark):
+    """Third-implementation pin: full-text md5 and the lexicographic-min
+    shingle md5 (1-hash MinHash) recomputed with hashlib only."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators import text as t
+
+    texts = ["Alpha Beta Gamma Delta", "one two", "x y z w v"]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=s_) for i, s_ in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: (r.fp_md5, r.fp_min_shingle, r.n_shingles)
+        for r in t.fingerprints(df).collect()
+    }
+
+    def ref(text):
+        lt = text.lower()
+        toks = lt.split(" ")
+        sh = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        fp = hashlib.md5(lt.encode()).hexdigest()
+        mins = min(
+            (hashlib.md5(x.encode()).hexdigest() for x in sh), default=None
+        )
+        return (fp, mins, len(sh))
+
+    assert got == {i: ref(s_) for i, s_ in enumerate(texts)}
