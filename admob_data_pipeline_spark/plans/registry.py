@@ -219,65 +219,68 @@ DRIVER_GREEN: frozenset[str] = frozenset(
         "triangle_count",
         "user_rfm",
         "weighted_sample",
+        # r04 driver-green rows (CORRECTNESS_r04, 50/50 green).
+        "ann_ivfpq_topk",
+        "ann_pq_adc_topk",
+        "ann_recall_audit",
+        "association_rules",
+        "contrastive_negatives",
+        "coreset_kcenter",
+        "curation_funnel",
+        "dedup_cluster_stats",
+        "dedup_containment",
+        "dedup_incremental",
+        "dedup_keep_best",
+        "dedup_lsh_sweep",
+        "dedup_minimizer",
+        "dedup_recall_audit",
+        "dedup_semantic_clusters",
+        "dedup_split_leakage",
+        "dedup_substring",
+        "dedup_weighted_jaccard",
+        "embedding_covariance",
+        "embedding_dim_stats",
+        "embedding_random_projection",
+        "embedding_standardize",
+        "frequent_triples",
+        "graph_assortativity",
+        "graph_clustering_coeff",
+        "graph_components",
+        "graph_hits",
+        "graph_kcore",
+        "graph_link_prediction",
+        "graph_pagerank",
+        "group_kfold",
+        "importance_weights",
+        "kmeans_lloyd",
+        "label_noise_audit",
+        "langid_confusion",
+        "mad_outliers",
+        "mixture_weights",
+        "multimodal_packing",
+        "mutual_information",
+        "negative_samples",
+        "ngram_novelty",
+        "ols_trend",
+        "recsys_hitrate",
+        "source_cap_sample",
+        "text_bigram_lm",
+        "text_char_entropy",
+        "text_collocations",
+        "text_vocab_coverage",
+        "text_word_dropout",
+        "tokenizer_fertility",
     }
 )
 
 
-# Queries that have NEVER had a driver verdict (95 after r3; judge-verified
-# locally 95/95 at sf0.01 but no driver row yet). The first 50 fill round
-# 4's correctness window; the 45 remainder queue for round 5. Names absent
-# from the registry are ignored, so this list never breaks on renames.
+# Queries that have NEVER had a driver verdict (45 after r4). They fill
+# round 5's correctness window entirely (backlog < window for the first
+# time); once driver-green, the whole registry is externally confirmed.
+# New queries land at the FRONT of this tuple so they are checked the
+# round they appear. Names absent from the registry are ignored, so this
+# list never breaks on renames.
 FRESH_FIRST: tuple[str, ...] = (
-    "text_word_dropout",
-    "text_char_entropy",
-    "text_vocab_coverage",
-    "curation_funnel",
-    "tokenizer_fertility",
-    "text_collocations",
-    "group_kfold",
-    "langid_confusion",
-    "ngram_novelty",
-    "mutual_information",
-    "source_cap_sample",
-    "importance_weights",
-    "mixture_weights",
-    "text_bigram_lm",
-    "dedup_containment",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "dedup_recall_audit",
-    "dedup_split_leakage",
-    "dedup_substring",
-    "dedup_cluster_stats",
-    "dedup_weighted_jaccard",
-    "dedup_minimizer",
-    "dedup_lsh_sweep",
-    "kmeans_lloyd",
-    "coreset_kcenter",
-    "embedding_random_projection",
-    "embedding_covariance",
-    "embedding_standardize",
-    "embedding_dim_stats",
-    "contrastive_negatives",
-    "label_noise_audit",
-    "ann_recall_audit",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    "dedup_semantic_clusters",
-    "multimodal_packing",
-    "graph_pagerank",
-    "graph_components",
-    "graph_link_prediction",
-    "frequent_triples",
-    "association_rules",
-    "graph_hits",
-    "graph_kcore",
-    "negative_samples",
-    "recsys_hitrate",
-    "graph_clustering_coeff",
-    "graph_assortativity",
-    "ols_trend",
-    "mad_outliers",
     "autocorr_lag1",
     "ewma_spikes",
     "feature_info_gain",
