@@ -17,7 +17,9 @@ A string rewrite is the right altitude here: these are token-level
 synonyms, not semantic differences, so a parser plugin or Catalyst rule
 would add surface without adding correctness. Known limit (documented,
 fine for the reference surface): the DATE_SUB rewrite handles literal /
-simple first arguments, not nested parenthesized expressions.
+simple first arguments plus one parenthesized level — enough for a
+scalar subquery like ``(SELECT MAX(date) FROM t)`` — not arbitrarily
+deep nesting.
 """
 
 from __future__ import annotations
@@ -25,8 +27,12 @@ from __future__ import annotations
 import re
 
 _SAFE_DIVIDE = re.compile(r"\bSAFE_DIVIDE\s*\(", re.IGNORECASE)
+# First argument: either a parenthesized expression (one nested level of
+# parens allowed, covering scalar subqueries with a single function call)
+# or a comma/paren-free simple expression.
 _DATE_SUB = re.compile(
-    r"\bDATE_SUB\s*\(\s*([^(),]+?)\s*,\s*INTERVAL\s+(\d+)\s+DAY\s*\)",
+    r"\bDATE_SUB\s*\(\s*(\((?:[^()]|\([^()]*\))*\)|[^(),]+?)\s*,"
+    r"\s*INTERVAL\s+(\d+)\s+DAY\s*\)",
     re.IGNORECASE,
 )
 _BQ_TABLE = re.compile(r"`[A-Za-z0-9_.\-]*?([A-Za-z0-9_]+)`")

@@ -112,7 +112,10 @@ def ctr_anomaly_from_fact(
 
 
 def ctr_anomaly_bq_verbatim(
-    spark: SparkSession, sf_dir: str, threshold: int = 25
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: int = 25,
+    report_date=None,
 ) -> DataFrame:
     """The reference's BigQuery SQL accepted VERBATIM: this function
     builds the alert statement exactly the way
@@ -128,8 +131,11 @@ def ctr_anomaly_bq_verbatim(
     report's precomputed ``impression_ctr`` column, the >threshold
     filter applied, ROUND at 4/4/2, join fanning out on ad_unit_name.
 
-    The 1-row report_date collect mirrors the job's date PARAMETER
-    (X2 backfill arg), not a data-sized action.
+    ``report_date``: pass an explicit ``datetime.date`` to splice an ISO
+    literal exactly as the reference's REPORT_DATE env parameter does (X2
+    backfill arg). Default ``None`` computes it as an uncorrelated scalar
+    subquery ``(SELECT MAX(date) ...)`` inside the statement — same
+    result, one fewer Spark job than a driver-side collect.
     """
     from admob_data_pipeline_spark.functions.dialect import bq_sql_to_spark
 
@@ -142,9 +148,12 @@ def ctr_anomaly_bq_verbatim(
         )
     )
     daily.createOrReplaceTempView("admob_daily_report")
-    report_date = daily.agg(F.max("date").alias("d")).collect()[0]["d"]
     ad_units = [f"u{i}" for i in range(8)]
     table_fq = "`demo-project.admob_exports.admob_daily_report`"
+    if report_date is None:
+        date_expr = f"(SELECT MAX(date) FROM {table_fq})"
+    else:
+        date_expr = f"'{report_date.isoformat()}'"
     placeholder_list = ", ".join(f"'{au}'" for au in ad_units)
     sql = f"""
     WITH
@@ -157,8 +166,8 @@ def ctr_anomaly_bq_verbatim(
         WHERE
           ad_unit_name IN ({placeholder_list})
           AND date BETWEEN
-            DATE_SUB('{report_date.isoformat()}', INTERVAL 7 DAY)
-            AND DATE_SUB('{report_date.isoformat()}', INTERVAL 1 DAY)
+            DATE_SUB({date_expr}, INTERVAL 7 DAY)
+            AND DATE_SUB({date_expr}, INTERVAL 1 DAY)
         GROUP BY
           app_name, ad_unit_name
       ),
@@ -170,7 +179,7 @@ def ctr_anomaly_bq_verbatim(
         FROM {table_fq}
         WHERE
           ad_unit_name IN ({placeholder_list})
-          AND date = '{report_date.isoformat()}'
+          AND date = {date_expr}
       )
     SELECT
       t.app_name,
