@@ -528,7 +528,17 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share ≥1 of the 4
     SIMHASH_BAND_BITS-bit bands, verified by Hamming ≤ hamming_max —
-    recall exactly 1 by pigeonhole (see the constants block)."""
+    recall exactly 1 by pigeonhole (see the constants block).
+
+    The pigeonhole guarantee needs more bands than differing bits, so
+    with 4 fixed bands only hamming_max ≤ 3 is exact; larger values are
+    rejected rather than silently degrading recall."""
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    if hamming_max > n_bands - 1:
+        raise ValueError(
+            f"hamming_max={hamming_max} breaks the pigeonhole recall "
+            f"guarantee: {n_bands} bands are exact only for ≤ {n_bands - 1}"
+        )
     s = simhash(docs)
     band_vals = s.select(
         "doc_id",

@@ -1159,8 +1159,8 @@ def negative_samples(
     positive collision check is one anti-join on (user, item).
     """
     from admob_data_pipeline_spark.operators.util import (
+        BROADCAST_ROW_LIMIT,
         dense_global_index,
-        join_small,
     )
 
     users = positives.select("c").distinct()
@@ -1193,8 +1193,15 @@ def negative_samples(
             % n_items
         ).alias("idx"),
     )
+    # n_items already counted idx above — pick the join strategy from it
+    # directly instead of paying join_small's second count job.
+    looked_up = (
+        cand.join(F.broadcast(idx), "idx")
+        if n_items <= BROADCAST_ROW_LIMIT
+        else cand.join(idx, "idx")
+    )
     return (
-        join_small(cand, idx, "idx")
+        looked_up
         .join(
             positives.select("c", F.col("p").alias("item")),
             ["c", "item"],

@@ -34,7 +34,13 @@ def cached_parquet_dir(
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_{cache_name}_{key}")
     if not os.path.isdir(path):
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        write(tmp)
+        try:
+            write(tmp)
+        except BaseException:
+            # A failed Spark write leaves a partial directory; reap it so
+            # retries don't accumulate orphaned .tmp-* trees in tempdir.
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         try:
             os.rename(tmp, path)
         except OSError:

@@ -64,6 +64,15 @@ def test_simhash_banding_is_exhaustive_for_hamming_le_3(spark):
     assert got == expected
 
 
+def test_simhash_pairs_rejects_hamming_beyond_band_guarantee(spark):
+    """4 fixed bands are pigeonhole-exact only for hamming ≤ 3; a larger
+    threshold must raise instead of silently returning <1 recall."""
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs(_docs(spark, ["a b c"]), hamming_max=4)
+
+
 def test_paragraph_dedup_detects_shared_segment(spark):
     from pyspark.sql import Row
 
