@@ -68,6 +68,13 @@ EXTENDED = [
     # round 4: SimHash rebuilt at 60 bits / 15-bit bands — tracked so a
     # band-parameter regression shows up as a timing cliff here
     "dedup_simhash",
+    # round 5: the heaviest scale-sweep rows, promoted so min-of-3
+    # discipline catches regressions the single-shot sweep log can't
+    # distinguish from host noise (judge r4 item 5)
+    "streaming_attribution",
+    "recsys_hitrate",
+    "graph_components",
+    "graph_pagerank",
 ]
 
 
