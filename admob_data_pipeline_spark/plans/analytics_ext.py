@@ -3241,7 +3241,268 @@ ORDER BY event_type
 """
 
 
+# --- mediation-grain report warehouse (SURVEY §2.1 S2 + §2.2 P7/P8) -------
+#
+# The reference's second report family (fetch_mediation_report.py:79-113)
+# adds the monetization dims (AD_SOURCE, COUNTRY) and the request-funnel
+# metrics (AD_REQUESTS/MATCHED_REQUESTS → MATCH_RATE; OBSERVED_ECPM,
+# save_CSV.py:148-186). These four queries exercise that surface
+# END-TO-END over a date-partitioned parquet warehouse: the spec's
+# dateRange prunes partitions and the country/ad_source IN-lists push to
+# row groups (executed-plan assertions in tests/test_report_spec.py).
+# Money stays in integer micros so every SUM is exact and
+# order-independent; ratios divide the exact sums once at the end.
+# BIGINT headroom: sum(earn_micros)·1000 at 100 TB ≈ 1e9 rows/day ·
+# 5e5 micros · 1000 ≈ 5e17 < 9.2e18 per (day, source, country) cell.
+
+
+def q_report_warehouse_mediation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 over the partitioned warehouse: the mediation spec JSON accepted
+    verbatim (ReportSpec.from_dict), compiled to a pruned scan + grouped
+    earnings/impressions/matched rollup at (DATE, AD_SOURCE, COUNTRY)."""
+    from admob_data_pipeline_spark.sources.report_spec import (
+        ReportSpec,
+        compile_report,
+    )
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        read_mediation_warehouse,
+    )
+
+    wh = read_mediation_warehouse(spark, sf_dir)
+    spec = ReportSpec.from_dict(
+        {
+            "dateRange": {
+                "startDate": {"year": 2024, "month": 1, "day": 4},
+                "endDate": {"year": 2024, "month": 1, "day": 18},
+            },
+            "dimensions": ["DATE", "AD_SOURCE", "COUNTRY"],
+            "metrics": ["ESTIMATED_EARNINGS", "IMPRESSIONS", "MATCHED_REQUESTS"],
+            "dimensionFilters": [
+                {
+                    "dimension": "AD_SOURCE",
+                    "matchesAny": {"values": ["src0", "src1", "src2"]},
+                },
+                {
+                    "dimension": "COUNTRY",
+                    "matchesAny": {"values": ["C0", "C2", "C3", "C5"]},
+                },
+            ],
+            "sortConditions": [
+                {"dimension": "DATE", "order": "ASCENDING"},
+                {"metric": "ESTIMATED_EARNINGS", "order": "DESCENDING"},
+            ],
+        }
+    )
+    return compile_report(
+        wh,
+        spec,
+        dim_cols={
+            "AD_SOURCE": "ad_source_name",
+            "COUNTRY": "country",
+            "APP": "app_name",
+        },
+        metric_cols={
+            "ESTIMATED_EARNINGS": "earn_micros",
+            "IMPRESSIONS": "impressions",
+            "MATCHED_REQUESTS": "matched_requests",
+        },
+    )
+
+
+_MEDIATION_FACT_SQL = """
+    SELECT CAST(ts AS DATE) AS date,
+           event_type AS app_name,
+           'src' || CAST(user_id % 4 AS VARCHAR) AS ad_source_name,
+           'C' || CAST(event_id % 6 AS VARCHAR) AS country,
+           CAST(1 + event_id % 3 AS BIGINT) AS ad_requests,
+           CAST(1 AS BIGINT) AS matched_requests,
+           CAST(1 AS BIGINT) AS impressions,
+           CAST(FLOOR(value * 1e6) AS BIGINT) AS earn_micros
+    FROM events
+"""
+
+_ORACLE_MEDIATION_WH = f"""
+WITH fact AS ({_MEDIATION_FACT_SQL})
+SELECT date,
+       ad_source_name AS ad_source,
+       country,
+       CAST(SUM(earn_micros) AS BIGINT) AS estimated_earnings,
+       CAST(SUM(impressions) AS BIGINT) AS impressions,
+       CAST(SUM(matched_requests) AS BIGINT) AS matched_requests
+FROM fact
+WHERE date BETWEEN DATE '2024-01-04' AND DATE '2024-01-18'
+  AND ad_source_name IN ('src0', 'src1', 'src2')
+  AND country IN ('C0', 'C2', 'C3', 'C5')
+GROUP BY date, ad_source_name, country
+ORDER BY date, estimated_earnings DESC
+"""
+
+
+def q_mediation_ecpm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBSERVED_ECPM at every drill level in one scan: ROLLUP
+    (ad_source, country) — per-cell rows, per-source subtotals, network
+    grand total. eCPM = earnings per 1000 impressions, computed ONCE from
+    the exact integer sums (never an average of per-row ratios).
+
+    Scale: Expand + one partial/final hash aggregate; grouping keys are
+    schema-bounded (sources × countries)."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        read_mediation_warehouse,
+    )
+
+    wh = read_mediation_warehouse(spark, sf_dir)
+    return (
+        wh.rollup("ad_source_name", "country")
+        .agg(
+            F.grouping("ad_source_name").cast("int").alias("g_src"),
+            F.grouping("country").cast("int").alias("g_cty"),
+            F.sum("earn_micros").alias("earn_micros"),
+            F.sum("impressions").alias("impressions"),
+        )
+        .select(
+            F.col("ad_source_name").alias("ad_source"),
+            "country",
+            "g_src",
+            "g_cty",
+            "earn_micros",
+            "impressions",
+            F.round(
+                (F.col("earn_micros") * F.lit(1000)).cast("double")
+                / F.col("impressions"),
+                4,
+            ).alias("ecpm_micros"),
+        )
+        .orderBy("g_src", "g_cty", "ad_source", "country")
+    )
+
+
+_ORACLE_MEDIATION_ECPM = f"""
+WITH fact AS ({_MEDIATION_FACT_SQL})
+SELECT ad_source_name AS ad_source,
+       country,
+       CAST(GROUPING(ad_source_name) AS INTEGER) AS g_src,
+       CAST(GROUPING(country) AS INTEGER) AS g_cty,
+       CAST(SUM(earn_micros) AS BIGINT) AS earn_micros,
+       CAST(SUM(impressions) AS BIGINT) AS impressions,
+       ROUND(CAST(SUM(earn_micros) * 1000 AS DOUBLE) / SUM(impressions), 4)
+           AS ecpm_micros
+FROM fact
+GROUP BY ROLLUP (ad_source_name, country)
+ORDER BY g_src, g_cty, ad_source, country
+"""
+
+
+def q_mediation_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The request funnel per (app, ad_source): MATCH_RATE =
+    matched/requests and SHOW_RATE = impressions/matched (the reference's
+    derived report metrics), each a ratio of exact integer sums with
+    NULL-on-zero denominators — never averaged per-row."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        read_mediation_warehouse,
+    )
+
+    wh = read_mediation_warehouse(spark, sf_dir)
+    return (
+        wh.groupBy("app_name", "ad_source_name")
+        .agg(
+            F.sum("ad_requests").alias("ad_requests"),
+            F.sum("matched_requests").alias("matched_requests"),
+            F.sum("impressions").alias("impressions"),
+        )
+        .select(
+            F.col("app_name"),
+            F.col("ad_source_name").alias("ad_source"),
+            "ad_requests",
+            "matched_requests",
+            F.round(
+                F.col("matched_requests").cast("double")
+                / F.nullif(F.col("ad_requests"), F.lit(0)),
+                6,
+            ).alias("match_rate"),
+            F.round(
+                F.col("impressions").cast("double")
+                / F.nullif(F.col("matched_requests"), F.lit(0)),
+                6,
+            ).alias("show_rate"),
+        )
+        .orderBy("app_name", "ad_source")
+    )
+
+
+_ORACLE_MEDIATION_FILL = f"""
+WITH fact AS ({_MEDIATION_FACT_SQL})
+SELECT app_name,
+       ad_source_name AS ad_source,
+       CAST(SUM(ad_requests) AS BIGINT) AS ad_requests,
+       CAST(SUM(matched_requests) AS BIGINT) AS matched_requests,
+       ROUND(CAST(SUM(matched_requests) AS DOUBLE)
+             / NULLIF(SUM(ad_requests), 0), 6) AS match_rate,
+       ROUND(CAST(SUM(impressions) AS DOUBLE)
+             / NULLIF(SUM(matched_requests), 0), 6) AS show_rate
+FROM fact
+GROUP BY app_name, ad_source_name
+ORDER BY app_name, ad_source
+"""
+
+
+def q_mediation_top_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfall winner: the highest-earning ad source per (date, country)
+    cell — the per-cell top-1 a mediation dashboard ranks. Deterministic
+    tie-break on source name; exact integer earnings.
+
+    Scale: one partial/final aggregate to the (date, country, source)
+    grain, then a window over that BOUNDED rollup (≤ dates × countries ×
+    sources rows), never over raw events."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        read_mediation_warehouse,
+    )
+
+    wh = read_mediation_warehouse(spark, sf_dir)
+    cell = wh.groupBy("date", "country", "ad_source_name").agg(
+        F.sum("earn_micros").alias("earn_micros")
+    )
+    w = Window.partitionBy("date", "country").orderBy(
+        F.desc("earn_micros"), F.asc("ad_source_name")
+    )
+    return (
+        cell.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "date",
+            "country",
+            F.col("ad_source_name").alias("top_source"),
+            "earn_micros",
+        )
+        .orderBy("date", "country")
+    )
+
+
+_ORACLE_MEDIATION_TOP = f"""
+WITH fact AS ({_MEDIATION_FACT_SQL}),
+cell AS (
+    SELECT date, country, ad_source_name,
+           CAST(SUM(earn_micros) AS BIGINT) AS earn_micros
+    FROM fact GROUP BY date, country, ad_source_name
+),
+ranked AS (
+    SELECT date, country, ad_source_name, earn_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY date, country
+               ORDER BY earn_micros DESC, ad_source_name ASC
+           ) AS rk
+    FROM cell
+)
+SELECT date, country, ad_source_name AS top_source, earn_micros
+FROM ranked WHERE rk = 1
+ORDER BY date, country
+"""
+
+
 QUERIES = {
+    "report_warehouse_mediation": q_report_warehouse_mediation,
+    "mediation_ecpm_rollup": q_mediation_ecpm_rollup,
+    "mediation_fill_rate": q_mediation_fill_rate,
+    "mediation_top_source": q_mediation_top_source,
     "cohort_ltv": q_cohort_ltv,
     "approx_quantile_audit": q_approx_quantile_audit,
     "ks_test": q_ks_test,
@@ -3299,6 +3560,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "report_warehouse_mediation": _ORACLE_MEDIATION_WH,
+    "mediation_ecpm_rollup": _ORACLE_MEDIATION_ECPM,
+    "mediation_fill_rate": _ORACLE_MEDIATION_FILL,
+    "mediation_top_source": _ORACLE_MEDIATION_TOP,
     "cohort_ltv": _ORACLE_COHORT_LTV,
     "approx_quantile_audit": _ORACLE_APPROX_QUANTILE,
     "ks_test": _ORACLE_KS,

@@ -281,6 +281,13 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 # round they appear. Names absent from the registry are ignored, so this
 # list never breaks on renames.
 FRESH_FIRST: tuple[str, ...] = (
+    # round-5 additions (mediation-grain warehouse, S2/P7/P8 end-to-end)
+    # — new queries land at the front so they are checked this round.
+    "report_warehouse_mediation",
+    "mediation_ecpm_rollup",
+    "mediation_fill_rate",
+    "mediation_top_source",
+    # the 45-name backlog (never driver-checked before round 5)
     "autocorr_lag1",
     "ewma_spikes",
     "feature_info_gain",

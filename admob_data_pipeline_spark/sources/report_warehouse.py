@@ -65,3 +65,61 @@ def materialize_report_warehouse(spark: SparkSession, sf_dir: str) -> str:
 
 def read_report_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(materialize_report_warehouse(spark, sf_dir))
+
+
+# --- mediation grain -------------------------------------------------------
+
+def mediation_fact_from_events(events: DataFrame) -> DataFrame:
+    """Flattened MEDIATION-report grain (S2): the reference's mediation
+    report adds the monetization dimensions — ad source, country — and the
+    request-funnel metrics (AD_REQUESTS / MATCHED_REQUESTS feeding
+    MATCH_RATE, OBSERVED_ECPM; fetch_mediation_report.py:79-113,
+    save_CSV.py:148-186). Deterministic projection from ``events`` so a
+    DuckDB oracle re-derives the warehouse exactly:
+
+    - ``ad_source_name``  := 'src' || user_id % 4
+    - ``country``         := 'C' || event_id % 6
+    - ``ad_requests``     := 1 + event_id % 3  (funnel top, exact ints)
+    - ``matched_requests``:= 1                  (each row = one matched ad)
+    - ``earn_micros``     := floor(value * 1e6) (money in integer micros)
+    """
+    return events.select(
+        F.col("ts").cast("date").alias("date"),
+        F.col("event_type").alias("app_name"),
+        F.concat(F.lit("unit-"), (F.col("user_id") % 8).cast("string")).alias(
+            "ad_unit_name"
+        ),
+        F.concat(F.lit("src"), (F.col("user_id") % 4).cast("string")).alias(
+            "ad_source_name"
+        ),
+        F.concat(F.lit("C"), (F.col("event_id") % 6).cast("string")).alias(
+            "country"
+        ),
+        (F.lit(1) + F.col("event_id") % 3).cast("long").alias("ad_requests"),
+        F.lit(1).cast("long").alias("matched_requests"),
+        F.lit(1).cast("long").alias("impressions"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("earn_micros"),
+    )
+
+
+def materialize_mediation_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once) and return the date-partitioned MEDIATION warehouse —
+    same per-date idempotent-reload layout as the network warehouse, so a
+    spec's dateRange prunes partitions and its country/ad_source IN-lists
+    push to parquet row groups (asserted in tests/test_report_spec.py)."""
+
+    def write(tmp: str) -> None:
+        from admob_data_pipeline_spark.sources.tables import load_table
+
+        fact = mediation_fact_from_events(load_table(spark, sf_dir, "events"))
+        fact.repartition("date").write.mode("overwrite").partitionBy(
+            "date"
+        ).parquet(tmp)
+
+    return cached_parquet_dir(
+        "mediationwh", os.path.join(sf_dir, "events.parquet"), write
+    )
+
+
+def read_mediation_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(materialize_mediation_warehouse(spark, sf_dir))

@@ -103,3 +103,41 @@ def test_date_range_prunes_warehouse_partitions(spark, sf_dir):
     fact = report_fact_from_events(load_table(spark, sf_dir, "events"))
     expect = compile_report(fact, spec, dim_cols=dims, metric_cols=mets)
     assert df.collect() == expect.collect()
+
+
+def test_mediation_warehouse_prunes_and_pushes_both_dims(spark, sf_dir):
+    """S2 at warehouse scale: the mediation spec's dateRange must prune
+    date partitions and BOTH monetization IN-lists (country, ad_source)
+    must push to the parquet row groups — the mediation-grain twin of the
+    network-warehouse contract above."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        mediation_fact_from_events,
+        read_mediation_warehouse,
+    )
+
+    wh = read_mediation_warehouse(spark, sf_dir)
+    spec = ReportSpec(
+        date_range=("2024-01-04", "2024-01-18"),
+        dimensions=("DATE", "AD_SOURCE", "COUNTRY"),
+        metrics=("ESTIMATED_EARNINGS", "IMPRESSIONS"),
+        dimension_filters={
+            "AD_SOURCE": ("src0", "src1", "src2"),
+            "COUNTRY": ("C0", "C2", "C3", "C5"),
+        },
+        sort_conditions=(("DATE", "ASCENDING"),),
+    )
+    dims = {"AD_SOURCE": "ad_source_name", "COUNTRY": "country"}
+    mets = {"ESTIMATED_EARNINGS": "earn_micros", "IMPRESSIONS": "impressions"}
+    df = compile_report(wh, spec, dim_cols=dims, metric_cols=mets)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "2024-01-04" in pf and "2024-01-18" in pf, pf
+    pushed = next(l for l in plan.splitlines() if "PushedFilters: [" in l)
+    assert "In(ad_source_name" in pushed and "In(country" in pushed, pushed
+
+    # pruned scan == unpartitioned derivation
+    fact = mediation_fact_from_events(load_table(spark, sf_dir, "events"))
+    expect = compile_report(fact, spec, dim_cols=dims, metric_cols=mets)
+    assert df.collect() == expect.collect()
