@@ -843,12 +843,23 @@ def recsys_hitrate(
     train_orders = tagged.where(F.col("us") <= F.col("tr_end"))
     test_orders = tagged.where(F.col("us") > F.col("tr_end"))
     items = li.select("l_orderkey", "l_partkey")
-    train_ui = (
+    # One orders⋈lineitem join feeds BOTH train views: ``base`` is the
+    # train purchase table at (order, user, item) grain (order→user is
+    # functional, so distinct here = distinct baskets). Checkpointing it
+    # at derivation means the basket view (lp) and the user view
+    # (train_ui) never re-plan the big join — the re-planned-subtree trap
+    # this module documents for copurchase_edges.
+    base = (
         train_orders.join(items, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("item"),
+        )
         .distinct()
         .localCheckpoint()
     )
+    train_ui = base.select("u", "item").distinct().localCheckpoint()
     test_ui = (
         test_orders.join(items, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
@@ -856,23 +867,22 @@ def recsys_hitrate(
     )
     # targets: NEW items only (not already bought in train)
     targets = test_ui.join(train_ui, ["u", "item"], "left_anti").localCheckpoint()
-    # directed rules mined on train baskets only
-    to = train_orders.select("o_orderkey")
-    lp = items.join(to, items.l_orderkey == to.o_orderkey, "left_semi").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    # directed rules mined on train baskets only — (ok, item) is already
+    # distinct in base
+    lp = base.select(F.col("ok").alias("l_orderkey"), F.col("item").alias("l_partkey"))
     a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("x"))
     b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("y"))
+    # lp is distinct on (order, item), so each order contributes a given
+    # (x, y) at most once — plain COUNT equals COUNT(DISTINCT ok) exactly,
+    # without the dedup aggregate's extra pass.
     pair_supp = (
         a.join(b, "ok")
         .where(F.col("x") < F.col("y"))
         .groupBy("x", "y")
-        .agg(F.countDistinct("ok").alias("s_ab"))
+        .agg(F.count(F.lit(1)).alias("s_ab"))
         .where(F.col("s_ab") >= min_support)
     )
-    item_supp = lp.groupBy("l_partkey").agg(
-        F.countDistinct("l_orderkey").alias("s")
-    )
+    item_supp = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
     directed = pair_supp.select(
         F.col("x").alias("ante"), F.col("y").alias("cons"), "s_ab"
     ).unionByName(
