@@ -130,8 +130,15 @@ def pagerank(
 def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     """Min-label propagation to fixpoint: every node's label converges to
     the smallest node id in its component. Converges in O(diameter)
-    rounds; iteration stops as soon as a round changes nothing (one
-    tiny count per round on an already-materialized diff).
+    rounds; the previous label rides through each round's checkpoint as
+    ``prev`` so the early-stop changed-count is a scan of the
+    materialized result, not another join.
+
+    (Pointer jumping and multi-step batching were both measured at sf0.1
+    and bought nothing: the changed-count tail here shrinks by new minima
+    propagating, not by long chains being shortcut, and per-join-stage
+    overhead — not per-materialization overhead — dominates tiny rounds.
+    See ROUND_NOTES r5.)
 
     Scale: identical round shape to pagerank (join on vertex key +
     min-aggregate, lineage truncated per round); min() is
@@ -150,17 +157,13 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
                 "node",
+                F.col("lbl").alias("prev"),
                 F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("lbl") != F.col("prev")).count()
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
     return labels
