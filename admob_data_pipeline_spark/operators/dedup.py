@@ -1437,6 +1437,150 @@ ORDER BY i.a, i.b
 """
 
 
+# --- idf-weighted shingle cosine -------------------------------------------
+
+TFIDF_COS_THRESHOLD = 0.35
+IDF_SCALE = 1000  # idf quantized to milli-nats (exact-integer weights)
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = TFIDF_COS_THRESHOLD,
+    max_df: int = MAX_DF,
+    text_col: str = "text",
+) -> DataFrame:
+    """TF-IDF cosine near-dup pairs: the vector-space complement of the
+    Jaccard family — rare shared shingles count for more, boilerplate for
+    less. Weights are tf · idf with idf = ln(N/df) QUANTIZED to integer
+    milli-nats (``IDF_SCALE``), so the dot product and both squared norms
+    are exact BIGINT sums — order-independent across partitions and
+    bit-identical in DuckDB; floats appear only in the final
+    sqrt/divide/round hop (repo-wide integer-moment discipline).
+
+    Headroom: per-term weight = tf · idf_e3 ≤ tf · 21000 at N = 1e9 docs;
+    the BIGINT dot stays exact while Σ (tf·idf_e3)² < 9.2e18 — safe for
+    tf ≲ 1e4 per shingle at ≤ 1e5 shingles/doc, far beyond real
+    documents.
+
+    Scale: shared-shingle posting join only (Σ df² pair-terms, stop-
+    shingle capped at ``max_df``), identical shape to
+    ``weighted_jaccard_pairs``; N is a broadcast one-row aggregate, not a
+    driver collect.
+    """
+    sh = (
+        widen_if_narrow(docs)
+        .select(
+            "doc_id",
+            F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"),
+        )
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    capped = join_small(sh, hot.localCheckpoint(), "shingle", "left_anti")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_tbl = capped.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    weighted = (
+        capped.join(df_tbl, "shingle")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "shingle",
+            (
+                F.col("c")
+                * F.floor(
+                    F.log(F.col("n_docs").cast("double") / F.col("df"))
+                    * IDF_SCALE
+                ).cast("long")
+            ).alias("w"),
+        )
+        .localCheckpoint()
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    a = weighted.select(F.col("doc_id").alias("a"), "shingle", F.col("w").alias("wa"))
+    b = weighted.select(F.col("doc_id").alias("b"), "shingle", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = (
+        dots.join(norms.select(F.col("doc_id").alias("a"), F.col("n2").alias("na2")), "a")
+        .join(norms.select(F.col("doc_id").alias("b"), F.col("n2").alias("nb2")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return cos.where(F.col("cos_sim") >= threshold).orderBy("a", "b")
+
+
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_TFIDF_COSINE = f"""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+shm AS (
+    SELECT doc_id, shingle, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(
+            [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
+        ) AS shingle
+        FROM t
+    ) GROUP BY doc_id, shingle
+),
+hot AS (
+    SELECT shingle FROM shm GROUP BY shingle HAVING COUNT(*) > {MAX_DF}
+),
+capped AS (
+    SELECT * FROM shm WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfs AS (SELECT shingle, COUNT(*) AS df FROM capped GROUP BY shingle),
+weighted AS (
+    SELECT c.doc_id, c.shingle,
+           c.c * CAST(FLOOR(ln(CAST(n.n_docs AS DOUBLE) / d.df)
+                            * {IDF_SCALE}) AS BIGINT) AS w
+    FROM capped c JOIN dfs d ON c.shingle = d.shingle, n
+),
+norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM weighted GROUP BY doc_id),
+dots AS (
+    SELECT wa.doc_id AS a, wb.doc_id AS b, SUM(wa.w * wb.w) AS dot
+    FROM weighted wa JOIN weighted wb
+      ON wa.shingle = wb.shingle AND wa.doc_id < wb.doc_id
+    GROUP BY wa.doc_id, wb.doc_id
+)
+SELECT d.a, d.b,
+       ROUND(CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+             6) AS cos_sim
+FROM dots d
+JOIN norms na ON na.doc_id = d.a
+JOIN norms nb ON nb.doc_id = d.b
+WHERE ROUND(CAST(d.dot AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+            6) >= {TFIDF_COS_THRESHOLD}
+ORDER BY d.a, d.b
+"""
+
+
 # --- corpus dedup accounting ------------------------------------------------
 
 
@@ -1982,9 +2126,11 @@ QUERIES = {
     "dedup_weighted_jaccard": q_weighted_jaccard,
     "dedup_minimizer": q_minimizer_pairs,
     "dedup_lsh_sweep": q_lsh_recall_sweep,
+    "dedup_tfidf_cosine": q_tfidf_cosine,
 }
 
 ORACLES = {
+    "dedup_tfidf_cosine": _ORACLE_TFIDF_COSINE,
     "dedup_lsh_sweep": _ORACLE_LSH_SWEEP,
     "dedup_minimizer": _ORACLE_MINIMIZER,
     "dedup_weighted_jaccard": _ORACLE_WEIGHTED_JACCARD,

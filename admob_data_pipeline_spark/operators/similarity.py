@@ -2288,7 +2288,91 @@ ORDER BY d.vec_id, d.dim
 """
 
 
+# --- k-NN graph ------------------------------------------------------------
+
+KNN_K = 5
+
+
+def knn_graph(
+    emb: DataFrame, k: int = KNN_K, n_planes: int = N_PLANES
+) -> DataFrame:
+    """Directed k-NN graph over ALL vectors — the input structure for
+    graph-based semantic dedup, label propagation, and hubness audits.
+    Candidates are sign-bucket mates (the same LSH family as
+    ``topk_lsh``/``neardup_pairs``), so the pair space is ~N²/2^n_planes
+    bucketed-join work, never the all-pairs cross join; each node then
+    keeps its top-k bucket-mates by cosine (deterministic tie-break on
+    neighbor id).
+
+    Nodes whose bucket holds fewer than k mates return fewer edges —
+    the standard LSH-recall trade, auditable exactly like
+    ``ann_recall_audit``.
+
+    Scale: one bucket-keyed shuffle join (AQE splits hot buckets) + one
+    per-node window bounded by bucket size. No driver-side state.
+    """
+    base, dim = with_vec(emb)
+    base = base.withColumn("bucket", sign_bucket(F.col("v"), n_planes))
+    a = base.select(
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    scored = (
+        a.join(b, "bucket")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            cosine(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .orderBy("src", "rank")
+    )
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_graph(load_table(spark, sf_dir, "embeddings"))
+
+
+_ORACLE_KNN_GRAPH = f"""
+WITH {_DUCK_BASE},
+bucketed AS (SELECT vec_id, v, nrm, {_SIGN_BITS} AS bucket FROM base),
+scored AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6)
+               AS cos_sim
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+    WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT src, dst, cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY cos_sim DESC, dst
+           ) AS rank
+    FROM scored
+)
+SELECT src, dst, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {KNN_K}
+ORDER BY src, rank
+"""
+
+
 QUERIES = {
+    "knn_graph": q_knn_graph,
     "kmeans_lloyd": q_kmeans_lloyd,
     "coreset_kcenter": q_coreset_kcenter,
     "embedding_random_projection": q_embedding_random_projection,
@@ -2313,6 +2397,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "knn_graph": _ORACLE_KNN_GRAPH,
     "kmeans_lloyd": _ORACLE_KMEANS,
     "coreset_kcenter": _ORACLE_CORESET,
     "embedding_random_projection": _ORACLE_RP,

@@ -333,6 +333,10 @@ FRESH_FIRST: tuple[str, ...] = (
     "sampled_quantiles",
     "rolling_zscore",
     "quantile_binning",
+    # round-5 wave 2: queued BEHIND the backlog (window is full this
+    # round); the driver checks these in round 6.
+    "knn_graph",
+    "dedup_tfidf_cosine",
 )
 
 

@@ -455,3 +455,24 @@ def test_minhash_signatures_match_pure_python_reference(spark):
         return tuple(mins)
 
     assert sig == {i: ref(t) for i, t in enumerate(texts)}
+
+
+def test_tfidf_cosine_downweights_common_shingles(spark):
+    """idf weighting: a pair sharing only a corpus-ubiquitous shingle must
+    score below a pair sharing an equally-sized rare shingle, and an
+    exact duplicate scores 1.0."""
+    common = "alpha beta gamma"
+    texts = [
+        f"{common} one two three four",      # 0: common + unique tail
+        f"{common} five six seven eight",    # 1: shares ONLY common w/ 0
+        "rare1 rare2 rare3 x y z w",         # 2: rare trigram pair...
+        "rare1 rare2 rare3 p q r s",         # 3: ...shared with 2 only
+        f"{common} one two three four",      # 4: exact dup of 0
+    ] + [f"{common} filler{i} a b c" for i in range(6)]  # make 'common' high-df
+    d = _docs(spark, texts)
+    rows = {
+        (r.a, r.b): r.cos_sim
+        for r in dedup.tfidf_cosine_pairs(d, threshold=0.0).collect()
+    }
+    assert rows[(0, 4)] == 1.0
+    assert rows[(2, 3)] > rows[(0, 1)]

@@ -325,3 +325,45 @@ def test_kmeans_partition_invariance(spark, sf_dir):
     a = kmeans_lloyd(emb.repartition(2)).collect()
     b = kmeans_lloyd(emb.repartition(32)).collect()
     assert a == b
+
+
+def test_knn_graph_matches_per_bucket_reference(spark):
+    """knn_graph = per-node top-k among SIGN-BUCKET mates: verify edges,
+    ordering, and the k cap against a pure-python reference on a small
+    set with known bucket structure."""
+    import itertools
+    import math
+
+    vecs = [
+        [1.0, 1.0, 0.5, 0.2],
+        [1.0, 0.9, 0.4, 0.1],
+        [0.9, 1.0, 0.6, 0.3],
+        [-1.0, -1.0, -0.5, -0.2],
+        [-1.0, -0.8, -0.4, -0.1],
+        [1.0, -1.0, 0.5, -0.2],
+    ]
+    d = _emb(spark, vecs)
+    got = [
+        (r.src, r.rank, r.dst)
+        for r in similarity.knn_graph(d, k=2, n_planes=4).collect()
+    ]
+
+    def bucket(v):
+        return "".join("1" if x >= 0 else "0" for x in v[:4])
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    expect = []
+    for i, vi in enumerate(vecs):
+        mates = [
+            (-cos(vi, vj), j)
+            for j, vj in enumerate(vecs)
+            if j != i and bucket(vj) == bucket(vi)
+        ]
+        for rank, (_, j) in enumerate(sorted(mates)[:2], start=1):
+            expect.append((i, rank, j))
+    assert sorted(got) == sorted(expect)
