@@ -3342,7 +3342,10 @@ def q_mediation_ecpm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OBSERVED_ECPM at every drill level in one scan: ROLLUP
     (ad_source, country) — per-cell rows, per-source subtotals, network
     grand total. eCPM = earnings per 1000 impressions, computed ONCE from
-    the exact integer sums (never an average of per-row ratios).
+    the exact integer sums (never an average of per-row ratios) and kept
+    in integer micros via floor division — a ROUND at this magnitude
+    (~4e10 micros) sits past double precision and diverged between
+    engines by 1 ulp in testing.
 
     Scale: Expand + one partial/final hash aggregate; grouping keys are
     schema-bounded (sources × countries)."""
@@ -3366,11 +3369,9 @@ def q_mediation_ecpm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_cty",
             "earn_micros",
             "impressions",
-            F.round(
-                (F.col("earn_micros") * F.lit(1000)).cast("double")
-                / F.col("impressions"),
-                4,
-            ).alias("ecpm_micros"),
+            F.expr("earn_micros * 1000 DIV NULLIF(impressions, 0)")
+            .cast("long")
+            .alias("ecpm_micros"),
         )
         .orderBy("g_src", "g_cty", "ad_source", "country")
     )
@@ -3384,7 +3385,7 @@ SELECT ad_source_name AS ad_source,
        CAST(GROUPING(country) AS INTEGER) AS g_cty,
        CAST(SUM(earn_micros) AS BIGINT) AS earn_micros,
        CAST(SUM(impressions) AS BIGINT) AS impressions,
-       ROUND(CAST(SUM(earn_micros) * 1000 AS DOUBLE) / SUM(impressions), 4)
+       CAST(SUM(earn_micros) * 1000 // NULLIF(SUM(impressions), 0) AS BIGINT)
            AS ecpm_micros
 FROM fact
 GROUP BY ROLLUP (ad_source_name, country)
