@@ -1478,17 +1478,19 @@ def tfidf_cosine_pairs(
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint()
     )
-    hot = (
+    # ONE df aggregate serves both roles: the inner join below keeps only
+    # shingles with df ≤ max_df (the stop-shingle cap — no separate
+    # anti-join pass) and carries the df the idf needs. Dropping a hot
+    # shingle doesn't change any other shingle's df, so df-on-full equals
+    # df-on-capped for every surviving shingle.
+    df_ok = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > max_df)
-        .select("shingle")
+        .where(F.col("df") <= max_df)
     )
-    capped = join_small(sh, hot.localCheckpoint(), "shingle", "left_anti")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    df_tbl = capped.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     weighted = (
-        capped.join(df_tbl, "shingle")
+        sh.join(df_ok, "shingle")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

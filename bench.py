@@ -75,6 +75,11 @@ EXTENDED = [
     "recsys_hitrate",
     "graph_components",
     "graph_pagerank",
+    # round-5 additions: one representative per new family (pruned
+    # mediation warehouse scan; LSH k-NN graph; idf-weighted cosine)
+    "report_warehouse_mediation",
+    "knn_graph",
+    "dedup_tfidf_cosine",
 ]
 
 
