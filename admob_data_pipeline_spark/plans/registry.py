@@ -337,6 +337,7 @@ FRESH_FIRST: tuple[str, ...] = (
     # round); the driver checks these in round 6.
     "knn_graph",
     "dedup_tfidf_cosine",
+    "streaming_mediation_ecpm",
 )
 
 

@@ -554,6 +554,58 @@ ORDER BY date, app_name
 """
 
 
+def mediation_ecpm_stream(
+    events: DataFrame, watermark: str = WATERMARK
+) -> DataFrame:
+    """Tumbling 1-day windows per ad source at the MEDIATION grain: the
+    incremental twin of ``mediation_ecpm_rollup``'s leaf cells
+    (sources/report_warehouse.py derivation — earnings in exact integer
+    micros, eCPM by integer floor division so the stream and the batch
+    warehouse produce bit-identical cells). Watermark bounds state per
+    (day, source) key; a live mediation feed maintains the day's eCPM
+    continuously instead of re-running the batch rollup."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.concat(F.lit("src"), (F.col("user_id") % 4).cast("string")).alias(
+                "ad_source"
+            ),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("earn_micros"),
+            F.count(F.lit(1)).alias("impressions"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("date"),
+            "ad_source",
+            "earn_micros",
+            "impressions",
+            F.expr("earn_micros * 1000 DIV NULLIF(impressions, 0)")
+            .cast("long")
+            .alias("ecpm_micros"),
+        )
+    )
+
+
+def q_streaming_mediation_ecpm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_available_now(mediation_ecpm_stream(_event_stream(spark, sf_dir)))
+    return out.orderBy("date", "ad_source")
+
+
+_ORACLE_STREAM_MEDIATION_ECPM = """
+SELECT CAST(ts AS DATE) AS date,
+       'src' || CAST(user_id % 4 AS VARCHAR) AS ad_source,
+       CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS earn_micros,
+       COUNT(*) AS impressions,
+       CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) * 1000
+            // NULLIF(COUNT(*), 0) AS BIGINT) AS ecpm_micros
+FROM events
+GROUP BY 1, 2
+ORDER BY date, ad_source
+"""
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(sessionize_stream(_event_stream(spark, sf_dir)))
     return out.orderBy("user_id", "session_start_epoch")
@@ -791,6 +843,7 @@ QUERIES = {
     "streaming_attribution": q_streaming_attribution,
     "streaming_dedup": q_streaming_dedup,
     "streaming_daily_rates": q_streaming_daily_rates,
+    "streaming_mediation_ecpm": q_streaming_mediation_ecpm,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_enrich": q_streaming_enrich,
     "streaming_kmv_sink": q_streaming_kmv_sink,
@@ -812,6 +865,7 @@ ORACLES = {
     "streaming_attribution": _ORACLE_ATTRIBUTION,
     "streaming_dedup": _ORACLE_STREAM_DEDUP,
     "streaming_daily_rates": _ORACLE_DAILY_RATES,
+    "streaming_mediation_ecpm": _ORACLE_STREAM_MEDIATION_ECPM,
     "streaming_sessionize": _ORACLE_SESSIONIZE,
     "streaming_enrich": _ORACLE_ENRICH,
     "streaming_kmv_sink": _ORACLE_STREAM_KMV,
