@@ -2018,11 +2018,15 @@ def q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", _cents("o_totalprice").alias("c")
     )
     pcts = [i / N_BINS for i in range(1, N_BINS)]
+    # ONE array-percentile aggregate: each scalar percentile(c, p) call
+    # maintains its own copy of the value buffer, so 9 separate exprs
+    # buffered (and sorted) the column 9× — same numbers, 9× the work.
     thresholds = o.agg(
-        *[
-            F.expr(f"percentile(c, {p!r})").alias(f"t{i}")
-            for i, p in enumerate(pcts, start=1)
-        ]
+        F.expr(
+            f"percentile(c, array({', '.join(repr(p) for p in pcts)}))"
+        ).alias("ts")
+    ).select(
+        *[F.col("ts")[i - 1].alias(f"t{i}") for i in range(1, N_BINS)]
     )
     bucket = F.lit(1)
     for i in range(1, N_BINS):
@@ -2106,14 +2110,21 @@ def q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(float(16**13))
     )
     s = li.where(frac < SAMPLE_RATE)
+    # one array-percentile (see q_quantile_binning): scalar calls each
+    # buffer the sample separately
     return s.agg(
         F.count(F.lit(1)).alias("n_sampled"),
-        F.expr("percentile(c, 0.25)").alias("p25"),
-        F.expr("percentile(c, 0.5)").alias("p50"),
-        F.expr("percentile(c, 0.9)").alias("p90"),
-        F.expr("percentile(c, 0.99)").alias("p99"),
+        F.expr("percentile(c, array(0.25, 0.5, 0.9, 0.99))").alias("ps"),
         F.min("c").alias("cmin"),
         F.max("c").alias("cmax"),
+    ).select(
+        "n_sampled",
+        F.col("ps")[0].alias("p25"),
+        F.col("ps")[1].alias("p50"),
+        F.col("ps")[2].alias("p90"),
+        F.col("ps")[3].alias("p99"),
+        "cmin",
+        "cmax",
     )
 
 

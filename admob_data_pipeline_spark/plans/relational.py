@@ -748,13 +748,21 @@ def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.groupBy("l_returnflag")
+        # one array-percentile: scalar percentile(c, p) exprs each keep
+        # their own value buffer — 4 separate calls buffered the group 4×
         .agg(
-            F.expr("percentile(c, 0.25)").alias("p25"),
-            F.expr("percentile(c, 0.5)").alias("p50"),
-            F.expr("percentile(c, 0.9)").alias("p90"),
-            F.expr("percentile(c, 0.99)").alias("p99"),
+            F.expr("percentile(c, array(0.25, 0.5, 0.9, 0.99))").alias("ps"),
             F.min("c").alias("cmin"),
             F.max("c").alias("cmax"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("ps")[0].alias("p25"),
+            F.col("ps")[1].alias("p50"),
+            F.col("ps")[2].alias("p90"),
+            F.col("ps")[3].alias("p99"),
+            "cmin",
+            "cmax",
         )
         .orderBy("l_returnflag")
     )
