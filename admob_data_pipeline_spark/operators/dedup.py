@@ -1522,9 +1522,17 @@ def tfidf_cosine_pairs(
         .select(
             "a",
             "b",
+            # try_divide: a doc whose every shingle is corpus-ubiquitous
+            # has norm 0 (idf floor hits 0) — NULL here, dropped by the
+            # threshold filter, matching DuckDB's NULL-on-zero division
+            # and the pure-python reference (a bare `/` crashes under
+            # ANSI mode)
             F.round(
-                F.col("dot").cast("double")
-                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+                F.try_divide(
+                    F.col("dot").cast("double"),
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double")),
+                ),
                 6,
             ).alias("cos_sim"),
         )

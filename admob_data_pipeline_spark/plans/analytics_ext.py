@@ -3361,6 +3361,7 @@ def q_mediation_ecpm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: Expand + one partial/final hash aggregate; grouping keys are
     schema-bounded (sources × countries)."""
     from admob_data_pipeline_spark.sources.report_warehouse import (
+        ecpm_micros_col,
         read_mediation_warehouse,
     )
 
@@ -3380,9 +3381,7 @@ def q_mediation_ecpm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_cty",
             "earn_micros",
             "impressions",
-            F.expr("earn_micros * 1000 DIV NULLIF(impressions, 0)")
-            .cast("long")
-            .alias("ecpm_micros"),
+            ecpm_micros_col().alias("ecpm_micros"),
         )
         .orderBy("g_src", "g_cty", "ad_source", "country")
     )

@@ -333,8 +333,10 @@ FRESH_FIRST: tuple[str, ...] = (
     "sampled_quantiles",
     "rolling_zscore",
     "quantile_binning",
-    # round-5 wave 2: queued BEHIND the backlog (window is full this
-    # round); the driver checks these in round 6.
+    # round-5 wave 2, queued BEHIND the backlog. The 50-slot window holds
+    # 4 mediation queries + the 45-name backlog + knn_graph (slot 50,
+    # driver-checked THIS round); dedup_tfidf_cosine and
+    # streaming_mediation_ecpm queue for round 6.
     "knn_graph",
     "dedup_tfidf_cosine",
     "streaming_mediation_ecpm",

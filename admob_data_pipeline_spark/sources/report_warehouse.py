@@ -68,6 +68,30 @@ def read_report_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- mediation grain -------------------------------------------------------
+#
+# Shared column expressions: the batch warehouse, the rollup queries, and
+# the streaming eCPM monitor all derive the SAME cells — single-sourcing
+# the source mapping, the micros conversion, and the eCPM formula is what
+# makes their "bit-identical" claim a property of the code rather than of
+# three hand-synced copies.
+
+
+def mediation_source_col() -> F.Column:
+    """'src' || user_id % 4 — the deterministic ad-source mapping."""
+    return F.concat(F.lit("src"), (F.col("user_id") % 4).cast("string"))
+
+
+def earn_micros_col() -> F.Column:
+    """Money in exact integer micros (floor of the double value)."""
+    return F.floor(F.col("value") * 1e6).cast("long")
+
+
+def ecpm_micros_col() -> F.Column:
+    """eCPM over exact integer sums, kept integral by floor division —
+    ROUND at micros magnitude sits past double precision (ROUND_NOTES
+    r5). Expects aggregated ``earn_micros`` / ``impressions`` columns."""
+    return F.expr("earn_micros * 1000 DIV NULLIF(impressions, 0)").cast("long")
+
 
 def mediation_fact_from_events(events: DataFrame) -> DataFrame:
     """Flattened MEDIATION-report grain (S2): the reference's mediation
@@ -89,16 +113,14 @@ def mediation_fact_from_events(events: DataFrame) -> DataFrame:
         F.concat(F.lit("unit-"), (F.col("user_id") % 8).cast("string")).alias(
             "ad_unit_name"
         ),
-        F.concat(F.lit("src"), (F.col("user_id") % 4).cast("string")).alias(
-            "ad_source_name"
-        ),
+        mediation_source_col().alias("ad_source_name"),
         F.concat(F.lit("C"), (F.col("event_id") % 6).cast("string")).alias(
             "country"
         ),
         (F.lit(1) + F.col("event_id") % 3).cast("long").alias("ad_requests"),
         F.lit(1).cast("long").alias("matched_requests"),
         F.lit(1).cast("long").alias("impressions"),
-        F.floor(F.col("value") * 1e6).cast("long").alias("earn_micros"),
+        earn_micros_col().alias("earn_micros"),
     )
 
 

@@ -564,16 +564,20 @@ def mediation_ecpm_stream(
     warehouse produce bit-identical cells). Watermark bounds state per
     (day, source) key; a live mediation feed maintains the day's eCPM
     continuously instead of re-running the batch rollup."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        earn_micros_col,
+        ecpm_micros_col,
+        mediation_source_col,
+    )
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(
             F.window("ts", "1 day").alias("w"),
-            F.concat(F.lit("src"), (F.col("user_id") % 4).cast("string")).alias(
-                "ad_source"
-            ),
+            mediation_source_col().alias("ad_source"),
         )
         .agg(
-            F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("earn_micros"),
+            F.sum(earn_micros_col()).alias("earn_micros"),
             F.count(F.lit(1)).alias("impressions"),
         )
         .select(
@@ -581,9 +585,7 @@ def mediation_ecpm_stream(
             "ad_source",
             "earn_micros",
             "impressions",
-            F.expr("earn_micros * 1000 DIV NULLIF(impressions, 0)")
-            .cast("long")
-            .alias("ecpm_micros"),
+            ecpm_micros_col().alias("ecpm_micros"),
         )
     )
 

@@ -476,3 +476,11 @@ def test_tfidf_cosine_downweights_common_shingles(spark):
     }
     assert rows[(0, 4)] == 1.0
     assert rows[(2, 3)] > rows[(0, 1)]
+
+
+def test_tfidf_cosine_zero_norm_docs_dropped_not_crashed(spark):
+    """Docs whose every shingle is corpus-ubiquitous (df == N → idf floor
+    0) have zero norms: the pair must be DROPPED (NULL cosine, like the
+    DuckDB oracle), not raise ANSI DIVIDE_BY_ZERO."""
+    d = _docs(spark, ["w1 w2 w3", "w1 w2 w3"])
+    assert dedup.tfidf_cosine_pairs(d, threshold=0.0).collect() == []
