@@ -2371,8 +2371,150 @@ ORDER BY src, rank
 """
 
 
+KNN_PROBE_MAX = 32  # probe-node cap for the recall audit's exact baseline
+
+
+def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the LSH k-NN graph against the EXACT top-k for a probe
+    subset (vec_id < KNN_PROBE_MAX) — the same audit-before-trust
+    contract as ``ann_recall_audit``, applied to the graph builder: exact
+    neighbors come from a broadcast probe × corpus scan (bounded by the
+    probe count, never all-pairs), hits are the graph edges that appear
+    in the exact top-k. One summary row in exact integers.
+
+    knn_graph keeps ≤ k bucket-mates per node, so recall < 1 by design;
+    this query prices that trade on the actual corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = list(range(KNN_PROBE_MAX))
+    exact = (
+        topk_bruteforce(emb, probes, k=KNN_K)
+        .select(F.col("qid").alias("src"), F.col("vec_id").alias("dst"))
+        .localCheckpoint()
+    )
+    approx = knn_graph(emb).where(F.col("src") < KNN_PROBE_MAX).select("src", "dst")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nh = approx.join(exact, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return ne.crossJoin(F.broadcast(nh)).select(
+        "n_exact",
+        "n_hits",
+        F.expr(
+            "CAST(CASE WHEN n_exact = 0 THEN 0 "
+            "ELSE n_hits * 1000000 DIV n_exact END AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
+_ORACLE_KNN_RECALL = f"""
+WITH {_DUCK_BASE},
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base
+      WHERE vec_id < {KNN_PROBE_MAX}),
+scored AS (
+    SELECT q.qid AS src, b.vec_id AS dst,
+           ROUND(list_dot_product(q.qv, b.v) / NULLIF(q.qn * b.nrm, 0), 6)
+               AS cos_sim
+    FROM base b, q WHERE b.vec_id <> q.qid
+),
+exact AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (
+                   PARTITION BY src ORDER BY cos_sim DESC, dst
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= {KNN_K}
+),
+bucketed AS (SELECT vec_id, v, nrm, {_SIGN_BITS} AS bucket FROM base),
+ascored AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6)
+               AS cos_sim
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+    WHERE a.vec_id <> b.vec_id
+),
+approx AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (
+                   PARTITION BY src ORDER BY cos_sim DESC, dst
+               ) AS rank
+        FROM ascored
+    ) WHERE rank <= {KNN_K} AND src < {KNN_PROBE_MAX}
+),
+n_e AS (SELECT COUNT(*) AS n_exact FROM exact),
+n_h AS (SELECT COUNT(*) AS n_hits FROM approx a
+        WHERE EXISTS (SELECT 1 FROM exact e
+                      WHERE e.src = a.src AND e.dst = a.dst))
+SELECT n_exact, n_hits,
+       CAST(CASE WHEN n_exact = 0 THEN 0
+            ELSE n_hits * 1000000 // n_exact END AS BIGINT) AS recall_ppm
+FROM n_e, n_h
+"""
+
+
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the k-NN graph: the in-degree histogram. Hub
+    nodes (huge in-degree) are the classic high-dimensional ANN
+    pathology — they dominate retrieval and poison graph-based dedup, so
+    the histogram's tail is the health check run before trusting the
+    graph. Two bounded aggregations over the edge list; nodes with zero
+    in-edges appear as the in_degree=0 row (anti-join against edge
+    destinations)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb).localCheckpoint()
+    indeg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    orphans = (
+        emb.select(F.col("vec_id").alias("node"))
+        .join(indeg.select("node"), "node", "left_anti")
+        .select("node", F.lit(0).cast("long").alias("in_degree"))
+    )
+    return (
+        indeg.unionByName(orphans)
+        .groupBy("in_degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("in_degree")
+    )
+
+
+_ORACLE_KNN_HUBNESS = f"""
+WITH {_DUCK_BASE},
+bucketed AS (SELECT vec_id, v, nrm, {_SIGN_BITS} AS bucket FROM base),
+scored AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6)
+               AS cos_sim
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+    WHERE a.vec_id <> b.vec_id
+),
+edges AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (
+                   PARTITION BY src ORDER BY cos_sim DESC, dst
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= {KNN_K}
+),
+indeg AS (
+    SELECT e.dst AS node, COUNT(*) AS in_degree FROM edges e GROUP BY e.dst
+),
+alln AS (
+    SELECT b.vec_id AS node,
+           COALESCE(i.in_degree, 0) AS in_degree
+    FROM base b LEFT JOIN indeg i ON i.node = b.vec_id
+)
+SELECT CAST(in_degree AS BIGINT) AS in_degree, COUNT(*) AS n_nodes
+FROM alln GROUP BY in_degree ORDER BY in_degree
+"""
+
+
 QUERIES = {
     "knn_graph": q_knn_graph,
+    "knn_graph_recall": q_knn_graph_recall,
+    "knn_hubness": q_knn_hubness,
     "kmeans_lloyd": q_kmeans_lloyd,
     "coreset_kcenter": q_coreset_kcenter,
     "embedding_random_projection": q_embedding_random_projection,
@@ -2398,6 +2540,8 @@ QUERIES = {
 
 ORACLES = {
     "knn_graph": _ORACLE_KNN_GRAPH,
+    "knn_graph_recall": _ORACLE_KNN_RECALL,
+    "knn_hubness": _ORACLE_KNN_HUBNESS,
     "kmeans_lloyd": _ORACLE_KMEANS,
     "coreset_kcenter": _ORACLE_CORESET,
     "embedding_random_projection": _ORACLE_RP,

@@ -340,6 +340,8 @@ FRESH_FIRST: tuple[str, ...] = (
     "knn_graph",
     "dedup_tfidf_cosine",
     "streaming_mediation_ecpm",
+    "knn_graph_recall",
+    "knn_hubness",
 )
 
 
