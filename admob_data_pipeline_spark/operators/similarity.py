@@ -2453,7 +2453,9 @@ FROM n_e, n_h
 """
 
 
-def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_hubness(
+    emb: DataFrame, k: int = KNN_K, n_planes: int = N_PLANES
+) -> DataFrame:
     """Hubness audit of the k-NN graph: the in-degree histogram. Hub
     nodes (huge in-degree) are the classic high-dimensional ANN
     pathology — they dominate retrieval and poison graph-based dedup, so
@@ -2461,8 +2463,7 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph. Two bounded aggregations over the edge list; nodes with zero
     in-edges appear as the in_degree=0 row (anti-join against edge
     destinations)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    edges = knn_graph(emb).localCheckpoint()
+    edges = knn_graph(emb, k, n_planes).localCheckpoint()
     indeg = edges.groupBy(F.col("dst").alias("node")).agg(
         F.count(F.lit(1)).alias("in_degree")
     )
@@ -2477,6 +2478,10 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("in_degree")
     )
+
+
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_hubness(load_table(spark, sf_dir, "embeddings"))
 
 
 _ORACLE_KNN_HUBNESS = f"""

@@ -367,3 +367,34 @@ def test_knn_graph_matches_per_bucket_reference(spark):
         for rank, (_, j) in enumerate(sorted(mates)[:2], start=1):
             expect.append((i, rank, j))
     assert sorted(got) == sorted(expect)
+
+
+def test_knn_hubness_covers_all_nodes_including_orphans(spark):
+    """The in-degree histogram must account for EVERY vector exactly once
+    and include zero-in-edge nodes as the in_degree=0 row."""
+    import collections
+
+    from admob_data_pipeline_spark.operators.similarity import (
+        knn_graph,
+        knn_hubness,
+    )
+
+    vecs = [
+        [1.0, 1.0, 0.5, 0.2],
+        [1.0, 0.9, 0.4, 0.1],
+        [-1.0, -1.0, -0.5, -0.2],   # alone in its bucket → orphan
+    ]
+    d = _emb(spark, vecs)
+    got = {
+        r.in_degree: r.n_nodes
+        for r in knn_hubness(d, k=2, n_planes=4).collect()
+    }
+    cnt = collections.Counter(
+        r.dst for r in knn_graph(d, k=2, n_planes=4).collect()
+    )
+    want = dict(
+        collections.Counter(cnt.get(i, 0) for i in range(len(vecs)))
+    )
+    assert got == want
+    assert sum(got.values()) == len(vecs)
+    assert got.get(0, 0) >= 1  # the orphan contributes a zero row
