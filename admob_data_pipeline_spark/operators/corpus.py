@@ -421,6 +421,129 @@ ORDER BY doc_id, rnk
 """
 
 
+# --- BM25 retrieval ---------------------------------------------------------
+
+BM25_QUERY = ("spark", "join", "window")  # deterministic query terms
+BM25_SEARCH_TOP = 10
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    top: int = BM25_SEARCH_TOP,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top`` documents for a term query by summed Okapi BM25 — the
+    retrieval side of ``bm25_top_terms``'s scoring (a search engine's
+    ranked lookup, and the retrieval leg of RAG-style corpus curation).
+
+    Per-term scores floor-scale to integers BEFORE the per-doc sum
+    (transcendental ulp discipline), so the document score is an exact
+    BIGINT under any partitioning; ties break on doc_id.
+
+    Scale: the corpus is scanned+exploded once into the checkpointed tf
+    table; doc lengths, dfs and the corpus scalars are aggregates of
+    that table; the RETRIEVAL side then touches only the query terms'
+    postings (an IN-list filter on tf — Σ df(term) rows, not the
+    corpus), the inverted-index access pattern that keeps per-query cost
+    independent of corpus size.
+    """
+    tok = widen_if_narrow(docs).select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = tf.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
+    )
+    postings = tf.where(F.col("token").isin(list(query_terms)))
+    scored = (
+        postings.join(df_tab, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = scored.select(
+        "doc_id",
+        F.floor(idf * tf_norm * BM25_SCALE).cast("long").alias("s"),
+    )
+    doc_scores = per_term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.sum("s").alias("score_scaled"),
+    )
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # partial top-k, merge of k rows) — a bare global row_number window
+    # would serialize every matching doc through one task at corpus
+    # scale; the rank window then runs over ≤ top rows.
+    head = doc_scores.orderBy(F.desc("score_scaled"), F.col("doc_id")).limit(top)
+    w = Window.orderBy(F.desc("score_scaled"), F.col("doc_id"))
+    return (
+        head.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .orderBy("rnk")
+    )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_search(load_table(spark, sf_dir, "documents"))
+
+
+_BM25_QUERY_LIST = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+_ORACLE_BM25_SEARCH = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(tf) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avgdl
+    FROM tf
+),
+per_term AS (
+    SELECT tf.doc_id,
+           CAST(FLOOR(
+               ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1))
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+               * {BM25_SCALE}
+           ) AS BIGINT) AS s
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+    WHERE tf.token IN ({_BM25_QUERY_LIST})
+),
+doc_scores AS (
+    SELECT doc_id, COUNT(*) AS n_terms_matched,
+           CAST(SUM(s) AS BIGINT) AS score_scaled
+    FROM per_term GROUP BY doc_id
+),
+ranked AS (
+    SELECT doc_id, n_terms_matched, score_scaled,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY score_scaled DESC, doc_id
+           ) AS INT) AS rnk
+    FROM doc_scores
+)
+SELECT doc_id, n_terms_matched, score_scaled, rnk
+FROM ranked WHERE rnk <= {BM25_SEARCH_TOP}
+ORDER BY rnk
+"""
+
+
 # --- unigram-LM quality score ----------------------------------------------
 LM_SCALE = 10_000  # per-token NLL floor-scaled to integers (playbook #14:
                    # ln() differs in the last ulp across engines; ints sum
@@ -1087,6 +1210,7 @@ QUERIES = {
     "mixture_weights": q_mixture_weights,
     "text_bigram_lm": q_bigram_lm,
     "text_bm25": q_bm25,
+    "bm25_search": q_bm25_search,
     "text_lm_score": q_lm_score,
     "source_divergence": q_source_divergence,
     "stratified_sample": q_stratified_sample,
@@ -1103,6 +1227,7 @@ ORACLES = {
     "mixture_weights": _ORACLE_MIXTURE,
     "text_bigram_lm": _ORACLE_BIGRAM_LM,
     "text_bm25": _ORACLE_BM25,
+    "bm25_search": _ORACLE_BM25_SEARCH,
     "text_lm_score": _ORACLE_LM,
     "source_divergence": _ORACLE_DIVERGENCE,
     "stratified_sample": _ORACLE_SAMPLE,

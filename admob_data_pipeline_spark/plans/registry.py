@@ -342,6 +342,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "streaming_mediation_ecpm",
     "knn_graph_recall",
     "knn_hubness",
+    "bm25_search",
 )
 
 
