@@ -3324,6 +3324,10 @@ _MEDIATION_FACT_SQL = """
     SELECT CAST(ts AS DATE) AS date,
            event_type AS app_name,
            'src' || CAST(user_id % 4 AS VARCHAR) AS ad_source_name,
+           'src' || CAST(user_id % 4 AS VARCHAR)
+               || '-i' || CAST(user_id % 2 AS VARCHAR)
+               AS ad_source_instance_name,
+           'grp' || CAST(event_id % 3 AS VARCHAR) AS mediation_group_name,
            'C' || CAST(event_id % 6 AS VARCHAR) AS country,
            CAST(1 + event_id % 3 AS BIGINT) AS ad_requests,
            CAST(1 AS BIGINT) AS matched_requests,
@@ -3456,6 +3460,59 @@ ORDER BY app_name, ad_source
 """
 
 
+def q_mediation_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfall accounting: each ad-source INSTANCE's share of its
+    mediation group's earnings (the per-group revenue split a mediation
+    dashboard renders), in exact integer ppm of exact micros sums.
+
+    Scale: one partial/final aggregate to the schema-bounded
+    (group, instance) grain; the share window runs over that rollup
+    (≤ groups × instances rows), never raw events."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        read_mediation_warehouse,
+    )
+
+    wh = read_mediation_warehouse(spark, sf_dir)
+    cell = wh.groupBy("mediation_group_name", "ad_source_instance_name").agg(
+        F.sum("earn_micros").alias("earn_micros"),
+        F.sum("impressions").alias("impressions"),
+    )
+    w = Window.partitionBy("mediation_group_name")
+    return (
+        cell.withColumn("grp_micros", F.sum("earn_micros").over(w))
+        .select(
+            F.col("mediation_group_name").alias("mediation_group"),
+            F.col("ad_source_instance_name").alias("instance"),
+            "earn_micros",
+            "impressions",
+            F.expr("earn_micros * 1000000 DIV NULLIF(grp_micros, 0)")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("mediation_group", "instance")
+    )
+
+
+_ORACLE_MEDIATION_GROUP = f"""
+WITH fact AS ({_MEDIATION_FACT_SQL}),
+cell AS (
+    SELECT mediation_group_name, ad_source_instance_name,
+           CAST(SUM(earn_micros) AS BIGINT) AS earn_micros,
+           CAST(SUM(impressions) AS BIGINT) AS impressions
+    FROM fact GROUP BY mediation_group_name, ad_source_instance_name
+)
+SELECT mediation_group_name AS mediation_group,
+       ad_source_instance_name AS instance,
+       earn_micros,
+       impressions,
+       CAST(earn_micros * 1000000
+            // NULLIF(SUM(earn_micros) OVER (PARTITION BY mediation_group_name), 0)
+            AS BIGINT) AS share_ppm
+FROM cell
+ORDER BY mediation_group, instance
+"""
+
+
 def q_mediation_top_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Waterfall winner: the highest-earning ad source per (date, country)
     cell — the per-cell top-1 a mediation dashboard ranks. Deterministic
@@ -3514,6 +3571,7 @@ QUERIES = {
     "mediation_ecpm_rollup": q_mediation_ecpm_rollup,
     "mediation_fill_rate": q_mediation_fill_rate,
     "mediation_top_source": q_mediation_top_source,
+    "mediation_group_share": q_mediation_group_share,
     "cohort_ltv": q_cohort_ltv,
     "approx_quantile_audit": q_approx_quantile_audit,
     "ks_test": q_ks_test,
@@ -3575,6 +3633,7 @@ ORACLES = {
     "mediation_ecpm_rollup": _ORACLE_MEDIATION_ECPM,
     "mediation_fill_rate": _ORACLE_MEDIATION_FILL,
     "mediation_top_source": _ORACLE_MEDIATION_TOP,
+    "mediation_group_share": _ORACLE_MEDIATION_GROUP,
     "cohort_ltv": _ORACLE_COHORT_LTV,
     "approx_quantile_audit": _ORACLE_APPROX_QUANTILE,
     "ks_test": _ORACLE_KS,

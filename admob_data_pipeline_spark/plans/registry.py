@@ -343,6 +343,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "knn_graph_recall",
     "knn_hubness",
     "bm25_search",
+    "mediation_group_share",
 )
 
 

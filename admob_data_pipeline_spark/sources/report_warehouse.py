@@ -102,10 +102,16 @@ def mediation_fact_from_events(events: DataFrame) -> DataFrame:
     DuckDB oracle re-derives the warehouse exactly:
 
     - ``ad_source_name``  := 'src' || user_id % 4
+    - ``ad_source_instance_name`` := ad_source_name || '-i' || user_id % 2
+    - ``mediation_group_name``    := 'grp' || event_id % 3
     - ``country``         := 'C' || event_id % 6
     - ``ad_requests``     := 1 + event_id % 3  (funnel top, exact ints)
     - ``matched_requests``:= 1                  (each row = one matched ad)
     - ``earn_micros``     := floor(value * 1e6) (money in integer micros)
+
+    Full FIXTURES.md §3 grain (save_CSV.py:145-152 + the BQ DDL,
+    README.md:157-174): instance and mediation-group dims included so
+    group/waterfall reports run against the same warehouse.
     """
     return events.select(
         F.col("ts").cast("date").alias("date"),
@@ -114,6 +120,14 @@ def mediation_fact_from_events(events: DataFrame) -> DataFrame:
             "ad_unit_name"
         ),
         mediation_source_col().alias("ad_source_name"),
+        F.concat(
+            mediation_source_col(),
+            F.lit("-i"),
+            (F.col("user_id") % 2).cast("string"),
+        ).alias("ad_source_instance_name"),
+        F.concat(F.lit("grp"), (F.col("event_id") % 3).cast("string")).alias(
+            "mediation_group_name"
+        ),
         F.concat(F.lit("C"), (F.col("event_id") % 6).cast("string")).alias(
             "country"
         ),
@@ -138,8 +152,11 @@ def materialize_mediation_warehouse(spark: SparkSession, sf_dir: str) -> str:
             "date"
         ).parquet(tmp)
 
+    # cache name carries a schema version: cached_parquet_dir fingerprints
+    # only the SOURCE file, so a derivation change must bump the name or
+    # stale cached parquet (old schema) would be served silently
     return cached_parquet_dir(
-        "mediationwh", os.path.join(sf_dir, "events.parquet"), write
+        "mediationwh_v2", os.path.join(sf_dir, "events.parquet"), write
     )
 
 
