@@ -321,6 +321,41 @@ BM25_TOP = 3
 BM25_SCALE = 10_000
 
 
+def _bm25_tf(docs: DataFrame, text_col: str) -> DataFrame:
+    """Checkpointed (doc_id, token, tf) table — the single corpus pass
+    both BM25 ops derive everything else from."""
+    tok = widen_if_narrow(docs).select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    return (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+
+
+def _bm25_stats(tf: DataFrame) -> DataFrame:
+    """One-row (n_docs, avgdl) corpus scalars."""
+    return tf.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
+    )
+
+
+def _bm25_score(k1: float, b: float) -> F.Column:
+    """Floor-scaled integer Okapi score over (tf, df, dl, n_docs, avgdl)
+    columns — ONE definition shared by the per-doc top-terms op and the
+    retrieval op, so the two can never silently compute different BM25s."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return F.floor(idf * tf_norm * BM25_SCALE).cast("long")
+
+
 def bm25_top_terms(
     docs: DataFrame,
     top: int = BM25_TOP,
@@ -347,34 +382,16 @@ def bm25_top_terms(
     is scanned + exploded exactly once, and every aggregate is
     skew-immune.
     """
-    tok = widen_if_narrow(docs).select(
-        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
-    )
-    tf = (
-        tok.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
+    tf = _bm25_tf(docs, text_col)
     df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = tf.agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
-    )
     scored = join_small(
         tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id"))),
         df_tab,
         "token",
-    ).crossJoin(F.broadcast(stats))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_norm = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-    )
-    score = F.floor(idf * tf_norm * BM25_SCALE).cast("long")
+    ).crossJoin(F.broadcast(_bm25_stats(tf)))
     ranked = scored.select(
-        "doc_id", "token", "tf", "df", "dl", score.alias("score_scaled")
+        "doc_id", "token", "tf", "df", "dl",
+        _bm25_score(k1, b).alias("score_scaled"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_scaled"), F.col("token"))
     return (
@@ -388,8 +405,11 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_top_terms(load_table(spark, sf_dir, "documents"))
 
 
-_ORACLE_BM25 = f"""
-WITH tok AS (
+# Shared oracle fragments: ONE definition of the corpus tables and of the
+# Okapi score expression, composed by both BM25 oracles — mirrors the
+# Spark side's _bm25_tf/_bm25_score single-sourcing.
+_DUCK_BM25_TABLES = """
+tok AS (
     SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
 ),
 tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
@@ -397,15 +417,21 @@ dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
 df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
 stats AS (
     SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
-),
-scored AS (
-    SELECT tf.doc_id, tf.token, tf.tf, df.df, dl.dl,
-           CAST(FLOOR(
+)
+"""
+
+_DUCK_BM25_SCORE = f"""CAST(FLOOR(
                ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
                * (tf.tf * ({BM25_K1} + 1))
                / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
                * {BM25_SCALE}
-           ) AS BIGINT) AS score_scaled
+           ) AS BIGINT)"""
+
+_ORACLE_BM25 = f"""
+WITH {_DUCK_BM25_TABLES},
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, df.df, dl.dl,
+           {_DUCK_BM25_SCORE} AS score_scaled
     FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
 ),
 ranked AS (
@@ -444,42 +470,37 @@ def bm25_search(
     BIGINT under any partitioning; ties break on doc_id.
 
     Scale: the corpus is scanned+exploded once into the checkpointed tf
-    table; doc lengths, dfs and the corpus scalars are aggregates of
-    that table; the RETRIEVAL side then touches only the query terms'
-    postings (an IN-list filter on tf — Σ df(term) rows, not the
-    corpus), the inverted-index access pattern that keeps per-query cost
-    independent of corpus size.
+    table (shared derivation with ``bm25_top_terms``); after that the
+    RETRIEVAL side is posting-bounded — the query terms' postings
+    (Σ df(term) rows) supply their own dfs, document lengths are
+    aggregated ONLY for candidate docs (broadcast semi-join on the
+    candidate ids before the dl rollup), and the one-row corpus scalars
+    cross-attach broadcast. No vocabulary-wide or corpus-wide shuffle
+    exists on the per-query path; (n_docs, avgdl) is the single corpus
+    aggregate, amortized across queries in a real serving setup.
     """
-    tok = widen_if_narrow(docs).select(
-        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    tf = _bm25_tf(docs, text_col)
+    # tiny (≤ Σ df(term) rows), reused by df, candidate ids, and scoring
+    postings = tf.where(F.col("token").isin(list(query_terms))).localCheckpoint()
+    # df per query term == posting rows per term (tf is doc-distinct)
+    df_q = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    cand = postings.select("doc_id").distinct()
+    # dl over ALL the candidate docs' terms — but only theirs: the
+    # broadcast semi-join filters map-side, so the rollup shuffles just
+    # the matching docs' tf rows, not the corpus
+    dl_cand = (
+        tf.join(F.broadcast(cand), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
     )
-    tf = (
-        tok.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = tf.agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
-    )
-    postings = tf.where(F.col("token").isin(list(query_terms)))
     scored = (
-        postings.join(df_tab, "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_norm = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        postings.join(F.broadcast(df_q), "token")
+        .join(dl_cand, "doc_id")
+        .crossJoin(F.broadcast(_bm25_stats(tf)))
     )
     per_term = scored.select(
         "doc_id",
-        F.floor(idf * tf_norm * BM25_SCALE).cast("long").alias("s"),
+        _bm25_score(k1, b).alias("s"),
     )
     doc_scores = per_term.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_terms_matched"),
@@ -504,25 +525,10 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_QUERY_LIST = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
 _ORACLE_BM25_SEARCH = f"""
-WITH tok AS (
-    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
-),
-tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
-dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-stats AS (
-    SELECT COUNT(DISTINCT doc_id) AS n_docs,
-           CAST(SUM(tf) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avgdl
-    FROM tf
-),
+WITH {_DUCK_BM25_TABLES},
 per_term AS (
     SELECT tf.doc_id,
-           CAST(FLOOR(
-               ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-               * (tf.tf * ({BM25_K1} + 1))
-               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
-               * {BM25_SCALE}
-           ) AS BIGINT) AS s
+           {_DUCK_BM25_SCORE} AS s
     FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
     WHERE tf.token IN ({_BM25_QUERY_LIST})
 ),

@@ -2348,25 +2348,35 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(load_table(spark, sf_dir, "embeddings"))
 
 
-_ORACLE_KNN_GRAPH = f"""
-WITH {_DUCK_BASE},
-bucketed AS (SELECT vec_id, v, nrm, {_SIGN_BITS} AS bucket FROM base),
-scored AS (
+# ONE SQL definition of the LSH k-NN edge set (bucketing, cosine
+# rounding, tie-break, k cap), composed by the graph oracle and both
+# audit oracles — a change to knn_graph's semantics is then a
+# single-point edit on the oracle side too.
+_KNN_EDGES_SQL = f"""
+knn_bucketed AS (SELECT vec_id, v, nrm, {_SIGN_BITS} AS bucket FROM base),
+knn_scored AS (
     SELECT a.vec_id AS src, b.vec_id AS dst,
            ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6)
                AS cos_sim
-    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+    FROM knn_bucketed a JOIN knn_bucketed b ON a.bucket = b.bucket
     WHERE a.vec_id <> b.vec_id
 ),
-ranked AS (
-    SELECT src, dst, cos_sim,
-           ROW_NUMBER() OVER (
-               PARTITION BY src ORDER BY cos_sim DESC, dst
-           ) AS rank
-    FROM scored
+knn_edges AS (
+    SELECT src, dst, cos_sim, rank FROM (
+        SELECT src, dst, cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY src ORDER BY cos_sim DESC, dst
+               ) AS rank
+        FROM knn_scored
+    ) WHERE rank <= {KNN_K}
 )
+"""
+
+_ORACLE_KNN_GRAPH = f"""
+WITH {_DUCK_BASE},
+{_KNN_EDGES_SQL}
 SELECT src, dst, cos_sim, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= {KNN_K}
+FROM knn_edges
 ORDER BY src, rank
 """
 
@@ -2425,22 +2435,9 @@ exact AS (
         FROM scored
     ) WHERE rank <= {KNN_K}
 ),
-bucketed AS (SELECT vec_id, v, nrm, {_SIGN_BITS} AS bucket FROM base),
-ascored AS (
-    SELECT a.vec_id AS src, b.vec_id AS dst,
-           ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6)
-               AS cos_sim
-    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
-    WHERE a.vec_id <> b.vec_id
-),
+{_KNN_EDGES_SQL},
 approx AS (
-    SELECT src, dst FROM (
-        SELECT src, dst,
-               ROW_NUMBER() OVER (
-                   PARTITION BY src ORDER BY cos_sim DESC, dst
-               ) AS rank
-        FROM ascored
-    ) WHERE rank <= {KNN_K} AND src < {KNN_PROBE_MAX}
+    SELECT src, dst FROM knn_edges WHERE src < {KNN_PROBE_MAX}
 ),
 n_e AS (SELECT COUNT(*) AS n_exact FROM exact),
 n_h AS (SELECT COUNT(*) AS n_hits FROM approx a
@@ -2486,25 +2483,9 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_KNN_HUBNESS = f"""
 WITH {_DUCK_BASE},
-bucketed AS (SELECT vec_id, v, nrm, {_SIGN_BITS} AS bucket FROM base),
-scored AS (
-    SELECT a.vec_id AS src, b.vec_id AS dst,
-           ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6)
-               AS cos_sim
-    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
-    WHERE a.vec_id <> b.vec_id
-),
-edges AS (
-    SELECT src, dst FROM (
-        SELECT src, dst,
-               ROW_NUMBER() OVER (
-                   PARTITION BY src ORDER BY cos_sim DESC, dst
-               ) AS rank
-        FROM scored
-    ) WHERE rank <= {KNN_K}
-),
+{_KNN_EDGES_SQL},
 indeg AS (
-    SELECT e.dst AS node, COUNT(*) AS in_degree FROM edges e GROUP BY e.dst
+    SELECT e.dst AS node, COUNT(*) AS in_degree FROM knn_edges e GROUP BY e.dst
 ),
 alln AS (
     SELECT b.vec_id AS node,
