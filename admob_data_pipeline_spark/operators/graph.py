@@ -58,11 +58,14 @@ def copurchase_edges(li: DataFrame, min_support: int = MIN_SUPPORT) -> DataFrame
     lp = li.select("l_orderkey", "l_partkey").distinct()
     a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # lp is distinct on (order, item): each order contributes a given
+    # (u, v) at most once, so COUNT == COUNT(DISTINCT ok) without the
+    # dedup aggregate's extra pass (same argument as recsys_hitrate r5)
     return (
         a.join(b, "ok")
         .where(F.col("u") < F.col("v"))
         .groupBy("u", "v")
-        .agg(F.countDistinct("ok").alias("w"))
+        .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= min_support)
         .select("u", "v")
         .localCheckpoint()
@@ -285,14 +288,16 @@ def association_rules(
     """
     lp = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     n_orders = lp.select("l_orderkey").distinct().count()
-    item_supp = lp.groupBy("l_partkey").agg(F.countDistinct("l_orderkey").alias("s"))
+    # lp distinct on (order, item) → COUNT == COUNT(DISTINCT) for both
+    # the item and pair supports (see copurchase_edges)
+    item_supp = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
     a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     pairs = (
         a.join(b, "ok")
         .where(F.col("u") < F.col("v"))
         .groupBy("u", "v")
-        .agg(F.countDistinct("ok").alias("s_ab"))
+        .agg(F.count(F.lit(1)).alias("s_ab"))
         .where(F.col("s_ab") >= min_support)
     )
     # both directions: (u→v) and (v→u)
@@ -398,9 +403,11 @@ def frequent_triples(
         .join(e_bc, ["b", "c"], "left_semi")
         .join(e_ac, ["a", "c"], "left_semi")
     )
+    # per order each distinct item-triple is built exactly once (the
+    # underlying (order, item) table is distinct) → plain COUNT is exact
     return (
         pruned.groupBy("a", "b", "c")
-        .agg(F.countDistinct("ok").alias("support"))
+        .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= min_support)
         .orderBy(F.desc("support"), "a", "b", "c")
         .limit(top_n)
