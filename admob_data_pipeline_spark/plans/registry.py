@@ -270,74 +270,72 @@ DRIVER_GREEN: frozenset[str] = frozenset(
         "text_vocab_coverage",
         "text_word_dropout",
         "tokenizer_fertility",
+        # r05 driver-green rows (CORRECTNESS_r05) — the 4 mediation
+        # queries, the full 45-name backlog, and knn_graph (slot 50).
+        "ab_assignment_srm",
+        "approx_quantile_audit",
+        "autocorr_lag1",
+        "benford_audit",
+        "chi_square",
+        "churn_labels",
+        "cohort_ltv",
+        "cusum_changepoint",
+        "daily_quantiles",
+        "dow_adjusted_spikes",
+        "dq_constraints",
+        "drift_psi",
+        "equidepth_histogram",
+        "erasure_audit",
+        "event_gaps",
+        "event_sequences",
+        "ewma_spikes",
+        "feature_info_gain",
+        "heavy_changers",
+        "jackknife_replicates",
+        "k_anonymity_audit",
+        "knn_graph",
+        "ks_test",
+        "l_diversity_audit",
+        "lag_features",
+        "mediation_ecpm_rollup",
+        "mediation_fill_rate",
+        "mediation_top_source",
+        "pareto_frontier",
+        "quantile_binning",
+        "rank_sum_test",
+        "report_warehouse_mediation",
+        "revenue_gini",
+        "rolling_zscore",
+        "sampled_quantiles",
+        "sequence_patterns",
+        "series_correlation",
+        "sink_bucketed_join",
+        "sink_manifest",
+        "sink_permissive_csv",
+        "sink_wap",
+        "streaming_drift_psi",
+        "streaming_ewma_spikes",
+        "streaming_topk",
+        "survival_km",
+        "t_closeness_audit",
+        "temporal_split",
+        "theil_sen_trend",
+        "typo_pairs",
+        "winsorized_stats",
     }
 )
 
 
-# Queries that have NEVER had a driver verdict (45 after r4). They fill
-# round 5's correctness window entirely (backlog < window for the first
-# time); once driver-green, the whole registry is externally confirmed.
-# New queries land at the FRONT of this tuple so they are checked the
-# round they appear. Names absent from the registry are ignored, so this
-# list never breaks on renames.
+# Queries that have NEVER had a driver verdict (6 after r5 — the round-5
+# wave-2 additions that landed behind the backlog). They lead round 6's
+# correctness window; once driver-green, the whole registry is externally
+# confirmed. New queries land at the FRONT of this tuple while free window
+# slots exist (50 − len(unchecked)), BEHIND the backlog otherwise, so a
+# never-checked name is never pushed out of the driver's 50-query window.
+# Names absent from the registry are ignored, so this list never breaks on
+# renames.
 FRESH_FIRST: tuple[str, ...] = (
-    # round-5 additions (mediation-grain warehouse, S2/P7/P8 end-to-end)
-    # — new queries land at the front so they are checked this round.
-    "report_warehouse_mediation",
-    "mediation_ecpm_rollup",
-    "mediation_fill_rate",
-    "mediation_top_source",
-    # the 45-name backlog (never driver-checked before round 5)
-    "autocorr_lag1",
-    "ewma_spikes",
-    "feature_info_gain",
-    "heavy_changers",
-    "survival_km",
-    "sequence_patterns",
-    "temporal_split",
-    "dow_adjusted_spikes",
-    "series_correlation",
-    "lag_features",
-    "pareto_frontier",
-    "churn_labels",
-    "ab_assignment_srm",
-    "daily_quantiles",
-    "equidepth_histogram",
-    "k_anonymity_audit",
-    "erasure_audit",
-    "typo_pairs",
-    "dq_constraints",
-    "l_diversity_audit",
-    "t_closeness_audit",
-    "sink_permissive_csv",
-    "sink_bucketed_join",
-    "sink_wap",
-    "sink_manifest",
-    "streaming_ewma_spikes",
-    "streaming_drift_psi",
-    "streaming_topk",
-    "cohort_ltv",
-    "approx_quantile_audit",
-    "ks_test",
-    "chi_square",
-    "rank_sum_test",
-    "event_sequences",
-    "revenue_gini",
-    "theil_sen_trend",
-    "cusum_changepoint",
-    "jackknife_replicates",
-    "benford_audit",
-    "event_gaps",
-    "drift_psi",
-    "winsorized_stats",
-    "sampled_quantiles",
-    "rolling_zscore",
-    "quantile_binning",
-    # round-5 wave 2, queued BEHIND the backlog. The 50-slot window holds
-    # 4 mediation queries + the 45-name backlog + knn_graph (slot 50,
-    # driver-checked THIS round); dedup_tfidf_cosine and
-    # streaming_mediation_ecpm queue for round 6.
-    "knn_graph",
+    # the 6-name backlog (round-5 wave 2, never driver-checked)
     "dedup_tfidf_cosine",
     "streaming_mediation_ecpm",
     "knn_graph_recall",
