@@ -2291,42 +2291,80 @@ ORDER BY d.vec_id, d.dim
 # --- k-NN graph ------------------------------------------------------------
 
 KNN_K = 5
+# OR-construction: L independent hash tables, each an AND of
+# PLANES_PER_TABLE sign bits. Table t reads the DISJOINT coordinate block
+# [t*b, t*b+b) — for direction-uniform vectors a coordinate sign is a
+# random-hyperplane sign, and disjoint blocks make the tables independent,
+# so per-table recall r compounds to 1-(1-r)^L while candidate work stays
+# bucket-bounded at ~L·N²/2^b. Coordinate blocks (rather than md5-seeded
+# ±1 projections) keep the bucket computation free on both engines — the
+# DuckDB oracle reproduces the exact buckets with CASE on v[i].
+# b=5, L=6 was sized from the measured single-table recall (1.9% at b=8
+# ⇒ per-plane agreement p≈0.61 for true neighbors): predicted recall
+# 1-(1-p^5)^6 ≈ 0.41, ~21× the single-table graph, at 6/32·N² work.
+KNN_TABLES = 6
+KNN_PLANES = 5
+
+
+def _table_bucket(v: Column, tbl: int, planes: int) -> Column:
+    """Sign-bit bucket of coordinate block [tbl*planes, tbl*planes+planes),
+    prefixed with the table id so one join key separates the L tables.
+    Out-of-range coordinates yield NULL ≥ 0 → '0' on BOTH engines, so a
+    short vector degrades to constant bits instead of erroring."""
+    bits = [
+        F.when(
+            F.element_at(v, tbl * planes + j + 1) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for j in range(planes)
+    ]
+    return F.concat(F.lit(f"{tbl}:"), *bits)
 
 
 def knn_graph(
-    emb: DataFrame, k: int = KNN_K, n_planes: int = N_PLANES
+    emb: DataFrame,
+    k: int = KNN_K,
+    n_tables: int = KNN_TABLES,
+    planes_per_table: int = KNN_PLANES,
 ) -> DataFrame:
     """Directed k-NN graph over ALL vectors — the input structure for
     graph-based semantic dedup, label propagation, and hubness audits.
-    Candidates are sign-bucket mates (the same LSH family as
-    ``topk_lsh``/``neardup_pairs``), so the pair space is ~N²/2^n_planes
-    bucketed-join work, never the all-pairs cross join; each node then
-    keeps its top-k bucket-mates by cosine (deterministic tie-break on
-    neighbor id).
+    Candidates are the UNION of bucket-mates across ``n_tables``
+    independent sign-LSH tables (OR-construction; see the constants
+    above), deduped per (src, dst), then each node keeps its top-k
+    candidates by cosine (deterministic tie-break on neighbor id).
 
-    Nodes whose bucket holds fewer than k mates return fewer edges —
-    the standard LSH-recall trade, auditable exactly like
-    ``ann_recall_audit``.
+    Nodes whose buckets hold fewer than k distinct mates return fewer
+    edges — the standard LSH-recall trade, priced exactly by
+    ``knn_graph_recall``.
 
-    Scale: one bucket-keyed shuffle join (AQE splits hot buckets) + one
-    per-node window bounded by bucket size. No driver-side state.
+    Scale: one bucket-keyed shuffle join over the L-way exploded table
+    (AQE splits hot buckets), one narrow (src, dst, cos) distinct, one
+    per-node window bounded by the candidate count. No driver state, no
+    all-pairs fallback. A pair colliding in several tables scores the
+    identical cosine each time, so distinct keeps exactly one edge.
     """
     base, dim = with_vec(emb)
-    base = base.withColumn("bucket", sign_bucket(F.col("v"), n_planes))
+    buckets = F.array(
+        *[
+            _table_bucket(F.col("v"), t, planes_per_table)
+            for t in range(n_tables)
+        ]
+    )
+    base = base.withColumn("tb", F.explode(buckets))
     a = base.select(
         F.col("vec_id").alias("src"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
-        "bucket",
+        "tb",
     )
     b = base.select(
         F.col("vec_id").alias("dst"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
-        "bucket",
+        "tb",
     )
     scored = (
-        a.join(b, "bucket")
+        a.join(b, "tb")
         .where(F.col("src") != F.col("dst"))
         .select(
             "src",
@@ -2335,6 +2373,7 @@ def knn_graph(
                 F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim
             ).alias("cos_sim"),
         )
+        .distinct()
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
     return (
@@ -2348,17 +2387,35 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(load_table(spark, sf_dir, "embeddings"))
 
 
-# ONE SQL definition of the LSH k-NN edge set (bucketing, cosine
-# rounding, tie-break, k cap), composed by the graph oracle and both
-# audit oracles — a change to knn_graph's semantics is then a
-# single-point edit on the oracle side too.
+def _duck_table_bucket(tbl: int, planes: int) -> str:
+    """DuckDB twin of ``_table_bucket`` — v[i] past the end is NULL, the
+    CASE falls to '0', matching Spark's element_at/when behavior."""
+    bits = " || ".join(
+        f"(CASE WHEN v[{tbl * planes + j + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for j in range(planes)
+    )
+    return f"'{tbl}:' || {bits}"
+
+
+_KNN_BUCKETED_SQL = "\n    UNION ALL ".join(
+    f"SELECT vec_id, v, nrm, {_duck_table_bucket(t, KNN_PLANES)} AS tb"
+    " FROM base"
+    for t in range(KNN_TABLES)
+)
+
+# ONE SQL definition of the LSH k-NN edge set (multi-table bucketing,
+# cosine rounding, pair dedup, tie-break, k cap), composed by the graph
+# oracle and both audit oracles — a change to knn_graph's semantics is
+# then a single-point edit on the oracle side too. DISTINCT collapses a
+# pair that collides in several tables (cos_sim is computed identically
+# on every occurrence, so the triple is exactly duplicated).
 _KNN_EDGES_SQL = f"""
-knn_bucketed AS (SELECT vec_id, v, nrm, {_SIGN_BITS} AS bucket FROM base),
+knn_bucketed AS ({_KNN_BUCKETED_SQL}),
 knn_scored AS (
-    SELECT a.vec_id AS src, b.vec_id AS dst,
+    SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
            ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6)
                AS cos_sim
-    FROM knn_bucketed a JOIN knn_bucketed b ON a.bucket = b.bucket
+    FROM knn_bucketed a JOIN knn_bucketed b ON a.tb = b.tb
     WHERE a.vec_id <> b.vec_id
 ),
 knn_edges AS (
@@ -2451,7 +2508,10 @@ FROM n_e, n_h
 
 
 def knn_hubness(
-    emb: DataFrame, k: int = KNN_K, n_planes: int = N_PLANES
+    emb: DataFrame,
+    k: int = KNN_K,
+    n_tables: int = KNN_TABLES,
+    planes_per_table: int = KNN_PLANES,
 ) -> DataFrame:
     """Hubness audit of the k-NN graph: the in-degree histogram. Hub
     nodes (huge in-degree) are the classic high-dimensional ANN
@@ -2460,7 +2520,7 @@ def knn_hubness(
     graph. Two bounded aggregations over the edge list; nodes with zero
     in-edges appear as the in_degree=0 row (anti-join against edge
     destinations)."""
-    edges = knn_graph(emb, k, n_planes).localCheckpoint()
+    edges = knn_graph(emb, k, n_tables, planes_per_table).localCheckpoint()
     indeg = edges.groupBy(F.col("dst").alias("node")).agg(
         F.count(F.lit(1)).alias("in_degree")
     )

@@ -327,13 +327,40 @@ def test_kmeans_partition_invariance(spark, sf_dir):
     assert a == b
 
 
-def test_knn_graph_matches_per_bucket_reference(spark):
-    """knn_graph = per-node top-k among SIGN-BUCKET mates: verify edges,
-    ordering, and the k cap against a pure-python reference on a small
-    set with known bucket structure."""
-    import itertools
+def _py_knn_edges(vecs, k, n_tables, planes):
+    """Pure-python reference of the multi-table LSH k-NN graph."""
     import math
 
+    def table_bucket(v, t):
+        return "".join(
+            "1" if (t * planes + j < len(v) and v[t * planes + j] >= 0) else "0"
+            for j in range(planes)
+        )
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    expect = []
+    for i, vi in enumerate(vecs):
+        mates = {
+            j
+            for t in range(n_tables)
+            for j, vj in enumerate(vecs)
+            if j != i and table_bucket(vj, t) == table_bucket(vi, t)
+        }
+        ranked = sorted((-cos(vi, vecs[j]), j) for j in mates)
+        for rank, (_, j) in enumerate(ranked[:k], start=1):
+            expect.append((i, rank, j))
+    return expect
+
+
+def test_knn_graph_matches_per_bucket_reference(spark):
+    """Single-table mode: knn_graph = per-node top-k among SIGN-BUCKET
+    mates — verify edges, ordering, and the k cap against a pure-python
+    reference on a small set with known bucket structure."""
     vecs = [
         [1.0, 1.0, 0.5, 0.2],
         [1.0, 0.9, 0.4, 0.1],
@@ -345,28 +372,38 @@ def test_knn_graph_matches_per_bucket_reference(spark):
     d = _emb(spark, vecs)
     got = [
         (r.src, r.rank, r.dst)
-        for r in similarity.knn_graph(d, k=2, n_planes=4).collect()
+        for r in similarity.knn_graph(
+            d, k=2, n_tables=1, planes_per_table=4
+        ).collect()
     ]
+    assert sorted(got) == sorted(_py_knn_edges(vecs, 2, 1, 4))
 
-    def bucket(v):
-        return "".join("1" if x >= 0 else "0" for x in v[:4])
 
-    def cos(a, b):
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return round(dot / (na * nb), 6)
-
-    expect = []
-    for i, vi in enumerate(vecs):
-        mates = [
-            (-cos(vi, vj), j)
-            for j, vj in enumerate(vecs)
-            if j != i and bucket(vj) == bucket(vi)
-        ]
-        for rank, (_, j) in enumerate(sorted(mates)[:2], start=1):
-            expect.append((i, rank, j))
+def test_knn_graph_multi_table_unions_candidates(spark):
+    """OR-construction semantics: a pair colliding only in table 2 still
+    produces an edge; a pair colliding in BOTH tables produces exactly
+    one edge (dedup before the top-k window)."""
+    # table 0 = signs of coords [0,1], table 1 = signs of coords [2,3]
+    vecs = [
+        [1.0, 1.0, 1.0, 1.0],    # t0 bucket 11, t1 bucket 11
+        [1.0, 1.0, 0.9, 0.8],    # collides with 0 in BOTH tables
+        [-1.0, -1.0, 0.5, 0.3],  # t0 bucket 00, t1 bucket 11 → only t1 collides with 0
+        [-1.0, -0.9, -1.0, -1.0],  # collides with 2 in t0 only
+    ]
+    d = _emb(spark, vecs)
+    got = [
+        (r.src, r.rank, r.dst)
+        for r in similarity.knn_graph(
+            d, k=3, n_tables=2, planes_per_table=2
+        ).collect()
+    ]
+    expect = _py_knn_edges(vecs, 3, 2, 2)
     assert sorted(got) == sorted(expect)
+    # pair (0,1) collides in both tables but appears exactly once per
+    # direction; pair (0,2) collides only in table 1 and IS an edge
+    srcs_dsts = [(s, t) for (s, _, t) in got]
+    assert srcs_dsts.count((0, 1)) == 1
+    assert (0, 2) in srcs_dsts
 
 
 def test_knn_hubness_covers_all_nodes_including_orphans(spark):
@@ -387,10 +424,11 @@ def test_knn_hubness_covers_all_nodes_including_orphans(spark):
     d = _emb(spark, vecs)
     got = {
         r.in_degree: r.n_nodes
-        for r in knn_hubness(d, k=2, n_planes=4).collect()
+        for r in knn_hubness(d, k=2, n_tables=1, planes_per_table=4).collect()
     }
     cnt = collections.Counter(
-        r.dst for r in knn_graph(d, k=2, n_planes=4).collect()
+        r.dst
+        for r in knn_graph(d, k=2, n_tables=1, planes_per_table=4).collect()
     )
     want = dict(
         collections.Counter(cnt.get(i, 0) for i in range(len(vecs)))
