@@ -460,6 +460,7 @@ def bm25_search(
     k1: float = BM25_K1,
     b: float = BM25_B,
     text_col: str = "text",
+    require_all: bool = False,
 ) -> DataFrame:
     """Top-``top`` documents for a term query by summed Okapi BM25 — the
     retrieval side of ``bm25_top_terms``'s scoring (a search engine's
@@ -506,6 +507,14 @@ def bm25_search(
         F.count(F.lit(1)).alias("n_terms_matched"),
         F.sum("s").alias("score_scaled"),
     )
+    if require_all:
+        # conjunctive (AND) semantics: a doc must match EVERY query term.
+        # tf is doc-distinct per token, so n_terms_matched counts distinct
+        # matched terms — the standard intersect-the-postings filter,
+        # applied on the already-posting-bounded rollup (no extra join).
+        doc_scores = doc_scores.where(
+            F.col("n_terms_matched") == len(query_terms)
+        )
     # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
     # partial top-k, merge of k rows) — a bare global row_number window
     # would serialize every matching doc through one task at corpus
@@ -545,6 +554,142 @@ ranked AS (
     FROM doc_scores
 )
 SELECT doc_id, n_terms_matched, score_scaled, rnk
+FROM ranked WHERE rnk <= {BM25_SEARCH_TOP}
+ORDER BY rnk
+"""
+
+
+def q_bm25_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) retrieval: same postings, same scores as
+    ``bm25_search``, but a document qualifies only if it matches EVERY
+    query term — the default semantics of most search engines' implicit
+    AND. The filter is a predicate on the posting-intersection rollup,
+    so the per-query path stays posting-bounded."""
+    return bm25_search(
+        load_table(spark, sf_dir, "documents"), require_all=True
+    )
+
+
+_ORACLE_BM25_SEARCH_AND = f"""
+WITH {_DUCK_BM25_TABLES},
+per_term AS (
+    SELECT tf.doc_id,
+           {_DUCK_BM25_SCORE} AS s
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+    WHERE tf.token IN ({_BM25_QUERY_LIST})
+),
+doc_scores AS (
+    SELECT doc_id, COUNT(*) AS n_terms_matched,
+           CAST(SUM(s) AS BIGINT) AS score_scaled
+    FROM per_term GROUP BY doc_id
+    HAVING COUNT(*) = {len(BM25_QUERY)}
+),
+ranked AS (
+    SELECT doc_id, n_terms_matched, score_scaled,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY score_scaled DESC, doc_id
+           ) AS INT) AS rnk
+    FROM doc_scores
+)
+SELECT doc_id, n_terms_matched, score_scaled, rnk
+FROM ranked WHERE rnk <= {BM25_SEARCH_TOP}
+ORDER BY rnk
+"""
+
+
+# --- BM25 phrase retrieval ---------------------------------------------------
+
+BM25_PHRASE = ("hash", "join")  # deterministic adjacent-pair phrase query
+
+
+def bm25_phrase_search(
+    docs: DataFrame,
+    phrase: tuple[str, str] = BM25_PHRASE,
+    top: int = BM25_SEARCH_TOP,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top`` documents for an exact PHRASE query — BM25 where the
+    "term" is the adjacent-pair occurrence (positional-index retrieval,
+    the building block of quoted-phrase search). tf = phrase occurrences
+    per doc, df = docs containing the phrase; dl and the corpus scalars
+    come from the SAME ``_bm25_tf``/``_bm25_stats`` derivation as the
+    term ops, so phrase scores live on the term ops' scale.
+
+    Scale: the positional pass filters to the two phrase words MAP-SIDE
+    before any shuffle — the adjacency join moves only those postings
+    (Σ df(word) rows), keyed by (doc, position). Document lengths
+    aggregate only for candidate docs behind a broadcast semi-join; the
+    rank window runs over ≤ top rows (orderBy+limit first)."""
+    w1, w2 = phrase
+    tf = _bm25_tf(docs, text_col)
+    tokp = widen_if_narrow(docs).select(
+        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "token")
+    )
+    first = tokp.where(F.col("token") == w1).select("doc_id", "pos")
+    second = tokp.where(F.col("token") == w2).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    ptf = (
+        first.join(second, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()  # tiny (≤ phrase-df rows); reused by df + scoring
+    )
+    pdf = ptf.agg(F.count(F.lit(1)).alias("df"))
+    dl_cand = (
+        tf.join(F.broadcast(ptf.select("doc_id")), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+    )
+    scored = (
+        ptf.join(dl_cand, "doc_id")
+        .crossJoin(F.broadcast(pdf))
+        .crossJoin(F.broadcast(_bm25_stats(tf)))
+        .select("doc_id", "tf", _bm25_score(k1, b).alias("score_scaled"))
+    )
+    head = scored.orderBy(F.desc("score_scaled"), F.col("doc_id")).limit(top)
+    w = Window.orderBy(F.desc("score_scaled"), F.col("doc_id"))
+    return head.withColumn("rnk", F.row_number().over(w).cast("int")).orderBy(
+        "rnk"
+    )
+
+
+def q_bm25_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_phrase_search(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_BM25_PHRASE = f"""
+WITH {_DUCK_BM25_TABLES},
+p AS (SELECT doc_id, string_split(lower(text), ' ') AS parts FROM documents),
+tokp AS (
+    SELECT doc_id,
+           unnest([{{'pos': i, 'token': parts[i]}}
+                   FOR i IN generate_series(1, len(parts))],
+                  recursive := true)
+    FROM p
+),
+occ AS (
+    SELECT a.doc_id
+    FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.token = '{BM25_PHRASE[0]}' AND b.token = '{BM25_PHRASE[1]}'
+),
+ptf AS (SELECT doc_id, COUNT(*) AS tf FROM occ GROUP BY doc_id),
+pdf AS (SELECT COUNT(*) AS df FROM ptf),
+scored AS (
+    SELECT tf.doc_id, tf.tf,
+           {_DUCK_BM25_SCORE} AS score_scaled
+    FROM ptf tf JOIN dl ON dl.doc_id = tf.doc_id, pdf df, stats
+),
+ranked AS (
+    SELECT doc_id, tf, score_scaled,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY score_scaled DESC, doc_id
+           ) AS INT) AS rnk
+    FROM scored
+)
+SELECT doc_id, tf, score_scaled, rnk
 FROM ranked WHERE rnk <= {BM25_SEARCH_TOP}
 ORDER BY rnk
 """
@@ -1217,6 +1362,8 @@ QUERIES = {
     "text_bigram_lm": q_bigram_lm,
     "text_bm25": q_bm25,
     "bm25_search": q_bm25_search,
+    "bm25_search_and": q_bm25_search_and,
+    "bm25_phrase_search": q_bm25_phrase_search,
     "text_lm_score": q_lm_score,
     "source_divergence": q_source_divergence,
     "stratified_sample": q_stratified_sample,
@@ -1234,6 +1381,8 @@ ORACLES = {
     "text_bigram_lm": _ORACLE_BIGRAM_LM,
     "text_bm25": _ORACLE_BM25,
     "bm25_search": _ORACLE_BM25_SEARCH,
+    "bm25_search_and": _ORACLE_BM25_SEARCH_AND,
+    "bm25_phrase_search": _ORACLE_BM25_PHRASE,
     "text_lm_score": _ORACLE_LM,
     "source_divergence": _ORACLE_DIVERGENCE,
     "stratified_sample": _ORACLE_SAMPLE,

@@ -2557,10 +2557,141 @@ FROM alln GROUP BY in_degree ORDER BY in_degree
 """
 
 
+def q_knn_recall_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn_graph_recall`` at the per-class grain: recall of the LSH
+    graph for probe nodes grouped by the embedding's ``label``. A global
+    recall number can hide a class whose vectors shatter across buckets
+    (rare classes cluster in directions the coordinate-block planes cut
+    badly); training-data curation decisions (dedup, label-noise audits)
+    consume the graph PER CLASS, so the audit must price it per class.
+
+    Scale: the exact baseline stays probe-bounded (KNN_PROBE_MAX
+    broadcast rows x corpus); labels attach to probes via a broadcast of
+    the ≤ KNN_PROBE_MAX probe rows; the rollup is bounded by the label
+    domain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = list(range(KNN_PROBE_MAX))
+    exact = (
+        topk_bruteforce(emb, probes, k=KNN_K)
+        .select(F.col("qid").alias("src"), F.col("vec_id").alias("dst"))
+        .localCheckpoint()
+    )
+    approx = (
+        knn_graph(emb).where(F.col("src") < KNN_PROBE_MAX).select("src", "dst")
+    )
+    hits = approx.join(exact, ["src", "dst"], "left_semi")
+    lab = emb.where(F.col("vec_id") < KNN_PROBE_MAX).select(
+        F.col("vec_id").alias("src"), "label"
+    )
+    n_e = (
+        exact.join(F.broadcast(lab), "src")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    n_h = (
+        hits.join(F.broadcast(lab), "src")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_e.join(n_h, "label", "left")
+        .select(
+            "label",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            F.expr(
+                "CAST(CASE WHEN n_exact = 0 THEN 0 "
+                "ELSE COALESCE(n_hits, 0) * 1000000 DIV n_exact END AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
+_ORACLE_KNN_RECALL_LABEL = f"""
+WITH {_DUCK_BASE},
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base
+      WHERE vec_id < {KNN_PROBE_MAX}),
+scored AS (
+    SELECT q.qid AS src, b.vec_id AS dst,
+           ROUND(list_dot_product(q.qv, b.v) / NULLIF(q.qn * b.nrm, 0), 6)
+               AS cos_sim
+    FROM base b, q WHERE b.vec_id <> q.qid
+),
+exact AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (
+                   PARTITION BY src ORDER BY cos_sim DESC, dst
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= {KNN_K}
+),
+{_KNN_EDGES_SQL},
+approx AS (
+    SELECT src, dst FROM knn_edges WHERE src < {KNN_PROBE_MAX}
+),
+lab AS (SELECT vec_id AS src, label FROM embeddings
+        WHERE vec_id < {KNN_PROBE_MAX}),
+n_e AS (
+    SELECT l.label, COUNT(*) AS n_exact
+    FROM exact e JOIN lab l ON l.src = e.src GROUP BY l.label
+),
+n_h AS (
+    SELECT l.label, COUNT(*) AS n_hits
+    FROM approx a JOIN lab l ON l.src = a.src
+    WHERE EXISTS (SELECT 1 FROM exact e
+                  WHERE e.src = a.src AND e.dst = a.dst)
+    GROUP BY l.label
+)
+SELECT n_e.label,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN n_exact = 0 THEN 0
+            ELSE COALESCE(n_hits, 0) * 1000000 // n_exact END AS BIGINT)
+           AS recall_ppm
+FROM n_e LEFT JOIN n_h ON n_h.label = n_e.label
+ORDER BY n_e.label
+"""
+
+
+def q_knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN edge set: undirected pairs where EACH endpoint ranks
+    the other in its top-k — the symmetrized graph that semantic-dedup
+    clustering and agglomerative grouping actually consume (one-directional
+    edges are dominated by hubs; mutuality is the standard hub filter).
+
+    Scale: the directed edge list (≤ k·N rows) is checkpointed once and
+    semi-joined against its own reversal on the (src, dst) key — one
+    bounded shuffle, never back to the vectors."""
+    edges = knn_graph(load_table(spark, sf_dir, "embeddings")).localCheckpoint()
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        edges.join(rev, ["src", "dst"], "left_semi")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", "cos_sim")
+        .orderBy("src", "dst")
+    )
+
+
+_ORACLE_KNN_MUTUAL = f"""
+WITH {_DUCK_BASE},
+{_KNN_EDGES_SQL}
+SELECT e.src, e.dst, e.cos_sim
+FROM knn_edges e
+WHERE e.src < e.dst
+  AND EXISTS (SELECT 1 FROM knn_edges r
+              WHERE r.src = e.dst AND r.dst = e.src)
+ORDER BY e.src, e.dst
+"""
+
+
 QUERIES = {
     "knn_graph": q_knn_graph,
     "knn_graph_recall": q_knn_graph_recall,
     "knn_hubness": q_knn_hubness,
+    "knn_recall_by_label": q_knn_recall_by_label,
+    "knn_mutual_edges": q_knn_mutual_edges,
     "kmeans_lloyd": q_kmeans_lloyd,
     "coreset_kcenter": q_coreset_kcenter,
     "embedding_random_projection": q_embedding_random_projection,
@@ -2588,6 +2719,8 @@ ORACLES = {
     "knn_graph": _ORACLE_KNN_GRAPH,
     "knn_graph_recall": _ORACLE_KNN_RECALL,
     "knn_hubness": _ORACLE_KNN_HUBNESS,
+    "knn_recall_by_label": _ORACLE_KNN_RECALL_LABEL,
+    "knn_mutual_edges": _ORACLE_KNN_MUTUAL,
     "kmeans_lloyd": _ORACLE_KMEANS,
     "coreset_kcenter": _ORACLE_CORESET,
     "embedding_random_projection": _ORACLE_RP,

@@ -3566,8 +3566,296 @@ ORDER BY date, country
 """
 
 
+# --- full-grain NETWORK report warehouse (FIXTURES.md §2) -------------------
+#
+# r4's network warehouse carried only the CTR columns; this family runs the
+# FULL §2 grain — FORMAT dimension + the request funnel (AD_REQUESTS →
+# MATCHED_REQUESTS → IMPRESSIONS → CLICKS) and earnings, including the
+# zero-impression rows the SAFE_DIVIDE paths need — over a date-partitioned
+# parquet warehouse (save_network_CSV.py:132-136 grain; partition pruning +
+# format IN-list pushdown asserted in tests/test_report_spec.py).
+
+
+def q_report_warehouse_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 over the full-grain partitioned warehouse: the network spec JSON
+    accepted verbatim, compiled to a pruned scan + grouped funnel rollup
+    at (DATE, APP, FORMAT) with a pushed FORMAT IN-list."""
+    from admob_data_pipeline_spark.sources.report_spec import (
+        ReportSpec,
+        compile_report,
+    )
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        read_network_warehouse,
+    )
+
+    wh = read_network_warehouse(spark, sf_dir)
+    spec = ReportSpec.from_dict(
+        {
+            "dateRange": {
+                "startDate": {"year": 2024, "month": 1, "day": 3},
+                "endDate": {"year": 2024, "month": 1, "day": 20},
+            },
+            "dimensions": ["DATE", "APP", "FORMAT"],
+            "metrics": [
+                "AD_REQUESTS",
+                "CLICKS",
+                "ESTIMATED_EARNINGS",
+                "IMPRESSIONS",
+            ],
+            "dimensionFilters": [
+                {
+                    "dimension": "FORMAT",
+                    "matchesAny": {
+                        "values": ["Banner", "Rewarded", "Native advanced"]
+                    },
+                },
+                {
+                    "dimension": "APP",
+                    "matchesAny": {"values": ["click", "view", "purchase"]},
+                },
+            ],
+            "sortConditions": [
+                {"dimension": "DATE", "order": "ASCENDING"},
+                {"metric": "ESTIMATED_EARNINGS", "order": "DESCENDING"},
+            ],
+        }
+    )
+    return compile_report(
+        wh,
+        spec,
+        dim_cols={
+            "APP": "app_name",
+            "FORMAT": "format",
+            "AD_UNIT": "ad_unit_name",
+        },
+        metric_cols={
+            "AD_REQUESTS": "ad_requests",
+            "CLICKS": "clicks",
+            "ESTIMATED_EARNINGS": "earn_micros",
+            "IMPRESSIONS": "impressions",
+            "MATCHED_REQUESTS": "matched_requests",
+        },
+    )
+
+
+_NETWORK_FACT_SQL = """
+    SELECT CAST(ts AS DATE) AS date,
+           event_type AS app_name,
+           (['Banner','Interstitial','Native advanced','Rewarded'])
+               [CAST(event_id % 4 AS INT) + 1] AS format,
+           'unit-' || CAST(user_id % 8 AS VARCHAR) AS ad_unit_name,
+           CAST(1 + event_id % 3 AS BIGINT) AS ad_requests,
+           CAST(1 AS BIGINT) AS matched_requests,
+           CAST(CASE WHEN event_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT)
+               AS impressions,
+           CAST(FLOOR(value * 1000) AS BIGINT) AS clicks,
+           CAST(FLOOR(value * 1e6) AS BIGINT) AS earn_micros
+    FROM events
+"""
+
+_ORACLE_NETWORK_WH = f"""
+WITH fact AS ({_NETWORK_FACT_SQL})
+SELECT date,
+       app_name AS app,
+       format,
+       CAST(SUM(ad_requests) AS BIGINT) AS ad_requests,
+       CAST(SUM(clicks) AS BIGINT) AS clicks,
+       CAST(SUM(earn_micros) AS BIGINT) AS estimated_earnings,
+       CAST(SUM(impressions) AS BIGINT) AS impressions
+FROM fact
+WHERE date BETWEEN DATE '2024-01-03' AND DATE '2024-01-20'
+  AND format IN ('Banner', 'Rewarded', 'Native advanced')
+  AND app_name IN ('click', 'view', 'purchase')
+GROUP BY date, app_name, format
+ORDER BY date, estimated_earnings DESC
+"""
+
+
+def q_network_match_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The request funnel per (app, format): MATCH_RATE =
+    matched/requests and SHOW_RATE = impressions/matched (the network
+    report's derived metrics, FIXTURES §2), each a ratio of exact integer
+    sums with NULL-on-zero denominators — never averaged per-row."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        read_network_warehouse,
+    )
+
+    wh = read_network_warehouse(spark, sf_dir)
+    return (
+        wh.groupBy("app_name", "format")
+        .agg(
+            F.sum("ad_requests").alias("ad_requests"),
+            F.sum("matched_requests").alias("matched_requests"),
+            F.sum("impressions").alias("impressions"),
+        )
+        .select(
+            "app_name",
+            "format",
+            "ad_requests",
+            "matched_requests",
+            F.round(
+                F.col("matched_requests").cast("double")
+                / F.nullif(F.col("ad_requests"), F.lit(0)),
+                6,
+            ).alias("match_rate"),
+            F.round(
+                F.col("impressions").cast("double")
+                / F.nullif(F.col("matched_requests"), F.lit(0)),
+                6,
+            ).alias("show_rate"),
+        )
+        .orderBy("app_name", "format")
+    )
+
+
+_ORACLE_NETWORK_MATCH = f"""
+WITH fact AS ({_NETWORK_FACT_SQL})
+SELECT app_name,
+       format,
+       CAST(SUM(ad_requests) AS BIGINT) AS ad_requests,
+       CAST(SUM(matched_requests) AS BIGINT) AS matched_requests,
+       ROUND(CAST(SUM(matched_requests) AS DOUBLE)
+             / NULLIF(SUM(ad_requests), 0), 6) AS match_rate,
+       ROUND(CAST(SUM(impressions) AS DOUBLE)
+             / NULLIF(SUM(matched_requests), 0), 6) AS show_rate
+FROM fact
+GROUP BY app_name, format
+ORDER BY app_name, format
+"""
+
+
+def q_network_rpm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPRESSION_RPM and CTR at every drill level in one scan: ROLLUP
+    (app, format). RPM (revenue per mille impressions) reuses the shared
+    eCPM expression over exact micros sums; CTR is a two-stage ppm
+    (playbook #23 — clicks·1e6 would overflow BIGINT at corpus scale, the
+    two-stage decomposition keeps every intermediate < 2^63). The
+    zero-impression rows flow into cells with NULL rpm/ctr via NULLIF.
+
+    Scale: Expand + one partial/final hash aggregate; grouping keys are
+    schema-bounded (apps × formats)."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        ecpm_micros_col,
+        read_network_warehouse,
+    )
+
+    wh = read_network_warehouse(spark, sf_dir)
+    return (
+        wh.rollup("app_name", "format")
+        .agg(
+            F.grouping("app_name").cast("int").alias("g_app"),
+            F.grouping("format").cast("int").alias("g_fmt"),
+            F.sum("earn_micros").alias("earn_micros"),
+            F.sum("impressions").alias("impressions"),
+            F.sum("clicks").alias("clicks"),
+        )
+        .select(
+            "app_name",
+            "format",
+            "g_app",
+            "g_fmt",
+            "earn_micros",
+            "impressions",
+            "clicks",
+            ecpm_micros_col().alias("rpm_micros"),
+            F.expr(
+                "(clicks * 1000 DIV NULLIF(impressions, 0)) * 1000"
+                " + (clicks * 1000 % NULLIF(impressions, 0)) * 1000"
+                " DIV NULLIF(impressions, 0)"
+            )
+            .cast("long")
+            .alias("ctr_ppm"),
+        )
+        .orderBy("g_app", "g_fmt", "app_name", "format")
+    )
+
+
+_ORACLE_NETWORK_RPM = f"""
+WITH fact AS ({_NETWORK_FACT_SQL})
+SELECT app_name,
+       format,
+       CAST(GROUPING(app_name) AS INTEGER) AS g_app,
+       CAST(GROUPING(format) AS INTEGER) AS g_fmt,
+       CAST(SUM(earn_micros) AS BIGINT) AS earn_micros,
+       CAST(SUM(impressions) AS BIGINT) AS impressions,
+       CAST(SUM(clicks) AS BIGINT) AS clicks,
+       CAST(SUM(earn_micros) * 1000 // NULLIF(SUM(impressions), 0) AS BIGINT)
+           AS rpm_micros,
+       CAST((CAST(SUM(clicks) AS BIGINT) * 1000
+                 // NULLIF(SUM(impressions), 0)) * 1000
+            + (CAST(SUM(clicks) AS BIGINT) * 1000
+                   % NULLIF(SUM(impressions), 0)) * 1000
+                 // NULLIF(SUM(impressions), 0) AS BIGINT) AS ctr_ppm
+FROM fact
+GROUP BY ROLLUP (app_name, format)
+ORDER BY g_app, g_fmt, app_name, format
+"""
+
+
+def q_network_missing_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-date report-coverage audit: of all (app, format, unit) cells
+    ever observed, how many are MISSING on each date — the warehouse-grain
+    generalization of the reference's missing-units alert
+    (native_CTR_alerts.py:298-302 anti-joins configured units against the
+    day's report) and of its empty-day guard (main.py:147-149).
+
+    Scale: one distinct-cells rollup (schema-bounded domain) broadcast as
+    a one-row count; per-date distinct counts aggregate the same bounded
+    domain — the fact shuffles once, keyed by date."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        read_network_warehouse,
+    )
+
+    wh = read_network_warehouse(spark, sf_dir)
+    cell = F.concat_ws("|", "app_name", "format", "ad_unit_name")
+    per_date = wh.groupBy("date").agg(
+        F.countDistinct(cell).alias("n_present")
+    )
+    total = (
+        wh.select(cell.alias("c"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_expected"))
+    )
+    return (
+        per_date.crossJoin(F.broadcast(total))
+        .select(
+            "date",
+            "n_expected",
+            "n_present",
+            (F.col("n_expected") - F.col("n_present")).alias("n_missing"),
+        )
+        .orderBy("date")
+    )
+
+
+_ORACLE_NETWORK_MISSING = f"""
+WITH fact AS ({_NETWORK_FACT_SQL}),
+tot AS (
+    SELECT COUNT(*) AS n_expected FROM (
+        SELECT DISTINCT app_name, format, ad_unit_name FROM fact
+    )
+),
+per_date AS (
+    SELECT date,
+           COUNT(DISTINCT app_name || '|' || format || '|' || ad_unit_name)
+               AS n_present
+    FROM fact GROUP BY date
+)
+SELECT date,
+       CAST(n_expected AS BIGINT) AS n_expected,
+       CAST(n_present AS BIGINT) AS n_present,
+       CAST(n_expected - n_present AS BIGINT) AS n_missing
+FROM per_date, tot
+ORDER BY date
+"""
+
+
 QUERIES = {
     "report_warehouse_mediation": q_report_warehouse_mediation,
+    "report_warehouse_network": q_report_warehouse_network,
+    "network_match_rate": q_network_match_rate,
+    "network_rpm_rollup": q_network_rpm_rollup,
+    "network_missing_cells": q_network_missing_cells,
     "mediation_ecpm_rollup": q_mediation_ecpm_rollup,
     "mediation_fill_rate": q_mediation_fill_rate,
     "mediation_top_source": q_mediation_top_source,
@@ -3630,6 +3918,10 @@ QUERIES = {
 
 ORACLES = {
     "report_warehouse_mediation": _ORACLE_MEDIATION_WH,
+    "report_warehouse_network": _ORACLE_NETWORK_WH,
+    "network_match_rate": _ORACLE_NETWORK_MATCH,
+    "network_rpm_rollup": _ORACLE_NETWORK_RPM,
+    "network_missing_cells": _ORACLE_NETWORK_MISSING,
     "mediation_ecpm_rollup": _ORACLE_MEDIATION_ECPM,
     "mediation_fill_rate": _ORACLE_MEDIATION_FILL,
     "mediation_top_source": _ORACLE_MEDIATION_TOP,

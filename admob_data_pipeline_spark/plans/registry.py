@@ -335,6 +335,16 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 # Names absent from the registry are ignored, so this list never breaks on
 # renames.
 FRESH_FIRST: tuple[str, ...] = (
+    # round-6 wave (8 new queries; 44 free slots after the r5 append, so
+    # they lead the window per the slot-budgeting rule)
+    "report_warehouse_network",
+    "network_match_rate",
+    "network_rpm_rollup",
+    "network_missing_cells",
+    "knn_recall_by_label",
+    "knn_mutual_edges",
+    "bm25_search_and",
+    "bm25_phrase_search",
     # the 6-name backlog (round-5 wave 2, never driver-checked)
     "dedup_tfidf_cosine",
     "streaming_mediation_ecpm",

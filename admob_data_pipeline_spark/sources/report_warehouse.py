@@ -162,3 +162,70 @@ def materialize_mediation_warehouse(spark: SparkSession, sf_dir: str) -> str:
 
 def read_mediation_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(materialize_mediation_warehouse(spark, sf_dir))
+
+
+# --- full network grain (FIXTURES.md §2) ------------------------------------
+
+NETWORK_FORMATS = ("Banner", "Interstitial", "Native advanced", "Rewarded")
+
+
+def network_fact_from_events(events: DataFrame) -> DataFrame:
+    """Flattened NETWORK-report grain at the FULL FIXTURES.md §2 shape —
+    the reference's network report (save_network_CSV.py:132-136,
+    native_CTR_alerts.py:136-140) carries the ad FORMAT dimension and the
+    whole request funnel (AD_REQUESTS → MATCHED_REQUESTS → IMPRESSIONS →
+    CLICKS) plus earnings; the r4 ``report_fact_from_events`` fixture
+    kept only the CTR columns. Deterministic projection from ``events``
+    so a DuckDB oracle re-derives the warehouse exactly:
+
+    - ``format``          := NETWORK_FORMATS[event_id % 4]
+    - ``ad_requests``     := 1 + event_id % 3   (funnel top)
+    - ``matched_requests``:= 1                   (row = one matched ad)
+    - ``impressions``     := 0 when event_id % 7 = 0 else 1 — the
+      zero-impression rows FIXTURES §2 demands for the SAFE_DIVIDE path
+    - ``clicks``          := floor(value * VALUE_SCALE)
+    - ``earn_micros``     := floor(value * 1e6) (money in integer micros)
+    """
+    fmt = F.element_at(
+        F.array(*[F.lit(x) for x in NETWORK_FORMATS]),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+    return events.select(
+        F.col("ts").cast("date").alias("date"),
+        F.col("event_type").alias("app_name"),
+        fmt.alias("format"),
+        F.concat(F.lit("unit-"), (F.col("user_id") % 8).cast("string")).alias(
+            "ad_unit_name"
+        ),
+        (F.lit(1) + F.col("event_id") % 3).cast("long").alias("ad_requests"),
+        F.lit(1).cast("long").alias("matched_requests"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("impressions"),
+        F.floor(F.col("value") * VALUE_SCALE).cast("long").alias("clicks"),
+        earn_micros_col().alias("earn_micros"),
+    )
+
+
+def materialize_network_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once) and return the date-partitioned FULL-GRAIN network
+    warehouse — same per-date idempotent-reload layout as the other two,
+    so a spec's dateRange prunes partitions and the format IN-list pushes
+    to parquet row groups (asserted in tests/test_report_spec.py)."""
+
+    def write(tmp: str) -> None:
+        from admob_data_pipeline_spark.sources.tables import load_table
+
+        fact = network_fact_from_events(load_table(spark, sf_dir, "events"))
+        fact.repartition("date").write.mode("overwrite").partitionBy(
+            "date"
+        ).parquet(tmp)
+
+    return cached_parquet_dir(
+        "networkwh_v1", os.path.join(sf_dir, "events.parquet"), write
+    )
+
+
+def read_network_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(materialize_network_warehouse(spark, sf_dir))

@@ -245,3 +245,46 @@ def test_ngram_novelty_unique_vs_shared_sources(spark):
            for r in corpus.ngram_novelty(docs).collect()}
     assert got["s3"] == (3, 3, 1_000_000)
     assert got["s1"] == (3, 0, 0) and got["s2"] == (3, 0, 0)
+
+
+def test_bm25_search_and_requires_every_term(spark, sf_dir):
+    from admob_data_pipeline_spark.operators import corpus
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    conj = corpus.bm25_search(docs, require_all=True).collect()
+    assert conj, "AND query should match docs in the fixture corpus"
+    # every hit matched ALL query terms
+    assert all(r.n_terms_matched == len(corpus.BM25_QUERY) for r in conj)
+    # AND results score identically to the same docs in OR mode: the
+    # filter changes eligibility, never the score.
+    disj = {
+        r.doc_id: r.score_scaled
+        for r in corpus.bm25_search(docs, top=10**6).collect()
+    }
+    for r in conj:
+        assert disj[r.doc_id] == r.score_scaled
+
+
+def test_bm25_phrase_counts_only_adjacent_in_order(spark):
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators.corpus import bm25_phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            # two adjacent occurrences -> tf = 2
+            Row(doc_id=0, text="hash join wins hash join again ok pad"),
+            # reversed order and gap -> no phrase
+            Row(doc_id=1, text="join hash and hash big join here pad"),
+            # one occurrence -> tf = 1
+            Row(doc_id=2, text="a hash join b c d e f"),
+            Row(doc_id=3, text="nothing relevant here at all x y z"),
+        ]
+    )
+    rows = {r.doc_id: r for r in bm25_phrase_search(docs, ("hash", "join")).collect()}
+    assert set(rows) == {0, 2}
+    assert rows[0].tf == 2 and rows[2].tf == 1
+    # equal doc lengths, higher tf -> strictly higher BM25
+    assert rows[0].score_scaled > rows[2].score_scaled
+    assert [rows[0].rnk, rows[2].rnk] == [1, 2]

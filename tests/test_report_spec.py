@@ -141,3 +141,46 @@ def test_mediation_warehouse_prunes_and_pushes_both_dims(spark, sf_dir):
     fact = mediation_fact_from_events(load_table(spark, sf_dir, "events"))
     expect = compile_report(fact, spec, dim_cols=dims, metric_cols=mets)
     assert df.collect() == expect.collect()
+
+
+def test_network_warehouse_full_grain_prunes_and_pushes(spark, sf_dir):
+    """S1 at the FULL FIXTURES §2 grain: dateRange prunes partitions,
+    the FORMAT and APP IN-lists push to row groups, the funnel metrics
+    aggregate exactly as the unpartitioned derivation, and the
+    zero-impression rows FIXTURES §2 demands exist in the warehouse."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        network_fact_from_events,
+        read_network_warehouse,
+    )
+
+    wh = read_network_warehouse(spark, sf_dir)
+    assert wh.where("impressions = 0").count() > 0  # SAFE_DIVIDE rows
+    spec = ReportSpec(
+        date_range=("2024-01-03", "2024-01-20"),
+        dimensions=("DATE", "APP", "FORMAT"),
+        metrics=("AD_REQUESTS", "CLICKS", "ESTIMATED_EARNINGS", "IMPRESSIONS"),
+        dimension_filters={
+            "FORMAT": ("Banner", "Rewarded", "Native advanced"),
+            "APP": ("click", "view", "purchase"),
+        },
+        sort_conditions=(("DATE", "ASCENDING"),),
+    )
+    dims = {"APP": "app_name", "FORMAT": "format"}
+    mets = {
+        "AD_REQUESTS": "ad_requests",
+        "CLICKS": "clicks",
+        "ESTIMATED_EARNINGS": "earn_micros",
+        "IMPRESSIONS": "impressions",
+    }
+    df = compile_report(wh, spec, dim_cols=dims, metric_cols=mets)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "2024-01-03" in pf and "2024-01-20" in pf, pf
+    pushed = next(l for l in plan.splitlines() if "PushedFilters: [" in l)
+    assert "In(format" in pushed and "In(app_name" in pushed, pushed
+
+    fact = network_fact_from_events(load_table(spark, sf_dir, "events"))
+    expect = compile_report(fact, spec, dim_cols=dims, metric_cols=mets)
+    assert df.collect() == expect.collect()

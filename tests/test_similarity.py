@@ -436,3 +436,48 @@ def test_knn_hubness_covers_all_nodes_including_orphans(spark):
     assert got == want
     assert sum(got.values()) == len(vecs)
     assert got.get(0, 0) >= 1  # the orphan contributes a zero row
+
+
+def test_knn_recall_by_label_partitions_global_counts(spark):
+    """Per-label recall rows must partition the global audit's counts:
+    summing n_exact/n_hits over labels reproduces knn_graph_recall's
+    totals (same probes, same graph, same exact baseline)."""
+    from admob_data_pipeline_spark.operators.similarity import (
+        q_knn_graph_recall,
+        q_knn_recall_by_label,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    by_label = q_knn_recall_by_label(spark, sf).collect()
+    glob = q_knn_graph_recall(spark, sf).collect()[0]
+    assert sum(r.n_exact for r in by_label) == glob.n_exact
+    assert sum(r.n_hits for r in by_label) == glob.n_hits
+    for r in by_label:
+        assert 0 <= r.n_hits <= r.n_exact
+        assert 0 <= r.recall_ppm <= 1_000_000
+
+
+def test_knn_mutual_edges_exactly_the_bidirectional_pairs(spark):
+    """knn_mutual_edges = the undirected pairs present in BOTH directions
+    of the directed graph — no more, no less."""
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    edges = {
+        (r.src, r.dst)
+        for r in similarity.knn_graph(
+            load_table(spark, sf, "embeddings")
+        ).collect()
+    }
+    expect = {
+        (s, d) for (s, d) in edges if s < d and (d, s) in edges
+    }
+    got = {
+        (r.src, r.dst)
+        for r in similarity.q_knn_mutual_edges(spark, sf).collect()
+    }
+    assert got == expect and got, "mutual set should be non-empty"
