@@ -2655,7 +2655,7 @@ ORDER BY n_e.label
 """
 
 
-def q_knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mutual_knn_edges(emb: DataFrame) -> DataFrame:
     """Mutual-kNN edge set: undirected pairs where EACH endpoint ranks
     the other in its top-k — the symmetrized graph that semantic-dedup
     clustering and agglomerative grouping actually consume (one-directional
@@ -2664,13 +2664,18 @@ def q_knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the directed edge list (≤ k·N rows) is checkpointed once and
     semi-joined against its own reversal on the (src, dst) key — one
     bounded shuffle, never back to the vectors."""
-    edges = knn_graph(load_table(spark, sf_dir, "embeddings")).localCheckpoint()
+    edges = knn_graph(emb).localCheckpoint()
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return (
         edges.join(rev, ["src", "dst"], "left_semi")
         .where(F.col("src") < F.col("dst"))
         .select("src", "dst", "cos_sim")
-        .orderBy("src", "dst")
+    )
+
+
+def q_knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mutual_knn_edges(load_table(spark, sf_dir, "embeddings")).orderBy(
+        "src", "dst"
     )
 
 
@@ -2686,12 +2691,68 @@ ORDER BY e.src, e.dst
 """
 
 
+def q_dedup_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup clusters over the MUTUAL-kNN graph: min-label
+    connected components group vectors that chain through reciprocal
+    nearest-neighbor links — the SemDeDup-style alternative to
+    ``dedup_semantic_clusters``'s fixed cosine threshold (mutuality adapts
+    to local density and filters hub edges, so no global threshold needs
+    tuning). Output is the cluster audit: id (min vec_id), size.
+
+    Scale: composes two registered scale paths — the bucket-bounded
+    mutual edge set and the per-round-checkpointed label propagation;
+    nothing new shuffles."""
+    from admob_data_pipeline_spark.operators.graph import connected_components
+
+    edges = mutual_knn_edges(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select(F.col("lbl").alias("cluster"), "n_vecs")
+        .orderBy(F.desc("n_vecs"), "cluster")
+    )
+
+
+_ORACLE_MUTUAL_CLUSTERS = f"""
+WITH RECURSIVE {_DUCK_BASE.strip()},
+{_KNN_EDGES_SQL},
+pairs AS (
+    SELECT e.src AS u, e.dst AS v
+    FROM knn_edges e
+    WHERE e.src < e.dst
+      AND EXISTS (SELECT 1 FROM knn_edges r
+                  WHERE r.src = e.dst AND r.dst = e.src)
+),
+adj AS (
+    SELECT u AS src, v AS dst FROM pairs
+    UNION ALL
+    SELECT v AS src, u AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM adj),
+reach(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT a.dst AS node, r.lbl
+    FROM reach r JOIN adj a ON a.src = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+SELECT lbl AS cluster, COUNT(*) AS n_vecs
+FROM comp
+GROUP BY lbl
+ORDER BY n_vecs DESC, cluster
+"""
+
+
 QUERIES = {
     "knn_graph": q_knn_graph,
     "knn_graph_recall": q_knn_graph_recall,
     "knn_hubness": q_knn_hubness,
     "knn_recall_by_label": q_knn_recall_by_label,
     "knn_mutual_edges": q_knn_mutual_edges,
+    "dedup_mutual_knn_clusters": q_dedup_mutual_knn_clusters,
     "kmeans_lloyd": q_kmeans_lloyd,
     "coreset_kcenter": q_coreset_kcenter,
     "embedding_random_projection": q_embedding_random_projection,
@@ -2721,6 +2782,7 @@ ORACLES = {
     "knn_hubness": _ORACLE_KNN_HUBNESS,
     "knn_recall_by_label": _ORACLE_KNN_RECALL_LABEL,
     "knn_mutual_edges": _ORACLE_KNN_MUTUAL,
+    "dedup_mutual_knn_clusters": _ORACLE_MUTUAL_CLUSTERS,
     "kmeans_lloyd": _ORACLE_KMEANS,
     "coreset_kcenter": _ORACLE_CORESET,
     "embedding_random_projection": _ORACLE_RP,

@@ -345,6 +345,8 @@ FRESH_FIRST: tuple[str, ...] = (
     "knn_mutual_edges",
     "bm25_search_and",
     "bm25_phrase_search",
+    "streaming_network_funnel",
+    "dedup_mutual_knn_clusters",
     # the 6-name backlog (round-5 wave 2, never driver-checked)
     "dedup_tfidf_cosine",
     "streaming_mediation_ecpm",

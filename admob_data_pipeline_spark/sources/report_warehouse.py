@@ -168,6 +168,33 @@ def read_mediation_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NETWORK_FORMATS = ("Banner", "Interstitial", "Native advanced", "Rewarded")
 
+# Shared column expressions (same contract as the mediation helpers above):
+# the batch warehouse and the streaming funnel monitor derive the SAME
+# cells from these, so stream/batch agreement is a property of the code.
+
+
+def network_format_col() -> F.Column:
+    """NETWORK_FORMATS[event_id % 4] — the deterministic format mapping."""
+    return F.element_at(
+        F.array(*[F.lit(x) for x in NETWORK_FORMATS]),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+
+
+def network_ad_requests_col() -> F.Column:
+    """1 + event_id % 3 — the funnel top, exact ints."""
+    return (F.lit(1) + F.col("event_id") % 3).cast("long")
+
+
+def network_impressions_col() -> F.Column:
+    """0 when event_id % 7 = 0 else 1 — the zero-impression rows
+    FIXTURES §2 demands for the SAFE_DIVIDE path."""
+    return (
+        F.when(F.col("event_id") % 7 == 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+
 
 def network_fact_from_events(events: DataFrame) -> DataFrame:
     """Flattened NETWORK-report grain at the FULL FIXTURES.md §2 shape —
@@ -186,23 +213,16 @@ def network_fact_from_events(events: DataFrame) -> DataFrame:
     - ``clicks``          := floor(value * VALUE_SCALE)
     - ``earn_micros``     := floor(value * 1e6) (money in integer micros)
     """
-    fmt = F.element_at(
-        F.array(*[F.lit(x) for x in NETWORK_FORMATS]),
-        (F.col("event_id") % 4 + 1).cast("int"),
-    )
     return events.select(
         F.col("ts").cast("date").alias("date"),
         F.col("event_type").alias("app_name"),
-        fmt.alias("format"),
+        network_format_col().alias("format"),
         F.concat(F.lit("unit-"), (F.col("user_id") % 8).cast("string")).alias(
             "ad_unit_name"
         ),
-        (F.lit(1) + F.col("event_id") % 3).cast("long").alias("ad_requests"),
+        network_ad_requests_col().alias("ad_requests"),
         F.lit(1).cast("long").alias("matched_requests"),
-        F.when(F.col("event_id") % 7 == 0, F.lit(0))
-        .otherwise(F.lit(1))
-        .cast("long")
-        .alias("impressions"),
+        network_impressions_col().alias("impressions"),
         F.floor(F.col("value") * VALUE_SCALE).cast("long").alias("clicks"),
         earn_micros_col().alias("earn_micros"),
     )

@@ -608,6 +608,70 @@ ORDER BY date, ad_source
 """
 
 
+def network_funnel_stream(
+    events: DataFrame, watermark: str = WATERMARK
+) -> DataFrame:
+    """Tumbling 1-day windows per ad FORMAT at the NETWORK grain: the
+    incremental twin of ``network_match_rate``'s daily leaf cells
+    (sources/report_warehouse.py shared column helpers — funnel counts in
+    exact integers, match rate from the exact sums once per cell, so the
+    stream and the batch warehouse produce bit-identical cells).
+    Watermark bounds state per (day, format) key; a live report feed
+    maintains the day's fill funnel continuously instead of re-running
+    the batch rollup."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        network_ad_requests_col,
+        network_format_col,
+        network_impressions_col,
+    )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            network_format_col().alias("format"),
+        )
+        .agg(
+            F.sum(network_ad_requests_col()).alias("ad_requests"),
+            F.count(F.lit(1)).alias("matched_requests"),
+            F.sum(network_impressions_col()).alias("impressions"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("date"),
+            "format",
+            "ad_requests",
+            "matched_requests",
+            "impressions",
+            F.round(
+                F.col("matched_requests").cast("double")
+                / F.nullif(F.col("ad_requests"), F.lit(0)),
+                6,
+            ).alias("match_rate"),
+        )
+    )
+
+
+def q_streaming_network_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_available_now(network_funnel_stream(_event_stream(spark, sf_dir)))
+    return out.orderBy("date", "format")
+
+
+_ORACLE_STREAM_NETWORK_FUNNEL = """
+SELECT CAST(ts AS DATE) AS date,
+       (['Banner','Interstitial','Native advanced','Rewarded'])
+           [CAST(event_id % 4 AS INT) + 1] AS format,
+       CAST(SUM(1 + event_id % 3) AS BIGINT) AS ad_requests,
+       COUNT(*) AS matched_requests,
+       CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+           AS impressions,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / NULLIF(SUM(1 + event_id % 3), 0), 6) AS match_rate
+FROM events
+GROUP BY 1, 2
+ORDER BY date, format
+"""
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(sessionize_stream(_event_stream(spark, sf_dir)))
     return out.orderBy("user_id", "session_start_epoch")
@@ -846,6 +910,7 @@ QUERIES = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_daily_rates": q_streaming_daily_rates,
     "streaming_mediation_ecpm": q_streaming_mediation_ecpm,
+    "streaming_network_funnel": q_streaming_network_funnel,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_enrich": q_streaming_enrich,
     "streaming_kmv_sink": q_streaming_kmv_sink,
@@ -868,6 +933,7 @@ ORACLES = {
     "streaming_dedup": _ORACLE_STREAM_DEDUP,
     "streaming_daily_rates": _ORACLE_DAILY_RATES,
     "streaming_mediation_ecpm": _ORACLE_STREAM_MEDIATION_ECPM,
+    "streaming_network_funnel": _ORACLE_STREAM_NETWORK_FUNNEL,
     "streaming_sessionize": _ORACLE_SESSIONIZE,
     "streaming_enrich": _ORACLE_ENRICH,
     "streaming_kmv_sink": _ORACLE_STREAM_KMV,

@@ -481,3 +481,21 @@ def test_knn_mutual_edges_exactly_the_bidirectional_pairs(spark):
         for r in similarity.q_knn_mutual_edges(spark, sf).collect()
     }
     assert got == expect and got, "mutual set should be non-empty"
+
+
+def test_mutual_knn_clusters_partition_the_mutual_node_set(spark):
+    """Cluster sizes must partition exactly the nodes that carry a mutual
+    edge (components of an edge list have >= 2 nodes each), and the
+    cluster id is the min member by construction."""
+    from admob_data_pipeline_spark.operators import similarity
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    mutual = similarity.mutual_knn_edges(
+        load_table(spark, sf, "embeddings")
+    ).collect()
+    nodes = {r.src for r in mutual} | {r.dst for r in mutual}
+    clusters = similarity.q_dedup_mutual_knn_clusters(spark, sf).collect()
+    assert sum(r.n_vecs for r in clusters) == len(nodes)
+    assert all(r.n_vecs >= 2 for r in clusters)
+    assert all(r.cluster in nodes for r in clusters)
