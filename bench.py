@@ -80,6 +80,12 @@ EXTENDED = [
     "report_warehouse_mediation",
     "knn_graph",
     "dedup_tfidf_cosine",
+    # round-6 additions: one representative per new family (full-grain
+    # network warehouse scan; mutual-kNN clustering, the heaviest new
+    # row; posting-bounded phrase retrieval)
+    "report_warehouse_network",
+    "dedup_mutual_knn_clusters",
+    "bm25_phrase_search",
 ]
 
 
