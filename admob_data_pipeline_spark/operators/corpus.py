@@ -512,8 +512,11 @@ def bm25_search(
         # tf is doc-distinct per token, so n_terms_matched counts distinct
         # matched terms — the standard intersect-the-postings filter,
         # applied on the already-posting-bounded rollup (no extra join).
+        # len(set(...)): tf is doc-distinct per token, so a duplicated
+        # query term could never reach len(query_terms) matches — the
+        # required count is the DISTINCT term count on both engines
         doc_scores = doc_scores.where(
-            F.col("n_terms_matched") == len(query_terms)
+            F.col("n_terms_matched") == len(set(query_terms))
         )
     # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
     # partial top-k, merge of k rows) — a bare global row_number window
@@ -582,7 +585,7 @@ doc_scores AS (
     SELECT doc_id, COUNT(*) AS n_terms_matched,
            CAST(SUM(s) AS BIGINT) AS score_scaled
     FROM per_term GROUP BY doc_id
-    HAVING COUNT(*) = {len(BM25_QUERY)}
+    HAVING COUNT(*) = {len(set(BM25_QUERY))}
 ),
 ranked AS (
     SELECT doc_id, n_terms_matched, score_scaled,

@@ -169,6 +169,14 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
+    else:
+        # Fail loudly: labels past the cap are NOT components (a diameter
+        # > max_iters chain would silently split one component into
+        # several and diverge from the exact recursive-CTE oracles).
+        raise RuntimeError(
+            f"connected_components: {changed} labels still changing after "
+            f"{max_iters} rounds; raise max_iters for this graph's diameter"
+        )
     return labels
 
 

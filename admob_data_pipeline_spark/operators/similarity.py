@@ -2310,10 +2310,14 @@ def _table_bucket(v: Column, tbl: int, planes: int) -> Column:
     """Sign-bit bucket of coordinate block [tbl*planes, tbl*planes+planes),
     prefixed with the table id so one join key separates the L tables.
     Out-of-range coordinates yield NULL ≥ 0 → '0' on BOTH engines, so a
-    short vector degrades to constant bits instead of erroring."""
+    short vector degrades to constant bits instead of erroring —
+    ``try_element_at``, NOT ``element_at``: under ANSI mode (the PySpark 4
+    default) element_at past the end THROWS, which would break the
+    degrade contract the moment n_tables·planes exceeds the embedding
+    width (the documented "raise L" recall lever)."""
     bits = [
         F.when(
-            F.element_at(v, tbl * planes + j + 1) >= 0, F.lit("1")
+            F.try_element_at(v, F.lit(tbl * planes + j + 1)) >= 0, F.lit("1")
         ).otherwise(F.lit("0"))
         for j in range(planes)
     ]
@@ -2441,6 +2445,24 @@ ORDER BY src, rank
 KNN_PROBE_MAX = 32  # probe-node cap for the recall audit's exact baseline
 
 
+def _knn_recall_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared probe scaffolding for the graph recall audits — ONE
+    definition of the probe set, the exact baseline, and the graph's
+    probe restriction, so the global and per-label audits can never
+    drift apart (the per-label counts are test-pinned to partition the
+    global ones). exact is checkpointed: it feeds two consumers."""
+    probes = list(range(KNN_PROBE_MAX))
+    exact = (
+        topk_bruteforce(emb, probes, k=KNN_K)
+        .select(F.col("qid").alias("src"), F.col("vec_id").alias("dst"))
+        .localCheckpoint()
+    )
+    approx = (
+        knn_graph(emb).where(F.col("src") < KNN_PROBE_MAX).select("src", "dst")
+    )
+    return exact, approx
+
+
 def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the LSH k-NN graph against the EXACT top-k for a probe
     subset (vec_id < KNN_PROBE_MAX) — the same audit-before-trust
@@ -2451,14 +2473,7 @@ def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     knn_graph keeps ≤ k bucket-mates per node, so recall < 1 by design;
     this query prices that trade on the actual corpus."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = list(range(KNN_PROBE_MAX))
-    exact = (
-        topk_bruteforce(emb, probes, k=KNN_K)
-        .select(F.col("qid").alias("src"), F.col("vec_id").alias("dst"))
-        .localCheckpoint()
-    )
-    approx = knn_graph(emb).where(F.col("src") < KNN_PROBE_MAX).select("src", "dst")
+    exact, approx = _knn_recall_parts(load_table(spark, sf_dir, "embeddings"))
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     nh = approx.join(exact, ["src", "dst"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_hits")
@@ -2473,8 +2488,11 @@ def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_KNN_RECALL = f"""
-WITH {_DUCK_BASE},
+# ONE SQL definition of the recall audits' probe scaffolding (probe set,
+# exact baseline, graph restriction) — composed AFTER _KNN_EDGES_SQL by
+# both the global and the per-label oracle, mirroring the Spark side's
+# _knn_recall_parts single-sourcing.
+_KNN_EXACT_SQL = f"""
 q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base
       WHERE vec_id < {KNN_PROBE_MAX}),
 scored AS (
@@ -2492,10 +2510,15 @@ exact AS (
         FROM scored
     ) WHERE rank <= {KNN_K}
 ),
-{_KNN_EDGES_SQL},
 approx AS (
     SELECT src, dst FROM knn_edges WHERE src < {KNN_PROBE_MAX}
-),
+)
+"""
+
+_ORACLE_KNN_RECALL = f"""
+WITH {_DUCK_BASE},
+{_KNN_EDGES_SQL},
+{_KNN_EXACT_SQL},
 n_e AS (SELECT COUNT(*) AS n_exact FROM exact),
 n_h AS (SELECT COUNT(*) AS n_hits FROM approx a
         WHERE EXISTS (SELECT 1 FROM exact e
@@ -2570,15 +2593,7 @@ def q_knn_recall_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ≤ KNN_PROBE_MAX probe rows; the rollup is bounded by the label
     domain."""
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = list(range(KNN_PROBE_MAX))
-    exact = (
-        topk_bruteforce(emb, probes, k=KNN_K)
-        .select(F.col("qid").alias("src"), F.col("vec_id").alias("dst"))
-        .localCheckpoint()
-    )
-    approx = (
-        knn_graph(emb).where(F.col("src") < KNN_PROBE_MAX).select("src", "dst")
-    )
+    exact, approx = _knn_recall_parts(emb)
     hits = approx.join(exact, ["src", "dst"], "left_semi")
     lab = emb.where(F.col("vec_id") < KNN_PROBE_MAX).select(
         F.col("vec_id").alias("src"), "label"
@@ -2610,27 +2625,8 @@ def q_knn_recall_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_KNN_RECALL_LABEL = f"""
 WITH {_DUCK_BASE},
-q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base
-      WHERE vec_id < {KNN_PROBE_MAX}),
-scored AS (
-    SELECT q.qid AS src, b.vec_id AS dst,
-           ROUND(list_dot_product(q.qv, b.v) / NULLIF(q.qn * b.nrm, 0), 6)
-               AS cos_sim
-    FROM base b, q WHERE b.vec_id <> q.qid
-),
-exact AS (
-    SELECT src, dst FROM (
-        SELECT src, dst,
-               ROW_NUMBER() OVER (
-                   PARTITION BY src ORDER BY cos_sim DESC, dst
-               ) AS rank
-        FROM scored
-    ) WHERE rank <= {KNN_K}
-),
 {_KNN_EDGES_SQL},
-approx AS (
-    SELECT src, dst FROM knn_edges WHERE src < {KNN_PROBE_MAX}
-),
+{_KNN_EXACT_SQL},
 lab AS (SELECT vec_id AS src, label FROM embeddings
         WHERE vec_id < {KNN_PROBE_MAX}),
 n_e AS (

@@ -335,8 +335,8 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 # Names absent from the registry are ignored, so this list never breaks on
 # renames.
 FRESH_FIRST: tuple[str, ...] = (
-    # round-6 wave (8 new queries; 44 free slots after the r5 append, so
-    # they lead the window per the slot-budgeting rule)
+    # round-6 wave (10 new queries; 44 free slots after the r5 append,
+    # so they lead the window per the slot-budgeting rule)
     "report_warehouse_network",
     "network_match_rate",
     "network_rpm_rollup",
@@ -357,12 +357,33 @@ FRESH_FIRST: tuple[str, ...] = (
 )
 
 
+# Names whose SEMANTICS changed after their green record was written.
+# They must stay in DRIVER_GREEN (the rotation test pins that every
+# recorded verdict is represented) but their label was earned by the OLD
+# code, so they re-enter the front of the window until a fresh verdict
+# lands — then remove them from here.
+RECHECK: frozenset[str] = frozenset(
+    {
+        # r6: knn_graph rewritten from single-table to 6-table OR-construction
+        # (commit 5176029) AFTER CORRECTNESS_r05 recorded it green.
+        "knn_graph",
+    }
+)
+
+
 def _prioritized(d: dict) -> dict:
-    first = {k: d[k] for k in FRESH_FIRST if k in d and k not in DRIVER_GREEN}
+    lead = tuple(FRESH_FIRST) + tuple(sorted(RECHECK))
+    first = {
+        k: d[k]
+        for k in lead
+        if k in d and (k not in DRIVER_GREEN or k in RECHECK)
+    }
     fresh = {
         k: v for k, v in d.items() if k not in DRIVER_GREEN and k not in first
     }
-    green = {k: v for k, v in d.items() if k in DRIVER_GREEN}
+    green = {
+        k: v for k, v in d.items() if k in DRIVER_GREEN and k not in first
+    }
     return {**first, **fresh, **green}
 
 

@@ -611,14 +611,16 @@ ORDER BY date, ad_source
 def network_funnel_stream(
     events: DataFrame, watermark: str = WATERMARK
 ) -> DataFrame:
-    """Tumbling 1-day windows per ad FORMAT at the NETWORK grain: the
-    incremental twin of ``network_match_rate``'s daily leaf cells
-    (sources/report_warehouse.py shared column helpers — funnel counts in
-    exact integers, match rate from the exact sums once per cell, so the
-    stream and the batch warehouse produce bit-identical cells).
-    Watermark bounds state per (day, format) key; a live report feed
-    maintains the day's fill funnel continuously instead of re-running
-    the batch rollup."""
+    """Tumbling 1-day windows per ad FORMAT at the NETWORK grain — the
+    incremental (day, format) funnel. The batch query network_match_rate
+    rolls the SAME warehouse up at the coarser (app, format) grain; what
+    the two share is not the cell grid but the COLUMN DERIVATIONS
+    (sources/report_warehouse.py network_*_col helpers — funnel counts
+    in exact integers, match rate from the exact sums once per cell), so
+    any daily cell this stream emits aggregates consistently into the
+    batch rollup. Watermark bounds state per (day, format) key; a live
+    report feed maintains the day's fill funnel continuously instead of
+    re-running the batch rollup."""
     from admob_data_pipeline_spark.sources.report_warehouse import (
         network_ad_requests_col,
         network_format_col,

@@ -290,3 +290,19 @@ def test_assortativity_sign_on_star_graph(spark):
         spark.createDataFrame([Row(u=u, v=v) for u, v in star])
     ).first()
     assert out.r_e6 in (-1_000_000, -999_999)
+
+
+def test_connected_components_raises_past_iteration_cap(spark):
+    """Non-convergence must fail loudly: a diameter-5 path with
+    max_iters=2 leaves labels still changing — silent early return would
+    split one component into several and diverge from the exact oracle."""
+    import pytest
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(u=i, v=i + 1) for i in range(5)]
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        connected_components(edges, max_iters=2)

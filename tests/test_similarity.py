@@ -406,6 +406,30 @@ def test_knn_graph_multi_table_unions_candidates(spark):
     assert (0, 2) in srcs_dsts
 
 
+def test_knn_graph_degrades_past_the_vector_width(spark):
+    """Tables whose coordinate block lies past the embedding width must
+    degrade to constant '0' bits (try_element_at), NOT throw under ANSI
+    mode — the contract that makes "raise n_tables" a safe recall lever
+    on any embedding width. 2-dim vectors with 2 tables × 2 planes:
+    table 1 reads coords [3,4], entirely out of range."""
+    vecs = [
+        [1.0, 1.0],
+        [1.0, 0.9],
+        [-1.0, -1.0],
+        [1.0, -0.5],
+    ]
+    d = _emb(spark, vecs)
+    got = [
+        (r.src, r.rank, r.dst)
+        for r in similarity.knn_graph(
+            d, k=2, n_tables=2, planes_per_table=2
+        ).collect()
+    ]
+    # the python reference treats missing coords as '0' bits — table 1
+    # therefore buckets EVERY vector together (all-'0' block)
+    assert sorted(got) == sorted(_py_knn_edges(vecs, 2, 2, 2))
+
+
 def test_knn_hubness_covers_all_nodes_including_orphans(spark):
     """The in-degree histogram must account for EVERY vector exactly once
     and include zero-in-edge nodes as the in_degree=0 row."""
@@ -438,7 +462,7 @@ def test_knn_hubness_covers_all_nodes_including_orphans(spark):
     assert got.get(0, 0) >= 1  # the orphan contributes a zero row
 
 
-def test_knn_recall_by_label_partitions_global_counts(spark):
+def test_knn_recall_by_label_partitions_global_counts(spark, sf_dir):
     """Per-label recall rows must partition the global audit's counts:
     summing n_exact/n_hits over labels reproduces knn_graph_recall's
     totals (same probes, same graph, same exact baseline)."""
@@ -447,7 +471,7 @@ def test_knn_recall_by_label_partitions_global_counts(spark):
         q_knn_recall_by_label,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     by_label = q_knn_recall_by_label(spark, sf).collect()
     glob = q_knn_graph_recall(spark, sf).collect()[0]
     assert sum(r.n_exact for r in by_label) == glob.n_exact
@@ -457,14 +481,12 @@ def test_knn_recall_by_label_partitions_global_counts(spark):
         assert 0 <= r.recall_ppm <= 1_000_000
 
 
-def test_knn_mutual_edges_exactly_the_bidirectional_pairs(spark):
+def test_knn_mutual_edges_exactly_the_bidirectional_pairs(spark, sf_dir):
     """knn_mutual_edges = the undirected pairs present in BOTH directions
     of the directed graph — no more, no less."""
-    from pyspark.sql import Row
-
     from admob_data_pipeline_spark.operators import similarity
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     from admob_data_pipeline_spark.sources.tables import load_table
 
     edges = {
@@ -483,14 +505,14 @@ def test_knn_mutual_edges_exactly_the_bidirectional_pairs(spark):
     assert got == expect and got, "mutual set should be non-empty"
 
 
-def test_mutual_knn_clusters_partition_the_mutual_node_set(spark):
+def test_mutual_knn_clusters_partition_the_mutual_node_set(spark, sf_dir):
     """Cluster sizes must partition exactly the nodes that carry a mutual
     edge (components of an edge list have >= 2 nodes each), and the
     cluster id is the min member by construction."""
     from admob_data_pipeline_spark.operators import similarity
     from admob_data_pipeline_spark.sources.tables import load_table
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     mutual = similarity.mutual_knn_edges(
         load_table(spark, sf, "embeddings")
     ).collect()
