@@ -55,3 +55,14 @@ def test_every_query_name_unique_and_oracled_names_exist():
     assert len(registry.QUERIES) == len(set(registry.QUERIES))
     orphans = [k for k in registry.ORACLES if k not in registry.QUERIES]
     assert not orphans, f"oracles without queries: {orphans}"
+
+
+def test_recheck_names_lead_the_window():
+    """A RECHECK name (semantics changed after its green record) must
+    re-enter the driver's 50-query window even though it stays in
+    DRIVER_GREEN for the rotation-coverage invariant above."""
+    window = list(registry.QUERIES)[:50]
+    for name in registry.RECHECK:
+        if name in registry.QUERIES:
+            assert name in window, f"RECHECK name {name} not in window"
+            assert name in registry.DRIVER_GREEN
