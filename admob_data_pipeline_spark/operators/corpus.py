@@ -315,6 +315,112 @@ ORDER BY doc_id
 """
 
 
+# --- composite curation gate (C4/Gopher-rule shape) --------------------------
+
+GATE_MIN_TOKENS = 20
+GATE_MAX_TOKENS = 80
+GATE_MIN_MEAN_LEN = 2  # chars/token bounds (Gopher uses 3..10)
+GATE_MAX_MEAN_LEN = 8
+GATE_MIN_STOP_PCT = 2  # >= 2% stopword tokens (C4's "has stopwords" rule)
+GATE_MAX_NONALPHA_PCT = 25
+GATE_MAX_DUP2_PCT = 10  # <= 10% duplicate 2-grams (repetition rule)
+
+
+def curation_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The COMPOSITE pre-training curation gate: every per-doc quality
+    rule a C4/Gopher-style filter applies, evaluated in one map-only pass
+    with a per-rule verdict column — the decision table a pipeline
+    actually acts on (individual signals live in ``text_quality_scores``
+    / ``text_repetition``; this is their AND with auditable reasons).
+
+    Every rule is an INTEGER cross-multiplication (stop_hits·100 ≥
+    pct·n_tokens, never a float ratio), so the verdicts are exact on any
+    engine and any partitioning. Which documents pass depends on the
+    corpus, not on float luck.
+
+    Scale: pure column arithmetic on the scan — no explode, no shuffle,
+    no UDF; at 100 TB this is a single map-only pass fused into
+    whole-stage codegen."""
+    from admob_data_pipeline_spark.operators.text import STOPWORDS, shingles
+
+    docs = widen_if_narrow(docs)
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_chars = F.length(text_col)
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    alpha_only = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")
+    grams = shingles(t, 2)
+    total2 = F.size(grams)
+    dup2 = total2 - F.size(F.array_distinct(grams))
+    # chars belonging to tokens: total minus the n_tok-1 separators
+    wordish = n_chars - n_tok + 1
+    len_ok = (n_tok >= GATE_MIN_TOKENS) & (n_tok <= GATE_MAX_TOKENS)
+    mean_len_ok = (wordish >= GATE_MIN_MEAN_LEN * n_tok) & (
+        wordish <= GATE_MAX_MEAN_LEN * n_tok
+    )
+    stop_ok = stop_hits * 100 >= GATE_MIN_STOP_PCT * n_tok
+    alpha_ok = (n_chars - F.length(alpha_only)) * 100 <= (
+        GATE_MAX_NONALPHA_PCT * n_chars
+    )
+    rep_ok = F.coalesce(dup2 * 100 <= GATE_MAX_DUP2_PCT * total2, F.lit(True))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        len_ok.alias("len_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        stop_ok.alias("stop_ok"),
+        alpha_ok.alias("alpha_ok"),
+        rep_ok.alias("rep_ok"),
+        (len_ok & mean_len_ok & stop_ok & alpha_ok & rep_ok).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def q_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_gate(load_table(spark, sf_dir, "documents"))
+
+
+def _curation_gate_oracle() -> str:
+    from admob_data_pipeline_spark.operators.text import STOPWORDS
+
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks,
+           length(text) AS n_chars,
+           length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+    FROM documents
+),
+sig AS (
+    SELECT doc_id, len(toks) AS n_tok, n_chars, n_alpha,
+           len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS stop_hits,
+           [array_to_string(toks[i:i+1], ' ')
+            FOR i IN generate_series(1, len(toks) - 1)] AS grams
+    FROM t
+),
+rules AS (
+    SELECT doc_id, n_tok,
+           (n_tok >= {GATE_MIN_TOKENS} AND n_tok <= {GATE_MAX_TOKENS})
+               AS len_ok,
+           (n_chars - n_tok + 1 >= {GATE_MIN_MEAN_LEN} * n_tok
+            AND n_chars - n_tok + 1 <= {GATE_MAX_MEAN_LEN} * n_tok)
+               AS mean_len_ok,
+           stop_hits * 100 >= {GATE_MIN_STOP_PCT} * n_tok AS stop_ok,
+           (n_chars - n_alpha) * 100 <= {GATE_MAX_NONALPHA_PCT} * n_chars
+               AS alpha_ok,
+           COALESCE((len(grams) - len(list_distinct(grams))) * 100
+                    <= {GATE_MAX_DUP2_PCT} * len(grams), TRUE) AS rep_ok
+    FROM sig
+)
+SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+       len_ok, mean_len_ok, stop_ok, alpha_ok, rep_ok,
+       (len_ok AND mean_len_ok AND stop_ok AND alpha_ok AND rep_ok) AS keep
+FROM rules
+ORDER BY doc_id
+"""
+
+
+_ORACLE_CURATION_GATE = _curation_gate_oracle()
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP = 3
@@ -1366,6 +1472,7 @@ QUERIES = {
     "text_bm25": q_bm25,
     "bm25_search": q_bm25_search,
     "bm25_search_and": q_bm25_search_and,
+    "curation_gate": q_curation_gate,
     "bm25_phrase_search": q_bm25_phrase_search,
     "text_lm_score": q_lm_score,
     "source_divergence": q_source_divergence,
@@ -1385,6 +1492,7 @@ ORACLES = {
     "text_bm25": _ORACLE_BM25,
     "bm25_search": _ORACLE_BM25_SEARCH,
     "bm25_search_and": _ORACLE_BM25_SEARCH_AND,
+    "curation_gate": _ORACLE_CURATION_GATE,
     "bm25_phrase_search": _ORACLE_BM25_PHRASE,
     "text_lm_score": _ORACLE_LM,
     "source_divergence": _ORACLE_DIVERGENCE,

@@ -347,6 +347,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "bm25_phrase_search",
     "streaming_network_funnel",
     "dedup_mutual_knn_clusters",
+    "curation_gate",
     # the 6-name backlog (round-5 wave 2, never driver-checked)
     "dedup_tfidf_cosine",
     "streaming_mediation_ecpm",

@@ -288,3 +288,40 @@ def test_bm25_phrase_counts_only_adjacent_in_order(spark):
     # equal doc lengths, higher tf -> strictly higher BM25
     assert rows[0].score_scaled > rows[2].score_scaled
     assert [rows[0].rnk, rows[2].rnk] == [1, 2]
+
+
+def test_curation_gate_rules_fire_individually(spark):
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators.corpus import curation_gate
+
+    stop_pad = "the cat sat on the mat and it is of to in "  # stopword-rich
+    # passes every rule: 30 distinct 6-char alpha tokens (distinct
+    # 2-grams, ~14% space fraction) with 2 stopwords (6.7% >= 2%)
+    good = "the and " + " ".join(
+        chr(97 + i // 26) + chr(97 + i % 26) + "word" for i in range(28)
+    )
+    # 26 single-char tokens + stopwords: mean token length 1 < the lower
+    # bound of 2 (chars-per-token integer cross-mult)
+    thin = " ".join(chr(97 + i) for i in range(26)) + " it is of to in"
+    rows = {
+        r.doc_id: r
+        for r in curation_gate(
+            spark.createDataFrame(
+                [
+                    Row(doc_id=0, text=good),                    # passes all
+                    Row(doc_id=1, text="too short doc"),         # len_ok fails
+                    Row(doc_id=2, text=thin),                    # mean len < 2
+                    Row(doc_id=3, text=" ".join(f"tok{i}" for i in range(30))),  # no stopwords
+                    Row(doc_id=4, text=(stop_pad * 2 + "123 456 789! @# $%")),   # non-alpha heavy
+                    Row(doc_id=5, text=(stop_pad + "dup gram " * 15).strip()),   # repetitive
+                ]
+            )
+        ).collect()
+    }
+    assert rows[0].keep
+    assert not rows[1].len_ok and not rows[1].keep
+    assert not rows[2].mean_len_ok and not rows[2].keep
+    assert not rows[3].stop_ok and not rows[3].keep
+    assert not rows[4].alpha_ok and not rows[4].keep
+    assert not rows[5].rep_ok and not rows[5].keep
