@@ -3850,12 +3850,80 @@ ORDER BY date
 """
 
 
+def q_ctr_anomaly_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship W1 alert run against the PARTITIONED warehouse — the
+    reference's actual production path (BigQuery date-partitioned report
+    table → trailing-window alert, native_CTR_alerts.py:226-268) rather
+    than the ad-hoc events derivation. Composes the same
+    ``ctr_anomaly_from_fact`` core (fan-out join quirk included) over a
+    PRUNED 8-day slice.
+
+    Scale: one bounded one-row scalar job reads max(date) — ``date`` is
+    the PARTITION column, so the job scans directory values, no data
+    pages — and the literal BETWEEN it produces lands in
+    PartitionFilters (asserted in tests/test_report_spec.py): at 100 TB
+    the alert reads 8 partitions, not the warehouse. The self-anchored
+    crossJoin form used by the fact-derived variants cannot prune (the
+    bound is a joined column, not a literal); the one bounded collect is
+    what buys the pruning."""
+    import datetime
+
+    from admob_data_pipeline_spark.operators.alerts import (
+        ctr_anomaly_from_fact,
+    )
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        read_network_warehouse,
+    )
+
+    wh = read_network_warehouse(spark, sf_dir)
+    maxd = wh.agg(F.max("date")).first()[0]
+    lo = maxd - datetime.timedelta(days=7)
+    sliced = wh.where(F.col("date").between(F.lit(lo), F.lit(maxd)))
+    return ctr_anomaly_from_fact(
+        sliced.select("date", "app_name", "ad_unit_name", "clicks", "impressions")
+    )
+
+
+_ORACLE_CTR_WAREHOUSE = f"""
+WITH fact AS ({_NETWORK_FACT_SQL}),
+bounds AS (SELECT MAX(date) AS report_date FROM fact),
+last7 AS (
+    SELECT ad_unit_name,
+           CAST(SUM(clicks) AS DOUBLE) / NULLIF(SUM(impressions), 0)
+               AS avg_ctr_7d
+    FROM fact, bounds
+    WHERE date BETWEEN report_date - INTERVAL 7 DAY
+                   AND report_date - INTERVAL 1 DAY
+    GROUP BY app_name, ad_unit_name
+),
+today AS (
+    SELECT app_name, ad_unit_name,
+           CAST(SUM(clicks) AS DOUBLE) / NULLIF(SUM(impressions), 0)
+               AS today_ctr
+    FROM fact, bounds
+    WHERE date = report_date
+    GROUP BY app_name, ad_unit_name
+)
+SELECT t.app_name, t.ad_unit_name,
+       ROUND(t.today_ctr, 6) AS today_ctr,
+       ROUND(l.avg_ctr_7d, 6) AS avg_ctr_7d,
+       ROUND((t.today_ctr - l.avg_ctr_7d) / NULLIF(l.avg_ctr_7d, 0) * 100, 4)
+           AS pct_change,
+       ABS(ROUND((t.today_ctr - l.avg_ctr_7d) / NULLIF(l.avg_ctr_7d, 0) * 100, 4))
+           > 25.0 AS is_alert
+FROM today t
+JOIN last7 l ON t.ad_unit_name = l.ad_unit_name
+ORDER BY pct_change DESC, t.app_name, t.ad_unit_name
+"""
+
+
 QUERIES = {
     "report_warehouse_mediation": q_report_warehouse_mediation,
     "report_warehouse_network": q_report_warehouse_network,
     "network_match_rate": q_network_match_rate,
     "network_rpm_rollup": q_network_rpm_rollup,
     "network_missing_cells": q_network_missing_cells,
+    "ctr_anomaly_warehouse": q_ctr_anomaly_warehouse,
     "mediation_ecpm_rollup": q_mediation_ecpm_rollup,
     "mediation_fill_rate": q_mediation_fill_rate,
     "mediation_top_source": q_mediation_top_source,
@@ -3922,6 +3990,7 @@ ORACLES = {
     "network_match_rate": _ORACLE_NETWORK_MATCH,
     "network_rpm_rollup": _ORACLE_NETWORK_RPM,
     "network_missing_cells": _ORACLE_NETWORK_MISSING,
+    "ctr_anomaly_warehouse": _ORACLE_CTR_WAREHOUSE,
     "mediation_ecpm_rollup": _ORACLE_MEDIATION_ECPM,
     "mediation_fill_rate": _ORACLE_MEDIATION_FILL,
     "mediation_top_source": _ORACLE_MEDIATION_TOP,

@@ -184,3 +184,19 @@ def test_network_warehouse_full_grain_prunes_and_pushes(spark, sf_dir):
     fact = network_fact_from_events(load_table(spark, sf_dir, "events"))
     expect = compile_report(fact, spec, dim_cols=dims, metric_cols=mets)
     assert df.collect() == expect.collect()
+
+
+def test_ctr_anomaly_warehouse_prunes_to_the_8_day_slice(spark, sf_dir):
+    """The warehouse-backed alert's literal date bounds must land in
+    PartitionFilters — at 100 TB the alert reads 8 partitions, not the
+    table (the self-anchored crossJoin form cannot prune)."""
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        q_ctr_anomaly_warehouse,
+    )
+
+    df = q_ctr_anomaly_warehouse(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "2024-01-23" in pf and "2024-01-30" in pf, pf
+    assert df.count() > 0
