@@ -33,6 +33,13 @@ SENSITIVE = [
     # round-4: 60-wide integer vote aggregate + band self-join (the ±1
     # vote sums are associative by construction; this pins it)
     "dedup_simhash",
+    # round-6: multi-table LSH union + rounded-cosine dedup + per-node
+    # window (knn graph machinery via its mutual symmetrization), BM25
+    # positional postings + floor-scaled scores, and the components
+    # labels over the mutual graph
+    "knn_mutual_edges",
+    "bm25_phrase_search",
+    "dedup_mutual_knn_clusters",
 ]
 
 
