@@ -3917,6 +3917,137 @@ ORDER BY pct_change DESC, t.app_name, t.ad_unit_name
 """
 
 
+# --- multi-touch attribution -------------------------------------------------
+
+ATTR_LOOKBACK_DAYS = 7
+ATTR_TOUCH_TYPES = ("view", "click")
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: each purchase's revenue is split
+    EQUALLY across the user's view/click touches in the 7-day lookback —
+    the ads-analytics complement to the stream's last-touch attribution
+    join. Money stays exact: earn_micros = q·n + r splits as q micros per
+    touch plus 1 extra micro to the r EARLIEST touches (largest-remainder
+    apportionment, deterministic (ts, event_id) order), so per-purchase
+    credits sum to the purchase exactly — no float splits, no lost micros.
+    Purchases with no touch in the window roll up as 'unattributed'.
+
+    Scale: the touch join is equi-keyed on user_id with a range
+    post-filter — pairs are bounded by per-user activity × lookback, the
+    classic attribution shape; both windows partition by purchase id
+    (bounded by that same per-user pair count). One rollup to the
+    (day, touch_type) grain."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("earn"),
+    )
+    t = ev.where(F.col("event_type").isin(list(ATTR_TOUCH_TYPES))).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("tts") <= F.col("pts"))
+        & (
+            F.col("tts")
+            >= F.col("pts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_DAYS} DAYS")
+        )
+    )
+    pairs = p.join(t, cond)
+    w = Window.partitionBy("p_id")
+    wrank = Window.partitionBy("p_id").orderBy("tts", "t_id")
+    credited = (
+        pairs.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("rk", F.row_number().over(wrank))
+        .select(
+            F.col("pts").cast("date").alias("day"),
+            "touch_type",
+            (
+                F.expr("earn DIV n")
+                + F.when(F.col("rk") <= F.expr("earn % n"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("credit"),
+        )
+    )
+    att = credited.groupBy("day", "touch_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("credit").alias("credit_micros"),
+    )
+    unatt = (
+        p.join(t, cond, "left_anti")
+        .groupBy(F.col("pts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("earn").alias("credit_micros"),
+        )
+        .select(
+            "day",
+            F.lit("unattributed").alias("touch_type"),
+            "n_events",
+            "credit_micros",
+        )
+    )
+    return att.unionByName(unatt).orderBy("day", "touch_type")
+
+
+_ORACLE_ATTRIBUTION = f"""
+WITH p AS (
+    SELECT event_id AS p_id, user_id, ts AS pts,
+           CAST(FLOOR(value * 1e6) AS BIGINT) AS earn
+    FROM events WHERE event_type = 'purchase'
+),
+t AS (
+    SELECT event_id AS t_id, user_id, ts AS tts, event_type AS touch_type
+    FROM events WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+    SELECT p.p_id, p.pts, p.earn, t.touch_type, t.tts, t.t_id
+    FROM p JOIN t ON t.user_id = p.user_id
+     AND t.tts <= p.pts
+     AND t.tts >= p.pts - INTERVAL {ATTR_LOOKBACK_DAYS} DAY
+),
+credited AS (
+    SELECT CAST(pts AS DATE) AS day, touch_type,
+           CAST(earn // COUNT(*) OVER (PARTITION BY p_id)
+                + CASE WHEN ROW_NUMBER() OVER (
+                           PARTITION BY p_id ORDER BY tts, t_id)
+                       <= earn % COUNT(*) OVER (PARTITION BY p_id)
+                       THEN 1 ELSE 0 END AS BIGINT) AS credit
+    FROM pairs
+),
+att AS (
+    SELECT day, touch_type, COUNT(*) AS n_events,
+           CAST(SUM(credit) AS BIGINT) AS credit_micros
+    FROM credited GROUP BY day, touch_type
+),
+unatt AS (
+    SELECT CAST(pts AS DATE) AS day,
+           'unattributed' AS touch_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(earn) AS BIGINT) AS credit_micros
+    FROM p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM t
+        WHERE t.user_id = p.user_id
+          AND t.tts <= p.pts
+          AND t.tts >= p.pts - INTERVAL {ATTR_LOOKBACK_DAYS} DAY
+    )
+    GROUP BY CAST(pts AS DATE)
+)
+SELECT * FROM att
+UNION ALL
+SELECT * FROM unatt
+ORDER BY day, touch_type
+"""
+
+
 QUERIES = {
     "report_warehouse_mediation": q_report_warehouse_mediation,
     "report_warehouse_network": q_report_warehouse_network,
@@ -3924,6 +4055,7 @@ QUERIES = {
     "network_rpm_rollup": q_network_rpm_rollup,
     "network_missing_cells": q_network_missing_cells,
     "ctr_anomaly_warehouse": q_ctr_anomaly_warehouse,
+    "attribution_linear": q_attribution_linear,
     "mediation_ecpm_rollup": q_mediation_ecpm_rollup,
     "mediation_fill_rate": q_mediation_fill_rate,
     "mediation_top_source": q_mediation_top_source,
@@ -3991,6 +4123,7 @@ ORACLES = {
     "network_rpm_rollup": _ORACLE_NETWORK_RPM,
     "network_missing_cells": _ORACLE_NETWORK_MISSING,
     "ctr_anomaly_warehouse": _ORACLE_CTR_WAREHOUSE,
+    "attribution_linear": _ORACLE_ATTRIBUTION,
     "mediation_ecpm_rollup": _ORACLE_MEDIATION_ECPM,
     "mediation_fill_rate": _ORACLE_MEDIATION_FILL,
     "mediation_top_source": _ORACLE_MEDIATION_TOP,

@@ -349,6 +349,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "dedup_mutual_knn_clusters",
     "curation_gate",
     "ctr_anomaly_warehouse",
+    "attribution_linear",
     # the 6-name backlog (round-5 wave 2, never driver-checked)
     "dedup_tfidf_cosine",
     "streaming_mediation_ecpm",

@@ -452,3 +452,25 @@ def test_assortativity_reads_edges_from_checkpoint(spark, sf_dir):
 
     df = graph.q_degree_assortativity(spark, sf_dir)
     assert explain.formatted_plan(df).count("Scan parquet") == 0
+
+
+def test_attribution_linear_conserves_every_micro(spark, sf_dir):
+    """Largest-remainder splitting must conserve money exactly: summing
+    credit_micros over ALL rows (attributed + unattributed) equals the
+    sum of floor(value*1e6) over purchases — no lost or invented micros."""
+    from pyspark.sql import functions as F
+
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        q_attribution_linear,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    out = q_attribution_linear(spark, sf_dir)
+    credited = out.agg(F.sum("credit_micros")).first()[0]
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .agg(F.sum(F.floor(F.col("value") * 1e6).cast("long")))
+        .first()[0]
+    )
+    assert credited == purchases
