@@ -341,7 +341,7 @@ def curation_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Scale: pure column arithmetic on the scan — no explode, no shuffle,
     no UDF; at 100 TB this is a single map-only pass fused into
     whole-stage codegen."""
-    from admob_data_pipeline_spark.operators.text import STOPWORDS, shingles
+    from admob_data_pipeline_spark.operators.text import STOPWORDS
 
     docs = widen_if_narrow(docs)
     t = tokens(F.col(text_col))

@@ -3876,12 +3876,13 @@ def q_ctr_anomaly_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     wh = read_network_warehouse(spark, sf_dir)
+    cols = ["date", "app_name", "ad_unit_name", "clicks", "impressions"]
     maxd = wh.agg(F.max("date")).first()[0]
+    if maxd is None:  # empty warehouse → empty alert frame, same schema
+        return ctr_anomaly_from_fact(wh.select(*cols).where(F.lit(False)))
     lo = maxd - datetime.timedelta(days=7)
     sliced = wh.where(F.col("date").between(F.lit(lo), F.lit(maxd)))
-    return ctr_anomaly_from_fact(
-        sliced.select("date", "app_name", "ad_unit_name", "clicks", "impressions")
-    )
+    return ctr_anomaly_from_fact(sliced.select(*cols))
 
 
 _ORACLE_CTR_WAREHOUSE = f"""
@@ -3927,18 +3928,30 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch LINEAR attribution: each purchase's revenue is split
     EQUALLY across the user's view/click touches in the 7-day lookback —
     the ads-analytics complement to the stream's last-touch attribution
-    join. Money stays exact: earn_micros = q·n + r splits as q micros per
-    touch plus 1 extra micro to the r EARLIEST touches (largest-remainder
-    apportionment, deterministic (ts, event_id) order), so per-purchase
-    credits sum to the purchase exactly — no float splits, no lost micros.
-    Purchases with no touch in the window roll up as 'unattributed'.
+    join. Money stays exact under ANY sign (refund rows included): with
+    r = pmod(earn, n) ∈ [0, n) and q = (earn − r) DIV n — both exact
+    integer hops — each touch gets q micros plus 1 extra to the r
+    EARLIEST touches (largest-remainder, deterministic (ts, event_id)
+    order), so per-purchase credits sum to earn exactly. Plain DIV/%
+    would silently DROP the remainder micro for negative earn: both
+    engines truncate integer division toward zero. Purchases with no
+    touch in the window surface as the 'unattributed' row.
 
-    Scale: the touch join is equi-keyed on user_id with a range
-    post-filter — pairs are bounded by per-user activity × lookback, the
-    classic attribution shape; both windows partition by purchase id
-    (bounded by that same per-user pair count). One rollup to the
+    Output semantics: ``n_events`` counts CREDITED TOUCHES on touch-type
+    rows and PURCHASES on the 'unattributed' row (there are no touch rows
+    to count there); credit_micros is uniformly micros.
+
+    Scale: ONE left join, equi-keyed on user_id with a range post-filter
+    (pairs bounded by per-user activity × lookback, the classic
+    attribution shape); the unattributed branch is the same join's
+    null rows, not a second shuffle. Both windows partition by purchase
+    id (bounded by the per-user pair count). One rollup to the
     (day, touch_type) grain."""
-    ev = load_table(spark, sf_dir, "events")
+    return attribution_linear(load_table(spark, sf_dir, "events"))
+
+
+def attribution_linear(ev: DataFrame) -> DataFrame:
+    """See :func:`q_attribution_linear`."""
     p = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"),
         F.col("user_id").alias("p_user"),
@@ -3959,42 +3972,34 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.col("pts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_DAYS} DAYS")
         )
     )
-    pairs = p.join(t, cond)
+    pairs = p.join(t, cond, "left")
     w = Window.partitionBy("p_id")
     wrank = Window.partitionBy("p_id").orderBy("tts", "t_id")
-    credited = (
-        pairs.withColumn("n", F.count(F.lit(1)).over(w))
+    labeled = (
+        pairs.withColumn("n", F.count("t_id").over(w))  # 0 on null rows
         .withColumn("rk", F.row_number().over(wrank))
         .select(
             F.col("pts").cast("date").alias("day"),
-            "touch_type",
-            (
-                F.expr("earn DIV n")
-                + F.when(F.col("rk") <= F.expr("earn % n"), 1).otherwise(0)
+            F.coalesce(F.col("touch_type"), F.lit("unattributed")).alias(
+                "touch_type"
+            ),
+            F.when(F.col("n") == 0, F.col("earn"))
+            .otherwise(
+                F.expr("(earn - pmod(earn, n)) DIV n")
+                + F.when(F.col("rk") <= F.expr("pmod(earn, n)"), 1).otherwise(0)
             )
             .cast("long")
             .alias("credit"),
         )
     )
-    att = credited.groupBy("day", "touch_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("credit").alias("credit_micros"),
-    )
-    unatt = (
-        p.join(t, cond, "left_anti")
-        .groupBy(F.col("pts").cast("date").alias("day"))
+    return (
+        labeled.groupBy("day", "touch_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("earn").alias("credit_micros"),
+            F.sum("credit").alias("credit_micros"),
         )
-        .select(
-            "day",
-            F.lit("unattributed").alias("touch_type"),
-            "n_events",
-            "credit_micros",
-        )
+        .orderBy("day", "touch_type")
     )
-    return att.unionByName(unatt).orderBy("day", "touch_type")
 
 
 _ORACLE_ATTRIBUTION = f"""
@@ -4014,13 +4019,19 @@ pairs AS (
      AND t.tts >= p.pts - INTERVAL {ATTR_LOOKBACK_DAYS} DAY
 ),
 credited AS (
+    -- r = pmod(earn, n) in [0, n); q = (earn - r) // n. Exact for any
+    -- sign of earn: plain //-and-% truncate toward zero on BOTH engines
+    -- and would drop the remainder micro for negative (refund) rows.
     SELECT CAST(pts AS DATE) AS day, touch_type,
-           CAST(earn // COUNT(*) OVER (PARTITION BY p_id)
-                + CASE WHEN ROW_NUMBER() OVER (
-                           PARTITION BY p_id ORDER BY tts, t_id)
-                       <= earn % COUNT(*) OVER (PARTITION BY p_id)
+           CAST((earn - ((earn % n) + n) % n) // n
+                + CASE WHEN rk <= ((earn % n) + n) % n
                        THEN 1 ELSE 0 END AS BIGINT) AS credit
-    FROM pairs
+    FROM (
+        SELECT pts, touch_type, earn,
+               COUNT(*) OVER (PARTITION BY p_id) AS n,
+               ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY tts, t_id) AS rk
+        FROM pairs
+    )
 ),
 att AS (
     SELECT day, touch_type, COUNT(*) AS n_events,

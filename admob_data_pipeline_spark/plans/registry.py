@@ -335,8 +335,12 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 # Names absent from the registry are ignored, so this list never breaks on
 # renames.
 FRESH_FIRST: tuple[str, ...] = (
-    # round-6 wave (10 new queries; 44 free slots after the r5 append,
-    # so they lead the window per the slot-budgeting rule)
+    # round-6 wave (13 new queries; 44 free slots after the r5 append,
+    # so the whole wave leads the window per the slot-budgeting rule —
+    # newest first)
+    "attribution_linear",
+    "ctr_anomaly_warehouse",
+    "curation_gate",
     "report_warehouse_network",
     "network_match_rate",
     "network_rpm_rollup",
@@ -347,9 +351,6 @@ FRESH_FIRST: tuple[str, ...] = (
     "bm25_phrase_search",
     "streaming_network_funnel",
     "dedup_mutual_knn_clusters",
-    "curation_gate",
-    "ctr_anomaly_warehouse",
-    "attribution_linear",
     # the 6-name backlog (round-5 wave 2, never driver-checked)
     "dedup_tfidf_cosine",
     "streaming_mediation_ecpm",

@@ -474,3 +474,36 @@ def test_attribution_linear_conserves_every_micro(spark, sf_dir):
         .first()[0]
     )
     assert credited == purchases
+
+
+def test_attribution_linear_conserves_negative_refund_micros(spark):
+    """Sign-safe split: a refund purchase (negative value) with a touch
+    count that does not divide it must STILL conserve every micro —
+    plain truncating DIV/% drops the remainder on negatives."""
+    import datetime
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        attribution_linear,
+    )
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=t0, user_id=7, event_type="view", value=0.0, props="{}"),
+            Row(event_id=2, ts=t0 + datetime.timedelta(hours=1), user_id=7,
+                event_type="click", value=0.0, props="{}"),
+            # earn = floor(-7e-6 * 1e6) = -7, split across 2 touches
+            Row(event_id=3, ts=t0 + datetime.timedelta(hours=2), user_id=7,
+                event_type="purchase", value=-7e-6, props="{}"),
+        ]
+    )
+    out = attribution_linear(ev)
+    total = out.agg(F.sum("credit_micros")).first()[0]
+    assert total == -7
+    # earliest touch takes the remainder micro: r = pmod(-7, 2) = 1,
+    # q = (-7 - 1) / 2 = -4 → credits (-3, -4)
+    rows = {r.touch_type: r.credit_micros for r in out.collect()}
+    assert rows == {"view": -3, "click": -4}

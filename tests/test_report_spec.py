@@ -194,9 +194,23 @@ def test_ctr_anomaly_warehouse_prunes_to_the_8_day_slice(spark, sf_dir):
         q_ctr_anomaly_warehouse,
     )
 
+    from pyspark.sql import functions as F
+
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        read_network_warehouse,
+    )
+
+    # derive the expected bounds the same way the query does — the driver
+    # regenerates testdata between rounds, so fixture dates must not be
+    # hardcoded (tables.py documents the schema-drift history)
+    maxd = read_network_warehouse(spark, sf_dir).agg(F.max("date")).first()[0]
+    import datetime
+
+    lo = maxd - datetime.timedelta(days=7)
+
     df = q_ctr_anomaly_warehouse(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
-    assert "2024-01-23" in pf and "2024-01-30" in pf, pf
+    assert str(lo) in pf and str(maxd) in pf, pf
     assert df.count() > 0
