@@ -3918,6 +3918,70 @@ ORDER BY pct_change DESC, t.app_name, t.ad_unit_name
 """
 
 
+def q_network_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Partition Pruning over the date-partitioned warehouse —
+    THE join-time scan optimization a 100 TB partitioned fact lives on:
+    the busy-dates dim (dates with at least average traffic, an integer
+    cross-multiplied threshold so it is exact and SF-relative) is only
+    known at runtime, and Catalyst turns the broadcast join into a
+    ``dynamicpruningexpression(date IN ...)`` PartitionFilter on the
+    fact scan (asserted in tests/test_report_spec.py) — partitions for
+    quiet dates are never read, even though no literal date predicate
+    exists anywhere in the query.
+
+    Scale: dim is a date-grain rollup (≤ calendar-days rows, broadcast);
+    the fact side reads only the surviving partitions and feeds one
+    partial/final aggregate at the schema-bounded (date, format) grain.
+    The threshold scalars come from one bounded one-row collect over the
+    date rollup — as literals they keep the dim's predicate SIMPLE,
+    which is what lets Catalyst's pruning-benefit check accept the DPP
+    rewrite (a join inside the dim subplan defeats it — measured)."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        read_network_warehouse,
+    )
+
+    wh = read_network_warehouse(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("date")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total, n_dates = daily.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_dates")
+    ).first()
+    dim = daily.where(
+        F.col("n") * F.lit(int(n_dates or 0)) >= F.lit(int(total or 0))
+    ).select("date")
+    return (
+        wh.join(F.broadcast(dim), "date")
+        .groupBy("date", "format")
+        .agg(
+            F.sum("earn_micros").alias("earn_micros"),
+            F.sum("impressions").alias("impressions"),
+        )
+        .orderBy("date", "format")
+    )
+
+
+_ORACLE_NETWORK_DPP = f"""
+WITH fact AS ({_NETWORK_FACT_SQL}),
+daily AS (
+    SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n FROM events GROUP BY 1
+),
+stats AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_dates FROM daily
+),
+dim AS (
+    SELECT date FROM daily, stats WHERE n * n_dates >= total
+)
+SELECT f.date, f.format,
+       CAST(SUM(f.earn_micros) AS BIGINT) AS earn_micros,
+       CAST(SUM(f.impressions) AS BIGINT) AS impressions
+FROM fact f JOIN dim USING (date)
+GROUP BY f.date, f.format
+ORDER BY f.date, f.format
+"""
+
+
 # --- multi-touch attribution -------------------------------------------------
 
 ATTR_LOOKBACK_DAYS = 7
@@ -4067,6 +4131,7 @@ QUERIES = {
     "network_missing_cells": q_network_missing_cells,
     "ctr_anomaly_warehouse": q_ctr_anomaly_warehouse,
     "attribution_linear": q_attribution_linear,
+    "network_dpp_join": q_network_dpp_join,
     "mediation_ecpm_rollup": q_mediation_ecpm_rollup,
     "mediation_fill_rate": q_mediation_fill_rate,
     "mediation_top_source": q_mediation_top_source,
@@ -4135,6 +4200,7 @@ ORACLES = {
     "network_missing_cells": _ORACLE_NETWORK_MISSING,
     "ctr_anomaly_warehouse": _ORACLE_CTR_WAREHOUSE,
     "attribution_linear": _ORACLE_ATTRIBUTION,
+    "network_dpp_join": _ORACLE_NETWORK_DPP,
     "mediation_ecpm_rollup": _ORACLE_MEDIATION_ECPM,
     "mediation_fill_rate": _ORACLE_MEDIATION_FILL,
     "mediation_top_source": _ORACLE_MEDIATION_TOP,

@@ -214,3 +214,21 @@ def test_ctr_anomaly_warehouse_prunes_to_the_8_day_slice(spark, sf_dir):
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert str(lo) in pf and str(maxd) in pf, pf
     assert df.count() > 0
+
+
+def test_network_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
+    """The busy-dates join must produce a dynamicpruningexpression on
+    the partitioned fact scan — runtime partition pruning with NO
+    literal date predicate anywhere in the query."""
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        q_network_dpp_join,
+    )
+
+    df = q_network_dpp_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        l for l in plan.splitlines()
+        if "FileScan" in l and "networkwh" in l
+    )
+    assert "dynamicpruningexpression" in scan, scan
+    assert df.count() > 0
