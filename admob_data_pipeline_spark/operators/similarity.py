@@ -1299,6 +1299,63 @@ ORDER BY n_vecs DESC, cluster
 """
 
 
+# brackets NEARDUP_THRESHOLD (0.30) on the synthetic near-orthogonal
+# corpus (max pair cosine ~0.51) — each step must change the count
+NEARDUP_SWEEP_TAUS = (20, 30, 40, 50)
+
+
+def q_embedding_neardup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep for semantic near-dup: how many LSH candidate
+    pairs survive each cosine cutoff τ (NEARDUP_SWEEP_TAUS, bracketing
+    the production NEARDUP_THRESHOLD) — the
+    audit that prices the NEARDUP_THRESHOLD choice before a dedup run
+    deletes anything (the embedding-space twin of ``dedup_lsh_sweep``'s
+    Jaccard curve).
+
+    Scale: the bucket-bounded candidate pairs are computed ONCE and
+    checkpointed as a single narrow column; the 4-row τ table joins it
+    broadcast-nested-loop (4 comparisons per pair, no re-scan of the
+    vectors). A pair with NULL cosine (zero-norm vector) matches no τ on
+    either engine."""
+    pairs = (
+        neardup_pairs(
+            load_table(spark, sf_dir, "embeddings"), threshold=-1.0, lsh=True
+        )
+        .select("cos_sim")
+        .localCheckpoint()
+    )
+    taus = spark.createDataFrame(
+        [(t,) for t in NEARDUP_SWEEP_TAUS], "tau_pct int"
+    )
+    return (
+        taus.join(
+            pairs, F.col("cos_sim") >= F.col("tau_pct") / 100.0, "left"
+        )
+        .groupBy("tau_pct")
+        .agg(F.count("cos_sim").alias("n_pairs"))
+        .orderBy("tau_pct")
+    )
+
+
+_ORACLE_NEARDUP_SWEEP = f"""
+WITH {_DUCK_BASE},
+bucketed AS (SELECT vec_id, v, nrm, {_SIGN_BITS} AS bucket FROM base),
+pairs AS (
+    SELECT ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6)
+        AS cos_sim
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+taus AS (SELECT unnest([{', '.join(str(t) for t in NEARDUP_SWEEP_TAUS)}])
+             AS tau_pct)
+SELECT CAST(t.tau_pct AS INT) AS tau_pct,
+       CAST(COUNT(p.cos_sim) AS BIGINT) AS n_pairs
+FROM taus t LEFT JOIN pairs p ON p.cos_sim >= t.tau_pct / 100.0
+GROUP BY t.tau_pct
+ORDER BY tau_pct
+"""
+
+
 def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the LSH index against the exact baseline, per query —
     the audit every ANN deployment needs before trusting the fast path
@@ -2749,6 +2806,7 @@ QUERIES = {
     "knn_recall_by_label": q_knn_recall_by_label,
     "knn_mutual_edges": q_knn_mutual_edges,
     "dedup_mutual_knn_clusters": q_dedup_mutual_knn_clusters,
+    "embedding_neardup_sweep": q_embedding_neardup_sweep,
     "kmeans_lloyd": q_kmeans_lloyd,
     "coreset_kcenter": q_coreset_kcenter,
     "embedding_random_projection": q_embedding_random_projection,
@@ -2779,6 +2837,7 @@ ORACLES = {
     "knn_recall_by_label": _ORACLE_KNN_RECALL_LABEL,
     "knn_mutual_edges": _ORACLE_KNN_MUTUAL,
     "dedup_mutual_knn_clusters": _ORACLE_MUTUAL_CLUSTERS,
+    "embedding_neardup_sweep": _ORACLE_NEARDUP_SWEEP,
     "kmeans_lloyd": _ORACLE_KMEANS,
     "coreset_kcenter": _ORACLE_CORESET,
     "embedding_random_projection": _ORACLE_RP,

@@ -335,9 +335,10 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 # Names absent from the registry are ignored, so this list never breaks on
 # renames.
 FRESH_FIRST: tuple[str, ...] = (
-    # round-6 wave (14 new queries; 44 free slots after the r5 append,
+    # round-6 wave (15 new queries; 44 free slots after the r5 append,
     # so the whole wave leads the window per the slot-budgeting rule —
     # newest first)
+    "embedding_neardup_sweep",
     "network_dpp_join",
     "attribution_linear",
     "ctr_anomaly_warehouse",

@@ -521,3 +521,25 @@ def test_mutual_knn_clusters_partition_the_mutual_node_set(spark, sf_dir):
     assert sum(r.n_vecs for r in clusters) == len(nodes)
     assert all(r.n_vecs >= 2 for r in clusters)
     assert all(r.cluster in nodes for r in clusters)
+
+
+def test_neardup_sweep_monotone_and_consistent_with_lsh_op(spark, sf_dir):
+    """The sweep must be non-increasing in tau, and its row at the
+    production threshold (30 = NEARDUP_THRESHOLD*100) must equal the
+    registered embedding_neardup_lsh pair count — cross-op consistency."""
+    from admob_data_pipeline_spark.operators.similarity import (
+        NEARDUP_THRESHOLD,
+        neardup_pairs,
+        q_embedding_neardup_sweep,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    rows = {r.tau_pct: r.n_pairs for r in
+            q_embedding_neardup_sweep(spark, sf_dir).collect()}
+    taus = sorted(rows)
+    assert all(rows[a] >= rows[b] for a, b in zip(taus, taus[1:]))
+    assert rows[20] > 0, "lowest tau should keep some pairs"
+    lsh_n = neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), NEARDUP_THRESHOLD, lsh=True
+    ).count()
+    assert rows[int(NEARDUP_THRESHOLD * 100)] == lsh_n
