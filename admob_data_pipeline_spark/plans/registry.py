@@ -322,6 +322,30 @@ DRIVER_GREEN: frozenset[str] = frozenset(
         "theil_sen_trend",
         "typo_pairs",
         "winsorized_stats",
+        # r06 driver-green rows (CORRECTNESS_r06, 50/50 green). With this
+        # append every registry entry has a driver-confirmed verdict —
+        # unchecked backlog is ZERO for the first time.
+        "attribution_linear",
+        "bm25_phrase_search",
+        "bm25_search",
+        "bm25_search_and",
+        "ctr_anomaly_warehouse",
+        "curation_gate",
+        "dedup_mutual_knn_clusters",
+        "dedup_tfidf_cosine",
+        "embedding_neardup_sweep",
+        "knn_graph_recall",
+        "knn_hubness",
+        "knn_mutual_edges",
+        "knn_recall_by_label",
+        "mediation_group_share",
+        "network_dpp_join",
+        "network_match_rate",
+        "network_missing_cells",
+        "network_rpm_rollup",
+        "report_warehouse_network",
+        "streaming_mediation_ecpm",
+        "streaming_network_funnel",
     }
 )
 
@@ -335,31 +359,10 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 # Names absent from the registry are ignored, so this list never breaks on
 # renames.
 FRESH_FIRST: tuple[str, ...] = (
-    # round-6 wave (15 new queries; 44 free slots after the r5 append,
-    # so the whole wave leads the window per the slot-budgeting rule —
-    # newest first)
-    "embedding_neardup_sweep",
-    "network_dpp_join",
-    "attribution_linear",
-    "ctr_anomaly_warehouse",
-    "curation_gate",
-    "report_warehouse_network",
-    "network_match_rate",
-    "network_rpm_rollup",
-    "network_missing_cells",
-    "knn_recall_by_label",
-    "knn_mutual_edges",
-    "bm25_search_and",
-    "bm25_phrase_search",
-    "streaming_network_funnel",
-    "dedup_mutual_knn_clusters",
-    # the 6-name backlog (round-5 wave 2, never driver-checked)
-    "dedup_tfidf_cosine",
-    "streaming_mediation_ecpm",
-    "knn_graph_recall",
-    "knn_hubness",
-    "bm25_search",
-    "mediation_group_share",
+    # round-7 wave: backlog is ZERO after the r6 append (all 270 entries
+    # driver-confirmed), so the growth freeze is lifted and the full
+    # 50-slot window is free. New round-7 queries land here, newest
+    # first.
 )
 
 
@@ -369,11 +372,11 @@ FRESH_FIRST: tuple[str, ...] = (
 # code, so they re-enter the front of the window until a fresh verdict
 # lands — then remove them from here.
 RECHECK: frozenset[str] = frozenset(
-    {
-        # r6: knn_graph rewritten from single-table to 6-table OR-construction
-        # (commit 5176029) AFTER CORRECTNESS_r05 recorded it green.
-        "knn_graph",
-    }
+    # Empty after r6: knn_graph's fresh post-rewrite verdict landed green
+    # in CORRECTNESS_r06. Re-populate whenever an operator's semantics
+    # change after its recorded verdict (e.g. the round-7 multi-probe LSH
+    # rewrite re-enters the knn_* family below).
+    set()
 )
 
 
