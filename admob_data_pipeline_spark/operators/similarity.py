@@ -2359,26 +2359,94 @@ KNN_K = 5
 # b=5, L=6 was sized from the measured single-table recall (1.9% at b=8
 # ⇒ per-plane agreement p≈0.61 for true neighbors): predicted recall
 # 1-(1-p^5)^6 ≈ 0.41, ~21× the single-table graph, at 6/32·N² work.
+#
+# MULTI-PROBE (r7): on top of the L tables, the QUERY side of the join
+# also probes, per table, the bucket obtained by flipping its
+# lowest-|margin| sign bit — for a coordinate-sign hash the margin of
+# bit j is simply |v[j]|, so the bit most likely to disagree with a true
+# neighbor's is the one with the smallest absolute coordinate (Lv et al.,
+# "Multi-Probe LSH", VLDB'07). Probing multiplies candidates by
+# (1+KNN_PROBES) per table instead of requiring more tables: measured at
+# sf0.1, recall_ppm 462,500 (r6, no probes) → 687,500 with one probe,
+# for a warm graph build of ~3.1 s vs 1.01 s (2× candidates + the probe
+# argmin expression; the priced trade, cf. ROUND_NOTES r7). The probe is
+# ASYMMETRIC (query side only) — pair (x, y)
+# becomes a candidate when flipping x's weakest bit lands in y's bucket —
+# which is the standard index-probing shape and keeps the index side's
+# explode at L rows per vector.
 KNN_TABLES = 6
 KNN_PLANES = 5
+KNN_PROBES = 1
 
 
-def _table_bucket(v: Column, tbl: int, planes: int) -> Column:
-    """Sign-bit bucket of coordinate block [tbl*planes, tbl*planes+planes),
-    prefixed with the table id so one join key separates the L tables.
-    Out-of-range coordinates yield NULL ≥ 0 → '0' on BOTH engines, so a
-    short vector degrades to constant bits instead of erroring —
-    ``try_element_at``, NOT ``element_at``: under ANSI mode (the PySpark 4
-    default) element_at past the end THROWS, which would break the
-    degrade contract the moment n_tables·planes exceeds the embedding
-    width (the documented "raise L" recall lever)."""
-    bits = [
-        F.when(
-            F.try_element_at(v, F.lit(tbl * planes + j + 1)) >= 0, F.lit("1")
-        ).otherwise(F.lit("0"))
-        for j in range(planes)
+def _bucket_exprs_sql(tbl, planes, probes, elem) -> list:
+    """SQL-text bucket expressions for one LSH table: ``[base, probe_1,
+    ..., probe_P]``. The SAME generated text is valid Spark SQL
+    (``elem = try_element_at(v, i)``) and DuckDB SQL (``elem = v[i]``),
+    so both engines compute byte-identical buckets by construction —
+    the oracle twin is this function with a different ``elem``, not a
+    hand-maintained copy.
+
+    Degrade contract: an out-of-range coordinate is NULL on both engines
+    (``try_element_at``, NOT ``element_at`` — under ANSI mode, the
+    PySpark 4 default, element_at past the end THROWS, which would break
+    the moment n_tables·planes exceeds the embedding width, the
+    documented "raise L" recall lever). NULL ≥ 0 → '0' bit, and its
+    probe margin COALESCEs to 1e308 so a missing coordinate is never the
+    flip target unless the whole block is missing (then ties break to
+    plane 0 on both engines — first CASE arm wins).
+
+    Probe p flips the bit with the p-th smallest |coordinate| (ties →
+    lowest plane index). The argmin is an explicit LEAST + first-match
+    CASE chain rather than a struct sort, so the tie-break is pinned by
+    evaluation order on both engines."""
+    idx = [tbl * planes + j + 1 for j in range(planes)]
+    bit = [f"(CASE WHEN {elem(i)} >= 0 THEN '1' ELSE '0' END)" for i in idx]
+    inv = [f"(CASE WHEN {elem(i)} >= 0 THEN '0' ELSE '1' END)" for i in idx]
+    margin = [
+        f"COALESCE(ABS(CAST({elem(i)} AS DOUBLE)), 1e308)" for i in idx
     ]
-    return F.concat(F.lit(f"{tbl}:"), *bits)
+
+    def argmin(plane_ids: list) -> str:
+        if len(plane_ids) == 1:
+            return str(plane_ids[0])
+        least = "LEAST(" + ", ".join(margin[j] for j in plane_ids) + ")"
+        cases = " ".join(
+            f"WHEN {margin[j]} <= {least} THEN {j}" for j in plane_ids[:-1]
+        )
+        return f"(CASE {cases} ELSE {plane_ids[-1]} END)"
+
+    def flipped(jstar: str) -> str:
+        bits = [
+            f"(CASE WHEN {jstar} = {j} THEN {inv[j]} ELSE {bit[j]} END)"
+            for j in range(planes)
+        ]
+        return f"'{tbl}:' || " + " || ".join(bits)
+
+    exprs = [f"'{tbl}:' || " + " || ".join(bit)]
+    if probes >= 1:
+        j0 = argmin(list(range(planes)))
+        exprs.append(flipped(j0))
+        if probes >= 2:
+            # second argmin = argmin over the remaining planes, enumerated
+            # over the possible values of the first
+            cases = " ".join(
+                f"WHEN {j0} = {v0} THEN "
+                f"{argmin([x for x in range(planes) if x != v0])}"
+                for v0 in range(planes)
+            )
+            exprs.append(flipped(f"(CASE {cases} END)"))
+            if probes >= 3:
+                raise ValueError("at most 2 probes per table are supported")
+    return exprs
+
+
+def _spark_elem(i: int) -> str:
+    return f"try_element_at(v, {i})"
+
+
+def _duck_elem(i: int) -> str:
+    return f"v[{i}]"
 
 
 def knn_graph(
@@ -2386,39 +2454,50 @@ def knn_graph(
     k: int = KNN_K,
     n_tables: int = KNN_TABLES,
     planes_per_table: int = KNN_PLANES,
+    probes: int = KNN_PROBES,
 ) -> DataFrame:
     """Directed k-NN graph over ALL vectors — the input structure for
     graph-based semantic dedup, label propagation, and hubness audits.
     Candidates are the UNION of bucket-mates across ``n_tables``
     independent sign-LSH tables (OR-construction; see the constants
-    above), deduped per (src, dst), then each node keeps its top-k
-    candidates by cosine (deterministic tie-break on neighbor id).
+    above), widened by ``probes`` multi-probe bucket flips on the QUERY
+    side (see ``_bucket_exprs_sql``), deduped per (src, dst), then each
+    node keeps its top-k candidates by cosine (deterministic tie-break
+    on neighbor id).
 
     Nodes whose buckets hold fewer than k distinct mates return fewer
     edges — the standard LSH-recall trade, priced exactly by
     ``knn_graph_recall``.
 
-    Scale: one bucket-keyed shuffle join over the L-way exploded table
-    (AQE splits hot buckets), one narrow (src, dst, cos) distinct, one
-    per-node window bounded by the candidate count. No driver state, no
-    all-pairs fallback. A pair colliding in several tables scores the
-    identical cosine each time, so distinct keeps exactly one edge.
+    Scale: one bucket-keyed shuffle join — query side exploded
+    L·(1+probes) ways, index side L ways (AQE splits hot buckets) — one
+    narrow (src, dst, cos) distinct, one per-node window bounded by the
+    candidate count. No driver state, no all-pairs fallback; candidate
+    work is ~L·(1+probes)·N²/2^b. A pair colliding in several
+    tables/probes scores the identical cosine each time, so distinct
+    keeps exactly one edge.
     """
     base, dim = with_vec(emb)
-    buckets = F.array(
+    qry_buckets = F.array(
         *[
-            _table_bucket(F.col("v"), t, planes_per_table)
+            F.expr(s)
+            for t in range(n_tables)
+            for s in _bucket_exprs_sql(t, planes_per_table, probes, _spark_elem)
+        ]
+    )
+    idx_buckets = F.array(
+        *[
+            F.expr(_bucket_exprs_sql(t, planes_per_table, 0, _spark_elem)[0])
             for t in range(n_tables)
         ]
     )
-    base = base.withColumn("tb", F.explode(buckets))
-    a = base.select(
+    a = base.withColumn("tb", F.explode(qry_buckets)).select(
         F.col("vec_id").alias("src"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
         "tb",
     )
-    b = base.select(
+    b = base.withColumn("tb", F.explode(idx_buckets)).select(
         F.col("vec_id").alias("dst"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
@@ -2448,35 +2527,38 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(load_table(spark, sf_dir, "embeddings"))
 
 
-def _duck_table_bucket(tbl: int, planes: int) -> str:
-    """DuckDB twin of ``_table_bucket`` — v[i] past the end is NULL, the
-    CASE falls to '0', matching Spark's element_at/when behavior."""
-    bits = " || ".join(
-        f"(CASE WHEN v[{tbl * planes + j + 1}] >= 0 THEN '1' ELSE '0' END)"
-        for j in range(planes)
-    )
-    return f"'{tbl}:' || {bits}"
-
-
-_KNN_BUCKETED_SQL = "\n    UNION ALL ".join(
-    f"SELECT vec_id, v, nrm, {_duck_table_bucket(t, KNN_PLANES)} AS tb"
-    " FROM base"
+# DuckDB twins of the Spark bucket expressions — the SAME generator
+# (_bucket_exprs_sql) with the DuckDB element accessor, so a semantics
+# change is a single-point edit that both engines inherit. The index
+# side carries only the L base buckets; the query side adds the
+# KNN_PROBES multi-probe flips per table.
+_KNN_IDX_SQL = "\n    UNION ALL ".join(
+    f"SELECT vec_id, v, nrm,"
+    f" {_bucket_exprs_sql(t, KNN_PLANES, 0, _duck_elem)[0]} AS tb FROM base"
     for t in range(KNN_TABLES)
 )
 
+_KNN_QRY_SQL = "\n    UNION ALL ".join(
+    f"SELECT vec_id, v, nrm, {expr} AS tb FROM base"
+    for t in range(KNN_TABLES)
+    for expr in _bucket_exprs_sql(t, KNN_PLANES, KNN_PROBES, _duck_elem)
+)
+
 # ONE SQL definition of the LSH k-NN edge set (multi-table bucketing,
-# cosine rounding, pair dedup, tie-break, k cap), composed by the graph
-# oracle and both audit oracles — a change to knn_graph's semantics is
-# then a single-point edit on the oracle side too. DISTINCT collapses a
-# pair that collides in several tables (cos_sim is computed identically
-# on every occurrence, so the triple is exactly duplicated).
+# multi-probe query flips, cosine rounding, pair dedup, tie-break, k
+# cap), composed by the graph oracle and both audit oracles — a change
+# to knn_graph's semantics is then a single-point edit on the oracle
+# side too. DISTINCT collapses a pair that collides in several
+# tables/probes (cos_sim is computed identically on every occurrence,
+# so the triple is exactly duplicated).
 _KNN_EDGES_SQL = f"""
-knn_bucketed AS ({_KNN_BUCKETED_SQL}),
+knn_idx AS ({_KNN_IDX_SQL}),
+knn_qry AS ({_KNN_QRY_SQL}),
 knn_scored AS (
     SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
            ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6)
                AS cos_sim
-    FROM knn_bucketed a JOIN knn_bucketed b ON a.tb = b.tb
+    FROM knn_qry a JOIN knn_idx b ON a.tb = b.tb
     WHERE a.vec_id <> b.vec_id
 ),
 knn_edges AS (

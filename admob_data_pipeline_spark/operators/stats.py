@@ -11,9 +11,11 @@ the cross-engine determinism playbook:
 
 - every metric is computed in BIGINT (values int-scaled at ingest,
   quotients as two-stage ppm per playbook #23, signs split out before
-  integer division per playbook #26 — Spark ``DIV`` truncates negatives
-  toward zero while DuckDB ``//`` floors, so division only ever sees
-  non-negative operands);
+  integer division per playbook #26 — Spark ``DIV`` and DuckDB ``//``
+  BOTH truncate toward zero (verified r6), so they agree on signed
+  operands but both drop the remainder on negatives; splitting signs
+  out first means division only ever sees non-negative operands, and
+  exact money splits use r = pmod(x, n), q = (x - r) DIV n);
 - order statistics run over per-VALUE rollups (playbook #27): the
   ordering window is bounded by the value domain, never the row count,
   and the ×2 trick (med2 = sum of the two middle order statistics)

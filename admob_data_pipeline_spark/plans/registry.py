@@ -372,11 +372,18 @@ FRESH_FIRST: tuple[str, ...] = (
 # code, so they re-enter the front of the window until a fresh verdict
 # lands — then remove them from here.
 RECHECK: frozenset[str] = frozenset(
-    # Empty after r6: knn_graph's fresh post-rewrite verdict landed green
-    # in CORRECTNESS_r06. Re-populate whenever an operator's semantics
-    # change after its recorded verdict (e.g. the round-7 multi-probe LSH
-    # rewrite re-enters the knn_* family below).
-    set()
+    {
+        # r7: the knn edge set gained multi-probe query buckets
+        # (KNN_PROBES=1, operators/similarity.py) AFTER these six names'
+        # r6-green verdicts — every composer of _KNN_EDGES_SQL re-enters
+        # the window until fresh verdicts land.
+        "knn_graph",
+        "knn_graph_recall",
+        "knn_recall_by_label",
+        "knn_mutual_edges",
+        "knn_hubness",
+        "dedup_mutual_knn_clusters",
+    }
 )
 
 

@@ -327,8 +327,13 @@ def test_kmeans_partition_invariance(spark, sf_dir):
     assert a == b
 
 
-def _py_knn_edges(vecs, k, n_tables, planes):
-    """Pure-python reference of the multi-table LSH k-NN graph."""
+def _py_knn_edges(vecs, k, n_tables, planes, probes=0):
+    """Pure-python reference of the multi-table, multi-probe LSH k-NN
+    graph: query i's candidate buckets per table are its base bucket plus
+    ``probes`` single-bit flips of its lowest-|coordinate| bits (ties →
+    lowest plane index; out-of-range margins are 1e308, matching the
+    engines' COALESCE); candidates j are matched on their BASE bucket
+    only (asymmetric probing, query side)."""
     import math
 
     def table_bucket(v, t):
@@ -336,6 +341,21 @@ def _py_knn_edges(vecs, k, n_tables, planes):
             "1" if (t * planes + j < len(v) and v[t * planes + j] >= 0) else "0"
             for j in range(planes)
         )
+
+    def query_buckets(v, t):
+        base = table_bucket(v, t)
+        out = [base]
+        margins = [
+            abs(v[t * planes + j]) if t * planes + j < len(v) else 1e308
+            for j in range(planes)
+        ]
+        order = sorted(range(planes), key=lambda j: (margins[j], j))
+        for p in range(probes):
+            bits = list(base)
+            jp = order[p]
+            bits[jp] = "0" if bits[jp] == "1" else "1"
+            out.append("".join(bits))
+        return out
 
     def cos(a, b):
         dot = sum(x * y for x, y in zip(a, b))
@@ -349,7 +369,7 @@ def _py_knn_edges(vecs, k, n_tables, planes):
             j
             for t in range(n_tables)
             for j, vj in enumerate(vecs)
-            if j != i and table_bucket(vj, t) == table_bucket(vi, t)
+            if j != i and table_bucket(vj, t) in query_buckets(vi, t)
         }
         ranked = sorted((-cos(vi, vecs[j]), j) for j in mates)
         for rank, (_, j) in enumerate(ranked[:k], start=1):
@@ -376,7 +396,9 @@ def test_knn_graph_matches_per_bucket_reference(spark):
             d, k=2, n_tables=1, planes_per_table=4
         ).collect()
     ]
-    assert sorted(got) == sorted(_py_knn_edges(vecs, 2, 1, 4))
+    assert sorted(got) == sorted(
+        _py_knn_edges(vecs, 2, 1, 4, probes=similarity.KNN_PROBES)
+    )
 
 
 def test_knn_graph_multi_table_unions_candidates(spark):
@@ -397,7 +419,7 @@ def test_knn_graph_multi_table_unions_candidates(spark):
             d, k=3, n_tables=2, planes_per_table=2
         ).collect()
     ]
-    expect = _py_knn_edges(vecs, 3, 2, 2)
+    expect = _py_knn_edges(vecs, 3, 2, 2, probes=similarity.KNN_PROBES)
     assert sorted(got) == sorted(expect)
     # pair (0,1) collides in both tables but appears exactly once per
     # direction; pair (0,2) collides only in table 1 and IS an edge
@@ -426,8 +448,69 @@ def test_knn_graph_degrades_past_the_vector_width(spark):
         ).collect()
     ]
     # the python reference treats missing coords as '0' bits — table 1
-    # therefore buckets EVERY vector together (all-'0' block)
-    assert sorted(got) == sorted(_py_knn_edges(vecs, 2, 2, 2))
+    # therefore buckets EVERY vector together (all-'0' block); its probe
+    # margins are all 1e308, so the flip deterministically hits plane 0
+    # on both the engines and the reference
+    assert sorted(got) == sorted(
+        _py_knn_edges(vecs, 2, 2, 2, probes=similarity.KNN_PROBES)
+    )
+
+
+def test_knn_graph_multiprobe_flips_lowest_margin_bit(spark):
+    """Multi-probe semantics: a pair whose buckets differ in exactly the
+    query's lowest-|coordinate| bit becomes a candidate with probes=1
+    but NOT with probes=0, and probing is ASYMMETRIC (query side only) —
+    x probing into y's bucket does not imply y probes into x's."""
+    vecs = [
+        [0.05, 1.0, 1.0, 1.0],   # bucket 1111, weakest bit 0 → probe 0111
+        [-0.05, 0.9, 0.9, 0.9],  # bucket 0111, weakest bit 0 → probe 1111
+        [1.0, 1.0, -0.05, 1.0],  # bucket 1101, weakest bit 2 → probe 1111
+    ]
+    d = _emb(spark, vecs)
+
+    def edges(probes):
+        return sorted(
+            (r.src, r.rank, r.dst)
+            for r in similarity.knn_graph(
+                d, k=3, n_tables=1, planes_per_table=4, probes=probes
+            ).collect()
+        )
+
+    assert edges(0) == []  # no two vectors share a base bucket
+    got = edges(1)
+    assert got == sorted(_py_knn_edges(vecs, 3, 1, 4, probes=1))
+    pairs = {(s, t) for (s, _, t) in got}
+    assert (0, 1) in pairs and (1, 0) in pairs
+    # 2 probes INTO 0's bucket; 0's single probe (bit 0) misses 2's bucket
+    assert (2, 0) in pairs and (0, 2) not in pairs
+
+
+def test_knn_graph_second_probe_flips_second_lowest_bit(spark):
+    """probes=2 adds the second-lowest-|margin| single-bit flip — pinned
+    against the python reference on a pair reachable only via that
+    second flip."""
+    vecs = [
+        [0.05, 0.1, 1.0, 1.0],    # bucket 1111; probe1→0111, probe2→1011
+        [0.9, -0.1, 0.9, 0.9],    # bucket 1011 — only the SECOND probe hits
+        [-0.5, -0.6, -0.7, -0.8],  # bucket 0000 — unreachable either way
+    ]
+    d = _emb(spark, vecs)
+    got = sorted(
+        (r.src, r.rank, r.dst)
+        for r in similarity.knn_graph(
+            d, k=3, n_tables=1, planes_per_table=4, probes=2
+        ).collect()
+    )
+    assert got == sorted(_py_knn_edges(vecs, 3, 1, 4, probes=2))
+    pairs = {(s, t) for (s, _, t) in got}
+    assert (0, 1) in pairs
+    one_probe = {
+        (r.src, r.dst)
+        for r in similarity.knn_graph(
+            d, k=3, n_tables=1, planes_per_table=4, probes=1
+        ).collect()
+    }
+    assert (0, 1) not in one_probe
 
 
 def test_knn_hubness_covers_all_nodes_including_orphans(spark):
