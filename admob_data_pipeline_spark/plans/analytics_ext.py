@@ -4014,8 +4014,13 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_linear(load_table(spark, sf_dir, "events"))
 
 
-def attribution_linear(ev: DataFrame) -> DataFrame:
-    """See :func:`q_attribution_linear`."""
+def _attribution_pairs(ev: DataFrame) -> DataFrame:
+    """ONE definition of the attribution pair set shared by all three
+    models (linear / position / time-decay): purchases LEFT-joined to the
+    user's view/click touches inside the lookback — equi-keyed on
+    user_id with a range post-filter, so pairs are bounded by per-user
+    activity × lookback; a purchase with no touch survives as the join's
+    null row (the 'unattributed' branch, not a second shuffle)."""
     p = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"),
         F.col("user_id").alias("p_user"),
@@ -4036,7 +4041,12 @@ def attribution_linear(ev: DataFrame) -> DataFrame:
             >= F.col("pts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_DAYS} DAYS")
         )
     )
-    pairs = p.join(t, cond, "left")
+    return p.join(t, cond, "left")
+
+
+def attribution_linear(ev: DataFrame) -> DataFrame:
+    """See :func:`q_attribution_linear`."""
+    pairs = _attribution_pairs(ev)
     w = Window.partitionBy("p_id")
     wrank = Window.partitionBy("p_id").orderBy("tts", "t_id")
     labeled = (
@@ -4123,6 +4133,207 @@ ORDER BY day, touch_type
 """
 
 
+def _attribution_weighted(
+    pairs: DataFrame, wgt: Column, label: Column, label_name: str
+) -> DataFrame:
+    """Shared EXACT weighted largest-remainder attribution core for the
+    position and time-decay models (linear is the wgt=1 special case).
+
+    With per-touch integer weight w_i ≥ 1 and W = Σw_i over the purchase:
+    s_i = earn·w_i, r_i = pmod(s_i, W) ∈ [0, W), base_i = (s_i − r_i)
+    DIV w — an exact integer hop for ANY sign of earn (both engines
+    truncate DIV toward zero, so plain DIV/% would drop remainder micros
+    on refunds). Σs_i = earn·W ⇒ Σr_i ≡ 0 (mod W), and the leftover
+    L = Σr_i DIV W ∈ [0, n) micros go +1 each to the L touches with the
+    LARGEST r_i (ties → earliest (tts, t_id)) — the largest-remainder
+    method, so per-purchase credits sum to earn exactly, test-pinned
+    across the sign/remainder grid.
+
+    The unattributed branch needs no special case: the null-touch row is
+    its purchase's only partition row with w=1 ⇒ W=1, r=0, base=earn.
+
+    Scale: identical to attribution_linear — the windows partition by
+    purchase id (bounded by the per-user pair count), then one rollup to
+    the (day, label) grain."""
+    wp = Window.partitionBy("p_id")
+    wrank = Window.partitionBy("p_id").orderBy("tts", "t_id")
+    sized = (
+        pairs.withColumn("n", F.count("t_id").over(wp))
+        .withColumn("rk", F.row_number().over(wrank))
+        .withColumn("wgt", wgt.cast("long"))
+    )
+    scored = sized.withColumn("wt", F.sum("wgt").over(wp)).withColumn(
+        "r", F.expr("pmod(earn * wgt, wt)")
+    )
+    wr = Window.partitionBy("p_id").orderBy(
+        F.desc("r"), F.asc("tts"), F.asc("t_id")
+    )
+    ranked = scored.withColumn("rr", F.row_number().over(wr)).withColumn(
+        "rsum", F.sum("r").over(wp)
+    )
+    credit = F.expr("(earn * wgt - r) DIV wt") + F.when(
+        F.col("rr") <= F.expr("rsum DIV wt"), 1
+    ).otherwise(0)
+    labeled = ranked.select(
+        F.col("pts").cast("date").alias("day"),
+        label.alias(label_name),
+        credit.cast("long").alias("credit"),
+    )
+    return (
+        labeled.groupBy("day", label_name)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("credit").alias("credit_micros"),
+        )
+        .orderBy("day", label_name)
+    )
+
+
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch POSITION-BASED (U-shaped 40/20/40) attribution: the
+    first and last touches in the lookback take 40% of the purchase each,
+    the middle touches share the remaining 20% equally; 1 touch takes
+    100%, 2 touches split 50/50. Implemented with integer weights so the
+    split stays EXACT under any sign: n ≥ 3 ⇒ w_first = w_last =
+    2·(n−2), w_middle = 1 ⇒ W = 5·(n−2) and the first/last shares are
+    exactly 2(n−2)/5(n−2) = 40%; n ≤ 2 ⇒ equal weights. Remainder
+    micros distribute by largest-remainder (see _attribution_weighted).
+
+    Output grain is (day, position) with position ∈ first/middle/last/
+    unattributed — the grain position-based reporting consumes (a single
+    touch is 'first'). ``n_events`` counts credited touches, purchases on
+    the 'unattributed' row."""
+    pairs = _attribution_pairs(load_table(spark, sf_dir, "events"))
+    wgt = (
+        F.when(F.col("n") <= 2, F.lit(1))
+        .when(
+            (F.col("rk") == 1) | (F.col("rk") == F.col("n")),
+            2 * (F.col("n") - 2),
+        )
+        .otherwise(F.lit(1))
+    )
+    label = (
+        F.when(F.col("t_id").isNull(), F.lit("unattributed"))
+        .when(F.col("rk") == 1, F.lit("first"))
+        .when(F.col("rk") == F.col("n"), F.lit("last"))
+        .otherwise(F.lit("middle"))
+    )
+    return _attribution_weighted(pairs, wgt, label, "position")
+
+
+# Time-decay weights: w = 2^(lookback − whole-day age) — a 1-day
+# half-life over the 7-day window, kept INTEGER (128 … 1) so the
+# weighted split stays exact; the join bounds age to [0, lookback], and
+# the null-touch row falls through to 1 (its W is then 1 ⇒ credit=earn).
+# The CASE text is generated once and shared verbatim by both engines —
+# only the age expression differs (datediff vs date_diff argument order).
+_DECAY_WEIGHTS = {
+    age: 2 ** (ATTR_LOOKBACK_DAYS - age)
+    for age in range(ATTR_LOOKBACK_DAYS + 1)
+}
+
+
+def _decay_case(age_sql: str) -> str:
+    arms = " ".join(
+        f"WHEN {age_sql} = {a} THEN {w}" for a, w in _DECAY_WEIGHTS.items()
+    )
+    return f"(CASE {arms} ELSE 1 END)"
+
+
+def q_attribution_timedecay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch TIME-DECAY attribution: each touch's share of the
+    purchase is proportional to 2^(−age_days) — a touch the day of the
+    purchase weighs 2× a touch one day earlier (1-day half-life across
+    the 7-day lookback). Weights are integer powers of two (see
+    _DECAY_WEIGHTS) so credits stay exact micros under any sign via the
+    shared largest-remainder core. Output grain matches
+    attribution_linear: (day, touch_type) with the 'unattributed' row."""
+    pairs = _attribution_pairs(load_table(spark, sf_dir, "events"))
+    wgt = F.expr(
+        _decay_case("datediff(CAST(pts AS DATE), CAST(tts AS DATE))")
+    )
+    label = F.coalesce(F.col("touch_type"), F.lit("unattributed"))
+    return _attribution_weighted(pairs, wgt, label, "touch_type")
+
+
+# Shared oracle scaffolding for the weighted models — the same CTE chain
+# as _attribution_weighted, with {wgt} / {label} holes per model. pmod is
+# spelled ((x % W) + W) % W; (earn·w − r) is exactly divisible by W so
+# // is exact division (sign-safe on both engines).
+_ATTR_WEIGHTED_SQL = """
+WITH p AS (
+    SELECT event_id AS p_id, user_id, ts AS pts,
+           CAST(FLOOR(value * 1e6) AS BIGINT) AS earn
+    FROM events WHERE event_type = 'purchase'
+),
+t AS (
+    SELECT event_id AS t_id, user_id, ts AS tts, event_type AS touch_type
+    FROM events WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+    SELECT p.p_id, p.pts, p.earn, t.touch_type, t.tts, t.t_id
+    FROM p LEFT JOIN t ON t.user_id = p.user_id
+     AND t.tts <= p.pts
+     AND t.tts >= p.pts - INTERVAL {lookback} DAY
+),
+sized AS (
+    SELECT *, COUNT(t_id) OVER (PARTITION BY p_id) AS n,
+           ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY tts, t_id) AS rk
+    FROM pairs
+),
+weighted AS (
+    SELECT *, CAST({wgt} AS BIGINT) AS wgt FROM sized
+),
+summed AS (
+    SELECT *, SUM(wgt) OVER (PARTITION BY p_id) AS wt FROM weighted
+),
+scored AS (
+    SELECT *, ((earn * wgt % wt) + wt) % wt AS r FROM summed
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (
+               PARTITION BY p_id ORDER BY r DESC, tts, t_id) AS rr,
+           SUM(r) OVER (PARTITION BY p_id) AS rsum
+    FROM scored
+),
+credited AS (
+    SELECT CAST(pts AS DATE) AS day, {label} AS {label_name},
+           CAST((earn * wgt - r) // wt
+                + CASE WHEN rr <= rsum // wt THEN 1 ELSE 0 END
+                AS BIGINT) AS credit
+    FROM ranked
+)
+SELECT day, {label_name}, COUNT(*) AS n_events,
+       CAST(SUM(credit) AS BIGINT) AS credit_micros
+FROM credited GROUP BY day, {label_name}
+ORDER BY day, {label_name}
+"""
+
+_ORACLE_ATTR_POSITION = _ATTR_WEIGHTED_SQL.format(
+    lookback=ATTR_LOOKBACK_DAYS,
+    wgt=(
+        "CASE WHEN n <= 2 THEN 1 "
+        "WHEN rk = 1 OR rk = n THEN 2 * (n - 2) ELSE 1 END"
+    ),
+    label=(
+        "CASE WHEN t_id IS NULL THEN 'unattributed' "
+        "WHEN rk = 1 THEN 'first' "
+        "WHEN rk = n THEN 'last' ELSE 'middle' END"
+    ),
+    label_name="position",
+)
+
+_ORACLE_ATTR_TIMEDECAY = _ATTR_WEIGHTED_SQL.format(
+    lookback=ATTR_LOOKBACK_DAYS,
+    wgt=_decay_case(
+        "date_diff('day', CAST(tts AS DATE), CAST(pts AS DATE))"
+    ),
+    label="COALESCE(touch_type, 'unattributed')",
+    label_name="touch_type",
+)
+
+
 QUERIES = {
     "report_warehouse_mediation": q_report_warehouse_mediation,
     "report_warehouse_network": q_report_warehouse_network,
@@ -4131,6 +4342,8 @@ QUERIES = {
     "network_missing_cells": q_network_missing_cells,
     "ctr_anomaly_warehouse": q_ctr_anomaly_warehouse,
     "attribution_linear": q_attribution_linear,
+    "attribution_position": q_attribution_position,
+    "attribution_timedecay": q_attribution_timedecay,
     "network_dpp_join": q_network_dpp_join,
     "mediation_ecpm_rollup": q_mediation_ecpm_rollup,
     "mediation_fill_rate": q_mediation_fill_rate,
@@ -4200,6 +4413,8 @@ ORACLES = {
     "network_missing_cells": _ORACLE_NETWORK_MISSING,
     "ctr_anomaly_warehouse": _ORACLE_CTR_WAREHOUSE,
     "attribution_linear": _ORACLE_ATTRIBUTION,
+    "attribution_position": _ORACLE_ATTR_POSITION,
+    "attribution_timedecay": _ORACLE_ATTR_TIMEDECAY,
     "network_dpp_join": _ORACLE_NETWORK_DPP,
     "mediation_ecpm_rollup": _ORACLE_MEDIATION_ECPM,
     "mediation_fill_rate": _ORACLE_MEDIATION_FILL,

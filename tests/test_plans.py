@@ -548,3 +548,115 @@ def test_attribution_split_grid_conserves_and_balances(spark):
     # floor(value*1e6) on the double round-trips exactly at these magnitudes
     expect = sum(math.floor((e / 1e6) * 1e6) for e, _ in cases)
     assert total == expect
+
+
+def test_attribution_weighted_models_conserve_on_the_same_grid(spark):
+    """The position-based and time-decay models run the SAME sign/
+    remainder grid as linear (negative/zero/positive earns, dividing and
+    non-dividing touch counts — n=5 exercises the n>=3 U-shape weights
+    and 5-day decay spreads) and must conserve every micro: the weighted
+    largest-remainder core's leftover distribution is exact for any
+    integer weight vector."""
+    import datetime
+    import math
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        q_attribution_position,
+        q_attribution_timedecay,
+    )
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    rows, eid = [], 0
+    cases = [(-1, 3), (-7, 2), (-1000001, 7), (0, 2), (1, 3), (7, 2),
+             (999999, 4), (5, 5), (41, 1), (-13, 5)]
+    for u, (earn_micros, n_touch) in enumerate(cases):
+        for i in range(n_touch):
+            eid += 1
+            # spread touches across DAYS so time-decay weights differ
+            rows.append(Row(event_id=eid,
+                            ts=t0 - datetime.timedelta(days=i, minutes=i),
+                            user_id=u, event_type="view", value=0.0,
+                            props="{}"))
+        eid += 1
+        rows.append(Row(event_id=eid, ts=t0 + datetime.timedelta(hours=1),
+                        user_id=u, event_type="purchase",
+                        value=earn_micros / 1e6, props="{}"))
+    ev = spark.createDataFrame(rows)
+    expect = sum(math.floor((e / 1e6) * 1e6) for e, _ in cases)
+
+    import admob_data_pipeline_spark.plans.analytics_ext as ax
+
+    for q in (q_attribution_position, q_attribution_timedecay):
+        orig = ax.load_table
+        ax.load_table = lambda s, sf, name: ev
+        try:
+            out = q(spark, "ignored")
+        finally:
+            ax.load_table = orig
+        total = out.agg(F.sum("credit_micros")).first()[0]
+        assert total == expect, q.__name__
+
+
+def test_attribution_position_u_shape_is_exactly_40_20_40(spark):
+    """With n>=3 touches and an earn divisible by 5, the first and last
+    positions take exactly 40% each and the middle pool exactly 20% —
+    the integer-weight construction (2(n-2)/5(n-2)) makes the split
+    exact, not approximate."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    import admob_data_pipeline_spark.plans.analytics_ext as ax
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        Row(event_id=i + 1, ts=t0 + datetime.timedelta(minutes=i),
+            user_id=1, event_type="view", value=0.0, props="{}")
+        for i in range(5)
+    ]
+    rows.append(Row(event_id=9, ts=t0 + datetime.timedelta(hours=1),
+                    user_id=1, event_type="purchase", value=1.0, props="{}"))
+    ev = spark.createDataFrame(rows)
+    orig = ax.load_table
+    ax.load_table = lambda s, sf, name: ev
+    try:
+        out = {r.position: r.credit_micros
+               for r in ax.q_attribution_position(spark, "ignored").collect()}
+    finally:
+        ax.load_table = orig
+    assert out == {"first": 400000, "last": 400000, "middle": 200000}
+
+
+def test_attribution_timedecay_halves_per_day(spark):
+    """Two touches one day apart: the fresher touch must take exactly
+    2/3 of the purchase (weights 2:1), remainder micro to the larger
+    remainder — pinning the 1-day half-life semantics."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    import admob_data_pipeline_spark.plans.analytics_ext as ax
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    ev = spark.createDataFrame([
+        Row(event_id=1, ts=t0 - datetime.timedelta(days=1), user_id=1,
+            event_type="view", value=0.0, props="{}"),
+        Row(event_id=2, ts=t0, user_id=1,
+            event_type="click", value=0.0, props="{}"),
+        Row(event_id=3, ts=t0 + datetime.timedelta(hours=1), user_id=1,
+            event_type="purchase", value=0.000003, props="{}"),
+    ])
+    orig = ax.load_table
+    ax.load_table = lambda s, sf, name: ev
+    try:
+        out = {r.touch_type: r.credit_micros
+               for r in ax.q_attribution_timedecay(spark, "ignored").collect()}
+    finally:
+        ax.load_table = orig
+    # earn=3; same-day click w=128, day-old view w=64, W=192:
+    # click base = (3*128 - pmod(384,192)) / 192 = 2, view base = 1,
+    # remainders both 0 → exact 2:1 split
+    assert out == {"click": 2, "view": 1}
