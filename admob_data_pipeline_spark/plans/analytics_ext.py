@@ -3982,6 +3982,161 @@ ORDER BY f.date, f.format
 """
 
 
+def q_mediation_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Partition Pruning over the MEDIATION warehouse — the
+    network_dpp_join contract proven on the second partitioned fact, with
+    a REVENUE dim instead of a traffic dim: the high-earn dates (daily
+    earn at least the per-date average, integer cross-multiplied so the
+    threshold is exact and SF-relative) are only known at runtime, and
+    Catalyst turns the broadcast join into a
+    ``dynamicpruningexpression(date IN ...)`` PartitionFilter on the
+    mediation scan (asserted in tests/test_report_spec.py) — quiet-date
+    partitions are never read.
+
+    Scale: dim is a date-grain rollup (≤ calendar-days rows, broadcast);
+    the fact side reads only surviving partitions into one partial/final
+    aggregate at the (date, ad_source_name) grain with the shared exact
+    integer eCPM. The threshold scalars come from one bounded one-row
+    collect over the date rollup — literals keep the dim predicate
+    SIMPLE, which Catalyst's pruning-benefit check requires (a join
+    inside the dim subplan defeats it — measured r6)."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        ecpm_micros_col,
+        read_mediation_warehouse,
+    )
+
+    wh = read_mediation_warehouse(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("date")).agg(
+        F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("earn")
+    )
+    total, n_dates = daily.agg(
+        F.sum("earn").alias("total"), F.count(F.lit(1)).alias("n_dates")
+    ).first()
+    dim = daily.where(
+        F.col("earn") * F.lit(int(n_dates or 0)) >= F.lit(int(total or 0))
+    ).select("date")
+    return (
+        wh.join(F.broadcast(dim), "date")
+        .groupBy("date", "ad_source_name")
+        .agg(
+            F.sum("earn_micros").alias("earn_micros"),
+            F.sum("impressions").alias("impressions"),
+        )
+        .select(
+            "date",
+            "ad_source_name",
+            "earn_micros",
+            "impressions",
+            ecpm_micros_col().alias("ecpm_micros"),
+        )
+        .orderBy("date", "ad_source_name")
+    )
+
+
+_ORACLE_MEDIATION_DPP = f"""
+WITH fact AS ({_MEDIATION_FACT_SQL}),
+daily AS (
+    SELECT CAST(ts AS DATE) AS date,
+           CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS earn
+    FROM events GROUP BY 1
+),
+stats AS (
+    SELECT CAST(SUM(earn) AS BIGINT) AS total, COUNT(*) AS n_dates FROM daily
+),
+dim AS (
+    SELECT date FROM daily, stats WHERE earn * n_dates >= total
+),
+agg AS (
+    SELECT f.date, f.ad_source_name,
+           CAST(SUM(f.earn_micros) AS BIGINT) AS earn_micros,
+           CAST(SUM(f.impressions) AS BIGINT) AS impressions
+    FROM fact f JOIN dim USING (date)
+    GROUP BY f.date, f.ad_source_name
+)
+SELECT date, ad_source_name, earn_micros, impressions,
+       CAST(earn_micros * 1000 // NULLIF(impressions, 0) AS BIGINT)
+           AS ecpm_micros
+FROM agg
+ORDER BY date, ad_source_name
+"""
+
+
+def q_mediation_rollup_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's multi-dimension mediation grain (ad source →
+    mediation group → country, save_CSV.py:148-151) as ONE scan via
+    ROLLUP: per-source totals, per-(source, group) totals,
+    per-(source, group, country) cells, and the grand total — Spark
+    expands the sets map-side (Expand node) before one partial+final
+    aggregate; four separate group-bys would be four warehouse scans.
+    Funnel health ships as exact integer two-stage ppm (matched·1e6 DIV
+    requests); grouping flags disambiguate the ALL rows."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        read_mediation_warehouse,
+    )
+
+    wh = read_mediation_warehouse(spark, sf_dir)
+    return (
+        wh.rollup("ad_source_name", "mediation_group_name", "country")
+        .agg(
+            F.grouping("ad_source_name").cast("int").alias("g_src"),
+            F.grouping("mediation_group_name").cast("int").alias("g_grp"),
+            F.grouping("country").cast("int").alias("g_ctry"),
+            F.sum("ad_requests").alias("ad_requests"),
+            F.sum("matched_requests").alias("matched_requests"),
+            F.sum("earn_micros").alias("earn_micros"),
+        )
+        .select(
+            "ad_source_name",
+            "mediation_group_name",
+            "country",
+            "g_src",
+            "g_grp",
+            "g_ctry",
+            "ad_requests",
+            "matched_requests",
+            F.expr(
+                "matched_requests * 1000000 DIV NULLIF(ad_requests, 0)"
+            )
+            .cast("long")
+            .alias("match_rate_ppm"),
+            "earn_micros",
+        )
+        .orderBy(
+            "g_src",
+            "g_grp",
+            "g_ctry",
+            "ad_source_name",
+            "mediation_group_name",
+            "country",
+        )
+    )
+
+
+_ORACLE_MEDIATION_ROLLUP = f"""
+WITH fact AS ({_MEDIATION_FACT_SQL}),
+agg AS (
+    SELECT ad_source_name, mediation_group_name, country,
+           CAST(GROUPING(ad_source_name) AS INTEGER) AS g_src,
+           CAST(GROUPING(mediation_group_name) AS INTEGER) AS g_grp,
+           CAST(GROUPING(country) AS INTEGER) AS g_ctry,
+           CAST(SUM(ad_requests) AS BIGINT) AS ad_requests,
+           CAST(SUM(matched_requests) AS BIGINT) AS matched_requests,
+           CAST(SUM(earn_micros) AS BIGINT) AS earn_micros
+    FROM fact
+    GROUP BY ROLLUP (ad_source_name, mediation_group_name, country)
+)
+SELECT ad_source_name, mediation_group_name, country,
+       g_src, g_grp, g_ctry, ad_requests, matched_requests,
+       CAST(matched_requests * 1000000 // NULLIF(ad_requests, 0) AS BIGINT)
+           AS match_rate_ppm,
+       earn_micros
+FROM agg
+ORDER BY g_src, g_grp, g_ctry,
+         ad_source_name, mediation_group_name, country
+"""
+
+
 # --- multi-touch attribution -------------------------------------------------
 
 ATTR_LOOKBACK_DAYS = 7
@@ -4343,6 +4498,8 @@ QUERIES = {
     "ctr_anomaly_warehouse": q_ctr_anomaly_warehouse,
     "attribution_linear": q_attribution_linear,
     "attribution_position": q_attribution_position,
+    "mediation_dpp_join": q_mediation_dpp_join,
+    "mediation_rollup_grain": q_mediation_rollup_grain,
     "attribution_timedecay": q_attribution_timedecay,
     "network_dpp_join": q_network_dpp_join,
     "mediation_ecpm_rollup": q_mediation_ecpm_rollup,
@@ -4414,6 +4571,8 @@ ORACLES = {
     "ctr_anomaly_warehouse": _ORACLE_CTR_WAREHOUSE,
     "attribution_linear": _ORACLE_ATTRIBUTION,
     "attribution_position": _ORACLE_ATTR_POSITION,
+    "mediation_dpp_join": _ORACLE_MEDIATION_DPP,
+    "mediation_rollup_grain": _ORACLE_MEDIATION_ROLLUP,
     "attribution_timedecay": _ORACLE_ATTR_TIMEDECAY,
     "network_dpp_join": _ORACLE_NETWORK_DPP,
     "mediation_ecpm_rollup": _ORACLE_MEDIATION_ECPM,

@@ -232,3 +232,21 @@ def test_network_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
     )
     assert "dynamicpruningexpression" in scan, scan
     assert df.count() > 0
+
+
+def test_mediation_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
+    """Same DPP contract on the MEDIATION warehouse: the high-earn-dates
+    join must land a dynamicpruningexpression on the partitioned
+    mediation scan — no literal date predicate anywhere in the query."""
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        q_mediation_dpp_join,
+    )
+
+    df = q_mediation_dpp_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        l for l in plan.splitlines()
+        if "FileScan" in l and "mediationwh" in l
+    )
+    assert "dynamicpruningexpression" in scan, scan
+    assert df.count() > 0
