@@ -341,9 +341,20 @@ def curation_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Scale: pure column arithmetic on the scan — no explode, no shuffle,
     no UDF; at 100 TB this is a single map-only pass fused into
     whole-stage codegen."""
+    return curation_gate_columns(widen_if_narrow(docs), text_col).orderBy(
+        "doc_id"
+    )
+
+
+def curation_gate_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The gate's map-only projection, WITHOUT the sort or the local
+    split widening — shared VERBATIM by the batch query and the
+    streaming twin (streaming/alerts.py), so the batch and stream cells
+    are identical by construction (the same single-sourcing contract as
+    the network_*_col family). Being a pure stateless projection, it is
+    trivially incremental: no watermark, no state store, append mode."""
     from admob_data_pipeline_spark.operators.text import STOPWORDS
 
-    docs = widen_if_narrow(docs)
     t = tokens(F.col(text_col))
     n_tok = F.size(t)
     n_chars = F.length(text_col)
@@ -372,7 +383,7 @@ def curation_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
         alpha_ok.alias("alpha_ok"),
         rep_ok.alias("rep_ok"),
         (len_ok & mean_len_ok & stop_ok & alpha_ok & rep_ok).alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 def q_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

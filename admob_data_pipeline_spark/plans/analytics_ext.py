@@ -4201,7 +4201,14 @@ def _attribution_pairs(ev: DataFrame) -> DataFrame:
 
 def attribution_linear(ev: DataFrame) -> DataFrame:
     """See :func:`q_attribution_linear`."""
-    pairs = _attribution_pairs(ev)
+    return _linear_split_rollup(_attribution_pairs(ev))
+
+
+def _linear_split_rollup(pairs: DataFrame) -> DataFrame:
+    """The equal-split largest-remainder credit + (day, touch_type)
+    rollup over an attribution pair set — shared by the plain and the
+    skew-salted pair builders (the split only sees p_id partitions, so
+    it is agnostic to how the join that produced them was laid out)."""
     w = Window.partitionBy("p_id")
     wrank = Window.partitionBy("p_id").orderBy("tts", "t_id")
     labeled = (
@@ -4228,6 +4235,69 @@ def attribution_linear(ev: DataFrame) -> DataFrame:
             F.sum("credit").alias("credit_micros"),
         )
         .orderBy("day", "touch_type")
+    )
+
+
+ATTR_SALT_BUCKETS = 8
+
+
+def _attribution_pairs_salted(
+    ev: DataFrame, buckets: int = ATTR_SALT_BUCKETS
+) -> DataFrame:
+    """Skew-salted twin of ``_attribution_pairs`` producing the IDENTICAL
+    pair set: the purchase side gets a deterministic salt pmod(p_id, B),
+    the touch side is exploded B ways, and the join key becomes
+    (user_id, salt) — so a HOT user's pairs split across B shuffle
+    partitions instead of one. AQE's skew-join splitting cannot help
+    here: it can split a skewed PARTITION but never a single key, and
+    attribution skew is exactly one user_id key. Salting subdivides the
+    key itself, trading a B× replication of the (narrow, 4-column) touch
+    side for B-way parallelism on the hot key — the standard skew trade,
+    sized by ATTR_SALT_BUCKETS.
+
+    Each (purchase, touch) pair matches exactly once (the touch replica
+    carrying the purchase's salt), and a touchless purchase survives as
+    one null row — same left-join contract, so the downstream split is
+    byte-identical and the oracle IS the linear oracle."""
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("earn"),
+        F.expr(f"pmod(event_id, {buckets})").cast("int").alias("p_salt"),
+    )
+    t = (
+        ev.where(F.col("event_type").isin(list(ATTR_TOUCH_TYPES)))
+        .select(
+            F.col("event_id").alias("t_id"),
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("tts"),
+            F.col("event_type").alias("touch_type"),
+        )
+        .withColumn(
+            "t_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+        )
+    )
+    cond = (
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("p_salt") == F.col("t_salt"))
+        & (F.col("tts") <= F.col("pts"))
+        & (
+            F.col("tts")
+            >= F.col("pts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_DAYS} DAYS")
+        )
+    )
+    return p.join(t, cond, "left")
+
+
+def q_attribution_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``attribution_linear`` over the SKEW-SALTED pair join — the plan
+    shape a hot-user key forces at 100 TB (one whale user's touches and
+    purchases all hash to one shuffle partition otherwise; see
+    ``_attribution_pairs_salted``). Output is byte-identical to
+    attribution_linear, checked against the SAME oracle."""
+    return _linear_split_rollup(
+        _attribution_pairs_salted(load_table(spark, sf_dir, "events"))
     )
 
 
@@ -4497,6 +4567,7 @@ QUERIES = {
     "network_missing_cells": q_network_missing_cells,
     "ctr_anomaly_warehouse": q_ctr_anomaly_warehouse,
     "attribution_linear": q_attribution_linear,
+    "attribution_salted": q_attribution_salted,
     "attribution_position": q_attribution_position,
     "mediation_dpp_join": q_mediation_dpp_join,
     "mediation_rollup_grain": q_mediation_rollup_grain,
@@ -4570,6 +4641,7 @@ ORACLES = {
     "network_missing_cells": _ORACLE_NETWORK_MISSING,
     "ctr_anomaly_warehouse": _ORACLE_CTR_WAREHOUSE,
     "attribution_linear": _ORACLE_ATTRIBUTION,
+    "attribution_salted": _ORACLE_ATTRIBUTION,
     "attribution_position": _ORACLE_ATTR_POSITION,
     "mediation_dpp_join": _ORACLE_MEDIATION_DPP,
     "mediation_rollup_grain": _ORACLE_MEDIATION_ROLLUP,

@@ -674,6 +674,47 @@ ORDER BY date, format
 """
 
 
+def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the parquet document corpus — same
+    schema-from-batch-read contract as ``_event_stream``."""
+    from admob_data_pipeline_spark.sources.tables import _read_parquet_nanosafe
+
+    raw = _read_parquet_nanosafe(spark, f"{sf_dir}/documents.parquet")
+    return (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def q_streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite C4/Gopher curation gate run as a STREAM — the
+    batch/stream single-sourcing contract proven on a third family
+    (after the mediation eCPM and network funnel monitors): the gate is
+    ``curation_gate_columns`` VERBATIM (operators/corpus.py), a pure
+    stateless projection, so it streams in append mode with no
+    watermark and no state store — the shape an ingest-time curation
+    filter runs at 100 TB/day (each arriving file is gated as it lands;
+    nothing accumulates). Cells are identical to the batch
+    ``curation_gate`` by construction, and the oracle IS the batch
+    oracle."""
+    from admob_data_pipeline_spark.operators.corpus import (
+        curation_gate_columns,
+    )
+
+    out = run_available_now(
+        curation_gate_columns(_doc_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+    return out.orderBy("doc_id")
+
+
+def _curation_oracle() -> str:
+    from admob_data_pipeline_spark.operators import corpus
+
+    return corpus._ORACLE_CURATION_GATE
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(sessionize_stream(_event_stream(spark, sf_dir)))
     return out.orderBy("user_id", "session_start_epoch")
@@ -913,6 +954,7 @@ QUERIES = {
     "streaming_daily_rates": q_streaming_daily_rates,
     "streaming_mediation_ecpm": q_streaming_mediation_ecpm,
     "streaming_network_funnel": q_streaming_network_funnel,
+    "streaming_curation_gate": q_streaming_curation_gate,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_enrich": q_streaming_enrich,
     "streaming_kmv_sink": q_streaming_kmv_sink,
@@ -936,6 +978,7 @@ ORACLES = {
     "streaming_daily_rates": _ORACLE_DAILY_RATES,
     "streaming_mediation_ecpm": _ORACLE_STREAM_MEDIATION_ECPM,
     "streaming_network_funnel": _ORACLE_STREAM_NETWORK_FUNNEL,
+    "streaming_curation_gate": _curation_oracle(),
     "streaming_sessionize": _ORACLE_SESSIONIZE,
     "streaming_enrich": _ORACLE_ENRICH,
     "streaming_kmv_sink": _ORACLE_STREAM_KMV,

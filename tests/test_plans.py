@@ -550,6 +550,25 @@ def test_attribution_split_grid_conserves_and_balances(spark):
     assert total == expect
 
 
+def test_attribution_salted_matches_linear_and_joins_on_salt(spark, sf_dir):
+    """The skew-salted pair join must (a) produce byte-identical output
+    to attribution_linear and (b) actually carry the salt in the join
+    key (the whole point — subdividing the hot user_id key)."""
+    from pyspark.sql import functions as F
+
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        q_attribution_linear,
+        q_attribution_salted,
+    )
+
+    lin = q_attribution_linear(spark, sf_dir)
+    sal = q_attribution_salted(spark, sf_dir)
+    assert sal.collect() == lin.collect()
+    plan = sal._jdf.queryExecution().executedPlan().toString()
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert any("salt" in l for l in join_lines), join_lines
+
+
 def test_attribution_weighted_models_conserve_on_the_same_grid(spark):
     """The position-based and time-decay models run the SAME sign/
     remainder grid as linear (negative/zero/positive earns, dividing and
