@@ -2531,46 +2531,51 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (_bucket_exprs_sql) with the DuckDB element accessor, so a semantics
 # change is a single-point edit that both engines inherit. The index
 # side carries only the L base buckets; the query side adds the
-# KNN_PROBES multi-probe flips per table.
-_KNN_IDX_SQL = "\n    UNION ALL ".join(
-    f"SELECT vec_id, v, nrm,"
-    f" {_bucket_exprs_sql(t, KNN_PLANES, 0, _duck_elem)[0]} AS tb FROM base"
-    for t in range(KNN_TABLES)
-)
-
-_KNN_QRY_SQL = "\n    UNION ALL ".join(
-    f"SELECT vec_id, v, nrm, {expr} AS tb FROM base"
-    for t in range(KNN_TABLES)
-    for expr in _bucket_exprs_sql(t, KNN_PLANES, KNN_PROBES, _duck_elem)
-)
-
-# ONE SQL definition of the LSH k-NN edge set (multi-table bucketing,
-# multi-probe query flips, cosine rounding, pair dedup, tie-break, k
-# cap), composed by the graph oracle and both audit oracles — a change
-# to knn_graph's semantics is then a single-point edit on the oracle
-# side too. DISTINCT collapses a pair that collides in several
-# tables/probes (cos_sim is computed identically on every occurrence,
-# so the triple is exactly duplicated).
-_KNN_EDGES_SQL = f"""
-knn_idx AS ({_KNN_IDX_SQL}),
-knn_qry AS ({_KNN_QRY_SQL}),
-knn_scored AS (
+# multi-probe flips per table.
+def _knn_edges_sql(probes: int, sfx: str = "") -> str:
+    """ONE SQL definition of the LSH k-NN edge set (multi-table
+    bucketing, multi-probe query flips, cosine rounding, pair dedup,
+    tie-break, k cap), composed by the graph oracle and every audit
+    oracle — a change to knn_graph's semantics is then a single-point
+    edit on the oracle side too. DISTINCT collapses a pair that
+    collides in several tables/probes (cos_sim is computed identically
+    on every occurrence, so the triple is exactly duplicated). ``sfx``
+    suffixes the CTE names so the probe-lift oracle can instantiate two
+    probe settings side by side."""
+    idx = "\n    UNION ALL ".join(
+        f"SELECT vec_id, v, nrm,"
+        f" {_bucket_exprs_sql(t, KNN_PLANES, 0, _duck_elem)[0]} AS tb"
+        " FROM base"
+        for t in range(KNN_TABLES)
+    )
+    qry = "\n    UNION ALL ".join(
+        f"SELECT vec_id, v, nrm, {expr} AS tb FROM base"
+        for t in range(KNN_TABLES)
+        for expr in _bucket_exprs_sql(t, KNN_PLANES, probes, _duck_elem)
+    )
+    return f"""
+knn_idx{sfx} AS ({idx}),
+knn_qry{sfx} AS ({qry}),
+knn_scored{sfx} AS (
     SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
            ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6)
                AS cos_sim
-    FROM knn_qry a JOIN knn_idx b ON a.tb = b.tb
+    FROM knn_qry{sfx} a JOIN knn_idx{sfx} b ON a.tb = b.tb
     WHERE a.vec_id <> b.vec_id
 ),
-knn_edges AS (
+knn_edges{sfx} AS (
     SELECT src, dst, cos_sim, rank FROM (
         SELECT src, dst, cos_sim,
                ROW_NUMBER() OVER (
                    PARTITION BY src ORDER BY cos_sim DESC, dst
                ) AS rank
-        FROM knn_scored
+        FROM knn_scored{sfx}
     ) WHERE rank <= {KNN_K}
 )
 """
+
+
+_KNN_EDGES_SQL = _knn_edges_sql(KNN_PROBES)
 
 _ORACLE_KNN_GRAPH = f"""
 WITH {_DUCK_BASE},
@@ -2631,7 +2636,7 @@ def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact baseline, graph restriction) — composed AFTER _KNN_EDGES_SQL by
 # both the global and the per-label oracle, mirroring the Spark side's
 # _knn_recall_parts single-sourcing.
-_KNN_EXACT_SQL = f"""
+_KNN_EXACT_BASE_SQL = f"""
 q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base
       WHERE vec_id < {KNN_PROBE_MAX}),
 scored AS (
@@ -2648,7 +2653,10 @@ exact AS (
                ) AS rank
         FROM scored
     ) WHERE rank <= {KNN_K}
-),
+)
+"""
+
+_KNN_EXACT_SQL = f"""{_KNN_EXACT_BASE_SQL},
 approx AS (
     SELECT src, dst FROM knn_edges WHERE src < {KNN_PROBE_MAX}
 )
@@ -2666,6 +2674,76 @@ SELECT n_exact, n_hits,
        CAST(CASE WHEN n_exact = 0 THEN 0
             ELSE n_hits * 1000000 // n_exact END AS BIGINT) AS recall_ppm
 FROM n_e, n_h
+"""
+
+
+def q_knn_probe_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTI-PROBE trade priced as a registered audit: graph recall
+    against the same exact probe baseline at probes=0 (the r6 OR-only
+    construction) and probes=KNN_PROBES side by side — one row per
+    setting. This is the number that justifies (or retires) the probe:
+    measured at sf0.1 the lift is 462,500 → 687,500 ppm for ~2× the
+    candidate work, and a regression in either row is a correctness-gate
+    failure, not a silent quality drift.
+
+    Scale: the exact baseline is computed ONCE (probe-bounded broadcast
+    scan, checkpointed) and both graph builds are the standard
+    bucket-bounded shape — nothing here is all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_ids = list(range(KNN_PROBE_MAX))
+    exact = (
+        topk_bruteforce(emb, probe_ids, k=KNN_K)
+        .select(F.col("qid").alias("src"), F.col("vec_id").alias("dst"))
+        .localCheckpoint()
+    )
+    out = None
+    for p in (0, KNN_PROBES):
+        approx = (
+            knn_graph(emb, probes=p)
+            .where(F.col("src") < KNN_PROBE_MAX)
+            .select("src", "dst")
+        )
+        ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        nh = approx.join(exact, ["src", "dst"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        row = ne.crossJoin(F.broadcast(nh)).select(
+            F.lit(p).cast("int").alias("probes"),
+            "n_exact",
+            "n_hits",
+            F.expr(
+                "CAST(CASE WHEN n_exact = 0 THEN 0 "
+                "ELSE n_hits * 1000000 DIV n_exact END AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("probes")
+
+
+_ORACLE_KNN_PROBE_LIFT = f"""
+WITH {_DUCK_BASE},
+{_knn_edges_sql(0, "_p0")},
+{_knn_edges_sql(KNN_PROBES, "_p1")},
+{_KNN_EXACT_BASE_SQL},
+n_e AS (SELECT COUNT(*) AS n_exact FROM exact),
+h0 AS (SELECT COUNT(*) AS n_hits FROM knn_edges_p0 a
+       WHERE a.src < {KNN_PROBE_MAX}
+         AND EXISTS (SELECT 1 FROM exact e
+                     WHERE e.src = a.src AND e.dst = a.dst)),
+h1 AS (SELECT COUNT(*) AS n_hits FROM knn_edges_p1 a
+       WHERE a.src < {KNN_PROBE_MAX}
+         AND EXISTS (SELECT 1 FROM exact e
+                     WHERE e.src = a.src AND e.dst = a.dst))
+SELECT probes, n_exact, n_hits,
+       CAST(CASE WHEN n_exact = 0 THEN 0
+            ELSE n_hits * 1000000 // n_exact END AS BIGINT) AS recall_ppm
+FROM (
+    SELECT CAST(0 AS INT) AS probes, n_e.n_exact, h0.n_hits FROM n_e, h0
+    UNION ALL
+    SELECT CAST({KNN_PROBES} AS INT) AS probes, n_e.n_exact, h1.n_hits
+    FROM n_e, h1
+)
+ORDER BY probes
 """
 
 
@@ -2884,6 +2962,7 @@ ORDER BY n_vecs DESC, cluster
 QUERIES = {
     "knn_graph": q_knn_graph,
     "knn_graph_recall": q_knn_graph_recall,
+    "knn_probe_lift": q_knn_probe_lift,
     "knn_hubness": q_knn_hubness,
     "knn_recall_by_label": q_knn_recall_by_label,
     "knn_mutual_edges": q_knn_mutual_edges,
@@ -2915,6 +2994,7 @@ QUERIES = {
 ORACLES = {
     "knn_graph": _ORACLE_KNN_GRAPH,
     "knn_graph_recall": _ORACLE_KNN_RECALL,
+    "knn_probe_lift": _ORACLE_KNN_PROBE_LIFT,
     "knn_hubness": _ORACLE_KNN_HUBNESS,
     "knn_recall_by_label": _ORACLE_KNN_RECALL_LABEL,
     "knn_mutual_edges": _ORACLE_KNN_MUTUAL,
