@@ -2400,6 +2400,11 @@ def _bucket_exprs_sql(tbl, planes, probes, elem) -> list:
     lowest plane index). The argmin is an explicit LEAST + first-match
     CASE chain rather than a struct sort, so the tie-break is pinned by
     evaluation order on both engines."""
+    if probes >= 3:
+        raise ValueError("at most 2 probes per table are supported")
+    if probes > planes:
+        # the p-th probe needs a p-th distinct bit to flip
+        raise ValueError("probes must not exceed planes_per_table")
     idx = [tbl * planes + j + 1 for j in range(planes)]
     bit = [f"(CASE WHEN {elem(i)} >= 0 THEN '1' ELSE '0' END)" for i in idx]
     inv = [f"(CASE WHEN {elem(i)} >= 0 THEN '0' ELSE '1' END)" for i in idx]
@@ -2436,8 +2441,6 @@ def _bucket_exprs_sql(tbl, planes, probes, elem) -> list:
                 for v0 in range(planes)
             )
             exprs.append(flipped(f"(CASE {cases} END)"))
-            if probes >= 3:
-                raise ValueError("at most 2 probes per table are supported")
     return exprs
 
 
@@ -2548,10 +2551,17 @@ def _knn_edges_sql(probes: int, sfx: str = "") -> str:
         " FROM base"
         for t in range(KNN_TABLES)
     )
-    qry = "\n    UNION ALL ".join(
-        f"SELECT vec_id, v, nrm, {expr} AS tb FROM base"
-        for t in range(KNN_TABLES)
-        for expr in _bucket_exprs_sql(t, KNN_PLANES, probes, _duck_elem)
+    # probes=0 makes the query side identical to the index side — reuse
+    # the CTE instead of re-deriving the same 6-way union (halves the
+    # probe-lift oracle's bucketing work)
+    qry = (
+        f"SELECT * FROM knn_idx{sfx}"
+        if probes == 0
+        else "\n    UNION ALL ".join(
+            f"SELECT vec_id, v, nrm, {expr} AS tb FROM base"
+            for t in range(KNN_TABLES)
+            for expr in _bucket_exprs_sql(t, KNN_PLANES, probes, _duck_elem)
+        )
     )
     return f"""
 knn_idx{sfx} AS ({idx}),
@@ -2589,22 +2599,52 @@ ORDER BY src, rank
 KNN_PROBE_MAX = 32  # probe-node cap for the recall audit's exact baseline
 
 
-def _knn_recall_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Shared probe scaffolding for the graph recall audits — ONE
-    definition of the probe set, the exact baseline, and the graph's
-    probe restriction, so the global and per-label audits can never
-    drift apart (the per-label counts are test-pinned to partition the
-    global ones). exact is checkpointed: it feeds two consumers."""
-    probes = list(range(KNN_PROBE_MAX))
-    exact = (
-        topk_bruteforce(emb, probes, k=KNN_K)
+def _knn_exact_baseline(emb: DataFrame) -> DataFrame:
+    """The ONE definition of the recall audits' exact baseline: top-k by
+    brute force for the probe node set, checkpointed because every audit
+    feeds it to at least two consumers."""
+    probe_ids = list(range(KNN_PROBE_MAX))
+    return (
+        topk_bruteforce(emb, probe_ids, k=KNN_K)
         .select(F.col("qid").alias("src"), F.col("vec_id").alias("dst"))
         .localCheckpoint()
     )
-    approx = (
-        knn_graph(emb).where(F.col("src") < KNN_PROBE_MAX).select("src", "dst")
+
+
+def _knn_probe_approx(emb: DataFrame, probes: int = KNN_PROBES) -> DataFrame:
+    """The ONE definition of the graph's probe-set restriction, probe
+    count parameterized for the probe-lift audit."""
+    return (
+        knn_graph(emb, probes=probes)
+        .where(F.col("src") < KNN_PROBE_MAX)
+        .select("src", "dst")
     )
-    return exact, approx
+
+
+def _knn_recall_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared probe scaffolding for the graph recall audits — ONE
+    definition of the probe set, the exact baseline, and the graph's
+    probe restriction, so the global, per-label, and probe-lift audits
+    can never drift apart (the per-label counts are test-pinned to
+    partition the global ones)."""
+    return _knn_exact_baseline(emb), _knn_probe_approx(emb)
+
+
+def _recall_row(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """The ONE definition of the summary recall row (exact count, hit
+    count, integer ppm) shared by the global and probe-lift audits."""
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nh = approx.join(exact, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return ne.crossJoin(F.broadcast(nh)).select(
+        "n_exact",
+        "n_hits",
+        F.expr(
+            "CAST(CASE WHEN n_exact = 0 THEN 0 "
+            "ELSE n_hits * 1000000 DIV n_exact END AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
 
 
 def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2618,18 +2658,7 @@ def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn_graph keeps ≤ k bucket-mates per node, so recall < 1 by design;
     this query prices that trade on the actual corpus."""
     exact, approx = _knn_recall_parts(load_table(spark, sf_dir, "embeddings"))
-    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    nh = approx.join(exact, ["src", "dst"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    return ne.crossJoin(F.broadcast(nh)).select(
-        "n_exact",
-        "n_hits",
-        F.expr(
-            "CAST(CASE WHEN n_exact = 0 THEN 0 "
-            "ELSE n_hits * 1000000 DIV n_exact END AS BIGINT)"
-        ).alias("recall_ppm"),
-    )
+    return _recall_row(exact, approx)
 
 
 # ONE SQL definition of the recall audits' probe scaffolding (probe set,
@@ -2687,34 +2716,17 @@ def q_knn_probe_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     failure, not a silent quality drift.
 
     Scale: the exact baseline is computed ONCE (probe-bounded broadcast
-    scan, checkpointed) and both graph builds are the standard
-    bucket-bounded shape — nothing here is all-pairs."""
+    scan, checkpointed — _knn_exact_baseline) and both graph builds are
+    the standard bucket-bounded shape — nothing here is all-pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    probe_ids = list(range(KNN_PROBE_MAX))
-    exact = (
-        topk_bruteforce(emb, probe_ids, k=KNN_K)
-        .select(F.col("qid").alias("src"), F.col("vec_id").alias("dst"))
-        .localCheckpoint()
-    )
+    exact = _knn_exact_baseline(emb)
     out = None
     for p in (0, KNN_PROBES):
-        approx = (
-            knn_graph(emb, probes=p)
-            .where(F.col("src") < KNN_PROBE_MAX)
-            .select("src", "dst")
-        )
-        ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        nh = approx.join(exact, ["src", "dst"], "left_semi").agg(
-            F.count(F.lit(1)).alias("n_hits")
-        )
-        row = ne.crossJoin(F.broadcast(nh)).select(
+        row = _recall_row(exact, _knn_probe_approx(emb, p)).select(
             F.lit(p).cast("int").alias("probes"),
             "n_exact",
             "n_hits",
-            F.expr(
-                "CAST(CASE WHEN n_exact = 0 THEN 0 "
-                "ELSE n_hits * 1000000 DIV n_exact END AS BIGINT)"
-            ).alias("recall_ppm"),
+            "recall_ppm",
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("probes")

@@ -4169,19 +4169,36 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_linear(load_table(spark, sf_dir, "events"))
 
 
-def _attribution_pairs(ev: DataFrame) -> DataFrame:
-    """ONE definition of the attribution pair set shared by all three
-    models (linear / position / time-decay): purchases LEFT-joined to the
-    user's view/click touches inside the lookback — equi-keyed on
-    user_id with a range post-filter, so pairs are bounded by per-user
-    activity × lookback; a purchase with no touch survives as the join's
-    null row (the 'unattributed' branch, not a second shuffle)."""
-    p = ev.where(F.col("event_type") == "purchase").select(
+def _attribution_pairs(
+    ev: DataFrame, salt_buckets: int | None = None
+) -> DataFrame:
+    """ONE definition of the attribution pair set shared by ALL the
+    models (linear / salted / position / time-decay): purchases
+    LEFT-joined to the user's view/click touches inside the lookback —
+    equi-keyed on user_id with a range post-filter, so pairs are bounded
+    by per-user activity × lookback; a purchase with no touch survives
+    as the join's null row (the 'unattributed' branch, not a second
+    shuffle).
+
+    With ``salt_buckets`` the join key becomes (user_id, salt): the
+    purchase side gets a deterministic pmod(p_id, B) salt and the touch
+    side is exploded B ways, producing the IDENTICAL pair set — each
+    (purchase, touch) pair matches exactly once via the touch replica
+    carrying the purchase's salt, and a touchless purchase still
+    survives as one null row."""
+    p_cols = [
         F.col("event_id").alias("p_id"),
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("pts"),
         F.floor(F.col("value") * 1e6).cast("long").alias("earn"),
-    )
+    ]
+    if salt_buckets:
+        p_cols.append(
+            F.expr(f"pmod(event_id, {salt_buckets})").cast("int").alias(
+                "p_salt"
+            )
+        )
+    p = ev.where(F.col("event_type") == "purchase").select(*p_cols)
     t = ev.where(F.col("event_type").isin(list(ATTR_TOUCH_TYPES))).select(
         F.col("event_id").alias("t_id"),
         F.col("user_id").alias("t_user"),
@@ -4196,6 +4213,12 @@ def _attribution_pairs(ev: DataFrame) -> DataFrame:
             >= F.col("pts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_DAYS} DAYS")
         )
     )
+    if salt_buckets:
+        t = t.withColumn(
+            "t_salt",
+            F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+        )
+        cond = cond & (F.col("p_salt") == F.col("t_salt"))
     return p.join(t, cond, "left")
 
 
@@ -4241,63 +4264,24 @@ def _linear_split_rollup(pairs: DataFrame) -> DataFrame:
 ATTR_SALT_BUCKETS = 8
 
 
-def _attribution_pairs_salted(
-    ev: DataFrame, buckets: int = ATTR_SALT_BUCKETS
-) -> DataFrame:
-    """Skew-salted twin of ``_attribution_pairs`` producing the IDENTICAL
-    pair set: the purchase side gets a deterministic salt pmod(p_id, B),
-    the touch side is exploded B ways, and the join key becomes
-    (user_id, salt) — so a HOT user's pairs split across B shuffle
-    partitions instead of one. AQE's skew-join splitting cannot help
-    here: it can split a skewed PARTITION but never a single key, and
-    attribution skew is exactly one user_id key. Salting subdivides the
-    key itself, trading a B× replication of the (narrow, 4-column) touch
-    side for B-way parallelism on the hot key — the standard skew trade,
-    sized by ATTR_SALT_BUCKETS.
-
-    Each (purchase, touch) pair matches exactly once (the touch replica
-    carrying the purchase's salt), and a touchless purchase survives as
-    one null row — same left-join contract, so the downstream split is
-    byte-identical and the oracle IS the linear oracle."""
-    p = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("pts"),
-        F.floor(F.col("value") * 1e6).cast("long").alias("earn"),
-        F.expr(f"pmod(event_id, {buckets})").cast("int").alias("p_salt"),
-    )
-    t = (
-        ev.where(F.col("event_type").isin(list(ATTR_TOUCH_TYPES)))
-        .select(
-            F.col("event_id").alias("t_id"),
-            F.col("user_id").alias("t_user"),
-            F.col("ts").alias("tts"),
-            F.col("event_type").alias("touch_type"),
-        )
-        .withColumn(
-            "t_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
-        )
-    )
-    cond = (
-        (F.col("p_user") == F.col("t_user"))
-        & (F.col("p_salt") == F.col("t_salt"))
-        & (F.col("tts") <= F.col("pts"))
-        & (
-            F.col("tts")
-            >= F.col("pts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_DAYS} DAYS")
-        )
-    )
-    return p.join(t, cond, "left")
-
-
 def q_attribution_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``attribution_linear`` over the SKEW-SALTED pair join — the plan
     shape a hot-user key forces at 100 TB (one whale user's touches and
-    purchases all hash to one shuffle partition otherwise; see
-    ``_attribution_pairs_salted``). Output is byte-identical to
-    attribution_linear, checked against the SAME oracle."""
+    purchases all hash to one shuffle partition otherwise). AQE's
+    skew-join splitting cannot help there: it can split a skewed
+    PARTITION but never a single key, and attribution skew is exactly
+    one user_id key. Salting subdivides the key itself (see
+    ``_attribution_pairs``), trading a B× replication of the narrow
+    4-column touch side for B-way parallelism on the hot key — the
+    standard skew trade, sized by ATTR_SALT_BUCKETS. Output is
+    byte-identical to attribution_linear, checked against the SAME
+    oracle; the salt-in-join-key shape is plan-pinned in
+    tests/test_plans.py."""
     return _linear_split_rollup(
-        _attribution_pairs_salted(load_table(spark, sf_dir, "events"))
+        _attribution_pairs(
+            load_table(spark, sf_dir, "events"),
+            salt_buckets=ATTR_SALT_BUCKETS,
+        )
     )
 
 

@@ -85,6 +85,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # real timestamp. Integer `div` keeps full precision (a double
         # division would lose bits above 2^53).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return canonicalize(df, name)
+
+
+def canonicalize(df: DataFrame, name: str) -> DataFrame:
+    """Absorb physical-type drift in the driver-regenerated testdata by
+    casting to the table's canonical types. Shared by the batch reader
+    and the STREAMING sources (streaming/alerts.py) — a stream twin that
+    skipped this would silently diverge from its batch sibling's schema
+    the next time the generator changes a column's physical type
+    (precedent: embeddings.label moved string→int64)."""
     dtypes = dict(df.dtypes)
     drifted = {
         col: want

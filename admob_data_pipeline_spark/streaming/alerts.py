@@ -48,7 +48,10 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch read (pre-normalization — the testdata's TIMESTAMP(NANOS) column
     surfaces as bigint nanos) and the same ts normalization as
     ``load_table`` is applied on the stream."""
-    from admob_data_pipeline_spark.sources.tables import _read_parquet_nanosafe
+    from admob_data_pipeline_spark.sources.tables import (
+        _read_parquet_nanosafe,
+        canonicalize,
+    )
 
     raw = _read_parquet_nanosafe(spark, f"{sf_dir}/events.parquet")
     # the streaming file source requires a directory — point it at sf_dir
@@ -60,7 +63,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return canonicalize(stream, "events")
 
 
 def daily_rates_stream(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
@@ -676,15 +679,22 @@ ORDER BY date, format
 
 def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the parquet document corpus — same
-    schema-from-batch-read contract as ``_event_stream``."""
-    from admob_data_pipeline_spark.sources.tables import _read_parquet_nanosafe
+    schema-from-batch-read contract as ``_event_stream``, plus the batch
+    reader's canonical-type casts so the stream twin cannot diverge from
+    its batch sibling when the testdata generator changes a column's
+    physical type."""
+    from admob_data_pipeline_spark.sources.tables import (
+        _read_parquet_nanosafe,
+        canonicalize,
+    )
 
     raw = _read_parquet_nanosafe(spark, f"{sf_dir}/documents.parquet")
-    return (
+    stream = (
         spark.readStream.schema(raw.schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
+    return canonicalize(stream, "documents")
 
 
 def q_streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

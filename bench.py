@@ -86,6 +86,12 @@ EXTENDED = [
     "report_warehouse_network",
     "dedup_mutual_knn_clusters",
     "bm25_phrase_search",
+    # round-7 additions: one representative per new family (weighted
+    # largest-remainder attribution; mediation DPP scan; the skew-salted
+    # join shape — its delta vs attribution_linear is the salting price)
+    "attribution_position",
+    "mediation_dpp_join",
+    "attribution_salted",
 ]
 
 

@@ -485,6 +485,18 @@ def test_knn_graph_multiprobe_flips_lowest_margin_bit(spark):
     assert (2, 0) in pairs and (0, 2) not in pairs
 
 
+def test_knn_graph_rejects_more_probes_than_planes(spark):
+    """probes > planes_per_table has no p-th distinct bit to flip — the
+    generator must refuse with a clear error, not crash mid-SQL-text."""
+    import pytest
+
+    d = _emb(spark, [[1.0, 1.0], [1.0, 0.9]])
+    with pytest.raises(ValueError, match="planes_per_table"):
+        similarity.knn_graph(d, k=1, n_tables=1, planes_per_table=1, probes=2)
+    with pytest.raises(ValueError, match="at most 2 probes"):
+        similarity.knn_graph(d, k=1, n_tables=1, planes_per_table=4, probes=3)
+
+
 def test_knn_graph_second_probe_flips_second_lowest_bit(spark):
     """probes=2 adds the second-lowest-|margin| single-bit flip — pinned
     against the python reference on a pair reachable only via that
