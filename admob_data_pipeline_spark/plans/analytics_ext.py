@@ -4343,7 +4343,11 @@ ORDER BY day, touch_type
 
 
 def _attribution_weighted(
-    pairs: DataFrame, wgt: Column, label: Column, label_name: str
+    pairs: DataFrame,
+    wgt: Column,
+    label: Column,
+    label_name: str,
+    ordered: bool = True,
 ) -> DataFrame:
     """Shared EXACT weighted largest-remainder attribution core for the
     position and time-decay models (linear is the wgt=1 special case).
@@ -4388,14 +4392,11 @@ def _attribution_weighted(
         label.alias(label_name),
         credit.cast("long").alias("credit"),
     )
-    return (
-        labeled.groupBy("day", label_name)
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("credit").alias("credit_micros"),
-        )
-        .orderBy("day", label_name)
+    agg = labeled.groupBy("day", label_name).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("credit").alias("credit_micros"),
     )
+    return agg.orderBy("day", label_name) if ordered else agg
 
 
 def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4442,9 +4443,10 @@ _DECAY_WEIGHTS = {
 }
 
 
-def _decay_case(age_sql: str) -> str:
+def _decay_case(age_sql: str, weights: dict[int, int] | None = None) -> str:
     arms = " ".join(
-        f"WHEN {age_sql} = {a} THEN {w}" for a, w in _DECAY_WEIGHTS.items()
+        f"WHEN {age_sql} = {a} THEN {w}"
+        for a, w in (weights or _DECAY_WEIGHTS).items()
     )
     return f"(CASE {arms} ELSE 1 END)"
 
@@ -4513,11 +4515,13 @@ credited AS (
                 AS BIGINT) AS credit
     FROM ranked
 )
-SELECT day, {label_name}, COUNT(*) AS n_events,
+SELECT {extra}day, {label_name}, COUNT(*) AS n_events,
        CAST(SUM(credit) AS BIGINT) AS credit_micros
-FROM credited GROUP BY day, {label_name}
-ORDER BY day, {label_name}
+FROM credited GROUP BY day, {label_name}{order}
 """
+
+_DUCK_AGE_SQL = "date_diff('day', CAST(tts AS DATE), CAST(pts AS DATE))"
+_SPARK_AGE_SQL = "datediff(CAST(pts AS DATE), CAST(tts AS DATE))"
 
 _ORACLE_ATTR_POSITION = _ATTR_WEIGHTED_SQL.format(
     lookback=ATTR_LOOKBACK_DAYS,
@@ -4531,16 +4535,89 @@ _ORACLE_ATTR_POSITION = _ATTR_WEIGHTED_SQL.format(
         "WHEN rk = n THEN 'last' ELSE 'middle' END"
     ),
     label_name="position",
+    extra="",
+    order="\nORDER BY day, position",
 )
 
 _ORACLE_ATTR_TIMEDECAY = _ATTR_WEIGHTED_SQL.format(
     lookback=ATTR_LOOKBACK_DAYS,
-    wgt=_decay_case(
-        "date_diff('day', CAST(tts AS DATE), CAST(pts AS DATE))"
-    ),
+    wgt=_decay_case(_DUCK_AGE_SQL),
     label="COALESCE(touch_type, 'unattributed')",
     label_name="touch_type",
+    extra="",
+    order="\nORDER BY day, touch_type",
 )
+
+
+# Half-life sweep: integer weight tables floor(2^((lookback−age)/h) ·
+# SCALE) for each half-life h — the scale keeps slow decays (h=7)
+# discriminating after the floor while every weight stays an exact
+# integer, so the shared largest-remainder core conserves at every h.
+# Generated ONCE in Python; the literal CASE text is shared by both
+# engines verbatim.
+ATTR_DECAY_HALF_LIVES = (1, 2, 7)
+ATTR_DECAY_SCALE = 16
+
+
+def _sweep_weights(half_life: int) -> dict[int, int]:
+    return {
+        age: int(
+            2 ** ((ATTR_LOOKBACK_DAYS - age) / half_life) * ATTR_DECAY_SCALE
+        )
+        for age in range(ATTR_LOOKBACK_DAYS + 1)
+    }
+
+
+def q_attribution_decay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution swept across half-lives (1/2/7 days) in one
+    query — the tuning table an ads team reads before picking a decay
+    (the same audit-the-knob pattern as embedding_neardup_sweep). Each
+    half-life is the SAME weighted largest-remainder split with a
+    different integer weight CASE, so every row of the sweep conserves
+    micros exactly (test-pinned per half-life).
+
+    Scale: the pair join runs ONCE (checkpointed) and each half-life
+    branch is a window+rollup over the materialized pairs — the sweep
+    never re-joins the events table."""
+    pairs = _attribution_pairs(
+        load_table(spark, sf_dir, "events")
+    ).localCheckpoint()
+    label = F.coalesce(F.col("touch_type"), F.lit("unattributed"))
+    out = None
+    for h in ATTR_DECAY_HALF_LIVES:
+        wgt = F.expr(_decay_case(_SPARK_AGE_SQL, _sweep_weights(h)))
+        r = _attribution_weighted(
+            pairs, wgt, label, "touch_type", ordered=False
+        ).select(
+            F.lit(h).cast("int").alias("half_life_days"),
+            "day",
+            "touch_type",
+            "n_events",
+            "credit_micros",
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("half_life_days", "day", "touch_type")
+
+
+def _attr_sweep_oracle() -> str:
+    parts = []
+    for h in ATTR_DECAY_HALF_LIVES:
+        body = _ATTR_WEIGHTED_SQL.format(
+            lookback=ATTR_LOOKBACK_DAYS,
+            wgt=_decay_case(_DUCK_AGE_SQL, _sweep_weights(h)),
+            label="COALESCE(touch_type, 'unattributed')",
+            label_name="touch_type",
+            extra=f"CAST({h} AS INT) AS half_life_days, ",
+            order="",
+        )
+        parts.append(f"SELECT * FROM ({body})")
+    return (
+        "\nUNION ALL\n".join(parts)
+        + "\nORDER BY half_life_days, day, touch_type"
+    )
+
+
+_ORACLE_ATTR_DECAY_SWEEP = _attr_sweep_oracle()
 
 
 QUERIES = {
@@ -4556,6 +4633,7 @@ QUERIES = {
     "mediation_dpp_join": q_mediation_dpp_join,
     "mediation_rollup_grain": q_mediation_rollup_grain,
     "attribution_timedecay": q_attribution_timedecay,
+    "attribution_decay_sweep": q_attribution_decay_sweep,
     "network_dpp_join": q_network_dpp_join,
     "mediation_ecpm_rollup": q_mediation_ecpm_rollup,
     "mediation_fill_rate": q_mediation_fill_rate,
@@ -4630,6 +4708,7 @@ ORACLES = {
     "mediation_dpp_join": _ORACLE_MEDIATION_DPP,
     "mediation_rollup_grain": _ORACLE_MEDIATION_ROLLUP,
     "attribution_timedecay": _ORACLE_ATTR_TIMEDECAY,
+    "attribution_decay_sweep": _ORACLE_ATTR_DECAY_SWEEP,
     "network_dpp_join": _ORACLE_NETWORK_DPP,
     "mediation_ecpm_rollup": _ORACLE_MEDIATION_ECPM,
     "mediation_fill_rate": _ORACLE_MEDIATION_FILL,

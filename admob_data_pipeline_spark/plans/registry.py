@@ -363,6 +363,7 @@ FRESH_FIRST: tuple[str, ...] = (
     # driver-confirmed), so the growth freeze is lifted and the full
     # 50-slot window is free. New round-7 queries land here, newest
     # first.
+    "attribution_decay_sweep",
     "knn_probe_lift",
     "streaming_curation_gate",
     "attribution_salted",

@@ -619,6 +619,35 @@ def test_attribution_weighted_models_conserve_on_the_same_grid(spark):
         assert total == expect, q.__name__
 
 
+def test_attribution_decay_sweep_conserves_at_every_half_life(spark, sf_dir):
+    """Each half-life row set of the sweep must independently conserve
+    all purchase micros — the integer weight tables differ per h but the
+    largest-remainder core is exact for any of them."""
+    from pyspark.sql import functions as F
+
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        ATTR_DECAY_HALF_LIVES,
+        q_attribution_decay_sweep,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    out = q_attribution_decay_sweep(spark, sf_dir)
+    per_h = {
+        r.half_life_days: r.total
+        for r in out.groupBy("half_life_days")
+        .agg(F.sum("credit_micros").alias("total"))
+        .collect()
+    }
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .agg(F.sum(F.floor(F.col("value") * 1e6).cast("long")))
+        .first()[0]
+    )
+    assert set(per_h) == set(ATTR_DECAY_HALF_LIVES)
+    assert all(v == purchases for v in per_h.values()), per_h
+
+
 def test_attribution_position_u_shape_is_exactly_40_20_40(spark):
     """With n>=3 touches and an earn divisible by 5, the first and last
     positions take exactly 40% each and the middle pool exactly 20% —
