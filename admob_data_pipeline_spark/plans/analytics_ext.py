@@ -4620,6 +4620,149 @@ def _attr_sweep_oracle() -> str:
 _ORACLE_ATTR_DECAY_SWEEP = _attr_sweep_oracle()
 
 
+# --- bag-semantics reload reconciliation + null-safe joins -------------------
+
+
+def q_reload_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics reconciliation of two report extracts via EXCEPT
+    ALL — the row-grain complement to ``snapshot_diff``'s keyed
+    full-outer: the reference reloads each date partition idempotently
+    (main.py:89-109), and the audit for "did the reload reproduce the
+    extract" must respect DUPLICATE row multiplicity, which a DISTINCT
+    set difference or a keyed join can't see (two identical rows vs one
+    is a real reload bug with no key to join on). Extract A = the
+    orders projection; extract B = the same projection with a
+    deterministic restatement (price bumped 1 cent on o_orderkey % 97 =
+    0) and a dropped slice (% 89 = 0): A EXCEPT ALL B surfaces each
+    removed/changed occurrence, B EXCEPT ALL A each added one, rolled up
+    per side and order date.
+
+    Scale: Spark plans ExceptAll as a count-tagged aggregation over the
+    union — ONE shuffle on the full row as key, no driver state; the
+    rollup is calendar-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("odate"),
+        _cents("o_totalprice").alias("price_c"),
+    )
+    a = base
+    b = base.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        "odate",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("price_c") + 1
+        )
+        .otherwise(F.col("price_c"))
+        .alias("price_c"),
+    )
+    only_a = a.exceptAll(b).select(
+        F.lit("only_in_old").alias("side"), "odate"
+    )
+    only_b = b.exceptAll(a).select(
+        F.lit("only_in_new").alias("side"), "odate"
+    )
+    return (
+        only_a.unionByName(only_b)
+        .groupBy("side", "odate")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("side", "odate")
+    )
+
+
+_ORACLE_RELOAD_RECONCILE = """
+WITH base AS (
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders
+),
+b AS (
+    SELECT o_orderkey, odate,
+           CASE WHEN o_orderkey % 97 = 0 THEN price_c + 1 ELSE price_c END
+               AS price_c
+    FROM base WHERE o_orderkey % 89 <> 0
+),
+only_a AS (
+    SELECT 'only_in_old' AS side, odate FROM (
+        SELECT * FROM base EXCEPT ALL SELECT * FROM b
+    )
+),
+only_b AS (
+    SELECT 'only_in_new' AS side, odate FROM (
+        SELECT * FROM b EXCEPT ALL SELECT * FROM base
+    )
+)
+SELECT side, odate, COUNT(*) AS n_rows
+FROM (SELECT * FROM only_a UNION ALL SELECT * FROM only_b)
+GROUP BY side, odate
+ORDER BY side, odate
+"""
+
+
+def q_nullsafe_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day earn per campaign with a NULL-SAFE self-join (<=>):
+    the campaign dimension is nullable (NULL = organic traffic,
+    user_id % 5 = 0), and a plain equi-join silently DROPS the organic
+    group from every day-over-day comparison because NULL = NULL is not
+    true — the classic nullable-dimension reporting bug. Spark's
+    eqNullSafe join key (DuckDB: IS NOT DISTINCT FROM) keeps organic
+    comparable like any other campaign.
+
+    Scale: both sides are the SAME (date, campaign) rollup — grain
+    bounded by calendar × campaign domain; the join broadcasts one
+    grain-sized side."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("date"),
+        F.when(
+            F.col("user_id") % 5 == 0, F.lit(None).cast("string")
+        )
+        .otherwise(F.concat(F.lit("c"), (F.col("user_id") % 5).cast("string")))
+        .alias("campaign"),
+    ).agg(F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("earn"))
+    today = daily.select(
+        "date", "campaign", F.col("earn").alias("earn_today")
+    )
+    prev = daily.select(
+        F.date_add(F.col("date"), 1).alias("date"),
+        "campaign",
+        F.col("earn").alias("earn_prev"),
+    )
+    return (
+        today.join(
+            prev,
+            (today["date"] == prev["date"])
+            & today["campaign"].eqNullSafe(prev["campaign"]),
+        )
+        .select(
+            today["date"],
+            today["campaign"],
+            "earn_today",
+            "earn_prev",
+            (F.col("earn_today") - F.col("earn_prev")).alias("delta_micros"),
+        )
+        .orderBy("date", "campaign")
+    )
+
+
+_ORACLE_NULLSAFE_DOD = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS date,
+           CASE WHEN user_id % 5 = 0 THEN NULL
+                ELSE 'c' || CAST(user_id % 5 AS VARCHAR) END AS campaign,
+           CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS earn
+    FROM events GROUP BY 1, 2
+)
+SELECT t.date, t.campaign,
+       t.earn AS earn_today, p.earn AS earn_prev,
+       CAST(t.earn - p.earn AS BIGINT) AS delta_micros
+FROM daily t JOIN daily p
+  ON t.date = p.date + INTERVAL 1 DAY
+ AND t.campaign IS NOT DISTINCT FROM p.campaign
+ORDER BY t.date, t.campaign
+"""
+
+
 QUERIES = {
     "report_warehouse_mediation": q_report_warehouse_mediation,
     "report_warehouse_network": q_report_warehouse_network,
@@ -4634,6 +4777,8 @@ QUERIES = {
     "mediation_rollup_grain": q_mediation_rollup_grain,
     "attribution_timedecay": q_attribution_timedecay,
     "attribution_decay_sweep": q_attribution_decay_sweep,
+    "reload_reconcile": q_reload_reconcile,
+    "nullsafe_day_over_day": q_nullsafe_day_over_day,
     "network_dpp_join": q_network_dpp_join,
     "mediation_ecpm_rollup": q_mediation_ecpm_rollup,
     "mediation_fill_rate": q_mediation_fill_rate,
@@ -4709,6 +4854,8 @@ ORACLES = {
     "mediation_rollup_grain": _ORACLE_MEDIATION_ROLLUP,
     "attribution_timedecay": _ORACLE_ATTR_TIMEDECAY,
     "attribution_decay_sweep": _ORACLE_ATTR_DECAY_SWEEP,
+    "reload_reconcile": _ORACLE_RELOAD_RECONCILE,
+    "nullsafe_day_over_day": _ORACLE_NULLSAFE_DOD,
     "network_dpp_join": _ORACLE_NETWORK_DPP,
     "mediation_ecpm_rollup": _ORACLE_MEDIATION_ECPM,
     "mediation_fill_rate": _ORACLE_MEDIATION_FILL,

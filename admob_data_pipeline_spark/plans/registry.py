@@ -363,6 +363,8 @@ FRESH_FIRST: tuple[str, ...] = (
     # driver-confirmed), so the growth freeze is lifted and the full
     # 50-slot window is free. New round-7 queries land here, newest
     # first.
+    "reload_reconcile",
+    "nullsafe_day_over_day",
     "attribution_decay_sweep",
     "knn_probe_lift",
     "streaming_curation_gate",
