@@ -4745,6 +4745,175 @@ def q_nullsafe_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- native Python DataSource (the report API as a Spark source) ------------
+
+
+def _report_source_df(spark: SparkSession, n_days: int):
+    from admob_data_pipeline_spark.sources.report_datasource import (
+        register_report_source,
+    )
+
+    register_report_source(spark)
+    return (
+        spark.read.format("admob_report").option("n_days", n_days).load()
+    )
+
+
+REPORT_SOURCE_DAYS = 14
+
+
+def q_report_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report API read through the NATIVE PySpark DataSource
+    (sources/report_datasource.py) — the reference's fetch_report.py
+    surface as ``spark.read.format("admob_report")`` — rolled up to the
+    (date, app) grain with the exact integer two-stage-ppm match rate.
+    The payload is a deterministic formula, so the oracle re-derives it
+    from generate_series: the SOURCE itself is value-hash-gated.
+    (sf_dir is unused: the source is the fixture.)
+
+    Scale: one InputPartition per (date, app) = the API request grain —
+    the fetch fans out across executors with no coordinator state."""
+    df = _report_source_df(spark, REPORT_SOURCE_DAYS)
+    return (
+        df.groupBy("date", "app_name")
+        .agg(
+            F.sum("ad_requests").alias("ad_requests"),
+            F.sum("matched_requests").alias("matched_requests"),
+            F.sum("impressions").alias("impressions"),
+            F.sum("clicks").alias("clicks"),
+            F.sum("earn_micros").alias("earn_micros"),
+        )
+        .withColumn(
+            "match_rate_ppm",
+            F.expr(
+                "matched_requests * 1000000 DIV NULLIF(ad_requests, 0)"
+            ).cast("long"),
+        )
+        .orderBy("date", "app_name")
+    )
+
+
+def q_report_source_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spec's dateRange + app dimensionFilter pushed INTO the Python
+    DataSource: the date-between and app equality below reach
+    ``AdMobReportReader.pushFilters`` and prune fetch partitions (5 days
+    × 1 app = 5 requests instead of 28 — test-pinned via
+    getNumPartitions), while the clicks predicate is returned to Spark
+    as a residual. This is S1's dateRange/dimensionFilters contract
+    (fetch_report.py:21-77) enforced at the SOURCE, not after the
+    fetch."""
+    import datetime
+
+    df = _report_source_df(spark, REPORT_SOURCE_DAYS)
+    return (
+        df.where(
+            (F.col("date") >= F.lit(datetime.date(2024, 1, 4)))
+            & (F.col("date") <= F.lit(datetime.date(2024, 1, 8)))
+            & (F.col("app_name") == "app-a")
+            & (F.col("clicks") > 0)
+        )
+        .groupBy("date", "ad_unit_name")
+        .agg(
+            F.sum("clicks").alias("clicks"),
+            F.sum("earn_micros").alias("earn_micros"),
+        )
+        .orderBy("date", "ad_unit_name")
+    )
+
+
+def q_streaming_report_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME report source consumed as a STREAM
+    (SimpleDataSourceStreamReader): the offset is the next unfetched
+    day, each poll catches up all newly available dates, and
+    availableNow drains the full range — so the streamed rows equal the
+    batch read row-for-row and this query shares q_report_source_scan's
+    oracle VERBATIM (single-sourcing proven at the SOURCE level, not
+    just the transform level)."""
+    from admob_data_pipeline_spark.sources.report_datasource import (
+        register_report_source,
+    )
+    from admob_data_pipeline_spark.streaming.alerts import run_available_now
+
+    register_report_source(spark)
+    stream = (
+        spark.readStream.format("admob_report")
+        .option("n_days", REPORT_SOURCE_DAYS)
+        .load()
+    )
+    out = run_available_now(stream, output_mode="append")
+    return (
+        out.groupBy("date", "app_name")
+        .agg(
+            F.sum("ad_requests").alias("ad_requests"),
+            F.sum("matched_requests").alias("matched_requests"),
+            F.sum("impressions").alias("impressions"),
+            F.sum("clicks").alias("clicks"),
+            F.sum("earn_micros").alias("earn_micros"),
+        )
+        .withColumn(
+            "match_rate_ppm",
+            F.expr(
+                "matched_requests * 1000000 DIV NULLIF(ad_requests, 0)"
+            ).cast("long"),
+        )
+        .orderBy("date", "app_name")
+    )
+
+
+# The oracle re-derives the deterministic payload from generate_series —
+# the same integer formulas as report_datasource.report_rows, stepwise
+# CTEs so each funnel hop mirrors one Python expression.
+_REPORT_CELLS_SQL = f"""
+g AS (
+    SELECT d.d AS d, a.a AS a, u.u AS u
+    FROM generate_series(0, {REPORT_SOURCE_DAYS - 1}) AS d(d),
+         generate_series(0, 1) AS a(a),
+         generate_series(0, 3) AS u(u)
+),
+c1 AS (SELECT *, 2 + (d * 31 + a * 7 + u * 3) % 5 AS req FROM g),
+c2 AS (SELECT *, req - (d + u) % 2 AS matched FROM c1),
+c3 AS (SELECT *, matched - (d + a) % 2 AS imps FROM c2),
+c4 AS (SELECT *, LEAST(imps, (d * 5 + u) % 3) AS clk FROM c3),
+cells AS (
+    SELECT DATE '2024-01-01' + CAST(d AS INT) AS date,
+           'app-' || chr(97 + CAST(a AS INT)) AS app_name,
+           'unit-' || CAST(u AS VARCHAR) AS ad_unit_name,
+           CAST(req AS BIGINT) AS ad_requests,
+           CAST(matched AS BIGINT) AS matched_requests,
+           CAST(imps AS BIGINT) AS impressions,
+           CAST(clk AS BIGINT) AS clicks,
+           CAST(clk * (1000 + (u * 137) % 500) AS BIGINT) AS earn_micros
+    FROM c4
+)
+"""
+
+_ORACLE_REPORT_SOURCE_SCAN = f"""
+WITH {_REPORT_CELLS_SQL}
+SELECT date, app_name,
+       CAST(SUM(ad_requests) AS BIGINT) AS ad_requests,
+       CAST(SUM(matched_requests) AS BIGINT) AS matched_requests,
+       CAST(SUM(impressions) AS BIGINT) AS impressions,
+       CAST(SUM(clicks) AS BIGINT) AS clicks,
+       CAST(SUM(earn_micros) AS BIGINT) AS earn_micros,
+       CAST(SUM(matched_requests) * 1000000
+            // NULLIF(SUM(ad_requests), 0) AS BIGINT) AS match_rate_ppm
+FROM cells GROUP BY date, app_name
+ORDER BY date, app_name
+"""
+
+_ORACLE_REPORT_SOURCE_PUSHDOWN = f"""
+WITH {_REPORT_CELLS_SQL}
+SELECT date, ad_unit_name,
+       CAST(SUM(clicks) AS BIGINT) AS clicks,
+       CAST(SUM(earn_micros) AS BIGINT) AS earn_micros
+FROM cells
+WHERE date BETWEEN DATE '2024-01-04' AND DATE '2024-01-08'
+  AND app_name = 'app-a' AND clicks > 0
+GROUP BY date, ad_unit_name
+ORDER BY date, ad_unit_name
+"""
+
+
 _ORACLE_NULLSAFE_DOD = """
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS date,
@@ -4779,6 +4948,9 @@ QUERIES = {
     "attribution_decay_sweep": q_attribution_decay_sweep,
     "reload_reconcile": q_reload_reconcile,
     "nullsafe_day_over_day": q_nullsafe_day_over_day,
+    "report_source_scan": q_report_source_scan,
+    "report_source_pushdown": q_report_source_pushdown,
+    "streaming_report_source": q_streaming_report_source,
     "network_dpp_join": q_network_dpp_join,
     "mediation_ecpm_rollup": q_mediation_ecpm_rollup,
     "mediation_fill_rate": q_mediation_fill_rate,
@@ -4856,6 +5028,9 @@ ORACLES = {
     "attribution_decay_sweep": _ORACLE_ATTR_DECAY_SWEEP,
     "reload_reconcile": _ORACLE_RELOAD_RECONCILE,
     "nullsafe_day_over_day": _ORACLE_NULLSAFE_DOD,
+    "report_source_scan": _ORACLE_REPORT_SOURCE_SCAN,
+    "report_source_pushdown": _ORACLE_REPORT_SOURCE_PUSHDOWN,
+    "streaming_report_source": _ORACLE_REPORT_SOURCE_SCAN,
     "network_dpp_join": _ORACLE_NETWORK_DPP,
     "mediation_ecpm_rollup": _ORACLE_MEDIATION_ECPM,
     "mediation_fill_rate": _ORACLE_MEDIATION_FILL,
