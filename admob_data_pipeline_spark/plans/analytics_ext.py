@@ -4860,6 +4860,41 @@ def q_streaming_report_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_report_sink_python_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The WRITE path of the Python DataSource: the scan rollup goes out
+    through ``AdMobReportWriter`` — per-task JSONL spool files, a
+    driver-side two-phase commit that publishes them plus a ``_SUCCESS``
+    manifest (the reference's stage-then-atomic-load-job shape,
+    save_CSV.py:192-216) — and is read back THROUGH THE MANIFEST with
+    schema enforcement. A hash match against the scan oracle proves the
+    custom sink is lossless and that the commit protocol published
+    exactly the committed tasks' rows (a double-publish or a leaked
+    staging file fails the hash)."""
+    import json
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="pyds_sink_")
+    df = q_report_source_scan(spark, sf_dir)
+    df.write.format("admob_report").option("path", out).mode("append").save()
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(out, f["file"]) for f in manifest["files"]]
+    back = spark.read.json(files)
+    return back.select(
+        F.col("date").cast("date").alias("date"),
+        "app_name",
+        F.col("ad_requests").cast("long").alias("ad_requests"),
+        F.col("matched_requests").cast("long").alias("matched_requests"),
+        F.col("impressions").cast("long").alias("impressions"),
+        F.col("clicks").cast("long").alias("clicks"),
+        F.col("earn_micros").cast("long").alias("earn_micros"),
+        F.col("match_rate_ppm").cast("long").alias("match_rate_ppm"),
+    ).orderBy("date", "app_name")
+
+
 # The oracle re-derives the deterministic payload from generate_series —
 # the same integer formulas as report_datasource.report_rows, stepwise
 # CTEs so each funnel hop mirrors one Python expression.
@@ -4951,6 +4986,7 @@ QUERIES = {
     "report_source_scan": q_report_source_scan,
     "report_source_pushdown": q_report_source_pushdown,
     "streaming_report_source": q_streaming_report_source,
+    "report_sink_python_roundtrip": q_report_sink_python_roundtrip,
     "network_dpp_join": q_network_dpp_join,
     "mediation_ecpm_rollup": q_mediation_ecpm_rollup,
     "mediation_fill_rate": q_mediation_fill_rate,
@@ -5031,6 +5067,7 @@ ORACLES = {
     "report_source_scan": _ORACLE_REPORT_SOURCE_SCAN,
     "report_source_pushdown": _ORACLE_REPORT_SOURCE_PUSHDOWN,
     "streaming_report_source": _ORACLE_REPORT_SOURCE_SCAN,
+    "report_sink_python_roundtrip": _ORACLE_REPORT_SOURCE_SCAN,
     "network_dpp_join": _ORACLE_NETWORK_DPP,
     "mediation_ecpm_rollup": _ORACLE_MEDIATION_ECPM,
     "mediation_fill_rate": _ORACLE_MEDIATION_FILL,

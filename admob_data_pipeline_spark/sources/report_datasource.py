@@ -37,6 +37,7 @@ import datetime
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -45,6 +46,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 BASE_DATE = datetime.date(2024, 1, 1)
@@ -193,6 +195,69 @@ class AdMobReportStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+class _SpoolCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file and its row count."""
+
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class AdMobReportWriter(DataSourceWriter):
+    """Two-phase-commit JSONL upload writer — the reference's batch
+    upload shape (save_CSV.py stages a local file, then issues one
+    atomic load job): each task spools its rows to ``_staging`` and
+    returns a commit message; ONLY the driver-side ``commit`` publishes
+    the staged files into the target directory plus a ``_SUCCESS``
+    manifest listing them with row counts — so a reader that honors the
+    manifest never sees a partially-written batch, and ``abort`` removes
+    the staging leftovers. On a cluster the spool directory is shared
+    storage (GCS/S3/HDFS); the protocol is identical."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _SpoolCommit(fname, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        published = []
+        for m in messages:
+            if m is None or m.n_rows == 0:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+                continue
+            final = os.path.join(self.path, os.path.basename(m.path))
+            os.replace(m.path, final)
+            published.append(
+                {"file": os.path.basename(final), "n_rows": m.n_rows}
+            )
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            json.dump({"files": published}, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class AdMobReportDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -206,6 +271,9 @@ class AdMobReportDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return AdMobReportStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return AdMobReportWriter(self.options)
 
 
 def register_report_source(spark) -> None:

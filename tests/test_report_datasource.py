@@ -80,6 +80,48 @@ def test_stream_equals_batch_row_for_row(spark):
     )
 
 
+def test_writer_two_phase_commit_publishes_only_committed_rows(spark, tmp_path):
+    """The sink must stage per-task files, publish them only at commit,
+    list them in the _SUCCESS manifest with row counts, and drop
+    empty-task spool files instead of publishing them."""
+    import json
+    import os
+
+    register_report_source(spark)
+    df = _read(spark, 3).repartition(4)  # > row groups → some empty tasks
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    df.write.format("admob_report").option("path", out).mode("append").save()
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        manifest = json.load(fh)
+    assert sum(f["n_rows"] for f in manifest["files"]) == 3 * N_APPS * N_UNITS
+    published = {f["file"] for f in manifest["files"]}
+    on_disk = {
+        f for f in os.listdir(out) if f.endswith(".jsonl")
+    }
+    assert published == on_disk  # nothing leaked, nothing missing
+    staging = os.path.join(out, "_staging")
+    assert not os.path.exists(staging) or not os.listdir(staging)
+
+
+def test_writer_abort_cleans_staging(tmp_path):
+    """abort() must remove every staged file the failed job left."""
+    import os
+
+    from admob_data_pipeline_spark.sources.report_datasource import (
+        AdMobReportWriter,
+        _SpoolCommit,
+    )
+
+    out = str(tmp_path / "sink")
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging)
+    leftover = os.path.join(staging, "part-x.jsonl")
+    open(leftover, "w").write("{}\n")
+    AdMobReportWriter({"path": out}).abort([_SpoolCommit(leftover, 1), None])
+    assert not os.path.exists(leftover)
+
+
 def test_reader_rejects_nothing_it_cannot_honor():
     """pushFilters must return (by reference) every filter it does not
     fully honor — here an unsupported shape on a pushable column."""
