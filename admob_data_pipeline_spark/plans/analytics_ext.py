@@ -4895,6 +4895,78 @@ def q_report_sink_python_roundtrip(
     ).orderBy("date", "app_name")
 
 
+def q_streaming_report_sink_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-in, stream-out through the Python DataSource: the report
+    STREAM is written back out through ``AdMobReportStreamWriter`` —
+    the same spool/publish two-phase commit as the batch sink, committed
+    PER EPOCH under ``_SUCCESS_epoch_{batchId}`` — then read back
+    through the union of epoch manifests and rolled up. A hash match
+    against the scan oracle proves the epoch-commit protocol published
+    every streamed row exactly once (a replayed or lost epoch fails the
+    hash)."""
+    import glob
+    import json
+    import os
+    import tempfile
+
+    from admob_data_pipeline_spark.sources.report_datasource import (
+        register_report_source,
+    )
+
+    register_report_source(spark)
+    out = tempfile.mkdtemp(prefix="pyds_stream_sink_")
+    stream = (
+        spark.readStream.format("admob_report")
+        .option("n_days", REPORT_SOURCE_DAYS)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("admob_report")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pyds_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    files = []
+    for manifest in glob.glob(os.path.join(out, "_SUCCESS_epoch_*")):
+        with open(manifest) as fh:
+            files.extend(
+                os.path.join(out, f["file"])
+                for f in json.load(fh)["files"]
+            )
+    back = spark.read.json(files)
+    return (
+        back.select(
+            F.col("date").cast("date").alias("date"),
+            "app_name",
+            F.col("ad_requests").cast("long").alias("ad_requests"),
+            F.col("matched_requests").cast("long").alias("matched_requests"),
+            F.col("impressions").cast("long").alias("impressions"),
+            F.col("clicks").cast("long").alias("clicks"),
+            F.col("earn_micros").cast("long").alias("earn_micros"),
+        )
+        .groupBy("date", "app_name")
+        .agg(
+            F.sum("ad_requests").alias("ad_requests"),
+            F.sum("matched_requests").alias("matched_requests"),
+            F.sum("impressions").alias("impressions"),
+            F.sum("clicks").alias("clicks"),
+            F.sum("earn_micros").alias("earn_micros"),
+        )
+        .withColumn(
+            "match_rate_ppm",
+            F.expr(
+                "matched_requests * 1000000 DIV NULLIF(ad_requests, 0)"
+            ).cast("long"),
+        )
+        .orderBy("date", "app_name")
+    )
+
+
 # The oracle re-derives the deterministic payload from generate_series —
 # the same integer formulas as report_datasource.report_rows, stepwise
 # CTEs so each funnel hop mirrors one Python expression.
@@ -4987,6 +5059,7 @@ QUERIES = {
     "report_source_pushdown": q_report_source_pushdown,
     "streaming_report_source": q_streaming_report_source,
     "report_sink_python_roundtrip": q_report_sink_python_roundtrip,
+    "streaming_report_sink_roundtrip": q_streaming_report_sink_roundtrip,
     "network_dpp_join": q_network_dpp_join,
     "mediation_ecpm_rollup": q_mediation_ecpm_rollup,
     "mediation_fill_rate": q_mediation_fill_rate,
@@ -5068,6 +5141,7 @@ ORACLES = {
     "report_source_pushdown": _ORACLE_REPORT_SOURCE_PUSHDOWN,
     "streaming_report_source": _ORACLE_REPORT_SOURCE_SCAN,
     "report_sink_python_roundtrip": _ORACLE_REPORT_SOURCE_SCAN,
+    "streaming_report_sink_roundtrip": _ORACLE_REPORT_SOURCE_SCAN,
     "network_dpp_join": _ORACLE_NETWORK_DPP,
     "mediation_ecpm_rollup": _ORACLE_MEDIATION_ECPM,
     "mediation_fill_rate": _ORACLE_MEDIATION_FILL,

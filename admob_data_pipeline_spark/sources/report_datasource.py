@@ -37,6 +37,7 @@ import datetime
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -154,9 +155,33 @@ class AdMobReportReader(DataSourceReader):
         return parts or [FetchPartition(-1, -1)]
 
     def read(self, part: FetchPartition):
+        """Yields ONE Arrow RecordBatch per fetch — the vectorized
+        transfer path (Arrow batches cross the Python-worker boundary
+        zero-copy; yielding tuples would serialize row-at-a-time via
+        pickle, the known 10-100× slow path for Python sources). The
+        stream reader keeps the row path: its per-poll volume is the
+        catch-up window, not a scan."""
         if part is None or part.day < 0:
             return
-        yield from report_rows(part.day, part.app)
+        import pyarrow as pa
+
+        rows = report_rows(part.day, part.app)
+        schema = pa.schema(
+            [
+                ("date", pa.date32()),
+                ("app_name", pa.string()),
+                ("ad_unit_name", pa.string()),
+                ("ad_requests", pa.int64()),
+                ("matched_requests", pa.int64()),
+                ("impressions", pa.int64()),
+                ("clicks", pa.int64()),
+                ("earn_micros", pa.int64()),
+            ]
+        )
+        names = schema.names
+        yield pa.RecordBatch.from_pylist(
+            [dict(zip(names, r)) for r in rows], schema=schema
+        )
 
 
 class AdMobReportStreamReader(SimpleDataSourceStreamReader):
@@ -203,59 +228,99 @@ class _SpoolCommit(WriterCommitMessage):
         self.n_rows = n_rows
 
 
+def _spool_rows(path: str, iterator) -> "_SpoolCommit":
+    """Task-side half of the two-phase commit: spool rows to _staging,
+    return the file + count. Shared by the batch and streaming
+    writers."""
+    import json
+    import os
+    import uuid
+
+    staging = os.path.join(path, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    fname = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+    n = 0
+    with open(fname, "w") as fh:
+        for row in iterator:
+            fh.write(json.dumps(row.asDict(), default=str) + "\n")
+            n += 1
+    return _SpoolCommit(fname, n)
+
+
+def _publish(path: str, messages, manifest: str) -> None:
+    """Driver-side half: atomically move committed tasks' spool files
+    into the target and write the named manifest listing them with row
+    counts — a reader that honors the manifest never sees a
+    partially-written batch/epoch. Empty-task spools are dropped."""
+    import json
+    import os
+
+    published = []
+    for m in messages:
+        if m is None or m.n_rows == 0:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+            continue
+        final = os.path.join(path, os.path.basename(m.path))
+        os.replace(m.path, final)
+        published.append(
+            {"file": os.path.basename(final), "n_rows": m.n_rows}
+        )
+    with open(os.path.join(path, manifest), "w") as fh:
+        json.dump({"files": published}, fh)
+
+
+def _discard(messages) -> None:
+    import os
+
+    for m in messages:
+        if m is not None and os.path.exists(m.path):
+            os.remove(m.path)
+
+
 class AdMobReportWriter(DataSourceWriter):
     """Two-phase-commit JSONL upload writer — the reference's batch
     upload shape (save_CSV.py stages a local file, then issues one
     atomic load job): each task spools its rows to ``_staging`` and
     returns a commit message; ONLY the driver-side ``commit`` publishes
     the staged files into the target directory plus a ``_SUCCESS``
-    manifest listing them with row counts — so a reader that honors the
-    manifest never sees a partially-written batch, and ``abort`` removes
-    the staging leftovers. On a cluster the spool directory is shared
-    storage (GCS/S3/HDFS); the protocol is identical."""
+    manifest. On a cluster the spool directory is shared storage
+    (GCS/S3/HDFS); the protocol is identical."""
 
     def __init__(self, options):
         self.path = options["path"]
 
     def write(self, iterator):
-        import json
-        import os
-        import uuid
-
-        staging = os.path.join(self.path, "_staging")
-        os.makedirs(staging, exist_ok=True)
-        fname = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
-        n = 0
-        with open(fname, "w") as fh:
-            for row in iterator:
-                fh.write(json.dumps(row.asDict(), default=str) + "\n")
-                n += 1
-        return _SpoolCommit(fname, n)
+        return _spool_rows(self.path, iterator)
 
     def commit(self, messages):
-        import json
-        import os
-
-        published = []
-        for m in messages:
-            if m is None or m.n_rows == 0:
-                if m is not None and os.path.exists(m.path):
-                    os.remove(m.path)
-                continue
-            final = os.path.join(self.path, os.path.basename(m.path))
-            os.replace(m.path, final)
-            published.append(
-                {"file": os.path.basename(final), "n_rows": m.n_rows}
-            )
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
-            json.dump({"files": published}, fh)
+        _publish(self.path, messages, "_SUCCESS")
 
     def abort(self, messages):
-        import os
+        _discard(messages)
 
-        for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+
+class AdMobReportStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of the batch writer: the SAME spool/publish
+    protocol, committed PER EPOCH — each micro-batch's tasks spool, and
+    the engine-driven ``commit(messages, batchId)`` publishes them under
+    ``_SUCCESS_epoch_{batchId}``. A failed epoch is aborted (staging
+    discarded) and replayed by the engine from the checkpoint, so a
+    manifest-honoring reader sees each epoch exactly once — the
+    exactly-once sink contract built from the same two primitives as
+    the batch path."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        return _spool_rows(self.path, iterator)
+
+    def commit(self, messages, batchId):
+        _publish(self.path, messages, f"_SUCCESS_epoch_{batchId}")
+
+    def abort(self, messages, batchId):
+        _discard(messages)
 
 
 class AdMobReportDataSource(DataSource):
@@ -274,6 +339,9 @@ class AdMobReportDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return AdMobReportWriter(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return AdMobReportStreamWriter(self.options)
 
 
 def register_report_source(spark) -> None:

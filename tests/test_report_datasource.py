@@ -104,6 +104,46 @@ def test_writer_two_phase_commit_publishes_only_committed_rows(spark, tmp_path):
     assert not os.path.exists(staging) or not os.listdir(staging)
 
 
+def test_stream_writer_commits_per_epoch_manifest(spark, tmp_path):
+    """The streaming sink must publish each micro-batch under its own
+    _SUCCESS_epoch_{id} manifest, rows covered exactly once across
+    epochs, staging left empty."""
+    import glob
+    import json
+    import os
+    import tempfile
+
+    register_report_source(spark)
+    out = str(tmp_path / "stream_sink")
+    os.makedirs(out)
+    stream = (
+        spark.readStream.format("admob_report").option("n_days", 4).load()
+    )
+    q = (
+        stream.writeStream.format("admob_report")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    manifests = glob.glob(os.path.join(out, "_SUCCESS_epoch_*"))
+    assert manifests, "at least one epoch manifest"
+    total = 0
+    listed = set()
+    for m in manifests:
+        with open(m) as fh:
+            for f in json.load(fh)["files"]:
+                total += f["n_rows"]
+                listed.add(f["file"])
+    assert total == 4 * N_APPS * N_UNITS
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert listed == on_disk
+    staging = os.path.join(out, "_staging")
+    assert not os.path.exists(staging) or not os.listdir(staging)
+
+
 def test_writer_abort_cleans_staging(tmp_path):
     """abort() must remove every staged file the failed job left."""
     import os
