@@ -390,6 +390,92 @@ def q_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_gate(load_table(spark, sf_dir, "documents"))
 
 
+# --- classifier-based quality filtering (the CCNet/FineWeb inference path)
+
+QC_DIM = 1024  # hashed feature buckets
+QC_WEIGHT_RANGE = 1000  # weights in [-1000, 1000] milli-units
+QC_BIAS_MILLI = -1500  # negative prior: empty/feature-poor docs fail
+QC_MULT = 2654435761  # Knuth multiplicative hash constant
+
+
+def quality_classifier_scores(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Classifier-based quality filtering — the INFERENCE half of the
+    CCNet/FineWeb pipeline stage that the rule gate (curation_gate)
+    complements: a hashed linear model over word-BIGRAM features
+    (fastText's architecture: bag of hashed n-grams → linear layer),
+    scored entirely in integer milli-units so the keep/drop decision is
+    exact on any engine and any partitioning. Training happens offline;
+    what a 100 TB pipeline runs per document is exactly this map-only
+    pass. The deterministic weight table stands in for trained weights:
+    w(b) = (b·KNUTH) mod (2R+1) − R over QC_DIM buckets — the SERVING
+    data flow (hash → lookup → sum → threshold) is the real contract,
+    test-pinned and oracle-gated; swapping in trained weights is a
+    broadcast-table change, not a plan change.
+
+    Scale: no explode, no shuffle, no UDF — per-row array transform +
+    integer fold fused into whole-stage codegen, exactly like the rule
+    gate."""
+    docs = widen_if_narrow(docs)
+    grams = shingles(tokens(F.col(text_col)), 2)
+    # per feature: bucket = md5-hash mod DIM, then the deterministic
+    # weight (bucket·KNUTH) mod (2R+1) − R, all in one transform lambda
+    contribs = F.transform(
+        grams,
+        lambda x: (
+            (
+                F.conv(F.substring(F.md5(x), 1, 13), 16, 10).cast("long")
+                % QC_DIM
+            )
+            * QC_MULT
+            % (2 * QC_WEIGHT_RANGE + 1)
+            - QC_WEIGHT_RANGE
+        ).cast("long"),
+    )
+    logit = F.lit(QC_BIAS_MILLI).cast("long") + F.aggregate(
+        contribs, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return docs.select(
+        "doc_id",
+        F.size(grams).cast("int").alias("n_feats"),
+        logit.alias("logit_milli"),
+        (logit > 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_classifier_scores(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_QUALITY_CLASSIFIER = f"""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+g AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 2
+                THEN [array_to_string(toks[i:i+1], ' ')
+                      FOR i IN generate_series(1, len(toks) - 1)]
+                ELSE [] END AS grams
+    FROM t
+),
+s AS (
+    SELECT doc_id, len(grams) AS n_feats,
+           {QC_BIAS_MILLI} + COALESCE(list_sum(list_transform(grams, x ->
+               (CAST('0x' || substr(md5(x), 1, 13) AS BIGINT) % {QC_DIM})
+               * {QC_MULT} % {2 * QC_WEIGHT_RANGE + 1}
+               - {QC_WEIGHT_RANGE})), 0) AS logit_milli
+    FROM g
+)
+SELECT doc_id, CAST(n_feats AS INT) AS n_feats,
+       CAST(logit_milli AS BIGINT) AS logit_milli,
+       logit_milli > 0 AS keep
+FROM s
+ORDER BY doc_id
+"""
+
+
 def _curation_gate_oracle() -> str:
     from admob_data_pipeline_spark.operators.text import STOPWORDS
 
@@ -1484,6 +1570,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "bm25_search_and": q_bm25_search_and,
     "curation_gate": q_curation_gate,
+    "quality_classifier": q_quality_classifier,
     "bm25_phrase_search": q_bm25_phrase_search,
     "text_lm_score": q_lm_score,
     "source_divergence": q_source_divergence,
@@ -1504,6 +1591,7 @@ ORACLES = {
     "bm25_search": _ORACLE_BM25_SEARCH,
     "bm25_search_and": _ORACLE_BM25_SEARCH_AND,
     "curation_gate": _ORACLE_CURATION_GATE,
+    "quality_classifier": _ORACLE_QUALITY_CLASSIFIER,
     "bm25_phrase_search": _ORACLE_BM25_PHRASE,
     "text_lm_score": _ORACLE_LM,
     "source_divergence": _ORACLE_DIVERGENCE,
