@@ -180,10 +180,20 @@ def ctr_alert_job(
     source: ChunkSource,
     slack: writers.SlackSink | None = None,
     threshold: float = alerts.DEFAULT_THRESHOLD,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """§3.3 (native_CTR_alerts.py:332-345): ingest+reload today's report,
     run the anomaly query over the (date-partitioned) table, group alert
-    lines per app, POST to Slack."""
+    lines per app, POST to Slack.
+
+    Pass ``metrics_out`` (a dict) to receive job-health metrics —
+    fact rows scanned, zero-impression rows, alerts fired — gathered via
+    ``DataFrame.observe``: the accumulator-backed mechanism that rides
+    the job's own pass instead of re-running aggregate queries (a
+    separate count() would re-scan the warehouse; at 100 TB the health
+    numbers must be free)."""
+    from pyspark.sql import Observation
+
     flat = filtered_network_frame(spark, cfg, source)
     table_path = f"{cfg.table_dir}/network_report"
     if flat is not None:
@@ -197,13 +207,34 @@ def ctr_alert_job(
         F.col("clicks").cast("long").alias("clicks"),
         F.col("impressions").cast("long").alias("impressions"),
     )
+    obs_fact = Observation("fact_health")
+    fact = fact.observe(
+        obs_fact,
+        F.count(F.lit(1)).alias("fact_rows"),
+        F.sum((F.col("impressions") == 0).cast("long")).alias(
+            "zero_impression_rows"
+        ),
+    )
     scored = alerts.ctr_anomaly_from_fact(fact, threshold)
+    obs_alerts = Observation("alert_health")
+    scored = scored.observe(
+        obs_alerts,
+        F.count(F.lit(1)).alias("scored_pairs"),
+        F.sum(F.col("is_alert").cast("long")).alias("alerts_fired"),
+    )
     messages = alerts.format_alert_messages(scored)
     if slack is not None:
         if messages.isEmpty():
             slack.post_text("No native CTR anomalies today.")
         else:
             slack.post_messages(messages)
+    if metrics_out is not None:
+        # Observation.get blocks until an action has run the WHOLE plan;
+        # the Slack isEmpty() probe may short-circuit before the observe
+        # nodes complete, so drive one full (noop-sink) pass explicitly
+        scored.write.format("noop").mode("overwrite").save()
+        metrics_out.update(obs_fact.get)
+        metrics_out.update(obs_alerts.get)
     return scored
 
 

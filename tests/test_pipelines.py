@@ -103,6 +103,17 @@ def test_alert_job_end_to_end(spark, sf_dir, cfg, tmp_path):
     assert not got["u2"].is_alert
     assert sink.sent == 1 and b"u1" in calls[0]
 
+    # observe()-based job health: metrics ride the job's own pass
+    # (accumulators), no warehouse re-scan
+    metrics: dict = {}
+    pipelines.ctr_alert_job(
+        spark, cfg, NoTodaySource(), metrics_out=metrics
+    )
+    assert metrics["fact_rows"] == 18  # 9 days x 2 units
+    assert metrics["zero_impression_rows"] == 0
+    assert metrics["scored_pairs"] == 2
+    assert metrics["alerts_fired"] == 1
+
 
 def test_multi_account_fanout(cfg):
     cfg.accounts = ("accounts/pub-1", "accounts/pub-2")

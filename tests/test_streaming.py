@@ -53,3 +53,36 @@ def test_append_mode_withholds_unclosed_windows(spark, sf_dir):
     # the final (unclosed) day must be withheld
     last_day = max(d for d, _ in want)
     assert all(d < last_day for d, _ in got)
+
+
+def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
+    """The production state backend at 100 TB is RocksDB (the
+    HDFS-backed in-memory default keeps all state on the executor
+    heap); every stateful query must produce IDENTICAL results on it.
+    The provider is a runtime SQL conf, so the swap is
+    deployment-config, not code — pinned here on the sessionize query
+    against its batch mirror (which is oracle-gated)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, rocks)
+    try:
+        streamed = S.run_available_now(
+            S.sessionize_stream(S._event_stream(spark, sf_dir))
+        )
+        got = sorted(map(tuple, streamed.collect()))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    batch = S.sessionize_batch(load_table(spark, sf_dir, "events"))
+    assert got == sorted(map(tuple, batch.collect()))
