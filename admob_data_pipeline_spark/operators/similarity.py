@@ -2369,7 +2369,12 @@ KNN_K = 5
 # (1+KNN_PROBES) per table instead of requiring more tables: measured at
 # sf0.1, recall_ppm 462,500 (r6, no probes) → 687,500 with one probe,
 # for a warm graph build of ~3.1 s vs 1.01 s (2× candidates + the probe
-# argmin expression; the priced trade, cf. ROUND_NOTES r7). The probe is
+# argmin expression; the priced trade, cf. ROUND_NOTES r7). probes=2
+# was measured and REJECTED as the default: 800,000 ppm recall but a
+# ~4× build (13.3 s) — the second flip's nested argmin CASE dominates
+# row evaluation — and enough execution-memory pressure to OOM a
+# default-heap local session; it remains the documented next lever for
+# a deployment that needs ≥80% recall and budgets for it. The probe is
 # ASYMMETRIC (query side only) — pair (x, y)
 # becomes a candidate when flipping x's weakest bit lands in y's bucket —
 # which is the standard index-probing shape and keeps the index side's

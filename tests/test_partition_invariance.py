@@ -40,6 +40,15 @@ SENSITIVE = [
     "knn_mutual_edges",
     "bm25_phrase_search",
     "dedup_mutual_knn_clusters",
+    # round-7: weighted largest-remainder splits (remainder assignment
+    # rides row_number windows — the tie-breaks must be total), the
+    # salted twin (same output through a different shuffle layout), the
+    # multi-probe union, and the hashed-linear-model integer fold
+    "attribution_position",
+    "attribution_timedecay",
+    "attribution_salted",
+    "knn_probe_lift",
+    "quality_classifier",
 ]
 
 
