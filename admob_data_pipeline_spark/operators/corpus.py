@@ -417,7 +417,19 @@ def quality_classifier_scores(
     Scale: no explode, no shuffle, no UDF — per-row array transform +
     integer fold fused into whole-stage codegen, exactly like the rule
     gate."""
-    docs = widen_if_narrow(docs)
+    return quality_classifier_columns(
+        widen_if_narrow(docs), text_col
+    ).orderBy("doc_id")
+
+
+def quality_classifier_columns(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The classifier's map-only projection WITHOUT the sort or split
+    widening — shared VERBATIM by the batch query and the streaming twin
+    (streaming/alerts.py), same single-sourcing contract as
+    curation_gate_columns: a stateless projection streams in append
+    mode with no watermark or state store."""
     grams = shingles(tokens(F.col(text_col)), 2)
     # per feature: bucket = md5-hash mod DIM, then the deterministic
     # weight (bucket·KNUTH) mod (2R+1) − R, all in one transform lambda
@@ -441,7 +453,7 @@ def quality_classifier_scores(
         F.size(grams).cast("int").alias("n_feats"),
         logit.alias("logit_milli"),
         (logit > 0).alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -719,10 +719,36 @@ def q_streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def q_streaming_quality_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hashed-linear quality classifier run as a STREAM — like the
+    streaming curation gate, ``quality_classifier_columns`` VERBATIM
+    over the document readStream in append mode (stateless inference:
+    no watermark, no state store — score-at-ingest), so the cells are
+    identical to the batch query by construction and the oracle IS the
+    batch oracle."""
+    from admob_data_pipeline_spark.operators.corpus import (
+        quality_classifier_columns,
+    )
+
+    out = run_available_now(
+        quality_classifier_columns(_doc_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+    return out.orderBy("doc_id")
+
+
 def _curation_oracle() -> str:
     from admob_data_pipeline_spark.operators import corpus
 
     return corpus._ORACLE_CURATION_GATE
+
+
+def _classifier_oracle() -> str:
+    from admob_data_pipeline_spark.operators import corpus
+
+    return corpus._ORACLE_QUALITY_CLASSIFIER
 
 
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,6 +991,7 @@ QUERIES = {
     "streaming_mediation_ecpm": q_streaming_mediation_ecpm,
     "streaming_network_funnel": q_streaming_network_funnel,
     "streaming_curation_gate": q_streaming_curation_gate,
+    "streaming_quality_classifier": q_streaming_quality_classifier,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_enrich": q_streaming_enrich,
     "streaming_kmv_sink": q_streaming_kmv_sink,
@@ -989,6 +1016,7 @@ ORACLES = {
     "streaming_mediation_ecpm": _ORACLE_STREAM_MEDIATION_ECPM,
     "streaming_network_funnel": _ORACLE_STREAM_NETWORK_FUNNEL,
     "streaming_curation_gate": _curation_oracle(),
+    "streaming_quality_classifier": _classifier_oracle(),
     "streaming_sessionize": _ORACLE_SESSIONIZE,
     "streaming_enrich": _ORACLE_ENRICH,
     "streaming_kmv_sink": _ORACLE_STREAM_KMV,
