@@ -32,6 +32,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2607,11 +2609,12 @@ KNN_PROBE_MAX = 32  # probe-node cap for the recall audit's exact baseline
 def _knn_exact_baseline(emb: DataFrame) -> DataFrame:
     """The ONE definition of the recall audits' exact baseline: top-k by
     brute force for the probe node set, checkpointed because every audit
-    feeds it to at least two consumers."""
+    feeds it to at least two consumers. Carries ``rank`` (1-based exact
+    position) — the recall audits ignore it, the NDCG audit consumes it."""
     probe_ids = list(range(KNN_PROBE_MAX))
     return (
         topk_bruteforce(emb, probe_ids, k=KNN_K)
-        .select(F.col("qid").alias("src"), F.col("vec_id").alias("dst"))
+        .select(F.col("qid").alias("src"), F.col("vec_id").alias("dst"), "rank")
         .localCheckpoint()
     )
 
@@ -2680,7 +2683,7 @@ scored AS (
     FROM base b, q WHERE b.vec_id <> q.qid
 ),
 exact AS (
-    SELECT src, dst FROM (
+    SELECT src, dst, rank FROM (
         SELECT src, dst,
                ROW_NUMBER() OVER (
                    PARTITION BY src ORDER BY cos_sim DESC, dst
@@ -2814,38 +2817,32 @@ FROM alln GROUP BY in_degree ORDER BY in_degree
 """
 
 
-def q_knn_recall_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``knn_graph_recall`` at the per-class grain: recall of the LSH
-    graph for probe nodes grouped by the embedding's ``label``. A global
-    recall number can hide a class whose vectors shatter across buckets
-    (rare classes cluster in directions the coordinate-block planes cut
-    badly); training-data curation decisions (dedup, label-noise audits)
-    consume the graph PER CLASS, so the audit must price it per class.
+def _recall_by_attr(
+    exact: DataFrame, approx: DataFrame, attr_tab: DataFrame, attr: str
+) -> DataFrame:
+    """Recall of the LSH graph grouped by a probe attribute — the ONE
+    grain rollup shared by the per-label and per-source audits (they
+    differ only in which ≤ KNN_PROBE_MAX-row attribute table attaches).
 
     Scale: the exact baseline stays probe-bounded (KNN_PROBE_MAX
-    broadcast rows x corpus); labels attach to probes via a broadcast of
-    the ≤ KNN_PROBE_MAX probe rows; the rollup is bounded by the label
-    domain."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    exact, approx = _knn_recall_parts(emb)
-    hits = approx.join(exact, ["src", "dst"], "left_semi")
-    lab = emb.where(F.col("vec_id") < KNN_PROBE_MAX).select(
-        F.col("vec_id").alias("src"), "label"
-    )
+    broadcast rows x corpus); attributes attach to probes via a broadcast
+    of the ≤ KNN_PROBE_MAX probe rows; the rollup is bounded by the
+    attribute domain."""
+    hits = approx.join(exact.select("src", "dst"), ["src", "dst"], "left_semi")
     n_e = (
-        exact.join(F.broadcast(lab), "src")
-        .groupBy("label")
+        exact.join(F.broadcast(attr_tab), "src")
+        .groupBy(attr)
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
     n_h = (
-        hits.join(F.broadcast(lab), "src")
-        .groupBy("label")
+        hits.join(F.broadcast(attr_tab), "src")
+        .groupBy(attr)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
-        n_e.join(n_h, "label", "left")
+        n_e.join(n_h, attr, "left")
         .select(
-            "label",
+            attr,
             "n_exact",
             F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
             F.expr(
@@ -2853,35 +2850,202 @@ def q_knn_recall_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ELSE COALESCE(n_hits, 0) * 1000000 DIV n_exact END AS BIGINT)"
             ).alias("recall_ppm"),
         )
-        .orderBy("label")
+        .orderBy(attr)
     )
 
 
-_ORACLE_KNN_RECALL_LABEL = f"""
+def q_knn_recall_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn_graph_recall`` at the per-class grain: recall of the LSH
+    graph for probe nodes grouped by the embedding's ``label``. A global
+    recall number can hide a class whose vectors shatter across buckets
+    (rare classes cluster in directions the coordinate-block planes cut
+    badly); training-data curation decisions (dedup, label-noise audits)
+    consume the graph PER CLASS, so the audit must price it per class.
+    Grain rollup shared with the per-source audit (_recall_by_attr)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact, approx = _knn_recall_parts(emb)
+    lab = emb.where(F.col("vec_id") < KNN_PROBE_MAX).select(
+        F.col("vec_id").alias("src"), "label"
+    )
+    return _recall_by_attr(exact, approx, lab, "label")
+
+
+def q_knn_recall_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn_graph_recall`` at the per-SOURCE grain: recall of the LSH
+    graph for probe nodes grouped by the probe document's ``source``
+    (embeddings and documents share the id space 1:1). Source is the
+    grain curation pipelines slice by — a web-crawl source whose vectors
+    shatter across buckets gets silently under-deduped while the global
+    number looks fine, so the audit must price the graph per source.
+    Same probe scaffolding and grain rollup as the per-label audit
+    (_knn_recall_parts / _recall_by_attr)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    exact, approx = _knn_recall_parts(emb)
+    src_tab = docs.where(F.col("doc_id") < KNN_PROBE_MAX).select(
+        F.col("doc_id").alias("src"), "source"
+    )
+    return _recall_by_attr(exact, approx, src_tab, "source")
+
+
+def _knn_recall_grain_sql(attr_cte: str, attr: str) -> str:
+    """ONE SQL generator for the recall-by-attribute oracles — mirrors
+    the Spark side's _recall_by_attr single-sourcing; ``attr_cte`` yields
+    (src, <attr>) rows for the probe set."""
+    return f"""
 WITH {_DUCK_BASE},
 {_KNN_EDGES_SQL},
 {_KNN_EXACT_SQL},
-lab AS (SELECT vec_id AS src, label FROM embeddings
-        WHERE vec_id < {KNN_PROBE_MAX}),
+lab AS ({attr_cte}),
 n_e AS (
-    SELECT l.label, COUNT(*) AS n_exact
-    FROM exact e JOIN lab l ON l.src = e.src GROUP BY l.label
+    SELECT l.{attr}, COUNT(*) AS n_exact
+    FROM exact e JOIN lab l ON l.src = e.src GROUP BY l.{attr}
 ),
 n_h AS (
-    SELECT l.label, COUNT(*) AS n_hits
+    SELECT l.{attr}, COUNT(*) AS n_hits
     FROM approx a JOIN lab l ON l.src = a.src
     WHERE EXISTS (SELECT 1 FROM exact e
                   WHERE e.src = a.src AND e.dst = a.dst)
-    GROUP BY l.label
+    GROUP BY l.{attr}
 )
-SELECT n_e.label,
+SELECT n_e.{attr},
        CAST(n_exact AS BIGINT) AS n_exact,
        CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
        CAST(CASE WHEN n_exact = 0 THEN 0
             ELSE COALESCE(n_hits, 0) * 1000000 // n_exact END AS BIGINT)
            AS recall_ppm
-FROM n_e LEFT JOIN n_h ON n_h.label = n_e.label
-ORDER BY n_e.label
+FROM n_e LEFT JOIN n_h ON n_h.{attr} = n_e.{attr}
+ORDER BY n_e.{attr}
+"""
+
+
+_ORACLE_KNN_RECALL_LABEL = _knn_recall_grain_sql(
+    f"SELECT vec_id AS src, label FROM embeddings WHERE vec_id < {KNN_PROBE_MAX}",
+    "label",
+)
+
+_ORACLE_KNN_RECALL_SOURCE = _knn_recall_grain_sql(
+    f"SELECT doc_id AS src, source FROM documents WHERE doc_id < {KNN_PROBE_MAX}",
+    "source",
+)
+
+
+# NDCG@k discount weights: W_i = floor(1e9 / log2(i+1)), computed ONCE
+# in Python and inlined as literals on BOTH engines (the benford_audit
+# trick) — zero query-time transcendentals, so DCG sums are exact BIGINTs
+# under any partitioning.
+NDCG_SCALE = 1_000_000_000
+_NDCG_W = {i: math.floor(NDCG_SCALE / math.log2(i + 1)) for i in range(1, KNN_K + 1)}
+
+
+def _ndcg_w_case(rank_sql: str) -> str:
+    """CASE text mapping a 1-based rank to its discount weight — shared
+    verbatim by the Spark expression and the DuckDB oracle."""
+    arms = " ".join(f"WHEN {rank_sql} = {i} THEN {w}" for i, w in _NDCG_W.items())
+    return f"(CASE {arms} ELSE 0 END)"
+
+
+# graded gain from the (label-match, source-match) relevance: rel ∈ {0,1,2},
+# gain = 2^rel − 1 ∈ {0,1,3} — the standard graded-NDCG gain, inlined.
+_NDCG_GAIN_CASE = (
+    "(CASE (CASE WHEN q_label = d_label THEN 1 ELSE 0 END) + "
+    "(CASE WHEN q_source = d_source THEN 1 ELSE 0 END) "
+    "WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)"
+)
+
+
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of exact cosine retrieval against graded relevance — the
+    ranking-quality eval that complements the recall audits: recall asks
+    "does the INDEX return the true neighbors", NDCG asks "does the
+    EMBEDDING SPACE rank semantically related items first". Relevance is
+    graded from metadata the retrieval never sees: rel(q,d) = [same
+    label] + [same source] (embeddings↔documents share the id space
+    1:1), gain = 2^rel − 1. DCG discounts are Python-precomputed integer
+    weights (see _NDCG_W), so per-query DCG/IDCG are exact BIGINTs;
+    IDCG re-ranks the SAME retrieved list by gain (within-list ideal),
+    making ndcg_ppm = 1e6 exactly when the ranking is gain-sorted.
+
+    Scale: the retrieval under audit is the probe-bounded exact baseline
+    (KNN_PROBE_MAX broadcast rows × corpus, checkpointed once, shared
+    with the recall audits); attributes attach via one broadcast of the
+    ≤ k·|probes| result rows against the narrow (id, label, source)
+    table; the rollup is per-query (bounded partitions)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    attrs = emb.select("vec_id", "label").join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    )
+    exact = _knn_exact_baseline(emb)  # (src, dst, rank)
+    qat = attrs.where(F.col("vec_id") < KNN_PROBE_MAX).select(
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("q_label"),
+        F.col("source").alias("q_source"),
+    )
+    d_at = attrs.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("d_label"),
+        F.col("source").alias("d_source"),
+    )
+    enriched = exact.join(F.broadcast(qat), "src")
+    j = d_at.join(F.broadcast(enriched), "dst").withColumn(
+        "gain", F.expr(_NDCG_GAIN_CASE).cast("long")
+    )
+    w_ideal = Window.partitionBy("src").orderBy(F.desc("gain"), F.asc("rank"))
+    scored = j.withColumn("irk", F.row_number().over(w_ideal)).select(
+        "src",
+        (F.col("gain") * F.expr(_ndcg_w_case("rank"))).alias("dg"),
+        (F.col("gain") * F.expr(_ndcg_w_case("irk"))).alias("ig"),
+    )
+    return (
+        scored.groupBy("src")
+        .agg(F.sum("dg").alias("dcg"), F.sum("ig").alias("idcg"))
+        .select(
+            "src",
+            "dcg",
+            "idcg",
+            F.expr(
+                "CAST(CASE WHEN idcg = 0 THEN 0 "
+                "ELSE dcg * 1000000 DIV idcg END AS BIGINT)"
+            ).alias("ndcg_ppm"),
+        )
+        .orderBy("src")
+    )
+
+
+_ORACLE_RETRIEVAL_NDCG = f"""
+WITH {_DUCK_BASE},
+{_KNN_EXACT_BASE_SQL},
+at AS (
+    SELECT e.vec_id, e.label, d.source
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+g AS (
+    SELECT x.src, x.rank,
+           CAST({_NDCG_GAIN_CASE} AS BIGINT) AS gain
+    FROM exact x
+    JOIN (SELECT vec_id, label AS q_label, source AS q_source FROM at) qa
+      ON qa.vec_id = x.src
+    JOIN (SELECT vec_id, label AS d_label, source AS d_source FROM at) da
+      ON da.vec_id = x.dst
+),
+r AS (
+    SELECT src, rank, gain,
+           ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY gain DESC, rank
+           ) AS irk
+    FROM g
+),
+agg AS (
+    SELECT src,
+           CAST(SUM(gain * {_ndcg_w_case("rank")}) AS BIGINT) AS dcg,
+           CAST(SUM(gain * {_ndcg_w_case("irk")}) AS BIGINT) AS idcg
+    FROM r GROUP BY src
+)
+SELECT src, dcg, idcg,
+       CAST(CASE WHEN idcg = 0 THEN 0
+            ELSE dcg * 1000000 // idcg END AS BIGINT) AS ndcg_ppm
+FROM agg ORDER BY src
 """
 
 
@@ -2982,6 +3146,8 @@ QUERIES = {
     "knn_probe_lift": q_knn_probe_lift,
     "knn_hubness": q_knn_hubness,
     "knn_recall_by_label": q_knn_recall_by_label,
+    "knn_recall_by_source": q_knn_recall_by_source,
+    "retrieval_ndcg": q_retrieval_ndcg,
     "knn_mutual_edges": q_knn_mutual_edges,
     "dedup_mutual_knn_clusters": q_dedup_mutual_knn_clusters,
     "embedding_neardup_sweep": q_embedding_neardup_sweep,
@@ -3014,6 +3180,8 @@ ORACLES = {
     "knn_probe_lift": _ORACLE_KNN_PROBE_LIFT,
     "knn_hubness": _ORACLE_KNN_HUBNESS,
     "knn_recall_by_label": _ORACLE_KNN_RECALL_LABEL,
+    "knn_recall_by_source": _ORACLE_KNN_RECALL_SOURCE,
+    "retrieval_ndcg": _ORACLE_RETRIEVAL_NDCG,
     "knn_mutual_edges": _ORACLE_KNN_MUTUAL,
     "dedup_mutual_knn_clusters": _ORACLE_MUTUAL_CLUSTERS,
     "embedding_neardup_sweep": _ORACLE_NEARDUP_SWEEP,

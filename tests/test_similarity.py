@@ -638,3 +638,63 @@ def test_neardup_sweep_monotone_and_consistent_with_lsh_op(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings"), NEARDUP_THRESHOLD, lsh=True
     ).count()
     assert rows[int(NEARDUP_THRESHOLD * 100)] == lsh_n
+
+
+def test_knn_recall_by_source_partitions_global_counts(spark, sf_dir):
+    """Per-source recall rows must partition the global audit's counts —
+    same contract as the per-label grain (shared _recall_by_attr)."""
+    from admob_data_pipeline_spark.operators.similarity import (
+        q_knn_graph_recall,
+        q_knn_recall_by_source,
+    )
+
+    by_source = q_knn_recall_by_source(spark, sf_dir).collect()
+    glob = q_knn_graph_recall(spark, sf_dir).collect()[0]
+    assert sum(r.n_exact for r in by_source) == glob.n_exact
+    assert sum(r.n_hits for r in by_source) == glob.n_hits
+    for r in by_source:
+        assert 0 <= r.n_hits <= r.n_exact
+        assert 0 <= r.recall_ppm <= 1_000_000
+
+
+def test_retrieval_ndcg_matches_pure_python_recompute(spark, sf_dir):
+    """Third-implementation pin: recompute every probe's DCG/IDCG/NDCG
+    from the raw exact top-k and the metadata tables with plain Python
+    ints — catches a semantics drift that lands identically in both SQL
+    dialects. Also pins the within-list-ideal bounds (dcg <= idcg,
+    ndcg_ppm <= 1e6, idcg = 0 only when every gain is 0)."""
+    from admob_data_pipeline_spark.operators.similarity import (
+        _NDCG_W,
+        KNN_K,
+        KNN_PROBE_MAX,
+        q_retrieval_ndcg,
+        topk_bruteforce,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    label = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    source = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    exact = topk_bruteforce(emb, list(range(KNN_PROBE_MAX)), k=KNN_K).collect()
+
+    per_q: dict[int, list[tuple[int, int]]] = {}
+    for r in exact:
+        rel = int(label[r.qid] == label[r.vec_id]) + int(
+            source[r.qid] == source[r.vec_id]
+        )
+        per_q.setdefault(r.qid, []).append((r.rank, (1 << rel) - 1))
+    want = {}
+    for q, rows in per_q.items():
+        dcg = sum(g * _NDCG_W[rk] for rk, g in rows)
+        ideal = sorted(rows, key=lambda t: (-t[1], t[0]))
+        idcg = sum(g * _NDCG_W[i + 1] for i, (_, g) in enumerate(ideal))
+        want[q] = (dcg, idcg, 0 if idcg == 0 else dcg * 1_000_000 // idcg)
+
+    got = {r.src: (r.dcg, r.idcg, r.ndcg_ppm) for r in
+           q_retrieval_ndcg(spark, sf_dir).collect()}
+    assert got == want
+    for dcg, idcg, ndcg in got.values():
+        assert 0 <= dcg <= idcg
+        assert 0 <= ndcg <= 1_000_000
+    assert any(v[0] > 0 for v in got.values()), "all-zero gains: audit is vacuous"
