@@ -698,8 +698,29 @@ def bm25_search(
     tf = _bm25_tf(docs, text_col)
     # tiny (≤ Σ df(term) rows), reused by df, candidate ids, and scoring
     postings = tf.where(F.col("token").isin(list(query_terms))).localCheckpoint()
+    require_all_n = len(set(query_terms)) if require_all else None
+    return _bm25_rank_postings(tf, postings, top, k1, b, require_all_n)
+
+
+def _bm25_rank_postings(
+    tf: DataFrame,
+    postings: DataFrame,
+    top: int,
+    k1: float,
+    b: float,
+    require_all_n: int | None = None,
+    exclude_doc: int | None = None,
+) -> DataFrame:
+    """The posting-bounded BM25 ranking core shared by the term-query
+    retrieval ops and the hybrid search's lexical leg: given the
+    checkpointed tf table and the query terms' postings, score candidates
+    and return the top-``top`` ranked rows. ``exclude_doc`` drops one doc
+    from the CANDIDATES only, AFTER df is taken from the postings — a
+    more-like-this query must not count the probe out of its terms' dfs."""
     # df per query term == posting rows per term (tf is doc-distinct)
     df_q = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if exclude_doc is not None:
+        postings = postings.where(F.col("doc_id") != exclude_doc)
     cand = postings.select("doc_id").distinct()
     # dl over ALL the candidate docs' terms — but only theirs: the
     # broadcast semi-join filters map-side, so the rollup shuffles just
@@ -722,16 +743,15 @@ def bm25_search(
         F.count(F.lit(1)).alias("n_terms_matched"),
         F.sum("s").alias("score_scaled"),
     )
-    if require_all:
+    if require_all_n is not None:
         # conjunctive (AND) semantics: a doc must match EVERY query term.
         # tf is doc-distinct per token, so n_terms_matched counts distinct
         # matched terms — the standard intersect-the-postings filter,
         # applied on the already-posting-bounded rollup (no extra join).
-        # len(set(...)): tf is doc-distinct per token, so a duplicated
-        # query term could never reach len(query_terms) matches — the
-        # required count is the DISTINCT term count on both engines
+        # require_all_n is the DISTINCT term count (a duplicated query
+        # term could never reach the raw term count) on both engines
         doc_scores = doc_scores.where(
-            F.col("n_terms_matched") == len(set(query_terms))
+            F.col("n_terms_matched") == require_all_n
         )
     # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
     # partial top-k, merge of k rows) — a bare global row_number window
@@ -909,6 +929,150 @@ ranked AS (
 )
 SELECT doc_id, tf, score_scaled, rnk
 FROM ranked WHERE rnk <= {BM25_SEARCH_TOP}
+ORDER BY rnk
+"""
+
+
+# --- hybrid (lexical + vector) retrieval -------------------------------------
+
+HYBRID_PROBE = 7  # "more-like-this" probe doc; embeddings↔documents share ids
+HYBRID_QTERMS = 3  # probe terms for the lexical leg (its top BM25 terms)
+RRF_POOL = 20  # per-leg candidate pool
+RRF_K = 60  # the standard RRF rank damper (Cormack et al.)
+RRF_SCALE = 1_000_000_000  # integer 1/(k+rank) contributions: SCALE DIV (k+r)
+HYBRID_TOP = 10
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with Reciprocal Rank Fusion — the modern RAG
+    retrieval shape: a lexical leg (BM25 more-like-this: the probe doc's
+    top-``HYBRID_QTERMS`` BM25 terms query the corpus) and a vector leg
+    (exact cosine top-k from the probe's embedding) each rank a
+    ``RRF_POOL`` candidate pool, and the fusion score is the integer
+    RRF sum Σ_legs SCALE DIV (k + rank) — rank-only fusion, so the two
+    legs' incomparable score scales never need calibration, and the
+    result is exact BIGINT arithmetic on both engines.
+
+    Scale: the lexical leg is posting-bounded end-to-end (probe terms'
+    postings → _bm25_rank_postings, the same core as bm25_search; df is
+    taken BEFORE the probe doc is excluded from candidates); the vector
+    leg is a 1×N broadcast brute-force scan (the LSH path would swap in
+    at corpus scale); the fusion joins two ≤ RRF_POOL-row lists — a
+    driver-free full-outer join of two tiny sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    from admob_data_pipeline_spark.operators.similarity import topk_bruteforce
+
+    tf = _bm25_tf(docs, "text")
+    # probe's own term rows (tiny) → its top BM25 terms = the query
+    ptf = tf.where(F.col("doc_id") == HYBRID_PROBE).localCheckpoint()
+    df_t = (
+        tf.join(F.broadcast(ptf.select("token")), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    qscored = (
+        ptf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+        .join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(_bm25_stats(tf)))
+        .select("token", _bm25_score(BM25_K1, BM25_B).alias("s"))
+    )
+    qterms = (
+        qscored.orderBy(F.desc("s"), "token")
+        .limit(HYBRID_QTERMS)
+        .select("token")
+        .localCheckpoint()
+    )
+    postings = tf.join(F.broadcast(qterms), "token", "left_semi").localCheckpoint()
+    lex = _bm25_rank_postings(
+        tf, postings, RRF_POOL, BM25_K1, BM25_B, exclude_doc=HYBRID_PROBE
+    ).select("doc_id", F.col("rnk").alias("lex_rank"))
+    vec = topk_bruteforce(emb, [HYBRID_PROBE], k=RRF_POOL).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").cast("int").alias("vec_rank")
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(F.expr(f"{RRF_SCALE} DIV ({RRF_K} + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr(f"{RRF_SCALE} DIV ({RRF_K} + vec_rank)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_score"),
+    )
+    head = fused.orderBy(F.desc("rrf_score"), "doc_id").limit(HYBRID_TOP)
+    w = Window.orderBy(F.desc("rrf_score"), F.col("doc_id"))
+    return head.withColumn("rnk", F.row_number().over(w).cast("int")).orderBy(
+        "rnk"
+    )
+
+
+_ORACLE_HYBRID_RRF = f"""
+WITH {_DUCK_BM25_TABLES},
+base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+qsc AS (
+    SELECT tf.token, {_DUCK_BM25_SCORE} AS s
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+    WHERE tf.doc_id = {HYBRID_PROBE}
+),
+qterms AS (SELECT token FROM qsc ORDER BY s DESC, token LIMIT {HYBRID_QTERMS}),
+per_term AS (
+    SELECT tf.doc_id, {_DUCK_BM25_SCORE} AS s
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+    WHERE tf.token IN (SELECT token FROM qterms)
+      AND tf.doc_id <> {HYBRID_PROBE}
+),
+doc_scores AS (
+    SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_scaled
+    FROM per_term GROUP BY doc_id
+),
+lex AS (
+    SELECT doc_id, lex_rank FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY score_scaled DESC, doc_id
+               ) AS INT) AS lex_rank
+        FROM doc_scores
+    ) WHERE lex_rank <= {RRF_POOL}
+),
+vq AS (SELECT v, nrm FROM base WHERE vec_id = {HYBRID_PROBE}),
+vscored AS (
+    SELECT b.vec_id AS doc_id,
+           ROUND(list_dot_product(q.v, b.v) / NULLIF(q.nrm * b.nrm, 0), 6)
+               AS cos_sim
+    FROM base b, vq q WHERE b.vec_id <> {HYBRID_PROBE}
+),
+vec AS (
+    SELECT doc_id, vec_rank FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY cos_sim DESC, doc_id
+               ) AS INT) AS vec_rank
+        FROM vscored
+    ) WHERE vec_rank <= {RRF_POOL}
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+           CAST(COALESCE({RRF_SCALE} // ({RRF_K} + l.lex_rank), 0)
+              + COALESCE({RRF_SCALE} // ({RRF_K} + v.vec_rank), 0)
+               AS BIGINT) AS rrf_score
+    FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
+),
+ranked AS (
+    SELECT doc_id, lex_rank, vec_rank, rrf_score,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY rrf_score DESC, doc_id
+           ) AS INT) AS rnk
+    FROM fused
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_score, rnk
+FROM ranked WHERE rnk <= {HYBRID_TOP}
 ORDER BY rnk
 """
 
@@ -1584,6 +1748,7 @@ QUERIES = {
     "curation_gate": q_curation_gate,
     "quality_classifier": q_quality_classifier,
     "bm25_phrase_search": q_bm25_phrase_search,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
     "text_lm_score": q_lm_score,
     "source_divergence": q_source_divergence,
     "stratified_sample": q_stratified_sample,
@@ -1605,6 +1770,7 @@ ORACLES = {
     "curation_gate": _ORACLE_CURATION_GATE,
     "quality_classifier": _ORACLE_QUALITY_CLASSIFIER,
     "bm25_phrase_search": _ORACLE_BM25_PHRASE,
+    "hybrid_search_rrf": _ORACLE_HYBRID_RRF,
     "text_lm_score": _ORACLE_LM,
     "source_divergence": _ORACLE_DIVERGENCE,
     "stratified_sample": _ORACLE_SAMPLE,

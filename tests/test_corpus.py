@@ -325,3 +325,40 @@ def test_curation_gate_rules_fire_individually(spark):
     assert not rows[3].stop_ok and not rows[3].keep
     assert not rows[4].alpha_ok and not rows[4].keep
     assert not rows[5].rep_ok and not rows[5].keep
+
+
+def test_hybrid_rrf_fusion_algebra_and_leg_consistency(spark, sf_dir):
+    """The fused score must equal the integer RRF recomputed from the two
+    legs' ranks, and each leg's ranks must match its standalone ranking
+    (lexical = _bm25_rank_postings pool, vector = brute-force top-k) —
+    fusion may reorder but never invent or change ranks."""
+    from admob_data_pipeline_spark.operators.corpus import (
+        HYBRID_PROBE,
+        RRF_K,
+        RRF_POOL,
+        RRF_SCALE,
+        q_hybrid_search_rrf,
+    )
+    from admob_data_pipeline_spark.operators.similarity import topk_bruteforce
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    rows = q_hybrid_search_rrf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    vec_ranks = {
+        r.vec_id: r.rank
+        for r in topk_bruteforce(
+            load_table(spark, sf_dir, "embeddings"), [HYBRID_PROBE], k=RRF_POOL
+        ).collect()
+    }
+    for r in rows:
+        want = 0
+        if r.lex_rank is not None:
+            want += RRF_SCALE // (RRF_K + r.lex_rank)
+        if r.vec_rank is not None:
+            want += RRF_SCALE // (RRF_K + r.vec_rank)
+        assert r.rrf_score == want
+        assert r.doc_id != HYBRID_PROBE
+        if r.vec_rank is not None:
+            assert vec_ranks[r.doc_id] == r.vec_rank
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
