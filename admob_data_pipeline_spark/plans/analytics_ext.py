@@ -5039,7 +5039,228 @@ ORDER BY t.date, t.campaign
 """
 
 
+# --- incremental JOIN maintenance (IVM delta algebra) ----------------------
+
+IVM_MOD_O = 10  # o_orderkey % 10 == 0 → a "late-arriving" orders delta (ΔA)
+IVM_MOD_L = 7  # (l_orderkey + l_linenumber) % 7 == 0 → lineitem delta (ΔB)
+
+
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta algebra
+    Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, which is how a 100 TB
+    pipeline keeps a joined rollup current without re-joining history:
+    the stored view absorbs three delta joins whose left/right sides are
+    day-grain deltas (small), never the full fact tables. Here the view
+    is revenue by customer over orders⋈lineitem; deltas are simulated
+    late arrivals on BOTH sides (key-modulo membership, deterministic on
+    both engines), so every one of the three delta terms — including the
+    cross term ΔA⋈ΔB that naive "join the new rows" maintenance drops —
+    is non-empty and load-bearing. The maintained result is re-aggregated
+    from the stored partial state + the three delta contributions; the
+    oracle is the from-scratch full join, so the gate pins
+    maintain ≡ recompute exactly (integer cents).
+
+    Scale notes: V_old is localCheckpoint'd — standing in for the STORED
+    rollup read from the warehouse (the whole point of IVM is that the
+    old⋈old join never re-runs; it appears here only to construct the
+    fixture state). The delta joins stay bare (no forced broadcast):
+    these delta sides are a fixed fraction of the base in the fixture,
+    so Catalyst/AQE sizing decides — in production a day's delta is
+    broadcastable and AQE makes exactly that call (three-tier broadcast
+    policy, ARCHITECTURE.md)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderkey") % IVM_MOD_O == 0).alias("o_new"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        _rev_cents().alias("rev_c"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % IVM_MOD_L == 0).alias(
+            "l_new"
+        ),
+    )
+    o_old, o_del = o.where(~F.col("o_new")), o.where(F.col("o_new"))
+    l_old, l_del = li.where(~F.col("l_new")), li.where(F.col("l_new"))
+    key = F.col("o_orderkey") == F.col("l_orderkey")
+
+    def rollup(pairs: DataFrame) -> DataFrame:
+        return pairs.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev_c").alias("revenue_cents"),
+        )
+
+    v_old = rollup(o_old.join(l_old, key)).localCheckpoint()  # "stored" state
+    delta = rollup(
+        o_del.join(l_old, key)
+        .unionByName(o_old.join(l_del, key))
+        .unionByName(o_del.join(l_del, key))
+    )
+    return (
+        v_old.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_items").alias("n_items"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_ORACLE_IVM_JOIN = """
+WITH j AS (
+    SELECT o.o_custkey,
+           CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+               AS rev_c
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_custkey, COUNT(*) AS n_items,
+       CAST(SUM(rev_c) AS BIGINT) AS revenue_cents
+FROM j GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+# --- single-touch attribution models (first / last) -------------------------
+
+
+def q_attribution_touch_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch and LAST-touch attribution side by side — the two
+    single-touch models every ads report defaults to (last-click is the
+    AdMob-world default; first-touch is the awareness view). Each
+    purchase's full earn goes to its earliest (resp. latest) view/click
+    touch inside the 7-day lookback, deterministic (tts, t_id) order;
+    touchless purchases surface as the 'unattributed' row, exactly as
+    the multi-touch family. Both models read the ONE shared
+    _attribution_pairs join — one shuffle feeds both rollups — and the
+    batch last-touch row set is the model streaming_attribution applies
+    incrementally.
+
+    Output grain: (model, day, touch_type); n_events counts credited
+    touches (one per purchase) or purchases on the 'unattributed' row;
+    credit conservation per model = Σ earn, pinned in pytest."""
+    pairs = _attribution_pairs(load_table(spark, sf_dir, "events"))
+    wp = Window.partitionBy("p_id")
+    base = (
+        pairs.withColumn("n", F.count("t_id").over(wp))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("p_id").orderBy("tts", "t_id")
+            ),
+        )
+        .localCheckpoint()  # one pair join feeds both model rollups
+    )
+    out = None
+    for model, keep in (("first", F.col("rk") == 1), ("last", F.col("rk") == F.col("n"))):
+        credited = base.where((F.col("n") == 0) | keep).select(
+            F.lit(model).alias("model"),
+            F.col("pts").cast("date").alias("day"),
+            F.coalesce(F.col("touch_type"), F.lit("unattributed")).alias(
+                "touch_type"
+            ),
+            F.col("earn").alias("credit"),
+        )
+        agg = credited.groupBy("model", "day", "touch_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("credit").alias("credit_micros"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("model", "day", "touch_type")
+
+
+_ORACLE_ATTR_TOUCH_MODELS = f"""
+WITH p AS (
+    SELECT event_id AS p_id, user_id, ts AS pts,
+           CAST(FLOOR(value * 1e6) AS BIGINT) AS earn
+    FROM events WHERE event_type = 'purchase'
+),
+t AS (
+    SELECT event_id AS t_id, user_id, ts AS tts, event_type AS touch_type
+    FROM events WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+    SELECT p.p_id, p.pts, p.earn, t.touch_type, t.tts, t.t_id
+    FROM p LEFT JOIN t ON t.user_id = p.user_id
+     AND t.tts <= p.pts
+     AND t.tts >= p.pts - INTERVAL {ATTR_LOOKBACK_DAYS} DAY
+),
+ranked AS (
+    SELECT p_id, pts, earn, touch_type, tts, t_id,
+           COUNT(t_id) OVER (PARTITION BY p_id) AS n,
+           ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY tts, t_id) AS rk
+    FROM pairs
+),
+models AS (
+    SELECT 'first' AS model, CAST(pts AS DATE) AS day,
+           COALESCE(touch_type, 'unattributed') AS touch_type, earn AS credit
+    FROM ranked WHERE n = 0 OR rk = 1
+    UNION ALL
+    SELECT 'last' AS model, CAST(pts AS DATE) AS day,
+           COALESCE(touch_type, 'unattributed') AS touch_type, earn AS credit
+    FROM ranked WHERE n = 0 OR rk = n
+)
+SELECT model, day, touch_type, COUNT(*) AS n_events,
+       CAST(SUM(credit) AS BIGINT) AS credit_micros
+FROM models GROUP BY model, day, touch_type
+ORDER BY model, day, touch_type
+"""
+
+
+# --- hot-key skew audit ------------------------------------------------------
+
+SKEW_TOP = 10
+
+
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key audit of the events fact's join/agg key (user_id) — the
+    observability query run BEFORE choosing a partitioning strategy at
+    100 TB: the keys this surfaces are the ones that need salting
+    (attribution_salted's B) or AQE skew-split headroom. Per hot key:
+    event share in ppm (two-stage scaling, playbook #23 — share_ppm
+    first, so the ratio multiply never exceeds share_ppm × n_keys) and
+    the skew ratio vs the mean key load in milli-units.
+
+    Scale: one (key → count) partial-agg rollup, one-row totals attached
+    broadcast, top-k via TakeOrderedAndProject — no global sort, no
+    window over raw rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    totals = per_key.agg(
+        F.sum("n_events").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    scored = per_key.crossJoin(F.broadcast(totals)).select(
+        "user_id",
+        "n_events",
+        F.expr("n_events * 1000000 DIV total").alias("share_ppm"),
+        F.expr("(n_events * 1000000 DIV total) * n_keys DIV 1000")
+        .cast("long")
+        .alias("skew_ratio_x1000"),
+    )
+    return scored.orderBy(F.desc("n_events"), "user_id").limit(SKEW_TOP)
+
+
+_ORACLE_SKEW_AUDIT = f"""
+WITH per_key AS (
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+),
+totals AS (
+    SELECT CAST(SUM(n_events) AS BIGINT) AS total, COUNT(*) AS n_keys
+    FROM per_key
+)
+SELECT user_id, n_events,
+       CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm,
+       CAST((n_events * 1000000 // total) * n_keys // 1000 AS BIGINT)
+           AS skew_ratio_x1000
+FROM per_key, totals
+ORDER BY n_events DESC, user_id
+LIMIT {SKEW_TOP}
+"""
+
+
 QUERIES = {
+    "ivm_join_delta": q_ivm_join_delta,
+    "attribution_touch_models": q_attribution_touch_models,
+    "skew_audit": q_skew_audit,
     "report_warehouse_mediation": q_report_warehouse_mediation,
     "report_warehouse_network": q_report_warehouse_network,
     "network_match_rate": q_network_match_rate,
@@ -5122,6 +5343,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ivm_join_delta": _ORACLE_IVM_JOIN,
+    "attribution_touch_models": _ORACLE_ATTR_TOUCH_MODELS,
+    "skew_audit": _ORACLE_SKEW_AUDIT,
     "report_warehouse_mediation": _ORACLE_MEDIATION_WH,
     "report_warehouse_network": _ORACLE_NETWORK_WH,
     "network_match_rate": _ORACLE_NETWORK_MATCH,

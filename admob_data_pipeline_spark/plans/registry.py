@@ -363,6 +363,9 @@ FRESH_FIRST: tuple[str, ...] = (
     # driver-confirmed), so the growth freeze is lifted and the full
     # 50-slot window is free. New round-7 queries land here, newest
     # first.
+    "ivm_join_delta",
+    "attribution_touch_models",
+    "skew_audit",
     "hybrid_search_rrf",
     "knn_recall_by_source",
     "retrieval_ndcg",

@@ -116,3 +116,28 @@ def test_per_touch_credit_within_one_micro_of_exact_share(histories):
     """
     ).fetchone()[0]
     assert violations == 0
+
+
+def test_touch_models_conserve_and_single_credit(spark, sf_dir):
+    """Both single-touch models must conserve every micro (Σ credit =
+    Σ purchase earn, refunds included) and credit exactly one row per
+    purchase: total n_events per model == number of purchases."""
+    from pyspark.sql import functions as F
+
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        q_attribution_touch_models,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.floor(F.col("value") * 1e6).cast("long").alias("earn")
+    )
+    n_p, total = purchases.agg(
+        F.count(F.lit(1)), F.sum("earn")
+    ).collect()[0]
+    rows = q_attribution_touch_models(spark, sf_dir).collect()
+    for model in ("first", "last"):
+        got = [r for r in rows if r.model == model]
+        assert sum(r.credit_micros for r in got) == total
+        assert sum(r.n_events for r in got) == n_p

@@ -708,3 +708,61 @@ def test_attribution_timedecay_halves_per_day(spark):
     # click base = (3*128 - pmod(384,192)) / 192 = 2, view base = 1,
     # remainders both 0 → exact 2:1 split
     assert out == {"click": 2, "view": 1}
+
+
+def test_ivm_join_delta_quadrants_all_load_bearing(spark, sf_dir):
+    """Each of the four join quadrants (old⋈old stored state + the three
+    delta terms, including the ΔA⋈ΔB cross term naive maintenance drops)
+    must be non-empty at test SF, and the maintained view must equal the
+    from-scratch recompute row-for-row on Spark alone."""
+    from pyspark.sql import functions as F
+
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        IVM_MOD_L,
+        IVM_MOD_O,
+        _rev_cents,
+        q_ivm_join_delta,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_orderkey") % IVM_MOD_O == 0).alias("o_new"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _rev_cents().alias("rev_c"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % IVM_MOD_L == 0).alias("l_new"),
+    )
+    j = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    quad = {
+        (r.o_new, r.l_new): r.n
+        for r in j.groupBy("o_new", "l_new").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for q in [(False, False), (True, False), (False, True), (True, True)]:
+        assert quad.get(q, 0) > 0, f"empty quadrant {q}: delta term untested"
+
+    direct = (
+        j.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum("rev_c").alias("revenue_cents"))
+        .orderBy("o_custkey")
+        .collect()
+    )
+    maintained = q_ivm_join_delta(spark, sf_dir).collect()
+    assert [tuple(r) for r in maintained] == [tuple(r) for r in direct]
+
+
+def test_skew_audit_invariants(spark, sf_dir):
+    from admob_data_pipeline_spark.plans.analytics_ext import q_skew_audit
+
+    rows = q_skew_audit(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    counts = [r.n_events for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    ratios = [r.skew_ratio_x1000 for r in rows]
+    # ratio is monotone in n_events (same total/n_keys scaling), and the
+    # synthetic events keys are near-uniform so the hot keys sit near the
+    # mean — ~1.0x, never orders of magnitude — but must stay positive
+    assert ratios == sorted(ratios, reverse=True)
+    for r in rows:
+        assert 0 <= r.share_ppm <= 1_000_000
+        assert r.skew_ratio_x1000 > 0
