@@ -3049,6 +3049,70 @@ FROM agg ORDER BY src
 """
 
 
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank companion to ``retrieval_ndcg``: per probe
+    query, the rank of the FIRST same-label hit in the exact cosine
+    top-k and its reciprocal as an integer (1e6 DIV rank — exact, no
+    float 1/r). MRR is the metric for known-item retrieval (one right
+    answer); NDCG for graded lists — an eval harness reports both.
+    Probes with no relevant hit in the top-k emit rr_e6 = 0 with a NULL
+    rank (the honest "missed" row, not a silent drop).
+
+    Scale: same probe-bounded exact baseline (shared checkpoint) +
+    broadcast attribute attach as the other eval audits; the rollup is
+    per-probe MIN(rank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _knn_exact_baseline(emb)
+    lab = emb.select("vec_id", "label")
+    qlab = lab.where(F.col("vec_id") < KNN_PROBE_MAX).select(
+        F.col("vec_id").alias("src"), F.col("label").alias("q_label")
+    )
+    dlab = lab.select(
+        F.col("vec_id").alias("dst"), F.col("label").alias("d_label")
+    )
+    j = dlab.join(F.broadcast(exact.join(F.broadcast(qlab), "src")), "dst")
+    rel = (
+        j.where(F.col("q_label") == F.col("d_label"))
+        .groupBy("src")
+        .agg(F.min("rank").cast("long").alias("first_rel_rank"))
+    )
+    return (
+        qlab.select("src")
+        .join(rel, "src", "left")
+        .select(
+            "src",
+            "first_rel_rank",
+            F.coalesce(
+                F.expr("1000000 DIV first_rel_rank"), F.lit(0)
+            )
+            .cast("long")
+            .alias("rr_e6"),
+        )
+        .orderBy("src")
+    )
+
+
+_ORACLE_RETRIEVAL_MRR = f"""
+WITH {_DUCK_BASE},
+{_KNN_EXACT_BASE_SQL},
+lab AS (SELECT vec_id, label FROM embeddings),
+rel AS (
+    SELECT x.src, MIN(x.rank) AS first_rel_rank
+    FROM exact x
+    JOIN lab q ON q.vec_id = x.src
+    JOIN lab d ON d.vec_id = x.dst
+    WHERE q.label = d.label
+    GROUP BY x.src
+),
+probes AS (SELECT vec_id AS src FROM embeddings WHERE vec_id < {KNN_PROBE_MAX})
+SELECT p.src,
+       CAST(r.first_rel_rank AS BIGINT) AS first_rel_rank,
+       CAST(COALESCE(1000000 // r.first_rel_rank, 0) AS BIGINT) AS rr_e6
+FROM probes p LEFT JOIN rel r ON r.src = p.src
+ORDER BY p.src
+"""
+
+
 def mutual_knn_edges(emb: DataFrame) -> DataFrame:
     """Mutual-kNN edge set: undirected pairs where EACH endpoint ranks
     the other in its top-k — the symmetrized graph that semantic-dedup
@@ -3148,6 +3212,7 @@ QUERIES = {
     "knn_recall_by_label": q_knn_recall_by_label,
     "knn_recall_by_source": q_knn_recall_by_source,
     "retrieval_ndcg": q_retrieval_ndcg,
+    "retrieval_mrr": q_retrieval_mrr,
     "knn_mutual_edges": q_knn_mutual_edges,
     "dedup_mutual_knn_clusters": q_dedup_mutual_knn_clusters,
     "embedding_neardup_sweep": q_embedding_neardup_sweep,
@@ -3182,6 +3247,7 @@ ORACLES = {
     "knn_recall_by_label": _ORACLE_KNN_RECALL_LABEL,
     "knn_recall_by_source": _ORACLE_KNN_RECALL_SOURCE,
     "retrieval_ndcg": _ORACLE_RETRIEVAL_NDCG,
+    "retrieval_mrr": _ORACLE_RETRIEVAL_MRR,
     "knn_mutual_edges": _ORACLE_KNN_MUTUAL,
     "dedup_mutual_knn_clusters": _ORACLE_MUTUAL_CLUSTERS,
     "embedding_neardup_sweep": _ORACLE_NEARDUP_SWEEP,

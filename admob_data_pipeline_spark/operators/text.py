@@ -1667,7 +1667,94 @@ LIMIT {COLLOC_TOP}
 """
 
 
+# --- exact stratified split --------------------------------------------------
+
+STRAT_SEED = "strat-split-1"
+STRAT_CUM_PCT = (80, 90)  # cumulative train/val boundaries; test = remainder
+
+
+def q_stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/val/test split with EXACT per-stratum quotas —
+    the complement to ``dataset_split``'s probabilistic hash threshold
+    (which only hits 80/10/10 in expectation; a small stratum can land
+    all-train). Docs are ordered inside each (lang, source) stratum by a
+    content-stable seeded hash and cut at the cumulative-floor
+    boundaries: rank r goes to train iff 100·r ≤ 80·n, to val iff
+    100·r ≤ 90·n — cross-multiplied, division-free, and the bucket sizes
+    are each within 1 of exact proportion while summing to n exactly.
+
+    Scale: the within-stratum rank is TWO-PHASE — a (stratum, 2-hex-char
+    hash prefix) count rollup (bounded: 256·|strata| rows) provides
+    cumulative offsets via a window over that rollup, and the data-side
+    row_number runs inside (stratum, prefix) partitions, 256× finer than
+    a naive per-stratum window. A hot stratum (one web-crawl source can
+    be half a 100 TB corpus) therefore never serializes through one
+    task — the playbook-#27 fix applied to stratified sampling. Rank
+    equivalence to the naive window is exact because prefix-major order
+    IS hash order (the prefix is the hash's own head)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.concat_ws("|", F.lit(STRAT_SEED), F.col("doc_id").cast("string"))
+    )
+    base = docs.select("doc_id", "lang", "source", h.alias("h")).withColumn(
+        "bkt", F.substring("h", 1, 2)
+    )
+    bcounts = base.groupBy("lang", "source", "bkt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("lang", "source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("lang", "source")
+    offsets = bcounts.withColumn(
+        "off", F.coalesce(F.sum("c").over(w_cum), F.lit(0))
+    ).withColumn("n", F.sum("c").over(w_tot))
+    ranked = join_small(base, offsets.drop("c"), ["lang", "source", "bkt"])
+    w_in = Window.partitionBy("lang", "source", "bkt").orderBy("h", "doc_id")
+    r = (F.col("off") + F.row_number().over(w_in)).alias("r")
+    lo, hi = STRAT_CUM_PCT
+    split = (
+        F.when(F.col("r") * 100 <= F.col("n") * lo, F.lit("train"))
+        .when(F.col("r") * 100 <= F.col("n") * hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ranked.withColumn("r", r)
+        .select("lang", "source", split.alias("split"))
+        .groupBy("lang", "source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "source", "split")
+    )
+
+
+_ORACLE_STRAT_SPLIT = f"""
+WITH ranked AS (
+    SELECT lang, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5('{STRAT_SEED}' || '|' || CAST(doc_id AS VARCHAR)),
+                        doc_id
+           ) AS r,
+           COUNT(*) OVER (PARTITION BY lang, source) AS n
+    FROM documents
+),
+labeled AS (
+    SELECT lang, source,
+           CASE WHEN r * 100 <= n * {STRAT_CUM_PCT[0]} THEN 'train'
+                WHEN r * 100 <= n * {STRAT_CUM_PCT[1]} THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked
+)
+SELECT lang, source, split, COUNT(*) AS n_docs
+FROM labeled GROUP BY lang, source, split
+ORDER BY lang, source, split
+"""
+
+
 QUERIES = {
+    "stratified_split_exact": q_stratified_split_exact,
     "text_hashing_vectorizer": q_hashing_vectorizer,
     "text_dataset_split": q_dataset_split,
     "text_vocabulary": q_vocabulary,
@@ -1694,6 +1781,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stratified_split_exact": _ORACLE_STRAT_SPLIT,
     "langid_confusion": _confusion_oracle(),
     "group_kfold": _ORACLE_KFOLD,
     "text_collocations": _ORACLE_COLLOC,

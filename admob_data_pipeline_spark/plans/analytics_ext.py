@@ -3203,10 +3203,11 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_counts(counts)
 
 
-def psi_from_counts(counts: DataFrame) -> DataFrame:
-    """PSI scoring over a (event_type, n_base, n_cur) counts table —
-    shared by the batch query and the streaming incremental monitor
-    (count merge is associative, so both feed identical counts here)."""
+def psi_from_counts(counts: DataFrame, key: str = "event_type") -> DataFrame:
+    """PSI scoring over a (<key>, n_base, n_cur) counts table — shared
+    by the batch query, the streaming incremental monitor (count merge
+    is associative, so both feed identical counts here), and the
+    embedding-space drift audit (key='bucket')."""
     stats = counts.agg(
         F.sum("n_base").alias("t_base"),
         F.sum("n_cur").alias("t_cur"),
@@ -3216,13 +3217,13 @@ def psi_from_counts(counts: DataFrame) -> DataFrame:
     p_base = (F.col("n_base") + 1) / (F.col("t_base") + F.col("k"))
     p_cur = (F.col("n_cur") + 1) / (F.col("t_cur") + F.col("k"))
     return j.select(
-        "event_type",
+        key,
         F.col("n_base").cast("long").alias("n_base"),
         F.col("n_cur").cast("long").alias("n_cur"),
         F.floor((p_cur - p_base) * F.log(p_cur / p_base) * PSI_SCALE)
         .cast("long")
         .alias("psi_e6"),
-    ).orderBy("event_type")
+    ).orderBy(key)
 
 
 _ORACLE_PSI = f"""
@@ -3249,6 +3250,72 @@ SELECT event_type,
                   * {PSI_SCALE}) AS BIGINT) AS psi_e6
 FROM counts, stats
 ORDER BY event_type
+"""
+
+
+# --- embedding-space drift audit --------------------------------------------
+
+EMB_DRIFT_PLANES = 4  # 16 sign buckets — category-bounded PSI domain
+
+
+def q_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift monitor for a VECTOR space: bucket every embedding by
+    its sign-LSH cell (first ``EMB_DRIFT_PLANES`` coordinate signs, the
+    same hash the ANN index keys on) and compare the bucket distribution
+    of the reference cohort (even vec_id — standing in for "training
+    snapshot") against the current cohort (odd vec_id — "serving
+    traffic"). This is how embedding drift is monitored in production:
+    raw-vector drift has no category domain, but the index's OWN bucket
+    histogram does, and a shifted histogram means the index's bucket
+    occupancy (and thus recall) no longer matches what it was built for.
+    Same add-1-smoothed, e6-floor-scaled PSI scoring as the categorical
+    monitor — psi_from_counts is shared verbatim (key='bucket').
+
+    Scale: map-only bucket hash + one 2^planes-bounded rollup; the
+    one-row totals attach broadcast. No pairwise work, no window."""
+    from admob_data_pipeline_spark.operators.similarity import sign_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = (
+        emb.select(
+            sign_bucket(F.col("embedding"), EMB_DRIFT_PLANES).alias("bucket"),
+            (F.col("vec_id") % 2 == 0).alias("is_base"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("n_base"),
+            F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    return psi_from_counts(counts, key="bucket")
+
+
+_EMB_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+    for i in range(EMB_DRIFT_PLANES)
+)
+
+_ORACLE_EMB_DRIFT_PSI = f"""
+WITH counts AS (
+    SELECT {_EMB_BUCKET_SQL} AS bucket,
+           SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_base,
+           SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS n_cur
+    FROM embeddings
+    GROUP BY bucket
+),
+stats AS (
+    SELECT SUM(n_base) AS t_base, SUM(n_cur) AS t_cur, COUNT(*) AS k FROM counts
+)
+SELECT bucket,
+       CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(FLOOR(((n_cur + 1) / CAST(t_cur + k AS DOUBLE)
+                   - (n_base + 1) / CAST(t_base + k AS DOUBLE))
+                  * ln(((n_cur + 1) / CAST(t_cur + k AS DOUBLE))
+                       / ((n_base + 1) / CAST(t_base + k AS DOUBLE)))
+                  * {PSI_SCALE}) AS BIGINT) AS psi_e6
+FROM counts, stats
+ORDER BY bucket
 """
 
 
@@ -5039,6 +5106,93 @@ ORDER BY t.date, t.campaign
 """
 
 
+# --- Q20 shape: majority-supplier concentration audit -----------------------
+
+DOM_PART_PREFIX = "b"  # audited part-name slice (Q20 uses 'forest%'; the
+# synthetic part names start with b/c/h/l/n/o/r/s — checked at all three SFs)
+DOM_YEAR = ("1995-01-01", "1996-01-01")
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape without partsupp (TESTDATA has no availqty):
+    suppliers holding a MAJORITY of a part's shipped volume — for parts
+    in the audited name slice and ship year, a supplier is dominant on a
+    part when 2·qty(part, supp) > qty(part): the supply-concentration
+    audit a procurement pipeline runs (Q20's excess-stock semi-join
+    chain re-pointed at shipped volume; /root/reference has no analogue
+    — this is the §2-beyond relational surface). Cross-multiplied
+    integer threshold — no ratio, no float.
+
+    Scale: the (part, supplier) rollup is one partial-aggregated shuffle
+    of the filtered scan (year + name-prefix predicates push down); the
+    per-part total is a second rollup OF THE FIRST (no rescan); both
+    sides join on p_partkey; suppliers/nation attach as dimension joins
+    sized by Catalyst/AQE (three-tier broadcast policy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    slice_parts = part.where(F.col("p_name").startswith(DOM_PART_PREFIX)).select(
+        "p_partkey"
+    )
+    ps = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(DOM_YEAR[0]))
+            & (F.col("l_shipdate") < F.lit(DOM_YEAR[1]))
+        )
+        .join(slice_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.floor(F.sum("l_quantity")).cast("long").alias("qty_ps"))
+        .localCheckpoint()  # feeds both the per-part total and the verdict
+    )
+    totals = ps.groupBy("l_partkey").agg(F.sum("qty_ps").alias("qty_part"))
+    dominant = ps.join(totals, "l_partkey").where(
+        F.col("qty_ps") * 2 > F.col("qty_part")
+    )
+    per_supp = dominant.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_dominant_parts"),
+        F.sum("qty_ps").alias("qty_sum"),
+    )
+    return (
+        per_supp.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "n_dominant_parts", "qty_sum")
+        .orderBy(F.desc("n_dominant_parts"), "s_name")
+    )
+
+
+_ORACLE_DOMINANT_SUPP = f"""
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS qty_ps
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '{DOM_YEAR[0]} 00:00:00'
+      AND l_shipdate < TIMESTAMP '{DOM_YEAR[1]} 00:00:00'
+      AND p_name LIKE '{DOM_PART_PREFIX}%'
+    GROUP BY l_partkey, l_suppkey
+),
+totals AS (
+    SELECT l_partkey, CAST(SUM(qty_ps) AS BIGINT) AS qty_part
+    FROM ps GROUP BY l_partkey
+),
+dominant AS (
+    SELECT ps.l_suppkey, ps.qty_ps
+    FROM ps JOIN totals USING (l_partkey)
+    WHERE ps.qty_ps * 2 > totals.qty_part
+),
+per_supp AS (
+    SELECT l_suppkey, COUNT(*) AS n_dominant_parts,
+           CAST(SUM(qty_ps) AS BIGINT) AS qty_sum
+    FROM dominant GROUP BY l_suppkey
+)
+SELECT s.s_name, n.n_name, p.n_dominant_parts, p.qty_sum
+FROM per_supp p
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY p.n_dominant_parts DESC, s.s_name
+"""
+
+
 # --- incremental JOIN maintenance (IVM delta algebra) ----------------------
 
 IVM_MOD_O = 10  # o_orderkey % 10 == 0 → a "late-arriving" orders delta (ΔA)
@@ -5258,6 +5412,8 @@ LIMIT {SKEW_TOP}
 
 
 QUERIES = {
+    "embedding_drift_psi": q_embedding_drift_psi,
+    "dominant_suppliers": q_dominant_suppliers,
     "ivm_join_delta": q_ivm_join_delta,
     "attribution_touch_models": q_attribution_touch_models,
     "skew_audit": q_skew_audit,
@@ -5343,6 +5499,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_drift_psi": _ORACLE_EMB_DRIFT_PSI,
+    "dominant_suppliers": _ORACLE_DOMINANT_SUPP,
     "ivm_join_delta": _ORACLE_IVM_JOIN,
     "attribution_touch_models": _ORACLE_ATTR_TOUCH_MODELS,
     "skew_audit": _ORACLE_SKEW_AUDIT,

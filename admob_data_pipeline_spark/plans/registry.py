@@ -363,6 +363,10 @@ FRESH_FIRST: tuple[str, ...] = (
     # driver-confirmed), so the growth freeze is lifted and the full
     # 50-slot window is free. New round-7 queries land here, newest
     # first.
+    "stratified_split_exact",
+    "retrieval_mrr",
+    "embedding_drift_psi",
+    "dominant_suppliers",
     "ivm_join_delta",
     "attribution_touch_models",
     "skew_audit",

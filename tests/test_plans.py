@@ -766,3 +766,54 @@ def test_skew_audit_invariants(spark, sf_dir):
     for r in rows:
         assert 0 <= r.share_ppm <= 1_000_000
         assert r.skew_ratio_x1000 > 0
+
+
+def test_dominant_suppliers_majority_is_unique_per_part(spark, sf_dir):
+    """>50% of a part's volume can hold for at most ONE supplier per
+    part, so Σ n_dominant_parts over suppliers must not exceed the
+    number of audited parts — and the result must be non-empty at test
+    SF (the threshold is not vacuously strict)."""
+    from pyspark.sql import functions as F
+
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        DOM_PART_PREFIX,
+        DOM_YEAR,
+        q_dominant_suppliers,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    rows = q_dominant_suppliers(spark, sf_dir).collect()
+    assert rows, "no majority supplier at test SF: threshold vacuous"
+    n_audited_parts = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(DOM_YEAR[0]))
+            & (F.col("l_shipdate") < F.lit(DOM_YEAR[1]))
+        )
+        .join(
+            load_table(spark, sf_dir, "part")
+            .where(F.col("p_name").startswith(DOM_PART_PREFIX))
+            .select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_dominant_parts for r in rows) <= n_audited_parts
+
+
+def test_embedding_drift_psi_counts_partition_the_corpus(spark, sf_dir):
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        EMB_DRIFT_PLANES,
+        q_embedding_drift_psi,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    rows = q_embedding_drift_psi(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 2 ** EMB_DRIFT_PLANES
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_base + r.n_cur for r in rows) == n
+    # PSI contributions are >= 0 up to the e6 floor (each term is
+    # (p-q)ln(p/q) >= 0); the floor can push a tiny term to -1 at most
+    assert all(r.psi_e6 >= -1 for r in rows)

@@ -698,3 +698,31 @@ def test_retrieval_ndcg_matches_pure_python_recompute(spark, sf_dir):
         assert 0 <= dcg <= idcg
         assert 0 <= ndcg <= 1_000_000
     assert any(v[0] > 0 for v in got.values()), "all-zero gains: audit is vacuous"
+
+
+def test_retrieval_mrr_matches_pure_python_recompute(spark, sf_dir):
+    """Third-implementation pin for MRR: first same-label rank and its
+    integer reciprocal recomputed from the raw exact top-k in Python."""
+    from admob_data_pipeline_spark.operators.similarity import (
+        KNN_K,
+        KNN_PROBE_MAX,
+        q_retrieval_mrr,
+        topk_bruteforce,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    label = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    exact = topk_bruteforce(emb, list(range(KNN_PROBE_MAX)), k=KNN_K).collect()
+    first: dict[int, int] = {}
+    for r in exact:
+        if label[r.qid] == label[r.vec_id]:
+            first[r.qid] = min(first.get(r.qid, r.rank), r.rank)
+    got = {r.src: (r.first_rel_rank, r.rr_e6) for r in
+           q_retrieval_mrr(spark, sf_dir).collect()}
+    assert set(got) == set(range(KNN_PROBE_MAX))
+    for src, (rk, rr) in got.items():
+        if src in first:
+            assert rk == first[src] and rr == 1_000_000 // first[src]
+        else:
+            assert rk is None and rr == 0

