@@ -3049,6 +3049,66 @@ FROM agg ORDER BY src
 """
 
 
+EMB_DECON_MOD = 100  # vec_id % MOD == 0 → benchmark member (corpus.BENCH_MOD rule)
+EMB_DECON_TAU = 0.25  # rounded-cosine flag threshold (non-vacuous at all SFs)
+
+
+def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: flag training vectors whose cosine to
+    ANY benchmark vector reaches ``EMB_DECON_TAU`` — the embedding-space
+    complement of the n-gram decontaminate (operators/corpus.py), which
+    catches paraphrased/translated benchmark leakage that shares no
+    n-gram with the eval set. Benchmark membership reuses the corpus
+    op's fixture rule (id % 100 == 0), so the two audits cover the same
+    eval slice through different lenses.
+
+    Per flagged vector: how many benchmark items it matches and the
+    strongest match (rounded cosine — the established display
+    convention; the threshold compares the ROUNDED value on both
+    engines).
+
+    Scale: identical argument to the n-gram op — the benchmark is tiny
+    BY DEFINITION, so it broadcasts and the training side is one
+    map-side scan (|bench|·N bounded dot products, no shuffle of train
+    vectors); the rollup shuffles only flagged (vec_id, cos) rows."""
+    base, dim = with_vec(load_table(spark, sf_dir, "embeddings"))
+    bench = base.where(F.col("vec_id") % EMB_DECON_MOD == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    train = base.where(F.col("vec_id") % EMB_DECON_MOD != 0)
+    pairs = train.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"), dim).alias(
+            "cos_sim"
+        ),
+    )
+    return (
+        pairs.where(F.col("cos_sim") >= EMB_DECON_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_hits"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_ORACLE_EMB_DECON = f"""
+WITH {_DUCK_BASE},
+b AS (SELECT v, nrm FROM base WHERE vec_id % {EMB_DECON_MOD} = 0),
+t AS (SELECT vec_id, v, nrm FROM base WHERE vec_id % {EMB_DECON_MOD} <> 0),
+p AS (
+    SELECT t.vec_id,
+           ROUND(list_dot_product(b.v, t.v) / NULLIF(b.nrm * t.nrm, 0), 6)
+               AS cos_sim
+    FROM t, b
+)
+SELECT vec_id, COUNT(*) AS n_bench_hits, MAX(cos_sim) AS max_cos
+FROM p WHERE cos_sim >= {EMB_DECON_TAU}
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-reciprocal-rank companion to ``retrieval_ndcg``: per probe
     query, the rank of the FIRST same-label hit in the exact cosine
@@ -3213,6 +3273,7 @@ QUERIES = {
     "knn_recall_by_source": q_knn_recall_by_source,
     "retrieval_ndcg": q_retrieval_ndcg,
     "retrieval_mrr": q_retrieval_mrr,
+    "embedding_decontaminate": q_embedding_decontaminate,
     "knn_mutual_edges": q_knn_mutual_edges,
     "dedup_mutual_knn_clusters": q_dedup_mutual_knn_clusters,
     "embedding_neardup_sweep": q_embedding_neardup_sweep,
@@ -3248,6 +3309,7 @@ ORACLES = {
     "knn_recall_by_source": _ORACLE_KNN_RECALL_SOURCE,
     "retrieval_ndcg": _ORACLE_RETRIEVAL_NDCG,
     "retrieval_mrr": _ORACLE_RETRIEVAL_MRR,
+    "embedding_decontaminate": _ORACLE_EMB_DECON,
     "knn_mutual_edges": _ORACLE_KNN_MUTUAL,
     "dedup_mutual_knn_clusters": _ORACLE_MUTUAL_CLUSTERS,
     "embedding_neardup_sweep": _ORACLE_NEARDUP_SWEEP,

@@ -5106,6 +5106,42 @@ ORDER BY t.date, t.campaign
 """
 
 
+# --- LATERAL correlated top-k ------------------------------------------------
+
+LATERAL_SEGMENT = "BUILDING"
+LATERAL_TOP_N = 2
+
+
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-N via a LATERAL correlated subquery — the SQL
+    surface every warehouse dialect ships for "top orders per entity",
+    run as the SAME text on both engines. Spark 4 DECORRELATES the
+    ORDER BY … LIMIT lateral into WindowGroupLimit (a per-partition
+    partial top-k BEFORE the shuffle, final after) joined back on the
+    correlation key — the scalable plan, not a per-customer nested loop;
+    that shape is pinned in tests/test_plans.py. The cut ranks on
+    integer cents (tie-break o_orderkey), so the LIMIT boundary is
+    engine-deterministic."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_TOP_SQL)
+
+
+_LATERAL_TOP_SQL = f"""
+SELECT c.c_custkey, t.o_orderkey, t.price_cents
+FROM customer c, LATERAL (
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY price_cents DESC, o_orderkey
+    LIMIT {LATERAL_TOP_N}
+) t
+WHERE c.c_mktsegment = '{LATERAL_SEGMENT}'
+ORDER BY c.c_custkey, t.price_cents DESC, t.o_orderkey
+"""
+
+
 # --- Q20 shape: majority-supplier concentration audit -----------------------
 
 DOM_PART_PREFIX = "b"  # audited part-name slice (Q20 uses 'forest%'; the
@@ -5414,6 +5450,7 @@ LIMIT {SKEW_TOP}
 QUERIES = {
     "embedding_drift_psi": q_embedding_drift_psi,
     "dominant_suppliers": q_dominant_suppliers,
+    "lateral_top_orders": q_lateral_top_orders,
     "ivm_join_delta": q_ivm_join_delta,
     "attribution_touch_models": q_attribution_touch_models,
     "skew_audit": q_skew_audit,
@@ -5501,6 +5538,7 @@ QUERIES = {
 ORACLES = {
     "embedding_drift_psi": _ORACLE_EMB_DRIFT_PSI,
     "dominant_suppliers": _ORACLE_DOMINANT_SUPP,
+    "lateral_top_orders": _LATERAL_TOP_SQL,
     "ivm_join_delta": _ORACLE_IVM_JOIN,
     "attribution_touch_models": _ORACLE_ATTR_TOUCH_MODELS,
     "skew_audit": _ORACLE_SKEW_AUDIT,

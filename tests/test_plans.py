@@ -817,3 +817,48 @@ def test_embedding_drift_psi_counts_partition_the_corpus(spark, sf_dir):
     # PSI contributions are >= 0 up to the e6 floor (each term is
     # (p-q)ln(p/q) >= 0); the floor can push a tiny term to -1 at most
     assert all(r.psi_e6 >= -1 for r in rows)
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The LATERAL ORDER BY..LIMIT subquery must decorrelate into
+    WindowGroupLimit (partial per-partition top-k before the shuffle) —
+    a per-customer nested loop (CartesianProduct / BroadcastNL) here
+    would be the non-scalable plan. Result-side: at most N rows per
+    customer, each customer's rows sorted by price."""
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        LATERAL_TOP_N,
+        q_lateral_top_orders,
+    )
+
+    df = q_lateral_top_orders(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+    per: dict[int, list[int]] = {}
+    for r in df.collect():
+        per.setdefault(r.c_custkey, []).append(r.price_cents)
+    assert per
+    for prices in per.values():
+        assert len(prices) <= LATERAL_TOP_N
+        assert prices == sorted(prices, reverse=True)
+
+
+def test_embedding_decontaminate_flags_are_sound(spark, sf_dir):
+    from admob_data_pipeline_spark.operators.similarity import (
+        EMB_DECON_MOD,
+        EMB_DECON_TAU,
+        q_embedding_decontaminate,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    rows = q_embedding_decontaminate(spark, sf_dir).collect()
+    assert rows, "no semantic contamination flagged: threshold vacuous"
+    n_bench = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(f"vec_id % {EMB_DECON_MOD} = 0")
+        .count()
+    )
+    for r in rows:
+        assert r.vec_id % EMB_DECON_MOD != 0  # bench never flags itself
+        assert 1 <= r.n_bench_hits <= n_bench
+        assert r.max_cos >= EMB_DECON_TAU
