@@ -3049,7 +3049,10 @@ FROM agg ORDER BY src
 """
 
 
-EMB_DECON_MOD = 100  # vec_id % MOD == 0 → benchmark member (corpus.BENCH_MOD rule)
+# benchmark membership IS the n-gram decontaminate's fixture rule — imported,
+# not re-hardcoded, so the two audits can never drift onto different slices
+# (corpus has no module-level import of this module; no cycle)
+from admob_data_pipeline_spark.operators.corpus import BENCH_MOD as EMB_DECON_MOD
 EMB_DECON_TAU = 0.25  # rounded-cosine flag threshold (non-vacuous at all SFs)
 
 

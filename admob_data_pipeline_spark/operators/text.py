@@ -1708,9 +1708,16 @@ def q_stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_tot = Window.partitionBy("lang", "source")
-    offsets = bcounts.withColumn(
-        "off", F.coalesce(F.sum("c").over(w_cum), F.lit(0))
-    ).withColumn("n", F.sum("c").over(w_tot))
+    offsets = (
+        bcounts.withColumn(
+            "off", F.coalesce(F.sum("c").over(w_cum), F.lit(0))
+        )
+        .withColumn("n", F.sum("c").over(w_tot))
+        # bounded at 256·|strata| rows by construction; materialized so
+        # join_small's broadcast-guard count() is a tiny-table job, not a
+        # second corpus scan
+        .localCheckpoint()
+    )
     ranked = join_small(base, offsets.drop("c"), ["lang", "source", "bkt"])
     w_in = Window.partitionBy("lang", "source", "bkt").orderBy("h", "doc_id")
     r = (F.col("off") + F.row_number().over(w_in)).alias("r")

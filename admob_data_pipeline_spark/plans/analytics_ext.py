@@ -3286,6 +3286,7 @@ def q_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("n_base"),
             F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).alias("n_cur"),
         )
+        .localCheckpoint()  # 2^planes rows, read twice by psi_from_counts
     )
     return psi_from_counts(counts, key="bucket")
 
@@ -5178,7 +5179,10 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(slice_parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.floor(F.sum("l_quantity")).cast("long").alias("qty_ps"))
+        # floor per ROW, then sum (integer discipline): FLOOR(SUM(double))
+        # is accumulation-order dependent and could flip a 2*qty == total
+        # majority boundary between engines/partitionings
+        .agg(F.sum(F.floor("l_quantity").cast("long")).alias("qty_ps"))
         .localCheckpoint()  # feeds both the per-part total and the verdict
     )
     totals = ps.groupBy("l_partkey").agg(F.sum("qty_ps").alias("qty_part"))
@@ -5200,7 +5204,7 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_DOMINANT_SUPP = f"""
 WITH ps AS (
     SELECT l_partkey, l_suppkey,
-           CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS qty_ps
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS qty_ps
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '{DOM_YEAR[0]} 00:00:00'
       AND l_shipdate < TIMESTAMP '{DOM_YEAR[1]} 00:00:00'

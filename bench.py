@@ -92,6 +92,12 @@ EXTENDED = [
     "attribution_position",
     "mediation_dpp_join",
     "attribution_salted",
+    # round-7 wave 4-6 additions: one representative per new family
+    # (rank fusion over two retrieval legs; the IVM delta-join algebra;
+    # the two-phase stratified rank)
+    "hybrid_search_rrf",
+    "ivm_join_delta",
+    "stratified_split_exact",
 ]
 
 
