@@ -5107,6 +5107,125 @@ ORDER BY t.date, t.campaign
 """
 
 
+# --- interval-overlap join (grid-bucketed) ----------------------------------
+
+HOUR_US = 3_600 * 1_000_000
+
+
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join — which user sessions overlapped each event
+    type's daily activity burst — via the GRID-BUCKETING technique:
+    Spark has no native interval-join operator, and the naive theta join
+    (s_start ≤ b_end AND b_start ≤ s_end) plans as a nested-loop
+    product. Instead both interval sets explode to the HOUR buckets they
+    cover, pairs meet on a bucket EQUI-join, and the exact overlap
+    predicate runs as a residual filter + distinct. Correct because any
+    two overlapping intervals share the bucket containing
+    max(starts) — at any granularity; the bucket width only tunes
+    replication (sessions ≤ gap-bounded hours, bursts ≤ 24/day).
+
+    Intervals are exact integer microseconds end-to-end; sessions come
+    from the SAME labeling as sessionize_batch (streaming/alerts'
+    shared _session_rows), so this join and the session report can never
+    disagree on boundaries.
+
+    Scale: explode factors are interval-length/1h (bounded by the session
+    gap rule and the day grain); the join is a plain bucket-keyed
+    shuffle — AQE splits hot hours; no CartesianProduct (plan-pinned)."""
+    from admob_data_pipeline_spark.streaming.alerts import session_spans
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = session_spans(ev)
+    bursts = (
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+                "b_start_us"
+            ),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+                "b_end_us"
+            ),
+        )
+    )
+    s_g = sessions.withColumn(
+        "hr",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_start_us DIV {HOUR_US}"),
+                F.expr(f"s_end_us DIV {HOUR_US}"),
+            )
+        ),
+    )
+    b_g = bursts.withColumn(
+        "hr",
+        F.explode(
+            F.sequence(
+                F.expr(f"b_start_us DIV {HOUR_US}"),
+                F.expr(f"b_end_us DIV {HOUR_US}"),
+            )
+        ),
+    )
+    pairs = s_g.join(b_g, "hr").where(
+        (F.col("s_start_us") <= F.col("b_end_us"))
+        & (F.col("b_start_us") <= F.col("s_end_us"))
+    )
+    return (
+        pairs.select(
+            "user_id",
+            "s_start_us",
+            "event_type",
+            "day",
+            (
+                F.least("s_end_us", "b_end_us")
+                - F.greatest("s_start_us", "b_start_us")
+            )
+            .cast("long")
+            .alias("overlap_us"),
+        )
+        .distinct()  # grid pairs sharing >1 hour collapse to one row
+        .orderBy("user_id", "s_start_us", "event_type", "day")
+    )
+
+
+_ORACLE_INTERVAL_OVERLAP = """
+WITH e AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     > INTERVAL 2 HOUR
+                OR LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+lab AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+    FROM e
+),
+sessions AS (
+    SELECT user_id,
+           MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS s_start_us,
+           MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS s_end_us
+    FROM lab GROUP BY user_id, sess
+),
+bursts AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS b_start_us,
+           MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS b_end_us
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT s.user_id, s.s_start_us, b.event_type, b.day,
+       CAST(LEAST(s.s_end_us, b.b_end_us)
+            - GREATEST(s.s_start_us, b.b_start_us) AS BIGINT) AS overlap_us
+FROM sessions s JOIN bursts b
+  ON s.s_start_us <= b.b_end_us AND b.b_start_us <= s.s_end_us
+ORDER BY s.user_id, s.s_start_us, b.event_type, b.day
+"""
+
+
 # --- LATERAL correlated top-k ------------------------------------------------
 
 LATERAL_SEGMENT = "BUILDING"
@@ -5455,6 +5574,7 @@ QUERIES = {
     "embedding_drift_psi": q_embedding_drift_psi,
     "dominant_suppliers": q_dominant_suppliers,
     "lateral_top_orders": q_lateral_top_orders,
+    "interval_overlap_join": q_interval_overlap_join,
     "ivm_join_delta": q_ivm_join_delta,
     "attribution_touch_models": q_attribution_touch_models,
     "skew_audit": q_skew_audit,
@@ -5543,6 +5663,7 @@ ORACLES = {
     "embedding_drift_psi": _ORACLE_EMB_DRIFT_PSI,
     "dominant_suppliers": _ORACLE_DOMINANT_SUPP,
     "lateral_top_orders": _LATERAL_TOP_SQL,
+    "interval_overlap_join": _ORACLE_INTERVAL_OVERLAP,
     "ivm_join_delta": _ORACLE_IVM_JOIN,
     "attribution_touch_models": _ORACLE_ATTR_TOUCH_MODELS,
     "skew_audit": _ORACLE_SKEW_AUDIT,

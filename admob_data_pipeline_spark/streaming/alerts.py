@@ -143,13 +143,10 @@ def dedup_stream(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
     )
 
 
-def sessionize_batch(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
-    """Batch mirror of :func:`sessionize_stream` via window functions:
-    a session starts when the per-user gap to the previous event exceeds
-    ``gap``; session id = running count of starts. Same output schema and
-    values as the streaming session_window plan — the two are
-    cross-checked against the SAME oracle, pinning batch/streaming parity
-    (the property that lets a backfill and the live stream share code)."""
+def _session_rows(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """The ONE definition of batch session labeling (gap rule + running
+    start count), shared by the sessionize rollup and the session-span
+    builder so their session boundaries can never drift."""
     from pyspark.sql import Window as W
 
     gap_expr = F.expr(f"INTERVAL {gap}")
@@ -173,7 +170,17 @@ def sessionize_batch(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
         )
         | F.lag("ts").over(w_lag).isNull(),
     )
-    s = e.withColumn("sess", F.sum(F.col("is_new").cast("int")).over(w_run))
+    return e.withColumn("sess", F.sum(F.col("is_new").cast("int")).over(w_run))
+
+
+def sessionize_batch(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Batch mirror of :func:`sessionize_stream` via window functions:
+    a session starts when the per-user gap to the previous event exceeds
+    ``gap``; session id = running count of starts. Same output schema and
+    values as the streaming session_window plan — the two are
+    cross-checked against the SAME oracle, pinning batch/streaming parity
+    (the property that lets a backfill and the live stream share code)."""
+    s = _session_rows(events, gap)
     return (
         s.groupBy("user_id", "sess")
         .agg(
@@ -185,6 +192,18 @@ def sessionize_batch(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
         )
         .select("user_id", "session_start_epoch", "n_events", "value_milli")
         .orderBy("user_id", "session_start_epoch")
+    )
+
+
+def session_spans(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Per-session [start, end] interval in exact integer microseconds —
+    the interval-set view of the SAME session labeling as
+    ``sessionize_batch`` (shared ``_session_rows``). Consumed by the
+    interval-overlap join."""
+    s = _session_rows(events, gap)
+    return s.groupBy("user_id", "sess").agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("s_start_us"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("s_end_us"),
     )
 
 

@@ -862,3 +862,30 @@ def test_embedding_decontaminate_flags_are_sound(spark, sf_dir):
         assert r.vec_id % EMB_DECON_MOD != 0  # bench never flags itself
         assert 1 <= r.n_bench_hits <= n_bench
         assert r.max_cos >= EMB_DECON_TAU
+
+
+def test_interval_overlap_join_is_bucketed_not_cartesian(spark, sf_dir):
+    """The overlap join must meet on the hour-bucket EQUI-join — a raw
+    theta join would plan as a nested-loop product. Result invariants:
+    overlap_us >= 0 (the residual filter admits touching intervals),
+    and every pair's session start must be a real sessionize_batch
+    session start (shared _session_rows labeling)."""
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        q_interval_overlap_join,
+    )
+    from admob_data_pipeline_spark.streaming.alerts import sessionize_batch
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    df = q_interval_overlap_join(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert rows
+    starts = {
+        (r.user_id, r.session_start_epoch)
+        for r in sessionize_batch(load_table(spark, sf_dir, "events")).collect()
+    }
+    for r in rows[:500]:
+        assert r.overlap_us >= 0
+        assert (r.user_id, r.s_start_us // 1_000_000) in starts
