@@ -3200,15 +3200,126 @@ def q_knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE SQL definition of the mutual (reciprocal top-k) edge set, composed
+# by the mutual-edges oracle and the label-modularity oracle.
+_KNN_MUTUAL_CTE = """mutual AS (
+    SELECT e.src, e.dst, e.cos_sim
+    FROM knn_edges e
+    WHERE e.src < e.dst
+      AND EXISTS (SELECT 1 FROM knn_edges r
+                  WHERE r.src = e.dst AND r.dst = e.src)
+)"""
+
 _ORACLE_KNN_MUTUAL = f"""
 WITH {_DUCK_BASE},
-{_KNN_EDGES_SQL}
-SELECT e.src, e.dst, e.cos_sim
-FROM knn_edges e
-WHERE e.src < e.dst
-  AND EXISTS (SELECT 1 FROM knn_edges r
-              WHERE r.src = e.dst AND r.dst = e.src)
-ORDER BY e.src, e.dst
+{_KNN_EDGES_SQL},
+{_KNN_MUTUAL_CTE}
+SELECT src, dst, cos_sim FROM mutual
+ORDER BY src, dst
+"""
+
+
+def q_knn_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the LABEL partition over the mutual-kNN graph — the
+    community-structure diagnostic for an embedding space: if same-label
+    vectors form neighbor-graph communities, per-label
+    q_num = 4m·e_in − d_sum² is positive (Q = Σ q_num / 4m² is Newman
+    modularity, here kept as exact integer NUMERATORS — the 4m²
+    denominator is a positive global constant, so per-label signs and
+    rankings need no division at all). A label with negative q_num is
+    scattered across the graph: its dedup/retrieval behavior won't match
+    its class semantics, the same pathology knn_recall_by_label prices
+    from the recall side.
+
+    n_nodes counts the label's nodes that carry ≥1 mutual edge
+    (isolated nodes have degree 0 and contribute nothing).
+
+    BIGINT headroom: |q_num| ≤ 4m² with m ≤ k·N; exact to m ≈ 1.5e9
+    edges (N ≈ 3e8 at k=5) — beyond that the numerator needs DECIMAL,
+    noted here so the 100× operator is not surprised.
+
+    Scale: the edge list (≤ k·N rows, checkpointed once) feeds the
+    degree rollup, the internal-edge rollup, and the one-row m — labels
+    attach via the narrow (vec_id, label) table; every aggregate is
+    label- or node-bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = mutual_knn_edges(emb).localCheckpoint()
+    lab = emb.select("vec_id", "label")
+    m = edges.agg(F.count(F.lit(1)).alias("m"))
+    e_lab = edges.join(
+        lab.select(F.col("vec_id").alias("src"), F.col("label").alias("l_src")),
+        "src",
+    ).join(
+        lab.select(F.col("vec_id").alias("dst"), F.col("label").alias("l_dst")),
+        "dst",
+    )
+    e_in = (
+        e_lab.where(F.col("l_src") == F.col("l_dst"))
+        .groupBy(F.col("l_src").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d_c = deg.join(lab, deg.node == lab.vec_id).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("d").alias("d_sum"),
+    )
+    return (
+        d_c.join(e_in, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce(F.col("e_in"), F.lit(0).cast("long")).alias("e_in"),
+            "d_sum",
+            (
+                4 * F.col("m") * F.coalesce(F.col("e_in"), F.lit(0))
+                - F.col("d_sum") * F.col("d_sum")
+            )
+            .cast("long")
+            .alias("q_num"),
+        )
+        .orderBy("label")
+    )
+
+
+_ORACLE_KNN_MODULARITY = f"""
+WITH {_DUCK_BASE},
+{_KNN_EDGES_SQL},
+{_KNN_MUTUAL_CTE},
+lab AS (SELECT vec_id, label FROM embeddings),
+m AS (SELECT COUNT(*) AS m FROM mutual),
+deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT src AS node FROM mutual
+        UNION ALL
+        SELECT dst AS node FROM mutual
+    ) GROUP BY node
+),
+dc AS (
+    SELECT l.label, COUNT(*) AS n_nodes, CAST(SUM(g.d) AS BIGINT) AS d_sum
+    FROM deg g JOIN lab l ON l.vec_id = g.node
+    GROUP BY l.label
+),
+ein AS (
+    SELECT ls.label, COUNT(*) AS e_in
+    FROM mutual mu
+    JOIN lab ls ON ls.vec_id = mu.src
+    JOIN lab ld ON ld.vec_id = mu.dst
+    WHERE ls.label = ld.label
+    GROUP BY ls.label
+)
+SELECT dc.label,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(e_in, 0) AS BIGINT) AS e_in,
+       d_sum,
+       CAST(4 * m.m * COALESCE(e_in, 0) - d_sum * d_sum AS BIGINT) AS q_num
+FROM dc LEFT JOIN ein ON ein.label = dc.label, m
+ORDER BY dc.label
 """
 
 
@@ -3278,6 +3389,7 @@ QUERIES = {
     "retrieval_mrr": q_retrieval_mrr,
     "embedding_decontaminate": q_embedding_decontaminate,
     "knn_mutual_edges": q_knn_mutual_edges,
+    "knn_label_modularity": q_knn_label_modularity,
     "dedup_mutual_knn_clusters": q_dedup_mutual_knn_clusters,
     "embedding_neardup_sweep": q_embedding_neardup_sweep,
     "kmeans_lloyd": q_kmeans_lloyd,
@@ -3314,6 +3426,7 @@ ORACLES = {
     "retrieval_mrr": _ORACLE_RETRIEVAL_MRR,
     "embedding_decontaminate": _ORACLE_EMB_DECON,
     "knn_mutual_edges": _ORACLE_KNN_MUTUAL,
+    "knn_label_modularity": _ORACLE_KNN_MODULARITY,
     "dedup_mutual_knn_clusters": _ORACLE_MUTUAL_CLUSTERS,
     "embedding_neardup_sweep": _ORACLE_NEARDUP_SWEEP,
     "kmeans_lloyd": _ORACLE_KMEANS,

@@ -5538,6 +5538,14 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over raw rows."""
     ev = load_table(spark, sf_dir, "events")
     per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return skew_audit_from_counts(per_key)
+
+
+def skew_audit_from_counts(per_key: DataFrame) -> DataFrame:
+    """Scoring half of the hot-key audit over a (user_id, n_events)
+    counts table — shared by the batch query and the streaming
+    incremental twin (count merge is associative, so both feed identical
+    counts here and check against the same oracle)."""
     totals = per_key.agg(
         F.sum("n_events").alias("total"), F.count(F.lit(1)).alias("n_keys")
     )

@@ -363,6 +363,8 @@ FRESH_FIRST: tuple[str, ...] = (
     # driver-confirmed), so the growth freeze is lifted and the full
     # 50-slot window is free. New round-7 queries land here, newest
     # first.
+    "streaming_skew_audit",
+    "knn_label_modularity",
     "interval_overlap_join",
     "embedding_decontaminate",
     "lateral_top_orders",

@@ -903,6 +903,44 @@ ORDER BY event_type, rank
 """
 
 
+def q_streaming_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the hot-key audit: per-user counts MERGE
+    additively into a persistent table via foreachBatch; the scoring
+    (ppm share, mean-relative ratio, top-k) runs once at read time
+    through the SAME ``skew_audit_from_counts`` as the batch query —
+    the fourth batch/stream single-sourcing family (after EWMA, PSI and
+    the curation gate), oracle-checked against the batch oracle
+    VERBATIM. Operationally this is the live form: skew is watched on
+    the ingest stream so the salting decision (ATTR_SALT_BUCKETS) can
+    move before the nightly batch job falls over.
+
+    Scale: state is the (user_id, n) rollup, partial-aggregated per
+    batch; top-k scoring never runs per micro-batch."""
+    import shutil
+
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        skew_audit_from_counts,
+    )
+
+    events = _event_stream(spark, sf_dir).select(
+        "user_id", F.lit(1).cast("long").alias("n_events")
+    )
+    table = tempfile.mkdtemp(prefix="skew_table_")
+    checkpoint = tempfile.mkdtemp(prefix="skew_ckpt_")
+    try:
+        _additive_merge_stream(
+            events, ["user_id"], ["n_events"], table, checkpoint
+        )
+        rows = skew_audit_from_counts(spark.read.parquet(table)).collect()
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, n_events long, share_ppm long, skew_ratio_x1000 long",
+    ).orderBy(F.desc("n_events"), "user_id")
+
+
 def q_streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming drift monitor: each micro-batch's per-(event_type,
     window) counts MERGE additively into a persistent counts table via
@@ -1014,6 +1052,7 @@ QUERIES = {
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_enrich": q_streaming_enrich,
     "streaming_kmv_sink": q_streaming_kmv_sink,
+    "streaming_skew_audit": q_streaming_skew_audit,
 }
 
 def _psi_oracle() -> str:
@@ -1022,9 +1061,16 @@ def _psi_oracle() -> str:
     return analytics_ext._ORACLE_PSI
 
 
+def _skew_oracle() -> str:
+    from admob_data_pipeline_spark.plans import analytics_ext
+
+    return analytics_ext._ORACLE_SKEW_AUDIT
+
+
 ORACLES = {
     "streaming_ewma_spikes": _ewma_oracle(),
     "streaming_drift_psi": _psi_oracle(),
+    "streaming_skew_audit": _skew_oracle(),
     "streaming_topk": _ORACLE_STREAM_TOPK,
     "streaming_stateful_rates": _ORACLE_STATEFUL,
     "sessionize_batch": _ORACLE_SESSIONIZE,

@@ -726,3 +726,25 @@ def test_retrieval_mrr_matches_pure_python_recompute(spark, sf_dir):
             assert rk == first[src] and rr == 1_000_000 // first[src]
         else:
             assert rk is None and rr == 0
+
+
+def test_knn_label_modularity_invariants(spark, sf_dir):
+    """Degrees must double-count edges exactly (sum d_sum = 2m), internal
+    edges can't exceed m, and Q = sum(q_num)/4m^2 must lie in Newman's
+    [-1/2, 1] range — the identities that pin the integer-numerator
+    formulation to real modularity."""
+    from admob_data_pipeline_spark.operators.similarity import (
+        mutual_knn_edges,
+        q_knn_label_modularity,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    rows = q_knn_label_modularity(spark, sf_dir).collect()
+    assert rows
+    m = mutual_knn_edges(load_table(spark, sf_dir, "embeddings")).count()
+    assert sum(r.d_sum for r in rows) == 2 * m
+    assert 0 <= sum(r.e_in for r in rows) <= m
+    q = sum(r.q_num for r in rows) / (4 * m * m)
+    assert -0.5 <= q <= 1.0
+    for r in rows:
+        assert r.q_num == 4 * m * r.e_in - r.d_sum * r.d_sum

@@ -86,3 +86,17 @@ def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
 
     batch = S.sessionize_batch(load_table(spark, sf_dir, "events"))
     assert got == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_skew_audit_equals_batch(spark, sf_dir):
+    """Count merge is associative, so the streamed hot-key audit must be
+    row-identical to the batch q_skew_audit — the single-sourcing
+    contract (shared skew_audit_from_counts scorer)."""
+    from admob_data_pipeline_spark.plans.analytics_ext import q_skew_audit
+    from admob_data_pipeline_spark.streaming.alerts import (
+        q_streaming_skew_audit,
+    )
+
+    batch = [tuple(r) for r in q_skew_audit(spark, sf_dir).collect()]
+    stream = [tuple(r) for r in q_streaming_skew_audit(spark, sf_dir).collect()]
+    assert stream == batch and batch
