@@ -4205,6 +4205,131 @@ ORDER BY g_src, g_grp, g_ctry,
 """
 
 
+# --- cross-warehouse coverage / funnel parity --------------------------------
+
+
+def q_mediation_missing_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-date report-coverage audit on the MEDIATION warehouse —
+    mirror of ``network_missing_cells`` at the waterfall grain
+    (ad_source, mediation_group, country): of all cells ever observed,
+    how many are missing per date. Same reference anchors
+    (native_CTR_alerts.py:298-302 missing-units anti-join,
+    main.py:147-149 empty-day guard); the grain is DENSE at the
+    synthetic SFs so the audit reports zeros there — the non-zero path
+    is exercised by the network twin's tests.
+
+    Scale: identical to the network audit — one schema-bounded
+    distinct-cells rollup broadcast as a one-row count; the fact
+    shuffles once, keyed by date."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        read_mediation_warehouse,
+    )
+
+    wh = read_mediation_warehouse(spark, sf_dir)
+    cell = F.concat_ws("|", "ad_source_name", "mediation_group_name", "country")
+    per_date = wh.groupBy("date").agg(
+        F.countDistinct(cell).alias("n_present")
+    )
+    total = (
+        wh.select(cell.alias("c"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_expected"))
+    )
+    return (
+        per_date.crossJoin(F.broadcast(total))
+        .select(
+            "date",
+            "n_expected",
+            "n_present",
+            (F.col("n_expected") - F.col("n_present")).alias("n_missing"),
+        )
+        .orderBy("date")
+    )
+
+
+_ORACLE_MEDIATION_MISSING = f"""
+WITH fact AS ({_MEDIATION_FACT_SQL}),
+tot AS (
+    SELECT COUNT(*) AS n_expected FROM (
+        SELECT DISTINCT ad_source_name, mediation_group_name, country
+        FROM fact
+    )
+),
+per_date AS (
+    SELECT date,
+           COUNT(DISTINCT ad_source_name || '|' || mediation_group_name
+                 || '|' || country) AS n_present
+    FROM fact GROUP BY date
+)
+SELECT date,
+       CAST(n_expected AS BIGINT) AS n_expected,
+       CAST(n_present AS BIGINT) AS n_present,
+       CAST(n_expected - n_present AS BIGINT) AS n_missing
+FROM per_date, tot
+ORDER BY date
+"""
+
+
+def q_warehouse_funnel_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-warehouse funnel parity: daily ad_requests /
+    matched_requests / match-rate ppm from the NETWORK and MEDIATION
+    report families side by side — the reconciliation an ads team runs
+    when the two report surfaces must tell the same fill story (the
+    reference fetches both families; nothing in it cross-checks them —
+    this closes that gap). One row per (date, source_system); exact
+    integer sums, ratio divided once.
+
+    Scale: each warehouse contributes one date-keyed partial-aggregated
+    rollup; the union is calendar-bounded."""
+    from admob_data_pipeline_spark.sources.report_warehouse import (
+        read_mediation_warehouse,
+        read_network_warehouse,
+    )
+
+    def leg(wh: DataFrame, tag: str) -> DataFrame:
+        return wh.groupBy("date").agg(
+            F.lit(tag).alias("source_system"),
+            F.sum("ad_requests").alias("ad_requests"),
+            F.sum("matched_requests").alias("matched_requests"),
+        )
+
+    both = leg(read_network_warehouse(spark, sf_dir), "network").unionByName(
+        leg(read_mediation_warehouse(spark, sf_dir), "mediation")
+    )
+    return both.select(
+        "date",
+        "source_system",
+        "ad_requests",
+        "matched_requests",
+        F.expr(
+            "CAST(matched_requests * 1000000 DIV NULLIF(ad_requests, 0)"
+            " AS BIGINT)"
+        ).alias("match_rate_ppm"),
+    ).orderBy("date", "source_system")
+
+
+_ORACLE_WAREHOUSE_COMPARE = f"""
+WITH nw AS ({_NETWORK_FACT_SQL}),
+md AS ({_MEDIATION_FACT_SQL}),
+legs AS (
+    SELECT date, 'network' AS source_system,
+           CAST(SUM(ad_requests) AS BIGINT) AS ad_requests,
+           CAST(SUM(matched_requests) AS BIGINT) AS matched_requests
+    FROM nw GROUP BY date
+    UNION ALL
+    SELECT date, 'mediation' AS source_system,
+           CAST(SUM(ad_requests) AS BIGINT) AS ad_requests,
+           CAST(SUM(matched_requests) AS BIGINT) AS matched_requests
+    FROM md GROUP BY date
+)
+SELECT date, source_system, ad_requests, matched_requests,
+       CAST(matched_requests * 1000000 // NULLIF(ad_requests, 0) AS BIGINT)
+           AS match_rate_ppm
+FROM legs
+ORDER BY date, source_system
+"""
+
+
 # --- multi-touch attribution -------------------------------------------------
 
 ATTR_LOOKBACK_DAYS = 7
@@ -5582,6 +5707,8 @@ QUERIES = {
     "embedding_drift_psi": q_embedding_drift_psi,
     "dominant_suppliers": q_dominant_suppliers,
     "lateral_top_orders": q_lateral_top_orders,
+    "mediation_missing_cells": q_mediation_missing_cells,
+    "warehouse_funnel_compare": q_warehouse_funnel_compare,
     "interval_overlap_join": q_interval_overlap_join,
     "ivm_join_delta": q_ivm_join_delta,
     "attribution_touch_models": q_attribution_touch_models,
@@ -5671,6 +5798,8 @@ ORACLES = {
     "embedding_drift_psi": _ORACLE_EMB_DRIFT_PSI,
     "dominant_suppliers": _ORACLE_DOMINANT_SUPP,
     "lateral_top_orders": _LATERAL_TOP_SQL,
+    "mediation_missing_cells": _ORACLE_MEDIATION_MISSING,
+    "warehouse_funnel_compare": _ORACLE_WAREHOUSE_COMPARE,
     "interval_overlap_join": _ORACLE_INTERVAL_OVERLAP,
     "ivm_join_delta": _ORACLE_IVM_JOIN,
     "attribution_touch_models": _ORACLE_ATTR_TOUCH_MODELS,

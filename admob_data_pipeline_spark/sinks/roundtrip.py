@@ -567,7 +567,77 @@ ORDER BY c_mktsegment
 """
 
 
+def q_sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD-COLUMN schema evolution without a table format: the v1 batch
+    writes (date, app_name, impressions); a later v2 batch appends with
+    a NEW ``clicks`` column; reading the mixed directory with
+    ``mergeSchema=true`` unifies the schemas and v1 rows surface
+    clicks = NULL — the migration every long-lived parquet warehouse
+    does between deploys, and exactly the reader behavior a backfill
+    must rely on. The v1/v2 boundary is the first half of the observed
+    dates (derived, calendar-bounded driver pull — same class as the
+    compaction query's date glob). The oracle replays the NULL-masking
+    rule over the raw facts, proving the merged read loses nothing and
+    invents nothing.
+
+    Scale: mergeSchema costs one footer read per file at planning time
+    (drop it once schemas converge); data-side cost is the same
+    partial-aggregated daily rollup as the other sink round-trips."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("date"),
+        F.col("event_type").alias("app_name"),
+    ).agg(
+        F.count(F.lit(1)).alias("impressions"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("clicks"),
+    ).localCheckpoint()  # feeds the date list + both version slices
+    dates = sorted(r.date for r in daily.select("date").distinct().collect())
+    v1_dates = dates[: len(dates) // 2]
+    out = tempfile.mkdtemp(prefix="sink_evolve_")
+    try:
+        daily.where(F.col("date").isin(v1_dates)).drop("clicks").write.mode(
+            "overwrite"
+        ).parquet(out)
+        daily.where(~F.col("date").isin(v1_dates)).write.mode("append").parquet(
+            out
+        )
+        back = spark.read.option("mergeSchema", "true").parquet(out)
+        rows = [
+            (r.date, r.app_name, r.impressions, r.clicks)
+            for r in back.select(
+                "date", "app_name", "impressions", "clicks"
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "date string, app_name string, impressions bigint, clicks bigint"
+    ).orderBy("date", "app_name")
+
+
+_ORACLE_SCHEMA_EVOLUTION = """
+WITH daily AS (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+           event_type AS app_name,
+           COUNT(*) AS impressions,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS clicks
+    FROM events GROUP BY date, app_name
+),
+r AS (
+    SELECT date,
+           ROW_NUMBER() OVER (ORDER BY date) AS rn,
+           COUNT(*) OVER () AS n
+    FROM (SELECT DISTINCT date FROM daily)
+)
+SELECT d.date, d.app_name, d.impressions,
+       CASE WHEN r.rn * 2 <= r.n THEN NULL ELSE d.clicks END AS clicks
+FROM daily d JOIN r USING (date)
+ORDER BY d.date, d.app_name
+"""
+
+
 QUERIES = {
+    "sink_schema_evolution": q_sink_schema_evolution,
     "sink_permissive_csv": q_sink_permissive_csv,
     "sink_bucketed_join": q_sink_bucketed_join,
     "sink_wap": q_sink_wap,
@@ -583,6 +653,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_schema_evolution": _ORACLE_SCHEMA_EVOLUTION,
     "sink_permissive_csv": _ORACLE_PERMISSIVE,
     "sink_bucketed_join": _ORACLE_BUCKETED,
     "sink_wap": _ORACLE_PARTITION,

@@ -250,3 +250,18 @@ def test_mediation_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
     )
     assert "dynamicpruningexpression" in scan, scan
     assert df.count() > 0
+
+
+def test_warehouse_funnel_compare_covers_both_systems_every_date(spark, sf_dir):
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        q_warehouse_funnel_compare,
+    )
+
+    rows = q_warehouse_funnel_compare(spark, sf_dir).collect()
+    per_date = {}
+    for r in rows:
+        per_date.setdefault(r.date, set()).add(r.source_system)
+        assert 0 <= r.match_rate_ppm <= 1_000_000
+        assert r.matched_requests <= r.ad_requests
+    assert per_date
+    assert all(v == {"network", "mediation"} for v in per_date.values())

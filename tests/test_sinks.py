@@ -242,3 +242,21 @@ def test_write_audit_publish_rejects_and_quarantines(spark, tmp_path):
     good = spark.createDataFrame([Row(app_name="a", impressions=3)])
     write_audit_publish(good, out, audit)
     assert spark.read.parquet(out).count() == 1
+
+
+def test_schema_evolution_nulls_exactly_the_v1_half(spark, sf_dir):
+    """mergeSchema must surface clicks = NULL for exactly the v1 dates
+    (first half of the observed calendar) and real values for v2."""
+    from admob_data_pipeline_spark.sinks.roundtrip import (
+        q_sink_schema_evolution,
+    )
+
+    rows = q_sink_schema_evolution(spark, sf_dir).collect()
+    dates = sorted({r.date for r in rows})
+    v1 = set(dates[: len(dates) // 2])
+    assert v1 and len(v1) < len(dates)
+    for r in rows:
+        if r.date in v1:
+            assert r.clicks is None
+        else:
+            assert r.clicks is not None
