@@ -530,6 +530,67 @@ ORDER BY doc_id
 _ORACLE_CURATION_GATE = _curation_gate_oracle()
 
 
+def q_curation_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rules-vs-model agreement audit: the 2×2 confusion between the
+    C4/Gopher rule gate and the learned quality classifier — the table a
+    pipeline owner reads BEFORE swapping one filter stage for the other
+    (the off-diagonal cells are exactly the documents whose fate would
+    change). Cells carry counts and exact ppm shares.
+
+    Single-sourcing: the two keep decisions come from the REGISTERED
+    projections (curation_gate_columns / quality_classifier_columns)
+    verbatim, so this audit can never drift from either op; they join on
+    doc_id here — a production deployment fuses the two map-only
+    projections into one pass over the scan, which changes cost, not
+    values. The rollup is 4 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = curation_gate_columns(docs).select(
+        "doc_id", F.col("keep").alias("rule_keep")
+    )
+    c = quality_classifier_columns(docs).select(
+        "doc_id", F.col("keep").alias("model_keep")
+    )
+    cells = (
+        g.join(c, "doc_id")
+        .groupBy("rule_keep", "model_keep")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = cells.agg(F.sum("n_docs").alias("n"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "rule_keep",
+            "model_keep",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 DIV n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("rule_keep", "model_keep")
+    )
+
+
+_ORACLE_CURATION_AGREEMENT = f"""
+WITH rg AS (
+    SELECT doc_id, keep AS rule_keep FROM ({_ORACLE_CURATION_GATE})
+),
+mg AS (
+    SELECT doc_id, keep AS model_keep FROM ({_ORACLE_QUALITY_CLASSIFIER})
+),
+cells AS (
+    SELECT rule_keep, model_keep, COUNT(*) AS n_docs
+    FROM rg JOIN mg USING (doc_id)
+    GROUP BY rule_keep, model_keep
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cells)
+SELECT rule_keep, model_keep,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs * 1000000 // n AS BIGINT) AS share_ppm
+FROM cells, tot
+ORDER BY rule_keep, model_keep
+"""
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP = 3
@@ -1747,6 +1808,7 @@ QUERIES = {
     "bm25_search_and": q_bm25_search_and,
     "curation_gate": q_curation_gate,
     "quality_classifier": q_quality_classifier,
+    "curation_agreement": q_curation_agreement,
     "bm25_phrase_search": q_bm25_phrase_search,
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "text_lm_score": q_lm_score,
@@ -1769,6 +1831,7 @@ ORACLES = {
     "bm25_search_and": _ORACLE_BM25_SEARCH_AND,
     "curation_gate": _ORACLE_CURATION_GATE,
     "quality_classifier": _ORACLE_QUALITY_CLASSIFIER,
+    "curation_agreement": _ORACLE_CURATION_AGREEMENT,
     "bm25_phrase_search": _ORACLE_BM25_PHRASE,
     "hybrid_search_rrf": _ORACLE_HYBRID_RRF,
     "text_lm_score": _ORACLE_LM,
