@@ -346,13 +346,10 @@ def curation_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def curation_gate_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """The gate's map-only projection, WITHOUT the sort or the local
-    split widening — shared VERBATIM by the batch query and the
-    streaming twin (streaming/alerts.py), so the batch and stream cells
-    are identical by construction (the same single-sourcing contract as
-    the network_*_col family). Being a pure stateless projection, it is
-    trivially incremental: no watermark, no state store, append mode."""
+def _gate_cols(text_col: str = "text") -> dict[str, F.Column]:
+    """The gate's column EXPRESSIONS by output name — the single
+    definition behind curation_gate_columns and the fused
+    rules-vs-classifier agreement scan."""
     from admob_data_pipeline_spark.operators.text import STOPWORDS
 
     t = tokens(F.col(text_col))
@@ -374,15 +371,27 @@ def curation_gate_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
         GATE_MAX_NONALPHA_PCT * n_chars
     )
     rep_ok = F.coalesce(dup2 * 100 <= GATE_MAX_DUP2_PCT * total2, F.lit(True))
+    return {
+        "n_tokens": n_tok,
+        "len_ok": len_ok,
+        "mean_len_ok": mean_len_ok,
+        "stop_ok": stop_ok,
+        "alpha_ok": alpha_ok,
+        "rep_ok": rep_ok,
+        "keep": len_ok & mean_len_ok & stop_ok & alpha_ok & rep_ok,
+    }
+
+
+def curation_gate_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The gate's map-only projection, WITHOUT the sort or the local
+    split widening — shared VERBATIM by the batch query and the
+    streaming twin (streaming/alerts.py), so the batch and stream cells
+    are identical by construction (the same single-sourcing contract as
+    the network_*_col family). Being a pure stateless projection, it is
+    trivially incremental: no watermark, no state store, append mode."""
+    cols = _gate_cols(text_col)
     return docs.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        len_ok.alias("len_ok"),
-        mean_len_ok.alias("mean_len_ok"),
-        stop_ok.alias("stop_ok"),
-        alpha_ok.alias("alpha_ok"),
-        rep_ok.alias("rep_ok"),
-        (len_ok & mean_len_ok & stop_ok & alpha_ok & rep_ok).alias("keep"),
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
     )
 
 
@@ -422,14 +431,10 @@ def quality_classifier_scores(
     ).orderBy("doc_id")
 
 
-def quality_classifier_columns(
-    docs: DataFrame, text_col: str = "text"
-) -> DataFrame:
-    """The classifier's map-only projection WITHOUT the sort or split
-    widening — shared VERBATIM by the batch query and the streaming twin
-    (streaming/alerts.py), same single-sourcing contract as
-    curation_gate_columns: a stateless projection streams in append
-    mode with no watermark or state store."""
+def _classifier_cols(text_col: str = "text") -> dict[str, F.Column]:
+    """The classifier's column EXPRESSIONS by output name — the single
+    definition behind quality_classifier_columns and the fused
+    rules-vs-classifier agreement scan."""
     grams = shingles(tokens(F.col(text_col)), 2)
     # per feature: bucket = md5-hash mod DIM, then the deterministic
     # weight (bucket·KNUTH) mod (2R+1) − R, all in one transform lambda
@@ -448,11 +453,24 @@ def quality_classifier_columns(
     logit = F.lit(QC_BIAS_MILLI).cast("long") + F.aggregate(
         contribs, F.lit(0).cast("long"), lambda acc, x: acc + x
     )
+    return {
+        "n_feats": F.size(grams).cast("int"),
+        "logit_milli": logit,
+        "keep": logit > 0,
+    }
+
+
+def quality_classifier_columns(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The classifier's map-only projection WITHOUT the sort or split
+    widening — shared VERBATIM by the batch query and the streaming twin
+    (streaming/alerts.py), same single-sourcing contract as
+    curation_gate_columns: a stateless projection streams in append
+    mode with no watermark or state store."""
+    cols = _classifier_cols(text_col)
     return docs.select(
-        "doc_id",
-        F.size(grams).cast("int").alias("n_feats"),
-        logit.alias("logit_milli"),
-        (logit > 0).alias("keep"),
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
     )
 
 
@@ -537,22 +555,19 @@ def q_curation_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the off-diagonal cells are exactly the documents whose fate would
     change). Cells carry counts and exact ppm shares.
 
-    Single-sourcing: the two keep decisions come from the REGISTERED
-    projections (curation_gate_columns / quality_classifier_columns)
-    verbatim, so this audit can never drift from either op; they join on
-    doc_id here — a production deployment fuses the two map-only
-    projections into one pass over the scan, which changes cost, not
-    values. The rollup is 4 rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    g = curation_gate_columns(docs).select(
-        "doc_id", F.col("keep").alias("rule_keep")
-    )
-    c = quality_classifier_columns(docs).select(
-        "doc_id", F.col("keep").alias("model_keep")
+    Single-sourcing: the two keep decisions come from the SAME column
+    expressions behind the registered projections (_gate_cols /
+    _classifier_cols), so this audit can never drift from either op —
+    and because they are expressions, both evaluate in ONE map-only
+    pass over the scan (no second corpus scan, no doc_id join). The
+    rollup is 4 rows."""
+    docs = widen_if_narrow(load_table(spark, sf_dir, "documents"))
+    flags = docs.select(
+        _gate_cols()["keep"].alias("rule_keep"),
+        _classifier_cols()["keep"].alias("model_keep"),
     )
     cells = (
-        g.join(c, "doc_id")
-        .groupBy("rule_keep", "model_keep")
+        flags.groupBy("rule_keep", "model_keep")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     tot = cells.agg(F.sum("n_docs").alias("n"))

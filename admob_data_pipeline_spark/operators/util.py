@@ -104,3 +104,31 @@ def dense_global_index(
         .withColumn(out_col, (F.col("_rn") + F.col("_off") - 1).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
+
+
+# --- shared gap-sessionization contract --------------------------------------
+
+SESSION_GAP = "2 hours"
+
+# ONE SQL definition of the session labeling (gap rule + running start
+# count) — composed by the sessionize oracles (streaming/alerts.py) and
+# the interval-overlap oracle (plans/analytics_ext.py), mirroring the
+# Spark side's _session_rows single-sourcing. Yields CTEs ``e`` (is_new
+# flags) and ``slab`` (rows labeled with their session id). Lives here,
+# not in streaming/alerts, because alerts' ORACLES build imports
+# analytics_ext at module scope — a constant both sides need must sit
+# below both in the import graph.
+SESSION_LABEL_SQL = f"""e AS (
+    SELECT user_id, ts, event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS vm,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL {SESSION_GAP}
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+slab AS (
+    SELECT user_id, ts, vm,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+    FROM e
+)"""

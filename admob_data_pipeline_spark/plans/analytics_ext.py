@@ -25,7 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from admob_data_pipeline_spark.operators.util import join_small
+from admob_data_pipeline_spark.operators.util import (
+    SESSION_LABEL_SQL,
+    join_small,
+)
 from admob_data_pipeline_spark.sources.tables import load_table
 
 
@@ -3875,7 +3878,14 @@ def q_network_missing_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     wh = read_network_warehouse(spark, sf_dir)
-    cell = F.concat_ws("|", "app_name", "format", "ad_unit_name")
+    return _missing_cells_audit(wh, ["app_name", "format", "ad_unit_name"])
+
+
+def _missing_cells_audit(wh: DataFrame, cell_cols: list[str]) -> DataFrame:
+    """The ONE per-date missing-cells rollup, shared by the network and
+    mediation coverage audits (they differ only in the reader and the
+    cell column list)."""
+    cell = F.concat_ws("|", *cell_cols)
     per_date = wh.groupBy("date").agg(
         F.countDistinct(cell).alias("n_present")
     )
@@ -3896,17 +3906,22 @@ def q_network_missing_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_NETWORK_MISSING = f"""
-WITH fact AS ({_NETWORK_FACT_SQL}),
+def _missing_cells_sql(fact_sql: str, cell_cols: list[str]) -> str:
+    """ONE oracle template for the missing-cells audits — concat_ws on
+    both engines (|| would propagate a NULL cell key where Spark's
+    concat_ws skips it; the warehouse cells are non-null today, but the
+    shared text removes the latent divergence)."""
+    cols = ", ".join(cell_cols)
+    return f"""
+WITH fact AS ({fact_sql}),
 tot AS (
     SELECT COUNT(*) AS n_expected FROM (
-        SELECT DISTINCT app_name, format, ad_unit_name FROM fact
+        SELECT DISTINCT {cols} FROM fact
     )
 ),
 per_date AS (
     SELECT date,
-           COUNT(DISTINCT app_name || '|' || format || '|' || ad_unit_name)
-               AS n_present
+           COUNT(DISTINCT concat_ws('|', {cols})) AS n_present
     FROM fact GROUP BY date
 )
 SELECT date,
@@ -3916,6 +3931,11 @@ SELECT date,
 FROM per_date, tot
 ORDER BY date
 """
+
+
+_ORACLE_NETWORK_MISSING = _missing_cells_sql(
+    _NETWORK_FACT_SQL, ["app_name", "format", "ad_unit_name"]
+)
 
 
 def q_ctr_anomaly_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4226,48 +4246,14 @@ def q_mediation_missing_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     wh = read_mediation_warehouse(spark, sf_dir)
-    cell = F.concat_ws("|", "ad_source_name", "mediation_group_name", "country")
-    per_date = wh.groupBy("date").agg(
-        F.countDistinct(cell).alias("n_present")
-    )
-    total = (
-        wh.select(cell.alias("c"))
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_expected"))
-    )
-    return (
-        per_date.crossJoin(F.broadcast(total))
-        .select(
-            "date",
-            "n_expected",
-            "n_present",
-            (F.col("n_expected") - F.col("n_present")).alias("n_missing"),
-        )
-        .orderBy("date")
+    return _missing_cells_audit(
+        wh, ["ad_source_name", "mediation_group_name", "country"]
     )
 
 
-_ORACLE_MEDIATION_MISSING = f"""
-WITH fact AS ({_MEDIATION_FACT_SQL}),
-tot AS (
-    SELECT COUNT(*) AS n_expected FROM (
-        SELECT DISTINCT ad_source_name, mediation_group_name, country
-        FROM fact
-    )
-),
-per_date AS (
-    SELECT date,
-           COUNT(DISTINCT ad_source_name || '|' || mediation_group_name
-                 || '|' || country) AS n_present
-    FROM fact GROUP BY date
+_ORACLE_MEDIATION_MISSING = _missing_cells_sql(
+    _MEDIATION_FACT_SQL, ["ad_source_name", "mediation_group_name", "country"]
 )
-SELECT date,
-       CAST(n_expected AS BIGINT) AS n_expected,
-       CAST(n_present AS BIGINT) AS n_present,
-       CAST(n_expected - n_present AS BIGINT) AS n_missing
-FROM per_date, tot
-ORDER BY date
-"""
 
 
 def q_warehouse_funnel_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5313,28 +5299,13 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_INTERVAL_OVERLAP = """
-WITH e AS (
-    SELECT user_id, ts, event_id,
-           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id)
-                     > INTERVAL 2 HOUR
-                OR LAG(ts) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) IS NULL
-                THEN 1 ELSE 0 END AS is_new
-    FROM events
-),
-lab AS (
-    SELECT user_id, ts,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sess
-    FROM e
-),
+_ORACLE_INTERVAL_OVERLAP = f"""
+WITH {SESSION_LABEL_SQL},
 sessions AS (
     SELECT user_id,
            MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS s_start_us,
            MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS s_end_us
-    FROM lab GROUP BY user_id, sess
+    FROM slab GROUP BY user_id, sess
 ),
 bursts AS (
     SELECT event_type, CAST(ts AS DATE) AS day,

@@ -35,9 +35,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.functions.scalars import safe_divide
+from admob_data_pipeline_spark.operators.util import (
+    SESSION_GAP,
+    SESSION_LABEL_SQL,
+)
 from admob_data_pipeline_spark.sources.tables import load_table
 
-SESSION_GAP = "2 hours"
 WATERMARK = "2 days"
 
 
@@ -351,28 +354,15 @@ def q_streaming_sessionize_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start_epoch")
 
 
-_ORACLE_SESSIONIZE_SINK = """
-WITH e AS (
-    SELECT user_id, ts, event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS vm,
-           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                     > INTERVAL 2 HOUR
-                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                THEN 1 ELSE 0 END AS is_new
-    FROM events
-),
-s AS (
-    SELECT user_id, ts, vm,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sess
-    FROM e
-)
+_ORACLE_SESSIONIZE_SINK = f"""
+WITH {SESSION_LABEL_SQL}
 SELECT user_id,
        CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
        COUNT(*) AS n_events,
        CAST(SUM(vm) AS BIGINT) AS value_milli,
        DATE '1970-01-01'
            + CAST(CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) // 86400 AS INT) AS date
-FROM s
+FROM slab
 GROUP BY user_id, sess
 ORDER BY user_id, session_start_epoch
 """
@@ -778,26 +768,13 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gap-sessionization in SQL: a new session starts when the gap to the
 # previous event (per user) exceeds SESSION_GAP; session id = running count
 # of session starts; session start = min(ts) per (user, session id).
-_ORACLE_SESSIONIZE = """
-WITH e AS (
-    SELECT user_id, ts, event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS vm,
-           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                     > INTERVAL 2 HOUR
-                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                THEN 1 ELSE 0 END AS is_new
-    FROM events
-),
-s AS (
-    SELECT user_id, ts, vm,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sess
-    FROM e
-)
+_ORACLE_SESSIONIZE = f"""
+WITH {SESSION_LABEL_SQL}
 SELECT user_id,
        CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
        COUNT(*) AS n_events,
        CAST(SUM(vm) AS BIGINT) AS value_milli
-FROM s
+FROM slab
 GROUP BY user_id, sess
 ORDER BY user_id, session_start_epoch
 """
