@@ -1009,6 +1009,99 @@ ORDER BY rnk
 """
 
 
+# --- pairwise source similarity matrix ---------------------------------------
+
+
+def q_source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard between EVERY source pair — the corpus-composition
+    matrix read when deciding which acquisition sources are redundant
+    (complement of ``source_divergence``'s per-source-vs-corpus KL and
+    ``ngram_novelty``'s unique-contribution view; this one says WHICH
+    pairs overlap). Zero-overlap pairs appear as explicit rows — absence
+    of overlap is the actionable signal. Thresholds are exact integer
+    ppm over the 3-gram set universe shared with decontamination.
+
+    Scale: the (source, gram) distinct table is ONE vocabulary-sized
+    shuffle; the intersection join is gram-keyed and posting-bounded —
+    per gram the pair fan-out is (sources containing it)² ≤ |sources|²,
+    a SCHEMA-bounded constant, never corpus-scale; the full pair grid is
+    |sources|² rows built from the broadcast sizes rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    sg = (
+        widen_if_narrow(docs)
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(shingles(tokens(F.col("text")), DECONTAM_N))
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds sizes + both sides of the intersection
+    )
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sg.select(F.col("source").alias("source_a"), "gram")
+    b = sg.select(F.col("source").alias("source_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    grid = sa.join(
+        F.broadcast(sb), F.col("source_a") < F.col("source_b")
+    )
+    return (
+        grid.join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("n_inter"), F.lit(0).cast("long")).alias(
+                "n_inter"
+            ),
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(COALESCE(n_inter, 0) * 1000000 "
+                "DIV (n_a + n_b - COALESCE(n_inter, 0)) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_ORACLE_SOURCE_SIM = f"""
+WITH sg AS (
+    SELECT DISTINCT source, gram FROM (
+        SELECT source,
+               unnest([array_to_string(toks[i:i+{DECONTAM_N - 1}], ' ')
+                       FOR i IN generate_series(1, len(toks) - {DECONTAM_N - 1})])
+                   AS gram
+        FROM (SELECT source, string_split(lower(text), ' ') AS toks
+              FROM documents)
+    )
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+    FROM sg a JOIN sg b ON b.gram = a.gram AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(COALESCE(i.n_inter, 0) * 1000000
+            // (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS BIGINT)
+           AS jaccard_ppm
+FROM sizes sa
+JOIN sizes sb ON sa.source < sb.source
+LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
+ORDER BY source_a, source_b
+"""
+
+
 # --- hybrid (lexical + vector) retrieval -------------------------------------
 
 HYBRID_PROBE = 7  # "more-like-this" probe doc; embeddings↔documents share ids
@@ -1824,6 +1917,7 @@ QUERIES = {
     "curation_gate": q_curation_gate,
     "quality_classifier": q_quality_classifier,
     "curation_agreement": q_curation_agreement,
+    "source_similarity_matrix": q_source_similarity_matrix,
     "bm25_phrase_search": q_bm25_phrase_search,
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "text_lm_score": q_lm_score,
@@ -1847,6 +1941,7 @@ ORACLES = {
     "curation_gate": _ORACLE_CURATION_GATE,
     "quality_classifier": _ORACLE_QUALITY_CLASSIFIER,
     "curation_agreement": _ORACLE_CURATION_AGREEMENT,
+    "source_similarity_matrix": _ORACLE_SOURCE_SIM,
     "bm25_phrase_search": _ORACLE_BM25_PHRASE,
     "hybrid_search_rrf": _ORACLE_HYBRID_RRF,
     "text_lm_score": _ORACLE_LM,

@@ -362,3 +362,18 @@ def test_hybrid_rrf_fusion_algebra_and_leg_consistency(spark, sf_dir):
             assert vec_ranks[r.doc_id] == r.vec_rank
     scores = [r.rrf_score for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_source_similarity_matrix_full_grid_and_bounds(spark, sf_dir):
+    from admob_data_pipeline_spark.operators.corpus import (
+        q_source_similarity_matrix,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    rows = q_source_similarity_matrix(spark, sf_dir).collect()
+    n_src = load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    assert len(rows) == n_src * (n_src - 1) // 2  # every unordered pair
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 <= r.n_inter <= min(r.n_a, r.n_b)
+        assert 0 <= r.jaccard_ppm <= 1_000_000
