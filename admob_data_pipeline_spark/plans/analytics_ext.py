@@ -4728,6 +4728,104 @@ _ORACLE_ATTR_TIMEDECAY = _ATTR_WEIGHTED_SQL.format(
 )
 
 
+# --- all-models attribution comparison --------------------------------------
+
+# (model name → (Spark wgt expr builder, oracle wgt SQL)) — every model is
+# an instantiation of the ONE weighted largest-remainder core; linear is
+# the wgt=1 special case, the single-touch models are 0/1 weights (the
+# null-touch row keeps weight 1 so W >= 1 always — pmod by zero is an
+# error on DuckDB and NULL on Spark).
+_COMPARE_MODELS: dict[str, tuple] = {
+    "linear": (lambda: F.lit(1), "1"),
+    "position": (
+        lambda: (
+            F.when(F.col("n") <= 2, F.lit(1))
+            .when(
+                (F.col("rk") == 1) | (F.col("rk") == F.col("n")),
+                2 * (F.col("n") - 2),
+            )
+            .otherwise(F.lit(1))
+        ),
+        "CASE WHEN n <= 2 THEN 1 "
+        "WHEN rk = 1 OR rk = n THEN 2 * (n - 2) ELSE 1 END",
+    ),
+    "timedecay": (
+        lambda: F.expr(_decay_case(_SPARK_AGE_SQL)),
+        None,  # filled below: _decay_case(_DUCK_AGE_SQL) not yet defined here
+    ),
+    "first_touch": (
+        lambda: F.when(F.col("rk") == 1, F.lit(1)).otherwise(F.lit(0)),
+        "CASE WHEN rk = 1 THEN 1 ELSE 0 END",
+    ),
+    "last_touch": (
+        lambda: F.when(
+            (F.col("n") == 0) | (F.col("rk") == F.col("n")), F.lit(1)
+        ).otherwise(F.lit(0)),
+        "CASE WHEN n = 0 OR rk = n THEN 1 ELSE 0 END",
+    ),
+}
+
+
+def q_attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY attribution model's (day, touch_type) credit table in one
+    result — the side-by-side report an ads team reads when choosing a
+    model, and the structural proof of the family's design claim: all
+    five models (linear, U-shaped position, time-decay, first-touch,
+    last-touch) are weight instantiations of the ONE exact
+    largest-remainder core over the ONE pair join. Linear is wgt=1; the
+    single-touch models are 0/1 weights (with the null-touch row kept at
+    weight 1 so W ≥ 1); per-model conservation therefore holds by the
+    shared core's contract, and every model's per-day totals equal the
+    day's purchase earn.
+
+    n_events counts PAIR ROWS per cell (identical across models by
+    construction — same pairs, same label); credit_micros is where the
+    models differ.
+
+    Scale: the pair join runs ONCE (checkpointed, as the decay sweep);
+    each model is a window+rollup over the materialized pairs."""
+    pairs = _attribution_pairs(load_table(spark, sf_dir, "events")).localCheckpoint()
+    label = F.coalesce(F.col("touch_type"), F.lit("unattributed"))
+    out = None
+    for name, (wgt_fn, _) in _COMPARE_MODELS.items():
+        leg = _attribution_weighted(
+            pairs, wgt_fn(), label, "touch_type", ordered=False
+        ).select(
+            F.lit(name).alias("model"),
+            "day",
+            "touch_type",
+            "n_events",
+            "credit_micros",
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("model", "day", "touch_type")
+
+
+def _model_compare_oracle() -> str:
+    legs = []
+    for name, (_, wgt_sql) in _COMPARE_MODELS.items():
+        if wgt_sql is None:  # timedecay — needs the age CASE
+            wgt_sql = _decay_case(_DUCK_AGE_SQL)
+        legs.append(
+            "SELECT * FROM ("
+            + _ATTR_WEIGHTED_SQL.format(
+                lookback=ATTR_LOOKBACK_DAYS,
+                wgt=wgt_sql,
+                label="COALESCE(touch_type, 'unattributed')",
+                label_name="touch_type",
+                extra=f"'{name}' AS model, ",
+                order="",
+            )
+            + ")"
+        )
+        # fmt: off
+    return (
+        "\nUNION ALL\n".join(legs)
+        + "\nORDER BY model, day, touch_type"
+    )
+    # fmt: on
+
+
 # Half-life sweep: integer weight tables floor(2^((lookback−age)/h) ·
 # SCALE) for each half-life h — the scale keeps slow decays (h=7)
 # discriminating after the floor while every weight stays an exact
@@ -5683,6 +5781,7 @@ QUERIES = {
     "interval_overlap_join": q_interval_overlap_join,
     "ivm_join_delta": q_ivm_join_delta,
     "attribution_touch_models": q_attribution_touch_models,
+    "attribution_model_compare": q_attribution_model_compare,
     "skew_audit": q_skew_audit,
     "report_warehouse_mediation": q_report_warehouse_mediation,
     "report_warehouse_network": q_report_warehouse_network,
@@ -5774,6 +5873,7 @@ ORACLES = {
     "interval_overlap_join": _ORACLE_INTERVAL_OVERLAP,
     "ivm_join_delta": _ORACLE_IVM_JOIN,
     "attribution_touch_models": _ORACLE_ATTR_TOUCH_MODELS,
+    "attribution_model_compare": _model_compare_oracle(),
     "skew_audit": _ORACLE_SKEW_AUDIT,
     "report_warehouse_mediation": _ORACLE_MEDIATION_WH,
     "report_warehouse_network": _ORACLE_NETWORK_WH,

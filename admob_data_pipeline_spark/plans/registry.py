@@ -363,6 +363,7 @@ FRESH_FIRST: tuple[str, ...] = (
     # driver-confirmed), so the growth freeze is lifted and the full
     # 50-slot window is free. New round-7 queries land here, newest
     # first.
+    "attribution_model_compare",
     "source_similarity_matrix",
     "curation_agreement",
     "sink_schema_evolution",

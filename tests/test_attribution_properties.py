@@ -141,3 +141,31 @@ def test_touch_models_conserve_and_single_credit(spark, sf_dir):
         got = [r for r in rows if r.model == model]
         assert sum(r.credit_micros for r in got) == total
         assert sum(r.n_events for r in got) == n_p
+
+
+def test_model_compare_every_model_conserves_per_day(spark, sf_dir):
+    """Each of the five models' per-day credit totals must equal that
+    day's purchase earn exactly — conservation through the shared
+    weighted core, per model, per day (not just globally)."""
+    from pyspark.sql import functions as F
+
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        _COMPARE_MODELS,
+        q_attribution_model_compare,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    want = {
+        r.day: r.earn
+        for r in load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("earn"))
+        .collect()
+    }
+    per: dict[tuple, int] = {}
+    for r in q_attribution_model_compare(spark, sf_dir).collect():
+        per[(r.model, r.day)] = per.get((r.model, r.day), 0) + r.credit_micros
+    for model in _COMPARE_MODELS:
+        got = {d: v for (m, d), v in per.items() if m == model}
+        assert got == want, f"model {model} does not conserve"
