@@ -1027,18 +1027,20 @@ def q_source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a SCHEMA-bounded constant, never corpus-scale; the full pair grid is
     |sources|² rows built from the broadcast sizes rollup."""
     docs = load_table(spark, sf_dir, "documents")
-    sg = (
-        widen_if_narrow(docs)
-        .select(
-            "source",
-            F.explode(
-                F.array_distinct(shingles(tokens(F.col("text")), DECONTAM_N))
-            ).alias("gram"),
-        )
+    sg = _source_grams(docs, DECONTAM_N)  # shared with ngram_novelty
+    # sizes over ALL observed sources, not just gram-bearing ones: a
+    # source whose docs are all shorter than the shingle width must
+    # still appear in every pair row (n=0, jaccard 0) — absence of
+    # overlap is the contract, so the source list comes from documents
+    gram_counts = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sizes = (
+        docs.select("source")
         .distinct()
-        .localCheckpoint()  # feeds sizes + both sides of the intersection
+        .join(gram_counts, "source", "left")
+        .select(
+            "source", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n")
+        )
     )
-    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = sg.select(F.col("source").alias("source_a"), "gram")
     b = sg.select(F.col("source").alias("source_b"), "gram")
     inter = (
@@ -1063,8 +1065,9 @@ def q_source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             F.expr(
-                "CAST(COALESCE(n_inter, 0) * 1000000 "
-                "DIV (n_a + n_b - COALESCE(n_inter, 0)) AS BIGINT)"
+                "CAST(COALESCE(COALESCE(n_inter, 0) * 1000000 "
+                "DIV NULLIF(n_a + n_b - COALESCE(n_inter, 0), 0), 0)"
+                " AS BIGINT)"
             ).alias("jaccard_ppm"),
         )
         .orderBy("source_a", "source_b")
@@ -1082,7 +1085,12 @@ WITH sg AS (
               FROM documents)
     )
 ),
-sizes AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source),
+sizes AS (
+    SELECT d.source, COUNT(g.gram) AS n
+    FROM (SELECT DISTINCT source FROM documents) d
+    LEFT JOIN sg g ON g.source = d.source
+    GROUP BY d.source
+),
 inter AS (
     SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
     FROM sg a JOIN sg b ON b.gram = a.gram AND a.source < b.source
@@ -1092,8 +1100,8 @@ SELECT sa.source AS source_a, sb.source AS source_b,
        CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
        CAST(sa.n AS BIGINT) AS n_a,
        CAST(sb.n AS BIGINT) AS n_b,
-       CAST(COALESCE(i.n_inter, 0) * 1000000
-            // (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS BIGINT)
+       CAST(COALESCE(COALESCE(i.n_inter, 0) * 1000000
+            // NULLIF(sa.n + sb.n - COALESCE(i.n_inter, 0), 0), 0) AS BIGINT)
            AS jaccard_ppm
 FROM sizes sa
 JOIN sizes sb ON sa.source < sb.source
@@ -1568,6 +1576,23 @@ ORDER BY w.source
 NOVELTY_N = 3
 
 
+def _source_grams(docs: DataFrame, n: int) -> DataFrame:
+    """Distinct (source, gram) pairs — the source-keyed twin of
+    _doc_ngrams, shared by ngram_novelty and the source-similarity
+    matrix (checkpointed: both consumers read it at least twice)."""
+    return (
+        widen_if_narrow(docs)
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(shingles(tokens(F.col("text")), n))
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 def ngram_novelty(docs: DataFrame, k: int = NOVELTY_N) -> DataFrame:
     """Per-source novel-content contribution: of each source's distinct
     k-grams, what fraction appears in NO other source. The
@@ -1580,17 +1605,7 @@ def ngram_novelty(docs: DataFrame, k: int = NOVELTY_N) -> DataFrame:
     (vocabulary-of-grams-sized); the unique-gram set joins back via
     join_small. The corpus text is touched once.
     """
-    docs = widen_if_narrow(docs)
-    sg = (
-        docs.select(
-            "source",
-            F.explode(F.array_distinct(shingles(tokens(F.col("text")), k))).alias(
-                "gram"
-            ),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    sg = _source_grams(docs, k)
     uniq = (
         sg.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_sources"))

@@ -4521,12 +4521,24 @@ ORDER BY day, touch_type
 """
 
 
+def _size_pairs(pairs: DataFrame) -> DataFrame:
+    """Attach the (n, rk) per-purchase windows every weighted model
+    shares — factored out so the model-compare query can compute them
+    ONCE over the checkpointed pairs instead of once per model leg."""
+    wp = Window.partitionBy("p_id")
+    wrank = Window.partitionBy("p_id").orderBy("tts", "t_id")
+    return pairs.withColumn("n", F.count("t_id").over(wp)).withColumn(
+        "rk", F.row_number().over(wrank)
+    )
+
+
 def _attribution_weighted(
     pairs: DataFrame,
     wgt: Column,
     label: Column,
     label_name: str,
     ordered: bool = True,
+    pre_sized: bool = False,
 ) -> DataFrame:
     """Shared EXACT weighted largest-remainder attribution core for the
     position and time-decay models (linear is the wgt=1 special case).
@@ -4548,12 +4560,8 @@ def _attribution_weighted(
     purchase id (bounded by the per-user pair count), then one rollup to
     the (day, label) grain."""
     wp = Window.partitionBy("p_id")
-    wrank = Window.partitionBy("p_id").orderBy("tts", "t_id")
-    sized = (
-        pairs.withColumn("n", F.count("t_id").over(wp))
-        .withColumn("rk", F.row_number().over(wrank))
-        .withColumn("wgt", wgt.cast("long"))
-    )
+    base = pairs if pre_sized else _size_pairs(pairs)
+    sized = base.withColumn("wgt", wgt.cast("long"))
     scored = sized.withColumn("wt", F.sum("wgt").over(wp)).withColumn(
         "r", F.expr("pmod(earn * wgt, wt)")
     )
@@ -4751,7 +4759,7 @@ _COMPARE_MODELS: dict[str, tuple] = {
     ),
     "timedecay": (
         lambda: F.expr(_decay_case(_SPARK_AGE_SQL)),
-        None,  # filled below: _decay_case(_DUCK_AGE_SQL) not yet defined here
+        _decay_case(_DUCK_AGE_SQL),
     ),
     "first_touch": (
         lambda: F.when(F.col("rk") == 1, F.lit(1)).otherwise(F.lit(0)),
@@ -4784,12 +4792,14 @@ def q_attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the pair join runs ONCE (checkpointed, as the decay sweep);
     each model is a window+rollup over the materialized pairs."""
-    pairs = _attribution_pairs(load_table(spark, sf_dir, "events")).localCheckpoint()
+    sized = _size_pairs(
+        _attribution_pairs(load_table(spark, sf_dir, "events"))
+    ).localCheckpoint()  # the shared (n, rk) windows run ONCE, not per leg
     label = F.coalesce(F.col("touch_type"), F.lit("unattributed"))
     out = None
     for name, (wgt_fn, _) in _COMPARE_MODELS.items():
         leg = _attribution_weighted(
-            pairs, wgt_fn(), label, "touch_type", ordered=False
+            sized, wgt_fn(), label, "touch_type", ordered=False, pre_sized=True
         ).select(
             F.lit(name).alias("model"),
             "day",
@@ -4804,8 +4814,6 @@ def q_attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _model_compare_oracle() -> str:
     legs = []
     for name, (_, wgt_sql) in _COMPARE_MODELS.items():
-        if wgt_sql is None:  # timedecay — needs the age CASE
-            wgt_sql = _decay_case(_DUCK_AGE_SQL)
         legs.append(
             "SELECT * FROM ("
             + _ATTR_WEIGHTED_SQL.format(
