@@ -346,6 +346,48 @@ DRIVER_GREEN: frozenset[str] = frozenset(
         "report_warehouse_network",
         "streaming_mediation_ecpm",
         "streaming_network_funnel",
+        # r07 driver-green rows (CORRECTNESS_r07, 50/50 green: 38 fresh
+        # names below + the 6-name knn RECHECK re-verified + 6 green
+        # re-checks). Backlog stays ZERO — all 308 registry entries are
+        # driver-confirmed.
+        "attribution_decay_sweep",
+        "attribution_model_compare",
+        "attribution_position",
+        "attribution_salted",
+        "attribution_timedecay",
+        "attribution_touch_models",
+        "curation_agreement",
+        "dominant_suppliers",
+        "embedding_decontaminate",
+        "embedding_drift_psi",
+        "hybrid_search_rrf",
+        "interval_overlap_join",
+        "ivm_join_delta",
+        "knn_label_modularity",
+        "knn_probe_lift",
+        "knn_recall_by_source",
+        "lateral_top_orders",
+        "mediation_dpp_join",
+        "mediation_missing_cells",
+        "mediation_rollup_grain",
+        "nullsafe_day_over_day",
+        "quality_classifier",
+        "reload_reconcile",
+        "report_sink_python_roundtrip",
+        "report_source_pushdown",
+        "report_source_scan",
+        "retrieval_mrr",
+        "retrieval_ndcg",
+        "sink_schema_evolution",
+        "skew_audit",
+        "source_similarity_matrix",
+        "stratified_split_exact",
+        "streaming_curation_gate",
+        "streaming_quality_classifier",
+        "streaming_report_sink_roundtrip",
+        "streaming_report_source",
+        "streaming_skew_audit",
+        "warehouse_funnel_compare",
     }
 )
 
@@ -359,48 +401,8 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 # Names absent from the registry are ignored, so this list never breaks on
 # renames.
 FRESH_FIRST: tuple[str, ...] = (
-    # round-7 wave: backlog is ZERO after the r6 append (all 270 entries
-    # driver-confirmed), so the growth freeze is lifted and the full
-    # 50-slot window is free. New round-7 queries land here, newest
-    # first.
-    "attribution_model_compare",
-    "source_similarity_matrix",
-    "curation_agreement",
-    "sink_schema_evolution",
-    "mediation_missing_cells",
-    "warehouse_funnel_compare",
-    "streaming_skew_audit",
-    "knn_label_modularity",
-    "interval_overlap_join",
-    "embedding_decontaminate",
-    "lateral_top_orders",
-    "stratified_split_exact",
-    "retrieval_mrr",
-    "embedding_drift_psi",
-    "dominant_suppliers",
-    "ivm_join_delta",
-    "attribution_touch_models",
-    "skew_audit",
-    "hybrid_search_rrf",
-    "knn_recall_by_source",
-    "retrieval_ndcg",
-    "streaming_quality_classifier",
-    "quality_classifier",
-    "streaming_report_sink_roundtrip",
-    "report_sink_python_roundtrip",
-    "report_source_scan",
-    "report_source_pushdown",
-    "streaming_report_source",
-    "reload_reconcile",
-    "nullsafe_day_over_day",
-    "attribution_decay_sweep",
-    "knn_probe_lift",
-    "streaming_curation_gate",
-    "attribution_salted",
-    "mediation_dpp_join",
-    "mediation_rollup_grain",
-    "attribution_position",
-    "attribution_timedecay",
+    # round-8 wave: backlog is ZERO after the r7 append (all 308 entries
+    # driver-confirmed). New round-8 queries land here, newest first.
 )
 
 
@@ -410,18 +412,10 @@ FRESH_FIRST: tuple[str, ...] = (
 # code, so they re-enter the front of the window until a fresh verdict
 # lands — then remove them from here.
 RECHECK: frozenset[str] = frozenset(
-    {
-        # r7: the knn edge set gained multi-probe query buckets
-        # (KNN_PROBES=1, operators/similarity.py) AFTER these six names'
-        # r6-green verdicts — every composer of _KNN_EDGES_SQL re-enters
-        # the window until fresh verdicts land.
-        "knn_graph",
-        "knn_graph_recall",
-        "knn_recall_by_label",
-        "knn_mutual_edges",
-        "knn_hubness",
-        "dedup_mutual_knn_clusters",
-    }
+    # r7's six-name knn RECHECK landed green in CORRECTNESS_r07 — the set
+    # is empty again. Names re-enter here whenever their semantics change
+    # after a green verdict.
+    ()
 )
 
 
