@@ -2459,6 +2459,98 @@ def _duck_elem(i: int) -> str:
     return f"v[{i}]"
 
 
+def _sign_state(
+    base: DataFrame, n_tables: int, planes_per_table: int, probes: int
+) -> DataFrame:
+    """(vec_id, v, nrm, bits[, jstar]) with lineage CUT — the physical
+    half of the r7 codegen fix. Inlining the full per-table sign/argmin
+    CASE chain once per table × (1+probes) × join side (the old
+    ``_bucket_exprs_sql(..., _spark_elem)`` route) grew the fused
+    whole-stage-codegen method past janino's 64 KB limit after the
+    multi-probe change, silently dropping the hottest stage of
+    ``knn_graph`` to interpreted mode. Here the sign-bit array and the
+    per-table flip targets are computed ONCE per vector and materialized
+    (``localCheckpoint``), so every downstream bucket is a tiny
+    slice/join expression and the explode+join stage stays codegen'd.
+
+    Semantics are pinned to ``_bucket_exprs_sql`` (the oracle twin keeps
+    that single-point definition):
+
+    - ``bits[i]``: '1' iff coordinate i+1 ≥ 0; an out-of-range
+      coordinate is NULL (``try_element_at``) → '0' on both engines.
+    - ``jstar[t*probes + p]``: block-local index of the (p+1)-th
+      smallest |coordinate| in table t's block, ties → lowest plane
+      (``array_position`` returns the FIRST index attaining the min,
+      matching the oracle's first-match CASE chain). Missing
+      coordinates COALESCE to 1e308 so they are never the flip target
+      unless the whole block is missing — then plane 0 wins on both
+      engines. The second probe re-runs the argmin with the first
+      target masked to +Infinity (> 1e308), reproducing the oracle's
+      "argmin over the remaining planes" enumeration.
+    """
+    n = n_tables * planes_per_table
+    cols = [
+        F.col("vec_id"),
+        F.col("v"),
+        F.col("nrm"),
+        F.array(
+            *[
+                F.expr(
+                    f"CASE WHEN try_element_at(v, {i}) >= 0"
+                    " THEN '1' ELSE '0' END"
+                )
+                for i in range(1, n + 1)
+            ]
+        ).alias("bits"),
+    ]
+    if probes >= 1:
+        jstar = []
+        for t in range(n_tables):
+            idx = [t * planes_per_table + j + 1 for j in range(planes_per_table)]
+            m = (
+                "array("
+                + ", ".join(
+                    f"COALESCE(ABS(CAST(try_element_at(v, {i}) AS DOUBLE)),"
+                    " 1e308)"
+                    for i in idx
+                )
+                + ")"
+            )
+            j1 = f"CAST(array_position({m}, array_min({m})) - 1 AS INT)"
+            jstar.append(j1)
+            if probes >= 2:
+                m2 = (
+                    f"transform({m}, (x, j) -> CASE WHEN j = {j1}"
+                    " THEN CAST('Infinity' AS DOUBLE) ELSE x END)"
+                )
+                jstar.append(
+                    f"CAST(array_position({m2}, array_min({m2})) - 1 AS INT)"
+                )
+        cols.append(F.expr("array(" + ", ".join(jstar) + ")").alias("jstar"))
+    return base.select(*cols).localCheckpoint(eager=False)
+
+
+def _bucket_from_bits(tbl: int, planes: int) -> str:
+    """Base bucket for table ``tbl`` as a slice of the materialized
+    ``bits`` column — byte-identical to ``_bucket_exprs_sql``'s first
+    expression by the ``_sign_state`` contract."""
+    return f"'{tbl}:' || array_join(slice(bits, {tbl * planes + 1}, {planes}), '')"
+
+
+def _probe_bucket_from_bits(tbl: int, planes: int, probes: int, p: int) -> str:
+    """Probe bucket p (1-based) for table ``tbl``: the base slice with
+    the ``jstar``-selected bit flipped. The transform lambda's 0-based
+    index matches jstar's block-local indexing."""
+    ji = tbl * probes + (p - 1)
+    return (
+        f"'{tbl}:' || array_join(transform("
+        f"slice(bits, {tbl * planes + 1}, {planes}), (b, j) ->"
+        f" CASE WHEN j = jstar[{ji}]"
+        " THEN (CASE WHEN b = '1' THEN '0' ELSE '1' END)"
+        " ELSE b END), '')"
+    )
+
+
 def knn_graph(
     emb: DataFrame,
     k: int = KNN_K,
@@ -2486,28 +2578,46 @@ def knn_graph(
     work is ~L·(1+probes)·N²/2^b. A pair colliding in several
     tables/probes scores the identical cosine each time, so distinct
     keeps exactly one edge.
+
+    Physical shape (r8): sign bits and flip targets are computed once
+    per vector and materialized (``_sign_state``), then each bucket is
+    a small slice expression — keeps the explode+join stage inside
+    whole-stage codegen (the inlined-CASE route overflowed janino's
+    64 KB method limit after r7's multi-probe change and ran
+    interpreted). The bucket SEMANTICS stay pinned to
+    ``_bucket_exprs_sql`` — the oracle's single-point definition —
+    by the ``_sign_state`` contract and the per-bucket unit tests.
     """
+    # mirror _bucket_exprs_sql's guards (the oracle twin raises there)
+    if probes >= 3:
+        raise ValueError("at most 2 probes per table are supported")
+    if probes > planes_per_table:
+        raise ValueError("probes must not exceed planes_per_table")
     base, dim = with_vec(emb)
+    pre = _sign_state(base, n_tables, planes_per_table, probes)
     qry_buckets = F.array(
         *[
             F.expr(s)
             for t in range(n_tables)
-            for s in _bucket_exprs_sql(t, planes_per_table, probes, _spark_elem)
+            for s in (
+                [_bucket_from_bits(t, planes_per_table)]
+                + [
+                    _probe_bucket_from_bits(t, planes_per_table, probes, p)
+                    for p in range(1, probes + 1)
+                ]
+            )
         ]
     )
     idx_buckets = F.array(
-        *[
-            F.expr(_bucket_exprs_sql(t, planes_per_table, 0, _spark_elem)[0])
-            for t in range(n_tables)
-        ]
+        *[F.expr(_bucket_from_bits(t, planes_per_table)) for t in range(n_tables)]
     )
-    a = base.withColumn("tb", F.explode(qry_buckets)).select(
+    a = pre.withColumn("tb", F.explode(qry_buckets)).select(
         F.col("vec_id").alias("src"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
         "tb",
     )
-    b = base.withColumn("tb", F.explode(idx_buckets)).select(
+    b = pre.withColumn("tb", F.explode(idx_buckets)).select(
         F.col("vec_id").alias("dst"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),

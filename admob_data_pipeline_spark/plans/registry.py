@@ -412,10 +412,24 @@ FRESH_FIRST: tuple[str, ...] = (
 # code, so they re-enter the front of the window until a fresh verdict
 # lands — then remove them from here.
 RECHECK: frozenset[str] = frozenset(
-    # r7's six-name knn RECHECK landed green in CORRECTNESS_r07 — the set
-    # is empty again. Names re-enter here whenever their semantics change
-    # after a green verdict.
-    ()
+    {
+        # r8: the kNN bucket build was physically rewritten to fix the
+        # r7 64 KB codegen overflow (_sign_state in operators/similarity
+        # — sign bits materialized once, buckets derived by slicing).
+        # Edges are byte-identical by design (unit-pinned against the
+        # python reference and the unchanged _bucket_exprs_sql oracle),
+        # but every knn_graph composer re-enters the window until fresh
+        # driver verdicts confirm it.
+        "knn_graph",
+        "knn_graph_recall",
+        "knn_probe_lift",
+        "knn_hubness",
+        "knn_recall_by_label",
+        "knn_recall_by_source",
+        "knn_mutual_edges",
+        "knn_label_modularity",
+        "dedup_mutual_knn_clusters",
+    }
 )
 
 

@@ -525,6 +525,22 @@ def test_knn_graph_second_probe_flips_second_lowest_bit(spark):
     assert (0, 1) not in one_probe
 
 
+def test_knn_bucket_stage_stays_inside_codegen(spark):
+    """Regression pin for the r7 64 KB janino overflow: with
+    ``spark.sql.codegen.fallback=false`` a whole-stage-codegen compile
+    failure RAISES instead of silently running interpreted, so this test
+    fails if the bucket build's generated code ever regrows past the JVM
+    method limit. Runs the DEFAULT table/plane/probe shape (the one that
+    overflowed) on real embeddings."""
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        assert similarity.knn_graph(emb).count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+
 def test_knn_hubness_covers_all_nodes_including_orphans(spark):
     """The in-degree histogram must account for EVERY vector exactly once
     and include zero-in-edge nodes as the in_degree=0 row."""
