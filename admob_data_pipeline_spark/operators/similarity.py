@@ -2362,93 +2362,53 @@ KNN_K = 5
 # ⇒ per-plane agreement p≈0.61 for true neighbors): predicted recall
 # 1-(1-p^5)^6 ≈ 0.41, ~21× the single-table graph, at 6/32·N² work.
 #
-# MULTI-PROBE (r7): on top of the L tables, the QUERY side of the join
-# also probes, per table, the bucket obtained by flipping its
-# lowest-|margin| sign bit — for a coordinate-sign hash the margin of
-# bit j is simply |v[j]|, so the bit most likely to disagree with a true
-# neighbor's is the one with the smallest absolute coordinate (Lv et al.,
-# "Multi-Probe LSH", VLDB'07). Probing multiplies candidates by
-# (1+KNN_PROBES) per table instead of requiring more tables: measured at
-# sf0.1, recall_ppm 462,500 (r6, no probes) → 687,500 with one probe,
-# for a warm graph build of ~3.1 s vs 1.01 s (2× candidates + the probe
-# argmin expression; the priced trade, cf. ROUND_NOTES r7). probes=2
-# was measured and REJECTED as the default: 800,000 ppm recall but a
-# ~4× build (13.3 s) — the second flip's nested argmin CASE dominates
-# row evaluation — and enough execution-memory pressure to OOM a
-# default-heap local session; it remains the documented next lever for
-# a deployment that needs ≥80% recall and budgets for it. The probe is
-# ASYMMETRIC (query side only) — pair (x, y)
-# becomes a candidate when flipping x's weakest bit lands in y's bucket —
-# which is the standard index-probing shape and keeps the index side's
-# explode at L rows per vector.
+# MULTI-PROBE (r7, reworked r8 to a GLOBAL budget): on top of the L
+# tables, the QUERY side of the join also probes the buckets obtained
+# by single-bit flips of its weakest sign bits — for a coordinate-sign
+# hash the margin of bit j is simply |v[j]|, so the bit most likely to
+# disagree with a true neighbor's is the one with the smallest absolute
+# coordinate (Lv et al., "Multi-Probe LSH", VLDB'07). r7 flipped the
+# per-table argmin (one probe per table, 6 extra buckets); r8 ranks ALL
+# n_tables·planes candidate flips by |margin| and takes the TOP-B
+# overall, so the budget concentrates on the globally weakest bits —
+# a table whose block holds several near-zero coordinates gets several
+# probes, a confident table gets none — and candidate volume grows
+# ADDITIVELY with B (query explode is L+B rows/vector, vs L·(1+p)
+# multiplicative). Measured at sf0.1 (recall_ppm / warm min-of-2 build,
+# local[32]): r6 no probes 462,500 / 1.0 s; r7 per-table 687,500 /
+# 2.4 s; global B=6 675,000 / 2.2 s; B=8 725,000 / 2.3 s; B=10
+# 768,750 / 3.1 s (CHOSEN — the smallest budget clearing the ≥75%
+# recall target within 1.5× the no-probe-era build); B=12 800,000 /
+# 3.7 s; B=15 843,750 / 3.7 s (the next levers for a deployment that
+# needs ≥80%). The probe stays ASYMMETRIC (query side only) —
+# pair (x, y) becomes a candidate when flipping one of x's weakest bits
+# lands in y's base bucket — the standard index-probing shape that
+# keeps the index side's explode at L rows per vector.
 KNN_TABLES = 6
 KNN_PLANES = 5
-KNN_PROBES = 1
+KNN_PROBE_BUDGET = 10
 
 
-def _bucket_exprs_sql(tbl, planes, probes, elem) -> list:
-    """SQL-text bucket expressions for one LSH table: ``[base, probe_1,
-    ..., probe_P]``. The SAME generated text is valid Spark SQL
-    (``elem = try_element_at(v, i)``) and DuckDB SQL (``elem = v[i]``),
-    so both engines compute byte-identical buckets by construction —
-    the oracle twin is this function with a different ``elem``, not a
-    hand-maintained copy.
+def _bucket_exprs_sql(tbl, planes, elem) -> str:
+    """SQL-text BASE bucket expression for one LSH table. The generated
+    text is valid in both dialects (``elem = try_element_at(v, i)`` for
+    Spark, ``elem = v[i]`` for DuckDB), so both engines compute
+    byte-identical base buckets by construction — the oracle's index
+    side is this function with a different ``elem``, not a
+    hand-maintained copy. (Since the r8 global-budget rework the PROBE
+    buckets are no longer generated text: the Spark side derives them
+    from the materialized ``_sign_state`` arrays, the oracle
+    relationally in ``_knn_edges_sql`` — both pinned to the same
+    contract by the python-reference unit tests and the oracle gate.)
 
     Degrade contract: an out-of-range coordinate is NULL on both engines
     (``try_element_at``, NOT ``element_at`` — under ANSI mode, the
     PySpark 4 default, element_at past the end THROWS, which would break
     the moment n_tables·planes exceeds the embedding width, the
-    documented "raise L" recall lever). NULL ≥ 0 → '0' bit, and its
-    probe margin COALESCEs to 1e308 so a missing coordinate is never the
-    flip target unless the whole block is missing (then ties break to
-    plane 0 on both engines — first CASE arm wins).
-
-    Probe p flips the bit with the p-th smallest |coordinate| (ties →
-    lowest plane index). The argmin is an explicit LEAST + first-match
-    CASE chain rather than a struct sort, so the tie-break is pinned by
-    evaluation order on both engines."""
-    if probes >= 3:
-        raise ValueError("at most 2 probes per table are supported")
-    if probes > planes:
-        # the p-th probe needs a p-th distinct bit to flip
-        raise ValueError("probes must not exceed planes_per_table")
+    documented "raise L" recall lever). NULL ≥ 0 → '0' bit."""
     idx = [tbl * planes + j + 1 for j in range(planes)]
     bit = [f"(CASE WHEN {elem(i)} >= 0 THEN '1' ELSE '0' END)" for i in idx]
-    inv = [f"(CASE WHEN {elem(i)} >= 0 THEN '0' ELSE '1' END)" for i in idx]
-    margin = [
-        f"COALESCE(ABS(CAST({elem(i)} AS DOUBLE)), 1e308)" for i in idx
-    ]
-
-    def argmin(plane_ids: list) -> str:
-        if len(plane_ids) == 1:
-            return str(plane_ids[0])
-        least = "LEAST(" + ", ".join(margin[j] for j in plane_ids) + ")"
-        cases = " ".join(
-            f"WHEN {margin[j]} <= {least} THEN {j}" for j in plane_ids[:-1]
-        )
-        return f"(CASE {cases} ELSE {plane_ids[-1]} END)"
-
-    def flipped(jstar: str) -> str:
-        bits = [
-            f"(CASE WHEN {jstar} = {j} THEN {inv[j]} ELSE {bit[j]} END)"
-            for j in range(planes)
-        ]
-        return f"'{tbl}:' || " + " || ".join(bits)
-
-    exprs = [f"'{tbl}:' || " + " || ".join(bit)]
-    if probes >= 1:
-        j0 = argmin(list(range(planes)))
-        exprs.append(flipped(j0))
-        if probes >= 2:
-            # second argmin = argmin over the remaining planes, enumerated
-            # over the possible values of the first
-            cases = " ".join(
-                f"WHEN {j0} = {v0} THEN "
-                f"{argmin([x for x in range(planes) if x != v0])}"
-                for v0 in range(planes)
-            )
-            exprs.append(flipped(f"(CASE {cases} END)"))
-    return exprs
+    return f"'{tbl}:' || " + " || ".join(bit)
 
 
 def _spark_elem(i: int) -> str:
@@ -2460,33 +2420,31 @@ def _duck_elem(i: int) -> str:
 
 
 def _sign_state(
-    base: DataFrame, n_tables: int, planes_per_table: int, probes: int
+    base: DataFrame, n_tables: int, planes_per_table: int, budget: int
 ) -> DataFrame:
-    """(vec_id, v, nrm, bits[, jstar]) with lineage CUT — the physical
+    """(vec_id, v, nrm, bits[, flips]) with lineage CUT — the physical
     half of the r7 codegen fix. Inlining the full per-table sign/argmin
-    CASE chain once per table × (1+probes) × join side (the old
+    CASE chain once per table × probe × join side (the old
     ``_bucket_exprs_sql(..., _spark_elem)`` route) grew the fused
-    whole-stage-codegen method past janino's 64 KB limit after the
-    multi-probe change, silently dropping the hottest stage of
-    ``knn_graph`` to interpreted mode. Here the sign-bit array and the
-    per-table flip targets are computed ONCE per vector and materialized
-    (``localCheckpoint``), so every downstream bucket is a tiny
-    slice/join expression and the explode+join stage stays codegen'd.
+    whole-stage-codegen method past janino's 64 KB limit, silently
+    dropping the hottest stage of ``knn_graph`` to interpreted mode.
+    Here the sign-bit array and the probe flip targets are computed
+    ONCE per vector and materialized (``localCheckpoint``), so every
+    downstream bucket is a tiny slice/join expression and the
+    explode+join stage stays codegen'd.
 
-    Semantics are pinned to ``_bucket_exprs_sql`` (the oracle twin keeps
-    that single-point definition):
+    Cross-engine contract (the DuckDB oracle in ``_knn_edges_sql``
+    reproduces it relationally; the python reference in the unit tests
+    pins both):
 
     - ``bits[i]``: '1' iff coordinate i+1 ≥ 0; an out-of-range
       coordinate is NULL (``try_element_at``) → '0' on both engines.
-    - ``jstar[t*probes + p]``: block-local index of the (p+1)-th
-      smallest |coordinate| in table t's block, ties → lowest plane
-      (``array_position`` returns the FIRST index attaining the min,
-      matching the oracle's first-match CASE chain). Missing
-      coordinates COALESCE to 1e308 so they are never the flip target
-      unless the whole block is missing — then plane 0 wins on both
-      engines. The second probe re-runs the argmin with the first
-      target masked to +Infinity (> 1e308), reproducing the oracle's
-      "argmin over the remaining planes" enumeration.
+    - ``flips``: the GLOBAL probe budget (r8): the flat bit indices of
+      the ``budget`` smallest |coordinate| margins across ALL tables,
+      ascending, ties → lower index (``array_sort`` on (margin, index)
+      structs is lexicographic; the oracle's ``ROW_NUMBER … ORDER BY
+      margin, i`` matches). Missing coordinates COALESCE to 1e308 so
+      they are flipped only after every in-range bit already was.
     """
     n = n_tables * planes_per_table
     cols = [
@@ -2503,49 +2461,40 @@ def _sign_state(
             ]
         ).alias("bits"),
     ]
-    if probes >= 1:
-        jstar = []
-        for t in range(n_tables):
-            idx = [t * planes_per_table + j + 1 for j in range(planes_per_table)]
-            m = (
-                "array("
-                + ", ".join(
-                    f"COALESCE(ABS(CAST(try_element_at(v, {i}) AS DOUBLE)),"
-                    " 1e308)"
-                    for i in idx
-                )
-                + ")"
-            )
-            j1 = f"CAST(array_position({m}, array_min({m})) - 1 AS INT)"
-            jstar.append(j1)
-            if probes >= 2:
-                m2 = (
-                    f"transform({m}, (x, j) -> CASE WHEN j = {j1}"
-                    " THEN CAST('Infinity' AS DOUBLE) ELSE x END)"
-                )
-                jstar.append(
-                    f"CAST(array_position({m2}, array_min({m2})) - 1 AS INT)"
-                )
-        cols.append(F.expr("array(" + ", ".join(jstar) + ")").alias("jstar"))
+    if budget >= 1:
+        margins = (
+            f"transform(sequence(1, {n}), i ->"
+            " COALESCE(ABS(CAST(try_element_at(v, i) AS DOUBLE)), 1e308))"
+        )
+        flips = (
+            f"transform(slice(array_sort(transform({margins},"
+            f" (m, i) -> named_struct('m', m, 'i', i))), 1, {budget}),"
+            " s -> s.i)"
+        )
+        cols.append(F.expr(flips).alias("flips"))
     return base.select(*cols).localCheckpoint(eager=False)
 
 
 def _bucket_from_bits(tbl: int, planes: int) -> str:
     """Base bucket for table ``tbl`` as a slice of the materialized
-    ``bits`` column — byte-identical to ``_bucket_exprs_sql``'s first
-    expression by the ``_sign_state`` contract."""
+    ``bits`` column — byte-identical to ``_bucket_exprs_sql``'s
+    generated text by the ``_sign_state`` contract."""
     return f"'{tbl}:' || array_join(slice(bits, {tbl * planes + 1}, {planes}), '')"
 
 
-def _probe_bucket_from_bits(tbl: int, planes: int, probes: int, p: int) -> str:
-    """Probe bucket p (1-based) for table ``tbl``: the base slice with
-    the ``jstar``-selected bit flipped. The transform lambda's 0-based
-    index matches jstar's block-local indexing."""
-    ji = tbl * probes + (p - 1)
+def _probe_bucket_from_bits(planes: int, k: int) -> str:
+    """Probe bucket for global flip slot ``k`` (0-based): the base
+    bucket of the table owning flat bit index ``flips[k]``, with that
+    bit flipped. Table/plane are derived from the flat index at run
+    time (integer div/mod), so probe slots are table-agnostic — the
+    essence of the global budget: candidate volume grows additively
+    with the budget and concentrates on the weakest margins wherever
+    they live."""
+    t = f"(flips[{k}] div {planes})"
     return (
-        f"'{tbl}:' || array_join(transform("
-        f"slice(bits, {tbl * planes + 1}, {planes}), (b, j) ->"
-        f" CASE WHEN j = jstar[{ji}]"
+        f"CAST({t} AS STRING) || ':' || array_join(transform("
+        f"slice(bits, {t} * {planes} + 1, {planes}), (b, j) ->"
+        f" CASE WHEN j = flips[{k}] % {planes}"
         " THEN (CASE WHEN b = '1' THEN '0' ELSE '1' END)"
         " ELSE b END), '')"
     )
@@ -2556,26 +2505,26 @@ def knn_graph(
     k: int = KNN_K,
     n_tables: int = KNN_TABLES,
     planes_per_table: int = KNN_PLANES,
-    probes: int = KNN_PROBES,
+    probe_budget: int = KNN_PROBE_BUDGET,
 ) -> DataFrame:
     """Directed k-NN graph over ALL vectors — the input structure for
     graph-based semantic dedup, label propagation, and hubness audits.
     Candidates are the UNION of bucket-mates across ``n_tables``
     independent sign-LSH tables (OR-construction; see the constants
-    above), widened by ``probes`` multi-probe bucket flips on the QUERY
-    side (see ``_bucket_exprs_sql``), deduped per (src, dst), then each
-    node keeps its top-k candidates by cosine (deterministic tie-break
-    on neighbor id).
+    above), widened by ``probe_budget`` GLOBAL multi-probe bucket flips
+    on the QUERY side (the B globally weakest sign bits, see
+    ``_sign_state``), deduped per (src, dst), then each node keeps its
+    top-k candidates by cosine (deterministic tie-break on neighbor id).
 
     Nodes whose buckets hold fewer than k distinct mates return fewer
     edges — the standard LSH-recall trade, priced exactly by
     ``knn_graph_recall``.
 
     Scale: one bucket-keyed shuffle join — query side exploded
-    L·(1+probes) ways, index side L ways (AQE splits hot buckets) — one
+    L+B ways, index side L ways (AQE splits hot buckets) — one
     narrow (src, dst, cos) distinct, one per-node window bounded by the
     candidate count. No driver state, no all-pairs fallback; candidate
-    work is ~L·(1+probes)·N²/2^b. A pair colliding in several
+    work is ~(L+B)·N²/2^b. A pair colliding in several
     tables/probes scores the identical cosine each time, so distinct
     keeps exactly one edge.
 
@@ -2584,29 +2533,27 @@ def knn_graph(
     a small slice expression — keeps the explode+join stage inside
     whole-stage codegen (the inlined-CASE route overflowed janino's
     64 KB method limit after r7's multi-probe change and ran
-    interpreted). The bucket SEMANTICS stay pinned to
-    ``_bucket_exprs_sql`` — the oracle's single-point definition —
-    by the ``_sign_state`` contract and the per-bucket unit tests.
+    interpreted). The bucket SEMANTICS are pinned cross-engine by the
+    ``_sign_state`` contract, the python-reference unit tests, and the
+    oracle gate.
     """
-    # mirror _bucket_exprs_sql's guards (the oracle twin raises there)
-    if probes >= 3:
-        raise ValueError("at most 2 probes per table are supported")
-    if probes > planes_per_table:
-        raise ValueError("probes must not exceed planes_per_table")
+    if probe_budget > n_tables * planes_per_table:
+        # a flip slot needs a distinct bit to flip (the oracle's rk <=
+        # budget filter would silently cap instead — fail loudly here)
+        raise ValueError("probe_budget must not exceed n_tables*planes")
     base, dim = with_vec(emb)
-    pre = _sign_state(base, n_tables, planes_per_table, probes)
+    pre = _sign_state(base, n_tables, planes_per_table, probe_budget)
     qry_buckets = F.array(
-        *[
-            F.expr(s)
-            for t in range(n_tables)
-            for s in (
-                [_bucket_from_bits(t, planes_per_table)]
-                + [
-                    _probe_bucket_from_bits(t, planes_per_table, probes, p)
-                    for p in range(1, probes + 1)
-                ]
-            )
-        ]
+        *(
+            [
+                F.expr(_bucket_from_bits(t, planes_per_table))
+                for t in range(n_tables)
+            ]
+            + [
+                F.expr(_probe_bucket_from_bits(planes_per_table, s))
+                for s in range(probe_budget)
+            ]
+        )
     )
     idx_buckets = F.array(
         *[F.expr(_bucket_from_bits(t, planes_per_table)) for t in range(n_tables)]
@@ -2647,39 +2594,59 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(load_table(spark, sf_dir, "embeddings"))
 
 
-# DuckDB twins of the Spark bucket expressions — the SAME generator
-# (_bucket_exprs_sql) with the DuckDB element accessor, so a semantics
-# change is a single-point edit that both engines inherit. The index
-# side carries only the L base buckets; the query side adds the
-# multi-probe flips per table.
-def _knn_edges_sql(probes: int, sfx: str = "") -> str:
+# DuckDB twins of the Spark bucket expressions. The BASE buckets come
+# from the shared text generator (_bucket_exprs_sql with the DuckDB
+# element accessor). The r8 GLOBAL probe budget is reproduced
+# relationally: unnest every (vector, flat bit index), rank by
+# (margin, index) with ROW_NUMBER — the exact tie-break of the Spark
+# side's array_sort on (m, i) structs — keep rk <= budget, and build
+# each probed bucket by flipping one character of the table's bit
+# string.
+def _knn_edges_sql(budget: int, sfx: str = "") -> str:
     """ONE SQL definition of the LSH k-NN edge set (multi-table
-    bucketing, multi-probe query flips, cosine rounding, pair dedup,
+    bucketing, global-budget query flips, cosine rounding, pair dedup,
     tie-break, k cap), composed by the graph oracle and every audit
     oracle — a change to knn_graph's semantics is then a single-point
     edit on the oracle side too. DISTINCT collapses a pair that
     collides in several tables/probes (cos_sim is computed identically
     on every occurrence, so the triple is exactly duplicated). ``sfx``
     suffixes the CTE names so the probe-lift oracle can instantiate two
-    probe settings side by side."""
+    budget settings side by side."""
+    n = KNN_TABLES * KNN_PLANES
     idx = "\n    UNION ALL ".join(
         f"SELECT vec_id, v, nrm,"
-        f" {_bucket_exprs_sql(t, KNN_PLANES, 0, _duck_elem)[0]} AS tb"
+        f" {_bucket_exprs_sql(t, KNN_PLANES, _duck_elem)} AS tb"
         " FROM base"
         for t in range(KNN_TABLES)
     )
-    # probes=0 makes the query side identical to the index side — reuse
-    # the CTE instead of re-deriving the same 6-way union (halves the
-    # probe-lift oracle's bucketing work)
-    qry = (
-        f"SELECT * FROM knn_idx{sfx}"
-        if probes == 0
-        else "\n    UNION ALL ".join(
-            f"SELECT vec_id, v, nrm, {expr} AS tb FROM base"
-            for t in range(KNN_TABLES)
-            for expr in _bucket_exprs_sql(t, KNN_PLANES, probes, _duck_elem)
+    if budget == 0:
+        # no probes: the query side IS the index side — reuse the CTE
+        qry = f"SELECT * FROM knn_idx{sfx}"
+    else:
+        # full flat bit string (positions 1..n), then one probed bucket
+        # per (vector, rk<=budget): 't:' || block with char (fi%planes)
+        # flipped, t = fi//planes
+        s_bits = " || ".join(
+            f"(CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END)"
+            for i in range(1, n + 1)
         )
-    )
+        blk = f"substr(s, (fi // {KNN_PLANES}) * {KNN_PLANES} + 1, {KNN_PLANES})"
+        qry = f"""SELECT * FROM knn_idx{sfx}
+    UNION ALL
+    SELECT vec_id, v, nrm,
+           CAST(fi // {KNN_PLANES} AS VARCHAR) || ':' ||
+           substr({blk}, 1, fi % {KNN_PLANES}) ||
+           (CASE WHEN substr(s, fi + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+           substr({blk}, fi % {KNN_PLANES} + 2) AS tb
+    FROM (
+        SELECT vec_id, v, nrm, s, i - 1 AS fi,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY COALESCE(ABS(CAST(v[i] AS DOUBLE)), 1e308), i
+               ) AS rk
+        FROM (SELECT vec_id, v, nrm, {s_bits} AS s FROM base),
+             generate_series(1, {n}) g(i)
+    ) WHERE rk <= {budget}"""
     return f"""
 knn_idx{sfx} AS ({idx}),
 knn_qry{sfx} AS ({qry}),
@@ -2702,7 +2669,7 @@ knn_edges{sfx} AS (
 """
 
 
-_KNN_EDGES_SQL = _knn_edges_sql(KNN_PROBES)
+_KNN_EDGES_SQL = _knn_edges_sql(KNN_PROBE_BUDGET)
 
 _ORACLE_KNN_GRAPH = f"""
 WITH {_DUCK_BASE},
@@ -2729,11 +2696,13 @@ def _knn_exact_baseline(emb: DataFrame) -> DataFrame:
     )
 
 
-def _knn_probe_approx(emb: DataFrame, probes: int = KNN_PROBES) -> DataFrame:
+def _knn_probe_approx(
+    emb: DataFrame, probe_budget: int = KNN_PROBE_BUDGET
+) -> DataFrame:
     """The ONE definition of the graph's probe-set restriction, probe
-    count parameterized for the probe-lift audit."""
+    budget parameterized for the probe-lift audit."""
     return (
-        knn_graph(emb, probes=probes)
+        knn_graph(emb, probe_budget=probe_budget)
         .where(F.col("src") < KNN_PROBE_MAX)
         .select("src", "dst")
     )
@@ -2826,12 +2795,13 @@ FROM n_e, n_h
 
 def q_knn_probe_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MULTI-PROBE trade priced as a registered audit: graph recall
-    against the same exact probe baseline at probes=0 (the r6 OR-only
-    construction) and probes=KNN_PROBES side by side — one row per
+    against the same exact probe baseline at budget=0 (the r6 OR-only
+    construction) and budget=KNN_PROBE_BUDGET side by side — one row per
     setting. This is the number that justifies (or retires) the probe:
-    measured at sf0.1 the lift is 462,500 → 687,500 ppm for ~2× the
-    candidate work, and a regression in either row is a correctness-gate
-    failure, not a silent quality drift.
+    measured at sf0.1 the lift is 462,500 → 768,750 ppm for a
+    (L+B)/L ≈ 2.7× query-side explode (global budget, r8), and a
+    regression in either row is a correctness-gate failure, not a
+    silent quality drift.
 
     Scale: the exact baseline is computed ONCE (probe-bounded broadcast
     scan, checkpointed — _knn_exact_baseline) and both graph builds are
@@ -2839,7 +2809,7 @@ def q_knn_probe_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     exact = _knn_exact_baseline(emb)
     out = None
-    for p in (0, KNN_PROBES):
+    for p in (0, KNN_PROBE_BUDGET):
         row = _recall_row(exact, _knn_probe_approx(emb, p)).select(
             F.lit(p).cast("int").alias("probes"),
             "n_exact",
@@ -2853,7 +2823,7 @@ def q_knn_probe_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_KNN_PROBE_LIFT = f"""
 WITH {_DUCK_BASE},
 {_knn_edges_sql(0, "_p0")},
-{_knn_edges_sql(KNN_PROBES, "_p1")},
+{_knn_edges_sql(KNN_PROBE_BUDGET, "_p1")},
 {_KNN_EXACT_BASE_SQL},
 n_e AS (SELECT COUNT(*) AS n_exact FROM exact),
 h0 AS (SELECT COUNT(*) AS n_hits FROM knn_edges_p0 a
@@ -2870,7 +2840,7 @@ SELECT probes, n_exact, n_hits,
 FROM (
     SELECT CAST(0 AS INT) AS probes, n_e.n_exact, h0.n_hits FROM n_e, h0
     UNION ALL
-    SELECT CAST({KNN_PROBES} AS INT) AS probes, n_e.n_exact, h1.n_hits
+    SELECT CAST({KNN_PROBE_BUDGET} AS INT) AS probes, n_e.n_exact, h1.n_hits
     FROM n_e, h1
 )
 ORDER BY probes
@@ -2882,6 +2852,7 @@ def knn_hubness(
     k: int = KNN_K,
     n_tables: int = KNN_TABLES,
     planes_per_table: int = KNN_PLANES,
+    probe_budget: int = KNN_PROBE_BUDGET,
 ) -> DataFrame:
     """Hubness audit of the k-NN graph: the in-degree histogram. Hub
     nodes (huge in-degree) are the classic high-dimensional ANN
@@ -2890,7 +2861,7 @@ def knn_hubness(
     graph. Two bounded aggregations over the edge list; nodes with zero
     in-edges appear as the in_degree=0 row (anti-join against edge
     destinations)."""
-    edges = knn_graph(emb, k, n_tables, planes_per_table).localCheckpoint()
+    edges = knn_graph(emb, k, n_tables, planes_per_table, probe_budget).localCheckpoint()
     indeg = edges.groupBy(F.col("dst").alias("node")).agg(
         F.count(F.lit(1)).alias("in_degree")
     )

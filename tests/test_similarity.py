@@ -327,12 +327,13 @@ def test_kmeans_partition_invariance(spark, sf_dir):
     assert a == b
 
 
-def _py_knn_edges(vecs, k, n_tables, planes, probes=0):
-    """Pure-python reference of the multi-table, multi-probe LSH k-NN
-    graph: query i's candidate buckets per table are its base bucket plus
-    ``probes`` single-bit flips of its lowest-|coordinate| bits (ties →
-    lowest plane index; out-of-range margins are 1e308, matching the
-    engines' COALESCE); candidates j are matched on their BASE bucket
+def _py_knn_edges(vecs, k, n_tables, planes, budget=0):
+    """Pure-python reference of the multi-table, GLOBAL-budget-probed
+    LSH k-NN graph: query i's candidate buckets are its base bucket per
+    table plus ``budget`` single-bit flips of its globally
+    lowest-|coordinate| bits across ALL tables (ties → lowest flat
+    index; out-of-range margins are 1e308, matching the engines'
+    COALESCE); candidates j are matched on their BASE (table, bucket)
     only (asymmetric probing, query side)."""
     import math
 
@@ -342,19 +343,17 @@ def _py_knn_edges(vecs, k, n_tables, planes, probes=0):
             for j in range(planes)
         )
 
-    def query_buckets(v, t):
-        base = table_bucket(v, t)
-        out = [base]
-        margins = [
-            abs(v[t * planes + j]) if t * planes + j < len(v) else 1e308
-            for j in range(planes)
-        ]
-        order = sorted(range(planes), key=lambda j: (margins[j], j))
-        for p in range(probes):
-            bits = list(base)
-            jp = order[p]
-            bits[jp] = "0" if bits[jp] == "1" else "1"
-            out.append("".join(bits))
+    def query_buckets(v):
+        out = {(t, table_bucket(v, t)) for t in range(n_tables)}
+        margins = sorted(
+            (abs(v[fi]) if fi < len(v) else 1e308, fi)
+            for fi in range(n_tables * planes)
+        )
+        for _, fi in margins[:budget]:
+            t, j = divmod(fi, planes)
+            bits = list(table_bucket(v, t))
+            bits[j] = "0" if bits[j] == "1" else "1"
+            out.add((t, "".join(bits)))
         return out
 
     def cos(a, b):
@@ -365,11 +364,12 @@ def _py_knn_edges(vecs, k, n_tables, planes, probes=0):
 
     expect = []
     for i, vi in enumerate(vecs):
+        qb = query_buckets(vi)
         mates = {
             j
             for t in range(n_tables)
             for j, vj in enumerate(vecs)
-            if j != i and table_bucket(vj, t) in query_buckets(vi, t)
+            if j != i and (t, table_bucket(vj, t)) in qb
         }
         ranked = sorted((-cos(vi, vecs[j]), j) for j in mates)
         for rank, (_, j) in enumerate(ranked[:k], start=1):
@@ -393,12 +393,10 @@ def test_knn_graph_matches_per_bucket_reference(spark):
     got = [
         (r.src, r.rank, r.dst)
         for r in similarity.knn_graph(
-            d, k=2, n_tables=1, planes_per_table=4
+            d, k=2, n_tables=1, planes_per_table=4, probe_budget=1
         ).collect()
     ]
-    assert sorted(got) == sorted(
-        _py_knn_edges(vecs, 2, 1, 4, probes=similarity.KNN_PROBES)
-    )
+    assert sorted(got) == sorted(_py_knn_edges(vecs, 2, 1, 4, budget=1))
 
 
 def test_knn_graph_multi_table_unions_candidates(spark):
@@ -416,10 +414,10 @@ def test_knn_graph_multi_table_unions_candidates(spark):
     got = [
         (r.src, r.rank, r.dst)
         for r in similarity.knn_graph(
-            d, k=3, n_tables=2, planes_per_table=2
+            d, k=3, n_tables=2, planes_per_table=2, probe_budget=1
         ).collect()
     ]
-    expect = _py_knn_edges(vecs, 3, 2, 2, probes=similarity.KNN_PROBES)
+    expect = _py_knn_edges(vecs, 3, 2, 2, budget=1)
     assert sorted(got) == sorted(expect)
     # pair (0,1) collides in both tables but appears exactly once per
     # direction; pair (0,2) collides only in table 1 and IS an edge
@@ -444,22 +442,21 @@ def test_knn_graph_degrades_past_the_vector_width(spark):
     got = [
         (r.src, r.rank, r.dst)
         for r in similarity.knn_graph(
-            d, k=2, n_tables=2, planes_per_table=2
+            d, k=2, n_tables=2, planes_per_table=2, probe_budget=1
         ).collect()
     ]
     # the python reference treats missing coords as '0' bits — table 1
-    # therefore buckets EVERY vector together (all-'0' block); its probe
-    # margins are all 1e308, so the flip deterministically hits plane 0
-    # on both the engines and the reference
-    assert sorted(got) == sorted(
-        _py_knn_edges(vecs, 2, 2, 2, probes=similarity.KNN_PROBES)
-    )
+    # therefore buckets EVERY vector together (all-'0' block); its
+    # margins are all 1e308, so the global budget spends the flip on a
+    # REAL coordinate (the smallest in-range |margin|) on both the
+    # engines and the reference
+    assert sorted(got) == sorted(_py_knn_edges(vecs, 2, 2, 2, budget=1))
 
 
 def test_knn_graph_multiprobe_flips_lowest_margin_bit(spark):
-    """Multi-probe semantics: a pair whose buckets differ in exactly the
-    query's lowest-|coordinate| bit becomes a candidate with probes=1
-    but NOT with probes=0, and probing is ASYMMETRIC (query side only) —
+    """Probe semantics: a pair whose buckets differ in exactly the
+    query's lowest-|coordinate| bit becomes a candidate with budget=1
+    but NOT with budget=0, and probing is ASYMMETRIC (query side only) —
     x probing into y's bucket does not imply y probes into x's."""
     vecs = [
         [0.05, 1.0, 1.0, 1.0],   # bucket 1111, weakest bit 0 → probe 0111
@@ -468,61 +465,96 @@ def test_knn_graph_multiprobe_flips_lowest_margin_bit(spark):
     ]
     d = _emb(spark, vecs)
 
-    def edges(probes):
+    def edges(budget):
         return sorted(
             (r.src, r.rank, r.dst)
             for r in similarity.knn_graph(
-                d, k=3, n_tables=1, planes_per_table=4, probes=probes
+                d, k=3, n_tables=1, planes_per_table=4, probe_budget=budget
             ).collect()
         )
 
     assert edges(0) == []  # no two vectors share a base bucket
     got = edges(1)
-    assert got == sorted(_py_knn_edges(vecs, 3, 1, 4, probes=1))
+    assert got == sorted(_py_knn_edges(vecs, 3, 1, 4, budget=1))
     pairs = {(s, t) for (s, _, t) in got}
     assert (0, 1) in pairs and (1, 0) in pairs
     # 2 probes INTO 0's bucket; 0's single probe (bit 0) misses 2's bucket
     assert (2, 0) in pairs and (0, 2) not in pairs
 
 
-def test_knn_graph_rejects_more_probes_than_planes(spark):
-    """probes > planes_per_table has no p-th distinct bit to flip — the
-    generator must refuse with a clear error, not crash mid-SQL-text."""
+def test_knn_graph_rejects_budget_beyond_total_bits(spark):
+    """probe_budget > n_tables·planes has no B-th distinct bit to flip —
+    refuse with a clear error (the oracle's rk <= budget filter would
+    silently cap instead, so the engines would diverge)."""
     import pytest
 
     d = _emb(spark, [[1.0, 1.0], [1.0, 0.9]])
-    with pytest.raises(ValueError, match="planes_per_table"):
-        similarity.knn_graph(d, k=1, n_tables=1, planes_per_table=1, probes=2)
-    with pytest.raises(ValueError, match="at most 2 probes"):
-        similarity.knn_graph(d, k=1, n_tables=1, planes_per_table=4, probes=3)
+    with pytest.raises(ValueError, match="probe_budget"):
+        similarity.knn_graph(
+            d, k=1, n_tables=1, planes_per_table=2, probe_budget=3
+        )
 
 
-def test_knn_graph_second_probe_flips_second_lowest_bit(spark):
-    """probes=2 adds the second-lowest-|margin| single-bit flip — pinned
+def test_knn_graph_second_flip_is_second_lowest_bit(spark):
+    """budget=2 adds the second-lowest-|margin| single-bit flip — pinned
     against the python reference on a pair reachable only via that
     second flip."""
     vecs = [
-        [0.05, 0.1, 1.0, 1.0],    # bucket 1111; probe1→0111, probe2→1011
-        [0.9, -0.1, 0.9, 0.9],    # bucket 1011 — only the SECOND probe hits
+        [0.05, 0.1, 1.0, 1.0],    # bucket 1111; flip1→0111, flip2→1011
+        [0.9, -0.1, 0.9, 0.9],    # bucket 1011 — only the SECOND flip hits
         [-0.5, -0.6, -0.7, -0.8],  # bucket 0000 — unreachable either way
     ]
     d = _emb(spark, vecs)
     got = sorted(
         (r.src, r.rank, r.dst)
         for r in similarity.knn_graph(
-            d, k=3, n_tables=1, planes_per_table=4, probes=2
+            d, k=3, n_tables=1, planes_per_table=4, probe_budget=2
         ).collect()
     )
-    assert got == sorted(_py_knn_edges(vecs, 3, 1, 4, probes=2))
+    assert got == sorted(_py_knn_edges(vecs, 3, 1, 4, budget=2))
     pairs = {(s, t) for (s, _, t) in got}
     assert (0, 1) in pairs
-    one_probe = {
+    one_flip = {
         (r.src, r.dst)
         for r in similarity.knn_graph(
-            d, k=3, n_tables=1, planes_per_table=4, probes=1
+            d, k=3, n_tables=1, planes_per_table=4, probe_budget=1
         ).collect()
     }
-    assert (0, 1) not in one_probe
+    assert (0, 1) not in one_flip
+
+
+def test_knn_graph_global_budget_concentrates_on_weak_table(spark):
+    """The r8 GLOBAL allocation: with 2 tables × 2 planes and budget=2,
+    a query whose two weakest margins BOTH live in table 0 spends both
+    flips there — reaching a mate two bit-flips away in table 0 — and
+    spends none on table 1 (per-table allocation would have probed
+    table 1 instead). Pinned against the python reference."""
+    vecs = [
+        # table 0 reads coords [0,1], table 1 reads coords [2,3]
+        [0.05, 0.08, 1.0, 1.0],   # t0 bucket 11 (both margins tiny), t1 11
+        [-0.9, 0.9, 0.9, 0.8],    # t0 bucket 01 — reachable via flip of bit 0
+        [0.9, -0.9, 0.95, 0.85],  # t0 bucket 10 — reachable via flip of bit 1
+        [-0.8, -0.7, -1.0, -1.0],  # t0 00, t1 00 — two flips away, unreachable
+    ]
+    d = _emb(spark, vecs)
+    got = sorted(
+        (r.src, r.rank, r.dst)
+        for r in similarity.knn_graph(
+            d, k=3, n_tables=2, planes_per_table=2, probe_budget=2
+        ).collect()
+    )
+    assert got == sorted(_py_knn_edges(vecs, 3, 2, 2, budget=2))
+    pairs = {(s, t) for (s, _, t) in got}
+    # both of 0's probes landed in table 0: vectors 1 AND 2 become
+    # candidates of 0 (per-table allocation would have reached only one
+    # of them, spending the other flip on confident table 1)
+    assert (0, 1) in pairs and (0, 2) in pairs
+    # 3 stays unreachable FROM 0: two flips away in table 0, and 0's
+    # budget left table 1 unprobed — while 3's own query-side budget
+    # (weakest bits 0.7/0.8, also both in table 0) reaches 1 and 2,
+    # the asymmetric-probing shape
+    assert (0, 3) not in pairs
+    assert (3, 1) in pairs and (3, 2) in pairs
 
 
 def test_knn_bucket_stage_stays_inside_codegen(spark):
@@ -559,11 +591,15 @@ def test_knn_hubness_covers_all_nodes_including_orphans(spark):
     d = _emb(spark, vecs)
     got = {
         r.in_degree: r.n_nodes
-        for r in knn_hubness(d, k=2, n_tables=1, planes_per_table=4).collect()
+        for r in knn_hubness(
+            d, k=2, n_tables=1, planes_per_table=4, probe_budget=1
+        ).collect()
     }
     cnt = collections.Counter(
         r.dst
-        for r in knn_graph(d, k=2, n_tables=1, planes_per_table=4).collect()
+        for r in knn_graph(
+            d, k=2, n_tables=1, planes_per_table=4, probe_budget=1
+        ).collect()
     )
     want = dict(
         collections.Counter(cnt.get(i, 0) for i in range(len(vecs)))
