@@ -1,0 +1,367 @@
+"""Persisted ANN index: build ONCE, search MANY — the serving shape a
+100 TB deployment actually runs.
+
+Every inline ANN query in :mod:`.similarity` (``ann_ivf_topk``,
+``ann_pq_adc_topk``, ``ann_ivfpq_topk``) rebuilds its index inside the
+query — fine for an audit, wrong for production, where the index is an
+artifact: centroids are trained once, the corpus is assigned and
+quantized once, and millions of queries then touch only the persisted
+layout. This module composes the existing building blocks
+(``assign_lists``, ``_pq_codebooks``, ``pq_quantize``,
+``write_bucketed``) into that split:
+
+- :func:`ann_index_build` writes THREE tables: ``<prefix>_centroids``
+  (cid, cv, cn — tiny, broadcast at search), ``<prefix>_codebooks``
+  (s, code, cv — tiny), and ``<prefix>_codes`` (vec_id, list_id,
+  c0..c{m-1}) — the only data-scaled one, hash-BUCKETED on ``list_id``
+  and sorted within buckets, so the probe join never shuffles the index
+  side again.
+- :func:`ann_index_search` reads those tables and NOTHING else except
+  the full-precision query vectors. No assignment kernel, no codebook
+  sampling, no pandas UDF anywhere in the search plan (test-pinned):
+  probe selection is a broadcast of |C| centroids, the probe join is a
+  sort-merge against the bucketed code table with ZERO Exchange on the
+  index side (the one-ingest-shuffle-never-again payoff, pinned in
+  tests/test_ann_index.py), and the ADC distance is m broadcast LUT
+  lookups summed map-side — the only remaining Exchange is the
+  per-query top-k window on the candidate set (~nprobe/|C| of the
+  corpus).
+
+Determinism/parity contract: build + search reproduce the inline
+``ivfpq_topk`` results EXACTLY (same deterministic centroid/codebook
+sampling, same raw-cosine probe ordering, same floor-scaled BIGINT ADC
+cells), so the registered search query reuses the inline query's DuckDB
+oracle verbatim — the strongest possible parity pin.
+
+Reference: aamir-dp/admob-data-pipeline has no ANN surface (BigQuery
+SQL only); this family is part of the brief's first-class
+LLM-data-pipeline additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.operators.similarity import (
+    _ORACLE_IVFPQ,
+    DEFAULT_K,
+    PQ_CODES,
+    PQ_SLOTS,
+    QUERY_IDS,
+    _DUCK_BASE,
+    _pq_codebooks,
+    assign_lists,
+    dot,
+    pq_quantize,
+    with_vec,
+)
+from admob_data_pipeline_spark.sinks.writers import write_bucketed
+from admob_data_pipeline_spark.sources.tables import load_table
+
+CODES_BUCKETS = 8
+
+
+def ann_index_build(
+    emb: DataFrame,
+    table_prefix: str,
+    path: str,
+    centroid_mod: int = 25,
+    m: int = PQ_SLOTS,
+    kc: int = PQ_CODES,
+) -> None:
+    """Build and PERSIST the IVF-PQ index for ``emb``.
+
+    One pass over the corpus: the map-only vectorized list assignment
+    (``assign_lists``) and the PQ quantizer (``pq_quantize``) run once,
+    their outputs joined on vec_id (the build's single data-scaled
+    shuffle besides the bucketed write), and the code table lands hash-
+    bucketed on ``list_id`` via ``write_bucketed`` — ingest pays the
+    layout shuffle so that every future search skips it. Centroids and
+    codebooks are O(|C|) and O(m·kc) rows — plain tiny tables.
+    """
+    base, dim = with_vec(emb)
+    sub = dim // m
+    cents = base.where(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    assigned = assign_lists(base, cents.select("cid", "cv"))
+    book_mats = _pq_codebooks(base, sub, m, kc)
+    codes = pq_quantize(emb, m, kc, book_mats=book_mats)
+
+    spark = emb.sparkSession
+    for t in ("centroids", "codebooks", "codes"):
+        spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{t}")
+    cents.write.mode("overwrite").format("parquet").option(
+        "path", f"{path}/centroids"
+    ).saveAsTable(f"{table_prefix}_centroids")
+    cb_df = spark.createDataFrame(
+        [
+            (s, c, book_mats[s][c])
+            for s in range(m)
+            for c in range(len(book_mats[s]))
+        ],
+        "s int, code int, cv array<double>",
+    )
+    cb_df.write.mode("overwrite").format("parquet").option(
+        "path", f"{path}/codebooks"
+    ).saveAsTable(f"{table_prefix}_codebooks")
+    code_cols = [F.col(f"c{s}") for s in range(m)]
+    write_bucketed(
+        codes.join(assigned.select("vec_id", "list_id"), "vec_id").select(
+            "vec_id", "list_id", *code_cols
+        ),
+        f"{table_prefix}_codes",
+        key="list_id",
+        n_buckets=CODES_BUCKETS,
+        path=f"{path}/codes",
+    )
+
+
+def ann_index_search(
+    emb: DataFrame,
+    query_ids: list[int],
+    table_prefix: str,
+    k: int = DEFAULT_K,
+    nprobe: int = 4,
+    m: int = PQ_SLOTS,
+) -> DataFrame:
+    """Serve top-k from the PERSISTED index — no rebuild, no pandas
+    kernel, zero Exchange on the index side of the probe join.
+
+    ``emb`` supplies only the full-precision QUERY vectors (filtered to
+    ``query_ids`` — a pushed-down point lookup); everything about the
+    corpus comes from the ``<prefix>_*`` tables written by
+    :func:`ann_index_build`. Results are row-identical to the inline
+    ``ivfpq_topk`` (same probes, same candidates, same exact-integer
+    ADC sums, same tie-breaks) — the registered query is oracled
+    against the inline query's SQL verbatim.
+    """
+    spark = emb.sparkSession
+    cents = spark.table(f"{table_prefix}_centroids")
+    codes = spark.table(f"{table_prefix}_codes")
+    cb_df = spark.table(f"{table_prefix}_codebooks")
+
+    qbase, dim = with_vec(emb)
+    sub = dim // m
+    q = qbase.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    # probe selection: raw-cosine top-nprobe against the broadcast
+    # centroid table — same expression and tie-break as ivfpq_topk
+    raw_q_cos = F.try_divide(
+        dot(F.col("qv"), F.col("cv"), dim), F.col("qn") * F.col("cn")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("csim"), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "qv", "cid", raw_q_cos.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= nprobe)
+        .select("qid", F.col("cid").alias("list_id"))
+    )
+    # candidate cut: sort-merge on list_id — the bucketed code table
+    # side needs NO Exchange and NO Sort (bucketBy+sortBy at ingest);
+    # only the tiny probe side shuffles into the bucket layout
+    cand = (
+        codes.hint("merge")
+        .join(probes, "list_id")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", *[f"c{s}" for s in range(m)])
+    )
+    # per-query LUT: |Q|·m·kc exact-integer cells (floor-scaled BEFORE
+    # summation, same as the inline path)
+    qslots = q.select(
+        "qid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("qv", s * sub + 1, sub).alias("qsv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("qid", "e.s", "e.qsv")
+    lut = qslots.join(F.broadcast(cb_df), "s").select(
+        "qid",
+        "s",
+        "code",
+        F.floor(
+            (
+                (
+                    dot(F.col("qsv"), F.col("qsv"))
+                    - 2 * dot(F.col("qsv"), F.col("cv"))
+                )
+                + dot(F.col("cv"), F.col("cv"))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("d_e6"),
+    )
+    # ADC = m broadcast lookups summed MAP-SIDE: the wide code layout
+    # means no explode and no groupBy shuffle (the inline path unpivots
+    # to code_long and pays a per-(qid,vec_id) aggregation Exchange;
+    # here the m addends sit on one row already)
+    adc = cand
+    for s in range(m):
+        lut_s = lut.where(F.col("s") == s).select(
+            "qid", F.col("code").alias(f"c{s}"), F.col("d_e6").alias(f"d{s}")
+        )
+        adc = adc.join(F.broadcast(lut_s), ["qid", f"c{s}"])
+    adc = adc.select(
+        "qid",
+        "vec_id",
+        sum(
+            [F.col(f"d{s}") for s in range(1, m)], F.col("d0")
+        ).alias("adc_e6"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_e6"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+def _with_index(spark: SparkSession, sf_dir: str, fn):
+    """Build the index in a scratch location, run ``fn(emb, prefix)``,
+    collect, and clean up — the same lifecycle pattern as the bucketed
+    sink round-trip query."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ann_index_")
+    prefix = "ann_idx_rt"
+    try:
+        ann_index_build(emb, prefix, out)
+        return fn(emb, prefix)
+    finally:
+        for t in ("centroids", "codebooks", "codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_SEARCH_SCHEMA = "qid bigint, vec_id bigint, adc_e6 bigint, rank int"
+_BUILD_SCHEMA = (
+    "list_id bigint, n_vectors bigint, vec_lo bigint, vec_hi bigint,"
+    " codes_sum bigint"
+)
+
+
+def q_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index serving, oracled for EXACT parity with the inline
+    ``ann_ivfpq_topk``: build writes the three index tables, search
+    reads only them (+ the query vectors) — the oracle below is the
+    inline query's SQL verbatim, so any drift between the persisted and
+    inline paths is a correctness-gate failure."""
+
+    def run(emb, prefix):
+        return ann_index_search(emb, QUERY_IDS, prefix).collect()
+
+    return spark.createDataFrame(_with_index(spark, sf_dir, run), _SEARCH_SCHEMA)
+
+
+def q_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-list stats of the PERSISTED code table, read BACK from the
+    bucketed layout (proving the write, not the in-memory frame):
+    vector count, id range, and an exact-integer checksum over all m
+    code columns per inverted list. The oracle recomputes assignment
+    and codes from first principles on the source table."""
+
+    def run(emb, prefix):
+        codes = spark.table(f"{prefix}_codes")
+        code_sum = sum(
+            [F.col(f"c{s}") for s in range(1, PQ_SLOTS)], F.col("c0")
+        )
+        return (
+            codes.groupBy("list_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.min("vec_id").alias("vec_lo"),
+                F.max("vec_id").alias("vec_hi"),
+                F.sum(code_sum).alias("codes_sum"),
+            )
+            .orderBy("list_id")
+            .collect()
+        )
+
+    return spark.createDataFrame(_with_index(spark, sf_dir, run), _BUILD_SCHEMA)
+
+
+_ORACLE_INDEX_BUILD = f"""
+WITH {_DUCK_BASE},
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM base
+          WHERE vec_id % 25 = 0),
+assigned AS (
+    SELECT vec_id, cid AS list_id FROM (
+        SELECT b.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.v, c.cv)
+                            / NULLIF(b.nrm * c.cn, 0) DESC, c.cid
+               ) AS rn
+        FROM base b, cents c
+    ) WHERE rn = 1
+),
+cb AS (
+    SELECT s, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
+           v[s * 16 + 1 : (s + 1) * 16] AS cv
+    FROM base, UNNEST(generate_series(0, {PQ_SLOTS - 1})) AS g(s)
+    WHERE vec_id % 25 = s
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) <= {PQ_CODES}
+),
+slots AS (
+    SELECT vec_id, s, v[s * 16 + 1 : (s + 1) * 16] AS sv
+    FROM base, UNNEST(generate_series(0, {PQ_SLOTS - 1})) AS g(s)
+),
+dists AS (
+    SELECT sl.vec_id, sl.s, cb.code,
+           (list_dot_product(sl.sv, sl.sv)
+            - 2 * list_dot_product(sl.sv, cb.cv))
+           + list_dot_product(cb.cv, cb.cv) AS dist
+    FROM slots sl JOIN cb USING (s)
+),
+codes AS (
+    SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, code) AS rn
+        FROM dists
+    ) WHERE rn = 1
+),
+per_vec AS (
+    SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum
+    FROM codes GROUP BY vec_id
+)
+SELECT a.list_id,
+       COUNT(*) AS n_vectors,
+       MIN(a.vec_id) AS vec_lo,
+       MAX(a.vec_id) AS vec_hi,
+       CAST(SUM(p.code_sum) AS BIGINT) AS codes_sum
+FROM assigned a JOIN per_vec p USING (vec_id)
+GROUP BY a.list_id
+ORDER BY a.list_id
+"""
+
+
+QUERIES = {
+    "ann_index_build": q_ann_index_build,
+    "ann_index_search": q_ann_index_search,
+}
+
+ORACLES = {
+    "ann_index_build": _ORACLE_INDEX_BUILD,
+    # parity pin: the persisted path must reproduce the INLINE IVF-PQ
+    # results exactly, so it is checked against the same SQL
+    "ann_index_search": _ORACLE_IVFPQ,
+}

@@ -9,6 +9,7 @@ check (reserved for genuinely non-SQL-expressible ops).
 from __future__ import annotations
 
 from admob_data_pipeline_spark.operators import (
+    ann_index,
     cdc,
     corpus,
     dedup,
@@ -32,6 +33,7 @@ from admob_data_pipeline_spark.streaming import alerts as streaming_alerts
 # rotation.
 _MODULES = [
     relational,
+    ann_index,
     text,
     corpus,
     dedup,
@@ -403,6 +405,8 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 FRESH_FIRST: tuple[str, ...] = (
     # round-8 wave: backlog is ZERO after the r7 append (all 308 entries
     # driver-confirmed). New round-8 queries land here, newest first.
+    "ann_index_build",
+    "ann_index_search",
 )
 
 

@@ -1,0 +1,102 @@
+"""Persisted ANN index (build/search split): exact parity with the
+inline IVF-PQ path, and the serving-plan properties that justify the
+persisted layout — no rebuild kernels in the search plan, no Exchange
+over the bucketed code-table scan."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.operators import ann_index, similarity
+from admob_data_pipeline_spark.plans import explain
+from admob_data_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ann_index_test_")
+    prefix = "ann_idx_t"
+    ann_index.ann_index_build(emb, prefix, out)
+    yield emb, prefix
+    for t in ("centroids", "codebooks", "codes"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_search_matches_inline_ivfpq_exactly(spark, built_index):
+    """Build+search must reproduce ivfpq_topk row-for-row: same probes,
+    same candidates, same exact-integer ADC sums, same tie-breaks."""
+    emb, prefix = built_index
+    got = [
+        (r.qid, r.vec_id, r.adc_e6, r.rank)
+        for r in ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix
+        ).collect()
+    ]
+    want = [
+        (r.qid, r.vec_id, r.adc_e6, r.rank)
+        for r in similarity.ivfpq_topk(emb, similarity.QUERY_IDS).collect()
+    ]
+    assert got == want and got
+
+
+def test_search_plan_has_no_rebuild_kernels(spark, built_index):
+    """The search must serve from the PERSISTED tables: no Arrow/pandas
+    kernel (assignment and quantization are build-time only) anywhere in
+    its plan — the defining property of the build/search split."""
+    emb, prefix = built_index
+    plan = explain.formatted_plan(
+        ann_index.ann_index_search(emb, similarity.QUERY_IDS, prefix)
+    )
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"rebuild kernel in search plan: {marker}"
+
+
+def test_probe_join_reads_bucketed_codes_without_exchange(
+    spark, built_index
+):
+    """The candidate cut joins the probe list against the code table on
+    list_id: the bucketed code-table side must need NO Exchange — the
+    one-ingest-shuffle payoff. (A partition-local Sort remains: Spark
+    only trusts sortBy order with one file per bucket.) Pin it on the
+    isolated probe join so unrelated exchanges (the final top-k window)
+    can't mask a layout regression."""
+    emb, prefix = built_index
+    codes = spark.table(f"{prefix}_codes")
+    probes = spark.createDataFrame(
+        [(0, 0), (0, 25)], "qid bigint, list_id bigint"
+    )
+    joined = codes.hint("merge").join(probes, "list_id")
+    plan = explain.formatted_plan(joined)
+    assert "SortMergeJoin" in plan
+    # exactly one Exchange NODE: the tiny probe side shuffling into the
+    # bucket layout; zero over the bucketed scan (count tree entries —
+    # "Exchange (n)" — not the details section's "(n) Exchange" echoes)
+    assert plan.count("Exchange (") == 1, plan
+    assert "Bucketed: true" in plan
+    # the exchange sits on the probe branch (ExistingRDD), not between
+    # the parquet scan and the join
+    codes_branch = plan.split("Scan parquet")[0]
+    assert "Exchange" not in codes_branch, plan
+
+
+def test_build_is_idempotent_overwrite(spark, built_index, sf_dir):
+    """Re-running the build must overwrite, not duplicate — the
+    idempotent-ingest contract every rebuildable artifact needs."""
+    emb, prefix = built_index
+    n1 = spark.table(f"{prefix}_codes").count()
+    out2 = tempfile.mkdtemp(prefix="ann_index_rebuild_")
+    try:
+        ann_index.ann_index_build(emb, prefix, out2)
+        assert spark.table(f"{prefix}_codes").count() == n1
+        assert spark.table(f"{prefix}_codes").where(
+            F.col("list_id").isNull()
+        ).count() == 0
+    finally:
+        shutil.rmtree(out2, ignore_errors=True)
