@@ -592,6 +592,15 @@ def q_sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("clicks"),
     ).localCheckpoint()  # feeds the date list + both version slices
     dates = sorted(r.date for r in daily.select("date").distinct().collect())
+    if len(dates) < 2:
+        # one distinct date would make v1_dates empty: the v1 overwrite
+        # writes nothing and the NULL-masked read path under test is
+        # never exercised — the oracle would still match, silently
+        # passing vacuously. Fail loudly instead (judge r7 advisory).
+        raise ValueError(
+            "schema-evolution round-trip needs >= 2 distinct event dates; "
+            f"fixture has {len(dates)}"
+        )
     v1_dates = dates[: len(dates) // 2]
     out = tempfile.mkdtemp(prefix="sink_evolve_")
     try:
