@@ -105,6 +105,56 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Host-speed reference for the calibration row: the min-of-3 wall time
+# of the FIXED calibration work unit (see calibration_run: a 2B-row
+# xxhash64 fold + a lineitem scan/shuffle at sf0.1) measured on a quiet
+# reference host (2026-08-15, local[32], the round-8 builder host),
+# IN-BENCH — i.e. after the warmup loop, where calibration_run actually
+# executes; a standalone fresh-JVM invocation reads ~10% slower
+# (0.94-1.07 s). The work unit never changes across rounds, so
+# value * (REF / calibration_sec) divides host speed out of the
+# headline total: consumers can compare value_calibrated across rounds
+# even when the driver host is under neighbor load (r2 and r7 both
+# recorded ~1.5-2× uniform inflation on code-identical queries).
+REF_CALIBRATION_SEC = 0.86
+
+
+def calibration_run(spark) -> float:
+    """Fixed, code-independent work unit, min of 3 after an untimed warm
+    run. Two jobs per sample: a CPU-bound xxhash64 fold over a constant
+    2B-row range (data-independent; xxhash resists the JIT
+    strength-reduction that collapsed pure-arithmetic loops to
+    nanoseconds/row) and a scan + high-cardinality shuffle over the
+    target-SF lineitem (the IO/shuffle component). Neither depends on
+    any operator under development, so the job is identical across
+    rounds by construction. DataFrames are rebuilt per iteration —
+    re-collecting one DataFrame object returns a cached result on
+    Spark 4.1, which would time the cache, not the engine."""
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    def cpu():
+        return spark.range(0, 2_000_000_000).selectExpr(
+            "sum(xxhash64(id) % 1000003) AS s", "count(*) AS n"
+        )
+
+    def scan():
+        return (
+            load_table(spark, SF_DIR, "lineitem")
+            .groupBy("l_partkey")
+            .agg({"l_extendedprice": "sum", "l_quantity": "sum"})
+            .selectExpr("count(*) AS n", "sum(`sum(l_quantity)`) AS q")
+        )
+
+    cpu().collect(), scan().collect()  # warm (JIT, codegen, file listing)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cpu().collect()
+        scan().collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     # Size shuffle partitions to the benchmark data volume (~600k rows at
     # sf0.1): 8 partitions beat the 32-partition default by ~27% here —
@@ -148,17 +198,34 @@ def main() -> None:
             out[name] = round(best, 3)
         return out
 
+    calibration = calibration_run(spark)
     timings = time_set(HEADLINE)
     extended = time_set(EXTENDED)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # host-speed normalization (judge r7 item 5): the fixed
+                # calibration job's wall time on THIS run, the quiet-host
+                # reference it is compared against, and the headline total
+                # with host speed divided out — compare value_calibrated
+                # across rounds, value within a round
+                "calibration": {
+                    "job": "lineitem_scan_agg_min3",
+                    "sec": round(calibration, 3),
+                    "ref_sec": REF_CALIBRATION_SEC,
+                },
+                "value_calibrated": round(
+                    total * REF_CALIBRATION_SEC / calibration, 3
+                )
+                if calibration > 0
+                else total,
                 # round-3 family representatives — informational, NOT in
                 # "value" (keeps the headline total round-comparable)
                 "extended": extended,
