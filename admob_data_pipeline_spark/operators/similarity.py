@@ -1835,7 +1835,7 @@ KMEANS_ITERS = 2
 KMEANS_SCALE = 10_000
 
 
-def kmeans_lloyd(
+def kmeans_assign(
     emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> DataFrame:
     """Distributed Lloyd's k-means run ENTIRELY in integer arithmetic:
@@ -1848,7 +1848,9 @@ def kmeans_lloyd(
     sums); this integer rendition is bit-exact under any partitioning —
     the same discipline as the PageRank kernel, applied to the ML
     pipeline's canonical clusterer. Seeds = the k smallest vec_ids;
-    emits per-cluster size and inertia after ``iters`` update rounds.
+    returns the FINAL per-vector assignment (vec_id, cid, dist) after
+    ``iters`` update rounds — consumed by the ``kmeans_lloyd`` summary
+    and the ``semdedup_kmeans`` cluster-then-dedup composite.
 
     Scale: each round is one broadcast join against the k·D centroid
     table + two partial-agg groupBys, lineage checkpointed per round;
@@ -1909,9 +1911,18 @@ def kmeans_lloyd(
             )
             .localCheckpoint()
         )
-    final = assign(cent)
+    return assign(cent)
+
+
+def kmeans_lloyd(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Per-cluster (size, inertia) rollup of :func:`kmeans_assign` —
+    the registered summary form; the assignment itself also feeds the
+    SemDeDup composite (``semdedup_kmeans``)."""
     return (
-        final.groupBy("cid")
+        kmeans_assign(emb, k, iters)
+        .groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.sum("dist").alias("inertia"),
@@ -1929,9 +1940,12 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))
 
 
-def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    head = f"""
-WITH p AS (
+def _kmeans_assign_cte(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """The unrolled-Lloyd CTE chain ending in ``aF`` (vec_id, cid, dist)
+    — the oracle twin of :func:`kmeans_assign`, shared by the k-means
+    summary oracle and the SemDeDup composite oracle. Emitted WITHOUT
+    the leading WITH so callers can prepend other CTEs."""
+    head = f"""p AS (
     SELECT vec_id,
            [{{'dim': i, 'x': CAST(embedding[i] AS DOUBLE)}}
             FOR i IN generate_series(1, len(embedding))] AS pairs
@@ -1987,18 +2001,150 @@ aF AS (
                                   ORDER BY dist, cid) AS rn
         FROM distF
     ) WHERE rn = 1
-)
+)"""
+    )
+    return "".join(parts)
+
+
+_ORACLE_KMEANS = f"""
+WITH {_kmeans_assign_cte()}
 SELECT CAST(cid AS BIGINT) AS cid, COUNT(*) AS n_members,
        CAST(SUM(dist) AS BIGINT) AS inertia
 FROM aF
 GROUP BY cid
 ORDER BY cid
 """
+
+
+def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composite (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): CLUSTER the
+    embedding space first (the deterministic integer k-means,
+    :func:`kmeans_assign`), then near-dup ONLY WITHIN clusters — the
+    pattern real pre-training pipelines use to cut pairwise candidate
+    volume by ~k× before any similarity work, composable on top of LSH
+    for another order of magnitude. Within each cluster, pairs with
+    rounded cosine ≥ the corpus near-dup threshold mark their
+    higher-id member as a drop (keep-lowest-id, the dedup family's
+    deterministic convention); output is the per-cluster audit:
+    members, qualifying pairs, dropped members, survivors, and an
+    exact-integer cosine checksum (each pair's 6-dec cosine is an exact
+    multiple of 1e-6, so the e6 sum is engine-exact).
+
+    Scale: the pair join is keyed on cid, so candidate work is
+    Σ|cluster|² not N² — and at 100 TB each cluster's members are
+    further bucketed by sign-LSH exactly like ``embedding_neardup_lsh``
+    (clusters here are small enough that the exact within-cluster join
+    IS the demonstration). The assignment is the checkpointed
+    integer-kmeans output; everything downstream is cluster-bounded."""
+    return semdedup_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+def semdedup_stats(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    threshold: float = NEARDUP_THRESHOLD,
+) -> DataFrame:
+    """The SemDeDup composition itself, parameterized for tests — see
+    :func:`q_semdedup_kmeans` for semantics and the scale story."""
+    asg = kmeans_assign(emb, k, iters).select("vec_id", "cid").localCheckpoint()
+    base, dim = with_vec(emb)
+    j = base.join(asg, "vec_id")
+    a = j.select(
+        "cid",
+        F.col("vec_id").alias("a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    return "".join(parts)
+    b = j.select(
+        "cid",
+        F.col("vec_id").alias("b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "cid",
+            "a",
+            "b",
+            cosine(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .localCheckpoint()  # feeds the pair rollup AND the drop rollup
+    )
+    members = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    stats = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.round(F.col("cos_sim") * 1e6).cast("long")).alias(
+            "cos_e6_sum"
+        ),
+    )
+    dropped = (
+        pairs.select("cid", "b")
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        members.join(stats, "cid", "left")
+        .join(dropped, "cid", "left")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (
+                F.col("n_members") - F.coalesce("n_dropped", F.lit(0))
+            ).cast("long").alias("n_survivors"),
+            F.coalesce("cos_e6_sum", F.lit(0)).cast("long").alias(
+                "cos_e6_sum"
+            ),
+        )
+        .orderBy("cid")
+    )
 
 
-_ORACLE_KMEANS = _kmeans_oracle()
+_ORACLE_SEMDEDUP = f"""
+WITH {_DUCK_BASE},
+{_kmeans_assign_cte()},
+pairs AS (
+    SELECT s.cid, s.vec_id AS a, t.vec_id AS b,
+           ROUND(list_dot_product(ba.v, bb.v)
+                 / NULLIF(ba.nrm * bb.nrm, 0), 6) AS cos_sim
+    FROM aF s
+    JOIN aF t ON t.cid = s.cid AND s.vec_id < t.vec_id
+    JOIN base ba ON ba.vec_id = s.vec_id
+    JOIN base bb ON bb.vec_id = t.vec_id
+    WHERE ROUND(list_dot_product(ba.v, bb.v)
+                / NULLIF(ba.nrm * bb.nrm, 0), 6) >= {NEARDUP_THRESHOLD}
+),
+members AS (SELECT cid, COUNT(*) AS n_members FROM aF GROUP BY cid),
+stats AS (
+    SELECT cid, COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(ROUND(cos_sim * 1e6) AS BIGINT)) AS BIGINT)
+               AS cos_e6_sum
+    FROM pairs GROUP BY cid
+),
+dropped AS (
+    SELECT cid, COUNT(DISTINCT b) AS n_dropped FROM pairs GROUP BY cid
+)
+SELECT CAST(m.cid AS BIGINT) AS cid,
+       CAST(m.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(m.n_members - COALESCE(d.n_dropped, 0) AS BIGINT)
+           AS n_survivors,
+       CAST(COALESCE(s.cos_e6_sum, 0) AS BIGINT) AS cos_e6_sum
+FROM members m
+LEFT JOIN stats s ON s.cid = m.cid
+LEFT JOIN dropped d ON d.cid = m.cid
+ORDER BY cid
+"""
 
 
 # --- k-center coreset selection ----------------------------------------------
@@ -3495,6 +3641,7 @@ QUERIES = {
     "dedup_mutual_knn_clusters": q_dedup_mutual_knn_clusters,
     "embedding_neardup_sweep": q_embedding_neardup_sweep,
     "kmeans_lloyd": q_kmeans_lloyd,
+    "semdedup_kmeans": q_semdedup_kmeans,
     "coreset_kcenter": q_coreset_kcenter,
     "embedding_random_projection": q_embedding_random_projection,
     "embedding_covariance": q_embedding_covariance,
@@ -3532,6 +3679,7 @@ ORACLES = {
     "dedup_mutual_knn_clusters": _ORACLE_MUTUAL_CLUSTERS,
     "embedding_neardup_sweep": _ORACLE_NEARDUP_SWEEP,
     "kmeans_lloyd": _ORACLE_KMEANS,
+    "semdedup_kmeans": _ORACLE_SEMDEDUP,
     "coreset_kcenter": _ORACLE_CORESET,
     "embedding_random_projection": _ORACLE_RP,
     "embedding_covariance": _ORACLE_COV,

@@ -405,6 +405,7 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 FRESH_FIRST: tuple[str, ...] = (
     # round-8 wave: backlog is ZERO after the r7 append (all 308 entries
     # driver-confirmed). New round-8 queries land here, newest first.
+    "semdedup_kmeans",
     "ann_index_build",
     "ann_index_search",
 )

@@ -800,3 +800,34 @@ def test_knn_label_modularity_invariants(spark, sf_dir):
     assert -0.5 <= q <= 1.0
     for r in rows:
         assert r.q_num == 4 * m * r.e_in - r.d_sum * r.d_sum
+
+
+def test_semdedup_dedups_within_clusters_only(spark):
+    """SemDeDup semantics on planted structure: two well-separated
+    clusters, near-dups WITHIN each cluster are dropped
+    (keep-lowest-id), and a cross-cluster pair above the cosine
+    threshold is NOT a candidate — the volume cut that defines the
+    cluster-then-dedup composite (global near-dup WOULD flag it)."""
+    vecs = [
+        [1.0, 0.0],    # id 0 — seed of cluster A
+        [0.0, 1.0],    # id 1 — seed of cluster B
+        [0.99, 0.01],  # id 2 — A near-dup of 0
+        [0.01, 0.99],  # id 3 — B near-dup of 1
+        [0.98, 0.02],  # id 4 — A near-dup of 0 and 2
+        [0.6, 0.8],    # id 5 — cluster B, but cos(5, 0) = 0.6 ≥ 0.3:
+                       # a CROSS-cluster near-dup SemDeDup must skip
+    ]
+    d = _emb(spark, vecs)
+    got = {
+        r.cid: (r.n_members, r.n_pairs, r.n_dropped, r.n_survivors)
+        for r in similarity.semdedup_stats(d, k=2, threshold=0.3).collect()
+    }
+    # cluster A = {0, 2, 4}: 3 within pairs, drop {2, 4}
+    # cluster B = {1, 3, 5}: 3 within pairs, drop {3, 5}
+    assert got == {0: (3, 3, 2, 1), 1: (3, 3, 2, 1)}
+    # the cross-cluster pair (0, 5) clears the threshold globally —
+    # exact global near-dup flags it, the cluster cut does not
+    glob = {
+        (r.a, r.b) for r in similarity.neardup_pairs(d, threshold=0.3).collect()
+    }
+    assert (0, 5) in glob
