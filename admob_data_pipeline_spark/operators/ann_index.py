@@ -120,6 +120,56 @@ def ann_index_build(
     )
 
 
+def _persisted_codebooks(spark: SparkSession, table_prefix: str) -> list:
+    """Reload the PQ codebooks from the persisted table into the
+    list-of-matrices shape the quantizer kernel broadcasts — one bounded
+    collect of m·kc rows."""
+    rows = spark.table(f"{table_prefix}_codebooks").orderBy("s", "code").collect()
+    books: dict[int, list] = {}
+    for r in rows:
+        books.setdefault(int(r["s"]), []).append(list(r["cv"]))
+    return [books[s] for s in sorted(books)]
+
+
+def ann_index_upsert(delta: DataFrame, table_prefix: str) -> None:
+    """Incrementally ingest NEW vectors into the persisted index — the
+    maintenance half of the build/search split: a production index is
+    built once and then kept current by appending each arriving batch,
+    never retrained per batch.
+
+    The delta is assigned with the PERSISTED centroids and quantized
+    with the PERSISTED codebooks (both reloaded from the index tables —
+    no resampling, no retraining, no touch of the already-indexed
+    corpus), then appended to the code table with the SAME bucket spec,
+    so the bucketed zero-Exchange probe-join layout survives the append
+    (pinned in tests/test_ann_index.py). Cost is one map-only
+    assign+quantize pass over the delta plus the bucketed write — the
+    base corpus is never rescanned.
+
+    Contract: quantizer parameters are frozen at build time, so search
+    results after an upsert equal a from-scratch search over the union
+    corpus with the BASE-trained quantizers — exactly how FAISS-style
+    serving handles drift (rebuild cadence is an offline decision; the
+    registered oracle pins this equivalence relationally).
+    """
+    spark = delta.sparkSession
+    cents = spark.table(f"{table_prefix}_centroids")
+    book_mats = _persisted_codebooks(spark, table_prefix)
+    m = len(book_mats)
+    base, _ = with_vec(delta)
+    assigned = assign_lists(base, cents.select("cid", "cv"))
+    codes = pq_quantize(delta, m, len(book_mats[0]), book_mats=book_mats)
+    (
+        codes.join(assigned.select("vec_id", "list_id"), "vec_id")
+        .select("vec_id", "list_id", *[F.col(f"c{s}") for s in range(m)])
+        .write.mode("append")
+        .bucketBy(CODES_BUCKETS, "list_id")
+        .sortBy("list_id")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_codes")
+    )
+
+
 def ann_index_search(
     emb: DataFrame,
     query_ids: list[int],
@@ -297,6 +347,130 @@ def q_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(_with_index(spark, sf_dir, run), _BUILD_SCHEMA)
 
 
+UPSERT_MOD = 4  # delta = vec_id % UPSERT_MOD == 3 (deterministic split)
+
+
+def q_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance parity: build the index over the BASE
+    slice of the corpus (vec_id % 4 ≠ 3), upsert the remaining quarter
+    as the arriving delta, then serve top-k from the updated index. The
+    oracle recomputes the same semantics from first principles —
+    quantizers (centroids + codebooks) sampled from the BASE slice
+    only, assignment/codes over the WHOLE corpus — so a lost, doubled,
+    or re-quantized delta row fails the hash."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % UPSERT_MOD != UPSERT_MOD - 1)
+    delta = emb.where(F.col("vec_id") % UPSERT_MOD == UPSERT_MOD - 1)
+    out = tempfile.mkdtemp(prefix="ann_index_upsert_")
+    prefix = "ann_idx_up"
+    try:
+        ann_index_build(base_corpus, prefix, out)
+        ann_index_upsert(delta, prefix)
+        rows = ann_index_search(emb, QUERY_IDS, prefix).collect()
+    finally:
+        for t in ("centroids", "codebooks", "codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
+# The upsert oracle is the inline IVF-PQ oracle with ONE change: the
+# quantizers (cents, cb) are sampled from the BASE slice (corpus0),
+# while assignment, codes, candidates, and ADC run over the WHOLE
+# corpus — the frozen-quantizer contract of ann_index_upsert.
+_ORACLE_INDEX_UPSERT = f"""
+WITH {_DUCK_BASE},
+corpus0 AS (SELECT * FROM base WHERE vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}),
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM corpus0
+          WHERE vec_id % 25 = 0),
+assigned AS (
+    SELECT vec_id, cid AS list_id FROM (
+        SELECT b.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.v, c.cv)
+                            / NULLIF(b.nrm * c.cn, 0) DESC, c.cid
+               ) AS rn
+        FROM base b, cents c
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base WHERE vec_id < 8),
+probes AS (
+    SELECT qid, cid AS list_id FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_dot_product(q.qv, c.cv)
+                            / NULLIF(q.qn * c.cn, 0) DESC, c.cid
+               ) AS rn
+        FROM q, cents c
+    ) WHERE rn <= 4
+),
+cand AS (
+    SELECT DISTINCT p.qid, a.vec_id
+    FROM probes p JOIN assigned a USING (list_id)
+    WHERE a.vec_id <> p.qid
+),
+cb AS (
+    SELECT s, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
+           v[s * 16 + 1 : (s + 1) * 16] AS cv
+    FROM corpus0, UNNEST(generate_series(0, {PQ_SLOTS - 1})) AS g(s)
+    WHERE vec_id % 25 = s
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) <= {PQ_CODES}
+),
+slots AS (
+    SELECT vec_id, s, v[s * 16 + 1 : (s + 1) * 16] AS sv
+    FROM base, UNNEST(generate_series(0, {PQ_SLOTS - 1})) AS g(s)
+),
+dists AS (
+    SELECT sl.vec_id, sl.s, cb.code,
+           (list_dot_product(sl.sv, sl.sv)
+            - 2 * list_dot_product(sl.sv, cb.cv))
+           + list_dot_product(cb.cv, cb.cv) AS dist
+    FROM slots sl JOIN cb USING (s)
+),
+codes AS (
+    SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, code) AS rn
+        FROM dists
+    ) WHERE rn = 1
+),
+qslots AS (
+    SELECT qid, s, qv[s * 16 + 1 : (s + 1) * 16] AS qsv
+    FROM q, UNNEST(generate_series(0, {PQ_SLOTS - 1})) AS g(s)
+),
+lut AS (
+    SELECT qid, s, code,
+           CAST(FLOOR(((list_dot_product(qsv, qsv)
+                        - 2 * list_dot_product(qsv, cb.cv))
+                       + list_dot_product(cb.cv, cb.cv)) * 1e6) AS BIGINT)
+               AS d_e6
+    FROM qslots JOIN cb USING (s)
+),
+adc AS (
+    SELECT c.qid, c.vec_id, CAST(SUM(l.d_e6) AS BIGINT) AS adc_e6
+    FROM cand c
+    JOIN codes k ON k.vec_id = c.vec_id
+    JOIN lut l ON l.qid = c.qid AND l.s = k.s AND l.code = k.code
+    GROUP BY c.qid, c.vec_id
+),
+ranked AS (
+    SELECT qid, vec_id, adc_e6,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rank
+    FROM adc
+)
+SELECT qid, vec_id, adc_e6, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {DEFAULT_K}
+ORDER BY qid, rank
+"""
+
+
 _ORACLE_INDEX_BUILD = f"""
 WITH {_DUCK_BASE},
 cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM base
@@ -357,6 +531,7 @@ ORDER BY a.list_id
 QUERIES = {
     "ann_index_build": q_ann_index_build,
     "ann_index_search": q_ann_index_search,
+    "ann_index_upsert": q_ann_index_upsert,
 }
 
 ORACLES = {
@@ -364,4 +539,5 @@ ORACLES = {
     # parity pin: the persisted path must reproduce the INLINE IVF-PQ
     # results exactly, so it is checked against the same SQL
     "ann_index_search": _ORACLE_IVFPQ,
+    "ann_index_upsert": _ORACLE_INDEX_UPSERT,
 }

@@ -408,6 +408,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "semdedup_kmeans",
     "ann_index_build",
     "ann_index_search",
+    "ann_index_upsert",
 )
 
 

@@ -100,3 +100,46 @@ def test_build_is_idempotent_overwrite(spark, built_index, sf_dir):
         ).count() == 0
     finally:
         shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_upsert_appends_delta_and_keeps_bucketed_layout(spark, sf_dir):
+    """Incremental maintenance: the delta is assigned/quantized with
+    the persisted (frozen) quantizers and APPENDED — base rows are
+    untouched, row count is base+delta, the zero-Exchange probe-join
+    layout survives the append, and an empty delta is a no-op."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % 4 != 3)
+    delta = emb.where(F.col("vec_id") % 4 == 3)
+    out = tempfile.mkdtemp(prefix="ann_index_upsert_test_")
+    prefix = "ann_idx_up_t"
+    try:
+        ann_index.ann_index_build(base_corpus, prefix, out)
+        n_base = spark.table(f"{prefix}_codes").count()
+        assert n_base == base_corpus.count()
+        before = {
+            (r.vec_id, r.list_id, r.c0, r.c1, r.c2, r.c3)
+            for r in spark.table(f"{prefix}_codes").collect()
+        }
+        ann_index.ann_index_upsert(delta, prefix)
+        after_df = spark.table(f"{prefix}_codes")
+        assert after_df.count() == n_base + delta.count()
+        after = {
+            (r.vec_id, r.list_id, r.c0, r.c1, r.c2, r.c3)
+            for r in after_df.collect()
+        }
+        assert before <= after  # base rows byte-identical, none rewritten
+        # the appended table still joins exchange-free on list_id
+        probes = spark.createDataFrame([(0, 0)], "qid bigint, list_id bigint")
+        plan = explain.formatted_plan(
+            spark.table(f"{prefix}_codes").hint("merge").join(probes, "list_id")
+        )
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange (") == 1, plan
+        assert "Bucketed: true" in plan
+        # empty delta: no rows added, no error
+        ann_index.ann_index_upsert(delta.where(F.lit(False)), prefix)
+        assert spark.table(f"{prefix}_codes").count() == n_base + delta.count()
+    finally:
+        for t in ("centroids", "codebooks", "codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
