@@ -377,6 +377,56 @@ def q_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
 
 
+def q_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING index maintenance — the arrival path a production
+    vector store actually runs: the delta lands as a stream, each
+    micro-batch is upserted into the persisted index via foreachBatch
+    (assign + quantize with the frozen quantizers, bucketed append),
+    and search serves from the continuously-updated tables. Same
+    frozen-quantizer semantics as ``ann_index_upsert`` — the oracle is
+    shared verbatim — but here the delta arrives across MULTIPLE epochs
+    (one source file per trigger), so a dropped or replayed epoch fails
+    the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % UPSERT_MOD != UPSERT_MOD - 1)
+    delta = emb.where(F.col("vec_id") % UPSERT_MOD == UPSERT_MOD - 1)
+    out = tempfile.mkdtemp(prefix="ann_stream_ingest_")
+    prefix = "ann_idx_st"
+    src = os.path.join(out, "arrivals")
+    try:
+        ann_index_build(base_corpus, prefix, os.path.join(out, "index"))
+        # the delta arrives as two files → two foreachBatch epochs
+        for half in (0, 1):
+            delta.where(
+                F.expr(f"(vec_id % {2 * UPSERT_MOD}) div {UPSERT_MOD}")
+                == half
+            ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, _id: ann_index_upsert(batch, prefix)
+            )
+            .option("checkpointLocation", os.path.join(out, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = ann_index_search(emb, QUERY_IDS, prefix).collect()
+    finally:
+        for t in ("centroids", "codebooks", "codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
 # The upsert oracle is the inline IVF-PQ oracle with ONE change: the
 # quantizers (cents, cb) are sampled from the BASE slice (corpus0),
 # while assignment, codes, candidates, and ADC run over the WHOLE
@@ -532,6 +582,7 @@ QUERIES = {
     "ann_index_build": q_ann_index_build,
     "ann_index_search": q_ann_index_search,
     "ann_index_upsert": q_ann_index_upsert,
+    "streaming_ann_ingest": q_streaming_ann_ingest,
 }
 
 ORACLES = {
@@ -540,4 +591,6 @@ ORACLES = {
     # results exactly, so it is checked against the same SQL
     "ann_index_search": _ORACLE_IVFPQ,
     "ann_index_upsert": _ORACLE_INDEX_UPSERT,
+    # multi-epoch arrival, same frozen-quantizer semantics — shared oracle
+    "streaming_ann_ingest": _ORACLE_INDEX_UPSERT,
 }

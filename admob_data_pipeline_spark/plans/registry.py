@@ -409,6 +409,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "ann_index_build",
     "ann_index_search",
     "ann_index_upsert",
+    "streaming_ann_ingest",
 )
 
 
