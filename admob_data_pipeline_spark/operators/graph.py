@@ -1281,8 +1281,102 @@ ORDER BY user_id, slot
 """
 
 
+LPA_ROUNDS = 3
+
+
+def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007), made deterministic for cross-engine parity: every
+    node starts with its own id as label; each round, every node adopts
+    the most frequent label among its NEIGHBORS, ties → smallest label
+    (the argmax is ``min(struct(-count, label))`` — exactly the
+    oracle's ``ROW_NUMBER ... ORDER BY n DESC, lbl`` first row).
+    Updates are synchronous (all nodes flip on round k using round
+    k−1's labels) and the round count is FIXED, so both engines compute
+    the identical label table — the async random-order variant of the
+    paper converges faster but is execution-order-dependent, the one
+    thing a distributed correctness gate cannot allow. Output is the
+    community audit: label, member count.
+
+    Scale: per round one shuffle to join labels onto the adjacency
+    (vertex-keyed, same shape as pagerank's contribution join) and one
+    partial-aggregated (node, label) count; per-round localCheckpoint
+    truncates lineage. Communities emerge in O(diameter) rounds on the
+    support-filtered co-purchase graph."""
+    adj = _adjacency(edges).localCheckpoint()
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(rounds):
+        nbr = adj.join(labels, adj.dst == labels.node).select(
+            "src", "lbl"
+        )
+        cnt = nbr.groupBy("src", "lbl").agg(F.count(F.lit(1)).alias("n"))
+        labels = (
+            cnt.groupBy("src")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n")).alias("neg_n"), F.col("lbl").alias("lbl")
+                    )
+                ).alias("m")
+            )
+            .select(F.col("src").alias("node"), F.col("m.lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.col("lbl").alias("community"), "n_nodes")
+        .orderBy(F.desc("n_nodes"), "community")
+    )
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return label_propagation(edges)
+
+
+def _label_propagation_oracle(rounds: int = LPA_ROUNDS) -> str:
+    """Unrolled synchronous LPA — one (count, argmax) CTE pair per
+    round, the same shape as the pagerank oracle."""
+    parts = [
+        "WITH " + _EDGE_CTES.strip().rstrip(","),
+        ",\nl0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+c{i + 1} AS (
+    SELECT a.src, l.lbl, COUNT(*) AS n
+    FROM adj a JOIN l{i} l ON l.node = a.dst
+    GROUP BY a.src, l.lbl
+),
+l{i + 1} AS (
+    SELECT src AS node, lbl FROM (
+        SELECT src, lbl,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY n DESC, lbl) AS rn
+        FROM c{i + 1}
+    ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT lbl AS community, COUNT(*) AS n_nodes
+FROM l{rounds}
+GROUP BY lbl
+ORDER BY n_nodes DESC, community
+"""
+    )
+    return "".join(parts)
+
+
+_ORACLE_LABEL_PROPAGATION = _label_propagation_oracle()
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
+    "graph_label_propagation": q_graph_label_propagation,
     "graph_components": q_graph_components,
     "graph_link_prediction": q_graph_link_prediction,
     "frequent_triples": q_frequent_triples,
@@ -1297,6 +1391,7 @@ QUERIES = {
 
 ORACLES = {
     "graph_pagerank": _ORACLE_PAGERANK,
+    "graph_label_propagation": _ORACLE_LABEL_PROPAGATION,
     "graph_components": _ORACLE_COMPONENTS,
     "graph_link_prediction": _ORACLE_LINK_PRED,
     "frequent_triples": _ORACLE_TRIPLES_L3,

@@ -410,6 +410,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "ann_index_search",
     "ann_index_upsert",
     "streaming_ann_ingest",
+    "graph_label_propagation",
 )
 
 

@@ -98,6 +98,12 @@ EXTENDED = [
     "hybrid_search_rrf",
     "ivm_join_delta",
     "stratified_split_exact",
+    # round-8 additions: one representative per new family (persisted
+    # IVF-PQ index serving — build+search lifecycle; the SemDeDup
+    # cluster-then-dedup composite; synchronous label propagation)
+    "ann_index_search",
+    "semdedup_kmeans",
+    "graph_label_propagation",
 ]
 
 

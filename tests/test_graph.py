@@ -306,3 +306,42 @@ def test_connected_components_raises_past_iteration_cap(spark):
     )
     with pytest.raises(RuntimeError, match="still changing"):
         connected_components(edges, max_iters=2)
+
+
+def test_label_propagation_finds_planted_communities(spark):
+    """Two 4-cliques joined by a single bridge edge: synchronous LPA
+    with the deterministic min-tie-break assigns each clique one
+    community; the bridge is too weak to merge them."""
+    clique_a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    clique_b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    e = _edges(spark, clique_a + clique_b + [(3, 10)])
+    got = {r.community: r.n_nodes for r in graph.label_propagation(e).collect()}
+    assert got == {0: 4, 10: 4}
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Synchronous rounds + (max count, min label) tie-break, pinned
+    against a pure-python simulation on an asymmetric graph."""
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 3), (4, 5), (5, 6), (0, 6)]
+    rounds = graph.LPA_ROUNDS
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lbl = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+            new[n] = min(cnt, key=lambda c: (-cnt[c], c))
+        lbl = new
+    want = {}
+    for c in lbl.values():
+        want[c] = want.get(c, 0) + 1
+    got = {
+        r.community: r.n_nodes
+        for r in graph.label_propagation(_edges(spark, pairs)).collect()
+    }
+    assert got == want
