@@ -1554,6 +1554,175 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(load_table(spark, sf_dir, "documents"))
 
 
+MIX_SEED = "mix-seed-1"
+
+
+def mixture_epoch_plan(docs: DataFrame, key: str = "lang") -> DataFrame:
+    """MATERIALIZE the temperature mix (the half ``mixture_weights``
+    stops short of): given per-``key`` α=0.5 weights, turn the corpus
+    budget (B = total docs) into an executable per-key sampling plan —
+    ``quota`` docs of each key, expressed as ``full_epochs`` complete
+    passes plus a ``remainder`` drawn deterministically (md5 order, the
+    corpus sampling convention). This is how multilingual LLM runs
+    (mT5/XLM-R-style) actually realize p_l ∝ n_l^α: low-resource keys
+    repeat for multiple epochs, high-resource keys are subsampled, and
+    the remainder draw must be reproducible so every re-run of the
+    pipeline trains on the same documents (``remainder_docid_sum`` is
+    the exact-integer witness of WHICH docs were drawn, not just how
+    many).
+
+    Exact-integer discipline: the weight is isqrt(n·1e12) — floor
+    square root with a ±1 correction step, so the weight is exactly
+    ⌊√n·1e6⌋ on both engines regardless of libm rounding — and every
+    share/quota is BIGINT DIV arithmetic. n·1e12 needs n ≤ 9.2e6 per
+    key; past that BOTH engines raise on the overflow (ANSI) — drop the
+    weight scale for larger corpora rather than silently wrapping.
+
+    Scale: one groupBy over the corpus for the counts (k rows), one
+    window rank per key for the remainder draw — the draw scans the
+    corpus once; everything else is k-row arithmetic."""
+    counts = docs.groupBy(key).agg(F.count(F.lit(1)).alias("n_docs"))
+    # exact integer sqrt: double sqrt is within 1 ulp, so one correction
+    # step pins ⌊√x⌋ exactly (x = n·1e12 ≤ 2^63 for n ≤ 9.2e6 … guarded)
+    isqrt = (
+        "CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE) * 1e12)) AS BIGINT)"
+    )
+    w = (
+        f"(CASE WHEN ({isqrt} + 1) * ({isqrt} + 1) <= n_docs * "
+        f"CAST(1e12 AS BIGINT) THEN {isqrt} + 1 "
+        f"WHEN {isqrt} * {isqrt} > n_docs * CAST(1e12 AS BIGINT) "
+        f"THEN {isqrt} - 1 ELSE {isqrt} END)"
+    )
+    weighted = counts.select(
+        key, "n_docs", F.expr(w).cast("long").alias("weight_e6")
+    )
+    totals = weighted.agg(
+        F.sum("weight_e6").alias("total_w"),
+        F.sum("n_docs").alias("budget"),
+    )
+    plan = weighted.crossJoin(F.broadcast(totals)).select(
+        key,
+        "n_docs",
+        "weight_e6",
+        F.expr("weight_e6 * 1000000 DIV total_w").alias("share_ppm"),
+        F.expr("budget * weight_e6 DIV total_w").alias("quota"),
+    )
+    plan = plan.select(
+        key,
+        "n_docs",
+        "weight_e6",
+        "share_ppm",
+        "quota",
+        F.expr("quota DIV n_docs").alias("full_epochs"),
+        F.expr("quota % n_docs").alias("remainder"),
+    ).localCheckpoint()  # feeds the draw join AND the final projection
+    ranked = docs.select(
+        key,
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy(key).orderBy(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(MIX_SEED), F.col("doc_id").cast("string")
+                    )
+                ),
+                "doc_id",
+            )
+        )
+        .alias("rk"),
+    )
+    drawn = (
+        ranked.join(plan.select(key, "remainder"), key)
+        .where(F.col("rk") <= F.col("remainder"))
+        .groupBy(key)
+        .agg(F.sum("doc_id").alias("remainder_docid_sum"))
+    )
+    return (
+        plan.join(drawn, key, "left")
+        .select(
+            key,
+            "n_docs",
+            "weight_e6",
+            "share_ppm",
+            "quota",
+            "full_epochs",
+            "remainder",
+            F.coalesce("remainder_docid_sum", F.lit(0))
+            .cast("long")
+            .alias("remainder_docid_sum"),
+        )
+        .orderBy(key)
+    )
+
+
+def q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_epoch_plan(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_MIXTURE_EPOCH = f"""
+WITH counts AS (
+    SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+weighted AS (
+    SELECT lang, n_docs,
+           (CASE WHEN (s + 1) * (s + 1) <= n_docs * CAST(1e12 AS BIGINT)
+                 THEN s + 1
+                 WHEN s * s > n_docs * CAST(1e12 AS BIGINT) THEN s - 1
+                 ELSE s END) AS weight_e6
+    FROM (
+        SELECT lang, n_docs,
+               CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE) * 1e12)) AS BIGINT)
+                   AS s
+        FROM counts
+    )
+),
+totals AS (
+    SELECT CAST(SUM(weight_e6) AS BIGINT) AS total_w,
+           CAST(SUM(n_docs) AS BIGINT) AS budget
+    FROM weighted
+),
+plan AS (
+    SELECT w.lang, w.n_docs, w.weight_e6,
+           w.weight_e6 * 1000000 // t.total_w AS share_ppm,
+           t.budget * w.weight_e6 // t.total_w AS quota
+    FROM weighted w, totals t
+),
+plan2 AS (
+    SELECT lang, n_docs, weight_e6, share_ppm, quota,
+           quota // n_docs AS full_epochs,
+           quota % n_docs AS remainder
+    FROM plan
+),
+ranked AS (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('{MIX_SEED}' || '|' || CAST(doc_id AS VARCHAR)),
+                        doc_id
+           ) AS rk
+    FROM documents
+),
+drawn AS (
+    SELECT r.lang, CAST(SUM(r.doc_id) AS BIGINT) AS remainder_docid_sum
+    FROM ranked r JOIN plan2 p ON p.lang = r.lang
+    WHERE r.rk <= p.remainder
+    GROUP BY r.lang
+)
+SELECT p.lang,
+       CAST(p.n_docs AS BIGINT) AS n_docs,
+       CAST(p.weight_e6 AS BIGINT) AS weight_e6,
+       CAST(p.share_ppm AS BIGINT) AS share_ppm,
+       CAST(p.quota AS BIGINT) AS quota,
+       CAST(p.full_epochs AS BIGINT) AS full_epochs,
+       CAST(p.remainder AS BIGINT) AS remainder,
+       CAST(COALESCE(d.remainder_docid_sum, 0) AS BIGINT)
+           AS remainder_docid_sum
+FROM plan2 p LEFT JOIN drawn d ON d.lang = p.lang
+ORDER BY p.lang
+"""
+
+
 _ORACLE_MIXTURE = """
 WITH counts AS (
     SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
@@ -1925,6 +2094,7 @@ QUERIES = {
     "source_cap_sample": q_source_cap_sample,
     "importance_weights": q_importance_weights,
     "mixture_weights": q_mixture_weights,
+    "mixture_epoch_plan": q_mixture_epoch_plan,
     "text_bigram_lm": q_bigram_lm,
     "text_bm25": q_bm25,
     "bm25_search": q_bm25_search,
@@ -1949,6 +2119,7 @@ ORACLES = {
     "source_cap_sample": _ORACLE_SOURCE_CAP,
     "importance_weights": _ORACLE_DSIR,
     "mixture_weights": _ORACLE_MIXTURE,
+    "mixture_epoch_plan": _ORACLE_MIXTURE_EPOCH,
     "text_bigram_lm": _ORACLE_BIGRAM_LM,
     "text_bm25": _ORACLE_BM25,
     "bm25_search": _ORACLE_BM25_SEARCH,

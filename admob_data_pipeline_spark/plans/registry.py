@@ -411,6 +411,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "ann_index_upsert",
     "streaming_ann_ingest",
     "graph_label_propagation",
+    "mixture_epoch_plan",
 )
 
 
