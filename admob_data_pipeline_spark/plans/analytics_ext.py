@@ -5635,6 +5635,84 @@ FROM j GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def q_ivm_retract_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under RETRACTIONS — the half of the
+    delta algebra ``ivm_join_delta`` doesn't cover: a maintained
+    aggregate must absorb DELETIONS (negative multiplicities) as well
+    as inserts, and a group whose count reaches zero must DISAPPEAR
+    from the view — the classic subtlety naive "merge the new rows"
+    maintenance gets wrong (it leaves zombie zero-count groups, or
+    worse, groups with n=0 but a stale non-additive column).
+
+    Fixture: the stored view is the (date, event_type) rollup over the
+    events base (everything except the held-out inserts). The delete
+    batch removes ENTIRE (date, event_type) groups (the predicate is
+    group-constant — day-of-month + type length mod 3 — and the
+    held-out inserts are restricted to NON-deleted groups, so ~a third
+    of the view's groups genuinely reach zero and the HAVING clause is
+    load-bearing, pinned in pytest). The maintained view is
+    v_old ⊎ (−rollup(deletes)) ⊎ rollup(inserts), HAVING n > 0. The
+    oracle recomputes from scratch over (base − deletes) ∪ inserts, so
+    a zombie group, a double-counted insert, or a missed retraction
+    all fail the hash.
+
+    Scale: the stored view and each delta rollup are partial-aggregated
+    groupBys over their own inputs; history is never re-scanned at
+    maintenance time (v_old is checkpointed, standing in for the
+    warehouse read — same staging as ivm_join_delta)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+        (F.col("event_id") % 9 == 2).alias("held_out"),
+    )
+    grp_del = (F.dayofmonth("day") + F.length("event_type")) % 3 == 0
+    # held-out rows inside a to-be-deleted group are excluded from the
+    # fixture universe on both engines: inserts must not resurrect the
+    # groups whose elimination this query exists to test
+    ev = ev.where(~(F.col("held_out") & grp_del))
+    base = ev.where(~F.col("held_out"))
+    inserts = ev.where(F.col("held_out"))
+    deletes = base.where(grp_del)
+
+    def rollup(d: DataFrame, sign: int) -> DataFrame:
+        return d.groupBy("day", "event_type").agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("n_events"),
+            (F.lit(sign) * F.sum("v_milli")).alias("value_milli"),
+        )
+
+    v_old = rollup(base, 1).localCheckpoint()  # the "stored" view
+    return (
+        v_old.unionByName(rollup(deletes, -1))
+        .unionByName(rollup(inserts, 1))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_milli").alias("value_milli"),
+        )
+        .where(F.col("n_events") > 0)  # group elimination
+        .orderBy("day", "event_type")
+    )
+
+
+_ORACLE_IVM_RETRACT = """
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(FLOOR(value * 1000) AS BIGINT) AS v_milli
+    FROM events
+)
+-- survivors of (base − group-deletes) ∪ inserts with inserts restricted
+-- to non-deleted groups ≡ every universe row outside a deleted group
+SELECT day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(v_milli) AS BIGINT) AS value_milli
+FROM ev
+WHERE NOT ((EXTRACT(day FROM day) + LENGTH(event_type)) % 3 = 0)
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
 # --- single-touch attribution models (first / last) -------------------------
 
 
@@ -5788,6 +5866,7 @@ QUERIES = {
     "warehouse_funnel_compare": q_warehouse_funnel_compare,
     "interval_overlap_join": q_interval_overlap_join,
     "ivm_join_delta": q_ivm_join_delta,
+    "ivm_retract_delta": q_ivm_retract_delta,
     "attribution_touch_models": q_attribution_touch_models,
     "attribution_model_compare": q_attribution_model_compare,
     "skew_audit": q_skew_audit,
@@ -5880,6 +5959,7 @@ ORACLES = {
     "warehouse_funnel_compare": _ORACLE_WAREHOUSE_COMPARE,
     "interval_overlap_join": _ORACLE_INTERVAL_OVERLAP,
     "ivm_join_delta": _ORACLE_IVM_JOIN,
+    "ivm_retract_delta": _ORACLE_IVM_RETRACT,
     "attribution_touch_models": _ORACLE_ATTR_TOUCH_MODELS,
     "attribution_model_compare": _model_compare_oracle(),
     "skew_audit": _ORACLE_SKEW_AUDIT,

@@ -412,6 +412,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "streaming_ann_ingest",
     "graph_label_propagation",
     "mixture_epoch_plan",
+    "ivm_retract_delta",
 )
 
 

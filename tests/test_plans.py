@@ -889,3 +889,32 @@ def test_interval_overlap_join_is_bucketed_not_cartesian(spark, sf_dir):
     for r in rows[:500]:
         assert r.overlap_us >= 0
         assert (r.user_id, r.s_start_us // 1_000_000) in starts
+
+
+def test_ivm_retract_group_elimination_is_load_bearing(spark, sf_dir):
+    """The retraction query's HAVING must actually remove groups at
+    test SF: the stored view has groups fully deleted by the retract
+    batch (no resurrecting inserts), and none of them appears in the
+    maintained output — a zombie zero-count group fails here even if
+    the value hash happens to collide."""
+    from pyspark.sql import functions as F
+
+    from admob_data_pipeline_spark.plans.analytics_ext import (
+        q_ivm_retract_delta,
+    )
+    from admob_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    )
+    grp_del = (F.dayofmonth("day") + F.length("event_type")) % 3 == 0
+    eliminated = {
+        (r.day, r.event_type)
+        for r in ev.where(grp_del).select("day", "event_type").distinct().collect()
+    }
+    assert eliminated, "fixture produced no deleted groups: HAVING untested"
+    out = {
+        (r.day, r.event_type)
+        for r in q_ivm_retract_delta(spark, sf_dir).collect()
+    }
+    assert out and not (out & eliminated)
