@@ -779,37 +779,50 @@ def bm25_search(
 
 
 def _bm25_rank_postings(
-    tf: DataFrame,
+    tf: DataFrame | None,
     postings: DataFrame,
     top: int,
     k1: float,
     b: float,
     require_all_n: int | None = None,
     exclude_doc: int | None = None,
+    doclen: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """The posting-bounded BM25 ranking core shared by the term-query
-    retrieval ops and the hybrid search's lexical leg: given the
-    checkpointed tf table and the query terms' postings, score candidates
-    and return the top-``top`` ranked rows. ``exclude_doc`` drops one doc
-    from the CANDIDATES only, AFTER df is taken from the postings — a
-    more-like-this query must not count the probe out of its terms' dfs."""
+    retrieval ops, the hybrid search's lexical leg, and the PERSISTED
+    index's serving path: given the query terms' postings, score
+    candidates and return the top-``top`` ranked rows. Document lengths
+    and the corpus scalars come from ``doclen``/``stats`` when provided
+    (the persisted-index tables, operators/retrieval_index.py) and are
+    derived from the checkpointed ``tf`` table otherwise — ONE ranking
+    definition either way, so the persisted path can never drift from
+    the inline one. ``exclude_doc`` drops one doc from the CANDIDATES
+    only, AFTER df is taken from the postings — a more-like-this query
+    must not count the probe out of its terms' dfs."""
     # df per query term == posting rows per term (tf is doc-distinct)
     df_q = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if exclude_doc is not None:
         postings = postings.where(F.col("doc_id") != exclude_doc)
     cand = postings.select("doc_id").distinct()
     # dl over ALL the candidate docs' terms — but only theirs: the
-    # broadcast semi-join filters map-side, so the rollup shuffles just
-    # the matching docs' tf rows, not the corpus
-    dl_cand = (
-        tf.join(F.broadcast(cand), "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.sum("tf").alias("dl"))
-    )
+    # broadcast semi-join filters FIRST (map-side), so the rollup
+    # shuffles just the matching docs' tf rows — or, on the persisted
+    # path, reads just their precomputed doclen rows
+    if doclen is not None:
+        dl_cand = doclen.join(F.broadcast(cand), "doc_id", "left_semi")
+    else:
+        dl_cand = (
+            tf.join(F.broadcast(cand), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias("dl"))
+        )
     scored = (
         postings.join(F.broadcast(df_q), "token")
         .join(dl_cand, "doc_id")
-        .crossJoin(F.broadcast(_bm25_stats(tf)))
+        .crossJoin(
+            F.broadcast(stats if stats is not None else _bm25_stats(tf))
+        )
     )
     per_term = scored.select(
         "doc_id",

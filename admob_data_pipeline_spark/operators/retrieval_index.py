@@ -1,0 +1,188 @@
+"""Persisted BM25 index: build ONCE, serve MANY — the text-side twin of
+the persisted ANN index (operators/ann_index.py).
+
+The inline retrieval queries (``bm25_search`` and friends) re-tokenize
+the corpus inside every query. A production search deployment builds
+the inverted index once and serves every query from the persisted
+layout:
+
+- :func:`bm25_index_build` writes THREE tables: ``<prefix>_postings``
+  (token, doc_id, tf) — the inverted index, hash-BUCKETED on ``token``
+  and sorted within buckets so a term lookup prunes both buckets (via
+  the bucket hash) and row groups (via token min/max), —
+  ``<prefix>_doclen`` (doc_id, dl), bucketed on ``doc_id`` for the
+  candidate-length join, and ``<prefix>_stats`` (n_docs, avgdl — one
+  row, frozen at build time exactly like the ANN index's quantizers).
+- :func:`bm25_index_search` serves a term query reading ONLY those
+  tables — no corpus scan, no tokenizer, no explode anywhere in the
+  plan (test-pinned): the terms' postings come out of the bucketed scan
+  with the IN-filter pushed to parquet, dfs come from the postings
+  themselves, candidate doc lengths are a semi-joined point lookup on
+  the doclen table, and the ranking core is corpus.py's
+  ``_bm25_rank_postings`` — the SAME function the inline queries run,
+  so the persisted path cannot drift from the inline one.
+
+Parity contract: identical corpus → identical (df, dl, n_docs, avgdl)
+→ identical floor-scaled integer scores, so the registered search
+query reuses the inline ``bm25_search`` oracle VERBATIM.
+
+Reference: aamir-dp/admob-data-pipeline has no retrieval surface; this
+family is part of the brief's first-class LLM-data-pipeline additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.operators.corpus import (
+    _DUCK_BM25_TABLES,
+    _ORACLE_BM25_SEARCH,
+    BM25_B,
+    BM25_K1,
+    BM25_QUERY,
+    BM25_SEARCH_TOP,
+    _bm25_rank_postings,
+    _bm25_stats,
+    _bm25_tf,
+)
+from admob_data_pipeline_spark.sinks.writers import write_bucketed
+from admob_data_pipeline_spark.sources.tables import load_table
+
+POSTINGS_BUCKETS = 8
+
+
+def bm25_index_build(docs: DataFrame, table_prefix: str, path: str) -> None:
+    """Tokenize the corpus ONCE and persist the inverted index: the
+    bucketed postings table, the bucketed doc-length table, and the
+    one-row frozen corpus scalars. Ingest pays one corpus pass + two
+    bucketed writes; every subsequent query touches only its terms'
+    postings."""
+    spark = docs.sparkSession
+    tf = _bm25_tf(docs, "text")
+    for t in ("postings", "doclen", "stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{t}")
+    write_bucketed(
+        tf.select("token", "doc_id", "tf"),
+        f"{table_prefix}_postings",
+        key="token",
+        n_buckets=POSTINGS_BUCKETS,
+        path=f"{path}/postings",
+    )
+    write_bucketed(
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+        f"{table_prefix}_doclen",
+        key="doc_id",
+        n_buckets=POSTINGS_BUCKETS,
+        path=f"{path}/doclen",
+    )
+    _bm25_stats(tf).write.mode("overwrite").format("parquet").option(
+        "path", f"{path}/stats"
+    ).saveAsTable(f"{table_prefix}_stats")
+
+
+def bm25_index_search(
+    spark: SparkSession,
+    query_terms: tuple[str, ...],
+    table_prefix: str,
+    top: int = BM25_SEARCH_TOP,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    require_all: bool = False,
+) -> DataFrame:
+    """Serve a term query from the PERSISTED index — no corpus scan, no
+    tokenizer, no explode; the ranking core is the inline queries'
+    ``_bm25_rank_postings`` fed from the index tables."""
+    postings = (
+        spark.table(f"{table_prefix}_postings")
+        .where(F.col("token").isin(list(query_terms)))
+        .localCheckpoint()  # tiny (Σ df(term) rows), read by df/cand/score
+    )
+    require_all_n = len(set(query_terms)) if require_all else None
+    return _bm25_rank_postings(
+        None,
+        postings,
+        top,
+        k1,
+        b,
+        require_all_n,
+        doclen=spark.table(f"{table_prefix}_doclen"),
+        stats=spark.table(f"{table_prefix}_stats"),
+    )
+
+
+_SEARCH_SCHEMA = (
+    "doc_id bigint, n_terms_matched bigint, score_scaled bigint, rnk int"
+)
+
+
+def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index serving, oracled for EXACT parity with the
+    inline ``bm25_search`` (same SQL verbatim): build writes the three
+    index tables, search reads only them."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="bm25_index_")
+    prefix = "bm25_idx_rt"
+    try:
+        bm25_index_build(docs, prefix, out)
+        rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
+    finally:
+        for t in ("postings", "doclen", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
+def q_bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-grain audit of the PERSISTED postings, read BACK from
+    the bucketed layout: per-token document frequency and total term
+    count. The oracle recomputes the inverted index from the raw corpus,
+    so a dropped, duplicated, or mis-bucketed posting fails the hash."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="bm25_index_")
+    prefix = "bm25_idx_rt"
+    try:
+        bm25_index_build(docs, prefix, out)
+        rows = (
+            spark.table(f"{prefix}_postings")
+            .groupBy("token")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.sum("tf").alias("tf_sum"),
+            )
+            .orderBy("token")
+            .collect()
+        )
+    finally:
+        for t in ("postings", "doclen", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "token string, df bigint, tf_sum bigint")
+
+
+_ORACLE_INDEX_BUILD = f"""
+WITH {_DUCK_BM25_TABLES}
+SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_sum
+FROM tf
+GROUP BY token
+ORDER BY token
+"""
+
+
+QUERIES = {
+    "bm25_index_build": q_bm25_index_build,
+    "bm25_index_search": q_bm25_index_search,
+}
+
+ORACLES = {
+    "bm25_index_build": _ORACLE_INDEX_BUILD,
+    # parity pin: the persisted path must reproduce the inline
+    # bm25_search results exactly — same SQL verbatim
+    "bm25_index_search": _ORACLE_BM25_SEARCH,
+}

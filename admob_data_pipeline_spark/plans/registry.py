@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from admob_data_pipeline_spark.operators import (
     ann_index,
+    retrieval_index,
     cdc,
     corpus,
     dedup,
@@ -34,6 +35,7 @@ from admob_data_pipeline_spark.streaming import alerts as streaming_alerts
 _MODULES = [
     relational,
     ann_index,
+    retrieval_index,
     text,
     corpus,
     dedup,
@@ -413,6 +415,8 @@ FRESH_FIRST: tuple[str, ...] = (
     "graph_label_propagation",
     "mixture_epoch_plan",
     "ivm_retract_delta",
+    "bm25_index_build",
+    "bm25_index_search",
 )
 
 

@@ -1,0 +1,86 @@
+"""Persisted BM25 index: parity with the inline search, a corpus-free
+serving plan, and the bucketed/pushed-down postings layout."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.operators import corpus, retrieval_index
+from admob_data_pipeline_spark.plans import explain
+from admob_data_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def built_bm25(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="bm25_index_test_")
+    prefix = "bm25_idx_t"
+    retrieval_index.bm25_index_build(docs, prefix, out)
+    yield docs, prefix
+    for t in ("postings", "doclen", "stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_search_matches_inline_bm25_exactly(spark, built_bm25):
+    docs, prefix = built_bm25
+    got = [
+        (r.doc_id, r.n_terms_matched, r.score_scaled, r.rnk)
+        for r in retrieval_index.bm25_index_search(
+            spark, corpus.BM25_QUERY, prefix
+        ).collect()
+    ]
+    want = [
+        (r.doc_id, r.n_terms_matched, r.score_scaled, r.rnk)
+        for r in corpus.bm25_search(docs).collect()
+    ]
+    assert got == want and got
+    # AND semantics route through the same core
+    got_and = [
+        (r.doc_id, r.rnk)
+        for r in retrieval_index.bm25_index_search(
+            spark, corpus.BM25_QUERY, prefix, require_all=True
+        ).collect()
+    ]
+    want_and = [
+        (r.doc_id, r.rnk)
+        for r in corpus.bm25_search(docs, require_all=True).collect()
+    ]
+    assert got_and == want_and
+
+
+def test_search_plan_never_touches_the_corpus(spark, built_bm25):
+    """Serving must read ONLY the index tables: no documents scan, no
+    tokenizer explode — the defining property of the persisted index."""
+    _, prefix = built_bm25
+    plan = explain.formatted_plan(
+        retrieval_index.bm25_index_search(spark, corpus.BM25_QUERY, prefix)
+    )
+    assert "documents" not in plan
+    assert "Generate" not in plan  # no explode: postings are precomputed
+    # the terms' IN-filter reaches the postings parquet scan (pinned on
+    # the postings read itself — the serving plan above starts from the
+    # checkpointed posting rows, so the scan lives in the checkpoint job)
+    scan_plan = explain.formatted_plan(
+        spark.table(f"{prefix}_postings").where(
+            F.col("token").isin(list(corpus.BM25_QUERY))
+        )
+    )
+    pushed = scan_plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "In(token" in pushed, scan_plan
+    assert "documents" not in scan_plan and "Generate" not in scan_plan
+
+
+def test_postings_layout_is_bucketed_on_token(spark, built_bm25):
+    _, prefix = built_bm25
+    probe = spark.createDataFrame([("spark",)], "token string")
+    plan = explain.formatted_plan(
+        spark.table(f"{prefix}_postings").hint("merge").join(probe, "token")
+    )
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange (") == 1, plan  # probe side only
+    assert "Bucketed: true" in plan
