@@ -417,6 +417,8 @@ FRESH_FIRST: tuple[str, ...] = (
     "ivm_retract_delta",
     "bm25_index_build",
     "bm25_index_search",
+    "sink_xml_roundtrip",
+    "source_binaryfile_scan",
 )
 
 

@@ -104,6 +104,112 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _FACT_SCHEMA)
 
 
+def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML export/ingest round-trip — Spark 4's NATIVE XML source (no
+    external package), the interchange format partner feeds still ship.
+    The fact rollup goes out as ``<order>`` rows and is read back with
+    an explicit schema + the same rowTag; a hash match against the
+    source-table oracle proves the XML writer/parser pair is lossless
+    for the warehouse row shape. Scale: XML files split by row like
+    JSONL; the read is schema-driven (no inference pass)."""
+    out = tempfile.mkdtemp(prefix="sink_xml_")
+    try:
+        _order_fact(spark, sf_dir).write.option("rowTag", "order").mode(
+            "overwrite"
+        ).xml(out)
+        back = (
+            spark.read.schema(_FACT_SCHEMA)
+            .option("rowTag", "order")
+            .xml(out)
+            .orderBy("o_orderpriority")
+        )
+        rows = back.collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _FACT_SCHEMA)
+
+
+_BINARY_SCHEMA = "file string, n_bytes bigint, payload_md5 string"
+
+
+def q_source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` source — how raw multimodal shards (images,
+    audio, model checkpoints) actually enter a Spark pipeline: one row
+    per file, payload as a BINARY column. Deterministic per-language
+    shard files are written from the documents table (text concatenated
+    in doc_id order, utf-8), read back through
+    ``spark.read.format("binaryFile")``, and audited byte-exactly: per
+    file, the octet length and the md5 of the raw payload bytes — both
+    computed JVM-side over the binary column, no Python in the read
+    path. The oracle recomputes both from the raw documents (DuckDB
+    md5 over the utf-8 encoding), so a truncated, reordered, or
+    re-encoded payload fails the hash — including any multi-byte
+    mangling of the zh shard.
+
+    Scale: binaryFile is the standard ingestion surface for the
+    multimodal family (operators/multimodal.py) — each file is one row,
+    files fan out across executors, and pathGlobFilter prunes at
+    listing time. The shard build here is a bounded driver write
+    (|langs| files) standing in for the upstream producer."""
+    import os
+
+    out = tempfile.mkdtemp(prefix="binaryfile_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        # order pinned INSIDE the aggregate (collect_list order is not
+        # preserved through a shuffle): sort (doc_id, text) structs
+        shards = (
+            docs.groupBy("lang")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "text"))
+                        ),
+                        lambda s: s["text"],
+                    ),
+                    "\n",
+                ).alias("payload")
+            )
+            .collect()
+        )
+        for r in shards:
+            with open(os.path.join(out, f"{r.lang}.bin"), "wb") as fh:
+                fh.write(r.payload.encode("utf-8"))
+        back = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(out)
+            .select(
+                F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+                F.col("length").alias("n_bytes"),
+                F.md5("content").alias("payload_md5"),
+            )
+        )
+        rows = back.orderBy("file").collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _BINARY_SCHEMA)
+
+
+_ORACLE_BINARYFILE = """
+WITH shards AS (
+    SELECT lang,
+           string_agg(text, chr(10) ORDER BY doc_id) AS payload
+    FROM documents GROUP BY lang
+)
+SELECT lang || '.bin' AS file,
+       CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+       -- DuckDB md5 takes VARCHAR and hashes its UTF-8 bytes — exactly
+       -- the bytes the Spark side wrote and hashed as BINARY
+       md5(payload) AS payload_md5
+FROM shards
+ORDER BY file
+"""
+
+_ORACLE_XML = _ORACLE_FACT
+
+
 _DAILY_SCHEMA = "app_name string, clicks bigint, impressions bigint, date date"
 
 
@@ -658,6 +764,8 @@ QUERIES = {
     "sink_sorted_layout": q_sink_sorted_layout,
     "sink_jsonl_roundtrip": q_sink_jsonl_roundtrip,
     "sink_orc_roundtrip": q_sink_orc_roundtrip,
+    "sink_xml_roundtrip": q_sink_xml_roundtrip,
+    "source_binaryfile_scan": q_source_binaryfile_scan,
     "sink_partition_overwrite": q_sink_partition_overwrite,
 }
 
@@ -674,5 +782,7 @@ ORACLES = {
     "sink_sorted_layout": _ORACLE_SORTED,
     "sink_jsonl_roundtrip": _ORACLE_FACT,
     "sink_orc_roundtrip": _ORACLE_FACT,
+    "sink_xml_roundtrip": _ORACLE_XML,
+    "source_binaryfile_scan": _ORACLE_BINARYFILE,
     "sink_partition_overwrite": _ORACLE_PARTITION,
 }
