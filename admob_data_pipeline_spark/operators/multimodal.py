@@ -1,9 +1,12 @@
 """Multimodal column plumbing (BASELINE.json north-star: image/audio/video
 as opaque binary columns with typed metadata).
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(deterministic fake dims derived from the bytes, or NotImplementedError
-for real codec paths) — but everything Spark-side is real and tested:
+The container has no codec LIBRARIES, so compressed-format decode (PNG/
+JPEG/video) stays env-gated (NotImplementedError seam in decode_image) —
+but uncompressed 24-bit BMP needs no library and is decoded FOR REAL
+here (``decode_bmp_features``: numpy header parse, stride/padding,
+bottom-up flip, channel split — oracle-checked pixel math). Everything
+Spark-side is real and tested:
 
 - the schema contract: ``media BINARY`` + ``media_meta STRUCT<media_type,
   byte_len, checksum>`` (opaque payload, typed envelope);
@@ -449,7 +452,180 @@ ORDER BY bucket, shard_id
 """
 
 
+# --- REAL image decode: BMP (uncompressed) -----------------------------------
+#
+# The container has no codec libraries, but 24-bit uncompressed BMP needs
+# none — the format is a 54-byte header + bottom-up BGR rows padded to 4
+# bytes, fully parseable with numpy. This closes the "decode is stubbed"
+# gap for the uncompressed case: the kernel below does REAL pixel
+# decoding (header parse, stride/padding, vertical flip, channel split),
+# and compressed formats (PNG/JPEG) remain the env-gated PIL seam in
+# fake_decode_dims. Synthetic images are a deterministic closed form of
+# (img, x, y), so the DuckDB oracle recomputes the per-channel sums from
+# first principles — a wrong stride, a missed flip, or swapped channels
+# fails the hash.
+
+BMP_N_IMAGES = 8
+
+
+def _bmp_dims(img: int) -> tuple[int, int]:
+    """Per-image (width, height): widths 16..23 sweep every 4-byte row
+    padding (0..3 bytes), heights vary so a transposed decode cannot
+    accidentally hash-match."""
+    return 16 + img, 9 + (img % 3) * 2
+
+
+def _bmp_pixel(img: int, x: int, y: int) -> tuple[int, int, int]:
+    """Closed-form (r, g, b) of (img, x, y) — mirrored by the oracle."""
+    return (
+        (3 * x + 5 * y + 29 * img) % 256,
+        (5 * x + y + 17 * img) % 256,
+        (7 * x + 3 * y + 11 * img) % 256,
+    )
+
+
+def make_bmp(img: int) -> bytes:
+    """A real 24-bit uncompressed BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up BGR rows, each padded to 4 bytes."""
+    import struct
+
+    w, h = _bmp_dims(img)
+    pad = (4 - (3 * w) % 4) % 4
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        for x in range(w):
+            r, g, b = _bmp_pixel(img, x, y)
+            rows += bytes((b, g, r))  # BGR on disk
+        rows += b"\x00" * pad
+    size = 54 + len(rows)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + bytes(rows)
+
+
+def decode_bmp_features(files: DataFrame) -> DataFrame:
+    """REAL decode of 24-bit BMP payloads from a ``binaryFile`` scan:
+    an Arrow-batched mapInPandas kernel parses the header (offset,
+    dims, bpp, compression), reshapes the padded bottom-up BGR rows
+    with numpy, flips to logical orientation, and emits per-channel
+    integer sums + dims. Per-batch Python, per-image numpy — the exact
+    seam a PIL/ffmpeg decoder plugs into for compressed formats.
+
+    The kernel is self-contained (stdlib+numpy+pandas only — Spark
+    workers don't share the driver's sys.path)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                buf = bytes(row["content"])
+                if buf[:2] != b"BM":
+                    raise ValueError("not a BMP payload")
+                off = _struct.unpack_from("<I", buf, 10)[0]
+                w, h = _struct.unpack_from("<ii", buf, 18)
+                bpp = _struct.unpack_from("<H", buf, 28)[0]
+                comp = _struct.unpack_from("<I", buf, 30)[0]
+                if bpp != 24 or comp != 0:
+                    raise NotImplementedError(
+                        "only 24-bit uncompressed BMP is decoded natively"
+                    )
+                stride = (3 * w + 3) & ~3
+                px = (
+                    np.frombuffer(buf, np.uint8, stride * h, off)
+                    .reshape(h, stride)[:, : 3 * w]
+                    .reshape(h, w, 3)[::-1]  # bottom-up → logical rows
+                    .astype(np.int64)
+                )
+                out.append(
+                    (
+                        row["file"],
+                        w,
+                        h,
+                        int(px[:, :, 2].sum()),  # BGR on disk
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 0].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file", "width", "height", "r_sum", "g_sum", "b_sum",
+                ],
+            )
+
+    return files.mapInPandas(
+        kernel,
+        schema=(
+            "file string, width int, height int, "
+            "r_sum bigint, g_sum bigint, b_sum bigint"
+        ),
+    )
+
+
+def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end real image path: deterministic BMPs land as files,
+    enter through the ``binaryFile`` source, and are pixel-decoded by
+    the numpy kernel; the oracle recomputes dims + channel sums from
+    the generating closed form. (``sf_dir`` is unused — the fixture is
+    the format itself — but kept for the registry signature.)"""
+    import os
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="bmp_decode_")
+    try:
+        for img in range(BMP_N_IMAGES):
+            with open(os.path.join(out, f"img-{img}.bmp"), "wb") as fh:
+                fh.write(make_bmp(img))
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bmp")
+            .load(out)
+            .select(
+                F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+                "content",
+            )
+        )
+        rows = decode_bmp_features(files).orderBy("file").collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "file string, width int, height int,"
+        " r_sum bigint, g_sum bigint, b_sum bigint",
+    )
+
+
+_ORACLE_BMP_DECODE = f"""
+WITH imgs AS (
+    SELECT i AS img, 16 + i AS w, 9 + (i % 3) * 2 AS h
+    FROM (SELECT unnest(generate_series(0, {BMP_N_IMAGES - 1})) AS i)
+),
+px AS (
+    SELECT img, w, h, idx % w AS x, idx // w AS y
+    FROM (
+        SELECT img, w, h, unnest(generate_series(0, w * h - 1)) AS idx
+        FROM imgs
+    )
+)
+SELECT 'img-' || img || '.bmp' AS file,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(SUM((3 * x + 5 * y + 29 * img) % 256) AS BIGINT) AS r_sum,
+       CAST(SUM((5 * x + y + 17 * img) % 256) AS BIGINT) AS g_sum,
+       CAST(SUM((7 * x + 3 * y + 11 * img) % 256) AS BIGINT) AS b_sum
+FROM px
+GROUP BY img, w, h
+ORDER BY file
+"""
+
+
 QUERIES = {
+    "multimodal_bmp_decode": q_multimodal_bmp_decode,
     "multimodal_packing": q_multimodal_packing,
     "multimodal_frame_dedup": q_multimodal_frame_dedup,
     "multimodal_metadata": q_multimodal_metadata,
@@ -459,6 +635,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_bmp_decode": _ORACLE_BMP_DECODE,
     "multimodal_packing": _ORACLE_MEDIA_PACKING,
     "multimodal_frame_dedup": _ORACLE_FRAME_DEDUP,
     "multimodal_metadata": _ORACLE_METADATA,

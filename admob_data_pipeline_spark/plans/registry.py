@@ -419,6 +419,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "bm25_index_search",
     "sink_xml_roundtrip",
     "source_binaryfile_scan",
+    "multimodal_bmp_decode",
 )
 
 

@@ -70,3 +70,61 @@ def test_media_shard_packing_capacity_and_order(spark):
     ordered = sorted(shards, key=lambda r: r.shard_id)
     for prev, nxt in zip(ordered, ordered[1:]):
         assert prev.last_doc < nxt.first_doc
+
+
+def test_bmp_decoder_is_pixel_exact(spark):
+    """decode_bmp_features must reproduce the generator's pixels
+    exactly: known 2-image fixture, per-channel sums computed in
+    python, plus padding/flip coverage (widths hit different 4-byte
+    paddings; a missed vertical flip changes the y-dependent sums)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from admob_data_pipeline_spark.operators import multimodal as mm
+
+    out = tempfile.mkdtemp(prefix="bmp_test_")
+    try:
+        want = {}
+        for img in (1, 2):  # widths 17, 18 → paddings 1, 2
+            with open(os.path.join(out, f"img-{img}.bmp"), "wb") as fh:
+                fh.write(mm.make_bmp(img))
+            w, h = mm._bmp_dims(img)
+            sums = [0, 0, 0]
+            for x in range(w):
+                for y in range(h):
+                    px = mm._bmp_pixel(img, x, y)
+                    for c in range(3):
+                        sums[c] += px[c]
+            want[f"img-{img}.bmp"] = (w, h, *sums)
+        files = (
+            spark.read.format("binaryFile")
+            .load(out)
+            .select(
+                F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+                "content",
+            )
+        )
+        got = {
+            r.file: (r.width, r.height, r.r_sum, r.g_sum, r.b_sum)
+            for r in mm.decode_bmp_features(files).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_bmp_decoder_rejects_non_bmp_payloads(spark):
+    """A junk payload must fail loudly, not decode garbage."""
+    import pytest
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators import multimodal as mm
+
+    files = spark.createDataFrame(
+        [Row(file="junk.bin", content=bytearray(b"NOTABMP" * 20))]
+    )
+    with pytest.raises(Exception, match="not a BMP"):
+        mm.decode_bmp_features(files).collect()
