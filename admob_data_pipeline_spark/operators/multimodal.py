@@ -3,9 +3,11 @@ as opaque binary columns with typed metadata).
 
 The container has no codec LIBRARIES, so compressed-format decode (PNG/
 JPEG/video) stays env-gated (NotImplementedError seam in decode_image) —
-but uncompressed 24-bit BMP needs no library and is decoded FOR REAL
-here (``decode_bmp_features``: numpy header parse, stride/padding,
-bottom-up flip, channel split — oracle-checked pixel math). Everything
+but uncompressed formats need no library and are decoded FOR REAL here:
+24-bit BMP (``decode_bmp_features``: numpy header parse, stride/padding,
+bottom-up flip, channel split) and 16-bit PCM WAV
+(``decode_wav_features``: RIFF chunk walk, de-interleave) — both
+oracle-checked against closed-form pixel/sample math. Everything
 Spark-side is real and tested:
 
 - the schema contract: ``media BINARY`` + ``media_meta STRUCT<media_type,
@@ -624,8 +626,193 @@ ORDER BY file
 """
 
 
+# --- REAL audio decode: PCM WAV (uncompressed) --------------------------------
+
+WAV_N_CLIPS = 6
+
+
+def _wav_shape(clip: int) -> tuple[int, int, int]:
+    """(sample_rate, n_channels, n_samples) per clip — rates and channel
+    counts vary so a decoder that assumes one layout fails the hash."""
+    return (8000 + clip * 1000, 1 + clip % 2, 800 + clip * 50)
+
+
+def _wav_sample(clip: int, ch: int, i: int) -> int:
+    """Closed-form int16 sample — mirrored by the oracle."""
+    return ((i * (7 + clip) + ch * 13 + clip * 101) % 65536) - 32768
+
+
+def make_wav(clip: int) -> bytes:
+    """A real PCM WAV: RIFF container, fmt chunk, a LIST filler chunk
+    BEFORE data (so a decoder that hard-codes the data offset at byte 44
+    instead of walking chunks reads garbage), then interleaved int16
+    frames."""
+    import struct
+
+    rate, n_ch, n_samples = _wav_shape(clip)
+    frames = bytearray()
+    for i in range(n_samples):
+        for ch in range(n_ch):
+            frames += struct.pack("<h", _wav_sample(clip, ch, i))
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16
+    )
+    filler = b"INFOpadpadpz"
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(filler)) + filler
+        + b"data" + struct.pack("<I", len(frames)) + bytes(frames)
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav_features(files: DataFrame) -> DataFrame:
+    """REAL decode of PCM WAV payloads from a ``binaryFile`` scan: the
+    Arrow-batched kernel WALKS the RIFF chunks (fmt may not be adjacent
+    to data — the generator plants a LIST chunk between them), validates
+    PCM/16-bit, de-interleaves with numpy, and emits per-channel exact
+    integer sums + |sum|s. Compressed audio (mp3/ogg) remains the
+    env-gated library seam. Self-contained kernel (stdlib+numpy+pandas)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as np
+
+        def parse(buf: bytes):
+            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("not a WAV payload")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(buf):
+                cid = buf[pos : pos + 4]
+                ln = _struct.unpack_from("<I", buf, pos + 4)[0]
+                body = buf[pos + 8 : pos + 8 + ln]
+                if cid == b"fmt ":
+                    fmt = body
+                elif cid == b"data":
+                    data = body
+                pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+            if fmt is None or data is None:
+                raise ValueError("missing fmt/data chunk")
+            codec, n_ch, rate, _, _, bits = _struct.unpack_from(
+                "<HHIIHH", fmt, 0
+            )
+            if codec != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only 16-bit PCM WAV is decoded natively"
+                )
+            return rate, n_ch, data
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                rate, n_ch, data = parse(bytes(row["content"]))
+                x = np.frombuffer(data, "<i2").astype(np.int64)
+                x = x.reshape(-1, n_ch)  # de-interleave
+                sums = [int(x[:, c].sum()) for c in range(n_ch)] + [0]
+                abss = [int(np.abs(x[:, c]).sum()) for c in range(n_ch)] + [0]
+                out.append(
+                    (
+                        row["file"], rate, n_ch, x.shape[0],
+                        sums[0], abss[0], sums[1] if n_ch > 1 else 0,
+                        abss[1] if n_ch > 1 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file", "sample_rate", "n_channels", "n_samples",
+                    "sum_ch0", "abs_sum_ch0", "sum_ch1", "abs_sum_ch1",
+                ],
+            )
+
+    return files.mapInPandas(
+        kernel,
+        schema=(
+            "file string, sample_rate int, n_channels int,"
+            " n_samples bigint, sum_ch0 bigint, abs_sum_ch0 bigint,"
+            " sum_ch1 bigint, abs_sum_ch1 bigint"
+        ),
+    )
+
+
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end real audio path: deterministic PCM WAVs (varying
+    rates, mono AND stereo, a filler chunk between fmt and data) enter
+    through ``binaryFile`` and are sample-decoded by the numpy kernel;
+    the oracle recomputes every per-channel sum from the generating
+    closed form."""
+    import os
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="wav_decode_")
+    try:
+        for clip in range(WAV_N_CLIPS):
+            with open(os.path.join(out, f"clip-{clip}.wav"), "wb") as fh:
+                fh.write(make_wav(clip))
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.wav")
+            .load(out)
+            .select(
+                F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+                "content",
+            )
+        )
+        rows = decode_wav_features(files).orderBy("file").collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "file string, sample_rate int, n_channels int, n_samples bigint,"
+        " sum_ch0 bigint, abs_sum_ch0 bigint, sum_ch1 bigint,"
+        " abs_sum_ch1 bigint",
+    )
+
+
+_ORACLE_WAV_DECODE = f"""
+WITH clips AS (
+    SELECT c AS clip, 8000 + c * 1000 AS rate, 1 + c % 2 AS n_ch,
+           800 + c * 50 AS n_samples
+    FROM (SELECT unnest(generate_series(0, {WAV_N_CLIPS - 1})) AS c)
+),
+samples AS (
+    SELECT clip, rate, n_ch, n_samples, ch.ch AS ch, i,
+           ((i * (7 + clip) + ch.ch * 13 + clip * 101) % 65536) - 32768 AS s
+    FROM (
+        SELECT clip, rate, n_ch, n_samples,
+               unnest(generate_series(0, n_samples - 1)) AS i
+        FROM clips
+    ), (SELECT unnest([0, 1]) AS ch) ch
+    WHERE ch.ch < n_ch
+),
+per_ch AS (
+    SELECT clip, rate, n_ch, n_samples, ch,
+           CAST(SUM(s) AS BIGINT) AS sum_s,
+           CAST(SUM(ABS(s)) AS BIGINT) AS abs_s
+    FROM samples GROUP BY clip, rate, n_ch, n_samples, ch
+)
+SELECT 'clip-' || clip || '.wav' AS file,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n_ch AS INT) AS n_channels,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN ch = 0 THEN sum_s ELSE 0 END) AS BIGINT) AS sum_ch0,
+       CAST(SUM(CASE WHEN ch = 0 THEN abs_s ELSE 0 END) AS BIGINT)
+           AS abs_sum_ch0,
+       CAST(SUM(CASE WHEN ch = 1 THEN sum_s ELSE 0 END) AS BIGINT) AS sum_ch1,
+       CAST(SUM(CASE WHEN ch = 1 THEN abs_s ELSE 0 END) AS BIGINT)
+           AS abs_sum_ch1
+FROM per_ch
+GROUP BY clip, rate, n_ch, n_samples
+ORDER BY file
+"""
+
+
 QUERIES = {
     "multimodal_bmp_decode": q_multimodal_bmp_decode,
+    "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_packing": q_multimodal_packing,
     "multimodal_frame_dedup": q_multimodal_frame_dedup,
     "multimodal_metadata": q_multimodal_metadata,
@@ -636,6 +823,7 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_bmp_decode": _ORACLE_BMP_DECODE,
+    "multimodal_wav_decode": _ORACLE_WAV_DECODE,
     "multimodal_packing": _ORACLE_MEDIA_PACKING,
     "multimodal_frame_dedup": _ORACLE_FRAME_DEDUP,
     "multimodal_metadata": _ORACLE_METADATA,

@@ -420,6 +420,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "sink_xml_roundtrip",
     "source_binaryfile_scan",
     "multimodal_bmp_decode",
+    "multimodal_wav_decode",
 )
 
 

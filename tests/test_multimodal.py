@@ -128,3 +128,70 @@ def test_bmp_decoder_rejects_non_bmp_payloads(spark):
     )
     with pytest.raises(Exception, match="not a BMP"):
         mm.decode_bmp_features(files).collect()
+
+
+def test_wav_decoder_walks_chunks_and_deinterleaves(spark):
+    """decode_wav_features must parse the RIFF container properly (the
+    generator plants a LIST chunk between fmt and data) and
+    de-interleave stereo frames — pinned against a python reference."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from admob_data_pipeline_spark.operators import multimodal as mm
+
+    out = tempfile.mkdtemp(prefix="wav_test_")
+    try:
+        want = {}
+        for clip in (0, 1):  # mono AND stereo
+            with open(os.path.join(out, f"clip-{clip}.wav"), "wb") as fh:
+                fh.write(mm.make_wav(clip))
+            rate, n_ch, n = mm._wav_shape(clip)
+            sums = [[0, 0], [0, 0]]
+            for ch in range(n_ch):
+                for i in range(n):
+                    v = mm._wav_sample(clip, ch, i)
+                    sums[ch][0] += v
+                    sums[ch][1] += abs(v)
+            want[f"clip-{clip}.wav"] = (
+                rate, n_ch, n, sums[0][0], sums[0][1], sums[1][0], sums[1][1]
+            )
+        files = (
+            spark.read.format("binaryFile")
+            .load(out)
+            .select(
+                F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+                "content",
+            )
+        )
+        got = {
+            r.file: (
+                r.sample_rate, r.n_channels, r.n_samples,
+                r.sum_ch0, r.abs_sum_ch0, r.sum_ch1, r.abs_sum_ch1,
+            )
+            for r in mm.decode_wav_features(files).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_wav_decoder_rejects_non_pcm(spark):
+    import struct
+
+    import pytest
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.operators import multimodal as mm
+
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 16000, 2, 16)  # codec 85 = mp3
+    buf = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    files = spark.createDataFrame([Row(file="x.wav", content=bytearray(buf))])
+    with pytest.raises(Exception, match="16-bit PCM"):
+        mm.decode_wav_features(files).collect()
