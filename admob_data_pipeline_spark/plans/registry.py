@@ -421,6 +421,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "source_binaryfile_scan",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
+    "streaming_late_data_audit",
 )
 
 

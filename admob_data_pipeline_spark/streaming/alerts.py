@@ -1012,7 +1012,126 @@ def _ewma_oracle() -> str:
     return stats._ORACLE_EWMA
 
 
+LATE_DELAY = "47 hours"  # deliberately NOT a whole number of days: the
+# watermark never coincides with a window boundary, so the oracle's
+# window_end ≤ watermark rule is robust to <=-vs-< boundary conventions
+LATE_MOD = 5  # batch 2 = event_id % 5 == 0 (arrives after batch 1)
+
+
+def q_streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK SEMANTICS, oracle-pinned end-to-end: the exact rows a
+    windowed streaming aggregation keeps vs drops under late arrivals —
+    the one behavior every production streaming pipeline must be able to
+    predict, here made value-hash-checkable.
+
+    Three availableNow runs over ONE checkpoint (watermark state
+    persists between runs, exactly a restarted production job):
+
+    1. batch 1 (event_id % 5 ≠ 0) arrives → daily windows aggregate;
+       append mode emits every window whose end ≤ W1 = max(ts₁) − 47h
+       and EVICTS its state.
+    2. batch 2 (the % 5 == 0 rows) arrives LATE: its rows for evicted
+       windows are dropped (state is gone — the late-data drop), while
+       rows for still-open windows join the live state.
+    3. a sentinel row 5 days past the log's end pushes the watermark
+       over every real window, flushing the open ones (their counts now
+       INCLUDE batch 2); the sentinel's own window stays open forever
+       and never emits.
+
+    The oracle reproduces the rule in SQL: a day's count is batch-1-only
+    if its window closed before batch 2 arrived, full otherwise — so a
+    broken eviction (late rows resurrect a closed window), a missed
+    drop, or an over-eager flush all fail the hash.
+
+    Scale: the aggregation state is bounded by the watermark horizon
+    (days within 47h of the max event time) — the property that makes
+    windowed aggregation viable on an unbounded feed."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    d = tempfile.mkdtemp(prefix="late_audit_")
+    src, out, ck = (os.path.join(d, p) for p in ("src", "out", "ck"))
+
+    def run():
+        sch = spark.read.parquet(src).schema
+        q = (
+            spark.readStream.schema(sch)
+            .parquet(src)
+            .withWatermark("ts", LATE_DELAY)
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor(F.col("value") * 1000).cast("long")).alias(
+                    "value_milli"
+                ),
+            )
+            .select(
+                F.col("w.start").cast("date").alias("day"),
+                "n_events",
+                "value_milli",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        ev.where(F.col("event_id") % LATE_MOD != 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run()
+        ev.where(F.col("event_id") % LATE_MOD == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run()
+        # the sentinel: ts far past the log, value 0 — flushes every
+        # real window, never emits itself
+        ev.agg(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.max("ts") + F.expr("INTERVAL 5 DAYS")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        ).coalesce(1).write.mode("append").parquet(src)
+        run()
+        rows = spark.read.parquet(out).orderBy("day").collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "day date, n_events bigint, value_milli bigint"
+    )
+
+
+_ORACLE_LATE_AUDIT = f"""
+WITH w1 AS (
+    SELECT MAX(ts) - INTERVAL 47 HOUR AS w FROM events
+    WHERE event_id % {LATE_MOD} <> 0
+),
+counts AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) FILTER (WHERE event_id % {LATE_MOD} <> 0) AS n_b1,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT))
+                FILTER (WHERE event_id % {LATE_MOD} <> 0) AS BIGINT) AS v_b1,
+           COUNT(*) AS n_all,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v_all
+    FROM events GROUP BY day
+)
+SELECT day,
+       CASE WHEN day + INTERVAL 1 DAY <= (SELECT w FROM w1)
+            THEN n_b1 ELSE n_all END AS n_events,
+       CASE WHEN day + INTERVAL 1 DAY <= (SELECT w FROM w1)
+            THEN v_b1 ELSE v_all END AS value_milli
+FROM counts
+ORDER BY day
+"""
+
+
 QUERIES = {
+    "streaming_late_data_audit": q_streaming_late_data_audit,
     "streaming_ewma_spikes": q_streaming_ewma_spikes,
     "streaming_drift_psi": q_streaming_drift_psi,
     "streaming_topk": q_streaming_topk,
@@ -1045,6 +1164,7 @@ def _skew_oracle() -> str:
 
 
 ORACLES = {
+    "streaming_late_data_audit": _ORACLE_LATE_AUDIT,
     "streaming_ewma_spikes": _ewma_oracle(),
     "streaming_drift_psi": _psi_oracle(),
     "streaming_skew_audit": _skew_oracle(),
