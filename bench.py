@@ -114,15 +114,16 @@ def materialize(df) -> None:
 # Host-speed reference for the calibration row: the min-of-3 wall time
 # of the FIXED calibration work unit (see calibration_run: a 2B-row
 # xxhash64 fold + a lineitem scan/shuffle at sf0.1) measured on a quiet
-# reference host (2026-08-15, local[32], the round-8 builder host),
+# reference host (2026-08-15, local[32], the round-8 builder host,
+# quiet full bench run: headline 13.82 s, calibration 0.801 s),
 # IN-BENCH — i.e. after the warmup loop, where calibration_run actually
-# executes; a standalone fresh-JVM invocation reads ~10% slower
+# executes; a standalone fresh-JVM invocation reads ~20% slower
 # (0.94-1.07 s). The work unit never changes across rounds, so
 # value * (REF / calibration_sec) divides host speed out of the
 # headline total: consumers can compare value_calibrated across rounds
 # even when the driver host is under neighbor load (r2 and r7 both
 # recorded ~1.5-2× uniform inflation on code-identical queries).
-REF_CALIBRATION_SEC = 0.86
+REF_CALIBRATION_SEC = 0.80
 
 
 def calibration_run(spark) -> float:
