@@ -246,10 +246,19 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 
 
 def lsh_band_keys(
-    sig: DataFrame, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS
+    sig: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+    band_in_key: bool = False,
 ) -> DataFrame:
     """(doc_id, band, band_key): band_key = md5 of the band's minhashes in
-    seed order; bands exploded from the wide signature row (no shuffle)."""
+    seed order; bands exploded from the wide signature row (no shuffle).
+
+    ``band_in_key=True`` prefixes the band index into the hashed key so
+    the key ALONE scopes the collision (two bands holding identical
+    minhash pairs no longer share a key) — the persisted dedup index
+    (operators/dedup_index.py) uses this so its probe is a single-column
+    equi-join against the band_key-bucketed table."""
     bands = F.array(
         *[
             F.struct(
@@ -257,6 +266,7 @@ def lsh_band_keys(
                 F.md5(
                     F.concat_ws(
                         "|",
+                        *([F.lit(b)] if band_in_key else []),
                         *[F.col(f"m{i}") for i in range(b * band_rows, (b + 1) * band_rows)],
                     )
                 ).alias("band_key"),

@@ -10,14 +10,15 @@ from __future__ import annotations
 
 from admob_data_pipeline_spark.operators import (
     ann_index,
-    retrieval_index,
     cdc,
     corpus,
     dedup,
+    dedup_index,
     governance,
     graph,
     multimodal,
     packing,
+    retrieval_index,
     similarity,
     stats,
     text,
@@ -35,6 +36,7 @@ from admob_data_pipeline_spark.streaming import alerts as streaming_alerts
 _MODULES = [
     relational,
     ann_index,
+    dedup_index,
     retrieval_index,
     text,
     corpus,
@@ -422,6 +424,8 @@ FRESH_FIRST: tuple[str, ...] = (
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
     "streaming_late_data_audit",
+    "dedup_index_build",
+    "dedup_index_probe",
 )
 
 

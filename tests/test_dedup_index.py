@@ -1,0 +1,88 @@
+"""Persisted MinHash-LSH dedup index: frozen stop-list semantics,
+exchange-free band probe, parity with the in-plan incremental op."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.operators import dedup_index
+from admob_data_pipeline_spark.plans import explain
+from admob_data_pipeline_spark.sources.tables import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows]
+    )
+
+
+def test_frozen_stop_list_semantics(spark):
+    """The hot-shingle cap is FROZEN at build: a shingle hot in the BASE
+    is filtered from the probe batch too (its band collisions vanish),
+    while a shingle that becomes hot only INSIDE the batch is kept —
+    the quantizer-freeze contract applied to dedup."""
+    boiler = "alpha beta gamma delta"  # base-hot shingles (4 base docs)
+    base = [
+        (1, boiler + " one"),
+        (2, boiler + " two"),
+        (3, boiler + " three"),
+        (4, boiler + " four"),
+        # a pair of true near-dups inside the base (not probed)
+        (6, "red green blue yellow purple"),
+    ]
+    batch = [
+        # shares ONLY the frozen-hot boilerplate with base docs 1-4 →
+        # all its shingles are banned → no candidates, no pairs
+        (5, boiler + " five"),
+        # true near-dup of base doc 6 through non-hot shingles
+        (10, "red green blue yellow orange"),
+    ]
+    out = tempfile.mkdtemp(prefix="dedup_idx_test_")
+    prefix = "dedup_idx_t"
+    try:
+        dedup_index.dedup_index_build(
+            _docs(spark, base), prefix, out, max_df=3
+        )
+        banned = {
+            r.shingle for r in spark.table(f"{prefix}_banned").collect()
+        }
+        # the boilerplate 3-gram shingles are base-hot (df=4 > 3)
+        assert banned == {"alpha beta gamma", "beta gamma delta"}
+        got = {
+            (r.batch_doc, r.index_doc)
+            for r in dedup_index.dedup_index_probe(
+                _docs(spark, batch), prefix, threshold=0.5
+            ).collect()
+        }
+        assert got == {(10, 6)}
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_band_probe_has_no_exchange_on_index_side(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    out = tempfile.mkdtemp(prefix="dedup_idx_plan_")
+    prefix = "dedup_idx_p"
+    try:
+        dedup_index.dedup_index_build(base, prefix, out)
+        probe = spark.createDataFrame(
+            [("00000000000000000000000000000000",)], "band_key string"
+        )
+        plan = explain.formatted_plan(
+            spark.table(f"{prefix}_bands").hint("merge").join(probe, "band_key")
+        )
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange (") == 1, plan  # probe side only
+        assert "Bucketed: true" in plan
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
