@@ -1736,6 +1736,180 @@ ORDER BY p.lang
 """
 
 
+def q_curation_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE oracle-checked query —
+    the chain a pre-training data run actually executes, with per-stage
+    accounting so every dropped document is attributable:
+
+    1. GATE: the C4/Gopher rule composite (``curation_gate_columns`` —
+       the registered gate's exact column expressions, map-only);
+    2. NEAR-DUP DROP: shingle-set Jaccard ≥ threshold pairs among the
+       GATED docs (``ngram_jaccard_pairs`` verbatim — the fixture has
+       no exact duplicates at oracle SF, so the composite uses the
+       stage that actually fires); the higher id of every qualifying
+       pair is dropped (keep-lowest-id, the dedup family convention);
+    3. MIX: the α=0.5 temperature epoch plan over the survivors
+       (``mixture_epoch_plan`` verbatim — quotas, epochs, and the
+       deterministic remainder draw now computed on the CURATED corpus,
+       which is what a real run samples from).
+
+    One row per language: raw → gated → unique counts, then the full
+    sampling plan. Every stage reuses the registered single-point
+    helper, so this composite can never drift from the stage queries —
+    and the oracle recomputes the whole chain relationally, so a gate
+    regression, a dedup over/under-drop, or a quota shift anywhere in
+    the pipeline fails one hash.
+
+    Scale: gate is map-only; the near-dup stage is the shared-shingle
+    join (candidate-bounded, never N²); the mix is k-row arithmetic
+    plus one rank scan — the composite adds NO new shuffle shape over
+    its stages."""
+    from admob_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = curation_gate_columns(widen_if_narrow(docs)).select("doc_id", "keep")
+    gated = docs.join(gate.where(F.col("keep")), "doc_id").localCheckpoint()
+    dropped = (
+        ngram_jaccard_pairs(gated)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    uniq = (
+        gated.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+        .localCheckpoint()  # feeds the mixture count AND the rank draw
+    )
+    plan = mixture_epoch_plan(uniq, "lang")
+    n_raw = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_raw"))
+    n_gated = gated.groupBy("lang").agg(F.count(F.lit(1)).alias("n_gated"))
+    return (
+        n_raw.join(n_gated, "lang", "left")
+        .join(plan, "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            F.coalesce("n_gated", F.lit(0)).cast("long").alias("n_gated"),
+            F.col("n_docs").cast("long").alias("n_unique"),
+            "weight_e6",
+            "share_ppm",
+            "quota",
+            "full_epochs",
+            "remainder",
+            "remainder_docid_sum",
+        )
+        .orderBy("lang")
+    )
+
+
+def _curation_pipeline_oracle() -> str:
+    from admob_data_pipeline_spark.operators.dedup import (
+        _DUCK_SHINGLES,
+        JACCARD_THRESHOLD,
+        MAX_DF,
+    )
+
+    gate = _curation_gate_oracle()
+    shingles = _DUCK_SHINGLES.format(max_df=MAX_DF, src="gated").strip()
+    t_scaled = int(round(JACCARD_THRESHOLD * 1_000_000))
+    return f"""
+WITH gated AS (
+    SELECT d.doc_id, d.text, d.lang
+    FROM documents d
+    JOIN ({gate}) g ON g.doc_id = d.doc_id
+    WHERE g.keep
+),
+{{shingles}},
+pairs AS (
+    SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+    FROM sh sa JOIN sh sb
+      ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    GROUP BY 1, 2
+),
+dropped AS (
+    SELECT DISTINCT p.b AS doc_id
+    FROM pairs p
+    JOIN sizes za ON za.doc_id = p.a
+    JOIN sizes zb ON zb.doc_id = p.b
+    WHERE p.n_inter * 1000000
+          >= {{t_scaled}} * (za.n_sh + zb.n_sh - p.n_inter)
+),
+uniq AS (
+    SELECT g.doc_id, g.lang FROM gated g
+    WHERE g.doc_id NOT IN (SELECT doc_id FROM dropped)
+),
+counts AS (SELECT lang, COUNT(*) AS n_docs FROM uniq GROUP BY lang),
+weighted AS (
+    SELECT lang, n_docs,
+           (CASE WHEN (s + 1) * (s + 1) <= n_docs * CAST(1e12 AS BIGINT)
+                 THEN s + 1
+                 WHEN s * s > n_docs * CAST(1e12 AS BIGINT) THEN s - 1
+                 ELSE s END) AS weight_e6
+    FROM (
+        SELECT lang, n_docs,
+               CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE) * 1e12)) AS BIGINT)
+                   AS s
+        FROM counts
+    )
+),
+totals AS (
+    SELECT CAST(SUM(weight_e6) AS BIGINT) AS total_w,
+           CAST(SUM(n_docs) AS BIGINT) AS budget
+    FROM weighted
+),
+plan2 AS (
+    SELECT lang, n_docs, weight_e6, share_ppm, quota,
+           quota // n_docs AS full_epochs,
+           quota % n_docs AS remainder
+    FROM (
+        SELECT w.lang, w.n_docs, w.weight_e6,
+               w.weight_e6 * 1000000 // t.total_w AS share_ppm,
+               t.budget * w.weight_e6 // t.total_w AS quota
+        FROM weighted w, totals t
+    )
+),
+ranked AS (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('{MIX_SEED}' || '|' || CAST(doc_id AS VARCHAR)),
+                        doc_id
+           ) AS rk
+    FROM uniq
+),
+drawn AS (
+    SELECT r.lang, CAST(SUM(r.doc_id) AS BIGINT) AS remainder_docid_sum
+    FROM ranked r JOIN plan2 p ON p.lang = r.lang
+    WHERE r.rk <= p.remainder
+    GROUP BY r.lang
+),
+acct AS (
+    SELECT d.lang, COUNT(*) AS n_raw,
+           COUNT(*) FILTER (WHERE g.keep) AS n_gated
+    FROM documents d JOIN ({gate}) g ON g.doc_id = d.doc_id
+    GROUP BY d.lang
+)
+SELECT a.lang,
+       CAST(a.n_raw AS BIGINT) AS n_raw,
+       CAST(a.n_gated AS BIGINT) AS n_gated,
+       CAST(p.n_docs AS BIGINT) AS n_unique,
+       CAST(p.weight_e6 AS BIGINT) AS weight_e6,
+       CAST(p.share_ppm AS BIGINT) AS share_ppm,
+       CAST(p.quota AS BIGINT) AS quota,
+       CAST(p.full_epochs AS BIGINT) AS full_epochs,
+       CAST(p.remainder AS BIGINT) AS remainder,
+       CAST(COALESCE(d2.remainder_docid_sum, 0) AS BIGINT)
+           AS remainder_docid_sum
+FROM acct a
+LEFT JOIN plan2 p ON p.lang = a.lang
+LEFT JOIN drawn d2 ON d2.lang = a.lang
+ORDER BY a.lang
+""".format(shingles=shingles, t_scaled=t_scaled)
+
+
+_ORACLE_CURATION_PIPELINE = _curation_pipeline_oracle()
+
+
+
 _ORACLE_MIXTURE = """
 WITH counts AS (
     SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
@@ -2108,6 +2282,7 @@ QUERIES = {
     "importance_weights": q_importance_weights,
     "mixture_weights": q_mixture_weights,
     "mixture_epoch_plan": q_mixture_epoch_plan,
+    "curation_pipeline_audit": q_curation_pipeline_audit,
     "text_bigram_lm": q_bigram_lm,
     "text_bm25": q_bm25,
     "bm25_search": q_bm25_search,
@@ -2133,6 +2308,7 @@ ORACLES = {
     "importance_weights": _ORACLE_DSIR,
     "mixture_weights": _ORACLE_MIXTURE,
     "mixture_epoch_plan": _ORACLE_MIXTURE_EPOCH,
+    "curation_pipeline_audit": _ORACLE_CURATION_PIPELINE,
     "text_bigram_lm": _ORACLE_BIGRAM_LM,
     "text_bm25": _ORACLE_BM25,
     "bm25_search": _ORACLE_BM25_SEARCH,

@@ -684,7 +684,7 @@ ORDER BY content_hash
 
 _DUCK_SHINGLES = """
 t AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM {src}
 ),
 sh0 AS (
     SELECT doc_id, unnest(list_distinct(
@@ -725,7 +725,7 @@ ORDER BY i.a, i.b
 
 
 _ORACLE_NGRAM_JACCARD = (
-    "WITH " + _DUCK_SHINGLES.format(max_df=MAX_DF) + ","
+    "WITH " + _DUCK_SHINGLES.format(max_df=MAX_DF, src="documents") + ","
     + _oracle_jaccard_tail(
         "sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id"
     )
@@ -741,7 +741,7 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_CONTAINMENT = (
-    "WITH " + _DUCK_SHINGLES.format(max_df=MAX_DF)
+    "WITH " + _DUCK_SHINGLES.format(max_df=MAX_DF, src="documents")
     + f""",
 inter AS (
     SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
@@ -771,7 +771,7 @@ ORDER BY src, dst
 # shared CTE prefix (shingles → signatures → band-bucket candidates):
 # reused by the verified-pair oracle AND the recall-sweep oracle
 _MINHASH_CAND_CTES = (
-    _DUCK_SHINGLES.format(max_df=MAX_DF)
+    _DUCK_SHINGLES.format(max_df=MAX_DF, src="documents")
     + f""",
 hashed AS (
     SELECT doc_id,
@@ -819,7 +819,7 @@ def q_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_INCREMENTAL = (
     "WITH "
-    + _DUCK_SHINGLES.format(max_df=MAX_DF)
+    + _DUCK_SHINGLES.format(max_df=MAX_DF, src="documents")
     + f""",
 hashed AS (
     SELECT doc_id,
@@ -914,7 +914,7 @@ ORDER BY a, b
 
 _ORACLE_DEDUP_RECALL = (
     "WITH "
-    + _DUCK_SHINGLES.format(max_df=MAX_DF)
+    + _DUCK_SHINGLES.format(max_df=MAX_DF, src="documents")
     + f""",
 exact AS (
     SELECT i.a, i.b FROM (
@@ -992,7 +992,7 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_CLUSTERS = (
     "WITH RECURSIVE "
-    + _DUCK_SHINGLES.format(max_df=MAX_DF)
+    + _DUCK_SHINGLES.format(max_df=MAX_DF, src="documents")
     + f""",
 inter AS (
     SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
@@ -1063,7 +1063,7 @@ def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_KEEP_BEST = (
     "WITH RECURSIVE "
-    + _DUCK_SHINGLES.format(max_df=MAX_DF)
+    + _DUCK_SHINGLES.format(max_df=MAX_DF, src="documents")
     + f""",
 inter AS (
     SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
@@ -1637,7 +1637,7 @@ def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_CLUSTER_STATS = (
     "WITH RECURSIVE "
-    + _DUCK_SHINGLES.format(max_df=MAX_DF)
+    + _DUCK_SHINGLES.format(max_df=MAX_DF, src="documents")
     + f""",
 inter AS (
     SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
@@ -1716,7 +1716,7 @@ def q_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_SPLIT_LEAKAGE = (
-    "WITH " + _DUCK_SHINGLES.format(max_df=MAX_DF)
+    "WITH " + _DUCK_SHINGLES.format(max_df=MAX_DF, src="documents")
     + f""",
 inter AS (
     SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter

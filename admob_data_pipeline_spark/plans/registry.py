@@ -426,6 +426,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "streaming_late_data_audit",
     "dedup_index_build",
     "dedup_index_probe",
+    "curation_pipeline_audit",
 )
 
 
