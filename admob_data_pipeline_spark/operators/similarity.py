@@ -2045,26 +2045,36 @@ def semdedup_stats(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     threshold: float = NEARDUP_THRESHOLD,
+    lsh: bool = False,
 ) -> DataFrame:
     """The SemDeDup composition itself, parameterized for tests — see
-    :func:`q_semdedup_kmeans` for semantics and the scale story."""
+    :func:`q_semdedup_kmeans` for semantics and the scale story.
+    ``lsh=True`` stacks the 100 TB candidate cuts: pairs must share the
+    cluster AND the 8-plane sign-LSH bucket (the same bucket as
+    ``embedding_neardup_lsh``), so within-cluster work drops another
+    ~2^planes× — the cluster-then-LSH composition real SemDeDup
+    deployments run; recall vs the exact within-cluster join is the
+    pinned difference between the two registered queries."""
     asg = kmeans_assign(emb, k, iters).select("vec_id", "cid").localCheckpoint()
     base, dim = with_vec(emb)
+    if lsh:
+        base = base.withColumn("bucket", sign_bucket(F.col("v")))
     j = base.join(asg, "vec_id")
+    key = ["cid", "bucket"] if lsh else ["cid"]
     a = j.select(
-        "cid",
+        *key,
         F.col("vec_id").alias("a"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
     )
     b = j.select(
-        "cid",
+        *key,
         F.col("vec_id").alias("b"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
     pairs = (
-        a.join(b, "cid")
+        a.join(b, key)
         .where(F.col("a") < F.col("b"))
         .select(
             "cid",
@@ -2109,7 +2119,31 @@ def semdedup_stats(
     )
 
 
-_ORACLE_SEMDEDUP = f"""
+def q_semdedup_kmeans_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup SCALE path: cluster-then-LSH — candidates must
+    share the k-means cluster AND the 8-plane sign bucket, stacking the
+    two registered candidate cuts (~k× from clustering, ~2^planes× from
+    LSH). Same per-cluster audit columns as ``semdedup_kmeans``; the
+    recall trade vs the exact within-cluster join is the difference
+    between the two queries' rows — both oracle-gated, so the trade is
+    a pinned number, not an estimate."""
+    return semdedup_stats(load_table(spark, sf_dir, "embeddings"), lsh=True)
+
+
+def _sign_bits_alias(alias: str) -> str:
+    return " || ".join(
+        f"(CASE WHEN {alias}.v[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(N_PLANES)
+    )
+
+
+def _semdedup_oracle(lsh: bool) -> str:
+    bucket_cond = (
+        "\n     AND " + _sign_bits_alias("ba") + " = " + _sign_bits_alias("bb")
+        if lsh
+        else ""
+    )
+    return f"""
 WITH {_DUCK_BASE},
 {_kmeans_assign_cte()},
 pairs AS (
@@ -2119,7 +2153,7 @@ pairs AS (
     FROM aF s
     JOIN aF t ON t.cid = s.cid AND s.vec_id < t.vec_id
     JOIN base ba ON ba.vec_id = s.vec_id
-    JOIN base bb ON bb.vec_id = t.vec_id
+    JOIN base bb ON bb.vec_id = t.vec_id{bucket_cond}
     WHERE ROUND(list_dot_product(ba.v, bb.v)
                 / NULLIF(ba.nrm * bb.nrm, 0), 6) >= {NEARDUP_THRESHOLD}
 ),
@@ -2145,6 +2179,10 @@ LEFT JOIN stats s ON s.cid = m.cid
 LEFT JOIN dropped d ON d.cid = m.cid
 ORDER BY cid
 """
+
+
+_ORACLE_SEMDEDUP = _semdedup_oracle(False)
+_ORACLE_SEMDEDUP_LSH = _semdedup_oracle(True)
 
 
 # --- k-center coreset selection ----------------------------------------------
@@ -3642,6 +3680,7 @@ QUERIES = {
     "embedding_neardup_sweep": q_embedding_neardup_sweep,
     "kmeans_lloyd": q_kmeans_lloyd,
     "semdedup_kmeans": q_semdedup_kmeans,
+    "semdedup_kmeans_lsh": q_semdedup_kmeans_lsh,
     "coreset_kcenter": q_coreset_kcenter,
     "embedding_random_projection": q_embedding_random_projection,
     "embedding_covariance": q_embedding_covariance,
@@ -3680,6 +3719,7 @@ ORACLES = {
     "embedding_neardup_sweep": _ORACLE_NEARDUP_SWEEP,
     "kmeans_lloyd": _ORACLE_KMEANS,
     "semdedup_kmeans": _ORACLE_SEMDEDUP,
+    "semdedup_kmeans_lsh": _ORACLE_SEMDEDUP_LSH,
     "coreset_kcenter": _ORACLE_CORESET,
     "embedding_random_projection": _ORACLE_RP,
     "embedding_covariance": _ORACLE_COV,

@@ -427,6 +427,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "dedup_index_build",
     "dedup_index_probe",
     "curation_pipeline_audit",
+    "semdedup_kmeans_lsh",
 )
 
 
