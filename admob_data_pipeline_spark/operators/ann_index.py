@@ -347,6 +347,103 @@ def q_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(_with_index(spark, sf_dir, run), _BUILD_SCHEMA)
 
 
+RERANK_R = 15  # ADC shortlist size feeding the exact rerank (3×k)
+
+
+def ann_index_search_rerank(
+    emb: DataFrame,
+    query_ids: list[int],
+    table_prefix: str,
+    k: int = DEFAULT_K,
+    rerank_r: int = RERANK_R,
+    nprobe: int = 4,
+) -> DataFrame:
+    """TWO-STAGE serving from the persisted index — the refine step
+    every production IVF-PQ deployment runs: the compressed index
+    shortlists ``rerank_r`` candidates by ADC (cheap, m-byte codes),
+    then ONLY those candidates' full-precision vectors are fetched and
+    re-scored by exact cosine for the final top-``k``. Quantization
+    error affects which candidates make the shortlist but never the
+    final ordering — the rank a user sees is exact.
+
+    Scale: the rerank reads R·|Q| full vectors (a broadcast-semi point
+    lookup against the corpus store), not the corpus; everything
+    upstream is the persisted-index probe. One extra top-k window."""
+    shortlist = ann_index_search(
+        emb, query_ids, table_prefix, k=rerank_r, nprobe=nprobe
+    ).select("qid", "vec_id")
+    base, dim = with_vec(emb)
+    q = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cand_vecs = base.join(
+        F.broadcast(shortlist.select("vec_id").distinct()), "vec_id", "left_semi"
+    )
+    scored = shortlist.join(cand_vecs, "vec_id").join(
+        F.broadcast(q), "qid"
+    ).select(
+        "qid",
+        "vec_id",
+        F.round(
+            F.try_divide(
+                dot(F.col("qv"), F.col("v"), dim), F.col("qn") * F.col("nrm")
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+def q_ann_index_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(emb, prefix):
+        return ann_index_search_rerank(emb, QUERY_IDS, prefix).collect()
+
+    return spark.createDataFrame(
+        _with_index(spark, sf_dir, run),
+        "qid bigint, vec_id bigint, cos_sim double, rank int",
+    )
+
+
+# shortlist = the inline IVF-PQ oracle with its final k widened to R;
+# the rerank re-scores those rows by exact cosine from the base vectors
+_ORACLE_INDEX_RERANK = f"""
+WITH short AS (
+    {_ORACLE_IVFPQ.replace(f"WHERE rank <= {DEFAULT_K}", f"WHERE rank <= {RERANK_R}").strip()}
+),
+rescored AS (
+    SELECT s.qid, s.vec_id,
+           ROUND(list_dot_product(q.v, b.v) / NULLIF(q.nrm * b.nrm, 0), 6)
+               AS cos_sim
+    FROM short s
+    JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings) q ON q.vec_id = s.qid
+    JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings) b ON b.vec_id = s.vec_id
+),
+reranked AS (
+    SELECT qid, vec_id, cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY cos_sim DESC, vec_id
+           ) AS rank
+    FROM rescored
+)
+SELECT qid, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM reranked WHERE rank <= {DEFAULT_K}
+ORDER BY qid, rank
+"""
+
+
 UPSERT_MOD = 4  # delta = vec_id % UPSERT_MOD == 3 (deterministic split)
 
 
@@ -583,6 +680,7 @@ QUERIES = {
     "ann_index_search": q_ann_index_search,
     "ann_index_upsert": q_ann_index_upsert,
     "streaming_ann_ingest": q_streaming_ann_ingest,
+    "ann_index_rerank": q_ann_index_rerank,
 }
 
 ORACLES = {
@@ -593,4 +691,7 @@ ORACLES = {
     "ann_index_upsert": _ORACLE_INDEX_UPSERT,
     # multi-epoch arrival, same frozen-quantizer semantics — shared oracle
     "streaming_ann_ingest": _ORACLE_INDEX_UPSERT,
+    # two-stage serving: ADC shortlist (inline IVF-PQ SQL widened to R)
+    # re-scored by exact cosine
+    "ann_index_rerank": _ORACLE_INDEX_RERANK,
 }

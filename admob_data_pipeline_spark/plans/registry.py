@@ -428,6 +428,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "dedup_index_probe",
     "curation_pipeline_audit",
     "semdedup_kmeans_lsh",
+    "ann_index_rerank",
 )
 
 

@@ -88,17 +88,25 @@ def test_probe_join_reads_bucketed_codes_without_exchange(
 
 def test_build_is_idempotent_overwrite(spark, built_index, sf_dir):
     """Re-running the build must overwrite, not duplicate — the
-    idempotent-ingest contract every rebuildable artifact needs."""
-    emb, prefix = built_index
-    n1 = spark.table(f"{prefix}_codes").count()
+    idempotent-ingest contract every rebuildable artifact needs. Uses
+    its OWN prefix: rebuilding the shared fixture's prefix would
+    re-point its tables at this test's scratch dir and break every
+    later reader of the fixture."""
+    emb, _ = built_index
+    n1 = emb.count()
     out2 = tempfile.mkdtemp(prefix="ann_index_rebuild_")
+    prefix2 = "ann_idx_rebuild_t"
     try:
-        ann_index.ann_index_build(emb, prefix, out2)
-        assert spark.table(f"{prefix}_codes").count() == n1
-        assert spark.table(f"{prefix}_codes").where(
+        ann_index.ann_index_build(emb, prefix2, out2)
+        assert spark.table(f"{prefix2}_codes").count() == n1
+        ann_index.ann_index_build(emb, prefix2, out2)  # the re-run
+        assert spark.table(f"{prefix2}_codes").count() == n1
+        assert spark.table(f"{prefix2}_codes").where(
             F.col("list_id").isNull()
         ).count() == 0
     finally:
+        for t in ("centroids", "codebooks", "codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix2}_{t}")
         shutil.rmtree(out2, ignore_errors=True)
 
 
@@ -143,3 +151,43 @@ def test_upsert_appends_delta_and_keeps_bucketed_layout(spark, sf_dir):
         for t in ("centroids", "codebooks", "codes"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_rerank_refines_the_adc_shortlist_exactly(spark, built_index):
+    """Two-stage serving: the reranked top-k must be exactly the
+    exact-cosine top-k WITHIN the ADC shortlist — quantization picks
+    the candidates, never the final order."""
+    from admob_data_pipeline_spark.operators.similarity import (
+        QUERY_IDS,
+        topk_bruteforce,
+    )
+
+    emb, prefix = built_index
+    short = {
+        (r.qid, r.vec_id)
+        for r in ann_index.ann_index_search(
+            emb, QUERY_IDS, prefix, k=ann_index.RERANK_R
+        ).collect()
+    }
+    got = [
+        (r.qid, r.rank, r.vec_id, r.cos_sim)
+        for r in ann_index.ann_index_search_rerank(
+            emb, QUERY_IDS, prefix
+        ).collect()
+    ]
+    assert got and all((q, v) in short for (q, _, v, _) in got)
+    # exact cosines: every reranked row matches brute force's score for
+    # that pair, and per-query ranks follow (cos desc, vec_id)
+    brute = {
+        (r.qid, r.vec_id): r.cos_sim
+        for r in topk_bruteforce(emb, list(QUERY_IDS), k=10**6).collect()
+    }
+    by_q = {}
+    for q, rank, v, cos in got:
+        assert brute[(q, v)] == cos
+        by_q.setdefault(q, []).append((rank, cos, v))
+    for rows in by_q.values():
+        rows.sort()
+        assert [(c, v) for _, c, v in rows] == sorted(
+            ((c, v) for _, c, v in rows), key=lambda t: (-t[0], t[1])
+        )
