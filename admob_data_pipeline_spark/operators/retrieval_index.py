@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.operators.corpus import (
+    _DUCK_BM25_SCORE,
     _DUCK_BM25_TABLES,
     _ORACLE_BM25_SEARCH,
     BM25_B,
@@ -111,6 +112,40 @@ def bm25_index_search(
     )
 
 
+def bm25_index_upsert(delta: DataFrame, table_prefix: str) -> None:
+    """Incrementally ingest NEW documents into the persisted inverted
+    index: tokenize the delta only, append its postings and doc lengths
+    with the same bucket specs (the layout survives — pinned in
+    tests/test_retrieval_index.py), and leave the corpus scalars
+    (n_docs, avgdl) FROZEN at build time — the same
+    rebuild-cadence contract as the ANN index's quantizers and the
+    dedup index's stop list. Scores therefore stay comparable across
+    the ingest (idf and length normalization don't drift per batch);
+    search after an upsert equals the inline ranking over the union
+    corpus WITH base-frozen scalars, which is exactly what the
+    registered oracle recomputes. The base corpus is never rescanned
+    or retokenized."""
+    spark = delta.sparkSession
+    tf = _bm25_tf(delta, "text")
+    (
+        tf.select("token", "doc_id", "tf")
+        .write.mode("append")
+        .bucketBy(POSTINGS_BUCKETS, "token")
+        .sortBy("token")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_postings")
+    )
+    (
+        tf.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .write.mode("append")
+        .bucketBy(POSTINGS_BUCKETS, "doc_id")
+        .sortBy("doc_id")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_doclen")
+    )
+
+
 _SEARCH_SCHEMA = (
     "doc_id bigint, n_terms_matched bigint, score_scaled bigint, rnk int"
 )
@@ -166,6 +201,78 @@ def q_bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "token string, df bigint, tf_sum bigint")
 
 
+UPSERT_DOC_MOD = 4  # delta = doc_id % 4 == 3 (deterministic split)
+
+
+def q_bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance parity for the text index: build over
+    the base slice (doc_id % 4 ≠ 3), upsert the held-out quarter, then
+    serve the standard term query from the updated index. The oracle
+    recomputes the frozen-scalar semantics from first principles —
+    postings, dfs, and doc lengths over the UNION corpus (they live in
+    the index and legitimately grow with ingest), the (n_docs, avgdl)
+    scalars over the BASE slice only — so a lost or doubled posting,
+    a rescaled length, or an un-frozen scalar fails the hash."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % UPSERT_DOC_MOD != UPSERT_DOC_MOD - 1)
+    delta = docs.where(F.col("doc_id") % UPSERT_DOC_MOD == UPSERT_DOC_MOD - 1)
+    out = tempfile.mkdtemp(prefix="bm25_upsert_")
+    prefix = "bm25_idx_up"
+    try:
+        bm25_index_build(base, prefix, out)
+        bm25_index_upsert(delta, prefix)
+        rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
+    finally:
+        for t in ("postings", "doclen", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
+_BM25_QUERY_LIST = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+# frozen-scalar oracle: tok/tf/dl/df over the UNION corpus, the one-row
+# (n_docs, avgdl) over the BASE slice only — the ranking expression is
+# the shared _DUCK_BM25_SCORE via identical column names
+_ORACLE_INDEX_UPSERT = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl WHERE doc_id % {UPSERT_DOC_MOD} <> {UPSERT_DOC_MOD - 1}
+),
+per_term AS (
+    SELECT tf.doc_id,
+           {{score}} AS s
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+    WHERE tf.token IN ({_BM25_QUERY_LIST})
+),
+doc_scores AS (
+    SELECT doc_id, COUNT(*) AS n_terms_matched,
+           CAST(SUM(s) AS BIGINT) AS score_scaled
+    FROM per_term GROUP BY doc_id
+),
+ranked AS (
+    SELECT doc_id, n_terms_matched, score_scaled,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY score_scaled DESC, doc_id
+           ) AS INT) AS rnk
+    FROM doc_scores
+)
+SELECT doc_id, n_terms_matched, score_scaled, rnk
+FROM ranked WHERE rnk <= {BM25_SEARCH_TOP}
+ORDER BY rnk
+""".format(score=_DUCK_BM25_SCORE)
+
+
 _ORACLE_INDEX_BUILD = f"""
 WITH {_DUCK_BM25_TABLES}
 SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_sum
@@ -178,6 +285,7 @@ ORDER BY token
 QUERIES = {
     "bm25_index_build": q_bm25_index_build,
     "bm25_index_search": q_bm25_index_search,
+    "bm25_index_upsert": q_bm25_index_upsert,
 }
 
 ORACLES = {
@@ -185,4 +293,6 @@ ORACLES = {
     # parity pin: the persisted path must reproduce the inline
     # bm25_search results exactly — same SQL verbatim
     "bm25_index_search": _ORACLE_BM25_SEARCH,
+    # frozen-scalar maintenance parity
+    "bm25_index_upsert": _ORACLE_INDEX_UPSERT,
 }

@@ -429,6 +429,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "curation_pipeline_audit",
     "semdedup_kmeans_lsh",
     "ann_index_rerank",
+    "bm25_index_upsert",
 )
 
 

@@ -84,3 +84,33 @@ def test_postings_layout_is_bucketed_on_token(spark, built_bm25):
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange (") == 1, plan  # probe side only
     assert "Bucketed: true" in plan
+
+
+def test_upsert_appends_postings_and_keeps_layout(spark, sf_dir):
+    """Frozen-scalar maintenance: the delta's postings/doclen rows are
+    APPENDED (base rows untouched), the bucketed layout survives the
+    append, and the stats table is byte-identical to the build-time
+    snapshot."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 4 != 3)
+    delta = docs.where(F.col("doc_id") % 4 == 3)
+    out = tempfile.mkdtemp(prefix="bm25_upsert_test_")
+    prefix = "bm25_idx_up_t"
+    try:
+        retrieval_index.bm25_index_build(base, prefix, out)
+        n_post = spark.table(f"{prefix}_postings").count()
+        stats_before = spark.table(f"{prefix}_stats").collect()
+        retrieval_index.bm25_index_upsert(delta, prefix)
+        got = spark.table(f"{prefix}_postings")
+        delta_tf = retrieval_index._bm25_tf(delta, "text")
+        assert got.count() == n_post + delta_tf.count()
+        assert spark.table(f"{prefix}_stats").collect() == stats_before
+        probe = spark.createDataFrame([("spark",)], "token string")
+        plan = explain.formatted_plan(got.hint("merge").join(probe, "token"))
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange (") == 1, plan
+        assert "Bucketed: true" in plan
+    finally:
+        for t in ("postings", "doclen", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
