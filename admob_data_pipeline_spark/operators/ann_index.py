@@ -15,7 +15,11 @@ layout. This module composes the existing building blocks
   (s, code, cv — tiny), and ``<prefix>_codes`` (vec_id, list_id,
   c0..c{m-1}) — the only data-scaled one, hash-BUCKETED on ``list_id``
   and sorted within buckets, so the probe join never shuffles the index
-  side again.
+  side again. Join-free point lookups additionally PRUNE buckets
+  (1 of CODES_BUCKETS read for an equality filter) when
+  ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` —
+  with the default true, Spark silently reverts join-free plans to an
+  unbucketed full scan (pinned in tests/test_ann_index.py).
 - :func:`ann_index_search` reads those tables and NOTHING else except
   the full-precision query vectors. No assignment kernel, no codebook
   sampling, no pandas UDF anywhere in the search plan (test-pinned):

@@ -191,3 +191,27 @@ def test_rerank_refines_the_adc_shortlist_exactly(spark, built_index):
         assert [(c, v) for _, c, v in rows] == sorted(
             ((c, v) for _, c, v in rows), key=lambda t: (-t[0], t[1])
         )
+
+
+def test_point_lookup_prunes_buckets(spark, built_index):
+    """Bucket PRUNING (not just exchange elimination): an equality
+    filter on the bucket key reads 1 of CODES_BUCKETS buckets — the
+    inverted-list point-lookup shape. Requires autoBucketedScan OFF
+    (with it on, Spark silently falls back to a full unbucketed scan
+    for join-free plans — worth knowing at serving time, hence this
+    pin documents the conf)."""
+    _, prefix = built_index
+    old = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+    )
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    try:
+        df = spark.table(f"{prefix}_codes").where(F.col("list_id") == 0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert f"SelectedBucketsCount: 1 out of {ann_index.CODES_BUCKETS}" in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", old
+        )
