@@ -394,6 +394,31 @@ DRIVER_GREEN: frozenset[str] = frozenset(
         "streaming_report_source",
         "streaming_skew_audit",
         "warehouse_funnel_compare",
+        # r08 driver-green rows (CORRECTNESS_r08, 50/50 green: 21 fresh
+        # names below + the 9-name knn RECHECK re-verified + 20 green
+        # re-checks). Backlog stays ZERO — all 329 registry entries are
+        # driver-confirmed.
+        "ann_index_build",
+        "ann_index_rerank",
+        "ann_index_search",
+        "ann_index_upsert",
+        "bm25_index_build",
+        "bm25_index_search",
+        "bm25_index_upsert",
+        "curation_pipeline_audit",
+        "dedup_index_build",
+        "dedup_index_probe",
+        "graph_label_propagation",
+        "ivm_retract_delta",
+        "mixture_epoch_plan",
+        "multimodal_bmp_decode",
+        "multimodal_wav_decode",
+        "semdedup_kmeans",
+        "semdedup_kmeans_lsh",
+        "sink_xml_roundtrip",
+        "source_binaryfile_scan",
+        "streaming_ann_ingest",
+        "streaming_late_data_audit",
     }
 )
 
@@ -407,29 +432,8 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 # Names absent from the registry are ignored, so this list never breaks on
 # renames.
 FRESH_FIRST: tuple[str, ...] = (
-    # round-8 wave: backlog is ZERO after the r7 append (all 308 entries
-    # driver-confirmed). New round-8 queries land here, newest first.
-    "semdedup_kmeans",
-    "ann_index_build",
-    "ann_index_search",
-    "ann_index_upsert",
-    "streaming_ann_ingest",
-    "graph_label_propagation",
-    "mixture_epoch_plan",
-    "ivm_retract_delta",
-    "bm25_index_build",
-    "bm25_index_search",
-    "sink_xml_roundtrip",
-    "source_binaryfile_scan",
-    "multimodal_bmp_decode",
-    "multimodal_wav_decode",
-    "streaming_late_data_audit",
-    "dedup_index_build",
-    "dedup_index_probe",
-    "curation_pipeline_audit",
-    "semdedup_kmeans_lsh",
-    "ann_index_rerank",
-    "bm25_index_upsert",
+    # round-9 wave: backlog is ZERO after the r8 append (all 329 entries
+    # driver-confirmed). New round-9 queries land here, newest first.
 )
 
 
@@ -440,22 +444,9 @@ FRESH_FIRST: tuple[str, ...] = (
 # lands — then remove them from here.
 RECHECK: frozenset[str] = frozenset(
     {
-        # r8: the kNN bucket build was physically rewritten to fix the
-        # r7 64 KB codegen overflow (_sign_state in operators/similarity
-        # — sign bits materialized once, buckets derived by slicing).
-        # Edges are byte-identical by design (unit-pinned against the
-        # python reference and the unchanged _bucket_exprs_sql oracle),
-        # but every knn_graph composer re-enters the window until fresh
-        # driver verdicts confirm it.
-        "knn_graph",
-        "knn_graph_recall",
-        "knn_probe_lift",
-        "knn_hubness",
-        "knn_recall_by_label",
-        "knn_recall_by_source",
-        "knn_mutual_edges",
-        "knn_label_modularity",
-        "dedup_mutual_knn_clusters",
+        # r9: empty at round start — the 9-name knn RECHECK all landed
+        # green in CORRECTNESS_r08 after the _sign_state physical
+        # rewrite. Names whose semantics change mid-round re-enter here.
     }
 )
 
