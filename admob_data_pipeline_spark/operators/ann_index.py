@@ -7,14 +7,16 @@ query — fine for an audit, wrong for production, where the index is an
 artifact: centroids are trained once, the corpus is assigned and
 quantized once, and millions of queries then touch only the persisted
 layout. This module composes the existing building blocks
-(``assign_lists``, ``_pq_codebooks``, ``pq_quantize``,
-``write_bucketed``) into that split:
+(``assign_lists``, ``_pq_codebooks``, ``pq_quantize``) into that
+split:
 
 - :func:`ann_index_build` writes THREE tables: ``<prefix>_centroids``
   (cid, cv, cn — tiny, broadcast at search), ``<prefix>_codebooks``
   (s, code, cv — tiny), and ``<prefix>_codes`` (vec_id, list_id,
-  c0..c{m-1}) — the only data-scaled one, hash-BUCKETED on ``list_id``
-  and sorted within buckets, so the probe join never shuffles the index
+  c0..c{m-1}, epoch) — the only data-scaled one, PARTITIONED by ingest
+  ``epoch`` (build = epoch -1, each upsert/micro-batch its own id, so
+  replays overwrite idempotently) and hash-BUCKETED on ``list_id``
+  sorted within buckets, so the probe join never shuffles the index
   side again. Join-free point lookups additionally PRUNE buckets
   (1 of CODES_BUCKETS read for an equality filter) when
   ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` —
@@ -60,10 +62,13 @@ from admob_data_pipeline_spark.operators.similarity import (
     pq_quantize,
     with_vec,
 )
-from admob_data_pipeline_spark.sinks.writers import write_bucketed
 from admob_data_pipeline_spark.sources.tables import load_table
 
 CODES_BUCKETS = 8
+# Epoch partition value for the initial bulk build (and for compacted
+# rewrites). Incremental epochs — batch upserts or streaming micro-batch
+# ids — are >= 0, so the base layer can never collide with a replay.
+BASE_EPOCH = -1
 
 
 def ann_index_build(
@@ -80,9 +85,10 @@ def ann_index_build(
     (``assign_lists``) and the PQ quantizer (``pq_quantize``) run once,
     their outputs joined on vec_id (the build's single data-scaled
     shuffle besides the bucketed write), and the code table lands hash-
-    bucketed on ``list_id`` via ``write_bucketed`` — ingest pays the
-    layout shuffle so that every future search skips it. Centroids and
-    codebooks are O(|C|) and O(m·kc) rows — plain tiny tables.
+    bucketed on ``list_id`` under the base ``epoch`` partition — ingest
+    pays the layout shuffle so that every future search skips it.
+    Centroids and codebooks are O(|C|) and O(m·kc) rows — plain tiny
+    tables.
     """
     base, dim = with_vec(emb)
     sub = dim // m
@@ -113,14 +119,21 @@ def ann_index_build(
         "path", f"{path}/codebooks"
     ).saveAsTable(f"{table_prefix}_codebooks")
     code_cols = [F.col(f"c{s}") for s in range(m)]
-    write_bucketed(
-        codes.join(assigned.select("vec_id", "list_id"), "vec_id").select(
-            "vec_id", "list_id", *code_cols
-        ),
-        f"{table_prefix}_codes",
-        key="list_id",
-        n_buckets=CODES_BUCKETS,
-        path=f"{path}/codes",
+    (
+        codes.join(assigned.select("vec_id", "list_id"), "vec_id")
+        .select(
+            "vec_id",
+            "list_id",
+            *code_cols,
+            F.lit(BASE_EPOCH).cast("long").alias("epoch"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("epoch")
+        .bucketBy(CODES_BUCKETS, "list_id")
+        .sortBy("list_id")
+        .format("parquet")
+        .option("path", f"{path}/codes")
+        .saveAsTable(f"{table_prefix}_codes")
     )
 
 
@@ -135,20 +148,35 @@ def _persisted_codebooks(spark: SparkSession, table_prefix: str) -> list:
     return [books[s] for s in sorted(books)]
 
 
-def ann_index_upsert(delta: DataFrame, table_prefix: str) -> None:
+def ann_index_upsert(
+    delta: DataFrame, table_prefix: str, epoch: int | None = None
+) -> None:
     """Incrementally ingest NEW vectors into the persisted index — the
     maintenance half of the build/search split: a production index is
-    built once and then kept current by appending each arriving batch,
+    built once and then kept current by ingesting each arriving batch,
     never retrained per batch.
 
     The delta is assigned with the PERSISTED centroids and quantized
     with the PERSISTED codebooks (both reloaded from the index tables —
     no resampling, no retraining, no touch of the already-indexed
-    corpus), then appended to the code table with the SAME bucket spec,
-    so the bucketed zero-Exchange probe-join layout survives the append
-    (pinned in tests/test_ann_index.py). Cost is one map-only
-    assign+quantize pass over the delta plus the bucketed write — the
-    base corpus is never rescanned.
+    corpus). Each batch lands as its own ``epoch`` PARTITION of the
+    code table via dynamic partition OVERWRITE with the same bucket
+    spec, so the bucketed zero-Exchange probe-join layout survives the
+    ingest (pinned in tests/test_ann_index.py) AND a replayed batch is
+    a no-op: re-running epoch e rewrites partition epoch=e with the
+    deterministically identical rows instead of appending duplicates.
+    That makes the write safe under Structured Streaming's
+    at-least-once foreachBatch contract — crash anywhere (including
+    mid-commit) and the replay converges to the same table state, with
+    no separate epoch-ledger commit whose failure could reopen the
+    window. Cost is one map-only assign+quantize pass over the delta
+    plus the bucketed partition write — the base corpus (epoch=-1 and
+    earlier epochs) is never rescanned or rewritten.
+
+    ``epoch`` is the idempotency key: pass the foreachBatch batch id
+    from streaming; batch callers may omit it to auto-assign
+    max(existing)+1 (a partition-metadata-only aggregate — note an
+    auto-assigned id is NOT replay-safe, only an explicit one is).
 
     Contract: quantizer parameters are frozen at build time, so search
     results after an upsert equal a from-scratch search over the union
@@ -157,21 +185,39 @@ def ann_index_upsert(delta: DataFrame, table_prefix: str) -> None:
     registered oracle pins this equivalence relationally).
     """
     spark = delta.sparkSession
+    table = f"{table_prefix}_codes"
+    if epoch is None:
+        row = spark.table(table).agg(F.max("epoch")).first()
+        epoch = (row[0] if row[0] is not None else BASE_EPOCH) + 1
     cents = spark.table(f"{table_prefix}_centroids")
     book_mats = _persisted_codebooks(spark, table_prefix)
     m = len(book_mats)
     base, _ = with_vec(delta)
     assigned = assign_lists(base, cents.select("cid", "cv"))
     codes = pq_quantize(delta, m, len(book_mats[0]), book_mats=book_mats)
-    (
+    rows = (
         codes.join(assigned.select("vec_id", "list_id"), "vec_id")
-        .select("vec_id", "list_id", *[F.col(f"c{s}") for s in range(m)])
-        .write.mode("append")
-        .bucketBy(CODES_BUCKETS, "list_id")
-        .sortBy("list_id")
-        .format("parquet")
-        .saveAsTable(f"{table_prefix}_codes")
+        .select(
+            "vec_id",
+            "list_id",
+            *[F.col(f"c{s}") for s in range(m)],
+            F.lit(int(epoch)).cast("long").alias("epoch"),
+        )
+        # one task per bucket: each epoch adds at most CODES_BUCKETS
+        # files (repartition hashing == bucket hashing, both Murmur3
+        # pmod n), keeping small-file growth linear in epochs not tasks
+        .repartition(CODES_BUCKETS, F.col("list_id"))
     )
+    # session conf, save/restore (same discipline as overwrite_partitions
+    # in sinks/writers.py): a per-write .option() is silently IGNORED by
+    # insertInto, and under the default "static" the overwrite would
+    # wipe every other epoch — must hold on any vanilla session
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rows.write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def ann_index_search(
@@ -513,7 +559,11 @@ def q_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = (
             stream.writeStream.foreachBatch(
-                lambda batch, _id: ann_index_upsert(batch, prefix)
+                # the batch id IS the idempotency key: a replayed epoch
+                # rewrites its own partition instead of double-appending
+                # (foreachBatch is at-least-once; pinned by the forced-
+                # replay and kill/restart tests in test_ann_index.py)
+                lambda batch, eid: ann_index_upsert(batch, prefix, epoch=eid)
             )
             .option("checkpointLocation", os.path.join(out, "ckpt"))
             .trigger(availableNow=True)

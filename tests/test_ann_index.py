@@ -215,3 +215,111 @@ def test_point_lookup_prunes_buckets(spark, built_index):
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", old
         )
+
+
+def test_upsert_replay_with_same_epoch_is_idempotent(spark, sf_dir):
+    """foreachBatch is at-least-once: the SAME epoch can be delivered
+    twice after a mid-batch failure. Replaying an epoch id must leave
+    the code table byte-identical — the dynamic partition overwrite
+    rewrites epoch=e instead of appending duplicates that would
+    displace genuine neighbors from search top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % 4 != 3)
+    delta = emb.where(F.col("vec_id") % 4 == 3)
+    out = tempfile.mkdtemp(prefix="ann_index_replay_test_")
+    prefix = "ann_idx_replay_t"
+    try:
+        ann_index.ann_index_build(base_corpus, prefix, out)
+        ann_index.ann_index_upsert(delta, prefix, epoch=0)
+        snap = sorted(
+            map(tuple, spark.table(f"{prefix}_codes").collect())
+        )
+        search1 = ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix
+        ).collect()
+        ann_index.ann_index_upsert(delta, prefix, epoch=0)  # forced replay
+        assert sorted(
+            map(tuple, spark.table(f"{prefix}_codes").collect())
+        ) == snap
+        assert ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix
+        ).collect() == search1
+        # a DIFFERENT epoch with new rows still lands
+        ann_index.ann_index_upsert(
+            emb.where(F.lit(False)), prefix, epoch=1
+        )
+        assert spark.table(f"{prefix}_codes").count() == len(snap)
+    finally:
+        for t in ("centroids", "codebooks", "codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_streaming_ingest_survives_midstream_restart(spark, sf_dir, tmp_path):
+    """Kill-and-restart through the streaming index-maintenance path:
+    epochs committed before a stop are not double-applied after a
+    resume from the same checkpoint, and the final index holds every
+    delta vector exactly once — search equals the one-shot batch-upsert
+    index over the same corpus split."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % 4 != 3)
+    delta = emb.where(F.col("vec_id") % 4 == 3)
+    prefix = "ann_idx_restart_t"
+    out = str(tmp_path / "index")
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+
+    def arrive(half):
+        delta.where(
+            F.expr("(vec_id % 8) div 4") == half
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda batch, eid: ann_index.ann_index_upsert(
+                    batch, prefix, epoch=eid
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        ann_index.ann_index_build(base_corpus, prefix, out)
+        arrive(0)
+        run()  # epoch 0 commits, stream stops (the "kill")
+        n_mid = spark.table(f"{prefix}_codes").count()
+        assert n_mid > base_corpus.count()
+        arrive(1)
+        run()  # restart from the same checkpoint: only epoch 1 runs
+        codes = spark.table(f"{prefix}_codes")
+        assert codes.count() == emb.count()
+        assert codes.select("vec_id").distinct().count() == emb.count()
+        # the restarted stream's index serves the same results as a
+        # one-shot batch upsert over the identical corpus split
+        got = ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix
+        ).collect()
+        prefix2 = "ann_idx_restart_ref_t"
+        out2 = str(tmp_path / "index_ref")
+        try:
+            ann_index.ann_index_build(base_corpus, prefix2, out2)
+            ann_index.ann_index_upsert(delta, prefix2, epoch=0)
+            want = ann_index.ann_index_search(
+                emb, similarity.QUERY_IDS, prefix2
+            ).collect()
+        finally:
+            for t in ("centroids", "codebooks", "codes"):
+                spark.sql(f"DROP TABLE IF EXISTS {prefix2}_{t}")
+        assert got == want and got
+    finally:
+        for t in ("centroids", "codebooks", "codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
