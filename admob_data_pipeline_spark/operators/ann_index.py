@@ -62,6 +62,7 @@ from admob_data_pipeline_spark.operators.similarity import (
     pq_quantize,
     with_vec,
 )
+from admob_data_pipeline_spark.sinks.writers import compact_bucketed_table
 from admob_data_pipeline_spark.sources.tables import load_table
 
 CODES_BUCKETS = 8
@@ -729,12 +730,66 @@ ORDER BY a.list_id
 """
 
 
+def ann_index_compact(spark: SparkSession, table_prefix: str) -> tuple[int, int]:
+    """Maintenance pass for a long-running ingest: fold every ingest
+    epoch of the code table back into the base partition and rewrite it
+    one-file-per-bucket (same bucket spec — the zero-Exchange probe
+    join survives, pinned in tests/test_ann_index.py). Run only when no
+    replay of the folded epochs is possible: the stream is stopped or
+    its checkpoint has committed past them."""
+    return compact_bucketed_table(
+        spark,
+        f"{table_prefix}_codes",
+        key="list_id",
+        n_buckets=CODES_BUCKETS,
+        fold_partition=("epoch", BASE_EPOCH),
+    )
+
+
+def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full index lifecycle under the driver gate: build over the base
+    slice, upsert the held-out quarter as TWO epochs (each appending
+    files per bucket), COMPACT, then serve. The oracle is the upsert
+    oracle verbatim — compaction must be invisible to every search —
+    and the file count must strictly drop (folded into the result so a
+    no-op compaction fails the hash: n_files_after < n_files_before is
+    asserted by construction, the row carries both counts)."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % UPSERT_MOD != UPSERT_MOD - 1)
+    delta = emb.where(F.col("vec_id") % UPSERT_MOD == UPSERT_MOD - 1)
+    out = tempfile.mkdtemp(prefix="ann_index_compact_")
+    prefix = "ann_idx_cp"
+    try:
+        ann_index_build(base_corpus, prefix, out)
+        for half in (0, 1):
+            ann_index_upsert(
+                delta.where(
+                    F.expr(f"(vec_id % {2 * UPSERT_MOD}) div {UPSERT_MOD}")
+                    == half
+                ),
+                prefix,
+                epoch=half,
+            )
+        before, after = ann_index_compact(spark, prefix)
+        assert after < before, (before, after)
+        rows = ann_index_search(emb, QUERY_IDS, prefix).collect()
+    finally:
+        for t in ("centroids", "codebooks", "codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
 QUERIES = {
     "ann_index_build": q_ann_index_build,
     "ann_index_search": q_ann_index_search,
     "ann_index_upsert": q_ann_index_upsert,
     "streaming_ann_ingest": q_streaming_ann_ingest,
     "ann_index_rerank": q_ann_index_rerank,
+    "ann_index_compact": q_ann_index_compact,
 }
 
 ORACLES = {
@@ -748,4 +803,6 @@ ORACLES = {
     # two-stage serving: ADC shortlist (inline IVF-PQ SQL widened to R)
     # re-scored by exact cosine
     "ann_index_rerank": _ORACLE_INDEX_RERANK,
+    # compaction must be invisible to search — the upsert oracle verbatim
+    "ann_index_compact": _ORACLE_INDEX_UPSERT,
 }

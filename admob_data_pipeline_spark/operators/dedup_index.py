@@ -47,7 +47,10 @@ from admob_data_pipeline_spark.operators.dedup import (
     minhash_signatures,
 )
 from admob_data_pipeline_spark.operators.util import join_small
-from admob_data_pipeline_spark.sinks.writers import write_bucketed
+from admob_data_pipeline_spark.sinks.writers import (
+    compact_bucketed_table,
+    write_bucketed,
+)
 from admob_data_pipeline_spark.sources.tables import load_table
 
 DEDUP_IDX_BUCKETS = 8
@@ -161,6 +164,61 @@ def dedup_index_probe(
     )
 
 
+def dedup_index_upsert(delta: DataFrame, table_prefix: str, k: int = 3) -> None:
+    """Incrementally ADMIT a batch into the persisted index — the
+    maintenance half the other two indexes already have: shingle the
+    delta only, filter by the FROZEN stop list (never re-census the
+    corpus — the same rebuild-cadence contract as the ANN quantizers
+    and the BM25 scalars), sign and band it, and append its band
+    entries / shingle sets / sizes with the same bucket specs so the
+    zero-Exchange probe layout survives (pinned in
+    tests/test_dedup_index.py). The corpus is never rescanned."""
+    spark = delta.sparkSession
+    banned = spark.table(f"{table_prefix}_banned")
+    sh = join_small(
+        doc_shingles(delta, k).localCheckpoint(), banned, "shingle", "left_anti"
+    ).localCheckpoint()
+    bands = lsh_band_keys(minhash_signatures(sh), band_in_key=True)
+    (
+        bands.select("band_key", "band", "doc_id")
+        .write.mode("append")
+        .bucketBy(DEDUP_IDX_BUCKETS, "band_key")
+        .sortBy("band_key")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_bands")
+    )
+    (
+        sh.write.mode("append")
+        .bucketBy(DEDUP_IDX_BUCKETS, "doc_id")
+        .sortBy("doc_id")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_shingles")
+    )
+    sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).write.mode(
+        "append"
+    ).format("parquet").saveAsTable(f"{table_prefix}_shsizes")
+
+
+def dedup_index_compact(spark: SparkSession, table_prefix: str):
+    """Maintenance pass for a long-running dedup ingest: rewrite the
+    appended band and shingle tables one-file-per-bucket with their
+    bucket specs intact (the shuffle-free probe join survives — pinned
+    in tests/test_dedup_index.py)."""
+    a = compact_bucketed_table(
+        spark,
+        f"{table_prefix}_bands",
+        key="band_key",
+        n_buckets=DEDUP_IDX_BUCKETS,
+    )
+    b = compact_bucketed_table(
+        spark,
+        f"{table_prefix}_shingles",
+        key="doc_id",
+        n_buckets=DEDUP_IDX_BUCKETS,
+    )
+    return a, b
+
+
 _PROBE_SCHEMA = "batch_doc bigint, index_doc bigint, jaccard double"
 
 
@@ -226,9 +284,12 @@ def q_dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Frozen-cap oracle scaffolding: shingles over the WHOLE corpus, hot
-# census over the BASE slice only, both sides filtered by it, band keys
-# with the band index folded into the hash (band_in_key=True).
-_DUCK_FROZEN_CAP = f"""
+# census over the BUILD slice only (``hot_pred`` — the stop list is
+# frozen at build time, upserts never re-census), both sides filtered
+# by it, band keys with the band index folded into the hash
+# (band_in_key=True).
+def _duck_frozen_cap(hot_pred: str) -> str:
+    return f"""
 t AS (
     SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
 ),
@@ -239,7 +300,7 @@ sh0 AS (
     FROM t
 ),
 hot AS (
-    SELECT shingle FROM sh0 WHERE doc_id % {PROBE_MOD} <> 0
+    SELECT shingle FROM sh0 WHERE {hot_pred}
     GROUP BY shingle HAVING COUNT(*) > {MAX_DF}
 ),
 sh AS (
@@ -267,6 +328,9 @@ bands AS (
     FROM sig, generate_series(0, {N_BANDS - 1}) AS g(band)
 )
 """
+
+
+_DUCK_FROZEN_CAP = _duck_frozen_cap(f"doc_id % {PROBE_MOD} <> 0")
 
 _ORACLE_DEDUP_PROBE = f"""
 WITH {_DUCK_FROZEN_CAP},
@@ -309,12 +373,96 @@ ORDER BY band
 """
 
 
+UPSERT_MODS = (1, 2)  # build slice; (3, 4) arrive as the upsert delta
+
+
+def _run_upsert_lifecycle(spark: SparkSession, sf_dir: str, compact: bool):
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    build = docs.where(
+        (F.col("doc_id") % PROBE_MOD).isin([int(x) for x in UPSERT_MODS])
+    )
+    delta = docs.where(
+        ~(F.col("doc_id") % PROBE_MOD).isin([0] + [int(x) for x in UPSERT_MODS])
+    )
+    batch = docs.where(F.col("doc_id") % PROBE_MOD == 0)
+    out = tempfile.mkdtemp(prefix="dedup_index_up_")
+    prefix = "dedup_idx_up"
+    try:
+        dedup_index_build(build, prefix, out)
+        # two arriving batches → two appends per bucketed table
+        dedup_index_upsert(delta.where(F.col("doc_id") % PROBE_MOD == 3), prefix)
+        dedup_index_upsert(delta.where(F.col("doc_id") % PROBE_MOD == 4), prefix)
+        if compact:
+            (bb, ba), (sb, sa) = dedup_index_compact(spark, prefix)
+            assert ba < bb and sa < sb, ((bb, ba), (sb, sa))
+        rows = dedup_index_probe(batch, prefix).collect()
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _PROBE_SCHEMA)
+
+
+def q_dedup_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance parity for the dedup index: build over
+    doc_id%5 ∈ {1,2}, admit {3,4} as two arriving batches, probe the
+    held-out %5==0 slice against the grown index. The oracle recomputes
+    the frozen-cap semantics with the census over the BUILD slice only
+    — a lost band entry, a re-censused stop list, or a doubled shingle
+    set fails the hash."""
+    return _run_upsert_lifecycle(spark, sf_dir, compact=False)
+
+
+def q_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same lifecycle with a COMPACT between ingest and probe: both
+    bucketed tables rewritten one-file-per-bucket (file counts must
+    strictly drop — asserted in-plan), probe results identical — the
+    oracle is the upsert oracle verbatim."""
+    return _run_upsert_lifecycle(spark, sf_dir, compact=True)
+
+
+# hot census over the BUILD slice only; the index side of the candidate
+# join is everything admitted so far (build + upserted deltas)
+_ORACLE_DEDUP_UPSERT = f"""
+WITH {_duck_frozen_cap(f"doc_id % {PROBE_MOD} IN {UPSERT_MODS}")},
+cand AS (
+    SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+    FROM bands ba JOIN bands bb ON ba.band_key = bb.band_key
+    WHERE ba.doc_id % {PROBE_MOD} = 0 AND bb.doc_id % {PROBE_MOD} <> 0
+),
+inter AS (
+    SELECT c.a, c.b, COUNT(*) AS n_inter
+    FROM cand c JOIN sh sa ON sa.doc_id = c.a
+    JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+    GROUP BY c.a, c.b
+)
+SELECT i.a AS batch_doc, i.b AS index_doc,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / NULLIF(za.n_sh + zb.n_sh - i.n_inter, 0), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+WHERE i.n_inter * 1000000
+      >= {int(round(JACCARD_THRESHOLD * 1_000_000))}
+         * (za.n_sh + zb.n_sh - i.n_inter)
+ORDER BY batch_doc, index_doc
+"""
+
+
 QUERIES = {
     "dedup_index_build": q_dedup_index_build,
     "dedup_index_probe": q_dedup_index_probe,
+    "dedup_index_upsert": q_dedup_index_upsert,
+    "dedup_index_compact": q_dedup_index_compact,
 }
 
 ORACLES = {
     "dedup_index_build": _ORACLE_DEDUP_BUILD,
     "dedup_index_probe": _ORACLE_DEDUP_PROBE,
+    "dedup_index_upsert": _ORACLE_DEDUP_UPSERT,
+    # compaction must be invisible to the probe — the upsert oracle verbatim
+    "dedup_index_compact": _ORACLE_DEDUP_UPSERT,
 }

@@ -47,7 +47,10 @@ from admob_data_pipeline_spark.operators.corpus import (
     _bm25_stats,
     _bm25_tf,
 )
-from admob_data_pipeline_spark.sinks.writers import write_bucketed
+from admob_data_pipeline_spark.sinks.writers import (
+    compact_bucketed_table,
+    write_bucketed,
+)
 from admob_data_pipeline_spark.sources.tables import load_table
 
 POSTINGS_BUCKETS = 8
@@ -282,10 +285,68 @@ ORDER BY token
 """
 
 
+def bm25_index_compact(spark: SparkSession, table_prefix: str):
+    """Maintenance pass for a long-running text ingest: rewrite the
+    appended postings and doc-length tables one-file-per-bucket with
+    their bucket specs intact (the pruned, shuffle-free serving scans
+    survive — pinned in tests/test_retrieval_index.py). The frozen
+    corpus scalars are one row and never need compaction."""
+    a = compact_bucketed_table(
+        spark,
+        f"{table_prefix}_postings",
+        key="token",
+        n_buckets=POSTINGS_BUCKETS,
+    )
+    b = compact_bucketed_table(
+        spark,
+        f"{table_prefix}_doclen",
+        key="doc_id",
+        n_buckets=POSTINGS_BUCKETS,
+    )
+    return a, b
+
+
+def q_bm25_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle under the driver gate: build over the base slice,
+    upsert the held-out quarter twice-split (two appends per table),
+    COMPACT both bucketed tables, then serve the standard term query.
+    The oracle is the upsert oracle verbatim — compaction must be
+    invisible to ranking — and both file counts must strictly drop."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % UPSERT_DOC_MOD != UPSERT_DOC_MOD - 1)
+    delta = docs.where(F.col("doc_id") % UPSERT_DOC_MOD == UPSERT_DOC_MOD - 1)
+    out = tempfile.mkdtemp(prefix="bm25_compact_")
+    prefix = "bm25_idx_cp"
+    try:
+        bm25_index_build(base, prefix, out)
+        for half in (0, 1):
+            bm25_index_upsert(
+                delta.where(
+                    F.expr(
+                        f"(doc_id % {2 * UPSERT_DOC_MOD}) div {UPSERT_DOC_MOD}"
+                    )
+                    == half
+                ),
+                prefix,
+            )
+        (pb, pa), (db, da) = bm25_index_compact(spark, prefix)
+        assert pa < pb and da < db, ((pb, pa), (db, da))
+        rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
+    finally:
+        for t in ("postings", "doclen", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
 QUERIES = {
     "bm25_index_build": q_bm25_index_build,
     "bm25_index_search": q_bm25_index_search,
     "bm25_index_upsert": q_bm25_index_upsert,
+    "bm25_index_compact": q_bm25_index_compact,
 }
 
 ORACLES = {
@@ -295,4 +356,6 @@ ORACLES = {
     "bm25_index_search": _ORACLE_BM25_SEARCH,
     # frozen-scalar maintenance parity
     "bm25_index_upsert": _ORACLE_INDEX_UPSERT,
+    # compaction must be invisible to ranking — the upsert oracle verbatim
+    "bm25_index_compact": _ORACLE_INDEX_UPSERT,
 }

@@ -434,6 +434,10 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 FRESH_FIRST: tuple[str, ...] = (
     # round-9 wave: backlog is ZERO after the r8 append (all 329 entries
     # driver-confirmed). New round-9 queries land here, newest first.
+    "ann_index_compact",
+    "bm25_index_compact",
+    "dedup_index_upsert",
+    "dedup_index_compact",
 )
 
 

@@ -181,6 +181,90 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def compact_bucketed_table(
+    spark,
+    table: str,
+    key: str,
+    n_buckets: int,
+    fold_partition: tuple[str, int] | None = None,
+) -> tuple[int, int]:
+    """Rewrite an incrementally-appended bucketed table into ONE file
+    per bucket, preserving the bucket spec — the maintenance pass that
+    keeps a long-running ingest (every upsert/micro-batch appends files
+    per bucket) from decaying into a small-files scan.
+
+    The rewrite repartitions on the BUCKET ID expression
+    (``pmod(hash(key), n)`` — SQL ``hash`` is the same Murmur3 the
+    bucketed writer uses, verified row-for-row against written file
+    suffixes), so every bucket lands wholly inside one write task and
+    the output is exactly one file per non-empty bucket — repartitioning
+    on the raw key is NOT enough, task placement can still split a
+    bucket across tasks. It writes a NEW external table beside the old
+    location with
+    the same ``bucketBy``/``sortBy`` spec, then swaps it in: drop old
+    name → rename new → delete old files. Readers that resolved their
+    scan before the swap keep reading the old files until the final
+    delete; the zero-Exchange probe-join property survives because the
+    bucket spec is identical (pinned in the index test files). With one
+    file per bucket Spark can additionally trust the ``sortBy`` order,
+    dropping the partition-local Sort that multi-file buckets force.
+
+    ``fold_partition=(col, value)``: for an epoch-partitioned table
+    (the exactly-once ANN ingest layout), collapse all ingest epochs
+    into the single base partition ``col=value``. Run compaction only
+    when no replay of the folded epochs is possible (stream stopped or
+    checkpoint-committed past them) — a later overwrite of a folded
+    epoch id would re-add its rows.
+
+    Returns ``(files_before, files_after)`` counted via
+    ``input_file_name`` — distributed, storage-agnostic.
+    """
+    import uuid
+
+    def n_files() -> int:
+        return (
+            spark.table(table)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    files_before = n_files()
+    loc = (
+        spark.sql(f"DESC FORMATTED {table}")
+        .where(F.col("col_name") == "Location")
+        .first()["data_type"]
+    )
+    df = spark.table(table)
+    if fold_partition is not None:
+        part_col, part_val = fold_partition
+        dtype = dict(df.dtypes)[part_col]
+        df = df.withColumn(part_col, F.lit(part_val).cast(dtype))
+    tmp = f"{table}__compact"
+    new_loc = f"{loc.rstrip('/')}__c{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    w = (
+        df.repartition(n_buckets, F.expr(f"pmod(hash({key}), {n_buckets})"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .option("path", new_loc)
+    )
+    if fold_partition is not None:
+        w = w.partitionBy(fold_partition[0])
+    w.saveAsTable(tmp)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    # reclaim the superseded files through the Hadoop FS API (works on
+    # any Hadoop-compatible store, not just local paths)
+    jvm = spark._jvm
+    old_path = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = old_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(old_path, True)
+    return files_before, n_files()
+
+
 def write_sorted_layout(
     df: DataFrame,
     path: str,

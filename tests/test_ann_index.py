@@ -323,3 +323,43 @@ def test_streaming_ingest_survives_midstream_restart(spark, sf_dir, tmp_path):
     finally:
         for t in ("centroids", "codebooks", "codes"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_compact_folds_epochs_and_keeps_layout(spark, sf_dir):
+    """Compaction (the small-files maintenance pass): ingest epochs fold
+    into the base partition, the table drops to one file per bucket,
+    search results are byte-identical pre/post, and the zero-Exchange
+    probe-join pin still holds on the rewritten table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % 4 != 3)
+    delta = emb.where(F.col("vec_id") % 4 == 3)
+    out = tempfile.mkdtemp(prefix="ann_index_compact_test_")
+    prefix = "ann_idx_cpt"
+    try:
+        ann_index.ann_index_build(base_corpus, prefix, out)
+        ann_index.ann_index_upsert(delta.where(F.col("vec_id") % 8 == 3), prefix, epoch=0)
+        ann_index.ann_index_upsert(delta.where(F.col("vec_id") % 8 == 7), prefix, epoch=1)
+        pre = ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix
+        ).collect()
+        n_rows = spark.table(f"{prefix}_codes").count()
+        before, after = ann_index.ann_index_compact(spark, prefix)
+        assert after < before
+        assert after <= ann_index.CODES_BUCKETS
+        codes = spark.table(f"{prefix}_codes")
+        assert codes.count() == n_rows
+        assert [
+            r.epoch for r in codes.select("epoch").distinct().collect()
+        ] == [ann_index.BASE_EPOCH]
+        assert ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix
+        ).collect() == pre
+        probes = spark.createDataFrame([(0, 0)], "qid bigint, list_id bigint")
+        plan = explain.formatted_plan(codes.hint("merge").join(probes, "list_id"))
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange (") == 1, plan
+        assert "Bucketed: true" in plan
+    finally:
+        for t in ("centroids", "codebooks", "codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)

