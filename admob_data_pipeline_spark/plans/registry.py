@@ -459,6 +459,19 @@ RECHECK: frozenset[str] = frozenset(
         "ann_index_upsert",
         "ann_index_rerank",
         "streaming_ann_ingest",
+        # r9: KNN_PROBE_BUDGET raised 10 → 12 (recall 76.9% → 80.0% at
+        # sf0.1). The oracle derives probes from the same constant, so
+        # results moved in lockstep (all 9 re-verified locally), but
+        # the family re-enters the window for fresh driver verdicts.
+        "knn_graph",
+        "knn_graph_recall",
+        "knn_probe_lift",
+        "knn_hubness",
+        "knn_recall_by_label",
+        "knn_recall_by_source",
+        "knn_mutual_edges",
+        "knn_label_modularity",
+        "dedup_mutual_knn_clusters",
     }
 )
 
