@@ -62,14 +62,16 @@ from admob_data_pipeline_spark.operators.similarity import (
     pq_quantize,
     with_vec,
 )
-from admob_data_pipeline_spark.sinks.writers import compact_bucketed_table
+from admob_data_pipeline_spark.sinks.writers import (
+    BASE_EPOCH,
+    compact_bucketed_table,
+    next_epoch,
+    overwrite_epoch_partition,
+    write_epoch_bucketed,
+)
 from admob_data_pipeline_spark.sources.tables import load_table
 
 CODES_BUCKETS = 8
-# Epoch partition value for the initial bulk build (and for compacted
-# rewrites). Incremental epochs — batch upserts or streaming micro-batch
-# ids — are >= 0, so the base layer can never collide with a replay.
-BASE_EPOCH = -1
 
 
 def ann_index_build(
@@ -120,21 +122,14 @@ def ann_index_build(
         "path", f"{path}/codebooks"
     ).saveAsTable(f"{table_prefix}_codebooks")
     code_cols = [F.col(f"c{s}") for s in range(m)]
-    (
-        codes.join(assigned.select("vec_id", "list_id"), "vec_id")
-        .select(
-            "vec_id",
-            "list_id",
-            *code_cols,
-            F.lit(BASE_EPOCH).cast("long").alias("epoch"),
-        )
-        .write.mode("overwrite")
-        .partitionBy("epoch")
-        .bucketBy(CODES_BUCKETS, "list_id")
-        .sortBy("list_id")
-        .format("parquet")
-        .option("path", f"{path}/codes")
-        .saveAsTable(f"{table_prefix}_codes")
+    write_epoch_bucketed(
+        codes.join(assigned.select("vec_id", "list_id"), "vec_id").select(
+            "vec_id", "list_id", *code_cols
+        ),
+        f"{table_prefix}_codes",
+        key="list_id",
+        n_buckets=CODES_BUCKETS,
+        path=f"{path}/codes",
     )
 
 
@@ -188,37 +183,22 @@ def ann_index_upsert(
     spark = delta.sparkSession
     table = f"{table_prefix}_codes"
     if epoch is None:
-        row = spark.table(table).agg(F.max("epoch")).first()
-        epoch = (row[0] if row[0] is not None else BASE_EPOCH) + 1
+        epoch = next_epoch(spark, table)
     cents = spark.table(f"{table_prefix}_centroids")
     book_mats = _persisted_codebooks(spark, table_prefix)
     m = len(book_mats)
     base, _ = with_vec(delta)
     assigned = assign_lists(base, cents.select("cid", "cv"))
     codes = pq_quantize(delta, m, len(book_mats[0]), book_mats=book_mats)
-    rows = (
-        codes.join(assigned.select("vec_id", "list_id"), "vec_id")
-        .select(
-            "vec_id",
-            "list_id",
-            *[F.col(f"c{s}") for s in range(m)],
-            F.lit(int(epoch)).cast("long").alias("epoch"),
-        )
-        # one task per bucket: each epoch adds at most CODES_BUCKETS
-        # files (repartition hashing == bucket hashing, both Murmur3
-        # pmod n), keeping small-file growth linear in epochs not tasks
-        .repartition(CODES_BUCKETS, F.col("list_id"))
+    overwrite_epoch_partition(
+        codes.join(assigned.select("vec_id", "list_id"), "vec_id").select(
+            "vec_id", "list_id", *[F.col(f"c{s}") for s in range(m)]
+        ),
+        table,
+        key="list_id",
+        n_buckets=CODES_BUCKETS,
+        epoch=epoch,
     )
-    # session conf, save/restore (same discipline as overwrite_partitions
-    # in sinks/writers.py): a per-write .option() is silently IGNORED by
-    # insertInto, and under the default "static" the overwrite would
-    # wipe every other epoch — must hold on any vanilla session
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        rows.write.mode("overwrite").insertInto(table)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def ann_index_search(
@@ -781,6 +761,47 @@ def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
+def serving_plans(spark: SparkSession, sf_dir: str):
+    """Plan-audit hook (tools/plan_audit.py): the registered wrappers
+    collect internally so scratch tables can be dropped, which makes
+    their post-collect plan trivially empty — the REAL serving plans
+    must be audited against a prebuilt scratch index. Returns
+    ``(name → thunk-of-lazy-DataFrame, cleanup)``; the auditor explains
+    each thunk's frame and then calls cleanup."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ann_index_audit_")
+    prefix = "ann_idx_audit"
+    ann_index_build(emb, prefix, out)
+
+    def cleanup():
+        for t in ("centroids", "codebooks", "codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+
+    return {
+        "ann_index_search": lambda: ann_index_search(
+            emb, QUERY_IDS, prefix
+        ),
+        "ann_index_rerank": lambda: ann_index_search_rerank(
+            emb, QUERY_IDS, prefix
+        ),
+    }, cleanup
+
+
+# registered wrappers that collect internally (scratch-table lifecycle);
+# their driver-gate plan is post-collect local — the serving-side plans
+# are audited via serving_plans, the write paths pinned in tests
+LIFECYCLE_WRITE = {
+    "ann_index_build",
+    "ann_index_upsert",
+    "ann_index_compact",
+    "streaming_ann_ingest",
+}
 
 
 QUERIES = {

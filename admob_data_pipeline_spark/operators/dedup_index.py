@@ -452,6 +452,36 @@ ORDER BY batch_doc, index_doc
 """
 
 
+def serving_plans(spark: SparkSession, sf_dir: str):
+    """Plan-audit hook: the real index-serving plan (see
+    ann_index.serving_plans for the contract)."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % PROBE_MOD != 0)
+    batch = docs.where(F.col("doc_id") % PROBE_MOD == 0)
+    out = tempfile.mkdtemp(prefix="dedup_index_audit_")
+    prefix = "dedup_idx_audit"
+    dedup_index_build(base, prefix, out)
+
+    def cleanup():
+        for t in ("bands", "shingles", "shsizes", "banned"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+
+    return {
+        "dedup_index_probe": lambda: dedup_index_probe(batch, prefix),
+    }, cleanup
+
+
+LIFECYCLE_WRITE = {
+    "dedup_index_build",
+    "dedup_index_upsert",
+    "dedup_index_compact",
+}
+
+
 QUERIES = {
     "dedup_index_build": q_dedup_index_build,
     "dedup_index_probe": q_dedup_index_probe,

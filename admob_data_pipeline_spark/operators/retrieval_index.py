@@ -342,6 +342,36 @@ def q_bm25_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
 
 
+def serving_plans(spark: SparkSession, sf_dir: str):
+    """Plan-audit hook: the real index-serving plan (see
+    ann_index.serving_plans for the contract)."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="bm25_index_audit_")
+    prefix = "bm25_idx_audit"
+    bm25_index_build(docs, prefix, out)
+
+    def cleanup():
+        for t in ("postings", "doclen", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+
+    return {
+        "bm25_index_search": lambda: bm25_index_search(
+            spark, BM25_QUERY, prefix
+        ),
+    }, cleanup
+
+
+LIFECYCLE_WRITE = {
+    "bm25_index_build",
+    "bm25_index_upsert",
+    "bm25_index_compact",
+}
+
+
 QUERIES = {
     "bm25_index_build": q_bm25_index_build,
     "bm25_index_search": q_bm25_index_search,

@@ -181,6 +181,83 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+# Epoch partition value for the initial bulk build of an incrementally
+# maintained bucketed table (and for compacted rewrites). Incremental
+# epochs — batch upserts or streaming micro-batch ids — are >= 0, so the
+# base layer can never collide with a replayed ingest epoch.
+BASE_EPOCH = -1
+
+
+def write_epoch_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    path: str | None = None,
+    epoch: int = BASE_EPOCH,
+) -> None:
+    """Initial build of an epoch-partitioned bucketed table: the layout
+    incremental index maintenance needs — hash-bucketed on the serving
+    join key (the probe join never shuffles the index side again) AND
+    partitioned by ingest ``epoch`` so each later batch lands as its
+    own partition via :func:`overwrite_epoch_partition`, making replays
+    idempotent. The build writes the ``epoch=BASE_EPOCH`` layer."""
+    w = (
+        df.withColumn("epoch", F.lit(int(epoch)).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("epoch")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def overwrite_epoch_partition(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    epoch: int,
+) -> None:
+    """Idempotent incremental ingest into an epoch-partitioned bucketed
+    table: DYNAMIC partition overwrite of ``epoch=<id>`` with the same
+    bucket spec. Re-running an epoch rewrites its own partition with the
+    deterministically identical rows instead of appending duplicates —
+    safe under Structured Streaming's at-least-once foreachBatch
+    contract with no separate epoch-ledger commit whose failure could
+    reopen the window (crash anywhere, including mid-commit, and the
+    replay converges).
+
+    Rows are repartitioned on the BUCKET ID expression so each epoch
+    adds at most one file per bucket (see compact_bucketed_table for why
+    the raw key is not enough). Dynamic mode is set via session conf
+    with save/restore — a per-write ``.option()`` is silently IGNORED by
+    ``insertInto``, and under the default "static" the overwrite would
+    wipe every other epoch."""
+    spark = df.sparkSession
+    rows = df.withColumn("epoch", F.lit(int(epoch)).cast("long")).repartition(
+        n_buckets, F.expr(f"pmod(hash({key}), {n_buckets})")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rows.write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def next_epoch(spark, table: str) -> int:
+    """Auto-assign the next ingest epoch: max(existing)+1 — a
+    partition-metadata-only aggregate. NOT replay-safe (two retried
+    callers could mint different ids); streaming callers must pass the
+    foreachBatch batch id instead."""
+    row = spark.table(table).agg(F.max("epoch")).first()
+    return (row[0] if row[0] is not None else BASE_EPOCH) + 1
+
+
 def compact_bucketed_table(
     spark,
     table: str,
