@@ -48,8 +48,11 @@ from admob_data_pipeline_spark.operators.dedup import (
 )
 from admob_data_pipeline_spark.operators.util import join_small
 from admob_data_pipeline_spark.sinks.writers import (
+    BASE_EPOCH,
     compact_bucketed_table,
-    write_bucketed,
+    next_epoch,
+    overwrite_epoch_partition,
+    write_epoch_bucketed,
 )
 from admob_data_pipeline_spark.sources.tables import load_table
 
@@ -81,24 +84,25 @@ def dedup_index_build(
     bands = lsh_band_keys(minhash_signatures(sh), band_in_key=True)
     for t in ("bands", "shingles", "shsizes", "banned"):
         spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{t}")
-    write_bucketed(
+    write_epoch_bucketed(
         bands.select("band_key", "band", "doc_id"),
         f"{table_prefix}_bands",
         key="band_key",
         n_buckets=DEDUP_IDX_BUCKETS,
         path=f"{path}/bands",
     )
-    write_bucketed(
+    write_epoch_bucketed(
         sh,
         f"{table_prefix}_shingles",
         key="doc_id",
         n_buckets=DEDUP_IDX_BUCKETS,
         path=f"{path}/shingles",
     )
-    sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).write.mode(
-        "overwrite"
-    ).format("parquet").option("path", f"{path}/shsizes").saveAsTable(
-        f"{table_prefix}_shsizes"
+    write_epoch_bucketed(
+        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")),
+        f"{table_prefix}_shsizes",
+        key=None,
+        path=f"{path}/shsizes",
     )
     banned.write.mode("overwrite").format("parquet").option(
         "path", f"{path}/banned"
@@ -164,39 +168,51 @@ def dedup_index_probe(
     )
 
 
-def dedup_index_upsert(delta: DataFrame, table_prefix: str, k: int = 3) -> None:
+def dedup_index_upsert(
+    delta: DataFrame, table_prefix: str, k: int = 3, epoch: int | None = None
+) -> None:
     """Incrementally ADMIT a batch into the persisted index — the
     maintenance half the other two indexes already have: shingle the
     delta only, filter by the FROZEN stop list (never re-census the
     corpus — the same rebuild-cadence contract as the ANN quantizers
-    and the BM25 scalars), sign and band it, and append its band
-    entries / shingle sets / sizes with the same bucket specs so the
-    zero-Exchange probe layout survives (pinned in
-    tests/test_dedup_index.py). The corpus is never rescanned."""
+    and the BM25 scalars), sign and band it, and land its band entries
+    / shingle sets / sizes as their own ``epoch`` PARTITION with the
+    same bucket specs, so the zero-Exchange probe layout survives
+    (pinned in tests/test_dedup_index.py) AND a replayed batch
+    overwrites its own partition instead of double-appending. The
+    corpus is never rescanned.
+
+    ``epoch`` is the idempotency key: pass the foreachBatch batch id
+    from streaming; batch callers may omit it to auto-assign."""
     spark = delta.sparkSession
+    if epoch is None:
+        epoch = next_epoch(spark, f"{table_prefix}_bands")
     banned = spark.table(f"{table_prefix}_banned")
     sh = join_small(
         doc_shingles(delta, k).localCheckpoint(), banned, "shingle", "left_anti"
     ).localCheckpoint()
     bands = lsh_band_keys(minhash_signatures(sh), band_in_key=True)
-    (
-        bands.select("band_key", "band", "doc_id")
-        .write.mode("append")
-        .bucketBy(DEDUP_IDX_BUCKETS, "band_key")
-        .sortBy("band_key")
-        .format("parquet")
-        .saveAsTable(f"{table_prefix}_bands")
+    overwrite_epoch_partition(
+        bands.select("band_key", "band", "doc_id"),
+        f"{table_prefix}_bands",
+        key="band_key",
+        n_buckets=DEDUP_IDX_BUCKETS,
+        epoch=epoch,
     )
-    (
-        sh.write.mode("append")
-        .bucketBy(DEDUP_IDX_BUCKETS, "doc_id")
-        .sortBy("doc_id")
-        .format("parquet")
-        .saveAsTable(f"{table_prefix}_shingles")
+    overwrite_epoch_partition(
+        sh,
+        f"{table_prefix}_shingles",
+        key="doc_id",
+        n_buckets=DEDUP_IDX_BUCKETS,
+        epoch=epoch,
     )
-    sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).write.mode(
-        "append"
-    ).format("parquet").saveAsTable(f"{table_prefix}_shsizes")
+    overwrite_epoch_partition(
+        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")),
+        f"{table_prefix}_shsizes",
+        key=None,
+        n_buckets=None,
+        epoch=epoch,
+    )
 
 
 def dedup_index_compact(spark: SparkSession, table_prefix: str):
@@ -209,12 +225,14 @@ def dedup_index_compact(spark: SparkSession, table_prefix: str):
         f"{table_prefix}_bands",
         key="band_key",
         n_buckets=DEDUP_IDX_BUCKETS,
+        fold_partition=("epoch", BASE_EPOCH),
     )
     b = compact_bucketed_table(
         spark,
         f"{table_prefix}_shingles",
         key="doc_id",
         n_buckets=DEDUP_IDX_BUCKETS,
+        fold_partition=("epoch", BASE_EPOCH),
     )
     return a, b
 
@@ -452,6 +470,54 @@ ORDER BY batch_doc, index_doc
 """
 
 
+def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dedup-index maintenance: the delta corpus arrives as a
+    stream, each micro-batch is admitted via foreachBatch with the batch
+    id as the ingest epoch (replay-safe partition overwrite — the same
+    exactly-once mechanics as streaming_ann_ingest / streaming_bm25_
+    ingest), then the held-out batch is probed against the grown index.
+    Frozen-stop-list semantics — the oracle is the batch upsert's
+    verbatim, but the delta arrives across MULTIPLE epochs so a dropped
+    or replayed one fails the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    build = docs.where(
+        (F.col("doc_id") % PROBE_MOD).isin([int(x) for x in UPSERT_MODS])
+    )
+    delta = docs.where((F.col("doc_id") % PROBE_MOD).isin([3, 4]))
+    batch = docs.where(F.col("doc_id") % PROBE_MOD == 0)
+    out = tempfile.mkdtemp(prefix="dedup_stream_ingest_")
+    prefix = "dedup_idx_st"
+    src = os.path.join(out, "arrivals")
+    try:
+        dedup_index_build(build, prefix, os.path.join(out, "index"))
+        for part in (3, 4):
+            delta.where(F.col("doc_id") % PROBE_MOD == part).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda b, eid: dedup_index_upsert(b, prefix, epoch=eid)
+            )
+            .option("checkpointLocation", os.path.join(out, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = dedup_index_probe(batch, prefix).collect()
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _PROBE_SCHEMA)
+
+
 def serving_plans(spark: SparkSession, sf_dir: str):
     """Plan-audit hook: the real index-serving plan (see
     ann_index.serving_plans for the contract)."""
@@ -479,6 +545,7 @@ LIFECYCLE_WRITE = {
     "dedup_index_build",
     "dedup_index_upsert",
     "dedup_index_compact",
+    "streaming_dedup_ingest",
 }
 
 
@@ -487,6 +554,7 @@ QUERIES = {
     "dedup_index_probe": q_dedup_index_probe,
     "dedup_index_upsert": q_dedup_index_upsert,
     "dedup_index_compact": q_dedup_index_compact,
+    "streaming_dedup_ingest": q_streaming_dedup_ingest,
 }
 
 ORACLES = {
@@ -495,4 +563,6 @@ ORACLES = {
     "dedup_index_upsert": _ORACLE_DEDUP_UPSERT,
     # compaction must be invisible to the probe — the upsert oracle verbatim
     "dedup_index_compact": _ORACLE_DEDUP_UPSERT,
+    # multi-epoch arrival, same frozen-stop-list semantics — shared oracle
+    "streaming_dedup_ingest": _ORACLE_DEDUP_UPSERT,
 }

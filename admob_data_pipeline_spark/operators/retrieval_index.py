@@ -48,8 +48,11 @@ from admob_data_pipeline_spark.operators.corpus import (
     _bm25_tf,
 )
 from admob_data_pipeline_spark.sinks.writers import (
+    BASE_EPOCH,
     compact_bucketed_table,
-    write_bucketed,
+    next_epoch,
+    overwrite_epoch_partition,
+    write_epoch_bucketed,
 )
 from admob_data_pipeline_spark.sources.tables import load_table
 
@@ -66,14 +69,14 @@ def bm25_index_build(docs: DataFrame, table_prefix: str, path: str) -> None:
     tf = _bm25_tf(docs, "text")
     for t in ("postings", "doclen", "stats"):
         spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{t}")
-    write_bucketed(
+    write_epoch_bucketed(
         tf.select("token", "doc_id", "tf"),
         f"{table_prefix}_postings",
         key="token",
         n_buckets=POSTINGS_BUCKETS,
         path=f"{path}/postings",
     )
-    write_bucketed(
+    write_epoch_bucketed(
         tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
         f"{table_prefix}_doclen",
         key="doc_id",
@@ -115,37 +118,43 @@ def bm25_index_search(
     )
 
 
-def bm25_index_upsert(delta: DataFrame, table_prefix: str) -> None:
+def bm25_index_upsert(
+    delta: DataFrame, table_prefix: str, epoch: int | None = None
+) -> None:
     """Incrementally ingest NEW documents into the persisted inverted
-    index: tokenize the delta only, append its postings and doc lengths
-    with the same bucket specs (the layout survives — pinned in
-    tests/test_retrieval_index.py), and leave the corpus scalars
-    (n_docs, avgdl) FROZEN at build time — the same
-    rebuild-cadence contract as the ANN index's quantizers and the
+    index: tokenize the delta only, land its postings and doc lengths
+    as their own ``epoch`` PARTITION with the same bucket specs (the
+    layout survives — pinned in tests/test_retrieval_index.py), and
+    leave the corpus scalars (n_docs, avgdl) FROZEN at build time — the
+    same rebuild-cadence contract as the ANN index's quantizers and the
     dedup index's stop list. Scores therefore stay comparable across
     the ingest (idf and length normalization don't drift per batch);
     search after an upsert equals the inline ranking over the union
     corpus WITH base-frozen scalars, which is exactly what the
     registered oracle recomputes. The base corpus is never rescanned
-    or retokenized."""
+    or retokenized.
+
+    ``epoch`` is the idempotency key (dynamic partition overwrite —
+    a replayed batch rewrites its own partition, never double-appends;
+    the contract streaming foreachBatch maintenance needs). Batch
+    callers may omit it to auto-assign max(existing)+1."""
     spark = delta.sparkSession
-    tf = _bm25_tf(delta, "text")
-    (
-        tf.select("token", "doc_id", "tf")
-        .write.mode("append")
-        .bucketBy(POSTINGS_BUCKETS, "token")
-        .sortBy("token")
-        .format("parquet")
-        .saveAsTable(f"{table_prefix}_postings")
+    if epoch is None:
+        epoch = next_epoch(spark, f"{table_prefix}_postings")
+    tf = _bm25_tf(delta, "text").localCheckpoint()
+    overwrite_epoch_partition(
+        tf.select("token", "doc_id", "tf"),
+        f"{table_prefix}_postings",
+        key="token",
+        n_buckets=POSTINGS_BUCKETS,
+        epoch=epoch,
     )
-    (
-        tf.groupBy("doc_id")
-        .agg(F.sum("tf").alias("dl"))
-        .write.mode("append")
-        .bucketBy(POSTINGS_BUCKETS, "doc_id")
-        .sortBy("doc_id")
-        .format("parquet")
-        .saveAsTable(f"{table_prefix}_doclen")
+    overwrite_epoch_partition(
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+        f"{table_prefix}_doclen",
+        key="doc_id",
+        n_buckets=POSTINGS_BUCKETS,
+        epoch=epoch,
     )
 
 
@@ -296,12 +305,14 @@ def bm25_index_compact(spark: SparkSession, table_prefix: str):
         f"{table_prefix}_postings",
         key="token",
         n_buckets=POSTINGS_BUCKETS,
+        fold_partition=("epoch", BASE_EPOCH),
     )
     b = compact_bucketed_table(
         spark,
         f"{table_prefix}_doclen",
         key="doc_id",
         n_buckets=POSTINGS_BUCKETS,
+        fold_partition=("epoch", BASE_EPOCH),
     )
     return a, b
 
@@ -342,6 +353,54 @@ def q_bm25_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
 
 
+def q_streaming_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING text-index maintenance: the delta corpus arrives as a
+    stream, each micro-batch lands via foreachBatch with the batch id
+    as the ingest epoch — a replayed epoch overwrites its own partition
+    (at-least-once-safe, same mechanics as streaming_ann_ingest), and
+    search serves from the continuously-updated postings. Frozen-scalar
+    semantics — the oracle is the batch upsert's verbatim, but the
+    delta arrives across MULTIPLE epochs so a dropped or replayed one
+    fails the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % UPSERT_DOC_MOD != UPSERT_DOC_MOD - 1)
+    delta = docs.where(F.col("doc_id") % UPSERT_DOC_MOD == UPSERT_DOC_MOD - 1)
+    out = tempfile.mkdtemp(prefix="bm25_stream_ingest_")
+    prefix = "bm25_idx_st"
+    src = os.path.join(out, "arrivals")
+    try:
+        bm25_index_build(base, prefix, os.path.join(out, "index"))
+        for half in (0, 1):
+            delta.where(
+                F.expr(
+                    f"(doc_id % {2 * UPSERT_DOC_MOD}) div {UPSERT_DOC_MOD}"
+                )
+                == half
+            ).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda batch, eid: bm25_index_upsert(batch, prefix, epoch=eid)
+            )
+            .option("checkpointLocation", os.path.join(out, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
+    finally:
+        for t in ("postings", "doclen", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
 def serving_plans(spark: SparkSession, sf_dir: str):
     """Plan-audit hook: the real index-serving plan (see
     ann_index.serving_plans for the contract)."""
@@ -369,6 +428,7 @@ LIFECYCLE_WRITE = {
     "bm25_index_build",
     "bm25_index_upsert",
     "bm25_index_compact",
+    "streaming_bm25_ingest",
 }
 
 
@@ -377,6 +437,7 @@ QUERIES = {
     "bm25_index_search": q_bm25_index_search,
     "bm25_index_upsert": q_bm25_index_upsert,
     "bm25_index_compact": q_bm25_index_compact,
+    "streaming_bm25_ingest": q_streaming_bm25_ingest,
 }
 
 ORACLES = {
@@ -388,4 +449,6 @@ ORACLES = {
     "bm25_index_upsert": _ORACLE_INDEX_UPSERT,
     # compaction must be invisible to ranking — the upsert oracle verbatim
     "bm25_index_compact": _ORACLE_INDEX_UPSERT,
+    # multi-epoch arrival, same frozen-scalar semantics — shared oracle
+    "streaming_bm25_ingest": _ORACLE_INDEX_UPSERT,
 }

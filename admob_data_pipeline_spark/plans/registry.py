@@ -438,6 +438,8 @@ FRESH_FIRST: tuple[str, ...] = (
     "bm25_index_compact",
     "dedup_index_upsert",
     "dedup_index_compact",
+    "streaming_bm25_ingest",
+    "streaming_dedup_ingest",
 )
 
 
@@ -472,6 +474,15 @@ RECHECK: frozenset[str] = frozenset(
         "knn_mutual_edges",
         "knn_label_modularity",
         "dedup_mutual_knn_clusters",
+        # r9: the BM25 and dedup index tables moved to the same
+        # epoch-partitioned layout (exactly-once ingest); results are
+        # identical by design (all oracles re-verified locally on a
+        # vanilla session) but the families re-enter the window.
+        "bm25_index_build",
+        "bm25_index_search",
+        "bm25_index_upsert",
+        "dedup_index_build",
+        "dedup_index_probe",
     }
 )
 

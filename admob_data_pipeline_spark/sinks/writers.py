@@ -191,8 +191,8 @@ BASE_EPOCH = -1
 def write_epoch_bucketed(
     df: DataFrame,
     table: str,
-    key: str,
-    n_buckets: int,
+    key: str | None,
+    n_buckets: int | None = None,
     path: str | None = None,
     epoch: int = BASE_EPOCH,
 ) -> None:
@@ -201,15 +201,17 @@ def write_epoch_bucketed(
     join key (the probe join never shuffles the index side again) AND
     partitioned by ingest ``epoch`` so each later batch lands as its
     own partition via :func:`overwrite_epoch_partition`, making replays
-    idempotent. The build writes the ``epoch=BASE_EPOCH`` layer."""
+    idempotent. The build writes the ``epoch=BASE_EPOCH`` layer.
+    ``key=None`` writes a plain (unbucketed) epoch-partitioned table —
+    for small side tables that ride along with a bucketed index."""
     w = (
         df.withColumn("epoch", F.lit(int(epoch)).cast("long"))
         .write.mode("overwrite")
         .partitionBy("epoch")
-        .bucketBy(n_buckets, key)
-        .sortBy(key)
-        .format("parquet")
     )
+    if key is not None:
+        w = w.bucketBy(n_buckets, key).sortBy(key)
+    w = w.format("parquet")
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
@@ -218,8 +220,8 @@ def write_epoch_bucketed(
 def overwrite_epoch_partition(
     df: DataFrame,
     table: str,
-    key: str,
-    n_buckets: int,
+    key: str | None,
+    n_buckets: int | None,
     epoch: int,
 ) -> None:
     """Idempotent incremental ingest into an epoch-partitioned bucketed
@@ -238,9 +240,11 @@ def overwrite_epoch_partition(
     ``insertInto``, and under the default "static" the overwrite would
     wipe every other epoch."""
     spark = df.sparkSession
-    rows = df.withColumn("epoch", F.lit(int(epoch)).cast("long")).repartition(
-        n_buckets, F.expr(f"pmod(hash({key}), {n_buckets})")
-    )
+    rows = df.withColumn("epoch", F.lit(int(epoch)).cast("long"))
+    if key is not None:
+        rows = rows.repartition(
+            n_buckets, F.expr(f"pmod(hash({key}), {n_buckets})")
+        )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

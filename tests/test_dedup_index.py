@@ -131,3 +131,34 @@ def test_upsert_then_compact_keeps_probe_semantics_and_layout(spark, sf_dir):
         for t in ("bands", "shingles", "shsizes", "banned"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_upsert_replay_with_same_epoch_is_idempotent(spark, sf_dir):
+    """Replaying an ingest epoch must leave all three maintained tables
+    byte-identical — duplicated band entries would re-surface as
+    duplicate candidates, duplicated shingle rows would corrupt the
+    exact-Jaccard verification counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    build = docs.where((F.col("doc_id") % 5).isin([1, 2]))
+    delta = docs.where((F.col("doc_id") % 5).isin([3, 4]))
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    out = tempfile.mkdtemp(prefix="dedup_idx_replay_")
+    prefix = "dedup_idx_replay_t"
+    try:
+        dedup_index.dedup_index_build(build, prefix, out)
+        dedup_index.dedup_index_upsert(delta, prefix, epoch=0)
+        snaps = {
+            t: sorted(map(tuple, spark.table(f"{prefix}_{t}").collect()))
+            for t in ("bands", "shingles", "shsizes")
+        }
+        pre = dedup_index.dedup_index_probe(batch, prefix).collect()
+        dedup_index.dedup_index_upsert(delta, prefix, epoch=0)  # replay
+        for t, snap in snaps.items():
+            assert sorted(
+                map(tuple, spark.table(f"{prefix}_{t}").collect())
+            ) == snap, t
+        assert dedup_index.dedup_index_probe(batch, prefix).collect() == pre
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)

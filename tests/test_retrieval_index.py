@@ -155,3 +155,37 @@ def test_compact_rewrites_one_file_per_bucket(spark, sf_dir):
         for t in ("postings", "doclen", "stats"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_upsert_replay_with_same_epoch_is_idempotent(spark, sf_dir):
+    """foreachBatch is at-least-once: replaying an epoch id must leave
+    postings and doclen byte-identical (dynamic partition overwrite),
+    never double-append — duplicated postings would inflate tf/df and
+    silently corrupt every score."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 4 != 3)
+    delta = docs.where(F.col("doc_id") % 4 == 3)
+    out = tempfile.mkdtemp(prefix="bm25_replay_test_")
+    prefix = "bm25_idx_replay_t"
+    try:
+        retrieval_index.bm25_index_build(base, prefix, out)
+        retrieval_index.bm25_index_upsert(delta, prefix, epoch=0)
+        snap_p = sorted(map(tuple, spark.table(f"{prefix}_postings").collect()))
+        snap_d = sorted(map(tuple, spark.table(f"{prefix}_doclen").collect()))
+        pre = retrieval_index.bm25_index_search(
+            spark, corpus.BM25_QUERY, prefix
+        ).collect()
+        retrieval_index.bm25_index_upsert(delta, prefix, epoch=0)  # replay
+        assert sorted(
+            map(tuple, spark.table(f"{prefix}_postings").collect())
+        ) == snap_p
+        assert sorted(
+            map(tuple, spark.table(f"{prefix}_doclen").collect())
+        ) == snap_d
+        assert retrieval_index.bm25_index_search(
+            spark, corpus.BM25_QUERY, prefix
+        ).collect() == pre
+    finally:
+        for t in ("postings", "doclen", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
