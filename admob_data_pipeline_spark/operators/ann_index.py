@@ -763,6 +763,109 @@ def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
 
 
+def ann_index_drift(spark: SparkSession, table_prefix: str) -> DataFrame:
+    """REBUILD TRIGGER input — per-inverted-list ingest drift, read
+    straight off the epoch-partitioned code table (no corpus touch):
+    how many vectors each list held at build time (epoch -1) vs how
+    many the upsert epochs added, and the list's share of all ingested
+    vectors in ppm. A deployment watches two signals here: lists whose
+    delta share far exceeds their base share (the frozen centroids no
+    longer tessellate the arriving distribution — quantizer drift) and
+    overall delta fraction (when most of the index was ingested under
+    frozen quantizers, schedule a rebuild). Integer-exact, so the
+    registered query oracles cleanly."""
+    codes = spark.table(f"{table_prefix}_codes")
+    per_list = codes.groupBy("list_id").agg(
+        F.sum((F.col("epoch") == BASE_EPOCH).cast("long")).alias("n_base"),
+        F.sum((F.col("epoch") != BASE_EPOCH).cast("long")).alias("n_delta"),
+    )
+    tot = per_list.agg(
+        F.sum("n_base").alias("tot_base"), F.sum("n_delta").alias("tot_delta")
+    )
+    return (
+        per_list.crossJoin(F.broadcast(tot))
+        .select(
+            "list_id",
+            "n_base",
+            "n_delta",
+            # integer division (`div`) on both engines — float division
+            # rounds differently across Spark/DuckDB casts
+            F.expr("n_base * 1000000 div tot_base").alias("base_share_ppm"),
+            F.expr(
+                "CASE WHEN tot_delta > 0"
+                " THEN n_delta * 1000000 div tot_delta ELSE 0 END"
+            ).alias("delta_share_ppm"),
+        )
+        .orderBy("list_id")
+    )
+
+
+def q_ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build over the base slice, ingest the held-out quarter, audit
+    per-list drift. The oracle recomputes both layers' assignments from
+    first principles with BASE-frozen centroids, so a vector counted in
+    the wrong layer or list fails the hash."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % UPSERT_MOD != UPSERT_MOD - 1)
+    delta = emb.where(F.col("vec_id") % UPSERT_MOD == UPSERT_MOD - 1)
+    out = tempfile.mkdtemp(prefix="ann_index_drift_")
+    prefix = "ann_idx_drift"
+    try:
+        ann_index_build(base_corpus, prefix, out)
+        ann_index_upsert(delta, prefix, epoch=0)
+        rows = ann_index_drift(spark, prefix).collect()
+    finally:
+        for t in ("centroids", "codebooks", "codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "list_id bigint, n_base bigint, n_delta bigint,"
+        " base_share_ppm bigint, delta_share_ppm bigint",
+    )
+
+
+# base-frozen centroids; assignment over the whole corpus; layer =
+# whether the vector was in the build slice or arrived as the delta
+_ORACLE_INDEX_DRIFT = f"""
+WITH {_DUCK_BASE},
+corpus0 AS (SELECT * FROM base WHERE vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}),
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM corpus0
+          WHERE vec_id % 25 = 0),
+assigned AS (
+    SELECT vec_id, cid AS list_id FROM (
+        SELECT b.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.v, c.cv)
+                            / NULLIF(b.nrm * c.cn, 0) DESC, c.cid
+               ) AS rn
+        FROM base b, cents c
+    ) WHERE rn = 1
+),
+per_list AS (
+    SELECT list_id,
+           CAST(SUM(CASE WHEN vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+           CAST(SUM(CASE WHEN vec_id % {UPSERT_MOD} = {UPSERT_MOD - 1}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+    FROM assigned GROUP BY list_id
+),
+tot AS (SELECT SUM(n_base) AS tot_base, SUM(n_delta) AS tot_delta
+        FROM per_list)
+SELECT list_id, n_base, n_delta,
+       CAST(n_base * 1000000 // tot_base AS BIGINT) AS base_share_ppm,
+       CAST(CASE WHEN tot_delta > 0
+                 THEN n_delta * 1000000 // tot_delta
+                 ELSE 0 END AS BIGINT) AS delta_share_ppm
+FROM per_list, tot
+ORDER BY list_id
+"""
+
+
 def serving_plans(spark: SparkSession, sf_dir: str):
     """Plan-audit hook (tools/plan_audit.py): the registered wrappers
     collect internally so scratch tables can be dropped, which makes
@@ -811,6 +914,7 @@ QUERIES = {
     "streaming_ann_ingest": q_streaming_ann_ingest,
     "ann_index_rerank": q_ann_index_rerank,
     "ann_index_compact": q_ann_index_compact,
+    "ann_index_drift": q_ann_index_drift,
 }
 
 ORACLES = {
@@ -826,4 +930,6 @@ ORACLES = {
     "ann_index_rerank": _ORACLE_INDEX_RERANK,
     # compaction must be invisible to search — the upsert oracle verbatim
     "ann_index_compact": _ORACLE_INDEX_UPSERT,
+    # rebuild-trigger audit: per-list base vs ingested counts
+    "ann_index_drift": _ORACLE_INDEX_DRIFT,
 }

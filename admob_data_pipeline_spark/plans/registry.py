@@ -440,6 +440,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "dedup_index_compact",
     "streaming_bm25_ingest",
     "streaming_dedup_ingest",
+    "ann_index_drift",
 )
 
 
