@@ -105,7 +105,7 @@ def ann_index_build(
     codes = pq_quantize(emb, m, kc, book_mats=book_mats)
 
     spark = emb.sparkSession
-    for t in ("centroids", "codebooks", "codes"):
+    for t in ("centroids", "codebooks", "codes", "tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{t}")
     cents.write.mode("overwrite").format("parquet").option(
         "path", f"{path}/centroids"
@@ -121,6 +121,12 @@ def ann_index_build(
     cb_df.write.mode("overwrite").format("parquet").option(
         "path", f"{path}/codebooks"
     ).saveAsTable(f"{table_prefix}_codebooks")
+    # empty tombstone set: deletes are logical until the next compaction
+    spark.createDataFrame([], "vec_id bigint").write.mode("overwrite").format(
+        "parquet"
+    ).option("path", f"{path}/tombstones").saveAsTable(
+        f"{table_prefix}_tombstones"
+    )
     code_cols = [F.col(f"c{s}") for s in range(m)]
     write_epoch_bucketed(
         codes.join(assigned.select("vec_id", "list_id"), "vec_id").select(
@@ -252,6 +258,14 @@ def ann_index_search(
         codes.hint("merge")
         .join(probes, "list_id")
         .where(F.col("vec_id") != F.col("qid"))
+        # logical deletes: tombstoned vectors stay in the files until
+        # the next compaction but never surface as candidates. The set
+        # is broadcast — bounded by compaction cadence by contract.
+        .join(
+            F.broadcast(spark.table(f"{table_prefix}_tombstones")),
+            "vec_id",
+            "left_anti",
+        )
         .select("qid", "vec_id", *[f"c{s}" for s in range(m)])
     )
     # per-query LUT: |Q|·m·kc exact-integer cells (floor-scaled BEFORE
@@ -326,7 +340,7 @@ def _with_index(spark: SparkSession, sf_dir: str, fn):
         ann_index_build(emb, prefix, out)
         return fn(emb, prefix)
     finally:
-        for t in ("centroids", "codebooks", "codes"):
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
 
@@ -499,7 +513,7 @@ def q_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_index_upsert(delta, prefix)
         rows = ann_index_search(emb, QUERY_IDS, prefix).collect()
     finally:
-        for t in ("centroids", "codebooks", "codes"):
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
@@ -553,7 +567,7 @@ def q_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         rows = ann_index_search(emb, QUERY_IDS, prefix).collect()
     finally:
-        for t in ("centroids", "codebooks", "codes"):
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
@@ -710,20 +724,43 @@ ORDER BY a.list_id
 """
 
 
+def ann_index_delete(
+    spark: SparkSession, vec_ids: DataFrame, table_prefix: str
+) -> None:
+    """LOGICAL delete from the persisted index: append the ids to the
+    tombstone set. Serving (``ann_index_search``) anti-joins the
+    broadcast tombstones so deleted vectors never surface as candidates;
+    the code rows stay on disk until :func:`ann_index_compact` PURGES
+    them — the delete/compact split every LSM-shaped store runs.
+    Duplicate tombstones are harmless (anti-join semantics), so the
+    append is replay-safe without any epoch machinery."""
+    vec_ids.select(F.col("vec_id").cast("long")).write.mode(
+        "append"
+    ).format("parquet").saveAsTable(f"{table_prefix}_tombstones")
+
+
 def ann_index_compact(spark: SparkSession, table_prefix: str) -> tuple[int, int]:
     """Maintenance pass for a long-running ingest: fold every ingest
-    epoch of the code table back into the base partition and rewrite it
-    one-file-per-bucket (same bucket spec — the zero-Exchange probe
-    join survives, pinned in tests/test_ann_index.py). Run only when no
-    replay of the folded epochs is possible: the stream is stopped or
-    its checkpoint has committed past them."""
-    return compact_bucketed_table(
+    epoch of the code table back into the base partition, PURGE
+    tombstoned rows, and rewrite one-file-per-bucket (same bucket spec
+    — the zero-Exchange probe join survives, pinned in
+    tests/test_ann_index.py). The tombstone set is then truncated:
+    post-compaction the logical and physical views coincide. Run only
+    when no replay of the folded epochs is possible: the stream is
+    stopped or its checkpoint has committed past them."""
+    tomb = f"{table_prefix}_tombstones"
+    out = compact_bucketed_table(
         spark,
         f"{table_prefix}_codes",
         key="list_id",
         n_buckets=CODES_BUCKETS,
         fold_partition=("epoch", BASE_EPOCH),
+        anti=("vec_id", spark.table(tomb)),
     )
+    spark.createDataFrame([], "vec_id bigint").write.mode(
+        "overwrite"
+    ).format("parquet").insertInto(tomb, overwrite=True)
+    return out
 
 
 def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,7 +794,7 @@ def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert after < before, (before, after)
         rows = ann_index_search(emb, QUERY_IDS, prefix).collect()
     finally:
-        for t in ("centroids", "codebooks", "codes"):
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
@@ -818,7 +855,7 @@ def q_ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_index_upsert(delta, prefix, epoch=0)
         rows = ann_index_drift(spark, prefix).collect()
     finally:
-        for t in ("centroids", "codebooks", "codes"):
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(
@@ -866,6 +903,47 @@ ORDER BY list_id
 """
 
 
+DELETE_MOD, DELETE_REM = 10, 5  # deleted slice = vec_id % 10 == 5
+
+
+def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-capable serving: build over the FULL corpus, tombstone
+    the vec_id % 10 == 5 slice, serve top-k — deleted vectors must
+    never surface as candidates (they still query; only the index side
+    is masked). The oracle is the inline IVF-PQ SQL with the same
+    exclusion injected into the candidate set, so a tombstone that
+    leaks (or over-masks) fails the hash. The delete is applied TWICE
+    to pin that duplicate tombstones are harmless."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ann_index_delete_")
+    prefix = "ann_idx_del"
+    doomed = emb.where(
+        F.col("vec_id") % DELETE_MOD == DELETE_REM
+    ).select("vec_id")
+    try:
+        ann_index_build(emb, prefix, out)
+        ann_index_delete(spark, doomed, prefix)
+        ann_index_delete(spark, doomed, prefix)  # replayed delete: no-op
+        rows = ann_index_search(emb, QUERY_IDS, prefix).collect()
+    finally:
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
+# the inline IVF-PQ oracle with the deleted slice excluded from the
+# candidate set only (deleted ids still act as queries)
+_ORACLE_INDEX_DELETE = _ORACLE_IVFPQ.replace(
+    "WHERE a.vec_id <> p.qid",
+    f"WHERE a.vec_id <> p.qid AND a.vec_id % {DELETE_MOD} <> {DELETE_REM}",
+)
+assert _ORACLE_INDEX_DELETE != _ORACLE_IVFPQ
+
+
 def serving_plans(spark: SparkSession, sf_dir: str):
     """Plan-audit hook (tools/plan_audit.py): the registered wrappers
     collect internally so scratch tables can be dropped, which makes
@@ -882,7 +960,7 @@ def serving_plans(spark: SparkSession, sf_dir: str):
     ann_index_build(emb, prefix, out)
 
     def cleanup():
-        for t in ("centroids", "codebooks", "codes"):
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
 
@@ -915,6 +993,7 @@ QUERIES = {
     "ann_index_rerank": q_ann_index_rerank,
     "ann_index_compact": q_ann_index_compact,
     "ann_index_drift": q_ann_index_drift,
+    "ann_index_delete": q_ann_index_delete,
 }
 
 ORACLES = {
@@ -932,4 +1011,7 @@ ORACLES = {
     "ann_index_compact": _ORACLE_INDEX_UPSERT,
     # rebuild-trigger audit: per-list base vs ingested counts
     "ann_index_drift": _ORACLE_INDEX_DRIFT,
+    # tombstone-masked serving: inline SQL with the deleted slice
+    # excluded from candidates
+    "ann_index_delete": _ORACLE_INDEX_DELETE,
 }

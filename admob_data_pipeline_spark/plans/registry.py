@@ -441,6 +441,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "streaming_bm25_ingest",
     "streaming_dedup_ingest",
     "ann_index_drift",
+    "ann_index_delete",
 )
 
 

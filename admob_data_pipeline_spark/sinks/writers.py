@@ -268,11 +268,17 @@ def compact_bucketed_table(
     key: str,
     n_buckets: int,
     fold_partition: tuple[str, int] | None = None,
+    anti: tuple[str, DataFrame] | None = None,
 ) -> tuple[int, int]:
     """Rewrite an incrementally-appended bucketed table into ONE file
     per bucket, preserving the bucket spec — the maintenance pass that
     keeps a long-running ingest (every upsert/micro-batch appends files
     per bucket) from decaying into a small-files scan.
+
+    ``anti=(col, keys_df)``: drop rows whose ``col`` appears in
+    ``keys_df`` during the rewrite — the tombstone PURGE step of a
+    delete-capable index (serving masks tombstoned rows; compaction
+    physically removes them).
 
     The rewrite repartitions on the BUCKET ID expression
     (``pmod(hash(key), n)`` — SQL ``hash`` is the same Murmur3 the
@@ -317,6 +323,11 @@ def compact_bucketed_table(
         .first()["data_type"]
     )
     df = spark.table(table)
+    if anti is not None:
+        anti_col, anti_keys = anti
+        df = df.join(
+            F.broadcast(anti_keys.select(F.col(anti_col))), anti_col, "left_anti"
+        )
     if fold_partition is not None:
         part_col, part_val = fold_partition
         dtype = dict(df.dtypes)[part_col]

@@ -363,3 +363,37 @@ def test_compact_folds_epochs_and_keeps_layout(spark, sf_dir):
         for t in ("centroids", "codebooks", "codes"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_delete_masks_then_compact_purges(spark, sf_dir):
+    """Tombstone lifecycle: after a delete the ids never surface as
+    candidates (logical mask); after compaction the rows are physically
+    gone, the tombstone set is truncated, and search results are
+    byte-identical pre/post purge."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ann_index_delete_test_")
+    prefix = "ann_idx_del_t"
+    doomed = emb.where(F.col("vec_id") % 10 == 5).select("vec_id")
+    n_doomed = doomed.count()
+    try:
+        ann_index.ann_index_build(emb, prefix, out)
+        n_all = spark.table(f"{prefix}_codes").count()
+        ann_index.ann_index_delete(spark, doomed, prefix)
+        got = ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix
+        ).collect()
+        assert got and all(r.vec_id % 10 != 5 for r in got)
+        # rows still physically present (logical delete)
+        assert spark.table(f"{prefix}_codes").count() == n_all
+        ann_index.ann_index_compact(spark, prefix)
+        codes = spark.table(f"{prefix}_codes")
+        assert codes.count() == n_all - n_doomed
+        assert codes.where(F.col("vec_id") % 10 == 5).count() == 0
+        assert spark.table(f"{prefix}_tombstones").count() == 0
+        assert ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix
+        ).collect() == got
+    finally:
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
