@@ -58,6 +58,7 @@ from admob_data_pipeline_spark.sources.tables import load_table
 
 DEDUP_IDX_BUCKETS = 8
 PROBE_MOD = 5  # batch = doc_id % 5 == 0 (same split as dedup_incremental)
+DEDUP_DELETE_MOD, DEDUP_DELETE_REM = 10, 1  # deleted slice (inside base)
 
 
 def dedup_index_build(
@@ -82,8 +83,14 @@ def dedup_index_build(
     )
     sh = join_small(sh_all, banned, "shingle", "left_anti").localCheckpoint()
     bands = lsh_band_keys(minhash_signatures(sh), band_in_key=True)
-    for t in ("bands", "shingles", "shsizes", "banned"):
+    for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{t}")
+    # empty tombstone set: deletes are logical until the next compaction
+    spark.createDataFrame([], "doc_id bigint").write.mode("overwrite").format(
+        "parquet"
+    ).option("path", f"{path}/tombstones").saveAsTable(
+        f"{table_prefix}_tombstones"
+    )
     write_epoch_bucketed(
         bands.select("band_key", "band", "doc_id"),
         f"{table_prefix}_bands",
@@ -128,8 +135,16 @@ def dedup_index_probe(
     bands_b = lsh_band_keys(minhash_signatures(sh_b), band_in_key=True).select(
         F.col("doc_id").alias("batch_doc"), "band_key"
     )
-    idx = spark.table(f"{table_prefix}_bands").select(
-        "band_key", F.col("doc_id").alias("index_doc")
+    idx = (
+        spark.table(f"{table_prefix}_bands")
+        # logical deletes: tombstoned docs never become candidates;
+        # their rows purge at the next compaction
+        .join(
+            F.broadcast(spark.table(f"{table_prefix}_tombstones")),
+            "doc_id",
+            "left_anti",
+        )
+        .select("band_key", F.col("doc_id").alias("index_doc"))
     )
     candidates = (
         idx.hint("merge")
@@ -215,17 +230,33 @@ def dedup_index_upsert(
     )
 
 
+def dedup_index_delete(
+    spark: SparkSession, doc_ids: DataFrame, table_prefix: str
+) -> None:
+    """LOGICAL document delete from the dedup index: append the ids to
+    the tombstone set (duplicates harmless — anti-join semantics, so
+    the append is replay-safe). Probes mask tombstoned docs at
+    candidate generation; band/shingle/size rows purge at the next
+    compaction. The frozen stop list deliberately keeps its build-time
+    census — rebuild cadence refreshes it."""
+    doc_ids.select(F.col("doc_id").cast("long")).write.mode(
+        "append"
+    ).format("parquet").saveAsTable(f"{table_prefix}_tombstones")
+
+
 def dedup_index_compact(spark: SparkSession, table_prefix: str):
     """Maintenance pass for a long-running dedup ingest: rewrite the
     appended band and shingle tables one-file-per-bucket with their
     bucket specs intact (the shuffle-free probe join survives — pinned
     in tests/test_dedup_index.py)."""
+    tomb = spark.table(f"{table_prefix}_tombstones")
     a = compact_bucketed_table(
         spark,
         f"{table_prefix}_bands",
         key="band_key",
         n_buckets=DEDUP_IDX_BUCKETS,
         fold_partition=("epoch", BASE_EPOCH),
+        anti=("doc_id", tomb),
     )
     b = compact_bucketed_table(
         spark,
@@ -233,7 +264,18 @@ def dedup_index_compact(spark: SparkSession, table_prefix: str):
         key="doc_id",
         n_buckets=DEDUP_IDX_BUCKETS,
         fold_partition=("epoch", BASE_EPOCH),
+        anti=("doc_id", tomb),
     )
+    compact_bucketed_table(
+        spark,
+        f"{table_prefix}_shsizes",
+        key=None,
+        fold_partition=("epoch", BASE_EPOCH),
+        anti=("doc_id", tomb),
+    )
+    spark.createDataFrame([], "doc_id bigint").write.mode(
+        "overwrite"
+    ).format("parquet").insertInto(f"{table_prefix}_tombstones", overwrite=True)
     return a, b
 
 
@@ -257,7 +299,7 @@ def q_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_index_build(base, prefix, out)
         rows = dedup_index_probe(batch, prefix).collect()
     finally:
-        for t in ("bands", "shingles", "shsizes", "banned"):
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, _PROBE_SCHEMA)
@@ -293,7 +335,7 @@ def q_dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
     finally:
-        for t in ("bands", "shingles", "shsizes", "banned"):
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(
@@ -375,6 +417,14 @@ WHERE i.n_inter * 1000000
 ORDER BY batch_doc, index_doc
 """
 
+_ORACLE_DEDUP_DELETE = _ORACLE_DEDUP_PROBE.replace(
+    f"WHERE ba.doc_id % {PROBE_MOD} = 0 AND bb.doc_id % {PROBE_MOD} <> 0",
+    f"WHERE ba.doc_id % {PROBE_MOD} = 0 AND bb.doc_id % {PROBE_MOD} <> 0"
+    f" AND bb.doc_id % {DEDUP_DELETE_MOD} <> {DEDUP_DELETE_REM}",
+)
+assert _ORACLE_DEDUP_DELETE != _ORACLE_DEDUP_PROBE
+
+
 _ORACLE_DEDUP_BUILD = f"""
 WITH {_DUCK_FROZEN_CAP},
 idx AS (SELECT * FROM bands WHERE doc_id % {PROBE_MOD} <> 0),
@@ -418,7 +468,7 @@ def _run_upsert_lifecycle(spark: SparkSession, sf_dir: str, compact: bool):
             assert ba < bb and sa < sb, ((bb, ba), (sb, sa))
         rows = dedup_index_probe(batch, prefix).collect()
     finally:
-        for t in ("bands", "shingles", "shsizes", "banned"):
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, _PROBE_SCHEMA)
@@ -470,6 +520,36 @@ ORDER BY batch_doc, index_doc
 """
 
 
+def q_dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-capable dedup serving: build over the base slice,
+    tombstone the doc_id % 10 == 1 docs (twice — duplicates must be
+    harmless), probe the held-out batch. Tombstoned docs must never
+    surface as candidates; the frozen stop list keeps its build-time
+    census. The oracle injects the same exclusion into the candidate
+    set only."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % PROBE_MOD != 0)
+    batch = docs.where(F.col("doc_id") % PROBE_MOD == 0)
+    doomed = base.where(
+        F.col("doc_id") % DEDUP_DELETE_MOD == DEDUP_DELETE_REM
+    ).select("doc_id")
+    out = tempfile.mkdtemp(prefix="dedup_index_del_")
+    prefix = "dedup_idx_del"
+    try:
+        dedup_index_build(base, prefix, out)
+        dedup_index_delete(spark, doomed, prefix)
+        dedup_index_delete(spark, doomed, prefix)  # replayed: no-op
+        rows = dedup_index_probe(batch, prefix).collect()
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _PROBE_SCHEMA)
+
+
 def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING dedup-index maintenance: the delta corpus arrives as a
     stream, each micro-batch is admitted via foreachBatch with the batch
@@ -512,7 +592,7 @@ def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         rows = dedup_index_probe(batch, prefix).collect()
     finally:
-        for t in ("bands", "shingles", "shsizes", "banned"):
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, _PROBE_SCHEMA)
@@ -532,7 +612,7 @@ def serving_plans(spark: SparkSession, sf_dir: str):
     dedup_index_build(base, prefix, out)
 
     def cleanup():
-        for t in ("bands", "shingles", "shsizes", "banned"):
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
 
@@ -555,6 +635,7 @@ QUERIES = {
     "dedup_index_upsert": q_dedup_index_upsert,
     "dedup_index_compact": q_dedup_index_compact,
     "streaming_dedup_ingest": q_streaming_dedup_ingest,
+    "dedup_index_delete": q_dedup_index_delete,
 }
 
 ORACLES = {
@@ -565,4 +646,7 @@ ORACLES = {
     "dedup_index_compact": _ORACLE_DEDUP_UPSERT,
     # multi-epoch arrival, same frozen-stop-list semantics — shared oracle
     "streaming_dedup_ingest": _ORACLE_DEDUP_UPSERT,
+    # tombstone-masked probing: the probe oracle with the deleted slice
+    # excluded from the candidate set only
+    "dedup_index_delete": _ORACLE_DEDUP_DELETE,
 }

@@ -67,8 +67,14 @@ def bm25_index_build(docs: DataFrame, table_prefix: str, path: str) -> None:
     postings."""
     spark = docs.sparkSession
     tf = _bm25_tf(docs, "text")
-    for t in ("postings", "doclen", "stats"):
+    for t in ("postings", "doclen", "stats", "tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{t}")
+    # empty tombstone set: deletes are logical until the next compaction
+    spark.createDataFrame([], "doc_id bigint").write.mode("overwrite").format(
+        "parquet"
+    ).option("path", f"{path}/tombstones").saveAsTable(
+        f"{table_prefix}_tombstones"
+    )
     write_epoch_bucketed(
         tf.select("token", "doc_id", "tf"),
         f"{table_prefix}_postings",
@@ -103,6 +109,13 @@ def bm25_index_search(
     postings = (
         spark.table(f"{table_prefix}_postings")
         .where(F.col("token").isin(list(query_terms)))
+        # logical deletes: tombstoned docs never match, and df counts
+        # only surviving postings; rows purge at the next compaction
+        .join(
+            F.broadcast(spark.table(f"{table_prefix}_tombstones")),
+            "doc_id",
+            "left_anti",
+        )
         .localCheckpoint()  # tiny (Σ df(term) rows), read by df/cand/score
     )
     require_all_n = len(set(query_terms)) if require_all else None
@@ -177,7 +190,7 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_index_build(docs, prefix, out)
         rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
     finally:
-        for t in ("postings", "doclen", "stats"):
+        for t in ("postings", "doclen", "stats", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
@@ -207,7 +220,7 @@ def q_bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
     finally:
-        for t in ("postings", "doclen", "stats"):
+        for t in ("postings", "doclen", "stats", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, "token string, df bigint, tf_sum bigint")
@@ -238,7 +251,7 @@ def q_bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_index_upsert(delta, prefix)
         rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
     finally:
-        for t in ("postings", "doclen", "stats"):
+        for t in ("postings", "doclen", "stats", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
@@ -294,18 +307,34 @@ ORDER BY token
 """
 
 
+def bm25_index_delete(
+    spark: SparkSession, doc_ids: DataFrame, table_prefix: str
+) -> None:
+    """LOGICAL document delete from the text index: append the ids to
+    the tombstone set (duplicates harmless — anti-join semantics, so the
+    append is replay-safe). Serving masks tombstoned docs and computes
+    df over surviving postings only; the rows purge at the next
+    compaction. The frozen (n_docs, avgdl) scalars deliberately do NOT
+    shrink — the same rebuild-cadence contract as ingest."""
+    doc_ids.select(F.col("doc_id").cast("long")).write.mode(
+        "append"
+    ).format("parquet").saveAsTable(f"{table_prefix}_tombstones")
+
+
 def bm25_index_compact(spark: SparkSession, table_prefix: str):
     """Maintenance pass for a long-running text ingest: rewrite the
     appended postings and doc-length tables one-file-per-bucket with
     their bucket specs intact (the pruned, shuffle-free serving scans
     survive — pinned in tests/test_retrieval_index.py). The frozen
     corpus scalars are one row and never need compaction."""
+    tomb = spark.table(f"{table_prefix}_tombstones")
     a = compact_bucketed_table(
         spark,
         f"{table_prefix}_postings",
         key="token",
         n_buckets=POSTINGS_BUCKETS,
         fold_partition=("epoch", BASE_EPOCH),
+        anti=("doc_id", tomb),
     )
     b = compact_bucketed_table(
         spark,
@@ -313,7 +342,11 @@ def bm25_index_compact(spark: SparkSession, table_prefix: str):
         key="doc_id",
         n_buckets=POSTINGS_BUCKETS,
         fold_partition=("epoch", BASE_EPOCH),
+        anti=("doc_id", tomb),
     )
+    spark.createDataFrame([], "doc_id bigint").write.mode(
+        "overwrite"
+    ).format("parquet").insertInto(f"{table_prefix}_tombstones", overwrite=True)
     return a, b
 
 
@@ -347,10 +380,81 @@ def q_bm25_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert pa < pb and da < db, ((pb, pa), (db, da))
         rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
     finally:
-        for t in ("postings", "doclen", "stats"):
+        for t in ("postings", "doclen", "stats", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
+BM25_DELETE_MOD, BM25_DELETE_REM = 10, 5  # deleted slice
+
+
+def q_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-capable text serving: build over the FULL corpus,
+    tombstone the doc_id % 10 == 5 slice (twice — duplicate tombstones
+    must be harmless), serve the standard term query. Deleted docs must
+    never match AND df must count only surviving postings, while the
+    frozen (n_docs, avgdl) scalars keep their build-time values — the
+    oracle recomputes exactly that split."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    doomed = docs.where(
+        F.col("doc_id") % BM25_DELETE_MOD == BM25_DELETE_REM
+    ).select("doc_id")
+    out = tempfile.mkdtemp(prefix="bm25_delete_")
+    prefix = "bm25_idx_del"
+    try:
+        bm25_index_build(docs, prefix, out)
+        bm25_index_delete(spark, doomed, prefix)
+        bm25_index_delete(spark, doomed, prefix)  # replayed: no-op
+        rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
+    finally:
+        for t in ("postings", "doclen", "stats", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
+# tf/df over SURVIVING docs only; dl per-doc (unaffected for survivors);
+# the (n_docs, avgdl) scalars frozen over the FULL build corpus
+_ORACLE_INDEX_DELETE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+),
+tf0 AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+tf AS (SELECT * FROM tf0
+       WHERE doc_id % {BM25_DELETE_MOD} <> {BM25_DELETE_REM}),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+per_term AS (
+    SELECT tf.doc_id,
+           {_DUCK_BM25_SCORE} AS s
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+    WHERE tf.token IN ({_BM25_QUERY_LIST})
+),
+doc_scores AS (
+    SELECT doc_id, COUNT(*) AS n_terms_matched,
+           CAST(SUM(s) AS BIGINT) AS score_scaled
+    FROM per_term GROUP BY doc_id
+),
+ranked AS (
+    SELECT doc_id, n_terms_matched, score_scaled,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY score_scaled DESC, doc_id
+           ) AS INT) AS rnk
+    FROM doc_scores
+)
+SELECT doc_id, n_terms_matched, score_scaled, rnk
+FROM ranked WHERE rnk <= {BM25_SEARCH_TOP}
+ORDER BY rnk
+"""
 
 
 def q_streaming_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,7 +499,7 @@ def q_streaming_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
     finally:
-        for t in ("postings", "doclen", "stats"):
+        for t in ("postings", "doclen", "stats", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
@@ -413,7 +517,7 @@ def serving_plans(spark: SparkSession, sf_dir: str):
     bm25_index_build(docs, prefix, out)
 
     def cleanup():
-        for t in ("postings", "doclen", "stats"):
+        for t in ("postings", "doclen", "stats", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
 
@@ -438,6 +542,7 @@ QUERIES = {
     "bm25_index_upsert": q_bm25_index_upsert,
     "bm25_index_compact": q_bm25_index_compact,
     "streaming_bm25_ingest": q_streaming_bm25_ingest,
+    "bm25_index_delete": q_bm25_index_delete,
 }
 
 ORACLES = {
@@ -451,4 +556,6 @@ ORACLES = {
     "bm25_index_compact": _ORACLE_INDEX_UPSERT,
     # multi-epoch arrival, same frozen-scalar semantics — shared oracle
     "streaming_bm25_ingest": _ORACLE_INDEX_UPSERT,
+    # tombstone-masked serving: surviving tf/df, frozen scalars
+    "bm25_index_delete": _ORACLE_INDEX_DELETE,
 }

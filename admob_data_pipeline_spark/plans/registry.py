@@ -442,6 +442,8 @@ FRESH_FIRST: tuple[str, ...] = (
     "streaming_dedup_ingest",
     "ann_index_drift",
     "ann_index_delete",
+    "bm25_index_delete",
+    "dedup_index_delete",
 )
 
 

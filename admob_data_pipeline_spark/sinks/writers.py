@@ -265,8 +265,8 @@ def next_epoch(spark, table: str) -> int:
 def compact_bucketed_table(
     spark,
     table: str,
-    key: str,
-    n_buckets: int,
+    key: str | None,
+    n_buckets: int | None = None,
     fold_partition: tuple[str, int] | None = None,
     anti: tuple[str, DataFrame] | None = None,
 ) -> tuple[int, int]:
@@ -295,6 +295,9 @@ def compact_bucketed_table(
     bucket spec is identical (pinned in the index test files). With one
     file per bucket Spark can additionally trust the ``sortBy`` order,
     dropping the partition-local Sort that multi-file buckets force.
+
+    ``key=None``: compact a plain (unbucketed) epoch-partitioned side
+    table — single-file rewrite, no bucket spec.
 
     ``fold_partition=(col, value)``: for an epoch-partitioned table
     (the exactly-once ANN ingest layout), collapse all ingest epochs
@@ -335,14 +338,18 @@ def compact_bucketed_table(
     tmp = f"{table}__compact"
     new_loc = f"{loc.rstrip('/')}__c{uuid.uuid4().hex[:8]}"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    w = (
-        df.repartition(n_buckets, F.expr(f"pmod(hash({key}), {n_buckets})"))
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, key)
-        .sortBy(key)
-        .format("parquet")
-        .option("path", new_loc)
-    )
+    if key is not None:
+        w = (
+            df.repartition(
+                n_buckets, F.expr(f"pmod(hash({key}), {n_buckets})")
+            )
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+        )
+    else:
+        w = df.coalesce(1).write.mode("overwrite")
+    w = w.format("parquet").option("path", new_loc)
     if fold_partition is not None:
         w = w.partitionBy(fold_partition[0])
     w.saveAsTable(tmp)

@@ -162,3 +162,37 @@ def test_upsert_replay_with_same_epoch_is_idempotent(spark, sf_dir):
         for t in ("bands", "shingles", "shsizes", "banned"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_delete_masks_then_compact_purges(spark, sf_dir):
+    """Tombstone lifecycle for the dedup index: deleted docs never
+    surface as candidates, all three maintained tables purge their rows
+    at compaction, the tombstone set truncates, and probe results are
+    byte-identical across the purge."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    doomed = base.where(F.col("doc_id") % 10 == 1).select("doc_id")
+    out = tempfile.mkdtemp(prefix="dedup_idx_del_test_")
+    prefix = "dedup_idx_del_t"
+    try:
+        dedup_index.dedup_index_build(base, prefix, out)
+        n_bands = spark.table(f"{prefix}_bands").count()
+        dedup_index.dedup_index_delete(spark, doomed, prefix)
+        got = dedup_index.dedup_index_probe(batch, prefix).collect()
+        assert all(r.index_doc % 10 != 1 for r in got)
+        assert spark.table(f"{prefix}_bands").count() == n_bands
+        dedup_index.dedup_index_compact(spark, prefix)
+        for t in ("bands", "shingles", "shsizes"):
+            assert (
+                spark.table(f"{prefix}_{t}")
+                .join(doomed, "doc_id", "left_semi")
+                .count()
+                == 0
+            ), t
+        assert spark.table(f"{prefix}_tombstones").count() == 0
+        assert dedup_index.dedup_index_probe(batch, prefix).collect() == got
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)

@@ -189,3 +189,41 @@ def test_upsert_replay_with_same_epoch_is_idempotent(spark, sf_dir):
         for t in ("postings", "doclen", "stats"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_delete_masks_then_compact_purges(spark, sf_dir):
+    """Tombstone lifecycle for the text index: deleted docs never match
+    (and df shrinks to surviving postings), rows stay until compaction,
+    compaction purges them and truncates the tombstone set, and ranking
+    is byte-identical across the purge."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="bm25_delete_test_")
+    prefix = "bm25_idx_del_t"
+    doomed = docs.where(F.col("doc_id") % 10 == 5).select("doc_id")
+    try:
+        retrieval_index.bm25_index_build(docs, prefix, out)
+        n_all = spark.table(f"{prefix}_postings").count()
+        n_doomed_postings = (
+            spark.table(f"{prefix}_postings")
+            .join(doomed, "doc_id", "left_semi")
+            .count()
+        )
+        retrieval_index.bm25_index_delete(spark, doomed, prefix)
+        got = retrieval_index.bm25_index_search(
+            spark, corpus.BM25_QUERY, prefix
+        ).collect()
+        assert got and all(r.doc_id % 10 != 5 for r in got)
+        assert spark.table(f"{prefix}_postings").count() == n_all
+        retrieval_index.bm25_index_compact(spark, prefix)
+        assert (
+            spark.table(f"{prefix}_postings").count()
+            == n_all - n_doomed_postings
+        )
+        assert spark.table(f"{prefix}_tombstones").count() == 0
+        assert retrieval_index.bm25_index_search(
+            spark, corpus.BM25_QUERY, prefix
+        ).collect() == got
+    finally:
+        for t in ("postings", "doclen", "stats", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
