@@ -32,18 +32,21 @@ family is part of the brief's first-class LLM-data-pipeline additions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.operators.corpus import (
     _DUCK_BM25_SCORE,
     _DUCK_BM25_TABLES,
+    _ORACLE_BM25_PHRASE,
     _ORACLE_BM25_SEARCH,
     BM25_B,
     BM25_K1,
+    BM25_PHRASE,
     BM25_QUERY,
     BM25_SEARCH_TOP,
     _bm25_rank_postings,
+    _bm25_score,
     _bm25_stats,
     _bm25_tf,
 )
@@ -67,7 +70,7 @@ def bm25_index_build(docs: DataFrame, table_prefix: str, path: str) -> None:
     postings."""
     spark = docs.sparkSession
     tf = _bm25_tf(docs, "text")
-    for t in ("postings", "doclen", "stats", "tombstones"):
+    for t in ("postings", "doclen", "stats", "positions", "tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{t}")
     # empty tombstone set: deletes are logical until the next compaction
     spark.createDataFrame([], "doc_id bigint").write.mode("overwrite").format(
@@ -88,6 +91,13 @@ def bm25_index_build(docs: DataFrame, table_prefix: str, path: str) -> None:
         key="doc_id",
         n_buckets=POSTINGS_BUCKETS,
         path=f"{path}/doclen",
+    )
+    write_epoch_bucketed(
+        _bm25_positions(docs),
+        f"{table_prefix}_positions",
+        key="token",
+        n_buckets=POSTINGS_BUCKETS,
+        path=f"{path}/positions",
     )
     _bm25_stats(tf).write.mode("overwrite").format("parquet").option(
         "path", f"{path}/stats"
@@ -131,6 +141,77 @@ def bm25_index_search(
     )
 
 
+def _bm25_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, doc_id, pos) — the positional postings a quoted-phrase
+    query needs. Larger than the per-doc tf postings (one row per token
+    OCCURRENCE) — the standard positional-index space tradeoff."""
+    from admob_data_pipeline_spark.operators.text import tokens
+    from admob_data_pipeline_spark.operators.util import widen_if_narrow
+
+    return widen_if_narrow(docs).select(
+        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "token")
+    ).select("token", "doc_id", "pos")
+
+
+def bm25_index_phrase(
+    spark: SparkSession,
+    phrase: tuple[str, str] = BM25_PHRASE,
+    table_prefix: str = "bm25_idx",
+    top: int = BM25_SEARCH_TOP,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Quoted-phrase serving from the PERSISTED positional index — no
+    corpus scan, no tokenizer: the two phrase words' occurrences come
+    out of the bucketed positions table (IN-filter pushed), adjacency
+    is a (doc_id, pos)-keyed self-join over those Σ df(word) rows,
+    phrase df recomputes from the surviving matches (tombstone-masked),
+    candidate lengths are point lookups on the doclen table, and the
+    corpus scalars are the frozen build-time row — so results are
+    row-identical to the inline ``bm25_phrase_search`` (shared oracle
+    VERBATIM)."""
+    w1, w2 = phrase
+    pos = (
+        spark.table(f"{table_prefix}_positions")
+        .where(F.col("token").isin([w1, w2]))
+        .join(
+            F.broadcast(spark.table(f"{table_prefix}_tombstones")),
+            "doc_id",
+            "left_anti",
+        )
+        .localCheckpoint()  # tiny (Σ df(word) occurrence rows)
+    )
+    first = pos.where(F.col("token") == w1).select("doc_id", "pos")
+    second = pos.where(F.col("token") == w2).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    ptf = (
+        first.join(second, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()  # ≤ phrase-df rows; reused by df + scoring
+    )
+    pdf = ptf.agg(F.count(F.lit(1)).alias("df"))
+    dl_cand = spark.table(f"{table_prefix}_doclen").join(
+        F.broadcast(ptf.select("doc_id")), "doc_id", "left_semi"
+    ).select("doc_id", "dl")
+    scored = (
+        ptf.join(dl_cand, "doc_id")
+        .crossJoin(F.broadcast(pdf))
+        .crossJoin(
+            F.broadcast(
+                spark.table(f"{table_prefix}_stats").select("n_docs", "avgdl")
+            )
+        )
+        .select("doc_id", "tf", _bm25_score(k1, b).alias("score_scaled"))
+    )
+    head = scored.orderBy(F.desc("score_scaled"), F.col("doc_id")).limit(top)
+    w = Window.orderBy(F.desc("score_scaled"), F.col("doc_id"))
+    return head.withColumn("rnk", F.row_number().over(w).cast("int")).orderBy(
+        "rnk"
+    )
+
+
 def bm25_index_upsert(
     delta: DataFrame, table_prefix: str, epoch: int | None = None
 ) -> None:
@@ -169,6 +250,13 @@ def bm25_index_upsert(
         n_buckets=POSTINGS_BUCKETS,
         epoch=epoch,
     )
+    overwrite_epoch_partition(
+        _bm25_positions(delta),
+        f"{table_prefix}_positions",
+        key="token",
+        n_buckets=POSTINGS_BUCKETS,
+        epoch=epoch,
+    )
 
 
 _SEARCH_SCHEMA = (
@@ -190,7 +278,7 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_index_build(docs, prefix, out)
         rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
     finally:
-        for t in ("postings", "doclen", "stats", "tombstones"):
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
@@ -220,7 +308,7 @@ def q_bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
     finally:
-        for t in ("postings", "doclen", "stats", "tombstones"):
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, "token string, df bigint, tf_sum bigint")
@@ -251,7 +339,7 @@ def q_bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_index_upsert(delta, prefix)
         rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
     finally:
-        for t in ("postings", "doclen", "stats", "tombstones"):
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
@@ -344,6 +432,14 @@ def bm25_index_compact(spark: SparkSession, table_prefix: str):
         fold_partition=("epoch", BASE_EPOCH),
         anti=("doc_id", tomb),
     )
+    compact_bucketed_table(
+        spark,
+        f"{table_prefix}_positions",
+        key="token",
+        n_buckets=POSTINGS_BUCKETS,
+        fold_partition=("epoch", BASE_EPOCH),
+        anti=("doc_id", tomb),
+    )
     spark.createDataFrame([], "doc_id bigint").write.mode(
         "overwrite"
     ).format("parquet").insertInto(f"{table_prefix}_tombstones", overwrite=True)
@@ -380,7 +476,7 @@ def q_bm25_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert pa < pb and da < db, ((pb, pa), (db, da))
         rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
     finally:
-        for t in ("postings", "doclen", "stats", "tombstones"):
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
@@ -411,7 +507,7 @@ def q_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_index_delete(spark, doomed, prefix)  # replayed: no-op
         rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
     finally:
-        for t in ("postings", "doclen", "stats", "tombstones"):
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
@@ -499,10 +595,33 @@ def q_streaming_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
     finally:
-        for t in ("postings", "doclen", "stats", "tombstones"):
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
+def q_bm25_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted positional-index phrase serving, oracled for EXACT
+    parity with the inline ``bm25_phrase_search`` (same SQL verbatim):
+    build writes the positional table once, the phrase query reads only
+    the index."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="bm25_phrase_idx_")
+    prefix = "bm25_idx_ph"
+    try:
+        bm25_index_build(docs, prefix, out)
+        rows = bm25_index_phrase(spark, BM25_PHRASE, prefix).collect()
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id bigint, tf bigint, score_scaled bigint, rnk int"
+    )
 
 
 def serving_plans(spark: SparkSession, sf_dir: str):
@@ -517,13 +636,16 @@ def serving_plans(spark: SparkSession, sf_dir: str):
     bm25_index_build(docs, prefix, out)
 
     def cleanup():
-        for t in ("postings", "doclen", "stats", "tombstones"):
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
 
     return {
         "bm25_index_search": lambda: bm25_index_search(
             spark, BM25_QUERY, prefix
+        ),
+        "bm25_index_phrase": lambda: bm25_index_phrase(
+            spark, BM25_PHRASE, prefix
         ),
     }, cleanup
 
@@ -543,6 +665,7 @@ QUERIES = {
     "bm25_index_compact": q_bm25_index_compact,
     "streaming_bm25_ingest": q_streaming_bm25_ingest,
     "bm25_index_delete": q_bm25_index_delete,
+    "bm25_index_phrase": q_bm25_index_phrase,
 }
 
 ORACLES = {
@@ -558,4 +681,6 @@ ORACLES = {
     "streaming_bm25_ingest": _ORACLE_INDEX_UPSERT,
     # tombstone-masked serving: surviving tf/df, frozen scalars
     "bm25_index_delete": _ORACLE_INDEX_DELETE,
+    # positional serving parity: the inline phrase oracle verbatim
+    "bm25_index_phrase": _ORACLE_BM25_PHRASE,
 }

@@ -444,6 +444,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "ann_index_delete",
     "bm25_index_delete",
     "dedup_index_delete",
+    "bm25_index_phrase",
 )
 
 
