@@ -16,6 +16,7 @@ from admob_data_pipeline_spark.operators import (
     dedup_index,
     governance,
     graph,
+    hybrid_index,
     multimodal,
     packing,
     retrieval_index,
@@ -38,6 +39,7 @@ _MODULES = [
     ann_index,
     dedup_index,
     retrieval_index,
+    hybrid_index,
     text,
     corpus,
     dedup,
@@ -445,6 +447,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "bm25_index_delete",
     "dedup_index_delete",
     "bm25_index_phrase",
+    "hybrid_index_search",
 )
 
 
