@@ -598,6 +598,103 @@ def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _PROBE_SCHEMA)
 
 
+def dedup_index_drift(spark: SparkSession, table_prefix: str) -> DataFrame:
+    """REBUILD TRIGGER input for the dedup index — stop-list STALENESS,
+    read off the index tables alone: the shingle table stores only
+    shingles that survived the FROZEN stop list, so any shingle whose
+    stored df now exceeds the cap became hot through ingestion AFTER
+    the census froze (a build-time-hot shingle can never appear). Each
+    newly-hot shingle is quadratic candidate work the frozen list no
+    longer prevents — when their count grows, re-census (rebuild). One
+    row: frozen-list size, newly-hot count, their row mass, and the
+    ppm share of all stored shingle rows."""
+    sh = spark.table(f"{table_prefix}_shingles")
+    per = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hot = per.where(F.col("df") > MAX_DF)
+    tot = sh.agg(F.count(F.lit(1)).alias("n_rows"))
+    n_banned = spark.table(f"{table_prefix}_banned").agg(
+        F.count(F.lit(1)).alias("n_banned_frozen")
+    )
+    hot_agg = hot.agg(
+        F.count(F.lit(1)).alias("n_newly_hot"),
+        F.coalesce(F.sum("df"), F.lit(0)).alias("hot_rows"),
+    )
+    return (
+        n_banned.crossJoin(hot_agg)
+        .crossJoin(tot)
+        .select(
+            "n_banned_frozen",
+            "n_newly_hot",
+            "hot_rows",
+            F.expr("hot_rows * 1000000 div n_rows").alias("hot_share_ppm"),
+        )
+    )
+
+
+def q_dedup_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build over doc_id%5 ∈ {1,2}, ingest {3,4}, audit stop-list
+    staleness. The oracle recomputes the frozen census over the build
+    slice and the post-ingest shingle dfs from the raw corpus."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    build = docs.where(
+        (F.col("doc_id") % PROBE_MOD).isin([int(x) for x in UPSERT_MODS])
+    )
+    out = tempfile.mkdtemp(prefix="dedup_drift_")
+    prefix = "dedup_idx_drift"
+    try:
+        dedup_index_build(build, prefix, out)
+        dedup_index_upsert(
+            docs.where(F.col("doc_id") % PROBE_MOD == 3), prefix
+        )
+        dedup_index_upsert(
+            docs.where(F.col("doc_id") % PROBE_MOD == 4), prefix
+        )
+        rows = dedup_index_drift(spark, prefix).collect()
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_banned_frozen bigint, n_newly_hot bigint, hot_rows bigint,"
+        " hot_share_ppm bigint",
+    )
+
+
+_ORACLE_DEDUP_DRIFT = f"""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    WHERE doc_id % {PROBE_MOD} <> 0
+),
+sh0 AS (
+    SELECT doc_id, unnest(list_distinct(
+        [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
+    )) AS shingle
+    FROM t
+),
+hot AS (
+    SELECT shingle FROM sh0 WHERE doc_id % {PROBE_MOD} IN {UPSERT_MODS}
+    GROUP BY shingle HAVING COUNT(*) > {MAX_DF}
+),
+sh AS (
+    SELECT doc_id, shingle FROM sh0
+    WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+per AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+newly_hot AS (SELECT shingle, df FROM per WHERE df > {MAX_DF}),
+tot AS (SELECT COUNT(*) AS n_rows FROM sh)
+SELECT CAST((SELECT COUNT(*) FROM hot) AS BIGINT) AS n_banned_frozen,
+       CAST((SELECT COUNT(*) FROM newly_hot) AS BIGINT) AS n_newly_hot,
+       CAST(COALESCE((SELECT SUM(df) FROM newly_hot), 0) AS BIGINT)
+           AS hot_rows,
+       CAST(COALESCE((SELECT SUM(df) FROM newly_hot), 0) * 1000000
+            // (SELECT n_rows FROM tot) AS BIGINT) AS hot_share_ppm
+"""
+
+
 def serving_plans(spark: SparkSession, sf_dir: str):
     """Plan-audit hook: the real index-serving plan (see
     ann_index.serving_plans for the contract)."""
@@ -636,6 +733,7 @@ QUERIES = {
     "dedup_index_compact": q_dedup_index_compact,
     "streaming_dedup_ingest": q_streaming_dedup_ingest,
     "dedup_index_delete": q_dedup_index_delete,
+    "dedup_index_drift": q_dedup_index_drift,
 }
 
 ORACLES = {
@@ -649,4 +747,6 @@ ORACLES = {
     # tombstone-masked probing: the probe oracle with the deleted slice
     # excluded from the candidate set only
     "dedup_index_delete": _ORACLE_DEDUP_DELETE,
+    # rebuild-trigger audit: stop-list staleness
+    "dedup_index_drift": _ORACLE_DEDUP_DRIFT,
 }

@@ -624,6 +624,123 @@ def q_bm25_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_index_drift(spark: SparkSession, table_prefix: str) -> DataFrame:
+    """REBUILD TRIGGER input for the text index — per-ingest-epoch
+    vocabulary drift, read straight off the postings table (no corpus
+    touch): posting volume, distinct vocabulary, how many of an epoch's
+    tokens are NEW vs the build-time vocabulary, and that share in ppm.
+    A deployment watches the OOV share: when arriving text speaks a
+    vocabulary the frozen (n_docs, avgdl)-era corpus never saw, idf
+    estimates for the new terms are degenerate and a rebuild is due."""
+    postings = spark.table(f"{table_prefix}_postings")
+    base_vocab = (
+        postings.where(F.col("epoch") == BASE_EPOCH)
+        .select("token")
+        .distinct()
+    )
+    per_epoch_tok = postings.select("epoch", "token").distinct()
+    new_tok = per_epoch_tok.join(
+        F.broadcast(base_vocab), "token", "left_anti"
+    )
+    n_rows = postings.groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n_postings")
+    )
+    n_tok = per_epoch_tok.groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    n_new = new_tok.groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n_new_tokens")
+    )
+    return (
+        n_rows.join(n_tok, "epoch")
+        .join(n_new, "epoch", "left")
+        .na.fill(0, ["n_new_tokens"])
+        .select(
+            "epoch",
+            "n_postings",
+            "n_tokens",
+            "n_new_tokens",
+            F.expr("n_new_tokens * 1000000 div n_tokens").alias("oov_ppm"),
+        )
+        .orderBy("epoch")
+    )
+
+
+def q_bm25_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build over the base slice, ingest the held-out quarter as two
+    epochs, audit per-epoch vocabulary drift. The oracle recomputes the
+    per-epoch vocabularies from the raw corpus with the same split."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % UPSERT_DOC_MOD != UPSERT_DOC_MOD - 1)
+    delta = docs.where(F.col("doc_id") % UPSERT_DOC_MOD == UPSERT_DOC_MOD - 1)
+    out = tempfile.mkdtemp(prefix="bm25_drift_")
+    prefix = "bm25_idx_drift"
+    try:
+        bm25_index_build(base, prefix, out)
+        for half in (0, 1):
+            bm25_index_upsert(
+                delta.where(
+                    F.expr(
+                        f"(doc_id % {2 * UPSERT_DOC_MOD}) div {UPSERT_DOC_MOD}"
+                    )
+                    == half
+                ),
+                prefix,
+                epoch=half,
+            )
+        rows = bm25_index_drift(spark, prefix).collect()
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "epoch bigint, n_postings bigint, n_tokens bigint,"
+        " n_new_tokens bigint, oov_ppm bigint",
+    )
+
+
+# epoch -1 = the base slice; epochs 0/1 = the two delta halves — the
+# same split the Spark lifecycle runs
+_ORACLE_INDEX_DRIFT = f"""
+WITH tok AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {UPSERT_DOC_MOD} <> {UPSERT_DOC_MOD - 1}
+                THEN -1
+                ELSE (doc_id % {2 * UPSERT_DOC_MOD}) // {UPSERT_DOC_MOD}
+           END AS epoch,
+           unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+),
+tf AS (SELECT epoch, doc_id, token, COUNT(*) AS tf
+       FROM tok GROUP BY epoch, doc_id, token),
+base_vocab AS (SELECT DISTINCT token FROM tf WHERE epoch = -1),
+per_epoch_tok AS (SELECT DISTINCT epoch, token FROM tf),
+n_rows AS (SELECT epoch, COUNT(*) AS n_postings FROM tf GROUP BY epoch),
+n_tok AS (SELECT epoch, COUNT(*) AS n_tokens FROM per_epoch_tok
+          GROUP BY epoch),
+n_new AS (
+    SELECT epoch, COUNT(*) AS n_new_tokens
+    FROM per_epoch_tok
+    WHERE token NOT IN (SELECT token FROM base_vocab)
+    GROUP BY epoch
+)
+SELECT r.epoch,
+       CAST(r.n_postings AS BIGINT) AS n_postings,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
+       CAST(COALESCE(n.n_new_tokens, 0) * 1000000 // t.n_tokens AS BIGINT)
+           AS oov_ppm
+FROM n_rows r
+JOIN n_tok t ON t.epoch = r.epoch
+LEFT JOIN n_new n ON n.epoch = r.epoch
+ORDER BY r.epoch
+"""
+
+
 def serving_plans(spark: SparkSession, sf_dir: str):
     """Plan-audit hook: the real index-serving plan (see
     ann_index.serving_plans for the contract)."""
@@ -666,6 +783,7 @@ QUERIES = {
     "streaming_bm25_ingest": q_streaming_bm25_ingest,
     "bm25_index_delete": q_bm25_index_delete,
     "bm25_index_phrase": q_bm25_index_phrase,
+    "bm25_index_drift": q_bm25_index_drift,
 }
 
 ORACLES = {
@@ -683,4 +801,6 @@ ORACLES = {
     "bm25_index_delete": _ORACLE_INDEX_DELETE,
     # positional serving parity: the inline phrase oracle verbatim
     "bm25_index_phrase": _ORACLE_BM25_PHRASE,
+    # rebuild-trigger audit: per-epoch vocabulary drift
+    "bm25_index_drift": _ORACLE_INDEX_DRIFT,
 }

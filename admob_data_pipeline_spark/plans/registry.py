@@ -448,6 +448,8 @@ FRESH_FIRST: tuple[str, ...] = (
     "dedup_index_delete",
     "bm25_index_phrase",
     "hybrid_index_search",
+    "bm25_index_drift",
+    "dedup_index_drift",
 )
 
 
