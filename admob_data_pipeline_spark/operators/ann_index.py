@@ -214,6 +214,7 @@ def ann_index_search(
     k: int = DEFAULT_K,
     nprobe: int = 4,
     m: int = PQ_SLOTS,
+    as_of_epoch: int | None = None,
 ) -> DataFrame:
     """Serve top-k from the PERSISTED index — no rebuild, no pandas
     kernel, zero Exchange on the index side of the probe join.
@@ -229,6 +230,11 @@ def ann_index_search(
     spark = emb.sparkSession
     cents = spark.table(f"{table_prefix}_centroids")
     codes = spark.table(f"{table_prefix}_codes")
+    if as_of_epoch is not None:
+        # TIME TRAVEL for free: the epoch layout makes an as-of read a
+        # partition-PRUNED scan (PartitionFilters: epoch <= e) — later
+        # ingest epochs are never touched, not merely filtered
+        codes = codes.where(F.col("epoch") <= int(as_of_epoch))
     cb_df = spark.table(f"{table_prefix}_codebooks")
 
     qbase, dim = with_vec(emb)
@@ -944,6 +950,46 @@ _ORACLE_INDEX_DELETE = _ORACLE_IVFPQ.replace(
 assert _ORACLE_INDEX_DELETE != _ORACLE_IVFPQ
 
 
+def q_ann_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL serving: build over the base slice, ingest the
+    held-out quarter as epoch 0, then search AS OF the base epoch — the
+    epoch-partitioned layout answers historical queries with a
+    partition-PRUNED scan (later epochs never read, pinned in
+    tests/test_ann_index.py). The oracle restricts candidates to the
+    base slice, so an as-of read that leaks (or loses) an epoch fails
+    the hash."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % UPSERT_MOD != UPSERT_MOD - 1)
+    delta = emb.where(F.col("vec_id") % UPSERT_MOD == UPSERT_MOD - 1)
+    out = tempfile.mkdtemp(prefix="ann_index_asof_")
+    prefix = "ann_idx_asof"
+    try:
+        ann_index_build(base_corpus, prefix, out)
+        ann_index_upsert(delta, prefix, epoch=0)
+        rows = ann_index_search(
+            emb, QUERY_IDS, prefix, as_of_epoch=BASE_EPOCH
+        ).collect()
+    finally:
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
+# the upsert oracle with CANDIDATES restricted to the base slice — the
+# index state as of the base epoch (queries still come from the full
+# corpus, probes/quantizers are base-frozen either way)
+_ORACLE_INDEX_ASOF = _ORACLE_INDEX_UPSERT.replace(
+    "WHERE a.vec_id <> p.qid",
+    f"WHERE a.vec_id <> p.qid"
+    f" AND a.vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}",
+)
+assert _ORACLE_INDEX_ASOF != _ORACLE_INDEX_UPSERT
+
+
 def serving_plans(spark: SparkSession, sf_dir: str):
     """Plan-audit hook (tools/plan_audit.py): the registered wrappers
     collect internally so scratch tables can be dropped, which makes
@@ -994,6 +1040,7 @@ QUERIES = {
     "ann_index_compact": q_ann_index_compact,
     "ann_index_drift": q_ann_index_drift,
     "ann_index_delete": q_ann_index_delete,
+    "ann_index_asof": q_ann_index_asof,
 }
 
 ORACLES = {
@@ -1014,4 +1061,6 @@ ORACLES = {
     # tombstone-masked serving: inline SQL with the deleted slice
     # excluded from candidates
     "ann_index_delete": _ORACLE_INDEX_DELETE,
+    # time-travel serving: candidates restricted to the base epoch
+    "ann_index_asof": _ORACLE_INDEX_ASOF,
 }

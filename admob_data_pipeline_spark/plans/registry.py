@@ -450,6 +450,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "hybrid_index_search",
     "bm25_index_drift",
     "dedup_index_drift",
+    "ann_index_asof",
 )
 
 

@@ -397,3 +397,36 @@ def test_delete_masks_then_compact_purges(spark, sf_dir):
         for t in ("centroids", "codebooks", "codes", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_asof_search_prunes_epochs_and_matches_base_index(spark, sf_dir, tmp_path):
+    """Time travel via the epoch layout: an as-of read is a partition-
+    PRUNED scan (later ingest epochs never touched), and searching as
+    of the base epoch returns exactly what a never-upserted base-only
+    index serves."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % 4 != 3)
+    delta = emb.where(F.col("vec_id") % 4 == 3)
+    prefix, prefix2 = "ann_idx_asof_t", "ann_idx_asof_ref_t"
+    try:
+        ann_index.ann_index_build(base_corpus, prefix, str(tmp_path / "a"))
+        ann_index.ann_index_upsert(delta, prefix, epoch=0)
+        pruned = spark.table(f"{prefix}_codes").where(
+            F.col("epoch") <= ann_index.BASE_EPOCH
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "epoch" in plan, plan
+        assert pruned.count() == base_corpus.count()
+        got = ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix,
+            as_of_epoch=ann_index.BASE_EPOCH,
+        ).collect()
+        ann_index.ann_index_build(base_corpus, prefix2, str(tmp_path / "b"))
+        want = ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix2
+        ).collect()
+        assert got == want and got
+    finally:
+        for p in (prefix, prefix2):
+            for t in ("centroids", "codebooks", "codes", "tombstones"):
+                spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
