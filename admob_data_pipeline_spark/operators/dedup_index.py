@@ -121,6 +121,7 @@ def dedup_index_probe(
     table_prefix: str,
     k: int = 3,
     threshold: float = JACCARD_THRESHOLD,
+    as_of_epoch: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (batch_doc, index_doc, jaccard ≥ threshold)
     between an arriving batch and the PERSISTED index — signatures for
@@ -135,8 +136,17 @@ def dedup_index_probe(
     bands_b = lsh_band_keys(minhash_signatures(sh_b), band_in_key=True).select(
         F.col("doc_id").alias("batch_doc"), "band_key"
     )
+    bands_t = spark.table(f"{table_prefix}_bands")
+    shingles_t = spark.table(f"{table_prefix}_shingles")
+    shsizes_t = spark.table(f"{table_prefix}_shsizes")
+    if as_of_epoch is not None:
+        # time travel via the epoch layout: partition-pruned reads of
+        # the index state as of epoch e
+        bands_t = bands_t.where(F.col("epoch") <= int(as_of_epoch))
+        shingles_t = shingles_t.where(F.col("epoch") <= int(as_of_epoch))
+        shsizes_t = shsizes_t.where(F.col("epoch") <= int(as_of_epoch))
     idx = (
-        spark.table(f"{table_prefix}_bands")
+        bands_t
         # logical deletes: tombstoned docs never become candidates;
         # their rows purge at the next compaction
         .join(
@@ -153,7 +163,7 @@ def dedup_index_probe(
         .distinct()
     )
     a_sh = sh_b.select(F.col("doc_id").alias("batch_doc"), "shingle")
-    b_sh = spark.table(f"{table_prefix}_shingles").select(
+    b_sh = shingles_t.select(
         F.col("doc_id").alias("index_doc"), "shingle"
     )
     inter = (
@@ -165,7 +175,7 @@ def dedup_index_probe(
     sa = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a")).select(
         F.col("doc_id").alias("batch_doc"), "n_a"
     )
-    sb = spark.table(f"{table_prefix}_shsizes").select(
+    sb = shsizes_t.select(
         F.col("doc_id").alias("index_doc"), F.col("n_sh").alias("n_b")
     )
     _t_scaled = int(round(threshold * 1_000_000))
@@ -695,6 +705,46 @@ SELECT CAST((SELECT COUNT(*) FROM hot) AS BIGINT) AS n_banned_frozen,
 """
 
 
+def q_dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel dedup probing: build over doc_id%5 ∈ {1,2}, admit
+    {3,4} as an ingest epoch, probe the held-out batch AS OF the base
+    epoch — partition-pruned reads of the historical index. The oracle
+    restricts candidates to the build slice (stop list is build-frozen
+    either way)."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    build = docs.where(
+        (F.col("doc_id") % PROBE_MOD).isin([int(x) for x in UPSERT_MODS])
+    )
+    delta = docs.where((F.col("doc_id") % PROBE_MOD).isin([3, 4]))
+    batch = docs.where(F.col("doc_id") % PROBE_MOD == 0)
+    out = tempfile.mkdtemp(prefix="dedup_asof_")
+    prefix = "dedup_idx_asof"
+    try:
+        dedup_index_build(build, prefix, out)
+        dedup_index_upsert(delta, prefix, epoch=0)
+        rows = dedup_index_probe(
+            batch, prefix, as_of_epoch=BASE_EPOCH
+        ).collect()
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _PROBE_SCHEMA)
+
+
+# the upsert oracle with CANDIDATES restricted to the build slice — the
+# index state as of the base epoch
+_ORACLE_DEDUP_ASOF = _ORACLE_DEDUP_UPSERT.replace(
+    f"WHERE ba.doc_id % {PROBE_MOD} = 0 AND bb.doc_id % {PROBE_MOD} <> 0",
+    f"WHERE ba.doc_id % {PROBE_MOD} = 0"
+    f" AND bb.doc_id % {PROBE_MOD} IN {UPSERT_MODS}",
+)
+assert _ORACLE_DEDUP_ASOF != _ORACLE_DEDUP_UPSERT
+
+
 def serving_plans(spark: SparkSession, sf_dir: str):
     """Plan-audit hook: the real index-serving plan (see
     ann_index.serving_plans for the contract)."""
@@ -734,6 +784,7 @@ QUERIES = {
     "streaming_dedup_ingest": q_streaming_dedup_ingest,
     "dedup_index_delete": q_dedup_index_delete,
     "dedup_index_drift": q_dedup_index_drift,
+    "dedup_index_asof": q_dedup_index_asof,
 }
 
 ORACLES = {
@@ -749,4 +800,6 @@ ORACLES = {
     "dedup_index_delete": _ORACLE_DEDUP_DELETE,
     # rebuild-trigger audit: stop-list staleness
     "dedup_index_drift": _ORACLE_DEDUP_DRIFT,
+    # time-travel probing: candidates restricted to the build slice
+    "dedup_index_asof": _ORACLE_DEDUP_ASOF,
 }

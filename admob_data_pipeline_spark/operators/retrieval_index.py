@@ -112,12 +112,20 @@ def bm25_index_search(
     k1: float = BM25_K1,
     b: float = BM25_B,
     require_all: bool = False,
+    as_of_epoch: int | None = None,
 ) -> DataFrame:
     """Serve a term query from the PERSISTED index — no corpus scan, no
     tokenizer, no explode; the ranking core is the inline queries'
     ``_bm25_rank_postings`` fed from the index tables."""
+    postings = spark.table(f"{table_prefix}_postings")
+    doclen = spark.table(f"{table_prefix}_doclen")
+    if as_of_epoch is not None:
+        # time travel via the epoch layout: partition-pruned scans of
+        # the index state as of epoch e — later ingests never read
+        postings = postings.where(F.col("epoch") <= int(as_of_epoch))
+        doclen = doclen.where(F.col("epoch") <= int(as_of_epoch))
     postings = (
-        spark.table(f"{table_prefix}_postings")
+        postings
         .where(F.col("token").isin(list(query_terms)))
         # logical deletes: tombstoned docs never match, and df counts
         # only surviving postings; rows purge at the next compaction
@@ -136,7 +144,7 @@ def bm25_index_search(
         k1,
         b,
         require_all_n,
-        doclen=spark.table(f"{table_prefix}_doclen"),
+        doclen=doclen,
         stats=spark.table(f"{table_prefix}_stats"),
     )
 
@@ -741,6 +749,43 @@ ORDER BY r.epoch
 """
 
 
+def q_bm25_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel text serving: build over the base slice, ingest the
+    held-out quarter as epoch 0, then search AS OF the base epoch —
+    partition-pruned scans of the historical index state. The oracle is
+    the inline search over the base slice alone, so a leaked or lost
+    epoch fails the hash."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % UPSERT_DOC_MOD != UPSERT_DOC_MOD - 1)
+    delta = docs.where(F.col("doc_id") % UPSERT_DOC_MOD == UPSERT_DOC_MOD - 1)
+    out = tempfile.mkdtemp(prefix="bm25_asof_")
+    prefix = "bm25_idx_asof"
+    try:
+        bm25_index_build(base, prefix, out)
+        bm25_index_upsert(delta, prefix, epoch=0)
+        rows = bm25_index_search(
+            spark, BM25_QUERY, prefix, as_of_epoch=BASE_EPOCH
+        ).collect()
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
+# the inline search oracle over the BASE slice alone — the index state
+# as of the base epoch (scalars are base-frozen either way)
+_ORACLE_INDEX_ASOF = _ORACLE_BM25_SEARCH.replace(
+    "FROM documents",
+    f"FROM (SELECT * FROM documents"
+    f" WHERE doc_id % {UPSERT_DOC_MOD} <> {UPSERT_DOC_MOD - 1})",
+)
+assert _ORACLE_INDEX_ASOF != _ORACLE_BM25_SEARCH
+
+
 def serving_plans(spark: SparkSession, sf_dir: str):
     """Plan-audit hook: the real index-serving plan (see
     ann_index.serving_plans for the contract)."""
@@ -784,6 +829,7 @@ QUERIES = {
     "bm25_index_delete": q_bm25_index_delete,
     "bm25_index_phrase": q_bm25_index_phrase,
     "bm25_index_drift": q_bm25_index_drift,
+    "bm25_index_asof": q_bm25_index_asof,
 }
 
 ORACLES = {
@@ -803,4 +849,6 @@ ORACLES = {
     "bm25_index_phrase": _ORACLE_BM25_PHRASE,
     # rebuild-trigger audit: per-epoch vocabulary drift
     "bm25_index_drift": _ORACLE_INDEX_DRIFT,
+    # time-travel serving: the inline oracle over the base slice
+    "bm25_index_asof": _ORACLE_INDEX_ASOF,
 }

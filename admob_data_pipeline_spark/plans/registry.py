@@ -451,6 +451,8 @@ FRESH_FIRST: tuple[str, ...] = (
     "bm25_index_drift",
     "dedup_index_drift",
     "ann_index_asof",
+    "bm25_index_asof",
+    "dedup_index_asof",
 )
 
 
