@@ -2561,16 +2561,16 @@ KNN_K = 5
 # multiplicative). Measured at sf0.1 (recall_ppm / warm min-of-2 build,
 # local[32]): r6 no probes 462,500 / 1.0 s; r7 per-table 687,500 /
 # 2.4 s; global B=6 675,000 / 2.2 s; B=8 725,000 / 2.3 s; B=10
-# 768,750 / 3.1 s; B=12 800,000 / 3.7 s (CHOSEN r9 — clears the ≥80%
-# recall target at 1.19× the B=10 build, inside the ≤1.5× budget);
-# B=15 843,750 / 3.7 s (the next lever for a deployment that needs
-# more). The probe stays ASYMMETRIC (query side only) —
+# 768,750 / 3.1 s; B=12 800,000 / 2.9 s; B=15 843,750 / 3.2 s (CHOSEN
+# r9 — +4.4pp recall over B=12 for +10% wall, clearing the ≥80% target
+# with margin; B=12 sits exactly AT 80%, one displaced neighbor from
+# missing it). The probe stays ASYMMETRIC (query side only) —
 # pair (x, y) becomes a candidate when flipping one of x's weakest bits
 # lands in y's base bucket — the standard index-probing shape that
 # keeps the index side's explode at L rows per vector.
 KNN_TABLES = 6
 KNN_PLANES = 5
-KNN_PROBE_BUDGET = 12
+KNN_PROBE_BUDGET = 15
 
 
 def _bucket_exprs_sql(tbl, planes, elem) -> str:
