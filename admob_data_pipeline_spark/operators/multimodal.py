@@ -810,6 +810,265 @@ ORDER BY file
 """
 
 
+# --- feature extraction over the REAL decoders --------------------------------
+# The decode queries prove the bytes→pixels/samples path; these prove the
+# FEATURE path a training pipeline actually runs on top of it — framed
+# audio energy/zero-crossings and tiled image intensity — in the same
+# Arrow-batched kernels, with every feature an exact integer the DuckDB
+# oracle recomputes from the generating closed form.
+
+AUDIO_FRAME = 200  # samples per analysis frame
+AUDIO_HOP = 100  # frame hop (50% overlap)
+IMG_TILE = 8  # tile side in pixels
+
+
+def decode_wav_frame_features(files: DataFrame) -> DataFrame:
+    """Framed audio features over channel 0 of the decoded PCM: per
+    (file, frame) exact integer energy (Σ s²) and zero-crossing count —
+    the two cheapest VAD/silence-trim signals. Frames are
+    ``AUDIO_FRAME`` samples at ``AUDIO_HOP`` hop (trailing partial
+    frame dropped, standard framing). Self-contained kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as np
+
+        FRAME, HOP = 200, 100  # keep the kernel closure self-contained
+
+        def parse(buf: bytes):
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(buf):
+                cid = buf[pos : pos + 4]
+                ln = _struct.unpack_from("<I", buf, pos + 4)[0]
+                body = buf[pos + 8 : pos + 8 + ln]
+                if cid == b"fmt ":
+                    fmt = body
+                elif cid == b"data":
+                    data = body
+                pos += 8 + ln + (ln & 1)
+            _, n_ch, _, _, _, _ = _struct.unpack_from("<HHIIHH", fmt, 0)
+            return n_ch, data
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                n_ch, data = parse(bytes(row["content"]))
+                x0 = (
+                    np.frombuffer(data, "<i2")
+                    .astype(np.int64)
+                    .reshape(-1, n_ch)[:, 0]
+                )
+                n = x0.shape[0]
+                for f in range(0, max(0, (n - FRAME) // HOP + 1)):
+                    seg = x0[f * HOP : f * HOP + FRAME]
+                    energy = int((seg * seg).sum())
+                    zcr = int(((seg[:-1] >= 0) != (seg[1:] >= 0)).sum())
+                    out.append((row["file"], f, energy, zcr))
+            yield pd.DataFrame(
+                out, columns=["file", "frame", "energy", "zcr"]
+            )
+
+    return files.mapInPandas(
+        kernel, schema="file string, frame int, energy bigint, zcr bigint"
+    )
+
+
+def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audio FEATURE path: the same deterministic WAVs enter
+    through binaryFile, the kernel decodes and frames channel 0, and
+    every per-frame energy / zero-crossing count is recomputed by the
+    oracle from the closed-form signal."""
+    import os
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="wav_frames_")
+    try:
+        for clip in range(WAV_N_CLIPS):
+            with open(os.path.join(out, f"clip-{clip}.wav"), "wb") as fh:
+                fh.write(make_wav(clip))
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.wav")
+            .load(out)
+            .select(
+                F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+                "content",
+            )
+        )
+        rows = (
+            decode_wav_frame_features(files).orderBy("file", "frame").collect()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "file string, frame int, energy bigint, zcr bigint"
+    )
+
+
+_ORACLE_AUDIO_FRAMES = f"""
+WITH clips AS (
+    SELECT c AS clip, 800 + c * 50 AS n_samples
+    FROM (SELECT unnest(generate_series(0, {WAV_N_CLIPS - 1})) AS c)
+),
+samples AS (
+    SELECT clip, i,
+           ((i * (7 + clip) + clip * 101) % 65536) - 32768 AS s
+    FROM (
+        SELECT clip, unnest(generate_series(0, n_samples - 1)) AS i
+        FROM clips
+    )
+),
+nexts AS (
+    SELECT clip, i, s,
+           LEAD(s) OVER (PARTITION BY clip ORDER BY i) AS s1
+    FROM samples
+),
+frames AS (
+    SELECT clip, f, f * {AUDIO_HOP} AS st
+    FROM (
+        SELECT clip,
+               unnest(generate_series(
+                   0, (n_samples - {AUDIO_FRAME}) // {AUDIO_HOP}
+               )) AS f
+        FROM clips WHERE n_samples >= {AUDIO_FRAME}
+    )
+)
+SELECT 'clip-' || fr.clip || '.wav' AS file,
+       CAST(fr.f AS INT) AS frame,
+       CAST(SUM(n.s * n.s) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN n.i < fr.st + {AUDIO_FRAME - 1}
+                      AND ((n.s >= 0) <> (n.s1 >= 0))
+                THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+FROM frames fr
+JOIN nexts n ON n.clip = fr.clip
+            AND n.i BETWEEN fr.st AND fr.st + {AUDIO_FRAME - 1}
+GROUP BY fr.clip, fr.f, fr.st
+ORDER BY file, frame
+"""
+
+
+def decode_bmp_tile_features(files: DataFrame) -> DataFrame:
+    """Tiled image intensity over the decoded pixels: per
+    (file, tile_x, tile_y) exact integer per-channel sums + pixel count
+    — the patch-grid statistic behind thumbnail hashing and patch
+    filtering. Edge tiles are partial (true dims, no padding)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as np
+
+        TILE = 8
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                buf = bytes(row["content"])
+                off = _struct.unpack_from("<I", buf, 10)[0]
+                w, h = _struct.unpack_from("<ii", buf, 18)
+                stride = (3 * w + 3) & ~3
+                px = (
+                    np.frombuffer(buf, np.uint8, stride * h, off)
+                    .reshape(h, stride)[:, : 3 * w]
+                    .reshape(h, w, 3)[::-1]
+                    .astype(np.int64)
+                )
+                for ty in range((h + TILE - 1) // TILE):
+                    for tx in range((w + TILE - 1) // TILE):
+                        t = px[
+                            ty * TILE : (ty + 1) * TILE,
+                            tx * TILE : (tx + 1) * TILE,
+                        ]
+                        out.append(
+                            (
+                                row["file"], tx, ty,
+                                int(t[:, :, 2].sum()),
+                                int(t[:, :, 1].sum()),
+                                int(t[:, :, 0].sum()),
+                                int(t.shape[0] * t.shape[1]),
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file", "tile_x", "tile_y",
+                    "r_sum", "g_sum", "b_sum", "n_px",
+                ],
+            )
+
+    return files.mapInPandas(
+        kernel,
+        schema=(
+            "file string, tile_x int, tile_y int,"
+            " r_sum bigint, g_sum bigint, b_sum bigint, n_px bigint"
+        ),
+    )
+
+
+def q_multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image FEATURE path: the deterministic BMPs enter
+    through binaryFile, the kernel decodes and tiles the pixel grid,
+    and every per-tile channel sum (edge tiles partial) is recomputed
+    by the oracle from the closed-form pixels."""
+    import os
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="bmp_tiles_")
+    try:
+        for img in range(BMP_N_IMAGES):
+            with open(os.path.join(out, f"img-{img}.bmp"), "wb") as fh:
+                fh.write(make_bmp(img))
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bmp")
+            .load(out)
+            .select(
+                F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+                "content",
+            )
+        )
+        rows = (
+            decode_bmp_tile_features(files)
+            .orderBy("file", "tile_y", "tile_x")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "file string, tile_x int, tile_y int,"
+        " r_sum bigint, g_sum bigint, b_sum bigint, n_px bigint",
+    )
+
+
+_ORACLE_IMAGE_TILES = f"""
+WITH imgs AS (
+    SELECT i AS img, 16 + i AS w, 9 + (i % 3) * 2 AS h
+    FROM (SELECT unnest(generate_series(0, {BMP_N_IMAGES - 1})) AS i)
+),
+px AS (
+    SELECT img, idx % w AS x, idx // w AS y
+    FROM (
+        SELECT img, w, h, unnest(generate_series(0, w * h - 1)) AS idx
+        FROM imgs
+    )
+)
+SELECT 'img-' || img || '.bmp' AS file,
+       CAST(x // {IMG_TILE} AS INT) AS tile_x,
+       CAST(y // {IMG_TILE} AS INT) AS tile_y,
+       CAST(SUM((3 * x + 5 * y + 29 * img) % 256) AS BIGINT) AS r_sum,
+       CAST(SUM((5 * x + y + 17 * img) % 256) AS BIGINT) AS g_sum,
+       CAST(SUM((7 * x + 3 * y + 11 * img) % 256) AS BIGINT) AS b_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM px
+GROUP BY img, x // {IMG_TILE}, y // {IMG_TILE}
+ORDER BY file, tile_y, tile_x
+"""
+
+
 QUERIES = {
     "multimodal_bmp_decode": q_multimodal_bmp_decode,
     "multimodal_wav_decode": q_multimodal_wav_decode,
@@ -819,11 +1078,15 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_features": q_multimodal_features,
+    "multimodal_audio_frames": q_multimodal_audio_frames,
+    "multimodal_image_tiles": q_multimodal_image_tiles,
 }
 
 ORACLES = {
     "multimodal_bmp_decode": _ORACLE_BMP_DECODE,
     "multimodal_wav_decode": _ORACLE_WAV_DECODE,
+    "multimodal_audio_frames": _ORACLE_AUDIO_FRAMES,
+    "multimodal_image_tiles": _ORACLE_IMAGE_TILES,
     "multimodal_packing": _ORACLE_MEDIA_PACKING,
     "multimodal_frame_dedup": _ORACLE_FRAME_DEDUP,
     "multimodal_metadata": _ORACLE_METADATA,

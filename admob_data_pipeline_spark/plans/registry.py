@@ -453,6 +453,8 @@ FRESH_FIRST: tuple[str, ...] = (
     "ann_index_asof",
     "bm25_index_asof",
     "dedup_index_asof",
+    "multimodal_audio_frames",
+    "multimodal_image_tiles",
 )
 
 
