@@ -949,6 +949,86 @@ ORDER BY file, frame
 """
 
 
+VAD_THRESHOLD = 150_000_000_000  # frame-energy gate (exact integer)
+
+
+def q_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over the framed energies: frames
+    whose exact integer energy clears the gate are merged into maximal
+    consecutive runs (the classic gaps-and-islands frame-minus-rank
+    trick, one window + one groupBy), emitting per-segment bounds,
+    length, and energy mass — the silence-trim pass an audio pipeline
+    runs before transcription. Composition: binaryFile → numpy decode →
+    framing → relational islands, every number exact."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    out = tempfile.mkdtemp(prefix="wav_vad_")
+    try:
+        for clip in range(WAV_N_CLIPS):
+            with open(os.path.join(out, f"clip-{clip}.wav"), "wb") as fh:
+                fh.write(make_wav(clip))
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.wav")
+            .load(out)
+            .select(
+                F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+                "content",
+            )
+        )
+        frames = decode_wav_frame_features(files)
+        active = frames.where(F.col("energy") >= VAD_THRESHOLD)
+        w = Window.partitionBy("file").orderBy("frame")
+        segs = (
+            active.withColumn(
+                "grp", F.col("frame") - F.row_number().over(w)
+            )
+            .groupBy("file", "grp")
+            .agg(
+                F.min("frame").alias("start_frame"),
+                F.max("frame").alias("end_frame"),
+                F.count(F.lit(1)).alias("n_frames"),
+                F.sum("energy").alias("energy_sum"),
+            )
+            .select(
+                "file", "start_frame", "end_frame", "n_frames", "energy_sum"
+            )
+            .orderBy("file", "start_frame")
+        )
+        rows = segs.collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "file string, start_frame int, end_frame int, n_frames bigint,"
+        " energy_sum bigint",
+    )
+
+
+_ORACLE_AUDIO_VAD = f"""
+WITH fr AS ({{frames}}),
+active AS (
+    SELECT file, frame, energy,
+           frame - ROW_NUMBER() OVER (
+               PARTITION BY file ORDER BY frame
+           ) AS grp
+    FROM fr WHERE energy >= {VAD_THRESHOLD}
+)
+SELECT file,
+       CAST(MIN(frame) AS INT) AS start_frame,
+       CAST(MAX(frame) AS INT) AS end_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(energy) AS BIGINT) AS energy_sum
+FROM active
+GROUP BY file, grp
+ORDER BY file, start_frame
+""".replace("{frames}", _ORACLE_AUDIO_FRAMES.strip())
+
+
 def decode_bmp_tile_features(files: DataFrame) -> DataFrame:
     """Tiled image intensity over the decoded pixels: per
     (file, tile_x, tile_y) exact integer per-channel sums + pixel count
@@ -1080,6 +1160,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_audio_frames": q_multimodal_audio_frames,
     "multimodal_image_tiles": q_multimodal_image_tiles,
+    "multimodal_audio_vad": q_multimodal_audio_vad,
 }
 
 ORACLES = {
@@ -1087,6 +1168,7 @@ ORACLES = {
     "multimodal_wav_decode": _ORACLE_WAV_DECODE,
     "multimodal_audio_frames": _ORACLE_AUDIO_FRAMES,
     "multimodal_image_tiles": _ORACLE_IMAGE_TILES,
+    "multimodal_audio_vad": _ORACLE_AUDIO_VAD,
     "multimodal_packing": _ORACLE_MEDIA_PACKING,
     "multimodal_frame_dedup": _ORACLE_FRAME_DEDUP,
     "multimodal_metadata": _ORACLE_METADATA,

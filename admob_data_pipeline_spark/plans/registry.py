@@ -455,6 +455,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "dedup_index_asof",
     "multimodal_audio_frames",
     "multimodal_image_tiles",
+    "multimodal_audio_vad",
 )
 
 
