@@ -1017,6 +1017,10 @@ def serving_plans(spark: SparkSession, sf_dir: str):
         "ann_index_rerank": lambda: ann_index_search_rerank(
             emb, QUERY_IDS, prefix
         ),
+        "ann_index_asof": lambda: ann_index_search(
+            emb, QUERY_IDS, prefix, as_of_epoch=BASE_EPOCH
+        ),
+        "ann_index_drift": lambda: ann_index_drift(spark, prefix),
     }, cleanup
 
 

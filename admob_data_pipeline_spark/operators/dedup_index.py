@@ -765,6 +765,10 @@ def serving_plans(spark: SparkSession, sf_dir: str):
 
     return {
         "dedup_index_probe": lambda: dedup_index_probe(batch, prefix),
+        "dedup_index_asof": lambda: dedup_index_probe(
+            batch, prefix, as_of_epoch=BASE_EPOCH
+        ),
+        "dedup_index_drift": lambda: dedup_index_drift(spark, prefix),
     }, cleanup
 
 

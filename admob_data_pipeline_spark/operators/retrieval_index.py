@@ -809,6 +809,10 @@ def serving_plans(spark: SparkSession, sf_dir: str):
         "bm25_index_phrase": lambda: bm25_index_phrase(
             spark, BM25_PHRASE, prefix
         ),
+        "bm25_index_asof": lambda: bm25_index_search(
+            spark, BM25_QUERY, prefix, as_of_epoch=BASE_EPOCH
+        ),
+        "bm25_index_drift": lambda: bm25_index_drift(spark, prefix),
     }, cleanup
 
 
