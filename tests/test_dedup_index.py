@@ -196,3 +196,61 @@ def test_delete_masks_then_compact_purges(spark, sf_dir):
         for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_streaming_ingest_survives_midstream_restart(spark, sf_dir, tmp_path):
+    """Kill-and-restart through the streaming dedup-index maintenance:
+    committed epochs are not double-applied after a resume; the final
+    probe equals a one-shot batch upsert over the same split."""
+    docs = load_table(spark, sf_dir, "documents")
+    build = docs.where((F.col("doc_id") % 5).isin([1, 2]))
+    delta = docs.where((F.col("doc_id") % 5).isin([3, 4]))
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    prefix = "dedup_idx_restart_t"
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+
+    def arrive(part):
+        delta.where(F.col("doc_id") % 5 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda b, eid: dedup_index.dedup_index_upsert(
+                    b, prefix, epoch=eid
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prefix2 = "dedup_idx_restart_ref_t"
+    try:
+        dedup_index.dedup_index_build(build, prefix, str(tmp_path / "a"))
+        arrive(3)
+        run()  # epoch 0 commits, stream stops
+        arrive(4)
+        run()  # restart: only epoch 1 runs
+        got = dedup_index.dedup_index_probe(batch, prefix).collect()
+        dedup_index.dedup_index_build(build, prefix2, str(tmp_path / "b"))
+        dedup_index.dedup_index_upsert(delta, prefix2, epoch=0)
+        want = dedup_index.dedup_index_probe(batch, prefix2).collect()
+        assert got == want
+        # delta docs actually entered the index (non-vacuous parity)
+        assert (
+            spark.table(f"{prefix}_shsizes")
+            .where((F.col("doc_id") % 5).isin([3, 4]))
+            .count()
+            > 0
+        )
+    finally:
+        for p in (prefix, prefix2):
+            for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
+                spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")

@@ -227,3 +227,63 @@ def test_delete_masks_then_compact_purges(spark, sf_dir):
         for t in ("postings", "doclen", "stats", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_streaming_ingest_survives_midstream_restart(spark, sf_dir, tmp_path):
+    """Kill-and-restart through the streaming text-index maintenance:
+    epochs committed before a stop are not double-applied after a
+    resume from the same checkpoint; the final ranking equals a
+    one-shot batch upsert over the same corpus split."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 4 != 3)
+    delta = docs.where(F.col("doc_id") % 4 == 3)
+    prefix = "bm25_idx_restart_t"
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+
+    def arrive(half):
+        delta.where(F.expr("(doc_id % 8) div 4") == half).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda b, eid: retrieval_index.bm25_index_upsert(
+                    b, prefix, epoch=eid
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prefix2 = "bm25_idx_restart_ref_t"
+    try:
+        retrieval_index.bm25_index_build(base, prefix, str(tmp_path / "a"))
+        arrive(0)
+        run()  # epoch 0 commits, stream stops
+        arrive(1)
+        run()  # restart: only epoch 1 runs
+        n_docs = docs.count()
+        assert (
+            spark.table(f"{prefix}_doclen").select("doc_id").distinct().count()
+            == n_docs
+        )
+        got = retrieval_index.bm25_index_search(
+            spark, corpus.BM25_QUERY, prefix
+        ).collect()
+        retrieval_index.bm25_index_build(base, prefix2, str(tmp_path / "b"))
+        retrieval_index.bm25_index_upsert(delta, prefix2, epoch=0)
+        want = retrieval_index.bm25_index_search(
+            spark, corpus.BM25_QUERY, prefix2
+        ).collect()
+        assert got == want and got
+    finally:
+        for p in (prefix, prefix2):
+            for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+                spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
