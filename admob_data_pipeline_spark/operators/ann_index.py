@@ -10,7 +10,7 @@ layout. This module composes the existing building blocks
 (``assign_lists``, ``_pq_codebooks``, ``pq_quantize``) into that
 split:
 
-- :func:`ann_index_build` writes THREE tables: ``<prefix>_centroids``
+- :func:`ann_index_build` writes FOUR tables: ``<prefix>_centroids``
   (cid, cv, cn — tiny, broadcast at search), ``<prefix>_codebooks``
   (s, code, cv — tiny), and ``<prefix>_codes`` (vec_id, list_id,
   c0..c{m-1}, epoch) — the only data-scaled one, PARTITIONED by ingest
@@ -21,7 +21,8 @@ split:
   (1 of CODES_BUCKETS read for an equality filter) when
   ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` —
   with the default true, Spark silently reverts join-free plans to an
-  unbucketed full scan (pinned in tests/test_ann_index.py).
+  unbucketed full scan (pinned in tests/test_ann_index.py). The fourth
+  table is the ``<prefix>_tombstones`` delete set.
 - :func:`ann_index_search` reads those tables and NOTHING else except
   the full-precision query vectors. No assignment kernel, no codebook
   sampling, no pandas UDF anywhere in the search plan (test-pinned):
@@ -32,6 +33,11 @@ split:
   lookups summed map-side — the only remaining Exchange is the
   per-query top-k window on the candidate set (~nprobe/|C| of the
   corpus).
+
+Lifecycle (round 9): exactly-once ingest (epoch partition overwrite),
+compaction (one file per bucket, epoch fold, tombstone purge), logical
+deletes with broadcast masking, per-list drift audit as the rebuild
+trigger, and as-of time travel via epoch partition pruning.
 
 Determinism/parity contract: build + search reproduce the inline
 ``ivfpq_topk`` results EXACTLY (same deterministic centroid/codebook

@@ -6,7 +6,7 @@ trilogy (ANN: operators/ann_index.py, BM25: operators/retrieval_index.py).
 band probe, history never rescanned) but derives the index side
 in-plan every run. Here the index is a real artifact:
 
-- :func:`dedup_index_build` writes FOUR tables: ``<prefix>_bands``
+- :func:`dedup_index_build` writes FIVE tables: ``<prefix>_bands``
   (band_key, band, doc_id) — the LSH index, hash-BUCKETED on
   ``band_key`` so every future probe joins it WITHOUT an Exchange —
   ``<prefix>_shingles`` (doc_id, shingle; bucketed on doc_id) for the
@@ -23,6 +23,11 @@ in-plan every run. Here the index is a real artifact:
   the persisted shingle sets. Shuffle cost is O(batch·bands +
   matching buckets + candidate shingles); the corpus is never
   rescanned, retokenized, or re-hashed.
+
+The fifth table is the ``<prefix>_tombstones`` delete set. Lifecycle
+(round 9): exactly-once epoch ingest (upsert + streaming), compaction
+with tombstone purge, stop-list staleness as the rebuild trigger, and
+as-of time travel via epoch partition pruning.
 
 The oracle recomputes the frozen-cap semantics relationally (hot
 census over the BASE slice only; both sides' shingles filtered by it),

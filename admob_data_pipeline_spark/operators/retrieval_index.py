@@ -6,7 +6,7 @@ the corpus inside every query. A production search deployment builds
 the inverted index once and serves every query from the persisted
 layout:
 
-- :func:`bm25_index_build` writes THREE tables: ``<prefix>_postings``
+- :func:`bm25_index_build` writes FIVE tables: ``<prefix>_postings``
   (token, doc_id, tf) — the inverted index, hash-BUCKETED on ``token``
   and sorted within buckets so a term lookup prunes both buckets (via
   the bucket hash) and row groups (via token min/max), —
@@ -21,6 +21,12 @@ layout:
   the doclen table, and the ranking core is corpus.py's
   ``_bm25_rank_postings`` — the SAME function the inline queries run,
   so the persisted path cannot drift from the inline one.
+
+Beyond the three core tables, the build writes ``<prefix>_positions``
+(quoted-phrase serving) and ``<prefix>_tombstones`` (logical deletes).
+Lifecycle (round 9): exactly-once epoch ingest, compaction with
+tombstone purge, vocabulary-drift rebuild trigger, and as-of time
+travel via epoch partition pruning.
 
 Parity contract: identical corpus → identical (df, dl, n_docs, avgdl)
 → identical floor-scaled integer scores, so the registered search
