@@ -56,3 +56,58 @@ def test_bucketed_aggregation_has_no_shuffle(spark, bucketed_tables):
     )
     plan = explain.formatted_plan(agg)
     assert "Exchange" not in plan, plan
+
+
+def test_sql_hash_matches_written_bucket_ids(spark, tmp_path):
+    """The compaction helper repartitions on pmod(hash(key), n) and
+    claims that SQL hash() IS the bucketed writer's bucket function —
+    pin it row-for-row against the _NNNNN suffix of every written file,
+    and pin that the compacted output is exactly one file per non-empty
+    bucket."""
+    import re
+
+    from admob_data_pipeline_spark.sinks.writers import (
+        compact_bucketed_table,
+        write_epoch_bucketed,
+        overwrite_epoch_partition,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 97).alias("v")
+    )
+    t = "bucket_hash_pin_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        write_epoch_bucketed(
+            df, t, key="k", n_buckets=8, path=str(tmp_path / "t")
+        )
+        overwrite_epoch_partition(
+            spark.range(500, 600).select(
+                F.col("id").alias("k"), F.lit(0).alias("v")
+            ),
+            t,
+            key="k",
+            n_buckets=8,
+            epoch=0,
+        )
+        rows = (
+            spark.table(t)
+            .select("k", F.input_file_name().alias("f"),
+                    F.expr("pmod(hash(k), 8)").alias("hb"))
+            .collect()
+        )
+        assert rows
+        for r in rows:
+            suffix = int(re.search(r"_(\d{5})\.", r.f).group(1))
+            assert suffix == r.hb, (r.k, suffix, r.hb)
+        # compaction: one file per non-empty bucket
+        before, after = compact_bucketed_table(
+            spark, t, key="k", n_buckets=8, fold_partition=("epoch", -1)
+        )
+        assert after < before and after <= 8
+        n_buckets_used = (
+            spark.table(t).select(F.expr("pmod(hash(k), 8)")).distinct().count()
+        )
+        assert after == n_buckets_used
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
