@@ -250,6 +250,34 @@ ORDER BY rnk
 """
 
 
+def serving_plans(spark: SparkSession, sf_dir: str):
+    """Plan-audit hook: the registered wrapper collects internally for
+    scratch cleanup; expose the real LAZY hybrid plan over prebuilt
+    scratch indexes (see ann_index.serving_plans for the contract)."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="hybrid_index_audit_")
+    bp, ap = "hybrid_bm25_audit", "hybrid_ann_audit"
+    bm25_index_build(docs, bp, f"{out}/bm25")
+    ann_index_build(emb, ap, f"{out}/ann")
+
+    def cleanup():
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {bp}_{t}")
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {ap}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+
+    return {
+        "hybrid_index_search": lambda: hybrid_index_search(
+            spark, emb, bp, ap
+        ),
+    }, cleanup
+
+
 QUERIES = {
     "hybrid_index_search": q_hybrid_index_search,
 }
