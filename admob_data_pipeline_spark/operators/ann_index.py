@@ -996,6 +996,103 @@ _ORACLE_INDEX_ASOF = _ORACLE_INDEX_UPSERT.replace(
 assert _ORACLE_INDEX_ASOF != _ORACLE_INDEX_UPSERT
 
 
+def ann_index_manifest(spark: SparkSession, table_prefix: str) -> DataFrame:
+    """DESCRIBE-INDEX for operators: one row per index table with its
+    logical row count, ingest-epoch span, and epoch count — the numbers
+    an on-call reads before deciding compaction or rebuild (epoch count
+    climbing → compact; codes/tombstones ratio climbing → purge). Reads
+    only the index tables; epoch columns come from partition metadata."""
+    import functools
+
+    spark_ = spark
+
+    def row(t: str, has_epoch: bool) -> DataFrame:
+        df = spark_.table(f"{table_prefix}_{t}")
+        if has_epoch:
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("epoch").alias("n_epochs"),
+                F.min("epoch").alias("min_epoch"),
+                F.max("epoch").alias("max_epoch"),
+            )
+        else:
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.lit(0).cast("long").alias("n_epochs"),
+                F.lit(None).cast("long").alias("min_epoch"),
+                F.lit(None).cast("long").alias("max_epoch"),
+            )
+        return agg.select(F.lit(t).alias("table_name"), "*")
+
+    parts = [
+        row("centroids", False),
+        row("codebooks", False),
+        row("codes", True),
+        row("tombstones", False),
+    ]
+    return functools.reduce(lambda a, b: a.unionByName(b), parts).orderBy(
+        "table_name"
+    )
+
+
+def q_ann_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build over the base slice, ingest the held-out quarter, delete a
+    slice, read the manifest. The oracle recomputes every logical count
+    from the raw corpus with the same splits (centroid sampling rule,
+    m·kc codebook rows, per-epoch code rows, tombstone volume)."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % UPSERT_MOD != UPSERT_MOD - 1)
+    delta = emb.where(F.col("vec_id") % UPSERT_MOD == UPSERT_MOD - 1)
+    doomed = emb.where(
+        F.col("vec_id") % DELETE_MOD == DELETE_REM
+    ).select("vec_id")
+    out = tempfile.mkdtemp(prefix="ann_index_manifest_")
+    prefix = "ann_idx_mf"
+    try:
+        ann_index_build(base_corpus, prefix, out)
+        ann_index_upsert(delta, prefix, epoch=0)
+        ann_index_delete(spark, doomed, prefix)
+        rows = ann_index_manifest(spark, prefix).collect()
+    finally:
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "table_name string, n_rows bigint, n_epochs bigint,"
+        " min_epoch bigint, max_epoch bigint",
+    )
+
+
+_ORACLE_INDEX_MANIFEST = f"""
+WITH e AS (SELECT vec_id FROM embeddings),
+counts AS (
+    SELECT 'centroids' AS table_name,
+           (SELECT COUNT(*) FROM e
+            WHERE vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}
+              AND vec_id % 25 = 0) AS n_rows,
+           0 AS n_epochs, NULL AS min_epoch, NULL AS max_epoch
+    UNION ALL
+    SELECT 'codebooks', {PQ_SLOTS} * {PQ_CODES}, 0, NULL, NULL
+    UNION ALL
+    SELECT 'codes', (SELECT COUNT(*) FROM e), 2, -1, 0
+    UNION ALL
+    SELECT 'tombstones',
+           (SELECT COUNT(*) FROM e
+            WHERE vec_id % {DELETE_MOD} = {DELETE_REM}),
+           0, NULL, NULL
+)
+SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_epochs AS BIGINT) AS n_epochs,
+       CAST(min_epoch AS BIGINT) AS min_epoch,
+       CAST(max_epoch AS BIGINT) AS max_epoch
+FROM counts ORDER BY table_name
+"""
+
+
 def serving_plans(spark: SparkSession, sf_dir: str):
     """Plan-audit hook (tools/plan_audit.py): the registered wrappers
     collect internally so scratch tables can be dropped, which makes
@@ -1051,6 +1148,7 @@ QUERIES = {
     "ann_index_drift": q_ann_index_drift,
     "ann_index_delete": q_ann_index_delete,
     "ann_index_asof": q_ann_index_asof,
+    "ann_index_manifest": q_ann_index_manifest,
 }
 
 ORACLES = {
@@ -1073,4 +1171,6 @@ ORACLES = {
     "ann_index_delete": _ORACLE_INDEX_DELETE,
     # time-travel serving: candidates restricted to the base epoch
     "ann_index_asof": _ORACLE_INDEX_ASOF,
+    # ops introspection: logical counts + epoch spans per index table
+    "ann_index_manifest": _ORACLE_INDEX_MANIFEST,
 }

@@ -456,6 +456,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "multimodal_audio_frames",
     "multimodal_image_tiles",
     "multimodal_audio_vad",
+    "ann_index_manifest",
 )
 
 
