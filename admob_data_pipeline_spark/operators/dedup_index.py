@@ -750,6 +750,106 @@ _ORACLE_DEDUP_ASOF = _ORACLE_DEDUP_UPSERT.replace(
 assert _ORACLE_DEDUP_ASOF != _ORACLE_DEDUP_UPSERT
 
 
+def dedup_index_manifest(spark: SparkSession, table_prefix: str) -> DataFrame:
+    """DESCRIBE-INDEX for the dedup index: per-table logical row counts
+    and ingest-epoch spans, read from the index alone (see
+    ann_index_manifest for the ops contract)."""
+    import functools
+
+    def row(t: str, has_epoch: bool) -> DataFrame:
+        df = spark.table(f"{table_prefix}_{t}")
+        if has_epoch:
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("epoch").alias("n_epochs"),
+                F.min("epoch").alias("min_epoch"),
+                F.max("epoch").alias("max_epoch"),
+            )
+        else:
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.lit(0).cast("long").alias("n_epochs"),
+                F.lit(None).cast("long").alias("min_epoch"),
+                F.lit(None).cast("long").alias("max_epoch"),
+            )
+        return agg.select(F.lit(t).alias("table_name"), "*")
+
+    parts = [
+        row("bands", True),
+        row("shingles", True),
+        row("shsizes", True),
+        row("banned", False),
+        row("tombstones", False),
+    ]
+    return functools.reduce(lambda a, b: a.unionByName(b), parts).orderBy(
+        "table_name"
+    )
+
+
+def q_dedup_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build over doc_id%5 ∈ {1,2}, admit {3,4}, delete a slice, read
+    the manifest. The oracle recomputes every logical count with the
+    frozen-cap semantics: band rows = signed docs × N_BANDS, shingle
+    rows = surviving (doc, shingle) pairs, sizes = signed docs, banned
+    = build-slice hot census, tombstone volume from the delete rule."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    build = docs.where(
+        (F.col("doc_id") % PROBE_MOD).isin([int(x) for x in UPSERT_MODS])
+    )
+    delta = docs.where((F.col("doc_id") % PROBE_MOD).isin([3, 4]))
+    doomed = build.where(
+        F.col("doc_id") % DEDUP_DELETE_MOD == DEDUP_DELETE_REM
+    ).select("doc_id")
+    out = tempfile.mkdtemp(prefix="dedup_manifest_")
+    prefix = "dedup_idx_mf"
+    try:
+        dedup_index_build(build, prefix, out)
+        dedup_index_upsert(delta, prefix, epoch=0)
+        dedup_index_delete(spark, doomed, prefix)
+        rows = dedup_index_manifest(spark, prefix).collect()
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "table_name string, n_rows bigint, n_epochs bigint,"
+        " min_epoch bigint, max_epoch bigint",
+    )
+
+
+_ORACLE_DEDUP_MANIFEST = f"""
+WITH {_duck_frozen_cap(f"doc_id % {PROBE_MOD} IN {UPSERT_MODS}")},
+in_index AS (SELECT DISTINCT doc_id FROM sh WHERE doc_id % {PROBE_MOD} <> 0),
+sh_index AS (SELECT * FROM sh WHERE doc_id % {PROBE_MOD} <> 0),
+counts AS (
+    SELECT 'bands' AS table_name,
+           (SELECT COUNT(*) FROM in_index) * {N_BANDS} AS n_rows,
+           2 AS n_epochs, -1 AS min_epoch, 0 AS max_epoch
+    UNION ALL
+    SELECT 'shingles', (SELECT COUNT(*) FROM sh_index), 2, -1, 0
+    UNION ALL
+    SELECT 'shsizes', (SELECT COUNT(*) FROM in_index), 2, -1, 0
+    UNION ALL
+    SELECT 'banned', (SELECT COUNT(*) FROM hot), 0, NULL, NULL
+    UNION ALL
+    SELECT 'tombstones',
+           (SELECT COUNT(*) FROM documents
+            WHERE doc_id % {PROBE_MOD} IN {UPSERT_MODS}
+              AND doc_id % {DEDUP_DELETE_MOD} = {DEDUP_DELETE_REM}),
+           0, NULL, NULL
+)
+SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_epochs AS BIGINT) AS n_epochs,
+       CAST(min_epoch AS BIGINT) AS min_epoch,
+       CAST(max_epoch AS BIGINT) AS max_epoch
+FROM counts ORDER BY table_name
+"""
+
+
 def serving_plans(spark: SparkSession, sf_dir: str):
     """Plan-audit hook: the real index-serving plan (see
     ann_index.serving_plans for the contract)."""
@@ -794,6 +894,7 @@ QUERIES = {
     "dedup_index_delete": q_dedup_index_delete,
     "dedup_index_drift": q_dedup_index_drift,
     "dedup_index_asof": q_dedup_index_asof,
+    "dedup_index_manifest": q_dedup_index_manifest,
 }
 
 ORACLES = {
@@ -811,4 +912,6 @@ ORACLES = {
     "dedup_index_drift": _ORACLE_DEDUP_DRIFT,
     # time-travel probing: candidates restricted to the build slice
     "dedup_index_asof": _ORACLE_DEDUP_ASOF,
+    # ops introspection: logical counts + epoch spans per index table
+    "dedup_index_manifest": _ORACLE_DEDUP_MANIFEST,
 }

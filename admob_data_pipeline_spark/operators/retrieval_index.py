@@ -792,6 +792,105 @@ _ORACLE_INDEX_ASOF = _ORACLE_BM25_SEARCH.replace(
 assert _ORACLE_INDEX_ASOF != _ORACLE_BM25_SEARCH
 
 
+def bm25_index_manifest(spark: SparkSession, table_prefix: str) -> DataFrame:
+    """DESCRIBE-INDEX for the text index: per-table logical row counts
+    and ingest-epoch spans, read from the index alone (see
+    ann_index_manifest for the ops contract)."""
+    import functools
+
+    def row(t: str, has_epoch: bool) -> DataFrame:
+        df = spark.table(f"{table_prefix}_{t}")
+        if has_epoch:
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("epoch").alias("n_epochs"),
+                F.min("epoch").alias("min_epoch"),
+                F.max("epoch").alias("max_epoch"),
+            )
+        else:
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.lit(0).cast("long").alias("n_epochs"),
+                F.lit(None).cast("long").alias("min_epoch"),
+                F.lit(None).cast("long").alias("max_epoch"),
+            )
+        return agg.select(F.lit(t).alias("table_name"), "*")
+
+    parts = [
+        row("postings", True),
+        row("doclen", True),
+        row("positions", True),
+        row("stats", False),
+        row("tombstones", False),
+    ]
+    return functools.reduce(lambda a, b: a.unionByName(b), parts).orderBy(
+        "table_name"
+    )
+
+
+def q_bm25_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build over the base slice, ingest the held-out quarter, delete a
+    slice, read the manifest. The oracle recomputes every logical count
+    from the raw corpus (distinct (doc,token) postings, distinct docs,
+    token occurrences, one stats row, tombstone volume)."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % UPSERT_DOC_MOD != UPSERT_DOC_MOD - 1)
+    delta = docs.where(F.col("doc_id") % UPSERT_DOC_MOD == UPSERT_DOC_MOD - 1)
+    doomed = docs.where(
+        F.col("doc_id") % BM25_DELETE_MOD == BM25_DELETE_REM
+    ).select("doc_id")
+    out = tempfile.mkdtemp(prefix="bm25_manifest_")
+    prefix = "bm25_idx_mf"
+    try:
+        bm25_index_build(base, prefix, out)
+        bm25_index_upsert(delta, prefix, epoch=0)
+        bm25_index_delete(spark, doomed, prefix)
+        rows = bm25_index_manifest(spark, prefix).collect()
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "table_name string, n_rows bigint, n_epochs bigint,"
+        " min_epoch bigint, max_epoch bigint",
+    )
+
+
+_ORACLE_INDEX_MANIFEST = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+),
+counts AS (
+    SELECT 'postings' AS table_name,
+           (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, token FROM tok))
+               AS n_rows,
+           2 AS n_epochs, -1 AS min_epoch, 0 AS max_epoch
+    UNION ALL
+    SELECT 'doclen',
+           (SELECT COUNT(DISTINCT doc_id) FROM tok), 2, -1, 0
+    UNION ALL
+    SELECT 'positions', (SELECT COUNT(*) FROM tok), 2, -1, 0
+    UNION ALL
+    SELECT 'stats', 1, 0, NULL, NULL
+    UNION ALL
+    SELECT 'tombstones',
+           (SELECT COUNT(*) FROM documents
+            WHERE doc_id % {BM25_DELETE_MOD} = {BM25_DELETE_REM}),
+           0, NULL, NULL
+)
+SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_epochs AS BIGINT) AS n_epochs,
+       CAST(min_epoch AS BIGINT) AS min_epoch,
+       CAST(max_epoch AS BIGINT) AS max_epoch
+FROM counts ORDER BY table_name
+"""
+
+
 def serving_plans(spark: SparkSession, sf_dir: str):
     """Plan-audit hook: the real index-serving plan (see
     ann_index.serving_plans for the contract)."""
@@ -840,6 +939,7 @@ QUERIES = {
     "bm25_index_phrase": q_bm25_index_phrase,
     "bm25_index_drift": q_bm25_index_drift,
     "bm25_index_asof": q_bm25_index_asof,
+    "bm25_index_manifest": q_bm25_index_manifest,
 }
 
 ORACLES = {
@@ -861,4 +961,6 @@ ORACLES = {
     "bm25_index_drift": _ORACLE_INDEX_DRIFT,
     # time-travel serving: the inline oracle over the base slice
     "bm25_index_asof": _ORACLE_INDEX_ASOF,
+    # ops introspection: logical counts + epoch spans per index table
+    "bm25_index_manifest": _ORACLE_INDEX_MANIFEST,
 }

@@ -457,6 +457,8 @@ FRESH_FIRST: tuple[str, ...] = (
     "multimodal_image_tiles",
     "multimodal_audio_vad",
     "ann_index_manifest",
+    "bm25_index_manifest",
+    "dedup_index_manifest",
 )
 
 
