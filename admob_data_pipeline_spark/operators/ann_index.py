@@ -71,6 +71,7 @@ from admob_data_pipeline_spark.operators.similarity import (
 from admob_data_pipeline_spark.sinks.writers import (
     BASE_EPOCH,
     compact_bucketed_table,
+    index_manifest,
     next_epoch,
     overwrite_epoch_partition,
     write_epoch_bucketed,
@@ -127,12 +128,14 @@ def ann_index_build(
     cb_df.write.mode("overwrite").format("parquet").option(
         "path", f"{path}/codebooks"
     ).saveAsTable(f"{table_prefix}_codebooks")
-    # empty tombstone set: deletes are logical until the next compaction
-    spark.createDataFrame([], "vec_id bigint").write.mode("overwrite").format(
-        "parquet"
-    ).option("path", f"{path}/tombstones").saveAsTable(
-        f"{table_prefix}_tombstones"
-    )
+    # empty tombstone set: deletes are logical until the next compaction;
+    # each is stamped with the newest ingest epoch at issue time so
+    # as-of reads can reconstruct pre-delete history
+    spark.createDataFrame(
+        [], "vec_id bigint, deleted_at_epoch bigint"
+    ).write.mode("overwrite").format("parquet").option(
+        "path", f"{path}/tombstones"
+    ).saveAsTable(f"{table_prefix}_tombstones")
     code_cols = [F.col(f"c{s}") for s in range(m)]
     write_epoch_bucketed(
         codes.join(assigned.select("vec_id", "list_id"), "vec_id").select(
@@ -272,9 +275,16 @@ def ann_index_search(
         .where(F.col("vec_id") != F.col("qid"))
         # logical deletes: tombstoned vectors stay in the files until
         # the next compaction but never surface as candidates. The set
-        # is broadcast — bounded by compaction cadence by contract.
+        # is broadcast — bounded by compaction cadence by contract. An
+        # as-of read masks only deletes stamped at-or-before its epoch.
         .join(
-            F.broadcast(spark.table(f"{table_prefix}_tombstones")),
+            F.broadcast(
+                spark.table(f"{table_prefix}_tombstones")
+                if as_of_epoch is None
+                else spark.table(f"{table_prefix}_tombstones").where(
+                    F.col("deleted_at_epoch") <= int(as_of_epoch)
+                )
+            ),
             "vec_id",
             "left_anti",
         )
@@ -745,10 +755,17 @@ def ann_index_delete(
     the code rows stay on disk until :func:`ann_index_compact` PURGES
     them — the delete/compact split every LSM-shaped store runs.
     Duplicate tombstones are harmless (anti-join semantics), so the
-    append is replay-safe without any epoch machinery."""
-    vec_ids.select(F.col("vec_id").cast("long")).write.mode(
-        "append"
-    ).format("parquet").saveAsTable(f"{table_prefix}_tombstones")
+    append is replay-safe without any epoch machinery. Each tombstone
+    is STAMPED with the newest ingest epoch at issue time, so an as-of
+    read masks only deletes issued up to its epoch — later deletes
+    never rewrite history."""
+    stamp = next_epoch(spark, f"{table_prefix}_codes") - 1
+    vec_ids.select(
+        F.col("vec_id").cast("long"),
+        F.lit(int(stamp)).cast("long").alias("deleted_at_epoch"),
+    ).write.mode("append").format("parquet").saveAsTable(
+        f"{table_prefix}_tombstones"
+    )
 
 
 def ann_index_compact(spark: SparkSession, table_prefix: str) -> tuple[int, int]:
@@ -769,9 +786,11 @@ def ann_index_compact(spark: SparkSession, table_prefix: str) -> tuple[int, int]
         fold_partition=("epoch", BASE_EPOCH),
         anti=("vec_id", spark.table(tomb)),
     )
-    spark.createDataFrame([], "vec_id bigint").write.mode(
-        "overwrite"
-    ).format("parquet").insertInto(tomb, overwrite=True)
+    spark.createDataFrame(
+        [], "vec_id bigint, deleted_at_epoch bigint"
+    ).write.mode("overwrite").format("parquet").insertInto(
+        tomb, overwrite=True
+    )
     return out
 
 
@@ -997,41 +1016,18 @@ assert _ORACLE_INDEX_ASOF != _ORACLE_INDEX_UPSERT
 
 
 def ann_index_manifest(spark: SparkSession, table_prefix: str) -> DataFrame:
-    """DESCRIBE-INDEX for operators: one row per index table with its
-    logical row count, ingest-epoch span, and epoch count — the numbers
-    an on-call reads before deciding compaction or rebuild (epoch count
-    climbing → compact; codes/tombstones ratio climbing → purge). Reads
-    only the index tables; epoch columns come from partition metadata."""
-    import functools
-
-    spark_ = spark
-
-    def row(t: str, has_epoch: bool) -> DataFrame:
-        df = spark_.table(f"{table_prefix}_{t}")
-        if has_epoch:
-            agg = df.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.countDistinct("epoch").alias("n_epochs"),
-                F.min("epoch").alias("min_epoch"),
-                F.max("epoch").alias("max_epoch"),
-            )
-        else:
-            agg = df.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.lit(0).cast("long").alias("n_epochs"),
-                F.lit(None).cast("long").alias("min_epoch"),
-                F.lit(None).cast("long").alias("max_epoch"),
-            )
-        return agg.select(F.lit(t).alias("table_name"), "*")
-
-    parts = [
-        row("centroids", False),
-        row("codebooks", False),
-        row("codes", True),
-        row("tombstones", False),
-    ]
-    return functools.reduce(lambda a, b: a.unionByName(b), parts).orderBy(
-        "table_name"
+    """DESCRIBE-INDEX for the ANN index (shared helper in
+    sinks/writers.py): per-table logical row counts + ingest-epoch
+    spans, read from the index alone."""
+    return index_manifest(
+        spark,
+        table_prefix,
+        [
+            ("centroids", False),
+            ("codebooks", False),
+            ("codes", True),
+            ("tombstones", False),
+        ],
     )
 
 

@@ -55,6 +55,7 @@ from admob_data_pipeline_spark.operators.util import join_small
 from admob_data_pipeline_spark.sinks.writers import (
     BASE_EPOCH,
     compact_bucketed_table,
+    index_manifest,
     next_epoch,
     overwrite_epoch_partition,
     write_epoch_bucketed,
@@ -90,12 +91,14 @@ def dedup_index_build(
     bands = lsh_band_keys(minhash_signatures(sh), band_in_key=True)
     for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{t}")
-    # empty tombstone set: deletes are logical until the next compaction
-    spark.createDataFrame([], "doc_id bigint").write.mode("overwrite").format(
-        "parquet"
-    ).option("path", f"{path}/tombstones").saveAsTable(
-        f"{table_prefix}_tombstones"
-    )
+    # empty tombstone set: deletes are logical until the next compaction;
+    # stamped with the newest ingest epoch at issue time (as-of reads
+    # mask only deletes issued up to their epoch)
+    spark.createDataFrame(
+        [], "doc_id bigint, deleted_at_epoch bigint"
+    ).write.mode("overwrite").format("parquet").option(
+        "path", f"{path}/tombstones"
+    ).saveAsTable(f"{table_prefix}_tombstones")
     write_epoch_bucketed(
         bands.select("band_key", "band", "doc_id"),
         f"{table_prefix}_bands",
@@ -153,9 +156,16 @@ def dedup_index_probe(
     idx = (
         bands_t
         # logical deletes: tombstoned docs never become candidates;
-        # their rows purge at the next compaction
+        # their rows purge at the next compaction. As-of reads mask
+        # only deletes stamped at-or-before their epoch.
         .join(
-            F.broadcast(spark.table(f"{table_prefix}_tombstones")),
+            F.broadcast(
+                spark.table(f"{table_prefix}_tombstones")
+                if as_of_epoch is None
+                else spark.table(f"{table_prefix}_tombstones").where(
+                    F.col("deleted_at_epoch") <= int(as_of_epoch)
+                )
+            ),
             "doc_id",
             "left_anti",
         )
@@ -218,8 +228,11 @@ def dedup_index_upsert(
     if epoch is None:
         epoch = next_epoch(spark, f"{table_prefix}_bands")
     banned = spark.table(f"{table_prefix}_banned")
+    # one eager materialization: the OUTER checkpoint alone carries the
+    # reuse across the three table writes (unlike the build path, banned
+    # here is a table read, not derived from the delta's shingles)
     sh = join_small(
-        doc_shingles(delta, k).localCheckpoint(), banned, "shingle", "left_anti"
+        doc_shingles(delta, k), banned, "shingle", "left_anti"
     ).localCheckpoint()
     bands = lsh_band_keys(minhash_signatures(sh), band_in_key=True)
     overwrite_epoch_partition(
@@ -253,10 +266,15 @@ def dedup_index_delete(
     the append is replay-safe). Probes mask tombstoned docs at
     candidate generation; band/shingle/size rows purge at the next
     compaction. The frozen stop list deliberately keeps its build-time
-    census — rebuild cadence refreshes it."""
-    doc_ids.select(F.col("doc_id").cast("long")).write.mode(
-        "append"
-    ).format("parquet").saveAsTable(f"{table_prefix}_tombstones")
+    census — rebuild cadence refreshes it. Each tombstone is stamped
+    with the newest ingest epoch at issue time."""
+    stamp = next_epoch(spark, f"{table_prefix}_bands") - 1
+    doc_ids.select(
+        F.col("doc_id").cast("long"),
+        F.lit(int(stamp)).cast("long").alias("deleted_at_epoch"),
+    ).write.mode("append").format("parquet").saveAsTable(
+        f"{table_prefix}_tombstones"
+    )
 
 
 def dedup_index_compact(spark: SparkSession, table_prefix: str):
@@ -288,9 +306,11 @@ def dedup_index_compact(spark: SparkSession, table_prefix: str):
         fold_partition=("epoch", BASE_EPOCH),
         anti=("doc_id", tomb),
     )
-    spark.createDataFrame([], "doc_id bigint").write.mode(
-        "overwrite"
-    ).format("parquet").insertInto(f"{table_prefix}_tombstones", overwrite=True)
+    spark.createDataFrame(
+        [], "doc_id bigint, deleted_at_epoch bigint"
+    ).write.mode("overwrite").format("parquet").insertInto(
+        f"{table_prefix}_tombstones", overwrite=True
+    )
     return a, b
 
 
@@ -751,38 +771,18 @@ assert _ORACLE_DEDUP_ASOF != _ORACLE_DEDUP_UPSERT
 
 
 def dedup_index_manifest(spark: SparkSession, table_prefix: str) -> DataFrame:
-    """DESCRIBE-INDEX for the dedup index: per-table logical row counts
-    and ingest-epoch spans, read from the index alone (see
-    ann_index_manifest for the ops contract)."""
-    import functools
-
-    def row(t: str, has_epoch: bool) -> DataFrame:
-        df = spark.table(f"{table_prefix}_{t}")
-        if has_epoch:
-            agg = df.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.countDistinct("epoch").alias("n_epochs"),
-                F.min("epoch").alias("min_epoch"),
-                F.max("epoch").alias("max_epoch"),
-            )
-        else:
-            agg = df.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.lit(0).cast("long").alias("n_epochs"),
-                F.lit(None).cast("long").alias("min_epoch"),
-                F.lit(None).cast("long").alias("max_epoch"),
-            )
-        return agg.select(F.lit(t).alias("table_name"), "*")
-
-    parts = [
-        row("bands", True),
-        row("shingles", True),
-        row("shsizes", True),
-        row("banned", False),
-        row("tombstones", False),
-    ]
-    return functools.reduce(lambda a, b: a.unionByName(b), parts).orderBy(
-        "table_name"
+    """DESCRIBE-INDEX for the dedup index (shared helper in
+    sinks/writers.py)."""
+    return index_manifest(
+        spark,
+        table_prefix,
+        [
+            ("bands", True),
+            ("shingles", True),
+            ("shsizes", True),
+            ("banned", False),
+            ("tombstones", False),
+        ],
     )
 
 

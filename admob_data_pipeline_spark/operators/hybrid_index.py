@@ -176,10 +176,15 @@ def q_hybrid_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vector leg: the inline IVF-PQ chain widened to the shortlist, exact-
 # cosine reranked, filtered to the probe; lexical leg: the inline hybrid
 # oracle's CTEs verbatim (the persisted derivation is value-identical).
+_shortlist_sql = _ORACLE_IVFPQ.replace(
+    f"WHERE rank <= {DEFAULT_K}", f"WHERE rank <= {VEC_SHORTLIST}"
+).strip()
+assert _shortlist_sql != _ORACLE_IVFPQ.strip()
+
 _ORACLE_HYBRID_INDEX = f"""
 WITH {_DUCK_BM25_TABLES},
 short AS (
-    {_ORACLE_IVFPQ.replace(f"WHERE rank <= {DEFAULT_K}", f"WHERE rank <= {VEC_SHORTLIST}").strip()}
+    {_shortlist_sql}
 ),
 eb AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

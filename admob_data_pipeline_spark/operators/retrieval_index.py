@@ -59,6 +59,7 @@ from admob_data_pipeline_spark.operators.corpus import (
 from admob_data_pipeline_spark.sinks.writers import (
     BASE_EPOCH,
     compact_bucketed_table,
+    index_manifest,
     next_epoch,
     overwrite_epoch_partition,
     write_epoch_bucketed,
@@ -78,12 +79,14 @@ def bm25_index_build(docs: DataFrame, table_prefix: str, path: str) -> None:
     tf = _bm25_tf(docs, "text")
     for t in ("postings", "doclen", "stats", "positions", "tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{t}")
-    # empty tombstone set: deletes are logical until the next compaction
-    spark.createDataFrame([], "doc_id bigint").write.mode("overwrite").format(
-        "parquet"
-    ).option("path", f"{path}/tombstones").saveAsTable(
-        f"{table_prefix}_tombstones"
-    )
+    # empty tombstone set: deletes are logical until the next compaction;
+    # stamped with the newest ingest epoch at issue time (as-of reads
+    # mask only deletes issued up to their epoch)
+    spark.createDataFrame(
+        [], "doc_id bigint, deleted_at_epoch bigint"
+    ).write.mode("overwrite").format("parquet").option(
+        "path", f"{path}/tombstones"
+    ).saveAsTable(f"{table_prefix}_tombstones")
     write_epoch_bucketed(
         tf.select("token", "doc_id", "tf"),
         f"{table_prefix}_postings",
@@ -134,9 +137,16 @@ def bm25_index_search(
         postings
         .where(F.col("token").isin(list(query_terms)))
         # logical deletes: tombstoned docs never match, and df counts
-        # only surviving postings; rows purge at the next compaction
+        # only surviving postings; rows purge at the next compaction.
+        # As-of reads mask only deletes stamped at-or-before their epoch.
         .join(
-            F.broadcast(spark.table(f"{table_prefix}_tombstones")),
+            F.broadcast(
+                spark.table(f"{table_prefix}_tombstones")
+                if as_of_epoch is None
+                else spark.table(f"{table_prefix}_tombstones").where(
+                    F.col("deleted_at_epoch") <= int(as_of_epoch)
+                )
+            ),
             "doc_id",
             "left_anti",
         )
@@ -417,10 +427,15 @@ def bm25_index_delete(
     append is replay-safe). Serving masks tombstoned docs and computes
     df over surviving postings only; the rows purge at the next
     compaction. The frozen (n_docs, avgdl) scalars deliberately do NOT
-    shrink — the same rebuild-cadence contract as ingest."""
-    doc_ids.select(F.col("doc_id").cast("long")).write.mode(
-        "append"
-    ).format("parquet").saveAsTable(f"{table_prefix}_tombstones")
+    shrink — the same rebuild-cadence contract as ingest. Each
+    tombstone is stamped with the newest ingest epoch at issue time."""
+    stamp = next_epoch(spark, f"{table_prefix}_postings") - 1
+    doc_ids.select(
+        F.col("doc_id").cast("long"),
+        F.lit(int(stamp)).cast("long").alias("deleted_at_epoch"),
+    ).write.mode("append").format("parquet").saveAsTable(
+        f"{table_prefix}_tombstones"
+    )
 
 
 def bm25_index_compact(spark: SparkSession, table_prefix: str):
@@ -454,9 +469,11 @@ def bm25_index_compact(spark: SparkSession, table_prefix: str):
         fold_partition=("epoch", BASE_EPOCH),
         anti=("doc_id", tomb),
     )
-    spark.createDataFrame([], "doc_id bigint").write.mode(
-        "overwrite"
-    ).format("parquet").insertInto(f"{table_prefix}_tombstones", overwrite=True)
+    spark.createDataFrame(
+        [], "doc_id bigint, deleted_at_epoch bigint"
+    ).write.mode("overwrite").format("parquet").insertInto(
+        f"{table_prefix}_tombstones", overwrite=True
+    )
     return a, b
 
 
@@ -793,38 +810,18 @@ assert _ORACLE_INDEX_ASOF != _ORACLE_BM25_SEARCH
 
 
 def bm25_index_manifest(spark: SparkSession, table_prefix: str) -> DataFrame:
-    """DESCRIBE-INDEX for the text index: per-table logical row counts
-    and ingest-epoch spans, read from the index alone (see
-    ann_index_manifest for the ops contract)."""
-    import functools
-
-    def row(t: str, has_epoch: bool) -> DataFrame:
-        df = spark.table(f"{table_prefix}_{t}")
-        if has_epoch:
-            agg = df.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.countDistinct("epoch").alias("n_epochs"),
-                F.min("epoch").alias("min_epoch"),
-                F.max("epoch").alias("max_epoch"),
-            )
-        else:
-            agg = df.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.lit(0).cast("long").alias("n_epochs"),
-                F.lit(None).cast("long").alias("min_epoch"),
-                F.lit(None).cast("long").alias("max_epoch"),
-            )
-        return agg.select(F.lit(t).alias("table_name"), "*")
-
-    parts = [
-        row("postings", True),
-        row("doclen", True),
-        row("positions", True),
-        row("stats", False),
-        row("tombstones", False),
-    ]
-    return functools.reduce(lambda a, b: a.unionByName(b), parts).orderBy(
-        "table_name"
+    """DESCRIBE-INDEX for the text index (shared helper in
+    sinks/writers.py)."""
+    return index_manifest(
+        spark,
+        table_prefix,
+        [
+            ("postings", True),
+            ("doclen", True),
+            ("positions", True),
+            ("stats", False),
+            ("tombstones", False),
+        ],
     )
 
 

@@ -238,7 +238,15 @@ def overwrite_epoch_partition(
     the raw key is not enough). Dynamic mode is set via session conf
     with save/restore — a per-write ``.option()`` is silently IGNORED by
     ``insertInto``, and under the default "static" the overwrite would
-    wipe every other epoch."""
+    wipe every other epoch. The save/restore is session-GLOBAL: do not
+    run concurrent writers that toggle partitionOverwriteMode on one
+    SparkSession (an interleaved restore could flip a concurrent
+    insertInto back to static mid-flight); ingest here is sequential —
+    foreachBatch epochs are serialized by the streaming engine, and
+    batch upserts are driver-sequential. Cluster deployments that need
+    concurrent writers should pin the session conf to "dynamic"
+    globally (as this repo's get_spark does), making the restore a
+    no-op."""
     spark = df.sparkSession
     rows = df.withColumn("epoch", F.lit(int(epoch)).cast("long"))
     if key is not None:
@@ -254,12 +262,48 @@ def overwrite_epoch_partition(
 
 
 def next_epoch(spark, table: str) -> int:
-    """Auto-assign the next ingest epoch: max(existing)+1 — a
-    partition-metadata-only aggregate. NOT replay-safe (two retried
-    callers could mint different ids); streaming callers must pass the
-    foreachBatch batch id instead."""
-    row = spark.table(table).agg(F.max("epoch")).first()
-    return (row[0] if row[0] is not None else BASE_EPOCH) + 1
+    """Auto-assign the next ingest epoch: max(existing)+1, read from the
+    catalog's PARTITION LIST (``SHOW PARTITIONS`` — no data files are
+    listed or scanned, so auto-epoch ingest stays O(#epochs) however
+    large the table grows). NOT replay-safe (two retried callers could
+    mint different ids); streaming callers must pass the foreachBatch
+    batch id instead."""
+    parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {table}").collect()]
+    epochs = [int(p.split("=", 1)[1]) for p in parts if p.startswith("epoch=")]
+    return (max(epochs) if epochs else BASE_EPOCH) + 1
+
+
+def index_manifest(spark, table_prefix: str, tables) -> DataFrame:
+    """DESCRIBE-INDEX for operators — one row per index table with its
+    logical row count, ingest-epoch span, and epoch count: the numbers
+    an on-call reads before deciding compaction (epoch count climbing)
+    or rebuild (drift audits). ``tables`` is ``[(name, has_epoch),
+    ...]``; shared by all three persisted-index families so the
+    manifest schema can never desynchronize between them."""
+    import functools
+
+    def row(t: str, has_epoch: bool) -> DataFrame:
+        df = spark.table(f"{table_prefix}_{t}")
+        if has_epoch:
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("epoch").alias("n_epochs"),
+                F.min("epoch").alias("min_epoch"),
+                F.max("epoch").alias("max_epoch"),
+            )
+        else:
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.lit(0).cast("long").alias("n_epochs"),
+                F.lit(None).cast("long").alias("min_epoch"),
+                F.lit(None).cast("long").alias("max_epoch"),
+            )
+        return agg.select(F.lit(t).alias("table_name"), "*")
+
+    parts = [row(t, he) for t, he in tables]
+    return functools.reduce(lambda a, b: a.unionByName(b), parts).orderBy(
+        "table_name"
+    )
 
 
 def compact_bucketed_table(
@@ -288,13 +332,20 @@ def compact_bucketed_table(
     on the raw key is NOT enough, task placement can still split a
     bucket across tasks. It writes a NEW external table beside the old
     location with
-    the same ``bucketBy``/``sortBy`` spec, then swaps it in: drop old
-    name → rename new → delete old files. Readers that resolved their
-    scan before the swap keep reading the old files until the final
-    delete; the zero-Exchange probe-join property survives because the
-    bucket spec is identical (pinned in the index test files). With one
-    file per bucket Spark can additionally trust the ``sortBy`` order,
-    dropping the partition-local Sort that multi-file buckets force.
+    the same ``bucketBy``/``sortBy`` spec, then swaps it in: rename old
+    → ``__old``, rename new → live name, drop ``__old``, delete its
+    files. The swap is two metastore renames — NOT atomic — but data is
+    never lost at any crash point: before the first rename both names
+    resolve, between them the full data sits under ``__old`` AND
+    ``__compact`` (recovery = one rename), after the second the live
+    name serves the compacted table. In-flight readers that resolved
+    their scan against the OLD files fail once the final delete runs,
+    so schedule compaction in a maintenance window (or against a
+    snapshot-isolated store); the zero-Exchange probe-join property
+    survives because the bucket spec is identical (pinned in the index
+    test files). With one file per bucket Spark can additionally trust
+    the ``sortBy`` order, dropping the partition-local Sort that
+    multi-file buckets force.
 
     ``key=None``: compact a plain (unbucketed) epoch-partitioned side
     table — single-file rewrite, no bucket spec.
@@ -353,8 +404,11 @@ def compact_bucketed_table(
     if fold_partition is not None:
         w = w.partitionBy(fold_partition[0])
     w.saveAsTable(tmp)
-    spark.sql(f"DROP TABLE {table}")
+    old = f"{table}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {old}")  # external: metadata only
     # reclaim the superseded files through the Hadoop FS API (works on
     # any Hadoop-compatible store, not just local paths)
     jvm = spark._jvm

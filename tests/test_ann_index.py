@@ -23,7 +23,7 @@ def built_index(spark, sf_dir):
     prefix = "ann_idx_t"
     ann_index.ann_index_build(emb, prefix, out)
     yield emb, prefix
-    for t in ("centroids", "codebooks", "codes"):
+    for t in ("centroids", "codebooks", "codes", "tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
     shutil.rmtree(out, ignore_errors=True)
 
@@ -105,7 +105,7 @@ def test_build_is_idempotent_overwrite(spark, built_index, sf_dir):
             F.col("list_id").isNull()
         ).count() == 0
     finally:
-        for t in ("centroids", "codebooks", "codes"):
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix2}_{t}")
         shutil.rmtree(out2, ignore_errors=True)
 
@@ -148,7 +148,7 @@ def test_upsert_appends_delta_and_keeps_bucketed_layout(spark, sf_dir):
         ann_index.ann_index_upsert(delta.where(F.lit(False)), prefix)
         assert spark.table(f"{prefix}_codes").count() == n_base + delta.count()
     finally:
-        for t in ("centroids", "codebooks", "codes"):
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
 
@@ -250,7 +250,7 @@ def test_upsert_replay_with_same_epoch_is_idempotent(spark, sf_dir):
         )
         assert spark.table(f"{prefix}_codes").count() == len(snap)
     finally:
-        for t in ("centroids", "codebooks", "codes"):
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
 
@@ -317,11 +317,11 @@ def test_streaming_ingest_survives_midstream_restart(spark, sf_dir, tmp_path):
                 emb, similarity.QUERY_IDS, prefix2
             ).collect()
         finally:
-            for t in ("centroids", "codebooks", "codes"):
+            for t in ("centroids", "codebooks", "codes", "tombstones"):
                 spark.sql(f"DROP TABLE IF EXISTS {prefix2}_{t}")
         assert got == want and got
     finally:
-        for t in ("centroids", "codebooks", "codes"):
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
 
 
@@ -360,7 +360,7 @@ def test_compact_folds_epochs_and_keeps_layout(spark, sf_dir):
         assert plan.count("Exchange (") == 1, plan
         assert "Bucketed: true" in plan
     finally:
-        for t in ("centroids", "codebooks", "codes"):
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
 
@@ -430,3 +430,44 @@ def test_asof_search_prunes_epochs_and_matches_base_index(spark, sf_dir, tmp_pat
         for p in (prefix, prefix2):
             for t in ("centroids", "codebooks", "codes", "tombstones"):
                 spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
+
+
+def test_asof_read_ignores_later_deletes(spark, sf_dir, tmp_path):
+    """Tombstones are epoch-stamped: a delete issued AFTER ingest epoch
+    e must not rewrite history — an as-of e read still returns the
+    vector, while the current-state read masks it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % 4 != 3)
+    delta = emb.where(F.col("vec_id") % 4 == 3)
+    prefix = "ann_idx_asofdel_t"
+    try:
+        ann_index.ann_index_build(base_corpus, prefix, str(tmp_path / "a"))
+        pre = ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix,
+            as_of_epoch=ann_index.BASE_EPOCH,
+        ).collect()
+        victim = pre[0].vec_id
+        ann_index.ann_index_upsert(delta, prefix, epoch=0)  # newest epoch: 0
+        ann_index.ann_index_delete(
+            spark,
+            spark.createDataFrame([(victim,)], "vec_id bigint"),
+            prefix,
+        )  # stamped deleted_at_epoch = 0
+        # history unchanged: the as-of base read still returns the victim
+        assert ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix,
+            as_of_epoch=ann_index.BASE_EPOCH,
+        ).collect() == pre
+        # the present masks it
+        now = ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix
+        ).collect()
+        assert all(r.vec_id != victim for r in now)
+        # and an as-of AT the delete's stamp masks it too
+        asof0 = ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix, as_of_epoch=0
+        ).collect()
+        assert all(r.vec_id != victim for r in asof0)
+    finally:
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")

@@ -61,7 +61,7 @@ def test_frozen_stop_list_semantics(spark):
         }
         assert got == {(10, 6)}
     finally:
-        for t in ("bands", "shingles", "shsizes", "banned"):
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
 
@@ -83,7 +83,7 @@ def test_band_probe_has_no_exchange_on_index_side(spark, sf_dir):
         assert plan.count("Exchange (") == 1, plan  # probe side only
         assert "Bucketed: true" in plan
     finally:
-        for t in ("bands", "shingles", "shsizes", "banned"):
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
 
@@ -128,7 +128,7 @@ def test_upsert_then_compact_keeps_probe_semantics_and_layout(spark, sf_dir):
         assert plan.count("Exchange (") == 1, plan
         assert "Bucketed: true" in plan
     finally:
-        for t in ("bands", "shingles", "shsizes", "banned"):
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
 
@@ -159,7 +159,7 @@ def test_upsert_replay_with_same_epoch_is_idempotent(spark, sf_dir):
             ) == snap, t
         assert dedup_index.dedup_index_probe(batch, prefix).collect() == pre
     finally:
-        for t in ("bands", "shingles", "shsizes", "banned"):
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
 

@@ -21,7 +21,7 @@ def built_bm25(spark, sf_dir):
     prefix = "bm25_idx_t"
     retrieval_index.bm25_index_build(docs, prefix, out)
     yield docs, prefix
-    for t in ("postings", "doclen", "stats"):
+    for t in ("postings", "doclen", "stats", "positions", "tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
     shutil.rmtree(out, ignore_errors=True)
 
@@ -111,7 +111,7 @@ def test_upsert_appends_postings_and_keeps_layout(spark, sf_dir):
         assert plan.count("Exchange (") == 1, plan
         assert "Bucketed: true" in plan
     finally:
-        for t in ("postings", "doclen", "stats"):
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
 
@@ -152,7 +152,7 @@ def test_compact_rewrites_one_file_per_bucket(spark, sf_dir):
         )
         assert "Bucketed: true" in plan or "Scan parquet" in plan
     finally:
-        for t in ("postings", "doclen", "stats"):
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
 
@@ -186,7 +186,7 @@ def test_upsert_replay_with_same_epoch_is_idempotent(spark, sf_dir):
             spark, corpus.BM25_QUERY, prefix
         ).collect() == pre
     finally:
-        for t in ("postings", "doclen", "stats"):
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
 
@@ -224,7 +224,7 @@ def test_delete_masks_then_compact_purges(spark, sf_dir):
             spark, corpus.BM25_QUERY, prefix
         ).collect() == got
     finally:
-        for t in ("postings", "doclen", "stats", "tombstones"):
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
 
