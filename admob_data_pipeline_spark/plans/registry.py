@@ -421,6 +421,33 @@ DRIVER_GREEN: frozenset[str] = frozenset(
         "source_binaryfile_scan",
         "streaming_ann_ingest",
         "streaming_late_data_audit",
+        # r09 driver-green rows (CORRECTNESS_r09, 50/50 green: 23 fresh
+        # names below + the 19-name RECHECK re-verified + 8 green
+        # re-checks). Backlog stays ZERO — all 352 registry entries are
+        # driver-confirmed.
+        "ann_index_asof",
+        "ann_index_compact",
+        "ann_index_delete",
+        "ann_index_drift",
+        "ann_index_manifest",
+        "bm25_index_asof",
+        "bm25_index_compact",
+        "bm25_index_delete",
+        "bm25_index_drift",
+        "bm25_index_manifest",
+        "bm25_index_phrase",
+        "dedup_index_asof",
+        "dedup_index_compact",
+        "dedup_index_delete",
+        "dedup_index_drift",
+        "dedup_index_manifest",
+        "dedup_index_upsert",
+        "hybrid_index_search",
+        "multimodal_audio_frames",
+        "multimodal_audio_vad",
+        "multimodal_image_tiles",
+        "streaming_bm25_ingest",
+        "streaming_dedup_ingest",
     }
 )
 
@@ -434,31 +461,8 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 # Names absent from the registry are ignored, so this list never breaks on
 # renames.
 FRESH_FIRST: tuple[str, ...] = (
-    # round-9 wave: backlog is ZERO after the r8 append (all 329 entries
-    # driver-confirmed). New round-9 queries land here, newest first.
-    "ann_index_compact",
-    "bm25_index_compact",
-    "dedup_index_upsert",
-    "dedup_index_compact",
-    "streaming_bm25_ingest",
-    "streaming_dedup_ingest",
-    "ann_index_drift",
-    "ann_index_delete",
-    "bm25_index_delete",
-    "dedup_index_delete",
-    "bm25_index_phrase",
-    "hybrid_index_search",
-    "bm25_index_drift",
-    "dedup_index_drift",
-    "ann_index_asof",
-    "bm25_index_asof",
-    "dedup_index_asof",
-    "multimodal_audio_frames",
-    "multimodal_image_tiles",
-    "multimodal_audio_vad",
-    "ann_index_manifest",
-    "bm25_index_manifest",
-    "dedup_index_manifest",
+    # round-10 wave: backlog is ZERO after the r9 append (all 352 entries
+    # driver-confirmed). New round-10 queries land here, newest first.
 )
 
 
@@ -469,40 +473,12 @@ FRESH_FIRST: tuple[str, ...] = (
 # lands — then remove them from here.
 RECHECK: frozenset[str] = frozenset(
     {
-        # r9: the persisted ANN code table was physically rewritten to
-        # an epoch-PARTITIONED layout (exactly-once streaming ingest via
-        # dynamic partition overwrite, operators/ann_index.py). Results
-        # are identical by design (oracles re-verified locally on a
-        # vanilla session), but the whole family re-enters the window
-        # until fresh driver verdicts confirm it.
-        "ann_index_build",
-        "ann_index_search",
-        "ann_index_upsert",
-        "ann_index_rerank",
-        "streaming_ann_ingest",
-        # r9: KNN_PROBE_BUDGET raised 10 → 15 (recall 76.9% → 84.4% at
-        # sf0.1, wall ~1.5x r8's 2.09 s on a like harness). The oracle
-        # derives probes from the same constant, so results moved in
-        # lockstep (all 9 re-verified locally), but the family
-        # re-enters the window for fresh driver verdicts.
-        "knn_graph",
-        "knn_graph_recall",
-        "knn_probe_lift",
-        "knn_hubness",
-        "knn_recall_by_label",
-        "knn_recall_by_source",
-        "knn_mutual_edges",
-        "knn_label_modularity",
-        "dedup_mutual_knn_clusters",
-        # r9: the BM25 and dedup index tables moved to the same
-        # epoch-partitioned layout (exactly-once ingest); results are
-        # identical by design (all oracles re-verified locally on a
-        # vanilla session) but the families re-enter the window.
-        "bm25_index_build",
-        "bm25_index_search",
-        "bm25_index_upsert",
-        "dedup_index_build",
-        "dedup_index_probe",
+        # Empty after round 9: all 19 r9 re-check names (the
+        # epoch-partition physical rewrite families + the B=15 knn
+        # probe-budget raise) landed fresh driver verdicts in
+        # CORRECTNESS_r09 — every recorded green now reflects the
+        # current code. Names whose semantics change in round 10
+        # re-enter here.
     }
 )
 
