@@ -70,10 +70,12 @@ from admob_data_pipeline_spark.operators.similarity import (
 )
 from admob_data_pipeline_spark.sinks.writers import (
     BASE_EPOCH,
+    claim_epoch,
     compact_bucketed_table,
     index_manifest,
     next_epoch,
     overwrite_epoch_partition,
+    purge_applied_tombstones,
     write_epoch_bucketed,
 )
 from admob_data_pipeline_spark.sources.tables import load_table
@@ -130,7 +132,8 @@ def ann_index_build(
     ).saveAsTable(f"{table_prefix}_codebooks")
     # empty tombstone set: deletes are logical until the next compaction;
     # each is stamped with the newest ingest epoch at issue time so
-    # as-of reads can reconstruct pre-delete history
+    # as-of reads can reconstruct pre-delete history (only back to the
+    # last compaction — folding epochs discards the history span)
     spark.createDataFrame(
         [], "vec_id bigint, deleted_at_epoch bigint"
     ).write.mode("overwrite").format("parquet").option(
@@ -185,9 +188,11 @@ def ann_index_upsert(
     earlier epochs) is never rescanned or rewritten.
 
     ``epoch`` is the idempotency key: pass the foreachBatch batch id
-    from streaming; batch callers may omit it to auto-assign
-    max(existing)+1 (a partition-metadata-only aggregate — note an
-    auto-assigned id is NOT replay-safe, only an explicit one is).
+    from streaming; batch callers may omit it to auto-assign via
+    :func:`claim_epoch` — an ATOMIC create-if-absent ledger mint, so
+    two CONCURRENT batch ingest jobs can never overwrite each other's
+    partition (the loser remints the next id). Note an auto-assigned id
+    is NOT replay-safe, only an explicit one is.
 
     Contract: quantizer parameters are frozen at build time, so search
     results after an upsert equal a from-scratch search over the union
@@ -198,7 +203,7 @@ def ann_index_upsert(
     spark = delta.sparkSession
     table = f"{table_prefix}_codes"
     if epoch is None:
-        epoch = next_epoch(spark, table)
+        epoch = claim_epoch(spark, table)
     cents = spark.table(f"{table_prefix}_centroids")
     book_mats = _persisted_codebooks(spark, table_prefix)
     m = len(book_mats)
@@ -758,8 +763,12 @@ def ann_index_delete(
     append is replay-safe without any epoch machinery. Each tombstone
     is STAMPED with the newest ingest epoch at issue time, so an as-of
     read masks only deletes issued up to its epoch — later deletes
-    never rewrite history."""
-    stamp = next_epoch(spark, f"{table_prefix}_codes") - 1
+    never rewrite history. The stamp never goes below epoch 0: a delete
+    issued while only the base layer exists is attributed to the OPEN
+    ingest window (epoch 0), so an as-of read at the build epoch
+    (BASE_EPOCH) always returns the pristine build — base history is
+    immutable (pinned in tests/test_ann_index.py)."""
+    stamp = max(next_epoch(spark, f"{table_prefix}_codes") - 1, BASE_EPOCH + 1)
     vec_ids.select(
         F.col("vec_id").cast("long"),
         F.lit(int(stamp)).cast("long").alias("deleted_at_epoch"),
@@ -773,23 +782,35 @@ def ann_index_compact(spark: SparkSession, table_prefix: str) -> tuple[int, int]
     epoch of the code table back into the base partition, PURGE
     tombstoned rows, and rewrite one-file-per-bucket (same bucket spec
     — the zero-Exchange probe join survives, pinned in
-    tests/test_ann_index.py). The tombstone set is then truncated:
-    post-compaction the logical and physical views coincide. Run only
-    when no replay of the folded epochs is possible: the stream is
-    stopped or its checkpoint has committed past them."""
+    tests/test_ann_index.py). The tombstone set is then truncated
+    SELECTIVELY: the rewrite anti-joins a MATERIALIZED snapshot of the
+    tombstones and only those snapshot rows are dropped afterward — a
+    delete appended concurrently with the rewrite survives to the next
+    cycle instead of being silently wiped unpurged (no resurrection
+    race). Post-compaction the logical and physical views coincide for
+    every tombstone that existed at entry. Run only when no replay of
+    the folded epochs is possible (the stream is stopped or its
+    checkpoint has committed past them); folding also voids as-of
+    history for the folded span — see compact_bucketed_table."""
     tomb = f"{table_prefix}_tombstones"
+    snap_rows = spark.table(tomb).collect()  # bounded by compaction cadence
+    snap = spark.createDataFrame(
+        snap_rows, "vec_id bigint, deleted_at_epoch bigint"
+    )
     out = compact_bucketed_table(
         spark,
         f"{table_prefix}_codes",
         key="list_id",
         n_buckets=CODES_BUCKETS,
         fold_partition=("epoch", BASE_EPOCH),
-        anti=("vec_id", spark.table(tomb)),
+        anti=("vec_id", snap),
     )
-    spark.createDataFrame(
-        [], "vec_id bigint, deleted_at_epoch bigint"
-    ).write.mode("overwrite").format("parquet").insertInto(
-        tomb, overwrite=True
+    purge_applied_tombstones(
+        spark,
+        tomb,
+        "vec_id bigint, deleted_at_epoch bigint",
+        "vec_id",
+        {r["vec_id"] for r in snap_rows},
     )
     return out
 
@@ -858,7 +879,10 @@ def ann_index_drift(spark: SparkSession, table_prefix: str) -> DataFrame:
             "n_delta",
             # integer division (`div`) on both engines — float division
             # rounds differently across Spark/DuckDB casts
-            F.expr("n_base * 1000000 div tot_base").alias("base_share_ppm"),
+            F.expr(
+                "CASE WHEN tot_base > 0"
+                " THEN n_base * 1000000 div tot_base ELSE 0 END"
+            ).alias("base_share_ppm"),
             F.expr(
                 "CASE WHEN tot_delta > 0"
                 " THEN n_delta * 1000000 div tot_delta ELSE 0 END"
@@ -925,7 +949,9 @@ per_list AS (
 tot AS (SELECT SUM(n_base) AS tot_base, SUM(n_delta) AS tot_delta
         FROM per_list)
 SELECT list_id, n_base, n_delta,
-       CAST(n_base * 1000000 // tot_base AS BIGINT) AS base_share_ppm,
+       CAST(CASE WHEN tot_base > 0
+                 THEN n_base * 1000000 // tot_base
+                 ELSE 0 END AS BIGINT) AS base_share_ppm,
        CAST(CASE WHEN tot_delta > 0
                  THEN n_delta * 1000000 // tot_delta
                  ELSE 0 END AS BIGINT) AS delta_share_ppm
@@ -982,7 +1008,10 @@ def q_ann_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-PRUNED scan (later epochs never read, pinned in
     tests/test_ann_index.py). The oracle restricts candidates to the
     base slice, so an as-of read that leaks (or loses) an epoch fails
-    the hash."""
+    the hash. History spans only epochs since the last compaction —
+    compaction folds them into the base partition and physically
+    applies deletes, voiding older as-of points (the LSM
+    snapshot-expiry trade, see compact_bucketed_table)."""
     import shutil
     import tempfile
 

@@ -54,10 +54,12 @@ from admob_data_pipeline_spark.operators.dedup import (
 from admob_data_pipeline_spark.operators.util import join_small
 from admob_data_pipeline_spark.sinks.writers import (
     BASE_EPOCH,
+    claim_epoch,
     compact_bucketed_table,
     index_manifest,
     next_epoch,
     overwrite_epoch_partition,
+    purge_applied_tombstones,
     write_epoch_bucketed,
 )
 from admob_data_pipeline_spark.sources.tables import load_table
@@ -223,10 +225,12 @@ def dedup_index_upsert(
     corpus is never rescanned.
 
     ``epoch`` is the idempotency key: pass the foreachBatch batch id
-    from streaming; batch callers may omit it to auto-assign."""
+    from streaming; batch callers may omit it to auto-assign via
+    :func:`claim_epoch` (atomic ledger mint — concurrent batch ingest
+    jobs can never overwrite each other's partition)."""
     spark = delta.sparkSession
     if epoch is None:
-        epoch = next_epoch(spark, f"{table_prefix}_bands")
+        epoch = claim_epoch(spark, f"{table_prefix}_bands")
     banned = spark.table(f"{table_prefix}_banned")
     # one eager materialization: the OUTER checkpoint alone carries the
     # reuse across the three table writes (unlike the build path, banned
@@ -267,8 +271,11 @@ def dedup_index_delete(
     candidate generation; band/shingle/size rows purge at the next
     compaction. The frozen stop list deliberately keeps its build-time
     census — rebuild cadence refreshes it. Each tombstone is stamped
-    with the newest ingest epoch at issue time."""
-    stamp = next_epoch(spark, f"{table_prefix}_bands") - 1
+    with the newest ingest epoch at issue time, never below epoch 0: a
+    delete issued before the first upsert is attributed to the open
+    ingest window, so as-of reads at the build epoch always see the
+    pristine build."""
+    stamp = max(next_epoch(spark, f"{table_prefix}_bands") - 1, BASE_EPOCH + 1)
     doc_ids.select(
         F.col("doc_id").cast("long"),
         F.lit(int(stamp)).cast("long").alias("deleted_at_epoch"),
@@ -281,8 +288,15 @@ def dedup_index_compact(spark: SparkSession, table_prefix: str):
     """Maintenance pass for a long-running dedup ingest: rewrite the
     appended band and shingle tables one-file-per-bucket with their
     bucket specs intact (the shuffle-free probe join survives — pinned
-    in tests/test_dedup_index.py)."""
-    tomb = spark.table(f"{table_prefix}_tombstones")
+    in tests/test_dedup_index.py). The tombstone snapshot is
+    MATERIALIZED once before the three rewrites and only those snapshot
+    rows are truncated afterward — a delete appended concurrently with
+    the rewrites survives to the next cycle instead of being silently
+    wiped unpurged."""
+    tomb_rows = spark.table(f"{table_prefix}_tombstones").collect()
+    tomb = spark.createDataFrame(
+        tomb_rows, "doc_id bigint, deleted_at_epoch bigint"
+    )
     a = compact_bucketed_table(
         spark,
         f"{table_prefix}_bands",
@@ -306,10 +320,12 @@ def dedup_index_compact(spark: SparkSession, table_prefix: str):
         fold_partition=("epoch", BASE_EPOCH),
         anti=("doc_id", tomb),
     )
-    spark.createDataFrame(
-        [], "doc_id bigint, deleted_at_epoch bigint"
-    ).write.mode("overwrite").format("parquet").insertInto(
-        f"{table_prefix}_tombstones", overwrite=True
+    purge_applied_tombstones(
+        spark,
+        f"{table_prefix}_tombstones",
+        "doc_id bigint, deleted_at_epoch bigint",
+        "doc_id",
+        {r["doc_id"] for r in tomb_rows},
     )
     return a, b
 
@@ -661,7 +677,10 @@ def dedup_index_drift(spark: SparkSession, table_prefix: str) -> DataFrame:
             "n_banned_frozen",
             "n_newly_hot",
             "hot_rows",
-            F.expr("hot_rows * 1000000 div n_rows").alias("hot_share_ppm"),
+            F.expr(
+                "CASE WHEN n_rows > 0"
+                " THEN hot_rows * 1000000 div n_rows ELSE 0 END"
+            ).alias("hot_share_ppm"),
         )
     )
 
@@ -725,8 +744,10 @@ SELECT CAST((SELECT COUNT(*) FROM hot) AS BIGINT) AS n_banned_frozen,
        CAST((SELECT COUNT(*) FROM newly_hot) AS BIGINT) AS n_newly_hot,
        CAST(COALESCE((SELECT SUM(df) FROM newly_hot), 0) AS BIGINT)
            AS hot_rows,
-       CAST(COALESCE((SELECT SUM(df) FROM newly_hot), 0) * 1000000
-            // (SELECT n_rows FROM tot) AS BIGINT) AS hot_share_ppm
+       CAST(CASE WHEN (SELECT n_rows FROM tot) > 0
+                 THEN COALESCE((SELECT SUM(df) FROM newly_hot), 0) * 1000000
+                      // (SELECT n_rows FROM tot)
+                 ELSE 0 END AS BIGINT) AS hot_share_ppm
 """
 
 
@@ -735,7 +756,8 @@ def q_dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     {3,4} as an ingest epoch, probe the held-out batch AS OF the base
     epoch — partition-pruned reads of the historical index. The oracle
     restricts candidates to the build slice (stop list is build-frozen
-    either way)."""
+    either way). History spans only epochs since the last compaction —
+    folding voids older as-of points (see compact_bucketed_table)."""
     import shutil
     import tempfile
 

@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.operators.ann_index import (
     ann_index_build,
+    ann_index_delete,
     ann_index_search_rerank,
+    ann_index_upsert,
 )
 from admob_data_pipeline_spark.operators.corpus import (
     _DUCK_BM25_SCORE,
@@ -44,6 +46,8 @@ from admob_data_pipeline_spark.operators.corpus import (
 )
 from admob_data_pipeline_spark.operators.retrieval_index import (
     bm25_index_build,
+    bm25_index_delete,
+    bm25_index_upsert,
 )
 from admob_data_pipeline_spark.operators.similarity import (
     _ORACLE_IVFPQ,
@@ -173,6 +177,188 @@ def q_hybrid_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_index_parity(
+    spark: SparkSession, bm25_prefix: str, ann_prefix: str
+) -> DataFrame:
+    """CROSS-INDEX consistency audit — the check a hybrid deployment
+    runs after independent per-index maintenance: BM25 and ANN are
+    upserted and deleted by SEPARATE jobs, and nothing in either index
+    asserts the other still serves the same document set. A doc deleted
+    from one index but not the other silently skews RRF fusion (its leg
+    keeps voting, the other never does). One reconciliation pass over
+    the two live id sets — (distinct doclen ids minus BM25 tombstones)
+    full-outer-joined with (distinct code ids minus ANN tombstones) —
+    plus the raw tombstone counts. A healthy pair shows n_*_only = 0
+    (modulo genuine corpus asymmetry: docs without embeddings or vice
+    versa); anything else names the skew direction and size.
+
+    Scale: one distinct per index side + one join — maintenance-cadence
+    cost, same order as the drift audits; the tombstone sides broadcast
+    (bounded by compaction cadence)."""
+    bm_tomb = spark.table(f"{bm25_prefix}_tombstones")
+    ann_tomb = spark.table(f"{ann_prefix}_tombstones")
+    bm_live = (
+        spark.table(f"{bm25_prefix}_doclen")
+        .select("doc_id")
+        .distinct()
+        .join(F.broadcast(bm_tomb.select("doc_id")), "doc_id", "left_anti")
+        .withColumn("in_bm", F.lit(1))
+    )
+    ann_live = (
+        spark.table(f"{ann_prefix}_codes")
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+        .join(
+            F.broadcast(ann_tomb.select(F.col("vec_id").alias("doc_id"))),
+            "doc_id",
+            "left_anti",
+        )
+        .withColumn("in_ann", F.lit(1))
+    )
+    j = bm_live.join(ann_live, "doc_id", "full_outer")
+    counts = j.agg(
+        F.count("in_bm").alias("n_bm25_live"),
+        F.count("in_ann").alias("n_ann_live"),
+        F.sum(
+            (F.col("in_bm").isNotNull() & F.col("in_ann").isNotNull()).cast(
+                "long"
+            )
+        ).alias("n_both"),
+        F.sum(
+            (F.col("in_bm").isNotNull() & F.col("in_ann").isNull()).cast(
+                "long"
+            )
+        ).alias("n_bm25_only"),
+        F.sum(
+            (F.col("in_bm").isNull() & F.col("in_ann").isNotNull()).cast(
+                "long"
+            )
+        ).alias("n_ann_only"),
+    )
+    tombs = (
+        bm_tomb.select("doc_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_tomb_bm25"))
+        .crossJoin(
+            ann_tomb.select("vec_id")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_tomb_ann"))
+        )
+    )
+    return counts.crossJoin(F.broadcast(tombs))
+
+
+# wrapper slices: base = id % 4 != 3, delta = id % 4 == 3; deletes
+# id % 10 == 1 from BOTH indexes (consistent) and id % 10 == 2 from the
+# ANN side only (the injected skew the audit must surface).
+PARITY_DELTA_MOD = 4
+PARITY_DEL_BOTH = 1
+PARITY_DEL_ANN_ONLY = 2
+
+
+def q_hybrid_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved per-index lifecycle, then reconcile: build both
+    indexes on the base slice, upsert the held-out quarter to each
+    (auto-epoch — exercises the claim_epoch ledger mint), delete one
+    slice from BOTH and one extra slice from the ANN side only, then
+    audit. The oracle recomputes both live sets from the raw tables, so
+    a doc lost or resurrected by either index's lifecycle — or an audit
+    that fails to notice the injected one-sided delete — fails the
+    hash. The wrapper also asserts the serving invariant the audit
+    protects: the hybrid RRF output contains no consistently-deleted
+    doc (each leg masks its own tombstones)."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="hybrid_parity_")
+    bp, ap = "hybrid_par_bm25", "hybrid_par_ann"
+    try:
+        bm25_index_build(
+            docs.where(F.col("doc_id") % PARITY_DELTA_MOD != 3),
+            bp,
+            f"{out}/bm25",
+        )
+        ann_index_build(
+            emb.where(F.col("vec_id") % PARITY_DELTA_MOD != 3),
+            ap,
+            f"{out}/ann",
+        )
+        bm25_index_upsert(
+            docs.where(F.col("doc_id") % PARITY_DELTA_MOD == 3), bp
+        )
+        ann_index_upsert(
+            emb.where(F.col("vec_id") % PARITY_DELTA_MOD == 3), ap
+        )
+        bm25_index_delete(
+            spark,
+            docs.where(F.col("doc_id") % 10 == PARITY_DEL_BOTH).select(
+                "doc_id"
+            ),
+            bp,
+        )
+        ann_index_delete(
+            spark,
+            emb.where(
+                (F.col("vec_id") % 10).isin(
+                    PARITY_DEL_BOTH, PARITY_DEL_ANN_ONLY
+                )
+            ).select("vec_id"),
+            ap,
+        )
+        rows = hybrid_index_parity(spark, bp, ap).collect()
+        served = hybrid_index_search(spark, emb, bp, ap).collect()
+        assert not any(r.doc_id % 10 == PARITY_DEL_BOTH for r in served), (
+            "hybrid surfaced a consistently-deleted doc"
+        )
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {bp}_{t}")
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {ap}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_bm25_live bigint, n_ann_live bigint, n_both bigint,"
+        " n_bm25_only bigint, n_ann_only bigint, n_tomb_bm25 bigint,"
+        " n_tomb_ann bigint",
+    )
+
+
+_ORACLE_HYBRID_PARITY = f"""
+WITH {_DUCK_BM25_TABLES},
+bm_live AS (
+    SELECT DISTINCT doc_id FROM tf WHERE doc_id % 10 <> {PARITY_DEL_BOTH}
+),
+ann_live AS (
+    SELECT vec_id AS doc_id FROM embeddings
+    WHERE vec_id % 10 NOT IN ({PARITY_DEL_BOTH}, {PARITY_DEL_ANN_ONLY})
+),
+j AS (
+    SELECT b.doc_id IS NOT NULL AS in_bm,
+           a.doc_id IS NOT NULL AS in_ann
+    FROM bm_live b FULL OUTER JOIN ann_live a ON a.doc_id = b.doc_id
+)
+SELECT CAST(SUM(CASE WHEN in_bm THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bm25_live,
+       CAST(SUM(CASE WHEN in_ann THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ann_live,
+       CAST(SUM(CASE WHEN in_bm AND in_ann THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both,
+       CAST(SUM(CASE WHEN in_bm AND NOT in_ann THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bm25_only,
+       CAST(SUM(CASE WHEN NOT in_bm AND in_ann THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ann_only,
+       (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents
+        WHERE doc_id % 10 = {PARITY_DEL_BOTH}) AS n_tomb_bm25,
+       (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM embeddings
+        WHERE vec_id % 10 IN ({PARITY_DEL_BOTH}, {PARITY_DEL_ANN_ONLY}))
+           AS n_tomb_ann
+FROM j
+"""
+
+
 # vector leg: the inline IVF-PQ chain widened to the shortlist, exact-
 # cosine reranked, filtered to the probe; lexical leg: the inline hybrid
 # oracle's CTEs verbatim (the persisted derivation is value-identical).
@@ -285,8 +471,10 @@ def serving_plans(spark: SparkSession, sf_dir: str):
 
 QUERIES = {
     "hybrid_index_search": q_hybrid_index_search,
+    "hybrid_index_parity": q_hybrid_index_parity,
 }
 
 ORACLES = {
     "hybrid_index_search": _ORACLE_HYBRID_INDEX,
+    "hybrid_index_parity": _ORACLE_HYBRID_PARITY,
 }

@@ -58,10 +58,12 @@ from admob_data_pipeline_spark.operators.corpus import (
 )
 from admob_data_pipeline_spark.sinks.writers import (
     BASE_EPOCH,
+    claim_epoch,
     compact_bucketed_table,
     index_manifest,
     next_epoch,
     overwrite_epoch_partition,
+    purge_applied_tombstones,
     write_epoch_bucketed,
 )
 from admob_data_pipeline_spark.sources.tables import load_table
@@ -255,10 +257,12 @@ def bm25_index_upsert(
     ``epoch`` is the idempotency key (dynamic partition overwrite —
     a replayed batch rewrites its own partition, never double-appends;
     the contract streaming foreachBatch maintenance needs). Batch
-    callers may omit it to auto-assign max(existing)+1."""
+    callers may omit it to auto-assign via :func:`claim_epoch` — an
+    atomic ledger mint, so concurrent batch ingest jobs can never
+    overwrite each other's partition (the loser remints)."""
     spark = delta.sparkSession
     if epoch is None:
-        epoch = next_epoch(spark, f"{table_prefix}_postings")
+        epoch = claim_epoch(spark, f"{table_prefix}_postings")
     tf = _bm25_tf(delta, "text").localCheckpoint()
     overwrite_epoch_partition(
         tf.select("token", "doc_id", "tf"),
@@ -428,8 +432,13 @@ def bm25_index_delete(
     df over surviving postings only; the rows purge at the next
     compaction. The frozen (n_docs, avgdl) scalars deliberately do NOT
     shrink — the same rebuild-cadence contract as ingest. Each
-    tombstone is stamped with the newest ingest epoch at issue time."""
-    stamp = next_epoch(spark, f"{table_prefix}_postings") - 1
+    tombstone is stamped with the newest ingest epoch at issue time,
+    never below epoch 0: a delete issued before the first upsert is
+    attributed to the open ingest window, so as-of reads at the build
+    epoch always see the pristine build."""
+    stamp = max(
+        next_epoch(spark, f"{table_prefix}_postings") - 1, BASE_EPOCH + 1
+    )
     doc_ids.select(
         F.col("doc_id").cast("long"),
         F.lit(int(stamp)).cast("long").alias("deleted_at_epoch"),
@@ -443,8 +452,16 @@ def bm25_index_compact(spark: SparkSession, table_prefix: str):
     appended postings and doc-length tables one-file-per-bucket with
     their bucket specs intact (the pruned, shuffle-free serving scans
     survive — pinned in tests/test_retrieval_index.py). The frozen
-    corpus scalars are one row and never need compaction."""
-    tomb = spark.table(f"{table_prefix}_tombstones")
+    corpus scalars are one row and never need compaction. The tombstone
+    snapshot is MATERIALIZED once before the three rewrites (all three
+    tables purge the same consistent delete set) and only those
+    snapshot rows are truncated afterward — a delete appended
+    concurrently with the rewrites survives to the next cycle instead
+    of being silently wiped unpurged."""
+    tomb_rows = spark.table(f"{table_prefix}_tombstones").collect()
+    tomb = spark.createDataFrame(
+        tomb_rows, "doc_id bigint, deleted_at_epoch bigint"
+    )
     a = compact_bucketed_table(
         spark,
         f"{table_prefix}_postings",
@@ -469,10 +486,12 @@ def bm25_index_compact(spark: SparkSession, table_prefix: str):
         fold_partition=("epoch", BASE_EPOCH),
         anti=("doc_id", tomb),
     )
-    spark.createDataFrame(
-        [], "doc_id bigint, deleted_at_epoch bigint"
-    ).write.mode("overwrite").format("parquet").insertInto(
-        f"{table_prefix}_tombstones", overwrite=True
+    purge_applied_tombstones(
+        spark,
+        f"{table_prefix}_tombstones",
+        "doc_id bigint, deleted_at_epoch bigint",
+        "doc_id",
+        {r["doc_id"] for r in tomb_rows},
     )
     return a, b
 
@@ -777,7 +796,9 @@ def q_bm25_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out quarter as epoch 0, then search AS OF the base epoch —
     partition-pruned scans of the historical index state. The oracle is
     the inline search over the base slice alone, so a leaked or lost
-    epoch fails the hash."""
+    epoch fails the hash. History spans only epochs since the last
+    compaction — folding voids older as-of points (see
+    compact_bucketed_table)."""
     import shutil
     import tempfile
 

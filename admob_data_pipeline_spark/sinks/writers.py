@@ -266,11 +266,157 @@ def next_epoch(spark, table: str) -> int:
     catalog's PARTITION LIST (``SHOW PARTITIONS`` — no data files are
     listed or scanned, so auto-epoch ingest stays O(#epochs) however
     large the table grows). NOT replay-safe (two retried callers could
-    mint different ids); streaming callers must pass the foreachBatch
-    batch id instead."""
+    mint different ids) and NOT multi-writer-safe (two concurrent
+    callers read the same max and mint the SAME id — the second dynamic
+    partition overwrite would silently replace the first's rows);
+    streaming callers must pass the foreachBatch batch id instead, and
+    auto-epoch batch ingest goes through :func:`claim_epoch`, which
+    turns the same read into a conditional commit."""
     parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {table}").collect()]
     epochs = [int(p.split("=", 1)[1]) for p in parts if p.startswith("epoch=")]
     return (max(epochs) if epochs else BASE_EPOCH) + 1
+
+
+def table_location(spark, table: str) -> str:
+    """Storage location of a catalog table (DESC FORMATTED — metadata
+    only, no file listing)."""
+    return (
+        spark.sql(f"DESC FORMATTED {table}")
+        .where(F.col("col_name") == "Location")
+        .first()["data_type"]
+    )
+
+
+def _fs_and_path(spark, path_str: str):
+    """Hadoop FileSystem + Path for a storage URI — works on any
+    Hadoop-compatible store (HDFS, local, GCS/S3 connectors), not just
+    local paths."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+# Claim markers live in an underscore-prefixed directory INSIDE the
+# table location: Spark's file index filters "_"/"." names, so the
+# ledger is invisible to scans, and DROP-ping the (external) table's
+# files removes the ledger with it — no orphan state to garbage-collect.
+EPOCH_LEDGER_DIR = "_epoch_ledger"
+
+
+def claim_epoch(spark, table: str, max_attempts: int = 64) -> int:
+    """Multi-writer-safe epoch minting: the conditional-commit guard
+    that :func:`next_epoch` alone lacks. Two CONCURRENT batch ingest
+    jobs (separate Spark sessions sharing the metastore + storage) that
+    read the same ``max(epoch)`` would mint the same id and the second
+    dynamic partition overwrite would silently replace the first's rows
+    — the classic lost-update. Here the mint is an ATOMIC
+    create-if-absent of a marker file ``_epoch_ledger/epoch-<id>`` in
+    the table's storage location: ``FileSystem.createNewFile`` is
+    atomic on HDFS and local filesystems and maps to a conditional PUT
+    (if-none-match / generation-0 precondition) under the Hadoop 3
+    object-store connectors, so exactly ONE writer wins each id. The
+    loser REMINTS the next id and retries — no silent row loss, no
+    failed job, just densely increasing epochs.
+
+    The candidate starts at max(partition list, ledger)+1, so ids are
+    never reused even when a partition write crashed after its claim
+    (the orphaned marker just burns one id) or when compaction folded
+    old epochs away (the ledger is carried across the compaction swap
+    by :func:`compact_bucketed_table`). Streaming callers bypass this
+    and pass the foreachBatch batch id — there the ENGINE is the
+    single-writer ledger and a replay must land on the SAME epoch."""
+    loc = table_location(spark, table).rstrip("/")
+    ledger = f"{loc}/{EPOCH_LEDGER_DIR}"
+    fs, ldir = _fs_and_path(spark, ledger)
+    fs.mkdirs(ldir)
+    claimed = [
+        int(st.getPath().getName()[len("epoch-") :])
+        for st in fs.listStatus(ldir)
+        if st.getPath().getName().startswith("epoch-")
+    ]
+    cand = max([next_epoch(spark, table)] + [c + 1 for c in claimed])
+    for _ in range(max_attempts):
+        _, marker = _fs_and_path(spark, f"{ledger}/epoch-{cand}")
+        if fs.createNewFile(marker):
+            return cand
+        cand += 1  # lost the create race — remint
+    raise RuntimeError(
+        f"claim_epoch: could not claim an epoch for {table} after"
+        f" {max_attempts} attempts (pathological writer contention?)"
+    )
+
+
+def purge_applied_tombstones(
+    spark, tomb_table: str, schema: str, key: str, applied_keys
+) -> int:
+    """Selective tombstone truncate after a compaction PURGE: keep only
+    tombstones whose key was NOT in the snapshot the rewrite actually
+    anti-joined — a delete appended CONCURRENTLY with the compaction
+    rewrite survives to the next cycle instead of being silently wiped
+    while its rows were never purged (the resurrection race). Both the
+    snapshot and the survivors are bounded by the compaction cadence
+    (serving broadcasts the same set), so the driver-side set
+    difference is small by contract. Returns the survivor count."""
+    applied = set(applied_keys)
+    rows = [
+        r for r in spark.table(tomb_table).collect() if r[key] not in applied
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").format(
+        "parquet"
+    ).insertInto(tomb_table, overwrite=True)
+    return len(rows)
+
+
+def _finalize_swap(spark, table: str, old_table: str) -> None:
+    """Last leg of the compaction swap: carry the epoch ledger from the
+    superseded location into the live one (so previously-claimed ids
+    are never reminted post-compaction), drop the old external table's
+    metadata, and reclaim its files through the Hadoop FS API."""
+    old_loc = table_location(spark, old_table).rstrip("/")
+    fs, src = _fs_and_path(spark, f"{old_loc}/{EPOCH_LEDGER_DIR}")
+    if fs.exists(src):
+        new_loc = table_location(spark, table).rstrip("/")
+        _, dst = _fs_and_path(spark, f"{new_loc}/{EPOCH_LEDGER_DIR}")
+        fs.rename(src, dst)
+    spark.sql(f"DROP TABLE {old_table}")  # external: metadata only
+    _, old_path = _fs_and_path(spark, old_loc)
+    fs.delete(old_path, True)
+
+
+def recover_compaction(spark, table: str) -> str:
+    """Auto-complete a compaction swap interrupted by a crash. The swap
+    in :func:`compact_bucketed_table` is two non-atomic metastore
+    renames; a crash between them leaves the live name unresolvable
+    (the full data sits under BOTH ``<table>__old`` and
+    ``<table>__compact``) and a crash after the second rename can leave
+    a stale ``__old`` behind. Called on entry by every compaction so an
+    interrupted maintenance pass heals on the next one; exposed
+    publicly so a serving path that hits a missing-table error can
+    self-repair instead of paging an operator. Returns what it did:
+    ``clean`` (nothing to do), ``completed_swap`` (finished the
+    interrupted rename pair), ``rolled_back`` (only ``__old`` existed —
+    restored it as live), or ``dropped_old`` (live table fine, reaped
+    the leftover)."""
+    cat = spark.catalog
+    old, tmp = f"{table}__old", f"{table}__compact"
+    if not cat.tableExists(table):
+        if cat.tableExists(tmp) and cat.tableExists(old):
+            # crash between the two renames: the compacted data is
+            # complete under __compact — finish the swap
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+            _finalize_swap(spark, table, old)
+            return "completed_swap"
+        if cat.tableExists(old):
+            # __compact was already promoted-or-never-finished; the
+            # only complete copy is __old — restore it as live
+            spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+            return "rolled_back"
+        return "clean"
+    if cat.tableExists(old):
+        # crash after the second rename, before the old-table reap
+        _finalize_swap(spark, table, old)
+        return "dropped_old"
+    return "clean"
 
 
 def index_manifest(spark, table_prefix: str, tables) -> DataFrame:
@@ -337,15 +483,20 @@ def compact_bucketed_table(
     files. The swap is two metastore renames — NOT atomic — but data is
     never lost at any crash point: before the first rename both names
     resolve, between them the full data sits under ``__old`` AND
-    ``__compact`` (recovery = one rename), after the second the live
-    name serves the compacted table. In-flight readers that resolved
-    their scan against the OLD files fail once the final delete runs,
-    so schedule compaction in a maintenance window (or against a
-    snapshot-isolated store); the zero-Exchange probe-join property
-    survives because the bucket spec is identical (pinned in the index
-    test files). With one file per bucket Spark can additionally trust
-    the ``sortBy`` order, dropping the partition-local Sort that
-    multi-file buckets force.
+    ``__compact``, after the second the live name serves the compacted
+    table. Every entry first runs :func:`recover_compaction`, so an
+    interrupted swap HEALS automatically on the next maintenance pass
+    (and can be healed on demand by calling it directly). In-flight
+    readers that resolved their scan against the OLD files fail once
+    the final delete runs, so schedule compaction in a maintenance
+    window (or against a snapshot-isolated store); the zero-Exchange
+    probe-join property survives because the bucket spec is identical
+    (pinned in the index test files). With one file per bucket Spark
+    can additionally trust the ``sortBy`` order, dropping the
+    partition-local Sort that multi-file buckets force. The epoch
+    ledger (``_epoch_ledger`` claim markers, :func:`claim_epoch`) is
+    carried from the old location into the new one, so compaction never
+    causes an epoch id to be reminted.
 
     ``key=None``: compact a plain (unbucketed) epoch-partitioned side
     table — single-file rewrite, no bucket spec.
@@ -355,7 +506,12 @@ def compact_bucketed_table(
     into the single base partition ``col=value``. Run compaction only
     when no replay of the folded epochs is possible (stream stopped or
     checkpoint-committed past them) — a later overwrite of a folded
-    epoch id would re-add its rows.
+    epoch id would re-add its rows. Folding also VOIDS time travel for
+    the folded span: an as-of read at any historical epoch now sees the
+    post-fold (post-purge) state — ``*_index_asof`` history only spans
+    epochs ingested SINCE the last compaction. That is the standard
+    LSM/snapshot-expiry trade: compaction reclaims space by discarding
+    the history that made as-of reads possible.
 
     Returns ``(files_before, files_after)`` counted via
     ``input_file_name`` — distributed, storage-agnostic.
@@ -370,12 +526,9 @@ def compact_bucketed_table(
             .count()
         )
 
+    recover_compaction(spark, table)
     files_before = n_files()
-    loc = (
-        spark.sql(f"DESC FORMATTED {table}")
-        .where(F.col("col_name") == "Location")
-        .first()["data_type"]
-    )
+    loc = table_location(spark, table)
     df = spark.table(table)
     if anti is not None:
         anti_col, anti_keys = anti
@@ -408,13 +561,7 @@ def compact_bucketed_table(
     spark.sql(f"DROP TABLE IF EXISTS {old}")
     spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
-    spark.sql(f"DROP TABLE {old}")  # external: metadata only
-    # reclaim the superseded files through the Hadoop FS API (works on
-    # any Hadoop-compatible store, not just local paths)
-    jvm = spark._jvm
-    old_path = jvm.org.apache.hadoop.fs.Path(loc)
-    fs = old_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(old_path, True)
+    _finalize_swap(spark, table, old)
     return files_before, n_files()
 
 

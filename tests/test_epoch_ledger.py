@@ -1,0 +1,213 @@
+"""Multi-writer epoch safety + compaction crash recovery.
+
+The round-9 exactly-once ingest made REPLAYS safe (epoch partition =
+idempotency key) but left auto-epoch minting read-then-write: two
+concurrent batch jobs reading the same max(epoch) would mint the same
+id and the second dynamic partition overwrite silently replaces the
+first's rows. ``claim_epoch`` turns the mint into an atomic
+create-if-absent ledger commit; these tests pin the no-lost-update
+property, ledger survival across compaction, the selective tombstone
+truncate (a delete landing mid-compaction is never wiped unpurged),
+and the interrupted-swap auto-recovery."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from admob_data_pipeline_spark.operators import ann_index, similarity
+from admob_data_pipeline_spark.sinks import writers
+from admob_data_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def epoch_table(spark):
+    """A tiny epoch-partitioned bucketed table + cleanup."""
+    out = tempfile.mkdtemp(prefix="epoch_ledger_test_")
+    table = "epoch_ledger_t"
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    writers.write_epoch_bucketed(base, table, key="k", n_buckets=4, path=out)
+    yield table
+    for t in (table, f"{table}__old", f"{table}__compact"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _delta(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def test_concurrent_claims_mint_distinct_epochs(spark, epoch_table):
+    """The lost-update scenario: two writers mint BEFORE either has
+    written its partition (so SHOW PARTITIONS shows the same max to
+    both). next_epoch would hand both the same id; claim_epoch's atomic
+    marker makes the second mint remint — and both partitions land."""
+    e1 = writers.claim_epoch(spark, epoch_table)
+    # no partition written yet — a concurrent writer reads the same
+    # partition list; the ledger alone must force a different id
+    e2 = writers.claim_epoch(spark, epoch_table)
+    assert e1 != e2
+    writers.overwrite_epoch_partition(
+        _delta(spark, 100, 110), epoch_table, "k", 4, e1
+    )
+    writers.overwrite_epoch_partition(
+        _delta(spark, 200, 210), epoch_table, "k", 4, e2
+    )
+    got = {
+        r["k"] for r in spark.table(epoch_table).where("k >= 100").collect()
+    }
+    assert got == set(range(100, 110)) | set(range(200, 210))
+
+
+def test_claim_epoch_is_dense_for_sequential_writers(spark, epoch_table):
+    """A single sequential writer sees the same ids next_epoch would
+    have assigned — the ledger is free when there is no contention."""
+    e1 = writers.claim_epoch(spark, epoch_table)
+    writers.overwrite_epoch_partition(
+        _delta(spark, 100, 105), epoch_table, "k", 4, e1
+    )
+    e2 = writers.claim_epoch(spark, epoch_table)
+    assert (e1, e2) == (0, 1)
+
+
+def test_ledger_survives_compaction(spark, epoch_table):
+    """Compaction folds partitions to the base epoch; without the
+    ledger carry a post-compaction mint would reuse an old id (whose
+    replay contract is void after the fold). The ledger rides the swap,
+    so ids stay monotonic."""
+    e1 = writers.claim_epoch(spark, epoch_table)
+    writers.overwrite_epoch_partition(
+        _delta(spark, 100, 105), epoch_table, "k", 4, e1
+    )
+    writers.compact_bucketed_table(
+        spark,
+        epoch_table,
+        key="k",
+        n_buckets=4,
+        fold_partition=("epoch", writers.BASE_EPOCH),
+    )
+    assert writers.next_epoch(spark, epoch_table) == 0  # folded
+    assert writers.claim_epoch(spark, epoch_table) > e1  # ledger carried
+
+
+def test_purge_applied_tombstones_keeps_late_deletes(spark):
+    """The resurrection race: a tombstone appended AFTER the compaction
+    rewrite snapshotted the set must survive the truncate (it was never
+    purged). Only snapshot rows are dropped."""
+    tomb = "purge_tomb_t"
+    spark.createDataFrame(
+        [(1, 0), (2, 0)], "doc_id bigint, deleted_at_epoch bigint"
+    ).write.mode("overwrite").format("parquet").saveAsTable(tomb)
+    try:
+        snapshot = {1, 2}
+        # the late delete lands between the rewrite and the truncate
+        spark.createDataFrame(
+            [(3, 1)], "doc_id bigint, deleted_at_epoch bigint"
+        ).write.mode("append").format("parquet").saveAsTable(tomb)
+        kept = writers.purge_applied_tombstones(
+            spark,
+            tomb,
+            "doc_id bigint, deleted_at_epoch bigint",
+            "doc_id",
+            snapshot,
+        )
+        assert kept == 1
+        assert [r["doc_id"] for r in spark.table(tomb).collect()] == [3]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tomb}")
+
+
+def test_recover_completes_interrupted_swap(spark, epoch_table):
+    """Crash between the two swap renames: live name unresolvable, data
+    complete under __old AND __compact. recover_compaction finishes the
+    swap; the next read sees the compacted rows."""
+    rows_before = sorted(
+        (r["k"], r["v"]) for r in spark.table(epoch_table).collect()
+    )
+    # stage the compacted copy the way compact_bucketed_table does
+    loc = writers.table_location(spark, epoch_table)
+    tmp = f"{epoch_table}__compact"
+    spark.table(epoch_table).write.mode("overwrite").bucketBy(
+        4, "k"
+    ).sortBy("k").format("parquet").option(
+        "path", f"{loc.rstrip('/')}__crash"
+    ).partitionBy("epoch").saveAsTable(tmp)
+    # simulate the crash point: first rename done, second never ran
+    spark.sql(f"ALTER TABLE {epoch_table} RENAME TO {epoch_table}__old")
+    assert not spark.catalog.tableExists(epoch_table)
+    assert writers.recover_compaction(spark, epoch_table) == "completed_swap"
+    assert spark.catalog.tableExists(epoch_table)
+    assert not spark.catalog.tableExists(f"{epoch_table}__old")
+    rows_after = sorted(
+        (r["k"], r["v"]) for r in spark.table(epoch_table).collect()
+    )
+    assert rows_after == rows_before
+
+
+def test_recover_reaps_stale_old_table(spark, epoch_table):
+    """Crash after the second rename but before the old-table reap:
+    live table fine, a stale __old lingers. Recovery drops it and
+    leaves the live rows untouched."""
+    loc = writers.table_location(spark, epoch_table)
+    stale = f"{epoch_table}__old"
+    spark.range(1).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).write.mode("overwrite").format("parquet").option(
+        "path", f"{loc.rstrip('/')}__stale"
+    ).saveAsTable(stale)
+    n = spark.table(epoch_table).count()
+    assert writers.recover_compaction(spark, epoch_table) == "dropped_old"
+    assert not spark.catalog.tableExists(stale)
+    assert spark.table(epoch_table).count() == n
+
+
+def test_recover_noop_on_clean_state(spark, epoch_table):
+    assert writers.recover_compaction(spark, epoch_table) == "clean"
+
+
+def test_delete_before_first_upsert_keeps_base_history(spark, sf_dir):
+    """ADVICE r9: a delete issued while only the base layer exists used
+    to be stamped BASE_EPOCH, so an as-of read AT the build epoch saw it
+    — base history changed. The stamp now floors at epoch 0: the delete
+    is attributed to the open ingest window, current reads mask it,
+    and the build-epoch snapshot stays pristine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ann_base_del_")
+    prefix = "ann_idx_basedel"
+    try:
+        ann_index.ann_index_build(emb, prefix, out)
+        before = ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix, as_of_epoch=writers.BASE_EPOCH
+        ).collect()
+        victims = {r.vec_id for r in before[:3]}
+        ann_index.ann_index_delete(
+            spark,
+            spark.createDataFrame(
+                [(int(v),) for v in victims], "vec_id bigint"
+            ),
+            prefix,
+        )
+        stamps = {
+            r["deleted_at_epoch"]
+            for r in spark.table(f"{prefix}_tombstones").collect()
+        }
+        assert stamps == {0}
+        base_view = ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix, as_of_epoch=writers.BASE_EPOCH
+        ).collect()
+        assert base_view == before  # build-epoch history immutable
+        current = ann_index.ann_index_search(
+            emb, similarity.QUERY_IDS, prefix
+        ).collect()
+        assert not victims & {r.vec_id for r in current}
+    finally:
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
