@@ -960,6 +960,284 @@ ORDER BY list_id
 """
 
 
+SPLIT_TOPN = 2  # the wrapper splits the two most delta-loaded lists
+
+
+def ann_index_split(
+    emb: DataFrame, table_prefix: str, list_ids
+) -> None:
+    """Selective IVF list rebalance — the drift REMEDY cheaper than the
+    full rebuild that was previously the only answer to a hot-list
+    audit. Each flagged list is split in two: its member FARTHEST from
+    the parent centroid (min raw cosine, tie-break vec_id — the point
+    the frozen quantizer tessellates worst) becomes a CHILD centroid,
+    and the list's members are re-split between parent and child by the
+    same cosine/argmax rule the build uses. Everything else is frozen:
+    untouched lists keep byte-identical rows (pinned in
+    tests/test_ann_index.py), the PQ codebooks are untouched (PQ codes
+    are list-independent — no requantization), and the parent centroid
+    keeps its id and vector, so no list ever becomes unreachable.
+
+    Scale: the work is proportional to the FLAGGED lists, not the
+    index — one pruned scan of their code rows, a point-lookup join for
+    their full vectors, and a partition rewrite of only the ingest
+    epochs that contain a moved row (epochs without movement are never
+    touched). A full rebuild would retrain quantizers and rewrite all
+    N vectors; this touches ~|flagged lists| vectors and appends
+    |flagged| centroid rows.
+
+    Crash contract: the child centroids are published FIRST, then the
+    affected epoch partitions are rewritten one idempotent dynamic
+    overwrite at a time — at every intermediate point each vector is
+    probe-reachable under exactly one list (moved rows via the child,
+    unmoved via the parent); a crash loses nothing and duplicates
+    nothing. Re-running the SAME call after completion is not a no-op —
+    it performs a FURTHER split of the flagged lists (iterative
+    refinement semantics); drive it from the drift audit, which stops
+    flagging a list once its load is balanced."""
+    spark = emb.sparkSession
+    table = f"{table_prefix}_codes"
+    flagged = [int(x) for x in list_ids]
+    cents = spark.table(f"{table_prefix}_centroids")
+    base, dim = with_vec(emb)
+    m = len(_persisted_codebooks(spark, table_prefix))
+    code_cols = [f"c{s}" for s in range(m)]
+    members = (
+        spark.table(table)
+        .where(F.col("list_id").isin(flagged))
+        .join(base.select("vec_id", "v", "nrm"), "vec_id")
+        .join(
+            F.broadcast(
+                cents.where(F.col("cid").isin(flagged)).select(
+                    F.col("cid").alias("list_id"), "cv", "cn"
+                )
+            ),
+            "list_id",
+        )
+        .select(
+            "vec_id",
+            "list_id",
+            "epoch",
+            F.try_divide(
+                dot(F.col("v"), F.col("cv"), dim), F.col("nrm") * F.col("cn")
+            ).alias("own_cos"),
+            "v",
+            "nrm",
+        )
+        .localCheckpoint()  # freeze the member snapshot for both uses
+    )
+    w_far = Window.partitionBy("list_id").orderBy(
+        F.asc("own_cos"), F.asc("vec_id")
+    )
+    childs = (
+        # the parent centroid is itself a member (cos = 1); exclude it so
+        # a degenerate all-identical list can never elect the parent and
+        # collide on cid. Lists with < 2 members get no child (no split).
+        members.where(F.col("vec_id") != F.col("list_id"))
+        .withColumn("rn", F.row_number().over(w_far))
+        .where(F.col("rn") == 1)
+        .select(
+            "list_id",
+            F.col("vec_id").alias("child_cid"),
+            F.col("v").alias("ccv"),
+            F.col("nrm").alias("ccn"),
+        )
+        .localCheckpoint()
+    )
+    # 1) publish the children FIRST: from here on, every row is reachable
+    # at all times (moved rows probe via the child, unmoved via parent)
+    childs.select(
+        F.col("child_cid").alias("cid"),
+        F.col("ccv").alias("cv"),
+        F.col("ccn").alias("cn"),
+    ).write.mode("append").format("parquet").saveAsTable(
+        f"{table_prefix}_centroids"
+    )
+    # 2) re-split members between parent and child: same argmax rule as
+    # assign_lists (cos DESC, cid ASC on exact ties)
+    moved = (
+        members.join(F.broadcast(childs), "list_id")
+        .withColumn(
+            "child_cos",
+            F.try_divide(
+                dot(F.col("v"), F.col("ccv"), dim),
+                F.col("nrm") * F.col("ccn"),
+            ),
+        )
+        .where(
+            (F.col("child_cos") > F.col("own_cos"))
+            | (
+                (F.col("child_cos") == F.col("own_cos"))
+                & (F.col("child_cid") < F.col("list_id"))
+            )
+        )
+        .select("vec_id", F.col("child_cid").alias("new_list"), "epoch")
+        .localCheckpoint()
+    )
+    remap = moved.select("vec_id", "new_list")
+    epochs = sorted(
+        r["epoch"] for r in moved.select("epoch").distinct().collect()
+    )
+    # 3) rewrite ONLY the epoch partitions containing a moved row, one
+    # idempotent dynamic overwrite each (epoch values preserved, so the
+    # drift audit's base/delta layering survives the rebalance)
+    for p in epochs:
+        part = (
+            spark.table(table)
+            .where(F.col("epoch") == int(p))
+            .join(remap, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.coalesce("new_list", "list_id").alias("list_id"),
+                *code_cols,
+            )
+            # materialize before the overwrite: the rewrite reads the
+            # partition it replaces
+            .localCheckpoint()
+        )
+        overwrite_epoch_partition(
+            part, table, key="list_id", n_buckets=CODES_BUCKETS, epoch=int(p)
+        )
+
+
+def q_ann_index_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift REMEDY under the driver gate: build over the base slice,
+    ingest the held-out quarter, flag the two most delta-loaded lists
+    from the drift audit, SPLIT them, and return the post-split drift
+    table. The oracle recomputes the whole pipeline from first
+    principles — frozen-centroid assignment, the same top-2 flagging,
+    the same farthest-member child election, the same two-way re-split
+    — so a vector moved to the wrong child, a touched untouched list,
+    or an epoch-layer leak fails the hash. The wrapper also asserts the
+    remedy acted: each flagged list strictly shed members."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % UPSERT_MOD != UPSERT_MOD - 1)
+    delta = emb.where(F.col("vec_id") % UPSERT_MOD == UPSERT_MOD - 1)
+    out = tempfile.mkdtemp(prefix="ann_index_split_")
+    prefix = "ann_idx_split"
+    try:
+        ann_index_build(base_corpus, prefix, out)
+        ann_index_upsert(delta, prefix, epoch=0)
+        pre = ann_index_drift(spark, prefix).collect()
+        flagged = [
+            r["list_id"]
+            for r in sorted(pre, key=lambda r: (-r["n_delta"], r["list_id"]))[
+                :SPLIT_TOPN
+            ]
+        ]
+        ann_index_split(emb, prefix, flagged)
+        rows = ann_index_drift(spark, prefix).collect()
+        pre_n = {r["list_id"]: r["n_base"] + r["n_delta"] for r in pre}
+        post_n = {r["list_id"]: r["n_base"] + r["n_delta"] for r in rows}
+        for lid in flagged:
+            assert post_n.get(lid, 0) < pre_n[lid], (lid, pre_n, post_n)
+    finally:
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "list_id bigint, n_base bigint, n_delta bigint,"
+        " base_share_ppm bigint, delta_share_ppm bigint",
+    )
+
+
+# the drift oracle extended by the remedy: flag top-2 by delta load,
+# elect each list's farthest member as the child centroid, re-split the
+# list's members between parent and child with the build's argmax rule,
+# then recompute the drift table over the post-split assignment.
+_ORACLE_INDEX_SPLIT = f"""
+WITH {_DUCK_BASE},
+corpus0 AS (SELECT * FROM base WHERE vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}),
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM corpus0
+          WHERE vec_id % 25 = 0),
+assigned AS (
+    SELECT vec_id, cid AS list_id FROM (
+        SELECT b.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.v, c.cv)
+                            / NULLIF(b.nrm * c.cn, 0) DESC, c.cid
+               ) AS rn
+        FROM base b, cents c
+    ) WHERE rn = 1
+),
+per_list0 AS (
+    SELECT list_id,
+           CAST(SUM(CASE WHEN vec_id % {UPSERT_MOD} = {UPSERT_MOD - 1}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+    FROM assigned GROUP BY list_id
+),
+flagged AS (
+    SELECT list_id FROM per_list0
+    ORDER BY n_delta DESC, list_id LIMIT {SPLIT_TOPN}
+),
+members AS (
+    SELECT a.vec_id, a.list_id, b.v, b.nrm,
+           list_dot_product(b.v, c.cv) / NULLIF(b.nrm * c.cn, 0) AS own_cos
+    FROM assigned a
+    JOIN base b USING (vec_id)
+    JOIN cents c ON c.cid = a.list_id
+    WHERE a.list_id IN (SELECT list_id FROM flagged)
+),
+childs AS (
+    SELECT list_id, vec_id AS child_cid FROM (
+        SELECT list_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY list_id
+                                  ORDER BY own_cos ASC, vec_id ASC) AS rn
+        FROM members WHERE vec_id <> list_id
+    ) WHERE rn = 1
+),
+child_vec AS (
+    SELECT ch.list_id, ch.child_cid, b.v AS ccv, b.nrm AS ccn
+    FROM childs ch JOIN base b ON b.vec_id = ch.child_cid
+),
+resplit AS (
+    SELECT m.vec_id,
+           CASE WHEN (list_dot_product(m.v, cv.ccv)
+                          / NULLIF(m.nrm * cv.ccn, 0) > m.own_cos)
+                  OR (list_dot_product(m.v, cv.ccv)
+                          / NULLIF(m.nrm * cv.ccn, 0) = m.own_cos
+                      AND cv.child_cid < m.list_id)
+                THEN cv.child_cid ELSE m.list_id END AS list_id
+    FROM members m JOIN child_vec cv USING (list_id)
+),
+final_assigned AS (
+    SELECT vec_id, list_id FROM assigned
+    WHERE list_id NOT IN (SELECT list_id FROM flagged)
+    UNION ALL
+    SELECT vec_id, list_id FROM resplit
+    UNION ALL
+    -- flagged lists with < 2 non-parent members have no child: unchanged
+    SELECT vec_id, list_id FROM assigned
+    WHERE list_id IN (SELECT list_id FROM flagged)
+      AND list_id NOT IN (SELECT list_id FROM childs)
+),
+per_list AS (
+    SELECT list_id,
+           CAST(SUM(CASE WHEN vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+           CAST(SUM(CASE WHEN vec_id % {UPSERT_MOD} = {UPSERT_MOD - 1}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+    FROM final_assigned GROUP BY list_id
+),
+tot AS (SELECT SUM(n_base) AS tot_base, SUM(n_delta) AS tot_delta
+        FROM per_list)
+SELECT list_id, n_base, n_delta,
+       CAST(CASE WHEN tot_base > 0
+                 THEN n_base * 1000000 // tot_base
+                 ELSE 0 END AS BIGINT) AS base_share_ppm,
+       CAST(CASE WHEN tot_delta > 0
+                 THEN n_delta * 1000000 // tot_delta
+                 ELSE 0 END AS BIGINT) AS delta_share_ppm
+FROM per_list, tot
+ORDER BY list_id
+"""
+
+
 DELETE_MOD, DELETE_REM = 10, 5  # deleted slice = vec_id % 10 == 5
 
 
@@ -1171,6 +1449,7 @@ QUERIES = {
     "ann_index_rerank": q_ann_index_rerank,
     "ann_index_compact": q_ann_index_compact,
     "ann_index_drift": q_ann_index_drift,
+    "ann_index_split": q_ann_index_split,
     "ann_index_delete": q_ann_index_delete,
     "ann_index_asof": q_ann_index_asof,
     "ann_index_manifest": q_ann_index_manifest,
@@ -1191,6 +1470,9 @@ ORACLES = {
     "ann_index_compact": _ORACLE_INDEX_UPSERT,
     # rebuild-trigger audit: per-list base vs ingested counts
     "ann_index_drift": _ORACLE_INDEX_DRIFT,
+    # drift remedy: post-split drift table recomputed from first
+    # principles (flagging, child election, two-way re-split included)
+    "ann_index_split": _ORACLE_INDEX_SPLIT,
     # tombstone-masked serving: inline SQL with the deleted slice
     # excluded from candidates
     "ann_index_delete": _ORACLE_INDEX_DELETE,

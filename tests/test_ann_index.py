@@ -471,3 +471,77 @@ def test_asof_read_ignores_later_deletes(spark, sf_dir, tmp_path):
     finally:
         for t in ("centroids", "codebooks", "codes", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_split_rebalances_only_flagged_lists(spark, sf_dir):
+    """The drift remedy's three contracts: (a) rows of UNTOUCHED lists
+    are byte-identical after the split (epoch included — the rebalance
+    never rewrites what it didn't flag, and preserves the base/delta
+    layering of what it did); (b) each flagged list strictly sheds
+    members to its child and the child centroid is published; (c) the
+    bucketed zero-Exchange probe-join layout survives the partition
+    rewrites. Row count and vec_id set are conserved throughout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % 4 != 3)
+    delta = emb.where(F.col("vec_id") % 4 == 3)
+    out = tempfile.mkdtemp(prefix="ann_index_split_test_")
+    prefix = "ann_idx_split_t"
+    try:
+        ann_index.ann_index_build(base_corpus, prefix, out)
+        ann_index.ann_index_upsert(delta, prefix, epoch=0)
+        pre = {
+            r.vec_id: (r.list_id, r.c0, r.c1, r.c2, r.c3, r.epoch)
+            for r in spark.table(f"{prefix}_codes").collect()
+        }
+        drift = ann_index.ann_index_drift(spark, prefix).collect()
+        flagged = [
+            r["list_id"]
+            for r in sorted(drift, key=lambda r: (-r["n_delta"], r["list_id"]))[:2]
+        ]
+        n_cents_pre = spark.table(f"{prefix}_centroids").count()
+        ann_index.ann_index_split(emb, prefix, flagged)
+        post = {
+            r.vec_id: (r.list_id, r.c0, r.c1, r.c2, r.c3, r.epoch)
+            for r in spark.table(f"{prefix}_codes").collect()
+        }
+        # conservation: same vectors, no dup, no loss
+        assert set(pre) == set(post)
+        new_cids = set()
+        moved = 0
+        for vid, row in pre.items():
+            lid = row[0]
+            if lid not in flagged:
+                # (a) untouched lists byte-identical
+                assert post[vid] == row, (vid, row, post[vid])
+            else:
+                # flagged members: stayed, or moved to a NEW child list;
+                # PQ codes and epoch must never change
+                assert post[vid][1:] == row[1:], (vid, row, post[vid])
+                if post[vid][0] != lid:
+                    moved += 1
+                    new_cids.add(post[vid][0])
+        assert moved > 0 and new_cids
+        # (b) children published as centroids; flagged lists shed members
+        cents_post = {
+            r.cid for r in spark.table(f"{prefix}_centroids").collect()
+        }
+        assert new_cids <= cents_post
+        assert spark.table(f"{prefix}_centroids").count() == n_cents_pre + len(
+            new_cids
+        )
+        for lid in flagged:
+            pre_n = sum(1 for v in pre.values() if v[0] == lid)
+            post_n = sum(1 for v in post.values() if v[0] == lid)
+            assert post_n < pre_n, (lid, pre_n, post_n)
+        # (c) the bucketed zero-Exchange probe join survives the rewrite
+        probes = spark.createDataFrame([(0, 0)], "qid bigint, list_id bigint")
+        plan = explain.formatted_plan(
+            spark.table(f"{prefix}_codes").hint("merge").join(probes, "list_id")
+        )
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange (") == 1, plan
+        assert "Bucketed: true" in plan
+    finally:
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
