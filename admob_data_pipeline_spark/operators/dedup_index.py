@@ -284,6 +284,134 @@ def dedup_index_delete(
     )
 
 
+BAN_HOT_TOPN = 20  # the wrapper bans the 20 hottest stored shingles
+
+
+def dedup_index_ban_hot(
+    spark: SparkSession, table_prefix: str, top_n: int = BAN_HOT_TOPN
+) -> int:
+    """STOP-LIST RE-CENSUS — the dedup drift REMEDY cheaper than the
+    full rebuild (the ANN family's ann_index_split analogue): census
+    the PERSISTED shingle table (never the corpus — no re-tokenization,
+    no re-shingling), ban the ``top_n`` hottest shingles (df DESC,
+    shingle ASC — deterministic at every scale, unlike an absolute df
+    threshold whose tail shifts with corpus size), and repair the index
+    in place: affected docs' MinHash signatures and band keys are
+    recomputed FROM THEIR STORED SHINGLE SETS minus the new bans, and
+    only the epoch partitions containing an affected doc are rewritten
+    (epoch values preserved — as-of layering survives). Untouched docs
+    keep byte-identical rows. A doc whose entire shingle set becomes
+    banned disappears from bands/shsizes — exactly what the build would
+    have produced (it can no longer match anything).
+
+    Cost is proportional to the docs CONTAINING a hot shingle — which
+    is what makes hot shingles hot, so this is the expensive tail of
+    the index, but still no corpus scan, no signature recompute for
+    the unaffected majority, and no stop-list census over raw text.
+
+    Crash contract: the stop list is extended FIRST (probes immediately
+    stop matching on the banned shingles from the batch side — results
+    only ever move toward the post-remedy state), then partitions are
+    rewritten one idempotent dynamic overwrite at a time. Re-running
+    after a crash converges; re-running after COMPLETION bans the NEXT
+    ``top_n`` hottest (iterative-refinement semantics, like
+    ann_index_split). Duplicate stop-list rows are harmless (anti-join
+    semantics). Returns the number of newly banned shingles."""
+    sh_table = f"{table_prefix}_shingles"
+    sh_t = spark.table(sh_table)
+    hot = (
+        sh_t.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(int(top_n))
+        .select("shingle")
+        .localCheckpoint()
+    )
+    n_hot = hot.count()
+    if n_hot == 0:
+        return 0
+    hot.write.mode("append").format("parquet").saveAsTable(
+        f"{table_prefix}_banned"
+    )
+    affected = (
+        sh_t.join(hot, "shingle", "left_semi")
+        .select("doc_id", "epoch")
+        .distinct()
+        .localCheckpoint()
+    )
+    new_sh = (
+        sh_t.join(affected.select("doc_id"), "doc_id", "left_semi")
+        .join(hot, "shingle", "left_anti")
+        .select("doc_id", "shingle")
+        .localCheckpoint()
+    )
+    bands_new = (
+        lsh_band_keys(minhash_signatures(new_sh), band_in_key=True)
+        .select("band_key", "band", "doc_id")
+        .join(affected, "doc_id")
+        .localCheckpoint()
+    )
+    sizes_new = (
+        new_sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .join(affected, "doc_id")
+        .localCheckpoint()
+    )
+    epochs = sorted(
+        r["epoch"] for r in affected.select("epoch").distinct().collect()
+    )
+    for p in epochs:
+        aff_p = affected.where(F.col("epoch") == int(p)).select("doc_id")
+        shp = (
+            spark.table(sh_table)
+            .where(F.col("epoch") == int(p))
+            .join(hot, "shingle", "left_anti")
+            # insertInto is positional: match the table's (shingle,
+            # doc_id) order (the build's anti-join puts the key first)
+            .select("shingle", "doc_id")
+            # materialize: each rewrite reads the partition it replaces
+            .localCheckpoint()
+        )
+        overwrite_epoch_partition(
+            shp, sh_table, key="doc_id", n_buckets=DEDUP_IDX_BUCKETS, epoch=p
+        )
+        bp = (
+            spark.table(f"{table_prefix}_bands")
+            .where(F.col("epoch") == int(p))
+            .join(aff_p, "doc_id", "left_anti")
+            .select("band_key", "band", "doc_id")
+            .unionByName(
+                bands_new.where(F.col("epoch") == int(p)).select(
+                    "band_key", "band", "doc_id"
+                )
+            )
+            .localCheckpoint()
+        )
+        overwrite_epoch_partition(
+            bp,
+            f"{table_prefix}_bands",
+            key="band_key",
+            n_buckets=DEDUP_IDX_BUCKETS,
+            epoch=p,
+        )
+        zp = (
+            spark.table(f"{table_prefix}_shsizes")
+            .where(F.col("epoch") == int(p))
+            .join(aff_p, "doc_id", "left_anti")
+            .select("doc_id", "n_sh")
+            .unionByName(
+                sizes_new.where(F.col("epoch") == int(p)).select(
+                    "doc_id", "n_sh"
+                )
+            )
+            .localCheckpoint()
+        )
+        overwrite_epoch_partition(
+            zp, f"{table_prefix}_shsizes", key=None, n_buckets=None, epoch=p
+        )
+    return n_hot
+
+
 def dedup_index_compact(spark: SparkSession, table_prefix: str):
     """Maintenance pass for a long-running dedup ingest: rewrite the
     appended band and shingle tables one-file-per-bucket with their
@@ -443,6 +571,64 @@ bands AS (
 
 _DUCK_FROZEN_CAP = _duck_frozen_cap(f"doc_id % {PROBE_MOD} <> 0")
 
+
+# Two-stage variant for the ban-hot remedy oracle: stage 1 is the
+# build-frozen census (hot over ``hot_pred`` docs, df > MAX_DF), stage 2
+# re-censuses the STORED (stage-1-filtered) shingles of index docs and
+# bans the top_n hottest (df DESC, shingle ASC — the deterministic
+# scale-independent knob dedup_index_ban_hot uses). The final CTEs keep
+# the names ``sh``/``sizes``/``bands`` so the probe tail is shared
+# verbatim with _ORACLE_DEDUP_PROBE.
+def _duck_recensus_cap(hot_pred: str, top_n: int) -> str:
+    return f"""
+t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh0 AS (
+    SELECT doc_id, unnest(list_distinct(
+        [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
+    )) AS shingle
+    FROM t
+),
+hot AS (
+    SELECT shingle FROM sh0 WHERE {hot_pred}
+    GROUP BY shingle HAVING COUNT(*) > {MAX_DF}
+),
+sh_f AS (
+    SELECT doc_id, shingle FROM sh0
+    WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+idxdf AS (
+    SELECT shingle, COUNT(*) AS df FROM sh_f
+    WHERE doc_id % {PROBE_MOD} <> 0 GROUP BY shingle
+),
+hot2 AS (SELECT shingle FROM idxdf ORDER BY df DESC, shingle LIMIT {top_n}),
+sh AS (
+    SELECT doc_id, shingle FROM sh_f
+    WHERE shingle NOT IN (SELECT shingle FROM hot2)
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+hashed AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h1,
+           CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT) AS h2
+    FROM sh
+),
+sig AS (
+    SELECT doc_id,
+           {", ".join(f"MIN((h1 + {i} * h2) % {MERSENNE_61}) AS m{i}" for i in range(N_HASHES))}
+    FROM hashed
+    GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, g.band,
+           {"CASE " + " ".join(f"WHEN g.band = {b} THEN md5('{b}' || '|' || CAST(m{b * BAND_ROWS} AS VARCHAR) || '|' || CAST(m{b * BAND_ROWS + 1} AS VARCHAR))" for b in range(N_BANDS)) + " END"} AS band_key
+    FROM sig, generate_series(0, {N_BANDS - 1}) AS g(band)
+)
+"""
+
 _ORACLE_DEDUP_PROBE = f"""
 WITH {_DUCK_FROZEN_CAP},
 cand AS (
@@ -541,6 +727,49 @@ def q_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly drop — asserted in-plan), probe results identical — the
     oracle is the upsert oracle verbatim."""
     return _run_upsert_lifecycle(spark, sf_dir, compact=True)
+
+
+def q_dedup_index_ban_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift REMEDY under the driver gate: the upsert lifecycle with a
+    stop-list RE-CENSUS between ingest and probe — the top-20 hottest
+    stored shingles are banned and the affected docs' signatures/bands
+    repaired from the index alone. The oracle recomputes the two-stage
+    cap (build-frozen census, then the same top-N re-census over the
+    stored set) and the post-remedy probe from first principles — a
+    signature not recomputed, a survivor shingle dropped, or an
+    untouched doc rewritten all fail the hash. The wrapper asserts the
+    remedy acted (stop list strictly grew)."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    build = docs.where(
+        (F.col("doc_id") % PROBE_MOD).isin([int(x) for x in UPSERT_MODS])
+    )
+    batch = docs.where(F.col("doc_id") % PROBE_MOD == 0)
+    out = tempfile.mkdtemp(prefix="dedup_index_ban_")
+    prefix = "dedup_idx_ban"
+    try:
+        dedup_index_build(build, prefix, out)
+        dedup_index_upsert(
+            docs.where(F.col("doc_id") % PROBE_MOD == 3), prefix
+        )
+        dedup_index_upsert(
+            docs.where(F.col("doc_id") % PROBE_MOD == 4), prefix
+        )
+        n_banned_pre = spark.table(f"{prefix}_banned").count()
+        n_hot = dedup_index_ban_hot(spark, prefix)
+        assert n_hot == BAN_HOT_TOPN, n_hot
+        assert (
+            spark.table(f"{prefix}_banned").count()
+            == n_banned_pre + n_hot
+        )
+        rows = dedup_index_probe(batch, prefix).collect()
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _PROBE_SCHEMA)
 
 
 # hot census over the BUILD slice only; the index side of the candidate
@@ -784,6 +1013,34 @@ def q_dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the upsert oracle with CANDIDATES restricted to the build slice — the
 # index state as of the base epoch
+# two-stage cap (build-frozen census + stored-set top-N re-census),
+# probe tail shared verbatim with the upsert oracle
+_ORACLE_DEDUP_BAN_HOT = f"""
+WITH {_duck_recensus_cap(f"doc_id % {PROBE_MOD} IN {UPSERT_MODS}", BAN_HOT_TOPN)},
+cand AS (
+    SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+    FROM bands ba JOIN bands bb ON ba.band_key = bb.band_key
+    WHERE ba.doc_id % {PROBE_MOD} = 0 AND bb.doc_id % {PROBE_MOD} <> 0
+),
+inter AS (
+    SELECT c.a, c.b, COUNT(*) AS n_inter
+    FROM cand c JOIN sh sa ON sa.doc_id = c.a
+    JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+    GROUP BY c.a, c.b
+)
+SELECT i.a AS batch_doc, i.b AS index_doc,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / NULLIF(za.n_sh + zb.n_sh - i.n_inter, 0), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+WHERE i.n_inter * 1000000
+      >= {int(round(JACCARD_THRESHOLD * 1_000_000))}
+         * (za.n_sh + zb.n_sh - i.n_inter)
+ORDER BY batch_doc, index_doc
+"""
+
+
 _ORACLE_DEDUP_ASOF = _ORACLE_DEDUP_UPSERT.replace(
     f"WHERE ba.doc_id % {PROBE_MOD} = 0 AND bb.doc_id % {PROBE_MOD} <> 0",
     f"WHERE ba.doc_id % {PROBE_MOD} = 0"
@@ -912,6 +1169,7 @@ QUERIES = {
     "dedup_index_probe": q_dedup_index_probe,
     "dedup_index_upsert": q_dedup_index_upsert,
     "dedup_index_compact": q_dedup_index_compact,
+    "dedup_index_ban_hot": q_dedup_index_ban_hot,
     "streaming_dedup_ingest": q_streaming_dedup_ingest,
     "dedup_index_delete": q_dedup_index_delete,
     "dedup_index_drift": q_dedup_index_drift,
@@ -925,6 +1183,9 @@ ORACLES = {
     "dedup_index_upsert": _ORACLE_DEDUP_UPSERT,
     # compaction must be invisible to the probe — the upsert oracle verbatim
     "dedup_index_compact": _ORACLE_DEDUP_UPSERT,
+    # drift remedy: two-stage cap (frozen census + stored-set top-N
+    # re-census), post-remedy probe recomputed from first principles
+    "dedup_index_ban_hot": _ORACLE_DEDUP_BAN_HOT,
     # multi-epoch arrival, same frozen-stop-list semantics — shared oracle
     "streaming_dedup_ingest": _ORACLE_DEDUP_UPSERT,
     # tombstone-masked probing: the probe oracle with the deleted slice

@@ -177,6 +177,39 @@ def q_hybrid_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _live_sets(spark: SparkSession, bm25_prefix: str, ann_prefix: str):
+    """The two indexes' live doc-id sets: distinct stored ids minus the
+    respective tombstones (the tombstone sides broadcast — bounded by
+    compaction cadence)."""
+    bm_live = (
+        spark.table(f"{bm25_prefix}_doclen")
+        .select("doc_id")
+        .distinct()
+        .join(
+            F.broadcast(
+                spark.table(f"{bm25_prefix}_tombstones").select("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    ann_live = (
+        spark.table(f"{ann_prefix}_codes")
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+        .join(
+            F.broadcast(
+                spark.table(f"{ann_prefix}_tombstones").select(
+                    F.col("vec_id").alias("doc_id")
+                )
+            ),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    return bm_live, ann_live
+
+
 def hybrid_index_parity(
     spark: SparkSession, bm25_prefix: str, ann_prefix: str
 ) -> DataFrame:
@@ -195,27 +228,12 @@ def hybrid_index_parity(
     Scale: one distinct per index side + one join — maintenance-cadence
     cost, same order as the drift audits; the tombstone sides broadcast
     (bounded by compaction cadence)."""
+    bm_live, ann_live = _live_sets(spark, bm25_prefix, ann_prefix)
     bm_tomb = spark.table(f"{bm25_prefix}_tombstones")
     ann_tomb = spark.table(f"{ann_prefix}_tombstones")
-    bm_live = (
-        spark.table(f"{bm25_prefix}_doclen")
-        .select("doc_id")
-        .distinct()
-        .join(F.broadcast(bm_tomb.select("doc_id")), "doc_id", "left_anti")
-        .withColumn("in_bm", F.lit(1))
+    j = bm_live.withColumn("in_bm", F.lit(1)).join(
+        ann_live.withColumn("in_ann", F.lit(1)), "doc_id", "full_outer"
     )
-    ann_live = (
-        spark.table(f"{ann_prefix}_codes")
-        .select(F.col("vec_id").alias("doc_id"))
-        .distinct()
-        .join(
-            F.broadcast(ann_tomb.select(F.col("vec_id").alias("doc_id"))),
-            "doc_id",
-            "left_anti",
-        )
-        .withColumn("in_ann", F.lit(1))
-    )
-    j = bm_live.join(ann_live, "doc_id", "full_outer")
     counts = j.agg(
         F.count("in_bm").alias("n_bm25_live"),
         F.count("in_ann").alias("n_ann_live"),
@@ -256,6 +274,36 @@ PARITY_DEL_BOTH = 1
 PARITY_DEL_ANN_ONLY = 2
 
 
+def _interleaved_lifecycle(spark, sf_dir: str, bp: str, ap: str, out: str):
+    """Shared parity/repair fixture: build both indexes on the base
+    slice, upsert the held-out quarter to each (auto-epoch — exercises
+    the claim_epoch ledger mint), delete one slice from BOTH and one
+    extra slice from the ANN side only (the injected skew)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm25_index_build(
+        docs.where(F.col("doc_id") % PARITY_DELTA_MOD != 3), bp, f"{out}/bm25"
+    )
+    ann_index_build(
+        emb.where(F.col("vec_id") % PARITY_DELTA_MOD != 3), ap, f"{out}/ann"
+    )
+    bm25_index_upsert(docs.where(F.col("doc_id") % PARITY_DELTA_MOD == 3), bp)
+    ann_index_upsert(emb.where(F.col("vec_id") % PARITY_DELTA_MOD == 3), ap)
+    bm25_index_delete(
+        spark,
+        docs.where(F.col("doc_id") % 10 == PARITY_DEL_BOTH).select("doc_id"),
+        bp,
+    )
+    ann_index_delete(
+        spark,
+        emb.where(
+            (F.col("vec_id") % 10).isin(PARITY_DEL_BOTH, PARITY_DEL_ANN_ONLY)
+        ).select("vec_id"),
+        ap,
+    )
+    return docs, emb
+
+
 def q_hybrid_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved per-index lifecycle, then reconcile: build both
     indexes on the base slice, upsert the held-out quarter to each
@@ -270,43 +318,10 @@ def q_hybrid_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
     out = tempfile.mkdtemp(prefix="hybrid_parity_")
     bp, ap = "hybrid_par_bm25", "hybrid_par_ann"
     try:
-        bm25_index_build(
-            docs.where(F.col("doc_id") % PARITY_DELTA_MOD != 3),
-            bp,
-            f"{out}/bm25",
-        )
-        ann_index_build(
-            emb.where(F.col("vec_id") % PARITY_DELTA_MOD != 3),
-            ap,
-            f"{out}/ann",
-        )
-        bm25_index_upsert(
-            docs.where(F.col("doc_id") % PARITY_DELTA_MOD == 3), bp
-        )
-        ann_index_upsert(
-            emb.where(F.col("vec_id") % PARITY_DELTA_MOD == 3), ap
-        )
-        bm25_index_delete(
-            spark,
-            docs.where(F.col("doc_id") % 10 == PARITY_DEL_BOTH).select(
-                "doc_id"
-            ),
-            bp,
-        )
-        ann_index_delete(
-            spark,
-            emb.where(
-                (F.col("vec_id") % 10).isin(
-                    PARITY_DEL_BOTH, PARITY_DEL_ANN_ONLY
-                )
-            ).select("vec_id"),
-            ap,
-        )
+        docs, emb = _interleaved_lifecycle(spark, sf_dir, bp, ap, out)
         rows = hybrid_index_parity(spark, bp, ap).collect()
         served = hybrid_index_search(spark, emb, bp, ap).collect()
         assert not any(r.doc_id % 10 == PARITY_DEL_BOTH for r in served), (
@@ -356,6 +371,113 @@ SELECT CAST(SUM(CASE WHEN in_bm THEN 1 ELSE 0 END) AS BIGINT)
         WHERE vec_id % 10 IN ({PARITY_DEL_BOTH}, {PARITY_DEL_ANN_ONLY}))
            AS n_tomb_ann
 FROM j
+"""
+
+
+def hybrid_index_repair(
+    spark: SparkSession, bm25_prefix: str, ann_prefix: str
+) -> tuple[int, int]:
+    """RECONCILE the two indexes to their live-set INTERSECTION — the
+    remedy for the skew :func:`hybrid_index_parity` detects. A doc only
+    one index still serves skews RRF fusion (one leg votes, the other
+    never can), whether the cause is a lost delete, a partial ingest,
+    or genuine corpus asymmetry; the fair-fusion fix is the same for
+    all three: tombstone each side's one-sided docs, so both legs rank
+    over the same candidate universe. Deletes are the indexes' own
+    logical-delete primitives — replay-safe appends, purged at the next
+    compaction; the repair is idempotent (re-running finds empty
+    differences). Returns (n deleted from bm25, n deleted from ann)."""
+    bm_live, ann_live = _live_sets(spark, bm25_prefix, ann_prefix)
+    bm_only = bm_live.join(ann_live, "doc_id", "left_anti").localCheckpoint()
+    ann_only = ann_live.join(bm_live, "doc_id", "left_anti").localCheckpoint()
+    n_bm, n_ann = bm_only.count(), ann_only.count()
+    if n_bm:
+        bm25_index_delete(spark, bm_only.select("doc_id"), bm25_prefix)
+    if n_ann:
+        ann_index_delete(
+            spark,
+            ann_only.select(F.col("doc_id").alias("vec_id")),
+            ann_prefix,
+        )
+    return n_bm, n_ann
+
+
+def q_hybrid_index_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity remedy under the driver gate: the interleaved lifecycle
+    WITH the injected one-sided delete, then REPAIR to the live-set
+    intersection, then re-audit. The oracle recomputes the post-repair
+    state from the raw tables (both live sets equal the pre-repair
+    intersection; tombstone counts grow by exactly the one-sided
+    differences), so a repair that under- or over-deletes fails the
+    hash. The wrapper also asserts zero one-sided docs remain and that
+    the hybrid serving output stays inside the reconciled universe."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="hybrid_repair_")
+    bp, ap = "hybrid_rep_bm25", "hybrid_rep_ann"
+    try:
+        docs, emb = _interleaved_lifecycle(spark, sf_dir, bp, ap, out)
+        n_bm, n_ann = hybrid_index_repair(spark, bp, ap)
+        assert n_ann >= 0 and (n_bm > 0 or n_ann > 0), (n_bm, n_ann)
+        rows = hybrid_index_parity(spark, bp, ap).collect()
+        assert rows[0]["n_bm25_only"] == 0 and rows[0]["n_ann_only"] == 0, (
+            rows
+        )
+        live = {
+            r["doc_id"]
+            for r in _live_sets(spark, bp, ap)[0].collect()
+        }
+        served = hybrid_index_search(spark, emb, bp, ap).collect()
+        assert {r.doc_id for r in served} <= live, (served, live)
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {bp}_{t}")
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {ap}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_bm25_live bigint, n_ann_live bigint, n_both bigint,"
+        " n_bm25_only bigint, n_ann_only bigint, n_tomb_bm25 bigint,"
+        " n_tomb_ann bigint",
+    )
+
+
+# post-repair state from first principles: both live sets collapse to
+# the pre-repair intersection; each tombstone set grows by exactly its
+# side's one-sided difference (disjoint from the lifecycle deletes)
+_ORACLE_HYBRID_REPAIR = f"""
+WITH {_DUCK_BM25_TABLES},
+bm_live0 AS (
+    SELECT DISTINCT doc_id FROM tf WHERE doc_id % 10 <> {PARITY_DEL_BOTH}
+),
+ann_live0 AS (
+    SELECT vec_id AS doc_id FROM embeddings
+    WHERE vec_id % 10 NOT IN ({PARITY_DEL_BOTH}, {PARITY_DEL_ANN_ONLY})
+),
+both_live AS (
+    SELECT doc_id FROM bm_live0 INTERSECT SELECT doc_id FROM ann_live0
+),
+n_inter AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM both_live),
+bm_only AS (
+    SELECT doc_id FROM bm_live0 EXCEPT SELECT doc_id FROM ann_live0
+),
+ann_only AS (
+    SELECT doc_id FROM ann_live0 EXCEPT SELECT doc_id FROM bm_live0
+)
+SELECT n AS n_bm25_live,
+       n AS n_ann_live,
+       n AS n_both,
+       CAST(0 AS BIGINT) AS n_bm25_only,
+       CAST(0 AS BIGINT) AS n_ann_only,
+       (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents
+        WHERE doc_id % 10 = {PARITY_DEL_BOTH})
+       + (SELECT CAST(COUNT(*) AS BIGINT) FROM bm_only) AS n_tomb_bm25,
+       (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM embeddings
+        WHERE vec_id % 10 IN ({PARITY_DEL_BOTH}, {PARITY_DEL_ANN_ONLY}))
+       + (SELECT CAST(COUNT(*) AS BIGINT) FROM ann_only) AS n_tomb_ann
+FROM n_inter
 """
 
 
@@ -472,9 +594,11 @@ def serving_plans(spark: SparkSession, sf_dir: str):
 QUERIES = {
     "hybrid_index_search": q_hybrid_index_search,
     "hybrid_index_parity": q_hybrid_index_parity,
+    "hybrid_index_repair": q_hybrid_index_repair,
 }
 
 ORACLES = {
     "hybrid_index_search": _ORACLE_HYBRID_INDEX,
     "hybrid_index_parity": _ORACLE_HYBRID_PARITY,
+    "hybrid_index_repair": _ORACLE_HYBRID_REPAIR,
 }

@@ -603,6 +603,108 @@ ORDER BY rnk
 """
 
 
+def bm25_index_refresh_stats(spark: SparkSession, table_prefix: str) -> None:
+    """SCALAR REFRESH — the text-index drift remedy cheaper than the
+    full rebuild (the family's ann_index_split / dedup_index_ban_hot
+    analogue): recompute the frozen (n_docs, avgdl) scalars FROM THE
+    INDEX — one aggregate over the doc-length table minus tombstones,
+    no corpus re-tokenization, no postings rewrite — and overwrite the
+    one-row stats table. df is already computed live from surviving
+    postings at serve time, so after a refresh a search is IDENTICAL to
+    one against a from-scratch rebuild over the surviving corpus: the
+    entire drift the frozen-scalar contract accumulates (ingest growing
+    n_docs, deletes shrinking it, length mix shifting avgdl) is erased
+    by an O(index) aggregate and a one-row write. Run it on the
+    bm25_index_drift audit's signal, like the other remedies."""
+    doclen = spark.table(f"{table_prefix}_doclen").join(
+        F.broadcast(
+            spark.table(f"{table_prefix}_tombstones").select("doc_id")
+        ),
+        "doc_id",
+        "left_anti",
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    ).localCheckpoint()  # materialize: the write replaces what it read
+    stats.write.mode("overwrite").format("parquet").insertInto(
+        f"{table_prefix}_stats", overwrite=True
+    )
+
+
+def q_bm25_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift REMEDY under the driver gate: build over the base slice,
+    upsert the held-out quarter, delete the doc_id % 10 == 5 slice,
+    REFRESH the scalars, and serve the standard term query. The oracle
+    is a from-scratch REBUILD over the surviving corpus — tf/df/dl and
+    the (n_docs, avgdl) scalars all over survivors — which is exactly
+    what the refresh must make serving equal to; a stale scalar (the
+    pre-refresh frozen value) or an over/under-counted survivor set
+    fails the hash."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % UPSERT_DOC_MOD != UPSERT_DOC_MOD - 1)
+    delta = docs.where(F.col("doc_id") % UPSERT_DOC_MOD == UPSERT_DOC_MOD - 1)
+    doomed = docs.where(
+        F.col("doc_id") % BM25_DELETE_MOD == BM25_DELETE_REM
+    ).select("doc_id")
+    out = tempfile.mkdtemp(prefix="bm25_refresh_")
+    prefix = "bm25_idx_rf"
+    try:
+        bm25_index_build(base, prefix, out)
+        bm25_index_upsert(delta, prefix)
+        bm25_index_delete(spark, doomed, prefix)
+        bm25_index_refresh_stats(spark, prefix)
+        rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
+# the rebuild-equivalence oracle: EVERYTHING over the surviving corpus
+# (tf/df/dl restricted to survivors, scalars recomputed over survivors)
+# — post-refresh serving must match a from-scratch rebuild exactly
+_ORACLE_INDEX_REFRESH = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+    WHERE doc_id % {BM25_DELETE_MOD} <> {BM25_DELETE_REM}
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+per_term AS (
+    SELECT tf.doc_id,
+           {_DUCK_BM25_SCORE} AS s
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+    WHERE tf.token IN ({_BM25_QUERY_LIST})
+),
+doc_scores AS (
+    SELECT doc_id, COUNT(*) AS n_terms_matched,
+           CAST(SUM(s) AS BIGINT) AS score_scaled
+    FROM per_term GROUP BY doc_id
+),
+ranked AS (
+    SELECT doc_id, n_terms_matched, score_scaled,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY score_scaled DESC, doc_id
+           ) AS INT) AS rnk
+    FROM doc_scores
+)
+SELECT doc_id, n_terms_matched, score_scaled, rnk
+FROM ranked WHERE rnk <= {BM25_SEARCH_TOP}
+ORDER BY rnk
+"""
+
+
 def q_streaming_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING text-index maintenance: the delta corpus arrives as a
     stream, each micro-batch lands via foreachBatch with the batch id
@@ -954,6 +1056,7 @@ QUERIES = {
     "bm25_index_compact": q_bm25_index_compact,
     "streaming_bm25_ingest": q_streaming_bm25_ingest,
     "bm25_index_delete": q_bm25_index_delete,
+    "bm25_index_refresh": q_bm25_index_refresh,
     "bm25_index_phrase": q_bm25_index_phrase,
     "bm25_index_drift": q_bm25_index_drift,
     "bm25_index_asof": q_bm25_index_asof,
@@ -973,6 +1076,9 @@ ORACLES = {
     "streaming_bm25_ingest": _ORACLE_INDEX_UPSERT,
     # tombstone-masked serving: surviving tf/df, frozen scalars
     "bm25_index_delete": _ORACLE_INDEX_DELETE,
+    # drift remedy: scalar refresh must make serving equal a
+    # from-scratch rebuild over the surviving corpus
+    "bm25_index_refresh": _ORACLE_INDEX_REFRESH,
     # positional serving parity: the inline phrase oracle verbatim
     "bm25_index_phrase": _ORACLE_BM25_PHRASE,
     # rebuild-trigger audit: per-epoch vocabulary drift

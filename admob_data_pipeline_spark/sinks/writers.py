@@ -452,6 +452,26 @@ def index_manifest(spark, table_prefix: str, tables) -> DataFrame:
     )
 
 
+def should_compact(manifest_rows, max_epochs: int = 16) -> bool:
+    """Compaction trigger policy over an :func:`index_manifest` result:
+    compact when any epoch-partitioned index table has accumulated more
+    than ``max_epochs`` ingest epochs. Epoch COUNT itself is nearly
+    free at serve time (measured: a 100-epoch ANN index at sf0.1 served
+    in 1.12 s vs 1.67 s for the same rows as one epoch — partition
+    discovery is catalog-metadata, not file listing), but each epoch
+    adds up to one FILE per bucket, and files-per-bucket is what decays
+    scans and forces the per-bucket Sort — post-compaction the same
+    index served in 0.98 s from 8 files instead of 428
+    (tools/epoch_scaling_probe.py, ROUND_NOTES r10). The default of 16
+    bounds the decay to ~17 files/bucket worst case while keeping an
+    as-of history window (compaction voids time travel for the folded
+    span)."""
+    return any(
+        r["n_epochs"] is not None and int(r["n_epochs"]) > max_epochs
+        for r in manifest_rows
+    )
+
+
 def compact_bucketed_table(
     spark,
     table: str,

@@ -211,3 +211,17 @@ def test_delete_before_first_upsert_keeps_base_history(spark, sf_dir):
         for t in ("centroids", "codebooks", "codes", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_should_compact_policy(spark, sf_dir):
+    """The manifest-driven compaction trigger: fires once any epoch-
+    partitioned table exceeds the epoch budget, ignores non-epoch
+    tables (n_epochs NULL/0), and is quiet on a fresh index."""
+    rows = [
+        {"table_name": "codes", "n_epochs": 1},
+        {"table_name": "centroids", "n_epochs": None},
+    ]
+    assert not writers.should_compact(rows)
+    rows[0]["n_epochs"] = 17
+    assert writers.should_compact(rows, max_epochs=16)
+    assert not writers.should_compact(rows, max_epochs=32)
