@@ -1437,6 +1437,7 @@ LIFECYCLE_WRITE = {
     "ann_index_build",
     "ann_index_upsert",
     "ann_index_compact",
+    "ann_index_split",
     "streaming_ann_ingest",
 }
 

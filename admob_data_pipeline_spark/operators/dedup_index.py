@@ -1160,6 +1160,7 @@ LIFECYCLE_WRITE = {
     "dedup_index_build",
     "dedup_index_upsert",
     "dedup_index_compact",
+    "dedup_index_ban_hot",
     "streaming_dedup_ingest",
 }
 

@@ -588,7 +588,18 @@ def serving_plans(spark: SparkSession, sf_dir: str):
         "hybrid_index_search": lambda: hybrid_index_search(
             spark, emb, bp, ap
         ),
+        # the parity audit is a pure read over the two indexes — its
+        # real reconciliation plan (two distincts + full-outer + agg)
+        # is what runs at maintenance cadence
+        "hybrid_index_parity": lambda: hybrid_index_parity(spark, bp, ap),
     }, cleanup
+
+
+# hybrid_index_repair mutates both indexes (tombstone appends) before
+# its final audit read — a write-path wrapper like the other families'
+LIFECYCLE_WRITE = {
+    "hybrid_index_repair",
+}
 
 
 QUERIES = {

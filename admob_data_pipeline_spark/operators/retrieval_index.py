@@ -1045,6 +1045,7 @@ LIFECYCLE_WRITE = {
     "bm25_index_build",
     "bm25_index_upsert",
     "bm25_index_compact",
+    "bm25_index_refresh",
     "streaming_bm25_ingest",
 }
 

@@ -254,3 +254,78 @@ def test_streaming_ingest_survives_midstream_restart(spark, sf_dir, tmp_path):
         for p in (prefix, prefix2):
             for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
                 spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
+
+
+def test_ban_hot_repairs_only_affected_docs(spark, sf_dir):
+    """The stop-list re-census remedy's physical contracts (the oracle
+    gate pins values, not layout): docs containing NO newly-banned
+    shingle keep byte-identical band rows (epoch included), affected
+    docs' rows are consistently rewritten (bands from the post-ban
+    signature, shingle rows minus the bans, sizes matching), the stop
+    list grows by exactly top_n, and the zero-Exchange bucketed probe
+    join survives the partition rewrites."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where((F.col("doc_id") % 5).isin(1, 2))
+    out = tempfile.mkdtemp(prefix="dedup_ban_hot_test_")
+    prefix = "dedup_idx_bh_t"
+    try:
+        dedup_index.dedup_index_build(base, prefix, out)
+        dedup_index.dedup_index_upsert(
+            docs.where(F.col("doc_id") % 5 == 3), prefix
+        )
+        pre_bands = {
+            (r.band_key, r.band, r.doc_id, r.epoch)
+            for r in spark.table(f"{prefix}_bands").collect()
+        }
+        pre_sh = {
+            (r.shingle, r.doc_id, r.epoch)
+            for r in spark.table(f"{prefix}_shingles").collect()
+        }
+        n_banned_pre = spark.table(f"{prefix}_banned").count()
+        n_hot = dedup_index.dedup_index_ban_hot(spark, prefix, top_n=5)
+        assert n_hot == 5
+        banned_all = {
+            r.shingle for r in spark.table(f"{prefix}_banned").collect()
+        }
+        assert spark.table(f"{prefix}_banned").count() == n_banned_pre + 5
+        affected = {d for (s, d, e) in pre_sh if s in banned_all}
+        post_bands = {
+            (r.band_key, r.band, r.doc_id, r.epoch)
+            for r in spark.table(f"{prefix}_bands").collect()
+        }
+        post_sh = {
+            (r.shingle, r.doc_id, r.epoch)
+            for r in spark.table(f"{prefix}_shingles").collect()
+        }
+        # banned shingles fully purged; survivors byte-identical
+        assert post_sh == {
+            (s, d, e) for (s, d, e) in pre_sh if s not in banned_all
+        }
+        # untouched docs: band rows byte-identical
+        pre_untouched = {r for r in pre_bands if r[2] not in affected}
+        assert pre_untouched == {
+            r for r in post_bands if r[2] not in affected
+        }
+        # affected docs: bands recomputed (epoch preserved), sizes match
+        sizes = {
+            r.doc_id: r.n_sh
+            for r in spark.table(f"{prefix}_shsizes").collect()
+        }
+        from collections import Counter
+
+        sh_counts = Counter(d for (_, d, _) in post_sh)
+        assert sizes == dict(sh_counts)
+        # the bucketed zero-Exchange probe join survives the rewrite
+        probe = spark.createDataFrame(
+            [("00000000000000000000000000000000",)], "band_key string"
+        )
+        plan = explain.formatted_plan(
+            spark.table(f"{prefix}_bands").hint("merge").join(probe, "band_key")
+        )
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange (") == 1, plan
+        assert "Bucketed: true" in plan
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
