@@ -70,12 +70,14 @@ from admob_data_pipeline_spark.operators.similarity import (
 )
 from admob_data_pipeline_spark.sinks.writers import (
     BASE_EPOCH,
+    TOMBSTONE_VEC_SCHEMA,
     claim_epoch,
     compact_bucketed_table,
     index_manifest,
     next_epoch,
     overwrite_epoch_partition,
     purge_applied_tombstones,
+    snapshot_tombstones,
     write_epoch_bucketed,
 )
 from admob_data_pipeline_spark.sources.tables import load_table
@@ -135,7 +137,7 @@ def ann_index_build(
     # as-of reads can reconstruct pre-delete history (only back to the
     # last compaction — folding epochs discards the history span)
     spark.createDataFrame(
-        [], "vec_id bigint, deleted_at_epoch bigint"
+        [], TOMBSTONE_VEC_SCHEMA
     ).write.mode("overwrite").format("parquet").option(
         "path", f"{path}/tombstones"
     ).saveAsTable(f"{table_prefix}_tombstones")
@@ -793,10 +795,7 @@ def ann_index_compact(spark: SparkSession, table_prefix: str) -> tuple[int, int]
     checkpoint has committed past them); folding also voids as-of
     history for the folded span — see compact_bucketed_table."""
     tomb = f"{table_prefix}_tombstones"
-    snap_rows = spark.table(tomb).collect()  # bounded by compaction cadence
-    snap = spark.createDataFrame(
-        snap_rows, "vec_id bigint, deleted_at_epoch bigint"
-    )
+    snap, applied = snapshot_tombstones(spark, tomb, TOMBSTONE_VEC_SCHEMA)
     out = compact_bucketed_table(
         spark,
         f"{table_prefix}_codes",
@@ -806,11 +805,7 @@ def ann_index_compact(spark: SparkSession, table_prefix: str) -> tuple[int, int]
         anti=("vec_id", snap),
     )
     purge_applied_tombstones(
-        spark,
-        tomb,
-        "vec_id bigint, deleted_at_epoch bigint",
-        "vec_id",
-        {r["vec_id"] for r in snap_rows},
+        spark, tomb, TOMBSTONE_VEC_SCHEMA, "vec_id", applied
     )
     return out
 
@@ -991,7 +986,11 @@ def ann_index_split(
     overwrite at a time — at every intermediate point each vector is
     probe-reachable under exactly one list (moved rows via the child,
     unmoved via the parent); a crash loses nothing and duplicates
-    nothing. Re-running the SAME call after completion is not a no-op —
+    nothing, and re-running the interrupted call CONVERGES: the child
+    election is deterministic over the unchanged member snapshot, the
+    centroid append skips already-published cids (never a duplicate
+    centroid row), and the partition rewrites are idempotent.
+    Re-running the SAME call after completion is not a no-op —
     it performs a FURTHER split of the flagged lists (iterative
     refinement semantics); drive it from the drift audit, which stops
     flagging a list once its load is balanced."""
@@ -1045,12 +1044,27 @@ def ann_index_split(
         .localCheckpoint()
     )
     # 1) publish the children FIRST: from here on, every row is reachable
-    # at all times (moved rows probe via the child, unmoved via parent)
-    childs.select(
-        F.col("child_cid").alias("cid"),
-        F.col("ccv").alias("cv"),
-        F.col("ccn").alias("cn"),
-    ).write.mode("append").format("parquet").saveAsTable(
+    # at all times (moved rows probe via the child, unmoved via parent).
+    # The append is made idempotent by skipping cids already present: a
+    # re-run after a crash between this append and the partition
+    # rewrites re-elects the same child deterministically (the member
+    # snapshot is unchanged) and must COMPLETE the split, not register
+    # the child twice — a duplicate centroid row would double every
+    # candidate of its list in the probe join.
+    new_children = (
+        childs.join(
+            cents.select(F.col("cid").alias("child_cid")),
+            "child_cid",
+            "left_anti",
+        )
+        .select(
+            F.col("child_cid").alias("cid"),
+            F.col("ccv").alias("cv"),
+            F.col("ccn").alias("cn"),
+        )
+        .localCheckpoint()  # materialize: the append reads the target
+    )
+    new_children.write.mode("append").format("parquet").saveAsTable(
         f"{table_prefix}_centroids"
     )
     # 2) re-split members between parent and child: same argmax rule as

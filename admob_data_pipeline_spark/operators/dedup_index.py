@@ -54,12 +54,14 @@ from admob_data_pipeline_spark.operators.dedup import (
 from admob_data_pipeline_spark.operators.util import join_small
 from admob_data_pipeline_spark.sinks.writers import (
     BASE_EPOCH,
+    TOMBSTONE_DOC_SCHEMA,
     claim_epoch,
     compact_bucketed_table,
     index_manifest,
     next_epoch,
     overwrite_epoch_partition,
     purge_applied_tombstones,
+    snapshot_tombstones,
     write_epoch_bucketed,
 )
 from admob_data_pipeline_spark.sources.tables import load_table
@@ -97,7 +99,7 @@ def dedup_index_build(
     # stamped with the newest ingest epoch at issue time (as-of reads
     # mask only deletes issued up to their epoch)
     spark.createDataFrame(
-        [], "doc_id bigint, deleted_at_epoch bigint"
+        [], TOMBSTONE_DOC_SCHEMA
     ).write.mode("overwrite").format("parquet").option(
         "path", f"{path}/tombstones"
     ).saveAsTable(f"{table_prefix}_tombstones")
@@ -312,9 +314,13 @@ def dedup_index_ban_hot(
     Crash contract: the stop list is extended FIRST (probes immediately
     stop matching on the banned shingles from the batch side — results
     only ever move toward the post-remedy state), then partitions are
-    rewritten one idempotent dynamic overwrite at a time. Re-running
-    after a crash converges; re-running after COMPLETION bans the NEXT
-    ``top_n`` hottest (iterative-refinement semantics, like
+    rewritten one idempotent dynamic overwrite at a time. The repair
+    set is derived from the FULL stop list intersected with the stored
+    table — not from the fresh election — so a re-run after a crash
+    finds every banned-but-unpurged shingle (whose shrunken residual df
+    would no longer win the top-N cut) and CONVERGES to the invariant
+    "no stored shingle is banned". Re-running after COMPLETION bans the
+    NEXT ``top_n`` hottest (iterative-refinement semantics, like
     ann_index_split). Duplicate stop-list rows are harmless (anti-join
     semantics). Returns the number of newly banned shingles."""
     sh_table = f"{table_prefix}_shingles"
@@ -333,15 +339,31 @@ def dedup_index_ban_hot(
     hot.write.mode("append").format("parquet").saveAsTable(
         f"{table_prefix}_banned"
     )
+    # The repair is keyed off the FULL stop list intersected with the
+    # stored table, NOT the fresh election: after a crash mid-rewrite, a
+    # banned shingle's residual rows shrink its df below the top-N cut,
+    # so a re-run would never re-elect it — reconciling against the
+    # banned table instead makes every run restore the invariant
+    # "no stored shingle is banned", so re-runs CONVERGE.
+    purge = (
+        sh_t.join(
+            spark.table(f"{table_prefix}_banned").select("shingle"),
+            "shingle",
+            "left_semi",
+        )
+        .select("shingle")
+        .distinct()
+        .localCheckpoint()
+    )
     affected = (
-        sh_t.join(hot, "shingle", "left_semi")
+        sh_t.join(purge, "shingle", "left_semi")
         .select("doc_id", "epoch")
         .distinct()
         .localCheckpoint()
     )
     new_sh = (
         sh_t.join(affected.select("doc_id"), "doc_id", "left_semi")
-        .join(hot, "shingle", "left_anti")
+        .join(purge, "shingle", "left_anti")
         .select("doc_id", "shingle")
         .localCheckpoint()
     )
@@ -365,7 +387,7 @@ def dedup_index_ban_hot(
         shp = (
             spark.table(sh_table)
             .where(F.col("epoch") == int(p))
-            .join(hot, "shingle", "left_anti")
+            .join(purge, "shingle", "left_anti")
             # insertInto is positional: match the table's (shingle,
             # doc_id) order (the build's anti-join puts the key first)
             .select("shingle", "doc_id")
@@ -421,9 +443,8 @@ def dedup_index_compact(spark: SparkSession, table_prefix: str):
     rows are truncated afterward — a delete appended concurrently with
     the rewrites survives to the next cycle instead of being silently
     wiped unpurged."""
-    tomb_rows = spark.table(f"{table_prefix}_tombstones").collect()
-    tomb = spark.createDataFrame(
-        tomb_rows, "doc_id bigint, deleted_at_epoch bigint"
+    tomb, applied = snapshot_tombstones(
+        spark, f"{table_prefix}_tombstones", TOMBSTONE_DOC_SCHEMA
     )
     a = compact_bucketed_table(
         spark,
@@ -451,9 +472,9 @@ def dedup_index_compact(spark: SparkSession, table_prefix: str):
     purge_applied_tombstones(
         spark,
         f"{table_prefix}_tombstones",
-        "doc_id bigint, deleted_at_epoch bigint",
+        TOMBSTONE_DOC_SCHEMA,
         "doc_id",
-        {r["doc_id"] for r in tomb_rows},
+        applied,
     )
     return a, b
 
@@ -522,13 +543,12 @@ def q_dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Frozen-cap oracle scaffolding: shingles over the WHOLE corpus, hot
-# census over the BUILD slice only (``hot_pred`` — the stop list is
-# frozen at build time, upserts never re-census), both sides filtered
-# by it, band keys with the band index folded into the hash
-# (band_in_key=True).
-def _duck_frozen_cap(hot_pred: str) -> str:
-    return f"""
+# Shared oracle fragments: corpus shingling header (everything above
+# the stop-list stage) and the signature/band tail (everything below
+# the final ``sh`` shingle set). One definition each, so the one-stage
+# frozen cap and the two-stage re-census cap can never silently drift
+# apart on the shingle/hash/band formulas.
+_DUCK_SH0_HEADER = """
 t AS (
     SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
 ),
@@ -537,15 +557,9 @@ sh0 AS (
         [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
     )) AS shingle
     FROM t
-),
-hot AS (
-    SELECT shingle FROM sh0 WHERE {hot_pred}
-    GROUP BY shingle HAVING COUNT(*) > {MAX_DF}
-),
-sh AS (
-    SELECT doc_id, shingle FROM sh0
-    WHERE shingle NOT IN (SELECT shingle FROM hot)
-),
+),"""
+
+_DUCK_SIG_TAIL = f"""
 sizes AS (
     SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
 ),
@@ -569,6 +583,23 @@ bands AS (
 """
 
 
+# Frozen-cap oracle scaffolding: shingles over the WHOLE corpus, hot
+# census over the BUILD slice only (``hot_pred`` — the stop list is
+# frozen at build time, upserts never re-census), both sides filtered
+# by it, band keys with the band index folded into the hash
+# (band_in_key=True).
+def _duck_frozen_cap(hot_pred: str) -> str:
+    return f"""{_DUCK_SH0_HEADER}
+hot AS (
+    SELECT shingle FROM sh0 WHERE {hot_pred}
+    GROUP BY shingle HAVING COUNT(*) > {MAX_DF}
+),
+sh AS (
+    SELECT doc_id, shingle FROM sh0
+    WHERE shingle NOT IN (SELECT shingle FROM hot)
+),{_DUCK_SIG_TAIL}"""
+
+
 _DUCK_FROZEN_CAP = _duck_frozen_cap(f"doc_id % {PROBE_MOD} <> 0")
 
 
@@ -577,19 +608,11 @@ _DUCK_FROZEN_CAP = _duck_frozen_cap(f"doc_id % {PROBE_MOD} <> 0")
 # re-censuses the STORED (stage-1-filtered) shingles of index docs and
 # bans the top_n hottest (df DESC, shingle ASC — the deterministic
 # scale-independent knob dedup_index_ban_hot uses). The final CTEs keep
-# the names ``sh``/``sizes``/``bands`` so the probe tail is shared
-# verbatim with _ORACLE_DEDUP_PROBE.
+# the names ``sh``/``sizes``/``bands`` (via the SHARED header/tail
+# fragments) so the probe tail is shared verbatim with
+# _ORACLE_DEDUP_PROBE.
 def _duck_recensus_cap(hot_pred: str, top_n: int) -> str:
-    return f"""
-t AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
-),
-sh0 AS (
-    SELECT doc_id, unnest(list_distinct(
-        [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
-    )) AS shingle
-    FROM t
-),
+    return f"""{_DUCK_SH0_HEADER}
 hot AS (
     SELECT shingle FROM sh0 WHERE {hot_pred}
     GROUP BY shingle HAVING COUNT(*) > {MAX_DF}
@@ -606,28 +629,7 @@ hot2 AS (SELECT shingle FROM idxdf ORDER BY df DESC, shingle LIMIT {top_n}),
 sh AS (
     SELECT doc_id, shingle FROM sh_f
     WHERE shingle NOT IN (SELECT shingle FROM hot2)
-),
-sizes AS (
-    SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-),
-hashed AS (
-    SELECT doc_id,
-           CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h1,
-           CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT) AS h2
-    FROM sh
-),
-sig AS (
-    SELECT doc_id,
-           {", ".join(f"MIN((h1 + {i} * h2) % {MERSENNE_61}) AS m{i}" for i in range(N_HASHES))}
-    FROM hashed
-    GROUP BY doc_id
-),
-bands AS (
-    SELECT doc_id, g.band,
-           {"CASE " + " ".join(f"WHEN g.band = {b} THEN md5('{b}' || '|' || CAST(m{b * BAND_ROWS} AS VARCHAR) || '|' || CAST(m{b * BAND_ROWS + 1} AS VARCHAR))" for b in range(N_BANDS)) + " END"} AS band_key
-    FROM sig, generate_series(0, {N_BANDS - 1}) AS g(band)
-)
-"""
+),{_DUCK_SIG_TAIL}"""
 
 _ORACLE_DEDUP_PROBE = f"""
 WITH {_DUCK_FROZEN_CAP},

@@ -419,7 +419,10 @@ def q_hybrid_index_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         docs, emb = _interleaved_lifecycle(spark, sf_dir, bp, ap, out)
         n_bm, n_ann = hybrid_index_repair(spark, bp, ap)
-        assert n_ann >= 0 and (n_bm > 0 or n_ann > 0), (n_bm, n_ann)
+        # the injected ANN-only delete MUST surface as BM25-only live
+        # docs for the repair to remove — n_bm == 0 means the skew was
+        # silently missed
+        assert n_bm > 0, (n_bm, n_ann)
         rows = hybrid_index_parity(spark, bp, ap).collect()
         assert rows[0]["n_bm25_only"] == 0 and rows[0]["n_ann_only"] == 0, (
             rows

@@ -58,12 +58,14 @@ from admob_data_pipeline_spark.operators.corpus import (
 )
 from admob_data_pipeline_spark.sinks.writers import (
     BASE_EPOCH,
+    TOMBSTONE_DOC_SCHEMA,
     claim_epoch,
     compact_bucketed_table,
     index_manifest,
     next_epoch,
     overwrite_epoch_partition,
     purge_applied_tombstones,
+    snapshot_tombstones,
     write_epoch_bucketed,
 )
 from admob_data_pipeline_spark.sources.tables import load_table
@@ -85,7 +87,7 @@ def bm25_index_build(docs: DataFrame, table_prefix: str, path: str) -> None:
     # stamped with the newest ingest epoch at issue time (as-of reads
     # mask only deletes issued up to their epoch)
     spark.createDataFrame(
-        [], "doc_id bigint, deleted_at_epoch bigint"
+        [], TOMBSTONE_DOC_SCHEMA
     ).write.mode("overwrite").format("parquet").option(
         "path", f"{path}/tombstones"
     ).saveAsTable(f"{table_prefix}_tombstones")
@@ -458,9 +460,8 @@ def bm25_index_compact(spark: SparkSession, table_prefix: str):
     snapshot rows are truncated afterward — a delete appended
     concurrently with the rewrites survives to the next cycle instead
     of being silently wiped unpurged."""
-    tomb_rows = spark.table(f"{table_prefix}_tombstones").collect()
-    tomb = spark.createDataFrame(
-        tomb_rows, "doc_id bigint, deleted_at_epoch bigint"
+    tomb, applied = snapshot_tombstones(
+        spark, f"{table_prefix}_tombstones", TOMBSTONE_DOC_SCHEMA
     )
     a = compact_bucketed_table(
         spark,
@@ -489,9 +490,9 @@ def bm25_index_compact(spark: SparkSession, table_prefix: str):
     purge_applied_tombstones(
         spark,
         f"{table_prefix}_tombstones",
-        "doc_id bigint, deleted_at_epoch bigint",
+        TOMBSTONE_DOC_SCHEMA,
         "doc_id",
-        {r["doc_id"] for r in tomb_rows},
+        applied,
     )
     return a, b
 

@@ -312,11 +312,17 @@ def claim_epoch(spark, table: str, max_attempts: int = 64) -> int:
     — the classic lost-update. Here the mint is an ATOMIC
     create-if-absent of a marker file ``_epoch_ledger/epoch-<id>`` in
     the table's storage location: ``FileSystem.createNewFile`` is
-    atomic on HDFS and local filesystems and maps to a conditional PUT
-    (if-none-match / generation-0 precondition) under the Hadoop 3
-    object-store connectors, so exactly ONE writer wins each id. The
-    loser REMINTS the next id and retries — no silent row loss, no
-    failed job, just densely increasing epochs.
+    atomic on HDFS and local filesystems and on the GCS connector
+    (create maps to a generation-0 precondition PUT), so exactly ONE
+    writer wins each id. The loser REMINTS the next id and retries — no
+    silent row loss, no failed job, just densely increasing epochs.
+    CAVEAT (S3A): plain S3A implements create(overwrite=false) as
+    HEAD-then-PUT — check-then-act, not conditional — so two writers
+    racing within that window can both "win"; on S3, enable the
+    conditional-write integration (Hadoop 3.4.1+ `fs.s3a.create.conditional.enabled`,
+    S3 If-None-Match) or arbitrate epochs through an external lock
+    table. The guard is exact on HDFS/local/GCS and still removes the
+    common seconds-apart double-submit on S3A.
 
     The candidate starts at max(partition list, ledger)+1, so ids are
     never reused even when a partition write crashed after its claim
@@ -346,6 +352,26 @@ def claim_epoch(spark, table: str, max_attempts: int = 64) -> int:
     )
 
 
+# One definition per id-space of the tombstone DDL — the build, delete,
+# compact, and truncate sites of each index family all reference these,
+# so a family's schema literal can never drift from its table.
+TOMBSTONE_DOC_SCHEMA = "doc_id bigint, deleted_at_epoch bigint"
+TOMBSTONE_VEC_SCHEMA = "vec_id bigint, deleted_at_epoch bigint"
+
+
+def snapshot_tombstones(spark, tomb_table: str, schema: str):
+    """Materialize the tombstone set a compaction will PURGE: returns
+    ``(snapshot_df, applied_keys)`` — the DataFrame to anti-join during
+    the rewrite and the key set to hand
+    :func:`purge_applied_tombstones` afterward. One collect, bounded by
+    the compaction cadence; materializing BEFORE the rewrites also
+    means a multi-table compact (BM25's three tables, dedup's three)
+    purges one CONSISTENT delete set."""
+    rows = spark.table(tomb_table).collect()
+    key = schema.split()[0]
+    return spark.createDataFrame(rows, schema), {r[key] for r in rows}
+
+
 def purge_applied_tombstones(
     spark, tomb_table: str, schema: str, key: str, applied_keys
 ) -> int:
@@ -356,7 +382,15 @@ def purge_applied_tombstones(
     while its rows were never purged (the resurrection race). Both the
     snapshot and the survivors are bounded by the compaction cadence
     (serving broadcasts the same set), so the driver-side set
-    difference is small by contract. Returns the survivor count."""
+    difference is small by contract. Returns the survivor count.
+
+    Residual window: the truncate itself is a read-then-overwrite — a
+    delete appended between THIS function's read and its overwrite is
+    still lost. That narrows the unsafe span from the whole compaction
+    rewrite (minutes at scale) to the one-row truncate instant, but
+    does not close it; fully closing it needs a conditionally-written
+    tombstone store. Deletes should not race the truncate instant —
+    the compact docstrings state the maintenance-window contract."""
     applied = set(applied_keys)
     rows = [
         r for r in spark.table(tomb_table).collect() if r[key] not in applied
@@ -395,8 +429,11 @@ def recover_compaction(spark, table: str) -> str:
     self-repair instead of paging an operator. Returns what it did:
     ``clean`` (nothing to do), ``completed_swap`` (finished the
     interrupted rename pair), ``rolled_back`` (only ``__old`` existed —
-    restored it as live), or ``dropped_old`` (live table fine, reaped
-    the leftover)."""
+    restored it as live), ``dropped_old`` (live table fine, reaped the
+    leftover), or ``reaped_stale_compact`` (live table fine, a crash
+    before the first rename left a full ``__compact`` copy — dropped
+    WITH its data files, which a bare DROP of an external table would
+    orphan on disk forever)."""
     cat = spark.catalog
     old, tmp = f"{table}__old", f"{table}__compact"
     if not cat.tableExists(table):
@@ -416,6 +453,14 @@ def recover_compaction(spark, table: str) -> str:
         # crash after the second rename, before the old-table reap
         _finalize_swap(spark, table, old)
         return "dropped_old"
+    if cat.tableExists(tmp):
+        # crash after the staging write but before the first rename:
+        # the live table never moved; reap the stale full-size copy
+        stale_loc = table_location(spark, tmp)
+        spark.sql(f"DROP TABLE {tmp}")  # external: metadata only
+        fs, stale_path = _fs_and_path(spark, stale_loc)
+        fs.delete(stale_path, True)
+        return "reaped_stale_compact"
     return "clean"
 
 
@@ -457,11 +502,11 @@ def should_compact(manifest_rows, max_epochs: int = 16) -> bool:
     compact when any epoch-partitioned index table has accumulated more
     than ``max_epochs`` ingest epochs. Epoch COUNT itself is nearly
     free at serve time (measured: a 100-epoch ANN index at sf0.1 served
-    in 1.12 s vs 1.67 s for the same rows as one epoch — partition
-    discovery is catalog-metadata, not file listing), but each epoch
-    adds up to one FILE per bucket, and files-per-bucket is what decays
-    scans and forces the per-bucket Sort — post-compaction the same
-    index served in 0.98 s from 8 files instead of 428
+    in 1.18 s from 624 files vs 1.67 s for the same rows as one epoch —
+    partition discovery is catalog-metadata, not file listing), but
+    each epoch adds up to one FILE per bucket, and files-per-bucket is
+    what decays scans and forces the per-bucket Sort — post-compaction
+    the same index served in 0.93 s from 8 files
     (tools/epoch_scaling_probe.py, ROUND_NOTES r10). The default of 16
     bounds the decay to ~17 files/bucket worst case while keeping an
     as-of history window (compaction voids time travel for the folded

@@ -545,3 +545,45 @@ def test_split_rebalances_only_flagged_lists(spark, sf_dir):
         for t in ("centroids", "codebooks", "codes", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_split_rerun_never_duplicates_centroids(spark, sf_dir):
+    """Crash-recovery convergence (round-10 self-review): the child
+    append skips cids already present, so re-running a split — whether
+    to complete an interrupted one or as a further refinement — can
+    never register a centroid twice (a duplicate would double every
+    candidate of its list in the probe join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ann_split_rerun_test_")
+    prefix = "ann_idx_rerun_t"
+    try:
+        ann_index.ann_index_build(
+            emb.where(F.col("vec_id") % 4 != 3), prefix, out
+        )
+        ann_index.ann_index_upsert(
+            emb.where(F.col("vec_id") % 4 == 3), prefix, epoch=0
+        )
+        drift = ann_index.ann_index_drift(spark, prefix).collect()
+        flagged = [
+            r["list_id"]
+            for r in sorted(
+                drift, key=lambda r: (-r["n_delta"], r["list_id"])
+            )[:2]
+        ]
+        ann_index.ann_index_split(emb, prefix, flagged)
+        ann_index.ann_index_split(emb, prefix, flagged)  # re-run
+        dup = (
+            spark.table(f"{prefix}_centroids")
+            .groupBy("cid")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        assert dup == 0
+        # conservation still holds after the double split
+        n = spark.table(f"{prefix}_codes").count()
+        assert n == emb.count()
+    finally:
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)

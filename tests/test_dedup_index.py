@@ -329,3 +329,51 @@ def test_ban_hot_repairs_only_affected_docs(spark, sf_dir):
         for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_ban_hot_rerun_reconciles_crash_leftovers(spark, sf_dir):
+    """Crash-recovery convergence (round-10 self-review): a shingle that
+    reached the stop list while the partition rewrites never ran (its
+    residual df may no longer win the top-N election) must STILL be
+    purged by the next run — the repair reconciles against the full
+    banned table, not the fresh election."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where((F.col("doc_id") % 5).isin(1, 2))
+    out = tempfile.mkdtemp(prefix="dedup_ban_crash_test_")
+    prefix = "dedup_idx_bc_t"
+    try:
+        dedup_index.dedup_index_build(base, prefix, out)
+        dedup_index.dedup_index_upsert(
+            docs.where(F.col("doc_id") % 5 == 3), prefix
+        )
+        # pick a LOW-df stored shingle: it could never win a top-N
+        # election, so only the banned-table reconciliation can purge it
+        victim = (
+            spark.table(f"{prefix}_shingles")
+            .groupBy("shingle")
+            .count()
+            .orderBy("count", "shingle")
+            .first()["shingle"]
+        )
+        # simulate the crash state: stop list extended, rewrite never ran
+        spark.createDataFrame([(victim,)], "shingle string").write.mode(
+            "append"
+        ).format("parquet").saveAsTable(f"{prefix}_banned")
+        assert (
+            spark.table(f"{prefix}_shingles")
+            .where(F.col("shingle") == victim)
+            .count()
+            > 0
+        )
+        dedup_index.dedup_index_ban_hot(spark, prefix, top_n=3)
+        # the leftover is purged even though it was not re-elected
+        assert (
+            spark.table(f"{prefix}_shingles")
+            .where(F.col("shingle") == victim)
+            .count()
+            == 0
+        )
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)

@@ -225,3 +225,26 @@ def test_should_compact_policy(spark, sf_dir):
     rows[0]["n_epochs"] = 17
     assert writers.should_compact(rows, max_epochs=16)
     assert not writers.should_compact(rows, max_epochs=32)
+
+
+def test_recover_reaps_stale_compact_copy(spark, epoch_table):
+    """Crash after the staging write but before the first rename: the
+    live table never moved, but a full-size __compact copy lingers.
+    Recovery must drop it WITH its data files — a bare DROP of the
+    external table would orphan the directory on disk forever."""
+    loc = writers.table_location(spark, epoch_table)
+    stale_loc = f"{loc.rstrip('/')}__stalecompact"
+    spark.range(5).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).write.mode("overwrite").format("parquet").option(
+        "path", stale_loc
+    ).saveAsTable(f"{epoch_table}__compact")
+    n = spark.table(epoch_table).count()
+    assert (
+        writers.recover_compaction(spark, epoch_table)
+        == "reaped_stale_compact"
+    )
+    assert not spark.catalog.tableExists(f"{epoch_table}__compact")
+    fs, p = writers._fs_and_path(spark, stale_loc)
+    assert not fs.exists(p)  # files reclaimed, not orphaned
+    assert spark.table(epoch_table).count() == n

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.operators import ann_index, similarity
 from admob_data_pipeline_spark.session import get_spark
+from admob_data_pipeline_spark.sinks import writers
 from admob_data_pipeline_spark.sources.tables import load_table
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -65,14 +66,21 @@ def main():
         try:
             ann_index.ann_index_build(base, prefix, tmp)
             for e in range(n_ep):
+                # delta rows are vec_id ≡ 3 (mod 4); split on the
+                # QUOTIENT so every epoch is non-empty (vec_id % n_ep
+                # would leave 3/4 of the epochs empty and mislabel the
+                # measurement — caught in the round-10 self-review)
                 ann_index.ann_index_upsert(
-                    delta.where(F.col("vec_id") % n_ep == e), prefix, epoch=e
+                    delta.where(F.expr(f"pmod(vec_id div 4, {n_ep})") == e),
+                    prefix,
+                    epoch=e,
                 )
             table = f"{prefix}_codes"
             out[label] = {
                 "search_wall_s": round(search_wall(spark, emb, prefix), 3),
                 "n_files": n_files(spark, table),
-                "n_epochs": n_ep,
+                # count what actually landed, never trust the loop bound
+                "n_epochs": writers.next_epoch(spark, table),
             }
             if n_ep == N_EPOCHS:
                 t0 = time.time()
