@@ -1255,6 +1255,198 @@ ORDER BY list_id
 DELETE_MOD, DELETE_REM = 10, 5  # deleted slice = vec_id % 10 == 5
 
 
+def ann_index_autopilot(
+    emb: DataFrame,
+    table_prefix: str,
+    max_epochs: int = 16,
+    split_topn: int = SPLIT_TOPN,
+) -> list:
+    """ONE policy-driven maintenance cycle — the ops loop a deployed
+    index runs on a schedule, composed from this module's audits and
+    remedies so no operator ever eyeballs a dashboard:
+
+    1. drift audit → SPLIT the ``split_topn`` most delta-loaded lists
+       (cheapest remedy for quantizer drift; runs BEFORE compaction
+       because the audit reads the epoch layering that compaction
+       folds),
+    2. manifest → :func:`should_compact` → COMPACT (folds epochs,
+       purges tombstones, restores one-file-per-bucket).
+
+    Every step is individually crash-safe (split converges on re-run,
+    compaction swaps self-heal via recover_compaction), so the cycle
+    can simply be re-invoked after any failure. Returns the action log
+    (e.g. ``["split:12,37", "compact"]``) for the job scheduler."""
+    from admob_data_pipeline_spark.sinks.writers import should_compact
+
+    spark = emb.sparkSession
+    actions: list = []
+    drift_rows = ann_index_drift(spark, table_prefix).collect()
+    flagged = [
+        r["list_id"]
+        for r in sorted(
+            drift_rows, key=lambda r: (-r["n_delta"], r["list_id"])
+        )[:split_topn]
+        if r["n_delta"] > 0
+    ]
+    if flagged:
+        ann_index_split(emb, table_prefix, flagged)
+        actions.append("split:" + ",".join(str(x) for x in sorted(flagged)))
+    manifest_rows = ann_index_manifest(spark, table_prefix).collect()
+    if should_compact(manifest_rows, max_epochs=max_epochs):
+        ann_index_compact(spark, table_prefix)
+        actions.append("compact")
+    return actions
+
+
+AUTOPILOT_EPOCHS = 3  # the wrapper ingests the delta as three epochs
+
+
+def q_ann_index_autopilot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ops loop under the driver gate: build over the base
+    slice, ingest the held-out quarter as three epochs, tombstone the
+    vec_id % 10 == 5 slice, then run ONE autopilot cycle with a
+    2-epoch budget — the policy must fire BOTH remedies (split the two
+    hottest lists, then compact: fold epochs, purge tombstones). The
+    returned post-maintenance drift table is recomputed by the oracle
+    from first principles — frozen-centroid assignment, the same
+    flagging, the same child election and re-split, the delete purge,
+    and the epoch fold (every row in the base layer, zero delta) — so
+    a remedy that failed to fire, fired on the wrong lists, purged the
+    wrong rows, or leaked an epoch fails the hash."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % UPSERT_MOD != UPSERT_MOD - 1)
+    delta = emb.where(F.col("vec_id") % UPSERT_MOD == UPSERT_MOD - 1)
+    out = tempfile.mkdtemp(prefix="ann_index_autopilot_")
+    prefix = "ann_idx_auto"
+    try:
+        ann_index_build(base_corpus, prefix, out)
+        for e in range(AUTOPILOT_EPOCHS):
+            ann_index_upsert(
+                delta.where(
+                    F.expr(f"pmod(vec_id div {UPSERT_MOD},"
+                           f" {AUTOPILOT_EPOCHS})") == e
+                ),
+                prefix,
+                epoch=e,
+            )
+        ann_index_delete(
+            spark,
+            emb.where(F.col("vec_id") % DELETE_MOD == DELETE_REM).select(
+                "vec_id"
+            ),
+            prefix,
+        )
+        actions = ann_index_autopilot(emb, prefix, max_epochs=2)
+        assert len(actions) == 2 and actions[0].startswith("split:"), actions
+        assert actions[1] == "compact", actions
+        rows = ann_index_drift(spark, prefix).collect()
+    finally:
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "list_id bigint, n_base bigint, n_delta bigint,"
+        " base_share_ppm bigint, delta_share_ppm bigint",
+    )
+
+
+# the split oracle extended by the full cycle: flag top-2 delta-loaded
+# lists (n_delta > 0), elect/re-split as in ann_index_split, PURGE the
+# deleted slice, and FOLD every epoch into the base layer (post-compact
+# drift shows all rows as base, zero delta).
+_ORACLE_INDEX_AUTOPILOT = f"""
+WITH {_DUCK_BASE},
+corpus0 AS (SELECT * FROM base WHERE vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}),
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM corpus0
+          WHERE vec_id % 25 = 0),
+assigned AS (
+    SELECT vec_id, cid AS list_id FROM (
+        SELECT b.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.v, c.cv)
+                            / NULLIF(b.nrm * c.cn, 0) DESC, c.cid
+               ) AS rn
+        FROM base b, cents c
+    ) WHERE rn = 1
+),
+per_list0 AS (
+    SELECT list_id,
+           CAST(SUM(CASE WHEN vec_id % {UPSERT_MOD} = {UPSERT_MOD - 1}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+    FROM assigned GROUP BY list_id
+),
+flagged AS (
+    SELECT list_id FROM per_list0 WHERE n_delta > 0
+    ORDER BY n_delta DESC, list_id LIMIT {SPLIT_TOPN}
+),
+members AS (
+    SELECT a.vec_id, a.list_id, b.v, b.nrm,
+           list_dot_product(b.v, c.cv) / NULLIF(b.nrm * c.cn, 0) AS own_cos
+    FROM assigned a
+    JOIN base b USING (vec_id)
+    JOIN cents c ON c.cid = a.list_id
+    WHERE a.list_id IN (SELECT list_id FROM flagged)
+),
+childs AS (
+    SELECT list_id, vec_id AS child_cid FROM (
+        SELECT list_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY list_id
+                                  ORDER BY own_cos ASC, vec_id ASC) AS rn
+        FROM members WHERE vec_id <> list_id
+    ) WHERE rn = 1
+),
+child_vec AS (
+    SELECT ch.list_id, ch.child_cid, b.v AS ccv, b.nrm AS ccn
+    FROM childs ch JOIN base b ON b.vec_id = ch.child_cid
+),
+resplit AS (
+    SELECT m.vec_id,
+           CASE WHEN (list_dot_product(m.v, cv.ccv)
+                          / NULLIF(m.nrm * cv.ccn, 0) > m.own_cos)
+                  OR (list_dot_product(m.v, cv.ccv)
+                          / NULLIF(m.nrm * cv.ccn, 0) = m.own_cos
+                      AND cv.child_cid < m.list_id)
+                THEN cv.child_cid ELSE m.list_id END AS list_id
+    FROM members m JOIN child_vec cv USING (list_id)
+),
+final_assigned AS (
+    SELECT vec_id, list_id FROM assigned
+    WHERE list_id NOT IN (SELECT list_id FROM flagged)
+    UNION ALL
+    SELECT vec_id, list_id FROM resplit
+    UNION ALL
+    SELECT vec_id, list_id FROM assigned
+    WHERE list_id IN (SELECT list_id FROM flagged)
+      AND list_id NOT IN (SELECT list_id FROM childs)
+),
+-- the compact purged the tombstoned slice and folded every epoch into
+-- the base layer: survivors all count as base, delta is empty
+survivors AS (
+    SELECT vec_id, list_id FROM final_assigned
+    WHERE vec_id % {DELETE_MOD} <> {DELETE_REM}
+),
+per_list AS (
+    SELECT list_id,
+           CAST(COUNT(*) AS BIGINT) AS n_base,
+           CAST(0 AS BIGINT) AS n_delta
+    FROM survivors GROUP BY list_id
+),
+tot AS (SELECT SUM(n_base) AS tot_base FROM per_list)
+SELECT list_id, n_base, n_delta,
+       CAST(CASE WHEN tot_base > 0
+                 THEN n_base * 1000000 // tot_base
+                 ELSE 0 END AS BIGINT) AS base_share_ppm,
+       CAST(0 AS BIGINT) AS delta_share_ppm
+FROM per_list, tot
+ORDER BY list_id
+"""
+
+
 def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-capable serving: build over the FULL corpus, tombstone
     the vec_id % 10 == 5 slice, serve top-k — deleted vectors must
@@ -1452,6 +1644,7 @@ LIFECYCLE_WRITE = {
     "ann_index_upsert",
     "ann_index_compact",
     "ann_index_split",
+    "ann_index_autopilot",
     "streaming_ann_ingest",
 }
 
@@ -1465,6 +1658,7 @@ QUERIES = {
     "ann_index_compact": q_ann_index_compact,
     "ann_index_drift": q_ann_index_drift,
     "ann_index_split": q_ann_index_split,
+    "ann_index_autopilot": q_ann_index_autopilot,
     "ann_index_delete": q_ann_index_delete,
     "ann_index_asof": q_ann_index_asof,
     "ann_index_manifest": q_ann_index_manifest,
@@ -1488,6 +1682,9 @@ ORACLES = {
     # drift remedy: post-split drift table recomputed from first
     # principles (flagging, child election, two-way re-split included)
     "ann_index_split": _ORACLE_INDEX_SPLIT,
+    # the full ops cycle: split + delete purge + epoch fold, all
+    # recomputed from first principles
+    "ann_index_autopilot": _ORACLE_INDEX_AUTOPILOT,
     # tombstone-masked serving: inline SQL with the deleted slice
     # excluded from candidates
     "ann_index_delete": _ORACLE_INDEX_DELETE,
