@@ -832,6 +832,83 @@ def q_dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _PROBE_SCHEMA)
 
 
+def dedup_index_autopilot(
+    spark: SparkSession,
+    table_prefix: str,
+    max_epochs: int = 16,
+    trim_top_n: int = BAN_HOT_TOPN,
+) -> list:
+    """ONE policy-driven maintenance cycle for the dedup index — the
+    family's analogue of ann_index_autopilot: (1) stop-list TRIM — if
+    ingest landed since build (manifest epoch span beyond the base
+    layer), re-census the stored table and ban the ``trim_top_n``
+    hottest shingles via :func:`dedup_index_ban_hot` (the PROACTIVE
+    variant of the drift remedy: the reactive ``df > MAX_DF`` signal
+    only fires after the candidate blow-up is already quadratic);
+    (2) manifest → :func:`should_compact` → COMPACT (fold epochs, purge
+    tombstones). Both steps are crash-convergent, so the cycle is
+    safely re-invocable. Returns the action log."""
+    from admob_data_pipeline_spark.sinks.writers import should_compact
+
+    actions: list = []
+    manifest_rows = dedup_index_manifest(spark, table_prefix).collect()
+    n_epochs = max(
+        int(r["n_epochs"])
+        for r in manifest_rows
+        if r["n_epochs"] is not None and int(r["n_epochs"]) > 0
+    )
+    if n_epochs > 1 and trim_top_n:
+        n = dedup_index_ban_hot(spark, table_prefix, top_n=trim_top_n)
+        if n:
+            actions.append(f"ban_hot:{n}")
+    if should_compact(manifest_rows, max_epochs=max_epochs):
+        dedup_index_compact(spark, table_prefix)
+        actions.append("compact")
+    return actions
+
+
+def q_dedup_index_autopilot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ops loop under the driver gate: build over
+    doc_id%5 ∈ {1,2}, admit {3,4} as two epochs, tombstone the
+    doc_id % 10 == 1 slice, run ONE autopilot cycle with a 1-epoch
+    budget (both remedies must fire: trim the 20 hottest stored
+    shingles, then compact: purge + fold), and probe the held-out
+    %5==0 batch. The oracle composes the two-stage cap (build-frozen
+    census + stored-set top-N re-census) with the delete exclusion —
+    a remedy that failed to fire, a purge that missed a doc, or a
+    repair that mangled a signature fails the hash."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    build = docs.where(
+        (F.col("doc_id") % PROBE_MOD).isin([int(x) for x in UPSERT_MODS])
+    )
+    batch = docs.where(F.col("doc_id") % PROBE_MOD == 0)
+    doomed = docs.where(
+        F.col("doc_id") % DEDUP_DELETE_MOD == DEDUP_DELETE_REM
+    ).select("doc_id")
+    out = tempfile.mkdtemp(prefix="dedup_autopilot_")
+    prefix = "dedup_idx_auto"
+    try:
+        dedup_index_build(build, prefix, out)
+        dedup_index_upsert(
+            docs.where(F.col("doc_id") % PROBE_MOD == 3), prefix
+        )
+        dedup_index_upsert(
+            docs.where(F.col("doc_id") % PROBE_MOD == 4), prefix
+        )
+        dedup_index_delete(spark, doomed, prefix)
+        actions = dedup_index_autopilot(spark, prefix, max_epochs=1)
+        assert actions == [f"ban_hot:{BAN_HOT_TOPN}", "compact"], actions
+        rows = dedup_index_probe(batch, prefix).collect()
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _PROBE_SCHEMA)
+
+
 def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING dedup-index maintenance: the delta corpus arrives as a
     stream, each micro-batch is admitted via foreachBatch with the batch
@@ -1043,6 +1120,16 @@ ORDER BY batch_doc, index_doc
 """
 
 
+# the full ops cycle: the two-stage-cap probe with the deleted slice
+# excluded from the candidate set (compaction physically purged it)
+_ORACLE_DEDUP_AUTOPILOT = _ORACLE_DEDUP_BAN_HOT.replace(
+    f"WHERE ba.doc_id % {PROBE_MOD} = 0 AND bb.doc_id % {PROBE_MOD} <> 0",
+    f"WHERE ba.doc_id % {PROBE_MOD} = 0 AND bb.doc_id % {PROBE_MOD} <> 0"
+    f" AND bb.doc_id % {DEDUP_DELETE_MOD} <> {DEDUP_DELETE_REM}",
+)
+assert _ORACLE_DEDUP_AUTOPILOT != _ORACLE_DEDUP_BAN_HOT
+
+
 _ORACLE_DEDUP_ASOF = _ORACLE_DEDUP_UPSERT.replace(
     f"WHERE ba.doc_id % {PROBE_MOD} = 0 AND bb.doc_id % {PROBE_MOD} <> 0",
     f"WHERE ba.doc_id % {PROBE_MOD} = 0"
@@ -1163,6 +1250,7 @@ LIFECYCLE_WRITE = {
     "dedup_index_upsert",
     "dedup_index_compact",
     "dedup_index_ban_hot",
+    "dedup_index_autopilot",
     "streaming_dedup_ingest",
 }
 
@@ -1173,6 +1261,7 @@ QUERIES = {
     "dedup_index_upsert": q_dedup_index_upsert,
     "dedup_index_compact": q_dedup_index_compact,
     "dedup_index_ban_hot": q_dedup_index_ban_hot,
+    "dedup_index_autopilot": q_dedup_index_autopilot,
     "streaming_dedup_ingest": q_streaming_dedup_ingest,
     "dedup_index_delete": q_dedup_index_delete,
     "dedup_index_drift": q_dedup_index_drift,
@@ -1189,6 +1278,9 @@ ORACLES = {
     # drift remedy: two-stage cap (frozen census + stored-set top-N
     # re-census), post-remedy probe recomputed from first principles
     "dedup_index_ban_hot": _ORACLE_DEDUP_BAN_HOT,
+    # the full ops cycle: trim + delete purge + fold — two-stage cap
+    # with the deleted slice excluded from candidates
+    "dedup_index_autopilot": _ORACLE_DEDUP_AUTOPILOT,
     # multi-epoch arrival, same frozen-stop-list semantics — shared oracle
     "streaming_dedup_ingest": _ORACLE_DEDUP_UPSERT,
     # tombstone-masked probing: the probe oracle with the deleted slice

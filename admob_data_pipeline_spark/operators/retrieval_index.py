@@ -706,6 +706,76 @@ ORDER BY rnk
 """
 
 
+def bm25_index_autopilot(
+    spark: SparkSession, table_prefix: str, max_epochs: int = 16
+) -> list:
+    """ONE policy-driven maintenance cycle for the text index — the
+    family's analogue of ann_index_autopilot: (1) scalar REFRESH
+    whenever any ingest or delete happened since build (the drift the
+    frozen-scalar contract accumulates is erased by one O(index)
+    aggregate, so the policy is simply "refresh when the epoch span or
+    tombstone set is non-empty"), then (2) manifest →
+    :func:`should_compact` → COMPACT. Both steps are idempotent /
+    crash-convergent, so the cycle can be re-invoked after any failure.
+    Returns the action log."""
+    from admob_data_pipeline_spark.sinks.writers import should_compact
+
+    actions: list = []
+    manifest_rows = bm25_index_manifest(spark, table_prefix).collect()
+    n_epochs = max(
+        int(r["n_epochs"]) for r in manifest_rows if r["n_epochs"] is not None
+    )
+    n_tomb = spark.table(f"{table_prefix}_tombstones").count()
+    if n_epochs > 1 or n_tomb > 0:  # build alone is epoch -1 → 1 epoch
+        bm25_index_refresh_stats(spark, table_prefix)
+        actions.append("refresh_stats")
+    if should_compact(manifest_rows, max_epochs=max_epochs):
+        bm25_index_compact(spark, table_prefix)
+        actions.append("compact")
+    return actions
+
+
+def q_bm25_index_autopilot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text ops loop under the driver gate: build over the base
+    slice, ingest the held-out quarter as two epochs, delete the
+    doc_id % 10 == 5 slice, run ONE autopilot cycle with a 1-epoch
+    budget (both remedies must fire: refresh, then compact), and serve
+    the standard term query. The oracle is the rebuild-over-survivors
+    SQL (refresh makes serving equal a from-scratch rebuild; compaction
+    must be invisible) — a remedy that failed to fire or a compact that
+    lost/duplicated a posting fails the hash."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % UPSERT_DOC_MOD != UPSERT_DOC_MOD - 1)
+    delta = docs.where(F.col("doc_id") % UPSERT_DOC_MOD == UPSERT_DOC_MOD - 1)
+    doomed = docs.where(
+        F.col("doc_id") % BM25_DELETE_MOD == BM25_DELETE_REM
+    ).select("doc_id")
+    out = tempfile.mkdtemp(prefix="bm25_autopilot_")
+    prefix = "bm25_idx_auto"
+    try:
+        bm25_index_build(base, prefix, out)
+        for e in range(2):
+            bm25_index_upsert(
+                delta.where(
+                    F.expr(f"pmod(doc_id div {UPSERT_DOC_MOD}, 2)") == e
+                ),
+                prefix,
+                epoch=e,
+            )
+        bm25_index_delete(spark, doomed, prefix)
+        actions = bm25_index_autopilot(spark, prefix, max_epochs=1)
+        assert actions == ["refresh_stats", "compact"], actions
+        rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
 def q_streaming_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING text-index maintenance: the delta corpus arrives as a
     stream, each micro-batch lands via foreachBatch with the batch id
@@ -1047,6 +1117,7 @@ LIFECYCLE_WRITE = {
     "bm25_index_upsert",
     "bm25_index_compact",
     "bm25_index_refresh",
+    "bm25_index_autopilot",
     "streaming_bm25_ingest",
 }
 
@@ -1059,6 +1130,7 @@ QUERIES = {
     "streaming_bm25_ingest": q_streaming_bm25_ingest,
     "bm25_index_delete": q_bm25_index_delete,
     "bm25_index_refresh": q_bm25_index_refresh,
+    "bm25_index_autopilot": q_bm25_index_autopilot,
     "bm25_index_phrase": q_bm25_index_phrase,
     "bm25_index_drift": q_bm25_index_drift,
     "bm25_index_asof": q_bm25_index_asof,
@@ -1081,6 +1153,9 @@ ORACLES = {
     # drift remedy: scalar refresh must make serving equal a
     # from-scratch rebuild over the surviving corpus
     "bm25_index_refresh": _ORACLE_INDEX_REFRESH,
+    # the full ops cycle: refresh + compact must together equal the
+    # rebuild-over-survivors — shared oracle, multi-epoch arrival
+    "bm25_index_autopilot": _ORACLE_INDEX_REFRESH,
     # positional serving parity: the inline phrase oracle verbatim
     "bm25_index_phrase": _ORACLE_BM25_PHRASE,
     # rebuild-trigger audit: per-epoch vocabulary drift
