@@ -447,6 +447,59 @@ def q_hybrid_index_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_index_autopilot(
+    spark: SparkSession, bm25_prefix: str, ann_prefix: str
+) -> list:
+    """ONE policy-driven maintenance cycle for the hybrid layer — the
+    cross-index analogue of the per-family autopilots: run the parity
+    audit; if either side serves docs the other cannot vote on,
+    RECONCILE to the intersection via :func:`hybrid_index_repair`.
+    The hybrid layer owns no storage of its own, so this is its entire
+    ops surface; per-index maintenance (compaction, drift remedies)
+    belongs to the families' own autopilots. Idempotent — a second run
+    finds zero one-sided docs. Returns the action log."""
+    row = hybrid_index_parity(spark, bm25_prefix, ann_prefix).first()
+    actions: list = []
+    if row["n_bm25_only"] or row["n_ann_only"]:
+        n_bm, n_ann = hybrid_index_repair(spark, bm25_prefix, ann_prefix)
+        actions.append(f"repair:bm25-{n_bm},ann-{n_ann}")
+    return actions
+
+
+def q_hybrid_index_autopilot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-index ops loop under the driver gate: the interleaved
+    lifecycle with the injected one-sided delete, ONE autopilot cycle
+    (the audit must detect the skew and the repair must fire), then the
+    re-audit — and a SECOND cycle must be a no-op (idempotence). The
+    oracle is the post-repair reconciliation recomputed from the raw
+    tables (shared with hybrid_index_repair)."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="hybrid_autopilot_")
+    bp, ap = "hybrid_auto_bm25", "hybrid_auto_ann"
+    try:
+        _interleaved_lifecycle(spark, sf_dir, bp, ap, out)
+        actions = hybrid_index_autopilot(spark, bp, ap)
+        assert len(actions) == 1 and actions[0].startswith("repair:"), (
+            actions
+        )
+        assert hybrid_index_autopilot(spark, bp, ap) == []  # idempotent
+        rows = hybrid_index_parity(spark, bp, ap).collect()
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {bp}_{t}")
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {ap}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_bm25_live bigint, n_ann_live bigint, n_both bigint,"
+        " n_bm25_only bigint, n_ann_only bigint, n_tomb_bm25 bigint,"
+        " n_tomb_ann bigint",
+    )
+
+
 # post-repair state from first principles: both live sets collapse to
 # the pre-repair intersection; each tombstone set grows by exactly its
 # side's one-sided difference (disjoint from the lifecycle deletes)
@@ -602,6 +655,7 @@ def serving_plans(spark: SparkSession, sf_dir: str):
 # its final audit read — a write-path wrapper like the other families'
 LIFECYCLE_WRITE = {
     "hybrid_index_repair",
+    "hybrid_index_autopilot",
 }
 
 
@@ -609,10 +663,14 @@ QUERIES = {
     "hybrid_index_search": q_hybrid_index_search,
     "hybrid_index_parity": q_hybrid_index_parity,
     "hybrid_index_repair": q_hybrid_index_repair,
+    "hybrid_index_autopilot": q_hybrid_index_autopilot,
 }
 
 ORACLES = {
     "hybrid_index_search": _ORACLE_HYBRID_INDEX,
     "hybrid_index_parity": _ORACLE_HYBRID_PARITY,
     "hybrid_index_repair": _ORACLE_HYBRID_REPAIR,
+    # the cross-index ops cycle ends in the repaired state — shared
+    # oracle, plus an in-wrapper idempotence assert
+    "hybrid_index_autopilot": _ORACLE_HYBRID_REPAIR,
 }
