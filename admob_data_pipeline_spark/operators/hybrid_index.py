@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.operators.ann_index import (
+    _ORACLE_INDEX_UPSERT,
     ann_index_build,
     ann_index_delete,
     ann_index_search_rerank,
@@ -447,6 +448,196 @@ def q_hybrid_index_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_hybrid_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG stack maintained from ONE stream — the arrival unit is a
+    document WITH its embedding, and each micro-batch upserts BOTH
+    persisted indexes inside a single foreachBatch using the batch id
+    as the SHARED idempotency epoch: a replayed batch rewrites its own
+    partition on each side, so at-least-once delivery can never skew
+    the pair (the divergence hybrid_index_parity exists to catch cannot
+    be introduced by the transport — asserted after the stream drains).
+    Both indexes are built over the RAG corpus (docs that have
+    embeddings) on the base slice; the held-out quarter arrives across
+    two micro-batches; serving is the persisted-hybrid RRF.
+
+    The oracle recomputes the full frozen-artifact split from first
+    principles: the lexical leg over the union corpus with
+    BUILD-FROZEN (n_docs, avgdl), the vector leg as the base-frozen
+    IVF-PQ shortlist (quantizers sampled from the base slice only)
+    exact-cosine reranked — a dropped or replayed epoch on EITHER side
+    fails the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the RAG corpus: documents that have an embedding (identical to
+    # `documents` at the oracle SFs; the restriction matters at SFs
+    # where the doc table is a superset)
+    corpus_docs = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    )
+    out = tempfile.mkdtemp(prefix="hybrid_stream_")
+    bp, ap = "hybrid_st_bm25", "hybrid_st_ann"
+    src = os.path.join(out, "arrivals")
+    try:
+        bm25_index_build(
+            corpus_docs.where(F.col("doc_id") % PARITY_DELTA_MOD != 3),
+            bp,
+            f"{out}/bm25",
+        )
+        ann_index_build(
+            emb.where(F.col("vec_id") % PARITY_DELTA_MOD != 3),
+            ap,
+            f"{out}/ann",
+        )
+        arrivals = corpus_docs.where(
+            F.col("doc_id") % PARITY_DELTA_MOD == 3
+        ).join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        ).select("doc_id", "text", "embedding")
+        # the delta arrives as two files → two foreachBatch epochs
+        for half in (0, 1):
+            arrivals.where(
+                F.expr(f"pmod(doc_id div {PARITY_DELTA_MOD}, 2)") == half
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        def ingest_both(batch, eid):
+            # ONE epoch id for BOTH indexes: a replay rewrites the same
+            # partition on each side, so the pair converges together
+            bm25_index_upsert(batch.select("doc_id", "text"), bp, epoch=eid)
+            ann_index_upsert(
+                batch.select(F.col("doc_id").alias("vec_id"), "embedding"),
+                ap,
+                epoch=eid,
+            )
+
+        stream = (
+            spark.readStream.schema(arrivals.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(ingest_both)
+            .option("checkpointLocation", os.path.join(out, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the transport cannot skew the pair — audit before serving
+        row = hybrid_index_parity(spark, bp, ap).first()
+        assert row["n_bm25_only"] == 0 and row["n_ann_only"] == 0, row
+        rows = hybrid_index_search(spark, emb, bp, ap).collect()
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {bp}_{t}")
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {ap}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id bigint, lex_rank int, vec_rank int, rrf_score bigint,"
+        " rnk int",
+    )
+
+
+# vector leg: the base-frozen upsert oracle (quantizers sampled from
+# the base slice only) widened to the shortlist; lexical leg: the
+# hybrid CTEs with the corpus restricted to docs-with-embeddings and
+# the scalars FROZEN over the base slice.
+_shortlist_frozen_sql = _ORACLE_INDEX_UPSERT.replace(
+    f"WHERE rank <= {DEFAULT_K}", f"WHERE rank <= {VEC_SHORTLIST}"
+).strip()
+assert _shortlist_frozen_sql != _ORACLE_INDEX_UPSERT.strip()
+
+_DUCK_BM25_TABLES_RAG = _DUCK_BM25_TABLES.replace(
+    "AS token FROM documents",
+    "AS token FROM documents"
+    "\n    WHERE doc_id IN (SELECT vec_id FROM embeddings)",
+).replace(
+    "CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl",
+    "CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl"
+    f"\n    WHERE doc_id % {PARITY_DELTA_MOD} <> 3",
+)
+assert _DUCK_BM25_TABLES_RAG != _DUCK_BM25_TABLES
+assert _DUCK_BM25_TABLES_RAG.count("WHERE doc_id % ") == 1
+
+_ORACLE_STREAMING_HYBRID = f"""
+WITH {_DUCK_BM25_TABLES_RAG},
+short AS (
+    {_shortlist_frozen_sql}
+),
+eb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+rescored AS (
+    SELECT s.vec_id AS doc_id,
+           ROUND(list_dot_product(q.v, b.v) / NULLIF(q.nrm * b.nrm, 0), 6)
+               AS cos_sim
+    FROM short s
+    JOIN eb q ON q.vec_id = s.qid
+    JOIN eb b ON b.vec_id = s.vec_id
+    WHERE s.qid = {HYBRID_PROBE}
+),
+vec AS (
+    SELECT doc_id, vec_rank FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY cos_sim DESC, doc_id
+               ) AS INT) AS vec_rank
+        FROM rescored
+    ) WHERE vec_rank <= {RRF_POOL}
+),
+qsc AS (
+    SELECT tf.token, {_DUCK_BM25_SCORE} AS s
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+    WHERE tf.doc_id = {HYBRID_PROBE}
+),
+qterms AS (SELECT token FROM qsc ORDER BY s DESC, token LIMIT {HYBRID_QTERMS}),
+per_term AS (
+    SELECT tf.doc_id, {_DUCK_BM25_SCORE} AS s
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+    WHERE tf.token IN (SELECT token FROM qterms)
+      AND tf.doc_id <> {HYBRID_PROBE}
+),
+doc_scores AS (
+    SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_scaled
+    FROM per_term GROUP BY doc_id
+),
+lex AS (
+    SELECT doc_id, lex_rank FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY score_scaled DESC, doc_id
+               ) AS INT) AS lex_rank
+        FROM doc_scores
+    ) WHERE lex_rank <= {RRF_POOL}
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+           CAST(COALESCE({RRF_SCALE} // ({RRF_K} + l.lex_rank), 0)
+              + COALESCE({RRF_SCALE} // ({RRF_K} + v.vec_rank), 0)
+               AS BIGINT) AS rrf_score
+    FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
+),
+ranked AS (
+    SELECT doc_id, lex_rank, vec_rank, rrf_score,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY rrf_score DESC, doc_id
+           ) AS INT) AS rnk
+    FROM fused
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_score, rnk
+FROM ranked WHERE rnk <= {HYBRID_TOP}
+ORDER BY rnk
+"""
+
+
 def hybrid_index_autopilot(
     spark: SparkSession, bm25_prefix: str, ann_prefix: str
 ) -> list:
@@ -656,6 +847,7 @@ def serving_plans(spark: SparkSession, sf_dir: str):
 LIFECYCLE_WRITE = {
     "hybrid_index_repair",
     "hybrid_index_autopilot",
+    "streaming_hybrid_ingest",
 }
 
 
@@ -664,6 +856,7 @@ QUERIES = {
     "hybrid_index_parity": q_hybrid_index_parity,
     "hybrid_index_repair": q_hybrid_index_repair,
     "hybrid_index_autopilot": q_hybrid_index_autopilot,
+    "streaming_hybrid_ingest": q_streaming_hybrid_ingest,
 }
 
 ORACLES = {
@@ -673,4 +866,7 @@ ORACLES = {
     # the cross-index ops cycle ends in the repaired state — shared
     # oracle, plus an in-wrapper idempotence assert
     "hybrid_index_autopilot": _ORACLE_HYBRID_REPAIR,
+    # one stream, one shared epoch, both indexes: hybrid RRF with
+    # base-frozen artifacts on both legs, recomputed from scratch
+    "streaming_hybrid_ingest": _ORACLE_STREAMING_HYBRID,
 }

@@ -463,6 +463,7 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 FRESH_FIRST: tuple[str, ...] = (
     # round-10 wave: backlog is ZERO after the r9 append (all 352 entries
     # driver-confirmed). New round-10 queries land here, newest first.
+    "streaming_hybrid_ingest",
     "hybrid_index_autopilot",
     "bm25_index_autopilot",
     "dedup_index_autopilot",
