@@ -448,6 +448,18 @@ DRIVER_GREEN: frozenset[str] = frozenset(
         "multimodal_image_tiles",
         "streaming_bm25_ingest",
         "streaming_dedup_ingest",
+        # r10 driver-green rows (CORRECTNESS_r10): the round-10 wave of
+        # index-lifecycle ops plus the hybrid ingest/parity/repair set.
+        "ann_index_autopilot",
+        "ann_index_split",
+        "bm25_index_autopilot",
+        "bm25_index_refresh",
+        "dedup_index_autopilot",
+        "dedup_index_ban_hot",
+        "hybrid_index_autopilot",
+        "hybrid_index_parity",
+        "hybrid_index_repair",
+        "streaming_hybrid_ingest",
     }
 )
 
@@ -461,18 +473,8 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 # Names absent from the registry are ignored, so this list never breaks on
 # renames.
 FRESH_FIRST: tuple[str, ...] = (
-    # round-10 wave: backlog is ZERO after the r9 append (all 352 entries
-    # driver-confirmed). New round-10 queries land here, newest first.
-    "streaming_hybrid_ingest",
-    "hybrid_index_autopilot",
-    "bm25_index_autopilot",
-    "dedup_index_autopilot",
-    "ann_index_autopilot",
-    "hybrid_index_repair",
-    "bm25_index_refresh",
-    "dedup_index_ban_hot",
-    "ann_index_split",
-    "hybrid_index_parity",
+    # round-11 wave: backlog is ZERO after the r10 append (all 362 entries
+    # driver-confirmed). New round-11 queries land here, newest first.
 )
 
 
@@ -482,31 +484,11 @@ FRESH_FIRST: tuple[str, ...] = (
 # code, so they re-enter the front of the window until a fresh verdict
 # lands — then remove them from here.
 RECHECK: frozenset[str] = frozenset(
-    {
-        # r10: the index-lifecycle write paths changed under these green
-        # labels — auto-epoch minting now goes through the claim_epoch
-        # ledger (upserts), compaction truncates tombstones SELECTIVELY
-        # against a materialized snapshot and self-heals interrupted
-        # swaps (compacts), delete stamps floor at epoch 0 (deletes),
-        # and the drift ppm expressions gained zero-guards mirrored into
-        # their oracles (drifts — lockstep moves, exactly what the r9
-        # policy re-checked). Results are identical by design on the
-        # registered data (all re-verified locally at sf0.001 AND
-        # sf0.01, full gate 357/357), but per this registry's own rule
-        # the families re-enter the window until fresh driver verdicts
-        # land — then remove them from here.
-        "ann_index_upsert",
-        "ann_index_compact",
-        "ann_index_delete",
-        "ann_index_drift",
-        "bm25_index_upsert",
-        "bm25_index_compact",
-        "bm25_index_delete",
-        "dedup_index_upsert",
-        "dedup_index_compact",
-        "dedup_index_delete",
-        "dedup_index_drift",
-    }
+    # r11: empty — all 11 r10 re-checks (the index-lifecycle write-path
+    # changes under the epoch ledger) landed fresh green verdicts in
+    # CORRECTNESS_r10. Queries whose semantics change this round re-enter
+    # here until a fresh driver verdict lands.
+    set()
 )
 
 
