@@ -804,9 +804,7 @@ def ann_index_compact(spark: SparkSession, table_prefix: str) -> tuple[int, int]
         fold_partition=("epoch", BASE_EPOCH),
         anti=("vec_id", snap),
     )
-    purge_applied_tombstones(
-        spark, tomb, TOMBSTONE_VEC_SCHEMA, "vec_id", applied
-    )
+    purge_applied_tombstones(spark, tomb, applied)
     return out
 
 

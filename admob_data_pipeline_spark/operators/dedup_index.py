@@ -469,13 +469,7 @@ def dedup_index_compact(spark: SparkSession, table_prefix: str):
         fold_partition=("epoch", BASE_EPOCH),
         anti=("doc_id", tomb),
     )
-    purge_applied_tombstones(
-        spark,
-        f"{table_prefix}_tombstones",
-        TOMBSTONE_DOC_SCHEMA,
-        "doc_id",
-        applied,
-    )
+    purge_applied_tombstones(spark, f"{table_prefix}_tombstones", applied)
     return a, b
 
 

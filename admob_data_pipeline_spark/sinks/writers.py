@@ -360,45 +360,54 @@ TOMBSTONE_VEC_SCHEMA = "vec_id bigint, deleted_at_epoch bigint"
 
 
 def snapshot_tombstones(spark, tomb_table: str, schema: str):
-    """Materialize the tombstone set a compaction will PURGE: returns
-    ``(snapshot_df, applied_keys)`` — the DataFrame to anti-join during
-    the rewrite and the key set to hand
-    :func:`purge_applied_tombstones` afterward. One collect, bounded by
-    the compaction cadence; materializing BEFORE the rewrites also
-    means a multi-table compact (BM25's three tables, dedup's three)
-    purges one CONSISTENT delete set."""
-    rows = spark.table(tomb_table).collect()
-    key = schema.split()[0]
-    return spark.createDataFrame(rows, schema), {r[key] for r in rows}
+    """Pin the tombstone set a compaction will PURGE: returns
+    ``(snapshot_df, snapshot_files)`` — a DataFrame to anti-join during
+    the rewrite and the exact parquet FILE list to hand
+    :func:`purge_applied_tombstones` afterward.
+
+    The snapshot is file-pinned, not row-collected: tombstone writers
+    only ever APPEND (every delete lands as new part-files; nothing
+    rewrites an existing one), so the file list names an immutable set
+    of rows without bringing a single row to the driver. That makes the
+    whole purge cycle safe against an arbitrarily large delete set —
+    e.g. :func:`hybrid_index_repair` tombstoning a whole skewed side —
+    where the previous row-collect snapshot risked driver OOM.
+    Materializing the pin BEFORE the rewrites also means a multi-table
+    compact (BM25's three tables, dedup's three) purges one CONSISTENT
+    delete set."""
+    spark.catalog.refreshTable(tomb_table)
+    files = sorted(spark.table(tomb_table).inputFiles())
+    snap = (
+        spark.read.schema(schema).parquet(*files)
+        if files
+        else spark.createDataFrame([], schema)
+    )
+    return snap, files
 
 
-def purge_applied_tombstones(
-    spark, tomb_table: str, schema: str, key: str, applied_keys
-) -> int:
-    """Selective tombstone truncate after a compaction PURGE: keep only
-    tombstones whose key was NOT in the snapshot the rewrite actually
-    anti-joined — a delete appended CONCURRENTLY with the compaction
-    rewrite survives to the next cycle instead of being silently wiped
-    while its rows were never purged (the resurrection race). Both the
-    snapshot and the survivors are bounded by the compaction cadence
-    (serving broadcasts the same set), so the driver-side set
-    difference is small by contract. Returns the survivor count.
+def purge_applied_tombstones(spark, tomb_table: str, snapshot_files) -> int:
+    """Drop exactly the tombstones a compaction rewrite purged: delete
+    the parquet files :func:`snapshot_tombstones` pinned, nothing else.
+    A delete appended CONCURRENTLY with the compaction rewrite lives in
+    files created AFTER the pin, so it survives to the next cycle
+    instead of being silently wiped while its rows were never purged
+    (the resurrection race).
 
-    Residual window: the truncate itself is a read-then-overwrite — a
-    delete appended between THIS function's read and its overwrite is
-    still lost. That narrows the unsafe span from the whole compaction
-    rewrite (minutes at scale) to the one-row truncate instant, but
-    does not close it; fully closing it needs a conditionally-written
-    tombstone store. Deletes should not race the truncate instant —
-    the compact docstrings state the maintenance-window contract."""
-    applied = set(applied_keys)
-    rows = [
-        r for r in spark.table(tomb_table).collect() if r[key] not in applied
-    ]
-    spark.createDataFrame(rows, schema).write.mode("overwrite").format(
-        "parquet"
-    ).insertInto(tomb_table, overwrite=True)
-    return len(rows)
+    This CLOSES the read-then-overwrite window the previous
+    row-filtering truncate had: there is no read-modify-write at all —
+    appends create files, the purge removes only pre-enumerated files,
+    and the two commute. Crash mid-purge converges too: already-deleted
+    files just vanish from the next snapshot, still-present ones are
+    re-purged by the next compaction (re-anti-joining an
+    already-applied tombstone is a no-op). Returns the survivor row
+    count."""
+    if snapshot_files:
+        fs, _ = _fs_and_path(spark, snapshot_files[0])
+        jvm = spark._jvm
+        for f in snapshot_files:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+    spark.catalog.refreshTable(tomb_table)
+    return spark.table(tomb_table).count()
 
 
 def _finalize_swap(spark, table: str, old_table: str) -> None:
@@ -411,7 +420,18 @@ def _finalize_swap(spark, table: str, old_table: str) -> None:
     if fs.exists(src):
         new_loc = table_location(spark, table).rstrip("/")
         _, dst = _fs_and_path(spark, f"{new_loc}/{EPOCH_LEDGER_DIR}")
-        fs.rename(src, dst)
+        # Hadoop rename reports most failures by RETURNING FALSE, not
+        # raising (e.g. dst's parent missing, cross-filesystem move).
+        # Proceeding past a false here would let the fs.delete below
+        # destroy the only ledger copy and post-compaction claim_epoch
+        # could remint folded ids — the exact lost-update the ledger
+        # exists to prevent. Fail the swap instead; recover_compaction
+        # heals the table state and the ledger is still under __old.
+        if not fs.rename(src, dst) and not fs.exists(dst):
+            raise RuntimeError(
+                f"_finalize_swap: could not carry epoch ledger {src} -> "
+                f"{dst}; aborting before the old location is deleted"
+            )
     spark.sql(f"DROP TABLE {old_table}")  # external: metadata only
     _, old_path = _fs_and_path(spark, old_loc)
     fs.delete(old_path, True)
@@ -596,10 +616,12 @@ def compact_bucketed_table(
     loc = table_location(spark, table)
     df = spark.table(table)
     if anti is not None:
+        # No broadcast hint: the tombstone set is usually tiny (AQE
+        # broadcasts it at runtime), but a repair pass can tombstone an
+        # O(index-size) side — then AQE falls back to a shuffle join
+        # instead of building a driver-sized broadcast table.
         anti_col, anti_keys = anti
-        df = df.join(
-            F.broadcast(anti_keys.select(F.col(anti_col))), anti_col, "left_anti"
-        )
+        df = df.join(anti_keys.select(F.col(anti_col)), anti_col, "left_anti")
     if fold_partition is not None:
         part_col, part_val = fold_partition
         dtype = dict(df.dtypes)[part_col]

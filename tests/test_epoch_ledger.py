@@ -99,27 +99,32 @@ def test_ledger_survives_compaction(spark, epoch_table):
 
 def test_purge_applied_tombstones_keeps_late_deletes(spark):
     """The resurrection race: a tombstone appended AFTER the compaction
-    rewrite snapshotted the set must survive the truncate (it was never
-    purged). Only snapshot rows are dropped."""
+    pinned its snapshot must survive the purge (its rows were never
+    anti-joined). The file-pinned purge deletes ONLY snapshot files —
+    there is no read-then-overwrite window at all: a delete landing at
+    ANY point after the pin lands in new part-files the purge never
+    touches."""
     tomb = "purge_tomb_t"
     spark.createDataFrame(
         [(1, 0), (2, 0)], "doc_id bigint, deleted_at_epoch bigint"
     ).write.mode("overwrite").format("parquet").saveAsTable(tomb)
     try:
-        snapshot = {1, 2}
-        # the late delete lands between the rewrite and the truncate
+        snap, files = writers.snapshot_tombstones(
+            spark, tomb, "doc_id bigint, deleted_at_epoch bigint"
+        )
+        assert sorted(r["doc_id"] for r in snap.collect()) == [1, 2]
+        # the late delete lands between the pin and the purge
         spark.createDataFrame(
             [(3, 1)], "doc_id bigint, deleted_at_epoch bigint"
         ).write.mode("append").format("parquet").saveAsTable(tomb)
-        kept = writers.purge_applied_tombstones(
-            spark,
-            tomb,
-            "doc_id bigint, deleted_at_epoch bigint",
-            "doc_id",
-            snapshot,
-        )
+        # the pinned snapshot is immutable: it still reads 2 rows
+        assert snap.count() == 2
+        kept = writers.purge_applied_tombstones(spark, tomb, files)
         assert kept == 1
         assert [r["doc_id"] for r in spark.table(tomb).collect()] == [3]
+        # crash-retry convergence: re-purging the same file list is a
+        # no-op (files already gone), survivors untouched
+        assert writers.purge_applied_tombstones(spark, tomb, files) == 1
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tomb}")
 
@@ -248,3 +253,120 @@ def test_recover_reaps_stale_compact_copy(spark, epoch_table):
     fs, p = writers._fs_and_path(spark, stale_loc)
     assert not fs.exists(p)  # files reclaimed, not orphaned
     assert spark.table(epoch_table).count() == n
+
+
+# ---------------------------------------------------------------------------
+# Interleaved delete-during-compact, all three index families: a delete
+# that lands AFTER the compaction pinned its tombstone snapshot (i.e.
+# concurrent with the rewrites or the purge itself) must never be lost.
+# The file-pinned purge guarantees it structurally — appends create new
+# part-files, the purge deletes only pre-enumerated ones.
+# ---------------------------------------------------------------------------
+
+_FAMILIES = {
+    "ann": dict(
+        input_table="embeddings",
+        key="vec_id",
+        data_table="codes",
+        tables=("centroids", "codebooks", "codes", "tombstones"),
+    ),
+    "dedup": dict(
+        input_table="documents",
+        key="doc_id",
+        data_table="shingles",
+        tables=("bands", "shingles", "shsizes", "banned", "tombstones"),
+    ),
+    "bm25": dict(
+        input_table="documents",
+        key="doc_id",
+        data_table="postings",
+        tables=("postings", "doclen", "stats", "positions", "tombstones"),
+    ),
+}
+
+
+@pytest.mark.parametrize("family", sorted(_FAMILIES))
+def test_delete_during_compact_never_lost(
+    spark, sf_dir, monkeypatch, family
+):
+    """Zero tombstone loss under an interleaved delete: victim A is
+    deleted before the compact, victim B's delete is injected right
+    after the snapshot pin (mid-compaction). After the compact, A is
+    physically purged and its tombstone dropped, while B's tombstone
+    SURVIVES (rows still masked logically); the next quiet compact
+    purges B physically and drains the tombstone table."""
+    from admob_data_pipeline_spark.operators import (
+        dedup_index,
+        retrieval_index,
+    )
+
+    mod, build, delete, compact = {
+        "ann": (
+            ann_index,
+            ann_index.ann_index_build,
+            ann_index.ann_index_delete,
+            ann_index.ann_index_compact,
+        ),
+        "dedup": (
+            dedup_index,
+            dedup_index.dedup_index_build,
+            dedup_index.dedup_index_delete,
+            dedup_index.dedup_index_compact,
+        ),
+        "bm25": (
+            retrieval_index,
+            retrieval_index.bm25_index_build,
+            retrieval_index.bm25_index_delete,
+            retrieval_index.bm25_index_compact,
+        ),
+    }[family]
+    cfg = _FAMILIES[family]
+    key = cfg["key"]
+    src = load_table(spark, sf_dir, cfg["input_table"])
+    prefix = f"interleave_{family}"
+    out = tempfile.mkdtemp(prefix=f"interleave_{family}_")
+    try:
+        build(src, prefix, out)
+        ids = [r[0] for r in src.select(key).limit(3).collect()]
+        a_ids, b_id = ids[:2], ids[2]
+
+        def ids_df(vals):
+            return spark.createDataFrame(
+                [(int(v),) for v in vals], f"{key} bigint"
+            )
+
+        delete(spark, ids_df(a_ids), prefix)
+
+        fired = {"n": 0}
+        real_snapshot = writers.snapshot_tombstones
+
+        def snapshot_then_concurrent_delete(sp, tomb_table, schema):
+            snap = real_snapshot(sp, tomb_table, schema)
+            if fired["n"] == 0:  # only on the FIRST compact
+                fired["n"] = 1
+                delete(spark, ids_df([b_id]), prefix)
+            return snap
+
+        monkeypatch.setattr(
+            mod, "snapshot_tombstones", snapshot_then_concurrent_delete
+        )
+        compact(spark, prefix)
+
+        tomb = spark.table(f"{prefix}_tombstones")
+        assert [r[key] for r in tomb.collect()] == [b_id]  # B survived
+        data = spark.table(f"{prefix}_{cfg['data_table']}")
+        assert data.where(F.col(key).isin(a_ids)).count() == 0  # A purged
+        assert data.where(F.col(key) == b_id).count() > 0  # B only logical
+
+        compact(spark, prefix)  # quiet pass: B purges physically
+        assert spark.table(f"{prefix}_tombstones").count() == 0
+        assert (
+            spark.table(f"{prefix}_{cfg['data_table']}")
+            .where(F.col(key) == b_id)
+            .count()
+            == 0
+        )
+    finally:
+        for t in cfg["tables"]:
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
