@@ -376,7 +376,10 @@ FROM j
 
 
 def hybrid_index_repair(
-    spark: SparkSession, bm25_prefix: str, ann_prefix: str
+    spark: SparkSession,
+    bm25_prefix: str,
+    ann_prefix: str,
+    expected_asymmetry: DataFrame | None = None,
 ) -> tuple[int, int]:
     """RECONCILE the two indexes to their live-set INTERSECTION — the
     remedy for the skew :func:`hybrid_index_parity` detects. A doc only
@@ -387,10 +390,22 @@ def hybrid_index_repair(
     over the same candidate universe. Deletes are the indexes' own
     logical-delete primitives — replay-safe appends, purged at the next
     compaction; the repair is idempotent (re-running finds empty
-    differences). Returns (n deleted from bm25, n deleted from ann)."""
+    differences). Returns (n deleted from bm25, n deleted from ann).
+
+    ``expected_asymmetry``: a ``doc_id`` DataFrame naming docs whose
+    one-sidedness is INTENTIONAL (e.g. a text-only corpus slice that
+    legitimately has no embeddings). Those docs are exempt — the repair
+    reconciles operational skew without deleting a deployment's known
+    asymmetric surface."""
     bm_live, ann_live = _live_sets(spark, bm25_prefix, ann_prefix)
-    bm_only = bm_live.join(ann_live, "doc_id", "left_anti").localCheckpoint()
-    ann_only = ann_live.join(bm_live, "doc_id", "left_anti").localCheckpoint()
+    bm_only = bm_live.join(ann_live, "doc_id", "left_anti")
+    ann_only = ann_live.join(bm_live, "doc_id", "left_anti")
+    if expected_asymmetry is not None:
+        allow = expected_asymmetry.select("doc_id")
+        bm_only = bm_only.join(allow, "doc_id", "left_anti")
+        ann_only = ann_only.join(allow, "doc_id", "left_anti")
+    bm_only = bm_only.localCheckpoint()
+    ann_only = ann_only.localCheckpoint()
     n_bm, n_ann = bm_only.count(), ann_only.count()
     if n_bm:
         bm25_index_delete(spark, bm_only.select("doc_id"), bm25_prefix)
@@ -639,31 +654,90 @@ ORDER BY rnk
 
 
 def hybrid_index_autopilot(
-    spark: SparkSession, bm25_prefix: str, ann_prefix: str
+    spark: SparkSession,
+    bm25_prefix: str,
+    ann_prefix: str,
+    reconcile: str = "report",
+    max_skew_frac: float = 0.02,
+    expected_asymmetry: DataFrame | None = None,
 ) -> list:
     """ONE policy-driven maintenance cycle for the hybrid layer — the
     cross-index analogue of the per-family autopilots: run the parity
-    audit; if either side serves docs the other cannot vote on,
-    RECONCILE to the intersection via :func:`hybrid_index_repair`.
-    The hybrid layer owns no storage of its own, so this is its entire
-    ops surface; per-index maintenance (compaction, drift remedies)
-    belongs to the families' own autopilots. Idempotent — a second run
-    finds zero one-sided docs. Returns the action log."""
+    audit; if either side serves docs the other cannot vote on, apply
+    the ``reconcile`` policy. The hybrid layer owns no storage of its
+    own, so this is its entire ops surface; per-index maintenance
+    (compaction, drift remedies) belongs to the families' own
+    autopilots. Idempotent under every policy. Returns the action log.
+
+    The audit CANNOT distinguish operational skew (a lost delete, a
+    partial ingest) from genuine corpus asymmetry (docs that simply
+    have no embeddings) — and intersection-reconcile DELETES the
+    one-sided docs, so an unattended loop that always repairs would
+    mass-tombstone a healthy asymmetric deployment on its first cycle.
+    Destructive reconcile is therefore opt-in:
+
+    - ``reconcile="report"`` (default): never delete — log the skew
+      (``parity:...``) for an operator to triage.
+    - ``reconcile="bounded"``: repair only when the one-sided fraction
+      of the larger live set is ≤ ``max_skew_frac`` (operational skew
+      is incremental; corpus asymmetry is typically structural and
+      large). Above the bound, report instead
+      (``parity:...:exceeds-skew-bound``).
+    - ``reconcile="always"``: unconditional intersection-reconcile —
+      the pre-gating behavior, for deployments that ingest both sides
+      from one source and KNOW asymmetry is always a fault.
+
+    ``expected_asymmetry`` (a ``doc_id`` DataFrame) exempts a known
+    asymmetric slice from both the skew measurement and the repair, so
+    ``bounded``/``always`` stay safe on deployments with a declared
+    text-only or vector-only surface."""
+    if reconcile not in ("report", "bounded", "always"):
+        raise ValueError(f"unknown reconcile policy: {reconcile!r}")
     row = hybrid_index_parity(spark, bm25_prefix, ann_prefix).first()
     actions: list = []
-    if row["n_bm25_only"] or row["n_ann_only"]:
-        n_bm, n_ann = hybrid_index_repair(spark, bm25_prefix, ann_prefix)
-        actions.append(f"repair:bm25-{n_bm},ann-{n_ann}")
+    n_bm_only, n_ann_only = row["n_bm25_only"], row["n_ann_only"]
+    if expected_asymmetry is not None and (n_bm_only or n_ann_only):
+        # measure skew NET of the declared asymmetric slice
+        bm_live, ann_live = _live_sets(spark, bm25_prefix, ann_prefix)
+        allow = expected_asymmetry.select("doc_id")
+        n_bm_only = (
+            bm_live.join(ann_live, "doc_id", "left_anti")
+            .join(allow, "doc_id", "left_anti")
+            .count()
+        )
+        n_ann_only = (
+            ann_live.join(bm_live, "doc_id", "left_anti")
+            .join(allow, "doc_id", "left_anti")
+            .count()
+        )
+    if not (n_bm_only or n_ann_only):
+        return actions
+    skew_report = f"parity:bm25-only={n_bm_only},ann-only={n_ann_only}"
+    if reconcile == "report":
+        actions.append(skew_report)
+        return actions
+    if reconcile == "bounded":
+        live = max(row["n_bm25_live"], row["n_ann_live"], 1)
+        if (n_bm_only + n_ann_only) / live > max_skew_frac:
+            actions.append(f"{skew_report}:exceeds-skew-bound")
+            return actions
+    n_bm, n_ann = hybrid_index_repair(
+        spark, bm25_prefix, ann_prefix, expected_asymmetry
+    )
+    actions.append(f"repair:bm25-{n_bm},ann-{n_ann}")
     return actions
 
 
 def q_hybrid_index_autopilot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cross-index ops loop under the driver gate: the interleaved
-    lifecycle with the injected one-sided delete, ONE autopilot cycle
-    (the audit must detect the skew and the repair must fire), then the
-    re-audit — and a SECOND cycle must be a no-op (idempotence). The
-    oracle is the post-repair reconciliation recomputed from the raw
-    tables (shared with hybrid_index_repair)."""
+    lifecycle with the injected one-sided delete, then the full policy
+    ladder — the default report-only cycle must log the skew WITHOUT
+    deleting anything, a ``bounded`` cycle must refuse (the injected
+    10% skew exceeds the 2% bound — indistinguishable from corpus
+    asymmetry), and only the explicit ``always`` opt-in reconciles.
+    A second ``always`` cycle must be a no-op (idempotence). The oracle
+    is the post-repair reconciliation recomputed from the raw tables
+    (shared with hybrid_index_repair)."""
     import shutil
     import tempfile
 
@@ -671,11 +745,22 @@ def q_hybrid_index_autopilot(spark: SparkSession, sf_dir: str) -> DataFrame:
     bp, ap = "hybrid_auto_bm25", "hybrid_auto_ann"
     try:
         _interleaved_lifecycle(spark, sf_dir, bp, ap, out)
-        actions = hybrid_index_autopilot(spark, bp, ap)
+        before = hybrid_index_parity(spark, bp, ap).first()
+        acts = hybrid_index_autopilot(spark, bp, ap)  # default: report
+        assert len(acts) == 1 and acts[0].startswith("parity:"), acts
+        acts = hybrid_index_autopilot(spark, bp, ap, reconcile="bounded")
+        assert len(acts) == 1 and acts[0].endswith(":exceeds-skew-bound"), (
+            acts
+        )
+        # neither non-destructive cycle touched the indexes
+        assert hybrid_index_parity(spark, bp, ap).first() == before
+        actions = hybrid_index_autopilot(spark, bp, ap, reconcile="always")
         assert len(actions) == 1 and actions[0].startswith("repair:"), (
             actions
         )
-        assert hybrid_index_autopilot(spark, bp, ap) == []  # idempotent
+        assert (
+            hybrid_index_autopilot(spark, bp, ap, reconcile="always") == []
+        )  # idempotent
         rows = hybrid_index_parity(spark, bp, ap).collect()
     finally:
         for t in ("postings", "doclen", "stats", "positions", "tombstones"):
@@ -842,11 +927,106 @@ def serving_plans(spark: SparkSession, sf_dir: str):
     }, cleanup
 
 
+# the guarded-autopilot fixture: doc_id % 7 == 3 is the DECLARED
+# text-only slice (built into BM25, never into ANN) and
+# doc_id % 100 == 5 (outside that slice) is the injected operational
+# skew (deleted from ANN only).
+GUARD_TEXT_ONLY_MOD, GUARD_TEXT_ONLY_REM = 7, 3
+GUARD_OP_MOD, GUARD_OP_REM = 100, 5
+
+
+def q_hybrid_index_autopilot_guarded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The unattended ops loop on a HEALTHY asymmetric deployment — the
+    scenario destructive auto-reconcile would destroy: BM25 serves the
+    whole corpus, ANN only the slice that has embeddings (doc_id % 7
+    ≠ 3), plus a small injected operational skew (1% deleted from ANN
+    only). The default report-only cycle must log the gross skew and
+    delete NOTHING (the declared surface keeps serving); a ``bounded``
+    cycle with the declared slice as ``expected_asymmetry`` must repair
+    exactly the operational skew (net 1% ≤ the 2% bound) while leaving
+    the text-only docs alone; a second such cycle is quiet. The oracle
+    recomputes the end state from the raw corpus: live sets, the
+    intact asymmetric surface, and tombstone counts that grow by
+    exactly the operational slice on each side."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="hybrid_guard_")
+    bp, ap = "hybrid_guard_bm25", "hybrid_guard_ann"
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        text_only = F.col("vec_id") % GUARD_TEXT_ONLY_MOD == (
+            GUARD_TEXT_ONLY_REM
+        )
+        op_skew = (F.col("vec_id") % GUARD_OP_MOD == GUARD_OP_REM) & ~(
+            text_only
+        )
+        bm25_index_build(docs, bp, f"{out}/bm25")
+        ann_index_build(emb.where(~text_only), ap, f"{out}/ann")
+        ann_index_delete(spark, emb.where(op_skew).select("vec_id"), ap)
+        declared = docs.where(
+            F.col("doc_id") % GUARD_TEXT_ONLY_MOD == GUARD_TEXT_ONLY_REM
+        ).select("doc_id")
+
+        before = hybrid_index_parity(spark, bp, ap).first()
+        acts = hybrid_index_autopilot(spark, bp, ap)  # default: report
+        assert len(acts) == 1 and acts[0].startswith("parity:"), acts
+        assert hybrid_index_parity(spark, bp, ap).first() == before
+        acts = hybrid_index_autopilot(
+            spark, bp, ap, reconcile="bounded", expected_asymmetry=declared
+        )
+        assert len(acts) == 1 and acts[0].startswith("repair:"), acts
+        assert acts[0].endswith(",ann-0"), acts  # nothing left ANN-side
+        acts = hybrid_index_autopilot(
+            spark, bp, ap, reconcile="bounded", expected_asymmetry=declared
+        )
+        assert acts == []  # healthy asymmetric deployment is QUIET
+        rows = hybrid_index_parity(spark, bp, ap).collect()
+        # the declared text-only surface survived the whole loop
+        n_declared = declared.count()
+        assert rows[0]["n_bm25_only"] == n_declared, (rows, n_declared)
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {bp}_{t}")
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {ap}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_bm25_live bigint, n_ann_live bigint, n_both bigint,"
+        " n_bm25_only bigint, n_ann_only bigint, n_tomb_bm25 bigint,"
+        " n_tomb_ann bigint",
+    )
+
+
+_ORACLE_HYBRID_GUARDED = f"""
+WITH d AS (SELECT doc_id FROM documents),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d
+      WHERE doc_id % {GUARD_TEXT_ONLY_MOD} = {GUARD_TEXT_ONLY_REM}),
+o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d
+      WHERE doc_id % {GUARD_OP_MOD} = {GUARD_OP_REM}
+        AND doc_id % {GUARD_TEXT_ONLY_MOD} <> {GUARD_TEXT_ONLY_REM}),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+SELECT a.n - o.n          AS n_bm25_live,
+       a.n - t.n - o.n    AS n_ann_live,
+       a.n - t.n - o.n    AS n_both,
+       t.n                AS n_bm25_only,
+       CAST(0 AS BIGINT)  AS n_ann_only,
+       o.n                AS n_tomb_bm25,
+       o.n                AS n_tomb_ann
+FROM a, t, o
+"""
+
+
 # hybrid_index_repair mutates both indexes (tombstone appends) before
 # its final audit read — a write-path wrapper like the other families'
 LIFECYCLE_WRITE = {
     "hybrid_index_repair",
     "hybrid_index_autopilot",
+    "hybrid_index_autopilot_guarded",
     "streaming_hybrid_ingest",
 }
 
@@ -856,6 +1036,7 @@ QUERIES = {
     "hybrid_index_parity": q_hybrid_index_parity,
     "hybrid_index_repair": q_hybrid_index_repair,
     "hybrid_index_autopilot": q_hybrid_index_autopilot,
+    "hybrid_index_autopilot_guarded": q_hybrid_index_autopilot_guarded,
     "streaming_hybrid_ingest": q_streaming_hybrid_ingest,
 }
 
@@ -866,6 +1047,8 @@ ORACLES = {
     # the cross-index ops cycle ends in the repaired state — shared
     # oracle, plus an in-wrapper idempotence assert
     "hybrid_index_autopilot": _ORACLE_HYBRID_REPAIR,
+    # report-only + bounded-with-allowlist end state from the raw corpus
+    "hybrid_index_autopilot_guarded": _ORACLE_HYBRID_GUARDED,
     # one stream, one shared epoch, both indexes: hybrid RRF with
     # base-frozen artifacts on both legs, recomputed from scratch
     "streaming_hybrid_ingest": _ORACLE_STREAMING_HYBRID,

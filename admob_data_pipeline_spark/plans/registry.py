@@ -475,6 +475,7 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 FRESH_FIRST: tuple[str, ...] = (
     # round-11 wave: backlog is ZERO after the r10 append (all 362 entries
     # driver-confirmed). New round-11 queries land here, newest first.
+    "hybrid_index_autopilot_guarded",
 )
 
 
@@ -484,11 +485,26 @@ FRESH_FIRST: tuple[str, ...] = (
 # code, so they re-enter the front of the window until a fresh verdict
 # lands — then remove them from here.
 RECHECK: frozenset[str] = frozenset(
-    # r11: empty — all 11 r10 re-checks (the index-lifecycle write-path
-    # changes under the epoch ledger) landed fresh green verdicts in
-    # CORRECTNESS_r10. Queries whose semantics change this round re-enter
-    # here until a fresh driver verdict lands.
-    set()
+    {
+        # r11: the compaction tombstone purge became file-pinned (no
+        # driver collect, no read-then-overwrite window) and the anti-
+        # join lost its forced broadcast hint — every query that runs a
+        # compact re-enters the window. The hybrid autopilot's repair
+        # also became policy-gated (report-only default; the wrappers
+        # opt in explicitly) and hybrid_index_repair gained the
+        # expected-asymmetry exemption. Results identical by design
+        # (re-verified at sf0.001 AND sf0.01); per this registry's rule
+        # they re-enter until fresh driver verdicts land.
+        "ann_index_compact",
+        "bm25_index_compact",
+        "dedup_index_compact",
+        "sink_compaction",
+        "ann_index_autopilot",
+        "bm25_index_autopilot",
+        "dedup_index_autopilot",
+        "hybrid_index_autopilot",
+        "hybrid_index_repair",
+    }
 )
 
 
