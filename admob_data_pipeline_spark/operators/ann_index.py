@@ -71,6 +71,7 @@ from admob_data_pipeline_spark.operators.similarity import (
 from admob_data_pipeline_spark.sinks.writers import (
     BASE_EPOCH,
     TOMBSTONE_VEC_SCHEMA,
+    _fs_and_path,
     claim_epoch,
     compact_bucketed_table,
     index_manifest,
@@ -78,6 +79,7 @@ from admob_data_pipeline_spark.sinks.writers import (
     overwrite_epoch_partition,
     purge_applied_tombstones,
     snapshot_tombstones,
+    table_location,
     write_epoch_bucketed,
 )
 from admob_data_pipeline_spark.sources.tables import load_table
@@ -955,6 +957,10 @@ ORDER BY list_id
 
 SPLIT_TOPN = 2  # the wrapper splits the two most delta-loaded lists
 
+# Commit markers for in-flight splits, named list-<lid>-child-<cid>.
+# Underscore-prefixed so Spark's file index never scans the directory.
+SPLIT_COMMIT_DIR = "_split_commit"
+
 
 def ann_index_split(
     emb: DataFrame, table_prefix: str, list_ids
@@ -979,22 +985,31 @@ def ann_index_split(
     N vectors; this touches ~|flagged lists| vectors and appends
     |flagged| centroid rows.
 
-    Crash contract: the child centroids are published FIRST, then the
-    affected epoch partitions are rewritten one idempotent dynamic
+    Crash contract: each flagged list's elected child is recorded in a
+    COMMIT MARKER (``_split_commit/list-<lid>-child-<cid>`` in the code
+    table's location — underscore-prefixed, invisible to scans) BEFORE
+    anything is published, then the child centroids are appended, then
+    the affected epoch partitions are rewritten one idempotent dynamic
     overwrite at a time — at every intermediate point each vector is
     probe-reachable under exactly one list (moved rows via the child,
     unmoved via the parent); a crash loses nothing and duplicates
-    nothing, and re-running the interrupted call CONVERGES: the child
-    election is deterministic over the unchanged member snapshot, the
-    centroid append skips already-published cids (never a duplicate
-    centroid row), and the partition rewrites are idempotent.
-    Re-running the SAME call after completion is not a no-op —
-    it performs a FURTHER split of the flagged lists (iterative
-    refinement semantics); drive it from the drift audit, which stops
-    flagging a list once its load is balanced."""
+    nothing, and re-running the interrupted call CONVERGES on the SAME
+    split: a re-run reuses the recorded election rather than re-electing
+    over a member snapshot that mid-rewrite moves may already have
+    shrunk (re-electing there would pick a DIFFERENT farthest member and
+    bolt an unintended extra centroid onto the list). Markers are
+    cleared only after every rewrite lands. Electing a child whose
+    vec_id already exists as a centroid (a duplicate-vector edge) raises
+    instead of silently skipping the append while still redirecting rows
+    into the foreign list. Re-running the SAME call after completion is
+    not a no-op — it performs a FURTHER split of the flagged lists
+    (iterative refinement semantics); drive it from the drift audit,
+    which stops flagging a list once its load is balanced."""
     spark = emb.sparkSession
     table = f"{table_prefix}_codes"
     flagged = [int(x) for x in list_ids]
+    if not flagged:
+        return
     cents = spark.table(f"{table_prefix}_centroids")
     base, dim = with_vec(emb)
     m = len(_persisted_codebooks(spark, table_prefix))
@@ -1026,21 +1041,88 @@ def ann_index_split(
     w_far = Window.partitionBy("list_id").orderBy(
         F.asc("own_cos"), F.asc("vec_id")
     )
-    childs = (
-        # the parent centroid is itself a member (cos = 1); exclude it so
-        # a degenerate all-identical list can never elect the parent and
-        # collide on cid. Lists with < 2 members get no child (no split).
-        members.where(F.col("vec_id") != F.col("list_id"))
-        .withColumn("rn", F.row_number().over(w_far))
-        .where(F.col("rn") == 1)
-        .select(
-            "list_id",
-            F.col("vec_id").alias("child_cid"),
-            F.col("v").alias("ccv"),
-            F.col("nrm").alias("ccn"),
+    # Split-commit ledger: an interrupted run's elections are recoverable
+    # from the marker names alone — no file contents, no extra table.
+    loc = table_location(spark, table).rstrip("/")
+    marker_dir = f"{loc}/{SPLIT_COMMIT_DIR}"
+    fs, mpath = _fs_and_path(spark, marker_dir)
+    recorded: dict[int, int] = {}
+    if fs.exists(mpath):
+        for st in fs.listStatus(mpath):
+            name = st.getPath().getName()
+            if name.startswith("list-"):
+                _, lid_s, _, cid_s = name.split("-")
+                if int(lid_s) in set(flagged):
+                    recorded[int(lid_s)] = int(cid_s)
+    fresh = [lid for lid in flagged if lid not in recorded]
+    parts = []
+    if fresh:
+        childs_fresh = (
+            # the parent centroid is itself a member (cos = 1); exclude
+            # it so a degenerate all-identical list can never elect the
+            # parent and collide on cid. Lists with < 2 members get no
+            # child (no split).
+            members.where(
+                F.col("list_id").isin(fresh)
+                & (F.col("vec_id") != F.col("list_id"))
+            )
+            .withColumn("rn", F.row_number().over(w_far))
+            .where(F.col("rn") == 1)
+            .select(
+                "list_id",
+                F.col("vec_id").alias("child_cid"),
+                F.col("v").alias("ccv"),
+                F.col("nrm").alias("ccn"),
+            )
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
+        collisions = [
+            r["child_cid"]
+            for r in childs_fresh.join(
+                cents.select(F.col("cid").alias("child_cid")),
+                "child_cid",
+                "left_semi",
+            )
+            .select("child_cid")
+            .collect()
+        ]
+        if collisions:
+            raise ValueError(
+                "ann_index_split: elected child cid(s) "
+                f"{sorted(collisions)} already exist as centroids "
+                "(duplicate-vector edge) — appending would be skipped "
+                "while moved rows redirect into the foreign list; "
+                "deduplicate the corpus or exclude the lists"
+            )
+        fs.mkdirs(mpath)
+        jvm = spark._jvm
+        for r in childs_fresh.select("list_id", "child_cid").collect():
+            fs.createNewFile(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{marker_dir}/list-{r['list_id']}-child-{r['child_cid']}"
+                )
+            )
+        parts.append(childs_fresh)
+    if recorded:
+        # re-run of an interrupted split: reuse the committed elections
+        # (the member snapshot may already be missing the moved rows)
+        parts.append(
+            spark.createDataFrame(
+                [(lid, cid) for lid, cid in sorted(recorded.items())],
+                "list_id bigint, child_cid bigint",
+            ).join(
+                base.select(
+                    F.col("vec_id").alias("child_cid"),
+                    F.col("v").alias("ccv"),
+                    F.col("nrm").alias("ccn"),
+                ),
+                "child_cid",
+            )
+        )
+    childs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    childs = childs.select(
+        "list_id", "child_cid", "ccv", "ccn"
+    ).localCheckpoint()
     # 1) publish the children FIRST: from here on, every row is reachable
     # at all times (moved rows probe via the child, unmoved via parent).
     # The append is made idempotent by skipping cids already present: a
@@ -1109,6 +1191,16 @@ def ann_index_split(
         )
         overwrite_epoch_partition(
             part, table, key="list_id", n_buckets=CODES_BUCKETS, epoch=int(p)
+        )
+    # 4) split complete — retire the commit markers so the NEXT call is
+    # a fresh further-split, not a convergence replay of this one
+    jvm = spark._jvm
+    for r in childs.select("list_id", "child_cid").collect():
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{marker_dir}/list-{r['list_id']}-child-{r['child_cid']}"
+            ),
+            False,
         )
 
 

@@ -618,7 +618,18 @@ def bm25_index_refresh_stats(spark: SparkSession, table_prefix: str) -> None:
         "doc_id",
         "left_anti",
     )
-    stats = doclen.agg(
+    # one row per doc, LATEST epoch wins: a doc re-upserted into a later
+    # epoch has doclen rows in two partitions until the next compaction;
+    # a raw count(*) would double-count n_docs (and its stale dl would
+    # skew avgdl) relative to the build's countDistinct contract. The
+    # groupBy runs on the bucket key, so the bucketed layout spares the
+    # exchange.
+    latest = (
+        doclen.groupBy("doc_id")
+        .agg(F.max(F.struct("epoch", "dl")).alias("m"))
+        .select("doc_id", F.col("m.dl").alias("dl"))
+    )
+    stats = latest.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     ).localCheckpoint()  # materialize: the write replaces what it read

@@ -504,6 +504,13 @@ RECHECK: frozenset[str] = frozenset(
         "dedup_index_autopilot",
         "hybrid_index_autopilot",
         "hybrid_index_repair",
+        # r11: ann_index_split gained the split-commit marker ledger
+        # (crash-convergent re-runs, collision refusal) and
+        # bm25_index_refresh_stats now dedupes re-upserted docs by
+        # latest epoch — lockstep write-path changes, results identical
+        # on the registered data.
+        "ann_index_split",
+        "bm25_index_refresh",
     }
 )
 

@@ -587,3 +587,146 @@ def test_split_rerun_never_duplicates_centroids(spark, sf_dir):
         for t in ("centroids", "codebooks", "codes", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _build_split_fixture(spark, sf_dir, prefix, out):
+    """Base + two delta epochs, then the drift audit's top-2 flagged
+    lists — the state every split test starts from."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % 4 != 3)
+    delta = emb.where(F.col("vec_id") % 4 == 3)
+    ann_index.ann_index_build(base_corpus, prefix, out)
+    ann_index.ann_index_upsert(delta.where(F.col("vec_id") % 8 == 3), prefix, epoch=0)
+    ann_index.ann_index_upsert(delta.where(F.col("vec_id") % 8 == 7), prefix, epoch=1)
+    drift = ann_index.ann_index_drift(spark, prefix).collect()
+    flagged = [
+        r["list_id"]
+        for r in sorted(drift, key=lambda r: (-r["n_delta"], r["list_id"]))[:2]
+    ]
+    return emb, flagged
+
+
+def _drop_ann(spark, prefix, out):
+    for t in ("centroids", "codebooks", "codes", "tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_split_crash_mid_rewrites_converges(spark, sf_dir, monkeypatch):
+    """ADVICE r10: a crash between the partition rewrites used to make
+    the re-run elect a DIFFERENT farthest member (the member snapshot
+    had already lost the moved rows) and bolt an extra centroid on. The
+    split-commit marker pins the election: interrupted run + re-run
+    must land byte-identical to an uninterrupted control split, publish
+    the SAME single child per flagged list, and retire its markers."""
+    out_a = tempfile.mkdtemp(prefix="ann_split_ctl_")
+    out_b = tempfile.mkdtemp(prefix="ann_split_crash_")
+    pa, pb = "ann_split_ctl", "ann_split_crash"
+    try:
+        emb, flagged_a = _build_split_fixture(spark, sf_dir, pa, out_a)
+        ann_index.ann_index_split(emb, pa, flagged_a)  # control
+
+        emb, flagged_b = _build_split_fixture(spark, sf_dir, pb, out_b)
+        assert flagged_a == flagged_b  # identical fixture
+        calls = {"n": 0}
+        real = ann_index.overwrite_epoch_partition
+
+        def crash_after_first(*args, **kwargs):
+            if calls["n"] >= 1:
+                raise RuntimeError("injected crash between rewrites")
+            calls["n"] += 1
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(
+            ann_index, "overwrite_epoch_partition", crash_after_first
+        )
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ann_index.ann_index_split(emb, pb, flagged_b)
+        assert calls["n"] == 1  # exactly one rewrite landed pre-crash
+        monkeypatch.setattr(
+            ann_index, "overwrite_epoch_partition", real
+        )
+        # markers survive the crash (one per flagged list)
+        loc = ann_index.table_location(spark, f"{pb}_codes").rstrip("/")
+        fs, mp = ann_index._fs_and_path(
+            spark, f"{loc}/{ann_index.SPLIT_COMMIT_DIR}"
+        )
+        n_markers = len(
+            [
+                st
+                for st in fs.listStatus(mp)
+                if st.getPath().getName().startswith("list-")
+            ]
+        )
+        assert n_markers == len(flagged_b)
+        ann_index.ann_index_split(emb, pb, flagged_b)  # convergent re-run
+
+        ctl = {
+            r.vec_id: (r.list_id, r.c0, r.c1, r.c2, r.c3, r.epoch)
+            for r in spark.table(f"{pa}_codes").collect()
+        }
+        got = {
+            r.vec_id: (r.list_id, r.c0, r.c1, r.c2, r.c3, r.epoch)
+            for r in spark.table(f"{pb}_codes").collect()
+        }
+        assert got == ctl  # same assignment, no extra movement
+        cents_ctl = sorted(
+            r.cid for r in spark.table(f"{pa}_centroids").collect()
+        )
+        cents_got = sorted(
+            r.cid for r in spark.table(f"{pb}_centroids").collect()
+        )
+        assert cents_got == cents_ctl  # same children, no extra centroid
+        # markers retired after completion
+        leftover = (
+            [
+                st.getPath().getName()
+                for st in fs.listStatus(mp)
+                if st.getPath().getName().startswith("list-")
+            ]
+            if fs.exists(mp)
+            else []
+        )
+        assert leftover == []
+    finally:
+        _drop_ann(spark, pa, out_a)
+        _drop_ann(spark, pb, out_b)
+
+
+def test_split_raises_on_child_centroid_collision(spark, sf_dir):
+    """The duplicate-vector edge: if the elected child's vec_id already
+    exists as a centroid, the old left_anti silently skipped the append
+    while 'moved' still redirected rows into the PRE-EXISTING foreign
+    list. The split must refuse instead."""
+    out = tempfile.mkdtemp(prefix="ann_split_coll_")
+    prefix = "ann_split_coll"
+    try:
+        emb, flagged = _build_split_fixture(spark, sf_dir, prefix, out)
+        # force a collision wherever the election lands: register every
+        # member of the flagged lists (parents excluded) as a centroid
+        members = (
+            spark.table(f"{prefix}_codes")
+            .where(
+                F.col("list_id").isin(flagged)
+                & ~F.col("vec_id").isin(flagged)
+            )
+            .select("vec_id")
+        )
+        fake = (
+            members.join(
+                emb.select("vec_id", "embedding"), "vec_id"
+            ).select(
+                F.col("vec_id").alias("cid"),
+                F.transform(
+                    "embedding", lambda x: x.cast("double")
+                ).alias("cv"),
+                F.lit(1.0).alias("cn"),
+            )
+        )
+        fake.write.mode("append").format("parquet").saveAsTable(
+            f"{prefix}_centroids"
+        )
+        with pytest.raises(ValueError, match="already exist as centroids"):
+            ann_index.ann_index_split(emb, prefix, flagged)
+    finally:
+        _drop_ann(spark, prefix, out)

@@ -287,3 +287,49 @@ def test_streaming_ingest_survives_midstream_restart(spark, sf_dir, tmp_path):
         for p in (prefix, prefix2):
             for t in ("postings", "doclen", "stats", "positions", "tombstones"):
                 spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
+
+
+def test_refresh_stats_dedupes_reupserted_docs(spark, sf_dir):
+    """A doc re-upserted into a later epoch has doclen rows in TWO
+    partitions until the next compaction. The scalar refresh must count
+    it ONCE with its latest length (the build's countDistinct
+    contract) — the naive count(*) over doclen rows would inflate
+    n_docs and let the stale dl skew avgdl."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="bm25_refresh_dedup_")
+    prefix = "bm25_idx_rdup"
+    try:
+        retrieval_index.bm25_index_build(docs, prefix, out)
+        victim = docs.select("doc_id").first()["doc_id"]
+        # re-upsert the victim with DOUBLED text: same doc, new length
+        delta = docs.where(F.col("doc_id") == victim).select(
+            "doc_id", F.concat_ws(" ", "text", "text").alias("text")
+        )
+        retrieval_index.bm25_index_upsert(delta, prefix)
+        assert (
+            spark.table(f"{prefix}_doclen")
+            .where(F.col("doc_id") == victim)
+            .count()
+            == 2  # the pre-compaction double-row state under test
+        )
+        retrieval_index.bm25_index_refresh_stats(spark, prefix)
+        got = spark.table(f"{prefix}_stats").first()
+        # independent recomputation via a SQL window (different code
+        # path than the refresh's groupBy-max-struct)
+        exp = spark.sql(
+            f"""
+            SELECT COUNT(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl
+            FROM (SELECT doc_id, dl, ROW_NUMBER() OVER (
+                      PARTITION BY doc_id ORDER BY epoch DESC) AS rn
+                  FROM {prefix}_doclen) WHERE rn = 1
+            """
+        ).first()
+        n_corpus = docs.select("doc_id").distinct().count()
+        assert got["n_docs"] == exp["n_docs"] == n_corpus
+        assert abs(got["avgdl"] - exp["avgdl"]) < 1e-9
+        # and the naive row count WOULD have been wrong
+        assert spark.table(f"{prefix}_doclen").count() == n_corpus + 1
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
