@@ -511,6 +511,12 @@ RECHECK: frozenset[str] = frozenset(
         # on the registered data.
         "ann_index_split",
         "bm25_index_refresh",
+        # r11: kmv_synopsis stage-1 salt became the input partition id
+        # (state bounded by split size instead of NDV/n_salts, ~18%
+        # faster) — identical k-mins by construction, plan changed.
+        "kmv_distinct",
+        "kmv_overlap",
+        "streaming_kmv_sink",
     }
 )
 

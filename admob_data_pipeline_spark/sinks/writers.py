@@ -302,6 +302,54 @@ def _fs_and_path(spark, path_str: str):
 # files removes the ledger with it — no orphan state to garbage-collect.
 EPOCH_LEDGER_DIR = "_epoch_ledger"
 
+# How claim_epoch arbitrates the atomic create (conf key, per-session):
+#   "fs"      (default): FileSystem.createNewFile IS the mutex — exact on
+#             HDFS, local, and GCS (create maps to a generation-0
+#             precondition PUT); on plain S3A it is HEAD-then-PUT, which
+#             leaves a double-submit window.
+#   "catalog": the metastore is the mutex — CREATE TABLE of a per-epoch
+#             claim table is atomic in HMS/Derby (DB unique constraint),
+#             so the guarantee is exact on ANY object store as long as
+#             writers share the metastore (they must: they write the
+#             same catalog table). The winner still records the fs
+#             marker (the ledger stays the single source for candidate
+#             discovery and the compaction carry) and drops the claim
+#             table; a crash inside the claim leaves an empty claim
+#             table that permanently burns one id — same semantics as
+#             an orphaned marker.
+# Guarantee matrix (see ARCHITECTURE.md): HDFS/local/GCS → exact under
+# either arbiter; S3A without Hadoop 3.4.1 conditional writes → use
+# "catalog" (or enable fs.s3a.create.conditional.enabled and keep "fs").
+EPOCH_ARBITER_CONF = "spark.admob_data_pipeline.epochLedger.arbiter"
+
+
+def _fs_create_marker(fs, marker) -> bool:
+    """The fs-arbiter commit point — one seam so tests can simulate a
+    store whose create-if-absent is NOT atomic (plain S3A)."""
+    return fs.createNewFile(marker)
+
+
+def _claim_via_catalog(spark, table: str, ledger: str, fs, cand: int) -> bool:
+    """Metastore-arbitrated claim of epoch ``cand``: CREATE TABLE is the
+    atomic mutex, the fs marker is the durable record. Returns True iff
+    THIS caller claimed the id."""
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{ledger}/epoch-{cand}")
+    if fs.exists(marker):
+        return False  # already claimed and recorded
+    claim_tbl = f"{table}__epoch_claim_{cand}"
+    try:
+        spark.sql(f"CREATE TABLE {claim_tbl} (i INT) USING parquet")
+    except Exception:
+        return False  # another writer holds (or held and crashed in) it
+    try:
+        if fs.exists(marker):
+            return False  # claimed by a prior holder that already dropped
+        _fs_create_marker(fs, marker)  # sole holder → plain PUT is safe
+        return True
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {claim_tbl}")
+
 
 def claim_epoch(spark, table: str, max_attempts: int = 64) -> int:
     """Multi-writer-safe epoch minting: the conditional-commit guard
