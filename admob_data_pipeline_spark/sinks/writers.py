@@ -366,11 +366,15 @@ def claim_epoch(spark, table: str, max_attempts: int = 64) -> int:
     silent row loss, no failed job, just densely increasing epochs.
     CAVEAT (S3A): plain S3A implements create(overwrite=false) as
     HEAD-then-PUT — check-then-act, not conditional — so two writers
-    racing within that window can both "win"; on S3, enable the
+    racing within that window can both "win"; on S3, either enable the
     conditional-write integration (Hadoop 3.4.1+ `fs.s3a.create.conditional.enabled`,
-    S3 If-None-Match) or arbitrate epochs through an external lock
-    table. The guard is exact on HDFS/local/GCS and still removes the
-    common seconds-apart double-submit on S3A.
+    S3 If-None-Match) and keep the default ``fs`` arbiter, or set
+    ``spark.admob_data_pipeline.epochLedger.arbiter=catalog`` to
+    arbitrate through the shared metastore instead (atomic CREATE TABLE
+    mutex — exact on any object store; see EPOCH_ARBITER_CONF and the
+    guarantee matrix in ARCHITECTURE.md). The fs guard is exact on
+    HDFS/local/GCS and still removes the common seconds-apart
+    double-submit on plain S3A.
 
     The candidate starts at max(partition list, ledger)+1, so ids are
     never reused even when a partition write crashed after its claim
@@ -389,9 +393,16 @@ def claim_epoch(spark, table: str, max_attempts: int = 64) -> int:
         if st.getPath().getName().startswith("epoch-")
     ]
     cand = max([next_epoch(spark, table)] + [c + 1 for c in claimed])
+    arbiter = spark.conf.get(EPOCH_ARBITER_CONF, "fs")
+    if arbiter not in ("fs", "catalog"):
+        raise ValueError(f"{EPOCH_ARBITER_CONF}={arbiter!r}: want fs|catalog")
     for _ in range(max_attempts):
-        _, marker = _fs_and_path(spark, f"{ledger}/epoch-{cand}")
-        if fs.createNewFile(marker):
+        if arbiter == "catalog":
+            won = _claim_via_catalog(spark, table, ledger, fs, cand)
+        else:
+            _, marker = _fs_and_path(spark, f"{ledger}/epoch-{cand}")
+            won = _fs_create_marker(fs, marker)
+        if won:
             return cand
         cand += 1  # lost the create race — remint
     raise RuntimeError(

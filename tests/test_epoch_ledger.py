@@ -370,3 +370,83 @@ def test_delete_during_compact_never_lost(
         for t in cfg["tables"]:
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_catalog_arbiter_survives_non_atomic_fs_create(
+    spark, epoch_table, monkeypatch
+):
+    """S3A fallback: on a store whose create-if-absent is HEAD-then-PUT
+    (not conditional), two racing writers can BOTH think they created
+    the marker — simulated by forcing the fs commit point to always
+    report success. Under the default fs arbiter that mints a duplicate
+    epoch (the hazard); under the catalog arbiter the metastore CREATE
+    TABLE is the mutex, so the ids stay distinct on ANY object store."""
+    # the S3A HEAD-then-PUT shape: the write always lands and reports
+    # success — only the create-if-absent precondition is missing
+    def head_then_put(fs, p):
+        fs.create(p, True).close()
+        return True
+
+    monkeypatch.setattr(writers, "_fs_create_marker", head_then_put)
+    loc = writers.table_location(spark, epoch_table).rstrip("/")
+    ledger = f"{loc}/{writers.EPOCH_LEDGER_DIR}"
+    fs, _ = writers._fs_and_path(spark, ledger)
+    # hazard pin: two writers racing on the same candidate id both
+    # "win" the broken fs create — the duplicate-epoch lost-update
+    _, m = writers._fs_and_path(spark, f"{ledger}/epoch-777")
+    assert head_then_put(fs, m) and head_then_put(fs, m)
+
+    # catalog arbiter under the SAME broken fs: writer B attempts the
+    # identical candidate while A is inside its critical section (claim
+    # table held, marker not yet written) — the metastore mutex must
+    # make B lose at the worst possible instant
+    b_result = {}
+    real_put = head_then_put
+
+    def put_with_interleaved_rival(fs_, p_):
+        if "won" not in b_result:
+            b_result["won"] = True  # break re-entry before the rival runs
+            b_result["won"] = writers._claim_via_catalog(
+                spark, epoch_table, ledger, fs, 778
+            )
+        return real_put(fs_, p_)
+
+    monkeypatch.setattr(
+        writers, "_fs_create_marker", put_with_interleaved_rival
+    )
+    assert writers._claim_via_catalog(spark, epoch_table, ledger, fs, 778)
+    assert b_result["won"] is False  # rival lost inside the window
+    # no claim-table litter after the claims resolved
+    leftover = [
+        t.name
+        for t in spark.catalog.listTables()
+        if "__epoch_claim_" in t.name
+    ]
+    assert leftover == []
+    # end-to-end: catalog-arbitrated claim_epoch mints distinct ids
+    spark.conf.set(writers.EPOCH_ARBITER_CONF, "catalog")
+    monkeypatch.setattr(writers, "_fs_create_marker", real_put)
+    try:
+        c1 = writers.claim_epoch(spark, epoch_table)
+        c2 = writers.claim_epoch(spark, epoch_table)
+        assert c1 != c2
+    finally:
+        spark.conf.unset(writers.EPOCH_ARBITER_CONF)
+
+
+def test_catalog_arbiter_skips_recorded_markers(spark, epoch_table):
+    """A claim table is dropped once the marker lands; a later claimant
+    of the same id must lose on the MARKER check (not re-win the
+    create) — otherwise a dropped mutex would let an id be reminted."""
+    spark.conf.set(writers.EPOCH_ARBITER_CONF, "catalog")
+    try:
+        e1 = writers.claim_epoch(spark, epoch_table)
+        loc = writers.table_location(spark, epoch_table).rstrip("/")
+        fs, marker = writers._fs_and_path(
+            spark, f"{loc}/{writers.EPOCH_LEDGER_DIR}/epoch-{e1}"
+        )
+        assert fs.exists(marker)  # durable record written by the winner
+        e2 = writers.claim_epoch(spark, epoch_table)
+        assert e2 == e1 + 1
+    finally:
+        spark.conf.unset(writers.EPOCH_ARBITER_CONF)
