@@ -964,12 +964,20 @@ def q_hybrid_index_autopilot_guarded(
         op_skew = (F.col("vec_id") % GUARD_OP_MOD == GUARD_OP_REM) & ~(
             text_only
         )
+        ann_corpus = emb.where(~text_only)
         bm25_index_build(docs, bp, f"{out}/bm25")
-        ann_index_build(emb.where(~text_only), ap, f"{out}/ann")
+        ann_index_build(ann_corpus, ap, f"{out}/ann")
         ann_index_delete(spark, emb.where(op_skew).select("vec_id"), ap)
-        declared = docs.where(
-            F.col("doc_id") % GUARD_TEXT_ONLY_MOD == GUARD_TEXT_ONLY_REM
-        ).select("doc_id")
+        # the DECLARED surface is structural: every doc the vector side
+        # was never built over (the % 7 slice plus, at SFs where the
+        # embedding table covers only part of the corpus, the docs with
+        # no embedding row at all) — exactly what a deployment would
+        # register as its expected asymmetry
+        declared = docs.select("doc_id").join(
+            ann_corpus.select(F.col("vec_id").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
 
         before = hybrid_index_parity(spark, bp, ap).first()
         acts = hybrid_index_autopilot(spark, bp, ap)  # default: report
