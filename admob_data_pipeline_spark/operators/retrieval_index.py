@@ -375,6 +375,63 @@ def q_bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
 
 
+def q_bm25_index_upsert_arbiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog-arbitrated epoch mint end-to-end under the driver
+    gate: the same build → auto-epoch upserts → serve lifecycle as
+    ``bm25_index_upsert``, but with
+    ``spark.admob_data_pipeline.epochLedger.arbiter=catalog`` — every
+    epoch id is claimed through the metastore CREATE TABLE mutex (the
+    S3A-safe path, sinks/writers.py claim_epoch) instead of the fs
+    create. The delta lands as TWO auto-minted epochs, so the claim →
+    marker → drop cycle runs twice; serving must equal the fs-arbitrated
+    result exactly (shared oracle). The wrapper also asserts the mutex
+    left no claim-table litter and the ledger recorded both ids."""
+    import shutil
+    import tempfile
+
+    from admob_data_pipeline_spark.sinks.writers import (
+        EPOCH_ARBITER_CONF,
+        EPOCH_LEDGER_DIR,
+        _fs_and_path,
+        table_location,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % UPSERT_DOC_MOD != UPSERT_DOC_MOD - 1)
+    delta = docs.where(F.col("doc_id") % UPSERT_DOC_MOD == UPSERT_DOC_MOD - 1)
+    out = tempfile.mkdtemp(prefix="bm25_upsert_arb_")
+    prefix = "bm25_idx_uparb"
+    spark.conf.set(EPOCH_ARBITER_CONF, "catalog")
+    try:
+        bm25_index_build(base, prefix, out)
+        for e in range(2):  # auto-epoch: each claims through the catalog
+            bm25_index_upsert(
+                delta.where(F.expr(f"pmod(doc_id div {UPSERT_DOC_MOD}, 2)") == e),
+                prefix,
+            )
+        loc = table_location(spark, f"{prefix}_postings").rstrip("/")
+        fs, ldir = _fs_and_path(spark, f"{loc}/{EPOCH_LEDGER_DIR}")
+        minted = sorted(
+            int(st.getPath().getName()[len("epoch-"):])
+            for st in fs.listStatus(ldir)
+            if st.getPath().getName().startswith("epoch-")
+        )
+        assert minted == [0, 1], minted  # both ids recorded, densely
+        litter = [
+            t.name
+            for t in spark.catalog.listTables()
+            if "__epoch_claim_" in t.name
+        ]
+        assert litter == [], litter  # mutex tables all dropped
+        rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
+    finally:
+        spark.conf.unset(EPOCH_ARBITER_CONF)
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
 _BM25_QUERY_LIST = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
 # frozen-scalar oracle: tok/tf/dl/df over the UNION corpus, the one-row
@@ -1120,6 +1177,7 @@ def serving_plans(spark: SparkSession, sf_dir: str):
 LIFECYCLE_WRITE = {
     "bm25_index_build",
     "bm25_index_upsert",
+    "bm25_index_upsert_arbiter",
     "bm25_index_compact",
     "bm25_index_refresh",
     "bm25_index_autopilot",
@@ -1131,6 +1189,7 @@ QUERIES = {
     "bm25_index_build": q_bm25_index_build,
     "bm25_index_search": q_bm25_index_search,
     "bm25_index_upsert": q_bm25_index_upsert,
+    "bm25_index_upsert_arbiter": q_bm25_index_upsert_arbiter,
     "bm25_index_compact": q_bm25_index_compact,
     "streaming_bm25_ingest": q_streaming_bm25_ingest,
     "bm25_index_delete": q_bm25_index_delete,
@@ -1149,6 +1208,9 @@ ORACLES = {
     "bm25_index_search": _ORACLE_BM25_SEARCH,
     # frozen-scalar maintenance parity
     "bm25_index_upsert": _ORACLE_INDEX_UPSERT,
+    # catalog-arbitrated epoch mint must be invisible to serving —
+    # the upsert oracle verbatim
+    "bm25_index_upsert_arbiter": _ORACLE_INDEX_UPSERT,
     # compaction must be invisible to ranking — the upsert oracle verbatim
     "bm25_index_compact": _ORACLE_INDEX_UPSERT,
     # multi-epoch arrival, same frozen-scalar semantics — shared oracle

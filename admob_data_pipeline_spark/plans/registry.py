@@ -476,6 +476,7 @@ FRESH_FIRST: tuple[str, ...] = (
     # round-11 wave: backlog is ZERO after the r10 append (all 362 entries
     # driver-confirmed). New round-11 queries land here, newest first.
     "hybrid_index_autopilot_guarded",
+    "bm25_index_upsert_arbiter",
 )
 
 
