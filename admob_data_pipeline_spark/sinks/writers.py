@@ -340,8 +340,15 @@ def _claim_via_catalog(spark, table: str, ledger: str, fs, cand: int) -> bool:
     claim_tbl = f"{table}__epoch_claim_{cand}"
     try:
         spark.sql(f"CREATE TABLE {claim_tbl} (i INT) USING parquet")
-    except Exception:
-        return False  # another writer holds (or held and crashed in) it
+    except Exception as ex:
+        # only a lost race (table exists) means "remint and retry";
+        # anything else (metastore down, permissions) must surface, not
+        # burn 64 candidate ids behind a misleading contention error
+        if "TABLE_OR_VIEW_ALREADY_EXISTS" in str(
+            ex
+        ) or "already exists" in str(ex):
+            return False  # another writer holds (or held and crashed in) it
+        raise
     try:
         if fs.exists(marker):
             return False  # claimed by a prior holder that already dropped
