@@ -32,7 +32,9 @@ FLAG_RATIO = 12.0  # > data ratio + headroom for fixed overheads
 FLAG_FLOOR_S = 2.0  # big-SF wall below this is overhead-dominated
 
 
-def _leg(queries, sf_dir: str, spark) -> dict[str, float | None]:
+def _leg(
+    queries, sf_dir: str, spark, rows_out: dict | None = None
+) -> dict[str, float | None]:
     # warmup: absorb whole-stage-codegen JIT before the first timed row
     try:
         next(iter(queries.values()))(spark, sf_dir).count()
@@ -44,7 +46,9 @@ def _leg(queries, sf_dir: str, spark) -> dict[str, float | None]:
     for name, fn in queries.items():
         t0 = time.time()
         try:
-            fn(spark, sf_dir).count()
+            n = fn(spark, sf_dir).count()
+            if rows_out is not None:
+                rows_out[name] = n
         except Exception as ex:
             print(f"FAIL {name} at {sf_dir}: {type(ex).__name__}")
             out[name] = None
@@ -101,8 +105,29 @@ def main() -> None:
         k: v for k, v in e.queries().items() if not only or k in only
     }
     spark = get_spark("scaling-report")
+    import os
+
     small = _leg(queries, SMALL, spark)
-    big = _leg(queries, BIG, spark)
+    big_rows: dict[str, int] = {}
+    big = _leg(queries, BIG, spark, rows_out=big_rows)
+    # the big leg IS a rows-only sweep of the full registry at BIG —
+    # optionally emit it in tools/scale_sweep.py's log format so one
+    # execution produces both artifacts
+    sweep_log = os.environ.get("SPARK_GRAFT_SWEEP_LOG")
+    if sweep_log:
+        with open(sweep_log, "w") as f:
+            n_fail = 0
+            for name in queries:
+                tb = big.get(name)
+                if tb is None:
+                    f.write(f"FAIL {name}: see scaling_report output\n")
+                    n_fail += 1
+                else:
+                    f.write(
+                        f"PASS {name}: {big_rows.get(name)} rows"
+                        f" ({tb:.1f}s)\n"
+                    )
+            f.write(f"{len(queries) - n_fail} passed, {n_fail} failed\n")
     rows = []
     for name in queries:
         ts, tb = small.get(name), big.get(name)
