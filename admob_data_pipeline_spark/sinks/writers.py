@@ -418,6 +418,29 @@ def claim_epoch(spark, table: str, max_attempts: int = 64) -> int:
     )
 
 
+def vacuum_stale_epoch_claims(spark, table: str) -> list[str]:
+    """Reap claim tables a crashed catalog-arbitrated mint left behind.
+    A crash inside :func:`_claim_via_catalog` can strand the empty
+    mutex table at either window: before the marker write (the id was
+    never returned to anyone — dropping the table re-opens it, which is
+    safe precisely because no caller ever received it) or between the
+    marker write and the drop (the marker keeps the id burned; the
+    table is pure litter). Run from a maintenance window ONLY — a
+    concurrently in-flight claim holds its table as the live mutex, and
+    dropping it would let a rival mint the same id (the exact
+    lost-update the arbiter exists to prevent). Returns the dropped
+    table names."""
+    prefix = f"{table}__epoch_claim_"
+    stale = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(prefix)
+    ]
+    for name in stale:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    return stale
+
+
 # One definition per id-space of the tombstone DDL — the build, delete,
 # compact, and truncate sites of each index family all reference these,
 # so a family's schema literal can never drift from its table.

@@ -450,3 +450,28 @@ def test_catalog_arbiter_skips_recorded_markers(spark, epoch_table):
         assert e2 == e1 + 1
     finally:
         spark.conf.unset(writers.EPOCH_ARBITER_CONF)
+
+
+def test_vacuum_stale_epoch_claims(spark, epoch_table):
+    """A crash inside the catalog mint (a killed PROCESS — no finally
+    runs) strands the empty claim table. Vacuum reaps it; an id whose
+    marker never landed becomes claimable again (it was never returned
+    to any caller), while a marker-recorded id stays burned."""
+    spark.conf.set(writers.EPOCH_ARBITER_CONF, "catalog")
+    try:
+        e1 = writers.claim_epoch(spark, epoch_table)  # clean claim
+        # the process-kill litter: mutex table present, marker absent
+        spark.sql(
+            f"CREATE TABLE {epoch_table}__epoch_claim_{e1 + 1} (i INT)"
+            " USING parquet"
+        )
+        dropped = writers.vacuum_stale_epoch_claims(spark, epoch_table)
+        assert dropped == [f"{epoch_table}__epoch_claim_{e1 + 1}"]
+        # the un-markered id is claimable again
+        assert writers.claim_epoch(spark, epoch_table) == e1 + 1
+        # a marker-recorded id stays burned after vacuum (nothing to
+        # drop, next claim moves past it)
+        assert writers.vacuum_stale_epoch_claims(spark, epoch_table) == []
+        assert writers.claim_epoch(spark, epoch_table) == e1 + 2
+    finally:
+        spark.conf.unset(writers.EPOCH_ARBITER_CONF)
