@@ -473,6 +473,46 @@ ORDER BY rnk
 """.format(score=_DUCK_BM25_SCORE)
 
 
+# the maintenance-window oracle: tf/df/dl over the FULL corpus, the
+# one-row scalars over exactly the corpus present at refresh time
+# (base + the first two delta slices)
+_ORACLE_STREAM_MAINTAINED = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl WHERE doc_id % {UPSERT_DOC_MOD} <> {UPSERT_DOC_MOD - 1}
+       OR ((doc_id // {UPSERT_DOC_MOD}) % 4) IN (0, 1)
+),
+per_term AS (
+    SELECT tf.doc_id,
+           {{score}} AS s
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+    WHERE tf.token IN ({_BM25_QUERY_LIST})
+),
+doc_scores AS (
+    SELECT doc_id, COUNT(*) AS n_terms_matched,
+           CAST(SUM(s) AS BIGINT) AS score_scaled
+    FROM per_term GROUP BY doc_id
+),
+ranked AS (
+    SELECT doc_id, n_terms_matched, score_scaled,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY score_scaled DESC, doc_id
+           ) AS INT) AS rnk
+    FROM doc_scores
+)
+SELECT doc_id, n_terms_matched, score_scaled, rnk
+FROM ranked WHERE rnk <= {BM25_SEARCH_TOP}
+ORDER BY rnk
+""".format(score=_DUCK_BM25_SCORE)
+
+
 _ORACLE_INDEX_BUILD = f"""
 WITH {_DUCK_BM25_TABLES}
 SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_sum
@@ -886,6 +926,81 @@ def q_streaming_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
 
 
+def q_streaming_bm25_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The long-running deployment's full shape: CONTINUOUS ingest with
+    a MAINTENANCE WINDOW in the middle. Stream 1 lands two delta epochs
+    (batch id = epoch), the window runs one autopilot cycle (scalar
+    refresh over everything ingested so far, then compaction folds the
+    epochs into base), and stream 2 — a NEW stream with a fresh
+    checkpoint — lands two more epochs before serving.
+
+    The subtle safety property this pins: stream 2's batch ids restart
+    at 0, the very ids stream 1 already used — safe ONLY because the
+    maintenance compaction folded those partitions away (the wrapper
+    asserts next_epoch == 0 post-fold before starting stream 2; without
+    the fold, stream 2's epoch-0 dynamic overwrite would silently
+    replace stream 1's epoch-0 rows — the lost-update the epoch layout
+    exists to prevent). This is the documented operational contract:
+    restart streaming ingest with a fresh checkpoint only behind a
+    compaction.
+
+    Oracle: tf/df/dl over the FULL corpus (all four delta slices
+    ingested), the (n_docs, avgdl) scalars over exactly the
+    maintenance-time corpus (base + the first two slices) — a scalar
+    refreshed too early/late, a dropped or double-ingested epoch on
+    either side of the window, or an unfolded partition all fail the
+    hash."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % UPSERT_DOC_MOD != UPSERT_DOC_MOD - 1)
+    delta = docs.where(F.col("doc_id") % UPSERT_DOC_MOD == UPSERT_DOC_MOD - 1)
+    sub = F.expr(f"pmod(doc_id div {UPSERT_DOC_MOD}, 4)")
+    out = tempfile.mkdtemp(prefix="bm25_stream_maint_")
+    prefix = "bm25_idx_stm"
+
+    def run_stream(src: str, ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda batch, eid: bm25_index_upsert(batch, prefix, epoch=eid)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        bm25_index_build(base, prefix, os.path.join(out, "index"))
+        for phase, slices in (("one", (0, 1)), ("two", (2, 3))):
+            src = os.path.join(out, f"arrivals_{phase}")
+            for s in slices:
+                delta.where(sub == s).coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+            if phase == "two":
+                # maintenance window between the streams
+                actions = bm25_index_autopilot(spark, prefix, max_epochs=1)
+                assert actions == ["refresh_stats", "compact"], actions
+                # the fold is WHY a fresh checkpoint's batch ids are
+                # safe to reuse as epochs
+                assert next_epoch(spark, f"{prefix}_postings") == 0
+            run_stream(src, os.path.join(out, f"ckpt_{phase}"))
+        rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
 def q_bm25_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted positional-index phrase serving, oracled for EXACT
     parity with the inline ``bm25_phrase_search`` (same SQL verbatim):
@@ -1182,6 +1297,7 @@ LIFECYCLE_WRITE = {
     "bm25_index_refresh",
     "bm25_index_autopilot",
     "streaming_bm25_ingest",
+    "streaming_bm25_maintained",
 }
 
 
@@ -1192,6 +1308,7 @@ QUERIES = {
     "bm25_index_upsert_arbiter": q_bm25_index_upsert_arbiter,
     "bm25_index_compact": q_bm25_index_compact,
     "streaming_bm25_ingest": q_streaming_bm25_ingest,
+    "streaming_bm25_maintained": q_streaming_bm25_maintained,
     "bm25_index_delete": q_bm25_index_delete,
     "bm25_index_refresh": q_bm25_index_refresh,
     "bm25_index_autopilot": q_bm25_index_autopilot,
@@ -1215,6 +1332,9 @@ ORACLES = {
     "bm25_index_compact": _ORACLE_INDEX_UPSERT,
     # multi-epoch arrival, same frozen-scalar semantics — shared oracle
     "streaming_bm25_ingest": _ORACLE_INDEX_UPSERT,
+    # ingest -> maintenance window -> ingest: full-corpus tf/df/dl with
+    # scalars refreshed at the window
+    "streaming_bm25_maintained": _ORACLE_STREAM_MAINTAINED,
     # tombstone-masked serving: surviving tf/df, frozen scalars
     "bm25_index_delete": _ORACLE_INDEX_DELETE,
     # drift remedy: scalar refresh must make serving equal a

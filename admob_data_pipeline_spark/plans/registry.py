@@ -475,6 +475,7 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 FRESH_FIRST: tuple[str, ...] = (
     # round-11 wave: backlog is ZERO after the r10 append (all 362 entries
     # driver-confirmed). New round-11 queries land here, newest first.
+    "streaming_bm25_maintained",
     "hybrid_index_autopilot_guarded",
     "bm25_index_upsert_arbiter",
 )

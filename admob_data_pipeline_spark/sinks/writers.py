@@ -704,6 +704,7 @@ def compact_bucketed_table(
     files_before = n_files()
     loc = table_location(spark, table)
     df = spark.table(table)
+    cols = df.columns  # pinned: the rewrite must not permute the schema
     if anti is not None:
         # No broadcast hint: the tombstone set is usually tiny (AQE
         # broadcasts it at runtime), but a repair pass can tombstone an
@@ -715,6 +716,12 @@ def compact_bucketed_table(
         part_col, part_val = fold_partition
         dtype = dict(df.dtypes)[part_col]
         df = df.withColumn(part_col, F.lit(part_val).cast(dtype))
+    # a USING join moves its key to column 0 — restore the table's
+    # declared order, or the rewritten table would silently permute the
+    # schema and every later POSITIONAL insertInto (epoch ingest resumed
+    # after a maintenance window) would land columns crosswise: a type
+    # error when neighbours differ, silent corruption when they don't
+    df = df.select(*cols)
     tmp = f"{table}__compact"
     new_loc = f"{loc.rstrip('/')}__c{uuid.uuid4().hex[:8]}"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")

@@ -475,3 +475,46 @@ def test_vacuum_stale_epoch_claims(spark, epoch_table):
         assert writers.claim_epoch(spark, epoch_table) == e1 + 2
     finally:
         spark.conf.unset(writers.EPOCH_ARBITER_CONF)
+
+
+def test_compaction_preserves_column_order(spark, sf_dir):
+    """A USING join moves its key to column 0, so the anti-join rewrite
+    used to PERMUTE the compacted table's schema — harmless to by-name
+    readers, fatal to the positional insertInto every epoch ingest uses
+    when it resumes after a maintenance window (type error when
+    neighbouring columns differ, silent corruption when they don't).
+    Found by streaming_bm25_maintained; the rewrite now re-selects the
+    declared order, and a post-compact upsert must land cleanly."""
+    from admob_data_pipeline_spark.operators import retrieval_index as ri
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="compact_order_")
+    prefix = "compact_order_t"
+    try:
+        ri.bm25_index_build(
+            docs.where(F.col("doc_id") % 4 != 3), prefix, out
+        )
+        before = spark.table(f"{prefix}_postings").columns
+        ri.bm25_index_delete(
+            spark,
+            docs.where(F.col("doc_id") % 10 == 5).select("doc_id"),
+            prefix,
+        )
+        ri.bm25_index_compact(spark, prefix)  # anti-join rewrite
+        assert spark.table(f"{prefix}_postings").columns == before
+        # ingest resumed after the maintenance window must not permute
+        ri.bm25_index_upsert(
+            docs.where(F.col("doc_id") % 4 == 3), prefix, epoch=0
+        )
+        got = spark.table(f"{prefix}_postings")
+        assert got.columns == before
+        assert (
+            got.where(F.col("epoch") == 0)
+            .where(F.col("doc_id").isNull())
+            .count()
+            == 0
+        )
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
