@@ -460,6 +460,13 @@ DRIVER_GREEN: frozenset[str] = frozenset(
         "hybrid_index_parity",
         "hybrid_index_repair",
         "streaming_hybrid_ingest",
+        # r11 driver-green rows (CORRECTNESS_r11): the mid-stream
+        # maintenance composition, the guarded autopilot policy, and the
+        # catalog-arbitrated upsert; plus fresh re-verification of the
+        # whole 14-name RECHECK set (drained below).
+        "streaming_bm25_maintained",
+        "hybrid_index_autopilot_guarded",
+        "bm25_index_upsert_arbiter",
     }
 )
 
@@ -473,11 +480,38 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 # Names absent from the registry are ignored, so this list never breaks on
 # renames.
 FRESH_FIRST: tuple[str, ...] = (
-    # round-11 wave: backlog is ZERO after the r10 append (all 362 entries
-    # driver-confirmed). New round-11 queries land here, newest first.
-    "streaming_bm25_maintained",
-    "hybrid_index_autopilot_guarded",
-    "bm25_index_upsert_arbiter",
+    # round-12 wave: backlog is ZERO after the r11 append (all 365 entries
+    # driver-confirmed). New round-12 queries land here, newest first.
+)
+
+
+# Names whose SEMANTICS changed after their green record was written.
+# They must stay in DRIVER_GREEN (the rotation test pins that every
+# recorded verdict is represented) but their label was earned by the OLD
+# code, so they re-enter the front of the window until a fresh verdict
+# lands — then remove them from here.
+RECHECK: frozenset[str] = frozenset(
+    {
+        # (empty after r11: all 14 names that re-entered for the
+        # file-pinned tombstone purge, the policy-gated autopilot
+        # repair, the split-commit markers, the refresh latest-epoch
+        # dedup, and the partition-id kmv salt got fresh green verdicts
+        # in CORRECTNESS_r11.)
+    }
+)
+
+
+# Queries that have NEVER had a driver verdict (6 after r5 — the round-5
+# wave-2 additions that landed behind the backlog). They lead round 6's
+# correctness window; once driver-green, the whole registry is externally
+# confirmed. New queries land at the FRONT of this tuple while free window
+# slots exist (50 − len(unchecked)), BEHIND the backlog otherwise, so a
+# never-checked name is never pushed out of the driver's 50-query window.
+# Names absent from the registry are ignored, so this list never breaks on
+# renames.
+FRESH_FIRST: tuple[str, ...] = (
+    # round-12 wave: backlog is ZERO after the r11 append (all 365 entries
+    # driver-confirmed). New round-12 queries land here, newest first.
 )
 
 
