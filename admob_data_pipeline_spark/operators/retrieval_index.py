@@ -156,6 +156,42 @@ def bm25_index_search(
         )
         .localCheckpoint()  # tiny (Σ df(term) rows), read by df/cand/score
     )
+    # RE-UPSERT (replace) semantics: a doc re-ingested into a later
+    # epoch supersedes every earlier version — serving must score ONLY
+    # its latest version, else tf/df double-count and the candidate set
+    # duplicates. The doclen table is the version manifest (exactly one
+    # row per ingested version of a doc), so latest ingest epoch per
+    # candidate = max(epoch) over its doclen rows — one bucketed doclen
+    # scan (broadcast-semi filtered to the tiny candidate set, rollup
+    # on the bucket key: no exchange) yields BOTH the mask and the
+    # latest dl, replacing the dl lookup _bm25_rank_postings would have
+    # done anyway. A posting row survives iff its (doc_id, epoch) is
+    # the doc's latest — a term dropped by the new version scores zero
+    # even though no new posting row replaced the old one. Stale
+    # versions purge physically at the next compaction (stale-version
+    # anti in bm25_index_compact), which keeps this mask a no-op-cost
+    # broadcast join in steady state. Re-upsert of a TOMBSTONED doc is
+    # out of contract: the tombstone anti above wins until compaction.
+    dl_latest = (
+        doclen.join(
+            F.broadcast(postings.select("doc_id").distinct()),
+            "doc_id",
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("epoch", "dl")).alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.epoch").alias("epoch"),
+            F.col("m.dl").alias("dl"),
+        )
+        .localCheckpoint()  # ≤ candidate rows; read by mask + dl join
+    )
+    postings = postings.join(
+        F.broadcast(dl_latest.select("doc_id", "epoch")),
+        ["doc_id", "epoch"],
+        "left_semi",
+    )
     require_all_n = len(set(query_terms)) if require_all else None
     return _bm25_rank_postings(
         None,
@@ -164,7 +200,7 @@ def bm25_index_search(
         k1,
         b,
         require_all_n,
-        doclen=doclen,
+        doclen=dl_latest.select("doc_id", "dl"),
         stats=spark.table(f"{table_prefix}_stats"),
     )
 
@@ -209,6 +245,30 @@ def bm25_index_phrase(
         )
         .localCheckpoint()  # tiny (Σ df(word) occurrence rows)
     )
+    # latest-version mask (see bm25_index_search): adjacency must be
+    # computed within ONE version of a doc — occurrences from a stale
+    # epoch would pair with the re-upserted version's positions
+    dl_latest = (
+        spark.table(f"{table_prefix}_doclen")
+        .join(
+            F.broadcast(pos.select("doc_id").distinct()),
+            "doc_id",
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("epoch", "dl")).alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.epoch").alias("epoch"),
+            F.col("m.dl").alias("dl"),
+        )
+        .localCheckpoint()  # ≤ candidate rows; read by mask + dl join
+    )
+    pos = pos.join(
+        F.broadcast(dl_latest.select("doc_id", "epoch")),
+        ["doc_id", "epoch"],
+        "left_semi",
+    )
     first = pos.where(F.col("token") == w1).select("doc_id", "pos")
     second = pos.where(F.col("token") == w2).select(
         "doc_id", (F.col("pos") - 1).alias("pos")
@@ -220,7 +280,7 @@ def bm25_index_phrase(
         .localCheckpoint()  # ≤ phrase-df rows; reused by df + scoring
     )
     pdf = ptf.agg(F.count(F.lit(1)).alias("df"))
-    dl_cand = spark.table(f"{table_prefix}_doclen").join(
+    dl_cand = dl_latest.join(
         F.broadcast(ptf.select("doc_id")), "doc_id", "left_semi"
     ).select("doc_id", "dl")
     scored = (
@@ -261,7 +321,16 @@ def bm25_index_upsert(
     the contract streaming foreachBatch maintenance needs). Batch
     callers may omit it to auto-assign via :func:`claim_epoch` — an
     atomic ledger mint, so concurrent batch ingest jobs can never
-    overwrite each other's partition (the loser remints)."""
+    overwrite each other's partition (the loser remints).
+
+    RE-UPSERT of an EXISTING doc is REPLACE: serving masks every
+    earlier version by latest ingest epoch (the doclen version
+    manifest, see ``bm25_index_search``) and the next compaction
+    physically purges the superseded rows. Contract: a delta batch is
+    doc-unique (two rows sharing a doc_id within ONE batch merge into
+    one combined document at tokenization), and re-upserting a
+    TOMBSTONED doc does not resurrect it — the delete wins until
+    compaction purges both."""
     spark = delta.sparkSession
     if epoch is None:
         epoch = claim_epoch(spark, f"{table_prefix}_postings")
@@ -345,6 +414,10 @@ def q_bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 UPSERT_DOC_MOD = 4  # delta = doc_id % 4 == 3 (deterministic split)
+# re-upsert slice: doc_id % 7 == 2 crosses BOTH the base and the delta
+# slices, so replace semantics are exercised against build-epoch rows
+# and against upsert-epoch rows in one pass
+REUPSERT_MOD, REUPSERT_REM = 7, 2
 
 
 def q_bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,6 +546,110 @@ ORDER BY rnk
 """.format(score=_DUCK_BM25_SCORE)
 
 
+def q_bm25_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-UPSERT (replace) semantics end-to-end under the driver gate:
+    build over the base slice, upsert the held-out quarter, then
+    re-ingest a REVISED version (text doubled — every token count and
+    the doc length exactly 2×) of the ``doc_id % 7 == 2`` slice, which
+    crosses both the build and the upsert epochs. Serving must score
+    ONLY the latest version of each revised doc (the doclen-manifest
+    mask in ``bm25_index_search``); compaction must physically purge
+    the superseded versions (the stale-version anti in
+    ``bm25_index_compact``) without changing ranking. The wrapper
+    asserts the pre- and post-compaction rankings are identical and
+    that the compacted doclen table holds exactly one row per doc; the
+    oracle recomputes ranking over the REVISED corpus with the
+    (n_docs, avgdl) scalars frozen over the ORIGINAL base slice (build
+    time predates the revision), so a double-counted tf/df, a stale
+    dl, a duplicated candidate, or an unfrozen scalar fails the hash."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % UPSERT_DOC_MOD != UPSERT_DOC_MOD - 1)
+    delta = docs.where(F.col("doc_id") % UPSERT_DOC_MOD == UPSERT_DOC_MOD - 1)
+    revised = docs.where(F.col("doc_id") % REUPSERT_MOD == REUPSERT_REM).select(
+        "doc_id", F.concat_ws(" ", "text", "text").alias("text")
+    )
+    out = tempfile.mkdtemp(prefix="bm25_reupsert_")
+    prefix = "bm25_idx_re"
+    try:
+        bm25_index_build(base, prefix, out)
+        bm25_index_upsert(delta, prefix)
+        bm25_index_upsert(revised, prefix)
+        pre = bm25_index_search(spark, BM25_QUERY, prefix).collect()
+        bm25_index_compact(spark, prefix)
+        dupes = (
+            spark.table(f"{prefix}_doclen")
+            .groupBy("doc_id")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        assert dupes == 0, f"{dupes} docs kept >1 version post-compaction"
+        rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
+        assert rows == pre, "compaction changed ranking"
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
+# replace-semantics oracle: tok/tf/dl/df over the corpus WITH the
+# revised slice's text doubled (latest version wins), scalars frozen
+# over the ORIGINAL base slice (build predates the revision)
+_ORACLE_INDEX_REUPSERT = f"""
+WITH corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {REUPSERT_MOD} = {REUPSERT_REM}
+                THEN text || ' ' || text ELSE text END AS text
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM corpus
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+base_dl AS (
+    SELECT doc_id, COUNT(*) AS dl
+    FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+        WHERE doc_id % {UPSERT_DOC_MOD} <> {UPSERT_DOC_MOD - 1}
+    )
+    GROUP BY doc_id
+),
+stats AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM base_dl
+),
+per_term AS (
+    SELECT tf.doc_id,
+           {{score}} AS s
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+    WHERE tf.token IN ({_BM25_QUERY_LIST})
+),
+doc_scores AS (
+    SELECT doc_id, COUNT(*) AS n_terms_matched,
+           CAST(SUM(s) AS BIGINT) AS score_scaled
+    FROM per_term GROUP BY doc_id
+),
+ranked AS (
+    SELECT doc_id, n_terms_matched, score_scaled,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY score_scaled DESC, doc_id
+           ) AS INT) AS rnk
+    FROM doc_scores
+)
+SELECT doc_id, n_terms_matched, score_scaled, rnk
+FROM ranked WHERE rnk <= {BM25_SEARCH_TOP}
+ORDER BY rnk
+""".format(score=_DUCK_BM25_SCORE)
+
+
 # the maintenance-window oracle: tf/df/dl over the FULL corpus, the
 # one-row scalars over exactly the corpus present at refresh time
 # (base + the first two delta slices)
@@ -556,17 +733,43 @@ def bm25_index_compact(spark: SparkSession, table_prefix: str):
     tables purge the same consistent delete set) and only those
     snapshot rows are truncated afterward — a delete appended
     concurrently with the rewrites survives to the next cycle instead
-    of being silently wiped unpurged."""
+    of being silently wiped unpurged. Alongside tombstones it purges
+    STALE VERSIONS (rows of a (doc_id, epoch) superseded by a later
+    re-upsert of the same doc), so the epoch fold leaves exactly one
+    version per doc — the invariant bm25_index_refresh_stats' and the
+    serving mask's latest-epoch dedup rely on (post-compaction ties at
+    BASE_EPOCH are impossible)."""
     tomb, applied = snapshot_tombstones(
         spark, f"{table_prefix}_tombstones", TOMBSTONE_DOC_SCHEMA
     )
+    # stale-version purge (re-upsert = replace): a doc re-ingested into
+    # a later epoch left its superseded postings/doclen/positions rows
+    # in earlier partitions — serving masks them by latest epoch, the
+    # fold below would collapse them into the SAME base partition where
+    # no epoch can distinguish versions, so they must die HERE. The
+    # doclen table is the version manifest: every (doc_id, epoch) below
+    # the doc's max is a stale version. Snapshot the pair set once
+    # (localCheckpoint — bounded by the count of superseded versions,
+    # not index size) so all three rewrites purge the same consistent
+    # set; the rollup runs on the bucket key, no exchange.
+    doclen_t = spark.table(f"{table_prefix}_doclen")
+    stale = (
+        doclen_t.join(
+            doclen_t.groupBy("doc_id").agg(F.max("epoch").alias("latest")),
+            "doc_id",
+        )
+        .where(F.col("epoch") < F.col("latest"))
+        .select("doc_id", "epoch")
+        .localCheckpoint()
+    )
+    purge = [("doc_id", tomb), (["doc_id", "epoch"], stale)]
     a = compact_bucketed_table(
         spark,
         f"{table_prefix}_postings",
         key="token",
         n_buckets=POSTINGS_BUCKETS,
         fold_partition=("epoch", BASE_EPOCH),
-        anti=("doc_id", tomb),
+        anti=purge,
     )
     b = compact_bucketed_table(
         spark,
@@ -574,7 +777,7 @@ def bm25_index_compact(spark: SparkSession, table_prefix: str):
         key="doc_id",
         n_buckets=POSTINGS_BUCKETS,
         fold_partition=("epoch", BASE_EPOCH),
-        anti=("doc_id", tomb),
+        anti=purge,
     )
     compact_bucketed_table(
         spark,
@@ -582,7 +785,7 @@ def bm25_index_compact(spark: SparkSession, table_prefix: str):
         key="token",
         n_buckets=POSTINGS_BUCKETS,
         fold_partition=("epoch", BASE_EPOCH),
-        anti=("doc_id", tomb),
+        anti=purge,
     )
     purge_applied_tombstones(spark, f"{table_prefix}_tombstones", applied)
     return a, b
@@ -716,11 +919,12 @@ def bm25_index_refresh_stats(spark: SparkSession, table_prefix: str) -> None:
         "left_anti",
     )
     # one row per doc, LATEST epoch wins: a doc re-upserted into a later
-    # epoch has doclen rows in two partitions until the next compaction;
-    # a raw count(*) would double-count n_docs (and its stale dl would
-    # skew avgdl) relative to the build's countDistinct contract. The
-    # groupBy runs on the bucket key, so the bucketed layout spares the
-    # exchange.
+    # epoch has doclen rows in two partitions until the next compaction
+    # (whose stale-version purge then keeps exactly one version per doc,
+    # so a post-compaction tie at BASE_EPOCH cannot occur); a raw
+    # count(*) would double-count n_docs (and its stale dl would skew
+    # avgdl) relative to the build's countDistinct contract. The groupBy
+    # runs on the bucket key, so the bucketed layout spares the exchange.
     latest = (
         doclen.groupBy("doc_id")
         .agg(F.max(F.struct("epoch", "dl")).alias("m"))
@@ -1306,6 +1510,7 @@ QUERIES = {
     "bm25_index_search": q_bm25_index_search,
     "bm25_index_upsert": q_bm25_index_upsert,
     "bm25_index_upsert_arbiter": q_bm25_index_upsert_arbiter,
+    "bm25_index_reupsert": q_bm25_index_reupsert,
     "bm25_index_compact": q_bm25_index_compact,
     "streaming_bm25_ingest": q_streaming_bm25_ingest,
     "streaming_bm25_maintained": q_streaming_bm25_maintained,
@@ -1328,6 +1533,9 @@ ORACLES = {
     # catalog-arbitrated epoch mint must be invisible to serving —
     # the upsert oracle verbatim
     "bm25_index_upsert_arbiter": _ORACLE_INDEX_UPSERT,
+    # replace semantics: latest version serves, stale versions purge at
+    # compaction, scalars stay frozen at build
+    "bm25_index_reupsert": _ORACLE_INDEX_REUPSERT,
     # compaction must be invisible to ranking — the upsert oracle verbatim
     "bm25_index_compact": _ORACLE_INDEX_UPSERT,
     # multi-epoch arrival, same frozen-scalar semantics — shared oracle

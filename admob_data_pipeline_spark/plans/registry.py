@@ -482,6 +482,7 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 FRESH_FIRST: tuple[str, ...] = (
     # round-12 wave: backlog is ZERO after the r11 append (all 365 entries
     # driver-confirmed). New round-12 queries land here, newest first.
+    "bm25_index_reupsert",
 )
 
 
@@ -492,69 +493,28 @@ FRESH_FIRST: tuple[str, ...] = (
 # lands — then remove them from here.
 RECHECK: frozenset[str] = frozenset(
     {
-        # (empty after r11: all 14 names that re-entered for the
-        # file-pinned tombstone purge, the policy-gated autopilot
-        # repair, the split-commit markers, the refresh latest-epoch
-        # dedup, and the partition-id kmv salt got fresh green verdicts
-        # in CORRECTNESS_r11.)
-    }
-)
-
-
-# Queries that have NEVER had a driver verdict (6 after r5 — the round-5
-# wave-2 additions that landed behind the backlog). They lead round 6's
-# correctness window; once driver-green, the whole registry is externally
-# confirmed. New queries land at the FRONT of this tuple while free window
-# slots exist (50 − len(unchecked)), BEHIND the backlog otherwise, so a
-# never-checked name is never pushed out of the driver's 50-query window.
-# Names absent from the registry are ignored, so this list never breaks on
-# renames.
-FRESH_FIRST: tuple[str, ...] = (
-    # round-12 wave: backlog is ZERO after the r11 append (all 365 entries
-    # driver-confirmed). New round-12 queries land here, newest first.
-)
-
-
-# Names whose SEMANTICS changed after their green record was written.
-# They must stay in DRIVER_GREEN (the rotation test pins that every
-# recorded verdict is represented) but their label was earned by the OLD
-# code, so they re-enter the front of the window until a fresh verdict
-# lands — then remove them from here.
-RECHECK: frozenset[str] = frozenset(
-    {
-        # r11: the compaction tombstone purge became file-pinned (no
-        # driver collect, no read-then-overwrite window) and the anti-
-        # join lost its forced broadcast hint — every query that runs a
-        # compact re-enters the window. The hybrid autopilot's repair
-        # also became policy-gated (report-only default; the wrappers
-        # opt in explicitly) and hybrid_index_repair gained the
-        # expected-asymmetry exemption. Results identical by design
-        # (re-verified at sf0.001 AND sf0.01); per this registry's rule
-        # they re-enter until fresh driver verdicts land.
-        "ann_index_compact",
+        # r12: BM25 re-upsert became REPLACE — serving gained the
+        # latest-epoch doclen-manifest mask (bm25_index_search/_phrase)
+        # and compaction gained the stale-version (doc_id, epoch) purge.
+        # Results identical on the registered data (no query re-upserts
+        # an existing doc except the new bm25_index_reupsert), but every
+        # query whose plan serves through the masked path re-enters the
+        # window until a fresh driver verdict lands.
+        "bm25_index_search",
+        "bm25_index_upsert",
+        "bm25_index_upsert_arbiter",
         "bm25_index_compact",
-        "dedup_index_compact",
-        "sink_compaction",
-        "ann_index_autopilot",
-        "bm25_index_autopilot",
-        "dedup_index_autopilot",
-        "hybrid_index_autopilot",
-        "hybrid_index_repair",
-        # r11: ann_index_split gained the split-commit marker ledger
-        # (crash-convergent re-runs, collision refusal) and
-        # bm25_index_refresh_stats now dedupes re-upserted docs by
-        # latest epoch — lockstep write-path changes, results identical
-        # on the registered data.
-        "ann_index_split",
+        "bm25_index_delete",
         "bm25_index_refresh",
-        # r11: kmv_synopsis stage-1 salt became the input partition id
-        # (state bounded by split size instead of NDV/n_salts, ~18%
-        # faster) — identical k-mins by construction, plan changed.
-        "kmv_distinct",
-        "kmv_overlap",
-        "streaming_kmv_sink",
+        "bm25_index_autopilot",
+        "bm25_index_phrase",
+        "bm25_index_asof",
+        "streaming_bm25_ingest",
+        "streaming_bm25_maintained",
     }
 )
+
+
 
 
 def _prioritized(d: dict) -> dict:

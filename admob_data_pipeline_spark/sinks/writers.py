@@ -632,17 +632,20 @@ def compact_bucketed_table(
     key: str | None,
     n_buckets: int | None = None,
     fold_partition: tuple[str, int] | None = None,
-    anti: tuple[str, DataFrame] | None = None,
+    anti: tuple | list[tuple] | None = None,
 ) -> tuple[int, int]:
     """Rewrite an incrementally-appended bucketed table into ONE file
     per bucket, preserving the bucket spec — the maintenance pass that
     keeps a long-running ingest (every upsert/micro-batch appends files
     per bucket) from decaying into a small-files scan.
 
-    ``anti=(col, keys_df)``: drop rows whose ``col`` appears in
+    ``anti=(cols, keys_df)``: drop rows whose ``cols`` (a column name or
+    a list of names — composite keys join on every column) appear in
     ``keys_df`` during the rewrite — the tombstone PURGE step of a
     delete-capable index (serving masks tombstoned rows; compaction
-    physically removes them).
+    physically removes them). A LIST of such specs applies each
+    anti-join in order (e.g. tombstoned doc ids AND stale
+    ``(doc_id, epoch)`` versions superseded by a re-upsert).
 
     The rewrite repartitions on the BUCKET ID expression
     (``pmod(hash(key), n)`` — SQL ``hash`` is the same Murmur3 the
@@ -710,8 +713,19 @@ def compact_bucketed_table(
         # broadcasts it at runtime), but a repair pass can tombstone an
         # O(index-size) side — then AQE falls back to a shuffle join
         # instead of building a driver-sized broadcast table.
-        anti_col, anti_keys = anti
-        df = df.join(anti_keys.select(F.col(anti_col)), anti_col, "left_anti")
+        specs = [anti] if isinstance(anti, tuple) else list(anti)
+        for anti_cols, anti_keys in specs:
+            cols_list = (
+                [anti_cols] if isinstance(anti_cols, str) else list(anti_cols)
+            )
+            df = df.join(
+                anti_keys.select(*[F.col(c) for c in cols_list]),
+                cols_list,
+                "left_anti",
+            )
+            # a USING anti-join still moves its keys to the front of
+            # the output — harmless here, the final select() below
+            # restores the declared order either way
     if fold_partition is not None:
         part_col, part_val = fold_partition
         dtype = dict(df.dtypes)[part_col]

@@ -333,3 +333,55 @@ def test_refresh_stats_dedupes_reupserted_docs(spark, sf_dir):
         for t in ("postings", "doclen", "stats", "positions", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_phrase_masks_stale_versions_and_compact_purges(spark):
+    """RE-UPSERT (replace) on the POSITIONAL path: a doc whose revision
+    DROPS the phrase must stop matching (its stale occurrences are
+    masked even though no new positions row replaced them), a doc whose
+    revision GAINS the phrase must match exactly once, and compaction
+    must purge the superseded rows without changing the result."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),  # v1 HAS the phrase
+            (2, "gamma delta epsilon zeta"),  # v1 lacks it
+            (3, "alpha beta alpha beta"),  # untouched control, tf=2
+        ],
+        "doc_id long, text string",
+    )
+    out = tempfile.mkdtemp(prefix="bm25_phrase_reup_")
+    prefix = "bm25_idx_phr"
+    try:
+        retrieval_index.bm25_index_build(docs, prefix, out)
+        revised = spark.createDataFrame(
+            [
+                (1, "gamma delta gamma delta"),  # v2 DROPS the phrase
+                (2, "alpha beta epsilon"),  # v2 GAINS it
+            ],
+            "doc_id long, text string",
+        )
+        retrieval_index.bm25_index_upsert(revised, prefix)
+        rows = retrieval_index.bm25_index_phrase(
+            spark, ("alpha", "beta"), prefix
+        ).collect()
+        assert sorted(r["doc_id"] for r in rows) == [2, 3], rows
+        tf_by_doc = {r["doc_id"]: r["tf"] for r in rows}
+        assert tf_by_doc == {2: 1, 3: 2}, tf_by_doc
+        retrieval_index.bm25_index_compact(spark, prefix)
+        rows2 = retrieval_index.bm25_index_phrase(
+            spark, ("alpha", "beta"), prefix
+        ).collect()
+        assert rows2 == rows, (rows2, rows)
+        # superseded versions physically gone: one doclen row per doc,
+        # and doc 1's stale 'alpha' occurrences no longer in positions
+        assert spark.table(f"{prefix}_doclen").count() == 3
+        assert (
+            spark.table(f"{prefix}_positions")
+            .where((F.col("doc_id") == 1) & (F.col("token") == "alpha"))
+            .count()
+            == 0
+        )
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
