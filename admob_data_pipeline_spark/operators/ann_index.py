@@ -604,6 +604,73 @@ def q_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _SEARCH_SCHEMA)
 
 
+def q_streaming_ann_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector store's long-running shape: CONTINUOUS ingest with a
+    MAINTENANCE WINDOW in the middle — the ann-family twin of
+    ``streaming_bm25_maintained`` (operators/retrieval_index.py).
+    Stream 1 lands two delta epochs (batch id = epoch, frozen-quantizer
+    upsert per micro-batch), the window runs a COMPACTION (folds the
+    epochs into base, restores one-file-per-bucket), and stream 2 — a
+    NEW stream with a fresh checkpoint — lands two more epochs before
+    serving.
+
+    The safety property pinned end-to-end: stream 2's batch ids restart
+    at 0, the ids stream 1 already used — safe ONLY because the window's
+    compaction folded those partitions away (asserted via next_epoch ==
+    0 post-fold), AND only because the compaction rewrite preserves the
+    codes table's declared column order — stream 2's epoch ingest
+    resumes POSITIONAL insertInto against the rewritten table, the
+    exact composition that exposed the r11 column-order corruption
+    (sinks/writers.py compact re-select). Oracle: the frozen-quantizer
+    upsert oracle verbatim — the full delta must be present exactly
+    once with compaction invisible to ADC ranking."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % UPSERT_MOD != UPSERT_MOD - 1)
+    delta = emb.where(F.col("vec_id") % UPSERT_MOD == UPSERT_MOD - 1)
+    sub = F.expr(f"pmod(vec_id div {UPSERT_MOD}, 4)")
+    out = tempfile.mkdtemp(prefix="ann_stream_maint_")
+    prefix = "ann_idx_stm"
+
+    def run_stream(src: str, ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda batch, eid: ann_index_upsert(batch, prefix, epoch=eid)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        ann_index_build(base_corpus, prefix, os.path.join(out, "index"))
+        for phase, slices in (("one", (0, 1)), ("two", (2, 3))):
+            src = os.path.join(out, f"arrivals_{phase}")
+            for s in slices:
+                delta.where(sub == s).coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+            if phase == "two":
+                # maintenance window between the streams: the fold is
+                # WHY a fresh checkpoint's batch ids are safe to reuse
+                ann_index_compact(spark, prefix)
+                assert next_epoch(spark, f"{prefix}_codes") == 0
+            run_stream(src, os.path.join(out, f"ckpt_{phase}"))
+        rows = ann_index_search(emb, QUERY_IDS, prefix).collect()
+    finally:
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
 # The upsert oracle is the inline IVF-PQ oracle with ONE change: the
 # quantizers (cents, cb) are sampled from the BASE slice (corpus0),
 # while assignment, codes, candidates, and ADC run over the WHOLE
@@ -1736,6 +1803,7 @@ LIFECYCLE_WRITE = {
     "ann_index_split",
     "ann_index_autopilot",
     "streaming_ann_ingest",
+    "streaming_ann_maintained",
 }
 
 
@@ -1744,6 +1812,7 @@ QUERIES = {
     "ann_index_search": q_ann_index_search,
     "ann_index_upsert": q_ann_index_upsert,
     "streaming_ann_ingest": q_streaming_ann_ingest,
+    "streaming_ann_maintained": q_streaming_ann_maintained,
     "ann_index_rerank": q_ann_index_rerank,
     "ann_index_compact": q_ann_index_compact,
     "ann_index_drift": q_ann_index_drift,
@@ -1762,6 +1831,9 @@ ORACLES = {
     "ann_index_upsert": _ORACLE_INDEX_UPSERT,
     # multi-epoch arrival, same frozen-quantizer semantics — shared oracle
     "streaming_ann_ingest": _ORACLE_INDEX_UPSERT,
+    # ingest -> compaction window -> fresh-checkpoint ingest resuming
+    # positional insertInto: full delta exactly once, fold invisible
+    "streaming_ann_maintained": _ORACLE_INDEX_UPSERT,
     # two-stage serving: ADC shortlist (inline IVF-PQ SQL widened to R)
     # re-scored by exact cosine
     "ann_index_rerank": _ORACLE_INDEX_RERANK,

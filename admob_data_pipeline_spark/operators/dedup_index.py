@@ -951,6 +951,77 @@ def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _PROBE_SCHEMA)
 
 
+def q_streaming_dedup_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTINUOUS dedup ingest with a MAINTENANCE WINDOW in the middle
+    — the dedup-family twin of ``streaming_bm25_maintained``
+    (operators/retrieval_index.py). Stream 1 lands the first delta
+    slice as two epochs (batch id = epoch), the window runs a
+    COMPACTION (folds the epochs into base across all three index
+    tables, restores one-file-per-bucket), and stream 2 — a NEW stream
+    with a fresh checkpoint — lands the second slice as two more epochs
+    before the held-out batch is probed.
+
+    Pins end-to-end, for THIS family, the composition that exposed the
+    r11 column-order corruption: stream 2's batch ids restart at 0 (the
+    ids stream 1 used — safe only behind the fold, asserted via
+    next_epoch == 0) and its epoch ingest resumes POSITIONAL insertInto
+    against the compaction-rewritten bands/shingles/shsizes tables, so
+    a rewrite that permuted any table's declared column order would
+    land stream 2's columns crosswise and fail the hash. Oracle: the
+    frozen-stop-list upsert oracle verbatim — the full delta present
+    exactly once, compaction invisible to the probe."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    build = docs.where(
+        (F.col("doc_id") % PROBE_MOD).isin([int(x) for x in UPSERT_MODS])
+    )
+    delta = docs.where((F.col("doc_id") % PROBE_MOD).isin([3, 4]))
+    batch = docs.where(F.col("doc_id") % PROBE_MOD == 0)
+    out = tempfile.mkdtemp(prefix="dedup_stream_maint_")
+    prefix = "dedup_idx_stm"
+
+    def run_stream(src: str, ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda b, eid: dedup_index_upsert(b, prefix, epoch=eid)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        dedup_index_build(build, prefix, os.path.join(out, "index"))
+        for phase, part in (("one", 3), ("two", 4)):
+            src = os.path.join(out, f"arrivals_{phase}")
+            for half in (0, 1):
+                delta.where(
+                    (F.col("doc_id") % PROBE_MOD == part)
+                    & (F.expr(f"pmod(doc_id div {PROBE_MOD}, 2)") == half)
+                ).coalesce(1).write.mode("append").parquet(src)
+            if phase == "two":
+                # maintenance window between the streams: the fold is
+                # WHY a fresh checkpoint's batch ids are safe to reuse
+                dedup_index_compact(spark, prefix)
+                assert next_epoch(spark, f"{prefix}_bands") == 0
+            run_stream(src, os.path.join(out, f"ckpt_{phase}"))
+        rows = dedup_index_probe(batch, prefix).collect()
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _PROBE_SCHEMA)
+
+
 def dedup_index_drift(spark: SparkSession, table_prefix: str) -> DataFrame:
     """REBUILD TRIGGER input for the dedup index — stop-list STALENESS,
     read off the index tables alone: the shingle table stores only
@@ -1246,6 +1317,7 @@ LIFECYCLE_WRITE = {
     "dedup_index_ban_hot",
     "dedup_index_autopilot",
     "streaming_dedup_ingest",
+    "streaming_dedup_maintained",
 }
 
 
@@ -1257,6 +1329,7 @@ QUERIES = {
     "dedup_index_ban_hot": q_dedup_index_ban_hot,
     "dedup_index_autopilot": q_dedup_index_autopilot,
     "streaming_dedup_ingest": q_streaming_dedup_ingest,
+    "streaming_dedup_maintained": q_streaming_dedup_maintained,
     "dedup_index_delete": q_dedup_index_delete,
     "dedup_index_drift": q_dedup_index_drift,
     "dedup_index_asof": q_dedup_index_asof,
@@ -1277,6 +1350,9 @@ ORACLES = {
     "dedup_index_autopilot": _ORACLE_DEDUP_AUTOPILOT,
     # multi-epoch arrival, same frozen-stop-list semantics — shared oracle
     "streaming_dedup_ingest": _ORACLE_DEDUP_UPSERT,
+    # ingest -> compaction window -> fresh-checkpoint ingest resuming
+    # positional insertInto: full delta exactly once, fold invisible
+    "streaming_dedup_maintained": _ORACLE_DEDUP_UPSERT,
     # tombstone-masked probing: the probe oracle with the deleted slice
     # excluded from the candidate set only
     "dedup_index_delete": _ORACLE_DEDUP_DELETE,

@@ -558,6 +558,118 @@ def q_streaming_hybrid_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_hybrid_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The RAG stack's long-running shape: ONE document+embedding
+    stream feeding BOTH indexes with a shared epoch, a MAINTENANCE
+    WINDOW in the middle compacting BOTH sides, then a NEW stream with
+    a fresh checkpoint — the hybrid twin of ``streaming_bm25_maintained``
+    / ``streaming_ann_maintained`` / ``streaming_dedup_maintained``.
+
+    Two pair-safety properties are pinned on top of the single-family
+    compositions: (1) the window must fold BOTH ledgers before stream 2
+    starts (asserted next_epoch == 0 on each side) — compacting only
+    one side would let stream 2's restarted batch id 0 silently
+    overwrite the other side's live epoch-0 partition, skewing the pair
+    in exactly the way the shared-epoch transport exists to prevent;
+    (2) stream 2's positional insertInto resumes against BOTH
+    compaction-rewritten layouts, so a column-order permutation in
+    either family's rewrite fails the hash. Parity is audited after the
+    window AND after stream 2. Oracle: the streaming-hybrid oracle
+    verbatim — the full delta present exactly once on both sides,
+    compaction invisible to RRF."""
+    import os
+    import shutil
+    import tempfile
+
+    from admob_data_pipeline_spark.operators.ann_index import (
+        ann_index_compact,
+    )
+    from admob_data_pipeline_spark.operators.retrieval_index import (
+        bm25_index_compact,
+    )
+    from admob_data_pipeline_spark.sinks.writers import next_epoch
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus_docs = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    )
+    out = tempfile.mkdtemp(prefix="hybrid_stream_maint_")
+    bp, ap = "hybrid_stm_bm25", "hybrid_stm_ann"
+
+    def ingest_both(batch, eid):
+        # ONE epoch id for BOTH indexes (see q_streaming_hybrid_ingest)
+        bm25_index_upsert(batch.select("doc_id", "text"), bp, epoch=eid)
+        ann_index_upsert(
+            batch.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            ap,
+            epoch=eid,
+        )
+
+    def run_stream(arrivals_schema, src: str, ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(arrivals_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(ingest_both)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        bm25_index_build(
+            corpus_docs.where(F.col("doc_id") % PARITY_DELTA_MOD != 3),
+            bp,
+            f"{out}/bm25",
+        )
+        ann_index_build(
+            emb.where(F.col("vec_id") % PARITY_DELTA_MOD != 3),
+            ap,
+            f"{out}/ann",
+        )
+        arrivals = corpus_docs.where(
+            F.col("doc_id") % PARITY_DELTA_MOD == 3
+        ).join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        ).select("doc_id", "text", "embedding")
+        sub = F.expr(f"pmod(doc_id div {PARITY_DELTA_MOD}, 4)")
+        for phase, slices in (("one", (0, 1)), ("two", (2, 3))):
+            src = os.path.join(out, f"arrivals_{phase}")
+            for s in slices:
+                arrivals.where(sub == s).coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+            if phase == "two":
+                # maintenance window: BOTH sides must fold before the
+                # fresh checkpoint reuses batch id 0
+                bm25_index_compact(spark, bp)
+                ann_index_compact(spark, ap)
+                assert next_epoch(spark, f"{bp}_postings") == 0
+                assert next_epoch(spark, f"{ap}_codes") == 0
+                row = hybrid_index_parity(spark, bp, ap).first()
+                assert row["n_bm25_only"] == 0 and row["n_ann_only"] == 0, row
+            run_stream(arrivals.schema, src, os.path.join(out, f"ckpt_{phase}"))
+        row = hybrid_index_parity(spark, bp, ap).first()
+        assert row["n_bm25_only"] == 0 and row["n_ann_only"] == 0, row
+        rows = hybrid_index_search(spark, emb, bp, ap).collect()
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {bp}_{t}")
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {ap}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id bigint, lex_rank int, vec_rank int, rrf_score bigint,"
+        " rnk int",
+    )
+
+
 # vector leg: the base-frozen upsert oracle (quantizers sampled from
 # the base slice only) widened to the shortlist; lexical leg: the
 # hybrid CTEs with the corpus restricted to docs-with-embeddings and
@@ -1036,6 +1148,7 @@ LIFECYCLE_WRITE = {
     "hybrid_index_autopilot",
     "hybrid_index_autopilot_guarded",
     "streaming_hybrid_ingest",
+    "streaming_hybrid_maintained",
 }
 
 
@@ -1046,6 +1159,7 @@ QUERIES = {
     "hybrid_index_autopilot": q_hybrid_index_autopilot,
     "hybrid_index_autopilot_guarded": q_hybrid_index_autopilot_guarded,
     "streaming_hybrid_ingest": q_streaming_hybrid_ingest,
+    "streaming_hybrid_maintained": q_streaming_hybrid_maintained,
 }
 
 ORACLES = {
@@ -1060,4 +1174,7 @@ ORACLES = {
     # one stream, one shared epoch, both indexes: hybrid RRF with
     # base-frozen artifacts on both legs, recomputed from scratch
     "streaming_hybrid_ingest": _ORACLE_STREAMING_HYBRID,
+    # dual-compaction window mid-stream: both sides fold, pair parity
+    # holds, full delta exactly once — the streaming-hybrid oracle verbatim
+    "streaming_hybrid_maintained": _ORACLE_STREAMING_HYBRID,
 }

@@ -1497,6 +1497,7 @@ LIFECYCLE_WRITE = {
     "bm25_index_build",
     "bm25_index_upsert",
     "bm25_index_upsert_arbiter",
+    "bm25_index_reupsert",
     "bm25_index_compact",
     "bm25_index_refresh",
     "bm25_index_autopilot",

@@ -482,6 +482,9 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 FRESH_FIRST: tuple[str, ...] = (
     # round-12 wave: backlog is ZERO after the r11 append (all 365 entries
     # driver-confirmed). New round-12 queries land here, newest first.
+    "streaming_hybrid_maintained",
+    "streaming_dedup_maintained",
+    "streaming_ann_maintained",
     "bm25_index_reupsert",
 )
 
