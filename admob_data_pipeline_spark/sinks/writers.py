@@ -317,6 +317,11 @@ EPOCH_LEDGER_DIR = "_epoch_ledger"
 #             table; a crash inside the claim leaves an empty claim
 #             table that permanently burns one id — same semantics as
 #             an orphaned marker.
+# The arbiter is a PER-SESSION conf: ALL concurrent writers of a table
+# must set the SAME value — a catalog-arbitrated writer racing an
+# fs-arbitrated one re-opens the plain-S3A window (each consults a
+# different mutex). _claim_via_catalog raises if it detects the mix (a
+# marker materializing while it holds the metastore mutex).
 # Guarantee matrix (see ARCHITECTURE.md): HDFS/local/GCS → exact under
 # either arbiter; S3A without Hadoop 3.4.1 conditional writes → use
 # "catalog" (or enable fs.s3a.create.conditional.enabled and keep "fs").
@@ -352,7 +357,20 @@ def _claim_via_catalog(spark, table: str, ledger: str, fs, cand: int) -> bool:
     try:
         if fs.exists(marker):
             return False  # claimed by a prior holder that already dropped
-        _fs_create_marker(fs, marker)  # sole holder → plain PUT is safe
+        if not _fs_create_marker(fs, marker):
+            # We hold the metastore mutex, the marker did not exist a
+            # line ago, yet the conditional create lost: some OTHER
+            # writer is minting through the fs arbiter against the same
+            # ledger — mixed-arbiter deployment, the one configuration
+            # the guarantee matrix excludes (all concurrent writers of a
+            # table MUST share the arbiter setting). Surface it rather
+            # than silently double-minting the id.
+            raise RuntimeError(
+                f"epoch ledger {ledger}: marker epoch-{cand} appeared"
+                " while this writer held the catalog mutex — a rival"
+                " writer is using the fs arbiter against this table;"
+                f" all writers must share {EPOCH_ARBITER_CONF}"
+            )
         return True
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {claim_tbl}")
@@ -418,27 +436,62 @@ def claim_epoch(spark, table: str, max_attempts: int = 64) -> int:
     )
 
 
-def vacuum_stale_epoch_claims(spark, table: str) -> list[str]:
+def vacuum_stale_epoch_claims(
+    spark, table: str, min_age_sec: float = 3600.0
+) -> list[str]:
     """Reap claim tables a crashed catalog-arbitrated mint left behind.
     A crash inside :func:`_claim_via_catalog` can strand the empty
     mutex table at either window: before the marker write (the id was
     never returned to anyone — dropping the table re-opens it, which is
     safe precisely because no caller ever received it) or between the
     marker write and the drop (the marker keeps the id burned; the
-    table is pure litter). Run from a maintenance window ONLY — a
-    concurrently in-flight claim holds its table as the live mutex, and
-    dropping it would let a rival mint the same id (the exact
-    lost-update the arbiter exists to prevent). Returns the dropped
-    table names."""
+    table is pure litter). Returns the dropped table names.
+
+    SAFE BY CONSTRUCTION against a concurrently in-flight mint (no
+    maintenance-window discipline required): a claim table whose id has
+    a recorded ledger MARKER is always droppable (the id is durably
+    burned — no rival can re-win it, and a still-live holder's only
+    remaining step is its own idempotent DROP IF EXISTS); one WITHOUT a
+    marker is droppable only past ``min_age_sec`` (storage mtime of the
+    claim table's location — locale-free on any Hadoop FS), because a
+    young un-markered table may be the LIVE mutex of a mint inside its
+    seconds-long critical section, and dropping that would let a rival
+    remint the id — the exact lost-update the arbiter prevents. A
+    corpse younger than the threshold is simply picked up by the next
+    vacuum. Pass ``min_age_sec=0`` only when all writers are provably
+    quiesced (the old maintenance-window contract)."""
+    import time as _time
+
     prefix = f"{table}__epoch_claim_"
-    stale = [
-        t.name
-        for t in spark.catalog.listTables()
-        if t.name.startswith(prefix)
-    ]
-    for name in stale:
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-    return stale
+    loc = table_location(spark, table).rstrip("/")
+    fs, _ = _fs_and_path(spark, loc)
+    now_ms = _time.time() * 1000.0
+    dropped: list[str] = []
+    for t in spark.catalog.listTables():
+        if not t.name.startswith(prefix):
+            continue
+        try:
+            cid = int(t.name[len(prefix):])
+        except ValueError:
+            continue
+        _, marker = _fs_and_path(
+            spark, f"{loc}/{EPOCH_LEDGER_DIR}/epoch-{cid}"
+        )
+        if not fs.exists(marker) and min_age_sec > 0:
+            try:
+                cfs, cpath = _fs_and_path(
+                    spark, table_location(spark, t.name)
+                )
+                age_ms = now_ms - cfs.getFileStatus(
+                    cpath
+                ).getModificationTime()
+            except Exception:
+                age_ms = 0.0  # racing holder dropped it mid-scan: live
+            if age_ms < min_age_sec * 1000.0:
+                continue  # potentially the live mutex — leave it
+        spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        dropped.append(t.name)
+    return dropped
 
 
 # One definition per id-space of the tombstone DDL — the build, delete,
@@ -466,6 +519,19 @@ def snapshot_tombstones(spark, tomb_table: str, schema: str):
     delete set."""
     spark.catalog.refreshTable(tomb_table)
     files = sorted(spark.table(tomb_table).inputFiles())
+    if not files and spark.table(tomb_table).limit(1).count() > 0:
+        # inputFiles() of a metastore parquet table can come back empty
+        # when the Hive-relation-to-datasource conversion is disabled
+        # (spark.sql.hive.convertMetastoreParquet=false) — the purge
+        # would then be a silent no-op forever (no data loss, but the
+        # tombstone table grows unboundedly and compaction never
+        # physically removes deletes). Fail loudly instead of decaying.
+        raise RuntimeError(
+            f"snapshot_tombstones: {tomb_table} has rows but"
+            " inputFiles() returned none — is"
+            " spark.sql.hive.convertMetastoreParquet disabled? The"
+            " file-pinned purge requires the datasource file index."
+        )
     snap = (
         spark.read.schema(schema).parquet(*files)
         if files

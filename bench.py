@@ -211,6 +211,14 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
+    # host-speed-normalized per-query values: raw × (ref/cal). The raw
+    # numbers inherit the host day (r10→r11 moved 7% on identical code);
+    # the calibrated ones are the cross-round comparable series, so the
+    # 2×-vs-anchor check should read THESE (the r1 anchor, recorded
+    # before the calibration row existed, is a raw quiet-host number).
+    scale = REF_CALIBRATION_SEC / calibration if calibration > 0 else 1.0
+    cal_q = {k: round(v * scale, 3) for k, v in timings.items()}
+    cal_ext = {k: round(v * scale, 3) for k, v in extended.items()}
     print(
         json.dumps(
             {
@@ -228,14 +236,15 @@ def main() -> None:
                     "sec": round(calibration, 3),
                     "ref_sec": REF_CALIBRATION_SEC,
                 },
-                "value_calibrated": round(
-                    total * REF_CALIBRATION_SEC / calibration, 3
-                )
-                if calibration > 0
-                else total,
+                "value_calibrated": round(total * scale, 3),
+                # per-query calibrated values (judge r11 ask #3): the
+                # series to diff across rounds — raw per-query numbers
+                # move with the host day, these self-normalize
+                "queries_calibrated": cal_q,
                 # round-3 family representatives — informational, NOT in
                 # "value" (keeps the headline total round-comparable)
                 "extended": extended,
+                "extended_calibrated": cal_ext,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # measurement protocol, recorded so cross-round comparisons
                 # are interpretable: each per-query value is the MIN of n

@@ -465,14 +465,75 @@ def test_vacuum_stale_epoch_claims(spark, epoch_table):
             f"CREATE TABLE {epoch_table}__epoch_claim_{e1 + 1} (i INT)"
             " USING parquet"
         )
-        dropped = writers.vacuum_stale_epoch_claims(spark, epoch_table)
+        # under the default staleness fence a YOUNG un-markered table is
+        # indistinguishable from a live mutex — vacuum must leave it
+        assert writers.vacuum_stale_epoch_claims(spark, epoch_table) == []
+        # quiesced-writers mode (min_age_sec=0) reaps it
+        dropped = writers.vacuum_stale_epoch_claims(
+            spark, epoch_table, min_age_sec=0
+        )
         assert dropped == [f"{epoch_table}__epoch_claim_{e1 + 1}"]
         # the un-markered id is claimable again
         assert writers.claim_epoch(spark, epoch_table) == e1 + 1
         # a marker-recorded id stays burned after vacuum (nothing to
         # drop, next claim moves past it)
-        assert writers.vacuum_stale_epoch_claims(spark, epoch_table) == []
+        assert (
+            writers.vacuum_stale_epoch_claims(
+                spark, epoch_table, min_age_sec=0
+            )
+            == []
+        )
         assert writers.claim_epoch(spark, epoch_table) == e1 + 2
+    finally:
+        spark.conf.unset(writers.EPOCH_ARBITER_CONF)
+
+
+def test_vacuum_never_drops_a_live_claim(spark, epoch_table, monkeypatch):
+    """The racing case the staleness fence exists for: a vacuum fires
+    INSIDE a live mint's critical section (mutex table created, marker
+    not yet written). The live claim must survive the default-fenced
+    vacuum — dropping it would let a rival remint the id — and the mint
+    must complete normally afterward. A marker-RECORDED claim table
+    (crash between marker write and drop) is reaped even mid-race: the
+    id is durably burned, the table is pure litter."""
+    spark.conf.set(writers.EPOCH_ARBITER_CONF, "catalog")
+    loc = writers.table_location(spark, epoch_table).rstrip("/")
+    fs, _ = writers._fs_and_path(spark, loc)
+    real_put = writers._fs_create_marker
+    vac_log = {}
+
+    def vacuum_mid_claim(fs_, p_):
+        # the adversarial interleave: a concurrent janitor runs NOW,
+        # while this mint's claim table is the live mutex
+        vac_log["dropped"] = writers.vacuum_stale_epoch_claims(
+            spark, epoch_table
+        )
+        vac_log["mutex_alive"] = any(
+            "__epoch_claim_" in t.name for t in spark.catalog.listTables()
+        )
+        return real_put(fs_, p_)
+
+    try:
+        monkeypatch.setattr(writers, "_fs_create_marker", vacuum_mid_claim)
+        e = writers.claim_epoch(spark, epoch_table)
+        assert vac_log["dropped"] == []  # the live mutex survived
+        assert vac_log["mutex_alive"]
+        monkeypatch.setattr(writers, "_fs_create_marker", real_put)
+        _, marker = writers._fs_and_path(
+            spark, f"{loc}/{writers.EPOCH_LEDGER_DIR}/epoch-{e}"
+        )
+        assert fs.exists(marker)  # the interrupted mint completed
+        # and no rival can remint e: the next claim moves past it
+        assert writers.claim_epoch(spark, epoch_table) == e + 1
+        # marker-recorded litter (crash after the durable record) is
+        # reaped even under the default fence, with zero age
+        spark.sql(
+            f"CREATE TABLE {epoch_table}__epoch_claim_{e} (i INT)"
+            " USING parquet"
+        )
+        assert writers.vacuum_stale_epoch_claims(spark, epoch_table) == [
+            f"{epoch_table}__epoch_claim_{e}"
+        ]
     finally:
         spark.conf.unset(writers.EPOCH_ARBITER_CONF)
 
