@@ -579,3 +579,58 @@ def test_compaction_preserves_column_order(spark, sf_dir):
         for t in ("postings", "doclen", "stats", "positions", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_reader_snapshot_during_compaction_swap(spark, epoch_table, monkeypatch):
+    """READER guarantee across the two-rename compaction swap, probed
+    at the worst instant (between the renames, injected via a SQL
+    hook): (a) a read completed before the swap sees the old snapshot;
+    (b) a reader RESOLVING inside the rename window gets a clean,
+    retryable TABLE_OR_VIEW_NOT_FOUND — never a data-file
+    FileNotFound, never a partial mix — while the full old snapshot
+    stays readable under the ``__old`` name; (c) a reader resolving
+    after the swap sees exactly the complete logical row set. The
+    documented residual: a long scan that resolved its file index
+    BEFORE the swap dies at the final old-file delete — schedule
+    compaction in a maintenance window or on a snapshot-isolated
+    store."""
+    writers.overwrite_epoch_partition(
+        _delta(spark, 100, 110), epoch_table, "k", 4, 0
+    )
+    before = {(r["k"], r["v"]) for r in spark.table(epoch_table).collect()}
+    probes: dict = {}
+    real_sql = type(spark).sql
+    second_rename = f"ALTER TABLE {epoch_table}__compact RENAME TO {epoch_table}"
+
+    def probing_sql(self, q, *a, **k):
+        if q.strip() == second_rename and "mid" not in probes:
+            probes["mid"] = "resolved"  # break re-entry
+            try:
+                self.table(epoch_table).collect()
+            except Exception as ex:
+                probes["mid"] = type(ex).__name__
+                probes["msg"] = str(ex)[:300]
+            # the full old snapshot is still served under __old: no
+            # instant exists at which committed rows are unreachable
+            probes["old_rows"] = {
+                (r["k"], r["v"])
+                for r in self.table(f"{epoch_table}__old").collect()
+            }
+        return real_sql(self, q, *a, **k)
+
+    monkeypatch.setattr(type(spark), "sql", probing_sql)
+    try:
+        writers.compact_bucketed_table(
+            spark,
+            epoch_table,
+            key="k",
+            n_buckets=4,
+            fold_partition=("epoch", writers.BASE_EPOCH),
+        )
+    finally:
+        monkeypatch.setattr(type(spark), "sql", real_sql)
+    assert probes["mid"] == "AnalysisException", probes
+    assert "TABLE_OR_VIEW_NOT_FOUND" in probes["msg"], probes["msg"]
+    assert probes["old_rows"] == before
+    after = {(r["k"], r["v"]) for r in spark.table(epoch_table).collect()}
+    assert after == before
