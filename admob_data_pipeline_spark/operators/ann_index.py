@@ -1068,7 +1068,10 @@ def ann_index_split(
     cleared only after every rewrite lands. Electing a child whose
     vec_id already exists as a centroid (a duplicate-vector edge) raises
     instead of silently skipping the append while still redirecting rows
-    into the foreign list. Re-running the SAME call after completion is
+    into the foreign list, and a RECORDED election whose child vector
+    has vanished from the corpus (deleted between the crash and the
+    re-run) raises rather than replaying as a silent perpetual no-op
+    whose marker never clears. Re-running the SAME call after completion is
     not a no-op — it performs a FURTHER split of the flagged lists
     (iterative refinement semantics); drive it from the drift audit,
     which stops flagging a list once its load is balanced."""
@@ -1190,6 +1193,28 @@ def ann_index_split(
     childs = childs.select(
         "list_id", "child_cid", "ccv", "ccn"
     ).localCheckpoint()
+    if recorded:
+        # A recorded election whose child vector has VANISHED from the
+        # corpus (deleted between the crash and this re-run) joins to
+        # nothing above — left silent, the list's replay would be a
+        # perpetual no-op whose marker never clears (step 4 iterates
+        # the join result) while the drift audit keeps flagging it.
+        # Surface it: the recorded split cannot be completed as
+        # committed, and silently re-electing would risk orphaning a
+        # child centroid the crashed run may already have published.
+        alive = {
+            r["list_id"] for r in childs.select("list_id").collect()
+        }
+        dead = {l: c for l, c in recorded.items() if l not in alive}
+        if dead:
+            raise RuntimeError(
+                "ann_index_split: committed election(s) reference"
+                f" vector(s) no longer in the corpus: {sorted(dead.items())}"
+                " (list_id, child_cid). The recorded split cannot be"
+                " replayed; restore the vectors or remove the markers"
+                f" under {marker_dir} after auditing the centroid table"
+                " for a child the interrupted run already published."
+            )
     # 1) publish the children FIRST: from here on, every row is reachable
     # at all times (moved rows probe via the child, unmoved via parent).
     # The append is made idempotent by skipping cids already present: a

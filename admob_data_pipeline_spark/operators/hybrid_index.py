@@ -802,26 +802,31 @@ def hybrid_index_autopilot(
     ``expected_asymmetry`` (a ``doc_id`` DataFrame) exempts a known
     asymmetric slice from both the skew measurement and the repair, so
     ``bounded``/``always`` stay safe on deployments with a declared
-    text-only or vector-only surface."""
+    text-only or vector-only surface. The ``bounded`` ratio is then
+    computed entirely NET of the declared slice — numerator and
+    denominator — so ``max_skew_frac`` bounds the operational one-sided
+    fraction of the shared universe regardless of how large the
+    declared surface is."""
     if reconcile not in ("report", "bounded", "always"):
         raise ValueError(f"unknown reconcile policy: {reconcile!r}")
     row = hybrid_index_parity(spark, bm25_prefix, ann_prefix).first()
     actions: list = []
     n_bm_only, n_ann_only = row["n_bm25_only"], row["n_ann_only"]
+    n_bm_live, n_ann_live = row["n_bm25_live"], row["n_ann_live"]
     if expected_asymmetry is not None and (n_bm_only or n_ann_only):
-        # measure skew NET of the declared asymmetric slice
+        # measure skew NET of the declared asymmetric slice — numerator
+        # AND denominator: the bound must cap the operational one-sided
+        # fraction of the SHARED universe; leaving the declared slice in
+        # the denominator would inflate the effective bound on any
+        # deployment whose declared surface is a large fraction of one
+        # side (e.g. a mostly-text-only corpus)
         bm_live, ann_live = _live_sets(spark, bm25_prefix, ann_prefix)
         allow = expected_asymmetry.select("doc_id")
-        n_bm_only = (
-            bm_live.join(ann_live, "doc_id", "left_anti")
-            .join(allow, "doc_id", "left_anti")
-            .count()
-        )
-        n_ann_only = (
-            ann_live.join(bm_live, "doc_id", "left_anti")
-            .join(allow, "doc_id", "left_anti")
-            .count()
-        )
+        bm_net = bm_live.join(allow, "doc_id", "left_anti").localCheckpoint()
+        ann_net = ann_live.join(allow, "doc_id", "left_anti").localCheckpoint()
+        n_bm_only = bm_net.join(ann_live, "doc_id", "left_anti").count()
+        n_ann_only = ann_net.join(bm_live, "doc_id", "left_anti").count()
+        n_bm_live, n_ann_live = bm_net.count(), ann_net.count()
     if not (n_bm_only or n_ann_only):
         return actions
     skew_report = f"parity:bm25-only={n_bm_only},ann-only={n_ann_only}"
@@ -829,7 +834,7 @@ def hybrid_index_autopilot(
         actions.append(skew_report)
         return actions
     if reconcile == "bounded":
-        live = max(row["n_bm25_live"], row["n_ann_live"], 1)
+        live = max(n_bm_live, n_ann_live, 1)
         if (n_bm_only + n_ann_only) / live > max_skew_frac:
             actions.append(f"{skew_report}:exceeds-skew-bound")
             return actions

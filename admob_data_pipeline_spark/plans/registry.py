@@ -514,6 +514,17 @@ RECHECK: frozenset[str] = frozenset(
         "bm25_index_asof",
         "streaming_bm25_ingest",
         "streaming_bm25_maintained",
+        # r12: the bounded reconcile ratio is now computed net of the
+        # declared slice in the DENOMINATOR too (same repair decision on
+        # the registered data — 1% op skew vs either denominator is
+        # inside the 2% bound — but the computation changed).
+        "hybrid_index_autopilot_guarded",
+        # r12: ann_index_split now refuses to replay a committed
+        # election whose child vector vanished from the corpus (one
+        # bounded collect added to the marker-recovery path; results
+        # identical on the registered data).
+        "ann_index_split",
+        "ann_index_autopilot",
     }
 )
 

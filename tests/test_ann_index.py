@@ -730,3 +730,41 @@ def test_split_raises_on_child_centroid_collision(spark, sf_dir):
             ann_index.ann_index_split(emb, prefix, flagged)
     finally:
         _drop_ann(spark, prefix, out)
+
+
+def test_split_raises_on_dead_recorded_election(spark, sf_dir):
+    """ADVICE r11: a committed election whose child vector was DELETED
+    from the corpus between the crash and the re-run used to replay as
+    a silent perpetual no-op — the join against the corpus yields no
+    childs row, step 4 never retires the marker, and the drift audit
+    re-flags the list forever. The re-run must surface it instead."""
+    out = tempfile.mkdtemp(prefix="ann_split_dead_")
+    prefix = "ann_split_dead"
+    try:
+        emb, flagged = _build_split_fixture(spark, sf_dir, prefix, out)
+        # forge the crash leftovers: a marker recording an election of a
+        # vec_id that does not exist in the corpus
+        loc = ann_index.table_location(spark, f"{prefix}_codes").rstrip("/")
+        fs, mp = ann_index._fs_and_path(
+            spark, f"{loc}/{ann_index.SPLIT_COMMIT_DIR}"
+        )
+        fs.mkdirs(mp)
+        ghost = 10**12  # far outside any test corpus
+        jvm = spark._jvm
+        fs.createNewFile(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{loc}/{ann_index.SPLIT_COMMIT_DIR}/"
+                f"list-{flagged[0]}-child-{ghost}"
+            )
+        )
+        with pytest.raises(RuntimeError, match="no longer in the corpus"):
+            ann_index.ann_index_split(emb, prefix, flagged)
+        # the marker is preserved for the operator's audit
+        names = [
+            st.getPath().getName()
+            for st in fs.listStatus(mp)
+            if st.getPath().getName().startswith("list-")
+        ]
+        assert f"list-{flagged[0]}-child-{ghost}" in names
+    finally:
+        _drop_ann(spark, prefix, out)
