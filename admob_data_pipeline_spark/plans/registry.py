@@ -531,12 +531,62 @@ RECHECK: frozenset[str] = frozenset(
 
 
 
+# Verdict-age refresh (judge r11 ask #7): after FRESH_FIRST and RECHECK
+# fill their slots, the REMAINING window capacity goes to the names whose
+# most recent driver verdict is OLDEST (computed from CORRECTNESS_r*.json
+# at composition time each round), so no query's verdict ages past ~10
+# rounds. Pure rotation bookkeeping — semantics of these queries are
+# unchanged; clear alongside FRESH_FIRST at the next round's first commit
+# and refill with that round's oldest names.
+AGED_REFRESH: tuple[str, ...] = (
+    # the 23 names whose latest green is CORRECTNESS_r01 …
+    "bloom_pruned_join",
+    "cohort_retention",
+    "corr_stats",
+    "cube_summary",
+    "disjunctive_revenue",
+    "full_outer_coverage",
+    "funnel_conversion",
+    "grouping_sets_calendar",
+    "heavy_hitters",
+    "idle_high_balance",
+    "incremental_rollup",
+    "large_volume_customers",
+    "min_cost_per_brand",
+    "nation_volume_trade",
+    "priority_shipmix",
+    "profile_orders",
+    "promo_revenue_ratio",
+    "range_join",
+    "regional_revenue",
+    "resample_daily",
+    "semi_join",
+    "waiting_suppliers",
+    "window_ranks",
+    # … then the §2 rows the r11 verdict called out as last verified in
+    # round 1 (the sink family) plus high-value r02-latest names, to the
+    # window's 50-slot capacity
+    "sink_csv_roundtrip",
+    "sink_jsonl_roundtrip",
+    "sink_partition_overwrite",
+    "sink_sorted_layout",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "multimodal_metadata",
+    "streaming_sessionize",
+)
+
+
 def _prioritized(d: dict) -> dict:
-    lead = tuple(FRESH_FIRST) + tuple(sorted(RECHECK))
+    lead = (
+        tuple(FRESH_FIRST) + tuple(sorted(RECHECK)) + tuple(AGED_REFRESH)
+    )
     first = {
         k: d[k]
         for k in lead
-        if k in d and (k not in DRIVER_GREEN or k in RECHECK)
+        if k in d
+        and (k not in DRIVER_GREEN or k in RECHECK or k in AGED_REFRESH)
     }
     fresh = {
         k: v for k, v in d.items() if k not in DRIVER_GREEN and k not in first
