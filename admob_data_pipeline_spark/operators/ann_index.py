@@ -72,6 +72,7 @@ from admob_data_pipeline_spark.sinks.writers import (
     BASE_EPOCH,
     TOMBSTONE_VEC_SCHEMA,
     _fs_and_path,
+    burn_epoch_id,
     claim_epoch,
     compact_bucketed_table,
     index_manifest,
@@ -208,6 +209,34 @@ def ann_index_upsert(
     table = f"{table_prefix}_codes"
     if epoch is None:
         epoch = claim_epoch(spark, table)
+    # RE-UPSERT (replace) semantics: a delta id already present in the
+    # index is a REVISION — stamp a SUPERSESSION tombstone at epoch-1 so
+    # serving masks every earlier version (the epoch-aware tombstone
+    # join kills rows with epoch ≤ stamp; this batch's rows land at
+    # `epoch` > stamp and serve) and the next compaction purges them
+    # physically. Detection costs one column-pruned scan of the code
+    # table's vec_id column per INGEST batch — never at serve time,
+    # which keeps the probe path's pruned zero-Exchange plan intact
+    # (the bm25/dedup families mask from their per-doc manifest instead
+    # because serving there already scans it; ANN has no such scan).
+    # Replay-safe: a re-run of epoch e re-detects against rows of OTHER
+    # epochs only and re-appends identical tombstone rows (duplicates
+    # harmless — anti-join semantics).
+    existing = (
+        spark.table(table)
+        .where(F.col("epoch") != int(epoch))
+        .select("vec_id")
+        .join(delta.select("vec_id").distinct(), "vec_id", "left_semi")
+        .distinct()
+        .localCheckpoint()  # ≤ |delta| rows; read by the count + append
+    )
+    if existing.limit(1).count():
+        existing.select(
+            F.col("vec_id").cast("long"),
+            F.lit(int(epoch) - 1).cast("long").alias("deleted_at_epoch"),
+        ).write.mode("append").format("parquet").saveAsTable(
+            f"{table_prefix}_tombstones"
+        )
     cents = spark.table(f"{table_prefix}_centroids")
     book_mats = _persisted_codebooks(spark, table_prefix)
     m = len(book_mats)
@@ -278,23 +307,30 @@ def ann_index_search(
     # candidate cut: sort-merge on list_id — the bucketed code table
     # side needs NO Exchange and NO Sort (bucketBy+sortBy at ingest);
     # only the tiny probe side shuffles into the bucket layout
+    tomb = spark.table(f"{table_prefix}_tombstones")
+    if as_of_epoch is not None:
+        tomb = tomb.where(F.col("deleted_at_epoch") <= int(as_of_epoch))
     cand = (
         codes.hint("merge")
         .join(probes, "list_id")
         .where(F.col("vec_id") != F.col("qid"))
-        # logical deletes: tombstoned vectors stay in the files until
-        # the next compaction but never surface as candidates. The set
-        # is broadcast — bounded by compaction cadence by contract. An
-        # as-of read masks only deletes stamped at-or-before its epoch.
+        # logical deletes AND superseded versions: the tombstone join is
+        # EPOCH-AWARE — a tombstone stamped e kills only rows ingested
+        # at epoch ≤ e (LSM ordering: later ingest wins), which is both
+        # the delete mask and the re-upsert replace mask (upsert stamps
+        # a supersession tombstone at its epoch-1), and makes a
+        # re-ingest after a delete resurrect the id. The set is
+        # broadcast — bounded by deletes + re-upserts per compaction
+        # cycle by contract. An as-of read masks only tombstones
+        # stamped at-or-before its epoch.
         .join(
             F.broadcast(
-                spark.table(f"{table_prefix}_tombstones")
-                if as_of_epoch is None
-                else spark.table(f"{table_prefix}_tombstones").where(
-                    F.col("deleted_at_epoch") <= int(as_of_epoch)
+                tomb.select(
+                    F.col("vec_id").alias("__t_vid"), "deleted_at_epoch"
                 )
             ),
-            "vec_id",
+            (F.col("vec_id") == F.col("__t_vid"))
+            & (F.col("epoch") <= F.col("deleted_at_epoch")),
             "left_anti",
         )
         .select("qid", "vec_id", *[f"c{s}" for s in range(m)])
@@ -521,6 +557,12 @@ ORDER BY qid, rank
 
 
 UPSERT_MOD = 4  # delta = vec_id % UPSERT_MOD == 3 (deterministic split)
+# re-upsert (replace) slice: vec_id % 9 == 4 crosses BOTH the base and
+# the delta slices AND includes query id 4, so the revision is
+# exercised against build-epoch rows, upsert-epoch rows, and a query
+# whose serving vector (read from the raw corpus table) differs from
+# its revised index rows
+ANN_REUPSERT_MOD, ANN_REUPSERT_REM = 9, 4
 
 
 def q_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -765,6 +807,107 @@ ORDER BY qid, rank
 """
 
 
+def q_ann_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-UPSERT (replace) semantics for the vector index end-to-end:
+    build over the base slice, upsert the held-out quarter, then
+    re-ingest a REVISED version (vectors NEGATED — every cosine flips
+    sign, so list assignment and ADC ranking genuinely change) of the
+    ``vec_id % 9 == 4`` slice. The upsert's supersession tombstones
+    must make serving score ONLY the latest version of each revised
+    vector (the epoch-aware tombstone mask), and compaction must purge
+    the superseded rows (the epoch-aware pair purge) without changing
+    ranking. The wrapper asserts pre/post-compaction parity, exactly
+    one surviving row per vector, and an empty tombstone table after
+    the purge; the oracle recomputes IVF-PQ over the REVISED corpus
+    with quantizers sampled from the ORIGINAL base slice (build
+    predates the revision) and query vectors from the raw table."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corpus = emb.where(F.col("vec_id") % UPSERT_MOD != UPSERT_MOD - 1)
+    delta = emb.where(F.col("vec_id") % UPSERT_MOD == UPSERT_MOD - 1)
+    revised = emb.where(
+        F.col("vec_id") % ANN_REUPSERT_MOD == ANN_REUPSERT_REM
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    out = tempfile.mkdtemp(prefix="ann_index_reupsert_")
+    prefix = "ann_idx_re"
+    try:
+        ann_index_build(base_corpus, prefix, out)
+        ann_index_upsert(delta, prefix, epoch=0)
+        ann_index_upsert(revised, prefix, epoch=1)
+        pre = ann_index_search(emb, QUERY_IDS, prefix).collect()
+        ann_index_compact(spark, prefix)
+        dupes = (
+            spark.table(f"{prefix}_codes")
+            .groupBy("vec_id")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        assert dupes == 0, f"{dupes} vectors kept >1 version post-compaction"
+        assert spark.table(f"{prefix}_tombstones").count() == 0
+        rows = ann_index_search(emb, QUERY_IDS, prefix).collect()
+        assert rows == pre, "compaction changed ranking"
+    finally:
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _SEARCH_SCHEMA)
+
+
+# replace-semantics oracle: assignment/codes/candidates/ADC over the
+# REVISED corpus (latest version wins), quantizers sampled from the
+# ORIGINAL base slice, query vectors from the raw table
+_DUCK_BASE_REVISED = f"""
+orig AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+base AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % {ANN_REUPSERT_MOD} = {ANN_REUPSERT_REM}
+                THEN list_transform(v, x -> -x) ELSE v END AS v,
+           nrm
+    FROM orig
+)
+"""
+
+_ORACLE_INDEX_REUPSERT = (
+    _ORACLE_INDEX_UPSERT.replace(
+        _DUCK_BASE.strip(), _DUCK_BASE_REVISED.strip(), 1
+    )
+    .replace(
+        f"corpus0 AS (SELECT * FROM base WHERE"
+        f" vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}),",
+        f"corpus0 AS (SELECT * FROM orig WHERE"
+        f" vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}),",
+        1,
+    )
+    .replace(
+        "q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base"
+        " WHERE vec_id < 8),",
+        "q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM orig"
+        " WHERE vec_id < 8),",
+        1,
+    )
+)
+assert _DUCK_BASE_REVISED.strip() in _ORACLE_INDEX_REUPSERT
+assert "FROM orig WHERE vec_id < 8" in _ORACLE_INDEX_REUPSERT
+assert (
+    f"corpus0 AS (SELECT * FROM orig WHERE"
+    f" vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1})"
+    in _ORACLE_INDEX_REUPSERT
+)
+
+
+
+
 _ORACLE_INDEX_BUILD = f"""
 WITH {_DUCK_BASE},
 cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM base
@@ -840,6 +983,10 @@ def ann_index_delete(
     (BASE_EPOCH) always returns the pristine build — base history is
     immutable (pinned in tests/test_ann_index.py)."""
     stamp = max(next_epoch(spark, f"{table_prefix}_codes") - 1, BASE_EPOCH + 1)
+    # the stamp id is BURNED in the ledger: a later auto-minted ingest
+    # epoch is strictly greater, so re-ingesting the id RESURRECTS it
+    # (epoch-aware mask) instead of landing at epoch == stamp
+    burn_epoch_id(spark, f"{table_prefix}_codes", stamp)
     vec_ids.select(
         F.col("vec_id").cast("long"),
         F.lit(int(stamp)).cast("long").alias("deleted_at_epoch"),
@@ -865,13 +1012,25 @@ def ann_index_compact(spark: SparkSession, table_prefix: str) -> tuple[int, int]
     history for the folded span — see compact_bucketed_table."""
     tomb = f"{table_prefix}_tombstones"
     snap, applied = snapshot_tombstones(spark, tomb, TOMBSTONE_VEC_SCHEMA)
+    # EPOCH-AWARE purge (mirrors the serving mask): a tombstone stamped
+    # e kills only rows ingested at epoch ≤ e, so a version re-ingested
+    # AFTER a delete or a re-upsert survives the rewrite. Expand the
+    # snapshot against the table's (few, ≤ compaction-cadence) distinct
+    # epochs into exact (vec_id, epoch) purge pairs — the composite
+    # anti-join equality compact_bucketed_table can push.
+    epochs = spark.table(f"{table_prefix}_codes").select("epoch").distinct()
+    pairs = (
+        snap.crossJoin(epochs)
+        .where(F.col("epoch") <= F.col("deleted_at_epoch"))
+        .select("vec_id", "epoch")
+    )
     out = compact_bucketed_table(
         spark,
         f"{table_prefix}_codes",
         key="list_id",
         n_buckets=CODES_BUCKETS,
         fold_partition=("epoch", BASE_EPOCH),
-        anti=("vec_id", snap),
+        anti=(["vec_id", "epoch"], pairs),
     )
     purge_applied_tombstones(spark, tomb, applied)
     return out
@@ -1824,6 +1983,7 @@ def serving_plans(spark: SparkSession, sf_dir: str):
 LIFECYCLE_WRITE = {
     "ann_index_build",
     "ann_index_upsert",
+    "ann_index_reupsert",
     "ann_index_compact",
     "ann_index_split",
     "ann_index_autopilot",
@@ -1836,6 +1996,7 @@ QUERIES = {
     "ann_index_build": q_ann_index_build,
     "ann_index_search": q_ann_index_search,
     "ann_index_upsert": q_ann_index_upsert,
+    "ann_index_reupsert": q_ann_index_reupsert,
     "streaming_ann_ingest": q_streaming_ann_ingest,
     "streaming_ann_maintained": q_streaming_ann_maintained,
     "ann_index_rerank": q_ann_index_rerank,
@@ -1854,6 +2015,9 @@ ORACLES = {
     # results exactly, so it is checked against the same SQL
     "ann_index_search": _ORACLE_IVFPQ,
     "ann_index_upsert": _ORACLE_INDEX_UPSERT,
+    # replace semantics: supersession tombstones mask stale versions at
+    # serve, the epoch-aware pair purge removes them at compaction
+    "ann_index_reupsert": _ORACLE_INDEX_REUPSERT,
     # multi-epoch arrival, same frozen-quantizer semantics — shared oracle
     "streaming_ann_ingest": _ORACLE_INDEX_UPSERT,
     # ingest -> compaction window -> fresh-checkpoint ingest resuming

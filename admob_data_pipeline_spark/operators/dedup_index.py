@@ -55,6 +55,7 @@ from admob_data_pipeline_spark.operators.util import join_small
 from admob_data_pipeline_spark.sinks.writers import (
     BASE_EPOCH,
     TOMBSTONE_DOC_SCHEMA,
+    burn_epoch_id,
     claim_epoch,
     compact_bucketed_table,
     index_manifest,
@@ -157,34 +158,75 @@ def dedup_index_probe(
         bands_t = bands_t.where(F.col("epoch") <= int(as_of_epoch))
         shingles_t = shingles_t.where(F.col("epoch") <= int(as_of_epoch))
         shsizes_t = shsizes_t.where(F.col("epoch") <= int(as_of_epoch))
-    idx = (
-        bands_t
-        # logical deletes: tombstoned docs never become candidates;
-        # their rows purge at the next compaction. As-of reads mask
-        # only deletes stamped at-or-before their epoch.
-        .join(
-            F.broadcast(
-                spark.table(f"{table_prefix}_tombstones")
-                if as_of_epoch is None
-                else spark.table(f"{table_prefix}_tombstones").where(
-                    F.col("deleted_at_epoch") <= int(as_of_epoch)
-                )
-            ),
-            "doc_id",
-            "left_anti",
-        )
-        .select("band_key", F.col("doc_id").alias("index_doc"))
+    tomb = spark.table(f"{table_prefix}_tombstones")
+    if as_of_epoch is not None:
+        tomb = tomb.where(F.col("deleted_at_epoch") <= int(as_of_epoch))
+    # ONE live-latest manifest serves as both the delete mask and the
+    # re-upsert (replace) mask: the shsizes table is the version
+    # manifest (exactly one row per ingested version of a doc), so a
+    # doc serves iff its LATEST ingest epoch is newer than its newest
+    # tombstone stamp (LSM ordering — a doc re-ingested after a delete
+    # resurrects, uniform with the bm25/ann families), and only its
+    # latest version's band/shingle rows participate. Stale versions
+    # purge physically at the next compaction. The manifest rollup
+    # restricted to the (bounded) candidate set keeps every join here
+    # broadcast-shaped; shsizes was already scanned for the sizes
+    # lookup, so the mask costs no new scan class.
+    idx = bands_t.select(
+        "band_key", F.col("doc_id").alias("index_doc"), "epoch"
     )
     candidates = (
         idx.hint("merge")
         .join(bands_b, "band_key")
-        .select("batch_doc", "index_doc")
+        .select("batch_doc", "index_doc", "epoch")
         .distinct()
+        .localCheckpoint()  # bounded by band collisions; read 3x below
     )
+    live_latest = (
+        shsizes_t.join(
+            F.broadcast(
+                candidates.select(
+                    F.col("index_doc").alias("doc_id")
+                ).distinct()
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("epoch", "n_sh")).alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.epoch").alias("epoch"),
+            F.col("m.n_sh").alias("n_sh"),
+        )
+        .join(
+            F.broadcast(
+                tomb.groupBy("doc_id").agg(
+                    F.max("deleted_at_epoch").alias("st")
+                )
+            ),
+            "doc_id",
+            "left",
+        )
+        .where(F.col("st").isNull() | (F.col("epoch") > F.col("st")))
+        .select("doc_id", "epoch", "n_sh")
+        .localCheckpoint()  # <= candidate rows; read by mask + sizes
+    )
+    candidates = candidates.join(
+        F.broadcast(
+            live_latest.select(
+                F.col("doc_id").alias("index_doc"), "epoch"
+            )
+        ),
+        ["index_doc", "epoch"],
+        "left_semi",
+    ).select("batch_doc", "index_doc")
     a_sh = sh_b.select(F.col("doc_id").alias("batch_doc"), "shingle")
-    b_sh = shingles_t.select(
-        F.col("doc_id").alias("index_doc"), "shingle"
-    )
+    b_sh = shingles_t.join(
+        F.broadcast(live_latest.select("doc_id", "epoch")),
+        ["doc_id", "epoch"],
+        "left_semi",
+    ).select(F.col("doc_id").alias("index_doc"), "shingle")
     inter = (
         candidates.join(a_sh, "batch_doc")
         .join(b_sh, ["index_doc", "shingle"])
@@ -194,7 +236,7 @@ def dedup_index_probe(
     sa = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a")).select(
         F.col("doc_id").alias("batch_doc"), "n_a"
     )
-    sb = shsizes_t.select(
+    sb = live_latest.select(
         F.col("doc_id").alias("index_doc"), F.col("n_sh").alias("n_b")
     )
     _t_scaled = int(round(threshold * 1_000_000))
@@ -229,7 +271,14 @@ def dedup_index_upsert(
     ``epoch`` is the idempotency key: pass the foreachBatch batch id
     from streaming; batch callers may omit it to auto-assign via
     :func:`claim_epoch` (atomic ledger mint — concurrent batch ingest
-    jobs can never overwrite each other's partition)."""
+    jobs can never overwrite each other's partition).
+
+    RE-UPSERT of an EXISTING doc is REPLACE: the probe masks every
+    earlier version by latest ingest epoch (the shsizes version
+    manifest) and the next compaction purges the superseded rows;
+    re-ingesting a TOMBSTONED doc resurrects it (LSM ordering, uniform
+    with the bm25/ann families). Contract: a delta batch is
+    doc-unique."""
     spark = delta.sparkSession
     if epoch is None:
         epoch = claim_epoch(spark, f"{table_prefix}_bands")
@@ -276,8 +325,15 @@ def dedup_index_delete(
     with the newest ingest epoch at issue time, never below epoch 0: a
     delete issued before the first upsert is attributed to the open
     ingest window, so as-of reads at the build epoch always see the
-    pristine build."""
+    pristine build. The mask is EPOCH-AWARE (kills only versions
+    ingested at-or-before the stamp), so a doc re-upserted AFTER its
+    delete resurrects — LSM ordering decides, uniformly across the
+    index families."""
     stamp = max(next_epoch(spark, f"{table_prefix}_bands") - 1, BASE_EPOCH + 1)
+    # burn the stamp id in the ledger (see writers.burn_epoch_id): a
+    # later auto-minted ingest epoch is strictly greater, so re-ingest
+    # resurrects instead of landing at epoch == stamp
+    burn_epoch_id(spark, f"{table_prefix}_bands", stamp)
     doc_ids.select(
         F.col("doc_id").cast("long"),
         F.lit(int(stamp)).cast("long").alias("deleted_at_epoch"),
@@ -446,13 +502,36 @@ def dedup_index_compact(spark: SparkSession, table_prefix: str):
     tomb, applied = snapshot_tombstones(
         spark, f"{table_prefix}_tombstones", TOMBSTONE_DOC_SCHEMA
     )
+    # EPOCH-AWARE purge, mirroring the probe's LSM mask: a tombstone
+    # stamped e kills only versions ingested at epoch <= e (a doc
+    # re-ingested after its delete survives), and STALE VERSIONS
+    # superseded by a later re-upsert (every (doc_id, epoch) below the
+    # doc's max in the shsizes manifest) die so the fold leaves exactly
+    # one version per doc. Both sets are snapshot-pinned before the
+    # three rewrites purge the same consistent state.
+    shs = spark.table(f"{table_prefix}_shsizes")
+    stale = (
+        shs.join(
+            shs.groupBy("doc_id").agg(F.max("epoch").alias("latest")),
+            "doc_id",
+        )
+        .where(F.col("epoch") < F.col("latest"))
+        .select("doc_id", "epoch")
+        .localCheckpoint()
+    )
+    tomb_pairs = (
+        tomb.crossJoin(shs.select("epoch").distinct())
+        .where(F.col("epoch") <= F.col("deleted_at_epoch"))
+        .select("doc_id", "epoch")
+    )
+    purge = [(["doc_id", "epoch"], tomb_pairs), (["doc_id", "epoch"], stale)]
     a = compact_bucketed_table(
         spark,
         f"{table_prefix}_bands",
         key="band_key",
         n_buckets=DEDUP_IDX_BUCKETS,
         fold_partition=("epoch", BASE_EPOCH),
-        anti=("doc_id", tomb),
+        anti=purge,
     )
     b = compact_bucketed_table(
         spark,
@@ -460,14 +539,14 @@ def dedup_index_compact(spark: SparkSession, table_prefix: str):
         key="doc_id",
         n_buckets=DEDUP_IDX_BUCKETS,
         fold_partition=("epoch", BASE_EPOCH),
-        anti=("doc_id", tomb),
+        anti=purge,
     )
     compact_bucketed_table(
         spark,
         f"{table_prefix}_shsizes",
         key=None,
         fold_partition=("epoch", BASE_EPOCH),
-        anti=("doc_id", tomb),
+        anti=purge,
     )
     purge_applied_tombstones(spark, f"{table_prefix}_tombstones", applied)
     return a, b
@@ -794,6 +873,122 @@ WHERE i.n_inter * 1000000
          * (za.n_sh + zb.n_sh - i.n_inter)
 ORDER BY batch_doc, index_doc
 """
+
+DEDUP_REUPSERT_MOD, DEDUP_REUPSERT_REM = 3, 1  # index docs only (see query)
+
+
+def q_dedup_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-UPSERT (replace) semantics for the dedup index end-to-end:
+    build over the base slice, upsert the two delta slices, then
+    re-ingest a REVISED version (text doubled — the shingle SET gains
+    the wrap-around seam shingles and every size changes) of the index
+    docs with ``doc_id % 3 == 1``, crossing both the build and the
+    upsert epochs. The probe must measure Jaccard against ONLY the
+    latest version of each revised doc (the shsizes-manifest live-latest
+    mask: stale band rows can nominate, stale shingles/sizes must never
+    score), and compaction must purge the superseded rows without
+    changing the probe. The wrapper asserts pre/post-compaction parity
+    and one surviving version per doc; the oracle recomputes shingling,
+    the minhash banding, candidates, and exact Jaccard over the REVISED
+    corpus with the stop-list census FROZEN over the ORIGINAL build
+    slice."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    build = docs.where(
+        (F.col("doc_id") % PROBE_MOD).isin([int(x) for x in UPSERT_MODS])
+    )
+    batch = docs.where(F.col("doc_id") % PROBE_MOD == 0)
+    revised = docs.where(
+        (F.col("doc_id") % PROBE_MOD != 0)
+        & (F.col("doc_id") % DEDUP_REUPSERT_MOD == DEDUP_REUPSERT_REM)
+    ).select("doc_id", F.concat_ws(" ", "text", "text").alias("text"))
+    out = tempfile.mkdtemp(prefix="dedup_reupsert_")
+    prefix = "dedup_idx_re"
+    try:
+        dedup_index_build(build, prefix, os.path.join(out, "index"))
+        for part in (3, 4):
+            dedup_index_upsert(
+                docs.where(F.col("doc_id") % PROBE_MOD == part), prefix
+            )
+        dedup_index_upsert(revised, prefix)
+        pre = dedup_index_probe(batch, prefix).collect()
+        dedup_index_compact(spark, prefix)
+        dupes = (
+            spark.table(f"{prefix}_shsizes")
+            .groupBy("doc_id")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        assert dupes == 0, f"{dupes} docs kept >1 version post-compaction"
+        rows = dedup_index_probe(batch, prefix).collect()
+        assert rows == pre, "compaction changed the probe"
+    finally:
+        for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, _PROBE_SCHEMA)
+
+
+# replace-semantics oracle: shingles/signatures/bands/sizes over the
+# REVISED corpus (latest version wins), hot census FROZEN over the
+# ORIGINAL build slice, probe side (doc_id % 5 == 0) untouched by the
+# revision predicate by construction
+_DUCK_SH0_REVISED = _DUCK_SH0_HEADER.replace(
+    "SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents",
+    f"""SELECT doc_id, string_split(lower(
+        CASE WHEN doc_id % {PROBE_MOD} <> 0
+              AND doc_id % {DEDUP_REUPSERT_MOD} = {DEDUP_REUPSERT_REM}
+             THEN text || ' ' || text ELSE text END), ' ') AS toks
+    FROM documents""",
+)
+assert _DUCK_SH0_REVISED != _DUCK_SH0_HEADER
+
+_ORACLE_DEDUP_REUPSERT = f"""
+WITH {_DUCK_SH0_REVISED}
+sh0_orig AS (
+    SELECT doc_id, unnest(list_distinct(
+        [array_to_string(toks[i:i+2], ' ')
+         FOR i IN generate_series(1, len(toks) - 2)]
+    )) AS shingle
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM documents)
+),
+hot AS (
+    SELECT shingle FROM sh0_orig
+    WHERE doc_id % {PROBE_MOD} IN {UPSERT_MODS}
+    GROUP BY shingle HAVING COUNT(*) > {MAX_DF}
+),
+sh AS (
+    SELECT doc_id, shingle FROM sh0
+    WHERE shingle NOT IN (SELECT shingle FROM hot)
+),{_DUCK_SIG_TAIL},
+cand AS (
+    SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+    FROM bands ba JOIN bands bb ON ba.band_key = bb.band_key
+    WHERE ba.doc_id % {PROBE_MOD} = 0 AND bb.doc_id % {PROBE_MOD} <> 0
+),
+inter AS (
+    SELECT c.a, c.b, COUNT(*) AS n_inter
+    FROM cand c JOIN sh sa ON sa.doc_id = c.a
+    JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+    GROUP BY c.a, c.b
+)
+SELECT i.a AS batch_doc, i.b AS index_doc,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / NULLIF(za.n_sh + zb.n_sh - i.n_inter, 0), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+WHERE i.n_inter * 1000000
+      >= {int(round(JACCARD_THRESHOLD * 1_000_000))}
+         * (za.n_sh + zb.n_sh - i.n_inter)
+ORDER BY batch_doc, index_doc
+"""
+
 
 
 def q_dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1313,6 +1508,7 @@ def serving_plans(spark: SparkSession, sf_dir: str):
 LIFECYCLE_WRITE = {
     "dedup_index_build",
     "dedup_index_upsert",
+    "dedup_index_reupsert",
     "dedup_index_compact",
     "dedup_index_ban_hot",
     "dedup_index_autopilot",
@@ -1325,6 +1521,7 @@ QUERIES = {
     "dedup_index_build": q_dedup_index_build,
     "dedup_index_probe": q_dedup_index_probe,
     "dedup_index_upsert": q_dedup_index_upsert,
+    "dedup_index_reupsert": q_dedup_index_reupsert,
     "dedup_index_compact": q_dedup_index_compact,
     "dedup_index_ban_hot": q_dedup_index_ban_hot,
     "dedup_index_autopilot": q_dedup_index_autopilot,
@@ -1340,6 +1537,9 @@ ORACLES = {
     "dedup_index_build": _ORACLE_DEDUP_BUILD,
     "dedup_index_probe": _ORACLE_DEDUP_PROBE,
     "dedup_index_upsert": _ORACLE_DEDUP_UPSERT,
+    # replace semantics: the shsizes live-latest mask at probe time,
+    # stale-version purge at compaction, frozen stop list throughout
+    "dedup_index_reupsert": _ORACLE_DEDUP_REUPSERT,
     # compaction must be invisible to the probe — the upsert oracle verbatim
     "dedup_index_compact": _ORACLE_DEDUP_UPSERT,
     # drift remedy: two-stage cap (frozen census + stored-set top-N

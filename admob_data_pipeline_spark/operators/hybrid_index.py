@@ -79,22 +79,50 @@ def hybrid_index_search(
     cosine rerank to the pool. Fusion: integer RRF, full-outer over two
     ≤ pool-row lists."""
     postings_all = spark.table(f"{bm25_prefix}_postings").join(
-        F.broadcast(spark.table(f"{bm25_prefix}_tombstones")),
-        "doc_id",
+        # epoch-aware delete mask (see bm25_index_search): a tombstone
+        # stamped e kills only rows ingested at epoch ≤ e
+        F.broadcast(
+            spark.table(f"{bm25_prefix}_tombstones").select(
+                F.col("doc_id").alias("__t_did"), "deleted_at_epoch"
+            )
+        ),
+        (F.col("doc_id") == F.col("__t_did"))
+        & (F.col("epoch") <= F.col("deleted_at_epoch")),
         "left_anti",
     )
     doclen = spark.table(f"{bm25_prefix}_doclen")
     stats = spark.table(f"{bm25_prefix}_stats").select("n_docs", "avgdl")
-    # probe term profile: its posting rows + per-term df + its doclen
-    ptf = postings_all.where(F.col("doc_id") == probe).localCheckpoint()
+    # probe term profile: its posting rows + per-term df + its doclen —
+    # all at the probe's LATEST version (the doclen manifest mask, see
+    # bm25_index_search: a re-upserted probe must profile and normalize
+    # by its current text, not a blend of versions)
+    probe_latest = (
+        doclen.where(F.col("doc_id") == probe)
+        .agg(F.max(F.struct("epoch", "dl")).alias("m"))
+        .select(F.col("m.epoch").alias("epoch"), F.col("m.dl").alias("dl"))
+        .localCheckpoint()  # one row; read by the ptf mask + qscored
+    )
+    ptf = (
+        postings_all.where(F.col("doc_id") == probe)
+        .join(
+            F.broadcast(probe_latest.select("epoch")), "epoch", "left_semi"
+        )
+        .localCheckpoint()
+    )
+    # df per probe term: countDistinct so a re-upserted doc holding the
+    # term in both its versions counts once. (A doc whose LATEST version
+    # dropped the term still counts here until compaction purges the
+    # stale row — bounded drift in the probe's TERM-SELECTION score
+    # only; the ranking df downstream is computed over the
+    # latest-masked postings.)
     df_t = (
         postings_all.join(
             F.broadcast(ptf.select("token")), "token", "left_semi"
         )
         .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.countDistinct("doc_id").alias("df"))
     )
-    probe_dl = doclen.where(F.col("doc_id") == probe).select("dl")
+    probe_dl = probe_latest.select("dl")
     qscored = (
         ptf.join(F.broadcast(df_t), "token")
         .crossJoin(F.broadcast(probe_dl))
@@ -110,6 +138,28 @@ def hybrid_index_search(
     postings_sel = postings_all.join(
         F.broadcast(qterms), "token", "left_semi"
     ).localCheckpoint()
+    # candidate latest-version mask (see bm25_index_search): one
+    # bucketed doclen scan yields both the mask and the candidate dls
+    dl_latest = (
+        doclen.join(
+            F.broadcast(postings_sel.select("doc_id").distinct()),
+            "doc_id",
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("epoch", "dl")).alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.epoch").alias("epoch"),
+            F.col("m.dl").alias("dl"),
+        )
+        .localCheckpoint()
+    )
+    postings_sel = postings_sel.join(
+        F.broadcast(dl_latest.select("doc_id", "epoch")),
+        ["doc_id", "epoch"],
+        "left_semi",
+    )
     lex = _bm25_rank_postings(
         None,
         postings_sel,
@@ -117,7 +167,7 @@ def hybrid_index_search(
         BM25_K1,
         BM25_B,
         exclude_doc=probe,
-        doclen=doclen,
+        doclen=dl_latest.select("doc_id", "dl"),
         stats=stats,
     ).select("doc_id", F.col("rnk").alias("lex_rank"))
     vec = ann_index_search_rerank(
@@ -179,34 +229,37 @@ def q_hybrid_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _live_sets(spark: SparkSession, bm25_prefix: str, ann_prefix: str):
-    """The two indexes' live doc-id sets: distinct stored ids minus the
-    respective tombstones (the tombstone sides broadcast — bounded by
-    compaction cadence)."""
-    bm_live = (
-        spark.table(f"{bm25_prefix}_doclen")
-        .select("doc_id")
-        .distinct()
-        .join(
-            F.broadcast(
-                spark.table(f"{bm25_prefix}_tombstones").select("doc_id")
-            ),
-            "doc_id",
-            "left_anti",
+    """The two indexes' live doc-id sets under the families' LSM
+    ordering: a doc is live iff its LATEST ingest epoch is newer than
+    its newest tombstone stamp (no tombstone → live) — so a re-upserted
+    doc counts once and a doc re-ingested after its delete counts as
+    resurrected, exactly matching what serving exposes. The tombstone
+    sides broadcast — bounded by deletes + re-upserts per compaction
+    cycle."""
+
+    def live(manifest, key, tomb):
+        stamps = (
+            tomb.groupBy(key)
+            .agg(F.max("deleted_at_epoch").alias("st"))
+            .select(F.col(key).alias("doc_id"), "st")
         )
+        return (
+            manifest.groupBy(F.col(key).alias("doc_id"))
+            .agg(F.max("epoch").alias("le"))
+            .join(F.broadcast(stamps), "doc_id", "left")
+            .where(F.col("st").isNull() | (F.col("le") > F.col("st")))
+            .select("doc_id")
+        )
+
+    bm_live = live(
+        spark.table(f"{bm25_prefix}_doclen"),
+        "doc_id",
+        spark.table(f"{bm25_prefix}_tombstones"),
     )
-    ann_live = (
-        spark.table(f"{ann_prefix}_codes")
-        .select(F.col("vec_id").alias("doc_id"))
-        .distinct()
-        .join(
-            F.broadcast(
-                spark.table(f"{ann_prefix}_tombstones").select(
-                    F.col("vec_id").alias("doc_id")
-                )
-            ),
-            "doc_id",
-            "left_anti",
-        )
+    ann_live = live(
+        spark.table(f"{ann_prefix}_codes"),
+        "vec_id",
+        spark.table(f"{ann_prefix}_tombstones"),
     )
     return bm_live, ann_live
 

@@ -59,6 +59,7 @@ from admob_data_pipeline_spark.operators.corpus import (
 from admob_data_pipeline_spark.sinks.writers import (
     BASE_EPOCH,
     TOMBSTONE_DOC_SCHEMA,
+    burn_epoch_id,
     claim_epoch,
     compact_bucketed_table,
     index_manifest,
@@ -137,21 +138,26 @@ def bm25_index_search(
         # the index state as of epoch e — later ingests never read
         postings = postings.where(F.col("epoch") <= int(as_of_epoch))
         doclen = doclen.where(F.col("epoch") <= int(as_of_epoch))
+    tomb = spark.table(f"{table_prefix}_tombstones")
+    if as_of_epoch is not None:
+        tomb = tomb.where(F.col("deleted_at_epoch") <= int(as_of_epoch))
     postings = (
         postings
         .where(F.col("token").isin(list(query_terms)))
-        # logical deletes: tombstoned docs never match, and df counts
+        # logical deletes: the tombstone join is EPOCH-AWARE — a
+        # tombstone stamped e kills only rows ingested at epoch ≤ e
+        # (LSM ordering: later ingest wins), so a doc re-upserted AFTER
+        # a delete resurrects, uniformly with the ann family. df counts
         # only surviving postings; rows purge at the next compaction.
         # As-of reads mask only deletes stamped at-or-before their epoch.
         .join(
             F.broadcast(
-                spark.table(f"{table_prefix}_tombstones")
-                if as_of_epoch is None
-                else spark.table(f"{table_prefix}_tombstones").where(
-                    F.col("deleted_at_epoch") <= int(as_of_epoch)
+                tomb.select(
+                    F.col("doc_id").alias("__t_did"), "deleted_at_epoch"
                 )
             ),
-            "doc_id",
+            (F.col("doc_id") == F.col("__t_did"))
+            & (F.col("epoch") <= F.col("deleted_at_epoch")),
             "left_anti",
         )
         .localCheckpoint()  # tiny (Σ df(term) rows), read by df/cand/score
@@ -170,8 +176,9 @@ def bm25_index_search(
     # even though no new posting row replaced the old one. Stale
     # versions purge physically at the next compaction (stale-version
     # anti in bm25_index_compact), which keeps this mask a no-op-cost
-    # broadcast join in steady state. Re-upsert of a TOMBSTONED doc is
-    # out of contract: the tombstone anti above wins until compaction.
+    # broadcast join in steady state. Re-upsert of a TOMBSTONED doc
+    # RESURRECTS it: the epoch-aware tombstone join above only kills
+    # versions at-or-before the delete's stamp (LSM ordering).
     dl_latest = (
         doclen.join(
             F.broadcast(postings.select("doc_id").distinct()),
@@ -238,9 +245,16 @@ def bm25_index_phrase(
     pos = (
         spark.table(f"{table_prefix}_positions")
         .where(F.col("token").isin([w1, w2]))
+        # epoch-aware delete mask (see bm25_index_search): a later
+        # re-upsert of a deleted doc resurrects it
         .join(
-            F.broadcast(spark.table(f"{table_prefix}_tombstones")),
-            "doc_id",
+            F.broadcast(
+                spark.table(f"{table_prefix}_tombstones").select(
+                    F.col("doc_id").alias("__t_did"), "deleted_at_epoch"
+                )
+            ),
+            (F.col("doc_id") == F.col("__t_did"))
+            & (F.col("epoch") <= F.col("deleted_at_epoch")),
             "left_anti",
         )
         .localCheckpoint()  # tiny (Σ df(word) occurrence rows)
@@ -326,11 +340,12 @@ def bm25_index_upsert(
     RE-UPSERT of an EXISTING doc is REPLACE: serving masks every
     earlier version by latest ingest epoch (the doclen version
     manifest, see ``bm25_index_search``) and the next compaction
-    physically purges the superseded rows. Contract: a delta batch is
-    doc-unique (two rows sharing a doc_id within ONE batch merge into
-    one combined document at tokenization), and re-upserting a
-    TOMBSTONED doc does not resurrect it — the delete wins until
-    compaction purges both."""
+    physically purges the superseded rows. Re-upserting a TOMBSTONED
+    doc RESURRECTS it (the epoch-aware tombstone mask kills only
+    versions at-or-before the delete's stamp — LSM ordering, uniform
+    across the index families). Contract: a delta batch is doc-unique
+    (two rows sharing a doc_id within ONE batch merge into one combined
+    document at tokenization)."""
     spark = delta.sparkSession
     if epoch is None:
         epoch = claim_epoch(spark, f"{table_prefix}_postings")
@@ -711,10 +726,17 @@ def bm25_index_delete(
     tombstone is stamped with the newest ingest epoch at issue time,
     never below epoch 0: a delete issued before the first upsert is
     attributed to the open ingest window, so as-of reads at the build
-    epoch always see the pristine build."""
+    epoch always see the pristine build. The mask is EPOCH-AWARE (kills
+    only versions ingested at-or-before the stamp), so a doc
+    re-upserted AFTER its delete resurrects — the delete removes what
+    existed when it was issued, LSM ordering decides the rest."""
     stamp = max(
         next_epoch(spark, f"{table_prefix}_postings") - 1, BASE_EPOCH + 1
     )
+    # burn the stamp id in the ledger (see writers.burn_epoch_id): a
+    # later auto-minted ingest epoch is strictly greater, so re-ingest
+    # resurrects instead of landing at epoch == stamp
+    burn_epoch_id(spark, f"{table_prefix}_postings", stamp)
     doc_ids.select(
         F.col("doc_id").cast("long"),
         F.lit(int(stamp)).cast("long").alias("deleted_at_epoch"),
@@ -762,7 +784,18 @@ def bm25_index_compact(spark: SparkSession, table_prefix: str):
         .select("doc_id", "epoch")
         .localCheckpoint()
     )
-    purge = [("doc_id", tomb), (["doc_id", "epoch"], stale)]
+    # tombstone purge is EPOCH-AWARE (mirrors the serving mask): a
+    # delete stamped e kills only versions ingested at epoch ≤ e, so a
+    # doc re-upserted after its delete survives the rewrite. Expand the
+    # snapshot against the table's few distinct epochs into exact
+    # (doc_id, epoch) pairs for the composite anti.
+    epochs = doclen_t.select("epoch").distinct()
+    tomb_pairs = (
+        tomb.crossJoin(epochs)
+        .where(F.col("epoch") <= F.col("deleted_at_epoch"))
+        .select("doc_id", "epoch")
+    )
+    purge = [(["doc_id", "epoch"], tomb_pairs), (["doc_id", "epoch"], stale)]
     a = compact_bucketed_table(
         spark,
         f"{table_prefix}_postings",
@@ -911,13 +944,6 @@ def bm25_index_refresh_stats(spark: SparkSession, table_prefix: str) -> None:
     n_docs, deletes shrinking it, length mix shifting avgdl) is erased
     by an O(index) aggregate and a one-row write. Run it on the
     bm25_index_drift audit's signal, like the other remedies."""
-    doclen = spark.table(f"{table_prefix}_doclen").join(
-        F.broadcast(
-            spark.table(f"{table_prefix}_tombstones").select("doc_id")
-        ),
-        "doc_id",
-        "left_anti",
-    )
     # one row per doc, LATEST epoch wins: a doc re-upserted into a later
     # epoch has doclen rows in two partitions until the next compaction
     # (whose stale-version purge then keeps exactly one version per doc,
@@ -925,10 +951,25 @@ def bm25_index_refresh_stats(spark: SparkSession, table_prefix: str) -> None:
     # count(*) would double-count n_docs (and its stale dl would skew
     # avgdl) relative to the build's countDistinct contract. The groupBy
     # runs on the bucket key, so the bucketed layout spares the exchange.
+    # The tombstone filter is EPOCH-AWARE on the latest version (a doc
+    # re-upserted after its delete is a survivor — the serving mask's
+    # LSM ordering), via the max stamp per deleted doc.
     latest = (
-        doclen.groupBy("doc_id")
+        spark.table(f"{table_prefix}_doclen")
+        .groupBy("doc_id")
         .agg(F.max(F.struct("epoch", "dl")).alias("m"))
-        .select("doc_id", F.col("m.dl").alias("dl"))
+        .select("doc_id", F.col("m.epoch").alias("le"), F.col("m.dl").alias("dl"))
+        .join(
+            F.broadcast(
+                spark.table(f"{table_prefix}_tombstones")
+                .groupBy("doc_id")
+                .agg(F.max("deleted_at_epoch").alias("st"))
+            ),
+            "doc_id",
+            "left",
+        )
+        .where(F.col("st").isNull() | (F.col("le") > F.col("st")))
+        .select("doc_id", "dl")
     )
     stats = latest.agg(
         F.count(F.lit(1)).alias("n_docs"),

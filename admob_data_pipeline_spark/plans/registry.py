@@ -485,6 +485,8 @@ FRESH_FIRST: tuple[str, ...] = (
     "streaming_hybrid_maintained",
     "streaming_dedup_maintained",
     "streaming_ann_maintained",
+    "dedup_index_reupsert",
+    "ann_index_reupsert",
     "bm25_index_reupsert",
 )
 
@@ -525,6 +527,35 @@ RECHECK: frozenset[str] = frozenset(
         # identical on the registered data).
         "ann_index_split",
         "ann_index_autopilot",
+        # r12: uniform LSM replace/delete semantics — the ann family's
+        # tombstone mask and compaction purge became EPOCH-AWARE (a
+        # delete kills only versions at-or-before its stamp; upsert
+        # stamps supersession tombstones for re-ingested ids), the dedup
+        # probe gained the shsizes live-latest mask, and the hybrid
+        # serving/parity paths inherit both. Results identical on the
+        # registered data (nothing there re-upserts or
+        # deletes-then-reingests), but every query whose plan runs
+        # through the changed masks re-enters the window.
+        "ann_index_search",
+        "ann_index_upsert",
+        "ann_index_rerank",
+        "ann_index_compact",
+        "ann_index_delete",
+        "ann_index_asof",
+        "streaming_ann_ingest",
+        "dedup_index_probe",
+        "dedup_index_upsert",
+        "dedup_index_compact",
+        "dedup_index_ban_hot",
+        "dedup_index_autopilot",
+        "dedup_index_delete",
+        "dedup_index_asof",
+        "streaming_dedup_ingest",
+        "hybrid_index_search",
+        "hybrid_index_parity",
+        "hybrid_index_repair",
+        "hybrid_index_autopilot",
+        "streaming_hybrid_ingest",
     }
 )
 
@@ -539,7 +570,13 @@ RECHECK: frozenset[str] = frozenset(
 # unchanged; clear alongside FRESH_FIRST at the next round's first commit
 # and refill with that round's oldest names.
 AGED_REFRESH: tuple[str, ...] = (
-    # the 23 names whose latest green is CORRECTNESS_r01 …
+    # the judge-called-out stalest §2 rows lead (the window may not
+    # reach the whole list in a heavy-RECHECK round — lead names win) …
+    "sink_csv_roundtrip",
+    "sink_jsonl_roundtrip",
+    "sink_partition_overwrite",
+    "sink_sorted_layout",
+    # … then the names whose latest green is CORRECTNESS_r01 …
     "bloom_pruned_join",
     "cohort_retention",
     "corr_stats",
@@ -563,13 +600,8 @@ AGED_REFRESH: tuple[str, ...] = (
     "semi_join",
     "waiting_suppliers",
     "window_ranks",
-    # … then the §2 rows the r11 verdict called out as last verified in
-    # round 1 (the sink family) plus high-value r02-latest names, to the
-    # window's 50-slot capacity
-    "sink_csv_roundtrip",
-    "sink_jsonl_roundtrip",
-    "sink_partition_overwrite",
-    "sink_sorted_layout",
+    # … then high-value r02-latest names, to the window's 50-slot
+    # capacity
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",

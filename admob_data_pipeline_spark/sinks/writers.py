@@ -436,6 +436,26 @@ def claim_epoch(spark, table: str, max_attempts: int = 64) -> int:
     )
 
 
+def burn_epoch_id(spark, table: str, epoch_id: int) -> None:
+    """Record ``epoch_id`` as CONSUMED in ``table``'s epoch ledger
+    without writing a partition. Delete stamping uses this so a later
+    auto-minted ingest epoch is always STRICTLY greater than any
+    tombstone stamp — the resurrect contract of the epoch-aware masks:
+    a delete issued before the first upsert stamps epoch 0, and without
+    the burn the first upsert would also mint 0, leaving the re-ingested
+    rows at epoch == stamp (masked). Idempotent (create-if-absent);
+    streaming ingest bypasses the ledger by contract, so resurrecting a
+    doc through a FRESH stream requires a compaction first — the same
+    fresh-checkpoint rule as batch-id reuse."""
+    loc = table_location(spark, table).rstrip("/")
+    fs, ldir = _fs_and_path(spark, f"{loc}/{EPOCH_LEDGER_DIR}")
+    fs.mkdirs(ldir)
+    _, marker = _fs_and_path(
+        spark, f"{loc}/{EPOCH_LEDGER_DIR}/epoch-{int(epoch_id)}"
+    )
+    _fs_create_marker(fs, marker)
+
+
 def vacuum_stale_epoch_claims(
     spark, table: str, min_age_sec: float = 3600.0
 ) -> list[str]:
