@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from admob_data_pipeline_spark.operators.ann_index import (
     _ORACLE_INDEX_UPSERT,
     ann_index_build,
+    ann_index_compact,
     ann_index_delete,
     ann_index_search_rerank,
     ann_index_upsert,
@@ -47,12 +48,16 @@ from admob_data_pipeline_spark.operators.corpus import (
 )
 from admob_data_pipeline_spark.operators.retrieval_index import (
     bm25_index_build,
+    bm25_index_compact,
     bm25_index_delete,
     bm25_index_upsert,
 )
 from admob_data_pipeline_spark.operators.similarity import (
+    _DUCK_BASE,
     _ORACLE_IVFPQ,
     DEFAULT_K,
+    PQ_MOD,
+    PQ_SLOTS,
 )
 from admob_data_pipeline_spark.sources.tables import load_table
 
@@ -1065,6 +1070,163 @@ ORDER BY rnk
 """
 
 
+# Re-upsert (replace) slice for the hybrid composition: includes the
+# PROBE itself, so the lexical leg's latest-version PROFILE mask (the
+# probe's own term profile must come off its newest text) is exercised
+# along with the candidate-side masks in both legs.
+HYB_RE_MOD, HYB_RE_REM = 9, HYBRID_PROBE % 9
+assert HYBRID_PROBE % HYB_RE_MOD == HYB_RE_REM
+
+
+def q_hybrid_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-UPSERT (replace) semantics across the COMPOSED serving stack:
+    build both indexes over the full corpus, then re-ingest a REVISED
+    version of the ``doc_id % 9 == 7`` slice into BOTH — text doubled
+    on the BM25 side (tf and dl exactly 2×), vectors NEGATED on the ANN
+    side (every cosine flips, so list assignment and the ADC shortlist
+    genuinely change). The slice includes the probe doc itself, so the
+    hybrid query must profile the probe by its LATEST text (the
+    doclen-manifest mask), rank lexical candidates by latest tf/dl with
+    df counted once per doc, and shortlist vector candidates from the
+    latest codes (the supersession tombstones stamped by
+    ``ann_index_upsert`` mask the build-epoch rows). Compacting both
+    indexes must purge every superseded version without changing the
+    fused ranking. The oracle recomputes both legs over the REVISED
+    corpus with build-frozen artifacts — (n_docs, avgdl) over the
+    ORIGINAL corpus, IVF centroids and PQ codebooks sampled from the
+    ORIGINAL vectors — and query/rerank vectors from the raw table
+    (serving passes the raw ``embeddings`` corpus for both)."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    revised_docs = docs.where(
+        F.col("doc_id") % HYB_RE_MOD == HYB_RE_REM
+    ).select("doc_id", F.concat_ws(" ", "text", "text").alias("text"))
+    revised_emb = emb.where(
+        F.col("vec_id") % HYB_RE_MOD == HYB_RE_REM
+    ).select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    out = tempfile.mkdtemp(prefix="hybrid_index_re_")
+    bp, ap = "hybrid_bm25_re", "hybrid_ann_re"
+    try:
+        bm25_index_build(docs, bp, f"{out}/bm25")
+        ann_index_build(emb, ap, f"{out}/ann")
+        bm25_index_upsert(revised_docs, bp)
+        ann_index_upsert(revised_emb, ap)
+        pre = hybrid_index_search(spark, emb, bp, ap).collect()
+        bm25_index_compact(spark, bp)
+        ann_index_compact(spark, ap)
+        for t, k in ((f"{bp}_doclen", "doc_id"), (f"{ap}_codes", "vec_id")):
+            d = (
+                spark.table(t)
+                .groupBy(k)
+                .count()
+                .where(F.col("count") > 1)
+                .count()
+            )
+            assert d == 0, f"{t}: {d} keys kept >1 version post-compaction"
+        assert spark.table(f"{bp}_tombstones").count() == 0
+        assert spark.table(f"{ap}_tombstones").count() == 0
+        rows = hybrid_index_search(spark, emb, bp, ap).collect()
+        assert rows == pre, "compaction changed the fused ranking"
+    finally:
+        for t in ("postings", "doclen", "stats", "positions", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {bp}_{t}")
+        for t in ("centroids", "codebooks", "codes", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {ap}_{t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id bigint, lex_rank int, vec_rank int, rrf_score bigint,"
+        " rnk int",
+    )
+
+
+# ---- revised-corpus oracle fragments (string surgery on the inline
+# oracles, each replacement asserted to have taken — the established
+# pattern of the per-family reupsert oracles) ----
+
+# BM25 tables over the revised corpus; the one-row scalars stay frozen
+# over the ORIGINAL corpus (build predates the revision).
+_DUCK_BM25_TABLES_RE = f"""
+corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {HYB_RE_MOD} = {HYB_RE_REM}
+                THEN text || ' ' || text ELSE text END AS text
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM corpus
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM (
+        SELECT doc_id, COUNT(*) AS dl
+        FROM (SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS token
+              FROM documents)
+        GROUP BY doc_id
+    )
+)
+"""
+
+# Vector base, the ann family's revised-corpus pattern: ``base`` (the
+# alias every downstream CTE reads) becomes the REVISED vectors — what
+# the index holds after the re-upsert, latest version per id — so codes
+# and list assignment follow it for free; the quantizer samples and the
+# query rows are re-pointed at ``orig``. Negation preserves the norm,
+# so nrm carries over unchanged.
+_DUCK_ANN_RE = f"""orig AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+base AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % {HYB_RE_MOD} = {HYB_RE_REM}
+                THEN list_transform(v, x -> -x) ELSE v END AS v,
+           nrm
+    FROM orig
+)"""
+
+_CB_FROM_BASE = f"""FROM base, UNNEST(generate_series(0, {PQ_SLOTS - 1})) AS g(s)
+    WHERE vec_id % {PQ_MOD} = s"""
+_CENTS_LINE = (
+    "cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn"
+    " FROM base WHERE vec_id % 25 = 0)"
+)
+_Q_LINE = "q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base WHERE vec_id < 8)"
+for _frag in (_CB_FROM_BASE, _CENTS_LINE, _Q_LINE):
+    assert _shortlist_sql.count(_frag) == 1, _frag
+
+_shortlist_sql_re = (
+    _shortlist_sql
+    .replace(_DUCK_BASE.strip(), _DUCK_ANN_RE.strip(), 1)
+    # quantizer samples and query rows: the original vectors
+    .replace(_CB_FROM_BASE, _CB_FROM_BASE.replace("base", "orig"), 1)
+    .replace(_CENTS_LINE, _CENTS_LINE.replace("FROM base", "FROM orig"), 1)
+    .replace(_Q_LINE, _Q_LINE.replace("FROM base", "FROM orig"), 1)
+)
+assert "FROM orig" in _shortlist_sql_re
+# the only remaining readers of ``base`` are codes' slot decomposition
+# and the list assignment — the two serving surfaces the index rewrites
+assert _shortlist_sql_re.count("FROM base") == 2
+
+_ORACLE_HYBRID_REUPSERT = _ORACLE_HYBRID_INDEX.replace(
+    _DUCK_BM25_TABLES, _DUCK_BM25_TABLES_RE, 1
+).replace(_shortlist_sql, _shortlist_sql_re, 1)
+assert _DUCK_BM25_TABLES_RE in _ORACLE_HYBRID_REUPSERT
+assert _shortlist_sql_re in _ORACLE_HYBRID_REUPSERT
+# the exact rerank and the probe's query vector read the raw corpus
+# table on both sides — eb stays FROM embeddings
+assert "FROM embeddings" in _ORACLE_HYBRID_REUPSERT
+
+
 def serving_plans(spark: SparkSession, sf_dir: str):
     """Plan-audit hook: the registered wrapper collects internally for
     scratch cleanup; expose the real LAZY hybrid plan over prebuilt
@@ -1205,6 +1367,7 @@ LIFECYCLE_WRITE = {
     "hybrid_index_repair",
     "hybrid_index_autopilot",
     "hybrid_index_autopilot_guarded",
+    "hybrid_index_reupsert",
     "streaming_hybrid_ingest",
     "streaming_hybrid_maintained",
 }
@@ -1212,6 +1375,7 @@ LIFECYCLE_WRITE = {
 
 QUERIES = {
     "hybrid_index_search": q_hybrid_index_search,
+    "hybrid_index_reupsert": q_hybrid_index_reupsert,
     "hybrid_index_parity": q_hybrid_index_parity,
     "hybrid_index_repair": q_hybrid_index_repair,
     "hybrid_index_autopilot": q_hybrid_index_autopilot,
@@ -1222,6 +1386,9 @@ QUERIES = {
 
 ORACLES = {
     "hybrid_index_search": _ORACLE_HYBRID_INDEX,
+    # both legs over the revised corpus, artifacts build-frozen over
+    # the original — the composed replace-semantics gate
+    "hybrid_index_reupsert": _ORACLE_HYBRID_REUPSERT,
     "hybrid_index_parity": _ORACLE_HYBRID_PARITY,
     "hybrid_index_repair": _ORACLE_HYBRID_REPAIR,
     # the cross-index ops cycle ends in the repaired state — shared

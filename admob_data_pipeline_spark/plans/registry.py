@@ -485,6 +485,7 @@ FRESH_FIRST: tuple[str, ...] = (
     "streaming_hybrid_maintained",
     "streaming_dedup_maintained",
     "streaming_ann_maintained",
+    "hybrid_index_reupsert",
     "dedup_index_reupsert",
     "ann_index_reupsert",
     "bm25_index_reupsert",
