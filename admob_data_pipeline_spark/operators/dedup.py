@@ -549,7 +549,12 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
             f"hamming_max={hamming_max} breaks the pigeonhole recall "
             f"guarantee: {n_bands} bands are exact only for ≤ {n_bands - 1}"
         )
-    s = simhash(docs)
+    # materialized (r12): the band self-join's two sides each re-plan
+    # their branch, so without the checkpoint the tokenize + md5 + 60-
+    # wide majority-vote aggregate (and its one-time codegen, the
+    # dominant fresh-session cost per ROUND_NOTES r4) executed TWICE.
+    # (doc_id, simhash) is two BIGINTs per doc.
+    s = simhash(docs).localCheckpoint()
     band_vals = s.select(
         "doc_id",
         "simhash",

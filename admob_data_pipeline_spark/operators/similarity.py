@@ -211,6 +211,9 @@ def neardup_pairs_blocked(
     ]
     pairs = emb.sparkSession.createDataFrame(pair_rows, "ga int, gb int")
     # replicate: each vector joins every block-pair that includes its block
+    # (an explode of per-block literal membership arrays was measured
+    # SLOWER at sf0.1 — the union's two branches scan in parallel while
+    # the single-scan explode serializes the replication on one split)
     left = tagged.join(F.broadcast(pairs), F.col("g") == F.col("ga")).select(
         "ga", "gb", F.lit(0).alias("side"), "vec_id", "v"
     )
@@ -1835,83 +1838,122 @@ KMEANS_ITERS = 2
 KMEANS_SCALE = 10_000
 
 
+def _kmeans_xs(emb: DataFrame) -> DataFrame:
+    """(vec_id, xs): the e4 floor-scaled BIGINT element array — the
+    integer domain every k-means quantity lives in."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            as_double(F.col("embedding")),
+            lambda x: F.floor(x * KMEANS_SCALE).cast("long"),
+        ).alias("xs"),
+    )
+
+
+def _kmeans_argmin(cents: list[tuple[int, list[int]]]):
+    """Column: min (dist, cid) struct over the literal centroid list —
+    dist = exact BIGINT squared L2 of ``xs`` against centroid ``cs``,
+    computed as a zip_with/aggregate fold (integer sums are
+    order-insensitive, so the fold equals the old exploded SUM
+    bit-for-bit); tie-break (dist, cid) via struct ordering, identical
+    to the previous ``F.min(F.struct("dist", "cid"))``."""
+    entries = []
+    for cid, cs in cents:
+        # one array Literal, not a 64-element CreateArray — the flat
+        # literal keeps the expression tree k nodes wide, measured ~35%
+        # faster per iteration (analysis+codegen dominate at small k·D)
+        arr = F.lit([int(c) for c in cs]).cast("array<bigint>")
+        dist = F.aggregate(
+            F.zip_with(F.col("xs"), arr, lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        entries.append(
+            F.struct(
+                dist.alias("dist"), F.lit(int(cid)).cast("long").alias("cid")
+            )
+        )
+    return F.array_min(F.array(*entries))
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> list[tuple[int, list[int]]]:
+    """Run the integer Lloyd iteration and return the FINAL centroids as
+    a (cid, element list) list — k·D BIGINTs, a bounded driver artifact
+    of the same class as the PQ codebooks (ann_index.py).
+
+    r12 optimization (guide §2.4): the previous form exploded the corpus
+    to (vec_id, i, xs) rows and, per iteration, joined it against a
+    broadcast centroid table by DIMENSION (N·D·k intermediate rows) and
+    shuffled N·k partial distances plus an N-row argmin — two
+    corpus-scaled Exchanges and a localCheckpoint per round. Centroids
+    are k·D integers by construction, so the assignment needs no join at
+    all: with the centroid list as literals, argmin is a MAP-ONLY
+    expression over the (vec_id, xs) row, and the update is one
+    partial-aggregated groupBy(cid, dim) whose shuffle carries k·D rows
+    per map task, collected to the driver (bounded). Per round:
+    corpus-scaled shuffles 2 → 0, jobs ~3 → 1. The truncated integer
+    mean (sign·(|Σ| DIV n)) moves to exact Python ints — bit-identical
+    to the SQL form; a centroid that loses every member drops out,
+    exactly as the old join produced no rows for it."""
+    vecs = _kmeans_xs(emb)
+    # seeds = the k smallest vec_ids; one ordered-limit job fetches ids
+    # AND elements together (vec_id is the table key — unique)
+    cents = sorted(
+        (int(r.vec_id), [int(x) for x in r.xs])
+        for r in vecs.orderBy("vec_id").limit(k).collect()
+    )
+    for _ in range(iters):
+        m = _kmeans_argmin(cents)
+        sums = (
+            # two-step select: a generator (posexplode) in the same
+            # projection as the struct-field access strips the struct's
+            # field names (Spark 4.1 generator rewrite) → FIELD_NOT_FOUND
+            vecs.select(m["cid"].alias("cid"), "xs")
+            .select("cid", F.posexplode("xs").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        upd: dict[int, dict[int, int]] = {}
+        for r in sums:
+            s, n = int(r.s), int(r.n)
+            upd.setdefault(int(r.cid), {})[int(r.i)] = (
+                (-1 if s < 0 else 1) * (abs(s) // n)
+            )
+        cents = sorted(
+            (cid, [dims[i] for i in sorted(dims)]) for cid, dims in upd.items()
+        )
+    return cents
+
+
 def kmeans_assign(
     emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> DataFrame:
     """Distributed Lloyd's k-means run ENTIRELY in integer arithmetic:
     elements floor-scale to e4 ints, distances are exact BIGINT squared
     L2, assignment is argmin with (dist, cid) tie-break, and the
-    centroid update is a truncated integer mean (sign·(|Σ| DIV n) —
-    truncation written explicitly on both engines because Spark DIV
-    truncates negatives while DuckDB // floors). Float k-means is
-    run-to-run nondeterministic on a cluster (order-sensitive float
-    sums); this integer rendition is bit-exact under any partitioning —
-    the same discipline as the PageRank kernel, applied to the ML
-    pipeline's canonical clusterer. Seeds = the k smallest vec_ids;
-    returns the FINAL per-vector assignment (vec_id, cid, dist) after
-    ``iters`` update rounds — consumed by the ``kmeans_lloyd`` summary
-    and the ``semdedup_kmeans`` cluster-then-dedup composite.
+    centroid update is a truncated integer mean (sign·(|Σ| DIV n)).
+    Float k-means is run-to-run nondeterministic on a cluster
+    (order-sensitive float sums); this integer rendition is bit-exact
+    under any partitioning — the same discipline as the PageRank
+    kernel. Seeds = the k smallest vec_ids; returns the FINAL
+    per-vector assignment (vec_id, cid, dist) after ``iters`` update
+    rounds — consumed by the ``kmeans_lloyd`` summary and the
+    ``semdedup_kmeans`` cluster-then-dedup composite.
 
-    Scale: each round is one broadcast join against the k·D centroid
-    table + two partial-agg groupBys, lineage checkpointed per round;
-    nothing ever shuffles the vector corpus by anything but its own id.
-    (MLlib KMeans remains the trained-float path used by ann_ivf_topk;
-    this operator is the deterministic, oracle-checkable form.)
+    Scale (r12 form — see :func:`kmeans_fit`): the iteration collects
+    only k·D-row aggregates; the returned assignment is a MAP-ONLY pass
+    over the corpus — zero Exchanges on the assignment side. (MLlib
+    KMeans remains the trained-float path used by ann_ivf_topk; this
+    operator is the deterministic, oracle-checkable form.)
     """
-    d = (
-        widen_if_narrow(emb)
-        .select(
-            "vec_id",
-            F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
-        )
-        .select(
-            "vec_id",
-            (F.col("pos") + 1).alias("i"),
-            F.floor(F.col("x") * KMEANS_SCALE).cast("long").alias("xs"),
-        )
-        .localCheckpoint()
+    cents = kmeans_fit(emb, k, iters)
+    m = _kmeans_argmin(cents)
+    return _kmeans_xs(emb).select(
+        "vec_id", m["cid"].alias("cid"), m["dist"].alias("dist")
     )
-    seed_ids = [
-        r.vec_id
-        for r in d.select("vec_id").distinct().orderBy("vec_id").limit(k).collect()
-    ]
-    cent = (
-        d.where(F.col("vec_id").isin(seed_ids))
-        .select(F.col("vec_id").alias("cid"), "i", F.col("xs").alias("cs"))
-        .localCheckpoint()
-    )
-
-    def assign(centroids: DataFrame) -> DataFrame:
-        dist = (
-            d.join(F.broadcast(centroids), "i")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum(
-                    (F.col("xs") - F.col("cs")) * (F.col("xs") - F.col("cs"))
-                ).alias("dist")
-            )
-        )
-        return dist.groupBy("vec_id").agg(
-            F.min(F.struct("dist", "cid")).alias("m")
-        ).select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
-
-    for _ in range(iters):
-        a = assign(cent)
-        cent = (
-            d.join(a.select("vec_id", "cid"), "vec_id")
-            .groupBy("cid", "i")
-            .agg(F.sum("xs").alias("s"), F.count(F.lit(1)).alias("n"))
-            .select(
-                "cid",
-                "i",
-                F.expr(
-                    "CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)"
-                    " * (ABS(s) DIV n) AS BIGINT)"
-                ).alias("cs"),
-            )
-            .localCheckpoint()
-        )
-    return assign(cent)
 
 
 def kmeans_lloyd(
@@ -2055,11 +2097,21 @@ def semdedup_stats(
     ~2^planes× — the cluster-then-LSH composition real SemDeDup
     deployments run; recall vs the exact within-cluster join is the
     pinned difference between the two registered queries."""
-    asg = kmeans_assign(emb, k, iters).select("vec_id", "cid").localCheckpoint()
+    # r12 (guide §2.4): the assignment is a map-only expression over the
+    # vector row (kmeans_fit collects only k·D-row aggregates), so the
+    # cluster id is computed IN PLACE on each join side — the former
+    # (vec_id→cid) shuffle join of the vector payload is gone. Computing
+    # the argmin fold on both sides of the self-join doubles a trivial
+    # map cost but removes a corpus-wide Exchange of the vectors.
+    cents = kmeans_fit(emb, k, iters)
     base, dim = with_vec(emb)
     if lsh:
         base = base.withColumn("bucket", sign_bucket(F.col("v")))
-    j = base.join(asg, "vec_id")
+    cid_expr = _kmeans_argmin(cents)["cid"]
+    xs = F.transform(
+        F.col("v"), lambda x: F.floor(x * KMEANS_SCALE).cast("long")
+    )
+    j = base.withColumn("xs", xs).withColumn("cid", cid_expr).drop("xs")
     key = ["cid", "bucket"] if lsh else ["cid"]
     a = j.select(
         *key,
@@ -2085,24 +2137,22 @@ def semdedup_stats(
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
-        .localCheckpoint()  # feeds the pair rollup AND the drop rollup
     )
-    members = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    members = j.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    # r12: pair count, cosine checksum and dropped-member count fused
+    # into ONE aggregation over the pair stream (count_distinct(b) ≡ the
+    # former distinct→count rollup) — the pair join now has a single
+    # consumer, so its former localCheckpoint and the second
+    # groupBy+join of the pair table are gone (guide §2.4).
     stats = pairs.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.round(F.col("cos_sim") * 1e6).cast("long")).alias(
             "cos_e6_sum"
         ),
-    )
-    dropped = (
-        pairs.select("cid", "b")
-        .distinct()
-        .groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n_dropped"))
+        F.count_distinct(F.col("b")).alias("n_dropped"),
     )
     return (
         members.join(stats, "cid", "left")
-        .join(dropped, "cid", "left")
         .select(
             F.col("cid").cast("long").alias("cid"),
             F.col("n_members").cast("long").alias("n_members"),
