@@ -62,7 +62,14 @@ def decontaminate(
     output is a full audit table, not just the kill list.
     """
     train_grams = _doc_ngrams(docs, n, text_col)
-    bench_grams = _doc_ngrams(benchmark, n, text_col).select("gram").distinct()
+    # materialized (r12): join_small's broadcast-safety count and the
+    # broadcast build itself each re-ran the benchmark explode+distinct;
+    # the checkpoint computes it once (benchmark gram set — tiny by the
+    # operator's own contract)
+    bench_grams = (
+        _doc_ngrams(benchmark, n, text_col).select("gram").distinct()
+        .localCheckpoint()
+    )
     hits = (
         join_small(train_grams, bench_grams, "gram")
         .groupBy("doc_id")

@@ -143,26 +143,35 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     overhead — not per-materialization overhead — dominates tiny rounds.
     See ROUND_NOTES r5.)
 
-    Scale: identical round shape to pagerank (join on vertex key +
-    min-aggregate, lineage truncated per round); min() is
-    order-insensitive so no float discipline is needed."""
-    adj = _adjacency(edges).localCheckpoint()
+    Scale: min() is order-insensitive so no float discipline is needed.
+    r12 round shape (guide §2.4): the adjacency is hash-partitioned on
+    ``src`` ONCE and cached — InMemoryRelation preserves its
+    outputPartitioning, so the per-round join never re-shuffles the
+    edge list (the former checkpointed adjacency re-exchanged every
+    round: ExistingRDD reports unknown partitioning). The round itself
+    is join → unionByName(self rows) → ONE groupBy: new lbl =
+    min(own, neighbor mins) falls out of the aggregate and the
+    previous label rides along as max(marker) (the self row's lbl), so
+    the old second left-join of labels onto neighbor_min is gone —
+    one aggregate Exchange per round instead of join+agg+join."""
+    adj = _adjacency(edges).repartition("src").cache()
     labels = adj.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     ).localCheckpoint()
     for _ in range(max_iters):
-        neighbor_min = (
-            adj.join(labels, adj.src == labels.node)
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(F.min("lbl").alias("nlbl"))
+        propagate = adj.join(labels, adj.src == labels.node).select(
+            F.col("dst").alias("node"), "lbl", F.lit(None).cast("long").alias("marker")
         )
+        own = labels.select("node", "lbl", F.col("lbl").alias("marker"))
+        # per-round localCheckpoint is LOAD-BEARING: each round references
+        # ``labels`` twice (propagate + own), so without eager truncation
+        # the logical plan doubles per round — analysis/planning goes
+        # exponential (measured: heap OOM building the round-15 tree
+        # string under cache(), which does not truncate lineage)
         new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.col("lbl").alias("prev"),
-                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
-            )
+            propagate.unionByName(own)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"), F.max("marker").alias("prev"))
             .localCheckpoint()
         )
         changed = new_labels.where(F.col("lbl") != F.col("prev")).count()
@@ -177,6 +186,9 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
             f"connected_components: {changed} labels still changing after "
             f"{max_iters} rounds; raise max_iters for this graph's diameter"
         )
+    # labels is already checkpoint-backed (round truncation); release
+    # the adjacency cache so repeated invocations don't accumulate it
+    adj.unpersist()
     return labels
 
 
@@ -906,12 +918,15 @@ def recsys_hitrate(
     ).unionByName(
         pair_supp.select(F.col("y").alias("ante"), F.col("x").alias("cons"), "s_ab")
     )
+    # rules has exactly ONE consumer (the candidate join) — no
+    # checkpoint: materializing it eagerly only added a sequential job
+    # and a lineage cut AQE could not plan across (r12)
     rules = directed.join(
         item_supp.select(F.col("l_partkey").alias("ante"), F.col("s").alias("s_a")),
         "ante",
     ).select(
         "ante", "cons", F.expr("s_ab * 1000000 DIV s_a").alias("conf_ppm")
-    ).localCheckpoint()
+    )
     # candidates: best-confidence rule per (user, unseen cons)
     cand = (
         train_ui.join(rules, train_ui.item == rules.ante)

@@ -179,6 +179,10 @@ def neardup_pairs(
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
+        # pin before the global sort: orderBy's range-sampling job would
+        # otherwise re-run the post-shuffle cosine-fold segment (see
+        # neardup_pairs_blocked); survivors are the bounded report
+        .localCheckpoint()
         .orderBy("a", "b")
     )
 
@@ -263,9 +267,16 @@ def neardup_pairs_blocked(
     scored = replicated.groupBy("ga", "gb").applyInPandas(
         block_cosines, schema="a bigint, b bigint, cos_raw double"
     )
+    # r12: materialize the thresholded pairs BEFORE the global sort —
+    # orderBy's RangePartitioner runs a separate sampling job over its
+    # child, and here the post-shuffle child segment IS the pandas
+    # kernel, so without the checkpoint every block-cosine matrix was
+    # computed twice (sample pass + sort pass). The surviving pairs are
+    # the near-dup report — bounded output, cheap to pin.
     return (
         scored.select("a", "b", F.round("cos_raw", 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
+        .localCheckpoint()
         .orderBy("a", "b")
     )
 
@@ -307,7 +318,9 @@ def assign_lists(base: DataFrame, cents: DataFrame) -> DataFrame:
     so the argmax (raw cosine DESC, cid ASC on exact ties) is bit-identical
     to the SQL oracle's ROW_NUMBER ordering.
     """
-    cent_rows = cents.orderBy("cid").collect()
+    cent_rows = (
+        cents if isinstance(cents, list) else cents.orderBy("cid").collect()
+    )
     cent_ids = [int(r["cid"]) for r in cent_rows]
     cent_mat = [list(r["cv"]) for r in cent_rows]
 
