@@ -95,36 +95,48 @@ def pagerank(
     engines and shuffle orders. Undirected adjacency has no dangling
     nodes (every node has degree ≥ 1), so no dangling-mass term.
 
-    Scale: per iteration one shuffle to join ranks onto adjacency (both
-    partitioned by the vertex key — AQE keeps the exchange reused across
-    rounds where sizes allow) and one partial-aggregated groupBy SUM;
-    per-round ``localCheckpoint`` truncates lineage so round k's plan
-    does not replay rounds 1..k-1."""
+    Scale (r12 round shape, guide §2.4): the adjacency+degree table is
+    hash-partitioned on ``src`` ONCE and cached — InMemoryRelation
+    preserves its outputPartitioning, so the per-round join re-shuffles
+    only the rank table, never the edge list. The zero-contribution
+    completion (nodes no in-edge contribution reaches this round) is a
+    ``unionByName`` of (node, 0) rows folded into the SAME aggregate
+    that sums contributions — sum(0 + contribs) ≡ coalesce(s, 0) — so
+    the old per-round second left join of ``nodes`` onto the summed
+    contributions is gone: one aggregate Exchange per round. Per-round
+    ``localCheckpoint`` truncates lineage so round k's plan does not
+    replay rounds 1..k-1."""
     adj = _adjacency(edges)
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # adjacency+degree feeds every round: materialize once
-    adj_deg = adj.join(deg, "src").localCheckpoint()
+    # adjacency+degree feeds every round: materialize once, pre-
+    # partitioned on the join key
+    adj_deg = adj.join(deg, "src").repartition("src").cache()
     nodes = deg.select(F.col("src").alias("node")).localCheckpoint()
     n = nodes.count()
     base = scale // n
     teleport = (100 - damp_pct) * base // 100
     ranks = nodes.select("node", F.lit(base).cast("long").alias("r"))
+    zero = nodes.select(
+        F.col("node").alias("dst"), F.lit(0).cast("long").alias("c")
+    )
     for _ in range(iters):
         contrib = adj_deg.join(
             ranks, adj_deg.src == ranks.node
         ).select(F.col("dst"), F.expr("r DIV deg").alias("c"))
-        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = (
-            nodes.join(summed, nodes.node == summed.dst, "left")
+            contrib.unionByName(zero)
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
             .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(f"{damp_pct} * coalesce(s, 0L) DIV 100")
-                ).cast("long").alias("r"),
+                F.col("dst").alias("node"),
+                (F.lit(teleport) + F.expr(f"{damp_pct} * s DIV 100"))
+                .cast("long").alias("r"),
             )
-            .localCheckpoint()
+            # lazy: materializes inside the NEXT round's broadcast
+            # build (or the final sort) — one fewer job per round
+            .localCheckpoint(eager=False)
         )
+    adj_deg.unpersist()
     return ranks.select(F.col("node"), F.col("r").alias("rank_e12")).orderBy(
         F.desc("rank_e12"), "node"
     )
@@ -168,11 +180,35 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         # the logical plan doubles per round — analysis/planning goes
         # exponential (measured: heap OOM building the round-15 tree
         # string under cache(), which does not truncate lineage)
-        new_labels = (
+        agg = (
             propagate.unionByName(own)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"), F.max("marker").alias("prev"))
-            .localCheckpoint()
+        )
+        # POINTER JUMP (r12): relabel through the previous round's label
+        # table — every lbl value is itself a node id, so old_lbl(lbl)
+        # is a labels lookup that shortcuts label chains exponentially
+        # (O(log diameter) rounds instead of O(diameter); the mutual-kNN
+        # graph at sf0.1 needs 12 plain rounds, 7 with the jump). The
+        # jump only ever LOWERS a label (old_lbl(x) ≤ x invariant), so
+        # the fixpoint is unchanged: changed==0 forces the jump to be
+        # the identity AND the propagation to be stable, which makes
+        # labels per-component constant = the component min, exactly as
+        # before. Left join + coalesce is defensive (lbl values are
+        # always node ids); at cluster scale a converged component's
+        # rows share one lbl key — AQE skew-join splits that partition.
+        new_labels = (
+            agg.join(
+                labels.select(
+                    F.col("node").alias("lbl"), F.col("lbl").alias("jlbl")
+                ),
+                "lbl",
+                "left",
+            )
+            .select("node", F.coalesce("jlbl", "lbl").alias("lbl"), "prev")
+            # lazy: the changed-count below is the materializing action
+            # — checkpoint+count share ONE job per round
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.where(F.col("lbl") != F.col("prev")).count()
         labels = new_labels.select("node", "lbl")
@@ -1313,19 +1349,28 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     thing a distributed correctness gate cannot allow. Output is the
     community audit: label, member count.
 
-    Scale: per round one shuffle to join labels onto the adjacency
-    (vertex-keyed, same shape as pagerank's contribution join) and one
-    partial-aggregated (node, label) count; per-round localCheckpoint
-    truncates lineage. Communities emerge in O(diameter) rounds on the
+    Scale (r12 round shape, guide §2.4): the adjacency is
+    hash-partitioned on ``dst`` ONCE and cached, so the per-round label
+    join re-shuffles only the label table, never the edge list. The
+    neighbor-label rows are then repartitioned on ``src`` alone —
+    HashPartitioning(src) satisfies the clustering requirement of BOTH
+    the (src, lbl) count and the per-src argmax aggregate, so the two
+    groupBys share that single Exchange (the old shape paid one
+    Exchange per aggregate). Per-round localCheckpoint truncates
+    lineage. Communities emerge in O(diameter) rounds on the
     support-filtered co-purchase graph."""
-    adj = _adjacency(edges).localCheckpoint()
+    adj = _adjacency(edges).repartition("dst").cache()
     nodes = adj.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("lbl"))
     for _ in range(rounds):
         nbr = adj.join(labels, adj.dst == labels.node).select(
             "src", "lbl"
         )
-        cnt = nbr.groupBy("src", "lbl").agg(F.count(F.lit(1)).alias("n"))
+        cnt = (
+            nbr.repartition("src")
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
         labels = (
             cnt.groupBy("src")
             .agg(
@@ -1336,8 +1381,11 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
                 ).alias("m")
             )
             .select(F.col("src").alias("node"), F.col("m.lbl").alias("lbl"))
-            .localCheckpoint()
+            # lazy: materializes inside the next round's label join
+            .localCheckpoint(eager=False)
         )
+    # labels is checkpoint-backed; release the cached adjacency
+    adj.unpersist()
     return (
         labels.groupBy("lbl")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
