@@ -1160,29 +1160,57 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     from admob_data_pipeline_spark.operators.similarity import topk_bruteforce
 
+    spark = docs.sparkSession
     tf = _bm25_tf(docs, "text")
-    # probe's own term rows (tiny) → its top BM25 terms = the query
-    ptf = tf.where(F.col("doc_id") == HYBRID_PROBE).localCheckpoint()
-    df_t = (
-        tf.join(F.broadcast(ptf.select("token")), "token", "left_semi")
+    # r12 (guide §1/§2.4): the probe-side artifacts are all BOUNDED —
+    # one document's term rows, the per-probe-token dfs, the 1-row
+    # corpus scalars (same driver-artifact class as the PQ codebooks).
+    # Collect them and score the probe terms over a LITERAL frame
+    # instead of the former window + two broadcast joins + crossJoin
+    # over the checkpointed tf: the jobs drop from 8 (ptf checkpoint +
+    # broadcast builds) to 3 collects + one tiny local scoring job, and
+    # the posting cut becomes a map-only isin. Engine parity: dl is an
+    # exact integer sum, df/n_docs exact counts, and the float BM25
+    # selection still evaluates _bm25_score in the JVM on the identical
+    # values, so the picked terms cannot drift from the oracle's.
+    ptf_rows = tf.where(F.col("doc_id") == HYBRID_PROBE).collect()
+    probe_tokens = [r["token"] for r in ptf_rows]
+    dl_probe = sum(int(r["tf"]) for r in ptf_rows)
+    df_rows = (
+        tf.where(F.col("token").isin(probe_tokens))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
     )
-    qscored = (
-        ptf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
-        .join(F.broadcast(df_t), "token")
-        .crossJoin(F.broadcast(_bm25_stats(tf)))
-        .select("token", _bm25_score(BM25_K1, BM25_B).alias("s"))
-    )
-    qterms = (
-        qscored.orderBy(F.desc("s"), "token")
+    df_map = {r["token"]: int(r["df"]) for r in df_rows}
+    st = _bm25_stats(tf).collect()[0]
+    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    qscored = spark.createDataFrame(
+        [
+            (r["token"], int(r["tf"]), dl_probe, df_map[r["token"]], n_docs, avgdl)
+            for r in ptf_rows
+        ],
+        "token string, tf long, dl long, df long, n_docs long, avgdl double",
+    ).select("token", _bm25_score(BM25_K1, BM25_B).alias("s"))
+    qterm_list = [
+        r["token"]
+        for r in qscored.orderBy(F.desc("s"), "token")
         .limit(HYBRID_QTERMS)
         .select("token")
-        .localCheckpoint()
+        .collect()
+    ]
+    postings = tf.where(F.col("token").isin(qterm_list))
+    stats_lit = spark.createDataFrame(
+        [(n_docs, avgdl)], "n_docs long, avgdl double"
     )
-    postings = tf.join(F.broadcast(qterms), "token", "left_semi").localCheckpoint()
     lex = _bm25_rank_postings(
-        tf, postings, RRF_POOL, BM25_K1, BM25_B, exclude_doc=HYBRID_PROBE
+        tf,
+        postings,
+        RRF_POOL,
+        BM25_K1,
+        BM25_B,
+        exclude_doc=HYBRID_PROBE,
+        stats=stats_lit,  # literal 1-row frame: no re-aggregation of tf
     ).select("doc_id", F.col("rnk").alias("lex_rank"))
     vec = topk_bruteforce(emb, [HYBRID_PROBE], k=RRF_POOL).select(
         F.col("vec_id").alias("doc_id"), F.col("rank").cast("int").alias("vec_rank")
