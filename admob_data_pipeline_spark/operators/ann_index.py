@@ -315,7 +315,18 @@ def ann_index_search(
 
     qbase, dim = with_vec(emb)
     sub = dim // m
-    q = qbase.where(F.col("vec_id").isin(query_ids)).select(
+    # r12 (guide §1.2/§2.4/§5): every per-query artifact — the probe
+    # selection (|Q|·nprobe pairs) and the ADC LUT (|Q|·m·kc exact
+    # integer cells) — is bounded by the query batch, so evaluate both
+    # in ONE Spark job (a tagged union over the same point-lookup scan;
+    # all float math stays in JVM expressions, so the values are
+    # bit-identical to the former all-DataFrame form) and collect that
+    # union once. The serving query then joins a LITERAL probe table
+    # and sums literal map lookups: the codes scan takes an IN-list
+    # filter (file/bucket pruning), there is no per-slot broadcast
+    # build, and ``emb`` is scanned exactly once instead of once per
+    # broadcast job.
+    qf = qbase.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
@@ -327,21 +338,95 @@ def ann_index_search(
     )
     w_probe = Window.partitionBy("qid").orderBy(F.desc("csim"), F.col("cid"))
     probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select("qid", "qv", "cid", raw_q_cos.alias("csim"))
+        qf.crossJoin(F.broadcast(cents))
+        .select("qid", "cid", raw_q_cos.alias("csim"))
         .withColumn("rn", F.row_number().over(w_probe))
         .where(F.col("rn") <= nprobe)
-        .select("qid", F.col("cid").alias("list_id"))
+        .select(
+            F.lit(0).alias("tag"),
+            "qid",
+            F.col("cid").cast("long").alias("x"),
+            F.lit(None).cast("long").alias("y"),
+        )
     )
-    # candidate cut: sort-merge on list_id — the bucketed code table
-    # side needs NO Exchange and NO Sort (bucketBy+sortBy at ingest);
-    # only the tiny probe side shuffles into the bucket layout
+    # per-query LUT: |Q|·m·kc exact-integer cells (floor-scaled BEFORE
+    # summation, same as the inline path); s/code packed into one long
+    _STRIDE = 1 << 20
+    qslots = qf.select(
+        "qid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("qv", s * sub + 1, sub).alias("qsv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("qid", "e.s", "e.qsv")
+    lut = qslots.join(F.broadcast(cb_df), "s").select(
+        F.lit(1).alias("tag"),
+        "qid",
+        (F.col("s").cast("long") * F.lit(_STRIDE) + F.col("code")).alias("x"),
+        F.floor(
+            (
+                (
+                    dot(F.col("qsv"), F.col("qsv"))
+                    - 2 * dot(F.col("qsv"), F.col("cv"))
+                )
+                + dot(F.col("cv"), F.col("cv"))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    art = probes.unionByName(lut).collect()
+
     tomb = spark.table(f"{table_prefix}_tombstones")
     if as_of_epoch is not None:
         tomb = tomb.where(F.col("deleted_at_epoch") <= int(as_of_epoch))
+
+    if not art:
+        # no query vectors matched: emit the same empty
+        # (qid, vec_id, adc_e6, rank) shape the non-empty path produces
+        empty = codes.where(F.lit(False)).select(
+            F.lit(None).cast("long").alias("qid"),
+            "vec_id",
+            F.lit(None).cast("long").alias("adc_e6"),
+        )
+        w0 = Window.partitionBy("qid").orderBy(F.asc("adc_e6"), F.asc("vec_id"))
+        return (
+            empty.withColumn("rank", F.row_number().over(w0))
+            .where(F.col("rank") <= k)
+            .orderBy("qid", "rank")
+        )
+
+    probe_pairs = sorted(
+        (int(r["qid"]), int(r["x"])) for r in art if r["tag"] == 0
+    )
+    lut_cells = [r for r in art if r["tag"] == 1]
+    kc = 1 + max(int(r["x"]) % _STRIDE for r in lut_cells)
+    slot_maps: list[dict] = [{} for _ in range(m)]
+    for r in lut_cells:
+        s, code = divmod(int(r["x"]), _STRIDE)
+        slot_maps[s][int(r["qid"]) * kc + code] = int(r["y"])
+
+    probes_lit = spark.createDataFrame(
+        [(lid, qid) for qid, lid in probe_pairs], "list_id long, qid long"
+    )
+    probe_lists = sorted({lid for _, lid in probe_pairs})
+    # candidate cut: IN-list filter prunes the bucketed codes scan to
+    # the probed lists, then a broadcast join of the literal
+    # (list_id, qid) pairs fans each surviving row out to its queries —
+    # zero Exchange and zero Sort on the corpus side, and no shuffle of
+    # the probe side either (vs the former merge join, which exchanged
+    # the probe frame into the bucket layout)
     cand = (
-        codes.hint("merge")
-        .join(probes, "list_id")
+        codes.where(F.col("list_id").isin(probe_lists))
+        .join(F.broadcast(probes_lit), "list_id")
         .where(F.col("vec_id") != F.col("qid"))
         # logical deletes AND superseded versions: the tombstone join is
         # EPOCH-AWARE — a tombstone stamped e kills only rows ingested
@@ -364,55 +449,24 @@ def ann_index_search(
         )
         .select("qid", "vec_id", *[f"c{s}" for s in range(m)])
     )
-    # per-query LUT: |Q|·m·kc exact-integer cells (floor-scaled BEFORE
-    # summation, same as the inline path)
-    qslots = q.select(
-        "qid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("qv", s * sub + 1, sub).alias("qsv"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("e"),
-    ).select("qid", "e.s", "e.qsv")
-    lut = qslots.join(F.broadcast(cb_df), "s").select(
-        "qid",
-        "s",
-        "code",
-        F.floor(
-            (
-                (
-                    dot(F.col("qsv"), F.col("qsv"))
-                    - 2 * dot(F.col("qsv"), F.col("cv"))
-                )
-                + dot(F.col("cv"), F.col("cv"))
-            )
-            * 1e6
-        )
-        .cast("long")
-        .alias("d_e6"),
-    )
-    # ADC = m broadcast lookups summed MAP-SIDE: the wide code layout
-    # means no explode and no groupBy shuffle (the inline path unpivots
-    # to code_long and pays a per-(qid,vec_id) aggregation Exchange;
-    # here the m addends sit on one row already)
-    adc = cand
+    # ADC = m literal-map lookups summed MAP-SIDE: one F.expr per slot
+    # (building the maps from individual F.lit Column objects costs
+    # ~2·|Q|·kc py4j round-trips — ~1 s of driver time at |Q|=8;
+    # a single SQL string per slot is one call). kc comes from the
+    # persisted codebook table, so coverage of every (qid, code) key is
+    # structural; element_at on a covered key can never yield NULL.
+    d_cols = []
     for s in range(m):
-        lut_s = lut.where(F.col("s") == s).select(
-            "qid", F.col("code").alias(f"c{s}"), F.col("d_e6").alias(f"d{s}")
+        entries = ",".join(
+            f"{key}L,{d}L" for key, d in sorted(slot_maps[s].items())
         )
-        adc = adc.join(F.broadcast(lut_s), ["qid", f"c{s}"])
-    adc = adc.select(
+        d_cols.append(
+            F.expr(f"element_at(map({entries}), qid * {kc}L + c{s})")
+        )
+    adc = cand.select(
         "qid",
         "vec_id",
-        sum(
-            [F.col(f"d{s}") for s in range(1, m)], F.col("d0")
-        ).alias("adc_e6"),
+        sum(d_cols[1:], d_cols[0]).alias("adc_e6"),
     )
     w = Window.partitionBy("qid").orderBy(F.asc("adc_e6"), F.asc("vec_id"))
     return (
