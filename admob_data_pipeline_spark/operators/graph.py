@@ -898,61 +898,81 @@ def recsys_hitrate(
     with map-side partials.
     """
     us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-    bounds = orders.agg(F.min(us).alias("t0"), F.max(us).alias("t1")).select(
-        F.expr(f"t0 + (t1 - t0) * {train_pct} DIV 100").alias("tr_end")
+    # r12 (guide §1.2/§2.4): the split boundary is ONE scalar — collect
+    # it (integer microseconds, exact) instead of broadcasting a 1-row
+    # frame into every branch; each consumer of ``tagged`` was paying
+    # the bounds aggregate + broadcast build again.
+    tr_end = int(
+        orders.agg(F.min(us).alias("t0"), F.max(us).alias("t1"))
+        .select(F.expr(f"t0 + (t1 - t0) * {train_pct} DIV 100").alias("e"))
+        .first()["e"]
     )
     tagged = orders.select(
         "o_orderkey",
         "o_custkey",
-        us.alias("us"),
-    ).crossJoin(F.broadcast(bounds))
-    train_orders = tagged.where(F.col("us") <= F.col("tr_end"))
-    test_orders = tagged.where(F.col("us") > F.col("tr_end"))
+        (us <= F.lit(tr_end)).alias("is_train"),
+    )
     items = li.select("l_orderkey", "l_partkey")
-    # One orders⋈lineitem join feeds BOTH train views: ``base`` is the
-    # train purchase table at (order, user, item) grain (order→user is
-    # functional, so distinct here = distinct baskets). Checkpointing it
-    # at derivation means the basket view (lp) and the user view
-    # (train_ui) never re-plan the big join — the re-planned-subtree trap
-    # this module documents for copurchase_edges.
-    base = (
-        train_orders.join(items, F.col("o_orderkey") == F.col("l_orderkey"))
+    # r12 (guide §2.4): ONE orders⋈lineitem join feeds train AND test —
+    # previously the big join ran twice (once under the train filter for
+    # ``base``, once under the test filter for ``test_ui``). The flagged
+    # purchase table at (order, user, item, is_train) grain is distinct
+    # per split side because order→user is functional and an order sits
+    # entirely on one side of the time split. Checkpointing it at
+    # derivation means no downstream view re-plans the big join — the
+    # re-planned-subtree trap this module documents for copurchase_edges.
+    purchases = (
+        tagged.join(items, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
             F.col("o_orderkey").alias("ok"),
             F.col("o_custkey").alias("u"),
             F.col("l_partkey").alias("item"),
+            "is_train",
         )
         .distinct()
         .localCheckpoint()
     )
+    base = purchases.where("is_train").select("ok", "u", "item")
     train_ui = base.select("u", "item").distinct().localCheckpoint()
     test_ui = (
-        test_orders.join(items, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
-        .distinct()
+        purchases.where(~F.col("is_train")).select("u", "item").distinct()
     )
     # targets: NEW items only (not already bought in train)
     targets = test_ui.join(train_ui, ["u", "item"], "left_anti").localCheckpoint()
     # directed rules mined on train baskets only — (ok, item) is already
-    # distinct in base
-    lp = base.select(F.col("ok").alias("l_orderkey"), F.col("item").alias("l_partkey"))
-    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("x"))
-    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("y"))
+    # distinct in base. r12 (guide §2.4): pairs come from per-order
+    # BASKETS (one groupBy shuffle + an in-JVM pair expansion) instead of
+    # the a⋈b self-join, which exchanged the purchase table twice and
+    # joined; basket sizes are bounded (items per order), so the
+    # expansion is the same x<y pair set with no shuffle at all.
     # lp is distinct on (order, item), so each order contributes a given
     # (x, y) at most once — plain COUNT equals COUNT(DISTINCT ok) exactly,
     # without the dedup aggregate's extra pass.
-    pair_supp = (
-        a.join(b, "ok")
-        .where(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
+    baskets = base.groupBy("ok").agg(
+        F.sort_array(F.collect_set("item")).alias("its")
+    )
+    # both rule directions come out of the expansion itself (i ≠ j
+    # ordered pairs): the former x<y pair table was referenced twice by
+    # the direction union, and with no cross-subtree reuse the whole
+    # basket aggregate ran twice — one directed aggregate replaces
+    # pair_supp + union outright (support of (x,y) equals (y,x), so the
+    # min_support cut is direction-symmetric, exactly as before)
+    directed = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(its, x -> "
+                    "transform(filter(its, y -> y != x), "
+                    "y -> struct(x, y))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.x").alias("ante"), F.col("p.y").alias("cons"))
         .agg(F.count(F.lit(1)).alias("s_ab"))
         .where(F.col("s_ab") >= min_support)
     )
-    item_supp = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
-    directed = pair_supp.select(
-        F.col("x").alias("ante"), F.col("y").alias("cons"), "s_ab"
-    ).unionByName(
-        pair_supp.select(F.col("y").alias("ante"), F.col("x").alias("cons"), "s_ab")
+    item_supp = base.groupBy(F.col("item").alias("l_partkey")).agg(
+        F.count(F.lit(1)).alias("s")
     )
     # rules has exactly ONE consumer (the candidate join) — no
     # checkpoint: materializing it eagerly only added a sequential job
@@ -976,17 +996,28 @@ def recsys_hitrate(
     )
     w = Window.partitionBy("u").orderBy(F.desc("conf_ppm"), F.asc("cons"))
     recs = cand.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
-    # evaluation universe: users with >=1 train item AND >=1 new test item
-    eval_users = train_ui.select("u").distinct().join(
-        targets.select("u").distinct(), "u", "left_semi"
+    # evaluation universe: users with >=1 train item AND >=1 new test item.
+    # r12: distinct only the probe side — a left-semi probe table needs
+    # no dedup (semi never multiplies), so train_ui passes through
+    # un-distincted and one Exchange disappears.
+    eval_users = targets.select("u").distinct().join(
+        train_ui.select("u"), "u", "left_semi"
     )
     hits = (
         recs.join(targets, [recs.u == targets.u, recs.cons == targets.item])
         .select(recs.u)
         .distinct()
     )
-    stats = eval_users.agg(F.count(F.lit(1)).alias("n_users")).crossJoin(
-        F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+    # r12: both counts in ONE pass over a tagged union — the former
+    # crossJoin(broadcast(agg)) paid a separate broadcast-build job for
+    # a single-row frame
+    stats = (
+        eval_users.select(F.lit(1).alias("t"))
+        .unionByName(hits.select(F.lit(2).alias("t")))
+        .agg(
+            F.count(F.when(F.col("t") == 1, 1)).alias("n_users"),
+            F.count(F.when(F.col("t") == 2, 1)).alias("n_hit"),
+        )
     )
     return stats.select(
         F.lit(k).cast("int").alias("k"),
