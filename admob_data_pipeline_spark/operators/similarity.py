@@ -627,16 +627,27 @@ def ivfpq_topk(
     ranked by PQ asymmetric distance over the m-byte code table instead
     of full-precision vectors.
 
-    Scale: combines the two registered scale paths without adding a new
-    shuffle shape — assignment is the map-only vectorized kernel
-    (:func:`assign_lists`), probes and the per-query LUT broadcast, the
-    candidate cut is ~nprobe/|C| of the data, and the scan side is the
-    64×-compressed code table. One shuffle for the per-(query, candidate)
-    integer ADC sum + the per-query top-k window.
+    Scale (r12 shape, guide §2.3/§2.4/§4): ONE fused Arrow kernel
+    computes list assignment AND the m PQ codes in a single corpus pass
+    — previously :func:`assign_lists` and :func:`pq_quantize` each ran
+    their own kernel over the corpus and the two outputs met in a
+    corpus-scale shuffle join on ``vec_id`` (plus pq_quantize's global
+    orderBy, wasted under a join). The per-query artifacts (probe pairs,
+    ADC LUT) are bounded by the query batch, so both are evaluated in
+    one tagged-union job (float math in JVM expressions, bit-identical)
+    and collected once, exactly like the persisted
+    ``ann_index_search`` serving path; the candidate cut is then an
+    IN-list filter + a broadcast join of a literal (list_id, qid) frame,
+    and ADC is m literal-map lookups summed map-side — the former
+    code_long explode (m× row multiplication), broadcast LUT join and
+    per-(qid, vec_id) aggregation Exchange are gone.
 
     Determinism: list assignment/probing order by the RAW cosine
     (bit-identical across numpy/JVM/DuckDB); every LUT cell is
-    floor-scaled to BIGINT before the candidate sum."""
+    floor-scaled to BIGINT before the candidate sum; kernel numpy ops
+    are copied verbatim from assign_lists/pq_quantize (same
+    left-to-right fold order)."""
+    spark = emb.sparkSession
     base, dim = with_vec(emb)
     sub = dim // m
     cents = base.where(F.col("vec_id") % centroid_mod == 0).select(
@@ -644,61 +655,107 @@ def ivfpq_topk(
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
     )
-    assigned = assign_lists(base, cents.select("cid", "cv"))
+    cent_rows = cents.orderBy("cid").collect()
+    cent_ids = [int(r["cid"]) for r in cent_rows]
+    cent_mat = [list(r["cv"]) for r in cent_rows]
     book_mats = _pq_codebooks(base, sub, m, kc)
-    codes = pq_quantize(emb, m, kc, book_mats=book_mats)
 
-    q = base.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    # Self-contained closure (workers don't share the driver's sys.path).
+    def assign_and_code(batches):
+        import numpy as np
+
+        C0 = np.asarray(cent_mat, dtype=np.float64)
+        ids0 = np.asarray(cent_ids, dtype=np.int64)
+        Cs = [np.asarray(bm, dtype=np.float64) for bm in book_mats]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            d = X.shape[1]
+            # list assignment — identical ops/fold order to assign_lists
+            S = np.zeros((X.shape[0], C0.shape[0]))
+            nx = np.zeros(X.shape[0])
+            nc = np.zeros(C0.shape[0])
+            for i in range(d):  # left-to-right accumulation = fold order
+                S += np.outer(X[:, i], C0[:, i])
+                nx += X[:, i] * X[:, i]
+                nc += C0[:, i] * C0[:, i]
+            denom = np.outer(np.sqrt(nx), np.sqrt(nc))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, -np.inf, S / denom)
+            out = pdf[["vec_id"]].copy()
+            out["list_id"] = ids0[np.argmax(cos, axis=1)]
+            # PQ codes — identical ops/fold order to pq_quantize
+            for s, C in enumerate(Cs):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                Sq = np.zeros((Xs.shape[0], C.shape[0]))
+                nxs = np.zeros(Xs.shape[0])
+                ncs = np.zeros(C.shape[0])
+                for i in range(sub):  # fold order = list_dot_product
+                    Sq += np.outer(Xs[:, i], C[:, i])
+                    nxs += Xs[:, i] * Xs[:, i]
+                    ncs += C[:, i] * C[:, i]
+                dist = (nxs[:, None] - 2 * Sq) + ncs[None, :]
+                out[f"c{s}"] = np.argmin(dist, axis=1).astype("int64")
+            yield out
+
+    code_schema = "vec_id bigint, list_id bigint, " + ", ".join(
+        f"c{s} bigint" for s in range(m)
     )
-    raw_q_cos = F.try_divide(dot(F.col("qv"), F.col("cv"), dim), F.col("qn") * F.col("cn"))
-    q_cent = q.crossJoin(F.broadcast(cents)).select(
-        "qid", "qv", "cid", raw_q_cos.alias("csim")
+    coded = base.select("vec_id", "v").mapInPandas(
+        assign_and_code, schema=code_schema
+    )
+
+    # probe pairs + ADC LUT: bounded per-query artifacts, evaluated in
+    # ONE tagged-union job over the same point lookup and collected once
+    qf = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cents_lit = spark.createDataFrame(
+        [(int(r["cid"]), list(r["cv"]), float(r["cn"])) for r in cent_rows],
+        "cid bigint, cv array<double>, cn double",
+    )
+    raw_q_cos = F.try_divide(
+        dot(F.col("qv"), F.col("cv"), dim), F.col("qn") * F.col("cn")
     )
     w_probe = Window.partitionBy("qid").orderBy(F.desc("csim"), F.col("cid"))
     probes = (
-        q_cent.withColumn("rn", F.row_number().over(w_probe))
+        qf.crossJoin(F.broadcast(cents_lit))
+        .select("qid", "cid", raw_q_cos.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_probe))
         .where(F.col("rn") <= nprobe)
-        .select("qid", F.col("cid").alias("list_id"))
+        .select(
+            F.lit(0).alias("tag"),
+            "qid",
+            F.col("cid").cast("long").alias("x"),
+            F.lit(None).cast("long").alias("y"),
+        )
     )
-    # No distinct: `assigned` holds exactly ONE list per vec_id (argmax
-    # assignment) and `probes` one row per (qid, list), so the join
-    # cannot produce duplicate (qid, vec_id) pairs — a dedup here would
-    # be a pure extra shuffle of the candidate set (ann_ivf_topk's
-    # scored join relies on the same invariant).
-    cand = (
-        assigned.select("vec_id", "list_id")
-        .join(F.broadcast(probes), "list_id")
-        .where(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id")
-    )
-
-    spark = emb.sparkSession
     cb_df = spark.createDataFrame(
         [(s, c, book_mats[s][c]) for s in range(m) for c in range(len(book_mats[s]))],
         "s int, code int, cv array<double>",
     )
-    qslots = (
-        q.select(
-            "qid",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("s"),
-                            F.slice("qv", s * sub + 1, sub).alias("qsv"),
-                        )
-                        for s in range(m)
-                    ]
-                )
-            ).alias("e"),
-        )
-        .select("qid", "e.s", "e.qsv")
-    )
-    lut = qslots.join(F.broadcast(cb_df), "s").select(
+    _STRIDE = 1 << 20
+    qslots = qf.select(
         "qid",
-        "s",
-        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("qv", s * sub + 1, sub).alias("qsv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("qid", "e.s", "e.qsv")
+    lut = qslots.join(F.broadcast(cb_df), "s").select(
+        F.lit(1).alias("tag"),
+        "qid",
+        (F.col("s").cast("long") * F.lit(_STRIDE) + F.col("code")).alias("x"),
         F.floor(
             (
                 (dot(F.col("qsv"), F.col("qsv")) - 2 * dot(F.col("qsv"), F.col("cv")))
@@ -707,24 +764,61 @@ def ivfpq_topk(
             * 1e6
         )
         .cast("long")
-        .alias("d_e6"),
+        .alias("y"),
     )
-    code_long = codes.select(
+    art = probes.unionByName(lut).collect()
+
+    if not art:
+        # no query vectors matched: same empty shape as the ranked output
+        empty = coded.where(F.lit(False)).select(
+            F.lit(None).cast("long").alias("qid"),
+            "vec_id",
+            F.lit(None).cast("long").alias("adc_e6"),
+        )
+        w0 = Window.partitionBy("qid").orderBy(F.asc("adc_e6"), F.asc("vec_id"))
+        return (
+            empty.withColumn("rank", F.row_number().over(w0))
+            .where(F.col("rank") <= k)
+            .orderBy("qid", "rank")
+        )
+
+    probe_pairs = sorted(
+        (int(r["qid"]), int(r["x"])) for r in art if r["tag"] == 0
+    )
+    lut_cells = [r for r in art if r["tag"] == 1]
+    kc_eff = 1 + max(int(r["x"]) % _STRIDE for r in lut_cells)
+    slot_maps: list[dict] = [{} for _ in range(m)]
+    for r in lut_cells:
+        s, code = divmod(int(r["x"]), _STRIDE)
+        slot_maps[s][int(r["qid"]) * kc_eff + code] = int(r["y"])
+
+    probes_lit = spark.createDataFrame(
+        [(lid, qid) for qid, lid in probe_pairs], "list_id bigint, qid bigint"
+    )
+    probe_lists = sorted({lid for _, lid in probe_pairs})
+    # No distinct: `coded` holds exactly ONE list per vec_id (argmax
+    # assignment) and `probes_lit` one row per (qid, list), so the join
+    # cannot produce duplicate (qid, vec_id) pairs.
+    cand = (
+        coded.where(F.col("list_id").isin(probe_lists))
+        .join(F.broadcast(probes_lit), "list_id")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", *[f"c{s}" for s in range(m)])
+    )
+    # one F.expr per slot: per-entry F.lit Column construction costs
+    # ~2·|Q|·kc py4j round-trips (~1 s at |Q|=8)
+    d_cols = []
+    for s in range(m):
+        entries = ",".join(
+            f"{key}L,{d}L" for key, d in sorted(slot_maps[s].items())
+        )
+        d_cols.append(
+            F.expr(f"element_at(map({entries}), qid * {kc_eff}L + c{s})")
+        )
+    adc = cand.select(
+        "qid",
         "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(s).alias("s"), F.col(f"c{s}").cast("int").alias("code"))
-                    for s in range(m)
-                ]
-            )
-        ).alias("e"),
-    ).select("vec_id", "e.s", "e.code")
-    adc = (
-        cand.join(code_long, "vec_id")
-        .join(F.broadcast(lut), ["qid", "s", "code"])
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("d_e6").alias("adc_e6"))
+        sum(d_cols[1:], d_cols[0]).alias("adc_e6"),
     )
     w = Window.partitionBy("qid").orderBy(F.asc("adc_e6"), F.asc("vec_id"))
     return (
@@ -732,7 +826,6 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .orderBy("qid", "rank")
     )
-
 
 def quantize_int8(emb: DataFrame) -> DataFrame:
     """Asymmetric int8 quantization of the embedding column — the storage
