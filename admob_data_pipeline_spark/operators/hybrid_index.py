@@ -64,6 +64,37 @@ from admob_data_pipeline_spark.sources.tables import load_table
 VEC_SHORTLIST = 2 * RRF_POOL  # ADC shortlist feeding the exact rerank
 
 
+def _par(*thunks) -> None:
+    """Run independent per-family index operations CONCURRENTLY (guide
+    §2.6 — overlap independent jobs). The hybrid lifecycle is a sequence
+    of (bm25-op, ann-op) pairs over DISJOINT tables/paths/epoch ledgers;
+    within a pair the two ops share nothing, so the lexical
+    tokenize/shuffle and the vector kernel/codebook passes overlap on
+    idle cores instead of serializing. Exceptions propagate (both legs
+    are awaited; the first failure re-raises after both settle)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        errs = []
+        for f in futs:
+            try:
+                f.result()
+            except Exception as ex:  # noqa: BLE001 — re-raised below
+                errs.append(ex)
+        if errs:
+            raise errs[0]
+
+
+def _build_both(docs, bp: str, bm25_path: str, emb, ap: str, ann_path: str) -> None:
+    """Build the two side-by-side indexes concurrently (see :func:`_par`;
+    each build's internal table writes are already pooled)."""
+    _par(
+        lambda: bm25_index_build(docs, bp, bm25_path),
+        lambda: ann_index_build(emb, ap, ann_path),
+    )
+
+
 def hybrid_index_search(
     spark: SparkSession,
     emb: DataFrame,
@@ -217,8 +248,7 @@ def q_hybrid_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="hybrid_index_")
     bp, ap = "hybrid_bm25_idx", "hybrid_ann_idx"
     try:
-        bm25_index_build(docs, bp, f"{out}/bm25")
-        ann_index_build(emb, ap, f"{out}/ann")
+        _build_both(docs, bp, f"{out}/bm25", emb, ap, f"{out}/ann")
         rows = hybrid_index_search(spark, emb, bp, ap).collect()
     finally:
         for t in ("postings", "doclen", "stats", "positions", "tombstones"):
@@ -340,14 +370,22 @@ def _interleaved_lifecycle(spark, sf_dir: str, bp: str, ap: str, out: str):
     extra slice from the ANN side only (the injected skew)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    bm25_index_build(
-        docs.where(F.col("doc_id") % PARITY_DELTA_MOD != 3), bp, f"{out}/bm25"
+    _build_both(
+        docs.where(F.col("doc_id") % PARITY_DELTA_MOD != 3),
+        bp,
+        f"{out}/bm25",
+        emb.where(F.col("vec_id") % PARITY_DELTA_MOD != 3),
+        ap,
+        f"{out}/ann",
     )
-    ann_index_build(
-        emb.where(F.col("vec_id") % PARITY_DELTA_MOD != 3), ap, f"{out}/ann"
+    _par(
+        lambda: bm25_index_upsert(
+            docs.where(F.col("doc_id") % PARITY_DELTA_MOD == 3), bp
+        ),
+        lambda: ann_index_upsert(
+            emb.where(F.col("vec_id") % PARITY_DELTA_MOD == 3), ap
+        ),
     )
-    bm25_index_upsert(docs.where(F.col("doc_id") % PARITY_DELTA_MOD == 3), bp)
-    ann_index_upsert(emb.where(F.col("vec_id") % PARITY_DELTA_MOD == 3), ap)
     bm25_index_delete(
         spark,
         docs.where(F.col("doc_id") % 10 == PARITY_DEL_BOTH).select("doc_id"),
@@ -555,12 +593,10 @@ def q_streaming_hybrid_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bp, ap = "hybrid_st_bm25", "hybrid_st_ann"
     src = os.path.join(out, "arrivals")
     try:
-        bm25_index_build(
+        _build_both(
             corpus_docs.where(F.col("doc_id") % PARITY_DELTA_MOD != 3),
             bp,
             f"{out}/bm25",
-        )
-        ann_index_build(
             emb.where(F.col("vec_id") % PARITY_DELTA_MOD != 3),
             ap,
             f"{out}/ann",
@@ -580,11 +616,17 @@ def q_streaming_hybrid_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         def ingest_both(batch, eid):
             # ONE epoch id for BOTH indexes: a replay rewrites the same
             # partition on each side, so the pair converges together
-            bm25_index_upsert(batch.select("doc_id", "text"), bp, epoch=eid)
-            ann_index_upsert(
-                batch.select(F.col("doc_id").alias("vec_id"), "embedding"),
-                ap,
-                epoch=eid,
+            # (explicit epoch — no ledger mint — so the two family
+            # ingests are independent and overlap, guide §2.6)
+            _par(
+                lambda: bm25_index_upsert(
+                    batch.select("doc_id", "text"), bp, epoch=eid
+                ),
+                lambda: ann_index_upsert(
+                    batch.select(F.col("doc_id").alias("vec_id"), "embedding"),
+                    ap,
+                    epoch=eid,
+                ),
             )
 
         stream = (
@@ -659,11 +701,13 @@ def q_streaming_hybrid_maintained(
 
     def ingest_both(batch, eid):
         # ONE epoch id for BOTH indexes (see q_streaming_hybrid_ingest)
-        bm25_index_upsert(batch.select("doc_id", "text"), bp, epoch=eid)
-        ann_index_upsert(
-            batch.select(F.col("doc_id").alias("vec_id"), "embedding"),
-            ap,
-            epoch=eid,
+        _par(
+            lambda: bm25_index_upsert(batch.select("doc_id", "text"), bp, epoch=eid),
+            lambda: ann_index_upsert(
+                batch.select(F.col("doc_id").alias("vec_id"), "embedding"),
+                ap,
+                epoch=eid,
+            ),
         )
 
     def run_stream(arrivals_schema, src: str, ckpt: str) -> None:
@@ -679,12 +723,10 @@ def q_streaming_hybrid_maintained(
         q.awaitTermination()
 
     try:
-        bm25_index_build(
+        _build_both(
             corpus_docs.where(F.col("doc_id") % PARITY_DELTA_MOD != 3),
             bp,
             f"{out}/bm25",
-        )
-        ann_index_build(
             emb.where(F.col("vec_id") % PARITY_DELTA_MOD != 3),
             ap,
             f"{out}/ann",
@@ -705,8 +747,10 @@ def q_streaming_hybrid_maintained(
             if phase == "two":
                 # maintenance window: BOTH sides must fold before the
                 # fresh checkpoint reuses batch id 0
-                bm25_index_compact(spark, bp)
-                ann_index_compact(spark, ap)
+                _par(
+                    lambda: bm25_index_compact(spark, bp),
+                    lambda: ann_index_compact(spark, ap),
+                )
                 assert next_epoch(spark, f"{bp}_postings") == 0
                 assert next_epoch(spark, f"{ap}_codes") == 0
                 row = hybrid_index_parity(spark, bp, ap).first()
@@ -1110,13 +1154,16 @@ def q_hybrid_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="hybrid_index_re_")
     bp, ap = "hybrid_bm25_re", "hybrid_ann_re"
     try:
-        bm25_index_build(docs, bp, f"{out}/bm25")
-        ann_index_build(emb, ap, f"{out}/ann")
-        bm25_index_upsert(revised_docs, bp)
-        ann_index_upsert(revised_emb, ap)
+        _build_both(docs, bp, f"{out}/bm25", emb, ap, f"{out}/ann")
+        _par(
+            lambda: bm25_index_upsert(revised_docs, bp),
+            lambda: ann_index_upsert(revised_emb, ap),
+        )
         pre = hybrid_index_search(spark, emb, bp, ap).collect()
-        bm25_index_compact(spark, bp)
-        ann_index_compact(spark, ap)
+        _par(
+            lambda: bm25_index_compact(spark, bp),
+            lambda: ann_index_compact(spark, ap),
+        )
         for t, k in ((f"{bp}_doclen", "doc_id"), (f"{ap}_codes", "vec_id")):
             d = (
                 spark.table(t)
@@ -1238,8 +1285,7 @@ def serving_plans(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     out = tempfile.mkdtemp(prefix="hybrid_index_audit_")
     bp, ap = "hybrid_bm25_audit", "hybrid_ann_audit"
-    bm25_index_build(docs, bp, f"{out}/bm25")
-    ann_index_build(emb, ap, f"{out}/ann")
+    _build_both(docs, bp, f"{out}/bm25", emb, ap, f"{out}/ann")
 
     def cleanup():
         for t in ("postings", "doclen", "stats", "positions", "tombstones"):
@@ -1297,8 +1343,7 @@ def q_hybrid_index_autopilot_guarded(
             text_only
         )
         ann_corpus = emb.where(~text_only)
-        bm25_index_build(docs, bp, f"{out}/bm25")
-        ann_index_build(ann_corpus, ap, f"{out}/ann")
+        _build_both(docs, bp, f"{out}/bm25", ann_corpus, ap, f"{out}/ann")
         ann_index_delete(spark, emb.where(op_skew).select("vec_id"), ap)
         # the DECLARED surface is structural: every doc the vector side
         # was never built over (the % 7 slice plus, at SFs where the

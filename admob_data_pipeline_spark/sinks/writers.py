@@ -27,12 +27,54 @@ file set per date partition (partition pruning on read for free).
 
 from __future__ import annotations
 
+import contextlib
 import json
+import threading
 import urllib.request
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# ---- partitionOverwriteMode toggle, made safe for CONCURRENT writers ----
+# A per-write ``.option()`` is silently IGNORED by ``insertInto``, so
+# dynamic partition overwrite can only be requested via session conf.
+# A bare save/restore is session-GLOBAL: with two overlapped writers the
+# first writer's restore would flip the second's in-flight insertInto
+# back to "static" mid-write, wiping every other partition of its table.
+# Refcount the toggle per session instead: the FIRST entering writer
+# saves the previous value and sets "dynamic", the LAST exiting writer
+# restores — between them the conf is stably "dynamic" for every
+# concurrent writer (the hybrid lifecycle overlaps the bm25/ann ingests
+# of one batch). On sessions already pinned to "dynamic" (get_spark)
+# enter and exit are both no-ops, as before.
+_POM_LOCK = threading.Lock()
+_POM_STATE: dict[int, list] = {}  # id(session) -> [depth, saved_prev]
+
+
+@contextlib.contextmanager
+def _dynamic_partition_overwrite(spark):
+    k = id(spark)
+    with _POM_LOCK:
+        st = _POM_STATE.get(k)
+        if st is None:
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            st = _POM_STATE[k] = [0, prev]
+        st[0] += 1
+    try:
+        yield
+    finally:
+        with _POM_LOCK:
+            st = _POM_STATE[k]
+            st[0] -= 1
+            if st[0] == 0:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", st[1]
+                )
+                del _POM_STATE[k]
 
 
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
@@ -118,12 +160,8 @@ def overwrite_date_partitions(
     the two BigQuery jobs.
     """
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with _dynamic_partition_overwrite(spark):
         df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def compact_partitions(
@@ -235,30 +273,24 @@ def overwrite_epoch_partition(
 
     Rows are repartitioned on the BUCKET ID expression so each epoch
     adds at most one file per bucket (see compact_bucketed_table for why
-    the raw key is not enough). Dynamic mode is set via session conf
-    with save/restore — a per-write ``.option()`` is silently IGNORED by
-    ``insertInto``, and under the default "static" the overwrite would
-    wipe every other epoch. The save/restore is session-GLOBAL: do not
-    run concurrent writers that toggle partitionOverwriteMode on one
-    SparkSession (an interleaved restore could flip a concurrent
-    insertInto back to static mid-flight); ingest here is sequential —
-    foreachBatch epochs are serialized by the streaming engine, and
-    batch upserts are driver-sequential. Cluster deployments that need
-    concurrent writers should pin the session conf to "dynamic"
-    globally (as this repo's get_spark does), making the restore a
-    no-op."""
+    the raw key is not enough). Dynamic mode is set via session conf —
+    a per-write ``.option()`` is silently IGNORED by ``insertInto``, and
+    under the default "static" the overwrite would wipe every other
+    epoch. The toggle is REFCOUNTED per session
+    (:func:`_dynamic_partition_overwrite`), so concurrent writers to
+    DISTINCT tables on one SparkSession are safe: the conf stays
+    "dynamic" until the last overlapped writer exits (the hybrid
+    lifecycle ingests its bm25 and ann sides of one batch in parallel).
+    Concurrent writers to the SAME (table, epoch) remain the caller's
+    responsibility — see claim_epoch."""
     spark = df.sparkSession
     rows = df.withColumn("epoch", F.lit(int(epoch)).cast("long"))
     if key is not None:
         rows = rows.repartition(
             n_buckets, F.expr(f"pmod(hash({key}), {n_buckets})")
         )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with _dynamic_partition_overwrite(spark):
         rows.write.mode("overwrite").insertInto(table)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def next_epoch(spark, table: str) -> int:

@@ -634,3 +634,78 @@ def test_reader_snapshot_during_compaction_swap(spark, epoch_table, monkeypatch)
     assert probes["old_rows"] == before
     after = {(r["k"], r["v"]) for r in spark.table(epoch_table).collect()}
     assert after == before
+
+
+def test_concurrent_epoch_writers_static_session(spark, epoch_table):
+    """The hybrid lifecycle overlaps the bm25 and ann ingests of one
+    batch on ONE session. On a session left at the default
+    partitionOverwriteMode="static" (the driver's vanilla session), the
+    old save/restore toggle was a race: the first writer's restore
+    flipped the second's in-flight insertInto back to static, which
+    wipes every other epoch of its table. The refcounted toggle keeps
+    the conf "dynamic" until the LAST overlapped writer exits.
+
+    Layer 1 pins the refcount semantics deterministically (the exact
+    interleave that lost data: A enters, B enters, A exits, B writes);
+    layer 2 runs two genuinely threaded writers to distinct tables and
+    asserts no partition was lost and the conf was restored."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "static")
+    try:
+        # -- layer 1: the lost-update interleave, step by step
+        cm_a = writers._dynamic_partition_overwrite(spark)
+        cm_b = writers._dynamic_partition_overwrite(spark)
+        cm_a.__enter__()
+        cm_b.__enter__()
+        cm_a.__exit__(None, None, None)
+        # old behaviour restored "static" HERE, while B is mid-write
+        assert spark.conf.get(conf_key) == "dynamic"
+        cm_b.__exit__(None, None, None)
+        assert spark.conf.get(conf_key) == "static"
+
+        # -- layer 2: two threaded writers, distinct tables
+        out2 = tempfile.mkdtemp(prefix="epoch_ledger_t2_")
+        table2 = "epoch_ledger_t2"
+        writers.write_epoch_bucketed(
+            _delta(spark, 0, 20), table2, key="k", n_buckets=4, path=out2
+        )
+        try:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f1 = pool.submit(
+                    writers.overwrite_epoch_partition,
+                    _delta(spark, 100, 110),
+                    epoch_table,
+                    "k",
+                    4,
+                    1,
+                )
+                f2 = pool.submit(
+                    writers.overwrite_epoch_partition,
+                    _delta(spark, 200, 210),
+                    table2,
+                    "k",
+                    4,
+                    1,
+                )
+                f1.result()
+                f2.result()
+            # base epoch survived on BOTH tables (static-mode overwrite
+            # would have wiped it), the new epoch landed on both
+            for t, lo in ((epoch_table, 100), (table2, 200)):
+                eps = {
+                    int(r["epoch"])
+                    for r in spark.table(t).select("epoch").distinct().collect()
+                }
+                assert eps == {writers.BASE_EPOCH, 1}, (t, eps)
+                n = spark.table(t).count()
+                assert n == 30, (t, n)
+            assert spark.conf.get(conf_key) == "static"
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table2}")
+            shutil.rmtree(out2, ignore_errors=True)
+    finally:
+        spark.conf.set(conf_key, prev)
