@@ -7,7 +7,8 @@ query — fine for an audit, wrong for production, where the index is an
 artifact: centroids are trained once, the corpus is assigned and
 quantized once, and millions of queries then touch only the persisted
 layout. This module composes the existing building blocks
-(``assign_lists``, ``_pq_codebooks``, ``pq_quantize``) into that
+(``fused_assign_code_kernel`` — the single-pass assign+quantize kernel
+shared with ``ann_ivfpq_topk`` — and ``_pq_codebooks``) into that
 split:
 
 - :func:`ann_index_build` writes FOUR tables: ``<prefix>_centroids``
@@ -63,9 +64,8 @@ from admob_data_pipeline_spark.operators.similarity import (
     QUERY_IDS,
     _DUCK_BASE,
     _pq_codebooks,
-    assign_lists,
     dot,
-    pq_quantize,
+    fused_assign_code_kernel,
     with_vec,
 )
 from admob_data_pipeline_spark.sinks.writers import (
@@ -98,25 +98,38 @@ def ann_index_build(
 ) -> None:
     """Build and PERSIST the IVF-PQ index for ``emb``.
 
-    One pass over the corpus: the map-only vectorized list assignment
-    (``assign_lists``) and the PQ quantizer (``pq_quantize``) run once,
-    their outputs joined on vec_id (the build's single data-scaled
-    shuffle besides the bucketed write), and the code table lands hash-
-    bucketed on ``list_id`` under the base ``epoch`` partition — ingest
-    pays the layout shuffle so that every future search skips it.
-    Centroids and codebooks are O(|C|) and O(m·kc) rows — plain tiny
-    tables.
+    ONE pass over the corpus (r12 shape, guide §2.3/§4): the fused
+    Arrow kernel (:func:`fused_assign_code_kernel`) computes the list
+    assignment AND the m PQ codes together, so the code table is a
+    single map-only scan + the bucketed layout shuffle — the former
+    separate assign/quantize kernels cost two corpus scans whose
+    outputs met in a corpus-scale join on vec_id. The centroid rows are
+    already collected for the kernel (bounded by construction: the
+    sampled centroid count), so the centroids table is written from
+    those literals instead of re-scanning the corpus a third time.
+    Codebooks are O(m·kc) rows — plain tiny tables.
     """
     base, dim = with_vec(emb)
     sub = dim // m
-    cents = base.where(F.col("vec_id") % centroid_mod == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
+    cent_rows = (
+        base.where(F.col("vec_id") % centroid_mod == 0)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        .orderBy("cid")
+        .collect()
     )
-    assigned = assign_lists(base, cents.select("cid", "cv"))
     book_mats = _pq_codebooks(base, sub, m, kc)
-    codes = pq_quantize(emb, m, kc, book_mats=book_mats)
+    kern, code_schema = fused_assign_code_kernel(
+        [int(r["cid"]) for r in cent_rows],
+        [list(r["cv"]) for r in cent_rows],
+        book_mats,
+        sub,
+        m,
+    )
+    coded = base.select("vec_id", "v").mapInPandas(kern, schema=code_schema)
 
     spark = emb.sparkSession
     for t in ("centroids", "codebooks", "codes", "tombstones"):
@@ -131,7 +144,10 @@ def ann_index_build(
     )
 
     def _write_centroids() -> None:
-        cents.write.mode("overwrite").format("parquet").option(
+        spark.createDataFrame(
+            [(int(r["cid"]), list(r["cv"]), float(r["cn"])) for r in cent_rows],
+            "cid bigint, cv array<double>, cn double",
+        ).write.mode("overwrite").format("parquet").option(
             "path", f"{path}/centroids"
         ).saveAsTable(f"{table_prefix}_centroids")
 
@@ -155,9 +171,7 @@ def ann_index_build(
     def _write_codes() -> None:
         code_cols = [F.col(f"c{s}") for s in range(m)]
         write_epoch_bucketed(
-            codes.join(assigned.select("vec_id", "list_id"), "vec_id").select(
-                "vec_id", "list_id", *code_cols
-            ),
+            coded.select("vec_id", "list_id", *code_cols),
             f"{table_prefix}_codes",
             key="list_id",
             n_buckets=CODES_BUCKETS,
@@ -266,16 +280,29 @@ def ann_index_upsert(
         ).write.mode("append").format("parquet").saveAsTable(
             f"{table_prefix}_tombstones"
         )
-    cents = spark.table(f"{table_prefix}_centroids")
+    # Fused assign+code kernel (r12, guide §2.3/§4): ONE map-only pass
+    # over the delta instead of separate assign_lists/pq_quantize scans
+    # meeting in a delta-scale join on vec_id (plus pq_quantize's global
+    # orderBy, wasted under the join). The persisted centroid table is
+    # bounded by construction (the build's sampled centroid count) and
+    # assign_lists collected it internally anyway — same collect count.
+    cent_rows = (
+        spark.table(f"{table_prefix}_centroids").orderBy("cid").collect()
+    )
     book_mats = _persisted_codebooks(spark, table_prefix)
     m = len(book_mats)
-    base, _ = with_vec(delta)
-    assigned = assign_lists(base, cents.select("cid", "cv"))
-    codes = pq_quantize(delta, m, len(book_mats[0]), book_mats=book_mats)
+    base, dim = with_vec(delta)
+    kern, code_schema = fused_assign_code_kernel(
+        [int(r["cid"]) for r in cent_rows],
+        [list(r["cv"]) for r in cent_rows],
+        book_mats,
+        dim // m,
+        m,
+    )
     overwrite_epoch_partition(
-        codes.join(assigned.select("vec_id", "list_id"), "vec_id").select(
-            "vec_id", "list_id", *[F.col(f"c{s}") for s in range(m)]
-        ),
+        base.select("vec_id", "v")
+        .mapInPandas(kern, schema=code_schema)
+        .select("vec_id", "list_id", *[F.col(f"c{s}") for s in range(m)]),
         table,
         key="list_id",
         n_buckets=CODES_BUCKETS,

@@ -519,6 +519,65 @@ def pq_quantize(
     )
 
 
+def fused_assign_code_kernel(cent_ids, cent_mat, book_mats, sub: int, m: int):
+    """ONE fused Arrow kernel computing IVF list assignment AND the m PQ
+    codes in a single corpus pass — returns ``(kernel, schema)`` for
+    ``df.select("vec_id", "v").mapInPandas(kernel, schema)``.
+
+    Running :func:`assign_lists` and :func:`pq_quantize` separately costs
+    two corpus scans whose outputs meet in a corpus-scale shuffle join on
+    ``vec_id``; fusing them makes the index build/ingest a single
+    map-only pass (guide §2.3/§4 — the join disappears, the scan halves).
+    The numpy ops and per-dimension left-to-right fold order are copied
+    verbatim from both source kernels, so list ids and codes are
+    bit-identical to the unfused pair (pinned against the same DuckDB
+    oracles). The closure is self-contained (numpy only — workers don't
+    share the driver's sys.path)."""
+
+    def assign_and_code(batches):
+        import numpy as np
+
+        C0 = np.asarray(cent_mat, dtype=np.float64)
+        ids0 = np.asarray(cent_ids, dtype=np.int64)
+        Cs = [np.asarray(bm, dtype=np.float64) for bm in book_mats]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            d = X.shape[1]
+            # list assignment — identical ops/fold order to assign_lists
+            S = np.zeros((X.shape[0], C0.shape[0]))
+            nx = np.zeros(X.shape[0])
+            nc = np.zeros(C0.shape[0])
+            for i in range(d):  # left-to-right accumulation = fold order
+                S += np.outer(X[:, i], C0[:, i])
+                nx += X[:, i] * X[:, i]
+                nc += C0[:, i] * C0[:, i]
+            denom = np.outer(np.sqrt(nx), np.sqrt(nc))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, -np.inf, S / denom)
+            out = pdf[["vec_id"]].copy()
+            out["list_id"] = ids0[np.argmax(cos, axis=1)]
+            # PQ codes — identical ops/fold order to pq_quantize
+            for s, C in enumerate(Cs):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                Sq = np.zeros((Xs.shape[0], C.shape[0]))
+                nxs = np.zeros(Xs.shape[0])
+                ncs = np.zeros(C.shape[0])
+                for i in range(sub):  # fold order = list_dot_product
+                    Sq += np.outer(Xs[:, i], C[:, i])
+                    nxs += Xs[:, i] * Xs[:, i]
+                    ncs += C[:, i] * C[:, i]
+                dist = (nxs[:, None] - 2 * Sq) + ncs[None, :]
+                out[f"c{s}"] = np.argmin(dist, axis=1).astype("int64")
+            yield out
+
+    code_schema = "vec_id bigint, list_id bigint, " + ", ".join(
+        f"c{s} bigint" for s in range(m)
+    )
+    return assign_and_code, code_schema
+
+
 def pq_adc_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -659,52 +718,10 @@ def ivfpq_topk(
     cent_ids = [int(r["cid"]) for r in cent_rows]
     cent_mat = [list(r["cv"]) for r in cent_rows]
     book_mats = _pq_codebooks(base, sub, m, kc)
-
-    # Self-contained closure (workers don't share the driver's sys.path).
-    def assign_and_code(batches):
-        import numpy as np
-
-        C0 = np.asarray(cent_mat, dtype=np.float64)
-        ids0 = np.asarray(cent_ids, dtype=np.int64)
-        Cs = [np.asarray(bm, dtype=np.float64) for bm in book_mats]
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            d = X.shape[1]
-            # list assignment — identical ops/fold order to assign_lists
-            S = np.zeros((X.shape[0], C0.shape[0]))
-            nx = np.zeros(X.shape[0])
-            nc = np.zeros(C0.shape[0])
-            for i in range(d):  # left-to-right accumulation = fold order
-                S += np.outer(X[:, i], C0[:, i])
-                nx += X[:, i] * X[:, i]
-                nc += C0[:, i] * C0[:, i]
-            denom = np.outer(np.sqrt(nx), np.sqrt(nc))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom == 0, -np.inf, S / denom)
-            out = pdf[["vec_id"]].copy()
-            out["list_id"] = ids0[np.argmax(cos, axis=1)]
-            # PQ codes — identical ops/fold order to pq_quantize
-            for s, C in enumerate(Cs):
-                Xs = X[:, s * sub : (s + 1) * sub]
-                Sq = np.zeros((Xs.shape[0], C.shape[0]))
-                nxs = np.zeros(Xs.shape[0])
-                ncs = np.zeros(C.shape[0])
-                for i in range(sub):  # fold order = list_dot_product
-                    Sq += np.outer(Xs[:, i], C[:, i])
-                    nxs += Xs[:, i] * Xs[:, i]
-                    ncs += C[:, i] * C[:, i]
-                dist = (nxs[:, None] - 2 * Sq) + ncs[None, :]
-                out[f"c{s}"] = np.argmin(dist, axis=1).astype("int64")
-            yield out
-
-    code_schema = "vec_id bigint, list_id bigint, " + ", ".join(
-        f"c{s} bigint" for s in range(m)
+    kern, code_schema = fused_assign_code_kernel(
+        cent_ids, cent_mat, book_mats, sub, m
     )
-    coded = base.select("vec_id", "v").mapInPandas(
-        assign_and_code, schema=code_schema
-    )
+    coded = base.select("vec_id", "v").mapInPandas(kern, schema=code_schema)
 
     # probe pairs + ADC LUT: bounded per-query artifacts, evaluated in
     # ONE tagged-union job over the same point lookup and collected once
