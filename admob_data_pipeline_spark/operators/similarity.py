@@ -376,83 +376,36 @@ def topk_ivf(
     Assignment and probe selection order by the RAW cosine (bit-identical
     across Spark/numpy/DuckDB — see ROUND_NOTES playbook); only the
     displayed ``cos_sim`` is rounded.
-
-    r12 shape (guide §2.4/§5, the ``ann_index_search`` serving pattern):
-    the centroid rows and the |Q| query vectors are BOUNDED artifacts —
-    one tagged corpus scan collects both; probe selection (nprobe nearest
-    centroids per query) then evaluates over literal frames in the same
-    JVM expressions (zero scans, values bit-identical), and serving joins
-    a literal broadcast (qid, list_id) probe frame against the map-only
-    assignment pass. The former plan re-derived the centroids from a
-    second corpus scan inside the probe broadcast build and a third
-    point-lookup scan for the query rows inside the main action — at
-    corpus scale those were full listing/footer passes spent to build
-    kilobyte artifacts.
     """
-    spark = emb.sparkSession
     base, dim = with_vec(emb)
     if centroids is None:
-        # one tagged scan collects centroids + query vectors together
-        qid_set = {int(i) for i in query_ids}
-        art = (
-            base.where(
-                (F.col("vec_id") % centroid_mod == 0)
-                | F.col("vec_id").isin(query_ids)
-            )
-            .select("vec_id", "v", "nrm")
-            .collect()
+        cents = base.where(F.col("vec_id") % centroid_mod == 0).select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
         )
-        cent_rows = sorted(
-            (
-                {"cid": int(r["vec_id"]), "cv": list(r["v"]), "cn": float(r["nrm"])}
-                for r in art
-                if int(r["vec_id"]) % centroid_mod == 0
-            ),
-            key=lambda c: c["cid"],  # ascending cid: argmax tie → smallest
-        )
-        q_rows = [r for r in art if int(r["vec_id"]) in qid_set]
     else:
         cv = as_double(F.col("cv"))
-        cent_rows = [
-            {"cid": int(r["cid"]), "cv": list(r["cv"]), "cn": float(r["cn"])}
-            for r in centroids.select(
-                F.col("cid").cast("bigint").alias("cid"),
-                cv.alias("cv"),
-                norm(cv, dim).alias("cn"),
-            )
-            .orderBy("cid")
-            .collect()
-        ]
-        q_rows = (
-            base.where(F.col("vec_id").isin(query_ids))
-            .select("vec_id", "v", "nrm")
-            .collect()
+        cents = centroids.select(
+            F.col("cid").cast("bigint").alias("cid"),
+            cv.alias("cv"),
+            norm(cv, dim).alias("cn"),
         )
-    assigned = assign_lists(base, cent_rows)
-    # probe selection over the collected artifacts, driver-side: plain
-    # IEEE-double ops in the JVM fold's left-to-right order (acc + x*y
-    # from 0.0) are bit-identical to evaluating the same expressions in
-    # a Spark job, and the inputs are kilobytes — no job spent.
-    def _fold_dot(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
-
-    probe_rows = []
-    for r in q_rows:
-        qid, qv, qn = int(r["vec_id"]), list(r["v"]), float(r["nrm"])
-        sims = []
-        for c in cent_rows:
-            den = qn * c["cn"]
-            csim = None if den == 0.0 else _fold_dot(qv, c["cv"]) / den
-            sims.append((csim, c["cid"]))
-        # ORDER BY csim DESC NULLS LAST, cid ASC — row_number semantics
-        sims.sort(key=lambda t: (t[0] is None, -t[0] if t[0] is not None else 0.0, t[1]))
-        probe_rows.extend((qid, qv, qn, int(cid)) for _, cid in sims[:nprobe])
-    probes = spark.createDataFrame(
-        probe_rows, "qid bigint, qv array<double>, qn double, list_id bigint"
-    ).coalesce(1)
+    assigned = assign_lists(base, cents.select("cid", "cv"))
+    # query probes: nprobe nearest centroids per query (tiny: |Q|×|C|)
+    q = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    raw_q_cos = F.try_divide(dot(F.col("qv"), F.col("cv"), dim), F.col("qn") * F.col("cn"))
+    q_cent = q.crossJoin(F.broadcast(cents)).select(
+        "qid", "qv", "qn", "cid", raw_q_cos.alias("csim")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("csim"), F.col("cid"))
+    probes = (
+        q_cent.withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= nprobe)
+        .select("qid", "qv", "qn", F.col("cid").alias("list_id"))
+    )
     # search only the probed inverted lists
     scored = (
         assigned.join(F.broadcast(probes), "list_id")

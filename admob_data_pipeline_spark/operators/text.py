@@ -977,24 +977,9 @@ def bpe_train(
 
 
 def _bpe_loop(docs: DataFrame, n_iters: int, text_col: str):
-    """Shared BPE trainer loop: returns ([per-merge frames], the
-    word table AFTER all merges are applied).
-
-    r12: the per-round winning pair is a BOUNDED driver artifact (1 row),
-    so it is collected via TakeOrdered instead of localCheckpoint +
-    crossJoin(broadcast(...)), and each adopted merge becomes a LITERAL
-    ``replace`` stacked on the once-checkpointed word table (guide §5
-    bounded artifacts, §2.4 fewer jobs). Per round this removes the
-    1-row checkpoint job, the broadcast build, and the word-table
-    checkpoint write; round k instead re-applies k-1 literal replaces
-    in-task over the vocabulary-sized table — strictly cheaper than a
-    materialization at any scale for the shallow chains tokenizer
-    training uses (the chain is re-pinned every 8 merges to bound both
-    recompute and expression depth). Values are unchanged: the same JVM
-    ``replace`` evaluates on the same rows in the same order.
-    """
-    spark = docs.sparkSession
-    w0 = (
+    """Shared BPE trainer loop: returns ([per-merge 1-row frames], the
+    word table AFTER all merges are applied)."""
+    w = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .where(F.col("w").rlike("^[a-z0-9]{2,}$"))
         .groupBy("w")
@@ -1005,13 +990,10 @@ def _bpe_loop(docs: DataFrame, n_iters: int, text_col: str):
         )
         .localCheckpoint()
     )
-    s_expr = F.col("s")
-    rows: list[tuple[int, str, int]] = []
-    emptied = False
+    merges = []
     for rank in range(1, n_iters + 1):
-        seg = w0.select(s_expr.alias("s"), "wf")
         pair_counts = (
-            seg.select("wf", F.expr(r"split(substring(s, 2, length(s) - 2), '\\)\\(')").alias("t"))
+            w.select("wf", F.expr(r"split(substring(s, 2, length(s) - 2), '\\)\\(')").alias("t"))
             .where(F.size("t") >= 2)  # fully-merged words: sequence(1,0) trap
             .select(
                 "wf",
@@ -1026,25 +1008,25 @@ def _bpe_loop(docs: DataFrame, n_iters: int, text_col: str):
             .groupBy("pair")
             .agg(F.sum("wf").alias("n_merge"))
         )
-        top = pair_counts.orderBy(F.desc("n_merge"), F.asc("pair")).limit(1).collect()
-        if not top:
-            # fully-merged vocabulary: the legacy crossJoin-with-empty
-            # wiped the word table and every later round stayed empty
-            emptied = True
-            break
-        pair = top[0]["pair"]
-        rows.append((rank, pair, int(top[0]["n_merge"])))
-        s_expr = F.replace(s_expr, F.lit(pair), F.lit(pair.replace(")(", "")))
-        if rank % 8 == 0:  # bound recompute/expression depth on long runs
-            w0 = w0.select(s_expr.alias("s"), "wf").localCheckpoint()
-            s_expr = F.col("s")
-    w = w0.select(s_expr.alias("s"), "wf")
-    if emptied:
-        w = w.limit(0)
-    merges_df = spark.createDataFrame(
-        rows, "merge_rank int, pair string, n_merge bigint"
-    )
-    return [merges_df], w
+        best = (
+            pair_counts.orderBy(F.desc("n_merge"), F.asc("pair"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        merges.append(
+            best.select(
+                F.lit(rank).alias("merge_rank"), F.col("pair"), F.col("n_merge")
+            )
+        )
+        w = (
+            w.crossJoin(F.broadcast(best.select(F.col("pair").alias("bp"))))
+            .select(
+                F.expr("replace(s, bp, replace(bp, ')(', ''))").alias("s"),
+                "wf",
+            )
+            .localCheckpoint()
+        )
+    return merges, w
 
 
 BPE_ENCODE_TOP = 50
