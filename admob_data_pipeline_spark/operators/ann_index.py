@@ -951,16 +951,30 @@ def q_ann_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_index_upsert(revised, prefix, epoch=1)
         pre = ann_index_search(emb, QUERY_IDS, prefix).collect()
         ann_index_compact(spark, prefix)
-        dupes = (
-            spark.table(f"{prefix}_codes")
-            .groupBy("vec_id")
-            .count()
-            .where(F.col("count") > 1)
-            .count()
-        )
+        # the three post-compaction verification reads are independent
+        # (guide §2.6 — overlap independent jobs): the dupe census and
+        # the tombstone count back-fill cores under the re-search
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_dupes = pool.submit(
+                lambda: spark.table(f"{prefix}_codes")
+                .groupBy("vec_id")
+                .count()
+                .where(F.col("count") > 1)
+                .count()
+            )
+            f_tomb = pool.submit(
+                lambda: spark.table(f"{prefix}_tombstones").count()
+            )
+            f_rows = pool.submit(
+                lambda: ann_index_search(emb, QUERY_IDS, prefix).collect()
+            )
+            dupes, n_tomb, rows = (
+                f_dupes.result(), f_tomb.result(), f_rows.result()
+            )
         assert dupes == 0, f"{dupes} vectors kept >1 version post-compaction"
-        assert spark.table(f"{prefix}_tombstones").count() == 0
-        rows = ann_index_search(emb, QUERY_IDS, prefix).collect()
+        assert n_tomb == 0
         assert rows == pre, "compaction changed ranking"
     finally:
         for t in ("centroids", "codebooks", "codes", "tombstones"):

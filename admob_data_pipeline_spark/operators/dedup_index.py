@@ -953,15 +953,23 @@ def q_dedup_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_index_upsert(revised, prefix)
         pre = dedup_index_probe(batch, prefix).collect()
         dedup_index_compact(spark, prefix)
-        dupes = (
-            spark.table(f"{prefix}_shsizes")
-            .groupBy("doc_id")
-            .count()
-            .where(F.col("count") > 1)
-            .count()
-        )
+        # independent post-compaction reads overlap (guide §2.6): the
+        # dupe census back-fills cores under the re-probe
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_dupes = pool.submit(
+                lambda: spark.table(f"{prefix}_shsizes")
+                .groupBy("doc_id")
+                .count()
+                .where(F.col("count") > 1)
+                .count()
+            )
+            f_rows = pool.submit(
+                lambda: dedup_index_probe(batch, prefix).collect()
+            )
+            dupes, rows = f_dupes.result(), f_rows.result()
         assert dupes == 0, f"{dupes} docs kept >1 version post-compaction"
-        rows = dedup_index_probe(batch, prefix).collect()
         assert rows == pre, "compaction changed the probe"
     finally:
         for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):

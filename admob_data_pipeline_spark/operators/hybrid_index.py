@@ -1164,18 +1164,39 @@ def q_hybrid_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: bm25_index_compact(spark, bp),
             lambda: ann_index_compact(spark, ap),
         )
-        for t, k in ((f"{bp}_doclen", "doc_id"), (f"{ap}_codes", "vec_id")):
-            d = (
+        # the five post-compaction verification reads are independent
+        # (guide §2.6): the two dupe censuses and two tombstone counts
+        # back-fill cores under the fused re-search
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _dupe_count(t: str, k: str) -> int:
+            return (
                 spark.table(t)
                 .groupBy(k)
                 .count()
                 .where(F.col("count") > 1)
                 .count()
             )
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            f_d = {
+                t: pool.submit(_dupe_count, t, k)
+                for t, k in (
+                    (f"{bp}_doclen", "doc_id"),
+                    (f"{ap}_codes", "vec_id"),
+                )
+            }
+            f_tb = pool.submit(lambda: spark.table(f"{bp}_tombstones").count())
+            f_ta = pool.submit(lambda: spark.table(f"{ap}_tombstones").count())
+            f_rows = pool.submit(
+                lambda: hybrid_index_search(spark, emb, bp, ap).collect()
+            )
+            dupe_counts = {t: f.result() for t, f in f_d.items()}
+            n_tb, n_ta, rows = f_tb.result(), f_ta.result(), f_rows.result()
+        for t, d in dupe_counts.items():
             assert d == 0, f"{t}: {d} keys kept >1 version post-compaction"
-        assert spark.table(f"{bp}_tombstones").count() == 0
-        assert spark.table(f"{ap}_tombstones").count() == 0
-        rows = hybrid_index_search(spark, emb, bp, ap).collect()
+        assert n_tb == 0
+        assert n_ta == 0
         assert rows == pre, "compaction changed the fused ranking"
     finally:
         for t in ("postings", "doclen", "stats", "positions", "tombstones"):

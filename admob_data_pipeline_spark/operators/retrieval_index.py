@@ -626,15 +626,23 @@ def q_bm25_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_index_upsert(revised, prefix)
         pre = bm25_index_search(spark, BM25_QUERY, prefix).collect()
         bm25_index_compact(spark, prefix)
-        dupes = (
-            spark.table(f"{prefix}_doclen")
-            .groupBy("doc_id")
-            .count()
-            .where(F.col("count") > 1)
-            .count()
-        )
+        # independent post-compaction reads overlap (guide §2.6): the
+        # dupe census back-fills cores under the re-search
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_dupes = pool.submit(
+                lambda: spark.table(f"{prefix}_doclen")
+                .groupBy("doc_id")
+                .count()
+                .where(F.col("count") > 1)
+                .count()
+            )
+            f_rows = pool.submit(
+                lambda: bm25_index_search(spark, BM25_QUERY, prefix).collect()
+            )
+            dupes, rows = f_dupes.result(), f_rows.result()
         assert dupes == 0, f"{dupes} docs kept >1 version post-compaction"
-        rows = bm25_index_search(spark, BM25_QUERY, prefix).collect()
         assert rows == pre, "compaction changed ranking"
     finally:
         for t in ("postings", "doclen", "stats", "positions", "tombstones"):

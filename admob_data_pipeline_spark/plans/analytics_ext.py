@@ -2749,11 +2749,14 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     evenly, →1 = a handful of customers carry everything.
 
     Exact integer end-to-end: with revenues sorted ascending,
-    G = Σ(2i − n − 1)·x_i / (n·Σx); numerator and denominator are BIGINT
-    (safe to ~1e5 customers × 1e12-cent totals; past that, lift the two
-    sums to DECIMAL(38)), and the ppm quotient uses two-stage ×1000
-    scaling (playbook #23) because num·1e6 would overflow where the
-    plain sums do not.
+    G = Σ(2i − n − 1)·x_i / (n·Σx). The rank-weighted sum grows ~n²·x̄ —
+    it crossed 2^63/1000 already at sf0.1 (caught r12 by the noop-sink
+    jobs sweep; the rows-only scale sweep had pruned the column) — so
+    wsum/num/den are DECIMAL(38,0) and the ppm quotient is a single
+    exact decimal ``× 1e6 DIV`` (IntegralDivide returns BIGINT; num ≥ 0
+    so truncation = floor = DuckDB ``//``). Values are bit-identical to
+    the old two-stage BIGINT scaling everywhere that form didn't
+    overflow.
 
     Scale: one aggregation to per-customer revenue, collapsed to DISTINCT
     revenue values before the ordering window (a tie group of m values at
@@ -2778,14 +2781,16 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m").alias("n"),
         F.sum(F.col("cents") * F.col("m")).alias("total"),
         F.sum(
-            F.col("cents")
+            F.col("cents").cast("decimal(38,0)")
             * F.col("m")
             * (F.lit(2) * F.col("s") + F.col("m") - 2)
         ).alias("wsum"),
     )
-    # Σ(2i−n−1)x = Σ(2i−1)x − n·Σx  (wsum carries the (2i−1) weights)
-    num = F.col("wsum") - F.col("n") * F.col("total")
-    den = F.col("n") * F.col("total")
+    # Σ(2i−n−1)x = Σ(2i−1)x − n·Σx  (wsum carries the (2i−1) weights);
+    # num/den in DECIMAL(38,0) — exact, and immune to the n²·x̄ growth
+    # that overflowed the BIGINT form at sf0.1
+    num = F.col("wsum") - F.col("n").cast("decimal(38,0)") * F.col("total")
+    den = F.col("n").cast("decimal(38,0)") * F.col("total")
     return (
         stats.select(
             F.col("n").alias("n_customers"),
@@ -2800,8 +2805,7 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ANSI-vs-DuckDB guard as ks/rank-sum.
             F.expr(
                 "CASE WHEN den = 0 THEN CAST(NULL AS BIGINT) ELSE "
-                "CAST((num * 1000 DIV den) * 1000"
-                "     + (num * 1000 % den) * 1000 DIV den AS BIGINT) END"
+                "num * 1000000 DIV den END"
             ).alias("gini_ppm"),
         )
     )

@@ -367,6 +367,34 @@ def test_revenue_gini_bounds_and_extremes(spark):
     assert 0 <= rows[0].gini_ppm < 1_000_000
 
 
+def test_revenue_gini_survives_bigint_ppm_overflow(spark, tmp_path):
+    """r12 regression pin: the rank-weighted sum grows ~n²·x̄, and
+    num·1000 crossed 2^63 already at sf0.1 (ArithmeticException under
+    the noop sink; the rows-only sweep had pruned the column). The
+    moments now ride DECIMAL(38,0) — this fixture makes num·1000
+    overflow BIGINT on just three customers and checks the exact
+    floor(num·1e6/den) against plain Python integers."""
+    from pyspark.sql import Row
+
+    from admob_data_pipeline_spark.plans.analytics_ext import q_revenue_gini
+
+    # integer-valued doubles < 2^53, so floor(price·100) is exact
+    prices = [1e10, 5e12, 9e13]
+    cents = [int(p) * 100 for p in prices]
+    a, b, c = sorted(cents)
+    num = 2 * (c - a)  # Σ(2i−n−1)x for n=3 distinct ascending values
+    den = 3 * (a + b + c)
+    assert num * 1000 > 2**63 - 1  # the old two-stage form overflowed here
+    spark.createDataFrame(
+        [Row(o_custkey=i + 1, o_totalprice=p) for i, p in enumerate(prices)]
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    r = q_revenue_gini(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert r[0].n_customers == 3
+    assert r[0].total_cents == a + b + c
+    assert r[0].gini_ppm == num * 1_000_000 // den
+
+
 def test_rank_sum_auc_bounds_and_symmetry(spark):
     from admob_data_pipeline_spark.plans.analytics_ext import q_rank_sum_test
 

@@ -35,7 +35,14 @@ def main() -> None:
     ap.add_argument("--shuffle", type=int, default=8)
     args = ap.parse_args()
 
-    spark = get_spark("profile", shuffle_partitions=args.shuffle)
+    # statusTracker only sees retained jobs (default 1000) — a long
+    # sweep overflows the buffer and job-count deltas go negative;
+    # retain enough for a full-registry pass
+    spark = get_spark(
+        "profile",
+        shuffle_partitions=args.shuffle,
+        extra_conf={"spark.ui.retainedJobs": "200000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
 
