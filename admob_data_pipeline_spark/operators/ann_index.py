@@ -62,6 +62,7 @@ from admob_data_pipeline_spark.operators.similarity import (
     PQ_CODES,
     PQ_SLOTS,
     QUERY_IDS,
+    SERVE_QID_BATCH,
     _DUCK_BASE,
     _pq_codebooks,
     dot,
@@ -83,6 +84,7 @@ from admob_data_pipeline_spark.sinks.writers import (
     table_location,
     write_epoch_bucketed,
 )
+from admob_data_pipeline_spark.operators.util import par_ops
 from admob_data_pipeline_spark.sources.tables import load_table
 
 CODES_BUCKETS = 8
@@ -184,19 +186,7 @@ def ann_index_build(
     # (guide §2.6 — overlap independent jobs; measured 3.4 s → ~1.9 s
     # for the build at sf0.1). Build completion = all four committed,
     # same contract as the serial form.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        for f in [
-            pool.submit(w)
-            for w in (
-                _write_centroids,
-                _write_codebooks,
-                _write_tombstones,
-                _write_codes,
-            )
-        ]:
-            f.result()
+    par_ops(_write_centroids, _write_codebooks, _write_tombstones, _write_codes)
 
 
 def _persisted_codebooks(spark: SparkSession, table_prefix: str) -> list:
@@ -330,6 +320,30 @@ def ann_index_search(
     ADC sums, same tie-breaks) — the registered query is oracled
     against the inline query's SQL verbatim.
     """
+    # Chunked serving above the literal-plan cap (similarity.py's
+    # SERVE_QID_BATCH): the serving plan embeds |Q|·(nprobe + m·kc)
+    # literals, so an unbounded query batch would blow the driver's plan
+    # compilation. Per-qid scoring/ranking makes the chunk union
+    # row-identical to one-shot serving; declared queries pin |Q|=8 and
+    # take the single-batch path with an unchanged plan.
+    qids_u = sorted({int(q) for q in query_ids})
+    if len(qids_u) > SERVE_QID_BATCH:
+        parts = [
+            ann_index_search(
+                emb,
+                qids_u[i : i + SERVE_QID_BATCH],
+                table_prefix,
+                k=k,
+                nprobe=nprobe,
+                m=m,
+                as_of_epoch=as_of_epoch,
+            )
+            for i in range(0, len(qids_u), SERVE_QID_BATCH)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("qid", "rank")
     spark = emb.sparkSession
     cents = spark.table(f"{table_prefix}_centroids")
     codes = spark.table(f"{table_prefix}_codes")
@@ -954,25 +968,15 @@ def q_ann_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the three post-compaction verification reads are independent
         # (guide §2.6 — overlap independent jobs): the dupe census and
         # the tombstone count back-fill cores under the re-search
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            f_dupes = pool.submit(
-                lambda: spark.table(f"{prefix}_codes")
-                .groupBy("vec_id")
-                .count()
-                .where(F.col("count") > 1)
-                .count()
-            )
-            f_tomb = pool.submit(
-                lambda: spark.table(f"{prefix}_tombstones").count()
-            )
-            f_rows = pool.submit(
-                lambda: ann_index_search(emb, QUERY_IDS, prefix).collect()
-            )
-            dupes, n_tomb, rows = (
-                f_dupes.result(), f_tomb.result(), f_rows.result()
-            )
+        dupes, n_tomb, rows = par_ops(
+            lambda: spark.table(f"{prefix}_codes")
+            .groupBy("vec_id")
+            .count()
+            .where(F.col("count") > 1)
+            .count(),
+            lambda: spark.table(f"{prefix}_tombstones").count(),
+            lambda: ann_index_search(emb, QUERY_IDS, prefix).collect(),
+        )
         assert dupes == 0, f"{dupes} vectors kept >1 version post-compaction"
         assert n_tomb == 0
         assert rows == pre, "compaction changed ranking"

@@ -51,7 +51,7 @@ from admob_data_pipeline_spark.operators.dedup import (
     lsh_band_keys,
     minhash_signatures,
 )
-from admob_data_pipeline_spark.operators.util import join_small
+from admob_data_pipeline_spark.operators.util import join_small, par_ops
 from admob_data_pipeline_spark.sinks.writers import (
     BASE_EPOCH,
     TOMBSTONE_DOC_SCHEMA,
@@ -61,6 +61,7 @@ from admob_data_pipeline_spark.sinks.writers import (
     index_manifest,
     next_epoch,
     overwrite_epoch_partition,
+    overwrite_epoch_partitions,
     purge_applied_tombstones,
     snapshot_tombstones,
     write_epoch_bucketed,
@@ -144,20 +145,13 @@ def dedup_index_build(
     # signature/banding shuffle of the bands write hides the three small
     # writes' DDL+commit latency (guide §2.6; same pattern as
     # ann_index_build's measured 3.4 s → ~1.9 s).
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=5) as pool:
-        for fut in [
-            pool.submit(w)
-            for w in (
-                _write_tombstones,
-                _write_bands,
-                _write_shingles,
-                _write_shsizes,
-                _write_banned,
-            )
-        ]:
-            fut.result()
+    par_ops(
+        _write_tombstones,
+        _write_bands,
+        _write_shingles,
+        _write_shsizes,
+        _write_banned,
+    )
 
 
 def dedup_index_probe(
@@ -321,26 +315,35 @@ def dedup_index_upsert(
         doc_shingles(delta, k), banned, "shingle", "left_anti"
     ).localCheckpoint()
     bands = lsh_band_keys(minhash_signatures(sh), band_in_key=True)
-    overwrite_epoch_partition(
-        bands.select("band_key", "band", "doc_id"),
-        f"{table_prefix}_bands",
-        key="band_key",
-        n_buckets=DEDUP_IDX_BUCKETS,
-        epoch=epoch,
-    )
-    overwrite_epoch_partition(
-        sh,
-        f"{table_prefix}_shingles",
-        key="doc_id",
-        n_buckets=DEDUP_IDX_BUCKETS,
-        epoch=epoch,
-    )
-    overwrite_epoch_partition(
-        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")),
-        f"{table_prefix}_shsizes",
-        key=None,
-        n_buckets=None,
-        epoch=epoch,
+    # The three epoch writes are mutually independent (distinct tables)
+    # and all read the one eager checkpoint above, so they overlap
+    # (guide §2.6): the shingle/size writes' commit+DDL latency hides
+    # under the minhash/banding shuffle of the bands write. Safe under
+    # the refcounted partitionOverwriteMode toggle (sinks/writers.py) —
+    # this path runs inside every streaming micro-batch, so the
+    # per-batch job floor is what this buys down.
+    par_ops(
+        lambda: overwrite_epoch_partition(
+            bands.select("band_key", "band", "doc_id"),
+            f"{table_prefix}_bands",
+            key="band_key",
+            n_buckets=DEDUP_IDX_BUCKETS,
+            epoch=epoch,
+        ),
+        lambda: overwrite_epoch_partition(
+            sh,
+            f"{table_prefix}_shingles",
+            key="doc_id",
+            n_buckets=DEDUP_IDX_BUCKETS,
+            epoch=epoch,
+        ),
+        lambda: overwrite_epoch_partition(
+            sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")),
+            f"{table_prefix}_shsizes",
+            key=None,
+            n_buckets=None,
+            epoch=epoch,
+        ),
     )
 
 
@@ -400,8 +403,10 @@ def dedup_index_ban_hot(
 
     Crash contract: the stop list is extended FIRST (probes immediately
     stop matching on the banned shingles from the batch side — results
-    only ever move toward the post-remedy state), then partitions are
-    rewritten one idempotent dynamic overwrite at a time. The repair
+    only ever move toward the post-remedy state), then each table's
+    affected partitions are replaced by one idempotent multi-epoch
+    dynamic overwrite (the three tables' rewrites are independent and
+    run concurrently). The repair
     set is derived from the FULL stop list intersected with the stored
     table — not from the fresh election — so a re-run after a crash
     finds every banned-but-unpurged shingle (whose shrunken residual df
@@ -466,58 +471,62 @@ def dedup_index_ban_hot(
         .join(affected, "doc_id")
         .localCheckpoint()
     )
-    epochs = sorted(
-        r["epoch"] for r in affected.select("epoch").distinct().collect()
+    # ONE multi-epoch dynamic overwrite per table instead of a per-epoch
+    # loop of 3 writes (r13, guide §2.4: 3·|epochs| jobs → 3 jobs; at
+    # scale the repair cost stops growing with how many ingest epochs an
+    # affected doc's history spans). Each table's replacement content —
+    # every affected epoch's rows at once, epoch column carried last for
+    # the positional insertInto — is checkpointed BEFORE its overwrite
+    # (each rewrite reads the partitions it replaces), and the three
+    # rewrites touch distinct tables, so they run concurrently (guide
+    # §2.6). Crash contract unchanged: the stop list is extended first,
+    # each table's overwrite is an idempotent partition replace, and the
+    # repair set derives from the FULL stop list, so re-runs converge.
+    epochs = [
+        int(r["epoch"])
+        for r in affected.select("epoch").distinct().collect()
+    ]
+    shp = (
+        spark.table(sh_table)
+        .where(F.col("epoch").isin(epochs))
+        .join(purge, "shingle", "left_anti")
+        # insertInto is positional: match the table's (shingle,
+        # doc_id) order (the build's anti-join puts the key first)
+        .select("shingle", "doc_id", "epoch")
+        .localCheckpoint()
     )
-    for p in epochs:
-        aff_p = affected.where(F.col("epoch") == int(p)).select("doc_id")
-        shp = (
-            spark.table(sh_table)
-            .where(F.col("epoch") == int(p))
-            .join(purge, "shingle", "left_anti")
-            # insertInto is positional: match the table's (shingle,
-            # doc_id) order (the build's anti-join puts the key first)
-            .select("shingle", "doc_id")
-            # materialize: each rewrite reads the partition it replaces
-            .localCheckpoint()
+    bp = (
+        spark.table(f"{table_prefix}_bands")
+        .where(F.col("epoch").isin(epochs))
+        .join(affected, ["doc_id", "epoch"], "left_anti")
+        .select("band_key", "band", "doc_id", "epoch")
+        .unionByName(
+            bands_new.select("band_key", "band", "doc_id", "epoch")
         )
-        overwrite_epoch_partition(
-            shp, sh_table, key="doc_id", n_buckets=DEDUP_IDX_BUCKETS, epoch=p
-        )
-        bp = (
-            spark.table(f"{table_prefix}_bands")
-            .where(F.col("epoch") == int(p))
-            .join(aff_p, "doc_id", "left_anti")
-            .select("band_key", "band", "doc_id")
-            .unionByName(
-                bands_new.where(F.col("epoch") == int(p)).select(
-                    "band_key", "band", "doc_id"
-                )
-            )
-            .localCheckpoint()
-        )
-        overwrite_epoch_partition(
+        .localCheckpoint()
+    )
+    zp = (
+        spark.table(f"{table_prefix}_shsizes")
+        .where(F.col("epoch").isin(epochs))
+        .join(affected, ["doc_id", "epoch"], "left_anti")
+        .select("doc_id", "n_sh", "epoch")
+        .unionByName(sizes_new.select("doc_id", "n_sh", "epoch"))
+        .localCheckpoint()
+    )
+    par_ops(
+        lambda: overwrite_epoch_partitions(
+            shp, sh_table, key="doc_id", n_buckets=DEDUP_IDX_BUCKETS
+        ),
+        lambda: overwrite_epoch_partitions(
             bp,
             f"{table_prefix}_bands",
             key="band_key",
             n_buckets=DEDUP_IDX_BUCKETS,
-            epoch=p,
-        )
-        zp = (
-            spark.table(f"{table_prefix}_shsizes")
-            .where(F.col("epoch") == int(p))
-            .join(aff_p, "doc_id", "left_anti")
-            .select("doc_id", "n_sh")
-            .unionByName(
-                sizes_new.where(F.col("epoch") == int(p)).select(
-                    "doc_id", "n_sh"
-                )
-            )
-            .localCheckpoint()
-        )
-        overwrite_epoch_partition(
-            zp, f"{table_prefix}_shsizes", key=None, n_buckets=None, epoch=p
-        )
+        ),
+        lambda: overwrite_epoch_partitions(
+            zp, f"{table_prefix}_shsizes", key=None, n_buckets=None
+        ),
+    )
     return n_hot
 
 
@@ -568,8 +577,6 @@ def dedup_index_compact(spark: SparkSession, table_prefix: str):
     # shared input (tomb snapshot, stale set, tomb_pairs) is pinned, so
     # they run concurrently — the bands and shingles bucket shuffles
     # overlap and the swap DDL latency hides under them (guide §2.6).
-    from concurrent.futures import ThreadPoolExecutor
-
     def _c(suffix: str, key: str | None, n_buckets: int | None):
         return compact_bucketed_table(
             spark,
@@ -580,11 +587,11 @@ def dedup_index_compact(spark: SparkSession, table_prefix: str):
             anti=purge,
         )
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        fa = pool.submit(_c, "bands", "band_key", DEDUP_IDX_BUCKETS)
-        fb = pool.submit(_c, "shingles", "doc_id", DEDUP_IDX_BUCKETS)
-        fc = pool.submit(_c, "shsizes", None, None)
-        a, b, _ = fa.result(), fb.result(), fc.result()
+    a, b, _ = par_ops(
+        lambda: _c("bands", "band_key", DEDUP_IDX_BUCKETS),
+        lambda: _c("shingles", "doc_id", DEDUP_IDX_BUCKETS),
+        lambda: _c("shsizes", None, None),
+    )
     purge_applied_tombstones(spark, f"{table_prefix}_tombstones", applied)
     return a, b
 
@@ -955,20 +962,14 @@ def q_dedup_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_index_compact(spark, prefix)
         # independent post-compaction reads overlap (guide §2.6): the
         # dupe census back-fills cores under the re-probe
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_dupes = pool.submit(
-                lambda: spark.table(f"{prefix}_shsizes")
-                .groupBy("doc_id")
-                .count()
-                .where(F.col("count") > 1)
-                .count()
-            )
-            f_rows = pool.submit(
-                lambda: dedup_index_probe(batch, prefix).collect()
-            )
-            dupes, rows = f_dupes.result(), f_rows.result()
+        dupes, rows = par_ops(
+            lambda: spark.table(f"{prefix}_shsizes")
+            .groupBy("doc_id")
+            .count()
+            .where(F.col("count") > 1)
+            .count(),
+            lambda: dedup_index_probe(batch, prefix).collect(),
+        )
         assert dupes == 0, f"{dupes} docs kept >1 version post-compaction"
         assert rows == pre, "compaction changed the probe"
     finally:

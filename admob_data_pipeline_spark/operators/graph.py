@@ -149,11 +149,12 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     ``prev`` so the early-stop changed-count is a scan of the
     materialized result, not another join.
 
-    (Pointer jumping and multi-step batching were both measured at sf0.1
-    and bought nothing: the changed-count tail here shrinks by new minima
-    propagating, not by long chains being shortcut, and per-join-stage
-    overhead — not per-materialization overhead — dominates tiny rounds.
-    See ROUND_NOTES r5.)
+    (History: the r5 pointer-jump attempt was measured a no-win under
+    that round's join+agg+join round shape — see ROUND_NOTES r5. The r12
+    round-shape rewrite below made the jump nearly free — one extra
+    broadcast-shaped join per round — and it now measurably cuts rounds
+    (mutual-kNN CC 12 → 7); the jump in this function is the KEPT r12
+    form, not a revival of the rejected r5 one.)
 
     Scale: min() is order-insensitive so no float discipline is needed.
     r12 round shape (guide §2.4): the adjacency is hash-partitioned on

@@ -52,6 +52,7 @@ from admob_data_pipeline_spark.operators.retrieval_index import (
     bm25_index_delete,
     bm25_index_upsert,
 )
+from admob_data_pipeline_spark.operators.util import par_ops
 from admob_data_pipeline_spark.operators.similarity import (
     _DUCK_BASE,
     _ORACLE_IVFPQ,
@@ -71,19 +72,10 @@ def _par(*thunks) -> None:
     within a pair the two ops share nothing, so the lexical
     tokenize/shuffle and the vector kernel/codebook passes overlap on
     idle cores instead of serializing. Exceptions propagate (both legs
-    are awaited; the first failure re-raises after both settle)."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futs = [pool.submit(t) for t in thunks]
-        errs = []
-        for f in futs:
-            try:
-                f.result()
-            except Exception as ex:  # noqa: BLE001 — re-raised below
-                errs.append(ex)
-        if errs:
-            raise errs[0]
+    are awaited; the first failure re-raises after both settle).
+    Delegates to the shared :func:`par_ops` — see its docstring for the
+    session-conf invariant the overlapped legs must keep."""
+    par_ops(*thunks)
 
 
 def _build_both(docs, bp: str, bm25_path: str, emb, ap: str, ann_path: str) -> None:
@@ -386,17 +378,25 @@ def _interleaved_lifecycle(spark, sf_dir: str, bp: str, ap: str, out: str):
             emb.where(F.col("vec_id") % PARITY_DELTA_MOD == 3), ap
         ),
     )
-    bm25_index_delete(
-        spark,
-        docs.where(F.col("doc_id") % 10 == PARITY_DEL_BOTH).select("doc_id"),
-        bp,
-    )
-    ann_index_delete(
-        spark,
-        emb.where(
-            (F.col("vec_id") % 10).isin(PARITY_DEL_BOTH, PARITY_DEL_ANN_ONLY)
-        ).select("vec_id"),
-        ap,
+    # the two deletes touch disjoint tombstone tables/ledgers — overlap
+    # them like the (bm25, ann) upsert pair above (guide §2.6)
+    _par(
+        lambda: bm25_index_delete(
+            spark,
+            docs.where(F.col("doc_id") % 10 == PARITY_DEL_BOTH).select(
+                "doc_id"
+            ),
+            bp,
+        ),
+        lambda: ann_index_delete(
+            spark,
+            emb.where(
+                (F.col("vec_id") % 10).isin(
+                    PARITY_DEL_BOTH, PARITY_DEL_ANN_ONLY
+                )
+            ).select("vec_id"),
+            ap,
+        ),
     )
     return docs, emb
 
@@ -419,8 +419,12 @@ def q_hybrid_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bp, ap = "hybrid_par_bm25", "hybrid_par_ann"
     try:
         docs, emb = _interleaved_lifecycle(spark, sf_dir, bp, ap, out)
-        rows = hybrid_index_parity(spark, bp, ap).collect()
-        served = hybrid_index_search(spark, emb, bp, ap).collect()
+        # the audit and the serving check are independent post-lifecycle
+        # READS (no session conf touched) — overlap them (guide §2.6)
+        rows, served = par_ops(
+            lambda: hybrid_index_parity(spark, bp, ap).collect(),
+            lambda: hybrid_index_search(spark, emb, bp, ap).collect(),
+        )
         assert not any(r.doc_id % 10 == PARITY_DEL_BOTH for r in served), (
             "hybrid surfaced a consistently-deleted doc"
         )
@@ -500,17 +504,22 @@ def hybrid_index_repair(
         allow = expected_asymmetry.select("doc_id")
         bm_only = bm_only.join(allow, "doc_id", "left_anti")
         ann_only = ann_only.join(allow, "doc_id", "left_anti")
-    bm_only = bm_only.localCheckpoint()
-    ann_only = ann_only.localCheckpoint()
-    n_bm, n_ann = bm_only.count(), ann_only.count()
-    if n_bm:
-        bm25_index_delete(spark, bm_only.select("doc_id"), bm25_prefix)
-    if n_ann:
-        ann_index_delete(
+    # pins, counts, deletes: each pair is independent across the two
+    # families (disjoint tables/ledgers) — overlap them (guide §2.6)
+    bm_only, ann_only = par_ops(
+        bm_only.localCheckpoint, ann_only.localCheckpoint
+    )
+    n_bm, n_ann = par_ops(bm_only.count, ann_only.count)
+    _par(
+        lambda: n_bm
+        and bm25_index_delete(spark, bm_only.select("doc_id"), bm25_prefix),
+        lambda: n_ann
+        and ann_index_delete(
             spark,
             ann_only.select(F.col("doc_id").alias("vec_id")),
             ann_prefix,
-        )
+        ),
+    )
     return n_bm, n_ann
 
 
@@ -535,15 +544,17 @@ def q_hybrid_index_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         # docs for the repair to remove — n_bm == 0 means the skew was
         # silently missed
         assert n_bm > 0, (n_bm, n_ann)
-        rows = hybrid_index_parity(spark, bp, ap).collect()
+        # re-audit + live-set pull + serving check are independent
+        # post-repair READS — overlap them (guide §2.6)
+        rows, live_rows, served = par_ops(
+            lambda: hybrid_index_parity(spark, bp, ap).collect(),
+            lambda: _live_sets(spark, bp, ap)[0].collect(),
+            lambda: hybrid_index_search(spark, emb, bp, ap).collect(),
+        )
         assert rows[0]["n_bm25_only"] == 0 and rows[0]["n_ann_only"] == 0, (
             rows
         )
-        live = {
-            r["doc_id"]
-            for r in _live_sets(spark, bp, ap)[0].collect()
-        }
-        served = hybrid_index_search(spark, emb, bp, ap).collect()
+        live = {r["doc_id"] for r in live_rows}
         assert {r.doc_id for r in served} <= live, (served, live)
     finally:
         for t in ("postings", "doclen", "stats", "positions", "tombstones"):
@@ -1167,8 +1178,6 @@ def q_hybrid_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the five post-compaction verification reads are independent
         # (guide §2.6): the two dupe censuses and two tombstone counts
         # back-fill cores under the fused re-search
-        from concurrent.futures import ThreadPoolExecutor
-
         def _dupe_count(t: str, k: str) -> int:
             return (
                 spark.table(t)
@@ -1178,22 +1187,14 @@ def q_hybrid_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .count()
             )
 
-        with ThreadPoolExecutor(max_workers=5) as pool:
-            f_d = {
-                t: pool.submit(_dupe_count, t, k)
-                for t, k in (
-                    (f"{bp}_doclen", "doc_id"),
-                    (f"{ap}_codes", "vec_id"),
-                )
-            }
-            f_tb = pool.submit(lambda: spark.table(f"{bp}_tombstones").count())
-            f_ta = pool.submit(lambda: spark.table(f"{ap}_tombstones").count())
-            f_rows = pool.submit(
-                lambda: hybrid_index_search(spark, emb, bp, ap).collect()
-            )
-            dupe_counts = {t: f.result() for t, f in f_d.items()}
-            n_tb, n_ta, rows = f_tb.result(), f_ta.result(), f_rows.result()
-        for t, d in dupe_counts.items():
+        d_bm, d_ann, n_tb, n_ta, rows = par_ops(
+            lambda: _dupe_count(f"{bp}_doclen", "doc_id"),
+            lambda: _dupe_count(f"{ap}_codes", "vec_id"),
+            lambda: spark.table(f"{bp}_tombstones").count(),
+            lambda: spark.table(f"{ap}_tombstones").count(),
+            lambda: hybrid_index_search(spark, emb, bp, ap).collect(),
+        )
+        for t, d in ((f"{bp}_doclen", d_bm), (f"{ap}_codes", d_ann)):
             assert d == 0, f"{t}: {d} keys kept >1 version post-compaction"
         assert n_tb == 0
         assert n_ta == 0

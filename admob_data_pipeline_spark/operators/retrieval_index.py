@@ -56,6 +56,7 @@ from admob_data_pipeline_spark.operators.corpus import (
     _bm25_stats,
     _bm25_tf,
 )
+from admob_data_pipeline_spark.operators.util import par_ops
 from admob_data_pipeline_spark.sinks.writers import (
     BASE_EPOCH,
     TOMBSTONE_DOC_SCHEMA,
@@ -134,20 +135,13 @@ def bm25_index_build(docs: DataFrame, table_prefix: str, path: str) -> None:
     # same pattern as ann_index_build). The tokenize subtrees execute in
     # parallel on idle cores instead of serializing behind a checkpoint
     # barrier (the measured call of OPTIMIZATION_r12 "rejected #1").
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=5) as pool:
-        for fut in [
-            pool.submit(w)
-            for w in (
-                _write_tombstones,
-                _write_postings,
-                _write_doclen,
-                _write_positions,
-                _write_stats,
-            )
-        ]:
-            fut.result()
+    par_ops(
+        _write_tombstones,
+        _write_postings,
+        _write_doclen,
+        _write_positions,
+        _write_stats,
+    )
 
 
 def bm25_index_search(
@@ -381,27 +375,44 @@ def bm25_index_upsert(
     spark = delta.sparkSession
     if epoch is None:
         epoch = claim_epoch(spark, f"{table_prefix}_postings")
-    tf = _bm25_tf(delta, "text").localCheckpoint()
-    overwrite_epoch_partition(
-        tf.select("token", "doc_id", "tf"),
-        f"{table_prefix}_postings",
-        key="token",
-        n_buckets=POSTINGS_BUCKETS,
-        epoch=epoch,
+    # ONE tokenize pass (guide §2.4 — the ann family's fused-ingest
+    # treatment applied here): the positional postings are a superset of
+    # the tf postings, so materialize positions once and DERIVE tf from
+    # it (count of occurrences per (doc_id, token) — bit-identical to
+    # _bm25_tf's explode+count). The old shape tokenized the delta TWICE
+    # per micro-batch (once for tf, once for positions).
+    pos = _bm25_positions(delta).localCheckpoint()
+    tf = (
+        pos.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
-    overwrite_epoch_partition(
-        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
-        f"{table_prefix}_doclen",
-        key="doc_id",
-        n_buckets=POSTINGS_BUCKETS,
-        epoch=epoch,
-    )
-    overwrite_epoch_partition(
-        _bm25_positions(delta),
-        f"{table_prefix}_positions",
-        key="token",
-        n_buckets=POSTINGS_BUCKETS,
-        epoch=epoch,
+    # The three epoch writes are independent (distinct tables) and read
+    # only the checkpoints above — overlap them (guide §2.6; safe under
+    # the refcounted overwrite toggle). This is the per-micro-batch job
+    # floor for streaming_bm25_* and every hybrid/autopilot re-ingest.
+    par_ops(
+        lambda: overwrite_epoch_partition(
+            tf.select("token", "doc_id", "tf"),
+            f"{table_prefix}_postings",
+            key="token",
+            n_buckets=POSTINGS_BUCKETS,
+            epoch=epoch,
+        ),
+        lambda: overwrite_epoch_partition(
+            tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+            f"{table_prefix}_doclen",
+            key="doc_id",
+            n_buckets=POSTINGS_BUCKETS,
+            epoch=epoch,
+        ),
+        lambda: overwrite_epoch_partition(
+            pos,
+            f"{table_prefix}_positions",
+            key="token",
+            n_buckets=POSTINGS_BUCKETS,
+            epoch=epoch,
+        ),
     )
 
 
@@ -628,20 +639,14 @@ def q_bm25_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_index_compact(spark, prefix)
         # independent post-compaction reads overlap (guide §2.6): the
         # dupe census back-fills cores under the re-search
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_dupes = pool.submit(
-                lambda: spark.table(f"{prefix}_doclen")
-                .groupBy("doc_id")
-                .count()
-                .where(F.col("count") > 1)
-                .count()
-            )
-            f_rows = pool.submit(
-                lambda: bm25_index_search(spark, BM25_QUERY, prefix).collect()
-            )
-            dupes, rows = f_dupes.result(), f_rows.result()
+        dupes, rows = par_ops(
+            lambda: spark.table(f"{prefix}_doclen")
+            .groupBy("doc_id")
+            .count()
+            .where(F.col("count") > 1)
+            .count(),
+            lambda: bm25_index_search(spark, BM25_QUERY, prefix).collect(),
+        )
         assert dupes == 0, f"{dupes} docs kept >1 version post-compaction"
         assert rows == pre, "compaction changed ranking"
     finally:
@@ -849,8 +854,6 @@ def bm25_index_compact(spark: SparkSession, table_prefix: str):
     # they run concurrently — the two token-bucketed shuffles overlap
     # and the swap DDL latency hides under them (guide §2.6; the same
     # measured pattern as the pooled index builds).
-    from concurrent.futures import ThreadPoolExecutor
-
     def _c(suffix: str, key: str):
         return compact_bucketed_table(
             spark,
@@ -861,11 +864,11 @@ def bm25_index_compact(spark: SparkSession, table_prefix: str):
             anti=purge,
         )
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        fa = pool.submit(_c, "postings", "token")
-        fb = pool.submit(_c, "doclen", "doc_id")
-        fc = pool.submit(_c, "positions", "token")
-        a, b, _ = fa.result(), fb.result(), fc.result()
+    a, b, _ = par_ops(
+        lambda: _c("postings", "token"),
+        lambda: _c("doclen", "doc_id"),
+        lambda: _c("positions", "token"),
+    )
     purge_applied_tombstones(spark, f"{table_prefix}_tombstones", applied)
     return a, b
 

@@ -33,12 +33,22 @@ Scale design:
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from admob_data_pipeline_spark.operators.util import widen_if_narrow
 from admob_data_pipeline_spark.sources.tables import load_table
+
+# Literal-plan serving (ivfpq_topk here, ann_index_search in
+# ann_index.py) embeds |Q|·(nprobe + m·kc) literals in the query plan —
+# linear in the query batch, so an unbounded batch would blow the
+# driver's plan compilation. Batches above this cap are served in
+# chunks of at most this size and unioned (result-identical: scoring,
+# ranking and tie-breaks are all per-qid). Declared queries pin |Q|=8,
+# far below the cap, so their plans are untouched.
+SERVE_QID_BATCH = int(os.environ.get("SPARK_GRAFT_SERVE_QID_BATCH", "1024"))
 
 N_PLANES = 8
 DEFAULT_K = 5
@@ -723,126 +733,145 @@ def ivfpq_topk(
     )
     coded = base.select("vec_id", "v").mapInPandas(kern, schema=code_schema)
 
-    # probe pairs + ADC LUT: bounded per-query artifacts, evaluated in
-    # ONE tagged-union job over the same point lookup and collected once
-    qf = base.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    cents_lit = spark.createDataFrame(
-        [(int(r["cid"]), list(r["cv"]), float(r["cn"])) for r in cent_rows],
-        "cid bigint, cv array<double>, cn double",
-    )
-    raw_q_cos = F.try_divide(
-        dot(F.col("qv"), F.col("cv"), dim), F.col("qn") * F.col("cn")
-    )
-    w_probe = Window.partitionBy("qid").orderBy(F.desc("csim"), F.col("cid"))
-    probes = (
-        qf.crossJoin(F.broadcast(cents_lit))
-        .select("qid", "cid", raw_q_cos.alias("csim"))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .where(F.col("rn") <= nprobe)
-        .select(
-            F.lit(0).alias("tag"),
+    def _serve(q_ids, coded):
+        # probe pairs + ADC LUT: bounded per-query artifacts, evaluated in
+        # ONE tagged-union job over the same point lookup and collected once
+        qf = base.where(F.col("vec_id").isin(q_ids)).select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        cents_lit = spark.createDataFrame(
+            [(int(r["cid"]), list(r["cv"]), float(r["cn"])) for r in cent_rows],
+            "cid bigint, cv array<double>, cn double",
+        )
+        raw_q_cos = F.try_divide(
+            dot(F.col("qv"), F.col("cv"), dim), F.col("qn") * F.col("cn")
+        )
+        w_probe = Window.partitionBy("qid").orderBy(F.desc("csim"), F.col("cid"))
+        probes = (
+            qf.crossJoin(F.broadcast(cents_lit))
+            .select("qid", "cid", raw_q_cos.alias("csim"))
+            .withColumn("rn", F.row_number().over(w_probe))
+            .where(F.col("rn") <= nprobe)
+            .select(
+                F.lit(0).alias("tag"),
+                "qid",
+                F.col("cid").cast("long").alias("x"),
+                F.lit(None).cast("long").alias("y"),
+            )
+        )
+        cb_df = spark.createDataFrame(
+            [(s, c, book_mats[s][c]) for s in range(m) for c in range(len(book_mats[s]))],
+            "s int, code int, cv array<double>",
+        )
+        _STRIDE = 1 << 20
+        qslots = qf.select(
             "qid",
-            F.col("cid").cast("long").alias("x"),
-            F.lit(None).cast("long").alias("y"),
-        )
-    )
-    cb_df = spark.createDataFrame(
-        [(s, c, book_mats[s][c]) for s in range(m) for c in range(len(book_mats[s]))],
-        "s int, code int, cv array<double>",
-    )
-    _STRIDE = 1 << 20
-    qslots = qf.select(
-        "qid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("qv", s * sub + 1, sub).alias("qsv"),
-                    )
-                    for s in range(m)
-                ]
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice("qv", s * sub + 1, sub).alias("qsv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e"),
+        ).select("qid", "e.s", "e.qsv")
+        lut = qslots.join(F.broadcast(cb_df), "s").select(
+            F.lit(1).alias("tag"),
+            "qid",
+            (F.col("s").cast("long") * F.lit(_STRIDE) + F.col("code")).alias("x"),
+            F.floor(
+                (
+                    (dot(F.col("qsv"), F.col("qsv")) - 2 * dot(F.col("qsv"), F.col("cv")))
+                    + dot(F.col("cv"), F.col("cv"))
+                )
+                * 1e6
             )
-        ).alias("e"),
-    ).select("qid", "e.s", "e.qsv")
-    lut = qslots.join(F.broadcast(cb_df), "s").select(
-        F.lit(1).alias("tag"),
-        "qid",
-        (F.col("s").cast("long") * F.lit(_STRIDE) + F.col("code")).alias("x"),
-        F.floor(
-            (
-                (dot(F.col("qsv"), F.col("qsv")) - 2 * dot(F.col("qsv"), F.col("cv")))
-                + dot(F.col("cv"), F.col("cv"))
-            )
-            * 1e6
+            .cast("long")
+            .alias("y"),
         )
-        .cast("long")
-        .alias("y"),
-    )
-    art = probes.unionByName(lut).collect()
+        art = probes.unionByName(lut).collect()
 
-    if not art:
-        # no query vectors matched: same empty shape as the ranked output
-        empty = coded.where(F.lit(False)).select(
-            F.lit(None).cast("long").alias("qid"),
-            "vec_id",
-            F.lit(None).cast("long").alias("adc_e6"),
+        if not art:
+            # no query vectors matched: same empty shape as the ranked output
+            empty = coded.where(F.lit(False)).select(
+                F.lit(None).cast("long").alias("qid"),
+                "vec_id",
+                F.lit(None).cast("long").alias("adc_e6"),
+            )
+            w0 = Window.partitionBy("qid").orderBy(F.asc("adc_e6"), F.asc("vec_id"))
+            return (
+                empty.withColumn("rank", F.row_number().over(w0))
+                .where(F.col("rank") <= k)
+                .orderBy("qid", "rank")
+            )
+
+        probe_pairs = sorted(
+            (int(r["qid"]), int(r["x"])) for r in art if r["tag"] == 0
         )
-        w0 = Window.partitionBy("qid").orderBy(F.asc("adc_e6"), F.asc("vec_id"))
+        lut_cells = [r for r in art if r["tag"] == 1]
+        kc_eff = 1 + max(int(r["x"]) % _STRIDE for r in lut_cells)
+        slot_maps: list[dict] = [{} for _ in range(m)]
+        for r in lut_cells:
+            s, code = divmod(int(r["x"]), _STRIDE)
+            slot_maps[s][int(r["qid"]) * kc_eff + code] = int(r["y"])
+
+        probes_lit = spark.createDataFrame(
+            [(lid, qid) for qid, lid in probe_pairs], "list_id bigint, qid bigint"
+        )
+        probe_lists = sorted({lid for _, lid in probe_pairs})
+        # No distinct: `coded` holds exactly ONE list per vec_id (argmax
+        # assignment) and `probes_lit` one row per (qid, list), so the join
+        # cannot produce duplicate (qid, vec_id) pairs.
+        cand = (
+            coded.where(F.col("list_id").isin(probe_lists))
+            .join(F.broadcast(probes_lit), "list_id")
+            .where(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id", *[f"c{s}" for s in range(m)])
+        )
+        # one F.expr per slot: per-entry F.lit Column construction costs
+        # ~2·|Q|·kc py4j round-trips (~1 s at |Q|=8)
+        d_cols = []
+        for s in range(m):
+            entries = ",".join(
+                f"{key}L,{d}L" for key, d in sorted(slot_maps[s].items())
+            )
+            d_cols.append(
+                F.expr(f"element_at(map({entries}), qid * {kc_eff}L + c{s})")
+            )
+        adc = cand.select(
+            "qid",
+            "vec_id",
+            sum(d_cols[1:], d_cols[0]).alias("adc_e6"),
+        )
+        w = Window.partitionBy("qid").orderBy(F.asc("adc_e6"), F.asc("vec_id"))
         return (
-            empty.withColumn("rank", F.row_number().over(w0))
+            adc.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .orderBy("qid", "rank")
         )
 
-    probe_pairs = sorted(
-        (int(r["qid"]), int(r["x"])) for r in art if r["tag"] == 0
-    )
-    lut_cells = [r for r in art if r["tag"] == 1]
-    kc_eff = 1 + max(int(r["x"]) % _STRIDE for r in lut_cells)
-    slot_maps: list[dict] = [{} for _ in range(m)]
-    for r in lut_cells:
-        s, code = divmod(int(r["x"]), _STRIDE)
-        slot_maps[s][int(r["qid"]) * kc_eff + code] = int(r["y"])
+    # Chunked serving above the literal-plan cap (see SERVE_QID_BATCH):
+    # the corpus kernel pass is pinned once and each qid chunk is served
+    # against it; per-qid scoring/ranking makes the union row-identical
+    # to one-shot serving.
+    qids_u = sorted({int(q) for q in query_ids})
+    if len(qids_u) <= SERVE_QID_BATCH:
+        return _serve(query_ids, coded)
+    coded = coded.localCheckpoint()
+    parts = [
+        _serve(qids_u[i : i + SERVE_QID_BATCH], coded)
+        for i in range(0, len(qids_u), SERVE_QID_BATCH)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("qid", "rank")
 
-    probes_lit = spark.createDataFrame(
-        [(lid, qid) for qid, lid in probe_pairs], "list_id bigint, qid bigint"
-    )
-    probe_lists = sorted({lid for _, lid in probe_pairs})
-    # No distinct: `coded` holds exactly ONE list per vec_id (argmax
-    # assignment) and `probes_lit` one row per (qid, list), so the join
-    # cannot produce duplicate (qid, vec_id) pairs.
-    cand = (
-        coded.where(F.col("list_id").isin(probe_lists))
-        .join(F.broadcast(probes_lit), "list_id")
-        .where(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", *[f"c{s}" for s in range(m)])
-    )
-    # one F.expr per slot: per-entry F.lit Column construction costs
-    # ~2·|Q|·kc py4j round-trips (~1 s at |Q|=8)
-    d_cols = []
-    for s in range(m):
-        entries = ",".join(
-            f"{key}L,{d}L" for key, d in sorted(slot_maps[s].items())
-        )
-        d_cols.append(
-            F.expr(f"element_at(map({entries}), qid * {kc_eff}L + c{s})")
-        )
-    adc = cand.select(
-        "qid",
-        "vec_id",
-        sum(d_cols[1:], d_cols[0]).alias("adc_e6"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.asc("adc_e6"), F.asc("vec_id"))
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .orderBy("qid", "rank")
-    )
 
 def quantize_int8(emb: DataFrame) -> DataFrame:
     """Asymmetric int8 quantization of the embedding column — the storage

@@ -17,9 +17,38 @@ per-row work.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def par_ops(*thunks) -> list:
+    """Run independent Spark actions CONCURRENTLY from driver threads
+    (guide §2.6 — overlap independent jobs so one job's straggler tail
+    back-fills with the next job's tasks). Returns the thunks' results
+    in order; exceptions propagate (all legs are awaited, the first
+    failure re-raises after every leg settles).
+
+    INVARIANT the callers rely on: the overlapped legs share ONE
+    SparkSession, so they must not flip session-global confs except
+    through a refcounted toggle (``_dynamic_partition_overwrite`` in
+    sinks/writers.py is the only sanctioned one — concurrent epoch
+    writers to DISTINCT tables are safe under it). Read-only legs
+    (verification probes, audits) must stay conf-neutral; anything like
+    EPOCH_ARBITER_CONF belongs OUTSIDE a par_ops block."""
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        errs, results = [], []
+        for f in futs:
+            try:
+                results.append(f.result())
+            except Exception as ex:  # noqa: BLE001 — re-raised below
+                errs.append(ex)
+                results.append(None)
+        if errs:
+            raise errs[0]
+        return results
 
 
 def widen_if_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

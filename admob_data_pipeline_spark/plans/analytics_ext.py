@@ -2779,7 +2779,15 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = ranked.agg(
         F.sum("m").alias("n"),
-        F.sum(F.col("cents") * F.col("m")).alias("total"),
+        # total in DECIMAL(38,0) too (ADVICE r12): at the query's own
+        # 100 TB framing Σcents can approach 2^63 and a BIGINT sum would
+        # go silently NULL (ANSI off) before the decimal casts in
+        # num/den. The declared total_cents output stays BIGINT via the
+        # cast below — identical values wherever the old form didn't
+        # overflow (i.e. everywhere the oracle runs).
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("m")).alias(
+            "total"
+        ),
         F.sum(
             F.col("cents").cast("decimal(38,0)")
             * F.col("m")
@@ -2794,7 +2802,7 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stats.select(
             F.col("n").alias("n_customers"),
-            F.col("total").alias("total_cents"),
+            F.col("total").cast("long").alias("total_cents"),
             num.alias("num"),
             den.alias("den"),
         )

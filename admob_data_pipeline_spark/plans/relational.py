@@ -1675,56 +1675,110 @@ _PROFILE_COLS = [
 ]
 
 
-def _profile_bounds(col: str, kind: str) -> tuple[F.Column, F.Column]:
-    """min/max rendered to strings deterministically per type: doubles go
-    through FLOOR-cents (floor is monotone, so it commutes with min/max),
-    timestamps through DATE — never raw double/timestamp repr, which
-    differs between engines."""
-    c = F.col(col)
-    if kind == "money":
-        c = F.floor(c * 100).cast("long")
-    elif kind == "date":
-        c = c.cast("date")
-    return F.min(c).cast("string"), F.max(c).cast("string")
-
-
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level data-quality profile of ``orders``: null count,
     exact distinct count, min/max — the audit every ingestion pipeline
-    runs before trusting a partition.
+    runs before trusting a partition. Still ONE table scan regardless
+    of column count.
 
-    ONE aggregation pass produces every stat (count-distincts expand into
-    grouping-set partials inside the same job); the per-column rows are
-    then exploded from the single result row — no per-column rescans, so
-    profiling cost is one table scan regardless of column count.
+    r13 shape (guide §2.3): the former single multi-distinct aggregate
+    planned as SORT aggregates end to end — Catalyst's distinct rewrite
+    expands the scan 6× and the string min/max buffers (o_orderstatus)
+    disqualify HashAggregateExec, so every expanded row went through a
+    full 6-key sort (plans/r13/profile_orders_before.txt). Instead,
+    explode each row into one narrow typed (column-idx, value) record
+    per column and reduce with HASH aggregates: stage 1 dedupes values
+    per column with map-side partials (count per distinct value — keys
+    may be strings, that's hash-friendly; only string-valued AGGREGATE
+    BUFFERS are not), stage 2 folds the per-value counts into
+    n_rows/nulls/ndv and takes min/max over the DEDUPED values only —
+    the unavoidable string-min sort aggregate now sees Σ ndv rows, not
+    6× the table. min/max commute with the monotone render transforms
+    (floor-cents, timestamp→date), so rendering after the aggregate is
+    value-identical to the old render-then-aggregate form.
     """
     o = load_table(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for col, kind in _PROFILE_COLS:
-        mn, mx = _profile_bounds(col, kind)
-        aggs += [
-            F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__nulls"),
-            F.count_distinct(F.col(col)).alias(f"{col}__ndv"),
-            mn.alias(f"{col}__min"),
-            mx.alias(f"{col}__max"),
-        ]
-    row = o.agg(*aggs)
-    entries = F.array(
-        *[
+    slots = []
+    for idx, (col, kind) in enumerate(_PROFILE_COLS):
+        c = F.col(col)
+        slots.append(
             F.struct(
-                F.lit(col).alias("column"),
-                F.col("n_rows").alias("n_rows"),
-                F.col(f"{col}__nulls").alias("n_nulls"),
-                F.col(f"{col}__ndv").alias("n_distinct"),
-                F.col(f"{col}__min").alias("min_repr"),
-                F.col(f"{col}__max").alias("max_repr"),
+                F.lit(idx).alias("i"),
+                (c if kind == "key" else F.lit(None).cast("long")).alias(
+                    "vl"
+                ),
+                (c if kind == "money" else F.lit(None).cast("double")).alias(
+                    "vd"
+                ),
+                (
+                    c if kind == "date" else F.lit(None).cast("timestamp")
+                ).alias("vt"),
+                (c if kind == "str" else F.lit(None).cast("string")).alias(
+                    "vs"
+                ),
             )
-            for col, _ in _PROFILE_COLS
+        )
+    kv = o.select(F.explode(F.array(*slots)).alias("e")).select("e.*")
+    per_val = kv.groupBy("i", "vl", "vd", "vt", "vs").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    has_val = (
+        F.col("vl").isNotNull()
+        | F.col("vd").isNotNull()
+        | F.col("vt").isNotNull()
+        | F.col("vs").isNotNull()
+    )
+    stats = per_val.groupBy("i").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(has_val, F.lit(0)).otherwise(F.col("cnt"))).alias(
+            "n_nulls"
+        ),
+        F.count(F.when(has_val, F.lit(1))).alias("n_distinct"),
+        F.min("vl").alias("mn_l"),
+        F.max("vl").alias("mx_l"),
+        F.min("vd").alias("mn_d"),
+        F.max("vd").alias("mx_d"),
+        F.min("vt").alias("mn_t"),
+        F.max("vt").alias("mx_t"),
+        F.min("vs").alias("mn_s"),
+        F.max("vs").alias("mx_s"),
+    )
+    name_map = F.create_map(
+        *[
+            x
+            for idx, (col, _) in enumerate(_PROFILE_COLS)
+            for x in (F.lit(idx), F.lit(col))
         ]
     )
+
+    def _repr(lcol: str, dcol: str, tcol: str, scol: str) -> F.Column:
+        # per-kind render, applied AFTER min/max (monotone transforms)
+        kind_by_idx = {i: k for i, (_, k) in enumerate(_PROFILE_COLS)}
+        branches = []
+        for idx, kind in kind_by_idx.items():
+            if kind == "key":
+                r = F.col(lcol).cast("string")
+            elif kind == "money":
+                r = F.floor(F.col(dcol) * 100).cast("long").cast("string")
+            elif kind == "date":
+                r = F.col(tcol).cast("date").cast("string")
+            else:
+                r = F.col(scol)
+            branches.append((F.col("i") == idx, r))
+        out = F.when(branches[0][0], branches[0][1])
+        for cond, r in branches[1:]:
+            out = out.when(cond, r)
+        return out
+
     return (
-        row.select(F.explode(entries).alias("e"))
-        .select("e.*")
+        stats.select(
+            name_map[F.col("i")].alias("column"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            _repr("mn_l", "mn_d", "mn_t", "mn_s").alias("min_repr"),
+            _repr("mx_l", "mx_d", "mx_t", "mx_s").alias("max_repr"),
+        )
         .orderBy("column")
     )
 

@@ -293,6 +293,35 @@ def overwrite_epoch_partition(
         rows.write.mode("overwrite").insertInto(table)
 
 
+def overwrite_epoch_partitions(
+    df: DataFrame,
+    table: str,
+    key: str | None,
+    n_buckets: int | None,
+) -> None:
+    """Multi-epoch variant of :func:`overwrite_epoch_partition` for
+    maintenance rewrites that touch SEVERAL existing epoch partitions at
+    once (e.g. the stop-list repair): ``df`` carries its own ``epoch``
+    column (last, matching the table's partition position) and ONE
+    dynamic partition overwrite replaces exactly the epochs present in
+    it — one Spark job instead of a per-epoch loop of writes.
+
+    The bucket layout invariant survives: rows hash-repartition on
+    (epoch, bucket-id), so every (epoch, bucket) group lands in exactly
+    one task and the bucketed writer emits at most one file per bucket
+    per epoch — the same one-file-per-bucket-per-epoch layout the
+    per-epoch writer produces. Idempotent like the single-epoch form
+    (a replay rewrites the same partitions with identical rows)."""
+    spark = df.sparkSession
+    rows = df.withColumn("epoch", F.col("epoch").cast("long"))
+    if key is not None:
+        rows = rows.repartition(
+            F.col("epoch"), F.expr(f"pmod(hash({key}), {n_buckets})")
+        )
+    with _dynamic_partition_overwrite(spark):
+        rows.write.mode("overwrite").insertInto(table)
+
+
 def next_epoch(spark, table: str) -> int:
     """Auto-assign the next ingest epoch: max(existing)+1, read from the
     catalog's PARTITION LIST (``SHOW PARTITIONS`` — no data files are

@@ -768,3 +768,15 @@ def test_split_raises_on_dead_recorded_election(spark, sf_dir):
         assert f"list-{flagged[0]}-child-{ghost}" in names
     finally:
         _drop_ann(spark, prefix, out)
+
+
+def test_search_chunked_serving_identical(spark, built_index, monkeypatch):
+    """Above the SERVE_QID_BATCH literal-plan cap, ann_index_search
+    serves the query batch in chunks and unions them; rows must be
+    identical to one-shot serving (per-qid scoring and tie-breaks)."""
+    emb, prefix = built_index
+    qids = similarity.QUERY_IDS  # 8 ids
+    one_shot = ann_index.ann_index_search(emb, qids, prefix).collect()
+    monkeypatch.setattr(ann_index, "SERVE_QID_BATCH", 3)
+    chunked = ann_index.ann_index_search(emb, qids, prefix).collect()
+    assert [tuple(r) for r in chunked] == [tuple(r) for r in one_shot]

@@ -831,3 +831,15 @@ def test_semdedup_dedups_within_clusters_only(spark):
         (r.a, r.b) for r in similarity.neardup_pairs(d, threshold=0.3).collect()
     }
     assert (0, 5) in glob
+
+
+def test_ivfpq_chunked_serving_identical(spark, sf_dir, monkeypatch):
+    """Above the SERVE_QID_BATCH literal-plan cap the query batch is
+    served in chunks and unioned; rows must be identical to one-shot
+    serving (scoring/ranking/tie-breaks are per-qid)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = similarity.QUERY_IDS  # 8 ids
+    one_shot = similarity.ivfpq_topk(emb, qids).collect()
+    monkeypatch.setattr(similarity, "SERVE_QID_BATCH", 3)
+    chunked = similarity.ivfpq_topk(emb, qids).collect()
+    assert [tuple(r) for r in chunked] == [tuple(r) for r in one_shot]
