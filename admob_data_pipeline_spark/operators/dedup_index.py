@@ -168,8 +168,12 @@ def dedup_index_probe(
     verification against the persisted shingle sets."""
     spark = batch.sparkSession
     banned = spark.table(f"{table_prefix}_banned")
+    # one eager materialization: the outer checkpoint is the reuse point
+    # (bands_b + intersection + sizes); the raw shingle set has a single
+    # consumer, so checkpointing it separately was a wasted second
+    # materialization of the batch's shingles (r13)
     sh_b = join_small(
-        doc_shingles(batch, k).localCheckpoint(), banned, "shingle", "left_anti"
+        doc_shingles(batch, k), banned, "shingle", "left_anti"
     ).localCheckpoint()
     bands_b = lsh_band_keys(minhash_signatures(sh_b), band_in_key=True).select(
         F.col("doc_id").alias("batch_doc"), "band_key"

@@ -377,30 +377,33 @@ def bm25_index_upsert(
         epoch = claim_epoch(spark, f"{table_prefix}_postings")
     # ONE tokenize pass (guide §2.4 — the ann family's fused-ingest
     # treatment applied here): the positional postings are a superset of
-    # the tf postings, so materialize positions once and DERIVE tf from
-    # it (count of occurrences per (doc_id, token) — bit-identical to
-    # _bm25_tf's explode+count). The old shape tokenized the delta TWICE
-    # per micro-batch (once for tf, once for positions).
+    # the tf postings, so materialize positions once and DERIVE the
+    # other two tables from the checkpoint — tf as a count of
+    # occurrences per (doc_id, token) (bit-identical to _bm25_tf's
+    # explode+count) and doclen DIRECTLY as a count of occurrences per
+    # doc (Σtf per doc ≡ row count per doc). The old shape tokenized
+    # the delta TWICE per micro-batch (once for tf, once for
+    # positions); no intermediate tf checkpoint either — the two
+    # derived aggregates run concurrently from the one checkpoint
+    # instead of serializing behind a second materialization (the r12
+    # "rejected #1" lesson).
     pos = _bm25_positions(delta).localCheckpoint()
-    tf = (
-        pos.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
     # The three epoch writes are independent (distinct tables) and read
-    # only the checkpoints above — overlap them (guide §2.6; safe under
+    # only the checkpoint above — overlap them (guide §2.6; safe under
     # the refcounted overwrite toggle). This is the per-micro-batch job
     # floor for streaming_bm25_* and every hybrid/autopilot re-ingest.
     par_ops(
         lambda: overwrite_epoch_partition(
-            tf.select("token", "doc_id", "tf"),
+            pos.groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .select("token", "doc_id", "tf"),
             f"{table_prefix}_postings",
             key="token",
             n_buckets=POSTINGS_BUCKETS,
             epoch=epoch,
         ),
         lambda: overwrite_epoch_partition(
-            tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+            pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
             f"{table_prefix}_doclen",
             key="doc_id",
             n_buckets=POSTINGS_BUCKETS,
