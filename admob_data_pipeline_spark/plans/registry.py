@@ -467,6 +467,17 @@ DRIVER_GREEN: frozenset[str] = frozenset(
         "streaming_bm25_maintained",
         "hybrid_index_autopilot_guarded",
         "bm25_index_upsert_arbiter",
+        # r12 driver-green rows (CORRECTNESS_r12, 50/50 green): the
+        # round-12 reupsert/maintained wave earned its first verdicts,
+        # and the whole 35-name r12 RECHECK set re-verified (drained
+        # below). Backlog stays ZERO — all 372 entries driver-confirmed.
+        "ann_index_reupsert",
+        "bm25_index_reupsert",
+        "dedup_index_reupsert",
+        "hybrid_index_reupsert",
+        "streaming_ann_maintained",
+        "streaming_dedup_maintained",
+        "streaming_hybrid_maintained",
     }
 )
 
@@ -480,15 +491,9 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 # Names absent from the registry are ignored, so this list never breaks on
 # renames.
 FRESH_FIRST: tuple[str, ...] = (
-    # round-12 wave: backlog is ZERO after the r11 append (all 365 entries
-    # driver-confirmed). New round-12 queries land here, newest first.
-    "streaming_hybrid_maintained",
-    "streaming_dedup_maintained",
-    "streaming_ann_maintained",
-    "hybrid_index_reupsert",
-    "dedup_index_reupsert",
-    "ann_index_reupsert",
-    "bm25_index_reupsert",
+    # round-13 added no new queries (optimization round); the round-12
+    # wave drained into DRIVER_GREEN via CORRECTNESS_r12. New names land
+    # here, newest first.
 )
 
 
@@ -499,64 +504,51 @@ FRESH_FIRST: tuple[str, ...] = (
 # lands — then remove them from here.
 RECHECK: frozenset[str] = frozenset(
     {
-        # r12: BM25 re-upsert became REPLACE — serving gained the
-        # latest-epoch doclen-manifest mask (bm25_index_search/_phrase)
-        # and compaction gained the stale-version (doc_id, epoch) purge.
-        # Results identical on the registered data (no query re-upserts
-        # an existing doc except the new bm25_index_reupsert), but every
-        # query whose plan serves through the masked path re-enters the
-        # window until a fresh driver verdict lands.
-        "bm25_index_search",
+        # r13: the bm25 upsert path tokenizes ONCE (positions are the
+        # materialization; tf and doclen derive from them — doclen as a
+        # direct per-doc occurrence count) and the three epoch writes
+        # overlap. Written table contents verified byte-identical and
+        # all family oracles green at sf0.001+sf0.01, but every query
+        # whose lifecycle runs the rewritten ingest re-enters the window
+        # until a fresh driver verdict lands.
         "bm25_index_upsert",
         "bm25_index_upsert_arbiter",
-        "bm25_index_compact",
-        "bm25_index_delete",
+        "bm25_index_reupsert",
         "bm25_index_refresh",
         "bm25_index_autopilot",
-        "bm25_index_phrase",
+        "bm25_index_drift",
+        "bm25_index_manifest",
         "bm25_index_asof",
+        "bm25_index_compact",
         "streaming_bm25_ingest",
         "streaming_bm25_maintained",
-        # r12: the bounded reconcile ratio is now computed net of the
-        # declared slice in the DENOMINATOR too (same repair decision on
-        # the registered data — 1% op skew vs either denominator is
-        # inside the 2% bound — but the computation changed).
-        "hybrid_index_autopilot_guarded",
-        # r12: ann_index_split now refuses to replay a committed
-        # election whose child vector vanished from the corpus (one
-        # bounded collect added to the marker-recovery path; results
-        # identical on the registered data).
-        "ann_index_split",
-        "ann_index_autopilot",
-        # r12: uniform LSM replace/delete semantics — the ann family's
-        # tombstone mask and compaction purge became EPOCH-AWARE (a
-        # delete kills only versions at-or-before its stamp; upsert
-        # stamps supersession tombstones for re-ingested ids), the dedup
-        # probe gained the shsizes live-latest mask, and the hybrid
-        # serving/parity paths inherit both. Results identical on the
-        # registered data (nothing there re-upserts or
-        # deletes-then-reingests), but every query whose plan runs
-        # through the changed masks re-enters the window.
-        "ann_index_search",
-        "ann_index_upsert",
-        "ann_index_rerank",
-        "ann_index_compact",
-        "ann_index_delete",
-        "ann_index_asof",
-        "streaming_ann_ingest",
+        # r13: dedup probe dropped its inner batch-shingle checkpoint,
+        # upsert writes overlap, and ban_hot's per-epoch rewrite loop
+        # became one multi-epoch dynamic overwrite per table.
         "dedup_index_probe",
         "dedup_index_upsert",
         "dedup_index_compact",
-        "dedup_index_ban_hot",
-        "dedup_index_autopilot",
-        "dedup_index_delete",
         "dedup_index_asof",
+        "dedup_index_autopilot",
+        "dedup_index_ban_hot",
+        "dedup_index_delete",
+        "dedup_index_reupsert",
         "streaming_dedup_ingest",
-        "hybrid_index_search",
+        "streaming_dedup_maintained",
+        # r13: hybrid lifecycles inherit the bm25 ingest rewrite (their
+        # ann leg is unchanged); parity/repair additionally overlap
+        # their audit reads (scheduling only, plans unchanged).
         "hybrid_index_parity",
         "hybrid_index_repair",
-        "hybrid_index_autopilot",
+        "hybrid_index_reupsert",
         "streaming_hybrid_ingest",
+        "streaming_hybrid_maintained",
+        # r13: profile_orders re-planned (multi-distinct sort-aggregate
+        # pipeline -> hash partials over typed records); revenue_gini's
+        # total aggregate lifted to DECIMAL(38,0) with a BIGINT output
+        # cast.
+        "profile_orders",
+        "revenue_gini",
     }
 )
 
@@ -571,18 +563,9 @@ RECHECK: frozenset[str] = frozenset(
 # unchanged; clear alongside FRESH_FIRST at the next round's first commit
 # and refill with that round's oldest names.
 AGED_REFRESH: tuple[str, ...] = (
-    # the judge-called-out stalest §2 rows lead (the window may not
-    # reach the whole list in a heavy-RECHECK round — lead names win) …
-    "sink_csv_roundtrip",
-    "sink_jsonl_roundtrip",
-    "sink_partition_overwrite",
-    "sink_sorted_layout",
-    # … then the names whose latest green is CORRECTNESS_r01 …
-    "bloom_pruned_join",
-    "cohort_retention",
-    "corr_stats",
-    "cube_summary",
-    "disjunctive_revenue",
+    # r13 refill (verdict-age order at composition time): every name
+    # below has its latest green in CORRECTNESS_r01/r02; the 22 slots
+    # are the window capacity left after the 28-name r13 RECHECK.
     "full_outer_coverage",
     "funnel_conversion",
     "grouping_sets_calendar",
@@ -593,7 +576,6 @@ AGED_REFRESH: tuple[str, ...] = (
     "min_cost_per_brand",
     "nation_volume_trade",
     "priority_shipmix",
-    "profile_orders",
     "promo_revenue_ratio",
     "range_join",
     "regional_revenue",
@@ -601,13 +583,11 @@ AGED_REFRESH: tuple[str, ...] = (
     "semi_join",
     "waiting_suppliers",
     "window_ranks",
-    # … then high-value r02-latest names, to the window's 50-slot
-    # capacity
-    "dedup_exact",
-    "dedup_minhash_lsh",
     "ann_bruteforce_topk",
-    "multimodal_metadata",
-    "streaming_sessionize",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_clusters",
+    "dedup_exact",
 )
 
 
