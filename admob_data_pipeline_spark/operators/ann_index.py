@@ -113,17 +113,23 @@ def ann_index_build(
     """
     base, dim = with_vec(emb)
     sub = dim // m
-    cent_rows = (
-        base.where(F.col("vec_id") % centroid_mod == 0)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cn"),
-        )
-        .orderBy("cid")
-        .collect()
+    # The two quantizer-training samples are independent corpus passes
+    # (different filters, both bounded collects) — overlap them (guide
+    # §2.6) so the codebook scan back-fills cores under the centroid
+    # scan's tail instead of serializing behind it.
+    cent_rows, book_mats = par_ops(
+        lambda: (
+            base.where(F.col("vec_id") % centroid_mod == 0)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+            )
+            .orderBy("cid")
+            .collect()
+        ),
+        lambda: _pq_codebooks(base, sub, m, kc),
     )
-    book_mats = _pq_codebooks(base, sub, m, kc)
     kern, code_schema = fused_assign_code_kernel(
         [int(r["cid"]) for r in cent_rows],
         [list(r["cv"]) for r in cent_rows],
@@ -200,8 +206,43 @@ def _persisted_codebooks(spark: SparkSession, table_prefix: str) -> list:
     return [books[s] for s in sorted(books)]
 
 
+def load_ann_quantizers(spark: SparkSession, table_prefix: str) -> tuple:
+    """ONE overlapped, bounded load of the index's FROZEN quantizer
+    artifacts — (centroid ids, centroid vectors, PQ codebook matrices) —
+    in the shape :func:`fused_assign_code_kernel` broadcasts.
+
+    The quantizers are frozen at build time by contract (upsert,
+    delete, and compaction never touch the centroid or codebook
+    tables), so callers that ingest REPEATED batches against one index
+    — every streaming foreachBatch loop, the reupsert/autopilot
+    lifecycles — should load once and pass the result to each
+    :func:`ann_index_upsert` instead of paying the two table-read jobs
+    per micro-batch (guide §5 — a per-batch reload recomputes an
+    invariant). The two reads are independent (distinct tiny tables) and
+    overlap (guide §2.6). The cache must not outlive a retrain:
+    :func:`ann_index_build` (and a split that re-elects centroids)
+    invalidates it, so scope it to one build→ingest span."""
+
+    def _cents():
+        rows = (
+            spark.table(f"{table_prefix}_centroids").orderBy("cid").collect()
+        )
+        return (
+            [int(r["cid"]) for r in rows],
+            [list(r["cv"]) for r in rows],
+        )
+
+    (cids, cvs), book_mats = par_ops(
+        _cents, lambda: _persisted_codebooks(spark, table_prefix)
+    )
+    return cids, cvs, book_mats
+
+
 def ann_index_upsert(
-    delta: DataFrame, table_prefix: str, epoch: int | None = None
+    delta: DataFrame,
+    table_prefix: str,
+    epoch: int | None = None,
+    quantizers: tuple | None = None,
 ) -> None:
     """Incrementally ingest NEW vectors into the persisted index — the
     maintenance half of the build/search split: a production index is
@@ -232,6 +273,11 @@ def ann_index_upsert(
     partition (the loser remints the next id). Note an auto-assigned id
     is NOT replay-safe, only an explicit one is.
 
+    ``quantizers`` is the optional preloaded frozen-quantizer tuple from
+    :func:`load_ann_quantizers`: repeated-batch callers pass it so each
+    micro-batch skips the two invariant table-read jobs (guide §5); when
+    omitted the artifacts are loaded here, result-identically.
+
     Contract: quantizer parameters are frozen at build time, so search
     results after an upsert equal a from-scratch search over the union
     corpus with the BASE-trained quantizers — exactly how FAISS-style
@@ -255,49 +301,63 @@ def ann_index_upsert(
     # Replay-safe: a re-run of epoch e re-detects against rows of OTHER
     # epochs only and re-appends identical tombstone rows (duplicates
     # harmless — anti-join semantics).
-    existing = (
-        spark.table(table)
-        .where(F.col("epoch") != int(epoch))
-        .select("vec_id")
-        .join(delta.select("vec_id").distinct(), "vec_id", "left_semi")
-        .distinct()
-        .localCheckpoint()  # ≤ |delta| rows; read by the count + append
-    )
-    if existing.limit(1).count():
-        existing.select(
-            F.col("vec_id").cast("long"),
-            F.lit(int(epoch) - 1).cast("long").alias("deleted_at_epoch"),
-        ).write.mode("append").format("parquet").saveAsTable(
-            f"{table_prefix}_tombstones"
+    def _detect_and_tombstone() -> None:
+        existing = (
+            spark.table(table)
+            .where(F.col("epoch") != int(epoch))
+            .select("vec_id")
+            .join(delta.select("vec_id").distinct(), "vec_id", "left_semi")
+            .distinct()
+            .localCheckpoint()  # ≤ |delta| rows; read by the count + append
         )
-    # Fused assign+code kernel (r12, guide §2.3/§4): ONE map-only pass
-    # over the delta instead of separate assign_lists/pq_quantize scans
-    # meeting in a delta-scale join on vec_id (plus pq_quantize's global
-    # orderBy, wasted under the join). The persisted centroid table is
-    # bounded by construction (the build's sampled centroid count) and
-    # assign_lists collected it internally anyway — same collect count.
-    cent_rows = (
-        spark.table(f"{table_prefix}_centroids").orderBy("cid").collect()
-    )
-    book_mats = _persisted_codebooks(spark, table_prefix)
-    m = len(book_mats)
-    base, dim = with_vec(delta)
-    kern, code_schema = fused_assign_code_kernel(
-        [int(r["cid"]) for r in cent_rows],
-        [list(r["cv"]) for r in cent_rows],
-        book_mats,
-        dim // m,
-        m,
-    )
-    overwrite_epoch_partition(
-        base.select("vec_id", "v")
-        .mapInPandas(kern, schema=code_schema)
-        .select("vec_id", "list_id", *[F.col(f"c{s}") for s in range(m)]),
-        table,
-        key="list_id",
-        n_buckets=CODES_BUCKETS,
-        epoch=epoch,
-    )
+        if existing.limit(1).count():
+            existing.select(
+                F.col("vec_id").cast("long"),
+                F.lit(int(epoch) - 1).cast("long").alias("deleted_at_epoch"),
+            ).write.mode("append").format("parquet").saveAsTable(
+                f"{table_prefix}_tombstones"
+            )
+
+    def _quantize_and_write() -> None:
+        # Fused assign+code kernel (r12, guide §2.3/§4): ONE map-only
+        # pass over the delta instead of separate assign_lists/
+        # pq_quantize scans meeting in a delta-scale join on vec_id
+        # (plus pq_quantize's global orderBy, wasted under the join).
+        # The quantizer artifacts are bounded by construction (the
+        # build's sampled centroid count, m·kc codebook rows).
+        cids, cvs, book_mats = (
+            quantizers
+            if quantizers is not None
+            else load_ann_quantizers(spark, table_prefix)
+        )
+        m = len(book_mats)
+        base, dim = with_vec(delta)
+        kern, code_schema = fused_assign_code_kernel(
+            cids, cvs, book_mats, dim // m, m
+        )
+        overwrite_epoch_partition(
+            base.select("vec_id", "v")
+            .mapInPandas(kern, schema=code_schema)
+            .select(
+                "vec_id", "list_id", *[F.col(f"c{s}") for s in range(m)]
+            ),
+            table,
+            key="list_id",
+            n_buckets=CODES_BUCKETS,
+            epoch=epoch,
+        )
+
+    # The two legs are independent (guide §2.6): detection reads OTHER
+    # epochs of the code table and appends to the tombstone table; the
+    # ingest leg quantizes the delta and overwrites THIS epoch's
+    # partition of the code table — distinct output tables, and the
+    # detect scan's epoch≠e partition pruning never reads the partition
+    # the write leg is committing. The pre-overlap serial order
+    # (tombstone append before codes commit) was never load-bearing:
+    # foreachBatch is at-least-once, so the transient one-table-landed
+    # states either way heal on replay (both legs idempotent at fixed
+    # epoch — pinned by the replay/kill-restart tests).
+    par_ops(_detect_and_tombstone, _quantize_and_write)
 
 
 def ann_index_search(
@@ -738,6 +798,10 @@ def q_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(out, "arrivals")
     try:
         ann_index_build(base_corpus, prefix, os.path.join(out, "index"))
+        # frozen-quantizer contract: load the centroid/codebook
+        # artifacts ONCE for the whole stream instead of twice per
+        # micro-batch (guide §5; see load_ann_quantizers)
+        quant = load_ann_quantizers(spark, prefix)
         # the delta arrives as two files → two foreachBatch epochs
         for half in (0, 1):
             delta.where(
@@ -755,7 +819,9 @@ def q_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # rewrites its own partition instead of double-appending
                 # (foreachBatch is at-least-once; pinned by the forced-
                 # replay and kill/restart tests in test_ann_index.py)
-                lambda batch, eid: ann_index_upsert(batch, prefix, epoch=eid)
+                lambda batch, eid: ann_index_upsert(
+                    batch, prefix, epoch=eid, quantizers=quant
+                )
             )
             .option("checkpointLocation", os.path.join(out, "ckpt"))
             .trigger(availableNow=True)
@@ -801,13 +867,17 @@ def q_streaming_ann_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="ann_stream_maint_")
     prefix = "ann_idx_stm"
 
+    quant: list = []  # loaded once, after the build (frozen thereafter)
+
     def run_stream(src: str, ckpt: str) -> None:
         q = (
             spark.readStream.schema(emb.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
             .writeStream.foreachBatch(
-                lambda batch, eid: ann_index_upsert(batch, prefix, epoch=eid)
+                lambda batch, eid: ann_index_upsert(
+                    batch, prefix, epoch=eid, quantizers=quant[0]
+                )
             )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -817,6 +887,10 @@ def q_streaming_ann_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         ann_index_build(base_corpus, prefix, os.path.join(out, "index"))
+        # one frozen-quantizer load serves BOTH streams: the
+        # maintenance window between them is a compaction, which never
+        # touches the centroid/codebook tables (guide §5)
+        quant.append(load_ann_quantizers(spark, prefix))
         for phase, slices in (("one", (0, 1)), ("two", (2, 3))):
             src = os.path.join(out, f"arrivals_{phase}")
             for s in slices:
@@ -961,8 +1035,9 @@ def q_ann_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = "ann_idx_re"
     try:
         ann_index_build(base_corpus, prefix, out)
-        ann_index_upsert(delta, prefix, epoch=0)
-        ann_index_upsert(revised, prefix, epoch=1)
+        quant = load_ann_quantizers(spark, prefix)
+        ann_index_upsert(delta, prefix, epoch=0, quantizers=quant)
+        ann_index_upsert(revised, prefix, epoch=1, quantizers=quant)
         pre = ann_index_search(emb, QUERY_IDS, prefix).collect()
         ann_index_compact(spark, prefix)
         # the three post-compaction verification reads are independent
@@ -1182,6 +1257,7 @@ def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = "ann_idx_cp"
     try:
         ann_index_build(base_corpus, prefix, out)
+        quant = load_ann_quantizers(spark, prefix)
         for half in (0, 1):
             ann_index_upsert(
                 delta.where(
@@ -1190,6 +1266,7 @@ def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 prefix,
                 epoch=half,
+                quantizers=quant,
             )
         before, after = ann_index_compact(spark, prefix)
         assert after < before, (before, after)
@@ -1792,6 +1869,10 @@ def q_ann_index_autopilot(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = "ann_idx_auto"
     try:
         ann_index_build(base_corpus, prefix, out)
+        # quantizers frozen across the three ingest epochs (the split
+        # in the later autopilot cycle retrains, but no upsert follows
+        # it inside this wrapper — the cache never outlives the span)
+        quant = load_ann_quantizers(spark, prefix)
         for e in range(AUTOPILOT_EPOCHS):
             ann_index_upsert(
                 delta.where(
@@ -1800,6 +1881,7 @@ def q_ann_index_autopilot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 prefix,
                 epoch=e,
+                quantizers=quant,
             )
         ann_index_delete(
             spark,

@@ -31,6 +31,7 @@ from admob_data_pipeline_spark.operators.ann_index import (
     ann_index_delete,
     ann_index_search_rerank,
     ann_index_upsert,
+    load_ann_quantizers,
 )
 from admob_data_pipeline_spark.operators.corpus import (
     _DUCK_BM25_SCORE,
@@ -624,6 +625,10 @@ def q_streaming_hybrid_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"pmod(doc_id div {PARITY_DELTA_MOD}, 2)") == half
             ).coalesce(1).write.mode("append").parquet(src)
 
+        # frozen-quantizer contract: one load serves every micro-batch
+        # of the stream (guide §5; see load_ann_quantizers)
+        quant = load_ann_quantizers(spark, ap)
+
         def ingest_both(batch, eid):
             # ONE epoch id for BOTH indexes: a replay rewrites the same
             # partition on each side, so the pair converges together
@@ -637,6 +642,7 @@ def q_streaming_hybrid_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     batch.select(F.col("doc_id").alias("vec_id"), "embedding"),
                     ap,
                     epoch=eid,
+                    quantizers=quant,
                 ),
             )
 
@@ -710,6 +716,9 @@ def q_streaming_hybrid_maintained(
     out = tempfile.mkdtemp(prefix="hybrid_stream_maint_")
     bp, ap = "hybrid_stm_bm25", "hybrid_stm_ann"
 
+    quant: list = []  # loaded once, after the build (frozen thereafter;
+    # the maintenance-window compaction never touches the quantizers)
+
     def ingest_both(batch, eid):
         # ONE epoch id for BOTH indexes (see q_streaming_hybrid_ingest)
         _par(
@@ -718,6 +727,7 @@ def q_streaming_hybrid_maintained(
                 batch.select(F.col("doc_id").alias("vec_id"), "embedding"),
                 ap,
                 epoch=eid,
+                quantizers=quant[0],
             ),
         )
 
@@ -742,6 +752,7 @@ def q_streaming_hybrid_maintained(
             ap,
             f"{out}/ann",
         )
+        quant.append(load_ann_quantizers(spark, ap))
         arrivals = corpus_docs.where(
             F.col("doc_id") % PARITY_DELTA_MOD == 3
         ).join(
