@@ -451,18 +451,30 @@ def _pq_codebooks(
     """Deterministically-sampled PQ codebooks (first ``kc`` vectors with
     ``vec_id % PQ_MOD == slot`` donate their slot-subvector). One bounded
     driver collect of m·kc rows — shared by the quantizer and the ADC
-    searcher so both see the identical codebook."""
+    searcher so both see the identical codebook.
+
+    The per-slot cap and the subvector slice are pushed INTO Spark
+    (guide §5 — the driver does no data work): the old form collected
+    EVERY sampled row (a fixed m/PQ_MOD fraction of the corpus, full
+    vectors — corpus-scaled, a driver OOM at 100 TB) and discarded all
+    but the first ``kc`` per slot in Python. The window keeps the exact
+    same selection (first ``kc`` by vec_id per slot) and ``slice`` the
+    exact same doubles, so the returned matrices are bit-identical."""
+    w = Window.partitionBy("s").orderBy("vec_id")
     cb_rows = (
         base.where((F.col("vec_id") % PQ_MOD) < m)
         .select("vec_id", (F.col("vec_id") % PQ_MOD).alias("s"), "v")
-        .orderBy("s", "vec_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= kc)
+        .select(
+            "s", "rn", F.expr(f"slice(v, s * {sub} + 1, {sub})").alias("sv")
+        )
+        .orderBy("s", "rn")
         .collect()
     )
     books: dict[int, list[list[float]]] = {s: [] for s in range(m)}
     for r in cb_rows:
-        s = int(r["s"])
-        if len(books[s]) < kc:
-            books[s].append(list(r["v"])[s * sub : (s + 1) * sub])
+        books[int(r["s"])].append(list(r["sv"]))
     return [books[s] for s in range(m)]
 
 
