@@ -51,7 +51,11 @@ from admob_data_pipeline_spark.operators.dedup import (
     lsh_band_keys,
     minhash_signatures,
 )
-from admob_data_pipeline_spark.operators.util import join_small, par_ops
+from admob_data_pipeline_spark.operators.util import (
+    BROADCAST_ROW_LIMIT,
+    join_small,
+    par_ops,
+)
 from admob_data_pipeline_spark.sinks.writers import (
     BASE_EPOCH,
     TOMBSTONE_DOC_SCHEMA,
@@ -154,12 +158,39 @@ def dedup_index_build(
     )
 
 
+def load_dedup_stoplist(spark: SparkSession, table_prefix: str) -> tuple:
+    """One materialization of the FROZEN hot-shingle stop list plus its
+    row count, for reuse across repeated upserts/probes against one
+    index (guide §5 — the per-call ``join_small`` guard recounts an
+    invariant; with this, each micro-batch skips that count job and the
+    banned-table rescan). The stop list is frozen between maintenance
+    actions by contract; :func:`dedup_index_ban_hot` is the only
+    writer, so the cache must not cross a ban_hot call — load after
+    build (or after the repair), never across one. Upserts and probes
+    without a preloaded stoplist behave exactly as before."""
+    banned = spark.table(f"{table_prefix}_banned").localCheckpoint()
+    return banned, banned.count()
+
+
+def _stoplist_filter(sh_all: DataFrame, banned: DataFrame, stoplist: tuple | None):
+    """Anti-join a shingle frame against the stop list: the preloaded
+    (banned, count) pair skips ``join_small``'s per-call count guard,
+    keeping the identical broadcast-or-shuffle decision."""
+    if stoplist is None:
+        return join_small(sh_all, banned, "shingle", "left_anti")
+    pre, n = stoplist
+    if n <= BROADCAST_ROW_LIMIT:
+        return sh_all.join(F.broadcast(pre), "shingle", "left_anti")
+    return sh_all.join(pre, "shingle", "left_anti")
+
+
 def dedup_index_probe(
     batch: DataFrame,
     table_prefix: str,
     k: int = 3,
     threshold: float = JACCARD_THRESHOLD,
     as_of_epoch: int | None = None,
+    stoplist: tuple | None = None,
 ) -> DataFrame:
     """Near-dup pairs (batch_doc, index_doc, jaccard ≥ threshold)
     between an arriving batch and the PERSISTED index — signatures for
@@ -172,8 +203,8 @@ def dedup_index_probe(
     # (bands_b + intersection + sizes); the raw shingle set has a single
     # consumer, so checkpointing it separately was a wasted second
     # materialization of the batch's shingles (r13)
-    sh_b = join_small(
-        doc_shingles(batch, k), banned, "shingle", "left_anti"
+    sh_b = _stoplist_filter(
+        doc_shingles(batch, k), banned, stoplist
     ).localCheckpoint()
     bands_b = lsh_band_keys(minhash_signatures(sh_b), band_in_key=True).select(
         F.col("doc_id").alias("batch_doc"), "band_key"
@@ -284,7 +315,11 @@ def dedup_index_probe(
 
 
 def dedup_index_upsert(
-    delta: DataFrame, table_prefix: str, k: int = 3, epoch: int | None = None
+    delta: DataFrame,
+    table_prefix: str,
+    k: int = 3,
+    epoch: int | None = None,
+    stoplist: tuple | None = None,
 ) -> None:
     """Incrementally ADMIT a batch into the persisted index — the
     maintenance half the other two indexes already have: shingle the
@@ -314,9 +349,10 @@ def dedup_index_upsert(
     banned = spark.table(f"{table_prefix}_banned")
     # one eager materialization: the OUTER checkpoint alone carries the
     # reuse across the three table writes (unlike the build path, banned
-    # here is a table read, not derived from the delta's shingles)
-    sh = join_small(
-        doc_shingles(delta, k), banned, "shingle", "left_anti"
+    # here is a table read, not derived from the delta's shingles).
+    # ``stoplist`` (load_dedup_stoplist) skips the per-batch count guard.
+    sh = _stoplist_filter(
+        doc_shingles(delta, k), banned, stoplist
     ).localCheckpoint()
     bands = lsh_band_keys(minhash_signatures(sh), band_in_key=True)
     # The three epoch writes are mutually independent (distinct tables)
@@ -820,13 +856,22 @@ def _run_upsert_lifecycle(spark: SparkSession, sf_dir: str, compact: bool):
     prefix = "dedup_idx_up"
     try:
         dedup_index_build(build, prefix, out)
+        # frozen stop list: one load serves both upserts and the probe
+        # (no ban_hot in this span — guide §5, see load_dedup_stoplist)
+        stop = load_dedup_stoplist(spark, prefix)
         # two arriving batches → two appends per bucketed table
-        dedup_index_upsert(delta.where(F.col("doc_id") % PROBE_MOD == 3), prefix)
-        dedup_index_upsert(delta.where(F.col("doc_id") % PROBE_MOD == 4), prefix)
+        dedup_index_upsert(
+            delta.where(F.col("doc_id") % PROBE_MOD == 3), prefix,
+            stoplist=stop,
+        )
+        dedup_index_upsert(
+            delta.where(F.col("doc_id") % PROBE_MOD == 4), prefix,
+            stoplist=stop,
+        )
         if compact:
             (bb, ba), (sb, sa) = dedup_index_compact(spark, prefix)
             assert ba < bb and sa < sb, ((bb, ba), (sb, sa))
-        rows = dedup_index_probe(batch, prefix).collect()
+        rows = dedup_index_probe(batch, prefix, stoplist=stop).collect()
     finally:
         for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
@@ -874,13 +919,18 @@ def q_dedup_index_ban_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = "dedup_idx_ban"
     try:
         dedup_index_build(build, prefix, out)
+        # the cache stops at the ban_hot below: the probe after the
+        # repair must see the EXTENDED stop list, so it reloads
+        stop = load_dedup_stoplist(spark, prefix)
         dedup_index_upsert(
-            docs.where(F.col("doc_id") % PROBE_MOD == 3), prefix
+            docs.where(F.col("doc_id") % PROBE_MOD == 3), prefix,
+            stoplist=stop,
         )
         dedup_index_upsert(
-            docs.where(F.col("doc_id") % PROBE_MOD == 4), prefix
+            docs.where(F.col("doc_id") % PROBE_MOD == 4), prefix,
+            stoplist=stop,
         )
-        n_banned_pre = spark.table(f"{prefix}_banned").count()
+        n_banned_pre = stop[1]
         n_hot = dedup_index_ban_hot(spark, prefix)
         assert n_hot == BAN_HOT_TOPN, n_hot
         assert (
@@ -957,12 +1007,16 @@ def q_dedup_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = "dedup_idx_re"
     try:
         dedup_index_build(build, prefix, os.path.join(out, "index"))
+        # frozen stop list across the whole span (compaction never
+        # touches the banned table)
+        stop = load_dedup_stoplist(spark, prefix)
         for part in (3, 4):
             dedup_index_upsert(
-                docs.where(F.col("doc_id") % PROBE_MOD == part), prefix
+                docs.where(F.col("doc_id") % PROBE_MOD == part), prefix,
+                stoplist=stop,
             )
-        dedup_index_upsert(revised, prefix)
-        pre = dedup_index_probe(batch, prefix).collect()
+        dedup_index_upsert(revised, prefix, stoplist=stop)
+        pre = dedup_index_probe(batch, prefix, stoplist=stop).collect()
         dedup_index_compact(spark, prefix)
         # independent post-compaction reads overlap (guide §2.6): the
         # dupe census back-fills cores under the re-probe
@@ -972,7 +1026,7 @@ def q_dedup_index_reupsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
             .where(F.col("count") > 1)
             .count(),
-            lambda: dedup_index_probe(batch, prefix).collect(),
+            lambda: dedup_index_probe(batch, prefix, stoplist=stop).collect(),
         )
         assert dupes == 0, f"{dupes} docs kept >1 version post-compaction"
         assert rows == pre, "compaction changed the probe"
@@ -1131,11 +1185,16 @@ def q_dedup_index_autopilot(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = "dedup_idx_auto"
     try:
         dedup_index_build(build, prefix, out)
+        # cache scope ends at the autopilot: its ban_hot extends the
+        # stop list, so the post-cycle probe reloads (default path)
+        stop = load_dedup_stoplist(spark, prefix)
         dedup_index_upsert(
-            docs.where(F.col("doc_id") % PROBE_MOD == 3), prefix
+            docs.where(F.col("doc_id") % PROBE_MOD == 3), prefix,
+            stoplist=stop,
         )
         dedup_index_upsert(
-            docs.where(F.col("doc_id") % PROBE_MOD == 4), prefix
+            docs.where(F.col("doc_id") % PROBE_MOD == 4), prefix,
+            stoplist=stop,
         )
         dedup_index_delete(spark, doomed, prefix)
         actions = dedup_index_autopilot(spark, prefix, max_epochs=1)
@@ -1172,6 +1231,8 @@ def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(out, "arrivals")
     try:
         dedup_index_build(build, prefix, os.path.join(out, "index"))
+        # frozen stop list: one load serves every micro-batch + probe
+        stop = load_dedup_stoplist(spark, prefix)
         for part in (3, 4):
             delta.where(F.col("doc_id") % PROBE_MOD == part).coalesce(
                 1
@@ -1181,14 +1242,16 @@ def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
             .writeStream.foreachBatch(
-                lambda b, eid: dedup_index_upsert(b, prefix, epoch=eid)
+                lambda b, eid: dedup_index_upsert(
+                    b, prefix, epoch=eid, stoplist=stop
+                )
             )
             .option("checkpointLocation", os.path.join(out, "ckpt"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        rows = dedup_index_probe(batch, prefix).collect()
+        rows = dedup_index_probe(batch, prefix, stoplist=stop).collect()
     finally:
         for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
@@ -1230,13 +1293,18 @@ def q_streaming_dedup_maintained(
     out = tempfile.mkdtemp(prefix="dedup_stream_maint_")
     prefix = "dedup_idx_stm"
 
+    stop: list = []  # loaded once, after the build (frozen thereafter;
+    # the maintenance-window compaction never touches the stop list)
+
     def run_stream(src: str, ckpt: str) -> None:
         q = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
             .writeStream.foreachBatch(
-                lambda b, eid: dedup_index_upsert(b, prefix, epoch=eid)
+                lambda b, eid: dedup_index_upsert(
+                    b, prefix, epoch=eid, stoplist=stop[0]
+                )
             )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -1246,6 +1314,7 @@ def q_streaming_dedup_maintained(
 
     try:
         dedup_index_build(build, prefix, os.path.join(out, "index"))
+        stop.append(load_dedup_stoplist(spark, prefix))
         for phase, part in (("one", 3), ("two", 4)):
             src = os.path.join(out, f"arrivals_{phase}")
             for half in (0, 1):
@@ -1259,7 +1328,7 @@ def q_streaming_dedup_maintained(
                 dedup_index_compact(spark, prefix)
                 assert next_epoch(spark, f"{prefix}_bands") == 0
             run_stream(src, os.path.join(out, f"ckpt_{phase}"))
-        rows = dedup_index_probe(batch, prefix).collect()
+        rows = dedup_index_probe(batch, prefix, stoplist=stop[0]).collect()
     finally:
         for t in ("bands", "shingles", "shsizes", "banned", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
@@ -1318,11 +1387,14 @@ def q_dedup_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = "dedup_idx_drift"
     try:
         dedup_index_build(build, prefix, out)
+        stop = load_dedup_stoplist(spark, prefix)
         dedup_index_upsert(
-            docs.where(F.col("doc_id") % PROBE_MOD == 3), prefix
+            docs.where(F.col("doc_id") % PROBE_MOD == 3), prefix,
+            stoplist=stop,
         )
         dedup_index_upsert(
-            docs.where(F.col("doc_id") % PROBE_MOD == 4), prefix
+            docs.where(F.col("doc_id") % PROBE_MOD == 4), prefix,
+            stoplist=stop,
         )
         rows = dedup_index_drift(spark, prefix).collect()
     finally:
