@@ -121,90 +121,103 @@ def hybrid_index_search(
     )
     doclen = spark.table(f"{bm25_prefix}_doclen")
     stats = spark.table(f"{bm25_prefix}_stats").select("n_docs", "avgdl")
-    # probe term profile: its posting rows + per-term df + its doclen —
-    # all at the probe's LATEST version (the doclen manifest mask, see
-    # bm25_index_search: a re-upserted probe must profile and normalize
-    # by its current text, not a blend of versions)
-    probe_latest = (
-        doclen.where(F.col("doc_id") == probe)
-        .agg(F.max(F.struct("epoch", "dl")).alias("m"))
-        .select(F.col("m.epoch").alias("epoch"), F.col("m.dl").alias("dl"))
-        .localCheckpoint()  # one row; read by the ptf mask + qscored
-    )
-    ptf = (
-        postings_all.where(F.col("doc_id") == probe)
-        .join(
-            F.broadcast(probe_latest.select("epoch")), "epoch", "left_semi"
+
+    def _lex() -> DataFrame:
+        # probe term profile: its posting rows + per-term df + its
+        # doclen — all at the probe's LATEST version (the doclen
+        # manifest mask, see bm25_index_search: a re-upserted probe must
+        # profile and normalize by its current text, not a blend of
+        # versions)
+        probe_latest = (
+            doclen.where(F.col("doc_id") == probe)
+            .agg(F.max(F.struct("epoch", "dl")).alias("m"))
+            .select(F.col("m.epoch").alias("epoch"), F.col("m.dl").alias("dl"))
+            .localCheckpoint()  # one row; read by the ptf mask + qscored
         )
-        .localCheckpoint()
-    )
-    # df per probe term: countDistinct so a re-upserted doc holding the
-    # term in both its versions counts once. (A doc whose LATEST version
-    # dropped the term still counts here until compaction purges the
-    # stale row — bounded drift in the probe's TERM-SELECTION score
-    # only; the ranking df downstream is computed over the
-    # latest-masked postings.)
-    df_t = (
-        postings_all.join(
-            F.broadcast(ptf.select("token")), "token", "left_semi"
+        ptf = (
+            postings_all.where(F.col("doc_id") == probe)
+            .join(
+                F.broadcast(probe_latest.select("epoch")), "epoch", "left_semi"
+            )
+            .localCheckpoint()
         )
-        .groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("df"))
-    )
-    probe_dl = probe_latest.select("dl")
-    qscored = (
-        ptf.join(F.broadcast(df_t), "token")
-        .crossJoin(F.broadcast(probe_dl))
-        .crossJoin(F.broadcast(stats))
-        .select("token", _bm25_score(BM25_K1, BM25_B).alias("s"))
-    )
-    qterms = (
-        qscored.orderBy(F.desc("s"), "token")
-        .limit(HYBRID_QTERMS)
-        .select("token")
-        .localCheckpoint()
-    )
-    postings_sel = postings_all.join(
-        F.broadcast(qterms), "token", "left_semi"
-    ).localCheckpoint()
-    # candidate latest-version mask (see bm25_index_search): one
-    # bucketed doclen scan yields both the mask and the candidate dls
-    dl_latest = (
-        doclen.join(
-            F.broadcast(postings_sel.select("doc_id").distinct()),
-            "doc_id",
+        # df per probe term: countDistinct so a re-upserted doc holding
+        # the term in both its versions counts once. (A doc whose LATEST
+        # version dropped the term still counts here until compaction
+        # purges the stale row — bounded drift in the probe's
+        # TERM-SELECTION score only; the ranking df downstream is
+        # computed over the latest-masked postings.)
+        df_t = (
+            postings_all.join(
+                F.broadcast(ptf.select("token")), "token", "left_semi"
+            )
+            .groupBy("token")
+            .agg(F.countDistinct("doc_id").alias("df"))
+        )
+        probe_dl = probe_latest.select("dl")
+        qscored = (
+            ptf.join(F.broadcast(df_t), "token")
+            .crossJoin(F.broadcast(probe_dl))
+            .crossJoin(F.broadcast(stats))
+            .select("token", _bm25_score(BM25_K1, BM25_B).alias("s"))
+        )
+        qterms = (
+            qscored.orderBy(F.desc("s"), "token")
+            .limit(HYBRID_QTERMS)
+            .select("token")
+            .localCheckpoint()
+        )
+        postings_sel = postings_all.join(
+            F.broadcast(qterms), "token", "left_semi"
+        ).localCheckpoint()
+        # candidate latest-version mask (see bm25_index_search): one
+        # bucketed doclen scan yields both the mask and the candidate dls
+        dl_latest = (
+            doclen.join(
+                F.broadcast(postings_sel.select("doc_id").distinct()),
+                "doc_id",
+                "left_semi",
+            )
+            .groupBy("doc_id")
+            .agg(F.max(F.struct("epoch", "dl")).alias("m"))
+            .select(
+                "doc_id",
+                F.col("m.epoch").alias("epoch"),
+                F.col("m.dl").alias("dl"),
+            )
+            .localCheckpoint()
+        )
+        sel = postings_sel.join(
+            F.broadcast(dl_latest.select("doc_id", "epoch")),
+            ["doc_id", "epoch"],
             "left_semi",
         )
-        .groupBy("doc_id")
-        .agg(F.max(F.struct("epoch", "dl")).alias("m"))
-        .select(
-            "doc_id",
-            F.col("m.epoch").alias("epoch"),
-            F.col("m.dl").alias("dl"),
+        return _bm25_rank_postings(
+            None,
+            sel,
+            RRF_POOL,
+            BM25_K1,
+            BM25_B,
+            exclude_doc=probe,
+            doclen=dl_latest.select("doc_id", "dl"),
+            stats=stats,
+        ).select("doc_id", F.col("rnk").alias("lex_rank"))
+
+    def _vec() -> DataFrame:
+        return ann_index_search_rerank(
+            emb, [probe], ann_prefix, k=RRF_POOL, rerank_r=VEC_SHORTLIST
+        ).select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("rank").cast("int").alias("vec_rank"),
         )
-        .localCheckpoint()
-    )
-    postings_sel = postings_sel.join(
-        F.broadcast(dl_latest.select("doc_id", "epoch")),
-        ["doc_id", "epoch"],
-        "left_semi",
-    )
-    lex = _bm25_rank_postings(
-        None,
-        postings_sel,
-        RRF_POOL,
-        BM25_K1,
-        BM25_B,
-        exclude_doc=probe,
-        doclen=dl_latest.select("doc_id", "dl"),
-        stats=stats,
-    ).select("doc_id", F.col("rnk").alias("lex_rank"))
-    vec = ann_index_search_rerank(
-        emb, [probe], ann_prefix, k=RRF_POOL, rerank_r=VEC_SHORTLIST
-    ).select(
-        F.col("vec_id").alias("doc_id"),
-        F.col("rank").cast("int").alias("vec_rank"),
-    )
+
+    # The two legs read DISJOINT index families (bm25 tables vs ann
+    # tables) and each runs eager steps while being built — the lexical
+    # leg its probe/term-selection checkpoint chain, the vector leg the
+    # bounded probe/LUT collect inside ann_index_search — so construct
+    # them CONCURRENTLY (guide §2.6); the fused plan below is identical
+    # either way.
+    lex, vec = par_ops(_lex, _vec)
     fused = lex.join(vec, "doc_id", "full_outer").select(
         "doc_id",
         "lex_rank",
